@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared session configuration for Verify/Bench/tests. */
+object Sessions {
+
+  def builder(master: String, shufflePartitions: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      // The corpus' events.ts is parquet TIMESTAMP(NANOS), which Spark 4
+      // rejects by default; read it as a long (nanos since epoch) and let
+      // Tables convert to a microsecond TimestampType.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Read parquet isAdjustedToUTC=false timestamps as session-TZ(UTC)
+      // TimestampType, not TIMESTAMP_NTZ — keeps unix_millis()/calendar
+      // functions applicable and matches the DuckDB oracle's naive reads.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+}
