@@ -109,7 +109,8 @@ object SparkEntry {
     val catalog = li.select("l_partkey", "l_suppkey", "l_quantity").distinct()
     li.join(catalog, Seq("l_partkey", "l_suppkey", "l_quantity"))
       .groupBy("l_partkey")
-      .agg(count(lit(1)).as("n_matches"), sum("l_quantity").as("sum_qty"))
+      .agg(count(lit(1)).as("n_matches"),
+        sum(money(col("l_quantity"))).cast("double").as("sum_qty"))
       .orderBy("l_partkey")
   }
 
@@ -176,7 +177,7 @@ object SparkEntry {
       countDistinct(col("l_orderkey")).as("n_orders"),
       unix_millis(min(col("l_shipdate"))).as("min_ship_ms"),
       unix_millis(max(col("l_shipdate"))).as("max_ship_ms"),
-      sum(col("l_quantity")).as("sum_qty"),
+      sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
       min(col("l_extendedprice")).as("min_price"),
       max(col("l_extendedprice")).as("max_price"))
 
@@ -188,14 +189,15 @@ object SparkEntry {
     t(s, dir, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(col("l_quantity")).as("sum_qty"),
+        sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
         sum(money(col("l_extendedprice"))).cast("double")
           .as("sum_base_price"),
         sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
           .cast("double").as("sum_disc_price"),
         sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
           * (lit(1) + rate(col("l_tax")))).cast("double").as("sum_charge"),
-        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (sum(money(col("l_quantity"))).cast("double") / count(lit(1)))
+          .as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -268,7 +270,8 @@ object SparkEntry {
     * downstream year=/month= predicate), and aggregates per partition.
     */
   private def qParquetRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip"
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip_" +
+      s.sparkContext.applicationId
     val ev = TimeOps.withCalendarFields(t(s, dir, "events"), "ts")
     ev.select("event_id", "value", "year", "month")
       .write.mode("overwrite").partitionBy("year", "month").parquet(out)
@@ -298,8 +301,10 @@ object SparkEntry {
   // Contract maps
   // ---------------------------------------------------------------------
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * training-data-pipeline surface (SURVEY §7.2.8) from [[TrainQueries]].
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = TrainQueries.queries ++ Map(
     "q01_filter_project" -> (qFilterProject _),
     "q02_project_rename" -> (qProjectRename _),
     "q03_dedup_latest" -> (qDedupLatest _),
@@ -324,7 +329,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = TrainQueries.oracleSql ++ Map(
     "q01_filter_project" ->
       """SELECT event_id, user_id, value FROM events
          WHERE event_type = 'click' ORDER BY event_id""",
@@ -361,7 +366,8 @@ object SparkEntry {
       """WITH catalog AS (SELECT DISTINCT l_partkey, l_suppkey, l_quantity
                           FROM lineitem)
          SELECT l.l_partkey, COUNT(*) AS n_matches,
-                CAST(SUM(l.l_quantity) AS DOUBLE) AS sum_qty
+                CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                  AS sum_qty
          FROM lineitem l JOIN catalog c
            ON l.l_partkey = c.l_partkey AND l.l_suppkey = c.l_suppkey
           AND l.l_quantity = c.l_quantity
@@ -394,13 +400,15 @@ object SparkEntry {
                 COUNT(DISTINCT l_orderkey) AS n_orders,
                 epoch_ms(MIN(l_shipdate)) AS min_ship_ms,
                 epoch_ms(MAX(l_shipdate)) AS max_ship_ms,
-                CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                  AS sum_qty,
                 MIN(l_extendedprice) AS min_price,
                 MAX(l_extendedprice) AS max_price
          FROM lineitem""",
     "q12_agg_groupby" ->
       """SELECT l_returnflag, l_linestatus,
-                CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                  AS sum_qty,
                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
                   AS sum_base_price,
                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
@@ -410,7 +418,8 @@ object SparkEntry {
                   * (1 - CAST(l_discount AS DECIMAL(4,2)))
                   * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
                   AS sum_charge,
-                CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) AS avg_qty,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                  / COUNT(*) AS avg_qty,
                 COUNT(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
@@ -445,11 +454,12 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
     "q17_join_semi_anti" ->
-      """SELECT c_custkey, 'has_orders' AS op FROM customer
-         WHERE c_custkey IN (SELECT o_custkey FROM orders)
+      """SELECT c_custkey, 'has_orders' AS op FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
          UNION ALL
-         SELECT c_custkey, 'no_orders' AS op FROM customer
-         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+         SELECT c_custkey, 'no_orders' AS op FROM customer c
+         WHERE NOT EXISTS
+           (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
          ORDER BY op, c_custkey""",
     "q18_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT)

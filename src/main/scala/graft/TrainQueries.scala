@@ -1,0 +1,404 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.ops.{Multimodal, NearDup, Sessionize, Similarity}
+import graft.streaming.EventStream
+
+/** Training-data-pipeline operators (SURVEY §7.2.8) as driver-contract
+  * queries: text analysis, exact + near dedup (MinHash/LSH, SimHash,
+  * n-gram Jaccard, embedding-cosine), similarity search (brute-force and
+  * LSH ANN), multimodal plumbing, streaming windows, sessionization.
+  *
+  * Every query is deterministic and every number is reproducible in
+  * ANSI SQL (md5-based hashing, integer-quantized vector math, explicit
+  * tiebreaks) — see the oracle entries. Merged into [[SparkEntry]].
+  */
+object TrainQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Shared SimHash CTE for the DuckDB oracles (per-doc 32-hex-char
+    * signature; must mirror [[NearDup.withSimHash]] bit-for-bit).
+    */
+  private val simhashCte =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+      |        FROM documents),
+      |th AS (SELECT doc_id, md5(tk) AS h FROM tok),
+      |bits AS (SELECT doc_id, k,
+      |    CASE WHEN ((strpos('0123456789abcdef', substr(h, (k // 4) + 1, 1))
+      |               - 1) >> (k % 4)) & 1 = 1 THEN 1 ELSE -1 END AS v
+      |  FROM th, (SELECT unnest(range(0, 128)) AS k)),
+      |acc AS (SELECT doc_id, k, SUM(v) AS s FROM bits GROUP BY 1, 2),
+      |nib AS (SELECT doc_id, k // 4 AS p,
+      |    SUM(CASE WHEN s > 0 THEN 1 << (k % 4) ELSE 0 END) AS nv
+      |  FROM acc GROUP BY 1, 2),
+      |sig AS (SELECT doc_id,
+      |    string_agg(substr('0123456789abcdef', CAST(nv + 1 AS BIGINT), 1),
+      |               '' ORDER BY p) AS simhash
+      |  FROM nib GROUP BY 1)""".stripMargin
+
+  /** Shared quantized-embedding CTEs for the DuckDB oracles (64-dim at
+    * the oracle scale factor; mirrors [[Similarity.prepare]]).
+    */
+  private val quantCte =
+    """q AS (SELECT vec_id, i,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0 + 0.5)
+      |         AS BIGINT) AS x
+      |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+      |nrm AS (SELECT vec_id, SUM(x * x) AS nn FROM q GROUP BY 1)"""
+      .stripMargin
+
+  /** q25's oracle, generated so the min-hash family coefficients are the
+    * exact same literals the Spark side uses ([[NearDup.hashCoeffs]]).
+    */
+  private def minhashLshOracle: String = {
+    val sigEntries = NearDup.hashCoeffs(32)
+      .map { case (a, b) =>
+        s"list_min(list_transform(xs, x -> ($a * x + $b) % ${NearDup.HashP}))"
+      }
+      .mkString("[\n             ", ",\n             ", "\n           ]")
+    val bandSelects = (0 until 4).map { bnd =>
+      val parts = (1 to 8).map(r => s"CAST(sg[${bnd * 8 + r}] AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $bnd AS b, md5($parts) AS bkey FROM sig"
+    }.mkString("\n           UNION ALL ")
+    s"""WITH s AS (SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(length(text) - 4, 1) + 1),
+               i -> substr(text, i, 5))) AS shingles
+           FROM documents),
+         xs AS (SELECT doc_id, shingles, list_transform(shingles,
+             sh -> CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)
+                   % ${NearDup.HashP}) AS xs
+           FROM s),
+         sig AS (SELECT doc_id, $sigEntries AS sg FROM xs),
+         bands AS ($bandSelects),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b
+             ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         jac AS (SELECT id_a, id_b,
+             CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+               / CAST(len(x.shingles) + len(y.shingles)
+                   - len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+               AS jaccard
+           FROM cand JOIN s x ON cand.id_a = x.doc_id
+                     JOIN s y ON cand.id_b = y.doc_id)
+         SELECT id_a, id_b, jaccard FROM jac
+         WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""
+  }
+
+  // ---------------------------------------------------------------------
+  // Text analysis
+  // ---------------------------------------------------------------------
+
+  /** Token counting + quality scoring over documents. */
+  private def qTextStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("toks", TextFns.tokens("text"))
+      .select(col("doc_id"),
+        expr("cast(size(toks) as bigint)").as("n_tokens"),
+        expr("cast(length(text) as bigint)").as("n_chars_calc"),
+        expr("""(cast(length(text) as double)
+               | - (cast(size(toks) as double) - 1.0d))
+               | / cast(size(toks) as double)""".stripMargin)
+          .as("avg_token_len"),
+        (TextFns.profileHits("toks", TextFns.stopwordProfiles(1)._2)
+          .cast("double") / expr("cast(size(toks) as double)"))
+          .as("stop_ratio"),
+        TextFns.qualityScore("text", "toks").as("quality"))
+      .orderBy("doc_id")
+
+  /** Heuristic language-ID vs the labeled lang column. */
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("toks", TextFns.tokens("text"))
+      .select(col("doc_id"), col("lang"),
+        TextFns.languageId("toks").as("predicted"))
+      .orderBy("doc_id")
+
+  /** Canonical + winnowing fingerprints per document. */
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFns.fingerprint("text").as("fingerprint"),
+        TextFns.minShingleHash("text", 8).as("min_shingle"))
+      .orderBy("doc_id")
+
+  /** Exact dedup: group documents by canonical fingerprint. */
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("fingerprint", TextFns.fingerprint("text"))
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("rep_doc"))
+      .orderBy("fingerprint")
+
+  // ---------------------------------------------------------------------
+  // Near-duplicate detection
+  // ---------------------------------------------------------------------
+
+  /** MinHash + LSH near-dup pairs, verified with exact n-gram Jaccard:
+    * 32 min-hashes, 4 bands × 8 rows, candidates from band collisions
+    * only (never n² pairs), kept at jaccard ≥ 0.5. The 8-row bands keep
+    * the collision S-curve sharp on this shared-vocabulary corpus
+    * (4-row bands admit ~10% of ALL pairs here — measured 1.3M
+    * candidates on 5k docs vs ~4k with 8-row bands).
+    */
+  private def qMinHashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("shingles", TextFns.shingles("text", 5))
+      .select("doc_id", "shingles")
+    val sigs = NearDup.minHashSigs(docs, "doc_id", "shingles", 32, "sig")
+    val cand = NearDup.candidatePairs(
+      NearDup.bandRows(sigs, "doc_id", "sig", 4, 8), "doc_id")
+    NearDup.jaccard(cand, docs, "doc_id", "shingles")
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Per-document 128-bit SimHash signature. */
+  private def qSimHash(s: SparkSession, dir: String): DataFrame =
+    NearDup.withSimHash(
+        t(s, dir, "documents").withColumn("toks", TextFns.tokens("text")),
+        "toks", "simhash")
+      .select("doc_id", "simhash")
+      .orderBy("doc_id")
+
+  /** Nearest neighbor per document in SimHash Hamming space. */
+  private def qSimHashKnn(s: SparkSession, dir: String): DataFrame = {
+    val sigs = NearDup.withSimHash(
+        t(s, dir, "documents").withColumn("toks", TextFns.tokens("text")),
+        "toks", "simhash")
+      .select("doc_id", "simhash")
+    NearDup.hammingNN(sigs, "doc_id", "simhash")
+      .orderBy("id_a")
+  }
+
+  // ---------------------------------------------------------------------
+  // Similarity search
+  // ---------------------------------------------------------------------
+
+  /** Brute-force cosine top-5 for the first 100 query vectors. */
+  private def qCosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val base = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
+    val queries = base.filter(col("vec_id") < 100)
+    Similarity.bruteForceTopK(base, queries, "vec_id", 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH-bucketed ANN: top-3 within each vector's hyperplane bucket. */
+  private def qCosineLsh(s: SparkSession, dir: String): DataFrame = {
+    val base = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
+    Similarity.lshTopK(base, "vec_id", 3, 4)
+      .orderBy("query_id", "rank")
+  }
+
+  // ---------------------------------------------------------------------
+  // Multimodal, streaming, sessionization
+  // ---------------------------------------------------------------------
+
+  /** Binary-payload decode plumbing (stubbed codec — see Multimodal). */
+  private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    Multimodal.decodeFeatures(Multimodal.asMedia(t(s, dir, "documents")))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Structured Streaming: watermarked tumbling-window counts, run to
+    * completion (append mode ⇒ only watermark-closed windows emit).
+    */
+  private def qStreamWindow(s: SparkSession, dir: String): DataFrame =
+    EventStream.windowedCounts(s, s"$dir/events.parquet")
+
+  /** Gap-based sessionization of events (30-minute timeout). Ordering is
+    * on millisecond-truncated time + event_id so any engine computing at
+    * ms precision agrees.
+    */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("ts_ms", timestamp_millis(unix_millis(col("ts"))))
+    Sessionize.sessionSummary(ev, "user_id", "ts_ms", "event_id",
+        30L * 60 * 1000)
+      .orderBy("user_id", "session_idx")
+  }
+
+  // ---------------------------------------------------------------------
+  // Contract maps
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_text_stats" -> (qTextStats _),
+    "q22_lang_id" -> (qLangId _),
+    "q23_fingerprint" -> (qFingerprint _),
+    "q24_dedup_exact" -> (qDedupExact _),
+    "q25_minhash_lsh" -> (qMinHashLsh _),
+    "q26_simhash" -> (qSimHash _),
+    "q27_simhash_knn" -> (qSimHashKnn _),
+    "q28_cosine_topk" -> (qCosineTopK _),
+    "q29_cosine_lsh" -> (qCosineLsh _),
+    "q30_multimodal" -> (qMultimodal _),
+    "q31_stream_window" -> (qStreamWindow _),
+    "q32_sessionize" -> (qSessionize _))
+
+  def oracleSql: Map[String, String] = Map(
+    "q21_text_stats" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                    FROM documents)
+         SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           (CAST(length(text) AS DOUBLE)
+              - (CAST(len(toks) AS DOUBLE) - 1.0))
+             / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+           CAST(len(list_filter(toks,
+                 w -> w IN ('the','a','of','and','is'))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+           0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (1.0 - CAST(len(list_filter(toks,
+                   w -> w IN ('the','a','of','and','is'))) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE))
+             + 0.2 * least(((CAST(length(text) AS DOUBLE)
+                   - (CAST(len(toks) AS DOUBLE) - 1.0))
+                 / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0) AS quality
+         FROM d ORDER BY doc_id""",
+    "q22_lang_id" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                    FROM documents),
+         sc AS (SELECT doc_id, lang,
+             len(list_filter(toks, w -> w IN ('der','die','das','und','ist'))) AS s_de,
+             len(list_filter(toks, w -> w IN ('the','a','of','and','is'))) AS s_en,
+             len(list_filter(toks, w -> w IN ('el','los','las','y','es'))) AS s_es,
+             len(list_filter(toks, w -> w IN ('le','la','les','et','est'))) AS s_fr,
+             len(list_filter(toks, w -> w IN ('的','是','了','在','和'))) AS s_zh
+           FROM d)
+         SELECT doc_id, lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+                ELSE 'und' END AS predicted
+         FROM sc ORDER BY doc_id""",
+    "q23_fingerprint" ->
+      """SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             AS fingerprint,
+           list_min(list_transform(
+             list_distinct(list_transform(
+               range(1, greatest(length(text) - 7, 1) + 1),
+               i -> substr(text, i, 8))),
+             sh -> md5(sh))) AS min_shingle
+         FROM documents ORDER BY doc_id""",
+    "q24_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                  AS fingerprint,
+                COUNT(*) AS n_docs, MIN(doc_id) AS rep_doc
+         FROM documents GROUP BY 1 ORDER BY fingerprint""",
+    "q25_minhash_lsh" -> minhashLshOracle,
+    "q26_simhash" ->
+      s"""WITH $simhashCte
+         SELECT doc_id, simhash FROM sig ORDER BY doc_id""",
+    "q27_simhash_knn" ->
+      s"""WITH $simhashCte,
+         ch AS (SELECT doc_id, list_transform(range(0, 4),
+             b -> CAST('0x' || substr(simhash, b * 8 + 1, 8) AS BIGINT))
+               AS chunks
+           FROM sig),
+         ham AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.chunks[1], b.chunks[1]))
+                + bit_count(xor(a.chunks[2], b.chunks[2]))
+                + bit_count(xor(a.chunks[3], b.chunks[3]))
+                + bit_count(xor(a.chunks[4], b.chunks[4])) AS BIGINT)
+               AS hamming
+           FROM ch a JOIN ch b ON a.doc_id <> b.doc_id),
+         rk AS (SELECT id_a, id_b, hamming, row_number() OVER
+             (PARTITION BY id_a ORDER BY hamming ASC, id_b ASC) AS rn
+           FROM ham)
+         SELECT id_a, id_b, hamming FROM rk WHERE rn = 1 ORDER BY id_a""",
+    "q28_cosine_topk" ->
+      s"""WITH $quantCte,
+         d AS (SELECT a.vec_id AS query_id, b.vec_id AS id_b,
+             SUM(a.x * b.x) AS dot
+           FROM q a JOIN q b ON a.i = b.i
+           WHERE a.vec_id < 100 AND a.vec_id <> b.vec_id
+           GROUP BY 1, 2),
+         sm AS (SELECT query_id, id_b,
+             CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
+               * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
+           FROM d JOIN nrm na ON d.query_id = na.vec_id
+                  JOIN nrm nb ON d.id_b = nb.vec_id),
+         rk AS (SELECT query_id, id_b, sim, row_number() OVER
+             (PARTITION BY query_id ORDER BY sim DESC, id_b ASC) AS rank
+           FROM sm)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank,
+                id_b AS neighbor_id, sim
+         FROM rk WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q29_cosine_lsh" ->
+      s"""WITH $quantCte,
+         w AS (SELECT h, i, CAST(strpos('0123456789abcdef',
+               substr(md5(CAST(h AS VARCHAR) || ',' ||
+                 CAST(i - 1 AS VARCHAR)), 1, 1)) - 1 AS DOUBLE) - 7.5 AS w
+           FROM (SELECT unnest(range(1, 5)) AS h),
+                (SELECT unnest(range(1, 65)) AS i)),
+         proj AS (SELECT q.vec_id, w.h, SUM(w.w * CAST(q.x AS DOUBLE)) AS p
+           FROM q JOIN w ON q.i = w.i GROUP BY 1, 2),
+         bkt AS (SELECT vec_id, CAST(SUM(CASE WHEN p > 0
+               THEN 1 << (4 - h) ELSE 0 END) AS BIGINT) AS bucket
+           FROM proj GROUP BY 1),
+         d AS (SELECT a.vec_id AS query_id, b.vec_id AS id_b,
+             ba.bucket AS bucket, SUM(a.x * b.x) AS dot
+           FROM q a JOIN bkt ba ON a.vec_id = ba.vec_id
+                JOIN bkt bb ON ba.bucket = bb.bucket
+                JOIN q b ON b.vec_id = bb.vec_id AND a.i = b.i
+           WHERE a.vec_id <> b.vec_id
+           GROUP BY 1, 2, 3),
+         sm AS (SELECT query_id, id_b, bucket,
+             CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
+               * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
+           FROM d JOIN nrm na ON d.query_id = na.vec_id
+                  JOIN nrm nb ON d.id_b = nb.vec_id),
+         rk AS (SELECT query_id, id_b, bucket, sim, row_number() OVER
+             (PARTITION BY query_id ORDER BY sim DESC, id_b ASC) AS rank
+           FROM sm)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank,
+                id_b AS neighbor_id, sim, bucket
+         FROM rk WHERE rank <= 3 ORDER BY query_id, rank""",
+    "q30_multimodal" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST((SELECT COALESCE(SUM(ascii(substr(text, p, 1))), 0)
+                 FROM (SELECT unnest(range(1, 17)) AS p)
+                 WHERE p <= length(text)) AS BIGINT) AS head_sum,
+           md5(text) AS checksum
+         FROM documents ORDER BY doc_id""",
+    "q31_stream_window" ->
+      """WITH mx AS (SELECT epoch_us(MAX(CAST(ts AS TIMESTAMP))) // 1000
+                       AS max_ms FROM events),
+         b AS (SELECT epoch_ms(time_bucket(INTERVAL 10 MINUTE,
+                 CAST(ts AS TIMESTAMP), TIMESTAMP '1970-01-01'))
+                 AS window_start_ms,
+               event_type, COUNT(*) AS n_events
+           FROM events GROUP BY 1, 2)
+         SELECT window_start_ms, event_type, n_events FROM b, mx
+         WHERE window_start_ms + 600000 <= max_ms - 3600000
+         ORDER BY window_start_ms, event_type""",
+    "q32_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events),
+         g AS (SELECT user_id, event_id, ms,
+             CASE WHEN lag(ms) OVER w IS NULL
+                    OR ms - lag(ms) OVER w > 1800000
+                  THEN 1 ELSE 0 END AS ns
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+         s AS (SELECT user_id, ms, CAST(SUM(ns) OVER
+             (PARTITION BY user_id ORDER BY ms, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+           FROM g)
+         SELECT user_id, session_idx, COUNT(*) AS n_events,
+                MIN(ms) AS session_start_ms, MAX(ms) AS session_end_ms
+         FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""")
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY §7.2.8): media as opaque `binary`
+  * payloads with typed metadata, processed by a batched per-partition
+  * decode operator.
+  *
+  * The Spark-side plumbing — schema, encoders, partition-iterator batch
+  * shape — is real and tested; the decode itself is a STUB (this
+  * container has no image/audio codecs): a deterministic fake that
+  * derives "features" from the raw bytes. Swapping in a real decoder
+  * (JPEG → pixels, PCM → spectrogram) changes only [[decodeStub]].
+  *
+  * Scale posture: decode is the textbook `mapPartitions` case — genuinely
+  * imperative per-record work (a codec) that no relational primitive
+  * expresses. It runs scan-locally (no shuffle), streams the partition
+  * iterator (no per-partition materialization), and keeps one codec
+  * instance per partition rather than per row. Binary payloads stay
+  * off the shuffle path: features are extracted first, and downstream
+  * joins/aggregations carry only the narrow feature columns.
+  */
+object Multimodal {
+
+  /** A media record: id + opaque payload + typed metadata. */
+  case class MediaRecord(doc_id: Long, payload: Array[Byte], format: String)
+
+  /** Stub "decoded" features — deterministic functions of the bytes. */
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, head_sum: Long,
+      checksum: String)
+
+  /** Wrap a text table as media records (payload = utf-8 bytes) — the
+    * corpus has no true binary column, so documents stand in for blobs.
+    */
+  def asMedia(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"),
+        encode(col("text"), "utf-8").as("payload"),
+        lit("txt").as("format"))
+      .as[MediaRecord]
+  }
+
+  private def hex(bytes: Array[Byte]): String =
+    bytes.map(b => f"${b & 0xff}%02x").mkString
+
+  /** The per-record stub decode: byte count, sum of the first 16 bytes
+    * (a fake "brightness"), md5 checksum. Deterministic, so the DuckDB
+    * oracle can recompute it from the text column.
+    */
+  def decodeStub(r: MediaRecord, md: MessageDigest): MediaFeatures = {
+    val head = r.payload.take(16)
+    var sum = 0L
+    var i = 0
+    while (i < head.length) { sum += head(i) & 0xff; i += 1 }
+    md.reset()
+    MediaFeatures(r.doc_id, r.payload.length.toLong, sum,
+      hex(md.digest(r.payload)))
+  }
+
+  /** Batched decode over partitions: one codec (here: one MessageDigest)
+    * per partition, streaming the iterator.
+    */
+  def decodeFeatures(media: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map(decodeStub(_, md))
+    }
+  }
+}

@@ -62,7 +62,8 @@ object Sparkify {
     * row per user (the reference keeps an arbitrary `level`).
     */
   def usersTable(logData: DataFrame): DataFrame =
-    Dedup.latestBy(nextSongEvents(logData), Seq("userId"), "ts", "sessionId")
+    Dedup.firstBy(nextSongEvents(logData), Seq("userId"),
+        Seq(col("ts").desc, col("sessionId").desc, col("itemInSession").desc))
       .selectExpr("userId as user_id", "firstName as first_name",
         "lastName as last_name", "gender", "level")
 
@@ -74,7 +75,8 @@ object Sparkify {
     val withTs = nextSongEvents(logData)
       .withColumn("start_time", TimeOps.fromEpochMillis(col("ts")))
     TimeOps.withCalendarFields(withTs, "start_time")
-      .select("start_time", "hour", "day", "week", "month", "year", "weekday")
+      .select("ts", "start_time", "hour", "day", "week", "month", "year",
+        "weekday")
       .dropDuplicates("start_time")
   }
 

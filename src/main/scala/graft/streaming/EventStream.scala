@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming surface (SURVEY §2.10 — extension beyond the
+  * batch-only reference): file-source stream → event-time tumbling-window
+  * aggregation with a watermark → sink.
+  *
+  * Semantics: 10-minute tumbling windows on event time, watermark
+  * `delay` behind the max observed event time. In *append* mode a window
+  * emits exactly once, when the watermark passes its end — so late data
+  * within the delay still lands, and state for closed windows is dropped
+  * (bounded state at 100 TB/day: state size is O(open windows × groups),
+  * not O(stream)).
+  *
+  * The batch equivalence this is verified against: windows whose end ≤
+  * final watermark, i.e. `GROUP BY time_bucket(10 min, ts)` filtered to
+  * buckets closed before max(ts) − delay. That equivalence (stream
+  * result ≡ late-filtered batch result) is the standard streaming
+  * correctness statement, and is what the DuckDB oracle replays.
+  */
+object EventStream {
+
+  /** Windowed counts per event_type over a parquet-file stream, run to
+    * completion with Trigger.AvailableNow. `srcParquet` is staged into a
+    * fresh stream-input directory (file sources watch directories).
+    */
+  def windowedCounts(spark: SparkSession, srcParquet: String,
+      window: String = "10 minutes",
+      delay: String = "1 hour"): DataFrame = {
+    val appId = spark.sparkContext.applicationId
+    val tmp = System.getProperty("java.io.tmpdir")
+    val inDir = Paths.get(s"$tmp/graft_stream_in_$appId")
+    Files.createDirectories(inDir)
+    Files.copy(Paths.get(srcParquet), inDir.resolve("part-0.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    // File-source streams need an explicit schema; derive it from a batch
+    // scan of the staged file (events.ts arrives as nanos-long — see
+    // Sessions/Tables — and is normalized to a microsecond timestamp).
+    val batchSchema = spark.read.parquet(inDir.toString).schema
+    val raw = spark.readStream.schema(batchSchema).parquet(inDir.toString)
+    val events =
+      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+
+    val qn = s"graft_stream_${appId.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val query = events
+      .withWatermark("ts", delay)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qn)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+
+    spark.table(qn)
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n_events"))
+      .orderBy("window_start_ms", "event_type")
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFns
+
+class TextFnsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox and the lazy dog"),
+      (2L, "der hund und die katze und der vogel"),
+      (3L, "xyzzy plugh")
+    ).toDF("doc_id", "text")
+  }
+
+  test("tokens splits on single spaces") {
+    val n = docs.select(size(TextFns.tokens("text")).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(n === Seq(8, 8, 2))
+  }
+
+  test("shingles are distinct n-grams; short text yields whole text") {
+    import spark.implicits._
+    val sh = Seq((1L, "abcde"), (2L, "abc")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFns.shingles("text", 5).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L) === Seq("abcde"))
+    assert(sh(2L) === Seq("abc"))
+  }
+
+  test("languageId picks the dominant stopword profile, 'und' when none") {
+    val got = docs
+      .withColumn("toks", TextFns.tokens("text"))
+      .select(col("doc_id"), TextFns.languageId("toks").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "en", 2L -> "de", 3L -> "und"))
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    import spark.implicits._
+    val fp = Seq((1L, "Hello  World"), (2L, "hello world "))
+      .toDF("doc_id", "text")
+      .select(TextFns.fingerprint("text").as("f"))
+      .collect().map(_.getString(0)).toSeq
+    assert(fp.distinct.size === 1)
+  }
+
+  test("qualityScore stays within [0, 1]") {
+    val q = docs
+      .withColumn("toks", TextFns.tokens("text"))
+      .select(TextFns.qualityScore("text", "toks").as("q"))
+      .collect().map(_.getDouble(0))
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+  }
+}
