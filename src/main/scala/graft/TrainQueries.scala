@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
-import graft.ops.{Multimodal, NearDup, Sessionize, Similarity}
-import graft.streaming.EventStream
+import graft.ops.{Multimodal, NearDup, Salting, Sessionize, Similarity}
+import graft.streaming.{EventStream, StatefulSessions}
 
 /** Training-data-pipeline operators (SURVEY §7.2.8) as driver-contract
   * queries: text analysis, exact + near dedup (MinHash/LSH, SimHash,
@@ -109,6 +109,8 @@ object TrainQueries {
         (TextFns.profileHits("toks", TextFns.stopwordProfiles(1)._2)
           .cast("double") / expr("cast(size(toks) as double)"))
           .as("stop_ratio"),
+        expr("""cast(size(regexp_extract_all(text, '[a-z]{4,}', 0))
+               | as bigint)""".stripMargin).as("n_long_tokens"),
         TextFns.qualityScore("text", "toks").as("quality"))
       .orderBy("doc_id")
 
@@ -196,6 +198,37 @@ object TrainQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-cosine near-dup pairs within LSH buckets (sim ≥ 0.3 —
+    * this corpus has no planted embedding duplicates; max pairwise
+    * cosine is ~0.51, so the threshold sits at ~p99.9 of all pairs).
+    */
+  private def qCosineNearDup(s: SparkSession, dir: String): DataFrame = {
+    val base = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
+    Similarity.cosineNearDupPairs(base, "vec_id", 0.3, 4)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Skew-resistant salted shuffle join: events ⋈ per-user totals on a
+    * salted key, result identical to the plain join.
+    */
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val dim = ev.groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double")
+        .as("user_total"))
+    Salting.saltedEquiJoin(ev, dim, Seq("user_id"), col("event_id"), 8)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), min("user_total").as("user_total"))
+      .orderBy("user_id")
+  }
+
+  /** Stateful streaming sessionization (flatMapGroupsWithState) — must
+    * agree with the batch window-function form (same oracle as q32).
+    */
+  private def qStreamSessionize(s: SparkSession, dir: String): DataFrame =
+    StatefulSessions.sessionSummaries(s, s"$dir/events.parquet",
+      30L * 60 * 1000)
+
   // ---------------------------------------------------------------------
   // Multimodal, streaming, sessionization
   // ---------------------------------------------------------------------
@@ -242,7 +275,10 @@ object TrainQueries {
     "q29_cosine_lsh" -> (qCosineLsh _),
     "q30_multimodal" -> (qMultimodal _),
     "q31_stream_window" -> (qStreamWindow _),
-    "q32_sessionize" -> (qSessionize _))
+    "q32_sessionize" -> (qSessionize _),
+    "q33_cosine_neardup" -> (qCosineNearDup _),
+    "q34_salted_join" -> (qSaltedJoin _),
+    "q35_stream_sessionize" -> (qStreamSessionize _))
 
   def oracleSql: Map[String, String] = Map(
     "q21_text_stats" ->
@@ -257,6 +293,8 @@ object TrainQueries {
            CAST(len(list_filter(toks,
                  w -> w IN ('the','a','of','and','is'))) AS DOUBLE)
              / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+           CAST(len(regexp_extract_all(text, '[a-z]{4,}')) AS BIGINT)
+             AS n_long_tokens,
            0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
              + 0.3 * (1.0 - CAST(len(list_filter(toks,
                    w -> w IN ('the','a','of','and','is'))) AS DOUBLE)
@@ -387,6 +425,54 @@ object TrainQueries {
          WHERE window_start_ms + 600000 <= max_ms - 3600000
          ORDER BY window_start_ms, event_type""",
     "q32_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events),
+         g AS (SELECT user_id, event_id, ms,
+             CASE WHEN lag(ms) OVER w IS NULL
+                    OR ms - lag(ms) OVER w > 1800000
+                  THEN 1 ELSE 0 END AS ns
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+         s AS (SELECT user_id, ms, CAST(SUM(ns) OVER
+             (PARTITION BY user_id ORDER BY ms, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+           FROM g)
+         SELECT user_id, session_idx, COUNT(*) AS n_events,
+                MIN(ms) AS session_start_ms, MAX(ms) AS session_end_ms
+         FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""",
+    "q33_cosine_neardup" ->
+      s"""WITH $quantCte,
+         w AS (SELECT h, i, CAST(strpos('0123456789abcdef',
+               substr(md5(CAST(h AS VARCHAR) || ',' ||
+                 CAST(i - 1 AS VARCHAR)), 1, 1)) - 1 AS DOUBLE) - 7.5 AS w
+           FROM (SELECT unnest(range(1, 5)) AS h),
+                (SELECT unnest(range(1, 65)) AS i)),
+         proj AS (SELECT q.vec_id, w.h, SUM(w.w * CAST(q.x AS DOUBLE)) AS p
+           FROM q JOIN w ON q.i = w.i GROUP BY 1, 2),
+         bkt AS (SELECT vec_id, CAST(SUM(CASE WHEN p > 0
+               THEN 1 << (4 - h) ELSE 0 END) AS BIGINT) AS bucket
+           FROM proj GROUP BY 1),
+         d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ba.bucket AS bucket, SUM(a.x * b.x) AS dot
+           FROM q a JOIN bkt ba ON a.vec_id = ba.vec_id
+                JOIN bkt bb ON ba.bucket = bb.bucket
+                JOIN q b ON b.vec_id = bb.vec_id AND a.i = b.i
+           WHERE a.vec_id < b.vec_id
+           GROUP BY 1, 2, 3),
+         sm AS (SELECT id_a, id_b, bucket,
+             CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
+               * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
+           FROM d JOIN nrm na ON d.id_a = na.vec_id
+                  JOIN nrm nb ON d.id_b = nb.vec_id)
+         SELECT id_a, id_b, sim, bucket FROM sm
+         WHERE sim >= 0.3 ORDER BY id_a, id_b""",
+    "q34_salted_join" ->
+      """WITH d AS (SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS user_total
+           FROM events GROUP BY 1)
+         SELECT e.user_id, COUNT(*) AS n_events, MIN(d.user_total) AS user_total
+         FROM events e JOIN d USING (user_id)
+         GROUP BY 1 ORDER BY e.user_id""",
+    "q35_stream_sessionize" ->
       """WITH e AS (SELECT user_id, event_id,
              epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events),
          g AS (SELECT user_id, event_id, ms,

@@ -1,8 +1,12 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.expressions.LongDot
 
 /** Similarity search over an embedding column (SURVEY §7.2.8):
   * brute-force cosine top-k as the exact baseline, and a random-
@@ -16,46 +20,47 @@ import org.apache.spark.sql.functions._
   * a 4096-dim dot product stays < 2^39, far from overflow.
   *
   * Scale posture:
+  *  - The inner dot product is [[graft.expressions.LongDot]], a custom
+  *    codegen'd expression — it runs once per candidate *pair*, the
+  *    hottest loop in the engine, where higher-order functions (which
+  *    evaluate interpreted and allocate a zip array per row) measurably
+  *    bottleneck (SURVEY §7.3).
   *  - Brute force is O(n·q): fine when the query set is bounded (it is
   *    broadcast, so the big side never shuffles); it is the correctness
   *    baseline and the re-ranker.
-  *  - Hyperplane LSH assigns each vector a small bucket id scan-locally
-  *    (the planes are derived from md5, not stored); search joins only
-  *    within buckets — one hash shuffle on the bucket id instead of a
-  *    cartesian product. More planes ⇒ smaller buckets ⇒ higher recall
-  *    loss: the standard multi-probe / repetition tricks apply
-  *    orthogonally.
-  *  - All expressions are codegen'd built-ins; at 100 TB the natural
-  *    upgrade is a custom Catalyst Expression for the inner dot product,
-  *    which this API shape (Column-in, Column-out) admits without
-  *    changing callers.
+  *  - Hyperplane LSH assigns each vector a small bucket id scan-locally;
+  *    search joins only within buckets — one hash shuffle on the bucket
+  *    id instead of a cartesian product. The plane matrix is md5-derived
+  *    (engine-reproducible, no RNG state) and folded to constant arrays
+  *    at plan time. More planes ⇒ smaller buckets ⇒ higher recall loss;
+  *    the standard multi-probe / repetition tricks apply orthogonally.
   */
 object Similarity {
 
   /** Quantize an array<float> column to array<bigint>. */
-  def quantized(embCol: String, scale: Int = 10000): org.apache.spark.sql.Column =
+  def quantized(embCol: String, scale: Int = 10000): Column =
     expr(
       s"""transform($embCol,
          |  x -> cast(floor(cast(x as double) * ${scale}.0d + 0.5d) as bigint))"""
         .stripMargin)
 
-  /** Exact squared norm of a quantized vector (integer arithmetic). */
-  def sqNorm(qvCol: String): org.apache.spark.sql.Column =
-    expr(s"aggregate($qvCol, cast(0 as bigint), (a, x) -> a + x * x)")
+  /** Exact integer dot product (codegen'd custom expression). */
+  def dot(a: Column, b: Column): Column = LongDot.dot(a, b)
 
   /** Cosine similarity between two quantized vectors given their squared
-    * norms: one integer dot product, one double division.
+    * norms: one integer dot product, one double division. The formula
+    * shape (dot / (√na·√nb)) must match the oracle SQL exactly for
+    * bit-identical doubles.
     */
-  def cosineExpr(qa: String, qb: String, na: String, nb: String): String =
-    s"""cast(aggregate(zip_with($qa, $qb, (x, y) -> x * y),
-       |       cast(0 as bigint), (a, v) -> a + v) as double)
-       | / (sqrt(cast($na as double)) * sqrt(cast($nb as double)))"""
-      .stripMargin
+  def cosine(qa: Column, qb: Column, na: Column, nb: Column): Column =
+    dot(qa, qb).cast("double") /
+      (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
 
   /** Attach quantized vector + squared norm columns. */
   def prepare(df: DataFrame, embCol: String, qv: String = "qv",
       qn: String = "qn"): DataFrame =
-    df.withColumn(qv, quantized(embCol)).withColumn(qn, sqNorm(qv))
+    df.withColumn(qv, quantized(embCol))
+      .withColumn(qn, dot(col(qv), col(qv)))
 
   /** Brute-force cosine top-k: for every query vector, the k nearest
     * base vectors (self excluded), ties broken by neighbor id. The query
@@ -73,42 +78,45 @@ object Similarity {
     b.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("id_b"))
       .withColumn("sim",
-        expr(cosineExpr("__qva", "__qvb", "__qna", "__qnb")))
+        cosine(col("__qva"), col("__qvb"), col("__qna"), col("__qnb")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id_b").as("neighbor_id"),
         col("sim"))
   }
 
-  /** Random-hyperplane LSH bucket id (0 .. 2^planes − 1), scan-local.
-    * Plane h's d-th component is nibble(md5(h ',' d)) − 7.5 — an md5-
-    * derived pseudo-random value reproducible in any engine; projections
-    * are sums of exact half-integers, so the sign (the bucket bit) is
-    * deterministic.
+  /** Plane h's integer weight vector: 2·nibble(md5("h,d")) − 15 per
+    * dimension d — the ×2-scaled form of the oracle's (nibble − 7.5)
+    * half-integer weights, sign-identical projections in pure int64.
+    * Computed driver-side once (it is a constant), folded into the plan
+    * as an array literal.
     */
-  def hyperplaneBucket(qvCol: String, planes: Int = 4): org.apache.spark.sql.Column =
-    expr(
-      s"""aggregate(transform(sequence(1, $planes),
-         |  h -> case when aggregate(
-         |    zip_with(
-         |      transform(sequence(0, size($qvCol) - 1),
-         |        d -> cast(conv(substring(md5(concat(cast(h as string), ',',
-         |               cast(d as string))), 1, 1), 16, 10) as double)
-         |             - 7.5d),
-         |      $qvCol,
-         |      (w, x) -> w * cast(x as double)),
-         |    cast(0 as double), (a, v) -> a + v) > 0d
-         |  then shiftleft(1, $planes - h) else 0 end),
-         |  0, (a, b) -> a + b)""".stripMargin)
+  private[graft] def planeWeights(h: Int, dims: Int): Seq[Long] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until dims).map { d =>
+      val first = md.digest(s"$h,$d".getBytes("UTF-8"))(0)
+      2L * ((first >> 4) & 0xf) - 15L
+    }
+  }
+
+  /** Random-hyperplane LSH bucket id (0 .. 2^planes − 1), scan-local:
+    * bit h = sign of the projection onto plane h, via one codegen'd
+    * integer dot against a constant weight array per plane.
+    */
+  def hyperplaneBucket(qvCol: String, planes: Int, dims: Int): Column =
+    (1 to planes).map { h =>
+      when(dot(typedLit(planeWeights(h, dims)), col(qvCol)) > 0,
+        lit(1 << (planes - h))).otherwise(lit(0))
+    }.reduce(_ + _)
 
   /** LSH-bucketed ANN: top-k neighbors per vector *within its bucket* —
     * the one-shuffle approximate path. Returns (query_id, rank,
     * neighbor_id, sim, bucket).
     */
   def lshTopK(prepared: DataFrame, idCol: String, k: Int,
-      planes: Int = 4): DataFrame = {
+      planes: Int = 4, dims: Int = 64): DataFrame = {
     val withB = prepared.withColumn("bucket",
-      hyperplaneBucket("qv", planes).cast("long"))
+      hyperplaneBucket("qv", planes, dims).cast("long"))
     val a = withB.select(col(idCol).as("query_id"), col("qv").as("__qva"),
       col("qn").as("__qna"), col("bucket"))
     val b = withB.select(col(idCol).as("id_b"), col("qv").as("__qvb"),
@@ -118,7 +126,7 @@ object Similarity {
     a.join(b, Seq("bucket"))
       .filter(col("query_id") =!= col("id_b"))
       .withColumn("sim",
-        expr(cosineExpr("__qva", "__qvb", "__qna", "__qnb")))
+        cosine(col("__qva"), col("__qvb"), col("__qna"), col("__qnb")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id_b").as("neighbor_id"),
@@ -130,9 +138,9 @@ object Similarity {
     * variant of [[lshTopK]] — same single-shuffle shape.
     */
   def cosineNearDupPairs(prepared: DataFrame, idCol: String,
-      threshold: Double, planes: Int = 4): DataFrame = {
+      threshold: Double, planes: Int = 4, dims: Int = 64): DataFrame = {
     val withB = prepared.withColumn("bucket",
-      hyperplaneBucket("qv", planes).cast("long"))
+      hyperplaneBucket("qv", planes, dims).cast("long"))
     val a = withB.select(col(idCol).as("id_a"), col("qv").as("__qva"),
       col("qn").as("__qna"), col("bucket"))
     val b = withB.select(col(idCol).as("id_b"), col("qv").as("__qvb"),
@@ -140,7 +148,7 @@ object Similarity {
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim",
-        expr(cosineExpr("__qva", "__qvb", "__qna", "__qnb")))
+        cosine(col("__qva"), col("__qvb"), col("__qna"), col("__qnb")))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim", "bucket")
   }

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the properties that make these queries
+  * survive a 100×–1000× scale-up are plan shapes, not results — filters
+  * reaching the parquet scan, small dims broadcast, aggregates partial
+  * (map-side), the custom dot-product expression actually planned.
+  * These lock them in against regression.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def sparkPlan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan.toString
+
+  test("q01: equality filter is pushed into the parquet scan") {
+    val p = sparkPlan("q01_filter_project")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("EqualTo(event_type,click)"))
+  }
+
+  test("q01: column pruning reaches the scan (no props/ts in ReadSchema)") {
+    val p = sparkPlan("q01_filter_project")
+    val readSchema = p.linesIterator.mkString
+      .split("ReadSchema:").last
+    assert(!readSchema.contains("props"))
+    assert(readSchema.contains("event_id"))
+  }
+
+  test("q08: dimension joins broadcast; no shuffle on the build sides") {
+    val p = sparkPlan("q08_join_multihop")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q12: grouped aggregation is partial (map-side combine)") {
+    val p = sparkPlan("q12_agg_groupby")
+    assert(p.contains("partial_sum") || p.contains("partial_count"))
+  }
+
+  test("q25: minhash signature aggregation is partial (map-side min)") {
+    val p = sparkPlan("q25_minhash_lsh")
+    assert(p.contains("partial_min"))
+  }
+
+  test("q28: custom codegen dot product is in the plan") {
+    val p = sparkPlan("q28_cosine_topk")
+    assert(p.contains("long_dot"))
+  }
+
+  test("q29: LSH bucket planes are folded to literals (no md5 at runtime)") {
+    val p = sparkPlan("q29_cosine_lsh")
+    assert(!p.contains("md5"))
+  }
+}

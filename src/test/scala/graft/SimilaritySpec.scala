@@ -38,14 +38,14 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("hyperplane bucket is deterministic and clusters near-dups") {
     val p = Similarity.prepare(vecs, "embedding")
-      .withColumn("bucket", Similarity.hyperplaneBucket("qv", 4))
+      .withColumn("bucket", Similarity.hyperplaneBucket("qv", 4, 3))
     val buckets = p.select("vec_id", "bucket")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(buckets(0L) === buckets(1L)) // near-identical vectors co-bucket
     assert(buckets.values.forall(b => b >= 0 && b < 16))
     // rerun must give identical buckets (md5-derived planes, no RNG)
     val again = Similarity.prepare(vecs, "embedding")
-      .withColumn("bucket", Similarity.hyperplaneBucket("qv", 4))
+      .withColumn("bucket", Similarity.hyperplaneBucket("qv", 4, 3))
       .select("vec_id", "bucket")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(again === buckets)
@@ -53,7 +53,7 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("cosineNearDupPairs finds the near-copy above threshold") {
     val p = Similarity.prepare(vecs, "embedding")
-    val pairs = Similarity.cosineNearDupPairs(p, "vec_id", 0.99)
+    val pairs = Similarity.cosineNearDupPairs(p, "vec_id", 0.99, 4, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.contains((0L, 1L)))
   }
