@@ -24,9 +24,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * identical to the HOF form on every input this engine produces
   * (|q|≤~10⁴ ⇒ 4096-dim dot < 2^39).
   *
-  * Nulls: null if either array is null; null *elements* are treated as
-  * 0 (quantized vectors never contain null elements). Lengths must
-  * match — enforced by construction (same embedding column family).
+  * Null semantics match the HOF form exactly (so
+  * [[graft.plans.RewriteHofDotProduct]] is a pure strength-reduction):
+  * null if either array is null, if lengths differ (zip_with pads with
+  * nulls, poisoning the sum), or if any element is null. Quantized
+  * vectors never hit those cases.
   */
 case class LongDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -42,16 +44,18 @@ case class LongDot(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) {
-        acc += x.getLong(i) * y.getLong(i)
-      }
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getLong(i) * y.getLong(i)
       i += 1
     }
     acc
@@ -63,14 +67,22 @@ case class LongDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |      break;
+         |    }
          |    $acc += $x.getLong($i) * $y.getLong($i);
          |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
