@@ -150,10 +150,18 @@ object TrainQueries {
     * candidates on 5k docs vs ~4k with 8-row bands).
     */
   private def qMinHashLsh(s: SparkSession, dir: String): DataFrame = {
+    // The shingle table fans out to three consumers (signatures + both
+    // jaccard sides) and the signature table to two (band self-join);
+    // localCheckpoint materializes each once instead of recomputing the
+    // scan→shingle→hash pipeline per consumer (SURVEY §4 "caching at
+    // fan-out points" — the reference's known miss). Both tables are
+    // tiny relative to the input (ids + shingle sets / 32 longs).
     val docs = t(s, dir, "documents")
       .withColumn("shingles", TextFns.shingles("text", 5))
       .select("doc_id", "shingles")
+      .localCheckpoint()
     val sigs = NearDup.minHashSigs(docs, "doc_id", "shingles", 32, "sig")
+      .localCheckpoint()
     val cand = NearDup.candidatePairs(
       NearDup.bandRows(sigs, "doc_id", "sig", 4, 8), "doc_id")
     NearDup.jaccard(cand, docs, "doc_id", "shingles")

@@ -62,4 +62,18 @@ class SparkifySpec extends AnyFunSuite {
     // time table keeps the raw ts column alongside start_time (parity)
     assert(time.columns.contains("ts"))
   }
+
+  test("PERMISSIVE song reads null out malformed records instead of failing") {
+    val dir = Files.createTempDirectory("graft_permissive").toFile.getAbsolutePath
+    Files.write(java.nio.file.Paths.get(s"$dir/songs.json"),
+      (songJson :+ """{"song_id": "SOBROKEN000000001", "duration": "not-a-number"}"""
+        :+ """this is not json at all""")
+        .mkString("\n").getBytes("UTF-8"))
+    val df = Sparkify.readSongs(spark, s"$dir/songs.json")
+    // all 4 lines become rows (reference `etl.py:61` mode='PERMISSIVE');
+    // malformed fields/records are null, the job does not fail
+    assert(df.count() === 4)
+    assert(df.filter(col("song_id") === "SOBROKEN000000001").count() === 1)
+    assert(df.filter(col("song_id").isNull).count() === 1)
+  }
 }
