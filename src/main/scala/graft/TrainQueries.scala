@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFns
+import graft.functions.{QuantizedCentroid, TextFns}
 import graft.ops.{Multimodal, NearDup, Salting, Sessionize, Similarity}
 import graft.streaming.{EventStream, StatefulSessions}
 
@@ -237,6 +237,101 @@ object TrainQueries {
     StatefulSessions.sessionSummaries(s, s"$dir/events.parquet",
       30L * 60 * 1000)
 
+  /** Per-label cell state via the typed Aggregator ([[QuantizedCentroid]],
+    * SURVEY §7.3): exact integer sums + count per group, emitted one row
+    * per (label, dim) so the compare stays scalar-typed.
+    */
+  private def cellStates(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Similarity.prepare(t(s, dir, "embeddings"), "embedding")
+      .select(col("label").cast("long"), col("qv"))
+      .as[(Long, Seq[Long])]
+      .groupByKey(_._1)
+      .agg(new QuantizedCentroid(64).toColumn.name("c"))
+  }
+
+  /** IVF build step: exact per-label centroids from the Aggregator. */
+  private def qEmbedCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    cellStates(s, dir)
+      .flatMap { case (label, st) =>
+        st.sums.toSeq.zipWithIndex.map { case (sm, d) =>
+          (label, d.toLong, sm, st.n)
+        }
+      }
+      .toDF("label", "dim", "sum_q", "n")
+      .withColumn("centroid",
+        col("sum_q").cast("double") / (col("n") * lit(10000.0d)))
+      .orderBy("label", "dim")
+  }
+
+  /** IVF-style two-level ANN: assign each query to its nearest cell by
+    * cosine against the cell's integer *sum* vector (same direction as
+    * the centroid, exact arithmetic), then exact top-3 within the cell.
+    * The cell table is tiny and broadcast; the base side joins only on
+    * its own cell — probe cost n/cells instead of n.
+    */
+  private def qIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
+    val cells = cellStates(s, dir)
+      .map { case (label, st) => (label, st.sums.toSeq) }
+      .toDF("cell_label", "cell_sums")
+      .withColumn("cell_norm",
+        Similarity.dot(col("cell_sums"), col("cell_sums")))
+    val queries = base.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("qv").as("__qva"),
+        col("qn").as("__qna"))
+    val wCoarse = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("coarse_sim").desc, col("cell_label").asc)
+    val assigned = queries.crossJoin(broadcast(cells))
+      .withColumn("coarse_sim", Similarity.cosine(col("__qva"),
+        col("cell_sums"), col("__qna"), col("cell_norm")))
+      .withColumn("__rn",
+        org.apache.spark.sql.functions.row_number().over(wCoarse))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("__qva"), col("__qna"), col("cell_label"))
+    val b = base.select(col("vec_id").as("neighbor_id"),
+      col("label").cast("long").as("cell_label"), col("qv").as("__qvb"),
+      col("qn").as("__qnb"))
+    val wFine = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    assigned.join(b, Seq("cell_label"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", Similarity.cosine(col("__qva"), col("__qvb"),
+        col("__qna"), col("__qnb")))
+      .withColumn("rank",
+        org.apache.spark.sql.functions.row_number().over(wFine).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("query_id", "rank", "neighbor_id", "sim", "cell_label")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Rollup with grouping-id: revenue subtotals per (region, nation),
+    * per region, and grand total — the grouping-sets surface, through
+    * the SQL path (GROUP BY ROLLUP over temp views).
+    */
+  private def qRollup(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "orders", "customer", "nation", "region")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(s"v38_$n"))
+    s.sql("""
+      SELECT COALESCE(r_name, 'ALL') AS region,
+             COALESCE(n_name, 'ALL') AS nation,
+             CAST(grouping_id(r_name, n_name) AS BIGINT) AS gid,
+             COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS revenue
+      FROM v38_lineitem JOIN v38_orders ON l_orderkey = o_orderkey
+      JOIN v38_customer ON o_custkey = c_custkey
+      JOIN v38_nation ON c_nationkey = n_nationkey
+      JOIN v38_region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY gid, region, nation""")
+  }
+
   // ---------------------------------------------------------------------
   // Multimodal, streaming, sessionization
   // ---------------------------------------------------------------------
@@ -286,7 +381,10 @@ object TrainQueries {
     "q32_sessionize" -> (qSessionize _),
     "q33_cosine_neardup" -> (qCosineNearDup _),
     "q34_salted_join" -> (qSaltedJoin _),
-    "q35_stream_sessionize" -> (qStreamSessionize _))
+    "q35_stream_sessionize" -> (qStreamSessionize _),
+    "q36_embed_centroids" -> (qEmbedCentroids _),
+    "q37_ivf_topk" -> (qIvfTopK _),
+    "q38_rollup" -> (qRollup _))
 
   def oracleSql: Map[String, String] = Map(
     "q21_text_stats" ->
@@ -447,6 +545,73 @@ object TrainQueries {
          SELECT user_id, session_idx, COUNT(*) AS n_events,
                 MIN(ms) AS session_start_ms, MAX(ms) AS session_end_ms
          FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""",
+    "q36_embed_centroids" ->
+      """WITH q AS (SELECT e.vec_id, e.label, i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0 + 0.5)
+                  AS BIGINT) AS x
+           FROM embeddings e, (SELECT unnest(range(1, 65)) AS i))
+         SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
+                CAST(SUM(x) AS BIGINT) AS sum_q, COUNT(*) AS n,
+                CAST(SUM(x) AS DOUBLE) / (COUNT(*) * 10000.0) AS centroid
+         FROM q GROUP BY 1, 2 ORDER BY label, dim""",
+    "q37_ivf_topk" ->
+      """WITH q AS (SELECT e.vec_id, e.label, i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0 + 0.5)
+                  AS BIGINT) AS x
+           FROM embeddings e, (SELECT unnest(range(1, 65)) AS i)),
+         nrm AS (SELECT vec_id, SUM(x * x) AS nn FROM q GROUP BY 1),
+         cells AS (SELECT CAST(label AS BIGINT) AS cell_label, i,
+             CAST(SUM(x) AS BIGINT) AS s
+           FROM q GROUP BY 1, 2),
+         cellnorm AS (SELECT cell_label, SUM(s * s) AS cn
+           FROM cells GROUP BY 1),
+         coarse AS (SELECT a.vec_id AS query_id, c.cell_label,
+             SUM(a.x * c.s) AS dot
+           FROM q a JOIN cells c ON a.i = c.i
+           WHERE a.vec_id < 50 GROUP BY 1, 2),
+         csim AS (SELECT query_id, coarse.cell_label,
+             CAST(dot AS DOUBLE) / (sqrt(CAST(n1.nn AS DOUBLE))
+               * sqrt(CAST(cn.cn AS DOUBLE))) AS coarse_sim
+           FROM coarse JOIN nrm n1 ON coarse.query_id = n1.vec_id
+                JOIN cellnorm cn ON coarse.cell_label = cn.cell_label),
+         best AS (SELECT query_id, cell_label FROM
+             (SELECT query_id, cell_label, row_number() OVER
+               (PARTITION BY query_id
+                ORDER BY coarse_sim DESC, cell_label ASC) AS rn
+              FROM csim) WHERE rn = 1),
+         fine AS (SELECT b.query_id, e.vec_id AS neighbor_id,
+             b.cell_label, SUM(a.x * bb.x) AS dot
+           FROM best b JOIN embeddings e
+             ON CAST(e.label AS BIGINT) = b.cell_label
+           JOIN q a ON a.vec_id = b.query_id
+           JOIN q bb ON bb.vec_id = e.vec_id AND bb.i = a.i
+           WHERE e.vec_id <> b.query_id GROUP BY 1, 2, 3),
+         fsim AS (SELECT query_id, neighbor_id, cell_label,
+             CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
+               * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
+           FROM fine JOIN nrm na ON fine.query_id = na.vec_id
+                JOIN nrm nb ON fine.neighbor_id = nb.vec_id),
+         rk AS (SELECT query_id, neighbor_id, cell_label, sim,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, neighbor_id ASC) AS rank
+           FROM fsim)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim,
+                cell_label
+         FROM rk WHERE rank <= 3 ORDER BY query_id, rank""",
+    "q38_rollup" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region,
+                COALESCE(n_name, 'ALL') AS nation,
+                CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+                COUNT(*) AS n_items,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                  AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY gid, region, nation""",
     "q33_cosine_neardup" ->
       s"""WITH $quantCte,
          w AS (SELECT h, i, CAST(strpos('0123456789abcdef',
