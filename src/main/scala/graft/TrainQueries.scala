@@ -344,6 +344,17 @@ object TrainQueries {
       .orderBy("doc_id")
   }
 
+  /** Frame sampling over binary payloads: each document expands to
+    * ceil(n_bytes/64) frame rows with per-frame checksums — the video
+    * decode/frame-extract pipeline shape with a stub codec.
+    */
+  private def qFrameSample(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    Multimodal.sampleFrames(Multimodal.asMedia(t(s, dir, "documents")), 64)
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Structured Streaming: watermarked tumbling-window counts, run to
     * completion (append mode ⇒ only watermark-closed windows emit).
     */
@@ -384,7 +395,8 @@ object TrainQueries {
     "q35_stream_sessionize" -> (qStreamSessionize _),
     "q36_embed_centroids" -> (qEmbedCentroids _),
     "q37_ivf_topk" -> (qIvfTopK _),
-    "q38_rollup" -> (qRollup _))
+    "q38_rollup" -> (qRollup _),
+    "q39_frame_sample" -> (qFrameSample _))
 
   def oracleSql: Map[String, String] = Map(
     "q21_text_stats" ->
@@ -612,6 +624,17 @@ object TrainQueries {
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name)
          ORDER BY gid, region, nation""",
+    "q39_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT)))
+               AS frame_idx
+           FROM documents)
+         SELECT doc_id, frame_idx,
+                CAST(length(substr(text, CAST(frame_idx * 64 + 1 AS BIGINT),
+                  64)) AS BIGINT) AS frame_len,
+                md5(substr(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64))
+                  AS frame_checksum
+         FROM f ORDER BY doc_id, frame_idx""",
     "q33_cosine_neardup" ->
       s"""WITH $quantCte,
          w AS (SELECT h, i, CAST(strpos('0123456789abcdef',

@@ -70,4 +70,34 @@ object Multimodal {
       it.map(decodeStub(_, md))
     }
   }
+
+  /** A sampled "frame" of a media payload: fixed-size byte window +
+    * its checksum. The video-frame-extraction shape: one record expands
+    * to O(payload/frameSize) rows.
+    */
+  case class Frame(doc_id: Long, frame_idx: Long, frame_len: Long,
+      frame_checksum: String)
+
+  /** Frame sampling (stub: byte windows stand in for decoded frames) —
+    * the 1→N expansion stays scan-local (flatMap inside mapPartitions,
+    * no shuffle), and only fixed-size frame features flow downstream,
+    * never the full payload.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], frameSize: Int)(implicit spark: SparkSession): Dataset[Frame] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.flatMap { r =>
+        val n = (r.payload.length + frameSize - 1) / frameSize
+        (0 until n).iterator.map { f =>
+          val from = f * frameSize
+          val frame = r.payload.slice(from,
+            math.min(from + frameSize, r.payload.length))
+          md.reset()
+          Frame(r.doc_id, f.toLong, frame.length.toLong,
+            hex(md.digest(frame)))
+        }
+      }
+    }
+  }
 }

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFns
+import graft.ops.{Dedup, NearDup}
+
+/** Property tests (SURVEY §5.3): invariants on generated inputs, not
+  * fixtures. ScalaCheck generators are driven directly (fixed seed per
+  * test — reproducible) with 20 cases each.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val text = Gen.nonEmptyListOf(word).map(_.mkString(" "))
+  private val rows = Gen.nonEmptyListOf(
+    Gen.zip(Gen.choose(1L, 5L), Gen.choose(1L, 100L), text))
+
+  private def cases[A](g: Gen[A], n: Int = 20)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i))
+        .foreach(body)
+    }
+
+  test("dedup is idempotent and keeps exactly one row per key") {
+    cases(rows, 10) { rs =>
+      import spark.implicits._
+      val df = rs.toDF("k", "ord", "text")
+      val once = Dedup.firstBy(df, Seq("k"),
+        Seq(col("ord").asc, col("text").asc))
+      val twice = Dedup.firstBy(once, Seq("k"),
+        Seq(col("ord").asc, col("text").asc))
+      assert(once.collect().toSet === twice.collect().toSet)
+      assert(once.select("k").distinct().count() === once.count())
+    }
+  }
+
+  test("jaccard is 1 for identical docs and within [0,1] for any pair") {
+    cases(Gen.zip(text, text), 10) { case (t1, t2) =>
+      import spark.implicits._
+      val docs = Seq((1L, t1), (2L, t2), (3L, t1)).toDF("doc_id", "text")
+        .withColumn("shingles", TextFns.shingles("text", 3))
+        .select("doc_id", "shingles")
+      val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+      val jac = NearDup.jaccard(pairs, docs, "doc_id", "shingles")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      assert(jac((1L, 3L)) === 1.0)
+      assert(jac((1L, 2L)) >= 0.0 && jac((1L, 2L)) <= 1.0)
+    }
+  }
+
+  test("minhash signature entries are bounded by the hash modulus") {
+    cases(text, 10) { t =>
+      import spark.implicits._
+      val docs = Seq((1L, t)).toDF("doc_id", "text")
+        .withColumn("shingles", TextFns.shingles("text", 3))
+        .select("doc_id", "shingles")
+      val sig = NearDup.minHashSigs(docs, "doc_id", "shingles", 8, "sig")
+        .head().getSeq[Long](1)
+      assert(sig.size === 8)
+      assert(sig.forall(v => v >= 0L && v < NearDup.HashP))
+    }
+  }
+
+  test("simhash is invariant under token order (bag-of-words property)") {
+    cases(Gen.nonEmptyListOf(word), 10) { ws =>
+      import spark.implicits._
+      val docs = Seq((1L, ws.mkString(" ")), (2L, ws.reverse.mkString(" ")))
+        .toDF("doc_id", "text")
+        .withColumn("toks", TextFns.tokens("text"))
+      val sigs = NearDup.withSimHash(docs, "toks", "sh")
+        .select("doc_id", "sh")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(sigs(1L) === sigs(2L))
+    }
+  }
+
+  test("calendar-field decomposition is consistent with the timestamp") {
+    cases(Gen.choose(0L, 4102444800000L), 20) { ms => // 1970..2100
+      import spark.implicits._
+      val r = graft.ops.TimeOps.withCalendarFields(
+        Seq(ms).toDF("ms")
+          .withColumn("t", graft.ops.TimeOps.fromEpochMillis(col("ms"))), "t")
+        .withColumn("recomposed",
+          unix_millis(to_timestamp(format_string("%04d-%02d-%02d",
+            col("year"), col("month"), col("day")))))
+        .head()
+      val dayStart = r.getAs[Long]("recomposed")
+      assert(ms >= dayStart && ms - dayStart < 86400000L)
+    }
+  }
+}
