@@ -12,6 +12,9 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // bucketed-table writes (q41) go to a scratch warehouse, not cwd
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
       // The corpus' events.ts is parquet TIMESTAMP(NANOS), which Spark 4
       // rejects by default; read it as a long (nanos since epoch) and let
       // Tables convert to a microsecond TimestampType.

@@ -355,6 +355,51 @@ object TrainQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** JSON sink + declared-schema JSON scan roundtrip — the reference's
+    * native format (SURVEY §2.1 S1/S2) on corpus data. The read-back
+    * uses an explicit schema: inference would be a second full pass
+    * over the input, unacceptable at scale.
+    */
+  private def qJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_" +
+      s.sparkContext.applicationId
+    val ev = t(s, dir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    ev.write.mode("overwrite").json(out)
+    s.read.schema(ev.schema).json(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .orderBy("event_type")
+  }
+
+  /** Bucketed co-located join: both sides written bucketed+sorted on the
+    * join key, so the sort-merge join needs NO exchange and NO sort —
+    * the shape that amortizes one shuffle across every future join on
+    * that key (the 100 TB answer to repeated fact⋈fact joins).
+    * PlanSpec asserts the exchange-free plan.
+    */
+  private def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val uid = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    val oT = s"graft_bkt_o_$uid"
+    val liT = s"graft_bkt_li_$uid"
+    t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(oT)
+    t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liT)
+    val bo = s.table(oT)
+    val bli = s.table(liT)
+    bli.hint("merge").join(bo, bli("l_orderkey") === bo("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+          .as("sum_qty"))
+      .orderBy("o_custkey")
+  }
+
   /** Structured Streaming: watermarked tumbling-window counts, run to
     * completion (append mode ⇒ only watermark-closed windows emit).
     */
@@ -396,7 +441,9 @@ object TrainQueries {
     "q36_embed_centroids" -> (qEmbedCentroids _),
     "q37_ivf_topk" -> (qIvfTopK _),
     "q38_rollup" -> (qRollup _),
-    "q39_frame_sample" -> (qFrameSample _))
+    "q39_frame_sample" -> (qFrameSample _),
+    "q40_json_roundtrip" -> (qJsonRoundtrip _),
+    "q41_bucketed_join" -> (qBucketedJoin _))
 
   def oracleSql: Map[String, String] = Map(
     "q21_text_stats" ->
@@ -635,6 +682,17 @@ object TrainQueries {
                 md5(substr(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64))
                   AS frame_checksum
          FROM f ORDER BY doc_id, frame_idx""",
+    "q40_json_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q41_bucketed_join" ->
+      """SELECT o_custkey, COUNT(*) AS n_items,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                  AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_custkey ORDER BY o_custkey""",
     "q33_cosine_neardup" ->
       s"""WITH $quantCte,
          w AS (SELECT h, i, CAST(strpos('0123456789abcdef',

@@ -62,4 +62,34 @@ class PlanSpec extends AnyFunSuite {
     val p = sparkPlan("q29_cosine_lsh")
     assert(!p.contains("md5"))
   }
+
+  test("bucketed+sorted tables join with no exchange and no sort") {
+    import org.apache.spark.sql.functions._
+    val uid = "planspec"
+    // the in-memory catalog forgets tables between JVMs but their
+    // managed locations persist — clear both before re-creating
+    Seq(s"graft_ps_o_$uid", s"graft_ps_li_$uid").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse/$tbl")
+      if (loc.exists()) {
+        loc.listFiles().foreach(_.delete()); loc.delete()
+      }
+    }
+    Tables(spark, dir, "orders").select("o_orderkey", "o_custkey")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable(s"graft_ps_o_$uid")
+    Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable(s"graft_ps_li_$uid")
+    val joined = spark.table(s"graft_ps_li_$uid").hint("merge")
+      .join(spark.table(s"graft_ps_o_$uid"),
+        col("l_orderkey") === col("o_orderkey"))
+    val p = joined.queryExecution.sparkPlan.toString
+    assert(p.contains("SortMergeJoin"))
+    assert(!p.contains("Exchange")) // co-located: bucket layout IS the shuffle
+    assert(!p.contains("Sort ")) // bucket files are pre-sorted on the key
+  }
 }
