@@ -12,9 +12,11 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
-      // bucketed-table writes (q41) go to a scratch warehouse, not cwd
-      .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
+      // bucketed-table writes (q41) go to a per-process scratch
+      // warehouse (concurrent-run safe), deleted at JVM exit
+      .config("spark.sql.warehouse.dir", Scratch.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse_" +
+          ProcessHandle.current().pid()))
       // The corpus' events.ts is parquet TIMESTAMP(NANOS), which Spark 4
       // rejects by default; read it as a long (nanos since epoch) and let
       // Tables convert to a microsecond TimestampType.

@@ -270,8 +270,9 @@ object SparkEntry {
     * downstream year=/month= predicate), and aggregates per partition.
     */
   private def qParquetRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip_" +
-      s.sparkContext.applicationId
+    val out = Scratch.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip_" +
+        s.sparkContext.applicationId)
     val ev = TimeOps.withCalendarFields(t(s, dir, "events"), "ts")
     ev.select("event_id", "value", "year", "month")
       .write.mode("overwrite").partitionBy("year", "month").parquet(out)

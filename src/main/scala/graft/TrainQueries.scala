@@ -361,8 +361,9 @@ object TrainQueries {
     * over the input, unacceptable at scale.
     */
   private def qJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_" +
-      s.sparkContext.applicationId
+    val out = Scratch.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_json_" +
+        s.sparkContext.applicationId)
     val ev = t(s, dir, "events")
       .select("event_id", "user_id", "event_type", "value")
     ev.write.mode("overwrite").json(out)
@@ -374,11 +375,15 @@ object TrainQueries {
       .orderBy("event_type")
   }
 
-  /** Bucketed co-located join: both sides written bucketed+sorted on the
-    * join key, so the sort-merge join needs NO exchange and NO sort —
-    * the shape that amortizes one shuffle across every future join on
-    * that key (the 100 TB answer to repeated fact⋈fact joins).
-    * PlanSpec asserts the exchange-free plan.
+  /** Bucketed co-located join: both sides written bucketed on the join
+    * key, so the sort-merge join needs NO exchange — the shape that
+    * amortizes one shuffle across every future join on that key (the
+    * 100 TB answer to repeated fact⋈fact joins). The per-bucket sort is
+    * still planned (Spark ignores bucketed sortBy output ordering by
+    * default since 3.0 — `spark.sql.legacy.bucketedTableScan
+    * .outputOrdering`); only the exchange elimination is claimed, and
+    * PlanSpec asserts it against the executed plan, with an unbucketed
+    * control join shown to shuffle.
     */
   private def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val uid = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")

@@ -34,7 +34,8 @@ object EventStream {
       delay: String = "1 hour"): DataFrame = {
     val appId = spark.sparkContext.applicationId
     val tmp = System.getProperty("java.io.tmpdir")
-    val inDir = Paths.get(s"$tmp/graft_stream_in_$appId")
+    val inDir = Paths.get(
+      graft.Scratch.register(s"$tmp/graft_stream_in_$appId"))
     Files.createDirectories(inDir)
     Files.copy(Paths.get(srcParquet), inDir.resolve("part-0.parquet"),
       StandardCopyOption.REPLACE_EXISTING)

@@ -49,7 +49,8 @@ object StatefulSessions {
     import spark.implicits._
     val appId = spark.sparkContext.applicationId
     val tmp = System.getProperty("java.io.tmpdir")
-    val inDir = Paths.get(s"$tmp/graft_sess_in_$appId")
+    val inDir = Paths.get(
+      graft.Scratch.register(s"$tmp/graft_sess_in_$appId"))
     Files.createDirectories(inDir)
     Files.copy(Paths.get(srcParquet), inDir.resolve("part-0.parquet"),
       StandardCopyOption.REPLACE_EXISTING)

@@ -20,7 +20,8 @@ class EventStreamSpec extends AnyFunSuite {
     }
     val src = rows.toDF("event_id", "event_type", "ms")
       .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
-    val dir = Files.createTempDirectory("graft_es_spec").toFile
+    val dir = new java.io.File(
+      Scratch.register(Files.createTempDirectory("graft_es_spec").toString))
     val pq = s"${dir.getAbsolutePath}/events_src"
     src.coalesce(1).write.parquet(pq)
     val file = new java.io.File(pq).listFiles()

@@ -63,18 +63,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("md5"))
   }
 
-  test("bucketed+sorted tables join with no exchange and no sort") {
+  test("bucketed tables join with no exchange; unbucketed control shuffles") {
     import org.apache.spark.sql.functions._
     val uid = "planspec"
     // the in-memory catalog forgets tables between JVMs but their
-    // managed locations persist — clear both before re-creating
+    // managed locations persist — clear both before re-creating (the
+    // warehouse path comes from the live conf, kept in sync with
+    // Sessions.scala)
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
     Seq(s"graft_ps_o_$uid", s"graft_ps_li_$uid").foreach { tbl =>
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
-      val loc = new java.io.File(
-        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse/$tbl")
-      if (loc.exists()) {
-        loc.listFiles().foreach(_.delete()); loc.delete()
-      }
+      Scratch.delete(new java.io.File(s"$warehouse/$tbl"))
     }
     Tables(spark, dir, "orders").select("o_orderkey", "o_custkey")
       .write.mode("overwrite").format("parquet")
@@ -84,12 +84,23 @@ class PlanSpec extends AnyFunSuite {
       .write.mode("overwrite").format("parquet")
       .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable(s"graft_ps_li_$uid")
-    val joined = spark.table(s"graft_ps_li_$uid").hint("merge")
+    // assertions must run on the EXECUTED plan: EnsureRequirements only
+    // inserts Exchange/Sort there (sparkPlan would pass vacuously)
+    val bucketed = spark.table(s"graft_ps_li_$uid").hint("merge")
       .join(spark.table(s"graft_ps_o_$uid"),
         col("l_orderkey") === col("o_orderkey"))
-    val p = joined.queryExecution.sparkPlan.toString
-    assert(p.contains("SortMergeJoin"))
-    assert(!p.contains("Exchange")) // co-located: bucket layout IS the shuffle
-    assert(!p.contains("Sort ")) // bucket files are pre-sorted on the key
+    bucketed.count()
+    val pb = bucketed.queryExecution.executedPlan.toString
+    assert(pb.contains("SortMergeJoin"))
+    assert(!pb.contains("Exchange")) // co-located: bucket layout IS the shuffle
+    // control: the same join on unbucketed scans MUST shuffle — proves
+    // the assertion above is not vacuous
+    val unbucketed = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity").hint("merge")
+      .join(Tables(spark, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+    unbucketed.count()
+    assert(unbucketed.queryExecution.executedPlan.toString
+      .contains("Exchange"))
   }
 }

@@ -27,7 +27,8 @@ class SparkifySpec extends AnyFunSuite {
     """{"artist": "Test Artist", "auth": "Logged In", "firstName": "Lily", "gender": "F", "itemInSession": 2, "lastName": "Koch", "length": 200.5, "level": "paid", "location": "Chicago", "method": "PUT", "page": "NextSong", "registration": 1.541048010796E12, "sessionId": 819, "song": "Test Song", "status": 200, "ts": 1542837600000, "userAgent": "ua", "userId": "15"}""")
 
   test("full pipeline: star schema, FK integrity, partition layout") {
-    val dir = Files.createTempDirectory("graft_sparkify").toFile.getAbsolutePath
+    val dir = Scratch.register(
+      Files.createTempDirectory("graft_sparkify").toFile.getAbsolutePath)
     Files.write(java.nio.file.Paths.get(s"$dir/songs.json"),
       songJson.mkString("\n").getBytes("UTF-8"))
     Files.write(java.nio.file.Paths.get(s"$dir/logs.json"),
@@ -64,7 +65,8 @@ class SparkifySpec extends AnyFunSuite {
   }
 
   test("PERMISSIVE song reads null out malformed records instead of failing") {
-    val dir = Files.createTempDirectory("graft_permissive").toFile.getAbsolutePath
+    val dir = Scratch.register(
+      Files.createTempDirectory("graft_permissive").toFile.getAbsolutePath)
     Files.write(java.nio.file.Paths.get(s"$dir/songs.json"),
       (songJson :+ """{"song_id": "SOBROKEN000000001", "duration": "not-a-number"}"""
         :+ """this is not json at all""")

@@ -32,7 +32,8 @@ class StatefulSessionsSpec extends AnyFunSuite {
       (20L, 4L, 0L), (20L, 5L, 90 * minMs))
       .toDF("user_id", "event_id", "ms")
       .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
-    val dir = java.nio.file.Files.createTempDirectory("graft_ss_spec")
+    val dir = Scratch.register(
+      java.nio.file.Files.createTempDirectory("graft_ss_spec").toString)
     events.coalesce(1).write.parquet(s"$dir/src")
     val file = new java.io.File(s"$dir/src").listFiles()
       .filter(_.getName.endsWith(".parquet")).head
