@@ -333,6 +333,116 @@ object TrainQueries {
   }
 
   // ---------------------------------------------------------------------
+  // Profiling / curation surface
+  // ---------------------------------------------------------------------
+
+  /** Pivot: per-user event-type counts as columns (explicit value list —
+    * deterministic schema, single-pass conditional aggregation).
+    */
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  /** Exact statistical moments per group: mean/variance/stddev derived
+    * from DECIMAL-exact Σx and Σx² — order-independent (unlike
+    * streaming variance algorithms, which differ per engine), one
+    * map-side-partial aggregation pass.
+    */
+  private def qStatsMoments(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(money(col("l_quantity"))).cast("double").as("s1"),
+        sum(money(col("l_quantity")) * money(col("l_quantity")))
+          .cast("double").as("s2"))
+      .select(col("l_returnflag"), col("n"),
+        (col("s1") / col("n")).as("mean"),
+        ((col("n").cast("double") * col("s2") - col("s1") * col("s1"))
+          / (col("n").cast("double") * (col("n").cast("double") - lit(1.0d))))
+          .as("var_samp"),
+        sqrt((col("n").cast("double") * col("s2") - col("s1") * col("s1"))
+          / (col("n").cast("double") * (col("n").cast("double") - lit(1.0d))))
+          .as("stddev_samp"))
+      .orderBy("l_returnflag")
+
+  private def money(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+
+  /** Fixed-width histogram of a value column — distribution profiling,
+    * scan-local binning + one partial-aggregated count shuffle.
+    */
+  private def qHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .withColumn("bin",
+        expr("cast(floor(l_extendedprice / 5000.0d) as bigint)"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("bin_lo", col("bin") * lit(5000.0d))
+      .select("bin", "bin_lo", "n_rows")
+      .orderBy("bin")
+
+  /** The flagship curation composite: quality-filter → language-filter →
+    * exact-dedup → per-source acceptance stats. Every stage is one of
+    * the §2.11 operators; the composition stays a single declarative
+    * plan (filters scan-local, one dedup shuffle, one count shuffle).
+    */
+  private def qCurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents")
+      .withColumn("toks", TextFns.tokens("text"))
+      .withColumn("quality", TextFns.qualityScore("text", "toks"))
+      .withColumn("predicted", TextFns.languageId("toks"))
+      .withColumn("fingerprint", TextFns.fingerprint("text"))
+    val kept = scored
+      .filter(col("quality") >= 0.6 && col("predicted") === "en")
+    val unique = graft.ops.Dedup.firstBy(kept, Seq("fingerprint"),
+      Seq(col("doc_id").asc))
+    scored.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(kept.groupBy("source").agg(count(lit(1)).as("n_kept")),
+        Seq("source"), "left")
+      .join(unique.groupBy("source").agg(count(lit(1)).as("n_unique")),
+        Seq("source"), "left")
+      .na.fill(0L, Seq("n_kept", "n_unique"))
+      .orderBy("source")
+  }
+
+  /** Deterministic hash-based train/val/test split (80/10/10) keyed on
+    * doc_id — the consistent-split primitive every training pipeline
+    * needs: membership is a pure function of the key, stable across
+    * runs, engines, and data arrivals (no RNG state).
+    */
+  private def qHashSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("bucket", expr(
+        """cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)
+          | as bigint) % 100""".stripMargin))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("split")
+
+  /** Exact percentiles per group (type-7 linear interpolation — the
+    * same definition in any engine; exact on integer-valued data with
+    * quarter-point fractions).
+    */
+  private def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, array(0.25d, 0.5d, 0.75d))")
+        .as("ps"))
+      .select(col("l_returnflag"),
+        expr("element_at(ps, 1)").as("p25"),
+        expr("element_at(ps, 2)").as("p50"),
+        expr("element_at(ps, 3)").as("p75"))
+      .orderBy("l_returnflag")
+
+  // ---------------------------------------------------------------------
   // Multimodal, streaming, sessionization
   // ---------------------------------------------------------------------
 
@@ -448,7 +558,13 @@ object TrainQueries {
     "q38_rollup" -> (qRollup _),
     "q39_frame_sample" -> (qFrameSample _),
     "q40_json_roundtrip" -> (qJsonRoundtrip _),
-    "q41_bucketed_join" -> (qBucketedJoin _))
+    "q41_bucketed_join" -> (qBucketedJoin _),
+    "q42_pivot" -> (qPivot _),
+    "q43_stats_moments" -> (qStatsMoments _),
+    "q44_histogram" -> (qHistogram _),
+    "q45_curation_pipeline" -> (qCurationPipeline _),
+    "q46_hash_split" -> (qHashSplit _),
+    "q47_percentiles" -> (qPercentiles _))
 
   def oracleSql: Map[String, String] = Map(
     "q21_text_stats" ->
@@ -698,6 +814,99 @@ object TrainQueries {
                   AS sum_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_custkey ORDER BY o_custkey""",
+    "q42_pivot" ->
+      """SELECT user_id,
+                COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+                COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+                COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+                COUNT(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q43_stats_moments" ->
+      """WITH a AS (SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+               * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s2
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n, s1 / n AS mean,
+                (CAST(n AS DOUBLE) * s2 - s1 * s1)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                  AS var_samp,
+                sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                  AS stddev_samp
+         FROM a ORDER BY l_returnflag""",
+    "q44_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin,
+                CAST(floor(l_extendedprice / 5000.0) AS BIGINT) * 5000.0
+                  AS bin_lo,
+                COUNT(*) AS n_rows
+         FROM lineitem GROUP BY 1, 2 ORDER BY bin""",
+    "q45_curation_pipeline" ->
+      """WITH d AS (SELECT doc_id, source, text,
+             string_split(text, ' ') AS toks FROM documents),
+         scored AS (SELECT doc_id, source,
+             0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (1.0 - CAST(len(list_filter(toks,
+                     w -> w IN ('the','a','of','and','is'))) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE))
+               + 0.2 * least(((CAST(length(text) AS DOUBLE)
+                     - (CAST(len(toks) AS DOUBLE) - 1.0))
+                   / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0) AS quality,
+             CASE WHEN greatest(
+                 len(list_filter(toks, w -> w IN ('der','die','das','und','ist'))),
+                 len(list_filter(toks, w -> w IN ('the','a','of','and','is'))),
+                 len(list_filter(toks, w -> w IN ('el','los','las','y','es'))),
+                 len(list_filter(toks, w -> w IN ('le','la','les','et','est'))),
+                 len(list_filter(toks, w -> w IN ('的','是','了','在','和')))) <= 0
+               THEN 'und'
+               WHEN len(list_filter(toks, w -> w IN ('der','die','das','und','ist'))) = greatest(
+                 len(list_filter(toks, w -> w IN ('der','die','das','und','ist'))),
+                 len(list_filter(toks, w -> w IN ('the','a','of','and','is'))),
+                 len(list_filter(toks, w -> w IN ('el','los','las','y','es'))),
+                 len(list_filter(toks, w -> w IN ('le','la','les','et','est'))),
+                 len(list_filter(toks, w -> w IN ('的','是','了','在','和')))) THEN 'de'
+               WHEN len(list_filter(toks, w -> w IN ('the','a','of','and','is'))) = greatest(
+                 len(list_filter(toks, w -> w IN ('der','die','das','und','ist'))),
+                 len(list_filter(toks, w -> w IN ('the','a','of','and','is'))),
+                 len(list_filter(toks, w -> w IN ('el','los','las','y','es'))),
+                 len(list_filter(toks, w -> w IN ('le','la','les','et','est'))),
+                 len(list_filter(toks, w -> w IN ('的','是','了','在','和')))) THEN 'en'
+               ELSE 'other' END AS predicted,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+               AS fingerprint
+           FROM d),
+         kept AS (SELECT * FROM scored
+           WHERE quality >= 0.6 AND predicted = 'en'),
+         uniq AS (SELECT * FROM (SELECT *, row_number() OVER
+               (PARTITION BY fingerprint ORDER BY doc_id ASC) AS rn
+             FROM kept) WHERE rn = 1)
+         SELECT s.source, COUNT(*) AS n_docs,
+                COALESCE(k.n_kept, 0) AS n_kept,
+                COALESCE(u.n_unique, 0) AS n_unique
+         FROM scored s
+         LEFT JOIN (SELECT source, COUNT(*) AS n_kept FROM kept
+                    GROUP BY 1) k ON s.source = k.source
+         LEFT JOIN (SELECT source, COUNT(*) AS n_unique FROM uniq
+                    GROUP BY 1) u ON s.source = u.source
+         GROUP BY s.source, k.n_kept, u.n_unique ORDER BY s.source""",
+    "q46_hash_split" ->
+      """WITH b AS (SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) % 100 AS bucket
+           FROM documents)
+         SELECT CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val'
+                     ELSE 'test' END AS split,
+                COUNT(*) AS n_docs, MIN(doc_id) AS min_doc,
+                MAX(doc_id) AS max_doc
+         FROM b GROUP BY 1 ORDER BY split""",
+    "q47_percentiles" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_quantity, 0.25) AS p25,
+                quantile_cont(l_quantity, 0.5) AS p50,
+                quantile_cont(l_quantity, 0.75) AS p75
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q33_cosine_neardup" ->
       s"""WITH $quantCte,
          w AS (SELECT h, i, CAST(strpos('0123456789abcdef',
