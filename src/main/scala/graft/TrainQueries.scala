@@ -116,10 +116,10 @@ object TrainQueries {
 
   /** Heuristic language-ID vs the labeled lang column. */
   private def qLangId(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("toks", TextFns.tokens("text"))
-      .select(col("doc_id"), col("lang"),
-        TextFns.languageId("toks").as("predicted"))
+    TextFns.withLanguageId(
+        t(s, dir, "documents").withColumn("toks", TextFns.tokens("text")),
+        "toks", "predicted")
+      .select("doc_id", "lang", "predicted")
       .orderBy("doc_id")
 
   /** Canonical + winnowing fingerprints per document. */
@@ -163,7 +163,7 @@ object TrainQueries {
     val sigs = NearDup.minHashSigs(docs, "doc_id", "shingles", 32, "sig")
       .localCheckpoint()
     val cand = NearDup.candidatePairs(
-      NearDup.bandRows(sigs, "doc_id", "sig", 4, 8), "doc_id")
+      NearDup.bandRows(sigs, "doc_id", "sig", 4, 8, 32), "doc_id")
     NearDup.jaccard(cand, docs, "doc_id", "shingles")
       .filter(col("jaccard") >= 0.5)
       .orderBy("id_a", "id_b")
@@ -390,10 +390,11 @@ object TrainQueries {
     * plan (filters scan-local, one dedup shuffle, one count shuffle).
     */
   private def qCurationPipeline(s: SparkSession, dir: String): DataFrame = {
-    val scored = t(s, dir, "documents")
-      .withColumn("toks", TextFns.tokens("text"))
-      .withColumn("quality", TextFns.qualityScore("text", "toks"))
-      .withColumn("predicted", TextFns.languageId("toks"))
+    val scored = TextFns.withLanguageId(
+        t(s, dir, "documents")
+          .withColumn("toks", TextFns.tokens("text"))
+          .withColumn("quality", TextFns.qualityScore("text", "toks")),
+        "toks", "predicted")
       .withColumn("fingerprint", TextFns.fingerprint("text"))
     val kept = scored
       .filter(col("quality") >= 0.6 && col("predicted") === "en")

@@ -29,8 +29,11 @@ class QuantizedCentroid(dims: Int)
 
   override def reduce(b: CentroidState, in: (Long, Seq[Long])): CentroidState = {
     val v = in._2
+    require(v.length == dims,
+      s"vector of length ${v.length} in a $dims-dim centroid aggregation" +
+        " — truncating or zero-padding would silently corrupt the sums")
     var i = 0
-    while (i < dims && i < v.length) { b.sums(i) += v(i); i += 1 }
+    while (i < dims) { b.sums(i) += v(i); i += 1 }
     CentroidState(b.n + 1, b.sums)
   }
 

@@ -43,30 +43,57 @@ object TextFns {
     "fr" -> Seq("le", "la", "les", "et", "est"),
     "zh" -> Seq("的", "是", "了", "在", "和"))
 
+  private def sqlLit(w: String): String =
+    "'" + w.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   private def inList(words: Seq[String]): String =
-    words.map(w => s"'$w'").mkString("(", ",", ")")
+    words.map(sqlLit).mkString("(", ",", ")")
 
   /** Count of tokens belonging to `words` (a profile hit count). */
   def profileHits(tokensCol: String, words: Seq[String]): Column =
     expr(s"size(filter($tokensCol, t -> t in ${inList(words)}))")
 
-  /** Heuristic language-ID: argmax of per-language stopword-profile hits,
-    * ties broken by language-code order (deterministic). At 100 TB this
-    * stays a narrow scan-local projection: O(tokens × profiles) per row,
-    * no shuffle, no state.
+  /** The per-language score vector, in [[stopwordProfiles]] order. */
+  private def scoresExpr(tokensCol: String): String =
+    stopwordProfiles
+      .map { case (_, words) =>
+        s"size(filter($tokensCol, t -> t in ${inList(words)}))"
+      }
+      .mkString("array(", ", ", ")")
+
+  /** Argmax over a precomputed score array: first max in profile order
+    * (deterministic tiebreak), 'und' when nothing scores.
     */
-  def languageId(tokensCol: String): Column = {
-    val scores = stopwordProfiles.map { case (lang, words) =>
-      lang -> s"size(filter($tokensCol, t -> t in ${inList(words)}))"
-    }
-    val best = scores.map(_._2).mkString("greatest(", ", ", ")")
-    val cases = scores
-      .map { case (lang, s) => s"when $s = __best then '$lang'" }
-      .mkString(" ")
-    expr(
-      s"""case when __best <= 0 then 'und' $cases else 'und' end"""
-        .replace("__best", best))
+  private def pickExpr(scoresCol: String): String = {
+    val langs = stopwordProfiles.map(p => sqlLit(p._1)).mkString(", ")
+    s"""case when array_max($scoresCol) <= 0 then 'und'
+       |else element_at(array($langs), cast(
+       |  array_position($scoresCol, array_max($scoresCol)) as int))
+       |end""".stripMargin
   }
+
+  /** Heuristic language-ID: argmax of per-language stopword-profile hits,
+    * ties broken by profile order (deterministic). At 100 TB this stays
+    * a narrow scan-local projection: O(tokens × profiles) per row, no
+    * shuffle, no state. Prefer [[withLanguageId]] on the hot path — it
+    * evaluates the profile filters exactly once per row, where this
+    * single-Column form re-evaluates the score array per reference
+    * (higher-order filters are interpreted; codegen CSE can't dedupe
+    * them).
+    */
+  def languageId(tokensCol: String): Column =
+    expr(pickExpr(scoresExpr(tokensCol)))
+
+  /** Efficient language-ID: materializes the score array in its own
+    * projection (referenced more than once downstream, so Catalyst's
+    * CollapseProject keeps it — each profile filter runs once per row)
+    * before the argmax pick.
+    */
+  def withLanguageId(df: org.apache.spark.sql.DataFrame, tokensCol: String,
+      out: String): org.apache.spark.sql.DataFrame =
+    df.withColumn("__lang_scores", expr(scoresExpr(tokensCol)))
+      .withColumn(out, expr(pickExpr("__lang_scores")))
+      .drop("__lang_scores")
 
   /** Length/stopword/word-shape quality score in [0,1] — the standard
     * pre-training heuristic filter family, as one deterministic double

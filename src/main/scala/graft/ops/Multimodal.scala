@@ -51,13 +51,14 @@ object Multimodal {
     * oracle can recompute it from the text column.
     */
   def decodeStub(r: MediaRecord, md: MessageDigest): MediaFeatures = {
-    val head = r.payload.take(16)
+    val payload = if (r.payload == null) Array.emptyByteArray else r.payload
+    val head = payload.take(16)
     var sum = 0L
     var i = 0
     while (i < head.length) { sum += head(i) & 0xff; i += 1 }
     md.reset()
-    MediaFeatures(r.doc_id, r.payload.length.toLong, sum,
-      hex(md.digest(r.payload)))
+    MediaFeatures(r.doc_id, payload.length.toLong, sum,
+      hex(md.digest(payload)))
   }
 
   /** Batched decode over partitions: one codec (here: one MessageDigest)
@@ -88,11 +89,12 @@ object Multimodal {
     media.mapPartitions { it =>
       val md = MessageDigest.getInstance("MD5")
       it.flatMap { r =>
-        val n = (r.payload.length + frameSize - 1) / frameSize
+        val payload = if (r.payload == null) Array.emptyByteArray else r.payload
+        val n = (payload.length + frameSize - 1) / frameSize
         (0 until n).iterator.map { f =>
           val from = f * frameSize
-          val frame = r.payload.slice(from,
-            math.min(from + frameSize, r.payload.length))
+          val frame = payload.slice(from,
+            math.min(from + frameSize, payload.length))
           md.reset()
           Frame(r.doc_id, f.toLong, frame.length.toLong,
             hex(md.digest(frame)))

@@ -88,7 +88,12 @@ object NearDup {
     * of the band's concatenated min-hashes. The LSH join key.
     */
   def bandRows(df: DataFrame, idCol: String, sigCol: String, bands: Int,
-      rowsPerBand: Int): DataFrame = {
+      rowsPerBand: Int, sigLen: Int): DataFrame = {
+    require(bands * rowsPerBand <= sigLen,
+      s"bands ($bands) × rowsPerBand ($rowsPerBand) exceeds the signature " +
+        s"length ($sigLen): out-of-range element_at would yield null, " +
+        "concat_ws would collapse those bands to md5('') and every " +
+        "document would collide there (quadratic candidate blowup)")
     val bandStructs = (0 until bands).map { b =>
       val parts = (1 to rowsPerBand)
         .map(r => s"cast(element_at($sigCol, ${b * rowsPerBand + r}) as string)")

@@ -25,7 +25,12 @@ object Salting {
     */
   def saltedEquiJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
       saltSrc: Column, factor: Int): DataFrame = {
-    val salted = probe.withColumn("__salt", pmod(saltSrc, lit(factor)).cast("int"))
+    require(factor > 0, s"salt factor must be positive, got $factor")
+    // null saltSrc maps to salt 0 (not null) — a null salt would never
+    // equi-join and silently drop the row, breaking the identical-to-
+    // unsalted contract
+    val salted = probe.withColumn("__salt",
+      pmod(coalesce(saltSrc, lit(0)), lit(factor)).cast("int"))
     val buildX = build.withColumn("__salt",
       explode(expr(s"sequence(0, ${factor - 1})")))
     salted.join(buildX, keys :+ "__salt").drop("__salt")

@@ -69,10 +69,15 @@ object Similarity {
     */
   def bruteForceTopK(base: DataFrame, queries: DataFrame, idCol: String,
       k: Int): DataFrame = {
-    val b = base.select(col(idCol).as("id_b"), col("qv").as("__qvb"),
-      col("qn").as("__qnb"))
-    val q = queries.select(col(idCol).as("query_id"), col("qv").as("__qva"),
-      col("qn").as("__qna"))
+    // zero-norm vectors have no cosine direction: a 0 divisor would
+    // yield NULL sims (engine-dependent: DuckDB gives ±inf) and the
+    // window would still rank k arbitrary "neighbors" — exclude them
+    val b = base.filter(col("qn") > 0)
+      .select(col(idCol).as("id_b"), col("qv").as("__qvb"),
+        col("qn").as("__qnb"))
+    val q = queries.filter(col("qn") > 0)
+      .select(col(idCol).as("query_id"), col("qv").as("__qva"),
+        col("qn").as("__qna"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("id_b").asc)
     b.crossJoin(broadcast(q))
@@ -102,11 +107,17 @@ object Similarity {
   /** Random-hyperplane LSH bucket id (0 .. 2^planes − 1), scan-local:
     * bit h = sign of the projection onto plane h, via one codegen'd
     * integer dot against a constant weight array per plane.
+    *
+    * A `dims` that doesn't match the vector length yields a NULL bucket
+    * (LongDot is null on length mismatch), which joins nothing — an
+    * empty, visible result rather than the silent everything-in-bucket-0
+    * cross join that treating the mismatch as "not positive" would give.
     */
   def hyperplaneBucket(qvCol: String, planes: Int, dims: Int): Column =
     (1 to planes).map { h =>
-      when(dot(typedLit(planeWeights(h, dims)), col(qvCol)) > 0,
-        lit(1 << (planes - h))).otherwise(lit(0))
+      val proj = dot(typedLit(planeWeights(h, dims)), col(qvCol))
+      when(proj > 0, lit(1 << (planes - h)))
+        .when(proj.isNotNull, lit(0)) // null proj propagates to the sum
     }.reduce(_ + _)
 
   /** LSH-bucketed ANN: top-k neighbors per vector *within its bucket* —
@@ -115,7 +126,7 @@ object Similarity {
     */
   def lshTopK(prepared: DataFrame, idCol: String, k: Int,
       planes: Int = 4, dims: Int = 64): DataFrame = {
-    val withB = prepared.withColumn("bucket",
+    val withB = prepared.filter(col("qn") > 0).withColumn("bucket",
       hyperplaneBucket("qv", planes, dims).cast("long"))
     val a = withB.select(col(idCol).as("query_id"), col("qv").as("__qva"),
       col("qn").as("__qna"), col("bucket"))
@@ -139,7 +150,7 @@ object Similarity {
     */
   def cosineNearDupPairs(prepared: DataFrame, idCol: String,
       threshold: Double, planes: Int = 4, dims: Int = 64): DataFrame = {
-    val withB = prepared.withColumn("bucket",
+    val withB = prepared.filter(col("qn") > 0).withColumn("bucket",
       hyperplaneBucket("qv", planes, dims).cast("long"))
     val a = withB.select(col(idCol).as("id_a"), col("qv").as("__qva"),
       col("qn").as("__qna"), col("bucket"))

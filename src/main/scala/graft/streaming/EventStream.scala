@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -26,31 +24,14 @@ import org.apache.spark.sql.streaming.Trigger
 object EventStream {
 
   /** Windowed counts per event_type over a parquet-file stream, run to
-    * completion with Trigger.AvailableNow. `srcParquet` is staged into a
-    * fresh stream-input directory (file sources watch directories).
+    * completion with Trigger.AvailableNow.
     */
   def windowedCounts(spark: SparkSession, srcParquet: String,
       window: String = "10 minutes",
       delay: String = "1 hour"): DataFrame = {
-    val appId = spark.sparkContext.applicationId
-    val tmp = System.getProperty("java.io.tmpdir")
-    val inDir = Paths.get(
-      graft.Scratch.register(s"$tmp/graft_stream_in_$appId"))
-    Files.createDirectories(inDir)
-    Files.copy(Paths.get(srcParquet), inDir.resolve("part-0.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
-
-    // File-source streams need an explicit schema; derive it from a batch
-    // scan of the staged file (events.ts arrives as nanos-long — see
-    // Sessions/Tables — and is normalized to a microsecond timestamp).
-    val batchSchema = spark.read.parquet(inDir.toString).schema
-    val raw = spark.readStream.schema(batchSchema).parquet(inDir.toString)
-    val events =
-      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
-
-    val qn = s"graft_stream_${appId.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val (events, tag) = Staging.stageAndRead(spark, srcParquet,
+      "graft_stream_in")
+    val qn = s"graft_stream_$tag"
     val query = events
       .withWatermark("ts", delay)
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Shared file-stream staging: copy a single parquet file into a fresh
+  * stream-input directory (file sources watch directories) and open a
+  * schema'd readStream over it, with the corpus' nanos-long `ts`
+  * normalized to a microsecond TimestampType exactly as the batch
+  * loader does (graft.Tables).
+  *
+  * The returned tag is unique per *call* (appId + counter), so repeated
+  * or concurrent streams in one session get distinct staging dirs and
+  * distinct memory-sink query names — a second stream can't clobber the
+  * data backing the first call's lazily-consumed result.
+  */
+object Staging {
+  private val counter = new AtomicLong()
+
+  def stageAndRead(spark: SparkSession, srcParquet: String,
+      prefix: String): (DataFrame, String) = {
+    val tag = spark.sparkContext.applicationId
+      .replaceAll("[^a-zA-Z0-9]", "_") + "_" + counter.incrementAndGet()
+    val tmp = System.getProperty("java.io.tmpdir")
+    val inDir = Paths.get(graft.Scratch.register(s"$tmp/${prefix}_$tag"))
+    Files.createDirectories(inDir)
+    Files.copy(Paths.get(srcParquet), inDir.resolve("part-0.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    // file-source streams need an explicit schema; derive from a batch
+    // footer read of the staged file
+    val batchSchema = spark.read.parquet(inDir.toString).schema
+    val raw = spark.readStream.schema(batchSchema).parquet(inDir.toString)
+    val events =
+      if (batchSchema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    (events, tag)
+  }
+}

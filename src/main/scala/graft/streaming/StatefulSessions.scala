@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
@@ -47,26 +45,15 @@ object StatefulSessions {
   def sessionSummaries(spark: SparkSession, srcParquet: String,
       gapMs: Long): DataFrame = {
     import spark.implicits._
-    val appId = spark.sparkContext.applicationId
-    val tmp = System.getProperty("java.io.tmpdir")
-    val inDir = Paths.get(
-      graft.Scratch.register(s"$tmp/graft_sess_in_$appId"))
-    Files.createDirectories(inDir)
-    Files.copy(Paths.get(srcParquet), inDir.resolve("part-0.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
-
-    val batchSchema = spark.read.parquet(inDir.toString).schema
-    val raw = spark.readStream.schema(batchSchema).parquet(inDir.toString)
-    val tsAsMs =
-      if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ms", expr("ts div 1000000")) // nanos → millis
-      else raw.withColumn("ms", unix_millis(col("ts")))
-    val events = tsAsMs
+    val (stream, tag) = Staging.stageAndRead(spark, srcParquet,
+      "graft_sess_in")
+    val events = stream
+      .withColumn("ms", unix_millis(col("ts")))
       .select(col("user_id").cast("long"), col("event_id").cast("long"),
         col("ms"))
       .as[Ev]
 
-    val qn = s"graft_sess_${appId.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val qn = s"graft_sess_$tag"
     val query = events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,

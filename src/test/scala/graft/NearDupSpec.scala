@@ -36,7 +36,7 @@ class NearDupSpec extends AnyFunSuite {
   test("LSH bands surface the duplicate pair; jaccard confirms it") {
     val sigs = NearDup.minHashSigs(withShingles, "doc_id", "shingles", 16, "sig")
     val cand = NearDup.candidatePairs(
-      NearDup.bandRows(sigs, "doc_id", "sig", 4, 4), "doc_id")
+      NearDup.bandRows(sigs, "doc_id", "sig", 4, 4, 16), "doc_id")
     val jac = NearDup.jaccard(cand, withShingles, "doc_id", "shingles")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(jac.contains((1L, 2L)))
