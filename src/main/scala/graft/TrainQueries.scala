@@ -84,10 +84,15 @@ object TrainQueries {
              CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
                / CAST(len(x.shingles) + len(y.shingles)
                    - len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-               AS jaccard
+               AS jaccard,
+             CAST(len(list_filter(
+                 list_zip(sa.sg, sb.sg), p -> p[1] = p[2])) AS DOUBLE)
+               / 32.0 AS est_jaccard
            FROM cand JOIN s x ON cand.id_a = x.doc_id
-                     JOIN s y ON cand.id_b = y.doc_id)
-         SELECT id_a, id_b, jaccard FROM jac
+                     JOIN s y ON cand.id_b = y.doc_id
+                     JOIN sig sa ON cand.id_a = sa.doc_id
+                     JOIN sig sb ON cand.id_b = sb.doc_id)
+         SELECT id_a, id_b, jaccard, est_jaccard FROM jac
          WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""
   }
 
@@ -162,10 +167,22 @@ object TrainQueries {
       .localCheckpoint()
     val sigs = NearDup.minHashSigs(docs, "doc_id", "shingles", 32, "sig")
       .localCheckpoint()
+    // cand fans out to the estimate and exact-verification paths —
+    // materialize once (hundreds of rows) instead of re-running the
+    // band self-join per consumer
     val cand = NearDup.candidatePairs(
       NearDup.bandRows(sigs, "doc_id", "sig", 4, 8, 32), "doc_id")
+      .localCheckpoint()
+    val est = cand
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("__sa")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("__sb")), "id_b")
+      .withColumn("est_jaccard",
+        expr(NearDup.estimatedJaccardExpr("__sa", "__sb", 32)))
+      .select("id_a", "id_b", "est_jaccard")
     NearDup.jaccard(cand, docs, "doc_id", "shingles")
+      .join(est, Seq("id_a", "id_b"))
       .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "jaccard", "est_jaccard")
       .orderBy("id_a", "id_b")
   }
 
@@ -443,6 +460,52 @@ object TrainQueries {
         expr("element_at(ps, 3)").as("p75"))
       .orderBy("l_returnflag")
 
+  /** Calendar-dimension generator (the ETL staple the reference builds
+    * from data, `etl.py:124–140` — here generated declaratively):
+    * one row per day of 2024 with derived fields.
+    */
+  private def qDateDim(s: SparkSession, dir: String): DataFrame =
+    s.range(1)
+      .select(explode(expr(
+        "sequence(to_date('2024-01-01'), to_date('2024-12-31'), interval 1 day)"))
+        .as("d"))
+      .select(
+        date_format(col("d"), "yyyy-MM-dd").as("date_str"),
+        year(col("d")).cast("long").as("year"),
+        quarter(col("d")).cast("long").as("quarter"),
+        month(col("d")).cast("long").as("month"),
+        dayofmonth(col("d")).cast("long").as("day"),
+        weekofyear(col("d")).cast("long").as("week"),
+        dayofweek(col("d")).cast("long").as("weekday"),
+        when(dayofweek(col("d")).isin(1, 7), 1L).otherwise(0L)
+          .as("is_weekend"))
+      .orderBy("date_str")
+
+  /** As-of join, window form: for every click, the user's most recent
+    * signup at-or-before it. The scalable as-of shape — one shuffle on
+    * the user key + a running `last(..., ignoreNulls)` — instead of a
+    * range-join explosion.
+    */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("ms").asc, col("event_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("signup_ms",
+        last(when(col("event_type") === "signup", col("ms")), ignoreNulls = true)
+          .over(w))
+      .withColumn("signup_event",
+        last(when(col("event_type") === "signup", col("event_id")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ms").as("click_ms"),
+        col("signup_ms"), col("signup_event"))
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------------------
   // Multimodal, streaming, sessionization
   // ---------------------------------------------------------------------
@@ -565,7 +628,9 @@ object TrainQueries {
     "q44_histogram" -> (qHistogram _),
     "q45_curation_pipeline" -> (qCurationPipeline _),
     "q46_hash_split" -> (qHashSplit _),
-    "q47_percentiles" -> (qPercentiles _))
+    "q47_percentiles" -> (qPercentiles _),
+    "q48_date_dim" -> (qDateDim _),
+    "q49_asof_join" -> (qAsofJoin _))
 
   def oracleSql: Map[String, String] = Map(
     "q21_text_stats" ->
@@ -908,6 +973,31 @@ object TrainQueries {
                 quantile_cont(l_quantity, 0.5) AS p50,
                 quantile_cont(l_quantity, 0.75) AS p75
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q48_date_dim" ->
+      """SELECT strftime(d, '%Y-%m-%d') AS date_str,
+                CAST(year(d) AS BIGINT) AS year,
+                CAST(quarter(d) AS BIGINT) AS quarter,
+                CAST(month(d) AS BIGINT) AS month,
+                CAST(day(d) AS BIGINT) AS day,
+                CAST(weekofyear(d) AS BIGINT) AS week,
+                CAST(dayofweek(d) + 1 AS BIGINT) AS weekday,
+                CAST(CASE WHEN dayofweek(d) IN (0, 6) THEN 1 ELSE 0 END
+                  AS BIGINT) AS is_weekend
+         FROM generate_series(DATE '2024-01-01', DATE '2024-12-31',
+                              INTERVAL 1 DAY) t(d)
+         ORDER BY date_str""",
+    "q49_asof_join" ->
+      """SELECT event_id, user_id, ms AS click_ms, signup_ms, signup_event
+         FROM (SELECT event_id, user_id, event_type, ms,
+             last_value(CASE WHEN event_type = 'signup' THEN ms END
+               IGNORE NULLS) OVER w AS signup_ms,
+             last_value(CASE WHEN event_type = 'signup' THEN event_id END
+               IGNORE NULLS) OVER w AS signup_event
+           FROM (SELECT event_id, user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events)
+           WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         WHERE event_type = 'click' ORDER BY event_id""",
     "q33_cosine_neardup" ->
       s"""WITH $quantCte,
          w AS (SELECT h, i, CAST(strpos('0123456789abcdef',

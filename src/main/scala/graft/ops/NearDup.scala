@@ -117,6 +117,17 @@ object NearDup {
       .distinct()
   }
 
+  /** MinHash estimate of Jaccard: the fraction of agreeing signature
+    * positions (an unbiased estimator). At corpus scale this is the
+    * verification workhorse — signatures are k longs regardless of
+    * document size, where exact set intersection ships whole shingle
+    * sets per candidate pair; exact Jaccard is then reserved for
+    * borderline estimates.
+    */
+  def estimatedJaccardExpr(sigA: String, sigB: String, k: Int): String =
+    s"""cast(size(filter(zip_with($sigA, $sigB, (a, b) -> a = b),
+       |  x -> x)) as double) / ${k}.0d""".stripMargin
+
   /** Exact Jaccard over distinct shingle sets for candidate pairs.
     * |A∩B| / (|A| + |B| − |A∩B|): integer set sizes, one final double
     * division — deterministic in any engine.
@@ -128,6 +139,9 @@ object NearDup {
     val b = docShingles.select(col(idCol).as("id_b"),
       col(shinglesCol).as("__sh_b"))
     pairs.join(a, "id_a").join(b, "id_b")
+      // at 100 TB-corpus scale, run estimatedJaccardExpr on the k-long
+      // signatures first and reserve this exact set intersection for
+      // borderline pairs — see estimatedJaccardExpr
       .withColumn("__inter", expr("size(array_intersect(__sh_a, __sh_b))"))
       .withColumn("jaccard", expr(
         """cast(__inter as double) /
