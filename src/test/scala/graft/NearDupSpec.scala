@@ -58,6 +58,20 @@ class NearDupSpec extends AnyFunSuite {
     assert(nn(2L)._2 === 0L)
   }
 
+  test("estimated jaccard is 1.0 for identical docs, bounded for others") {
+    import org.apache.spark.sql.functions.expr
+    val sigs = NearDup.minHashSigs(withShingles, "doc_id", "shingles", 16, "sig")
+    val a = sigs.select(col("doc_id").as("id_a"), col("sig").as("sa"))
+    val b = sigs.select(col("doc_id").as("id_b"), col("sig").as("sb"))
+    val est = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("est", expr(NearDup.estimatedJaccardExpr("sa", "sb", 16)))
+      .select("id_a", "id_b", "est")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(est((1L, 2L)) === 1.0) // identical docs, identical signatures
+    assert(est.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(est((1L, 4L)) < 0.5) // unrelated docs
+  }
+
   test("simhash block rows give 4 blocks of 8 hex chars") {
     val sigs = NearDup.withSimHash(
         docs.withColumn("toks", TextFns.tokens("text")), "toks", "simhash")

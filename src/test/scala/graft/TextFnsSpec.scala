@@ -56,4 +56,14 @@ class TextFnsSpec extends AnyFunSuite {
       .collect().map(_.getDouble(0))
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
   }
+
+  test("withLanguageId agrees with the single-Column languageId form") {
+    val base = docs.withColumn("toks", TextFns.tokens("text"))
+    val a = base.select(col("doc_id"), TextFns.languageId("toks").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = TextFns.withLanguageId(base, "toks", "p")
+      .select("doc_id", "p")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+  }
 }
