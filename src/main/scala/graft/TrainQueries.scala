@@ -630,7 +630,9 @@ object TrainQueries {
     "q46_hash_split" -> (qHashSplit _),
     "q47_percentiles" -> (qPercentiles _),
     "q48_date_dim" -> (qDateDim _),
-    "q49_asof_join" -> (qAsofJoin _))
+    "q49_asof_join" -> (qAsofJoin _),
+    "q50_stream_dedup" -> ((s: SparkSession, dir: String) =>
+      EventStream.streamDedup(s, s"$dir/events.parquet")))
 
   def oracleSql: Map[String, String] = Map(
     "q21_text_stats" ->
@@ -998,6 +1000,9 @@ object TrainQueries {
            WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          WHERE event_type = 'click' ORDER BY event_id""",
+    "q50_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
     "q33_cosine_neardup" ->
       s"""WITH $quantCte,
          w AS (SELECT h, i, CAST(strpos('0123456789abcdef',

@@ -50,4 +50,29 @@ object EventStream {
         col("event_type"), col("n_events"))
       .orderBy("window_start_ms", "event_type")
   }
+
+  /** Streaming exact dedup: distinct (user_id, event_type) pairs over
+    * the stream via stateful `dropDuplicates` — each key's first arrival
+    * passes, the rest are dropped across micro-batches. Projecting to
+    * exactly the key columns makes the result deterministic (no
+    * arbitrary carried row). State here is O(distinct keys); with event-
+    * time bounds, `dropDuplicatesWithinWatermark` caps it for unbounded
+    * key spaces.
+    */
+  def streamDedup(spark: SparkSession, srcParquet: String): DataFrame = {
+    val (events, tag) = Staging.stageAndRead(spark, srcParquet,
+      "graft_dedup_in")
+    val qn = s"graft_dedup_$tag"
+    val query = events
+      .select("user_id", "event_type")
+      .dropDuplicates("user_id", "event_type")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qn)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(qn).orderBy("user_id", "event_type")
+  }
 }
