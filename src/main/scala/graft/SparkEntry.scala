@@ -29,7 +29,7 @@ object SparkEntry {
     * is unambiguous (no rounding-mode ties), and every product/sum after
     * that is exact and summation-order-independent in both engines.
     */
-  private def money(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+  private[graft] def money(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
   private def rate(c: org.apache.spark.sql.Column) = c.cast("decimal(4,2)")
 
   /** Flagship: multi-hop star join → revenue per nation, on sf=0.001;

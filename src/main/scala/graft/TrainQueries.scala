@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{QuantizedCentroid, TextFns}
@@ -42,14 +43,18 @@ object TrainQueries {
       |  FROM nib GROUP BY 1)""".stripMargin
 
   /** Shared quantized-embedding CTEs for the DuckDB oracles (64-dim at
-    * the oracle scale factor; mirrors [[Similarity.prepare]]).
+    * the oracle scale factor; mirrors [[Similarity.prepare]]). `nrm`
+    * drops zero-norm vectors — the Spark side's `qn > 0` filters
+    * (Similarity: no cosine direction) must be mirrored or a zero
+    * vector would produce inf/NaN sims here while Spark excludes it.
     */
   private val quantCte =
     """q AS (SELECT vec_id, i,
       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0 + 0.5)
       |         AS BIGINT) AS x
       |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
-      |nrm AS (SELECT vec_id, SUM(x * x) AS nn FROM q GROUP BY 1)"""
+      |nrm AS (SELECT vec_id, SUM(x * x) AS nn FROM q GROUP BY 1
+      |        HAVING SUM(x * x) > 0)"""
       .stripMargin
 
   /** q25's oracle, generated so the min-hash family coefficients are the
@@ -111,7 +116,7 @@ object TrainQueries {
                | - (cast(size(toks) as double) - 1.0d))
                | / cast(size(toks) as double)""".stripMargin)
           .as("avg_token_len"),
-        (TextFns.profileHits("toks", TextFns.stopwordProfiles(1)._2)
+        (TextFns.profileHits("toks", TextFns.profile("en"))
           .cast("double") / expr("cast(size(toks) as double)"))
           .as("stop_ratio"),
         expr("""cast(size(regexp_extract_all(text, '[a-z]{4,}', 0))
@@ -296,31 +301,32 @@ object TrainQueries {
       .toDF("cell_label", "cell_sums")
       .withColumn("cell_norm",
         Similarity.dot(col("cell_sums"), col("cell_sums")))
-    val queries = base.filter(col("vec_id") < 50)
+    // zero-norm vectors have no cosine direction — excluded on both
+    // sides, mirrored by the oracle's HAVING on the norm CTE
+    val queries = base.filter(col("vec_id") < 50 && col("qn") > 0)
       .select(col("vec_id").as("query_id"), col("qv").as("__qva"),
         col("qn").as("__qna"))
-    val wCoarse = org.apache.spark.sql.expressions.Window
+    val wCoarse = Window
       .partitionBy("query_id")
       .orderBy(col("coarse_sim").desc, col("cell_label").asc)
     val assigned = queries.crossJoin(broadcast(cells))
       .withColumn("coarse_sim", Similarity.cosine(col("__qva"),
         col("cell_sums"), col("__qna"), col("cell_norm")))
-      .withColumn("__rn",
-        org.apache.spark.sql.functions.row_number().over(wCoarse))
+      .withColumn("__rn", row_number().over(wCoarse))
       .filter(col("__rn") === 1)
       .select(col("query_id"), col("__qva"), col("__qna"), col("cell_label"))
-    val b = base.select(col("vec_id").as("neighbor_id"),
-      col("label").cast("long").as("cell_label"), col("qv").as("__qvb"),
-      col("qn").as("__qnb"))
-    val wFine = org.apache.spark.sql.expressions.Window
+    val b = base.filter(col("qn") > 0)
+      .select(col("vec_id").as("neighbor_id"),
+        col("label").cast("long").as("cell_label"), col("qv").as("__qvb"),
+        col("qn").as("__qnb"))
+    val wFine = Window
       .partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     assigned.join(b, Seq("cell_label"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", Similarity.cosine(col("__qva"), col("__qvb"),
         col("__qna"), col("__qnb")))
-      .withColumn("rank",
-        org.apache.spark.sql.functions.row_number().over(wFine).cast("long"))
+      .withColumn("rank", row_number().over(wFine).cast("long"))
       .filter(col("rank") <= 3)
       .select("query_id", "rank", "neighbor_id", "sim", "cell_label")
       .orderBy("query_id", "rank")
@@ -386,7 +392,8 @@ object TrainQueries {
           .as("stddev_samp"))
       .orderBy("l_returnflag")
 
-  private def money(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+  /** Exact money/quantity cast — shared with [[SparkEntry.money]]. */
+  private def money(c: org.apache.spark.sql.Column) = SparkEntry.money(c)
 
   /** Fixed-width histogram of a value column — distribution profiling,
     * scan-local binning + one partial-aggregated count shuffle.
@@ -407,12 +414,17 @@ object TrainQueries {
     * plan (filters scan-local, one dedup shuffle, one count shuffle).
     */
   private def qCurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    // scored fans out to three aggregations — materialize the narrow
+    // scored projection once instead of re-running the text pipeline
+    // (tokenize + 5 profile filters + md5) per consumer
     val scored = TextFns.withLanguageId(
         t(s, dir, "documents")
           .withColumn("toks", TextFns.tokens("text"))
           .withColumn("quality", TextFns.qualityScore("text", "toks")),
         "toks", "predicted")
       .withColumn("fingerprint", TextFns.fingerprint("text"))
+      .select("doc_id", "source", "quality", "predicted", "fingerprint")
+      .localCheckpoint()
     val kept = scored
       .filter(col("quality") >= 0.6 && col("predicted") === "en")
     val unique = graft.ops.Dedup.firstBy(kept, Seq("fingerprint"),
@@ -487,11 +499,10 @@ object TrainQueries {
     * range-join explosion.
     */
   private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+    val w = Window
       .partitionBy("user_id")
       .orderBy(col("ms").asc, col("event_id").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "events")
       .withColumn("ms", unix_millis(col("ts")))
       .withColumn("signup_ms",
@@ -526,6 +537,10 @@ object TrainQueries {
     implicit val spark: SparkSession = s
     Multimodal.sampleFrames(Multimodal.asMedia(t(s, dir, "documents")), 64)
       .toDF()
+      // frame_checksum is md5 of a raw *byte* slice, which DuckDB 1.0
+      // cannot reproduce (no blob slicing) — the oracle checks the
+      // byte-exact fields; the checksum is spec-tested instead
+      .select("doc_id", "frame_idx", "frame_len", "frame_sum")
       .orderBy("doc_id", "frame_idx")
   }
 
@@ -761,12 +776,17 @@ object TrainQueries {
                 id_b AS neighbor_id, sim, bucket
          FROM rk WHERE rank <= 3 ORDER BY query_id, rank""",
     "q30_multimodal" ->
-      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
-           CAST((SELECT COALESCE(SUM(ascii(substr(text, p, 1))), 0)
-                 FROM (SELECT unnest(range(1, 17)) AS p)
-                 WHERE p <= length(text)) AS BIGINT) AS head_sum,
-           md5(text) AS checksum
-         FROM documents ORDER BY doc_id""",
+      """WITH h AS (SELECT doc_id, text, hex(encode(text)) AS hx
+           FROM documents),
+         hs AS (SELECT doc_id, CAST(COALESCE(SUM(
+               CAST('0x' || substr(hx, CAST(b * 2 + 1 AS BIGINT), 2)
+                 AS BIGINT)), 0) AS BIGINT) AS head_sum
+           FROM h, (SELECT unnest(range(0, 16)) AS b)
+           WHERE b * 2 + 1 <= length(hx) GROUP BY h.doc_id)
+         SELECT h.doc_id,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                COALESCE(hs.head_sum, 0) AS head_sum, md5(text) AS checksum
+         FROM h LEFT JOIN hs ON h.doc_id = hs.doc_id ORDER BY h.doc_id""",
     "q31_stream_window" ->
       """WITH mx AS (SELECT epoch_us(MAX(CAST(ts AS TIMESTAMP))) // 1000
                        AS max_ms FROM events),
@@ -807,7 +827,8 @@ object TrainQueries {
              CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0 + 0.5)
                   AS BIGINT) AS x
            FROM embeddings e, (SELECT unnest(range(1, 65)) AS i)),
-         nrm AS (SELECT vec_id, SUM(x * x) AS nn FROM q GROUP BY 1),
+         nrm AS (SELECT vec_id, SUM(x * x) AS nn FROM q GROUP BY 1
+                 HAVING SUM(x * x) > 0),
          cells AS (SELECT CAST(label AS BIGINT) AS cell_label, i,
              CAST(SUM(x) AS BIGINT) AS s
            FROM q GROUP BY 1, 2),
@@ -861,16 +882,21 @@ object TrainQueries {
          GROUP BY ROLLUP (r_name, n_name)
          ORDER BY gid, region, nation""",
     "q39_frame_sample" ->
-      """WITH f AS (SELECT doc_id, text,
-             unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT)))
-               AS frame_idx
-           FROM documents)
-         SELECT doc_id, frame_idx,
-                CAST(length(substr(text, CAST(frame_idx * 64 + 1 AS BIGINT),
-                  64)) AS BIGINT) AS frame_len,
-                md5(substr(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64))
-                  AS frame_checksum
-         FROM f ORDER BY doc_id, frame_idx""",
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nb
+           FROM documents),
+         f AS (SELECT doc_id, hx, nb,
+             unnest(range(0, CAST(ceil(nb / 64.0) AS BIGINT))) AS frame_idx
+           FROM h),
+         b AS (SELECT doc_id, frame_idx,
+             CAST('0x' || substr(hx,
+               CAST((frame_idx * 64 + j) * 2 + 1 AS BIGINT), 2) AS BIGINT)
+               AS byte_val
+           FROM f, (SELECT unnest(range(0, 64)) AS j)
+           WHERE frame_idx * 64 + j < nb)
+         SELECT doc_id, frame_idx, COUNT(*) AS frame_len,
+                CAST(SUM(byte_val) AS BIGINT) AS frame_sum
+         FROM b GROUP BY 1, 2 ORDER BY doc_id, frame_idx""",
     "q40_json_roundtrip" ->
       """SELECT event_type, COUNT(*) AS n_events,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)

@@ -43,6 +43,10 @@ object TextFns {
     "fr" -> Seq("le", "la", "les", "et", "est"),
     "zh" -> Seq("的", "是", "了", "在", "和"))
 
+  /** Keyed profile lookup — callers must not rely on Seq position. */
+  def profile(lang: String): Seq[String] =
+    stopwordProfiles.toMap.apply(lang)
+
   private def sqlLit(w: String): String =
     "'" + w.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
@@ -102,7 +106,7 @@ object TextFns {
   def qualityScore(textCol: String, tokensCol: String): Column = {
     val nTok = s"cast(size($tokensCol) as double)"
     val stop =
-      s"cast(size(filter($tokensCol, t -> t in ${inList(stopwordProfiles(1)._2)})) as double)"
+      s"cast(size(filter($tokensCol, t -> t in ${inList(profile("en"))})) as double)"
     val avgLen = s"(cast(length($textCol) as double) - ($nTok - 1.0d)) / $nTok"
     expr(
       s"""0.5d * least($nTok / 100.0d, 1.0d)

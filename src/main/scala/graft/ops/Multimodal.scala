@@ -72,12 +72,13 @@ object Multimodal {
     }
   }
 
-  /** A sampled "frame" of a media payload: fixed-size byte window +
-    * its checksum. The video-frame-extraction shape: one record expands
-    * to O(payload/frameSize) rows.
+  /** A sampled "frame" of a media payload: fixed-size byte window with
+    * its byte-sum (a fake "brightness", byte-exact in any engine) and
+    * checksum. The video-frame-extraction shape: one record expands to
+    * O(payload/frameSize) rows.
     */
   case class Frame(doc_id: Long, frame_idx: Long, frame_len: Long,
-      frame_checksum: String)
+      frame_sum: Long, frame_checksum: String)
 
   /** Frame sampling (stub: byte windows stand in for decoded frames) —
     * the 1→N expansion stays scan-local (flatMap inside mapPartitions,
@@ -95,8 +96,11 @@ object Multimodal {
           val from = f * frameSize
           val frame = payload.slice(from,
             math.min(from + frameSize, payload.length))
+          var s = 0L
+          var i = 0
+          while (i < frame.length) { s += frame(i) & 0xff; i += 1 }
           md.reset()
-          Frame(r.doc_id, f.toLong, frame.length.toLong,
+          Frame(r.doc_id, f.toLong, frame.length.toLong, s,
             hex(md.digest(frame)))
         }
       }

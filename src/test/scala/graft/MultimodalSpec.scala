@@ -20,6 +20,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.checksum === "5d41402abc4b2a76b9719d911017c592") // md5("hello")
   }
 
+  test("sampleFrames slices byte windows with exact sums and checksums") {
+    implicit val s = spark
+    import s.implicits._
+    val text = "ab" * 40 // 80 bytes -> frames of 64 + 16
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(Multimodal.asMedia(docs), 64)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length === 2)
+    assert(frames.map(_.frame_len).toSeq === Seq(64L, 16L))
+    val bytes = text.getBytes("UTF-8")
+    assert(frames(0).frame_sum === bytes.take(64).map(_ & 0xff).sum.toLong)
+    assert(frames(1).frame_sum === bytes.drop(64).map(_ & 0xff).sum.toLong)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = md.digest(bytes.take(64))
+      .map(b => f"${b & 0xff}%02x").mkString
+    assert(frames(0).frame_checksum === expected)
+  }
+
   test("mapPartitions plumbing preserves every record") {
     implicit val s = spark
     import s.implicits._
