@@ -166,7 +166,12 @@ object TrainQueries {
     // scan→shingle→hash pipeline per consumer (SURVEY §4 "caching at
     // fan-out points" — the reference's known miss). Both tables are
     // tiny relative to the input (ids + shingle sets / 32 longs).
+    // repartition first: the corpus arrives as one small parquet file
+    // (one scan partition), and the shingle/hash projection is the
+    // expensive part — spread it across the cluster before computing,
+    // for the cost of shuffling the raw text once
     val docs = t(s, dir, "documents")
+      .repartition(col("doc_id"))
       .withColumn("shingles", TextFns.shingles("text", 5))
       .select("doc_id", "shingles")
       .localCheckpoint()
@@ -191,21 +196,27 @@ object TrainQueries {
       .orderBy("id_a", "id_b")
   }
 
-  /** Per-document 128-bit SimHash signature. */
+  /** Per-document 128-bit SimHash signature (codegen'd grouped form —
+    * [[NearDup.simHashSigs]]; bit-identical to the row-local HOF form).
+    */
   private def qSimHash(s: SparkSession, dir: String): DataFrame =
-    NearDup.withSimHash(
+    NearDup.simHashSigs(
         t(s, dir, "documents").withColumn("toks", TextFns.tokens("text")),
-        "toks", "simhash")
-      .select("doc_id", "simhash")
+        "doc_id", "toks", "simhash")
       .orderBy("doc_id")
 
-  /** Nearest neighbor per document in SimHash Hamming space. */
+  /** Near-duplicate NN per document in SimHash Hamming space, exact
+    * within radius 7 (8 pigeonhole blocks — [[NearDup.simhashNnWithinRadius]]):
+    * candidates come from a block self-equi-join, never n² pairs. The
+    * signature table fans out to the block rows and both packed legs —
+    * materialized once (doc_id + 32 hex chars per row).
+    */
   private def qSimHashKnn(s: SparkSession, dir: String): DataFrame = {
-    val sigs = NearDup.withSimHash(
+    val sigs = NearDup.simHashSigs(
         t(s, dir, "documents").withColumn("toks", TextFns.tokens("text")),
-        "toks", "simhash")
-      .select("doc_id", "simhash")
-    NearDup.hammingNN(sigs, "doc_id", "simhash")
+        "doc_id", "toks", "simhash")
+      .localCheckpoint()
+    NearDup.simhashNnWithinRadius(sigs, "doc_id", "simhash", 8)
       .orderBy("id_a")
   }
 
@@ -716,16 +727,24 @@ object TrainQueries {
              b -> CAST('0x' || substr(simhash, b * 8 + 1, 8) AS BIGINT))
                AS chunks
            FROM sig),
-         ham AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             CAST(bit_count(xor(a.chunks[1], b.chunks[1]))
-                + bit_count(xor(a.chunks[2], b.chunks[2]))
-                + bit_count(xor(a.chunks[3], b.chunks[3]))
-                + bit_count(xor(a.chunks[4], b.chunks[4])) AS BIGINT)
+         blk AS (SELECT doc_id, b AS block_idx, substr(simhash, b * 4 + 1, 4)
+               AS block
+           FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM blk a JOIN blk b
+             ON a.block_idx = b.block_idx AND a.block = b.block
+            AND a.doc_id <> b.doc_id),
+         ham AS (SELECT id_a, id_b,
+             CAST(bit_count(xor(x.chunks[1], y.chunks[1]))
+                + bit_count(xor(x.chunks[2], y.chunks[2]))
+                + bit_count(xor(x.chunks[3], y.chunks[3]))
+                + bit_count(xor(x.chunks[4], y.chunks[4])) AS BIGINT)
                AS hamming
-           FROM ch a JOIN ch b ON a.doc_id <> b.doc_id),
+           FROM cand JOIN ch x ON cand.id_a = x.doc_id
+                     JOIN ch y ON cand.id_b = y.doc_id),
          rk AS (SELECT id_a, id_b, hamming, row_number() OVER
              (PARTITION BY id_a ORDER BY hamming ASC, id_b ASC) AS rn
-           FROM ham)
+           FROM ham WHERE hamming <= 7)
          SELECT id_a, id_b, hamming FROM rk WHERE rn = 1 ORDER BY id_a""",
     "q28_cosine_topk" ->
       s"""WITH $quantCte,

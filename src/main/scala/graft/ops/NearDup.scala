@@ -153,7 +153,10 @@ object NearDup {
   /** 128-bit SimHash over a token-array column, as 32 lowercase hex
     * chars. Standard construction: for each of the 128 bit positions of
     * md5(token), sum +1/−1 over all tokens (frequency-weighted), take the
-    * sign. One codegen'd pass per row; ties (sum == 0) resolve to 0.
+    * sign; ties (sum == 0) resolve to 0. Row-local (no shuffle, no key
+    * needed) but the HOF lambdas evaluate INTERPRETED — for corpus-scale
+    * signature tables use [[simHashSigs]], which produces identical bits
+    * through codegen'd partial aggregation.
     */
   def withSimHash(df: DataFrame, tokensCol: String, out: String): DataFrame = {
     val acc =
@@ -175,6 +178,45 @@ object NearDup {
       .drop("__acc")
   }
 
+  /** SimHash signatures for a keyed corpus — the codegen'd scale path,
+    * producing the exact same bits as [[withSimHash]] (spec-asserted).
+    * Shape mirrors [[minHashSigs]]: explode tokens → md5 each token
+    * ONCE inside whole-stage codegen → 128 per-bit partial `sum`
+    * aggregates (map-side combined, so the shuffle carries 129 ints
+    * per document) → sign test per bit (2·ones_k > n ⟺ Σ±1 > 0,
+    * ties to 0). The row-local HOF form evaluates interpreted per
+    * token×bit-position and serializes with the scan partitioning;
+    * this one is codegen'd end-to-end and parallelizes at the groupBy.
+    */
+  def simHashSigs(df: DataFrame, idCol: String, tokensCol: String,
+      out: String): DataFrame = {
+    val nibCols = (0 until 32).map { p =>
+      expr(s"cast(conv(substring(__h, ${p + 1}, 1), 16, 10) as int)")
+        .as(s"__nb$p")
+    }
+    // explode_outer: a document with no tokens still yields one (null)
+    // row, so it keeps its all-zero signature instead of vanishing
+    val exploded = df
+      .select(col(idCol), explode_outer(col(tokensCol)).as("__t"))
+      .withColumn("__h", md5(col("__t")))
+      .select(col(idCol) +: nibCols :+
+        when(col("__h").isNotNull, 1).otherwise(0).as("__tk"): _*)
+    val sums = (0 until 128).map { k =>
+      sum(expr(s"(__nb${k / 4} >> ${k % 4}) & 1")).as(s"__o$k")
+    } :+ sum(col("__tk")).as("__cnt")
+    val hexChar = (p: Int) => {
+      val nv = (0 until 4)
+        .map(b => s"(case when 2 * __o${p * 4 + b} > __cnt then ${1 << b} else 0 end)")
+        .mkString(" + ")
+      s"substring('0123456789abcdef', 1 + ($nv), 1)"
+    }
+    exploded.groupBy(col(idCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(col(idCol),
+        expr((0 until 32).map(hexChar).mkString("concat(", ", ", ")"))
+          .as(out))
+  }
+
   /** Pack a 32-hex-char SimHash into four 32-bit chunks so Hamming
     * distance is four xor+popcount ops instead of 32 string parses.
     */
@@ -184,41 +226,94 @@ object NearDup {
          |  b -> cast(conv(substring($sigCol, b * 8 + 1, 8), 16, 10)
          |            as bigint))""".stripMargin)
 
-  /** Nearest neighbor per document in SimHash Hamming space (min
-    * distance, ties to the smallest id). Exact within the given frame —
-    * at corpus scale this runs over block-LSH candidates from
-    * [[simhashBlockRows]], not all pairs. The per-query minimum is a
-    * map-side partial `min(struct(hamming, id))` aggregation, so the
-    * pair stream is reduced before any shuffle (no n²-row exchange).
+  /** Hamming distance between two 4-chunk packed signatures as four
+    * explicit xor+popcount terms — stays inside whole-stage codegen
+    * (an `aggregate`/`zip_with` HOF form would evaluate interpreted and
+    * allocate a zipped array per pair; this runs once per candidate
+    * pair, the hot loop).
+    */
+  private def hammingExpr(ca: String, cb: String): org.apache.spark.sql.Column =
+    (1 to 4).map { i =>
+      expr(s"cast(bit_count(element_at($ca, $i) ^ element_at($cb, $i)) as bigint)")
+    }.reduce(_ + _)
+
+  /** Exact nearest neighbor per document in SimHash Hamming space (min
+    * distance, ties to the smallest id), via all pairs. O(|a|·|b|):
+    * ONLY for bounded frames — a re-rank over already-restricted
+    * candidates or a small dimension side. The declared corpus-scale
+    * query path is [[simhashNnWithinRadius]], which never builds n²
+    * pairs. The per-query minimum is a map-side partial
+    * `min(struct(hamming, id))` aggregation, so even here the pair
+    * stream is reduced before any shuffle.
     */
   def hammingNN(sigs: DataFrame, idCol: String, sigCol: String): DataFrame = {
     val packed = sigs.select(col(idCol), packedChunks(sigCol).as("__ch"))
     val a = packed.select(col(idCol).as("id_a"), col("__ch").as("__ca"))
     val b = packed.select(col(idCol).as("id_b"), col("__ch").as("__cb"))
     a.crossJoin(b).filter(col("id_a") =!= col("id_b"))
-      .withColumn("hamming", expr(
-        """aggregate(zip_with(__ca, __cb,
-          |  (x, y) -> cast(bit_count(x ^ y) as bigint)),
-          |  cast(0 as bigint), (a, v) -> a + v)""".stripMargin))
+      .withColumn("hamming", hammingExpr("__ca", "__cb"))
       .groupBy("id_a")
       .agg(min(struct(col("hamming"), col("id_b"))).as("__m"))
       .select(col("id_a"), col("__m.id_b").as("id_b"),
         col("__m.hamming").as("hamming"))
   }
 
-  /** Scale path for SimHash search: split the 32-hex signature into 4
-    * blocks of 8; any pair within Hamming distance ≤ 3 of a *bit* block
-    * boundary shares at least one block exactly (pigeonhole), so a
-    * self-join on (block_idx, block) yields the candidates — the same
-    * one-shuffle shape as MinHash banding.
+  /** Scale path for SimHash search: split the 32-hex signature into
+    * `blocks` equal hex blocks; by pigeonhole, any pair within Hamming
+    * distance ≤ blocks−1 agrees on at least one whole block (blocks−1
+    * flipped bits can touch at most blocks−1 blocks), so a self-join on
+    * (block_idx, block) yields ALL such pairs — the same one-shuffle
+    * shape as MinHash banding (Manku et al., WWW'07 — the standard
+    * near-duplicate construction).
     */
-  def simhashBlockRows(sigs: DataFrame, idCol: String,
-      sigCol: String): DataFrame =
+  def simhashBlockRows(sigs: DataFrame, idCol: String, sigCol: String,
+      blocks: Int = 4): DataFrame = {
+    require(32 % blocks == 0, s"blocks ($blocks) must divide the 32 hex chars")
+    val w = 32 / blocks
     sigs.select(col(idCol), explode(expr(
-      s"""transform(sequence(0, 3),
+      s"""transform(sequence(0, ${blocks - 1}),
          |  b -> struct(b as block_idx,
-         |              substring($sigCol, b * 8 + 1, 8) as block))"""
+         |              substring($sigCol, b * $w + 1, $w) as block))"""
         .stripMargin)).as("bb"))
       .select(col(idCol), col("bb.block_idx").as("block_idx"),
         col("bb.block").as("block"))
+  }
+
+  /** Near-duplicate nearest neighbor in SimHash Hamming space, EXACT
+    * within radius blocks−1: for every document having a neighbor at
+    * Hamming ≤ blocks−1, its minimum-distance neighbor (ties to the
+    * smallest id); documents with no neighbor inside the radius are
+    * absent. Pigeonhole ([[simhashBlockRows]]) makes the block
+    * self-equi-join candidate set COMPLETE for that radius, so this is
+    * not an approximation — it is the bounded-radius search SimHash
+    * exists for. Unbounded global NN is inherently Ω(n²) when most
+    * documents have no near neighbor (their NN is just noise at
+    * distance ~d/2) and is deliberately not the declared semantics;
+    * [[hammingNN]] remains for bounded re-ranks.
+    *
+    * Plan shape: one explode + one hash shuffle on (block_idx, block),
+    * exact Hamming (codegen'd xor+popcount) only on colliding pairs,
+    * partial min-aggregate per query id. No cartesian anywhere.
+    */
+  def simhashNnWithinRadius(sigs: DataFrame, idCol: String, sigCol: String,
+      blocks: Int = 8): DataFrame = {
+    val radius = blocks - 1
+    val packed = sigs.select(col(idCol), packedChunks(sigCol).as("__ch"))
+    val blk = simhashBlockRows(sigs, idCol, sigCol, blocks)
+    val cand = blk.select(col(idCol).as("id_a"), col("block_idx"), col("block"))
+      .join(blk.select(col(idCol).as("id_b"), col("block_idx"), col("block")),
+        Seq("block_idx", "block"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(packed.select(col(idCol).as("id_a"), col("__ch").as("__ca")), "id_a")
+      .join(packed.select(col(idCol).as("id_b"), col("__ch").as("__cb")), "id_b")
+      .withColumn("hamming", hammingExpr("__ca", "__cb"))
+      .filter(col("hamming") <= radius)
+      .groupBy("id_a")
+      .agg(min(struct(col("hamming"), col("id_b"))).as("__m"))
+      .select(col("id_a"), col("__m.id_b").as("id_b"),
+        col("__m.hamming").as("hamming"))
+  }
 }

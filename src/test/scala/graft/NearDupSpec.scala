@@ -72,12 +72,51 @@ class NearDupSpec extends AnyFunSuite {
     assert(est((1L, 4L)) < 0.5) // unrelated docs
   }
 
-  test("simhash block rows give 4 blocks of 8 hex chars") {
+  test("grouped codegen simhash is bit-identical to the row-local HOF form") {
+    import spark.implicits._
+    val corpus = docs.union(Seq((5L, "")).toDF("doc_id", "text"))
+      .withColumn("toks", TextFns.tokens("text"))
+    val hof = NearDup.withSimHash(corpus, "toks", "simhash")
+      .select("doc_id", "simhash")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val grouped = NearDup.simHashSigs(corpus, "doc_id", "toks", "simhash")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(grouped === hof)
+    assert(grouped.keySet === Set(1L, 2L, 3L, 4L, 5L)) // empty doc kept
+  }
+
+  test("simhash block rows give `blocks` blocks of 32/blocks hex chars") {
     val sigs = NearDup.withSimHash(
         docs.withColumn("toks", TextFns.tokens("text")), "toks", "simhash")
-    val blocks = NearDup.simhashBlockRows(sigs, "doc_id", "simhash")
+    val four = NearDup.simhashBlockRows(sigs, "doc_id", "simhash")
       .filter(col("doc_id") === 1L).collect()
-    assert(blocks.length === 4)
-    assert(blocks.forall(_.getAs[String]("block").length === 8))
+    assert(four.length === 4)
+    assert(four.forall(_.getAs[String]("block").length === 8))
+    val eight = NearDup.simhashBlockRows(sigs, "doc_id", "simhash", 8)
+      .filter(col("doc_id") === 1L).collect()
+    assert(eight.length === 8)
+    assert(eight.forall(_.getAs[String]("block").length === 4))
+    // the blocks concatenate back to the signature
+    val sig = sigs.filter(col("doc_id") === 1L)
+      .select("simhash").collect().head.getString(0)
+    assert(eight.sortBy(_.getAs[Int]("block_idx"))
+      .map(_.getAs[String]("block")).mkString === sig)
+  }
+
+  test("radius-bounded NN agrees with brute force restricted to the radius") {
+    // pigeonhole completeness: every pair within Hamming ≤ blocks−1
+    // shares a block, so the blocked NN must EQUAL the all-pairs NN
+    // filtered to the radius — on a corpus with dups, near-dups, and
+    // unrelated docs
+    val sigs = NearDup.withSimHash(
+        docs.withColumn("toks", TextFns.tokens("text")), "toks", "simhash")
+      .select("doc_id", "simhash")
+    val blocked = NearDup.simhashNnWithinRadius(sigs, "doc_id", "simhash", 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val brute = NearDup.hammingNN(sigs, "doc_id", "simhash")
+      .filter(col("hamming") <= 7)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(blocked === brute)
+    assert(blocked(1L) === ((2L, 0L))) // exact copy found at hamming 0
   }
 }

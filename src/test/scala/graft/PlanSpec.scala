@@ -53,6 +53,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_min"))
   }
 
+  test("q27: simhash NN plan has no cartesian product (block-LSH candidates)") {
+    // executed plan (join strategies are only final there); the radius-
+    // bounded NN must get its pairs from the block self-equi-join, never
+    // an all-pairs product
+    val df = SparkEntry.queries("q27_simhash_knn")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // not vacuous: the pair source is the equi-join on (block_idx, block)
+    assert(p.contains("block_idx"))
+  }
+
   test("q28: custom codegen dot product is in the plan") {
     val p = sparkPlan("q28_cosine_topk")
     assert(p.contains("long_dot"))
