@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, TimeOps}
+import graft.ops.{Dedup, DenseId, TimeOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -96,6 +96,18 @@ object SparkEntry {
     t(s, dir, "orders")
       .withColumn("surrogate_id",
         row_number().over(Window.orderBy("o_orderkey")).cast("long"))
+      .select("o_orderkey", "surrogate_id")
+      .orderBy("o_orderkey")
+
+  /** X1 at scale: the same dense deterministic surrogate key as q06,
+    * via partition-offset arithmetic ([[DenseId.withDenseId]]) instead
+    * of a single-task global window — every partition numbers its own
+    * rows after one range exchange. Same oracle as q06.
+    */
+  private def qSurrogateScalable(s: SparkSession, dir: String): DataFrame =
+    DenseId.withDenseId(
+        t(s, dir, "orders").select("o_orderkey"),
+        "surrogate_id", col("o_orderkey").asc)
       .select("o_orderkey", "surrogate_id")
       .orderBy("o_orderkey")
 
@@ -312,6 +324,7 @@ object SparkEntry {
     "q04_dedup_first" -> (qDedupFirst _),
     "q05_time_derive" -> (qTimeDerive _),
     "q06_surrogate_key" -> (qSurrogateKey _),
+    "q06b_surrogate_scalable" -> (qSurrogateScalable _),
     "q07_join_composite" -> (qJoinComposite _),
     "q08_join_multihop" -> (qJoinMultihop _),
     "q09_join_broadcast" -> (qJoinBroadcast _),
@@ -360,6 +373,10 @@ object SparkEntry {
                 CAST(dayofweek(ts) + 1 AS BIGINT) AS weekday
          FROM events ORDER BY event_id""",
     "q06_surrogate_key" ->
+      """SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_orderkey)
+                AS BIGINT) AS surrogate_id
+         FROM orders ORDER BY o_orderkey""",
+    "q06b_surrogate_scalable" ->
       """SELECT o_orderkey, CAST(row_number() OVER (ORDER BY o_orderkey)
                 AS BIGINT) AS surrogate_id
          FROM orders ORDER BY o_orderkey""",

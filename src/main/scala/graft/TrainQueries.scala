@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{QuantizedCentroid, TextFns}
-import graft.ops.{Multimodal, NearDup, Salting, Sessionize, Similarity}
+import graft.ops.{Multimodal, NearDup, Percentiles, Salting, Sessionize, Similarity}
 import graft.streaming.{EventStream, StatefulSessions}
 
 /** Training-data-pipeline operators (SURVEY §7.2.8) as driver-contract
@@ -56,6 +56,108 @@ object TrainQueries {
       |nrm AS (SELECT vec_id, SUM(x * x) AS nn FROM q GROUP BY 1
       |        HAVING SUM(x * x) > 0)"""
       .stripMargin
+
+  /** q51's oracle: exact top-3, LSH top-3, and IVF top-3 all recomputed
+    * in SQL (the q28/q29/q37 constructions on the vec_id < 50 query
+    * set), then recall = hits / |exact| per method.
+    */
+  private val annRecallOracle =
+    s"""WITH $quantCte,
+       exd AS (SELECT a.vec_id AS query_id, b.vec_id AS id_b,
+           SUM(a.x * b.x) AS dot
+         FROM q a JOIN q b ON a.i = b.i
+         WHERE a.vec_id < 50 AND a.vec_id <> b.vec_id
+         GROUP BY 1, 2),
+       exs AS (SELECT query_id, id_b,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
+             * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
+         FROM exd JOIN nrm na ON exd.query_id = na.vec_id
+                  JOIN nrm nb ON exd.id_b = nb.vec_id),
+       ex AS (SELECT query_id, id_b AS neighbor_id FROM
+           (SELECT query_id, id_b, row_number() OVER
+             (PARTITION BY query_id ORDER BY sim DESC, id_b ASC) AS rk
+            FROM exs) WHERE rk <= 3),
+       w AS (SELECT h, i, CAST(strpos('0123456789abcdef',
+             substr(md5(CAST(h AS VARCHAR) || ',' ||
+               CAST(i - 1 AS VARCHAR)), 1, 1)) - 1 AS DOUBLE) - 7.5 AS w
+         FROM (SELECT unnest(range(1, 5)) AS h),
+              (SELECT unnest(range(1, 65)) AS i)),
+       proj AS (SELECT q.vec_id, w.h, SUM(w.w * CAST(q.x AS DOUBLE)) AS p
+         FROM q JOIN w ON q.i = w.i GROUP BY 1, 2),
+       bkt AS (SELECT vec_id, CAST(SUM(CASE WHEN p > 0
+             THEN 1 << (4 - h) ELSE 0 END) AS BIGINT) AS bucket
+         FROM proj GROUP BY 1),
+       ld AS (SELECT a.vec_id AS query_id, b.vec_id AS id_b,
+           SUM(a.x * b.x) AS dot
+         FROM q a JOIN bkt ba ON a.vec_id = ba.vec_id
+              JOIN bkt bb ON ba.bucket = bb.bucket
+              JOIN q b ON b.vec_id = bb.vec_id AND a.i = b.i
+         WHERE a.vec_id <> b.vec_id
+         GROUP BY 1, 2),
+       lsm AS (SELECT query_id, id_b,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
+             * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
+         FROM ld JOIN nrm na ON ld.query_id = na.vec_id
+                 JOIN nrm nb ON ld.id_b = nb.vec_id),
+       lsh AS (SELECT query_id, id_b AS neighbor_id FROM
+           (SELECT query_id, id_b, row_number() OVER
+             (PARTITION BY query_id ORDER BY sim DESC, id_b ASC) AS rk
+            FROM lsm) WHERE rk <= 3 AND query_id < 50),
+       cells AS (SELECT CAST(e.label AS BIGINT) AS cell_label, i,
+           CAST(SUM(x) AS BIGINT) AS s
+         FROM q JOIN embeddings e ON q.vec_id = e.vec_id GROUP BY 1, 2),
+       cellnorm AS (SELECT cell_label, SUM(s * s) AS cn
+         FROM cells GROUP BY 1),
+       coarse AS (SELECT a.vec_id AS query_id, c.cell_label,
+           SUM(a.x * c.s) AS dot
+         FROM q a JOIN cells c ON a.i = c.i
+         WHERE a.vec_id < 50 GROUP BY 1, 2),
+       csim AS (SELECT query_id, coarse.cell_label,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(n1.nn AS DOUBLE))
+             * sqrt(CAST(cn.cn AS DOUBLE))) AS coarse_sim
+         FROM coarse JOIN nrm n1 ON coarse.query_id = n1.vec_id
+              JOIN cellnorm cn ON coarse.cell_label = cn.cell_label),
+       best AS (SELECT query_id, cell_label FROM
+           (SELECT query_id, cell_label, row_number() OVER
+             (PARTITION BY query_id
+              ORDER BY coarse_sim DESC, cell_label ASC) AS rn
+            FROM csim) WHERE rn = 1),
+       fine AS (SELECT b.query_id, e.vec_id AS neighbor_id,
+           SUM(a.x * bb.x) AS dot
+         FROM best b JOIN embeddings e
+           ON CAST(e.label AS BIGINT) = b.cell_label
+         JOIN q a ON a.vec_id = b.query_id
+         JOIN q bb ON bb.vec_id = e.vec_id AND bb.i = a.i
+         WHERE e.vec_id <> b.query_id GROUP BY 1, 2),
+       fsim AS (SELECT query_id, neighbor_id,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
+             * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
+         FROM fine JOIN nrm na ON fine.query_id = na.vec_id
+              JOIN nrm nb ON fine.neighbor_id = nb.vec_id),
+       ivf AS (SELECT query_id, neighbor_id FROM
+           (SELECT query_id, neighbor_id, row_number() OVER
+             (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC)
+             AS rk
+            FROM fsim) WHERE rk <= 3),
+       sc AS (
+         SELECT 'ivf' AS method,
+             COUNT(DISTINCT ex.query_id) AS n_queries,
+             COUNT(*) AS n_exact,
+             CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hits
+         FROM ex LEFT JOIN ivf a
+           ON ex.query_id = a.query_id AND ex.neighbor_id = a.neighbor_id
+         UNION ALL
+         SELECT 'lsh' AS method,
+             COUNT(DISTINCT ex.query_id) AS n_queries,
+             COUNT(*) AS n_exact,
+             CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hits
+         FROM ex LEFT JOIN lsh a
+           ON ex.query_id = a.query_id AND ex.neighbor_id = a.neighbor_id)
+       SELECT method, n_queries, n_exact, n_hits,
+              CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+       FROM sc ORDER BY method"""
 
   /** q25's oracle, generated so the min-hash family coefficients are the
     * exact same literals the Spark side uses ([[NearDup.hashCoeffs]]).
@@ -343,6 +445,40 @@ object TrainQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** ANN recall@3: both approximate paths (hyperplane-LSH q29, IVF q37)
+    * measured against the exact brute-force baseline (q28's method) on
+    * the same query set — an ANN without a recall number is
+    * untrustworthy at any scale. One row per method with hit counts
+    * and recall = hits / |exact|, fully deterministic and
+    * oracle-checkable (the oracle recomputes all three sides).
+    */
+  private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val base = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
+    val queries = base.filter(col("vec_id") < 50)
+    // exact ground truth fans out to both method comparisons —
+    // materialize once (150 id pairs)
+    val exact = Similarity.bruteForceTopK(base, queries, "vec_id", 3)
+      .select("query_id", "neighbor_id")
+      .localCheckpoint()
+    val lsh = Similarity.lshTopK(base, "vec_id", 3, 4)
+      .filter(col("query_id") < 50)
+      .select("query_id", "neighbor_id")
+    val ivf = qIvfTopK(s, dir).select("query_id", "neighbor_id")
+    def score(method: String, approx: DataFrame): DataFrame =
+      exact
+        .join(approx.withColumn("__hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(
+          countDistinct("query_id").as("n_queries"),
+          count(lit(1)).as("n_exact"),
+          sum(coalesce(col("__hit"), lit(0))).as("n_hits"))
+        .select(lit(method).as("method"), col("n_queries"), col("n_exact"),
+          col("n_hits"),
+          (col("n_hits").cast("double") / col("n_exact").cast("double"))
+            .as("recall"))
+    score("ivf", ivf).union(score("lsh", lsh)).orderBy("method")
+  }
+
   /** Rollup with grouping-id: revenue subtotals per (region, nation),
     * per region, and grand total — the grouping-sets surface, through
     * the SQL path (GROUP BY ROLLUP over temp views).
@@ -470,17 +606,14 @@ object TrainQueries {
 
   /** Exact percentiles per group (type-7 linear interpolation — the
     * same definition in any engine; exact on integer-valued data with
-    * quarter-point fractions).
+    * quarter-point fractions). Distributed form ([[Percentiles.exact]]):
+    * rank + count in one window shuffle, probe-row lookup — never the
+    * `percentile()` aggregate, whose buffer holds every group value and
+    * OOMs on a 100 TB group.
     */
   private def qPercentiles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(expr("percentile(l_quantity, array(0.25d, 0.5d, 0.75d))")
-        .as("ps"))
-      .select(col("l_returnflag"),
-        expr("element_at(ps, 1)").as("p25"),
-        expr("element_at(ps, 2)").as("p50"),
-        expr("element_at(ps, 3)").as("p75"))
+    Percentiles.exact(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        "l_quantity", Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)))
       .orderBy("l_returnflag")
 
   /** Calendar-dimension generator (the ETL staple the reference builds
@@ -658,7 +791,8 @@ object TrainQueries {
     "q48_date_dim" -> (qDateDim _),
     "q49_asof_join" -> (qAsofJoin _),
     "q50_stream_dedup" -> ((s: SparkSession, dir: String) =>
-      EventStream.streamDedup(s, s"$dir/events.parquet")))
+      EventStream.streamDedup(s, s"$dir/events.parquet")),
+    "q51_ann_recall" -> (qAnnRecall _))
 
   def oracleSql: Map[String, String] = Map(
     "q21_text_stats" ->
@@ -1074,6 +1208,7 @@ object TrainQueries {
                   JOIN nrm nb ON d.id_b = nb.vec_id)
          SELECT id_a, id_b, sim, bucket FROM sm
          WHERE sim >= 0.3 ORDER BY id_a, id_b""",
+    "q51_ann_recall" -> annRecallOracle,
     "q34_salted_join" ->
       """WITH d AS (SELECT user_id,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS user_total

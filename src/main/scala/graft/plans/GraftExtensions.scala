@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Expression, LambdaFunction, Literal, Multiply, NamedLambdaVariable, ZipWith}
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, EvalMode, Expression, LambdaFunction, Literal, Multiply, NamedLambdaVariable, NumericEvalContext, ZipWith}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, LongType}
@@ -42,6 +42,13 @@ object GraftExtensions {
   * object churn. Users writing the portable SQL form get the fast path
   * automatically; [[LongDot]]'s null/length semantics match the HOF
   * form exactly, so this is a pure strength reduction.
+  *
+  * LEGACY arithmetic only: under ANSI mode an int64 overflow in the HOF
+  * form throws (TRY yields null), while [[LongDot]] wraps around — for
+  * arbitrary user input that is a semantics change, so ANSI/TRY
+  * Multiply/Add are deliberately left alone. (The engine's own bounded
+  * quantized vectors can't overflow, but the rule fires on any user
+  * expression and must be safe unconditionally.)
   */
 object RewriteHofDotProduct extends Rule[LogicalPlan] {
 
@@ -55,11 +62,13 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
       case ArrayAggregate(
             ZipWith(a, b,
               LambdaFunction(Multiply(m1: NamedLambdaVariable,
-                m2: NamedLambdaVariable, _),
+                m2: NamedLambdaVariable,
+                NumericEvalContext(EvalMode.LEGACY, _)),
                 Seq(p1: NamedLambdaVariable, p2: NamedLambdaVariable), _)),
             Literal(0L, LongType),
             LambdaFunction(Add(s1: NamedLambdaVariable,
-              s2: NamedLambdaVariable, _),
+              s2: NamedLambdaVariable,
+              NumericEvalContext(EvalMode.LEGACY, _)),
               Seq(q1: NamedLambdaVariable, q2: NamedLambdaVariable), _),
             LambdaFunction(f: NamedLambdaVariable,
               Seq(ff: NamedLambdaVariable), _))

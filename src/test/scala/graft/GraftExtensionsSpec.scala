@@ -8,9 +8,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
   import org.apache.spark.sql.functions._
 
   // isolated session: newSession() shares the context but has its own
-  // experimental rule list, so installing here doesn't affect TestSpark
+  // experimental rule list and conf, so installing here doesn't affect
+  // TestSpark. The rewrite only fires on LEGACY arithmetic (ANSI
+  // overflow throws where LongDot wraps), so this session runs ANSI off.
   private lazy val spark = {
     val s = TestSpark.spark.newSession()
+    s.conf.set("spark.sql.ansi.enabled", "false")
+    GraftExtensions.install(s)
+    s
+  }
+
+  // same rule installed, but ANSI arithmetic — must NOT rewrite
+  private lazy val ansiSpark = {
+    val s = TestSpark.spark.newSession()
+    s.conf.set("spark.sql.ansi.enabled", "true")
     GraftExtensions.install(s)
     s
   }
@@ -50,6 +61,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .as("d"), col("id")).orderBy("id")
     assert(!df.queryExecution.optimizedPlan.toString.contains("long_dot"))
     assert(df.head().getLong(0) === 13L)
+  }
+
+  test("ANSI-mode arithmetic is NOT rewritten (overflow semantics differ)") {
+    val df = vecsDf(ansiSpark).select(expr(hofDot).as("d"), col("id"))
+      .orderBy("id")
+    assert(!df.queryExecution.optimizedPlan.toString.contains("long_dot"))
+    assert(df.head().getLong(0) === 11L) // still computes, interpreted
   }
 
   test("uninstalled sessions are unaffected") {

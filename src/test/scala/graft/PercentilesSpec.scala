@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Percentiles
+
+class PercentilesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+
+  // deterministic pseudo-random-ish values: uneven group sizes, ties,
+  // negatives, non-quarter interpolation fractions
+  private def df = {
+    import spark.implicits._
+    (1 to 97).map { i =>
+      (s"g${i % 3}", ((i * 37) % 101 - 23).toDouble)
+    }.toDF("g", "v")
+  }
+
+  test("matches Spark's percentile() aggregate across groups") {
+    val ps = Seq(("p10", 0.10), ("p25", 0.25), ("p50", 0.50), ("p90", 0.90))
+    val got = Percentiles.exact(df, Seq("g"), "v", ps)
+      .collect().map(r => r.getString(0) ->
+        (1 to 4).map(r.getDouble).toVector).toMap
+    val want = df.groupBy("g")
+      .agg(expr("percentile(v, array(0.10d, 0.25d, 0.50d, 0.90d))").as("ps"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[Double](1).toVector).toMap
+    assert(got.keySet === want.keySet)
+    for (g <- got.keySet; i <- 0 until 4)
+      // interpolation formula shapes differ between the two
+      // implementations → compare to 1e-9, not bit-exact
+      assert(math.abs(got(g)(i) - want(g)(i)) < 1e-9,
+        s"group $g percentile ${i}: ${got(g)(i)} vs ${want(g)(i)}")
+  }
+
+  test("single-element group returns the element for every percentile") {
+    import spark.implicits._
+    val one = Seq(("a", 42.0)).toDF("g", "v")
+    val r = Percentiles.exact(one, Seq("g"), "v",
+      Seq(("p0", 0.0), ("p50", 0.5), ("p100", 1.0))).collect().head
+    assert((1 to 3).map(r.getDouble).forall(_ === 42.0))
+  }
+
+  test("p0 and p100 are group min and max") {
+    val r = Percentiles.exact(df, Seq("g"), "v",
+        Seq(("lo", 0.0), ("hi", 1.0)))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    val want = df.groupBy("g").agg(min("v"), max("v"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(r === want)
+  }
+}

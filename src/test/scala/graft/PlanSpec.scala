@@ -66,6 +66,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("block_idx"))
   }
 
+  test("q06b: scalable surrogate key plans no window (q06 control does)") {
+    // the partition-offset form numbers rows without any Window
+    // operator; the q06 parity form is the single-task window — both
+    // asserted so the q06b check is not vacuous
+    val pb = SparkEntry.queries("q06b_surrogate_scalable")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!pb.contains("Window"))
+    val p6 = sparkPlan("q06_surrogate_key")
+    assert(p6.contains("Window"))
+  }
+
+  test("q47: exact percentiles never buffer group values (no ObjectHashAggregate)") {
+    val df = SparkEntry.queries("q47_percentiles")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    // percentile()'s buffer holds every value of a group; the
+    // distributed form must rank in a window and probe, keeping O(1)
+    // state per group
+    assert(!p.contains("ObjectHashAggregate"))
+    assert(!p.toLowerCase.contains("percentile"))
+    assert(p.contains("Window")) // not vacuous: rank+count windows present
+  }
+
   test("q28: custom codegen dot product is in the plan") {
     val p = sparkPlan("q28_cosine_topk")
     assert(p.contains("long_dot"))
