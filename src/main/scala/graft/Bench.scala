@@ -1,9 +1,22 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 object Bench {
+
+  /** Median of the timed trials — single-shot numbers at sf0.1 swing
+    * 2–4× run-to-run (GC, codegen cache, shuffle-file reuse), so each
+    * query runs `SPARK_GRAFT_TRIALS` times (default 3) and the median
+    * is reported. An errored query reports -1 regardless of trials.
+    */
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt.max(1)
     val spark = Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Optional name filter (comma-separated prefixes) for profiling runs.
@@ -11,23 +24,42 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith))
     }
-    // Untimed warmup at the smallest SF: JIT + codegen + parquet-reader
-    // init otherwise lands entirely on whichever query runs first.
-    selected.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () }
+    // Untimed warmup at the smallest available SF: JIT + codegen +
+    // parquet-reader init otherwise lands entirely on the first timed
+    // trial. Derived from sfDir (sibling sf0.001) rather than hardcoded
+    // so hosts with other layouts still warm up — against sfDir itself
+    // as the fallback; failures are logged, never silent.
+    val warmupDir = sys.env.get("SPARK_GRAFT_WARMUP_DIR").getOrElse {
+      val sibling = Paths.get(sfDir).toAbsolutePath.getParent match {
+        case null => sfDir
+        case p => p.resolve("sf0.001").toString
+      }
+      if (Files.isDirectory(Paths.get(sibling))) sibling else sfDir
+    }
+    selected.foreach { case (name, fn) =>
+      try fn(spark, warmupDir).count()
+      catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] WARN warmup of $name on $warmupDir " +
+            s"failed: ${t.getClass.getSimpleName}: ${t.getMessage}")
+      }
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name $sec%.2fs")
-      name -> sec
+      val secs = (1 to trials).map { i =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name trial $i/$trials $sec%.2fs" +
+          (if (ok) "" else " FAILED"))
+        if (ok) sec else -1.0
+      }
+      name -> (if (secs.contains(-1.0)) -1.0 else median(secs))
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","trials":$trials}""")
     spark.stop()
   }
 }

@@ -120,14 +120,38 @@ object Similarity {
         .when(proj.isNotNull, lit(0)) // null proj propagates to the sum
     }.reduce(_ + _)
 
+  /** Deterministic plane count for a corpus of n vectors: enough
+    * hyperplanes that the *expected* bucket holds ≈ targetBucketSize
+    * vectors — planes = ⌈log₂(n / targetBucketSize)⌉, clamped to
+    * [1, 20]. A fixed plane count is the classic LSH scale trap: 4
+    * planes = 16 buckets means n²/16 in-bucket pairs forever; sizing
+    * planes with n keeps per-bucket pair work ≈ n·targetBucketSize —
+    * linear in n — at a recall cost that the q51 recall query makes
+    * visible. Deterministic (pure arithmetic on the count).
+    */
+  def autoPlanes(n: Long, targetBucketSize: Long = 1024L): Int = {
+    require(targetBucketSize > 0, "targetBucketSize must be positive")
+    val ratio = math.max(1.0, n.toDouble / targetBucketSize)
+    math.min(20, math.max(1, math.ceil(math.log(ratio) / math.log(2.0)).toInt))
+  }
+
   /** LSH-bucketed ANN: top-k neighbors per vector *within its bucket* —
     * the one-shuffle approximate path. Returns (query_id, rank,
     * neighbor_id, sim, bucket).
+    *
+    * `planes ≤ 0` (the default) auto-sizes from the corpus count via
+    * [[autoPlanes]] — one count-only job over the filtered base, then
+    * the plan is built with the resolved constant. Explicit `planes`
+    * pins the bucket family (the oracle-mirrored queries do this).
     */
   def lshTopK(prepared: DataFrame, idCol: String, k: Int,
-      planes: Int = 4, dims: Int = 64): DataFrame = {
-    val withB = prepared.filter(col("qn") > 0).withColumn("bucket",
-      hyperplaneBucket("qv", planes, dims).cast("long"))
+      planes: Int = 0, dims: Int = 64,
+      targetBucketSize: Long = 1024L): DataFrame = {
+    val nonZero = prepared.filter(col("qn") > 0)
+    val p = if (planes > 0) planes
+      else autoPlanes(nonZero.count(), targetBucketSize)
+    val withB = nonZero.withColumn("bucket",
+      hyperplaneBucket("qv", p, dims).cast("long"))
     val a = withB.select(col(idCol).as("query_id"), col("qv").as("__qva"),
       col("qn").as("__qna"), col("bucket"))
     val b = withB.select(col(idCol).as("id_b"), col("qv").as("__qvb"),
@@ -149,9 +173,13 @@ object Similarity {
     * variant of [[lshTopK]] — same single-shuffle shape.
     */
   def cosineNearDupPairs(prepared: DataFrame, idCol: String,
-      threshold: Double, planes: Int = 4, dims: Int = 64): DataFrame = {
-    val withB = prepared.filter(col("qn") > 0).withColumn("bucket",
-      hyperplaneBucket("qv", planes, dims).cast("long"))
+      threshold: Double, planes: Int = 0, dims: Int = 64,
+      targetBucketSize: Long = 1024L): DataFrame = {
+    val nonZero = prepared.filter(col("qn") > 0)
+    val p = if (planes > 0) planes
+      else autoPlanes(nonZero.count(), targetBucketSize)
+    val withB = nonZero.withColumn("bucket",
+      hyperplaneBucket("qv", p, dims).cast("long"))
     val a = withB.select(col(idCol).as("id_a"), col("qv").as("__qva"),
       col("qn").as("__qna"), col("bucket"))
     val b = withB.select(col(idCol).as("id_b"), col("qv").as("__qvb"),

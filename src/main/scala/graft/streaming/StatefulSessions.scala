@@ -25,6 +25,17 @@ object StatefulSessions {
 
   /** The per-group transition function: assign 1-based session indexes,
     * opening a new session when the gap exceeds `gapMs`.
+    *
+    * Cross-batch ordering: events are sorted only *within* one
+    * micro-batch — the state machine can't reorder against batches it
+    * already emitted. An arrival with `ms < lastMs` (out-of-order
+    * across batches: the source split input over multiple files /
+    * maxFilesPerTrigger) is MERGED into the user's current session and
+    * `lastMs` never rewinds, so the assignment stays deterministic and
+    * monotone: a late straggler extends the session it logically
+    * belongs near, it can never re-open or renumber a closed one.
+    * (With a single staged file — the engine's Staging default — every
+    * event is in batch one and this path never fires.)
     */
   def assign(gapMs: Long)(userId: Long, events: Iterator[Ev],
       state: GroupState[UserState]): Iterator[SessionEvent] = {
@@ -32,7 +43,8 @@ object StatefulSessions {
     var st = state.getOption.getOrElse(UserState(Long.MinValue, 0L))
     val out = sorted.map { e =>
       val isNew = st.sessionIdx == 0L || e.ms - st.lastMs > gapMs
-      st = UserState(e.ms, if (isNew) st.sessionIdx + 1 else st.sessionIdx)
+      st = UserState(math.max(e.ms, st.lastMs),
+        if (isNew) st.sessionIdx + 1 else st.sessionIdx)
       SessionEvent(userId, e.event_id, e.ms, st.sessionIdx)
     }
     state.update(st)

@@ -44,4 +44,72 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got === batch)
     assert(got.nonEmpty)
   }
+
+  test("late data inside the watermark delay lands; beyond it is dropped") {
+    import spark.implicits._
+    val min = 60L * 1000
+    def writeOne(rows: Seq[(Long, String, Long)], dir: java.io.File,
+        name: String, mtime: Long): Unit = {
+      val tmp = s"${dir.getAbsolutePath}/__stage_$name"
+      rows.toDF("event_id", "event_type", "ms")
+        .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(dir, name)
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime) // file source orders batches by mod time
+    }
+    val dir = new java.io.File(Scratch.register(
+      Files.createTempDirectory("graft_es_late").toString))
+    // batch 1: max ts 60:07 → eviction watermark for batch 2 = 50:07
+    // (delay 10 min); [0,10) and [30,40) emit there
+    writeOne(Seq(
+        (0L, "click", 5 * min + 7000),
+        (1L, "click", 35 * min + 7000),
+        (2L, "click", 55 * min + 7000),
+        (3L, "click", 60 * min + 7000)),
+      dir, "b1.parquet", 1000000L)
+    // batch 2: a late event at 55:07 — its [50,60) window hasn't been
+    // evicted (end 60:00 > wm 50:07) → must be counted — plus a new max
+    // at 120:07 pushing the final watermark to 110:07.
+    writeOne(Seq(
+        (4L, "click", 55 * min + 7000),
+        (6L, "click", 120 * min + 7000)),
+      dir, "b2.parquet", 2000000L)
+    // batch 3: an event at 35:07, far below the late-event watermark
+    // (Spark filters batch N's input with batch N−1's watermark —
+    // 110:07 here), whose [30,40) window already emitted → must be
+    // dropped, NOT re-open state and re-emit a duplicate [30,40) row.
+    writeOne(Seq(
+        (5L, "click", 35 * min + 7000)),
+      dir, "b3.parquet", 3000000L)
+
+    val schema = spark.read.parquet(dir.getAbsolutePath).schema
+    val qn = "graft_late_spec"
+    val query = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // one file per micro-batch
+      .parquet(dir.getAbsolutePath)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.outputMode("append").format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+
+    val rows = spark.table(qn)
+      .select(unix_millis(col("window.start")).as("w"), col("n_events"))
+      .collect().map(r => (r.getLong(0) / min, r.getLong(1)))
+    val got = rows.toMap
+    // [50,60): base event + the accepted in-delay late arrival
+    assert(got(50L) === 2L)
+    // [30,40): emitted exactly once with only the on-time event — the
+    // beyond-watermark arrival neither merged nor re-opened the window
+    assert(rows.count(_._1 == 30L) === 1)
+    assert(got(30L) === 1L)
+    assert(got(0L) === 1L && got(60L) === 1L)
+    // [120,130) never closes (final wm 110:07) → append emits nothing
+    assert(!got.contains(120L))
+  }
 }

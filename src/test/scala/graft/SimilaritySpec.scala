@@ -57,4 +57,46 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.contains((0L, 1L)))
   }
+
+  test("autoPlanes grows with corpus size, bounded") {
+    assert(Similarity.autoPlanes(100, 1024) === 1)  // tiny corpus: 2 buckets
+    assert(Similarity.autoPlanes(8192, 64) === 7)   // 128 buckets
+    assert(Similarity.autoPlanes(1L << 40, 1024) === 20) // clamp
+    // monotone in n, antitone in target
+    assert(Similarity.autoPlanes(1 << 20, 64) > Similarity.autoPlanes(1 << 14, 64))
+    assert(Similarity.autoPlanes(1 << 20, 64) > Similarity.autoPlanes(1 << 20, 4096))
+  }
+
+  // deterministic pseudo-random corpus: dim values derived from md5 of
+  // (id, dim), signed — the same trick the plane weights use
+  private def corpus(n: Int, dims: Int) = {
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until n).map { id =>
+      id.toLong -> Array.tabulate(dims) { d =>
+        (md.digest(s"v$id,$d".getBytes("UTF-8"))(0).toInt / 128.0f)
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("auto-sized buckets keep bucket sizes near target at two corpus sizes") {
+    for ((n, target) <- Seq((512, 64), (4096, 64))) {
+      val p = Similarity.prepare(corpus(n, 16), "embedding")
+      val planes = Similarity.autoPlanes(n, target)
+      val sizes = p.withColumn("bucket",
+          Similarity.hyperplaneBucket("qv", planes, 16))
+        .groupBy("bucket").count().collect().map(_.getLong(1))
+      val mean = sizes.sum.toDouble / (1 << planes) // over ALL 2^planes buckets
+      assert(mean <= target,
+        s"n=$n: expected mean ≤ $target, got $mean over ${sizes.length} buckets")
+      // random hyperplanes over a spread-out corpus must actually split
+      // it: no bucket hoards the corpus (8× target is far below n)
+      assert(sizes.max <= 8L * target,
+        s"n=$n: max bucket ${sizes.max} exceeds 8×target")
+      // pair work stays ~linear: Σ s² ≈ n·target, not n²
+      val pairWork = sizes.map(s => s * s).sum
+      assert(pairWork <= 16L * n * target,
+        s"n=$n: in-bucket pair work $pairWork vs bound ${16L * n * target}")
+    }
+  }
 }

@@ -64,6 +64,24 @@ class SparkifySpec extends AnyFunSuite {
     assert(time.columns.contains("ts"))
   }
 
+  test("S2 literal form: schema inference over logs matches Schemas.logEvent") {
+    // the reference infers the log schema (`etl.py:105`); the engine
+    // declares it, but the inference pass must produce the SAME types
+    // on real data or the declared schema is a guess — notably userId
+    // stays a STRING (it holds "" for anonymous events) and ts a LONG
+    val dir = Scratch.register(
+      Files.createTempDirectory("graft_infer").toFile.getAbsolutePath)
+    Files.write(java.nio.file.Paths.get(s"$dir/logs.json"),
+      logJson.mkString("\n").getBytes("UTF-8"))
+    val inferred = spark.read.json(s"$dir/logs.json").schema
+    val declared = graft.model.Schemas.logEvent
+    // compare by (name → type), nullability-insensitive: inference
+    // always yields nullable fields, and order follows file layout
+    val inferredTypes = inferred.fields.map(f => f.name -> f.dataType).toMap
+    val declaredTypes = declared.fields.map(f => f.name -> f.dataType).toMap
+    assert(inferredTypes === declaredTypes)
+  }
+
   test("PERMISSIVE song reads null out malformed records instead of failing") {
     val dir = Scratch.register(
       Files.createTempDirectory("graft_permissive").toFile.getAbsolutePath)

@@ -24,6 +24,23 @@ class StatefulSessionsSpec extends AnyFunSuite {
     assert(out2.map(_.session_idx) === Seq(2L, 2L))
   }
 
+  test("cross-batch out-of-order arrival merges into the current session, never rewinds") {
+    val state = new TestGroupState[UserState]
+    // batch 1 closes at 40min (sessions: [0,5min]=1, [40min]=2)
+    val out1 = StatefulSessions.assign(30 * minMs)(1,
+      Iterator(Ev(1, 1, 0), Ev(1, 2, 5 * minMs), Ev(1, 3, 40 * minMs)),
+      state).toSeq
+    assert(out1.map(_.session_idx) === Seq(1L, 1L, 2L))
+    // batch 2 delivers a straggler from 38min (< lastMs 40min): it joins
+    // the CURRENT session (2), does not renumber anything, and lastMs
+    // stays 40min — so a 69min arrival (gap 29min from 40min) still
+    // continues session 2 rather than measuring the gap from 38min
+    val out2 = StatefulSessions.assign(30 * minMs)(1,
+      Iterator(Ev(1, 4, 38 * minMs), Ev(1, 5, 69 * minMs)), state).toSeq
+    assert(out2.map(_.session_idx) === Seq(2L, 2L))
+    assert(state.get.lastMs === 69 * minMs)
+  }
+
   test("streaming sessionization equals the batch window form") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
