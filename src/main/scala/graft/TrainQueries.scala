@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{QuantizedCentroid, TextFns}
-import graft.ops.{Multimodal, NearDup, Percentiles, Salting, Sessionize, Similarity}
+import graft.ops.{Contamination, Multimodal, NearDup, Percentiles, Salting, Sampling, Sessionize, Similarity}
 import graft.streaming.{EventStream, StatefulSessions}
 
 /** Training-data-pipeline operators (SURVEY §7.2.8) as driver-contract
@@ -616,6 +616,52 @@ object TrainQueries {
         "l_quantity", Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)))
       .orderBy("l_returnflag")
 
+  /** PII / identifier scrubbing for training export: names keyed by
+    * md5 (joinable, irreversible-enough for a pipeline surface), digits
+    * masked in place, redaction volume counted. Scan-local projection —
+    * the [[TextFns.redactPii]] email/phone chain is the same mechanism
+    * and is spec-exercised on synthetic PII (the corpus carries none).
+    */
+  private def qPiiScrub(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"),
+        md5(col("c_name").cast("binary")).as("name_hash"),
+        TextFns.maskDigits(col("c_name")).as("masked_name"),
+        (length(col("c_name")) -
+          length(regexp_replace(col("c_name"), "[0-9]", "")))
+          .cast("long").as("n_digits"))
+      .orderBy("c_custkey")
+
+  /** Benchmark-contamination check: corpus documents sharing 4-word
+    * grams with the held-out eval slice (doc_id ≡ 0 mod 50) — the eval
+    * gram index is broadcast, the corpus never shuffles its text
+    * ([[Contamination.sharedGramCounts]]).
+    */
+  private def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Contamination.sharedGramCounts(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", 4)
+      .orderBy("corpus_id", "eval_id")
+  }
+
+  /** Deterministic stratified sampling: per-language Bernoulli rates
+    * decided by a salted md5 of doc_id ([[Sampling.stratifiedHashSample]]
+    * — en 50%, zh 25%, rest 10%), reported per stratum against totals.
+    */
+  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sampled = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
+        Map("en" -> 5000, "zh" -> 2500), 1000, "smp")
+      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+    docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+      .join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_total"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy("lang")
+  }
+
   /** Calendar-dimension generator (the ETL staple the reference builds
     * from data, `etl.py:124–140` — here generated declaratively):
     * one row per day of 2024 with derived fields.
@@ -792,7 +838,10 @@ object TrainQueries {
     "q49_asof_join" -> (qAsofJoin _),
     "q50_stream_dedup" -> ((s: SparkSession, dir: String) =>
       EventStream.streamDedup(s, s"$dir/events.parquet")),
-    "q51_ann_recall" -> (qAnnRecall _))
+    "q51_ann_recall" -> (qAnnRecall _),
+    "q52_pii_scrub" -> (qPiiScrub _),
+    "q53_contamination" -> (qContamination _),
+    "q54_stratified_sample" -> (qStratifiedSample _))
 
   def oracleSql: Map[String, String] = Map(
     "q21_text_stats" ->
@@ -1209,6 +1258,35 @@ object TrainQueries {
          SELECT id_a, id_b, sim, bucket FROM sm
          WHERE sim >= 0.3 ORDER BY id_a, id_b""",
     "q51_ann_recall" -> annRecallOracle,
+    "q52_pii_scrub" ->
+      """SELECT c_custkey, md5(c_name) AS name_hash,
+             regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
+             CAST(length(c_name) - length(regexp_replace(c_name, '[0-9]',
+               '', 'g')) AS BIGINT) AS n_digits
+         FROM customer ORDER BY c_custkey""",
+    "q53_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents),
+         g AS (SELECT doc_id, list_distinct(list_transform(
+                 range(1, greatest(len(t) - 3, 1) + 1),
+                 i -> array_to_string(t[i:i+3], ' '))) AS grams
+               FROM toks),
+         x AS (SELECT doc_id, unnest(grams) AS gram FROM g)
+         SELECT a.doc_id AS corpus_id, b.doc_id AS eval_id,
+                CAST(count(*) AS BIGINT) AS n_shared
+         FROM x a JOIN x b ON a.gram = b.gram
+         WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+         GROUP BY 1, 2 ORDER BY corpus_id, eval_id""",
+    "q54_stratified_sample" ->
+      """WITH smp AS (SELECT lang FROM documents
+             WHERE CAST('0x' || substr(md5('smp|' ||
+                 CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000
+               < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2500
+                 ELSE 1000 END),
+         tot AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY 1),
+         ns AS (SELECT lang, count(*) AS n_sampled FROM smp GROUP BY 1)
+         SELECT tot.lang, n_total, COALESCE(n_sampled, 0) AS n_sampled
+         FROM tot LEFT JOIN ns ON tot.lang = ns.lang ORDER BY tot.lang""",
     "q34_salted_join" ->
       """WITH d AS (SELECT user_id,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS user_total

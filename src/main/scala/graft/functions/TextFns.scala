@@ -131,4 +131,25 @@ object TextFns {
        |    sequence(1, greatest(length($textCol) - ${n - 1}, 1)),
        |    i -> substring($textCol, i, $n))),
        |  s -> md5(s)))""".stripMargin)
+
+  /** Digit masking for identifier-bearing fields (account ids, ticket
+    * numbers): every digit replaced, shape preserved. Scan-local,
+    * dialect-portable (plain character class, no lookaround).
+    */
+  def maskDigits(c: Column, repl: String = "#"): Column =
+    regexp_replace(c, "[0-9]", repl)
+
+  /** PII redaction for free text: emails then phone-number runs are
+    * replaced with typed placeholders. Patterns are deliberately
+    * lookaround-free so the same regex runs identically under Java
+    * (Spark) and RE2-class engines. Conservative by design — a
+    * production pipeline would chain locale-specific patterns; the
+    * mechanism (ordered scan-local regexp_replace chain, no UDF) is
+    * what carries to 100 TB.
+    */
+  def redactPii(c: Column): Column = {
+    val email = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(email, "\\+?[0-9][0-9()\\-\\s.]{6,}[0-9]", "<PHONE>")
+  }
 }

@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic stratified sampling (SURVEY §7.2.8 curation surface):
+  * per-stratum Bernoulli rates decided by a salted hash of the row key —
+  * the training-data staple for rebalancing a corpus by language /
+  * source / quality band without RNG state.
+  *
+  * Scale shape: membership is a pure scan-local function of (salt, key,
+  * stratum) — no shuffle, no sort, no sampling state, reproducible
+  * across runs and engines (md5 is the engine-portable hash; see q46's
+  * split, the same mechanism with one global rate). Changing the salt
+  * re-draws the sample; changing a stratum's rate only adds/removes rows
+  * of that stratum (hash thresholding is monotone).
+  */
+object Sampling {
+
+  /** Keep a row iff hash(salt|key) mod 10000 < ratesBp(stratum) basis
+    * points (defaultBp for unlisted strata).
+    */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
+      ratesBp: Map[String, Int], defaultBp: Int,
+      salt: String): DataFrame = {
+    require(salt.matches("[A-Za-z0-9_]+"), s"salt must be alphanumeric: $salt")
+    val bucket = expr(
+      s"""cast(conv(substring(md5(concat('$salt|',
+         |  cast($keyCol as string))), 1, 15), 16, 10) as bigint) % 10000"""
+        .stripMargin)
+    val rate = ratesBp.foldLeft(lit(defaultBp)) { case (acc, (s, bp)) =>
+      when(col(strataCol) === s, lit(bp)).otherwise(acc)
+    }
+    df.filter(bucket < rate)
+  }
+}

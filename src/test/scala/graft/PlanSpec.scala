@@ -89,6 +89,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window")) // not vacuous: rank+count windows present
   }
 
+  test("q53: eval gram index is broadcast; corpus grams never sort-merge") {
+    val df = SparkEntry.queries("q53_contamination")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q28: custom codegen dot product is in the plan") {
     val p = sparkPlan("q28_cosine_topk")
     assert(p.contains("long_dot"))

@@ -66,4 +66,27 @@ class TextFnsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(a === b)
   }
+
+  test("redactPii replaces emails and phone runs, leaves clean text alone") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "contact alice.smith+x@example.co.uk for details"),
+      (2L, "call +1 (555) 123-4567 or 030-1234567 today"),
+      (3L, "mail bob@ex.io or ring 555.867.5309 now"),
+      (4L, "the quick brown fox jumps over nothing"))
+      .toDF("id", "text")
+      .select(col("id"), TextFns.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) === "contact <EMAIL> for details")
+    assert(rows(2L) === "call <PHONE> or <PHONE> today")
+    assert(rows(3L) === "mail <EMAIL> or ring <PHONE> now")
+    assert(rows(4L) === "the quick brown fox jumps over nothing")
+  }
+
+  test("maskDigits preserves shape, masks every digit") {
+    import spark.implicits._
+    val got = Seq(("Customer#000123456", 0)).toDF("s", "x")
+      .select(TextFns.maskDigits(col("s")).as("m")).head().getString(0)
+    assert(got === "Customer##########")
+  }
 }
