@@ -310,17 +310,17 @@ object TrainQueries {
   /** Near-duplicate NN per document in SimHash Hamming space, exact
     * within radius 7 (8 pigeonhole blocks — [[NearDup.simhashNnWithinRadius]]):
     * candidates come from a block self-equi-join, never n² pairs. The
-    * signature table fans out to the block rows and both packed legs —
-    * materialized once (doc_id + 32 hex chars per row).
+    * signature table has a single consumer (blocks + packed chunks come
+    * out of one projection), so nothing is checkpointed — the pipeline
+    * runs as one job.
     */
-  private def qSimHashKnn(s: SparkSession, dir: String): DataFrame = {
-    val sigs = NearDup.simHashSigs(
+  private def qSimHashKnn(s: SparkSession, dir: String): DataFrame =
+    NearDup.simhashNnWithinRadius(
+      NearDup.simHashSigs(
         t(s, dir, "documents").withColumn("toks", TextFns.tokens("text")),
-        "doc_id", "toks", "simhash")
-      .localCheckpoint()
-    NearDup.simhashNnWithinRadius(sigs, "doc_id", "simhash", 8)
+        "doc_id", "toks", "simhash"),
+      "doc_id", "simhash", 8)
       .orderBy("id_a")
-  }
 
   // ---------------------------------------------------------------------
   // Similarity search

@@ -270,13 +270,16 @@ object NearDup {
       blocks: Int = 4): DataFrame = {
     require(32 % blocks == 0, s"blocks ($blocks) must divide the 32 hex chars")
     val w = 32 / blocks
-    sigs.select(col(idCol), explode(expr(
+    // input columns are preserved so callers can ride payloads (e.g.
+    // packed chunks) through the explode instead of re-joining them
+    sigs.select(col("*"), explode(expr(
       s"""transform(sequence(0, ${blocks - 1}),
          |  b -> struct(b as block_idx,
          |              substring($sigCol, b * $w + 1, $w) as block))"""
         .stripMargin)).as("bb"))
-      .select(col(idCol), col("bb.block_idx").as("block_idx"),
-        col("bb.block").as("block"))
+      .withColumn("block_idx", col("bb.block_idx"))
+      .withColumn("block", col("bb.block"))
+      .drop("bb")
   }
 
   /** Near-duplicate nearest neighbor in SimHash Hamming space, EXACT
@@ -291,24 +294,27 @@ object NearDup {
     * distance ~d/2) and is deliberately not the declared semantics;
     * [[hammingNN]] remains for bounded re-ranks.
     *
-    * Plan shape: one explode + one hash shuffle on (block_idx, block),
-    * exact Hamming (codegen'd xor+popcount) only on colliding pairs,
-    * partial min-aggregate per query id. No cartesian anywhere.
+    * Plan shape: ONE hash shuffle — the packed chunks ride the block
+    * rows (32 extra bytes on an 8-row-per-doc explode), so colliding
+    * pairs carry both signatures out of the self-join and Hamming
+    * (codegen'd xor+popcount) + the radius filter apply immediately; the
+    * partial min-aggregate absorbs the duplicate pairs that agree on
+    * multiple blocks (min is idempotent — cheaper than a `distinct`,
+    * which would cost a full extra shuffle of the pair stream, and two
+    * more to re-attach signatures).
     */
   def simhashNnWithinRadius(sigs: DataFrame, idCol: String, sigCol: String,
       blocks: Int = 8): DataFrame = {
     val radius = blocks - 1
-    val packed = sigs.select(col(idCol), packedChunks(sigCol).as("__ch"))
-    val blk = simhashBlockRows(sigs, idCol, sigCol, blocks)
-    val cand = blk.select(col(idCol).as("id_a"), col("block_idx"), col("block"))
-      .join(blk.select(col(idCol).as("id_b"), col("block_idx"), col("block")),
-        Seq("block_idx", "block"))
+    // blocks and packed chunks come out of ONE scan-local projection of
+    // the signature row — no join to re-attach anything
+    val blk = simhashBlockRows(
+      sigs.withColumn("__ch", packedChunks(sigCol)), idCol, sigCol, blocks)
+    blk.select(col(idCol).as("id_a"), col("block_idx"), col("block"),
+        col("__ch").as("__ca"))
+      .join(blk.select(col(idCol).as("id_b"), col("block_idx"),
+        col("block"), col("__ch").as("__cb")), Seq("block_idx", "block"))
       .filter(col("id_a") =!= col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    cand
-      .join(packed.select(col(idCol).as("id_a"), col("__ch").as("__ca")), "id_a")
-      .join(packed.select(col(idCol).as("id_b"), col("__ch").as("__cb")), "id_b")
       .withColumn("hamming", hammingExpr("__ca", "__cb"))
       .filter(col("hamming") <= radius)
       .groupBy("id_a")
