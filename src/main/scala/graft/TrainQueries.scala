@@ -662,6 +662,24 @@ object TrainQueries {
       .orderBy("lang")
   }
 
+  /** Gopher-family repetition filter: repeated-token ratio and
+    * top-bigram share per document, thresholded into a keep flag (the
+    * published pre-training heuristics, word-level since the corpus is
+    * single-line). Entirely scan-local; `__bg` is referenced three
+    * times so the bigram array is computed once per row.
+    */
+  private def qRepetitionFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("__toks", TextFns.tokens("text"))
+      .withColumn("__bg", TextFns.wordBigrams("__toks"))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tok"),
+        TextFns.dupTokenRatio("__toks").as("dup_ratio"),
+        TextFns.topGramShare("__bg").as("top_bigram_share"))
+      .withColumn("keep",
+        col("dup_ratio") < 0.6 && col("top_bigram_share") < 0.2)
+      .orderBy("doc_id")
+
   /** Calendar-dimension generator (the ETL staple the reference builds
     * from data, `etl.py:124–140` — here generated declaratively):
     * one row per day of 2024 with derived fields.
@@ -841,7 +859,8 @@ object TrainQueries {
     "q51_ann_recall" -> (qAnnRecall _),
     "q52_pii_scrub" -> (qPiiScrub _),
     "q53_contamination" -> (qContamination _),
-    "q54_stratified_sample" -> (qStratifiedSample _))
+    "q54_stratified_sample" -> (qStratifiedSample _),
+    "q55_repetition_filter" -> (qRepetitionFilter _))
 
   def oracleSql: Map[String, String] = Map(
     "q21_text_stats" ->
@@ -1287,6 +1306,25 @@ object TrainQueries {
          ns AS (SELECT lang, count(*) AS n_sampled FROM smp GROUP BY 1)
          SELECT tot.lang, n_total, COALESCE(n_sampled, 0) AS n_sampled
          FROM tot LEFT JOIN ns ON tot.lang = ns.lang ORDER BY tot.lang""",
+    "q55_repetition_filter" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents),
+         s AS (SELECT doc_id, t,
+             list_transform(range(1, len(t)),
+               i -> t[i] || ' ' || t[i + 1]) AS bg
+           FROM d)
+         SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+             1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
+                 / CAST(len(t) AS DOUBLE) AS dup_ratio,
+             CAST(list_max(list_transform(list_distinct(bg),
+                 x -> len(list_filter(bg, b -> b = x)))) AS DOUBLE)
+               / CAST(len(bg) AS DOUBLE) AS top_bigram_share,
+             (1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
+                  / CAST(len(t) AS DOUBLE)) < 0.6
+               AND (CAST(list_max(list_transform(list_distinct(bg),
+                     x -> len(list_filter(bg, b -> b = x)))) AS DOUBLE)
+                   / CAST(len(bg) AS DOUBLE)) < 0.2 AS keep
+         FROM s ORDER BY doc_id""",
     "q34_salted_join" ->
       """WITH d AS (SELECT user_id,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS user_total

@@ -132,6 +132,35 @@ object TextFns {
        |    i -> substring($textCol, i, $n))),
        |  s -> md5(s)))""".stripMargin)
 
+  /** Repeated-token ratio: 1 − |distinct tokens| / |tokens| — the
+    * Gopher-family repetition signal (Rae et al. 2021 §A1.1 publishes
+    * the filter family; this is the token-level member that applies to
+    * single-line text). Scan-local; the division shape must match the
+    * oracle's for bit-identical doubles.
+    */
+  def dupTokenRatio(toksCol: String): Column = expr(
+    s"""1.0d - cast(size(array_distinct($toksCol)) as double)
+       |     / cast(size($toksCol) as double)""".stripMargin)
+
+  /** Word bigrams in order (length n−1). Callers should bind this to a
+    * named column referenced more than once so CollapseProject keeps it
+    * a single per-row computation (SURVEY §7.3 — used-once aliases get
+    * inlined into consuming lambdas and recomputed).
+    */
+  def wordBigrams(toksCol: String): Column = expr(
+    s"""transform(sequence(1, size($toksCol) - 1),
+       |  i -> concat(element_at($toksCol, i), ' ',
+       |              element_at($toksCol, i + 1)))""".stripMargin)
+
+  /** Share of all grams held by the most frequent one — the "top n-gram
+    * share" repetition signal. O(distinct·n) per document via list
+    * lambdas; bounded by document length, embarrassingly scan-local.
+    */
+  def topGramShare(gramsCol: String): Column = expr(
+    s"""cast(array_max(transform(array_distinct($gramsCol),
+       |    x -> size(filter($gramsCol, b -> b = x)))) as double)
+       |  / cast(size($gramsCol) as double)""".stripMargin)
+
   /** Digit masking for identifier-bearing fields (account ids, ticket
     * numbers): every digit replaced, shape preserved. Scan-local,
     * dialect-portable (plain character class, no lookaround).

@@ -10,6 +10,26 @@ class EventStreamSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import org.apache.spark.sql.functions._
 
+  private val min = 60L * 1000
+
+  /** Stage one parquet file into a stream dir with a controlled mod
+    * time — the file source orders micro-batches by mod time, so each
+    * staged file becomes one batch under maxFilesPerTrigger=1.
+    */
+  private def writeOne(rows: Seq[(Long, String, Long)], dir: java.io.File,
+      name: String, mtime: Long): Unit = {
+    import spark.implicits._
+    val tmp = s"${dir.getAbsolutePath}/__stage_$name"
+    rows.toDF("event_id", "event_type", "ms")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+      .coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dst = new java.io.File(dir, name)
+    Files.move(part.toPath, dst.toPath)
+    dst.setLastModified(mtime)
+  }
+
   test("streamed windowed counts equal the late-filtered batch result") {
     import spark.implicits._
     val min = 60L * 1000
@@ -47,19 +67,6 @@ class EventStreamSpec extends AnyFunSuite {
 
   test("late data inside the watermark delay lands; beyond it is dropped") {
     import spark.implicits._
-    val min = 60L * 1000
-    def writeOne(rows: Seq[(Long, String, Long)], dir: java.io.File,
-        name: String, mtime: Long): Unit = {
-      val tmp = s"${dir.getAbsolutePath}/__stage_$name"
-      rows.toDF("event_id", "event_type", "ms")
-        .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
-        .coalesce(1).write.parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(dir, name)
-      Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(mtime) // file source orders batches by mod time
-    }
     val dir = new java.io.File(Scratch.register(
       Files.createTempDirectory("graft_es_late").toString))
     // batch 1: max ts 60:07 → eviction watermark for batch 2 = 50:07
@@ -111,5 +118,62 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got(0L) === 1L && got(60L) === 1L)
     // [120,130) never closes (final wm 110:07) → append emits nothing
     assert(!got.contains(120L))
+  }
+
+  test("dropDuplicatesWithinWatermark: dedups inside the horizon, re-admits after expiry") {
+    // the bounded-state dedup E35 points to for unbounded key spaces:
+    // state per key lives until the watermark passes its event time +
+    // delay — a key recurring AFTER expiry is a new event by contract
+    // (the tradeoff vs dropDuplicates' O(all distinct keys) state)
+    val dir = new java.io.File(Scratch.register(
+      Files.createTempDirectory("graft_es_ddww").toString))
+    // all times offset +7s: the operator's late filter drops rows with
+    // ts ≤ watermark, and the initial watermark is epoch 0 — a t=0 row
+    // would be "late" before anything ran
+    val off = 7000L
+    // batch 1: key (1,click) twice within the delay → one row; key 2 once
+    writeOne(Seq(
+        (1L, "click", off),
+        (1L, "click", 30 * min + off),
+        (2L, "view", off)),
+      dir, "b1.parquet", 1000000L)
+    // batch 2: filler advances the watermark to 2h — both keys' state
+    // (event time + 1h delay < 2h) is due for eviction
+    writeOne(Seq((9L, "filler", 180 * min + off)), dir, "b2.parquet",
+      2000000L)
+    // batch 3: key (1,click) recurs — but state eviction runs at batch
+    // END, so the expired entry still matches and this row is dropped;
+    // the horizon is a lower bound on dedup, not an upper bound
+    writeOne(Seq((1L, "click", 185 * min + off)), dir, "b3.parquet",
+      3000000L)
+    // batch 4: key (1,click) again, now against an evicted store →
+    // re-admitted as a new event
+    writeOne(Seq((1L, "click", 200 * min + off)), dir, "b4.parquet",
+      4000000L)
+
+    val schema = spark.read.parquet(dir.getAbsolutePath).schema
+    val qn = "graft_ddww_spec"
+    val query = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id", "event_type")
+      .writeStream.outputMode("append").format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+
+    val got = spark.table(qn)
+      .select(col("event_id"), col("event_type"), unix_millis(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // key 1: exactly ONE of the two in-horizon batch-1 rows survives
+    // (which one is an intra-batch race — both are "the same event" by
+    // contract), the pre-eviction recurrence is dropped, and the
+    // post-eviction one is re-admitted
+    val k1 = got.filter(t => t._1 == 1L).map(_._3).sorted
+    assert(k1.length === 2)
+    assert(Set(off, 30 * min + off).contains(k1.head))
+    assert(k1.last === 200 * min + off)
+    assert(got.count(t => t._1 == 2L) === 1)
   }
 }

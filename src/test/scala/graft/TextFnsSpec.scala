@@ -83,6 +83,24 @@ class TextFnsSpec extends AnyFunSuite {
     assert(rows(4L) === "the quick brown fox jumps over nothing")
   }
 
+  test("repetition signals: dup-token ratio and top-bigram share") {
+    import spark.implicits._
+    val got = Seq(
+      (1L, "a b a b a b"),       // 2 distinct of 6; "a b" bigram 3 of 5
+      (2L, "v w x y z"))         // all distinct; every bigram unique
+      .toDF("doc_id", "text")
+      .withColumn("toks", TextFns.tokens("text"))
+      .withColumn("bg", TextFns.wordBigrams("toks"))
+      .select(col("doc_id"), TextFns.dupTokenRatio("toks").as("d"),
+        TextFns.topGramShare("bg").as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(got(1L)._1 === 1.0 - 2.0 / 6.0)
+    assert(got(1L)._2 === 3.0 / 5.0)
+    assert(got(2L)._1 === 0.0)
+    assert(got(2L)._2 === 1.0 / 4.0)
+  }
+
   test("maskDigits preserves shape, masks every digit") {
     import spark.implicits._
     val got = Seq(("Customer#000123456", 0)).toDF("s", "x")
