@@ -159,6 +159,66 @@ object TrainQueries {
               CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
        FROM sc ORDER BY method"""
 
+  /** q56's oracle: exact top-3 and Hamming-1 multi-probe LSH top-3
+    * recomputed in SQL, recall = hits / |exact| — q51's scaffolding
+    * restricted to the one method, with each query probing its own
+    * bucket plus every single-plane flip.
+    */
+  private val lshMultiProbeOracle =
+    s"""WITH $quantCte,
+       exd AS (SELECT a.vec_id AS query_id, b.vec_id AS id_b,
+           SUM(a.x * b.x) AS dot
+         FROM q a JOIN q b ON a.i = b.i
+         WHERE a.vec_id < 50 AND a.vec_id <> b.vec_id
+         GROUP BY 1, 2),
+       exs AS (SELECT query_id, id_b,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
+             * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
+         FROM exd JOIN nrm na ON exd.query_id = na.vec_id
+                  JOIN nrm nb ON exd.id_b = nb.vec_id),
+       ex AS (SELECT query_id, id_b AS neighbor_id FROM
+           (SELECT query_id, id_b, row_number() OVER
+             (PARTITION BY query_id ORDER BY sim DESC, id_b ASC) AS rk
+            FROM exs) WHERE rk <= 3),
+       w AS (SELECT h, i, CAST(strpos('0123456789abcdef',
+             substr(md5(CAST(h AS VARCHAR) || ',' ||
+               CAST(i - 1 AS VARCHAR)), 1, 1)) - 1 AS DOUBLE) - 7.5 AS w
+         FROM (SELECT unnest(range(1, 5)) AS h),
+              (SELECT unnest(range(1, 65)) AS i)),
+       proj AS (SELECT q.vec_id, w.h, SUM(w.w * CAST(q.x AS DOUBLE)) AS p
+         FROM q JOIN w ON q.i = w.i GROUP BY 1, 2),
+       bkt AS (SELECT vec_id, CAST(SUM(CASE WHEN p > 0
+             THEN 1 << (4 - h) ELSE 0 END) AS BIGINT) AS bucket
+         FROM proj GROUP BY 1),
+       pr AS (SELECT vec_id, unnest([bucket, xor(bucket, 1),
+             xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS bucket
+         FROM bkt WHERE vec_id < 50),
+       ld AS (SELECT a.vec_id AS query_id, b.vec_id AS id_b,
+           SUM(a.x * b.x) AS dot
+         FROM q a JOIN pr pa ON a.vec_id = pa.vec_id
+              JOIN bkt bb ON pa.bucket = bb.bucket
+              JOIN q b ON b.vec_id = bb.vec_id AND a.i = b.i
+         WHERE a.vec_id <> b.vec_id
+         GROUP BY 1, 2),
+       lsm AS (SELECT query_id, id_b,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
+             * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
+         FROM ld JOIN nrm na ON ld.query_id = na.vec_id
+                 JOIN nrm nb ON ld.id_b = nb.vec_id),
+       mp AS (SELECT query_id, id_b AS neighbor_id FROM
+           (SELECT query_id, id_b, row_number() OVER
+             (PARTITION BY query_id ORDER BY sim DESC, id_b ASC) AS rk
+            FROM lsm) WHERE rk <= 3)
+       SELECT 'lsh_mp' AS method,
+           COUNT(DISTINCT ex.query_id) AS n_queries,
+           COUNT(*) AS n_exact,
+           CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+       FROM ex LEFT JOIN mp a
+         ON ex.query_id = a.query_id AND ex.neighbor_id = a.neighbor_id"""
+
   /** q25's oracle, generated so the min-hash family coefficients are the
     * exact same literals the Spark side uses ([[NearDup.hashCoeffs]]).
     */
@@ -477,6 +537,33 @@ object TrainQueries {
           (col("n_hits").cast("double") / col("n_exact").cast("double"))
             .as("recall"))
     score("ivf", ivf).union(score("lsh", lsh)).orderBy("method")
+  }
+
+  /** Recall@3 of Hamming-1 multi-probe LSH ([[Similarity.lshTopKMultiProbe]])
+    * vs the exact baseline — the measured answer to "what does
+    * multi-probe buy over q29's single probe" (q51 records single-probe
+    * recall on the same query set).
+    */
+  private def qLshMultiProbeRecall(s: SparkSession, dir: String): DataFrame = {
+    val base = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
+    val queries = base.filter(col("vec_id") < 50)
+    val exact = Similarity.bruteForceTopK(base, queries, "vec_id", 3)
+      .select("query_id", "neighbor_id")
+      .localCheckpoint()
+    val mp = Similarity.lshTopKMultiProbe(base, "vec_id", 3, 4)
+      .filter(col("query_id") < 50)
+      .select("query_id", "neighbor_id")
+    exact
+      .join(mp.withColumn("__hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg(
+        countDistinct("query_id").as("n_queries"),
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_hits"))
+      .select(lit("lsh_mp").as("method"), col("n_queries"), col("n_exact"),
+        col("n_hits"),
+        (col("n_hits").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
   }
 
   /** Rollup with grouping-id: revenue subtotals per (region, nation),
@@ -860,7 +947,8 @@ object TrainQueries {
     "q52_pii_scrub" -> (qPiiScrub _),
     "q53_contamination" -> (qContamination _),
     "q54_stratified_sample" -> (qStratifiedSample _),
-    "q55_repetition_filter" -> (qRepetitionFilter _))
+    "q55_repetition_filter" -> (qRepetitionFilter _),
+    "q56_lsh_multiprobe_recall" -> (qLshMultiProbeRecall _))
 
   def oracleSql: Map[String, String] = Map(
     "q21_text_stats" ->
@@ -1277,6 +1365,7 @@ object TrainQueries {
          SELECT id_a, id_b, sim, bucket FROM sm
          WHERE sim >= 0.3 ORDER BY id_a, id_b""",
     "q51_ann_recall" -> annRecallOracle,
+    "q56_lsh_multiprobe_recall" -> lshMultiProbeOracle,
     "q52_pii_scrub" ->
       """SELECT c_custkey, md5(c_name) AS name_hash,
              regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,

@@ -168,6 +168,42 @@ object Similarity {
         col("sim"), col("bucket"))
   }
 
+  /** Multi-probe LSH ANN: each query probes its own bucket PLUS every
+    * bucket at Hamming distance 1 in plane-sign space (the classic
+    * multi-probe amplification — perturbing the least-confident plane
+    * signs; probing ALL 1-flips is its deterministic, oracle-checkable
+    * form). Recall rises steeply — a near-neighbor lost to one
+    * borderline hyperplane is recovered — for (planes+1)× candidate
+    * volume, still linear in n and still ONE hash shuffle: the query
+    * side explodes to its probe list, the base side keeps its single
+    * bucket, and a pair can only meet in the base vector's one bucket
+    * (no dedup needed). q56 measures the recall@k this buys over q29's
+    * single-probe form against the q28 exact baseline.
+    */
+  def lshTopKMultiProbe(prepared: DataFrame, idCol: String, k: Int,
+      planes: Int, dims: Int = 64): DataFrame = {
+    val withB = prepared.filter(col("qn") > 0).withColumn("bucket",
+      hyperplaneBucket("qv", planes, dims).cast("long"))
+    val probeList = (Seq("bucket") ++
+      (0 until planes).map(j => s"bucket ^ ${1L << j}"))
+      .mkString("array(", ", ", ")")
+    val a = withB
+      .select(col(idCol).as("query_id"), col("qv").as("__qva"),
+        col("qn").as("__qna"), explode(expr(probeList)).as("bucket"))
+    val b = withB.select(col(idCol).as("id_b"), col("qv").as("__qvb"),
+      col("qn").as("__qnb"), col("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("id_b").asc)
+    a.join(b, Seq("bucket"))
+      .filter(col("query_id") =!= col("id_b"))
+      .withColumn("sim",
+        cosine(col("__qva"), col("__qvb"), col("__qna"), col("__qnb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id_b").as("neighbor_id"),
+        col("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs within the same
     * LSH bucket with similarity ≥ threshold (a < b). The near-dup
     * variant of [[lshTopK]] — same single-shuffle shape.

@@ -58,6 +58,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("multi-probe over the full bucket space equals brute force") {
+    // planes=1 → 2 buckets; probing own + the one flip covers the whole
+    // space, so the approximate path must reproduce the exact top-k
+    val p = Similarity.prepare(vecs, "embedding")
+    val mp = Similarity.lshTopKMultiProbe(p, "vec_id", 3, 1, 3)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    val exact = Similarity.bruteForceTopK(p, p, "vec_id", 3)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        r.getAs[Long]("neighbor_id")).toMap
+    assert(mp === exact)
+  }
+
   test("autoPlanes grows with corpus size, bounded") {
     assert(Similarity.autoPlanes(100, 1024) === 1)  // tiny corpus: 2 buckets
     assert(Similarity.autoPlanes(8192, 64) === 7)   // 128 buckets
