@@ -948,7 +948,9 @@ object TrainQueries {
     "q53_contamination" -> (qContamination _),
     "q54_stratified_sample" -> (qStratifiedSample _),
     "q55_repetition_filter" -> (qRepetitionFilter _),
-    "q56_lsh_multiprobe_recall" -> (qLshMultiProbeRecall _))
+    "q56_lsh_multiprobe_recall" -> (qLshMultiProbeRecall _),
+    "q57_stream_stream_join" -> ((s: SparkSession, dir: String) =>
+      EventStream.clickAttribution(s, s"$dir/events.parquet")))
 
   def oracleSql: Map[String, String] = Map(
     "q21_text_stats" ->
@@ -1366,6 +1368,15 @@ object TrainQueries {
          WHERE sim >= 0.3 ORDER BY id_a, id_b""",
     "q51_ann_recall" -> annRecallOracle,
     "q56_lsh_multiprobe_recall" -> lshMultiProbeOracle,
+    "q57_stream_stream_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events)
+         SELECT c.event_id AS click_id, v.event_id AS purchase_id,
+                CAST(v.ms - c.ms AS BIGINT) AS lag_ms
+         FROM e c JOIN e v ON c.user_id = v.user_id
+         WHERE c.event_type = 'click' AND v.event_type = 'purchase'
+           AND v.ms >= c.ms AND v.ms <= c.ms + 600000
+         ORDER BY click_id, purchase_id""",
     "q52_pii_scrub" ->
       """SELECT c_custkey, md5(c_name) AS name_hash,
              regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,

@@ -28,7 +28,8 @@ object EventStream {
     */
   def windowedCounts(spark: SparkSession, srcParquet: String,
       window: String = "10 minutes",
-      delay: String = "1 hour"): DataFrame = {
+      delay: String = "1 hour"): DataFrame =
+      Staging.withStreamShufflePartitions(spark) {
     val (events, tag) = Staging.stageAndRead(spark, srcParquet,
       "graft_stream_in")
     val qn = s"graft_stream_$tag"
@@ -51,6 +52,47 @@ object EventStream {
       .orderBy("window_start_ms", "event_type")
   }
 
+  /** Stream-stream interval join (the remaining first-class Structured
+    * Streaming operator): click→purchase attribution — every purchase
+    * within `lag` after a click by the same user. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark can size the join state to the interval: state per side is
+    * O(events inside the watermark+lag horizon), not O(stream). Inner
+    * join, so matches emit as both sides arrive; the watermark only
+    * bounds state retention — with all input in one run the result
+    * equals the batch join, which is what the oracle replays.
+    */
+  def clickAttribution(spark: SparkSession, srcParquet: String,
+      lag: String = "10 minutes",
+      delay: String = "30 minutes"): DataFrame =
+      Staging.withStreamShufflePartitions(spark) {
+    val (events, tag) = Staging.stageAndRead(spark, srcParquet,
+      "graft_ssj_in")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", delay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", delay)
+    val qn = s"graft_ssj_$tag"
+    val query = clicks
+      .join(purchases, expr(
+        s"""c_user = p_user AND p_ts >= c_ts
+           |AND p_ts <= c_ts + interval $lag""".stripMargin))
+      .select(col("click_id"), col("purchase_id"),
+        (unix_millis(col("p_ts")) - unix_millis(col("c_ts"))).as("lag_ms"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qn)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(qn).orderBy("click_id", "purchase_id")
+  }
+
   /** Streaming exact dedup: distinct (user_id, event_type) pairs over
     * the stream via stateful `dropDuplicates` — each key's first arrival
     * passes, the rest are dropped across micro-batches. Projecting to
@@ -59,7 +101,8 @@ object EventStream {
     * time bounds, `dropDuplicatesWithinWatermark` caps it for unbounded
     * key spaces.
     */
-  def streamDedup(spark: SparkSession, srcParquet: String): DataFrame = {
+  def streamDedup(spark: SparkSession, srcParquet: String): DataFrame =
+      Staging.withStreamShufflePartitions(spark) {
     val (events, tag) = Staging.stageAndRead(spark, srcParquet,
       "graft_dedup_in")
     val qn = s"graft_dedup_$tag"

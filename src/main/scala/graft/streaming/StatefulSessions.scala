@@ -55,7 +55,8 @@ object StatefulSessions {
     * (Trigger.AvailableNow) and return per-session summaries.
     */
   def sessionSummaries(spark: SparkSession, srcParquet: String,
-      gapMs: Long): DataFrame = {
+      gapMs: Long): DataFrame =
+      Staging.withStreamShufflePartitions(spark) {
     import spark.implicits._
     val (stream, tag) = Staging.stageAndRead(spark, srcParquet,
       "graft_sess_in")
