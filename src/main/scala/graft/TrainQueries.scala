@@ -219,6 +219,22 @@ object TrainQueries {
        FROM ex LEFT JOIN mp a
          ON ex.query_id = a.query_id AND ex.neighbor_id = a.neighbor_id"""
 
+  /** Shared by q31 (memory sink) and q58 (foreachBatch parquet sink):
+    * the late-filtered batch equivalent of the watermarked windowed
+    * aggregation — the sink must not change the data.
+    */
+  private val streamWindowOracle =
+    """WITH mx AS (SELECT epoch_us(MAX(CAST(ts AS TIMESTAMP))) // 1000
+                     AS max_ms FROM events),
+       b AS (SELECT epoch_ms(time_bucket(INTERVAL 10 MINUTE,
+               CAST(ts AS TIMESTAMP), TIMESTAMP '1970-01-01'))
+               AS window_start_ms,
+             event_type, COUNT(*) AS n_events
+         FROM events GROUP BY 1, 2)
+       SELECT window_start_ms, event_type, n_events FROM b, mx
+       WHERE window_start_ms + 600000 <= max_ms - 3600000
+       ORDER BY window_start_ms, event_type"""
+
   /** q25's oracle, generated so the min-hash family coefficients are the
     * exact same literals the Spark side uses ([[NearDup.hashCoeffs]]).
     */
@@ -950,7 +966,9 @@ object TrainQueries {
     "q55_repetition_filter" -> (qRepetitionFilter _),
     "q56_lsh_multiprobe_recall" -> (qLshMultiProbeRecall _),
     "q57_stream_stream_join" -> ((s: SparkSession, dir: String) =>
-      EventStream.clickAttribution(s, s"$dir/events.parquet")))
+      EventStream.clickAttribution(s, s"$dir/events.parquet")),
+    "q58_stream_sink" -> ((s: SparkSession, dir: String) =>
+      EventStream.windowedCountsToParquet(s, s"$dir/events.parquet")))
 
   def oracleSql: Map[String, String] = Map(
     "q21_text_stats" ->
@@ -1098,17 +1116,8 @@ object TrainQueries {
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                 COALESCE(hs.head_sum, 0) AS head_sum, md5(text) AS checksum
          FROM h LEFT JOIN hs ON h.doc_id = hs.doc_id ORDER BY h.doc_id""",
-    "q31_stream_window" ->
-      """WITH mx AS (SELECT epoch_us(MAX(CAST(ts AS TIMESTAMP))) // 1000
-                       AS max_ms FROM events),
-         b AS (SELECT epoch_ms(time_bucket(INTERVAL 10 MINUTE,
-                 CAST(ts AS TIMESTAMP), TIMESTAMP '1970-01-01'))
-                 AS window_start_ms,
-               event_type, COUNT(*) AS n_events
-           FROM events GROUP BY 1, 2)
-         SELECT window_start_ms, event_type, n_events FROM b, mx
-         WHERE window_start_ms + 600000 <= max_ms - 3600000
-         ORDER BY window_start_ms, event_type""",
+    "q31_stream_window" -> streamWindowOracle,
+    "q58_stream_sink" -> streamWindowOracle,
     "q32_sessionize" ->
       """WITH e AS (SELECT user_id, event_id,
              epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events),

@@ -93,6 +93,43 @@ object EventStream {
     spark.table(qn).orderBy("click_id", "purchase_id")
   }
 
+  /** The same windowed aggregation as [[windowedCounts]], delivered
+    * through a `foreachBatch` parquet sink instead of the memory sink —
+    * the production streaming-write pattern: each micro-batch's append
+    * output lands as parquet files (transactional per batch via the
+    * batchId, which an idempotent production sink would key on), and
+    * the result is the read-back table. Same batch-equivalence oracle
+    * as q31 — the sink must not change the data.
+    */
+  def windowedCountsToParquet(spark: SparkSession, srcParquet: String,
+      window: String = "10 minutes",
+      delay: String = "1 hour"): DataFrame =
+      Staging.withStreamShufflePartitions(spark) {
+    val (events, tag) = Staging.stageAndRead(spark, srcParquet,
+      "graft_fbsink_in")
+    val outDir = graft.Scratch.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_fbsink_out_$tag")
+    val query = events
+      .withWatermark("ts", delay)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n_events"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch.write.mode("append").parquet(outDir)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(outDir)
+      .orderBy("window_start_ms", "event_type")
+  }
+
   /** Streaming exact dedup: distinct (user_id, event_type) pairs over
     * the stream via stateful `dropDuplicates` — each key's first arrival
     * passes, the rest are dropped across micro-batches. Projecting to
