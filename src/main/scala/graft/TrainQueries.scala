@@ -235,6 +235,71 @@ object TrainQueries {
        WHERE window_start_ms + 600000 <= max_ms - 3600000
        ORDER BY window_start_ms, event_type"""
 
+  /** q59's oracle: q51's IVF construction with the top TWO coarse cells
+    * probed (rn ≤ 2), scored against the exact baseline.
+    */
+  private val ivfMultiProbeOracle =
+    s"""WITH $quantCte,
+       exd AS (SELECT a.vec_id AS query_id, b.vec_id AS id_b,
+           SUM(a.x * b.x) AS dot
+         FROM q a JOIN q b ON a.i = b.i
+         WHERE a.vec_id < 50 AND a.vec_id <> b.vec_id
+         GROUP BY 1, 2),
+       exs AS (SELECT query_id, id_b,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
+             * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
+         FROM exd JOIN nrm na ON exd.query_id = na.vec_id
+                  JOIN nrm nb ON exd.id_b = nb.vec_id),
+       ex AS (SELECT query_id, id_b AS neighbor_id FROM
+           (SELECT query_id, id_b, row_number() OVER
+             (PARTITION BY query_id ORDER BY sim DESC, id_b ASC) AS rk
+            FROM exs) WHERE rk <= 3),
+       cells AS (SELECT CAST(e.label AS BIGINT) AS cell_label, i,
+           CAST(SUM(x) AS BIGINT) AS s
+         FROM q JOIN embeddings e ON q.vec_id = e.vec_id GROUP BY 1, 2),
+       cellnorm AS (SELECT cell_label, SUM(s * s) AS cn
+         FROM cells GROUP BY 1),
+       coarse AS (SELECT a.vec_id AS query_id, c.cell_label,
+           SUM(a.x * c.s) AS dot
+         FROM q a JOIN cells c ON a.i = c.i
+         WHERE a.vec_id < 50 GROUP BY 1, 2),
+       csim AS (SELECT query_id, coarse.cell_label,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(n1.nn AS DOUBLE))
+             * sqrt(CAST(cn.cn AS DOUBLE))) AS coarse_sim
+         FROM coarse JOIN nrm n1 ON coarse.query_id = n1.vec_id
+              JOIN cellnorm cn ON coarse.cell_label = cn.cell_label),
+       best AS (SELECT query_id, cell_label FROM
+           (SELECT query_id, cell_label, row_number() OVER
+             (PARTITION BY query_id
+              ORDER BY coarse_sim DESC, cell_label ASC) AS rn
+            FROM csim) WHERE rn <= 2),
+       fine AS (SELECT b.query_id, e.vec_id AS neighbor_id,
+           SUM(a.x * bb.x) AS dot
+         FROM best b JOIN embeddings e
+           ON CAST(e.label AS BIGINT) = b.cell_label
+         JOIN q a ON a.vec_id = b.query_id
+         JOIN q bb ON bb.vec_id = e.vec_id AND bb.i = a.i
+         WHERE e.vec_id <> b.query_id GROUP BY 1, 2),
+       fsim AS (SELECT query_id, neighbor_id,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
+             * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
+         FROM fine JOIN nrm na ON fine.query_id = na.vec_id
+              JOIN nrm nb ON fine.neighbor_id = nb.vec_id),
+       ivf AS (SELECT query_id, neighbor_id FROM
+           (SELECT query_id, neighbor_id, row_number() OVER
+             (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC)
+             AS rk
+            FROM fsim) WHERE rk <= 3)
+       SELECT 'ivf_np2' AS method,
+           COUNT(DISTINCT ex.query_id) AS n_queries,
+           COUNT(*) AS n_exact,
+           CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+       FROM ex LEFT JOIN ivf a
+         ON ex.query_id = a.query_id AND ex.neighbor_id = a.neighbor_id"""
+
   /** q25's oracle, generated so the min-hash family coefficients are the
     * exact same literals the Spark side uses ([[NearDup.hashCoeffs]]).
     */
@@ -482,7 +547,16 @@ object TrainQueries {
     * The cell table is tiny and broadcast; the base side joins only on
     * its own cell — probe cost n/cells instead of n.
     */
-  private def qIvfTopK(s: SparkSession, dir: String): DataFrame = {
+  private def qIvfTopK(s: SparkSession, dir: String): DataFrame =
+    ivfTopK(s, dir, 1)
+
+  /** IVF probe generalized to `nprobe` coarse cells per query — the IVF
+    * analogue of LSH multi-probe: recall climbs with probed cells at
+    * nprobe× fine-search cost (q59 measures it; q37 is the nprobe=1
+    * form). A base vector lives in exactly one cell, so probing several
+    * cells never duplicates a candidate pair.
+    */
+  private def ivfTopK(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import s.implicits._
     val base = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
     val cells = cellStates(s, dir)
@@ -502,7 +576,7 @@ object TrainQueries {
       .withColumn("coarse_sim", Similarity.cosine(col("__qva"),
         col("cell_sums"), col("__qna"), col("cell_norm")))
       .withColumn("__rn", row_number().over(wCoarse))
-      .filter(col("__rn") === 1)
+      .filter(col("__rn") <= nprobe)
       .select(col("query_id"), col("__qva"), col("__qna"), col("cell_label"))
     val b = base.filter(col("qn") > 0)
       .select(col("vec_id").as("neighbor_id"),
@@ -578,6 +652,29 @@ object TrainQueries {
         sum(coalesce(col("__hit"), lit(0))).as("n_hits"))
       .select(lit("lsh_mp").as("method"), col("n_queries"), col("n_exact"),
         col("n_hits"),
+        (col("n_hits").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+  }
+
+  /** Recall@3 of nprobe=2 IVF vs the exact baseline — with q51's
+    * nprobe=1 row (0.14), the measured cost/recall curve for IVF.
+    */
+  private def qIvfMultiProbeRecall(s: SparkSession, dir: String): DataFrame = {
+    val base = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
+    val queries = base.filter(col("vec_id") < 50)
+    val exact = Similarity.bruteForceTopK(base, queries, "vec_id", 3)
+      .select("query_id", "neighbor_id")
+      .localCheckpoint()
+    val ivf2 = ivfTopK(s, dir, 2).select("query_id", "neighbor_id")
+    exact
+      .join(ivf2.withColumn("__hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg(
+        countDistinct("query_id").as("n_queries"),
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_hits"))
+      .select(lit("ivf_np2").as("method"), col("n_queries"),
+        col("n_exact"), col("n_hits"),
         (col("n_hits").cast("double") / col("n_exact").cast("double"))
           .as("recall"))
   }
@@ -968,7 +1065,8 @@ object TrainQueries {
     "q57_stream_stream_join" -> ((s: SparkSession, dir: String) =>
       EventStream.clickAttribution(s, s"$dir/events.parquet")),
     "q58_stream_sink" -> ((s: SparkSession, dir: String) =>
-      EventStream.windowedCountsToParquet(s, s"$dir/events.parquet")))
+      EventStream.windowedCountsToParquet(s, s"$dir/events.parquet")),
+    "q59_ivf_multiprobe_recall" -> (qIvfMultiProbeRecall _))
 
   def oracleSql: Map[String, String] = Map(
     "q21_text_stats" ->
@@ -1377,6 +1475,7 @@ object TrainQueries {
          WHERE sim >= 0.3 ORDER BY id_a, id_b""",
     "q51_ann_recall" -> annRecallOracle,
     "q56_lsh_multiprobe_recall" -> lshMultiProbeOracle,
+    "q59_ivf_multiprobe_recall" -> ivfMultiProbeOracle,
     "q57_stream_stream_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
              epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events)
