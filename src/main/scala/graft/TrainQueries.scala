@@ -880,6 +880,32 @@ object TrainQueries {
         col("dup_ratio") < 0.6 && col("top_bigram_share") < 0.2)
       .orderBy("doc_id")
 
+  /** Range sharding for training export: per-language quartile
+    * boundaries from the distributed exact percentiles
+    * ([[Percentiles.exact]]), broadcast back onto the corpus to assign
+    * each document a size-balanced shard — the compute-boundaries-then-
+    * bucket pattern a shard writer uses (deterministic, unlike Spark's
+    * sampling range partitioner). Reported as per-(lang, shard) counts
+    * and extents.
+    */
+  private def qRangeShard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bounds = Percentiles.exact(docs, Seq("lang"), "n_chars",
+      Seq(("b1", 0.25), ("b2", 0.5), ("b3", 0.75)))
+    val nc = col("n_chars").cast("double")
+    docs.join(broadcast(bounds), "lang")
+      .withColumn("shard",
+        when(nc <= col("b1"), 0)
+          .when(nc <= col("b2"), 1)
+          .when(nc <= col("b3"), 2)
+          .otherwise(3))
+      .groupBy("lang", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").cast("long").as("min_chars"),
+        max("n_chars").cast("long").as("max_chars"))
+      .orderBy("lang", "shard")
+  }
+
   /** Calendar-dimension generator (the ETL staple the reference builds
     * from data, `etl.py:124–140` — here generated declaratively):
     * one row per day of 2024 with derived fields.
@@ -1066,7 +1092,8 @@ object TrainQueries {
       EventStream.clickAttribution(s, s"$dir/events.parquet")),
     "q58_stream_sink" -> ((s: SparkSession, dir: String) =>
       EventStream.windowedCountsToParquet(s, s"$dir/events.parquet")),
-    "q59_ivf_multiprobe_recall" -> (qIvfMultiProbeRecall _))
+    "q59_ivf_multiprobe_recall" -> (qIvfMultiProbeRecall _),
+    "q60_range_shard" -> (qRangeShard _))
 
   def oracleSql: Map[String, String] = Map(
     "q21_text_stats" ->
@@ -1476,6 +1503,24 @@ object TrainQueries {
     "q51_ann_recall" -> annRecallOracle,
     "q56_lsh_multiprobe_recall" -> lshMultiProbeOracle,
     "q59_ivf_multiprobe_recall" -> ivfMultiProbeOracle,
+    "q60_range_shard" ->
+      """WITH b AS (SELECT lang,
+             quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS b1,
+             quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS b2,
+             quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS b3
+           FROM documents GROUP BY lang),
+         a AS (SELECT d.lang,
+             CASE WHEN CAST(n_chars AS DOUBLE) <= b1 THEN 0
+                  WHEN CAST(n_chars AS DOUBLE) <= b2 THEN 1
+                  WHEN CAST(n_chars AS DOUBLE) <= b3 THEN 2
+                  ELSE 3 END AS shard,
+             n_chars
+           FROM documents d JOIN b ON d.lang = b.lang)
+         SELECT lang, CAST(shard AS INT) AS shard,
+             COUNT(*) AS n_docs,
+             CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+             CAST(MAX(n_chars) AS BIGINT) AS max_chars
+         FROM a GROUP BY 1, 2 ORDER BY lang, shard""",
     "q57_stream_stream_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
              epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events)

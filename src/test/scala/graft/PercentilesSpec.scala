@@ -42,6 +42,24 @@ class PercentilesSpec extends AnyFunSuite {
     assert((1 to 3).map(r.getDouble).forall(_ === 42.0))
   }
 
+  test("approx_percentile tracks the exact path within its accuracy bound") {
+    // the at-scale alternative branch: approx_percentile's GK sketch
+    // guarantees rank error ≤ n/accuracy. With accuracy=100 on ~32-row
+    // groups the rank error bound is <1 rank ⇒ the approx answer must
+    // be within one order-statistic step of the exact value. This pins
+    // the relationship MEASURED, so a future swap to the approx path at
+    // 100 TB has a spec'd contract, not a hope.
+    val exact = Percentiles.exact(df, Seq("g"), "v", Seq(("p50", 0.5)))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = df.groupBy("g")
+      .agg(expr("approx_percentile(v, 0.5d, 100)").as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // one rank step in this data is ≤ 4 (values stride by 37 mod 101)
+    for (g <- exact.keySet)
+      assert(math.abs(exact(g) - approx(g)) <= 4.0,
+        s"group $g: exact ${exact(g)} vs approx ${approx(g)}")
+  }
+
   test("p0 and p100 are group min and max") {
     val r = Percentiles.exact(df, Seq("g"), "v",
         Seq(("lo", 0.0), ("hi", 1.0)))
