@@ -97,6 +97,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q60: quantile boundaries broadcast onto the corpus (no sort-merge)") {
+    val df = SparkEntry.queries("q60_range_shard")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q28: custom codegen dot product is in the plan") {
     val p = sparkPlan("q28_cosine_topk")
     assert(p.contains("long_dot"))
