@@ -36,6 +36,21 @@ class CurationSpec extends AnyFunSuite {
     assert(hits === Map((1L, 100L) -> 1L))
   }
 
+  test("approx_count_distinct tracks exact distinct within its rsd bound") {
+    // the approximate-distinct branch of the profiling family: HLL++
+    // with rsd=0.05 must land within ~3σ of the exact distinct count.
+    // Measured (like the ANN recall and percentile-error specs) so the
+    // at-scale swap has a contract.
+    import spark.implicits._
+    val df = (0 until 20000).map(i => (i.toLong, (i * 7919) % 4231))
+      .toDF("id", "k")
+    val exact = df.select(countDistinct("k")).head().getLong(0)
+    val approx = df.select(approx_count_distinct("k", 0.05)).head().getLong(0)
+    assert(exact === 4231)
+    assert(math.abs(approx - exact).toDouble / exact < 0.15,
+      s"approx $approx vs exact $exact")
+  }
+
   test("stratified sample is deterministic, monotone in rate, near the rate") {
     import spark.implicits._
     val rows = (0 until 2000).map(i =>
