@@ -806,13 +806,15 @@ object TrainQueries {
 
   /** Exact percentiles per group (type-7 linear interpolation — the
     * same definition in any engine; exact on integer-valued data with
-    * quarter-point fractions). Distributed form ([[Percentiles.exact]]):
-    * rank + count in one window shuffle, probe-row lookup — never the
-    * `percentile()` aggregate, whose buffer holds every group value and
-    * OOMs on a 100 TB group.
+    * quarter-point fractions). l_returnflag has THREE groups, so this
+    * uses [[Percentiles.exactFewGroups]]: a range partition of the
+    * (group, value) space keeps every core sorting, instead of the
+    * window form whose parallelism equals the group count (3 spill-
+    * sorts at 100 TB) — and never the `percentile()` aggregate, whose
+    * buffer holds every group value and OOMs on a 100 TB group.
     */
   private def qPercentiles(s: SparkSession, dir: String): DataFrame =
-    Percentiles.exact(t(s, dir, "lineitem"), Seq("l_returnflag"),
+    Percentiles.exactFewGroups(t(s, dir, "lineitem"), Seq("l_returnflag"),
         "l_quantity", Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)))
       .orderBy("l_returnflag")
 

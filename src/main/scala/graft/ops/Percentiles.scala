@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 /** Distributed EXACT percentiles with O(1) aggregation state per group
   * (SURVEY §7.2.8 profiling surface).
@@ -53,6 +54,17 @@ object Percentiles {
       ps.map { case (_, p) =>
         col("__rn") === lo(p) || col("__rn") === lo(p) + 1L
       }.reduce(_ || _))
+    interpolate(probed, groupCols, ps)
+  }
+
+  /** The shared tail: probe rows (`__v`, `__rn`, `__n` per group) →
+    * one percentile column per requested p, type-7 interpolated.
+    */
+  private def interpolate(probed: DataFrame, groupCols: Seq[String],
+      ps: Seq[(String, Double)]): DataFrame = {
+    val g = groupCols.map(col)
+    def pos(p: Double): Column = (col("__n") - 1).cast("double") * lit(p)
+    def lo(p: Double): Column = floor(pos(p)).cast("long") + 1L
     val aggs = ps.zipWithIndex.flatMap { case ((_, p), i) =>
       Seq(
         max(when(col("__rn") === lo(p), col("__v"))).as(s"__vlo$i"),
@@ -69,5 +81,84 @@ object Percentiles {
           (coalesce(col(s"__vhi$i"), col(s"__vlo$i")) - col(s"__vlo$i")))
           .as(name)
       }: _*)
+  }
+
+  /** Exact per-group percentiles for FEW groups (groups ≪ cores), where
+    * [[exact]]'s per-group window sort degenerates: `Window.partitionBy`
+    * parallelism equals the group count, so 3 groups over 100 TB means
+    * 3 single-threaded spill-sorts. This form keeps every core busy
+    * regardless of group count:
+    *   1. tiny count aggregate → per-group probe RANKS, computed on the
+    *      driver (metadata-scale by the few-groups contract: groups ×
+    *      percentiles × 2 longs — the documented reason this variant is
+    *      for few groups);
+    *   2. `repartitionByRange` on (group, value) + in-partition sort —
+    *      the SAME exchange a global sort uses, splitting large groups
+    *      across many partitions;
+    *   3. one pass counting rows per (partition, group) → cumulative
+    *      offsets (metadata-scale), then a second pass over the SAME
+    *      shuffle output emits only rows whose offset+local rank is a
+    *      probe rank (≤ 2·|ps| rows per group survive).
+    * Ranks among tied values depend on partitioning, but the VALUE at
+    * any rank doesn't — ties are interchangeable — so the result is
+    * deterministic and identical to [[exact]].
+    */
+  def exactFewGroups(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
+      s"percentiles must be in [0,1]: $ps")
+    val spark = df.sparkSession
+    val g = groupCols.map(col)
+    val gl = groupCols.length
+    val data = df.select(g :+ col(valueCol).cast("double").as("__v"): _*)
+    val countsDf = data.groupBy(g: _*).agg(count(lit(1)).as("__n"))
+    val wantedRanks: Map[Seq[Any], Set[Long]] = countsDf.collect().map { r =>
+      val n = r.getLong(gl)
+      val ranks = ps.flatMap { case (_, p) =>
+        val lo = math.floor((n - 1).toDouble * p).toLong + 1L
+        Seq(lo, lo + 1L)
+      }.toSet
+      (0 until gl).map(r.get) -> ranks
+    }.toMap
+    val bcWanted = spark.sparkContext.broadcast(wantedRanks)
+    val sortCols = g :+ col("__v")
+    val sorted = data.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val perPart: Array[(Int, Seq[Any], Long)] = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.LinkedHashMap[Seq[Any], Long]()
+        it.foreach { r =>
+          val k = (0 until gl).map(r.get)
+          m.update(k, m.getOrElse(k, 0L) + 1L)
+        }
+        m.iterator.map { case (k, c) => (pid, k, c) }
+      }.collect()
+    val offsets: Map[(Int, Seq[Any]), Long] = perPart.groupBy(_._2)
+      .flatMap { case (k, arr) =>
+        var acc = 0L
+        arr.sortBy(_._1).map { case (pid, _, c) =>
+          val o = acc; acc += c; ((pid, k), o)
+        }
+      }
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val probeRows = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val local = scala.collection.mutable.HashMap[Seq[Any], Long]()
+      it.flatMap { r =>
+        val k = (0 until gl).map(r.get)
+        val i = local.getOrElse(k, 0L) + 1L
+        local.update(k, i)
+        val rank = bcOff.value.getOrElse((pid, k), 0L) + i
+        if (bcWanted.value.getOrElse(k, Set.empty).contains(rank))
+          Some(Row.fromSeq(k :+ rank :+ r.getDouble(gl)))
+        else None
+      }
+    }
+    val probeSchema = StructType(
+      data.schema.fields.dropRight(1).toSeq :+
+        StructField("__rn", LongType, nullable = false) :+
+        StructField("__v", DoubleType, nullable = false))
+    val probed = spark.createDataFrame(probeRows, probeSchema)
+      .join(broadcast(countsDf), groupCols)
+    interpolate(probed, groupCols, ps)
   }
 }

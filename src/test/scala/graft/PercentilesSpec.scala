@@ -42,6 +42,17 @@ class PercentilesSpec extends AnyFunSuite {
     assert((1 to 3).map(r.getDouble).forall(_ === 42.0))
   }
 
+  test("exactFewGroups equals the window form on every group and percentile") {
+    val ps = Seq(("p10", 0.10), ("p25", 0.25), ("p50", 0.50), ("p90", 0.90))
+    val a = Percentiles.exact(df, Seq("g"), "v", ps)
+      .collect().map(r => r.getString(0) ->
+        (1 to 4).map(r.getDouble).toVector).toMap
+    val b = Percentiles.exactFewGroups(df, Seq("g"), "v", ps)
+      .collect().map(r => r.getString(0) ->
+        (1 to 4).map(r.getDouble).toVector).toMap
+    assert(a === b) // bit-identical: same probe values, same formula
+  }
+
   test("approx_percentile tracks the exact path within its accuracy bound") {
     // the at-scale alternative branch: approx_percentile's GK sketch
     // guarantees rank error ≤ n/accuracy. With accuracy=100 on ~32-row

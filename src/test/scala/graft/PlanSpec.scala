@@ -77,16 +77,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p6.contains("Window"))
   }
 
-  test("q47: exact percentiles never buffer group values (no ObjectHashAggregate)") {
+  test("q47: exact percentiles never buffer group values, never window-sort per group") {
     val df = SparkEntry.queries("q47_percentiles")(spark, dir)
     df.count()
     val p = df.queryExecution.executedPlan.toString
-    // percentile()'s buffer holds every value of a group; the
-    // distributed form must rank in a window and probe, keeping O(1)
-    // state per group
+    // percentile()'s buffer holds every value of a group (out), and a
+    // Window.partitionBy(group) sort has parallelism = #groups (out for
+    // the 3-group l_returnflag) — the few-groups form range-partitions
+    // the (group, value) space instead
     assert(!p.contains("ObjectHashAggregate"))
     assert(!p.toLowerCase.contains("percentile"))
-    assert(p.contains("Window")) // not vacuous: rank+count windows present
+    assert(!p.contains("Window"))
+    assert(p.toLowerCase.contains("rangepartitioning"))
   }
 
   test("q53: eval gram index is broadcast; corpus grams never sort-merge") {
