@@ -451,15 +451,17 @@ object TrainQueries {
   /** Near-duplicate NN per document in SimHash Hamming space, exact
     * within radius 7 (8 pigeonhole blocks — [[NearDup.simhashNnWithinRadius]]):
     * candidates come from a block self-equi-join, never n² pairs. The
-    * signature table has a single consumer (blocks + packed chunks come
-    * out of one projection), so nothing is checkpointed — the pipeline
-    * runs as one job.
+    * block SELF-join consumes the signature table on both sides and
+    * Spark does not reuse the exchange across them (measured: the
+    * 129-aggregate signature groupBy runs twice without this), so the
+    * signatures — doc_id + 32 hex chars per row — are materialized once.
     */
   private def qSimHashKnn(s: SparkSession, dir: String): DataFrame =
     NearDup.simhashNnWithinRadius(
       NearDup.simHashSigs(
         t(s, dir, "documents").withColumn("toks", TextFns.tokens("text")),
-        "doc_id", "toks", "simhash"),
+        "doc_id", "toks", "simhash")
+        .localCheckpoint(),
       "doc_id", "simhash", 8)
       .orderBy("id_a")
 
