@@ -639,9 +639,9 @@ object TrainQueries {
   private def qLshMultiProbeRecall(s: SparkSession, dir: String): DataFrame = {
     val base = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
     val queries = base.filter(col("vec_id") < 50)
+    // single consumer — no checkpoint (materialization buys nothing)
     val exact = Similarity.bruteForceTopK(base, queries, "vec_id", 3)
       .select("query_id", "neighbor_id")
-      .localCheckpoint()
     val mp = Similarity.lshTopKMultiProbe(base, "vec_id", 3, 4)
       .filter(col("query_id") < 50)
       .select("query_id", "neighbor_id")
@@ -664,9 +664,9 @@ object TrainQueries {
   private def qIvfMultiProbeRecall(s: SparkSession, dir: String): DataFrame = {
     val base = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
     val queries = base.filter(col("vec_id") < 50)
+    // single consumer — no checkpoint (materialization buys nothing)
     val exact = Similarity.bruteForceTopK(base, queries, "vec_id", 3)
       .select("query_id", "neighbor_id")
-      .localCheckpoint()
     val ivf2 = ivfTopK(s, dir, 2).select("query_id", "neighbor_id")
     exact
       .join(ivf2.withColumn("__hit", lit(1)),

@@ -142,15 +142,20 @@ object TextFns {
     s"""1.0d - cast(size(array_distinct($toksCol)) as double)
        |     / cast(size($toksCol) as double)""".stripMargin)
 
-  /** Word bigrams in order (length n−1). Callers should bind this to a
-    * named column referenced more than once so CollapseProject keeps it
-    * a single per-row computation (SURVEY §7.3 — used-once aliases get
-    * inlined into consuming lambdas and recomputed).
+  /** Word bigrams in order (length n−1; empty for a single token —
+    * guarded because `sequence(1, 0)` is the DESCENDING [1, 0] in
+    * Spark, which would index element 0 and crash). Callers should
+    * bind this to a named column referenced more than once so
+    * CollapseProject keeps it a single per-row computation (SURVEY
+    * §7.3 — used-once aliases get inlined into consuming lambdas and
+    * recomputed).
     */
   def wordBigrams(toksCol: String): Column = expr(
-    s"""transform(sequence(1, size($toksCol) - 1),
-       |  i -> concat(element_at($toksCol, i), ' ',
-       |              element_at($toksCol, i + 1)))""".stripMargin)
+    s"""case when size($toksCol) >= 2 then
+       |  transform(sequence(1, size($toksCol) - 1),
+       |    i -> concat(element_at($toksCol, i), ' ',
+       |                element_at($toksCol, i + 1)))
+       |else cast(array() as array<string>) end""".stripMargin)
 
   /** Share of all grams held by the most frequent one — the "top n-gram
     * share" repetition signal. O(distinct·n) per document via list

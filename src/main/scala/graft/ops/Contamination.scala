@@ -19,15 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object Contamination {
 
-  /** Distinct word n-grams of a whitespace-tokenized text column. Texts
-    * shorter than n words contribute their whole token run as one gram
-    * (mirrors the shingle edge case).
+  /** Distinct word n-grams over an ALREADY-TOKENIZED column. Taking
+    * tokens (not raw text) matters: a `split(text)` written inline
+    * would be inlined by CollapseProject into the per-position lambda
+    * and re-split the whole document once per gram (SURVEY §7.3) —
+    * binding tokens to a column referenced by both the sequence bound
+    * and the lambda keeps it one split per row. Texts shorter than n
+    * words contribute their whole token run as one gram (mirrors the
+    * shingle edge case).
     */
-  def wordGrams(textCol: String, n: Int): Column = expr(
+  def wordGrams(toksCol: String, n: Int): Column = expr(
     s"""array_distinct(transform(
-       |  sequence(1, greatest(size(split($textCol, ' ')) - ${n - 1}, 1)),
-       |  i -> array_join(slice(split($textCol, ' '), i, $n), ' ')))"""
-      .stripMargin)
+       |  sequence(1, greatest(size($toksCol) - ${n - 1}, 1)),
+       |  i -> array_join(slice($toksCol, i, $n), ' ')))""".stripMargin)
 
   /** Per-(corpus doc, eval doc) count of shared distinct word n-grams.
     * `evalSet` rows must be a subset of the id space disjoint from
@@ -36,8 +40,8 @@ object Contamination {
   def sharedGramCounts(corpus: DataFrame, evalSet: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
     def gramHashes(df: DataFrame, as: String) = df
-      .select(col(idCol).as(as),
-        explode(wordGrams(textCol, n)).as("__gram"))
+      .select(col(idCol).as(as), split(col(textCol), " ").as("__toks"))
+      .select(col(as), explode(wordGrams("__toks", n)).as("__gram"))
       .select(col(as), md5(col("__gram")).as("__gh"))
     gramHashes(corpus, "corpus_id")
       .join(broadcast(gramHashes(evalSet, "eval_id")), "__gh")

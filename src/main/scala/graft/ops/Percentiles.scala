@@ -30,6 +30,8 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
 object Percentiles {
 
   /** Exact per-group percentiles of `valueCol` (read as double).
+    * Null values are ignored — the `percentile()` / `quantile_cont`
+    * convention; a group of only nulls is absent from the result.
     *
     * @param ps (output column name, percentile in [0,1]) pairs
     */
@@ -44,6 +46,7 @@ object Percentiles {
     // assignment among them produce the same probe value
     val ranked = df
       .select(g :+ col(valueCol).cast("double").as("__v"): _*)
+      .filter(col("__v").isNotNull)
       .withColumn("__rn", row_number().over(wRank).cast("long"))
       .withColumn("__n", count(lit(1)).over(wAll))
     // 0-based probe position of percentile p inside the sorted group;
@@ -111,16 +114,21 @@ object Percentiles {
     val g = groupCols.map(col)
     val gl = groupCols.length
     val data = df.select(g :+ col(valueCol).cast("double").as("__v"): _*)
-    val countsDf = data.groupBy(g: _*).agg(count(lit(1)).as("__n"))
-    val wantedRanks: Map[Seq[Any], Set[Long]] = countsDf.collect().map { r =>
-      val n = r.getLong(gl)
-      val ranks = ps.flatMap { case (_, p) =>
-        val lo = math.floor((n - 1).toDouble * p).toLong + 1L
-        Seq(lo, lo + 1L)
-      }.toSet
-      (0 until gl).map(r.get) -> ranks
-    }.toMap
-    val bcWanted = spark.sparkContext.broadcast(wantedRanks)
+      .filter(col("__v").isNotNull) // percentile()/quantile_cont ignore nulls
+    // per-group size AND probe ranks as one broadcast map — carrying
+    // __n in the probe rows (instead of a join back to the counts)
+    // keeps null GROUP KEYS intact: an equi-join on a null key would
+    // silently drop that group
+    val groupMeta: Map[Seq[Any], (Long, Set[Long])] =
+      data.groupBy(g: _*).agg(count(lit(1)).as("__n")).collect().map { r =>
+        val n = r.getLong(gl)
+        val ranks = ps.flatMap { case (_, p) =>
+          val lo = math.floor((n - 1).toDouble * p).toLong + 1L
+          Seq(lo, lo + 1L)
+        }.toSet
+        (0 until gl).map(r.get) -> ((n, ranks))
+      }.toMap
+    val bcMeta = spark.sparkContext.broadcast(groupMeta)
     val sortCols = g :+ col("__v")
     val sorted = data.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
@@ -148,17 +156,18 @@ object Percentiles {
         val i = local.getOrElse(k, 0L) + 1L
         local.update(k, i)
         val rank = bcOff.value.getOrElse((pid, k), 0L) + i
-        if (bcWanted.value.getOrElse(k, Set.empty).contains(rank))
-          Some(Row.fromSeq(k :+ rank :+ r.getDouble(gl)))
-        else None
+        bcMeta.value.get(k) match {
+          case Some((n, ranks)) if ranks.contains(rank) =>
+            Some(Row.fromSeq(k :+ rank :+ r.getDouble(gl) :+ n))
+          case _ => None
+        }
       }
     }
     val probeSchema = StructType(
       data.schema.fields.dropRight(1).toSeq :+
         StructField("__rn", LongType, nullable = false) :+
-        StructField("__v", DoubleType, nullable = false))
-    val probed = spark.createDataFrame(probeRows, probeSchema)
-      .join(broadcast(countsDf), groupCols)
-    interpolate(probed, groupCols, ps)
+        StructField("__v", DoubleType, nullable = false) :+
+        StructField("__n", LongType, nullable = false))
+    interpolate(spark.createDataFrame(probeRows, probeSchema), groupCols, ps)
   }
 }

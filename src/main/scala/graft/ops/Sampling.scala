@@ -18,7 +18,11 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Keep a row iff hash(salt|key) mod 10000 < ratesBp(stratum) basis
-    * points (defaultBp for unlisted strata).
+    * points (defaultBp for unlisted strata). Rows with a NULL key are
+    * excluded regardless of rate — no hash exists for them, and
+    * admitting them would make the sample depend on which stratum's
+    * rate happened to apply; callers sampling null-keyed data must
+    * assign keys first. (Null strata are fine: they draw defaultBp.)
     */
   def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
       ratesBp: Map[String, Int], defaultBp: Int,

@@ -36,17 +36,24 @@ object CloudConf {
     kv.result()
   }
 
-  /** Apply credentials to the session's Hadoop conf for S3A. Empty
-    * values (the reference's committed placeholder) fall through to the
-    * provider chain (instance profile / env), which is the production
-    * posture anyway — static keys in a cfg file are the pattern the
-    * reference uses, not a recommendation.
+  /** Apply credentials for S3A as RAW Hadoop keys on the SESSION conf:
+    * `SessionState.newHadoopConf()` overlays every session-conf entry
+    * verbatim onto the Hadoop conf each data source resolves against,
+    * so the keys are per-session — NOT `sparkContext
+    * .hadoopConfiguration`, one object shared by every session on the
+    * context (two sessions with different credentials would clobber
+    * each other), and NOT a runtime `spark.hadoop.*` prefix (only
+    * stripped from the static SparkConf at context startup; at runtime
+    * it is copied verbatim and S3A never sees it — measured on 4.1.2).
+    * Empty values (the reference's committed placeholder) fall through
+    * to the provider chain (instance profile / env), which is the
+    * production posture anyway — static keys in a cfg file are the
+    * pattern the reference uses, not a recommendation.
     */
   def applyS3a(spark: SparkSession, cfg: Map[String, String]): Unit = {
-    val hc = spark.sparkContext.hadoopConfiguration
     cfg.get("AWS_ACCESS_KEY_ID").filter(_.nonEmpty)
-      .foreach(hc.set("fs.s3a.access.key", _))
+      .foreach(spark.conf.set("fs.s3a.access.key", _))
     cfg.get("AWS_SECRET_ACCESS_KEY").filter(_.nonEmpty)
-      .foreach(hc.set("fs.s3a.secret.key", _))
+      .foreach(spark.conf.set("fs.s3a.secret.key", _))
   }
 }

@@ -126,8 +126,22 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    spark.read.parquet(outDir)
-      .orderBy("window_start_ms", "event_type")
+    // a stream whose event-time span closes no window writes no batch
+    // (the foreachBatch guard skips empties) → no directory exists; the
+    // batch equivalence demands an empty result, not a read failure
+    if (new java.io.File(outDir).exists())
+      spark.read.parquet(outDir)
+        .orderBy("window_start_ms", "event_type")
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("window_start_ms",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_events",
+            org.apache.spark.sql.types.LongType))))
   }
 
   /** Streaming exact dedup: distinct (user_id, event_type) pairs over

@@ -26,19 +26,19 @@ class CloudConfSpec extends AnyFunSuite {
     val m = CloudConf.parseDlCfg("[AWS]\nAWS_ACCESS_KEY_ID=''\nAWS_SECRET_ACCESS_KEY=''")
     val s = spark.newSession()
     CloudConf.applyS3a(s, m)
-    val hc = s.sparkContext.hadoopConfiguration
-    assert(hc.get("fs.s3a.access.key") === null)
+    assert(s.sessionState.newHadoopConf().get("fs.s3a.access.key") === null)
   }
 
-  test("non-empty credentials land on the session Hadoop conf") {
-    val s = spark.newSession()
-    CloudConf.applyS3a(s, CloudConf.parseDlCfg(cfg))
-    val hc = s.sparkContext.hadoopConfiguration
-    assert(hc.get("fs.s3a.access.key") === "TESTKEYID000000000000")
-    assert(hc.get("fs.s3a.secret.key") === "testsecret/NotReal+Value")
-    // scrub: the SparkContext (hence hadoopConf) is shared across
-    // newSession()s — unset so other specs see a clean conf
-    hc.unset("fs.s3a.access.key")
-    hc.unset("fs.s3a.secret.key")
+  test("credentials are per-session: set on one, invisible to another") {
+    val s1 = spark.newSession()
+    val s2 = spark.newSession()
+    CloudConf.applyS3a(s1, CloudConf.parseDlCfg(cfg))
+    val hc1 = s1.sessionState.newHadoopConf()
+    assert(hc1.get("fs.s3a.access.key") === "TESTKEYID000000000000")
+    assert(hc1.get("fs.s3a.secret.key") === "testsecret/NotReal+Value")
+    // the sibling session's effective Hadoop conf is untouched — the
+    // reason applyS3a goes through the session conf, not the shared
+    // sparkContext.hadoopConfiguration
+    assert(s2.sessionState.newHadoopConf().get("fs.s3a.access.key") === null)
   }
 }

@@ -14,7 +14,8 @@ class CurationSpec extends AnyFunSuite {
   test("wordGrams: sliding distinct n-grams; short text yields its whole run") {
     import spark.implicits._
     val g = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "text")
-      .select(col("id"), Contamination.wordGrams("text", 3).as("g"))
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("id"), Contamination.wordGrams("toks", 3).as("g"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     assert(g(1L) === Seq("a b c", "b c d"))
     assert(g(2L) === Seq("a b"))

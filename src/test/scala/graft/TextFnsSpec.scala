@@ -83,6 +83,22 @@ class TextFnsSpec extends AnyFunSuite {
     assert(rows(4L) === "the quick brown fox jumps over nothing")
   }
 
+  test("repetition signals survive single-token documents (no bigrams)") {
+    // sequence(1, 0) in Spark is DESCENDING [1, 0] — an unguarded
+    // bigram transform would index element 0 and crash on any
+    // space-free document
+    import spark.implicits._
+    val r = Seq((1L, "loneword")).toDF("doc_id", "text")
+      .withColumn("toks", TextFns.tokens("text"))
+      .withColumn("bg", TextFns.wordBigrams("toks"))
+      .select(size(col("bg")).as("nbg"), TextFns.dupTokenRatio("toks").as("d"),
+        TextFns.topGramShare("bg").as("s"))
+      .head()
+    assert(r.getInt(0) === 0)
+    assert(r.getDouble(1) === 0.0)
+    assert(r.isNullAt(2)) // no grams → share undefined, not a crash
+  }
+
   test("repetition signals: dup-token ratio and top-bigram share") {
     import spark.implicits._
     val got = Seq(
