@@ -53,6 +53,28 @@ class PercentilesSpec extends AnyFunSuite {
     assert(a === b) // bit-identical: same probe values, same formula
   }
 
+  test("exactFewGroups is correct when one group dominates and spans many partitions") {
+    // the scenario the few-groups form exists for: a skewed group far
+    // larger than any single partition, whose rows the range exchange
+    // splits across partitions — the partition-offset arithmetic must
+    // stitch global ranks back together exactly
+    import spark.implicits._
+    val big = (1 to 5000).map(i => ("big", ((i * 7919) % 5003).toDouble))
+    val small = (1 to 7).map(i => ("small", i.toDouble * 10))
+    val skewed = (big ++ small).toDF("g", "v").repartition(16)
+    val ps = Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75))
+    val got = Percentiles.exactFewGroups(skewed, Seq("g"), "v", ps)
+      .collect().map(r => r.getString(0) ->
+        (1 to 3).map(r.getDouble).toVector).toMap
+    val want = skewed.groupBy("g")
+      .agg(expr("percentile(v, array(0.25d, 0.5d, 0.75d))").as("ps"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[Double](1).toVector).toMap
+    for (g <- want.keySet; i <- 0 until 3)
+      assert(math.abs(got(g)(i) - want(g)(i)) < 1e-9,
+        s"group $g p$i: ${got(g)(i)} vs ${want(g)(i)}")
+  }
+
   test("approx_percentile tracks the exact path within its accuracy bound") {
     // the at-scale alternative branch: approx_percentile's GK sketch
     // guarantees rank error ≤ n/accuracy. With accuracy=100 on ~32-row
