@@ -967,6 +967,18 @@ object TrainQueries {
       .orderBy("doc_id")
   }
 
+  /** Resize over binary payloads (stub codec: every-4th-byte
+    * nearest-neighbor downsample) — all fields oracle-checked including
+    * the checksum: the corpus text is single-byte characters, so DuckDB
+    * can rebuild the exact strided byte string.
+    */
+  private def qResize(s: SparkSession, dir: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    Multimodal.resizeStub(Multimodal.asMedia(t(s, dir, "documents")), 4)
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** Frame sampling over binary payloads: each document expands to
     * ceil(n_bytes/64) frame rows with per-frame checksums — the video
     * decode/frame-extract pipeline shape with a stub codec.
@@ -1097,7 +1109,8 @@ object TrainQueries {
     "q58_stream_sink" -> ((s: SparkSession, dir: String) =>
       EventStream.windowedCountsToParquet(s, s"$dir/events.parquet")),
     "q59_ivf_multiprobe_recall" -> (qIvfMultiProbeRecall _),
-    "q60_range_shard" -> (qRangeShard _))
+    "q60_range_shard" -> (qRangeShard _),
+    "q61_resize" -> (qResize _))
 
   def oracleSql: Map[String, String] = Map(
     "q21_text_stats" ->
@@ -1507,6 +1520,17 @@ object TrainQueries {
     "q51_ann_recall" -> annRecallOracle,
     "q56_lsh_multiprobe_recall" -> lshMultiProbeOracle,
     "q59_ivf_multiprobe_recall" -> ivfMultiProbeOracle,
+    "q61_resize" ->
+      """WITH r AS (SELECT doc_id, text,
+             array_to_string(list_transform(range(1, length(text) + 1, 4),
+               i -> substring(text, i, 1)), '') AS red
+           FROM documents)
+         SELECT doc_id, CAST(length(text) AS BIGINT) AS orig_bytes,
+             CAST(length(red) AS BIGINT) AS resized_bytes,
+             CAST(list_sum(list_transform(range(1, length(red) + 1),
+               i -> ascii(substring(red, i, 1)))) AS BIGINT) AS resized_sum,
+             md5(red) AS resized_checksum
+         FROM r ORDER BY doc_id""",
     "q60_range_shard" ->
       """WITH b AS (SELECT lang,
              quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS b1,

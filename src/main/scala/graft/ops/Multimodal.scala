@@ -80,6 +80,41 @@ object Multimodal {
   case class Frame(doc_id: Long, frame_idx: Long, frame_len: Long,
       frame_sum: Long, frame_checksum: String)
 
+  /** A resized payload's features: original and reduced sizes plus the
+    * checksum of the reduced bytes (byte-exact — the oracle recomputes
+    * the same stride over the text column).
+    */
+  case class Resized(doc_id: Long, orig_bytes: Long, resized_bytes: Long,
+      resized_sum: Long, resized_checksum: String)
+
+  /** Resize (stub: keep every `stride`-th byte, the nearest-neighbor
+    * downsample shape — a real image resize changes only the inner
+    * loop). Scan-local like decode: one "codec" per partition, payload
+    * never shuffles, only the narrow resized features flow on. The N→1
+    * reduction is the mirror of [[sampleFrames]]' 1→N expansion,
+    * completing the decode / feature-extract / resize / frame-sample
+    * quartet.
+    */
+  def resizeStub(media: Dataset[MediaRecord], stride: Int)(implicit spark: SparkSession): Dataset[Resized] = {
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val payload = if (r.payload == null) Array.emptyByteArray else r.payload
+        val reduced = Array.ofDim[Byte]((payload.length + stride - 1) / stride)
+        var i = 0
+        while (i < reduced.length) { reduced(i) = payload(i * stride); i += 1 }
+        var s = 0L
+        var j = 0
+        while (j < reduced.length) { s += reduced(j) & 0xff; j += 1 }
+        md.reset()
+        Resized(r.doc_id, payload.length.toLong, reduced.length.toLong, s,
+          hex(md.digest(reduced)))
+      }
+    }
+  }
+
   /** Frame sampling (stub: byte windows stand in for decoded frames) —
     * the 1→N expansion stays scan-local (flatMap inside mapPartitions,
     * no shuffle), and only fixed-size frame features flow downstream,

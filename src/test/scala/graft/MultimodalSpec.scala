@@ -38,6 +38,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames(0).frame_checksum === expected)
   }
 
+  test("resizeStub keeps every stride-th byte, checksums the reduced payload") {
+    implicit val s = spark
+    import s.implicits._
+    val text = "abcdefghij" // stride 4 keeps a, e, i
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val r = Multimodal.resizeStub(Multimodal.asMedia(docs), 4)
+      .collect().head
+    assert(r.orig_bytes === 10L)
+    assert(r.resized_bytes === 3L)
+    assert(r.resized_sum === ("aei".getBytes("UTF-8").map(_ & 0xff).sum).toLong)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = md.digest("aei".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    assert(r.resized_checksum === expected)
+  }
+
   test("mapPartitions plumbing preserves every record") {
     implicit val s = spark
     import s.implicits._
