@@ -1527,8 +1527,9 @@ object TrainQueries {
            FROM documents)
          SELECT doc_id, CAST(length(text) AS BIGINT) AS orig_bytes,
              CAST(length(red) AS BIGINT) AS resized_bytes,
-             CAST(list_sum(list_transform(range(1, length(red) + 1),
-               i -> ascii(substring(red, i, 1)))) AS BIGINT) AS resized_sum,
+             CAST(COALESCE(list_sum(list_transform(range(1, length(red) + 1),
+               i -> ascii(substring(red, i, 1)))), 0) AS BIGINT)
+               AS resized_sum,
              md5(red) AS resized_checksum
          FROM r ORDER BY doc_id""",
     "q60_range_shard" ->

@@ -46,18 +46,22 @@ object Multimodal {
   private def hex(bytes: Array[Byte]): String =
     bytes.map(b => f"${b & 0xff}%02x").mkString
 
+  /** Unsigned byte sum — the stub "brightness" shared by every codec. */
+  private def byteSum(bytes: Array[Byte]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
+    s
+  }
+
   /** The per-record stub decode: byte count, sum of the first 16 bytes
     * (a fake "brightness"), md5 checksum. Deterministic, so the DuckDB
     * oracle can recompute it from the text column.
     */
   def decodeStub(r: MediaRecord, md: MessageDigest): MediaFeatures = {
     val payload = if (r.payload == null) Array.emptyByteArray else r.payload
-    val head = payload.take(16)
-    var sum = 0L
-    var i = 0
-    while (i < head.length) { sum += head(i) & 0xff; i += 1 }
     md.reset()
-    MediaFeatures(r.doc_id, payload.length.toLong, sum,
+    MediaFeatures(r.doc_id, payload.length.toLong, byteSum(payload.take(16)),
       hex(md.digest(payload)))
   }
 
@@ -105,12 +109,9 @@ object Multimodal {
         val reduced = Array.ofDim[Byte]((payload.length + stride - 1) / stride)
         var i = 0
         while (i < reduced.length) { reduced(i) = payload(i * stride); i += 1 }
-        var s = 0L
-        var j = 0
-        while (j < reduced.length) { s += reduced(j) & 0xff; j += 1 }
         md.reset()
-        Resized(r.doc_id, payload.length.toLong, reduced.length.toLong, s,
-          hex(md.digest(reduced)))
+        Resized(r.doc_id, payload.length.toLong, reduced.length.toLong,
+          byteSum(reduced), hex(md.digest(reduced)))
       }
     }
   }
@@ -131,11 +132,8 @@ object Multimodal {
           val from = f * frameSize
           val frame = payload.slice(from,
             math.min(from + frameSize, payload.length))
-          var s = 0L
-          var i = 0
-          while (i < frame.length) { s += frame(i) & 0xff; i += 1 }
           md.reset()
-          Frame(r.doc_id, f.toLong, frame.length.toLong, s,
+          Frame(r.doc_id, f.toLong, frame.length.toLong, byteSum(frame),
             hex(md.digest(frame)))
         }
       }

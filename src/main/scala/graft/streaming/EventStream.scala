@@ -128,8 +128,13 @@ object EventStream {
     query.awaitTermination()
     // a stream whose event-time span closes no window writes no batch
     // (the foreachBatch guard skips empties) → no directory exists; the
-    // batch equivalence demands an empty result, not a read failure
-    if (new java.io.File(outDir).exists())
+    // batch equivalence demands an empty result, not a read failure.
+    // Existence is checked through the session's Hadoop filesystem —
+    // the SAME resolution the writer used — not java.io.File, which
+    // would silently report "empty" for any non-local default FS
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(outPath))
       spark.read.parquet(outDir)
         .orderBy("window_start_ms", "event_type")
     else
