@@ -1247,7 +1247,8 @@ object TrainQueries {
                 id_b AS neighbor_id, sim, bucket
          FROM rk WHERE rank <= 3 ORDER BY query_id, rank""",
     "q30_multimodal" ->
-      """WITH h AS (SELECT doc_id, text, hex(encode(text)) AS hx
+      """WITH h AS (SELECT doc_id, COALESCE(text, '') AS text,
+             hex(encode(COALESCE(text, ''))) AS hx
            FROM documents),
          hs AS (SELECT doc_id, CAST(COALESCE(SUM(
                CAST('0x' || substr(hx, CAST(b * 2 + 1 AS BIGINT), 2)
@@ -1521,7 +1522,7 @@ object TrainQueries {
     "q56_lsh_multiprobe_recall" -> lshMultiProbeOracle,
     "q59_ivf_multiprobe_recall" -> ivfMultiProbeOracle,
     "q61_resize" ->
-      """WITH r AS (SELECT doc_id, text,
+      """WITH r AS (SELECT doc_id, COALESCE(text, '') AS text,
              array_to_string(list_transform(range(1, length(text) + 1, 4),
                i -> substring(text, i, 1)), '') AS red
            FROM documents)

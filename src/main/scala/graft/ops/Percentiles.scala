@@ -132,7 +132,14 @@ object Percentiles {
     val sortCols = g :+ col("__v")
     val sorted = data.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-    val perPart: Array[(Int, Seq[Any], Long)] = sorted.rdd
+    // INVARIANT: both passes below must iterate the SAME RDD instance —
+    // Dataset.rdd is a lazy val, so the shuffle stage is planned once and
+    // reused, giving both jobs identical range-partition assignments
+    // (ties at partition boundaries land identically). A refactor that
+    // re-derives .rdd (or rebuilds the plan) per pass would silently
+    // break the offset arithmetic under boundary ties.
+    val sortedRdd = sorted.rdd
+    val perPart: Array[(Int, Seq[Any], Long)] = sortedRdd
       .mapPartitionsWithIndex { (pid, it) =>
         val m = scala.collection.mutable.LinkedHashMap[Seq[Any], Long]()
         it.foreach { r =>
@@ -149,7 +156,7 @@ object Percentiles {
         }
       }
     val bcOff = spark.sparkContext.broadcast(offsets)
-    val probeRows = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val probeRows = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
       val local = scala.collection.mutable.HashMap[Seq[Any], Long]()
       it.flatMap { r =>
         val k = (0 until gl).map(r.get)

@@ -95,11 +95,12 @@ object EventStream {
 
   /** The same windowed aggregation as [[windowedCounts]], delivered
     * through a `foreachBatch` parquet sink instead of the memory sink —
-    * the production streaming-write pattern: each micro-batch's append
-    * output lands as parquet files (transactional per batch via the
-    * batchId, which an idempotent production sink would key on), and
-    * the result is the read-back table. Same batch-equivalence oracle
-    * as q31 — the sink must not change the data.
+    * the production streaming-write pattern. The sink IS idempotent:
+    * each micro-batch overwrites its own `batch-<batchId>` directory, so
+    * a retried/re-executed batch replaces its previous output instead of
+    * appending duplicates. The result is the read-back of all batch
+    * directories. Same batch-equivalence oracle as q31 — the sink must
+    * not change the data.
     */
   def windowedCountsToParquet(spark: SparkSession, srcParquet: String,
       window: String = "10 minutes",
@@ -119,8 +120,11 @@ object EventStream {
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // overwrite keyed on batchId = idempotence under micro-batch
+        // retry (Structured Streaming replays a batch with the same id
+        // and the same data after a failure)
         if (!batch.isEmpty) {
-          batch.write.mode("append").parquet(outDir)
+          batch.write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
         }
       }
       .trigger(Trigger.AvailableNow())
@@ -135,7 +139,8 @@ object EventStream {
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     val fs = outPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(outPath))
-      spark.read.parquet(outDir)
+      // per-batch subdirectories are not partition dirs — recurse
+      spark.read.option("recursiveFileLookup", "true").parquet(outDir)
         .orderBy("window_start_ms", "event_type")
     else
       spark.createDataFrame(
