@@ -1062,6 +1062,111 @@ object TrainQueries {
       .orderBy("user_id", "session_idx")
   }
 
+  /** CSV source/sink roundtrip — the remaining text-format source: write
+    * orders as headered CSV, read back under the DECLARED schema (no
+    * inference at scale — one pass, no sampling job), aggregate. Doubles
+    * survive the trip exactly (Java's shortest-roundtrip toString both
+    * directions), so the oracle can aggregate the parquet directly.
+    */
+  private def qCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
+        s.sparkContext.applicationId)
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    o.write.mode("overwrite").option("header", "true").csv(out)
+    s.read.schema(o.schema).option("header", "true").csv(out)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** ORC source/sink roundtrip — the remaining columnar format (built
+    * into Spark, same pushdown/pruning machinery as parquet): write a
+    * lineitem projection as ORC, read back, aggregate per flag/status.
+    */
+  private def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
+        s.sparkContext.applicationId)
+    val li = t(s, dir, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+    li.write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_items"),
+        sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(money(col("l_extendedprice"))).cast("double").as("sum_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (the exact member of the dedup
+    * family, alongside MinHash-approximate q25): trigram inverted index
+    * with a df ≤ 100 stop-gram cap, Jaccard ≥ 0.5
+    * ([[NearDup.ngramJaccardPairs]]).
+    */
+  private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    NearDup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minJaccard = 0.5, maxDf = 100L)
+      .orderBy("id_a", "id_b")
+
+  /** Corpus-wide heavy hitters: top-20 word bigrams by total occurrence
+    * count (the vocabulary/boilerplate profiling primitive). Map-side
+    * partial aggregation absorbs the per-partition repetition before the
+    * single gram shuffle; top-k via TakeOrderedAndProject, never a full
+    * sort. Deterministic total order: count desc, gram asc.
+    */
+  private def qTopBigrams(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("__toks", TextFns.tokens("text"))
+      .select(explode(TextFns.wordBigrams("__toks")).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram").asc)
+      .limit(20)
+
+  /** lag/lead/ntile window surface: per-user inter-event gaps, next
+    * event id, and event-count quartile. Partitioned by user — the
+    * window parallelizes across users; ordering is (ts_ms, event_id) so
+    * ties are deterministic in any engine.
+    */
+  private def qEventLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("prev_gap_ms", col("ts_ms") - lag("ts_ms", 1).over(w))
+      .withColumn("next_event_id", lead("event_id", 1).over(w))
+      .withColumn("qtile", ntile(4).over(w))
+      .select("user_id", "event_id", "prev_gap_ms", "next_event_id", "qtile")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Incremental dedup: a new document batch against an already-ingested
+    * corpus snapshot — the production shape of exact dedup (every
+    * ingest run dedups against history, not just itself). Anti-join on
+    * the md5 fingerprint (32 bytes shuffle-side, never text), then
+    * first-per-fingerprint (min doc_id) within the batch. At 100 TB the
+    * seen-set side is a hash-partitioned fingerprint table the ingest
+    * job shuffle-anti-joins against; Spark's runtime bloom filter prunes
+    * most probes before the exchange.
+    */
+  private def qIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("fingerprint"))
+    val seen = docs.filter(col("doc_id") % 10 === 0)
+    val incoming = docs.filter(col("doc_id") % 10 =!= 0)
+    incoming
+      .join(seen.select("fingerprint"), Seq("fingerprint"), "left_anti")
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "fingerprint")
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -1110,7 +1215,13 @@ object TrainQueries {
       EventStream.windowedCountsToParquet(s, s"$dir/events.parquet")),
     "q59_ivf_multiprobe_recall" -> (qIvfMultiProbeRecall _),
     "q60_range_shard" -> (qRangeShard _),
-    "q61_resize" -> (qResize _))
+    "q61_resize" -> (qResize _),
+    "q62_csv_roundtrip" -> (qCsvRoundtrip _),
+    "q63_orc_roundtrip" -> (qOrcRoundtrip _),
+    "q64_ngram_jaccard" -> (qNgramJaccard _),
+    "q65_top_bigrams" -> (qTopBigrams _),
+    "q66_event_lag" -> (qEventLag _),
+    "q67_incremental_dedup" -> (qIncrementalDedup _))
 
   def oracleSql: Map[String, String] = Map(
     "q21_text_stats" ->
@@ -1629,5 +1740,67 @@ object TrainQueries {
            FROM g)
          SELECT user_id, session_idx, COUNT(*) AS n_events,
                 MIN(ms) AS session_start_ms, MAX(ms) AS session_end_ms
-         FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""")
+         FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""",
+    "q62_csv_roundtrip" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q63_orc_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_price
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q64_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents),
+         g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(t) - 2, 1) + 1),
+                 i -> array_to_string(t[i:i+2], ' ')))) AS gram
+               FROM toks),
+         keep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 100),
+         idx AS (SELECT g.doc_id, g.gram FROM g JOIN keep USING (gram)),
+         na AS (SELECT doc_id, count(*) AS n FROM idx GROUP BY 1),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 count(*) AS n_shared
+               FROM idx a JOIN idx b
+                 ON a.gram = b.gram AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+         SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+             CAST(n_shared AS DOUBLE)
+               / CAST(x.n + y.n - n_shared AS DOUBLE) AS jaccard
+         FROM p JOIN na x ON p.id_a = x.doc_id
+                JOIN na y ON p.id_b = y.doc_id
+         WHERE CAST(n_shared AS DOUBLE)
+               / CAST(x.n + y.n - n_shared AS DOUBLE) >= 0.5
+         ORDER BY id_a, id_b""",
+    "q65_top_bigrams" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
+         g AS (SELECT unnest(CASE WHEN len(t) >= 2
+                 THEN list_transform(range(1, len(t)),
+                   i -> t[i] || ' ' || t[i + 1])
+                 ELSE [] END) AS gram
+               FROM d)
+         SELECT gram, COUNT(*) AS n FROM g
+         GROUP BY 1 ORDER BY n DESC, gram ASC LIMIT 20""",
+    "q66_event_lag" ->
+      """WITH e AS (SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ts_ms FROM events)
+         SELECT user_id, event_id,
+             ts_ms - lag(ts_ms) OVER w AS prev_gap_ms,
+             lead(event_id) OVER w AS next_event_id,
+             CAST(ntile(4) OVER w AS INT) AS qtile
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+         ORDER BY user_id, event_id""",
+    "q67_incremental_dedup" ->
+      """WITH f AS (SELECT doc_id, md5(text) AS fingerprint FROM documents),
+         seen AS (SELECT DISTINCT fingerprint FROM f WHERE doc_id % 10 = 0),
+         inc AS (SELECT * FROM f WHERE doc_id % 10 <> 0)
+         SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, fingerprint
+         FROM inc
+         WHERE NOT EXISTS (SELECT 1 FROM seen
+                           WHERE seen.fingerprint = inc.fingerprint)
+         GROUP BY fingerprint ORDER BY doc_id""")
 }

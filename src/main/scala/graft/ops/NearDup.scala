@@ -322,4 +322,59 @@ object NearDup {
       .select(col("id_a"), col("__m.id_b").as("id_b"),
         col("__m.hamming").as("hamming"))
   }
+
+  /** Exact n-gram Jaccard near-dup pairs via a document-frequency-capped
+    * inverted gram index — the EXACT counterpart of the MinHash pipeline
+    * (reference surface: dedup families; this is the "n-gram Jaccard"
+    * member).
+    *
+    * Semantics: Jaccard over each document's DISTINCT word n-grams,
+    * restricted to grams appearing in ≤ `maxDf` documents (stop-gram
+    * removal — the published trick that bounds the inverted-index
+    * posting lists; a gram shared by k documents otherwise generates
+    * k² candidate pairs). Pairs with capped-Jaccard ≥ `minJaccard` are
+    * returned with the exact |∩| and the Jaccard value.
+    *
+    * Plan shape at 100 TB: grams travel only as md5 hashes (never the
+    * strings); the df cap is a partial-aggregated count over those
+    * hashes; the sole pair-producing join is a self-equi-join on the
+    * gram hash whose per-key fanout is ≤ maxDf by construction; the
+    * pair aggregation is a shuffle of (id_a, id_b) longs. Nothing is
+    * quadratic in the corpus, only in the capped posting-list length.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minJaccard: Double, maxDf: Long): DataFrame = {
+    // one split per row (bound to a column so CollapseProject cannot
+    // inline it into the per-position gram lambda — SURVEY §7.3)
+    val grams = docs
+      .select(col(idCol).as("__id"), split(col(textCol), " ").as("__toks"))
+      .select(col("__id"),
+        explode(graft.ops.Contamination.wordGrams("__toks", n)).as("__gram"))
+      .select(col("__id"), md5(col("__gram")).as("__gh"))
+    // df cap: grams are distinct per doc, so df = row count per hash.
+    // Aggregate + semi-join rather than a count-over-Window: the window
+    // form would BUFFER each gram's whole posting list in the window
+    // frame, and the skewed stop-grams the cap exists to remove are
+    // exactly the lists that don't fit. The aggregate is map-side
+    // partial (a billion-row stop-gram costs one long per partition)
+    // and the semi-join carries only the 32-byte hash.
+    val keep = grams.groupBy("__gh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .select("__gh")
+    val capped = grams.join(keep, "__gh").select("__id", "__gh")
+    val sizes = capped.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val shared = capped.select(col("__id").as("id_a"), col("__gh"))
+      .join(capped.select(col("__id").as("id_b"), col("__gh")), "__gh")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("__id").as("id_a"), col("__n").as("__na")), "id_a")
+      .join(sizes.select(col("__id").as("id_b"), col("__n").as("__nb")), "id_b")
+      .withColumn("jaccard",
+        col("n_shared").cast("double") /
+          (col("__na") + col("__nb") - col("n_shared")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "n_shared", "jaccard")
+  }
 }

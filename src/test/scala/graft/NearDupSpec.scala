@@ -119,4 +119,44 @@ class NearDupSpec extends AnyFunSuite {
     assert(blocked === brute)
     assert(blocked(1L) === ((2L, 0L))) // exact copy found at hamming 0
   }
+
+  test("ngram jaccard: exact copy scores 1.0, near-copy in (0,1), unrelated absent") {
+    val pairs = NearDup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.1, maxDf = 100L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    val near = pairs((1L, 3L))
+    assert(near > 0.0 && near < 1.0)
+    // doc 1 has 10 tokens → 8 trigrams, doc 3 has 11 → 9; the first 7
+    // positions agree → 7 / (8 + 9 − 7)
+    assert(math.abs(near - 7.0 / 10.0) < 1e-12)
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("ngram jaccard: df cap removes stop-grams from candidates AND sizes") {
+    import spark.implicits._
+    // every doc shares the ubiquitous prefix; only 1 and 2 share a tail.
+    // with the prefix grams capped away (df = 4 > maxDf = 3), the pair
+    // (1,2) is scored over tail grams alone and all other pairs vanish.
+    val d = Seq(
+      (1L, "the quick brown fox jumps alpha beta gamma"),
+      (2L, "the quick brown fox jumps alpha beta gamma"),
+      (3L, "the quick brown fox jumps delta epsilon zeta"),
+      (4L, "the quick brown fox jumps eta theta iota")
+    ).toDF("doc_id", "text")
+    val capped = NearDup.ngramJaccardPairs(d, "doc_id", "text",
+        n = 3, minJaccard = 0.01, maxDf = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    // grams "the quick brown".."jumps delta|alpha|eta *" — the first 3
+    // trigrams have df 4 and are capped; (1,2) keep their 3 tail grams
+    assert(capped((1L, 2L)) === 1.0)
+    // (1,3): tail grams disjoint, shared grams all capped → no pair row
+    assert(capped.size === 1)
+    // uncapped control: every pair shares the prefix grams → 6 pairs
+    val uncapped = NearDup.ngramJaccardPairs(d, "doc_id", "text",
+        n = 3, minJaccard = 0.01, maxDf = 100L).count()
+    assert(uncapped === 6L)
+  }
 }

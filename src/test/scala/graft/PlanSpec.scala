@@ -157,4 +157,30 @@ class PlanSpec extends AnyFunSuite {
     assert(unbucketed.queryExecution.executedPlan.toString
       .contains("Exchange"))
   }
+
+  test("q65: top-k is TakeOrderedAndProject, never a full global sort") {
+    val df = SparkEntry.queries("q65_top_bigrams")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"))
+    // and the gram count aggregation is map-side partial
+    assert(p.contains("partial_count"))
+  }
+
+  test("q64: pair production is an equi-join on the gram hash, no cartesian") {
+    val df = SparkEntry.queries("q64_ngram_jaccard")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("__gh")) // the inverted-index join key
+  }
+
+  test("q67: incremental dedup plans a hash anti-join on the fingerprint") {
+    val df = SparkEntry.queries("q67_incremental_dedup")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }
