@@ -1167,6 +1167,67 @@ object TrainQueries {
       .orderBy("doc_id")
   }
 
+  /** BPE-style token counting: letter runs, digit runs, punctuation runs
+    * (a lookaround-free pre-tokenization class — the GPT-2 pattern's
+    * portable core), against the whitespace count. The tokenizer-budget
+    * profiling primitive: scan-local regexp, no UDF, no shuffle beyond
+    * the final sort.
+    */
+  private def qBpeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(expr(
+          "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+', 0)"))
+          .cast("long").as("n_bpe_tokens"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"))
+      .withColumn("bpe_per_ws",
+        col("n_bpe_tokens").cast("double") / col("n_ws_tokens").cast("double"))
+      .orderBy("doc_id")
+
+  /** Parquet schema evolution: two writer generations with different
+    * columns, read back as ONE table via `mergeSchema` — the source
+    * surface a years-long 100 TB corpus actually has (schemas drift;
+    * re-writing history is not an option). Missing columns null-fill;
+    * the aggregate proves both generations contribute.
+    */
+  private def qSchemaMerge(s: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_merge_" +
+        s.sparkContext.applicationId)
+    val docs = t(s, dir, "documents")
+    docs.select("doc_id", "lang").write.mode("overwrite")
+      .parquet(s"$out/gen1")
+    docs.select("doc_id", "n_chars").write.mode("overwrite")
+      .parquet(s"$out/gen2")
+    s.read.option("mergeSchema", "true").parquet(s"$out/gen1", s"$out/gen2")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("n_chars")).as("n_with_chars"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang").asc_nulls_first)
+  }
+
+  /** Batch interval join through the bin-bucketed equi-join
+    * ([[graft.ops.IntervalJoin.within]]) — same click→purchase
+    * attribution semantics as streaming q57, proving the batch and
+    * streaming paths agree (they share the oracle).
+    */
+  private def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("ms", unix_millis(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ms").as("c_ms"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ms").as("p_ms"))
+    graft.ops.IntervalJoin.within(clicks, purchases, "user_id",
+        "c_ms", "p_ms", 600000L)
+      .select(col("click_id"), col("purchase_id"),
+        (col("p_ms") - col("c_ms")).as("lag_ms"))
+      .orderBy("click_id", "purchase_id")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -1221,7 +1282,24 @@ object TrainQueries {
     "q64_ngram_jaccard" -> (qNgramJaccard _),
     "q65_top_bigrams" -> (qTopBigrams _),
     "q66_event_lag" -> (qEventLag _),
-    "q67_incremental_dedup" -> (qIncrementalDedup _))
+    "q67_incremental_dedup" -> (qIncrementalDedup _),
+    "q68_bpe_tokens" -> (qBpeTokens _),
+    "q69_schema_merge" -> (qSchemaMerge _),
+    "q70_interval_join" -> (qIntervalJoin _))
+
+  /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
+    * engines implement the SAME interval-join semantics and must agree
+    * with the same replay.
+    */
+  private val intervalJoinOracle =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events)
+       SELECT c.event_id AS click_id, v.event_id AS purchase_id,
+              CAST(v.ms - c.ms AS BIGINT) AS lag_ms
+       FROM e c JOIN e v ON c.user_id = v.user_id
+       WHERE c.event_type = 'click' AND v.event_type = 'purchase'
+         AND v.ms >= c.ms AND v.ms <= c.ms + 600000
+       ORDER BY click_id, purchase_id"""
 
   def oracleSql: Map[String, String] = Map(
     "q21_text_stats" ->
@@ -1662,15 +1740,8 @@ object TrainQueries {
              CAST(MIN(n_chars) AS BIGINT) AS min_chars,
              CAST(MAX(n_chars) AS BIGINT) AS max_chars
          FROM a GROUP BY 1, 2 ORDER BY lang, shard""",
-    "q57_stream_stream_join" ->
-      """WITH e AS (SELECT user_id, event_id, event_type,
-             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events)
-         SELECT c.event_id AS click_id, v.event_id AS purchase_id,
-                CAST(v.ms - c.ms AS BIGINT) AS lag_ms
-         FROM e c JOIN e v ON c.user_id = v.user_id
-         WHERE c.event_type = 'click' AND v.event_type = 'purchase'
-           AND v.ms >= c.ms AND v.ms <= c.ms + 600000
-         ORDER BY click_id, purchase_id""",
+    "q57_stream_stream_join" -> intervalJoinOracle,
+    "q70_interval_join" -> intervalJoinOracle,
     "q52_pii_scrub" ->
       """SELECT c_custkey, md5(c_name) AS name_hash,
              regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
@@ -1802,5 +1873,24 @@ object TrainQueries {
          FROM inc
          WHERE NOT EXISTS (SELECT 1 FROM seen
                            WHERE seen.fingerprint = inc.fingerprint)
-         GROUP BY fingerprint ORDER BY doc_id""")
+         GROUP BY fingerprint ORDER BY doc_id""",
+    "q68_bpe_tokens" ->
+      """SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')) AS BIGINT)
+               AS n_bpe_tokens,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS bpe_per_ws
+         FROM documents ORDER BY doc_id""",
+    "q69_schema_merge" ->
+      """WITH m AS (SELECT lang, CAST(NULL AS BIGINT) AS n_chars
+                    FROM documents
+                    UNION ALL
+                    SELECT CAST(NULL AS VARCHAR), n_chars FROM documents)
+         SELECT lang, COUNT(*) AS n_rows,
+             COUNT(n_chars) AS n_with_chars,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM m GROUP BY lang ORDER BY lang NULLS FIRST""")
 }

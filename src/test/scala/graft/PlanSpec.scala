@@ -176,6 +176,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("__gh")) // the inverted-index join key
   }
 
+  test("q70: interval join is a bin equi-join, never a nested-loop range join") {
+    val df = SparkEntry.queries("q70_interval_join")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("__bin")) // the time-bucket equi-join key
+  }
+
+  test("partitioned parquet sink: partition filter prunes at the scan") {
+    import org.apache.spark.sql.functions._
+    val out = Scratch.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_prune_" +
+        spark.sparkContext.applicationId)
+    Tables(spark, dir, "events")
+      .select("event_id", "user_id", "event_type")
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    val q = spark.read.parquet(out).filter(col("event_type") === "click")
+    q.count()
+    val scan = q.queryExecution.executedPlan.toString
+    // the predicate must land in PartitionFilters (directory pruning —
+    // non-click partitions are never opened), not in the data filters
+    assert(scan.contains("PartitionFilters"))
+    val pf = scan.split("PartitionFilters:").last.split("]").head
+    assert(pf.contains("event_type") && pf.contains("click"))
+  }
+
   test("q67: incremental dedup plans a hash anti-join on the fingerprint") {
     val df = SparkEntry.queries("q67_incremental_dedup")(spark, dir)
     df.count()
