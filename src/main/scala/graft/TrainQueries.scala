@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{QuantizedCentroid, TextFns}
-import graft.ops.{Contamination, Multimodal, NearDup, Percentiles, Salting, Sampling, Sessionize, Similarity}
+import graft.ops.{Contamination, DedupClusters, Multimodal, NearDup, Percentiles, Salting, Sampling, Sessionize, Similarity}
 import graft.streaming.{EventStream, StatefulSessions}
 
 /** Training-data-pipeline operators (SURVEY §7.2.8) as driver-contract
@@ -1228,6 +1228,19 @@ object TrainQueries {
       .orderBy("click_id", "purchase_id")
   }
 
+  /** Duplicate-cluster resolution: q64's exact-Jaccard pairs →
+    * connected components → (doc, representative, cluster size) — the
+    * step that makes near-dup detection actionable (keep min-id per
+    * component, drop the rest). [[DedupClusters.clusters]].
+    */
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = NearDup.ngramJaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, minJaccard = 0.5, maxDf = 100L)
+      .select("id_a", "id_b")
+    DedupClusters.clusters(pairs, "id_a", "id_b")
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -1285,7 +1298,8 @@ object TrainQueries {
     "q67_incremental_dedup" -> (qIncrementalDedup _),
     "q68_bpe_tokens" -> (qBpeTokens _),
     "q69_schema_merge" -> (qSchemaMerge _),
-    "q70_interval_join" -> (qIntervalJoin _))
+    "q70_interval_join" -> (qIntervalJoin _),
+    "q71_dedup_clusters" -> (qDedupClusters _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -1300,6 +1314,26 @@ object TrainQueries {
        WHERE c.event_type = 'click' AND v.event_type = 'purchase'
          AND v.ms >= c.ms AND v.ms <= c.ms + 600000
        ORDER BY click_id, purchase_id"""
+
+  /** Shared by q64 (pairs) and q71 (clusters over those pairs): the
+    * df-capped trigram inverted index — mirrors
+    * [[NearDup.ngramJaccardPairs]] (n=3, maxDf=100).
+    */
+  private val ngramIdxCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+       g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' ')))) AS gram
+             FROM toks),
+       keep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 100),
+       idx AS (SELECT g.doc_id, g.gram FROM g JOIN keep USING (gram)),
+       na AS (SELECT doc_id, count(*) AS n FROM idx GROUP BY 1),
+       p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               count(*) AS n_shared
+             FROM idx a JOIN idx b
+               ON a.gram = b.gram AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)"""
 
   def oracleSql: Map[String, String] = Map(
     "q21_text_stats" ->
@@ -1825,20 +1859,7 @@ object TrainQueries {
                AS sum_price
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
     "q64_ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-                       FROM documents),
-         g AS (SELECT doc_id, unnest(list_distinct(list_transform(
-                 range(1, greatest(len(t) - 2, 1) + 1),
-                 i -> array_to_string(t[i:i+2], ' ')))) AS gram
-               FROM toks),
-         keep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 100),
-         idx AS (SELECT g.doc_id, g.gram FROM g JOIN keep USING (gram)),
-         na AS (SELECT doc_id, count(*) AS n FROM idx GROUP BY 1),
-         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 count(*) AS n_shared
-               FROM idx a JOIN idx b
-                 ON a.gram = b.gram AND a.doc_id < b.doc_id
-               GROUP BY 1, 2)
+      s"""WITH $ngramIdxCte
          SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
              CAST(n_shared AS DOUBLE)
                / CAST(x.n + y.n - n_shared AS DOUBLE) AS jaccard
@@ -1847,6 +1868,25 @@ object TrainQueries {
          WHERE CAST(n_shared AS DOUBLE)
                / CAST(x.n + y.n - n_shared AS DOUBLE) >= 0.5
          ORDER BY id_a, id_b""",
+    "q71_dedup_clusters" ->
+      s"""WITH RECURSIVE $ngramIdxCte,
+         pairs AS (SELECT id_a, id_b
+               FROM p JOIN na x ON p.id_a = x.doc_id
+                      JOIN na y ON p.id_b = y.doc_id
+               WHERE CAST(n_shared AS DOUBLE)
+                     / CAST(x.n + y.n - n_shared AS DOUBLE) >= 0.5),
+         sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION
+                 SELECT id_b, id_a FROM pairs),
+         r AS (SELECT src AS node, dst AS peer FROM sym
+               UNION
+               SELECT r.node, s.dst FROM r JOIN sym s ON r.peer = s.src),
+         lab AS (SELECT node, LEAST(node, MIN(peer)) AS cluster_rep
+                 FROM r GROUP BY node),
+         sz AS (SELECT cluster_rep, COUNT(*) AS n_members
+                FROM lab GROUP BY 1)
+         SELECT lab.node AS doc_id, lab.cluster_rep, sz.n_members
+         FROM lab JOIN sz USING (cluster_rep) ORDER BY doc_id""",
     "q65_top_bigrams" ->
       """WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
          g AS (SELECT unnest(CASE WHEN len(t) >= 2
