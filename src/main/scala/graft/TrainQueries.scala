@@ -1241,6 +1241,46 @@ object TrainQueries {
       .orderBy("doc_id")
   }
 
+  /** Context-window chunking: overlapping 32-token windows at stride 24
+    * (training-sequence slicing). Entirely scan-local — one explode of
+    * the start positions per document, no shuffle before the final
+    * sort; chunk text travels as an md5 only.
+    */
+  private def qChunking(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("__toks", TextFns.tokens("text"))
+      .select(col("doc_id"),
+        explode(expr("sequence(1, size(__toks), 24)")).as("__start"),
+        col("__toks"))
+      .select(col("doc_id"),
+        ((col("__start") - 1) / 24).cast("long").as("chunk_idx"),
+        expr("array_join(slice(__toks, __start, 32), ' ')").as("__chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(split(col("__chunk"), " ")).cast("long").as("n_chunk_tokens"),
+        md5(col("__chunk")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Sequence packing: documents assigned (whole, in doc_id order) to
+    * 2048-token training bins by their exact global token offset —
+    * computed with the distributed prefix sum ([[graft.ops.Packing]]),
+    * NOT a single-task `SUM() OVER (ORDER BY …)` window.
+    */
+  private def qSeqPacking(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    graft.ops.Packing.withRunningSum(docs, "__cum", "n_tokens", col("doc_id"))
+      .withColumn("bin_id",
+        floor((col("__cum") - col("n_tokens")).cast("double") / lit(2048.0))
+          .cast("long"))
+      .groupBy("bin_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("bin_id")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -1299,7 +1339,9 @@ object TrainQueries {
     "q68_bpe_tokens" -> (qBpeTokens _),
     "q69_schema_merge" -> (qSchemaMerge _),
     "q70_interval_join" -> (qIntervalJoin _),
-    "q71_dedup_clusters" -> (qDedupClusters _))
+    "q71_dedup_clusters" -> (qDedupClusters _),
+    "q72_chunking" -> (qChunking _),
+    "q73_seq_packing" -> (qSeqPacking _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -1932,5 +1974,34 @@ object TrainQueries {
          SELECT lang, COUNT(*) AS n_rows,
              COUNT(n_chars) AS n_with_chars,
              CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-         FROM m GROUP BY lang ORDER BY lang NULLS FIRST""")
+         FROM m GROUP BY lang ORDER BY lang NULLS FIRST""",
+    "q72_chunking" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents),
+         st AS (SELECT doc_id, t, unnest(range(1, len(t) + 1, 24)) AS s
+                FROM d),
+         c AS (SELECT doc_id, CAST((s - 1) // 24 AS BIGINT) AS chunk_idx,
+                 array_to_string(t[s:s+31], ' ') AS chunk
+               FROM st)
+         SELECT doc_id, chunk_idx,
+             CAST(len(string_split(chunk, ' ')) AS BIGINT)
+               AS n_chunk_tokens,
+             md5(chunk) AS chunk_hash
+         FROM c ORDER BY doc_id, chunk_idx""",
+    "q73_seq_packing" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM d),
+         b AS (SELECT doc_id, n_tokens,
+             CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 2048.0) AS BIGINT)
+               AS bin_id
+           FROM c)
+         SELECT bin_id, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_bin_tokens,
+             MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         FROM b GROUP BY 1 ORDER BY 1""")
 }
