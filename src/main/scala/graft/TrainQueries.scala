@@ -1281,6 +1281,43 @@ object TrainQueries {
       .orderBy("bin_id")
   }
 
+  /** CUBE grouping sets (completes the grouping surface next to q38's
+    * ROLLUP): all four (returnflag × linestatus) subtotal combinations
+    * in one partial-aggregated pass — Spark expands the grouping sets
+    * before the exchange, so it stays a single shuffle.
+    */
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("bigint").as("gid"),
+        count(lit(1)).as("n_items"),
+        sum(money(col("l_quantity"))).cast("double").as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("gid"), col("n_items"), col("sum_qty"))
+      .orderBy("gid", "returnflag", "linestatus")
+
+  /** Distribution window functions (percent_rank / cume_dist /
+    * first_value / last_value) per user over event time — the remaining
+    * §2.5 window members. Per-user partitions parallelize; the
+    * (ts_ms, event_id) total order makes every value deterministic.
+    */
+  private def qWindowDist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms").asc, col("event_id").asc)
+    val wFull = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("first_event", first("event_id").over(wFull))
+      .withColumn("last_event", last("event_id").over(wFull))
+      .select("user_id", "event_id", "pr", "cd", "first_event", "last_event")
+      .orderBy("user_id", "event_id")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -1341,7 +1378,9 @@ object TrainQueries {
     "q70_interval_join" -> (qIntervalJoin _),
     "q71_dedup_clusters" -> (qDedupClusters _),
     "q72_chunking" -> (qChunking _),
-    "q73_seq_packing" -> (qSeqPacking _))
+    "q73_seq_packing" -> (qSeqPacking _),
+    "q74_cube" -> (qCube _),
+    "q75_window_dist" -> (qWindowDist _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -2003,5 +2042,27 @@ object TrainQueries {
          SELECT bin_id, COUNT(*) AS n_docs,
              CAST(SUM(n_tokens) AS BIGINT) AS n_bin_tokens,
              MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-         FROM b GROUP BY 1 ORDER BY 1""")
+         FROM b GROUP BY 1 ORDER BY 1""",
+    "q74_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+             COALESCE(l_linestatus, 'ALL') AS linestatus,
+             CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_qty
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY gid, returnflag, linestatus""",
+    "q75_window_dist" ->
+      """WITH e AS (SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ts_ms FROM events)
+         SELECT user_id, event_id,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd,
+             first_value(event_id) OVER (w ROWS BETWEEN UNBOUNDED
+               PRECEDING AND UNBOUNDED FOLLOWING) AS first_event,
+             last_value(event_id) OVER (w ROWS BETWEEN UNBOUNDED
+               PRECEDING AND UNBOUNDED FOLLOWING) AS last_event
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+         ORDER BY user_id, event_id""")
 }

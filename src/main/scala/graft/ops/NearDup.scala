@@ -345,12 +345,17 @@ object NearDup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccard: Double, maxDf: Long): DataFrame = {
     // one split per row (bound to a column so CollapseProject cannot
-    // inline it into the per-position gram lambda — SURVEY §7.3)
+    // inline it into the per-position gram lambda — SURVEY §7.3).
+    // localCheckpoint: genuine fan-out — the gram stream feeds the df
+    // count AND the capped join, and Spark re-evaluates a subtree per
+    // consumer (self-joins never reuse exchanges); without it the
+    // interpreted gram HOF runs 2× here and 3× more through `capped`
     val grams = docs
       .select(col(idCol).as("__id"), split(col(textCol), " ").as("__toks"))
       .select(col("__id"),
         explode(graft.ops.Contamination.wordGrams("__toks", n)).as("__gram"))
       .select(col("__id"), md5(col("__gram")).as("__gh"))
+      .localCheckpoint()
     // df cap: grams are distinct per doc, so df = row count per hash.
     // Aggregate + semi-join rather than a count-over-Window: the window
     // form would BUFFER each gram's whole posting list in the window
@@ -358,10 +363,17 @@ object NearDup {
     // exactly the lists that don't fit. The aggregate is map-side
     // partial (a billion-row stop-gram costs one long per partition)
     // and the semi-join carries only the 32-byte hash.
-    val keep = grams.groupBy("__gh").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf)
+    // inverted cap: the REMOVE set (grams with df > maxDf) is small by
+    // construction — at most total-gram-occurrences / maxDf entries —
+    // so the cap applies as a BROADCAST anti-join and the gram stream
+    // never shuffles for it (a keep-side equi-join would shuffle every
+    // gram row against a keep set nearly as big as the gram vocabulary)
+    val stop = grams.groupBy("__gh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
       .select("__gh")
-    val capped = grams.join(keep, "__gh").select("__id", "__gh")
+    // fan-out ×3: both self-join sides + the per-doc size aggregate
+    val capped = grams.join(broadcast(stop), Seq("__gh"), "left_anti")
+      .localCheckpoint()
     val sizes = capped.groupBy("__id").agg(count(lit(1)).as("__n"))
     val shared = capped.select(col("__id").as("id_a"), col("__gh"))
       .join(capped.select(col("__id").as("id_b"), col("__gh")), "__gh")
