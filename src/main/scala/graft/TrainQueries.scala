@@ -1318,6 +1318,34 @@ object TrainQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Int8 embedding quantization with measured reconstruction error
+    * ([[Similarity.int8QuantStats]]): per-vector cosine between the
+    * exact and the int8-reconstructed vector, plus the max absolute
+    * element error — the compression-trust measurement.
+    */
+  private def qInt8Quant(s: SparkSession, dir: String): DataFrame =
+    Similarity.int8QuantStats(t(s, dir, "embeddings"), "vec_id", "embedding")
+      .orderBy("vec_id")
+
+  /** Snapshot upsert (MERGE-by-key in vanilla Spark): a base snapshot
+    * unioned with an update batch carrying a NEW column
+    * (`unionByName(allowMissingColumns)` null-fills history), then
+    * latest-version-per-key ([[Dedup.firstBy]]) — one key shuffle, the
+    * standard no-table-format merge.
+    */
+  private def qUpsert(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val base = cust.select(col("c_custkey"), col("c_name"),
+      lit(1L).as("version"))
+    val updates = cust.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), upper(col("c_name")).as("c_name"),
+        lit(2L).as("version"), lit("reprocessed").as("update_note"))
+    graft.ops.Dedup.firstBy(
+        base.unionByName(updates, allowMissingColumns = true),
+        Seq("c_custkey"), Seq(col("version").desc))
+      .orderBy("c_custkey")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -1380,7 +1408,9 @@ object TrainQueries {
     "q72_chunking" -> (qChunking _),
     "q73_seq_packing" -> (qSeqPacking _),
     "q74_cube" -> (qCube _),
-    "q75_window_dist" -> (qWindowDist _))
+    "q75_window_dist" -> (qWindowDist _),
+    "q76_int8_quant" -> (qInt8Quant _),
+    "q77_upsert" -> (qUpsert _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -2064,5 +2094,32 @@ object TrainQueries {
              last_value(event_id) OVER (w ROWS BETWEEN UNBOUNDED
                PRECEDING AND UNBOUNDED FOLLOWING) AS last_event
          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
-         ORDER BY user_id, event_id""")
+         ORDER BY user_id, event_id""",
+    "q76_int8_quant" ->
+      s"""WITH $quantCte,
+         am AS (SELECT vec_id, MAX(ABS(x)) AS amax FROM q GROUP BY 1),
+         q8 AS (SELECT q.vec_id, q.i, q.x, am.amax,
+             CAST(FLOOR(CAST(q.x AS DOUBLE) * 127.0
+               / CAST(am.amax AS DOUBLE) + 0.5) AS BIGINT) AS v8
+           FROM q JOIN am ON q.vec_id = am.vec_id),
+         agg AS (SELECT vec_id, SUM(x * v8) AS dxq, SUM(v8 * v8) AS nq,
+             MAX(ABS(CAST(x AS DOUBLE) - CAST(v8 AS DOUBLE)
+               * CAST(amax AS DOUBLE) / 127.0)) AS max_err
+           FROM q8 GROUP BY 1)
+         SELECT agg.vec_id, am.amax AS amax_q,
+             CAST(dxq AS DOUBLE) / (sqrt(CAST(nn AS DOUBLE))
+               * sqrt(CAST(nq AS DOUBLE))) AS cos_sim,
+             max_err
+         FROM agg JOIN nrm ON agg.vec_id = nrm.vec_id
+              JOIN am ON agg.vec_id = am.vec_id
+         ORDER BY agg.vec_id""",
+    "q77_upsert" ->
+      """SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0 THEN upper(c_name)
+                  ELSE c_name END AS c_name,
+             CAST(CASE WHEN c_custkey % 10 = 0 THEN 2 ELSE 1 END
+               AS BIGINT) AS version,
+             CASE WHEN c_custkey % 10 = 0 THEN 'reprocessed'
+                  ELSE NULL END AS update_note
+         FROM customer ORDER BY c_custkey""")
 }

@@ -50,16 +50,18 @@ object DedupClusters {
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy("src").agg(min("label").as("__nl"))
         .withColumnRenamed("src", "node")
+      // the change flag rides the same checkpointed pass — one join and
+      // one materialization per round; the convergence count then reads
+      // materialized blocks instead of re-joining old vs new labels
       val next = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("__nl"), col("label")))
-            .as("label"))
+            .as("label"),
+          (col("__nl").isNotNull && col("__nl") < col("label"))
+            .as("__chg"))
         .localCheckpoint()
-      changed = next
-        .join(labels.withColumnRenamed("label", "__old"), "node")
-        .filter(col("label") =!= col("__old"))
-        .count()
-      labels = next
+      changed = next.filter(col("__chg")).count()
+      labels = next.drop("__chg")
       i += 1
     }
     if (changed > 0)

@@ -227,4 +227,36 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim", "bucket")
   }
+
+  /** Int8 scalar quantization with MEASURED reconstruction error
+    * (SURVEY §2.11 E62) — the embedding-store compression step (4×
+    * smaller than float32), trusted the same way the ANN paths are:
+    * by measuring, not asserting.
+    *
+    * Per vector (over the exact integer form `qv` = floor(x·10⁴+0.5)):
+    * amax = max|qvᵢ|, code qᵢ = floor(qvᵢ·127/amax + 0.5) ∈ [−127,127],
+    * reconstruction q̂ᵢ = qᵢ·amax/127. Reported: cosine(qv, q̂) — the
+    * amax/127 factor cancels, leaving the engine's standard exact-int
+    * dot/norm formula — and max|qvᵢ − q̂ᵢ| (≤ amax/254 by construction,
+    * spec-asserted). Entirely scan-local; zero vectors are excluded
+    * (no direction to preserve). Dots/norms are order-independent
+    * integer sums, max is order-independent — oracle-exact.
+    */
+  def int8QuantStats(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val p = prepare(df, embCol).filter(col("qn") > 0)
+    p.withColumn("__amax", expr("array_max(transform(qv, x -> abs(x)))"))
+      .withColumn("__q8", expr(
+        """transform(qv, x -> cast(floor(cast(x as double) * 127.0d
+          |  / cast(__amax as double) + 0.5d) as bigint))""".stripMargin))
+      .select(col(idCol).as("vec_id"), col("__amax").as("amax_q"),
+        (dot(col("qv"), col("__q8")).cast("double") /
+          (sqrt(col("qn").cast("double")) *
+            sqrt(dot(col("__q8"), col("__q8")).cast("double"))))
+          .as("cos_sim"),
+        expr(
+          """array_max(zip_with(qv, __q8, (x, q) ->
+            |  abs(cast(x as double) - cast(q as double)
+            |      * cast(__amax as double) / 127.0d)))""".stripMargin)
+          .as("max_err"))
+  }
 }

@@ -114,4 +114,27 @@ class SimilaritySpec extends AnyFunSuite {
         s"n=$n: in-bucket pair work $pairWork vs bound ${16L * n * target}")
     }
   }
+
+  test("int8 quantization: element error bounded by half a step, cosine near 1") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.9f, -0.45f, 0.225f, 0.0f)),
+      (2L, Array(0.001f, 0.001f, 0.001f, 0.001f)), // tiny but non-zero
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f))          // zero: excluded
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.int8QuantStats(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(!rows.contains(3L)) // no direction to preserve
+    rows.foreach { case (id, (amax, cos, maxErr)) =>
+      // round-to-nearest: reconstruction error ≤ half the quantization
+      // step amax/127 (in the engine's 1e4-quantized units)
+      assert(maxErr <= amax.toDouble / 254.0 + 1e-9,
+        s"vec $id: max_err $maxErr > step/2 ${amax / 254.0}")
+      assert(cos > 0.999, s"vec $id: cos_sim $cos")
+    }
+    // identical relative profile ⇒ identical codes: vec 2 quantizes to
+    // all-127 exactly, so reconstruction is exact up to the step grid
+    assert(rows(2L)._2 === 1.0)
+  }
 }
