@@ -1346,6 +1346,37 @@ object TrainQueries {
       .orderBy("c_custkey")
   }
 
+  /** Data-quality gate with in-flight metrics ([[graft.ops.QualityGate]]):
+    * observe counters ride the single corpus pass, thresholds checked on
+    * the driver, metrics returned as the gate report.
+    */
+  private def qQualityGate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.QualityGate.textCorpusGate(
+      t(s, dir, "documents"), "text", "n_chars")
+
+  /** One-pass multi-column numeric profiler: count/min/max/sum for four
+    * lineitem measures in a SINGLE aggregation (16 partial aggregates,
+    * one scan, one reduce), pivoted to a row per column with `stack`.
+    * The `describe()` equivalent with oracle-exact numbers (DECIMAL
+    * sums, no double accumulation-order dependence).
+    */
+  private def qProfiler(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__n_$c"),
+        min(col(c)).as(s"__min_$c"),
+        max(col(c)).as(s"__max_$c"),
+        sum(money(col(c))).cast("double").as(s"__sum_$c"))
+    }
+    val stackArgs = cols.map(c =>
+      s"'$c', __n_$c, __min_$c, __max_$c, __sum_$c").mkString(", ")
+    li.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.length}, $stackArgs) AS " +
+        "(column_name, n_nonnull, min_v, max_v, sum_v)")
+      .orderBy("column_name")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -1410,7 +1441,9 @@ object TrainQueries {
     "q74_cube" -> (qCube _),
     "q75_window_dist" -> (qWindowDist _),
     "q76_int8_quant" -> (qInt8Quant _),
-    "q77_upsert" -> (qUpsert _))
+    "q77_upsert" -> (qUpsert _),
+    "q78_quality_gate" -> (qQualityGate _),
+    "q79_profiler" -> (qProfiler _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -2121,5 +2154,36 @@ object TrainQueries {
                AS BIGINT) AS version,
              CASE WHEN c_custkey % 10 = 0 THEN 'reprocessed'
                   ELSE NULL END AS update_note
-         FROM customer ORDER BY c_custkey""")
+         FROM customer ORDER BY c_custkey""",
+    "q78_quality_gate" ->
+      """SELECT COUNT(*) AS n_rows,
+             CAST(COUNT(*) FILTER (text IS NULL) AS BIGINT) AS n_null_text,
+             CAST(COUNT(*) FILTER (n_chars < 10) AS BIGINT) AS n_short,
+             CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars
+         FROM documents""",
+    "q79_profiler" ->
+      """WITH p AS (
+           SELECT 'l_quantity' AS column_name,
+               CAST(COUNT(l_quantity) AS BIGINT) AS n_nonnull,
+               MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 AS sum_v
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_extendedprice',
+               CAST(COUNT(l_extendedprice) AS BIGINT),
+               MIN(l_extendedprice), MAX(l_extendedprice),
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_discount', CAST(COUNT(l_discount) AS BIGINT),
+               MIN(l_discount), MAX(l_discount),
+               CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+           FROM lineitem
+           UNION ALL
+           SELECT 'l_tax', CAST(COUNT(l_tax) AS BIGINT),
+               MIN(l_tax), MAX(l_tax),
+               CAST(SUM(CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE)
+           FROM lineitem)
+         SELECT * FROM p ORDER BY column_name""")
 }
