@@ -94,4 +94,45 @@ class PropertySpec extends AnyFunSuite {
       assert(ms >= dayStart && ms - dayStart < 86400000L)
     }
   }
+
+  test("distributed running sum equals the window form on random data") {
+    cases(Gen.nonEmptyListOf(Gen.choose(0L, 1000L)), 5) { vs =>
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("k", "v").repartition(7)
+      val got = graft.ops.Packing.withRunningSum(df, "cum", "v", col("k"))
+        .select("k", "cum").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = vs.scanLeft(0L)(_ + _).tail.zipWithIndex
+        .map { case (c, i) => i.toLong -> c }.toMap
+      assert(got === want)
+      // the window control agrees too (three-way: op ≡ spec ≡ engine)
+      val win = df.withColumn("cum", sum("v").over(Window.orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        .select("k", "cum").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === win)
+    }
+  }
+
+  test("bin-bucketed interval join equals the naive range join on random events") {
+    cases(Gen.nonEmptyListOf(
+        Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 5000L))), 5) { evs =>
+      import spark.implicits._
+      val rows = evs.zipWithIndex
+        .map { case ((u, t), i) => (u, i.toLong, t) }
+      val l = rows.toDF("user_id", "lid", "lt")
+      val r = rows.map { case (u, i, t) => (u, i + 100000L, t + 13L) }
+        .toDF("user_id", "rid", "rt")
+      val got = graft.ops.IntervalJoin.within(l, r, "user_id", "lt", "rt", 250L)
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      val want = l.join(r, Seq("user_id"))
+        .filter(col("rt") >= col("lt") && col("rt") <= col("lt") + 250L)
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      assert(got === want)
+    }
+  }
 }
