@@ -1377,6 +1377,29 @@ object TrainQueries {
       .orderBy("column_name")
   }
 
+  /** Behavioral transition mining: per-user event-type sequences
+    * (ordered `collect_list` via `sort_array` on a (ms, event_id, type)
+    * struct — deterministic total order), then corpus-wide top-20
+    * transition bigrams. Per-user buffering is bounded by per-user
+    * event count (session-scale, not corpus-scale); the transition
+    * count is partial-aggregated and top-k is TakeOrderedAndProject.
+    */
+  private def qEventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val seqs = t(s, dir, "events")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), col("event_type"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(
+        struct(col("ms"), col("event_id"), col("event_type")))).as("__ev"))
+      .select(col("user_id"),
+        expr("transform(__ev, e -> e.event_type)").as("__seq"))
+    seqs.select(explode(TextFns.wordBigrams("__seq")).as("transition"))
+      .groupBy("transition")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("transition").asc)
+      .limit(20)
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -1443,7 +1466,8 @@ object TrainQueries {
     "q76_int8_quant" -> (qInt8Quant _),
     "q77_upsert" -> (qUpsert _),
     "q78_quality_gate" -> (qQualityGate _),
-    "q79_profiler" -> (qProfiler _))
+    "q79_profiler" -> (qProfiler _),
+    "q80_event_transitions" -> (qEventTransitions _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -2185,5 +2209,18 @@ object TrainQueries {
                MIN(l_tax), MAX(l_tax),
                CAST(SUM(CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE)
            FROM lineitem)
-         SELECT * FROM p ORDER BY column_name""")
+         SELECT * FROM p ORDER BY column_name""",
+    "q80_event_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events),
+         s AS (SELECT user_id,
+             list(event_type ORDER BY ms, event_id) AS seq
+           FROM e GROUP BY 1),
+         b AS (SELECT unnest(CASE WHEN len(seq) >= 2
+                 THEN list_transform(range(1, len(seq)),
+                   i -> seq[i] || ' ' || seq[i + 1])
+                 ELSE [] END) AS transition
+               FROM s)
+         SELECT transition, COUNT(*) AS n FROM b
+         GROUP BY 1 ORDER BY n DESC, transition ASC LIMIT 20""")
 }
