@@ -36,12 +36,16 @@ object IntervalJoin {
   def within(left: DataFrame, right: DataFrame, keyCol: String,
       leftTs: String, rightTs: String, maxLag: Long): DataFrame = {
     require(maxLag > 0, s"maxLag must be positive: $maxLag")
-    val w = lit(maxLag)
-    def bin(c: Column): Column = floor(c / w).cast("long")
+    // EXACT long floor-division: subtracting pmod makes the numerator
+    // divisible, then `div` stays in integer arithmetic. floor(x / w)
+    // through doubles would round nanosecond-scale epochs (> 2^53) to
+    // 256-multiples and mis-bin ~1% of boundary pairs — silently
+    // dropping in-window matches from the equi-join.
+    def bin(tsCol: String): Column =
+      expr(s"($tsCol - pmod($tsCol, ${maxLag}L)) div ${maxLag}L")
     val l = left
-      .withColumn("__bin", explode(array(bin(col(leftTs)),
-        bin(col(leftTs)) + 1L)))
-    val r = right.withColumn("__bin", bin(col(rightTs)))
+      .withColumn("__bin", explode(array(bin(leftTs), bin(leftTs) + 1L)))
+    val r = right.withColumn("__bin", bin(rightTs))
     l.join(r, Seq(keyCol, "__bin"))
       .filter(col(rightTs) >= col(leftTs) &&
         col(rightTs) <= col(leftTs) + maxLag)

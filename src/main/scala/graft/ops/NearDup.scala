@@ -363,16 +363,19 @@ object NearDup {
     // exactly the lists that don't fit. The aggregate is map-side
     // partial (a billion-row stop-gram costs one long per partition)
     // and the semi-join carries only the 32-byte hash.
-    // inverted cap: the REMOVE set (grams with df > maxDf) is small by
-    // construction — at most total-gram-occurrences / maxDf entries —
-    // so the cap applies as a BROADCAST anti-join and the gram stream
-    // never shuffles for it (a keep-side equi-join would shuffle every
-    // gram row against a keep set nearly as big as the gram vocabulary)
+    // inverted cap: the REMOVE set (grams with df > maxDf) is far
+    // smaller than the keep set — at most total-gram-occurrences /
+    // maxDf entries vs the whole gram vocabulary — so the anti-join
+    // build side is the cheap one. No broadcast() hint: the set still
+    // grows linearly with corpus size, so the planner/AQE size-gates
+    // the broadcast from the aggregate's runtime stats and degrades to
+    // a shuffled anti-join when it outgrows the threshold (a forced
+    // broadcast would hit the 8 GB limit at web scale).
     val stop = grams.groupBy("__gh").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDf)
       .select("__gh")
     // fan-out ×3: both self-join sides + the per-doc size aggregate
-    val capped = grams.join(broadcast(stop), Seq("__gh"), "left_anti")
+    val capped = grams.join(stop, Seq("__gh"), "left_anti")
       .localCheckpoint()
     val sizes = capped.groupBy("__id").agg(count(lit(1)).as("__n"))
     val shared = capped.select(col("__id").as("id_a"), col("__gh"))

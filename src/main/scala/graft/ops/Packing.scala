@@ -22,7 +22,10 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object Packing {
 
   /** Append the INCLUSIVE running sum of `valueCol` (must be LongType)
-    * in `orderCols` order.
+    * in `orderCols` order. Null semantics match `SUM() OVER` exactly:
+    * null values contribute nothing, and rows BEFORE the first non-null
+    * value get a null running sum (not 0) — so the op is substitutable
+    * for the window form anywhere.
     */
   def withRunningSum(df: DataFrame, out: String, valueCol: String,
       orderCols: Column*): DataFrame = {
@@ -34,26 +37,29 @@ object Packing {
     // range-partition assignment (ties included) is identical — see
     // Percentiles.exactFewGroups
     val sortedRdd = sorted.rdd
-    val perPart: Array[(Int, Long)] = sortedRdd
+    val perPart: Array[(Int, Long, Boolean)] = sortedRdd
       .mapPartitionsWithIndex { (pid, it) =>
         var s = 0L
-        it.foreach(r => if (!r.isNullAt(vIdx)) s += r.getLong(vIdx))
-        Iterator((pid, s))
+        var any = false
+        it.foreach(r => if (!r.isNullAt(vIdx)) { s += r.getLong(vIdx); any = true })
+        Iterator((pid, s, any))
       }.collect()
-    val offsets: Map[Int, Long] = {
+    // per-partition: (sum of all earlier partitions, any non-null earlier)
+    val offsets: Map[Int, (Long, Boolean)] = {
       var acc = 0L
-      perPart.sortBy(_._1).map { case (pid, s) =>
-        val o = acc; acc += s; pid -> o
+      var any = false
+      perPart.sortBy(_._1).map { case (pid, s, a) =>
+        val o = (acc, any); acc += s; any ||= a; pid -> o
       }.toMap
     }
     val bcOff = sorted.sparkSession.sparkContext.broadcast(offsets)
     val schema = StructType(sorted.schema.fields :+
-      StructField(out, LongType, nullable = false))
+      StructField(out, LongType, nullable = true))
     val rdd = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
-      var acc = bcOff.value(pid)
+      var (acc, any) = bcOff.value(pid)
       it.map { r =>
-        if (!r.isNullAt(vIdx)) acc += r.getLong(vIdx)
-        Row.fromSeq(r.toSeq :+ acc)
+        if (!r.isNullAt(vIdx)) { acc += r.getLong(vIdx); any = true }
+        Row.fromSeq(r.toSeq :+ (if (any) acc else null))
       }
     }
     sorted.sparkSession.createDataFrame(rdd, schema)

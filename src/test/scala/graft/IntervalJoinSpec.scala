@@ -46,6 +46,20 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(got.select("right_id").distinct().count() === 3L)
   }
 
+  test("nanosecond-scale epochs (> 2^53) bin exactly — no dropped boundary pairs") {
+    import spark.implicits._
+    // with double-based binning these timestamps round to 256-multiples
+    // and the right row lands two bins away from the left — the match
+    // silently vanishes; exact long division must keep it
+    val lt = 1700000000000004761L
+    val l = Seq((1L, 10L, lt)).toDF("user_id", "left_id", "lt")
+    val r = Seq((1L, 20L, lt + 1000L), (1L, 21L, lt + 1001L))
+      .toDF("user_id", "right_id", "rt")
+    val got = IntervalJoin.within(l, r, "user_id", "lt", "rt", 1000L)
+      .select("right_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(20L)) // inclusive at maxLag, exclusive past it
+  }
+
   test("batch interval join result equals the streaming q57 result") {
     val dir = "/root/testdata/sf0.001"
     val batch = SparkEntry.queries("q70_interval_join")(spark, dir)

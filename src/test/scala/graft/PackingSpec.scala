@@ -28,13 +28,22 @@ class PackingSpec extends AnyFunSuite {
     assert(got(10000L) === (1L to 10000L).map(_ % 97 + 1).sum)
   }
 
-  test("null values contribute zero and rows are preserved") {
+  test("null semantics match SUM() OVER exactly, including leading nulls") {
     import spark.implicits._
-    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)))
+    import org.apache.spark.sql.expressions.Window
+    // leading null: the window form emits NULL until the first non-null
+    // value — the op must agree (0 there would be a silent divergence)
+    val df = Seq((1L, None), (2L, Some(5L)), (3L, None), (4L, Some(7L)))
       .toDF("k", "v")
     val got = Packing.withRunningSum(df, "cum", "v", col("k"))
-      .orderBy("k").select("cum").collect().map(_.getLong(0)).toSeq
-    assert(got === Seq(5L, 5L, 12L))
+      .orderBy("k").select("cum").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(got === Seq(None, Some(5L), Some(5L), Some(12L)))
+    val win = df.withColumn("cum", sum("v").over(Window.orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy("k").select("cum").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    assert(got === win)
   }
 
   test("non-long value column is refused") {

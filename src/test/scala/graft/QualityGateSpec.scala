@@ -21,6 +21,21 @@ class QualityGateSpec extends AnyFunSuite {
     assert(r.getLong(3) === 25L) // sum_chars
   }
 
+  test("observed form piggybacks on the caller's action — no separate metrics pass") {
+    import spark.implicits._
+    val df = Seq((1L, "body", 4L), (2L, "longer body", 11L))
+      .toDF("doc_id", "text", "n_chars")
+    val (passThrough, obs) = QualityGate.observed(df, "text", "n_chars")
+    // the caller's own action (here: the downstream count) feeds the
+    // metrics; the returned rows are untouched
+    assert(passThrough.count() === 2L)
+    val m = obs.get
+    assert(m("n_rows") === 2L)
+    assert(m("n_null_text") === 0L)
+    assert(m("n_short") === 1L)
+    assert(m("sum_chars") === 15L)
+  }
+
   test("gate refuses an empty corpus and a null-dominated corpus") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String, Long)].toDF("doc_id", "text", "n_chars")
