@@ -1400,6 +1400,40 @@ object TrainQueries {
       .limit(20)
   }
 
+  /** Distinctive-term extraction (tf-idf family): per-document top-3
+    * terms by tf × (N+1)/(df+1). The weight is deliberately
+    * transcendental-free — a log-idf would hinge on libm rounding,
+    * this rational form is IEEE-exact in any engine (one add, one
+    * divide, one multiply, same shapes as the oracle).
+    *
+    * Scale shape: tf is one (doc, term)-key partial-aggregated shuffle;
+    * df is one term-key partial-aggregated shuffle over per-doc
+    * DISTINCT terms (tf rows, not token occurrences); the df join key
+    * is the term; the top-3 window partitions by doc — all parallel,
+    * nothing corpus-quadratic. Terms could travel as hashes at 100 TB;
+    * kept as strings here because the term IS the output.
+    */
+  private def qTfIdf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(TextFns.tokens("text")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df, "term")
+      .withColumn("score",
+        col("tf").cast("double") *
+          ((lit(n).cast("double") + lit(1.0d)) /
+            (col("df").cast("double") + lit(1.0d))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "rk", "term", "tf", "df", "score")
+      .orderBy("doc_id", "rk")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -1467,7 +1501,8 @@ object TrainQueries {
     "q77_upsert" -> (qUpsert _),
     "q78_quality_gate" -> (qQualityGate _),
     "q79_profiler" -> (qProfiler _),
-    "q80_event_transitions" -> (qEventTransitions _))
+    "q80_event_transitions" -> (qEventTransitions _),
+    "q81_tfidf" -> (qTfIdf _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -2222,5 +2257,22 @@ object TrainQueries {
                  ELSE [] END) AS transition
                FROM s)
          SELECT transition, COUNT(*) AS n FROM b
-         GROUP BY 1 ORDER BY n DESC, transition ASC LIMIT 20""")
+         GROUP BY 1 ORDER BY n DESC, transition ASC LIMIT 20""",
+    "q81_tfidf" ->
+      """WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                     FROM documents),
+         t AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+         d AS (SELECT term, COUNT(*) AS df FROM t GROUP BY 1),
+         sc AS (SELECT t.doc_id, t.term, t.tf, d.df,
+             CAST(t.tf AS DOUBLE)
+               * (((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) + 1.0)
+                  / (CAST(d.df AS DOUBLE) + 1.0)) AS score
+           FROM t JOIN d ON t.term = d.term),
+         rk AS (SELECT doc_id, term, tf, df, score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, term ASC) AS BIGINT) AS rk
+           FROM sc)
+         SELECT doc_id, rk, term, CAST(tf AS BIGINT) AS tf,
+             CAST(df AS BIGINT) AS df, score
+         FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""")
 }
