@@ -210,4 +210,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q73: sequence packing plans NO window operator (distributed prefix sum)") {
+    val df = SparkEntry.queries("q73_seq_packing")(spark, dir)
+    df.count()
+    // the whole point of Packing.withRunningSum: the global running sum
+    // must not appear as a single-task Window in the physical plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+  }
+
+  test("q79: profiler is ONE scan — a single aggregate feeds the stack pivot") {
+    val df = SparkEntry.queries("q79_profiler")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    // one parquet scan of lineitem, not one per profiled column
+    val scans = "FileScan parquet".r.findAllIn(p).length +
+      "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"expected a single lineitem scan, plan:\n$p")
+    assert(p.contains("partial_min") && p.contains("partial_max"))
+  }
 }
