@@ -1434,6 +1434,53 @@ object TrainQueries {
       .orderBy("doc_id", "rk")
   }
 
+  /** `binaryFile` source — the multimodal ingestion path (image/audio
+    * blobs arrive as files, not rows): write each document as a blob
+    * file, read the directory back as (path, length, content) rows,
+    * and profile. Aggregate output only — paths and mtimes are
+    * machine-local, content checksums and sizes are not.
+    */
+  private def qBinarySource(s: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_blobs_" +
+        s.sparkContext.applicationId)
+    t(s, dir, "documents")
+      .select(col("doc_id").cast("string").as("name"),
+        col("text").cast("binary").as("payload"))
+      .repartition(8)
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val d = new java.io.File(out); d.mkdirs()
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(out, r.getString(0) + ".bin"),
+            r.getAs[Array[Byte]](1))
+        }
+      }
+    s.read.format("binaryFile").load(out)
+      .select(md5(col("content")).as("checksum"), col("length"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("length")).as("total_bytes"),
+        count_distinct(col("checksum")).as("n_distinct"))
+  }
+
+  /** Gap sessionization through Spark's BUILT-IN `session_window`
+    * (the native operator form of q32's manual construction): per-user
+    * 30-minute-gap sessions, reported as (user, start, n_events,
+    * last_event_ms). The built-in merges windows at the aggregation —
+    * same single user-key shuffle as the manual window form.
+    */
+  private def qSessionWindowBuiltin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("ts_ms", timestamp_millis(unix_millis(col("ts"))))
+      .groupBy(col("user_id"),
+        session_window(col("ts_ms"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_millis(col("ts_ms"))).as("last_event_ms"))
+      .select(col("user_id"),
+        unix_millis(col("sw.start")).as("session_start_ms"),
+        col("n_events"), col("last_event_ms"))
+      .orderBy("user_id", "session_start_ms")
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -1502,7 +1549,9 @@ object TrainQueries {
     "q78_quality_gate" -> (qQualityGate _),
     "q79_profiler" -> (qProfiler _),
     "q80_event_transitions" -> (qEventTransitions _),
-    "q81_tfidf" -> (qTfIdf _))
+    "q81_tfidf" -> (qTfIdf _),
+    "q82_binary_source" -> (qBinarySource _),
+    "q83_session_window" -> (qSessionWindowBuiltin _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -2274,5 +2323,26 @@ object TrainQueries {
            FROM sc)
          SELECT doc_id, rk, term, CAST(tf AS BIGINT) AS tf,
              CAST(df AS BIGINT) AS df, score
-         FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""")
+         FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""",
+    "q82_binary_source" ->
+      """SELECT COUNT(*) AS n_files,
+             CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+             CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+         FROM documents""",
+    "q83_session_window" ->
+      """WITH e AS (SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events),
+         g AS (SELECT user_id, ms, event_id,
+             CASE WHEN lag(ms) OVER w IS NULL
+                    OR ms - lag(ms) OVER w >= 1800000
+                  THEN 1 ELSE 0 END AS ns
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+         s AS (SELECT user_id, ms, SUM(ns) OVER
+             (PARTITION BY user_id ORDER BY ms, event_id
+              ROWS UNBOUNDED PRECEDING) AS session_idx
+           FROM g)
+         SELECT user_id, MIN(ms) AS session_start_ms,
+             COUNT(*) AS n_events, MAX(ms) AS last_event_ms
+         FROM s GROUP BY user_id, session_idx
+         ORDER BY user_id, session_start_ms""")
 }
