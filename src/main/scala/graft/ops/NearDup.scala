@@ -190,19 +190,26 @@ object NearDup {
     */
   def simHashSigs(df: DataFrame, idCol: String, tokensCol: String,
       out: String): DataFrame = {
-    val nibCols = (0 until 32).map { p =>
-      expr(s"cast(conv(substring(__h, ${p + 1}, 1), 16, 10) as int)")
-        .as(s"__nb$p")
+    // four 32-bit chunks instead of 32 single-nibble conv() calls per
+    // token row: hex char p (0-based) sits at shift (7 − p%8)·4 inside
+    // chunk p/8, so bit k of the signature is
+    // (chunk >> ((7 − (k/4)%8)·4 + k%4)) & 1 — identical bits (the
+    // grouped≡HOF spec pins this), ~8× fewer string parses per token
+    val chunkCols = (0 until 4).map { c =>
+      expr(s"cast(conv(substring(__h, ${c * 8 + 1}, 8), 16, 10) as bigint)")
+        .as(s"__ck$c")
     }
     // explode_outer: a document with no tokens still yields one (null)
     // row, so it keeps its all-zero signature instead of vanishing
     val exploded = df
       .select(col(idCol), explode_outer(col(tokensCol)).as("__t"))
       .withColumn("__h", md5(col("__t")))
-      .select(col(idCol) +: nibCols :+
+      .select(col(idCol) +: chunkCols :+
         when(col("__h").isNotNull, 1).otherwise(0).as("__tk"): _*)
     val sums = (0 until 128).map { k =>
-      sum(expr(s"(__nb${k / 4} >> ${k % 4}) & 1")).as(s"__o$k")
+      val p = k / 4
+      val shift = (7 - p % 8) * 4 + (k % 4)
+      sum(expr(s"(__ck${p / 8} >> ${shift}L) & 1L")).as(s"__o$k")
     } :+ sum(col("__tk")).as("__cnt")
     val hexChar = (p: Int) => {
       val nv = (0 until 4)
