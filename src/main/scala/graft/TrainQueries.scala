@@ -1481,6 +1481,25 @@ object TrainQueries {
         col("n_events"), col("last_event_ms"))
       .orderBy("user_id", "session_start_ms")
 
+  /** Z-order layout ([[graft.ops.ZOrder]]): lineitem quantized to
+    * 16-bit (quantity, price/2) coordinates, Morton-interleaved, top-4
+    * z-bits as the shard. The per-shard min/max of BOTH dimensions is
+    * the point: every shard is a tight box in the 2-D space, so file
+    * statistics prune scans on either column's predicate.
+    */
+  private def qZOrder(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_quantity").cast("bigint").as("qx"),
+        floor(col("l_extendedprice") / lit(2.0d)).cast("bigint").as("qy"))
+      .withColumn("z", graft.ops.ZOrder.zValue("qx", "qy", 16))
+    li.withColumn("shard", expr("z >> 28L"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        min("qx").as("min_qty"), max("qx").as("max_qty"),
+        min("qy").as("min_price2"), max("qy").as("max_price2"))
+      .orderBy("shard")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -1551,7 +1570,8 @@ object TrainQueries {
     "q80_event_transitions" -> (qEventTransitions _),
     "q81_tfidf" -> (qTfIdf _),
     "q82_binary_source" -> (qBinarySource _),
-    "q83_session_window" -> (qSessionWindowBuiltin _))
+    "q83_session_window" -> (qSessionWindowBuiltin _),
+    "q84_zorder" -> (qZOrder _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -2344,5 +2364,26 @@ object TrainQueries {
          SELECT user_id, MIN(ms) AS session_start_ms,
              COUNT(*) AS n_events, MAX(ms) AS last_event_ms
          FROM s GROUP BY user_id, session_idx
-         ORDER BY user_id, session_start_ms""")
+         ORDER BY user_id, session_start_ms""",
+    "q84_zorder" -> zorderOracle)
+
+  /** q84's oracle — the Morton interleave generated with the SAME
+    * shift/mask term shape as [[graft.ops.ZOrder.zValue]] so both
+    * engines compute bit-identical z-values (pure integer arithmetic,
+    * no float divergence possible).
+    */
+  private def zorderOracle: String = {
+    val z = (0 until 16).flatMap { i =>
+      Seq(s"(((qx >> $i) & 1) << ${2 * i})",
+        s"(((qy >> $i) & 1) << ${2 * i + 1})")
+    }.mkString("(", " + ", ")")
+    s"""WITH q AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS qx,
+             CAST(floor(l_extendedprice / 2.0) AS BIGINT) AS qy
+           FROM lineitem),
+         z AS (SELECT qx, qy, $z AS z FROM q)
+         SELECT z >> 28 AS shard, COUNT(*) AS n_rows,
+             MIN(qx) AS min_qty, MAX(qx) AS max_qty,
+             MIN(qy) AS min_price2, MAX(qy) AS max_price2
+         FROM z GROUP BY 1 ORDER BY shard"""
+  }
 }
