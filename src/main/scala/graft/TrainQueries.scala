@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{QuantizedCentroid, TextFns}
-import graft.ops.{Contamination, DedupClusters, Multimodal, NearDup, Percentiles, Salting, Sampling, Sessionize, Similarity}
+import graft.ops.{Contamination, DedupClusters, Mixing, Multimodal, NearDup, Percentiles, Salting, Sampling, Selection, Sessionize, Similarity}
 import graft.streaming.{EventStream, StatefulSessions}
 
 /** Training-data-pipeline operators (SURVEY §7.2.8) as driver-contract
@@ -1500,6 +1500,41 @@ object TrainQueries {
       .orderBy("shard")
   }
 
+  /** Source-mix rebalancing ([[graft.ops.Mixing.balanceToMin]]): every
+    * source thinned toward the smallest source's size with data-derived
+    * integer thresholds — the pre-training "no source dominates" step.
+    * Reported per source: population, threshold, kept count.
+    */
+  private def qSourceMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val kept = Mixing.balanceToMin(docs, "doc_id", "source", "mix")
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    Mixing.thresholds(docs, "source")
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_total"), col("thr_bp"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  /** Token-budget selection ([[graft.ops.Selection.underTokenBudget]]):
+    * the top-quality prefix of the corpus holding the first 20k tokens
+    * — quality ordered (desc, doc_id tiebreak), cumulative tokens via
+    * the distributed prefix sum, budget test scan-local. The greedy
+    * fill admits the straddling document, like a final packing bin.
+    */
+  private def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("__toks", TextFns.tokens("text"))
+      .select(col("doc_id"), col("lang"),
+        size(col("__toks")).cast("long").as("n_tok"),
+        TextFns.qualityScore("text", "__toks").as("quality"))
+    Selection.underTokenBudget(docs, "n_tok", 20000L,
+        col("quality").desc, col("doc_id").asc)
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("quality"),
+        col("cum_tok"))
+      .orderBy(col("cum_tok"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -1571,7 +1606,9 @@ object TrainQueries {
     "q81_tfidf" -> (qTfIdf _),
     "q82_binary_source" -> (qBinarySource _),
     "q83_session_window" -> (qSessionWindowBuiltin _),
-    "q84_zorder" -> (qZOrder _))
+    "q84_zorder" -> (qZOrder _),
+    "q85_source_mix" -> (qSourceMix _),
+    "q86_token_budget" -> (qTokenBudget _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -2365,7 +2402,42 @@ object TrainQueries {
              COUNT(*) AS n_events, MAX(ms) AS last_event_ms
          FROM s GROUP BY user_id, session_idx
          ORDER BY user_id, session_start_ms""",
-    "q84_zorder" -> zorderOracle)
+    "q84_zorder" -> zorderOracle,
+    "q85_source_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_total FROM documents
+             WHERE source IS NOT NULL GROUP BY 1),
+         m AS (SELECT MIN(n_total) AS mn FROM c),
+         t AS (SELECT c.source, c.n_total,
+             (m.mn * 10000) // c.n_total AS thr_bp FROM c, m),
+         k AS (SELECT d.source, COUNT(*) AS n_kept
+           FROM documents d JOIN t ON d.source = t.source
+           WHERE CAST('0x' || substr(md5('mix|' ||
+                 CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 10000 < t.thr_bp
+           GROUP BY 1)
+         SELECT t.source, t.n_total, t.thr_bp,
+             COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_kept
+         FROM t LEFT JOIN k ON t.source = k.source
+         ORDER BY t.source""",
+    "q86_token_budget" ->
+      """WITH d AS (SELECT doc_id, lang, text,
+             string_split(text, ' ') AS toks FROM documents),
+         sc AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tok,
+             0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (1.0 - CAST(len(list_filter(toks,
+                     w -> w IN ('the','a','of','and','is'))) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE))
+               + 0.2 * least(((CAST(length(text) AS DOUBLE)
+                     - (CAST(len(toks) AS DOUBLE) - 1.0))
+                   / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0) AS quality
+           FROM d),
+         cum AS (SELECT doc_id, lang, n_tok, quality,
+             CAST(SUM(n_tok) OVER (ORDER BY quality DESC, doc_id ASC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+           FROM sc)
+         SELECT doc_id, lang, n_tok, quality, cum_tok
+         FROM cum WHERE cum_tok - n_tok < 20000
+         ORDER BY cum_tok""")
 
   /** q84's oracle — the Morton interleave generated with the SAME
     * shift/mask term shape as [[graft.ops.ZOrder.zValue]] so both

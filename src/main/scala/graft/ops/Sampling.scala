@@ -17,6 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** The engine-portable sampling hash: md5 of `salt|key`, first 15 hex
+    * digits as an integer, mod 10000 basis points. NULL keys hash to
+    * NULL (every comparison against a threshold is then false — no-hash
+    * rows never sample in). Shared by every hash-thresholded sampler
+    * ([[stratifiedHashSample]], [[Mixing.balanceToMin]], q46's split).
+    */
+  def hashBucket(keyCol: String, salt: String): Column = {
+    require(salt.matches("[A-Za-z0-9_]+"), s"salt must be alphanumeric: $salt")
+    expr(
+      s"""cast(conv(substring(md5(concat('$salt|',
+         |  cast($keyCol as string))), 1, 15), 16, 10) as bigint) % 10000"""
+        .stripMargin)
+  }
+
   /** Keep a row iff hash(salt|key) mod 10000 < ratesBp(stratum) basis
     * points (defaultBp for unlisted strata). Rows with a NULL key are
     * excluded regardless of rate — no hash exists for them, and
@@ -27,11 +41,7 @@ object Sampling {
   def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
       ratesBp: Map[String, Int], defaultBp: Int,
       salt: String): DataFrame = {
-    require(salt.matches("[A-Za-z0-9_]+"), s"salt must be alphanumeric: $salt")
-    val bucket = expr(
-      s"""cast(conv(substring(md5(concat('$salt|',
-         |  cast($keyCol as string))), 1, 15), 16, 10) as bigint) % 10000"""
-        .stripMargin)
+    val bucket = hashBucket(keyCol, salt)
     val rate = ratesBp.foldLeft(lit(defaultBp)) { case (acc, (s, bp)) =>
       when(col(strataCol) === s, lit(bp)).otherwise(acc)
     }
