@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{QuantizedCentroid, TextFns}
-import graft.ops.{Contamination, DedupClusters, Mixing, Multimodal, NearDup, Percentiles, Salting, Sampling, Selection, Sessionize, Similarity}
+import graft.ops.{Contamination, DedupClusters, KMeans, Mixing, Multimodal, NearDup, Percentiles, Salting, Sampling, Selection, Sessionize, Similarity}
 import graft.streaming.{EventStream, StatefulSessions}
 
 /** Training-data-pipeline operators (SURVEY §7.2.8) as driver-contract
@@ -1535,6 +1535,19 @@ object TrainQueries {
       .orderBy(col("cum_tok"))
   }
 
+  /** Deterministic k-means ([[graft.ops.KMeans]]): 8 clusters, 2 Lloyd
+    * rounds over the quantized embeddings, reported as per-cluster
+    * population and exact integer inertia. Assignment is scan-local
+    * (centroids are plan literals); each update is one (cluster, dim)
+    * aggregate — the vectors themselves never shuffle.
+    */
+  private def qKMeans(s: SparkSession, dir: String): DataFrame =
+    KMeans.fit(Similarity.prepare(t(s, dir, "embeddings"), "embedding"),
+        "vec_id", 8, 2)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"), sum("dist").as("inertia"))
+      .orderBy("cluster")
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -1608,7 +1621,8 @@ object TrainQueries {
     "q83_session_window" -> (qSessionWindowBuiltin _),
     "q84_zorder" -> (qZOrder _),
     "q85_source_mix" -> (qSourceMix _),
-    "q86_token_budget" -> (qTokenBudget _))
+    "q86_token_budget" -> (qTokenBudget _),
+    "q87_kmeans" -> (qKMeans _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -2437,7 +2451,58 @@ object TrainQueries {
            FROM sc)
          SELECT doc_id, lang, n_tok, quality, cum_tok
          FROM cum WHERE cum_tok - n_tok < 20000
-         ORDER BY cum_tok""")
+         ORDER BY cum_tok""",
+    "q87_kmeans" -> kmeansOracle(8, 2))
+
+  /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
+    * integer arithmetic as [[graft.ops.KMeans]]: exact quantized
+    * distances, (dist, cluster) tie-break, truncating `//` centroid
+    * division (DuckDB `//` truncates like Java `/` — measured, not
+    * assumed), emptied clusters keeping their previous centroid via the
+    * LEFT JOIN + COALESCE.
+    */
+  private def kmeansOracle(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH q AS (SELECT e.vec_id, i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0 + 0.5)
+                  AS BIGINT) AS x
+           FROM embeddings e, (SELECT unnest(range(1, 65)) AS i)),
+         ids AS (SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j
+           FROM embeddings ORDER BY vec_id LIMIT $k),
+         c0 AS (SELECT ids.j, q.i, q.x FROM q JOIN ids USING (vec_id))"""
+    for (t <- 1 to iters) {
+      sb ++=
+        s""",
+         d$t AS (SELECT q.vec_id, c.j,
+             SUM((q.x - c.x) * (q.x - c.x)) AS d
+           FROM q JOIN c${t - 1} c ON q.i = c.i GROUP BY 1, 2),
+         a$t AS (SELECT vec_id, j AS cluster, d AS dist FROM (
+             SELECT vec_id, j, d, row_number() OVER
+               (PARTITION BY vec_id ORDER BY d, j) AS rn FROM d$t)
+           WHERE rn = 1),
+         s$t AS (SELECT a$t.cluster, q.i, SUM(q.x) AS s, COUNT(*) AS n
+           FROM q JOIN a$t USING (vec_id) GROUP BY 1, 2),
+         c$t AS (SELECT c.j, c.i,
+             CAST(COALESCE(s.s // s.n, c.x) AS BIGINT) AS x
+           FROM c${t - 1} c
+           LEFT JOIN s$t s ON c.j = s.cluster AND c.i = s.i)"""
+    }
+    sb ++=
+      s""",
+         dfin AS (SELECT q.vec_id, c.j,
+             SUM((q.x - c.x) * (q.x - c.x)) AS d
+           FROM q JOIN c$iters c ON q.i = c.i GROUP BY 1, 2),
+         afin AS (SELECT vec_id, j AS cluster, d AS dist FROM (
+             SELECT vec_id, j, d, row_number() OVER
+               (PARTITION BY vec_id ORDER BY d, j) AS rn FROM dfin)
+           WHERE rn = 1)
+         SELECT cluster, COUNT(*) AS n_vecs,
+             CAST(SUM(dist) AS BIGINT) AS inertia
+         FROM afin GROUP BY 1 ORDER BY cluster"""
+    sb.toString
+  }
 
   /** q84's oracle — the Morton interleave generated with the SAME
     * shift/mask term shape as [[graft.ops.ZOrder.zValue]] so both

@@ -231,4 +231,15 @@ class PlanSpec extends AnyFunSuite {
     assert(scans <= 2, s"expected a single lineitem scan, plan:\n$p")
     assert(p.contains("partial_min") && p.contains("partial_max"))
   }
+
+  test("q87: k-means assignment plans NO join — centroids are plan literals") {
+    val df = SparkEntry.queries("q87_kmeans")(spark, dir)
+    df.count()
+    // vectors must never shuffle into a join against a centroid table;
+    // the only shuffle is the final k-row aggregation
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"assignment joined:\n${p.take(1200)}")
+    assert(p.contains("long_dot"),
+      "codegen'd dot product missing from the assignment")
+  }
 }
