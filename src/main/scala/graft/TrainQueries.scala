@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{QuantizedCentroid, TextFns}
-import graft.ops.{Contamination, DedupClusters, KMeans, Mixing, Multimodal, NearDup, Percentiles, Salting, Sampling, Selection, Sessionize, Similarity}
+import graft.ops.{Contamination, DedupClusters, KMeans, Mixing, Multimodal, NearDup, Percentiles, Salting, Sampling, Scd, Selection, Sessionize, Similarity}
 import graft.streaming.{EventStream, StatefulSessions}
 
 /** Training-data-pipeline operators (SURVEY §7.2.8) as driver-contract
@@ -1548,6 +1548,51 @@ object TrainQueries {
       .agg(count(lit(1)).as("n_vecs"), sum("dist").as("inertia"))
       .orderBy("cluster")
 
+  /** SCD Type 2 dimension build ([[graft.ops.Scd.type2]]): each user's
+    * event_type stream collapsed to attribute runs with half-open
+    * validity intervals — history-preserving, the complement of q77's
+    * latest-only upsert. Windows partition by user: dimension-key
+    * parallelism, no fact-scale state.
+    */
+  private def qScd2(s: SparkSession, dir: String): DataFrame =
+    Scd.type2(
+        t(s, dir, "events").withColumn("ms", unix_millis(col("ts"))),
+        "user_id", "event_type", "ms", "event_id")
+      .select(col("user_id"), col("event_type"),
+        col("valid_from").as("valid_from_ms"),
+        col("valid_to").as("valid_to_ms"), col("is_current"))
+      .orderBy("user_id", "valid_from_ms")
+
+  /** Sliding time-RANGE window aggregate: per event, the count and
+    * DECIMAL-exact value sum of the same user's events in the trailing
+    * hour (frame = all peers with ms in [cur−3600000, cur] — a true
+    * range frame, not N rows). Per-user partitions parallelize; frame
+    * state is the in-window slice, bounded by event rate × 1 h.
+    */
+  private def qRangeWindow(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ms"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy(col("ms"))
+      .rangeBetween(-3600000L, 0L)
+    e.select(col("event_id"), col("user_id"), col("ms"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast("decimal(18,2)")).over(w)
+          .cast("double").as("sum_1h"))
+      .orderBy("event_id")
+  }
+
+  /** Exact-k deterministic stratified sample
+    * ([[graft.ops.Sampling.exactKPerStratum]]): exactly 10 docs per
+    * language, chosen by full-width hash rank — the exact-count
+    * counterpart of q54's rate-based sampler.
+    */
+  private def qExactKSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.exactKPerStratum(t(s, dir, "documents"), "doc_id", "lang",
+        10, "smp")
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy("lang", "rk")
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -1622,7 +1667,13 @@ object TrainQueries {
     "q84_zorder" -> (qZOrder _),
     "q85_source_mix" -> (qSourceMix _),
     "q86_token_budget" -> (qTokenBudget _),
-    "q87_kmeans" -> (qKMeans _))
+    "q87_kmeans" -> (qKMeans _),
+    "q88_stream_static_join" -> ((s: SparkSession, dir: String) =>
+      EventStream.streamStaticSegments(s, s"$dir/events.parquet",
+        s"$dir/customer.parquet")),
+    "q89_scd2" -> (qScd2 _),
+    "q90_range_window" -> (qRangeWindow _),
+    "q91_exact_k_sample" -> (qExactKSample _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -2452,7 +2503,57 @@ object TrainQueries {
          SELECT doc_id, lang, n_tok, quality, cum_tok
          FROM cum WHERE cum_tok - n_tok < 20000
          ORDER BY cum_tok""",
-    "q87_kmeans" -> kmeansOracle(8, 2))
+    "q87_kmeans" -> kmeansOracle(8, 2),
+    "q88_stream_static_join" ->
+      """WITH mx AS (SELECT epoch_us(MAX(CAST(ts AS TIMESTAMP))) // 1000
+               AS max_ms FROM events),
+         b AS (SELECT epoch_ms(time_bucket(INTERVAL 10 MINUTE,
+                 CAST(e.ts AS TIMESTAMP), TIMESTAMP '1970-01-01'))
+                 AS window_start_ms,
+               c.c_mktsegment AS segment, COUNT(*) AS n_events
+           FROM events e JOIN customer c ON e.user_id = c.c_custkey
+           GROUP BY 1, 2)
+         SELECT window_start_ms, segment, n_events FROM b, mx
+         WHERE window_start_ms + 600000 <= max_ms - 3600000
+         ORDER BY window_start_ms, segment""",
+    "q89_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events),
+         ch AS (SELECT user_id, event_type, ms, event_id,
+             lag(event_type) OVER w AS prev,
+             lag(ms) OVER w IS NULL AS first
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+         runs AS (SELECT user_id, event_type, ms, event_id FROM ch
+           WHERE first OR prev IS DISTINCT FROM event_type),
+         iv AS (SELECT user_id, event_type, ms AS valid_from_ms,
+             lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+               AS valid_to_ms
+           FROM runs)
+         SELECT user_id, event_type, valid_from_ms, valid_to_ms,
+             valid_to_ms IS NULL AS is_current
+         FROM iv ORDER BY user_id, valid_from_ms""",
+    "q90_range_window" ->
+      """WITH e AS (SELECT event_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms, value
+           FROM events)
+         SELECT event_id, user_id, ms,
+             COUNT(*) OVER w AS n_1h,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS sum_1h
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ms
+           RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    "q91_exact_k_sample" ->
+      """WITH h AS (SELECT lang, doc_id,
+             CAST('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)),
+               1, 15) AS BIGINT) AS hv
+           FROM documents),
+         r AS (SELECT lang, doc_id, CAST(row_number() OVER
+             (PARTITION BY lang ORDER BY hv, doc_id) AS BIGINT) AS rk
+           FROM h)
+         SELECT lang, rk, doc_id FROM r WHERE rk <= 10
+         ORDER BY lang, rk""")
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized

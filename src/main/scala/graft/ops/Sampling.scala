@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic stratified sampling (SURVEY §7.2.8 curation surface):
@@ -17,18 +18,46 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** The engine-portable sampling hash: md5 of `salt|key`, first 15 hex
-    * digits as an integer, mod 10000 basis points. NULL keys hash to
-    * NULL (every comparison against a threshold is then false — no-hash
-    * rows never sample in). Shared by every hash-thresholded sampler
-    * ([[stratifiedHashSample]], [[Mixing.balanceToMin]], q46's split).
+  /** The engine-portable sampling hash, full width: md5 of `salt|key`,
+    * first 15 hex digits as an int64 (60 bits — collision-free tie
+    * order for ranking samplers). NULL keys hash to NULL.
     */
-  def hashBucket(keyCol: String, salt: String): Column = {
+  def hashValue(keyCol: String, salt: String): Column = {
     require(salt.matches("[A-Za-z0-9_]+"), s"salt must be alphanumeric: $salt")
     expr(
       s"""cast(conv(substring(md5(concat('$salt|',
-         |  cast($keyCol as string))), 1, 15), 16, 10) as bigint) % 10000"""
+         |  cast($keyCol as string))), 1, 15), 16, 10) as bigint)"""
         .stripMargin)
+  }
+
+  /** [[hashValue]] mod 10000 basis points — the threshold form. NULL
+    * keys hash to NULL (every comparison against a threshold is then
+    * false — no-hash rows never sample in). Shared by every
+    * hash-thresholded sampler ([[stratifiedHashSample]],
+    * [[Mixing.balanceToMin]], q46's split).
+    */
+  def hashBucket(keyCol: String, salt: String): Column =
+    hashValue(keyCol, salt) % 10000
+
+  /** EXACTLY min(k, |stratum|) rows per stratum — rate-based sampling
+    * ([[stratifiedHashSample]]) gives expected counts; this gives exact
+    * ones, still deterministic and engine-reproducible: rank rows
+    * inside each stratum by `(hashValue, key)` and keep the first k.
+    * Returns the kept rows with the 1-based `rk` appended.
+    *
+    * Scale: one shuffle on the stratum key; each stratum ranks
+    * independently (parallelism = stratum count), and only ranks up to
+    * its own size — the classic per-group top-k. For strata of
+    * billions of rows pair with a bucket pre-filter (keep hash mod M
+    * below ~2kM/n first) so the sort input is ~2k rows per stratum.
+    */
+  def exactKPerStratum(df: DataFrame, keyCol: String, strataCol: String,
+      k: Int, salt: String): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = Window.partitionBy(strataCol)
+      .orderBy(hashValue(keyCol, salt), col(keyCol))
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
   }
 
   /** Keep a row iff hash(salt|key) mod 10000 < ratesBp(stratum) basis

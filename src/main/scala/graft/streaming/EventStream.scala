@@ -179,4 +179,44 @@ object EventStream {
     query.awaitTermination()
     spark.table(qn).orderBy("user_id", "event_type")
   }
+
+  /** Stream-static join (the enrichment form every production stream
+    * runs): events joined to a batch dimension table, then the standard
+    * watermarked window aggregation per dimension attribute. The static
+    * side is broadcast into every micro-batch — the join itself is
+    * STATELESS (no state store, no watermark needed on the dim side;
+    * only the downstream window aggregation keeps state), which is
+    * exactly why this shape scales: a 100 TB/day stream enriched by a
+    * dimension costs no more state than the un-enriched aggregation.
+    * Inner join: events with no dimension row drop (the oracle
+    * replays the same join).
+    */
+  def streamStaticSegments(spark: SparkSession, srcParquet: String,
+      dimParquet: String, window: String = "10 minutes",
+      delay: String = "1 hour"): DataFrame =
+      Staging.withStreamShufflePartitions(spark) {
+    val (events, tag) = Staging.stageAndRead(spark, srcParquet,
+      "graft_sst_in")
+    val dim = broadcast(spark.read.parquet(dimParquet)
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment")))
+    val qn = s"graft_sst_$tag"
+    val query = events
+      .withWatermark("ts", delay)
+      .join(dim, Seq("user_id"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("segment"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qn)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(qn)
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("segment"), col("n_events"))
+      .orderBy("window_start_ms", "segment")
+  }
 }

@@ -176,4 +176,46 @@ class EventStreamSpec extends AnyFunSuite {
     assert(k1.last === 200 * min + off)
     assert(got.count(t => t._1 == 2L) === 1)
   }
+
+  test("stream-static join enriches without join state; equals batch join") {
+    import spark.implicits._
+    val dir = new java.io.File(Scratch.register(
+      Files.createTempDirectory("graft_sst_spec").toString))
+    // events for users 1, 2, 3 (user 3 has no dim row -> inner-drops);
+    // spread over 3h so the watermark closes the early windows
+    val rows = (0 until 18).map { i =>
+      (i.toLong, (i % 3 + 1).toLong, "click", i * 10 * min + 7000)
+    }
+    val src = rows.toDF("event_id", "user_id", "event_type", "ms")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val evDir = s"${dir.getAbsolutePath}/events_src"
+    src.coalesce(1).write.parquet(evDir)
+    val evFile = new java.io.File(evDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dimDir = s"${dir.getAbsolutePath}/dim_src"
+    Seq((1L, "AUTO"), (2L, "RETAIL"))
+      .toDF("c_custkey", "c_mktsegment")
+      .coalesce(1).write.parquet(dimDir)
+
+    val got = EventStream.streamStaticSegments(spark,
+        evFile.getAbsolutePath, dimDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val batch = src
+      .join(Seq((1L, "AUTO"), (2L, "RETAIL")).toDF("user_id", "segment"),
+        Seq("user_id"))
+      .groupBy(window(col("ts"), "10 minutes"), col("segment"))
+      .count()
+      .filter(unix_millis(col("window.end")) <= 170 * min + 7000 - 60 * min)
+      .select(unix_millis(col("window.start")).as("w"), col("segment"),
+        col("count"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    assert(got === batch)
+    assert(got.nonEmpty)
+    // user 3's events joined nothing: no segment beyond the dim's two
+    assert(got.keySet.map(_._2).subsetOf(Set("AUTO", "RETAIL")))
+  }
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+
+  private def corpus = {
+    import spark.implicits._
+    ((0 until 50).map(i => (i.toLong, "a")) ++
+      (100 until 105).map(i => (i.toLong, "b")) ++
+      (200 until 203).map(i => (i.toLong, "c")))
+      .toDF("id", "lang")
+  }
+
+  test("exactKPerStratum returns exactly min(k, stratum size) rows each") {
+    val got = Sampling.exactKPerStratum(corpus, "id", "lang", 5, "t")
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 5L, "b" -> 5L, "c" -> 3L))
+  }
+
+  test("membership is deterministic and rank-stable across runs") {
+    def draw() = Sampling.exactKPerStratum(corpus, "id", "lang", 3, "t")
+      .select("lang", "rk", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(draw() === draw())
+  }
+
+  test("changing the salt re-draws; ranks stay 1..k") {
+    val a = Sampling.exactKPerStratum(corpus, "id", "lang", 5, "s1")
+    val b = Sampling.exactKPerStratum(corpus, "id", "lang", 5, "s2")
+    val idsA = a.filter(col("lang") === "a").select("id")
+      .collect().map(_.getLong(0)).toSet
+    val idsB = b.filter(col("lang") === "a").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(idsA !== idsB) // 50-choose-5: collision ~ impossible
+    assert(a.select("rk").collect().map(_.getLong(0)).forall(r => r >= 1 && r <= 5))
+  }
+
+  test("hashBucket is hashValue mod 10000") {
+    val df = corpus.select(
+      Sampling.hashValue("id", "t").as("hv"),
+      Sampling.hashBucket("id", "t").as("hb"))
+    df.collect().foreach { r =>
+      assert(r.getLong(1) === r.getLong(0) % 10000)
+    }
+  }
+}
