@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{QuantizedCentroid, TextFns}
-import graft.ops.{Contamination, DedupClusters, KMeans, Mixing, Multimodal, NearDup, Percentiles, Salting, Sampling, Scd, Selection, Sessionize, Similarity}
+import graft.ops.{Contamination, DedupClusters, KMeans, Mixing, Multimodal, NearDup, Percentiles, Salting, Sampling, Scd, Selection, Sessionize, Similarity, TableDiff}
 import graft.streaming.{EventStream, StatefulSessions}
 
 /** Training-data-pipeline operators (SURVEY §7.2.8) as driver-contract
@@ -1593,6 +1593,21 @@ object TrainQueries {
       .select(col("lang"), col("rk"), col("doc_id"))
       .orderBy("lang", "rk")
 
+  /** Table reconciliation ([[graft.ops.TableDiff.diff]]): documents vs
+    * a deterministically perturbed second snapshot (every 97th doc's
+    * text changed) — the diff localizes exactly the buckets holding
+    * perturbed keys, from two scans and a 64-row compare.
+    */
+  private def qTableDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val snapB = docs.withColumn("text",
+      when(col("doc_id") % 97 === 0, concat(col("text"), lit("X")))
+        .otherwise(col("text")))
+    TableDiff.diff(docs, snapB, "doc_id",
+        Seq("text", "lang", "source", "n_chars"), 64)
+      .orderBy("bucket")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -1673,7 +1688,8 @@ object TrainQueries {
         s"$dir/customer.parquet")),
     "q89_scd2" -> (qScd2 _),
     "q90_range_window" -> (qRangeWindow _),
-    "q91_exact_k_sample" -> (qExactKSample _))
+    "q91_exact_k_sample" -> (qExactKSample _),
+    "q92_table_diff" -> (qTableDiff _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -2553,7 +2569,31 @@ object TrainQueries {
              (PARTITION BY lang ORDER BY hv, doc_id) AS BIGINT) AS rk
            FROM h)
          SELECT lang, rk, doc_id FROM r WHERE rk <= 10
-         ORDER BY lang, rk""")
+         ORDER BY lang, rk""",
+    "q92_table_diff" ->
+      """WITH b AS (SELECT doc_id,
+             CASE WHEN doc_id % 97 = 0 THEN text || 'X' ELSE text END
+               AS text, lang, source, n_chars FROM documents),
+         sa AS (SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                 1, 15) AS BIGINT) % 64 AS bucket,
+               COUNT(*) AS n,
+               SUM(CAST('0x' || substr(md5(concat_ws('|',
+                   CAST(doc_id AS VARCHAR), text, lang, source,
+                   CAST(n_chars AS VARCHAR))), 1, 15) AS BIGINT)) AS ck
+           FROM documents GROUP BY 1),
+         sb AS (SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                 1, 15) AS BIGINT) % 64 AS bucket,
+               COUNT(*) AS n,
+               SUM(CAST('0x' || substr(md5(concat_ws('|',
+                   CAST(doc_id AS VARCHAR), text, lang, source,
+                   CAST(n_chars AS VARCHAR))), 1, 15) AS BIGINT)) AS ck
+           FROM b GROUP BY 1)
+         SELECT COALESCE(sa.bucket, sb.bucket) AS bucket,
+             COALESCE(sa.n, 0) AS n_a, COALESCE(sb.n, 0) AS n_b
+         FROM sa FULL OUTER JOIN sb ON sa.bucket = sb.bucket
+         WHERE sa.n IS DISTINCT FROM sb.n
+            OR sa.ck IS DISTINCT FROM sb.ck
+         ORDER BY bucket""")
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized
