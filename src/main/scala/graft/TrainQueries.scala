@@ -1608,6 +1608,52 @@ object TrainQueries {
       .orderBy("bucket")
   }
 
+  /** Percentile winsorization: clip l_quantity to each flag's
+    * [p05, p95] (boundaries from the distributed exact percentiles —
+    * q47's machinery) and report clip volumes + the clipped mean. Two
+    * passes: a 3-row boundary table broadcast back onto the scan, the
+    * clip itself scan-local, DECIMAL-exact mean.
+    */
+  private def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val bounds = Percentiles.exactFewGroups(li, Seq("l_returnflag"),
+      "l_quantity", Seq(("p05", 0.05), ("p95", 0.95)))
+    li.select(col("l_returnflag"), col("l_quantity"))
+      .join(broadcast(bounds), Seq("l_returnflag"))
+      .withColumn("__w",
+        least(greatest(col("l_quantity"), col("p05")), col("p95")))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        min("p05").as("p05"), min("p95").as("p95"),
+        sum((col("l_quantity") < col("p05")).cast("long")).as("n_clip_lo"),
+        sum((col("l_quantity") > col("p95")).cast("long")).as("n_clip_hi"),
+        (sum(col("__w").cast("decimal(12,2)")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_w"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Per-group z-score standardization: events.value against its
+    * event_type's DECIMAL-exact mean and sample stddev (q43's moment
+    * formulas), the stats broadcast back — normalization is scan-local,
+    * the shape feature scaling takes at any size.
+    */
+  private def qZScore(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+    val stats = e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("s1"),
+        sum(dec(col("value")) * dec(col("value"))).cast("double").as("s2"))
+      .select(col("event_type"), (col("s1") / col("n")).as("mean"),
+        sqrt((col("n").cast("double") * col("s2") - col("s1") * col("s1"))
+          / (col("n").cast("double") * (col("n").cast("double") - lit(1.0d))))
+          .as("sd"))
+    e.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        ((col("value") - col("mean")) / col("sd")).as("z"))
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -1689,7 +1735,9 @@ object TrainQueries {
     "q89_scd2" -> (qScd2 _),
     "q90_range_window" -> (qRangeWindow _),
     "q91_exact_k_sample" -> (qExactKSample _),
-    "q92_table_diff" -> (qTableDiff _))
+    "q92_table_diff" -> (qTableDiff _),
+    "q93_winsorize" -> (qWinsorize _),
+    "q94_zscore" -> (qZScore _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -2593,7 +2641,38 @@ object TrainQueries {
          FROM sa FULL OUTER JOIN sb ON sa.bucket = sb.bucket
          WHERE sa.n IS DISTINCT FROM sb.n
             OR sa.ck IS DISTINCT FROM sb.ck
-         ORDER BY bucket""")
+         ORDER BY bucket""",
+    "q93_winsorize" ->
+      """WITH b AS (SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.05) AS p05,
+             quantile_cont(l_quantity, 0.95) AS p95
+           FROM lineitem GROUP BY 1),
+         w AS (SELECT l.l_returnflag, l.l_quantity, b.p05, b.p95,
+             least(greatest(l.l_quantity, b.p05), b.p95) AS wv
+           FROM lineitem l JOIN b USING (l_returnflag))
+         SELECT l_returnflag, COUNT(*) AS n,
+             MIN(p05) AS p05, MIN(p95) AS p95,
+             CAST(SUM(CASE WHEN l_quantity < p05 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_clip_lo,
+             CAST(SUM(CASE WHEN l_quantity > p95 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_clip_hi,
+             CAST(SUM(CAST(wv AS DECIMAL(12,2))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS mean_w
+         FROM w GROUP BY 1 ORDER BY l_returnflag""",
+    "q94_zscore" ->
+      """WITH st AS (SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))
+               * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+           FROM events GROUP BY 1),
+         m AS (SELECT event_type, s1 / n AS mean,
+             sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1)
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sd
+           FROM st)
+         SELECT e.event_id, e.event_type, e.value,
+             (e.value - m.mean) / m.sd AS z
+         FROM events e JOIN m USING (event_type)
+         ORDER BY e.event_id""")
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized
