@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{QuantizedCentroid, TextFns}
-import graft.ops.{Contamination, DedupClusters, KMeans, Mixing, Multimodal, NearDup, Percentiles, Salting, Sampling, Scd, Selection, Sessionize, Similarity, TableDiff}
+import graft.ops.{Cogrouped, Contamination, DedupClusters, KMeans, Mixing, Multimodal, NearDup, Percentiles, Salting, Sampling, Scd, Selection, Sessionize, Similarity, TableDiff}
 import graft.streaming.{EventStream, StatefulSessions}
 
 /** Training-data-pipeline operators (SURVEY §7.2.8) as driver-contract
@@ -223,6 +223,23 @@ object TrainQueries {
     * the late-filtered batch equivalent of the watermarked windowed
     * aggregation — the sink must not change the data.
     */
+  /** Shared by q49 (window form) and q95 (typed cogroup form): the two
+    * implementations claim identical as-of semantics and must match
+    * the same oracle — like q57/q70's streaming/batch pair.
+    */
+  private val asofOracle =
+    """SELECT event_id, user_id, ms AS click_ms, signup_ms, signup_event
+       FROM (SELECT event_id, user_id, event_type, ms,
+           last_value(CASE WHEN event_type = 'signup' THEN ms END
+             IGNORE NULLS) OVER w AS signup_ms,
+           last_value(CASE WHEN event_type = 'signup' THEN event_id END
+             IGNORE NULLS) OVER w AS signup_event
+         FROM (SELECT event_id, user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       WHERE event_type = 'click' ORDER BY event_id"""
+
   private val streamWindowOracle =
     """WITH mx AS (SELECT epoch_us(MAX(CAST(ts AS TIMESTAMP))) // 1000
                      AS max_ms FROM events),
@@ -1654,6 +1671,16 @@ object TrainQueries {
       .orderBy("event_id")
   }
 
+  /** Typed-cogroup as-of attribution ([[graft.ops.Cogrouped]]): q49's
+    * semantics through `KeyValueGroupedDataset.cogroup` — the typed
+    * two-input escape hatch, verified against the SAME oracle as the
+    * window form.
+    */
+  private def qCogroupAsof(s: SparkSession, dir: String): DataFrame =
+    Cogrouped.clickSignupAsof(
+        t(s, dir, "events").withColumn("ms", unix_millis(col("ts"))), s)
+      .orderBy("event_id")
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -1737,7 +1764,8 @@ object TrainQueries {
     "q91_exact_k_sample" -> (qExactKSample _),
     "q92_table_diff" -> (qTableDiff _),
     "q93_winsorize" -> (qWinsorize _),
-    "q94_zscore" -> (qZScore _))
+    "q94_zscore" -> (qZScore _),
+    "q95_cogroup_asof" -> (qCogroupAsof _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -2138,18 +2166,8 @@ object TrainQueries {
          FROM generate_series(DATE '2024-01-01', DATE '2024-12-31',
                               INTERVAL 1 DAY) t(d)
          ORDER BY date_str""",
-    "q49_asof_join" ->
-      """SELECT event_id, user_id, ms AS click_ms, signup_ms, signup_event
-         FROM (SELECT event_id, user_id, event_type, ms,
-             last_value(CASE WHEN event_type = 'signup' THEN ms END
-               IGNORE NULLS) OVER w AS signup_ms,
-             last_value(CASE WHEN event_type = 'signup' THEN event_id END
-               IGNORE NULLS) OVER w AS signup_event
-           FROM (SELECT event_id, user_id, event_type,
-               epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events)
-           WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-         WHERE event_type = 'click' ORDER BY event_id""",
+    "q49_asof_join" -> asofOracle,
+    "q95_cogroup_asof" -> asofOracle,
     "q50_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
