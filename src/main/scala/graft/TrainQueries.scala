@@ -1524,10 +1524,13 @@ object TrainQueries {
     */
   private def qSourceMix(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val kept = Mixing.balanceToMin(docs, "doc_id", "source", "mix")
+    // one stats pass serves both the filter and the report — pinned,
+    // since two plan subtrees referencing it would each recompute the
+    // aggregation (no common-subplan reuse across join sides)
+    val thr = Mixing.thresholds(docs, "source").localCheckpoint()
+    val kept = Mixing.balanceWith(docs, "doc_id", "source", "mix", thr)
       .groupBy("source").agg(count(lit(1)).as("n_kept"))
-    Mixing.thresholds(docs, "source")
-      .join(kept, Seq("source"), "left")
+    thr.join(kept, Seq("source"), "left")
       .select(col("source"), col("n_total"), col("thr_bp"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
       .orderBy("source")
@@ -1661,10 +1664,16 @@ object TrainQueries {
       .agg(count(lit(1)).as("n"),
         sum(dec(col("value"))).cast("double").as("s1"),
         sum(dec(col("value")) * dec(col("value"))).cast("double").as("s2"))
-      .select(col("event_type"), (col("s1") / col("n")).as("mean"),
+      .select(col("event_type"), col("n"),
+        (col("s1") / col("n")).as("mean"),
         sqrt((col("n").cast("double") * col("s2") - col("s1") * col("s1"))
           / (col("n").cast("double") * (col("n").cast("double") - lit(1.0d))))
           .as("sd"))
+      // degenerate strata (n=1 -> 0/0; all-equal -> sd=0) have no
+      // z-scale, and 0-division diverges cross-engine (Spark NULL,
+      // DuckDB ±inf) — excluded on BOTH sides
+      .filter(col("n") > 1 && col("sd") > 0)
+      .drop("n")
     e.join(broadcast(stats), Seq("event_type"))
       .select(col("event_id"), col("event_type"), col("value"),
         ((col("value") - col("mean")) / col("sd")).as("z"))
@@ -2686,10 +2695,11 @@ object TrainQueries {
          m AS (SELECT event_type, s1 / n AS mean,
              sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1)
                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sd
-           FROM st)
+           FROM st WHERE n > 1)
          SELECT e.event_id, e.event_type, e.value,
              (e.value - m.mean) / m.sd AS z
          FROM events e JOIN m USING (event_type)
+         WHERE m.sd > 0
          ORDER BY e.event_id""")
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME

@@ -55,8 +55,16 @@ object Mixing {
     */
   def balanceToMin(df: DataFrame, keyCol: String, strataCol: String,
       salt: String): DataFrame =
+    balanceWith(df, keyCol, strataCol, salt, thresholds(df, strataCol))
+
+  /** [[balanceToMin]] with a precomputed [[thresholds]] table — for
+    * callers that also report the thresholds (q85): compute the stats
+    * pass once, use it for both the filter and the audit output.
+    */
+  def balanceWith(df: DataFrame, keyCol: String, strataCol: String,
+      salt: String, thresholdTable: DataFrame): DataFrame =
     df.join(
-        broadcast(thresholds(df, strataCol).select(strataCol, ThresholdCol)),
+        broadcast(thresholdTable.select(strataCol, ThresholdCol)),
         Seq(strataCol))
       .filter(Sampling.hashBucket(keyCol, salt) < col(ThresholdCol))
 }

@@ -18,16 +18,23 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** The engine-portable sampling hash, full width: md5 of `salt|key`,
-    * first 15 hex digits as an int64 (60 bits — collision-free tie
-    * order for ranking samplers). NULL keys hash to NULL.
+  /** THE engine-portable hash idiom: first 15 hex digits of md5 over
+    * an arbitrary SQL string expression, as an int64 (60 bits). Every
+    * md5-derived integer in the engine ([[hashValue]], the q46 split,
+    * [[TableDiff]]'s checksums) goes through this one form so the
+    * cross-engine contract (`CAST('0x' || substr(md5(x), 1, 15) AS
+    * BIGINT)` in DuckDB) can never fork.
+    */
+  def md5Long(innerSql: String): Column =
+    expr(s"cast(conv(substring(md5($innerSql), 1, 15), 16, 10) as bigint)")
+
+  /** The sampling hash, full width: [[md5Long]] of `salt|key` —
+    * collision-free tie order for ranking samplers. NULL keys hash to
+    * NULL.
     */
   def hashValue(keyCol: String, salt: String): Column = {
     require(salt.matches("[A-Za-z0-9_]+"), s"salt must be alphanumeric: $salt")
-    expr(
-      s"""cast(conv(substring(md5(concat('$salt|',
-         |  cast($keyCol as string))), 1, 15), 16, 10) as bigint)"""
-        .stripMargin)
+    md5Long(s"concat('$salt|', cast($keyCol as string))")
   }
 
   /** [[hashValue]] mod 10000 basis points — the threshold form. NULL
@@ -56,7 +63,11 @@ object Sampling {
     require(k > 0, s"k must be positive: $k")
     val w = Window.partitionBy(strataCol)
       .orderBy(hashValue(keyCol, salt), col(keyCol))
-    df.withColumn("rk", row_number().over(w).cast("long"))
+    // NULL keys have no hash -> excluded BEFORE ranking (the module
+    // contract); left in, Spark's ASC NULLS FIRST would rank them 1..m
+    // while the oracle's NULLS LAST would not — a silent fork
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
   }
 

@@ -21,13 +21,12 @@ import org.apache.spark.sql.functions._
 object TableDiff {
 
   /** 60-bit row checksum over (key, cols) — order-independent when
-    * summed, collision odds ~n²/2⁶⁰.
+    * summed, collision odds ~n²/2⁶⁰. One [[Sampling.md5Long]] form.
     */
   def rowChecksum(keyCol: String, cols: Seq[String]): Column = {
     val parts = (keyCol +: cols).map(c => s"cast($c as string)")
       .mkString(", ")
-    expr(s"""cast(conv(substring(md5(concat_ws('|', $parts)), 1, 15),
-            |  16, 10) as bigint)""".stripMargin)
+    Sampling.md5Long(s"concat_ws('|', $parts)")
   }
 
   /** One row per key bucket: row count and DECIMAL(38,0) checksum sum
@@ -37,9 +36,9 @@ object TableDiff {
   def summary(df: DataFrame, keyCol: String, cols: Seq[String],
       buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
-    df.groupBy((expr(
-        s"""cast(conv(substring(md5(cast($keyCol as string)), 1, 15),
-           |  16, 10) as bigint)""".stripMargin) % buckets).as("bucket"))
+    df.groupBy(
+        (Sampling.md5Long(s"cast($keyCol as string)") % buckets)
+          .as("bucket"))
       .agg(count(lit(1)).as("n"),
         sum(rowChecksum(keyCol, cols).cast("decimal(38,0)")).as("ck"))
   }

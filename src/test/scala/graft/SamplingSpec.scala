@@ -41,6 +41,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(a.select("rk").collect().map(_.getLong(0)).forall(r => r >= 1 && r <= 5))
   }
 
+  test("exactKPerStratum never samples NULL-key rows (no hash, no rank)") {
+    import spark.implicits._
+    val withNulls = corpus.union(
+      Seq.fill(5)((null.asInstanceOf[java.lang.Long], "c"))
+        .map(t => (Option(t._1).map(Long2long), t._2))
+        .toDF("id", "lang"))
+    val got = Sampling.exactKPerStratum(withNulls, "id", "lang", 4, "t")
+      .filter(col("lang") === "c").select("id").collect()
+    // stratum c has 3 real rows + 5 null-key rows: exactly the 3 real
+    // rows sample in, and none of them is null
+    assert(got.length === 3)
+    assert(got.forall(!_.isNullAt(0)))
+  }
+
   test("hashBucket is hashValue mod 10000") {
     val df = corpus.select(
       Sampling.hashValue("id", "t").as("hv"),
