@@ -1690,6 +1690,24 @@ object TrainQueries {
         t(s, dir, "events").withColumn("ms", unix_millis(col("ts"))), s)
       .orderBy("event_id")
 
+  /** Latest-per-key via PURE AGGREGATION: `max(struct(ts, id, attrs))`
+    * partial-aggregates map-side (each task keeps one struct per key —
+    * no per-group sort, no window, no row buffering), the scale idiom
+    * for "latest record" that q03's sort-based dedup form can't match
+    * at skewed key volumes. Lexicographic struct order IS the
+    * deterministic tiebreak ((ms, event_id) is unique).
+    */
+  private def qArgMax(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ms", unix_millis(col("ts")))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col("ms"), col("event_id"), col("event_type")))
+          .as("__m"))
+      .select(col("user_id"), col("n_events"),
+        col("__m.ms").as("last_ms"), col("__m.event_id").as("last_event"),
+        col("__m.event_type").as("last_type"))
+      .orderBy("user_id")
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -1774,7 +1792,8 @@ object TrainQueries {
     "q92_table_diff" -> (qTableDiff _),
     "q93_winsorize" -> (qWinsorize _),
     "q94_zscore" -> (qZScore _),
-    "q95_cogroup_asof" -> (qCogroupAsof _))
+    "q95_cogroup_asof" -> (qCogroupAsof _),
+    "q96_argmax_agg" -> (qArgMax _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -2700,7 +2719,18 @@ object TrainQueries {
              (e.value - m.mean) / m.sd AS z
          FROM events e JOIN m USING (event_type)
          WHERE m.sd > 0
-         ORDER BY e.event_id""")
+         ORDER BY e.event_id""",
+    "q96_argmax_agg" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events)
+         SELECT user_id, COUNT(*) AS n_events,
+             MAX({'ms': ms, 'event_id': event_id,
+                  'event_type': event_type}).ms AS last_ms,
+             MAX({'ms': ms, 'event_id': event_id,
+                  'event_type': event_type}).event_id AS last_event,
+             MAX({'ms': ms, 'event_id': event_id,
+                  'event_type': event_type}).event_type AS last_type
+         FROM e GROUP BY 1 ORDER BY user_id""")
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized

@@ -232,6 +232,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_min") && p.contains("partial_max"))
   }
 
+  test("q96: aggregation argmax plans partial_max and NO sort/window before the agg") {
+    val df = SparkEntry.queries("q96_argmax_agg")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    // latest-per-key must be a map-side-combined struct max, never a
+    // per-group sort (q03's form) or a window
+    assert(p.contains("partial_max"), p.take(800))
+    assert(!p.contains("Window"))
+  }
+
+  test("join hints are honored: shuffle_hash plans a ShuffledHashJoin") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey")
+    val j = li.join(ord.hint("shuffle_hash"),
+      li("l_orderkey") === ord("o_orderkey"))
+    j.collect()
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p.take(800))
+  }
+
   test("q87: k-means assignment plans NO join — centroids are plan literals") {
     val df = SparkEntry.queries("q87_kmeans")(spark, dir)
     df.count()
