@@ -1708,6 +1708,30 @@ object TrainQueries {
         col("__m.event_type").as("last_type"))
       .orderBy("user_id")
 
+  /** Semantic dedup, SemDeDup-style: k-means clusters as the blocking
+    * key, exact cosine only WITHIN clusters — near-identical embeddings
+    * land in the same cluster, so the candidate set is n²/k instead of
+    * n², and each pair costs one codegen'd integer dot. Pairs at
+    * sim ≥ 0.3 with the cluster that produced them.
+    */
+  private def qSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val a = KMeans.fitFull(
+        Similarity.prepare(t(s, dir, "embeddings"), "embedding"),
+        "vec_id", 8, 2)
+      .filter(col("qn") > 0)
+    val l = a.select(col("vec_id").as("id_a"), col("cluster"),
+      col("qv").as("__qva"), col("qn").as("__qna"))
+    val r = a.select(col("vec_id").as("id_b"), col("cluster"),
+      col("qv").as("__qvb"), col("qn").as("__qnb"))
+    l.join(r, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", Similarity.cosine(col("__qva"), col("__qvb"),
+        col("__qna"), col("__qnb")))
+      .filter(col("sim") >= 0.3)
+      .select(col("id_a"), col("id_b"), col("cluster"), col("sim"))
+      .orderBy("id_a", "id_b")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -1793,7 +1817,8 @@ object TrainQueries {
     "q93_winsorize" -> (qWinsorize _),
     "q94_zscore" -> (qZScore _),
     "q95_cogroup_asof" -> (qCogroupAsof _),
-    "q96_argmax_agg" -> (qArgMax _))
+    "q96_argmax_agg" -> (qArgMax _),
+    "q97_semantic_dedup" -> (qSemanticDedup _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -2730,7 +2755,8 @@ object TrainQueries {
                   'event_type': event_type}).event_id AS last_event,
              MAX({'ms': ms, 'event_id': event_id,
                   'event_type': event_type}).event_type AS last_type
-         FROM e GROUP BY 1 ORDER BY user_id""")
+         FROM e GROUP BY 1 ORDER BY user_id""",
+    "q97_semantic_dedup" -> semanticDedupOracle(8, 2))
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized
@@ -2739,7 +2765,39 @@ object TrainQueries {
     * assumed), emptied clusters keeping their previous centroid via the
     * LEFT JOIN + COALESCE.
     */
-  private def kmeansOracle(k: Int, iters: Int): String = {
+  private def kmeansOracle(k: Int, iters: Int): String =
+    s"""${kmeansCtes(k, iters)}
+         SELECT cluster, COUNT(*) AS n_vecs,
+             CAST(SUM(dist) AS BIGINT) AS inertia
+         FROM afin GROUP BY 1 ORDER BY cluster"""
+
+  /** q97's oracle: the same Lloyd chain, then exact pairwise cosine
+    * restricted to same-cluster pairs (the SemDeDup blocking), zero
+    * norms excluded exactly as the Spark side's `qn > 0`.
+    */
+  private def semanticDedupOracle(k: Int, iters: Int): String =
+    s"""${kmeansCtes(k, iters)},
+         nrm AS (SELECT vec_id, SUM(x * x) AS nn FROM q GROUP BY 1
+                 HAVING SUM(x * x) > 0),
+         pd AS (SELECT aa.vec_id AS id_a, bb.vec_id AS id_b,
+             aa.cluster, SUM(qa.x * qb.x) AS dot
+           FROM afin aa
+           JOIN afin bb ON aa.cluster = bb.cluster
+             AND aa.vec_id < bb.vec_id
+           JOIN nrm ea ON ea.vec_id = aa.vec_id
+           JOIN nrm eb ON eb.vec_id = bb.vec_id
+           JOIN q qa ON qa.vec_id = aa.vec_id
+           JOIN q qb ON qb.vec_id = bb.vec_id AND qa.i = qb.i
+           GROUP BY 1, 2, 3),
+         sm AS (SELECT id_a, id_b, cluster,
+             CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
+               * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
+           FROM pd JOIN nrm na ON pd.id_a = na.vec_id
+                   JOIN nrm nb ON pd.id_b = nb.vec_id)
+         SELECT id_a, id_b, cluster, sim FROM sm
+         WHERE sim >= 0.3 ORDER BY id_a, id_b"""
+
+  private def kmeansCtes(k: Int, iters: Int): String = {
     val sb = new StringBuilder
     sb ++=
       s"""WITH q AS (SELECT e.vec_id, i,
@@ -2775,10 +2833,7 @@ object TrainQueries {
          afin AS (SELECT vec_id, j AS cluster, d AS dist FROM (
              SELECT vec_id, j, d, row_number() OVER
                (PARTITION BY vec_id ORDER BY d, j) AS rn FROM dfin)
-           WHERE rn = 1)
-         SELECT cluster, COUNT(*) AS n_vecs,
-             CAST(SUM(dist) AS BIGINT) AS inertia
-         FROM afin GROUP BY 1 ORDER BY cluster"""
+           WHERE rn = 1)"""
     sb.toString
   }
 

@@ -35,7 +35,17 @@ object KMeans {
     * exact squared distance to its final centroid. `prepared` needs
     * the [[Similarity.prepare]] columns (`qv`, `qn`).
     */
-  def fit(prepared: DataFrame, idCol: String, k: Int, iters: Int): DataFrame = {
+  def fit(prepared: DataFrame, idCol: String, k: Int, iters: Int): DataFrame =
+    fitFull(prepared, idCol, k, iters)
+      .select(col(idCol), col("cluster"), col("dist"))
+
+  /** [[fit]] keeping the quantized vector columns (`qv`, `qn`) on each
+    * assignment row — for consumers that do per-cluster vector work
+    * next (cluster-blocked semantic dedup, re-ranking) without a join
+    * back to the corpus.
+    */
+  def fitFull(prepared: DataFrame, idCol: String, k: Int,
+      iters: Int): DataFrame = {
     require(k >= 1, s"k must be positive: $k")
     require(iters >= 0, s"iters must be non-negative: $iters")
     // iters update jobs + the final assignment all rescan the input —
@@ -52,7 +62,8 @@ object KMeans {
     for (_ <- 1 to iters)
       centroids = update(assign(vecs, centroids), centroids)
     assign(vecs, centroids)
-      .select(col("__id").as(idCol), col("cluster"), col("dist"))
+      .select(col("__id").as(idCol), col("cluster"), col("dist"),
+        col("qv"), col("qn"))
   }
 
   /** Scan-local nearest-centroid assignment: k codegen'd integer dots
@@ -69,7 +80,7 @@ object KMeans {
     }.toSeq
     val best = if (cands.length == 1) cands.head else least(cands: _*)
     vecs.withColumn("__best", best)
-      .select(col("__id"), col("qv"),
+      .select(col("__id"), col("qv"), col("qn"),
         col("__best.c").as("cluster"), col("__best.d").as("dist"))
   }
 
