@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{QuantizedCentroid, TextFns}
-import graft.ops.{Cogrouped, Contamination, DedupClusters, KMeans, Mixing, Multimodal, NearDup, Percentiles, Salting, Sampling, Scd, Selection, Sessionize, Similarity, TableDiff}
+import graft.ops.{Cogrouped, Contamination, DedupClusters, DenseId, KMeans, Mixing, Multimodal, NearDup, Percentiles, Salting, Sampling, Scd, Selection, Sessionize, Similarity, TableDiff}
 import graft.streaming.{EventStream, StatefulSessions}
 
 /** Training-data-pipeline operators (SURVEY §7.2.8) as driver-contract
@@ -1732,6 +1732,32 @@ object TrainQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Training-shard export manifest: the corpus in curriculum order
+    * (quality desc — q86's ordering) cut into fixed-size 64-doc shards
+    * via the scalable dense id (E36 — no single-task window), each
+    * shard summarized as the manifest a downstream loader checks:
+    * doc count, token total, content checksum ([[TableDiff]]'s
+    * order-independent sum, folded to 40 bits). Shard boundaries and
+    * checksums are all engine-reproducible — the export can be
+    * re-validated anywhere.
+    */
+  private def qShardManifest(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents")
+      .withColumn("__toks", TextFns.tokens("text"))
+      .select(col("doc_id"), col("text"),
+        size(col("__toks")).cast("long").as("n_tok"),
+        TextFns.qualityScore("text", "__toks").as("quality"))
+    DenseId.withDenseId(scored, "rk", col("quality").desc, col("doc_id"))
+      .withColumn("shard", expr("(rk - 1) div 64"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        (sum(TableDiff.rowChecksum("doc_id", Seq("text"))
+            .cast("decimal(38,0)")) % lit(1099511627776L))
+          .cast("bigint").as("checksum"))
+      .orderBy("shard")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -1818,7 +1844,8 @@ object TrainQueries {
     "q94_zscore" -> (qZScore _),
     "q95_cogroup_asof" -> (qCogroupAsof _),
     "q96_argmax_agg" -> (qArgMax _),
-    "q97_semantic_dedup" -> (qSemanticDedup _))
+    "q97_semantic_dedup" -> (qSemanticDedup _),
+    "q98_shard_manifest" -> (qShardManifest _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -2756,7 +2783,29 @@ object TrainQueries {
              MAX({'ms': ms, 'event_id': event_id,
                   'event_type': event_type}).event_type AS last_type
          FROM e GROUP BY 1 ORDER BY user_id""",
-    "q97_semantic_dedup" -> semanticDedupOracle(8, 2))
+    "q97_semantic_dedup" -> semanticDedupOracle(8, 2),
+    "q98_shard_manifest" ->
+      """WITH d AS (SELECT doc_id, text,
+             string_split(text, ' ') AS toks FROM documents),
+         sc AS (SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tok,
+             0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (1.0 - CAST(len(list_filter(toks,
+                     w -> w IN ('the','a','of','and','is'))) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE))
+               + 0.2 * least(((CAST(length(text) AS DOUBLE)
+                     - (CAST(len(toks) AS DOUBLE) - 1.0))
+                   / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0) AS quality
+           FROM d),
+         rk AS (SELECT doc_id, text, n_tok,
+             CAST(row_number() OVER (ORDER BY quality DESC, doc_id)
+               AS BIGINT) AS rk
+           FROM sc)
+         SELECT (rk - 1) // 64 AS shard, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST('0x' || substr(md5(concat_ws('|',
+                 CAST(doc_id AS VARCHAR), text)), 1, 15) AS BIGINT))
+               % 1099511627776 AS BIGINT) AS checksum
+         FROM rk GROUP BY 1 ORDER BY shard""")
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized
