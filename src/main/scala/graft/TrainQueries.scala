@@ -320,7 +320,11 @@ object TrainQueries {
   /** q25's oracle, generated so the min-hash family coefficients are the
     * exact same literals the Spark side uses ([[NearDup.hashCoeffs]]).
     */
-  private def minhashLshOracle: String = {
+  /** The shingle→hash→signature→band CTE chain shared by the q25 and
+    * q99 oracles — min-hash coefficients interpolated as the exact
+    * literals the Spark side uses ([[NearDup.hashCoeffs]]).
+    */
+  private def minhashCtes: String = {
     val sigEntries = NearDup.hashCoeffs(32)
       .map { case (a, b) =>
         s"list_min(list_transform(xs, x -> ($a * x + $b) % ${NearDup.HashP}))"
@@ -341,7 +345,11 @@ object TrainQueries {
                    % ${NearDup.HashP}) AS xs
            FROM s),
          sig AS (SELECT doc_id, $sigEntries AS sg FROM xs),
-         bands AS ($bandSelects),
+         bands AS ($bandSelects)"""
+  }
+
+  private def minhashLshOracle: String =
+    s"""$minhashCtes,
          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            FROM bands a JOIN bands b
              ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
@@ -359,7 +367,24 @@ object TrainQueries {
                      JOIN sig sb ON cand.id_b = sb.doc_id)
          SELECT id_a, id_b, jaccard, est_jaccard FROM jac
          WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""
-  }
+
+  /** q99's oracle: the same signature/band chain, candidates from the
+    * new-batch × history band join, scored by the signature estimator.
+    */
+  private def crossDedupOracle: String =
+    s"""$minhashCtes,
+         cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS hist_id
+           FROM bands a JOIN bands b
+             ON a.b = b.b AND a.bkey = b.bkey
+           WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0),
+         est AS (SELECT new_id, hist_id,
+             CAST(len(list_filter(
+                 list_zip(sa.sg, sb.sg), p -> p[1] = p[2])) AS DOUBLE)
+               / 32.0 AS est_jaccard
+           FROM cand JOIN sig sa ON cand.new_id = sa.doc_id
+                     JOIN sig sb ON cand.hist_id = sb.doc_id)
+         SELECT new_id, hist_id, est_jaccard FROM est
+         WHERE est_jaccard >= 0.5 ORDER BY new_id, hist_id"""
 
   // ---------------------------------------------------------------------
   // Text analysis
@@ -1758,6 +1783,36 @@ object TrainQueries {
       .orderBy("shard")
   }
 
+  /** Cross-corpus incremental near-dup
+    * ([[graft.ops.NearDup.crossCandidatePairs]]): the incoming batch
+    * (doc_id ≡ 0 mod 3) deduped AGAINST the existing corpus — band
+    * join instead of band self-join, so per-batch cost is independent
+    * of corpus size; candidates scored by the O(k) signature estimator
+    * (the at-scale verification path).
+    */
+  private def qCrossDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .repartition(col("doc_id"))
+      .withColumn("shingles", TextFns.shingles("text", 5))
+      .select("doc_id", "shingles")
+      .localCheckpoint()
+    val sigs = NearDup.minHashSigs(docs, "doc_id", "shingles", 32, "sig")
+      .localCheckpoint()
+    val bands = NearDup.bandRows(sigs, "doc_id", "sig", 4, 8, 32)
+    NearDup.crossCandidatePairs(
+        bands.filter(col("doc_id") % 3 === 0),
+        bands.filter(col("doc_id") % 3 =!= 0), "doc_id")
+      .join(sigs.select(col("doc_id").as("new_id"), col("sig").as("__sa")),
+        "new_id")
+      .join(sigs.select(col("doc_id").as("hist_id"), col("sig").as("__sb")),
+        "hist_id")
+      .withColumn("est_jaccard",
+        expr(NearDup.estimatedJaccardExpr("__sa", "__sb", 32)))
+      .filter(col("est_jaccard") >= 0.5)
+      .select("new_id", "hist_id", "est_jaccard")
+      .orderBy("new_id", "hist_id")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -1845,7 +1900,8 @@ object TrainQueries {
     "q95_cogroup_asof" -> (qCogroupAsof _),
     "q96_argmax_agg" -> (qArgMax _),
     "q97_semantic_dedup" -> (qSemanticDedup _),
-    "q98_shard_manifest" -> (qShardManifest _))
+    "q98_shard_manifest" -> (qShardManifest _),
+    "q99_cross_dedup" -> (qCrossDedup _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -2805,7 +2861,8 @@ object TrainQueries {
              CAST(SUM(CAST('0x' || substr(md5(concat_ws('|',
                  CAST(doc_id AS VARCHAR), text)), 1, 15) AS BIGINT))
                % 1099511627776 AS BIGINT) AS checksum
-         FROM rk GROUP BY 1 ORDER BY shard""")
+         FROM rk GROUP BY 1 ORDER BY shard""",
+    "q99_cross_dedup" -> crossDedupOracle)
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized

@@ -117,6 +117,22 @@ object NearDup {
       .distinct()
   }
 
+  /** Cross-corpus candidate pairs (SURVEY §2.11 E89): an incoming
+    * batch's band rows joined against the EXISTING corpus's band rows —
+    * incremental near-dup. In production the history bands are computed
+    * once and persisted; each new batch then costs its own banding plus
+    * ONE equi-join on (band, band_key) — never a self-join of the
+    * union, so per-batch work is O(batch + collisions) regardless of
+    * corpus size. Returns distinct (new_id, hist_id).
+    */
+  def crossCandidatePairs(newBands: DataFrame, histBands: DataFrame,
+      idCol: String): DataFrame =
+    newBands.select(col(idCol).as("new_id"), col("band"), col("band_key"))
+      .join(histBands.select(col(idCol).as("hist_id"), col("band"),
+        col("band_key")), Seq("band", "band_key"))
+      .select("new_id", "hist_id")
+      .distinct()
+
   /** MinHash estimate of Jaccard: the fraction of agreeing signature
     * positions (an unbiased estimator). At corpus scale this is the
     * verification workhorse — signatures are k longs regardless of
