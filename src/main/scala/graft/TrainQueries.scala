@@ -320,6 +320,25 @@ object TrainQueries {
   /** q25's oracle, generated so the min-hash family coefficients are the
     * exact same literals the Spark side uses ([[NearDup.hashCoeffs]]).
     */
+  /** Quality-scored documents CTE chain shared by the q86 and q98
+    * oracles — ONE copy of [[TextFns.qualityScore]]'s formula so the
+    * two quality-ordered exports can never drift apart (q45 carries
+    * the same formula inside its larger composite CTE).
+    */
+  private val qualityScoredCtes =
+    """WITH d AS (SELECT doc_id, lang, text,
+             string_split(text, ' ') AS toks FROM documents),
+         sc AS (SELECT doc_id, lang, text,
+             CAST(len(toks) AS BIGINT) AS n_tok,
+             0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (1.0 - CAST(len(list_filter(toks,
+                     w -> w IN ('the','a','of','and','is'))) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE))
+               + 0.2 * least(((CAST(length(text) AS DOUBLE)
+                     - (CAST(len(toks) AS DOUBLE) - 1.0))
+                   / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0) AS quality
+           FROM d)"""
+
   /** The shingle→hash→signature→band CTE chain shared by the q25 and
     * q99 oracles — min-hash coefficients interpolated as the exact
     * literals the Spark side uses ([[NearDup.hashCoeffs]]).
@@ -1740,10 +1759,13 @@ object TrainQueries {
     * sim ≥ 0.3 with the cluster that produced them.
     */
   private def qSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    // fan-out: both self-join sides consume the assignment — pin it so
+    // the k codegen'd dots per row run once, not once per side
     val a = KMeans.fitFull(
         Similarity.prepare(t(s, dir, "embeddings"), "embedding"),
         "vec_id", 8, 2)
       .filter(col("qn") > 0)
+      .localCheckpoint()
     val l = a.select(col("vec_id").as("id_a"), col("cluster"),
       col("qv").as("__qva"), col("qn").as("__qna"))
     val r = a.select(col("vec_id").as("id_b"), col("cluster"),
@@ -2703,17 +2725,7 @@ object TrainQueries {
          FROM t LEFT JOIN k ON t.source = k.source
          ORDER BY t.source""",
     "q86_token_budget" ->
-      """WITH d AS (SELECT doc_id, lang, text,
-             string_split(text, ' ') AS toks FROM documents),
-         sc AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tok,
-             0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
-               + 0.3 * (1.0 - CAST(len(list_filter(toks,
-                     w -> w IN ('the','a','of','and','is'))) AS DOUBLE)
-                   / CAST(len(toks) AS DOUBLE))
-               + 0.2 * least(((CAST(length(text) AS DOUBLE)
-                     - (CAST(len(toks) AS DOUBLE) - 1.0))
-                   / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0) AS quality
-           FROM d),
+      s"""$qualityScoredCtes,
          cum AS (SELECT doc_id, lang, n_tok, quality,
              CAST(SUM(n_tok) OVER (ORDER BY quality DESC, doc_id ASC
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
@@ -2841,17 +2853,7 @@ object TrainQueries {
          FROM e GROUP BY 1 ORDER BY user_id""",
     "q97_semantic_dedup" -> semanticDedupOracle(8, 2),
     "q98_shard_manifest" ->
-      """WITH d AS (SELECT doc_id, text,
-             string_split(text, ' ') AS toks FROM documents),
-         sc AS (SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tok,
-             0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
-               + 0.3 * (1.0 - CAST(len(list_filter(toks,
-                     w -> w IN ('the','a','of','and','is'))) AS DOUBLE)
-                   / CAST(len(toks) AS DOUBLE))
-               + 0.2 * least(((CAST(length(text) AS DOUBLE)
-                     - (CAST(len(toks) AS DOUBLE) - 1.0))
-                   / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0) AS quality
-           FROM d),
+      s"""$qualityScoredCtes,
          rk AS (SELECT doc_id, text, n_tok,
              CAST(row_number() OVER (ORDER BY quality DESC, doc_id)
                AS BIGINT) AS rk

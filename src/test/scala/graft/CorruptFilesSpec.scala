@@ -26,12 +26,20 @@ class CorruptFilesSpec extends AnyFunSuite {
   }
 
   test("default read fails fast on a corrupt file") {
+    // the DEFAULT is the contract under test: the session must not have
+    // opted into silent skipping...
+    assert(!spark.conf.get("spark.sql.files.ignoreCorruptFiles").toBoolean)
     val dir = mixedDir()
+    // ...and the unconfigured read must die on the corrupt file
+    // specifically (not some unrelated analysis error)
     val e = intercept[Exception] {
-      spark.read.option("ignoreCorruptFiles", "false")
-        .parquet(dir).count()
+      spark.read.parquet(dir).count()
     }
-    assert(e.getMessage != null)
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(m => m.contains("part-junk.parquet")),
+      s"expected a corrupt-file failure, got: ${chain(e).mkString(" | ")}")
   }
 
   test("ignoreCorruptFiles skips the bad file and keeps the good rows") {
