@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{QuantizedCentroid, TextFns}
-import graft.ops.{Cogrouped, Contamination, DedupClusters, DenseId, KMeans, Mixing, Multimodal, NearDup, Percentiles, Salting, Sampling, Scd, Selection, Sessionize, Similarity, TableDiff}
+import graft.ops.{Cogrouped, Contamination, Dedup, DedupClusters, DenseId, KMeans, Mixing, Multimodal, NearDup, Percentiles, Salting, Sampling, Scd, Selection, Sessionize, Similarity, TableDiff}
 import graft.streaming.{EventStream, StatefulSessions}
 
 /** Training-data-pipeline operators (SURVEY §7.2.8) as driver-contract
@@ -326,9 +326,9 @@ object TrainQueries {
     * the same formula inside its larger composite CTE).
     */
   private val qualityScoredCtes =
-    """WITH d AS (SELECT doc_id, lang, text,
+    """WITH d AS (SELECT doc_id, lang, source, text,
              string_split(text, ' ') AS toks FROM documents),
-         sc AS (SELECT doc_id, lang, text,
+         sc AS (SELECT doc_id, lang, source, text,
              CAST(len(toks) AS BIGINT) AS n_tok,
              0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
                + 0.3 * (1.0 - CAST(len(list_filter(toks,
@@ -1835,6 +1835,34 @@ object TrainQueries {
       .orderBy("new_id", "hist_id")
   }
 
+  /** The full curation pipeline as ONE declarative composition — the
+    * capstone: quality gate → exact dedup (canonical fingerprint,
+    * first-id representative) → source-mix rebalance (data-derived
+    * thresholds) → token-budget selection (quality-ordered distributed
+    * prefix sum) → per-language report. Every stage is an operator
+    * verified on its own elsewhere (q21/q24/q85/q86); this proves they
+    * COMPOSE, oracle-checked end to end. Plan shape: two scan-local
+    * filter stages, one fingerprint shuffle, one stratum-count
+    * broadcast, one range exchange — no stage that fails at 100 TB.
+    */
+  private def qFullPipeline(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents")
+      .withColumn("__toks", TextFns.tokens("text"))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        size(col("__toks")).cast("long").as("n_tok"),
+        TextFns.qualityScore("text", "__toks").as("quality"))
+      .filter(col("quality") >= 0.5)
+      .withColumn("f", TextFns.fingerprint("text"))
+    val uniq = Dedup.firstBy(scored, Seq("f"), Seq(col("doc_id").asc))
+    val mixed = Mixing.balanceToMin(uniq, "doc_id", "source", "pipe")
+      .select("doc_id", "lang", "n_tok", "quality")
+    Selection.underTokenBudget(mixed, "n_tok", 15000L,
+        col("quality").desc, col("doc_id").asc)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .orderBy("lang")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -1923,7 +1951,8 @@ object TrainQueries {
     "q96_argmax_agg" -> (qArgMax _),
     "q97_semantic_dedup" -> (qSemanticDedup _),
     "q98_shard_manifest" -> (qShardManifest _),
-    "q99_cross_dedup" -> (qCrossDedup _))
+    "q99_cross_dedup" -> (qCrossDedup _),
+    "q100_full_pipeline" -> (qFullPipeline _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -2864,7 +2893,32 @@ object TrainQueries {
                  CAST(doc_id AS VARCHAR), text)), 1, 15) AS BIGINT))
                % 1099511627776 AS BIGINT) AS checksum
          FROM rk GROUP BY 1 ORDER BY shard""",
-    "q99_cross_dedup" -> crossDedupOracle)
+    "q99_cross_dedup" -> crossDedupOracle,
+    "q100_full_pipeline" ->
+      s"""$qualityScoredCtes,
+         kept AS (SELECT * FROM sc WHERE quality >= 0.5),
+         fp AS (SELECT *, md5(regexp_replace(lower(trim(text)),
+             '\\s+', ' ', 'g')) AS f FROM kept),
+         uq AS (SELECT * FROM (SELECT *, row_number() OVER
+             (PARTITION BY f ORDER BY doc_id) AS rn FROM fp)
+           WHERE rn = 1),
+         cnt AS (SELECT source, COUNT(*) AS n FROM uq GROUP BY 1),
+         mn AS (SELECT MIN(n) AS mn FROM cnt),
+         thr AS (SELECT cnt.source, (mn.mn * 10000) // cnt.n AS thr
+           FROM cnt, mn),
+         mixed AS (SELECT uq.doc_id, uq.lang, uq.n_tok, uq.quality
+           FROM uq JOIN thr ON uq.source = thr.source
+           WHERE CAST('0x' || substr(md5('pipe|' ||
+                 CAST(uq.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 10000 < thr.thr),
+         cum AS (SELECT doc_id, lang, n_tok, quality,
+             CAST(SUM(n_tok) OVER (ORDER BY quality DESC, doc_id ASC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ct
+           FROM mixed),
+         sel AS (SELECT * FROM cum WHERE ct - n_tok < 15000)
+         SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         FROM sel GROUP BY 1 ORDER BY lang""")
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized
