@@ -135,4 +135,58 @@ class PropertySpec extends AnyFunSuite {
       assert(got === want)
     }
   }
+
+  test("SCD2 intervals tile each key's timeline and replay to the final state") {
+    // keys 1-3, unique (ts, tie) per row, attrs from a 3-letter alphabet
+    val updates = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(1L, 3L), Gen.choose(1L, 50L), Gen.oneOf("A", "B", "C")))
+    cases(updates, 10) { rs =>
+      import spark.implicits._
+      // dedupe (k, ts) collisions deterministically; tie = ts
+      val uniq = rs.groupBy(r => (r._1, r._2)).map(_._2.max).toSeq
+      val df = uniq.map { case (k, ts, a) => (k, a, ts, ts) }
+        .toDF("k", "attr", "ts", "tie")
+      val iv = graft.ops.Scd.type2(df, "k", "attr", "ts", "tie").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+      iv.groupBy(_._1).foreach { case (k, rows0) =>
+        val rows = rows0.sortBy(_._3)
+        // contiguous: each valid_to == next valid_from; last open
+        rows.sliding(2).foreach {
+          case Array(a, b) => assert(a._4.contains(b._3), s"gap at $k")
+          case _ =>
+        }
+        assert(rows.last._4.isEmpty && rows.last._5)
+        assert(rows.count(_._5) === 1)
+        // replay: the open run's attr is the attr of the key's max-ts update
+        val fin = uniq.filter(_._1 == k).maxBy(_._2)._3
+        assert(rows.last._2 === fin, s"key $k final state")
+        // runs alternate: no two adjacent runs share an attr
+        rows.sliding(2).foreach {
+          case Array(a, b) => assert(a._2 !== b._2, s"uncollapsed run at $k")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("table diff flags a random single-row mutation, and only then") {
+    val mut = Gen.zip(Gen.choose(0L, 99L), Gen.oneOf("edit", "delete"))
+    cases(mut, 10) { case (victim, kind) =>
+      import spark.implicits._
+      val base = (0L until 100L).map(i => (i, s"p$i"))
+      val changed = kind match {
+        case "edit" => base.map { case (i, p) =>
+          (i, if (i == victim) p + "!" else p) }
+        case _ => base.filterNot(_._1 == victim)
+      }
+      val d = graft.ops.TableDiff.diff(
+        base.toDF("id", "p"), changed.toDF("id", "p"), "id", Seq("p"), 8)
+        .collect()
+      assert(d.length === 1, s"$kind of $victim -> ${d.length} buckets")
+      // and no false positives on the identity diff
+      assert(graft.ops.TableDiff.diff(base.toDF("id", "p"),
+        base.toDF("id", "p"), "id", Seq("p"), 8).count() === 0)
+    }
+  }
 }
