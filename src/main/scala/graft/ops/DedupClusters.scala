@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Duplicate-cluster resolution: connected components over a near-dup
@@ -9,19 +10,30 @@ import org.apache.spark.sql.functions._
   * representative per duplicate group", i.e. an actually deduplicated
   * corpus.
   *
-  * Algorithm: iterative min-label propagation — every node repeatedly
-  * takes the minimum label among itself and its neighbors until a
-  * fixpoint. Converges in O(graph diameter) rounds; duplicate clusters
-  * are near-cliques (diameter ≤ 2–3), so 3–4 rounds in practice, each
-  * round one equi-join + one partial-aggregated min — all hash
-  * shuffles on ids, never text. `localCheckpoint` truncates the
-  * per-round lineage so the plan doesn't grow with iterations.
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) —
+  * O(log n) rounds instead of the O(graph-diameter) rounds of naive
+  * min-label propagation, so adversarial long-chain components
+  * (A~B~C~… across template families) converge in a handful of rounds
+  * rather than diameter-many. Each round is two id-only equi-joins +
+  * partial-aggregated mins — hash shuffles on ids, never text.
   *
-  * At 100 TB the same loop holds (rounds are data-parallel and the
-  * edge list for near-dup graphs is ≪ corpus size); for adversarial
-  * long-path graphs the two-phase large-star/small-star variant
-  * (O(log n) rounds) is the drop-in upgrade — the per-round plan shape
-  * is identical.
+  * Per-round cost discipline: exactly ONE job per round. The edge set
+  * is materialized through an RDD `localCheckpoint` (truncating
+  * lineage), and the convergence signal — (edge count, sum of 64-bit
+  * edge hashes) — rides that same materialization via the action's own
+  * count plus a `LongAccumulator`, so there is no separate per-round
+  * comparison job. Superseded checkpoint blocks are unpersisted as
+  * soon as the next round materializes. A final structural check (a
+  * star forest has disjoint parent and child sets) guards the
+  * accumulator-based early exit: a false "stable" signal fails the
+  * check and throws instead of returning wrong labels.
+  *
+  * At 100 TB: rounds are data-parallel, the edge list for near-dup
+  * graphs is ≪ corpus size, and the round count is bounded by
+  * O(log n) regardless of component shape — no diameter-length chains
+  * can stretch the job, and no per-round driver action doubles the job
+  * count.
   */
 object DedupClusters {
 
@@ -29,45 +41,115 @@ object DedupClusters {
     * is the minimum node id of its connected component — deterministic
     * regardless of partitioning or iteration order.
     *
-    * @throws IllegalStateException if no fixpoint within `maxIter`
-    *         rounds (duplicate graphs converge in a handful; hitting
-    *         the cap means the input is not a near-dup pair list)
+    * @throws IllegalStateException if the edge set has not contracted
+    *         to a star forest within `maxIter` rounds (duplicate
+    *         graphs converge in O(log n) ≈ a handful; hitting the cap
+    *         means the input is not a near-dup pair list)
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
-    val sym = edges
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      maxIter: Int = 20): DataFrame =
+    connectedComponentsWithRounds(edges, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of rounds after which the
+    * edge set was already at its fixpoint (the spec surface for the
+    * O(log n) bound — a path of n nodes must converge in ≤ ⌈log₂ n⌉
+    * rounds, not n rounds).
+    */
+  def connectedComponentsWithRounds(edges: DataFrame, aCol: String,
+      bCol: String, maxIter: Int = 20): (DataFrame, Int) = {
+    // Materialize the raw pair list ONCE — `edges` is typically the
+    // output of an expensive candidate-pair computation (q64's inverted
+    // index, q25's band join), and both the node inventory and the
+    // oriented edge set below read it.
+    val raw = edges
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .localCheckpoint()
+    val nodes = raw.select(col("u").as("node"))
+      .union(raw.select(col("v").as("node")))
       .distinct()
-      .localCheckpoint()
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIter) {
-      val nbrMin = sym
-        .join(labels.withColumnRenamed("node", "dst"), "dst")
-        .groupBy("src").agg(min("label").as("__nl"))
-        .withColumnRenamed("src", "node")
-      // the change flag rides the same checkpointed pass — one join and
-      // one materialization per round; the convergence count then reads
-      // materialized blocks instead of re-joining old vs new labels
-      val next = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("__nl"), col("label")))
-            .as("label"),
-          (col("__nl").isNotNull && col("__nl") < col("label"))
-            .as("__chg"))
-        .localCheckpoint()
-      changed = next.filter(col("__chg")).count()
-      labels = next.drop("__chg")
-      i += 1
+
+    // Orient every edge larger→smaller and drop self-loops; both star
+    // operations below preserve this orientation and the connectivity
+    // of the edge set, so component identity is invariant throughout.
+    var cur = snap(raw
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct())
+
+    var prevCount = cur.count
+    var prevHash = cur.hashSum
+    var stable = cur.count == 0L
+    var rounds = 0
+    while (!stable && rounds < maxIter) {
+      // Large-star: every node v strictly larger than a neighbor u is
+      // re-attached to m(u) = min(Γ(u) ∪ {u}).
+      val sym = cur.df
+        .union(cur.df.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy("u").agg(min("v").as("nm"))
+        .select(col("u"), least(col("u"), col("nm")).as("m"))
+      val ls = sym.join(lsMin, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // Small-star: every node's smaller neighbors (and itself) are
+      // attached to the minimum of that smaller-neighborhood.
+      val ssMin = ls.groupBy("u").agg(min("v").as("m"))
+      val ss = ls.join(ssMin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(ssMin.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+
+      val next = snap(ss)
+      cur.rdd.unpersist(blocking = false)
+      rounds += 1
+      stable = next.count == prevCount && next.hashSum == prevHash
+      prevCount = next.count
+      prevHash = next.hashSum
+      cur = next
     }
-    if (changed > 0)
+    // `rounds` counts star applications executed; when stability was
+    // detected, the final round merely re-produced the fixpoint the
+    // previous round had already reached.
+    val convergedAt = if (stable && rounds > 0) rounds - 1 else rounds
+
+    // Structural verification (one small job, end only): a star forest
+    // has no node on both the child (u) and parent (v) side. This is
+    // what makes the accumulator early-exit safe — any premature or
+    // hash-collided "stable" that is not a genuine fixpoint fails here.
+    val nonStar = cur.df.select(col("u").as("x"))
+      .intersect(cur.df.select(col("v").as("x")))
+      .limit(1).count()
+    if (nonStar > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds")
-    labels.select(col("node"), col("label").as("cluster_rep"))
+
+    val reps = cur.df.groupBy("u").agg(min("v").as("__rep"))
+      .withColumnRenamed("u", "node")
+    val labels = nodes.join(reps, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("__rep"), col("node")).as("cluster_rep"))
+    (labels, convergedAt)
+  }
+
+  /** Materialize an oriented edge set once (RDD localCheckpoint →
+    * single count job) and capture its convergence signature — the
+    * count from the action itself plus an order-independent sum of
+    * per-edge xxhash64 via an accumulator riding the same pass.
+    */
+  private final case class EdgeSnap(df: DataFrame, rdd: RDD[Row],
+      count: Long, hashSum: Long)
+
+  private def snap(edges: DataFrame): EdgeSnap = {
+    val spark = edges.sparkSession
+    val acc = spark.sparkContext.longAccumulator("graft.cc.edgeHashSum")
+    val withH = edges.withColumn("__h", xxhash64(col("u"), col("v")))
+    val rdd = withH.rdd.map { r => acc.add(r.getLong(r.length - 1)); r }
+    rdd.localCheckpoint()
+    val cnt = rdd.count()
+    val back = spark.createDataFrame(rdd, withH.schema).drop("__h")
+    EdgeSnap(back, rdd, cnt, acc.value)
   }
 
   /** Convenience: cluster membership with component sizes, ordered —

@@ -9,9 +9,9 @@ class DedupClustersSpec extends AnyFunSuite {
 
   test("components resolve across multi-hop paths, not just direct edges") {
     import spark.implicits._
-    // component {1..5} is a PATH (5-4-3-2-1): the min label needs 4
-    // propagation rounds to reach node 5 — exercises the fixpoint loop,
-    // not just one join. {10,11} is a separate pair; {20,21,22} a clique.
+    // component {1..5} is a PATH (5-4-3-2-1): the min label needs to
+    // cross 4 hops — exercises the iteration, not just one join.
+    // {10,11} is a separate pair; {20,21,22} a clique.
     val edges = Seq(
       (2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L),
       (10L, 11L),
@@ -23,6 +23,43 @@ class DedupClustersSpec extends AnyFunSuite {
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("adversarial 50-node path converges in <= ceil(log2 n) rounds") {
+    import spark.implicits._
+    // Diameter-49 chain: min-label propagation would need 49 rounds;
+    // large-star/small-star must contract it in O(log n). n = 50 →
+    // ceil(log2 50) = 6.
+    val n = 50
+    val edges = (2 to n).map(i => (i.toLong, i.toLong - 1))
+      .toDF("id_a", "id_b")
+    val (labels, rounds) =
+      DedupClusters.connectedComponentsWithRounds(edges, "id_a", "id_b")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1 to n).map(i => i.toLong -> 1L).toMap)
+    assert(rounds <= 6,
+      s"50-node path took $rounds rounds; O(log n) bound is 6")
+  }
+
+  test("two components with the bridge removed stay separate") {
+    import spark.implicits._
+    // Two paths {1,2,3} and {7,8,9}; the bridge (3,7) is deliberately
+    // absent. A label must never leak across — the shape that catches
+    // over-merging bugs in the star contraction.
+    val edges = Seq((2L, 1L), (3L, 2L), (8L, 7L), (9L, 8L))
+      .toDF("id_a", "id_b")
+    val got = DedupClusters.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L))
+    // …and with the bridge PRESENT the same graph is one component.
+    val bridged = edges.union(Seq((7L, 3L)).toDF("id_a", "id_b"))
+    val merged = DedupClusters.connectedComponents(bridged, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      7L -> 1L, 8L -> 1L, 9L -> 1L))
   }
 
   test("clusters reports the component size on every member row") {
@@ -37,11 +74,12 @@ class DedupClustersSpec extends AnyFunSuite {
 
   test("non-convergence within maxIter throws instead of returning wrong labels") {
     import spark.implicits._
-    // a 5-path needs 4 rounds; cap at 2 → must refuse
-    val edges = Seq((2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L))
+    // a 50-path cannot contract to a star forest in a single round;
+    // cap at 1 → the structural check must refuse
+    val edges = (2 to 50).map(i => (i.toLong, i.toLong - 1))
       .toDF("id_a", "id_b")
     intercept[IllegalStateException] {
-      DedupClusters.connectedComponents(edges, "id_a", "id_b", maxIter = 2)
+      DedupClusters.connectedComponents(edges, "id_a", "id_b", maxIter = 1)
         .count()
     }
   }
