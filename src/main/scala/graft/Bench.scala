@@ -63,7 +63,17 @@ object Bench {
     val ok = results.values.filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","trials":$trials,"failed":$failed}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","trials":$trials,"failed":$failed}"""
+    println(line)
+    // The artifact of record: stdout gets truncated by log-capture
+    // tails (BENCH_r04 lost 39 of 101 per-query medians that way), so
+    // the same JSON line is also written to a file.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    try Files.writeString(Paths.get(outPath), line + "\n")
+    catch { case t: Throwable =>
+      System.err.println(s"[bench] WARN could not write $outPath: ${t.getMessage}")
+    }
     spark.stop()
   }
 }

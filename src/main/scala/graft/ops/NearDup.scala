@@ -268,8 +268,19 @@ object NearDup {
     * pairs. The per-query minimum is a map-side partial
     * `min(struct(hamming, id))` aggregation, so even here the pair
     * stream is reduced before any shuffle.
+    *
+    * The bounded-frame contract is ENFORCED: the input is counted and
+    * anything above `maxRows` is refused, so a caller cannot reach the
+    * all-pairs plan with a corpus-sized frame by accident (the count is
+    * one cheap job on a frame that is small by contract).
     */
-  def hammingNN(sigs: DataFrame, idCol: String, sigCol: String): DataFrame = {
+  def hammingNN(sigs: DataFrame, idCol: String, sigCol: String,
+      maxRows: Long = 10000L): DataFrame = {
+    val n = sigs.count()
+    require(n <= maxRows,
+      s"hammingNN builds all pairs and is only for bounded re-rank frames: " +
+        s"got $n rows > maxRows=$maxRows; use simhashNnWithinRadius for " +
+        s"corpus-scale NN")
     val packed = sigs.select(col(idCol), packedChunks(sigCol).as("__ch"))
     val a = packed.select(col(idCol).as("id_a"), col("__ch").as("__ca"))
     val b = packed.select(col(idCol).as("id_b"), col("__ch").as("__cb"))
