@@ -162,8 +162,9 @@ object EventStream {
     * time bounds, `dropDuplicatesWithinWatermark` caps it for unbounded
     * key spaces.
     */
-  def streamDedup(spark: SparkSession, srcParquet: String): DataFrame =
-      Staging.withStreamShufflePartitions(spark) {
+  def streamDedup(spark: SparkSession, srcParquet: String,
+      rocksDb: Boolean = false): DataFrame =
+      Staging.withStreamShufflePartitions(spark, rocksDb = rocksDb) {
     val (events, tag) = Staging.stageAndRead(spark, srcParquet,
       "graft_dedup_in")
     val qn = s"graft_dedup_$tag"

@@ -21,23 +21,46 @@ import org.apache.spark.sql.types.LongType
 object Staging {
   private val counter = new AtomicLong()
 
-  /** Run a streaming query body with `spark.sql.shuffle.partitions`
-    * scoped down to `n` (default 8), restoring the previous value after.
-    *
-    * Why: every stateful streaming operator instantiates one state
-    * store PER shuffle partition PER stateful op, and AQE (which would
-    * coalesce small batch shuffles) is disabled in stateful workloads —
-    * so a batch-sized partition count multiplies fixed state-store cost
-    * by 4× measured at sf0.1. In production the partition count is also
-    * frozen into the checkpoint at first run, so sizing it to expected
-    * state volume (not to batch scan width) is the correct call, made
-    * explicit here.
+  /** Spark's bundled RocksDB state-store provider. The default
+    * HDFS-backed store keeps every version of every key IN EXECUTOR
+    * MEMORY; at 100 TB/day the state store is the first thing that
+    * falls over, and the production answer is the spillable
+    * RocksDB-backed store — same semantics, state held off-heap/on-disk
+    * with incremental checkpointing.
     */
-  def withStreamShufflePartitions[T](spark: SparkSession, n: String = "8")(
-      f: => T): T = {
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+
+  /** Run a streaming query body with `spark.sql.shuffle.partitions`
+    * scoped down to `n` (default 8), restoring the previous value after;
+    * with `rocksDb = true` the state-store provider is also scoped to
+    * [[RocksDbProvider]] for the body (results must be identical —
+    * StagingRocksDbSpec proves it on the stream-dedup query).
+    *
+    * Why the partition scoping: every stateful streaming operator
+    * instantiates one state store PER shuffle partition PER stateful
+    * op, and AQE (which would coalesce small batch shuffles) is
+    * disabled in stateful workloads — so a batch-sized partition count
+    * multiplies fixed state-store cost by 4× measured at sf0.1. In
+    * production the partition count is also frozen into the checkpoint
+    * at first run, so sizing it to expected state volume (not to batch
+    * scan width) is the correct call, made explicit here.
+    */
+  def withStreamShufflePartitions[T](spark: SparkSession, n: String = "8",
+      rocksDb: Boolean = false)(f: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevProvider = spark.conf.getOption(ProviderKey)
     spark.conf.set("spark.sql.shuffle.partitions", n)
-    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if (rocksDb) spark.conf.set(ProviderKey, RocksDbProvider)
+    try f finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      if (rocksDb) prevProvider match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None => spark.conf.unset(ProviderKey)
+      }
+    }
   }
 
   def stageAndRead(spark: SparkSession, srcParquet: String,
