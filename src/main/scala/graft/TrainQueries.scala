@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{QuantizedCentroid, TextFns}
-import graft.ops.{Cogrouped, Contamination, Dedup, DedupClusters, DenseId, KMeans, Mixing, Multimodal, NearDup, Percentiles, Salting, Sampling, Scd, Selection, Sessionize, Similarity, TableDiff}
+import graft.ops.{Cardinality, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, KMeans, Mixing, Multimodal, NearDup, ParagraphDedup, Percentiles, Salting, Sampling, Scd, Selection, Sessionize, Similarity, TableDiff}
 import graft.streaming.{EventStream, StatefulSessions}
 
 /** Training-data-pipeline operators (SURVEY §7.2.8) as driver-contract
@@ -1331,9 +1331,9 @@ object TrainQueries {
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
     graft.ops.Packing.withRunningSum(docs, "__cum", "n_tokens", col("doc_id"))
-      .withColumn("bin_id",
-        floor((col("__cum") - col("n_tokens")).cast("double") / lit(2048.0))
-          .cast("long"))
+      // integer `div`, not a double floor: offsets are non-negative so
+      // div == floor, and it stays exact past 2^53 cumulative tokens
+      .withColumn("bin_id", expr("(__cum - n_tokens) div 2048"))
       .groupBy("bin_id")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_bin_tokens"),
@@ -1500,6 +1500,12 @@ object TrainQueries {
     * file, read the directory back as (path, length, content) rows,
     * and profile. Aggregate output only — paths and mtimes are
     * machine-local, content checksums and sizes are not.
+    *
+    * Executor tasks write through the Hadoop `FileSystem` for the
+    * output path's scheme, so on a real cluster the same code works
+    * against any shared store (hdfs:/s3a:); here the path is the local
+    * tmpdir, which local mode's shared driver/executor filesystem makes
+    * visible to the read-back.
     */
   private def qBinarySource(s: SparkSession, dir: String): DataFrame = {
     val out = Scratch.register(
@@ -1510,11 +1516,17 @@ object TrainQueries {
         col("text").cast("binary").as("payload"))
       .repartition(8)
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        val d = new java.io.File(out); d.mkdirs()
+        val base = new org.apache.hadoop.fs.Path(out)
+        val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        // blobs carry their own content checksums downstream (md5 over
+        // `content`); the local ChecksumFileSystem's .crc shadow files
+        // would double every write for nothing
+        fs.setWriteChecksum(false)
+        fs.mkdirs(base)
         it.foreach { r =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(out, r.getString(0) + ".bin"),
-            r.getAs[Array[Byte]](1))
+          val os = fs.create(
+            new org.apache.hadoop.fs.Path(base, r.getString(0) + ".bin"), true)
+          try os.write(r.getAs[Array[Byte]](1)) finally os.close()
         }
       }
     s.read.format("binaryFile").load(out)
@@ -1663,7 +1675,14 @@ object TrainQueries {
     * perturbed keys, from two scans and a 64-row compare.
     */
   private def qTableDiff(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    // TableDiff's checksum contract: nullable columns must be coalesced
+    // by the caller (concat_ws skips nulls, so a null could alias
+    // against a shifted neighbor and mask a real mutation). chr(1) is
+    // the sentinel on both this side and the q92 oracle.
+    def guarded(df: DataFrame) = Seq("text", "lang", "source")
+      .foldLeft(df)((d, c) => d.withColumn(c,
+        coalesce(col(c), lit(""))))
+    val docs = guarded(t(s, dir, "documents"))
     val snapB = docs.withColumn("text",
       when(col("doc_id") % 97 === 0, concat(col("text"), lit("X")))
         .otherwise(col("text")))
@@ -1779,6 +1798,38 @@ object TrainQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Cross-corpus semantic dedup — the incremental mirror of q97 (what
+    * q99 is to q25): the incoming batch (vec_id ≡ 0 mod 3) is deduped
+    * AGAINST the existing corpus by assigning it to the corpus's
+    * EXISTING k-means cells (centroids as plan literals — scan-local,
+    * no re-clustering, [[KMeans.assignTo]]) and comparing exact cosine
+    * only batch-vs-history within a cell. Per-batch cost is the batch
+    * assignment plus the in-cell join — independent of history size
+    * beyond the one-off cell model (here rebuilt because the sandbox
+    * stores no state; in production the centroids and history
+    * assignments are the stored artifact).
+    */
+  private def qCrossSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val all = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
+    // both the Lloyd fit and the history leg consume this — pin once
+    val hist = all.filter(col("vec_id") % 3 =!= 0).localCheckpoint()
+    val cs = KMeans.fitCentroids(hist, "vec_id", 8, 2)
+    val h = KMeans.assignTo(hist, "vec_id", cs)
+      .filter(col("qn") > 0)
+      .select(col("vec_id").as("hist_id"), col("cluster"),
+        col("qv").as("__qvb"), col("qn").as("__qnb"))
+    val b = KMeans.assignTo(all.filter(col("vec_id") % 3 === 0), "vec_id", cs)
+      .filter(col("qn") > 0)
+      .select(col("vec_id").as("new_id"), col("cluster"),
+        col("qv").as("__qva"), col("qn").as("__qna"))
+    b.join(h, Seq("cluster"))
+      .withColumn("sim", Similarity.cosine(col("__qva"), col("__qvb"),
+        col("__qna"), col("__qnb")))
+      .filter(col("sim") >= 0.3)
+      .select(col("new_id"), col("hist_id"), col("cluster"), col("sim"))
+      .orderBy("new_id", "hist_id")
+  }
+
   /** Training-shard export manifest: the corpus in curriculum order
     * (quality desc — q86's ordering) cut into fixed-size 64-doc shards
     * via the scalable dense id (E36 — no single-task window), each
@@ -1834,6 +1885,34 @@ object TrainQueries {
       .select("new_id", "hist_id", "est_jaccard")
       .orderBy("new_id", "hist_id")
   }
+
+  /** Paragraph-level exact dedup ([[graft.ops.ParagraphDedup]]):
+    * repeated 20-token boilerplate segments removed
+    * first-occurrence-wins across the corpus — the sub-document
+    * granularity q24/q25/q64/q97 cannot reach. Output per doc:
+    * paragraph counts and the md5 of the document rebuilt from its
+    * surviving paragraphs.
+    */
+  private def qParagraphDedup(s: SparkSession, dir: String): DataFrame =
+    ParagraphDedup.dedupSummary(t(s, dir, "documents"), "doc_id", "text", 20)
+      .orderBy("doc_id")
+
+  /** HLL cardinality profile ([[graft.ops.Cardinality]]): per-column
+    * exact vs sketch distinct counts over the curation-relevant key
+    * columns. The oracle-checked surface carries the exact counts plus
+    * the MEASURED claim that the HLL++ estimate landed within 3×rsd
+    * (the estimate itself is engine-specific, so the gate verifies the
+    * bound rather than the estimate); CardinalitySpec asserts the
+    * tighter measured error.
+    */
+  private def qHllCardinality(s: SparkSession, dir: String): DataFrame =
+    Cardinality.profile(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "source"), 0.05, "documents")
+      .union(Cardinality.profile(t(s, dir, "events"),
+        Seq("user_id", "event_type"), 0.05, "events"))
+      .select(col("column_name"), col("n_rows"), col("exact_distinct"),
+        (col("rel_error") <= 0.15).as("within_15pct"))
+      .orderBy("column_name")
 
   /** The full curation pipeline as ONE declarative composition — the
     * capstone: quality gate → exact dedup (canonical fingerprint,
@@ -1952,7 +2031,10 @@ object TrainQueries {
     "q97_semantic_dedup" -> (qSemanticDedup _),
     "q98_shard_manifest" -> (qShardManifest _),
     "q99_cross_dedup" -> (qCrossDedup _),
-    "q100_full_pipeline" -> (qFullPipeline _))
+    "q100_full_pipeline" -> (qFullPipeline _),
+    "q101_paragraph_dedup" -> (qParagraphDedup _),
+    "q102_hll_cardinality" -> (qHllCardinality _),
+    "q103_cross_semantic_dedup" -> (qCrossSemanticDedup _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -2598,8 +2680,7 @@ object TrainQueries {
                ROWS UNBOUNDED PRECEDING) AS cum
            FROM d),
          b AS (SELECT doc_id, n_tokens,
-             CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 2048.0) AS BIGINT)
-               AS bin_id
+             CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin_id
            FROM c)
          SELECT bin_id, COUNT(*) AS n_docs,
              CAST(SUM(n_tokens) AS BIGINT) AS n_bin_tokens,
@@ -2821,14 +2902,16 @@ object TrainQueries {
                  1, 15) AS BIGINT) % 64 AS bucket,
                COUNT(*) AS n,
                SUM(CAST('0x' || substr(md5(concat_ws('|',
-                   CAST(doc_id AS VARCHAR), text, lang, source,
+                   CAST(doc_id AS VARCHAR), COALESCE(text, chr(1)),
+                   COALESCE(lang, chr(1)), COALESCE(source, chr(1)),
                    CAST(n_chars AS VARCHAR))), 1, 15) AS BIGINT)) AS ck
            FROM documents GROUP BY 1),
          sb AS (SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
                  1, 15) AS BIGINT) % 64 AS bucket,
                COUNT(*) AS n,
                SUM(CAST('0x' || substr(md5(concat_ws('|',
-                   CAST(doc_id AS VARCHAR), text, lang, source,
+                   CAST(doc_id AS VARCHAR), COALESCE(text, chr(1)),
+                   COALESCE(lang, chr(1)), COALESCE(source, chr(1)),
                    CAST(n_chars AS VARCHAR))), 1, 15) AS BIGINT)) AS ck
            FROM b GROUP BY 1)
          SELECT COALESCE(sa.bucket, sb.bucket) AS bucket,
@@ -2918,7 +3001,44 @@ object TrainQueries {
          sel AS (SELECT * FROM cum WHERE ct - n_tok < 15000)
          SELECT lang, COUNT(*) AS n_docs,
              CAST(SUM(n_tok) AS BIGINT) AS n_tokens
-         FROM sel GROUP BY 1 ORDER BY lang""")
+         FROM sel GROUP BY 1 ORDER BY lang""",
+    "q101_paragraph_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents),
+         p AS (SELECT doc_id, i - 1 AS par_idx,
+             trim(array_to_string(t[((i-1)*20+1):((i-1)*20+20)], ' '))
+               AS para
+           FROM toks, unnest(range(1,
+             greatest(CAST(ceil(len(t) / 20.0) AS BIGINT), 1) + 1)) u(i)),
+         np AS (SELECT * FROM p WHERE para <> ''),
+         k AS (SELECT doc_id, par_idx, para,
+             (row_number() OVER (PARTITION BY md5(para)
+                ORDER BY doc_id, par_idx) = 1) AS keep
+           FROM np)
+         SELECT doc_id, COUNT(*) AS n_paras,
+             CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             md5(COALESCE(string_agg(para, ' ' ORDER BY par_idx)
+               FILTER (WHERE keep), '')) AS kept_md5
+         FROM k GROUP BY doc_id ORDER BY doc_id""",
+    "q102_hll_cardinality" ->
+      """SELECT 'documents.doc_id' AS column_name, COUNT(*) AS n_rows,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS exact_distinct,
+             TRUE AS within_15pct FROM documents
+         UNION ALL
+         SELECT 'documents.lang', COUNT(*),
+             CAST(COUNT(DISTINCT lang) AS BIGINT), TRUE FROM documents
+         UNION ALL
+         SELECT 'documents.source', COUNT(*),
+             CAST(COUNT(DISTINCT source) AS BIGINT), TRUE FROM documents
+         UNION ALL
+         SELECT 'events.user_id', COUNT(*),
+             CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE FROM events
+         UNION ALL
+         SELECT 'events.event_type', COUNT(*),
+             CAST(COUNT(DISTINCT event_type) AS BIGINT), TRUE FROM events
+         ORDER BY column_name""",
+    "q103_cross_semantic_dedup" -> crossSemanticDedupOracle(8, 2))
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized
@@ -2959,16 +3079,58 @@ object TrainQueries {
          SELECT id_a, id_b, cluster, sim FROM sm
          WHERE sim >= 0.3 ORDER BY id_a, id_b"""
 
-  private def kmeansCtes(k: Int, iters: Int): String = {
+  /** q103's oracle: the Lloyd chain fitted on the HISTORY subset only,
+    * the batch quantized separately (qb) and assigned to the final
+    * history centroids, then exact cosine restricted to
+    * batch-vs-history pairs within a cell — the same arithmetic as
+    * [[semanticDedupOracle]] with the self-join replaced by the
+    * incremental two-sided form.
+    */
+  private def crossSemanticDedupOracle(k: Int, iters: Int): String =
+    s"""${kmeansCtes(k, iters, "WHERE vec_id % 3 <> 0")},
+         qb AS (SELECT e.vec_id, i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0 + 0.5)
+                  AS BIGINT) AS x
+           FROM embeddings e, (SELECT unnest(range(1, 65)) AS i)
+           WHERE vec_id % 3 = 0),
+         db AS (SELECT qb.vec_id, c.j,
+             SUM((qb.x - c.x) * (qb.x - c.x)) AS d
+           FROM qb JOIN c$iters c ON qb.i = c.i GROUP BY 1, 2),
+         ab AS (SELECT vec_id, j AS cluster FROM (
+             SELECT vec_id, j, d, row_number() OVER
+               (PARTITION BY vec_id ORDER BY d, j) AS rn FROM db)
+           WHERE rn = 1),
+         nh AS (SELECT vec_id, SUM(x * x) AS nn FROM q GROUP BY 1
+                 HAVING SUM(x * x) > 0),
+         nb AS (SELECT vec_id, SUM(x * x) AS nn FROM qb GROUP BY 1
+                 HAVING SUM(x * x) > 0),
+         pd AS (SELECT bb.vec_id AS new_id, hh.vec_id AS hist_id,
+             bb.cluster, SUM(qx.x * qy.x) AS dot
+           FROM ab bb
+           JOIN afin hh ON bb.cluster = hh.cluster
+           JOIN nb eb ON eb.vec_id = bb.vec_id
+           JOIN nh eh ON eh.vec_id = hh.vec_id
+           JOIN qb qx ON qx.vec_id = bb.vec_id
+           JOIN q qy ON qy.vec_id = hh.vec_id AND qx.i = qy.i
+           GROUP BY 1, 2, 3),
+         sm AS (SELECT new_id, hist_id, cluster,
+             CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
+               * sqrt(CAST(nb2.nn AS DOUBLE))) AS sim
+           FROM pd JOIN nb na ON pd.new_id = na.vec_id
+                   JOIN nh nb2 ON pd.hist_id = nb2.vec_id)
+         SELECT new_id, hist_id, cluster, sim FROM sm
+         WHERE sim >= 0.3 ORDER BY new_id, hist_id"""
+
+  private def kmeansCtes(k: Int, iters: Int, where: String = ""): String = {
     val sb = new StringBuilder
     sb ++=
       s"""WITH q AS (SELECT e.vec_id, i,
              CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0 + 0.5)
                   AS BIGINT) AS x
-           FROM embeddings e, (SELECT unnest(range(1, 65)) AS i)),
+           FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) $where),
          ids AS (SELECT vec_id,
              CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j
-           FROM embeddings ORDER BY vec_id LIMIT $k),
+           FROM embeddings $where ORDER BY vec_id LIMIT $k),
          c0 AS (SELECT ids.j, q.i, q.x FROM q JOIN ids USING (vec_id))"""
     for (t <- 1 to iters) {
       sb ++=

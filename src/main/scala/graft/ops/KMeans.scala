@@ -46,13 +46,41 @@ object KMeans {
     */
   def fitFull(prepared: DataFrame, idCol: String, k: Int,
       iters: Int): DataFrame = {
-    require(k >= 1, s"k must be positive: $k")
-    require(iters >= 0, s"iters must be non-negative: $iters")
     // iters update jobs + the final assignment all rescan the input —
     // a genuine fan-out, so pin it once (re-materialized per run,
     // cache-manager-safe across bench trials)
     val vecs = prepared.select(col(idCol).as("__id"), col("qv"), col("qn"))
       .localCheckpoint()
+    assign(vecs, lloyd(vecs, k, iters))
+      .select(col("__id").as(idCol), col("cluster"), col("dist"),
+        col("qv"), col("qn"))
+  }
+
+  /** The fitted centroids alone — the stored model for the incremental
+    * paths (q103): a later batch is assigned to these cells as plan
+    * literals WITHOUT re-clustering the corpus.
+    */
+  def fitCentroids(prepared: DataFrame, idCol: String, k: Int,
+      iters: Int): Array[Array[Long]] = {
+    val vecs = prepared.select(col(idCol).as("__id"), col("qv"), col("qn"))
+      .localCheckpoint()
+    lloyd(vecs, k, iters)
+  }
+
+  /** Scan-local assignment of `prepared` vectors to FIXED centroids
+    * (no Lloyd rounds, no shuffle, no join — the centroids fold into
+    * the plan as literals): `(idCol, cluster, dist, qv, qn)`.
+    */
+  def assignTo(prepared: DataFrame, idCol: String,
+      cs: Array[Array[Long]]): DataFrame =
+    assign(prepared.select(col(idCol).as("__id"), col("qv"), col("qn")), cs)
+      .select(col("__id").as(idCol), col("cluster"), col("dist"),
+        col("qv"), col("qn"))
+
+  /** `iters` Lloyd rounds from the deterministic lowest-id seeding. */
+  private def lloyd(vecs: DataFrame, k: Int, iters: Int): Array[Array[Long]] = {
+    require(k >= 1, s"k must be positive: $k")
+    require(iters >= 0, s"iters must be non-negative: $iters")
     val init: Array[Array[Long]] = vecs.orderBy("__id").limit(k)
       .select("qv").collect()
       .map(_.getSeq[Long](0).toArray)
@@ -61,9 +89,7 @@ object KMeans {
     var centroids = init
     for (_ <- 1 to iters)
       centroids = update(assign(vecs, centroids), centroids)
-    assign(vecs, centroids)
-      .select(col("__id").as(idCol), col("cluster"), col("dist"),
-        col("qv"), col("qn"))
+    centroids
   }
 
   /** Scan-local nearest-centroid assignment: k codegen'd integer dots

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Paragraph-level exact dedup (SURVEY §2.11 extension; the sub-document
+  * granularity the document-level families — exact q24, MinHash q25,
+  * n-gram q64, semantic q97 — cannot touch): repeated boilerplate
+  * segments *inside* otherwise-distinct documents are removed
+  * first-occurrence-wins, the step published curation pipelines run
+  * alongside document-level MinHash.
+  *
+  * Paragraph model: fixed `parLen`-token segments of the whitespace
+  * token stream (the corpus has no newline structure; for corpora that
+  * do, split on the real separator upstream and pass parLen-sized
+  * normalized units). Normalization = trim + drop empties, mirrored
+  * exactly by the q101 oracle.
+  *
+  * Plan shape at 100 TB: the winner election and keep/drop decisions
+  * travel as (doc_id, par_idx, md5) only — paragraph TEXT never enters
+  * those shuffles. Text crosses the wire exactly once, in the final
+  * reassembly join of the per-doc kept-index arrays back onto the
+  * document scan, where the kept paragraphs are re-derived scan-locally
+  * and filtered by index membership.
+  */
+object ParagraphDedup {
+
+  /** Scan-local paragraph stream: (id, par_idx, para) — one posexplode
+    * of the `parLen`-token segments, empties dropped.
+    */
+  def paragraphs(docs: DataFrame, idCol: String, textCol: String,
+      parLen: Int): DataFrame = {
+    require(parLen > 0, s"parLen must be positive: $parLen")
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("__t"))
+      .select(col(idCol), posexplode(expr(
+        s"""transform(
+           |  sequence(0, greatest(cast(ceil(size(__t) / ${parLen}.0d)
+           |                       as int), 1) - 1),
+           |  i -> trim(array_join(slice(__t, i * $parLen + 1, $parLen),
+           |            ' ')))""".stripMargin)))
+      .select(col(idCol), col("pos").as("par_idx"), col("col").as("para"))
+      .filter(col("para") =!= "")
+  }
+
+  /** Keep/drop decision per (doc, paragraph): first occurrence — the
+    * minimum (doc_id, par_idx) — of each distinct paragraph hash wins.
+    * Ids and 32-byte hashes only; no text in any shuffle here.
+    */
+  def decisions(docs: DataFrame, idCol: String, textCol: String,
+      parLen: Int): DataFrame = {
+    val ids = paragraphs(docs, idCol, textCol, parLen)
+      .select(col(idCol), col("par_idx"), md5(col("para")).as("__ph"))
+    val winners = ids
+      .groupBy("__ph")
+      .agg(min(struct(col(idCol), col("par_idx"))).as("__w"))
+    ids.join(winners, "__ph")
+      .select(col(idCol), col("par_idx"),
+        (col(s"__w.$idCol") === col(idCol) &&
+          col("__w.par_idx") === col("par_idx")).as("keep"))
+  }
+
+  /** Per-document summary after first-occurrence-wins removal:
+    * (id, n_paras, n_kept, kept_md5) where kept_md5 fingerprints the
+    * document rebuilt from its surviving paragraphs in order. The
+    * rebuild re-derives paragraphs scan-locally on the document side
+    * and filters them by the kept-index array — the only join that
+    * carries text.
+    */
+  def dedupSummary(docs: DataFrame, idCol: String, textCol: String,
+      parLen: Int): DataFrame = {
+    val perDoc = decisions(docs, idCol, textCol, parLen)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_paras"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        sort_array(collect_list(when(col("keep"), col("par_idx"))))
+          .as("__kept_idx"))
+    docs.select(col(idCol), col(textCol)).join(perDoc, idCol)
+      .select(col(idCol), col("n_paras"), col("n_kept"),
+        md5(expr(
+          s"""array_join(
+             |  filter(transform(
+             |    sequence(0, greatest(cast(ceil(
+             |        size(split($textCol, ' ')) / ${parLen}.0d) as int),
+             |      1) - 1),
+             |    i -> if(array_contains(__kept_idx, i),
+             |            trim(array_join(slice(split($textCol, ' '),
+             |              i * $parLen + 1, $parLen), ' ')),
+             |            null)),
+             |  x -> x is not null), ' ')""".stripMargin)).as("kept_md5"))
+  }
+}
