@@ -1914,6 +1914,71 @@ object TrainQueries {
         (col("rel_error") <= 0.15).as("within_15pct"))
       .orderBy("column_name")
 
+  /** Approx-percentile sketch with a MEASURED rank-error bound — the
+    * quantile sibling of q102's HLL (together they close the sketch
+    * surface): at 100 TB the exact per-group percentile (q47's 3-pass
+    * machinery) is the expensive baseline and the GK sketch
+    * (`percentile_approx`, one pass, bounded state) is the production
+    * path. The gate carries the exact values plus the verified claim
+    * that each sketch value's TRUE rank lands within ε = 1/accuracy of
+    * the target quantile — the two-sided tie-aware form: at least
+    * (p−ε)·n values ≤ v and fewer than (p+ε)·n values < v.
+    */
+  private def qApproxPercentile(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_quantity"))
+    val eps = 0.01 // GK guarantee: rank error <= n / accuracy
+    val approx = li.groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_quantity"),
+        array(lit(0.5), lit(0.95)), lit(100)).as("__ap"))
+      .select(col("l_returnflag"),
+        col("__ap")(0).as("__a50"), col("__ap")(1).as("__a95"))
+    val ranks = li.join(broadcast(approx), Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("__n"),
+        sum((col("l_quantity") <= col("__a50")).cast("long")).as("__le50"),
+        sum((col("l_quantity") < col("__a50")).cast("long")).as("__lt50"),
+        sum((col("l_quantity") <= col("__a95")).cast("long")).as("__le95"),
+        sum((col("l_quantity") < col("__a95")).cast("long")).as("__lt95"))
+    def ok(le: String, lt: String, p: Double) =
+      (col(le).cast("double") >= (lit(p) - lit(eps)) * col("__n")) &&
+        (col(lt).cast("double") <= (lit(p) + lit(eps)) * col("__n"))
+    val exact = Percentiles.exactFewGroups(li, Seq("l_returnflag"),
+      "l_quantity", Seq(("exact_p50", 0.5), ("exact_p95", 0.95)))
+    exact.join(ranks, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("exact_p50"), col("exact_p95"),
+        (ok("__le50", "__lt50", 0.5) && ok("__le95", "__lt95", 0.95))
+          .as("within_rank_eps"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Vocabulary construction with coverage — the tokenizer-prep report:
+    * top-k corpus tokens by frequency (ties lexicographic) with each
+    * token's share and the cumulative coverage of the vocabulary so
+    * far; 1 − cum_share at rank k IS the OOV rate a k-entry vocab
+    * buys. Counts partial-aggregate map-side; top-k is a
+    * TakeOrderedAndProject; the cumulative window runs over k rows of
+    * metadata, never the corpus (the q47 few-groups discipline).
+    */
+  private def qVocabulary(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val top = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(30)
+    val total = toks.agg(count(lit(1)).as("__total"))
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("share",
+        col("cnt").cast("double") / col("__total").cast("double"))
+      .withColumn("cum_share",
+        sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast("double") /
+          col("__total").cast("double"))
+      .select("rank", "token", "cnt", "share", "cum_share")
+      .orderBy("rank")
+  }
+
   /** The full curation pipeline as ONE declarative composition — the
     * capstone: quality gate → exact dedup (canonical fingerprint,
     * first-id representative) → source-mix rebalance (data-derived
@@ -2034,7 +2099,9 @@ object TrainQueries {
     "q100_full_pipeline" -> (qFullPipeline _),
     "q101_paragraph_dedup" -> (qParagraphDedup _),
     "q102_hll_cardinality" -> (qHllCardinality _),
-    "q103_cross_semantic_dedup" -> (qCrossSemanticDedup _))
+    "q103_cross_semantic_dedup" -> (qCrossSemanticDedup _),
+    "q104_approx_percentile" -> (qApproxPercentile _),
+    "q105_vocabulary" -> (qVocabulary _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -3038,7 +3105,28 @@ object TrainQueries {
          SELECT 'events.event_type', COUNT(*),
              CAST(COUNT(DISTINCT event_type) AS BIGINT), TRUE FROM events
          ORDER BY column_name""",
-    "q103_cross_semantic_dedup" -> crossSemanticDedupOracle(8, 2))
+    "q103_cross_semantic_dedup" -> crossSemanticDedupOracle(8, 2),
+    "q104_approx_percentile" ->
+      """SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.5) AS exact_p50,
+             quantile_cont(l_quantity, 0.95) AS exact_p95,
+             TRUE AS within_rank_eps
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q105_vocabulary" ->
+      """WITH nt AS (SELECT unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+         tk AS (SELECT token FROM nt WHERE token <> ''),
+         c AS (SELECT token, COUNT(*) AS cnt FROM tk GROUP BY 1),
+         tot AS (SELECT COUNT(*) AS total FROM tk),
+         r AS (SELECT token, cnt,
+             row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM c),
+         top AS (SELECT * FROM r WHERE rank <= 30)
+         SELECT CAST(rank AS BIGINT) AS rank, token,
+             CAST(cnt AS BIGINT) AS cnt,
+             CAST(cnt AS DOUBLE) / CAST(tot.total AS DOUBLE) AS share,
+             CAST(SUM(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+               AS DOUBLE) / CAST(tot.total AS DOUBLE) AS cum_share
+         FROM top, tot ORDER BY rank""")
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized

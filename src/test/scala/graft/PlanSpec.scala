@@ -264,4 +264,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("long_dot"),
       "codegen'd dot product missing from the assignment")
   }
+
+  test("q101: paragraph-dedup decisions shuffle ids and hashes only, never text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // exchanges exist only post-EnsureRequirements; AQE wraps them in
+    // opaque query stages, so inspect the non-adaptive executed plan
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = Tables(spark, dir, "documents")
+      val plan = graft.ops.ParagraphDedup.decisions(docs, "doc_id", "text", 20)
+        .queryExecution.executedPlan
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty, "expected winner-election shuffles")
+      exchanges.foreach { e =>
+        val names = e.output.map(_.name)
+        assert(!names.exists(n => n == "para" || n == "text"),
+          s"paragraph text entered a shuffle: $names")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("q103: cross-corpus semantic dedup plans exactly ONE join (the cell join)") {
+    // both assignment legs are scan-local (centroids as literals); the
+    // only join anywhere is batch-vs-history on the cluster key —
+    // re-clustering or a centroid join would add more
+    val p = SparkEntry.queries("q103_cross_semantic_dedup")(spark, dir)
+      .queryExecution.sparkPlan.toString
+    val joins = Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+      "CartesianProduct", "BroadcastNestedLoopJoin")
+      .map(k => k.r.findAllIn(p).length).sum
+    assert(joins === 1, s"expected the single cell join, got $joins:\n${p.take(1200)}")
+    assert(p.contains("long_dot"),
+      "codegen'd dot product missing from the cell compare")
+  }
 }
