@@ -1979,6 +1979,64 @@ object TrainQueries {
       .orderBy("rank")
   }
 
+  /** Per-source distribution drift: total-variation distance between
+    * each source's n_chars histogram and the corpus-wide one over
+    * shared fixed-width bins — the monitoring question ("which source
+    * changed shape") behind ingest gating. All arithmetic is EXACT
+    * integers until one final double division: the per-bin term is
+    * |c_sb·n_all − c_b·n_s| summed as DECIMAL(38,0) (order-independent,
+    * no float accumulation), so the distance is engine-reproducible.
+    * One scan feeds three partial aggregates; the bin/source grids are
+    * metadata-sized.
+    */
+  private def qSourceDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("source"), expr("n_chars div 50").as("bin"))
+    val sb = d.groupBy("source", "bin").agg(count(lit(1)).as("c_sb"))
+    val b = d.groupBy("bin").agg(count(lit(1)).as("c_b"))
+    val ns = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val nAll = d.agg(count(lit(1)).as("n_all"))
+    ns.crossJoin(broadcast(b)) // sources × occupied bins: metadata grid
+      .join(sb, Seq("source", "bin"), "left")
+      .na.fill(0L, Seq("c_sb"))
+      .crossJoin(broadcast(nAll))
+      .withColumn("__num",
+        abs(col("c_sb").cast("decimal(38,0)") * col("n_all")
+          - col("c_b").cast("decimal(38,0)") * col("n_s")))
+      .groupBy("source")
+      .agg(max("n_s").as("n_docs"), max("n_all").as("__n_all"),
+        sum("__num").as("__num_sum"))
+      .select(col("source"), col("n_docs"),
+        (col("__num_sum").cast("double") /
+          (lit(2.0d) * col("n_docs").cast("double")
+            * col("__n_all").cast("double"))).as("tv_dist"))
+      .orderBy("source")
+  }
+
+  /** Quality-aware canonical selection: q71's duplicate clusters
+    * resolved to the HIGHEST-QUALITY member (ties → smallest id)
+    * instead of the min id — what a curation pipeline actually keeps.
+    * The argmax is a map-side-combined `max(struct(quality, −id))` per
+    * cluster — no per-group sort, no window.
+    */
+  private def qClusterRepresentative(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = NearDup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.5, maxDf = 100L)
+      .select("id_a", "id_b")
+    val cc = DedupClusters.clusters(pairs, "id_a", "id_b")
+    val q = docs.withColumn("__toks", TextFns.tokens("text"))
+      .select(col("doc_id"),
+        TextFns.qualityScore("text", "__toks").as("quality"))
+    cc.join(q, "doc_id")
+      .groupBy("cluster_rep")
+      .agg(max("n_members").as("n_members"),
+        max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("__m"))
+      .select(col("cluster_rep"), col("n_members"),
+        (-col("__m.nid")).as("best_doc"), col("__m.quality").as("best_quality"))
+      .orderBy("cluster_rep")
+  }
+
   /** The full curation pipeline as ONE declarative composition — the
     * capstone: quality gate → exact dedup (canonical fingerprint,
     * first-id representative) → source-mix rebalance (data-derived
@@ -2101,7 +2159,9 @@ object TrainQueries {
     "q102_hll_cardinality" -> (qHllCardinality _),
     "q103_cross_semantic_dedup" -> (qCrossSemanticDedup _),
     "q104_approx_percentile" -> (qApproxPercentile _),
-    "q105_vocabulary" -> (qVocabulary _))
+    "q105_vocabulary" -> (qVocabulary _),
+    "q106_source_drift" -> (qSourceDrift _),
+    "q107_cluster_representative" -> (qClusterRepresentative _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -2136,6 +2196,27 @@ object TrainQueries {
              FROM idx a JOIN idx b
                ON a.gram = b.gram AND a.doc_id < b.doc_id
              GROUP BY 1, 2)"""
+
+  /** Shared by the q71 and q107 oracles: q64's df-capped pair CTEs →
+    * recursive closure → (node, cluster_rep) labels + component sizes.
+    */
+  private val dedupClusterCtes =
+    s"""$ngramIdxCte,
+         pairs AS (SELECT id_a, id_b
+               FROM p JOIN na x ON p.id_a = x.doc_id
+                      JOIN na y ON p.id_b = y.doc_id
+               WHERE CAST(n_shared AS DOUBLE)
+                     / CAST(x.n + y.n - n_shared AS DOUBLE) >= 0.5),
+         sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION
+                 SELECT id_b, id_a FROM pairs),
+         r AS (SELECT src AS node, dst AS peer FROM sym
+               UNION
+               SELECT r.node, s.dst FROM r JOIN sym s ON r.peer = s.src),
+         lab AS (SELECT node, LEAST(node, MIN(peer)) AS cluster_rep
+                 FROM r GROUP BY node),
+         sz AS (SELECT cluster_rep, COUNT(*) AS n_members
+                FROM lab GROUP BY 1)"""
 
   def oracleSql: Map[String, String] = Map(
     "q21_text_stats" ->
@@ -2661,22 +2742,7 @@ object TrainQueries {
                / CAST(x.n + y.n - n_shared AS DOUBLE) >= 0.5
          ORDER BY id_a, id_b""",
     "q71_dedup_clusters" ->
-      s"""WITH RECURSIVE $ngramIdxCte,
-         pairs AS (SELECT id_a, id_b
-               FROM p JOIN na x ON p.id_a = x.doc_id
-                      JOIN na y ON p.id_b = y.doc_id
-               WHERE CAST(n_shared AS DOUBLE)
-                     / CAST(x.n + y.n - n_shared AS DOUBLE) >= 0.5),
-         sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                 UNION
-                 SELECT id_b, id_a FROM pairs),
-         r AS (SELECT src AS node, dst AS peer FROM sym
-               UNION
-               SELECT r.node, s.dst FROM r JOIN sym s ON r.peer = s.src),
-         lab AS (SELECT node, LEAST(node, MIN(peer)) AS cluster_rep
-                 FROM r GROUP BY node),
-         sz AS (SELECT cluster_rep, COUNT(*) AS n_members
-                FROM lab GROUP BY 1)
+      s"""WITH RECURSIVE $dedupClusterCtes
          SELECT lab.node AS doc_id, lab.cluster_rep, sz.n_members
          FROM lab JOIN sz USING (cluster_rep) ORDER BY doc_id""",
     "q65_top_bigrams" ->
@@ -3126,7 +3192,47 @@ object TrainQueries {
              CAST(cnt AS DOUBLE) / CAST(tot.total AS DOUBLE) AS share,
              CAST(SUM(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
                AS DOUBLE) / CAST(tot.total AS DOUBLE) AS cum_share
-         FROM top, tot ORDER BY rank""")
+         FROM top, tot ORDER BY rank""",
+    "q106_source_drift" ->
+      """WITH d AS (SELECT source, n_chars // 50 AS bin FROM documents),
+         sb AS (SELECT source, bin, COUNT(*) AS c_sb FROM d GROUP BY 1, 2),
+         b AS (SELECT bin, COUNT(*) AS c_b FROM d GROUP BY 1),
+         ns AS (SELECT source, COUNT(*) AS n_s FROM d GROUP BY 1),
+         nt AS (SELECT COUNT(*) AS n_all FROM d),
+         grid AS (SELECT ns.source, b.bin, ns.n_s, b.c_b,
+             COALESCE(sb.c_sb, 0) AS c_sb
+           FROM ns CROSS JOIN b
+           LEFT JOIN sb ON sb.source = ns.source AND sb.bin = b.bin),
+         agg AS (SELECT source, n_s, MAX(n_all) AS n_all,
+             SUM(ABS(CAST(c_sb AS HUGEINT) * n_all
+               - CAST(c_b AS HUGEINT) * n_s)) AS num_sum
+           FROM grid, nt GROUP BY 1, 2)
+         SELECT source, CAST(n_s AS BIGINT) AS n_docs,
+             CAST(num_sum AS DOUBLE) / (2.0 * CAST(n_s AS DOUBLE)
+               * CAST(n_all AS DOUBLE)) AS tv_dist
+         FROM agg ORDER BY source""",
+    "q107_cluster_representative" ->
+      s"""WITH RECURSIVE $dedupClusterCtes,
+         qd AS (SELECT doc_id, text, string_split(text, ' ') AS qtoks
+                FROM documents),
+         qs AS (SELECT doc_id,
+             0.5 * least(CAST(len(qtoks) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (1.0 - CAST(len(list_filter(qtoks,
+                     w -> w IN ('the','a','of','and','is'))) AS DOUBLE)
+                   / CAST(len(qtoks) AS DOUBLE))
+               + 0.2 * least(((CAST(length(text) AS DOUBLE)
+                     - (CAST(len(qtoks) AS DOUBLE) - 1.0))
+                   / CAST(len(qtoks) AS DOUBLE)) / 8.0, 1.0) AS quality
+           FROM qd),
+         j AS (SELECT lab.node AS doc_id, lab.cluster_rep, sz.n_members,
+             qs.quality
+           FROM lab JOIN sz USING (cluster_rep)
+                    JOIN qs ON qs.doc_id = lab.node),
+         best AS (SELECT *, row_number() OVER (PARTITION BY cluster_rep
+             ORDER BY quality DESC, doc_id ASC) AS rn FROM j)
+         SELECT cluster_rep, n_members, doc_id AS best_doc,
+             quality AS best_quality
+         FROM best WHERE rn = 1 ORDER BY cluster_rep""")
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized

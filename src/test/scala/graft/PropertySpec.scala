@@ -189,4 +189,61 @@ class PropertySpec extends AnyFunSuite {
         base.toDF("id", "p"), "id", Seq("p"), 8).count() === 0)
     }
   }
+
+  test("connected components match a driver-side union-find on random graphs") {
+    // the large-star/small-star rewrite vs an independent reference
+    // implementation — random shapes catch what the fixed path/clique
+    // fixtures in DedupClustersSpec cannot
+    val graph = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)))
+    cases(graph, 10) { edges =>
+      import spark.implicits._
+      val got = graft.ops.DedupClusters
+        .connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: plain union-find with path compression
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(x => x -> find(x)).toMap
+      // union-find roots are already the component minimum because
+      // unions always point the larger root at the smaller
+      assert(got === want, s"edges: $edges")
+    }
+  }
+
+  test("paragraph dedup keeps each distinct paragraph exactly once, corpus-wide") {
+    val doc = Gen.nonEmptyListOf(Gen.oneOf("aa", "bb", "cc", "dd"))
+      .map(_.mkString(" "))
+    val corpus = Gen.nonEmptyListOf(doc).map(_.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) })
+    cases(corpus, 10) { docs =>
+      import spark.implicits._
+      val df = docs.toDF("doc_id", "text")
+      val dec = graft.ops.ParagraphDedup
+        .decisions(df, "doc_id", "text", 2)
+        .collect()
+        .map(r => ((r.getLong(0), r.getInt(1)), r.getBoolean(2)))
+      // re-derive the paragraph text per (doc, idx) to group by content
+      val paras = docs.flatMap { case (id, t) =>
+        t.split(" ").grouped(2).zipWithIndex
+          .map { case (seg, i) => (id, i) -> seg.mkString(" ") }
+      }.toMap
+      dec.groupBy { case (key, _) => paras(key) }.foreach {
+        case (para, occurrences) =>
+          val kept = occurrences.filter(_._2).map(_._1)
+          assert(kept.length === 1,
+            s"paragraph '$para' kept ${kept.length} times")
+          // first occurrence wins: the kept one is the minimum (doc, idx)
+          assert(kept.head === occurrences.map(_._1).min,
+            s"paragraph '$para' kept $kept, not the first occurrence")
+      }
+    }
+  }
 }
