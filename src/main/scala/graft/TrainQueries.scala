@@ -2037,6 +2037,28 @@ object TrainQueries {
       .orderBy("cluster_rep")
   }
 
+  /** Incremental paragraph dedup
+    * ([[graft.ops.ParagraphDedup.incrementalDecisions]]): the incoming
+    * batch (doc_id ≢ 0 mod 10) deduped at paragraph granularity
+    * against the history corpus — kept = unseen in history AND first in
+    * batch, with the two drop causes reported separately. History is
+    * one distinct hash set; per-batch cost independent of history size.
+    */
+  private def qIncrementalParagraphDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    ParagraphDedup.incrementalDecisions(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 20)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum((!col("seen_in_history") && col("first_in_batch"))
+          .cast("long")).as("n_kept"),
+        sum(col("seen_in_history").cast("long")).as("n_hist_dups"),
+        sum((!col("seen_in_history") && !col("first_in_batch"))
+          .cast("long")).as("n_batch_dups"))
+      .orderBy("doc_id")
+  }
+
   /** The full curation pipeline as ONE declarative composition — the
     * capstone: quality gate → exact dedup (canonical fingerprint,
     * first-id representative) → source-mix rebalance (data-derived
@@ -2161,7 +2183,8 @@ object TrainQueries {
     "q104_approx_percentile" -> (qApproxPercentile _),
     "q105_vocabulary" -> (qVocabulary _),
     "q106_source_drift" -> (qSourceDrift _),
-    "q107_cluster_representative" -> (qClusterRepresentative _))
+    "q107_cluster_representative" -> (qClusterRepresentative _),
+    "q108_incr_paragraph_dedup" -> (qIncrementalParagraphDedup _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -3232,7 +3255,38 @@ object TrainQueries {
              ORDER BY quality DESC, doc_id ASC) AS rn FROM j)
          SELECT cluster_rep, n_members, doc_id AS best_doc,
              quality AS best_quality
-         FROM best WHERE rn = 1 ORDER BY cluster_rep""")
+         FROM best WHERE rn = 1 ORDER BY cluster_rep""",
+    "q108_incr_paragraph_dedup" ->
+      """WITH bt AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents WHERE doc_id % 10 <> 0),
+         bp AS (SELECT doc_id, i - 1 AS par_idx,
+             trim(array_to_string(t[((i-1)*20+1):((i-1)*20+20)], ' '))
+               AS para
+           FROM bt, unnest(range(1,
+             greatest(CAST(ceil(len(t) / 20.0) AS BIGINT), 1) + 1)) u(i)),
+         bnp AS (SELECT * FROM bp WHERE para <> ''),
+         ht AS (SELECT doc_id, string_split(text, ' ') AS t
+                FROM documents WHERE doc_id % 10 = 0),
+         hp AS (SELECT doc_id, i - 1 AS par_idx,
+             trim(array_to_string(t[((i-1)*20+1):((i-1)*20+20)], ' '))
+               AS para
+           FROM ht, unnest(range(1,
+             greatest(CAST(ceil(len(t) / 20.0) AS BIGINT), 1) + 1)) u(i)),
+         hh AS (SELECT DISTINCT md5(para) AS ph FROM hp WHERE para <> ''),
+         k AS (SELECT doc_id, par_idx, md5(para) AS ph,
+             row_number() OVER (PARTITION BY md5(para)
+                ORDER BY doc_id, par_idx) AS rn
+           FROM bnp),
+         m AS (SELECT k.doc_id, k.rn, (hh.ph IS NOT NULL) AS seen
+           FROM k LEFT JOIN hh USING (ph))
+         SELECT doc_id, COUNT(*) AS n_paras,
+             CAST(SUM(CASE WHEN NOT seen AND rn = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN seen THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hist_dups,
+             CAST(SUM(CASE WHEN NOT seen AND rn > 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_batch_dups
+         FROM m GROUP BY doc_id ORDER BY doc_id""")
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized

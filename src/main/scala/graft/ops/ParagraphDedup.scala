@@ -60,6 +60,31 @@ object ParagraphDedup {
           col("__w.par_idx") === col("par_idx")).as("keep"))
   }
 
+  /** Incremental form (the E53/E89/E93 axis at paragraph granularity):
+    * keep/drop decisions for an incoming BATCH against an existing
+    * history corpus. A batch paragraph is kept iff it is unseen in
+    * history AND the first occurrence within the batch; the two drop
+    * causes are reported separately. History reduces to a distinct
+    * 32-byte hash set computed once (the stored artifact in
+    * production), so per-batch cost is independent of history size,
+    * and as in [[decisions]] no text enters any shuffle.
+    */
+  def incrementalDecisions(history: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, parLen: Int): DataFrame = {
+    val histH = paragraphs(history, idCol, textCol, parLen)
+      .select(md5(col("para")).as("__ph")).distinct()
+    val ids = paragraphs(batch, idCol, textCol, parLen)
+      .select(col(idCol), col("par_idx"), md5(col("para")).as("__ph"))
+    val winners = ids.groupBy("__ph")
+      .agg(min(struct(col(idCol), col("par_idx"))).as("__w"))
+    ids.join(winners, "__ph")
+      .join(histH.withColumn("__seen", lit(true)), Seq("__ph"), "left")
+      .select(col(idCol), col("par_idx"),
+        coalesce(col("__seen"), lit(false)).as("seen_in_history"),
+        (col(s"__w.$idCol") === col(idCol) &&
+          col("__w.par_idx") === col("par_idx")).as("first_in_batch"))
+  }
+
   /** Per-document summary after first-occurrence-wins removal:
     * (id, n_paras, n_kept, kept_md5) where kept_md5 fingerprints the
     * document rebuilt from its surviving paragraphs in order. The

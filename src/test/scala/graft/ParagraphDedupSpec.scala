@@ -41,6 +41,26 @@ class ParagraphDedupSpec extends AnyFunSuite {
       (9L, 0) -> false, (9L, 1) -> true))
   }
 
+  test("incremental decisions separate history dups from batch-internal dups") {
+    import spark.implicits._
+    // history holds "a b"; batch doc 10 = ["a b", "c d"], doc 11 =
+    // ["c d", "e f"]: "a b" drops as a history dup, doc 11's "c d"
+    // drops as a batch dup (doc 10 got there first), the rest keep.
+    val hist = Seq((1L, "a b")).toDF("doc_id", "text")
+    val batch = Seq((10L, "a b c d"), (11L, "c d e f"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.ParagraphDedup
+      .incrementalDecisions(hist, batch, "doc_id", "text", 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(got === Map(
+      (10L, 0) -> ((true, true)),   // "a b": in history (and first in batch)
+      (10L, 1) -> ((false, true)),  // "c d": fresh, first
+      (11L, 0) -> ((false, false)), // "c d": fresh, but doc 10 won
+      (11L, 1) -> ((false, true)))) // "e f": fresh, first
+  }
+
   test("short tail paragraph and empty segments are handled") {
     import spark.implicits._
     // 5 tokens at parLen=2 → paragraphs "a b", "c d", "e" (tail keeps
