@@ -1517,17 +1517,24 @@ object TrainQueries {
       .repartition(8)
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         val base = new org.apache.hadoop.fs.Path(out)
-        val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        // blobs carry their own content checksums downstream (md5 over
-        // `content`); the local ChecksumFileSystem's .crc shadow files
-        // would double every write for nothing
-        fs.setWriteChecksum(false)
-        fs.mkdirs(base)
-        it.foreach { r =>
-          val os = fs.create(
-            new org.apache.hadoop.fs.Path(base, r.getString(0) + ".bin"), true)
-          try os.write(r.getAs[Array[Byte]](1)) finally os.close()
-        }
+        val conf = new org.apache.hadoop.conf.Configuration()
+        // a PRIVATE FileSystem instance: FileSystem.get/getFileSystem
+        // return the process-cached one, and disabling checksums there
+        // would leak to every other Hadoop-FS user in the JVM. Blobs
+        // carry their own content checksums downstream (md5 over
+        // `content`), so the .crc shadow files are pure write overhead.
+        val fs = org.apache.hadoop.fs.FileSystem
+          .newInstance(base.toUri, conf)
+        try {
+          fs.setWriteChecksum(false)
+          fs.mkdirs(base)
+          it.foreach { r =>
+            val os = fs.create(
+              new org.apache.hadoop.fs.Path(base, r.getString(0) + ".bin"),
+              true)
+            try os.write(r.getAs[Array[Byte]](1)) finally os.close()
+          }
+        } finally fs.close()
       }
     s.read.format("binaryFile").load(out)
       .select(md5(col("content")).as("checksum"), col("length"))
@@ -1678,15 +1685,18 @@ object TrainQueries {
     // TableDiff's checksum contract: nullable columns must be coalesced
     // by the caller (concat_ws skips nulls, so a null could alias
     // against a shifted neighbor and mask a real mutation). chr(1) is
-    // the sentinel on both this side and the q92 oracle.
+    // the sentinel on both this side and the q92 oracle, and the guard
+    // is applied AFTER the mutation on both sides — guarding first
+    // would turn a NULL row's mutation into a real diff here while the
+    // oracle's NULL || 'X' stays NULL and reports none.
     def guarded(df: DataFrame) = Seq("text", "lang", "source")
       .foldLeft(df)((d, c) => d.withColumn(c,
         coalesce(col(c), lit(""))))
-    val docs = guarded(t(s, dir, "documents"))
+    val docs = t(s, dir, "documents")
     val snapB = docs.withColumn("text",
       when(col("doc_id") % 97 === 0, concat(col("text"), lit("X")))
         .otherwise(col("text")))
-    TableDiff.diff(docs, snapB, "doc_id",
+    TableDiff.diff(guarded(docs), guarded(snapB), "doc_id",
         Seq("text", "lang", "source", "n_chars"), 64)
       .orderBy("bucket")
   }
@@ -1811,8 +1821,10 @@ object TrainQueries {
     */
   private def qCrossSemanticDedup(s: SparkSession, dir: String): DataFrame = {
     val all = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
-    // both the Lloyd fit and the history leg consume this — pin once
-    val hist = all.filter(col("vec_id") % 3 =!= 0).localCheckpoint()
+    // fitCentroids pins its own projection for the Lloyd rounds; the
+    // history assignment leg re-derives from the scan (one scan-local
+    // projection) rather than holding a second cached copy
+    val hist = all.filter(col("vec_id") % 3 =!= 0)
     val cs = KMeans.fitCentroids(hist, "vec_id", 8, 2)
     val h = KMeans.assignTo(hist, "vec_id", cs)
       .filter(col("qn") > 0)

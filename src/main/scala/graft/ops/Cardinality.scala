@@ -19,25 +19,30 @@ import org.apache.spark.sql.functions._
 object Cardinality {
 
   /** One row per profiled column: (column_name, n_rows, exact_distinct,
-    * approx_distinct, rel_error). Each column is one scan for the
-    * sketch (map-side partial HLL) plus one distinct shuffle for the
-    * exact baseline; `rsd` is the HLL++ target relative standard
+    * approx_distinct, rel_error). ONE aggregation over one scan for
+    * all columns (the q79 profiler discipline — Spark plans the
+    * multi-distinct via Expand), pivoted to rows with `stack` on the
+    * single result row; `rsd` is the HLL++ target relative standard
     * deviation (Spark default 0.05).
     */
   def profile(df: DataFrame, cols: Seq[String], rsd: Double = 0.05,
       scope: String = ""): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val prefix = if (scope.isEmpty) "" else s"$scope."
-    cols.map { c =>
-      df.agg(
-          count(lit(1)).as("n_rows"),
-          countDistinct(col(c)).as("exact_distinct"),
-          approx_count_distinct(col(c), rsd).as("approx_distinct"))
-        .select(lit(prefix + c).as("column_name"),
-          col("n_rows"), col("exact_distinct"), col("approx_distinct"),
-          (abs(col("approx_distinct") - col("exact_distinct"))
-            .cast("double") / col("exact_distinct").cast("double"))
-            .as("rel_error"))
-    }.reduce(_ union _)
+    val aggs = count(lit(1)).as("n_rows") +: cols.zipWithIndex.flatMap {
+      case (c, i) => Seq(countDistinct(col(c)).as(s"__ex_$i"),
+        approx_count_distinct(col(c), rsd).as(s"__ap_$i"))
+    }
+    val stacked = cols.zipWithIndex
+      .map { case (c, i) => s"'${prefix + c}', __ex_$i, __ap_$i" }
+      .mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), expr(s"stack(${cols.length}, $stacked)")
+        .as(Seq("column_name", "exact_distinct", "approx_distinct")))
+      .select(col("column_name"), col("n_rows"),
+        col("exact_distinct"), col("approx_distinct"),
+        (abs(col("approx_distinct") - col("exact_distinct"))
+          .cast("double") / col("exact_distinct").cast("double"))
+          .as("rel_error"))
   }
 }

@@ -19,15 +19,16 @@ import org.apache.spark.sql.functions._
   * partial-aggregated mins — hash shuffles on ids, never text.
   *
   * Per-round cost discipline: exactly ONE job per round. The edge set
-  * is materialized through an RDD `localCheckpoint` (truncating
-  * lineage), and the convergence signal — (edge count, sum of 64-bit
-  * edge hashes) — rides that same materialization via the action's own
-  * count plus a `LongAccumulator`, so there is no separate per-round
-  * comparison job. Superseded checkpoint blocks are unpersisted as
-  * soon as the next round materializes. A final structural check (a
-  * star forest has disjoint parent and child sets) guards the
-  * accumulator-based early exit: a false "stable" signal fails the
-  * check and throws instead of returning wrong labels.
+  * is marked for RDD `localCheckpoint` (truncating lineage) and the
+  * materializing action IS the convergence-signature aggregate —
+  * (edge count, bit_xor of per-edge xxhash64) — so there is no
+  * separate per-round comparison job, and the signature is an exact
+  * retry-safe aggregate rather than an accumulator. Superseded
+  * checkpoint blocks are unpersisted as soon as the next round
+  * materializes. A final structural check (a star forest has disjoint
+  * parent and child sets) guards the signature-based early exit: a
+  * false "stable" signal fails the check and throws instead of
+  * returning wrong labels.
   *
   * At 100 TB: rounds are data-parallel, the edge list for near-dup
   * graphs is ≪ corpus size, and the round count is bounded by
@@ -133,23 +134,27 @@ object DedupClusters {
     (labels, convergedAt)
   }
 
-  /** Materialize an oriented edge set once (RDD localCheckpoint →
-    * single count job) and capture its convergence signature — the
-    * count from the action itself plus an order-independent sum of
-    * per-edge xxhash64 via an accumulator riding the same pass.
+  /** Materialize an oriented edge set once and capture its convergence
+    * signature, all in ONE job: the RDD is marked for localCheckpoint
+    * and the (count, bit_xor of per-edge xxhash64) aggregate over the
+    * re-wrapped DataFrame is the action that materializes it. The
+    * signature is an exact aggregate — not an accumulator — so task
+    * retries and speculative execution cannot distort it (accumulator
+    * updates in transformations are not exactly-once); bit_xor is
+    * order-independent and cannot overflow under ANSI.
     */
   private final case class EdgeSnap(df: DataFrame, rdd: RDD[Row],
       count: Long, hashSum: Long)
 
   private def snap(edges: DataFrame): EdgeSnap = {
     val spark = edges.sparkSession
-    val acc = spark.sparkContext.longAccumulator("graft.cc.edgeHashSum")
-    val withH = edges.withColumn("__h", xxhash64(col("u"), col("v")))
-    val rdd = withH.rdd.map { r => acc.add(r.getLong(r.length - 1)); r }
+    val rdd = edges.rdd
     rdd.localCheckpoint()
-    val cnt = rdd.count()
-    val back = spark.createDataFrame(rdd, withH.schema).drop("__h")
-    EdgeSnap(back, rdd, cnt, acc.value)
+    val back = spark.createDataFrame(rdd, edges.schema)
+    val sig = back.agg(count(lit(1)).as("c"),
+      expr("bit_xor(xxhash64(u, v))").as("h")).head()
+    val h = if (sig.isNullAt(1)) 0L else sig.getLong(1)
+    EdgeSnap(back, rdd, sig.getLong(0), h)
   }
 
   /** Convenience: cluster membership with component sizes, ordered —

@@ -46,6 +46,7 @@ object KMeans {
     */
   def fitFull(prepared: DataFrame, idCol: String, k: Int,
       iters: Int): DataFrame = {
+    validate(k, iters) // before the eager checkpoint materializes anything
     // iters update jobs + the final assignment all rescan the input —
     // a genuine fan-out, so pin it once (re-materialized per run,
     // cache-manager-safe across bench trials)
@@ -62,9 +63,15 @@ object KMeans {
     */
   def fitCentroids(prepared: DataFrame, idCol: String, k: Int,
       iters: Int): Array[Array[Long]] = {
+    validate(k, iters)
     val vecs = prepared.select(col(idCol).as("__id"), col("qv"), col("qn"))
       .localCheckpoint()
     lloyd(vecs, k, iters)
+  }
+
+  private def validate(k: Int, iters: Int): Unit = {
+    require(k >= 1, s"k must be positive: $k")
+    require(iters >= 0, s"iters must be non-negative: $iters")
   }
 
   /** Scan-local assignment of `prepared` vectors to FIXED centroids
@@ -79,8 +86,6 @@ object KMeans {
 
   /** `iters` Lloyd rounds from the deterministic lowest-id seeding. */
   private def lloyd(vecs: DataFrame, k: Int, iters: Int): Array[Array[Long]] = {
-    require(k >= 1, s"k must be positive: $k")
-    require(iters >= 0, s"iters must be non-negative: $iters")
     val init: Array[Array[Long]] = vecs.orderBy("__id").limit(k)
       .select("qv").collect()
       .map(_.getSeq[Long](0).toArray)

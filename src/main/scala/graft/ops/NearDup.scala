@@ -276,12 +276,15 @@ object NearDup {
     */
   def hammingNN(sigs: DataFrame, idCol: String, sigCol: String,
       maxRows: Long = 10000L): DataFrame = {
-    val n = sigs.count()
+    // pin before counting: the guard count and the pair join would
+    // otherwise each recompute the (possibly expensive) upstream frame
+    val pinned = sigs.select(col(idCol), col(sigCol)).localCheckpoint()
+    val n = pinned.count()
     require(n <= maxRows,
       s"hammingNN builds all pairs and is only for bounded re-rank frames: " +
         s"got $n rows > maxRows=$maxRows; use simhashNnWithinRadius for " +
         s"corpus-scale NN")
-    val packed = sigs.select(col(idCol), packedChunks(sigCol).as("__ch"))
+    val packed = pinned.select(col(idCol), packedChunks(sigCol).as("__ch"))
     val a = packed.select(col(idCol).as("id_a"), col("__ch").as("__ca"))
     val b = packed.select(col(idCol).as("id_b"), col("__ch").as("__cb"))
     a.crossJoin(b).filter(col("id_a") =!= col("id_b"))
