@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{QuantizedCentroid, TextFns}
-import graft.ops.{Cardinality, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, KMeans, Mixing, Multimodal, NearDup, ParagraphDedup, Percentiles, Salting, Sampling, Scd, Selection, Sessionize, Similarity, TableDiff}
+import graft.ops.{Blooms, Cardinality, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, FreqSketch, KMeans, Mixing, Multimodal, NearDup, ParagraphDedup, Percentiles, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, Similarity, TableDiff}
 import graft.streaming.{EventStream, StatefulSessions}
 
 /** Training-data-pipeline operators (SURVEY §7.2.8) as driver-contract
@@ -2071,6 +2071,142 @@ object TrainQueries {
       .orderBy("doc_id")
   }
 
+  /** Heavy hitters via count-min sketch ([[graft.ops.FreqSketch]] —
+    * the frequency sketch closing the profiling trio with q102's HLL
+    * and q104's GK quantiles): top-20 corpus tokens with the sketch's
+    * two guarantees VERIFIED per token — `overestimate_ok` (a CMS
+    * never undercounts) and `within_eps` (overshoot ≤ ⌈ε·N⌉).
+    * `est_cnt` itself stays engine-internal (no portable SQL computes
+    * a seeded CMS); the gate matches the exact counts plus the
+    * measured booleans.
+    */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    FreqSketch.heavyHitters(toks, "token", 20, 0.001, 0.99, 7)
+      .select(col("rank"), col("item").as("token"), col("exact_cnt"),
+        col("overestimate_ok"), col("within_eps"))
+      .orderBy("rank")
+  }
+
+  /** Bloom-prefiltered contamination screening ([[graft.ops.Blooms]]):
+    * an eval split's paragraph fingerprints become a Bloom filter
+    * (built by a DISTRIBUTED merge aggregate, driver sees one bit
+    * array); the corpus is then screened SCAN-LOCALLY and only the
+    * surviving candidates pay the exact semi-join. At 100 TB only the
+    * build + scan-local probe + candidate-sized verify run; the full
+    * corpus-vs-eval exact join here is the verification baseline that
+    * MEASURES the two claims (q51 discipline): no false negatives
+    * (structural), and a false-positive rate within 5× the configured
+    * fpp (probabilistic).
+    */
+  private def qBloomContamination(s: SparkSession, dir: String): DataFrame = {
+    val fpp = 0.01
+    val paras = ParagraphDedup.paragraphs(
+        t(s, dir, "documents"), "doc_id", "text", 20)
+      .select(col("doc_id"), md5(col("para")).as("fp"))
+    val eval = paras.filter(col("doc_id") % 17 === 0)
+      .select("fp").distinct().localCheckpoint()
+    val corpus = paras.filter(col("doc_id") % 17 =!= 0)
+      .select("doc_id", "fp").distinct()
+    val bloom = Blooms.build(eval, col("fp"),
+      math.max(eval.count(), 1L), fpp)
+
+    // ONE corpus pass measures pair count + bloom pass-rate; the
+    // candidate set (the only thing a 100 TB run materializes) then
+    // feeds the exact verify.
+    val cstats = corpus.agg(count(lit(1)).as("n"),
+      sum(Blooms.mightContain(bloom, col("fp")).cast("long"))
+        .as("cand")).head()
+    val (nPairs, nCand) = (cstats.getLong(0), cstats.getLong(1))
+    val hits = corpus.filter(Blooms.mightContain(bloom, col("fp")))
+      .join(eval, Seq("fp"), "left_semi").localCheckpoint()
+    val nHit = hits.count()
+    // no-false-negative check: ground-truth hits from the UNFILTERED
+    // corpus must all have survived the bloom pre-filter
+    val missed = corpus.join(eval, Seq("fp"), "left_semi")
+      .join(hits, Seq("doc_id", "fp"), "left_anti").limit(1).count()
+    val fpr = (nCand - nHit).toDouble /
+      math.max(nPairs - nHit, 1L).toDouble
+    hits.groupBy("doc_id").agg(count(lit(1)).as("n_hit_paras"))
+      .withColumn("bloom_no_false_negatives", lit(missed == 0L))
+      .withColumn("fpr_ok", lit(fpr <= 5 * fpp))
+      .orderBy("doc_id")
+  }
+
+  /** Systematic PPS sampling ([[Sampling.systematicPps]]): 10 docs per
+    * source drawn proportional to n_chars — the curation draw whose
+    * sample token-mass mirrors the corpus. The whole draw is exact
+    * integer arithmetic over a distributed prefix sum (no
+    * transcendental sampling keys, no per-source single-task window),
+    * so the oracle reproduces it bit-for-bit.
+    */
+  private def qPpsSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.systematicPps(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "doc_id", "source", "n_chars", 10, "pps1")
+      .select(col("source"), col("doc_id"), col("n_chars"), col("n_picks"))
+      .orderBy("source", "doc_id")
+
+  /** Windowed distinct-users on the STREAM via the HLL++ sketch
+    * ([[EventStream.windowedApproxUsers]]) — exact COUNT(DISTINCT) is
+    * unsupported (and unsupportable: O(keys) state per window) in
+    * streaming aggregation; the sketch is the production answer with
+    * fixed-size per-window state. The batch side recomputes the EXACT
+    * distinct per closed window and the gate carries it plus the
+    * verified claim that the stream's estimate landed within
+    * 3·rsd·exact + 2 — the relative HLL guarantee plus an absolute
+    * slack of 2 for tiny windows, where the sketch's linear-counting
+    * small-range correction rounds (a 2-user window estimated at 3 is
+    * a ±1 count, not a 50% failure; measured here, not assumed).
+    */
+  private def qStreamApproxUsers(s: SparkSession, dir: String): DataFrame = {
+    val rsd = 0.05
+    val approx = EventStream.windowedApproxUsers(
+      s, s"$dir/events.parquet", rsd = rsd)
+    val exact = t(s, dir, "events")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("exact_users"))
+    // inner join on the stream's emitted rows = exactly the closed
+    // (watermark-passed) windows, the q31 batch equivalence
+    approx.join(exact, Seq("window_start_ms", "event_type"))
+      .select(col("window_start_ms"), col("event_type"),
+        col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") <=
+          lit(3 * rsd) * col("exact_users").cast("double") + lit(2.0))
+          .as("within_3rsd"))
+      .orderBy("window_start_ms", "event_type")
+  }
+
+  /** Product-quantization ANN ([[graft.ops.ProductQuant]]): 64-dim
+    * vectors compressed to m=4 codebook indices, queries scored by ADC
+    * lookup tables, recall MEASURED against the exact L2 top-3 — and,
+    * uniquely for a PQ implementation, oracle-CHECKED: codebook
+    * training, encoding, and ADC are all deterministic integer
+    * arithmetic, so DuckDB reproduces the recall to the bit.
+    */
+  private def qPqAnn(s: SparkSession, dir: String): DataFrame = {
+    val prep = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
+      .filter(col("qn") > 0)
+    val cbs = ProductQuant.trainCodebooks(prep, "vec_id", 4, 16, 2)
+    val coded = ProductQuant.withCodes(prep, cbs)
+    val queries = prep.filter(col("vec_id") < 50)
+    val pq = ProductQuant.adcTopK(coded, queries, "vec_id", cbs, 3)
+    val ex = ProductQuant.exactL2TopK(prep, queries, "vec_id", 3)
+    ex.join(pq.select(col("query_id"), col("neighbor_id"))
+        .withColumn("__hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        (sum(coalesce(col("__hit"), lit(0L))).cast("double") /
+          (lit(3.0) * countDistinct(col("query_id")).cast("double")))
+          .as("recall"))
+      .select(lit("pq_adc").as("method"), lit(4L).as("m"),
+        lit(16L).as("ksub"), col("n_queries"), col("recall"))
+  }
+
   /** The full curation pipeline as ONE declarative composition — the
     * capstone: quality gate → exact dedup (canonical fingerprint,
     * first-id representative) → source-mix rebalance (data-derived
@@ -2196,7 +2332,12 @@ object TrainQueries {
     "q105_vocabulary" -> (qVocabulary _),
     "q106_source_drift" -> (qSourceDrift _),
     "q107_cluster_representative" -> (qClusterRepresentative _),
-    "q108_incr_paragraph_dedup" -> (qIncrementalParagraphDedup _))
+    "q108_incr_paragraph_dedup" -> (qIncrementalParagraphDedup _),
+    "q109_heavy_hitters" -> (qHeavyHitters _),
+    "q110_bloom_contamination" -> (qBloomContamination _),
+    "q111_pps_sample" -> (qPpsSample _),
+    "q112_stream_approx_users" -> (qStreamApproxUsers _),
+    "q113_pq_ann" -> (qPqAnn _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -3298,7 +3439,65 @@ object TrainQueries {
                AS n_hist_dups,
              CAST(SUM(CASE WHEN NOT seen AND rn > 1 THEN 1 ELSE 0 END)
                AS BIGINT) AS n_batch_dups
-         FROM m GROUP BY doc_id ORDER BY doc_id""")
+         FROM m GROUP BY doc_id ORDER BY doc_id""",
+    "q109_heavy_hitters" ->
+      """WITH nt AS (SELECT unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+         tk AS (SELECT token FROM nt WHERE token <> ''),
+         c AS (SELECT token, COUNT(*) AS cnt FROM tk GROUP BY 1),
+         r AS (SELECT token, cnt,
+             row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM c)
+         SELECT CAST(rank AS BIGINT) AS rank, token,
+             CAST(cnt AS BIGINT) AS exact_cnt,
+             TRUE AS overestimate_ok, TRUE AS within_eps
+         FROM r WHERE rank <= 20 ORDER BY rank""",
+    "q110_bloom_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents),
+         p AS (SELECT doc_id,
+             trim(array_to_string(t[((i-1)*20+1):((i-1)*20+20)], ' '))
+               AS para
+           FROM toks, unnest(range(1,
+             greatest(CAST(ceil(len(t) / 20.0) AS BIGINT), 1) + 1)) u(i)),
+         np AS (SELECT doc_id, md5(para) AS fp FROM p WHERE para <> ''),
+         ev AS (SELECT DISTINCT fp FROM np WHERE doc_id % 17 = 0),
+         co AS (SELECT DISTINCT doc_id, fp FROM np WHERE doc_id % 17 <> 0),
+         h AS (SELECT doc_id, COUNT(*) AS n_hit_paras FROM co
+               WHERE fp IN (SELECT fp FROM ev) GROUP BY 1)
+         SELECT doc_id, CAST(n_hit_paras AS BIGINT) AS n_hit_paras,
+             TRUE AS bloom_no_false_negatives, TRUE AS fpr_ok
+         FROM h ORDER BY doc_id""",
+    "q111_pps_sample" ->
+      """WITH w AS (SELECT source, doc_id, n_chars,
+             CAST('0x' || substr(md5('pps1|' || CAST(doc_id AS VARCHAR)),
+               1, 15) AS BIGINT) AS h
+           FROM documents
+           WHERE doc_id IS NOT NULL AND source IS NOT NULL
+             AND n_chars IS NOT NULL AND n_chars > 0),
+         c AS (SELECT source, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(n_chars) OVER (PARTITION BY source) AS tot FROM w),
+         sel AS (SELECT source, doc_id, n_chars,
+             ((cum * 10 + tot - 1) // tot)
+               - (((cum - n_chars) * 10 + tot - 1) // tot) AS n_picks
+           FROM c)
+         SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(n_picks AS BIGINT) AS n_picks
+         FROM sel WHERE n_picks > 0 ORDER BY source, doc_id""",
+    "q112_stream_approx_users" ->
+      """WITH mx AS (SELECT epoch_us(MAX(CAST(ts AS TIMESTAMP))) // 1000
+                       AS max_ms FROM events),
+         b AS (SELECT epoch_ms(time_bucket(INTERVAL 10 MINUTE,
+                 CAST(ts AS TIMESTAMP), TIMESTAMP '1970-01-01'))
+                 AS window_start_ms,
+               event_type, COUNT(DISTINCT user_id) AS exact_users
+           FROM events GROUP BY 1, 2)
+         SELECT window_start_ms, event_type, exact_users,
+             TRUE AS within_3rsd FROM b, mx
+         WHERE window_start_ms + 600000 <= max_ms - 3600000
+         ORDER BY window_start_ms, event_type""",
+    "q113_pq_ann" -> pqAnnOracle(4, 16, 2))
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized
@@ -3380,6 +3579,96 @@ object TrainQueries {
                    JOIN nh nb2 ON pd.hist_id = nb2.vec_id)
          SELECT new_id, hist_id, cluster, sim FROM sm
          WHERE sim >= 0.3 ORDER BY new_id, hist_id"""
+
+  /** q113's oracle: the FULL PQ pipeline in SQL — m independent
+    * sub-codebook k-means runs (the [[kmeansCtes]] construction per
+    * dimension slice, same lowest-id seeding / tie-breaks /
+    * truncating-division updates), encoding, ADC tables, top-3, and
+    * recall vs the exact L2 top-3. All integer arithmetic until the
+    * one final division.
+    */
+  private def pqAnnOracle(m: Int, ksub: Int, iters: Int): String = {
+    val subDim = 64 / m
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH $quantCte,
+         ids AS (SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j
+           FROM nrm ORDER BY vec_id LIMIT $ksub)"""
+    for (s <- 0 until m) {
+      sb ++=
+        s""",
+         qs$s AS (SELECT q.vec_id, i - ${s * subDim} AS i, x
+           FROM q JOIN nrm USING (vec_id)
+           WHERE i > ${s * subDim} AND i <= ${(s + 1) * subDim}),
+         c0_$s AS (SELECT ids.j, t.i, t.x FROM qs$s t
+           JOIN ids USING (vec_id))"""
+      for (t <- 1 to iters) {
+        sb ++=
+          s""",
+         d${t}_$s AS (SELECT t.vec_id, c.j,
+             SUM((t.x - c.x) * (t.x - c.x)) AS d
+           FROM qs$s t JOIN c${t - 1}_$s c ON t.i = c.i GROUP BY 1, 2),
+         a${t}_$s AS (SELECT vec_id, j AS cluster FROM (
+             SELECT vec_id, j, row_number() OVER
+               (PARTITION BY vec_id ORDER BY d, j) AS rn FROM d${t}_$s)
+           WHERE rn = 1),
+         s${t}_$s AS (SELECT a.cluster, t.i, SUM(t.x) AS sx,
+             COUNT(*) AS n
+           FROM qs$s t JOIN a${t}_$s a USING (vec_id) GROUP BY 1, 2),
+         c${t}_$s AS (SELECT c.j, c.i,
+             CAST(COALESCE(s.sx // s.n, c.x) AS BIGINT) AS x
+           FROM c${t - 1}_$s c
+           LEFT JOIN s${t}_$s s ON c.j = s.cluster AND c.i = s.i)"""
+      }
+      sb ++=
+        s""",
+         ed_$s AS (SELECT t.vec_id, c.j,
+             SUM((t.x - c.x) * (t.x - c.x)) AS d
+           FROM qs$s t JOIN c${iters}_$s c ON t.i = c.i GROUP BY 1, 2),
+         e_$s AS (SELECT vec_id, j AS code FROM (
+             SELECT vec_id, j, row_number() OVER
+               (PARTITION BY vec_id ORDER BY d, j) AS rn FROM ed_$s)
+           WHERE rn = 1),
+         qt_$s AS (SELECT vec_id AS query_id, j, d AS td FROM ed_$s
+           WHERE vec_id < 50)"""
+    }
+    val encJoins = (1 until m)
+      .map(s => s"JOIN e_$s USING (vec_id)").mkString(" ")
+    val tabJoins = (1 until m).map(s =>
+      s"JOIN qt_$s t$s ON t$s.query_id = t0.query_id AND t$s.j = e_$s.code")
+      .mkString(" ")
+    val dSum = (0 until m).map(s => s"t$s.td").mkString(" + ")
+    sb ++=
+      s""",
+         adc AS (SELECT t0.query_id, e_0.vec_id, $dSum AS d
+           FROM e_0 $encJoins
+           JOIN qt_0 t0 ON t0.j = e_0.code $tabJoins
+           WHERE e_0.vec_id <> t0.query_id),
+         pqtop AS (SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id, row_number() OVER
+               (PARTITION BY query_id ORDER BY d, vec_id) AS rn FROM adc)
+           WHERE rn <= 3),
+         exd AS (SELECT a.vec_id AS query_id, b.vec_id,
+             SUM((a.x - b.x) * (a.x - b.x)) AS d
+           FROM q a JOIN nrm na ON a.vec_id = na.vec_id
+           JOIN q b ON a.i = b.i
+           JOIN nrm nb ON b.vec_id = nb.vec_id
+           WHERE a.vec_id < 50 AND b.vec_id <> a.vec_id GROUP BY 1, 2),
+         extop AS (SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id, row_number() OVER
+               (PARTITION BY query_id ORDER BY d, vec_id) AS rn FROM exd)
+           WHERE rn <= 3),
+         hits AS (SELECT COUNT(*) AS h FROM extop e
+           JOIN pqtop p ON e.query_id = p.query_id
+             AND e.vec_id = p.vec_id),
+         nq AS (SELECT COUNT(DISTINCT query_id) AS n FROM extop)
+         SELECT 'pq_adc' AS method, CAST($m AS BIGINT) AS m,
+             CAST($ksub AS BIGINT) AS ksub, CAST(n AS BIGINT) AS n_queries,
+             CAST(h AS DOUBLE) / (3.0 * CAST(n AS DOUBLE)) AS recall
+         FROM hits, nq"""
+    sb.toString
+  }
 
   private def kmeansCtes(k: Int, iters: Int, where: String = ""): String = {
     val sb = new StringBuilder

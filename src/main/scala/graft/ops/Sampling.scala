@@ -71,6 +71,84 @@ object Sampling {
       .filter(col("rk") <= k)
   }
 
+  /** Systematic probability-proportional-to-size (PPS) sampling: draw
+    * `k` sample points per stratum, each row's selection probability
+    * proportional to its weight (the survey-sampling classic for
+    * "sample documents proportional to token count so the sample's
+    * token mass mirrors the corpus"). A virtual axis of length
+    * `tot(stratum)` is tiled by the rows (each row owns a
+    * `[cum−w, cum)` segment in a hash-shuffled deterministic order)
+    * and the k evenly-spaced points `j·tot/k` select whichever row's
+    * segment they land in; `n_picks` counts the points landing in a
+    * row (>1 when one heavy row spans several points — the standard
+    * PPS multiplicity).
+    *
+    * Every comparison is EXACT integer arithmetic — the point
+    * `j·tot/k ∈ [cum−w, cum)` test is cross-multiplied to
+    * `⌈k·cum/tot⌉ − ⌈k·(cum−w)/tot⌉ > 0` — so the draw is
+    * engine-reproducible with zero transcendental/float ops (the
+    * repo's exact-long-division convention; the Efraimidis–Spirakis
+    * `u^(1/w)` key form would hang the sample on cross-engine
+    * `pow`/`log` last-ulp agreement). Caveat: k·tot must fit int64 —
+    * at 100 TB corpora (tot ~ 10¹⁴ tokens) that bounds k ≲ 10⁴ per
+    * stratum, the realistic range.
+    *
+    * Scale shape: the global prefix sum is [[Packing.withRunningSum]]
+    * in (stratum, hash, key) order — a range exchange plus two linear
+    * passes, NO per-stratum single-task window; per-stratum totals are
+    * group-count-sized metadata (one small aggregate, collected and
+    * re-broadcast as a literal CASE — the Percentiles discipline), and
+    * the selection test is then scan-local.
+    *
+    * Contract: rows with NULL key/stratum/weight or weight ≤ 0 are
+    * excluded (a zero-length segment can never contain a point; a
+    * negative weight would corrupt every later prefix sum). Returns
+    * selected rows with `n_picks` (≥1) appended.
+    */
+  def systematicPps(df: DataFrame, keyCol: String, strataCol: String,
+      weightCol: String, k: Int, salt: String): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val in = df.filter(col(keyCol).isNotNull && col(strataCol).isNotNull &&
+      col(weightCol).isNotNull && col(weightCol) > 0)
+    // Pinned: the metadata aggregate below and the final selection both
+    // consume it — without the checkpoint each action would re-run the
+    // range-exchange prefix sum.
+    val withCum = Packing.withRunningSum(in, "__cum", weightCol,
+      col(strataCol), hashValue(keyCol, salt), col(keyCol))
+      .localCheckpoint()
+
+    // Stratum → (segment offset, stratum total), derived FROM the
+    // running sum itself: the stratum's first row in the global
+    // (stratum-major) order has __cum − w equal to the mass of all
+    // earlier strata, so offset = min(__cum − w) and total =
+    // max(__cum) − offset. Group-count-sized metadata (the Percentiles
+    // discipline), and — unlike an independently-sorted prefix over
+    // per-stratum totals — with no assumption that a driver-side sort
+    // reproduces Spark's sort order for the stratum type.
+    val cases = withCum.groupBy(strataCol)
+      .agg(min(col("__cum") - col(weightCol)).as("__off"),
+        max(col("__cum")).as("__hi"))
+      .collect()
+      .map(r => (r.get(0), r.getLong(1), r.getLong(2) - r.getLong(1)))
+    val offset = cases.foldLeft(lit(null).cast("bigint")) {
+      case (e, (s, o, _)) => when(col(strataCol) === lit(s), lit(o)).otherwise(e)
+    }
+    val tot = cases.foldLeft(lit(null).cast("bigint")) {
+      case (e, (s, _, t)) => when(col(strataCol) === lit(s), lit(t)).otherwise(e)
+    }
+
+    // `div` (not `/`): Spark's `/` on bigints is DOUBLE division; the
+    // cross-multiplied ceiling must stay in exact int64.
+    withCum
+      .withColumn("__ci", col("__cum") - offset)
+      .withColumn("__tot", tot)
+      .withColumn("n_picks",
+        expr(s"(__ci * $k + __tot - 1) div __tot") -
+          expr(s"((__ci - $weightCol) * $k + __tot - 1) div __tot"))
+      .filter(col("n_picks") > 0)
+      .drop("__cum", "__ci", "__tot")
+  }
+
   /** Keep a row iff hash(salt|key) mod 10000 < ratesBp(stratum) basis
     * points (defaultBp for unlisted strata). Rows with a NULL key are
     * excluded regardless of rate — no hash exists for them, and

@@ -181,6 +181,49 @@ object EventStream {
     spark.table(qn).orderBy("user_id", "event_type")
   }
 
+  /** Sketch aggregation under streaming state: windowed
+    * `approx_count_distinct(user_id)` per event_type with a watermark —
+    * the "distinct users per window" question that EXACT distinct
+    * cannot answer on a stream (Spark rejects `COUNT(DISTINCT)` in
+    * streaming aggregations outright, because exact distinct state is
+    * O(keys) per window). The HLL++ sketch is the production answer:
+    * per-window state is a fixed-size sketch regardless of how many
+    * users a 100 TB/day stream carries, it merges across micro-batches
+    * like any partial aggregate, and the watermark drops it when the
+    * window closes.
+    *
+    * Determinism: HLL++ is hash-based, not sampled — for a given
+    * (input set, rsd) the estimate is one exact number regardless of
+    * arrival order or micro-batch boundaries (merge is a
+    * register-wise max). Callers verify it against the batch-side
+    * exact distinct (the q102 discipline) — which is precisely the
+    * verification [[graft.TrainQueries]] q112 performs.
+    */
+  def windowedApproxUsers(spark: SparkSession, srcParquet: String,
+      window: String = "10 minutes", delay: String = "1 hour",
+      rsd: Double = 0.05): DataFrame =
+      Staging.withStreamShufflePartitions(spark) {
+    val (events, tag) = Staging.stageAndRead(spark, srcParquet,
+      "graft_hllwin_in")
+    val qn = s"graft_hllwin_$tag"
+    val query = events
+      .withWatermark("ts", delay)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qn)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(qn)
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("approx_users"))
+      .orderBy("window_start_ms", "event_type")
+  }
+
   /** Stream-static join (the enrichment form every production stream
     * runs): events joined to a batch dimension table, then the standard
     * watermarked window aggregation per dimension attribute. The static

@@ -65,6 +65,42 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("windowedApproxUsers: stream HLL equals the batch sketch on " +
+      "closed windows (register-merge determinism)") {
+    import spark.implicits._
+    val rows = (0 until 180).map { i =>
+      (i.toLong, (i % 7).toLong, if (i % 2 == 0) "click" else "view",
+        i * min + 7000)
+    }
+    val src = rows.toDF("event_id", "user_id", "event_type", "ms")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val dir = new java.io.File(Scratch.register(
+      Files.createTempDirectory("graft_es_hll").toString))
+    val pq = s"${dir.getAbsolutePath}/events_src"
+    src.coalesce(1).write.parquet(pq)
+    val file = new java.io.File(pq).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+
+    val got = EventStream.windowedApproxUsers(spark, file.getAbsolutePath)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    // the HLL estimate is a deterministic function of the input SET —
+    // micro-batch boundaries merge sketches register-wise, so the
+    // stream must reproduce the batch sketch EXACTLY, not approximately
+    val batch = src
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.05).as("u"))
+      .filter(unix_millis(col("window.end")) <=
+        179 * min + 7000 - 60 * min)
+      .select(unix_millis(col("window.start")), col("event_type"), col("u"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    assert(got === batch)
+    assert(got.nonEmpty)
+  }
+
   test("late data inside the watermark delay lands; beyond it is dropped") {
     import spark.implicits._
     val dir = new java.io.File(Scratch.register(

@@ -63,4 +63,56 @@ class SamplingSpec extends AnyFunSuite {
       assert(r.getLong(1) === r.getLong(0) % 10000)
     }
   }
+
+  private def weighted = {
+    import spark.implicits._
+    ((1 to 20).map(i => (i.toLong, "a", i.toLong)) ++
+      (21 to 30).map(i => (i.toLong, "b", 100L)) ++
+      Seq((31L, "c", 1000L), (32L, "c", 1L)))
+      .toDF("id", "src", "w")
+  }
+
+  test("systematicPps: picks per stratum sum to exactly k (the points " +
+      "partition the weight axis)") {
+    val got = Sampling.systematicPps(weighted, "id", "src", "w", 5, "s")
+      .groupBy("src").agg(sum("n_picks").as("p"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 5L, "b" -> 5L, "c" -> 5L))
+  }
+
+  test("systematicPps: a row heavier than tot/k is always selected, " +
+      "with proportional multiplicity") {
+    // stratum c: tot=1001, k=5, spacing ~200 — the w=1000 row spans
+    // at least 4 points, the w=1 row at most 1
+    val c = Sampling.systematicPps(weighted, "id", "src", "w", 5, "s")
+      .filter(col("src") === "c")
+      .collect().map(r => r.getLong(r.fieldIndex("id")) ->
+        r.getLong(r.fieldIndex("n_picks"))).toMap
+    assert(c.contains(31L) && c(31L) >= 4L)
+    assert(c.getOrElse(32L, 0L) <= 1L)
+  }
+
+  test("systematicPps is deterministic and partitioning-independent") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.systematicPps(df, "id", "src", "w", 3, "s")
+        .select("src", "id", "n_picks").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(weighted.repartition(7)) === run(weighted.coalesce(1)))
+  }
+
+  test("systematicPps excludes zero-weight and null rows") {
+    import spark.implicits._
+    val withBad = weighted.unionByName(
+      Seq((90L, "a", 0L), (91L, "a", -5L)).toDF("id", "src", "w"))
+      .unionByName(Seq(("a", 92L)).toDF("src", "id")
+        .withColumn("w", lit(null).cast("long"))
+        .select("id", "src", "w"))
+    val ids = Sampling.systematicPps(withBad, "id", "src", "w", 5, "s")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(90L) && !ids.contains(91L) && !ids.contains(92L))
+    // and the draw over the good rows is unchanged
+    val base = Sampling.systematicPps(weighted, "id", "src", "w", 5, "s")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids === base)
+  }
 }
