@@ -298,4 +298,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("long_dot"),
       "codegen'd dot product missing from the cell compare")
   }
+
+  test("q111: PPS sampling plans NO window operator (distributed " +
+      "prefix sum + scan-local selection)") {
+    val df = SparkEntry.queries("q111_pps_sample")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      "the weight prefix sum must not be a single-task window")
+  }
+
+  test("q113: PQ ADC scoring broadcasts the query tables; the coded " +
+      "base side never shuffles before scoring") {
+    // the scored pair stream must come from a broadcast nested-loop of
+    // base × (tiny) query tables — a shuffle of the coded base or a
+    // sort-merge would not survive a 100 TB corpus
+    val df = SparkEntry.queries("q113_pq_ann")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected broadcast scoring joins:\n${p.take(1200)}")
+    assert(p.contains("long_dot"),
+      "codegen'd dot product missing from table construction")
+  }
 }

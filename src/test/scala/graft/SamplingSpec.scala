@@ -100,6 +100,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(run(weighted.repartition(7)) === run(weighted.coalesce(1)))
   }
 
+  test("systematicPps is correct when Spark's binary string order and " +
+      "Java's UTF-16 order disagree on the strata") {
+    import spark.implicits._
+    // U+10000 sorts BEFORE U+FFFF in Java's UTF-16 code units but
+    // AFTER it in UTF-8 binary (Spark's sort): any driver-side
+    // re-sort used for stratum offsets would assign them crosswise
+    val s1 = "𐀀" // U+10000, UTF-8 f0 90 80 80
+    val s2 = "￿" //                 UTF-8 ef bf bf
+    val df = ((1 to 10).map(i => (i.toLong, s1, i.toLong)) ++
+      (11 to 20).map(i => (i.toLong, s2, 2L * i))).toDF("id", "src", "w")
+    val got = Sampling.systematicPps(df, "id", "src", "w", 4, "s")
+      .groupBy("src").agg(sum("n_picks").as("p"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(s1 -> 4L, s2 -> 4L))
+  }
+
   test("systematicPps excludes zero-weight and null rows") {
     import spark.implicits._
     val withBad = weighted.unionByName(
