@@ -2126,8 +2126,11 @@ object TrainQueries {
       .select(col("doc_id"), md5(col("para")).as("fp"))
     val eval = paras.filter(col("doc_id") % 17 === 0)
       .select("fp").distinct().localCheckpoint()
+    // pinned like eval: the pair stats, the bloom-filtered candidate
+    // join, and the ground-truth anti-join below are three actions —
+    // unpinned, each would re-run the paragraph explode + distinct
     val corpus = paras.filter(col("doc_id") % 17 =!= 0)
-      .select("doc_id", "fp").distinct()
+      .select("doc_id", "fp").distinct().localCheckpoint()
     val bloom = Blooms.build(eval, col("fp"),
       math.max(eval.count(), 1L), fpp)
 

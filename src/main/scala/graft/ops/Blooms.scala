@@ -45,6 +45,25 @@ object Blooms {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItems, fpp)
+    // BloomFilterAggregate CLAMPS both parameters against the session's
+    // runtime-bloom-filter caps (defaults: 4M items / 64M bits) with
+    // Math.min — silently, which above the cap would build a smaller
+    // filter whose real false-positive rate far exceeds the requested
+    // fpp while this API still advertised it. Refuse instead, naming
+    // the confs to raise.
+    val conf = df.sparkSession.conf
+    val maxItems = conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000")
+      .toLong
+    val maxBits = conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864")
+      .toLong
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"expectedItems=$expectedItems (numBits=$numBits) exceeds the " +
+        s"session caps (maxNumItems=$maxItems, maxNumBits=$maxBits); " +
+        "BloomFilterAggregate would silently clamp and void the fpp " +
+        "guarantee — raise spark.sql.optimizer.runtime.bloomFilter." +
+        "maxNumItems / maxNumBits for filters this large")
     val agg = new BloomFilterAggregate(
       new XxHash64(Seq(ColumnBridge.expression(key))),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()

@@ -41,14 +41,27 @@ object Compaction {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val (filesBefore, bytesBefore) = dirStats(spark, inDir)
     require(filesBefore > 0, s"no parquet files under $inDir")
-    val nOut = math.max(1L,
-      (bytesBefore + targetBytes - 1) / targetBytes).toInt
+    val nOutL = math.max(1L,
+      (bytesBefore + targetBytes - 1) / targetBytes)
+    // .toInt on a multi-billion quotient would wrap (negative or a
+    // silently wrong positive partition count)
+    require(nOutL <= Int.MaxValue,
+      s"targetBytes=$targetBytes over $bytesBefore input bytes would " +
+        s"mean $nOutL output files — not a plausible compaction target")
+    val nOut = nOutL.toInt
 
+    // The input row count rides the WRITE pass via observe — the input
+    // is read exactly once. A separate verification re-read of inDir
+    // would double the I/O and, on a live directory (a streaming sink —
+    // this op's stated motivation), could see files the rewrite didn't,
+    // aborting a correct compaction.
+    val obs = new org.apache.spark.sql.Observation()
     val in = spark.read.parquet(inDir)
-    val out = if (shuffle) in.repartition(nOut) else in.coalesce(nOut)
-    out.write.mode("overwrite").parquet(outDir)
-
-    val nRows = spark.read.parquet(inDir).count()
+    val sized = if (shuffle) in.repartition(nOut) else in.coalesce(nOut)
+    sized.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .write.mode("overwrite").parquet(outDir)
+    val nRows = obs.get("n").asInstanceOf[Long]
     val nRowsAfter = spark.read.parquet(outDir).count()
     if (nRows != nRowsAfter)
       throw new IllegalStateException(

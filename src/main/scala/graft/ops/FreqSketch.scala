@@ -50,10 +50,14 @@ object FreqSketch {
     require(confidence > 0 && confidence < 1,
       s"confidence must be in (0,1): $confidence")
     val spark = items.sparkSession
+    // NULL items are excluded by contract: the CMS aggregate skips
+    // them, so counting them into N would inflate the ε·N slack, and a
+    // null reaching the top-k would have no sketch entry to probe.
+    val nonNull = items.filter(col(itemCol).isNotNull)
 
     // ONE scan builds the sketch and the total count together; the
     // result row is metadata (a serialized counter matrix + a long).
-    val one = items.agg(count(lit(1)).as("__n"),
+    val one = nonNull.agg(count(lit(1)).as("__n"),
       expr(s"count_min_sketch($itemCol, cast($eps as double), " +
         s"cast($confidence as double), $seed)").as("__sk")).head()
     val total = one.getLong(0)
@@ -64,7 +68,7 @@ object FreqSketch {
 
     // Exact side: partial-aggregated counts, TakeOrderedAndProject
     // top-k — k result rows to the driver, never the key space.
-    val top = items.groupBy(col(itemCol).as("item"))
+    val top = nonNull.groupBy(col(itemCol).as("item"))
       .agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("item").asc)
       .limit(k).collect()

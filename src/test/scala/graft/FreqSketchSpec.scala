@@ -48,6 +48,22 @@ class FreqSketchSpec extends AnyFunSuite {
     assert(run(items.repartition(13)) === run(items.coalesce(1)))
   }
 
+  test("null items are excluded from the top-k AND from the eps total") {
+    import spark.implicits._
+    val withNulls = (Seq.fill(200)(None: Option[String]) ++
+      Seq.fill(10)(Some("x")) ++ Seq.fill(5)(Some("y")))
+      .toDF("item")
+    val got = FreqSketch.heavyHitters(withNulls, "item", 5, 0.05, 0.99, 3)
+      .collect()
+    // nulls outnumber every real item but must not rank (nor NPE on
+    // the driver-side sketch probe)
+    assert(got.length === 2)
+    assert(got.map(_.getString(1)).toSeq === Seq("x", "y"))
+    // slack from the non-null N=15: ceil(0.05*15)=1 — with nulls
+    // counted it would be 11 and within_eps would be trivially true
+    got.foreach(r => assert(r.getBoolean(4) && r.getBoolean(5)))
+  }
+
   test("within_eps holds on a skewed corpus at the configured eps") {
     val got = FreqSketch.heavyHitters(items, "item", 10, 0.01, 0.99, 3)
       .collect()
