@@ -120,16 +120,36 @@ object ProductQuant {
         (col("codes").getItem(s) + lit(s.toLong * ksub) + lit(1L))
           .cast("int"))
     }.reduce(_ + _)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("approx_d").asc, col("id_b").asc)
-    codedBase.select(col(idCol).as("id_b"), col("codes"))
-      .crossJoin(broadcast(qtab))
-      .filter(col("query_id") =!= col("id_b"))
-      .withColumn("approx_d", approx)
-      .withColumn("rank", row_number().over(w).cast("long"))
+    topKPerQuery(
+      codedBase.select(col(idCol).as("id_b"), col("codes"))
+        .crossJoin(broadcast(qtab))
+        .filter(col("query_id") =!= col("id_b"))
+        .withColumn("approx_d", approx),
+      "approx_d", k)
+  }
+
+  /** Two-phase per-query top-k: each scan partition first keeps its own
+    * k best (a window keyed by (query, partition) — parallelism scales
+    * with the DATA, and the global winners are always a subset of the
+    * local winners), then the k×partitions survivors take the final
+    * per-query ranking. A single `partitionBy(query_id)` window would
+    * pull EVERY base row for a query through one task — the q06-class
+    * single-task stage this engine bans. Result is identical for any
+    * partitioning (the partitioning-independence spec pins it).
+    */
+  private def topKPerQuery(scored: DataFrame, dCol: String,
+      k: Int): DataFrame = {
+    val local = Window.partitionBy(col("query_id"), col("__pid"))
+      .orderBy(col(dCol).asc, col("id_b").asc)
+    val global = Window.partitionBy("query_id")
+      .orderBy(col(dCol).asc, col("id_b").asc)
+    scored.withColumn("__pid", spark_partition_id())
+      .withColumn("__lr", row_number().over(local))
+      .filter(col("__lr") <= k)
+      .withColumn("rank", row_number().over(global).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id_b").as("neighbor_id"),
-        col("approx_d"))
+        col(dCol))
   }
 
   /** Exact L2² top-k (the recall baseline PQ is judged against):
@@ -143,16 +163,12 @@ object ProductQuant {
       col("qn").as("__qnb"))
     val q = queries.select(col(idCol).as("query_id"), col("qv").as("__qva"),
       col("qn").as("__qna"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("d").asc, col("id_b").asc)
-    b.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("id_b"))
-      .withColumn("d", col("__qna") -
-        lit(2L) * LongDot.dot(col("__qva"), col("__qvb")) + col("__qnb"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("id_b").as("neighbor_id"),
-        col("d"))
+    topKPerQuery(
+      b.crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("id_b"))
+        .withColumn("d", col("__qna") -
+          lit(2L) * LongDot.dot(col("__qva"), col("__qvb")) + col("__qnb")),
+      "d", k)
   }
 
   private def subWidth(df: DataFrame, m: Int): Int = {
