@@ -246,4 +246,41 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("systematic PPS sampling matches a driver-side replay on random " +
+      "weights, and picks per stratum always sum to k") {
+    val rowsGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(1L, 50L), Gen.oneOf("a", "b", "c")))
+      .map(_.zipWithIndex.map { case ((w, s), i) => (i.toLong, s, w) })
+    cases(Gen.zip(rowsGen, Gen.choose(1, 6)), 10) { case (rs, k) =>
+      import spark.implicits._
+      val df = rs.toDF("id", "src", "w")
+      val got = graft.ops.Sampling.systematicPps(df, "id", "src", "w", k, "pp")
+        .select("src", "id", "n_picks").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+      // driver-side replay of the contract: per stratum, rows ordered by
+      // (md5Long("pp|id"), id), k evenly-spaced points on the exact
+      // cumulative-weight axis
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h(id: Long): Long = java.lang.Long.parseLong(
+        md.digest(s"pp|$id".getBytes("UTF-8")).take(8)
+          .map("%02x".format(_)).mkString.take(15), 16)
+      val want = rs.groupBy(_._2).flatMap { case (src, rows) =>
+        val tot = rows.map(_._3).sum
+        var cum = 0L
+        rows.sortBy(r => (h(r._1), r._1)).flatMap { case (id, _, w) =>
+          cum += w
+          val picks = (cum * k + tot - 1) / tot -
+            ((cum - w) * k + tot - 1) / tot
+          if (picks > 0) Some((src, id) -> picks) else None
+        }
+      }
+      assert(got === want)
+      got.groupBy(_._1._1).foreach { case (src, m) =>
+        assert(m.values.sum === k.toLong,
+          s"stratum $src picks sum to ${m.values.sum}, not $k")
+      }
+    }
+  }
 }
