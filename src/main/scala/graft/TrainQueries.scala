@@ -2228,6 +2228,15 @@ object TrainQueries {
         lit(16L).as("ksub"), col("n_queries"), col("recall"))
   }
 
+  /** Complete-mode streaming aggregation
+    * ([[EventStream.windowedCountsComplete]]): the final re-emitted
+    * table must equal the batch group-by over ALL events — open
+    * windows included, the exact surface append mode (q31) filters
+    * away. Together q31/q58/q114 exercise all three output modes.
+    */
+  private def qStreamComplete(s: SparkSession, dir: String): DataFrame =
+    EventStream.windowedCountsComplete(s, s"$dir/events.parquet")
+
   /** The full curation pipeline as ONE declarative composition — the
     * capstone: quality gate → exact dedup (canonical fingerprint,
     * first-id representative) → source-mix rebalance (data-derived
@@ -2358,7 +2367,8 @@ object TrainQueries {
     "q110_bloom_contamination" -> (qBloomContamination _),
     "q111_pps_sample" -> (qPpsSample _),
     "q112_stream_approx_users" -> (qStreamApproxUsers _),
-    "q113_pq_ann" -> (qPqAnn _))
+    "q113_pq_ann" -> (qPqAnn _),
+    "q114_stream_complete" -> (qStreamComplete _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -3518,7 +3528,14 @@ object TrainQueries {
              TRUE AS within_3rsd FROM b, mx
          WHERE window_start_ms + 600000 <= max_ms - 3600000
          ORDER BY window_start_ms, event_type""",
-    "q113_pq_ann" -> pqAnnOracle(4, 16, 2))
+    "q113_pq_ann" -> pqAnnOracle(4, 16, 2),
+    "q114_stream_complete" ->
+      """SELECT epoch_ms(time_bucket(INTERVAL 10 MINUTE,
+               CAST(ts AS TIMESTAMP), TIMESTAMP '1970-01-01'))
+               AS window_start_ms,
+             event_type, COUNT(*) AS n_events
+         FROM events GROUP BY 1, 2
+         ORDER BY window_start_ms, event_type""")
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized

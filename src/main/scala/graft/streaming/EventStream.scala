@@ -181,6 +181,42 @@ object EventStream {
     spark.table(qn).orderBy("user_id", "event_type")
   }
 
+  /** Complete-mode windowed aggregation — the third output mode,
+    * closing the append (windowedCounts) / update-style (foreachBatch)
+    * / complete surface: every trigger re-emits the ENTIRE result
+    * table and the memory sink REPLACES its contents, so the final
+    * table equals the batch aggregation over everything seen —
+    * including still-open windows, which append mode by contract never
+    * shows. This is the live-dashboard / streaming-top-N pattern, and
+    * it is also why no watermark is set: complete mode cannot drop
+    * state (re-emitting the full table needs all of it), so its state
+    * is O(all windows) BY DESIGN — use it only where the group space
+    * is bounded (dashboard cardinalities), never for unbounded keys at
+    * 100 TB/day; that regime belongs to append + watermark.
+    */
+  def windowedCountsComplete(spark: SparkSession, srcParquet: String,
+      window: String = "10 minutes"): DataFrame =
+      Staging.withStreamShufflePartitions(spark) {
+    val (events, tag) = Staging.stageAndRead(spark, srcParquet,
+      "graft_complete_in")
+    val qn = s"graft_complete_$tag"
+    val query = events
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qn)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(qn)
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n_events"))
+      .orderBy("window_start_ms", "event_type")
+  }
+
   /** Sketch aggregation under streaming state: windowed
     * `approx_count_distinct(user_id)` per event_type with a watermark —
     * the "distinct users per window" question that EXACT distinct
