@@ -2209,6 +2209,20 @@ object TrainQueries {
     * training, encoding, and ADC are all deterministic integer
     * arithmetic, so DuckDB reproduces the recall to the bit.
     */
+  /** Recall@k of `approx` against the exact top-k frame `ex` (both in
+    * the (query_id, neighbor_id) shape): one row of (n_queries,
+    * recall), shared by q113/q115 so the definition cannot fork.
+    */
+  private def annRecallRow(ex: DataFrame, approx: DataFrame,
+      k: Int): DataFrame =
+    ex.join(approx.select(col("query_id"), col("neighbor_id"))
+        .withColumn("__hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        (sum(coalesce(col("__hit"), lit(0L))).cast("double") /
+          (lit(k.toDouble) * countDistinct(col("query_id")).cast("double")))
+          .as("recall"))
+
   private def qPqAnn(s: SparkSession, dir: String): DataFrame = {
     val prep = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
       .filter(col("qn") > 0)
@@ -2217,13 +2231,7 @@ object TrainQueries {
     val queries = prep.filter(col("vec_id") < 50)
     val pq = ProductQuant.adcTopK(coded, queries, "vec_id", cbs, 3)
     val ex = ProductQuant.exactL2TopK(prep, queries, "vec_id", 3)
-    ex.join(pq.select(col("query_id"), col("neighbor_id"))
-        .withColumn("__hit", lit(1L)),
-        Seq("query_id", "neighbor_id"), "left")
-      .agg(countDistinct(col("query_id")).as("n_queries"),
-        (sum(coalesce(col("__hit"), lit(0L))).cast("double") /
-          (lit(3.0) * countDistinct(col("query_id")).cast("double")))
-          .as("recall"))
+    annRecallRow(ex, pq, 3)
       .select(lit("pq_adc").as("method"), lit(4L).as("m"),
         lit(16L).as("ksub"), col("n_queries"), col("recall"))
   }
@@ -2250,13 +2258,7 @@ object TrainQueries {
     val pq = ProductQuant.ivfAdcTopK(coded, queries, "vec_id", cbs,
       coarse, 2, 3)
     val ex = ProductQuant.exactL2TopK(prep, queries, "vec_id", 3)
-    ex.join(pq.select(col("query_id"), col("neighbor_id"))
-        .withColumn("__hit", lit(1L)),
-        Seq("query_id", "neighbor_id"), "left")
-      .agg(countDistinct(col("query_id")).as("n_queries"),
-        (sum(coalesce(col("__hit"), lit(0L))).cast("double") /
-          (lit(3.0) * countDistinct(col("query_id")).cast("double")))
-          .as("recall"))
+    annRecallRow(ex, pq, 3)
       .select(lit("ivf_pq").as("method"), lit(4L).as("m"),
         lit(16L).as("ksub"), lit(2L).as("nprobe"),
         col("n_queries"), col("recall"))

@@ -23,34 +23,47 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object EventStream {
 
+  /** Shared scaffold for the three windowed-aggregation output-mode
+    * variants: stage → (optional watermark) → window×event_type
+    * groupBy → memory sink in `mode` → run to completion → project
+    * (window_start_ms, event_type, <agg>) ordered. One copy, so a fix
+    * to the mechanics (staging, the window-start projection) cannot
+    * silently miss a variant.
+    */
+  private def windowedToMemory(spark: SparkSession, srcParquet: String,
+      prefix: String, window: String, watermark: Option[String],
+      mode: String, agg: org.apache.spark.sql.Column): DataFrame =
+      Staging.withStreamShufflePartitions(spark) {
+    val (events, tag) = Staging.stageAndRead(spark, srcParquet,
+      s"${prefix}_in")
+    val qn = s"${prefix}_$tag"
+    val watermarked = watermark.fold(events)(d => events.withWatermark("ts", d))
+    val query = watermarked
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(agg)
+      .writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(qn)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val sunk = spark.table(qn)
+    val aggName = sunk.columns(2)
+    sunk.select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col(aggName))
+      .orderBy("window_start_ms", "event_type")
+  }
+
   /** Windowed counts per event_type over a parquet-file stream, run to
     * completion with Trigger.AvailableNow.
     */
   def windowedCounts(spark: SparkSession, srcParquet: String,
       window: String = "10 minutes",
       delay: String = "1 hour"): DataFrame =
-      Staging.withStreamShufflePartitions(spark) {
-    val (events, tag) = Staging.stageAndRead(spark, srcParquet,
-      "graft_stream_in")
-    val qn = s"graft_stream_$tag"
-    val query = events
-      .withWatermark("ts", delay)
-      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
-        col("event_type"))
-      .agg(count(lit(1)).as("n_events"))
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(qn)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
-
-    spark.table(qn)
-      .select(unix_millis(col("window.start")).as("window_start_ms"),
-        col("event_type"), col("n_events"))
-      .orderBy("window_start_ms", "event_type")
-  }
+    windowedToMemory(spark, srcParquet, "graft_stream", window,
+      Some(delay), "append", count(lit(1)).as("n_events"))
 
   /** Stream-stream interval join (the remaining first-class Structured
     * Streaming operator): click→purchase attribution — every purchase
@@ -196,26 +209,8 @@ object EventStream {
     */
   def windowedCountsComplete(spark: SparkSession, srcParquet: String,
       window: String = "10 minutes"): DataFrame =
-      Staging.withStreamShufflePartitions(spark) {
-    val (events, tag) = Staging.stageAndRead(spark, srcParquet,
-      "graft_complete_in")
-    val qn = s"graft_complete_$tag"
-    val query = events
-      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
-        col("event_type"))
-      .agg(count(lit(1)).as("n_events"))
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(qn)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
-    spark.table(qn)
-      .select(unix_millis(col("window.start")).as("window_start_ms"),
-        col("event_type"), col("n_events"))
-      .orderBy("window_start_ms", "event_type")
-  }
+    windowedToMemory(spark, srcParquet, "graft_complete", window,
+      None, "complete", count(lit(1)).as("n_events"))
 
   /** Sketch aggregation under streaming state: windowed
     * `approx_count_distinct(user_id)` per event_type with a watermark —
@@ -238,27 +233,9 @@ object EventStream {
   def windowedApproxUsers(spark: SparkSession, srcParquet: String,
       window: String = "10 minutes", delay: String = "1 hour",
       rsd: Double = 0.05): DataFrame =
-      Staging.withStreamShufflePartitions(spark) {
-    val (events, tag) = Staging.stageAndRead(spark, srcParquet,
-      "graft_hllwin_in")
-    val qn = s"graft_hllwin_$tag"
-    val query = events
-      .withWatermark("ts", delay)
-      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
-        col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(qn)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
-    spark.table(qn)
-      .select(unix_millis(col("window.start")).as("window_start_ms"),
-        col("event_type"), col("approx_users"))
-      .orderBy("window_start_ms", "event_type")
-  }
+    windowedToMemory(spark, srcParquet, "graft_hllwin", window,
+      Some(delay), "append",
+      approx_count_distinct(col("user_id"), rsd).as("approx_users"))
 
   /** Stream-static join (the enrichment form every production stream
     * runs): events joined to a batch dimension table, then the standard

@@ -81,12 +81,22 @@ class ProductQuantSpec extends AnyFunSuite {
       coarse, 4, 3))
     val plain = rows(ProductQuant.adcTopK(coded, q, "vec_id", cbs, 3))
     assert(all === plain)
-    // nprobe=1 returns a subset-or-equal candidate pool: every returned
-    // neighbor must also appear in some probed cell — weaker, but pins
-    // the restriction actually restricting
+    // nprobe=1: every returned neighbor must live in the query's ONE
+    // probed cell — the restriction provably restricting (a broken
+    // probe join degenerating to all cells fails here)
+    val probed = ProductQuant.probeCells(q, "vec_id", coarse, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cellOf = coded.select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val one = ProductQuant.ivfAdcTopK(coded, q, "vec_id", cbs,
-      coarse, 1, 3)
-    assert(one.count() <= 6 * 3)
+        coarse, 1, 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(one.nonEmpty)
+    one.foreach { case (qid, nid) =>
+      assert(probed.contains((qid, cellOf(nid))),
+        s"neighbor $nid (cell ${cellOf(nid)}) outside query $qid's probe")
+    }
   }
 
   test("encoding is scan-local: no join, no shuffle in the coded plan") {
