@@ -2264,6 +2264,61 @@ object TrainQueries {
         col("n_queries"), col("recall"))
   }
 
+  /** BM25-style ranked retrieval over the corpus for a fixed query
+    * term set — the RETRIEVAL sibling of q81's per-document tf-idf
+    * profile (that one characterizes documents; this one RANKS them
+    * for a query). Standard Robertson k1=1.2, b=0.75 length
+    * normalization; idf is the rational (N−df+0.5)/(df+0.5) rather
+    * than its logarithm — the repo's transcendental-free determinism
+    * convention (cross-engine ln is not bit-stable; the rational form
+    * preserves per-term monotonicity, which is all ranking needs).
+    * Per-term contributions are summed in a FIXED expression order
+    * (conditional single-term sums, then an explicit 3-term add) —
+    * a plain SUM over the term rows would float-add in partition
+    * order and fork from the oracle by an ulp.
+    *
+    * Scale shape: tf is one (doc, term) shuffle of the term-filtered
+    * explode (the term list prunes at the scan), df and the corpus
+    * stats are metadata-sized broadcasts, scoring is scan-local, and
+    * the top-20 is a TakeOrderedAndProject.
+    */
+  private def qBm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "merge", "window")
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("__t"))
+      .select(col("doc_id"), col("__t"),
+        size(col("__t")).cast("long").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("__n"), sum("dl").as("__sumdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("__t")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
+    val norm = col("tf").cast("double") +
+      lit(1.2) * (lit(1.0) - lit(0.75) +
+        lit(0.75) * col("dl").cast("double") / avgdl)
+    val idf = (col("__n").cast("double") - col("df").cast("double") +
+      lit(0.5)) / (col("df").cast("double") + lit(0.5))
+    val contrib = (col("tf").cast("double") * lit(2.2) / norm) * idf
+    def termSum(t: String) =
+      coalesce(sum(when(col("term") === t, col("__c"))), lit(0.0))
+    val scored = tf.join(broadcast(dfc), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__c", contrib)
+      .groupBy("doc_id")
+      .agg((termSum("spark") + termSum("merge") + termSum("window"))
+          .as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select("rank", "doc_id", "score", "n_terms")
+      .orderBy("rank")
+  }
+
   /** Complete-mode streaming aggregation
     * ([[EventStream.windowedCountsComplete]]): the final re-emitted
     * table must equal the batch group-by over ALL events — open
@@ -2405,7 +2460,8 @@ object TrainQueries {
     "q112_stream_approx_users" -> (qStreamApproxUsers _),
     "q113_pq_ann" -> (qPqAnn _),
     "q114_stream_complete" -> (qStreamComplete _),
-    "q115_ivf_pq" -> (qIvfPq _))
+    "q115_ivf_pq" -> (qIvfPq _),
+    "q116_bm25" -> (qBm25 _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -3574,7 +3630,37 @@ object TrainQueries {
          FROM events GROUP BY 1, 2
          ORDER BY window_start_ms, event_type""",
     "q115_ivf_pq" -> pqAnnOracle(4, 16, 2, ivfCells = 8, ivfIters = 2,
-      nprobe = 2))
+      nprobe = 2),
+    "q116_bm25" ->
+      """WITH d AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+           FROM documents),
+         dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
+         st AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM dl),
+         tok AS (SELECT doc_id, unnest(t) AS term FROM d),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           WHERE term IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+         dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         sc AS (SELECT tf.doc_id, tf.term,
+             (CAST(tf.tf AS DOUBLE) * 2.2
+               / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+                   + 0.75 * CAST(dl.dl AS DOUBLE)
+                     / (CAST(st.sumdl AS DOUBLE) / CAST(st.n AS DOUBLE)))))
+             * ((CAST(st.n AS DOUBLE) - CAST(dfc.df AS DOUBLE) + 0.5)
+               / (CAST(dfc.df AS DOUBLE) + 0.5)) AS c
+           FROM tf JOIN dl USING (doc_id) JOIN dfc USING (term), st),
+         agg AS (SELECT doc_id,
+             COALESCE(SUM(c) FILTER (WHERE term = 'spark'), 0.0)
+               + COALESCE(SUM(c) FILTER (WHERE term = 'merge'), 0.0)
+               + COALESCE(SUM(c) FILTER (WHERE term = 'window'), 0.0)
+               AS score,
+             COUNT(*) AS n_terms
+           FROM sc GROUP BY 1),
+         r AS (SELECT doc_id, score, CAST(n_terms AS BIGINT) AS n_terms,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+           FROM agg)
+         SELECT CAST(rk AS BIGINT) AS rank, doc_id, score, n_terms
+         FROM r WHERE rk <= 20 ORDER BY rank""")
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized
