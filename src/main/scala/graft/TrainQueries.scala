@@ -1709,7 +1709,7 @@ object TrainQueries {
     // oracle's NULL || 'X' stays NULL and reports none.
     def guarded(df: DataFrame) = Seq("text", "lang", "source")
       .foldLeft(df)((d, c) => d.withColumn(c,
-        coalesce(col(c), lit(""))))
+        coalesce(col(c), lit("\u0001"))))
     val docs = t(s, dir, "documents")
     val snapB = docs.withColumn("text",
       when(col("doc_id") % 97 === 0, concat(col("text"), lit("X")))
@@ -1993,9 +1993,13 @@ object TrainQueries {
     val toks = t(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
-    val top = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("token")).limit(30)
-    val total = toks.agg(count(lit(1)).as("__total"))
+    // both the top-k and the total derive from ONE grouped-count
+    // subtree (total = sum over the vocab-sized count table, not a
+    // second corpus scan — the q79 one-scan discipline; the shared
+    // subtree lets ReuseExchange serve both consumers)
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(30)
+    val total = counts.agg(sum("cnt").as("__total"))
     val w = Window.orderBy(col("cnt").desc, col("token"))
     top.crossJoin(broadcast(total))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -2224,8 +2228,11 @@ object TrainQueries {
           .as("recall"))
 
   private def qPqAnn(s: SparkSession, dir: String): DataFrame = {
+    // pinned like q115: codebook training (4 sub-slices, each with its
+    // own Lloyd actions), encoding, the query filter, and the exact
+    // baseline all consume it
     val prep = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
-      .filter(col("qn") > 0)
+      .filter(col("qn") > 0).localCheckpoint()
     val cbs = ProductQuant.trainCodebooks(prep, "vec_id", 4, 16, 2)
     val coded = ProductQuant.withCodes(prep, cbs)
     val queries = prep.filter(col("vec_id") < 50)

@@ -88,13 +88,27 @@ object Compaction {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return (0L, 0L)
+    val root = fs.makeQualified(p)
+    // hidden/metadata exclusion must test every path component under
+    // the root, not just the leaf: a streaming sink's
+    // _spark_metadata/0 has a non-hidden LEAF inside a hidden
+    // directory, and counting it would skew the nOut sizing against
+    // files the parquet read never consumes
+    def hidden(path: Path): Boolean = {
+      var cur = path
+      while (cur != null && cur != root) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return true
+        cur = cur.getParent
+      }
+      false
+    }
     val it = fs.listFiles(p, true)
     var n = 0L
     var bytes = 0L
     while (it.hasNext) {
       val f = it.next()
-      val name = f.getPath.getName
-      if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+      if (f.isFile && !hidden(f.getPath)) {
         n += 1; bytes += f.getLen
       }
     }

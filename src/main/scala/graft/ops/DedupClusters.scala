@@ -115,14 +115,22 @@ object DedupClusters {
     // previous round had already reached.
     val convergedAt = if (stable && rounds > 0) rounds - 1 else rounds
 
-    // Structural verification (one small job, end only): a star forest
-    // has no node on both the child (u) and parent (v) side. This is
-    // what makes the accumulator early-exit safe — any premature or
-    // hash-collided "stable" that is not a genuine fixpoint fails here.
+    // Structural verification (two small jobs, end only): a star
+    // forest has (a) no node on both the child (u) and parent (v)
+    // side AND (b) exactly one parent per child — disjointness alone
+    // admits a multi-parent terminal state (e.g. {(3,1),(5,1),(3,2),
+    // (6,2)} after one round on a path-ish graph with maxIter=1),
+    // which would return two labels for one component instead of
+    // throwing. Together they make the signature-based early exit
+    // safe: any premature or hash-collided "stable" that is not a
+    // genuine fixpoint fails here.
     val nonStar = cur.df.select(col("u").as("x"))
       .intersect(cur.df.select(col("v").as("x")))
       .limit(1).count()
-    if (nonStar > 0)
+    val multiParent = cur.df.groupBy("u")
+      .agg(countDistinct("v").as("__np"))
+      .filter(col("__np") > 1).limit(1).count()
+    if (nonStar > 0 || multiParent > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds")
 

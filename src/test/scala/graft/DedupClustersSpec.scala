@@ -83,4 +83,24 @@ class DedupClustersSpec extends AnyFunSuite {
         .count()
     }
   }
+
+  test("a multi-parent terminal state is refused — child/parent " +
+      "disjointness alone is not star-forest") {
+    import spark.implicits._
+    // {(5,1),(5,3),(6,2),(6,3)} is ONE component (bridged by 3); a
+    // single round can leave node 3 with parents {1,2} — children and
+    // parents are then disjoint sets, so a disjointness-only check
+    // would return two labels for one component instead of throwing
+    val edges = Seq((5L, 1L), (5L, 3L), (6L, 2L), (6L, 3L))
+      .toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      DedupClusters.connectedComponents(edges, "id_a", "id_b", maxIter = 1)
+        .count()
+    }
+    // with room to converge, the same graph resolves to one component
+    val full = DedupClusters
+      .connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(1)).toSet
+    assert(full === Set(1L))
+  }
 }
