@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{QuantizedCentroid, TextFns}
-import graft.ops.{Blooms, Cardinality, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, FreqSketch, KMeans, Mixing, Multimodal, NearDup, ParagraphDedup, Percentiles, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, Similarity, TableDiff}
+import graft.ops.{Blooms, Cardinality, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, FreqSketch, KMeans, Mixing, Multimodal, NearDup, PageRank, ParagraphDedup, Percentiles, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, Similarity, TableDiff}
 import graft.streaming.{EventStream, StatefulSessions}
 
 /** Training-data-pipeline operators (SURVEY §7.2.8) as driver-contract
@@ -2363,6 +2363,218 @@ object TrainQueries {
       .orderBy("lang")
   }
 
+  /** Corpus-frequency boilerplate removal
+    * ([[ParagraphDedup.boilerplateSummary]]): paragraphs appearing in
+    * ≥ 2 DISTINCT documents — navigation chrome, licence footers — are
+    * removed from EVERY document, first occurrence included. The
+    * CCNet/C4 policy, complementing q101's first-occurrence-wins (which
+    * keeps one copy; this keeps none).
+    */
+  private def qBoilerplate(s: SparkSession, dir: String): DataFrame =
+    ParagraphDedup.boilerplateSummary(t(s, dir, "documents"),
+      "doc_id", "text", 20, 2)
+      .orderBy("doc_id")
+
+  /** PageRank over the customer–supplier purchase graph — the weighted
+    * ITERATIVE graph op complementing q71's connected components (label
+    * propagation has no per-edge weights; PageRank is the
+    * Pregel-pattern fixture every graph engine is judged on). Nodes:
+    * customers (2k) and suppliers (2k+1) that traded; edges: distinct
+    * (cust, supp) pairs from lineitem ⋈ orders, symmetrized so every
+    * node has out-degree ≥ 1 (no dangling mass). Three damped rounds
+    * (d = 85/100) in EXACT integer arithmetic: total mass 10^12,
+    * truncating `div` for both the per-edge contribution r/outdeg and
+    * the damping — transcendental- and float-free, so DuckDB replays
+    * the identical longs (`//` ≡ `div` on non-negatives).
+    *
+    * Scale shape: each round = one edge⋈rank equi-join + one partial-
+    * aggregated dst shuffle — rank state is node-sized, edges never
+    * rescan the fact tables (distinct pairs computed once and
+    * pinned with localCheckpoint); the classic BSP round structure
+    * with no driver-side data movement.
+    */
+  private def qPageRank(s: SparkSession, dir: String): DataFrame = {
+    val half = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = half
+      .union(half.select(col("dst").as("src"), col("src").as("dst")))
+    PageRank.ranks(edges, "src", "dst", 3)
+      .orderBy(col("r").desc, col("node")).limit(20)
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("r").desc, col("node"))).cast("long"))
+      .select(col("pos"),
+        when(col("node") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type"),
+        expr("node div 2").as("entity_key"),
+        col("outdeg").as("degree"), col("r").as("rank_scaled"))
+      .orderBy("pos")
+  }
+
+  /** Conversion-funnel analysis: users progressing view → click →
+    * purchase with each later step STRICTLY after the user's earliest
+    * completion of the previous one, plus the 24 h-completion count —
+    * the product-analytics query every event warehouse runs. Each step
+    * is one filtered scan + one user-key partial-aggregated shuffle
+    * (min-reduction, skew-immune); timestamps compare as exact
+    * microseconds (`unix_micros` ≡ `epoch_us`).
+    */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select("user_id", "event_type", "ts")
+    val a = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val b = ev.filter(col("event_type") === "click").join(a, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"), min("t1").as("t1"))
+    val c = ev.filter(col("event_type") === "purchase").join(b, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"), min("t1").as("t1"))
+    a.agg(count(lit(1)).as("n_users"))
+      .select(lit("1_view").as("step"), col("n_users"))
+      .unionByName(b.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click").as("step"), col("n_users")))
+      .unionByName(c.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase").as("step"), col("n_users")))
+      .unionByName(c
+        .filter(unix_micros(col("t3")) - unix_micros(col("t1")) <=
+          24L * 3600 * 1000 * 1000)
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit("4_within_24h").as("step"), col("n_users")))
+      .orderBy("step")
+  }
+
+  /** Weekly cohort retention triangle: users grouped by first-activity
+    * week, counted in each later week they return — the growth query
+    * behind every retention dashboard. Weeks are integer
+    * days-since-epoch div 7 (engine-portable; no locale-dependent
+    * week-of-year). One (user, week) distinct shuffle + one user-key
+    * min + one metadata-sized cohort aggregation; the rate is a single
+    * double division per output row.
+    */
+  private def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val wk = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("datediff(cast(ts as date), date'1970-01-01') div 7").as("wk"))
+      .distinct()
+    val cohort = wk.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    val sizes = cohort.groupBy("cohort_wk")
+      .agg(count(lit(1)).as("n_cohort"))
+    wk.join(cohort, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_wk")
+      .select(col("cohort_wk"), col("week_offset"), col("n_active"),
+        col("n_cohort"),
+        (col("n_active").cast("double") / col("n_cohort").cast("double"))
+          .as("retention"))
+      .orderBy("cohort_wk", "week_offset")
+  }
+
+  /** Incremental aggregate maintenance: the stored per-key partials of
+    * a history corpus merge with a new batch's partials into the
+    * rolled-up state WITHOUT rescanning history — counts add, DECIMAL
+    * sums add (commutative-monoid state, the foundation every
+    * incremental materialized view stands on). The gate carries the
+    * merged values plus the VERIFIED claim that they equal a full
+    * recompute over history ∪ batch (the measured-claim discipline of
+    * q102/q104/q109: don't trust algebra, check it).
+    */
+  private def qIncrementalRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("event_type").agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("v"))
+    val merged = partial(ev.filter(col("event_id") % 10 < 8))
+      .unionByName(partial(ev.filter(col("event_id") % 10 >= 8)))
+      .groupBy("event_type")
+      .agg(sum("n").as("n_events"), sum("v").as("total_value"))
+    val full = partial(ev)
+      .select(col("event_type"), col("n").as("__nf"), col("v").as("__vf"))
+    merged.join(full, "event_type")
+      .select(col("event_type"), col("n_events"),
+        col("total_value").cast("double").as("total_value"),
+        (col("n_events") === col("__nf") &&
+          col("total_value") === col("__vf")).as("matches_recompute"))
+      .orderBy("event_type")
+  }
+
+  /** Star-schema analytic join (the TPC-H Q5 shape): revenue by
+    * customer nation across one region and a 3-year order window —
+    * the multi-dimensional join plan every warehouse lives on.
+    * Plan shape at 100 TB: region/nation are metadata and BROADCAST;
+    * the date filter applies at the orders scan (pushed down); the one
+    * unavoidable fact-fact shuffle is lineitem ⋈ orders on orderkey;
+    * customer broadcasts at bench scale and would flip to a shuffle
+    * join at warehouse scale by stats — exactly the decision AQE/CBO
+    * owns, not the query text. Revenue: per-row double product (IEEE-
+    * exact both engines) cast to DECIMAL(18,6) BEFORE the sum, so the
+    * aggregate is order-independent — the q79/q90 money discipline.
+    */
+  private def qStarJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val nat = t(s, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      .select("r_regionkey")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_lineitems"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        sum((col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Deterministic negative-pair sampling for contrastive training:
+    * each vector draws 3 pseudo-random negatives via modular hashing
+    * over the contiguous id space — the pair-construction step
+    * embedding-model pipelines need at corpus scale WITHOUT a
+    * crossJoin (the naive "sample from all pairs" is n²). The draw
+    * `(id·1000003 + j·7919) mod n` (self-hits stepped to the next id)
+    * is scan-local integer math; the corpus count broadcasts; the two
+    * id-key joins fetch both sides' quantized vectors and the
+    * codegen'd integer dot scores each pair — n·k rows ever exist,
+    * nothing quadratic. Exact cosine via the shared q28 arithmetic
+    * keeps the oracle bit-for-bit.
+    */
+  private def qNegativeSampling(s: SparkSession, dir: String): DataFrame = {
+    val base = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
+      .select(col("vec_id"), col("qv"), col("qn"))
+    val n = base.agg(count(lit(1)).as("__n"))
+    val pairs = base.select(col("vec_id"))
+      .crossJoin(broadcast(n))
+      .select(col("vec_id"), col("__n"),
+        explode(array(lit(0L), lit(1L), lit(2L))).as("j"))
+      .withColumn("__raw",
+        (col("vec_id") * 1000003L + col("j") * 7919L) % col("__n"))
+      .withColumn("neg_id",
+        when(col("__raw") === col("vec_id"),
+          (col("__raw") + 1) % col("__n")).otherwise(col("__raw")))
+      .select("vec_id", "j", "neg_id")
+    pairs
+      .join(base.select(col("vec_id"), col("qv").as("__qa"),
+        col("qn").as("__na")), "vec_id")
+      .join(base.select(col("vec_id").as("neg_id"), col("qv").as("__qb"),
+        col("qn").as("__nb")), "neg_id")
+      .select(col("vec_id"), col("j"), col("neg_id"),
+        Similarity.cosine(col("__qa"), col("__qb"),
+          col("__na"), col("__nb")).as("cos_sim"))
+      .orderBy("vec_id", "j")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -2468,7 +2680,18 @@ object TrainQueries {
     "q113_pq_ann" -> (qPqAnn _),
     "q114_stream_complete" -> (qStreamComplete _),
     "q115_ivf_pq" -> (qIvfPq _),
-    "q116_bm25" -> (qBm25 _))
+    "q116_bm25" -> (qBm25 _),
+    "q117_boilerplate" -> (qBoilerplate _),
+    "q118_pagerank" -> (qPageRank _),
+    "q119_funnel" -> (qFunnel _),
+    "q120_retention" -> (qRetention _),
+    "q121_incr_rollup" -> (qIncrementalRollup _),
+    "q122_stream_update" -> ((s: SparkSession, dir: String) =>
+      EventStream.windowedCountsUpdate(s, s"$dir/events.parquet")),
+    "q123_stream_outer_join" -> ((s: SparkSession, dir: String) =>
+      EventStream.clickAttributionOuter(s, s"$dir/events.parquet")),
+    "q124_star_join" -> (qStarJoin _),
+    "q125_negative_sampling" -> (qNegativeSampling _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -3667,7 +3890,180 @@ object TrainQueries {
              row_number() OVER (ORDER BY score DESC, doc_id) AS rk
            FROM agg)
          SELECT CAST(rk AS BIGINT) AS rank, doc_id, score, n_terms
-         FROM r WHERE rk <= 20 ORDER BY rank""")
+         FROM r WHERE rk <= 20 ORDER BY rank""",
+    "q117_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents),
+         p AS (SELECT doc_id, i - 1 AS par_idx,
+             trim(array_to_string(t[((i-1)*20+1):((i-1)*20+20)], ' '))
+               AS para
+           FROM toks, unnest(range(1,
+             greatest(CAST(ceil(len(t) / 20.0) AS BIGINT), 1) + 1)) u(i)),
+         np AS (SELECT doc_id, par_idx, para, md5(para) AS ph
+           FROM p WHERE para <> ''),
+         bo AS (SELECT ph FROM (SELECT DISTINCT ph, doc_id FROM np) u
+           GROUP BY ph HAVING COUNT(*) >= 2),
+         k AS (SELECT np.doc_id, np.par_idx, np.para,
+             (bo.ph IS NULL) AS keep
+           FROM np LEFT JOIN bo ON np.ph = bo.ph)
+         SELECT doc_id, COUNT(*) AS n_paras,
+             CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_boiler,
+             md5(COALESCE(string_agg(para, ' ' ORDER BY par_idx)
+               FILTER (WHERE keep), '')) AS kept_md5
+         FROM k GROUP BY doc_id ORDER BY doc_id""",
+    "q118_pagerank" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+             l_suppkey * 2 + 1 AS dst
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         e AS (SELECT src, dst FROM e0
+               UNION ALL SELECT dst, src FROM e0),
+         d AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY 1),
+         n AS (SELECT COUNT(*) AS nn FROM d),
+         r0 AS (SELECT node, outdeg, 1000000000000 // nn AS r FROM d, n),
+         s1 AS (SELECT e.dst AS node, SUM(r0.r // r0.outdeg) AS s
+           FROM e JOIN r0 ON e.src = r0.node GROUP BY 1),
+         r1 AS (SELECT r0.node, r0.outdeg,
+             (15 * (1000000000000 // nn)) // 100 + (85 * s1.s) // 100 AS r
+           FROM r0 JOIN s1 USING (node), n),
+         s2 AS (SELECT e.dst AS node, SUM(r1.r // r1.outdeg) AS s
+           FROM e JOIN r1 ON e.src = r1.node GROUP BY 1),
+         r2 AS (SELECT r1.node, r1.outdeg,
+             (15 * (1000000000000 // nn)) // 100 + (85 * s2.s) // 100 AS r
+           FROM r1 JOIN s2 USING (node), n),
+         s3 AS (SELECT e.dst AS node, SUM(r2.r // r2.outdeg) AS s
+           FROM e JOIN r2 ON e.src = r2.node GROUP BY 1),
+         r3 AS (SELECT r2.node, r2.outdeg,
+             (15 * (1000000000000 // nn)) // 100 + (85 * s3.s) // 100 AS r
+           FROM r2 JOIN s3 USING (node), n),
+         top AS (SELECT node, outdeg, r,
+             row_number() OVER (ORDER BY r DESC, node) AS pos
+           FROM r3)
+         SELECT CAST(pos AS BIGINT) AS pos,
+             CASE WHEN node % 2 = 0 THEN 'customer'
+                  ELSE 'supplier' END AS node_type,
+             node // 2 AS entity_key, outdeg AS degree, r AS rank_scaled
+         FROM top WHERE pos <= 20 ORDER BY pos""",
+    "q119_funnel" ->
+      """WITH a AS (SELECT user_id, MIN(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         b AS (SELECT e.user_id, MIN(e.ts) AS t2, MIN(a.t1) AS t1
+           FROM events e JOIN a USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > a.t1 GROUP BY 1),
+         c AS (SELECT e.user_id, MIN(e.ts) AS t3, MIN(b.t1) AS t1
+           FROM events e JOIN b USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > b.t2 GROUP BY 1)
+         SELECT '1_view' AS step, COUNT(*) AS n_users FROM a
+         UNION ALL SELECT '2_click', COUNT(*) FROM b
+         UNION ALL SELECT '3_purchase', COUNT(*) FROM c
+         UNION ALL SELECT '4_within_24h', COUNT(*) FROM c
+           WHERE epoch_us(t3) - epoch_us(t1) <= 86400000000
+         ORDER BY step""",
+    "q120_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+             (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS wk
+           FROM events),
+         cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM wk
+           GROUP BY 1),
+         sizes AS (SELECT cohort_wk, COUNT(*) AS n_cohort FROM cohort
+           GROUP BY 1),
+         act AS (SELECT c.cohort_wk, w.wk - c.cohort_wk AS week_offset,
+             COUNT(*) AS n_active
+           FROM wk w JOIN cohort c USING (user_id) GROUP BY 1, 2)
+         SELECT a.cohort_wk, a.week_offset, a.n_active, s.n_cohort,
+             CAST(a.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE)
+               AS retention
+         FROM act a JOIN sizes s USING (cohort_wk)
+         ORDER BY cohort_wk, week_offset""",
+    "q121_incr_rollup" ->
+      """WITH h AS (SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,2))) AS v
+           FROM events WHERE event_id % 10 < 8 GROUP BY 1),
+         b AS (SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,2))) AS v
+           FROM events WHERE event_id % 10 >= 8 GROUP BY 1),
+         m AS (SELECT event_type, SUM(n) AS n_events, SUM(v) AS tv
+           FROM (SELECT * FROM h UNION ALL SELECT * FROM b)
+           GROUP BY 1),
+         f AS (SELECT event_type, COUNT(*) AS nf,
+             SUM(CAST(value AS DECIMAL(18,2))) AS vf
+           FROM events GROUP BY 1)
+         SELECT m.event_type, m.n_events,
+             CAST(m.tv AS DOUBLE) AS total_value,
+             (m.n_events = f.nf AND m.tv = f.vf) AS matches_recompute
+         FROM m JOIN f USING (event_type) ORDER BY event_type""",
+    // q122: update-mode + upsert sink ≡ batch group-by over ALL events
+    // (open windows included) — the same equivalence complete mode
+    // (q114) satisfies, reached by shipping per-batch DELTAS instead of
+    // re-shipping the world; the shared oracle is the q57/q70 pattern.
+    "q122_stream_update" ->
+      """SELECT epoch_ms(time_bucket(INTERVAL 10 MINUTE,
+               CAST(ts AS TIMESTAMP), TIMESTAMP '1970-01-01'))
+               AS window_start_ms,
+             event_type, COUNT(*) AS n_events
+         FROM events GROUP BY 1, 2
+         ORDER BY window_start_ms, event_type""",
+    // q123: left-outer stream-stream interval join — inner matches (the
+    // q57 replay) plus a NULL row per unmatched click whose join
+    // horizon (c_ts + lag) closed before the final watermark
+    // min(max click ts, max purchase ts) − delay; unmatched clicks
+    // still inside the horizon at end-of-input stay unemitted (they
+    // remain joinable by a resumed run).
+    "q123_stream_outer_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events),
+         m AS (SELECT c.event_id AS click_id, v.event_id AS purchase_id,
+             CAST(v.ms - c.ms AS BIGINT) AS lag_ms
+           FROM e c JOIN e v ON c.user_id = v.user_id
+           WHERE c.event_type = 'click' AND v.event_type = 'purchase'
+             AND v.ms >= c.ms AND v.ms <= c.ms + 600000),
+         wm AS (SELECT least(
+             (SELECT MAX(ms) FROM e WHERE event_type = 'click'),
+             (SELECT MAX(ms) FROM e WHERE event_type = 'purchase'))
+             - 1800000 AS w),
+         um AS (SELECT c.event_id AS click_id,
+             CAST(NULL AS BIGINT) AS purchase_id,
+             CAST(NULL AS BIGINT) AS lag_ms
+           FROM e c, wm
+           WHERE c.event_type = 'click'
+             AND c.event_id NOT IN (SELECT click_id FROM m)
+             AND c.ms + 600000 < wm.w)
+         SELECT * FROM m UNION ALL SELECT * FROM um
+         ORDER BY click_id, purchase_id""",
+    "q124_star_join" ->
+      """SELECT n_name, COUNT(*) AS n_lineitems,
+             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1995-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1 ORDER BY revenue DESC, n_name""",
+    "q125_negative_sampling" ->
+      s"""WITH $quantCte,
+         cnt AS (SELECT COUNT(*) AS c FROM embeddings),
+         p0 AS (SELECT e.vec_id, u.j,
+             (e.vec_id * 1000003 + u.j * 7919) % cnt.c AS raw
+           FROM embeddings e, cnt, (SELECT unnest(range(0, 3)) AS j) u),
+         p AS (SELECT p0.vec_id, p0.j,
+             CASE WHEN p0.raw = p0.vec_id THEN (p0.raw + 1) % cnt.c
+                  ELSE p0.raw END AS neg_id
+           FROM p0, cnt),
+         d AS (SELECT p.vec_id, p.j, p.neg_id, SUM(a.x * b.x) AS dot
+           FROM p JOIN q a ON a.vec_id = p.vec_id
+                JOIN q b ON b.vec_id = p.neg_id AND a.i = b.i
+           GROUP BY 1, 2, 3)
+         SELECT d.vec_id, CAST(d.j AS BIGINT) AS j, d.neg_id,
+             CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
+               * sqrt(CAST(nb.nn AS DOUBLE))) AS cos_sim
+         FROM d JOIN nrm na ON d.vec_id = na.vec_id
+              JOIN nrm nb ON d.neg_id = nb.vec_id
+         ORDER BY d.vec_id, d.j""")
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized

@@ -100,8 +100,55 @@ object ParagraphDedup {
         sum(col("keep").cast("long")).as("n_kept"),
         sort_array(collect_list(when(col("keep"), col("par_idx"))))
           .as("__kept_idx"))
+    reassemble(docs, idCol, textCol, parLen, perDoc,
+      Seq("n_paras", "n_kept"))
+  }
+
+  /** Corpus-frequency boilerplate removal (the CCNet/C4 policy, the
+    * complement of [[dedupSummary]]'s first-occurrence-wins): a
+    * paragraph whose hash appears in ≥ `minDocs` DISTINCT documents is
+    * boilerplate — navigation chrome, licence footers, cookie banners —
+    * and is removed from EVERY document, first occurrence included
+    * (first-occurrence-wins would keep one copy of the cookie banner;
+    * this policy says no copy belongs in the training corpus).
+    *
+    * Scale shape: document frequency is one distinct + one count over
+    * (hash, doc) pairs — 32-byte keys, text never shuffles; the
+    * boilerplate set is corpus-chrome-sized and broadcasts back onto
+    * the paragraph stream; reassembly is [[dedupSummary]]'s single
+    * text-carrying join.
+    */
+  def boilerplateSummary(docs: DataFrame, idCol: String, textCol: String,
+      parLen: Int, minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val ids = paragraphs(docs, idCol, textCol, parLen)
+      .select(col(idCol), col("par_idx"), md5(col("para")).as("__ph"))
+    val boiler = ids.select(col("__ph"), col(idCol)).distinct()
+      .groupBy("__ph").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+    val perDoc = ids
+      .join(broadcast(boiler.select(col("__ph"),
+        lit(true).as("__isb"))), Seq("__ph"), "left")
+      .select(col(idCol), col("par_idx"),
+        coalesce(col("__isb"), lit(false)).as("__boiler"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_paras"),
+        sum(col("__boiler").cast("long")).as("n_boiler"),
+        sort_array(collect_list(when(!col("__boiler"), col("par_idx"))))
+          .as("__kept_idx"))
+    reassemble(docs, idCol, textCol, parLen, perDoc,
+      Seq("n_paras", "n_boiler"))
+  }
+
+  /** Shared reassembly: join per-doc kept-index arrays back onto the
+    * document scan and fingerprint the doc rebuilt from surviving
+    * paragraphs in order — the only join in either policy that
+    * carries text.
+    */
+  private def reassemble(docs: DataFrame, idCol: String, textCol: String,
+      parLen: Int, perDoc: DataFrame, statCols: Seq[String]): DataFrame =
     docs.select(col(idCol), col(textCol)).join(perDoc, idCol)
-      .select(col(idCol), col("n_paras"), col("n_kept"),
+      .select(col(idCol) +: statCols.map(col) :+
         md5(expr(
           s"""array_join(
              |  filter(transform(
@@ -112,6 +159,5 @@ object ParagraphDedup {
              |            trim(array_join(slice(split($textCol, ' '),
              |              i * $parLen + 1, $parLen), ' ')),
              |            null)),
-             |  x -> x is not null), ' ')""".stripMargin)).as("kept_md5"))
-  }
+             |  x -> x is not null), ' ')""".stripMargin)).as("kept_md5"): _*)
 }

@@ -212,6 +212,114 @@ object EventStream {
     windowedToMemory(spark, srcParquet, "graft_complete", window,
       None, "complete", count(lit(1)).as("n_events"))
 
+  /** Update-mode windowed aggregation through a foreachBatch UPSERT —
+    * the fourth delivery shape, completing append (windowedCounts) /
+    * foreachBatch-append (windowedCountsToParquet) / complete
+    * (windowedCountsComplete): each trigger emits only the rows whose
+    * aggregate CHANGED in that batch, and the sink merges by key — the
+    * KV-store/OLTP-serving pattern (complete re-ships the world;
+    * update ships deltas). State is watermark-bounded like append, but
+    * results for a window appear (and re-appear, revised) while the
+    * window is still OPEN — so the merged table equals the batch
+    * group-by over everything, open windows included, which is the
+    * equivalence the oracle replays.
+    *
+    * The upsert is modeled exactly as a KV sink would behave: each
+    * micro-batch writes its changed rows tagged with batchId
+    * (idempotent per-batch overwrite, the q58 discipline), and the
+    * read-back keeps the LATEST batch's value per key via one
+    * `max(struct(batch_id, value))` partial-aggregated shuffle — no
+    * window, no per-key sort. Runs over [[Staging.stageSplitAndRead]]
+    * multi-batch staging: with one batch, update-mode semantics are
+    * unobservable (every row is trivially "changed once").
+    */
+  def windowedCountsUpdate(spark: SparkSession, srcParquet: String,
+      window: String = "10 minutes", delay: String = "1 hour",
+      chunks: Int = 3): DataFrame =
+      // partitions sized to state (windows × types, thousands of keys):
+      // each micro-batch commits one store per partition, and this
+      // query multiplies that by `chunks` batches
+      Staging.withStreamShufflePartitions(spark, n = "4") {
+    val (events, tag) = Staging.stageSplitAndRead(spark, srcParquet,
+      "graft_upd_in", chunks)
+    val outDir = graft.Scratch.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_upd_out_$tag")
+    val query = events
+      .withWatermark("ts", delay)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n_events"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch.withColumn("__batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(s"$outDir/batch-$batchId")
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.option("recursiveFileLookup", "true").parquet(outDir)
+      .groupBy("window_start_ms", "event_type")
+      .agg(max(struct(col("__batch_id"), col("n_events")))
+        .getField("n_events").as("n_events"))
+      .orderBy("window_start_ms", "event_type")
+  }
+
+  /** LEFT OUTER stream-stream interval join — the semantics
+    * [[clickAttribution]]'s inner form cannot express: every click
+    * appears, matched purchases as they arrive, and a NULL-padded row
+    * for a click once the watermark proves no purchase can still join
+    * it (purchases arrive ≤ `lag` after the click, so when the
+    * watermark passes c_ts + lag the engine can close the click).
+    * That proof-of-absence is what makes outer emission correct at
+    * 100 TB/day with bounded state — the row emits exactly when the
+    * state for it is reclaimed, never by timeout guesswork.
+    *
+    * Runs over multi-batch staging so the watermark actually advances
+    * mid-stream: clicks whose horizon closes before the FINAL
+    * watermark emit their null rows; clicks still inside it at
+    * end-of-input stay unemitted (they are still joinable — a resumed
+    * run could match them), which is the documented boundary the
+    * caller-side oracle must replay.
+    */
+  def clickAttributionOuter(spark: SparkSession, srcParquet: String,
+      lag: String = "10 minutes", delay: String = "30 minutes",
+      chunks: Int = 3): DataFrame =
+      // the outer join keeps FOUR stores per partition (two per side);
+      // at `chunks` batches that is 4·p·chunks commits — size p to the
+      // horizon-bounded state, not to batch scan width
+      Staging.withStreamShufflePartitions(spark, n = "4") {
+    val (events, tag) = Staging.stageSplitAndRead(spark, srcParquet,
+      "graft_ssjo_in", chunks)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", delay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", delay)
+    val qn = s"graft_ssjo_$tag"
+    val query = clicks
+      .join(purchases, expr(
+        s"""c_user = p_user AND p_ts >= c_ts
+           |AND p_ts <= c_ts + interval $lag""".stripMargin), "leftOuter")
+      .select(col("click_id"), col("purchase_id"),
+        (unix_millis(col("p_ts")) - unix_millis(col("c_ts"))).as("lag_ms"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qn)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(qn).orderBy("click_id", "purchase_id")
+  }
+
   /** Sketch aggregation under streaming state: windowed
     * `approx_count_distinct(user_id)` per event_type with a watermark —
     * the "distinct users per window" question that EXACT distinct

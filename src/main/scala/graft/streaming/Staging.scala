@@ -63,6 +63,75 @@ object Staging {
     }
   }
 
+  /** Multi-batch staging: split the source parquet into `chunks`
+    * time-ordered files (ascending modification times, so the file
+    * source's default oldest-first ordering replays them in event-time
+    * order) and open a `maxFilesPerTrigger=1` readStream — each chunk
+    * becomes its own micro-batch with the watermark ADVANCING between
+    * batches. This is what makes update-mode emissions and outer-join
+    * null flushes observable at all: with single-file staging every
+    * stream degenerates to one batch and those semantics collapse to
+    * the batch answer.
+    *
+    * The ntile window used to cut chunks is single-task over the
+    * STAGING input — test scaffolding at fixture scale, not a query
+    * plan (production streams arrive pre-chunked by time).
+    */
+  /** Split-staging dirs are memoized per (session, source, chunks): the
+    * chunked directory is the stream's INPUT — repeated calls (bench
+    * trials) must measure the streaming query, not re-shuffle the same
+    * rows into the same chunk files through the local FS (the q82
+    * arrival-directory discipline). The returned tag stays unique per
+    * call so sink names / output dirs never collide across runs.
+    */
+  private val splitCache =
+    scala.collection.mutable.Map.empty[(String, String, Int), String]
+
+  def stageSplitAndRead(spark: SparkSession, srcParquet: String,
+      prefix: String, chunks: Int): (DataFrame, String) = {
+    require(chunks >= 1, s"chunks must be >= 1: $chunks")
+    val tag = spark.sparkContext.applicationId
+      .replaceAll("[^a-zA-Z0-9]", "_") + "_" + counter.incrementAndGet()
+    val tmp = System.getProperty("java.io.tmpdir")
+    val key = (spark.sparkContext.applicationId, srcParquet, chunks)
+    val inDirStr = splitCache.synchronized {
+      splitCache.getOrElseUpdate(key, {
+        val inDir = Paths.get(
+          graft.Scratch.register(s"$tmp/${prefix}_split_$tag"))
+        Files.createDirectories(inDir)
+        val raw = spark.read.parquet(srcParquet)
+        // single-task window over the staging input — test scaffolding
+        // at fixture scale (production streams arrive pre-chunked)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("event_id"))
+        val chunked = raw.withColumn("__c", ntile(chunks).over(w))
+        for (i <- 1 to chunks) {
+          val chunkDir =
+            graft.Scratch.register(s"$tmp/${prefix}_${tag}_c$i")
+          chunked.filter(col("__c") === i).drop("__c")
+            .coalesce(1).write.mode("overwrite").parquet(chunkDir)
+          val ds = Files.newDirectoryStream(Paths.get(chunkDir),
+            "part-*.parquet")
+          val found = try ds.iterator().next() finally ds.close()
+          val dest = inDir.resolve(f"chunk-$i%03d.parquet")
+          Files.copy(found, dest, StandardCopyOption.REPLACE_EXISTING)
+          Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime
+              .fromMillis(1000000000000L + i * 1000L))
+        }
+        inDir.toString
+      })
+    }
+    val batchSchema = spark.read.parquet(inDirStr).schema
+    val raw2 = spark.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", "1").parquet(inDirStr)
+    val events =
+      if (batchSchema("ts").dataType == LongType)
+        raw2.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw2
+    (events, tag)
+  }
+
   def stageAndRead(spark: SparkSession, srcParquet: String,
       prefix: String): (DataFrame, String) = {
     val tag = spark.sparkContext.applicationId

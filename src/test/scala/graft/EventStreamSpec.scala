@@ -254,4 +254,78 @@ class EventStreamSpec extends AnyFunSuite {
     // user 3's events joined nothing: no segment beyond the dim's two
     assert(got.keySet.map(_._2).subsetOf(Set("AUTO", "RETAIL")))
   }
+
+  test("stageSplitAndRead delivers each chunk as its own micro-batch, " +
+      "in event-time order") {
+    import spark.implicits._
+    val dir = new java.io.File(Scratch.register(
+      Files.createTempDirectory("graft_split_spec").toString))
+    val rows = (0 until 12).map { i =>
+      (i.toLong, "click", i * 10 * min + 7000)
+    }
+    val src = rows.toDF("event_id", "event_type", "ms")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val pq = s"${dir.getAbsolutePath}/events_src"
+    src.coalesce(1).write.parquet(pq)
+    val file = new java.io.File(pq).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+
+    val (events, _) = graft.streaming.Staging.stageSplitAndRead(spark,
+      file.getAbsolutePath, "graft_split_spec", 3)
+    val batches =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    val query = events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.synchronized {
+          batches += id -> batch.select("event_id").collect()
+            .map(_.getLong(0)).toSeq.sorted
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+
+    val dataBatches = batches.filter(_._2.nonEmpty).sortBy(_._1)
+    assert(dataBatches.size === 3)
+    assert(dataBatches.map(_._2) === Seq(
+      (0L to 3L), (4L to 7L), (8L to 11L)).map(_.toSeq))
+  }
+
+  test("left-outer interval join: null row exactly when the watermark " +
+      "closes an unmatched click's horizon") {
+    import spark.implicits._
+    val dir = new java.io.File(Scratch.register(
+      Files.createTempDirectory("graft_ssjo_spec").toString))
+    // click 1 (user 1) never matches and its horizon (10 min lag)
+    // closes long before the final watermark → must emit NULL-padded.
+    // click 2 (user 2) matches purchase 3 five minutes later → inner
+    // row. click 4 (user 3) at 600 min is unmatched but still inside
+    // the watermark at end-of-input → must NOT emit (a resumed run
+    // could still match it). purchase 5 (user 99, 599 min) advances
+    // the purchase-side watermark; unmatched purchases never appear
+    // in a LEFT outer result.
+    val rows = Seq(
+      (1L, 1L, "click", 10 * min),
+      (2L, 2L, "click", 20 * min),
+      (3L, 2L, "purchase", 25 * min),
+      (4L, 3L, "click", 600 * min),
+      (5L, 99L, "purchase", 599 * min))
+    val src = rows.toDF("event_id", "user_id", "event_type", "ms")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val pq = s"${dir.getAbsolutePath}/events_src"
+    src.coalesce(1).write.parquet(pq)
+    val file = new java.io.File(pq).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+
+    val got = EventStream.clickAttributionOuter(spark,
+        file.getAbsolutePath, chunks = 3)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(got === Array(
+      (1L, -1L, -1L),
+      (2L, 3L, 5 * min)))
+  }
 }

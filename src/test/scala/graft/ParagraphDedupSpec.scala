@@ -61,6 +61,26 @@ class ParagraphDedupSpec extends AnyFunSuite {
       (11L, 1) -> ((false, true)))) // "e f": fresh, first
   }
 
+  test("boilerplate policy removes every copy, first occurrence included") {
+    import spark.implicits._
+    // "c d" appears in docs 1 and 2 (cross-doc boilerplate → ALL copies
+    // go, unlike dedupSummary which keeps doc 1's); "a b" repeats only
+    // WITHIN doc 1 (docfreq 1 → boilerplate policy keeps both copies).
+    val docs = Seq((1L, "a b c d a b"), (2L, "x y c d"))
+      .toDF("doc_id", "text")
+    val got = ParagraphDedup
+      .boilerplateSummary(docs, "doc_id", "text", 2, 2)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String) = md5.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got === Array(
+      (1L, 3L, 1L, h("a b a b")),
+      (2L, 2L, 1L, h("x y"))))
+  }
+
   test("short tail paragraph and empty segments are handled") {
     import spark.implicits._
     // 5 tokens at parLen=2 → paragraphs "a b", "c d", "e" (tail keeps

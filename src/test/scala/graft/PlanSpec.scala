@@ -321,4 +321,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("long_dot"),
       "codegen'd dot product missing from table construction")
   }
+
+  test("q124: star join pushes the date filter to the orders scan and " +
+      "broadcasts the metadata dims") {
+    val p = sparkPlan("q124_star_join")
+    // pushed-down range predicate on o_orderdate at the parquet scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") ||
+      p.contains("PushedFilters: [IsNotNull(o_orderdate"),
+      s"date filter not pushed:\n${p.take(1200)}")
+    // nation/region (metadata-sized) must broadcast — a shuffle of the
+    // fact side keyed on nationkey would be a plan regression
+    assert(p.contains("BroadcastHashJoin"))
+    // the aggregation partial-aggregates map-side
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+  }
+
+  test("q118: each PageRank round is an equi-join + partial-aggregated " +
+      "shuffle, no cartesian, no window") {
+    val p = sparkPlan("q118_pagerank")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_sum"),
+      "per-edge contributions must combine map-side")
+    // rank ordering is a top-k, not a global sort
+    assert(p.contains("TakeOrderedAndProject"))
+  }
 }
