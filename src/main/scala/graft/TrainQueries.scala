@@ -2551,10 +2551,14 @@ object TrainQueries {
     * keeps the oracle bit-for-bit.
     */
   private def qNegativeSampling(s: SparkSession, dir: String): DataFrame = {
-    val base = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
+    val all = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
       .select(col("vec_id"), col("qv"), col("qn"))
-    val n = base.agg(count(lit(1)).as("__n"))
-    val pairs = base.select(col("vec_id"))
+    // the draw runs over the FULL contiguous id space (the oracle's
+    // cnt is COUNT(*)); zero-norm vectors drop at the fetch joins —
+    // mirroring the oracle's inner joins to nrm (no cosine direction)
+    val base = all.filter(col("qn") > 0)
+    val n = all.agg(count(lit(1)).as("__n"))
+    val pairs = all.select(col("vec_id"))
       .crossJoin(broadcast(n))
       .select(col("vec_id"), col("__n"),
         explode(array(lit(0L), lit(1L), lit(2L))).as("j"))
@@ -3924,18 +3928,21 @@ object TrainQueries {
          s1 AS (SELECT e.dst AS node, SUM(r0.r // r0.outdeg) AS s
            FROM e JOIN r0 ON e.src = r0.node GROUP BY 1),
          r1 AS (SELECT r0.node, r0.outdeg,
-             (15 * (1000000000000 // nn)) // 100 + (85 * s1.s) // 100 AS r
-           FROM r0 JOIN s1 USING (node), n),
+             (15 * (1000000000000 // nn)) // 100
+               + (85 * COALESCE(s1.s, 0)) // 100 AS r
+           FROM r0 LEFT JOIN s1 USING (node), n),
          s2 AS (SELECT e.dst AS node, SUM(r1.r // r1.outdeg) AS s
            FROM e JOIN r1 ON e.src = r1.node GROUP BY 1),
          r2 AS (SELECT r1.node, r1.outdeg,
-             (15 * (1000000000000 // nn)) // 100 + (85 * s2.s) // 100 AS r
-           FROM r1 JOIN s2 USING (node), n),
+             (15 * (1000000000000 // nn)) // 100
+               + (85 * COALESCE(s2.s, 0)) // 100 AS r
+           FROM r1 LEFT JOIN s2 USING (node), n),
          s3 AS (SELECT e.dst AS node, SUM(r2.r // r2.outdeg) AS s
            FROM e JOIN r2 ON e.src = r2.node GROUP BY 1),
          r3 AS (SELECT r2.node, r2.outdeg,
-             (15 * (1000000000000 // nn)) // 100 + (85 * s3.s) // 100 AS r
-           FROM r2 JOIN s3 USING (node), n),
+             (15 * (1000000000000 // nn)) // 100
+               + (85 * COALESCE(s3.s, 0)) // 100 AS r
+           FROM r2 LEFT JOIN s3 USING (node), n),
          top AS (SELECT node, outdeg, r,
              row_number() OVER (ORDER BY r DESC, node) AS pos
            FROM r3)

@@ -101,10 +101,13 @@ object Staging {
         Files.createDirectories(inDir)
         val raw = spark.read.parquet(srcParquet)
         // single-task window over the staging input — test scaffolding
-        // at fixture scale (production streams arrive pre-chunked)
+        // at fixture scale (production streams arrive pre-chunked);
+        // checkpointed so the per-chunk filters below don't re-run the
+        // scan + global sort once per chunk
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("ts"), col("event_id"))
         val chunked = raw.withColumn("__c", ntile(chunks).over(w))
+          .localCheckpoint()
         for (i <- 1 to chunks) {
           val chunkDir =
             graft.Scratch.register(s"$tmp/${prefix}_${tag}_c$i")
@@ -119,17 +122,30 @@ object Staging {
             java.nio.file.attribute.FileTime
               .fromMillis(1000000000000L + i * 1000L))
         }
+        // localCheckpoint pins the RDD, not the DataFrame cache
+        chunked.rdd.unpersist(blocking = false)
         inDir.toString
       })
     }
-    val batchSchema = spark.read.parquet(inDirStr).schema
-    val raw2 = spark.readStream.schema(batchSchema)
-      .option("maxFilesPerTrigger", "1").parquet(inDirStr)
-    val events =
-      if (batchSchema("ts").dataType == LongType)
-        raw2.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw2
-    (events, tag)
+    (schemaRead(spark, inDirStr, maxFilesPerTrigger = Some("1")), tag)
+  }
+
+  /** Shared tail of both staging paths: derive the stream schema from a
+    * batch footer read of the staged dir, open the readStream, and
+    * normalize the corpus' nanos-long `ts` to a microsecond
+    * TimestampType exactly as the batch loader (graft.Tables) does —
+    * ONE copy of that rule for the streaming side.
+    */
+  private def schemaRead(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[String]): DataFrame = {
+    val batchSchema = spark.read.parquet(dir).schema
+    val reader = spark.readStream.schema(batchSchema)
+    val raw = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(dir)
+    if (batchSchema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
   }
 
   def stageAndRead(spark: SparkSession, srcParquet: String,
@@ -142,14 +158,6 @@ object Staging {
     Files.copy(Paths.get(srcParquet), inDir.resolve("part-0.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
 
-    // file-source streams need an explicit schema; derive from a batch
-    // footer read of the staged file
-    val batchSchema = spark.read.parquet(inDir.toString).schema
-    val raw = spark.readStream.schema(batchSchema).parquet(inDir.toString)
-    val events =
-      if (batchSchema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
-    (events, tag)
+    (schemaRead(spark, inDir.toString, maxFilesPerTrigger = None), tag)
   }
 }
