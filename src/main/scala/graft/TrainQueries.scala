@@ -2579,6 +2579,41 @@ object TrainQueries {
       .orderBy("vec_id", "j")
   }
 
+  /** EWMA-smoothed ingest rates in EXACT integer arithmetic — the
+    * time-series member of the monitoring family (q106 drift answers
+    * "which source changed shape", this answers "when did the rate
+    * move"): hourly event counts per type smoothed by
+    * ewma_t = Σ_{0≤k≤40} c_{t−k} / 2^k. With α = 1/2 every weight is a
+    * binary power, so the scaled form Σ c_{t−k} · 2^(40−k) is pure
+    * int64 — no float accumulation, no decimal rounding divergence —
+    * and the one double division by 2^40 happens per OUTPUT row.
+    * Plan shape: the raw stream reduces to metadata-sized hourly
+    * buckets first (one partial-agg shuffle); the 41-hour contribution
+    * explode runs over buckets, never events — at 100 TB the explode
+    * input is still just hours × types.
+    */
+  private def qEwmaRates(s: SparkSession, dir: String): DataFrame = {
+    val horizon = 40
+    val hourly = t(s, dir, "events")
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("cnt"))
+    val contrib = hourly
+      .select(col("event_type"), col("cnt"), col("hr"),
+        explode(expr(s"sequence(0, $horizon)")).as("k"))
+      .select(col("event_type"), (col("hr") + col("k")).as("hr"),
+        expr(s"cnt * shiftleft(1L, $horizon - k)").as("__w"))
+    // keep only target hours that actually have a bucket (the EWMA is
+    // reported per observed hour; trailing decay-only hours are not)
+    contrib.groupBy("event_type", "hr").agg(sum("__w").as("ewma_scaled"))
+      .join(hourly, Seq("event_type", "hr"))
+      .select(col("event_type"), col("hr"), col("cnt"),
+        col("ewma_scaled"),
+        (col("ewma_scaled").cast("double") /
+          lit(1099511627776.0d)).as("ewma"))
+      .orderBy("event_type", "hr")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -2695,7 +2730,8 @@ object TrainQueries {
     "q123_stream_outer_join" -> ((s: SparkSession, dir: String) =>
       EventStream.clickAttributionOuter(s, s"$dir/events.parquet")),
     "q124_star_join" -> (qStarJoin _),
-    "q125_negative_sampling" -> (qNegativeSampling _))
+    "q125_negative_sampling" -> (qNegativeSampling _),
+    "q126_ewma_rates" -> (qEwmaRates _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -4070,7 +4106,23 @@ object TrainQueries {
                * sqrt(CAST(nb.nn AS DOUBLE))) AS cos_sim
          FROM d JOIN nrm na ON d.vec_id = na.vec_id
               JOIN nrm nb ON d.neg_id = nb.vec_id
-         ORDER BY d.vec_id, d.j""")
+         ORDER BY d.vec_id, d.j""",
+    "q126_ewma_rates" ->
+      """WITH hourly AS (SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+             COUNT(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         c AS (SELECT event_type, hr + k AS hr2,
+             cnt * (CAST(1 AS BIGINT) << (40 - k)) AS w
+           FROM hourly, (SELECT unnest(range(0, 41)) AS k) u),
+         e AS (SELECT event_type, hr2 AS hr,
+             CAST(SUM(w) AS BIGINT) AS ewma_scaled
+           FROM c GROUP BY 1, 2)
+         SELECT h.event_type, h.hr, h.cnt, e.ewma_scaled,
+             CAST(e.ewma_scaled AS DOUBLE) / 1099511627776.0 AS ewma
+         FROM e JOIN hourly h ON e.event_type = h.event_type
+              AND e.hr = h.hr
+         ORDER BY h.event_type, h.hr""")
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized

@@ -336,6 +336,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_sum"))
   }
 
+  test("q13: per-group top-k plans two-phase WindowGroupLimit (partial " +
+      "map-side + final), never a full per-group sort buffer") {
+    // Spark's InferWindowGroupLimit turns rank<=k into a partial
+    // (pre-shuffle) + final group-limit — each task keeps at most k
+    // rows per group in a heap, so a hot key cannot OOM the window;
+    // this is the built-in answer to per-group top-k at 100 TB and
+    // the reason no custom operator is needed for it
+    val p = sparkPlan("q13_window_topn")
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n${p.take(800)}")
+    assert(p.contains("Partial") && p.contains("Final"),
+      "expected both partial and final group-limit phases")
+  }
+
   test("q118: each PageRank round is an equi-join + partial-aggregated " +
       "shuffle, no cartesian, no window") {
     val p = sparkPlan("q118_pagerank")
