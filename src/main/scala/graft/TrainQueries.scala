@@ -2614,6 +2614,54 @@ object TrainQueries {
       .orderBy("event_type", "hr")
   }
 
+  /** Market-basket association mining: supplier pairs co-purchased by
+    * the same customer, ranked by co-occurrence with exact
+    * support / confidence / lift — the association-rules family
+    * (retail affinity, "users who bought X also bought Y",
+    * co-occurrence statistics for related-item retrieval). All counts
+    * are exact longs from two shuffles; each metric is a single
+    * double expression over them, shape-matched to the oracle.
+    *
+    * Scale shape: baskets first reduce to DISTINCT (customer,
+    * supplier) membership — the self-join fanout is then bounded by
+    * per-customer basket SIZE squared (tens), never order volume; the
+    * per-supplier count table is metadata-sized and broadcasts back
+    * onto the pair stream. The basket self-join is the textbook
+    * candidate-pair generation every frequent-itemset pass runs.
+    */
+  private def qCoPurchase(s: SparkSession, dir: String): DataFrame = {
+    val cs = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+    val tot = cs.agg(countDistinct(col("cust")).as("__n"))
+    val sup = cs.groupBy("supp").agg(count(lit(1)).as("__c"))
+    val pairs = cs
+      .join(cs.select(col("cust"), col("supp").as("supp_b")), "cust")
+      .filter(col("supp") < col("supp_b"))
+      .groupBy(col("supp").as("supp_a"), col("supp_b"))
+      .agg(count(lit(1)).as("cnt_ab"))
+    pairs
+      .join(broadcast(sup.select(col("supp").as("supp_a"),
+        col("__c").as("cnt_a"))), "supp_a")
+      .join(broadcast(sup.select(col("supp").as("supp_b"),
+        col("__c").as("cnt_b"))), "supp_b")
+      .crossJoin(broadcast(tot))
+      .orderBy(col("cnt_ab").desc, col("supp_a"), col("supp_b"))
+      .limit(20)
+      .select(col("supp_a"), col("supp_b"), col("cnt_ab"),
+        col("cnt_a"), col("cnt_b"),
+        (col("cnt_ab").cast("double") / col("__n").cast("double"))
+          .as("support"),
+        (col("cnt_ab").cast("double") / col("cnt_a").cast("double"))
+          .as("confidence"),
+        (col("cnt_ab").cast("double") * col("__n").cast("double") /
+          (col("cnt_a").cast("double") * col("cnt_b").cast("double")))
+          .as("lift"))
+      .orderBy(col("cnt_ab").desc, col("supp_a"), col("supp_b"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -2731,7 +2779,8 @@ object TrainQueries {
       EventStream.clickAttributionOuter(s, s"$dir/events.parquet")),
     "q124_star_join" -> (qStarJoin _),
     "q125_negative_sampling" -> (qNegativeSampling _),
-    "q126_ewma_rates" -> (qEwmaRates _))
+    "q126_ewma_rates" -> (qEwmaRates _),
+    "q127_copurchase" -> (qCoPurchase _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -4122,7 +4171,30 @@ object TrainQueries {
              CAST(e.ewma_scaled AS DOUBLE) / 1099511627776.0 AS ewma
          FROM e JOIN hourly h ON e.event_type = h.event_type
               AND e.hr = h.hr
-         ORDER BY h.event_type, h.hr""")
+         ORDER BY h.event_type, h.hr""",
+    "q127_copurchase" ->
+      """WITH cs AS (SELECT DISTINCT o_custkey AS cust,
+             l_suppkey AS supp
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         tot AS (SELECT COUNT(DISTINCT cust) AS n FROM cs),
+         sup AS (SELECT supp, COUNT(*) AS c FROM cs GROUP BY 1),
+         p AS (SELECT a.supp AS supp_a, b.supp AS supp_b,
+             COUNT(*) AS cnt_ab
+           FROM cs a JOIN cs b ON a.cust = b.cust AND a.supp < b.supp
+           GROUP BY 1, 2),
+         top AS (SELECT p.supp_a, p.supp_b, p.cnt_ab,
+             sa.c AS cnt_a, sb.c AS cnt_b
+           FROM p JOIN sup sa ON p.supp_a = sa.supp
+                JOIN sup sb ON p.supp_b = sb.supp
+           ORDER BY p.cnt_ab DESC, p.supp_a, p.supp_b LIMIT 20)
+         SELECT supp_a, supp_b, cnt_ab, cnt_a, cnt_b,
+             CAST(cnt_ab AS DOUBLE) / CAST(n AS DOUBLE) AS support,
+             CAST(cnt_ab AS DOUBLE) / CAST(cnt_a AS DOUBLE)
+               AS confidence,
+             CAST(cnt_ab AS DOUBLE) * CAST(n AS DOUBLE)
+               / (CAST(cnt_a AS DOUBLE) * CAST(cnt_b AS DOUBLE)) AS lift
+         FROM top, tot
+         ORDER BY cnt_ab DESC, supp_a, supp_b""")
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized
