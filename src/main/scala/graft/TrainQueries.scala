@@ -2662,6 +2662,33 @@ object TrainQueries {
       .orderBy(col("cnt_ab").desc, col("supp_a"), col("supp_b"))
   }
 
+  /** Incremental duplicate-cluster maintenance
+    * ([[DedupClusters.incrementalComponents]]): the near-dup graph's
+    * history components are the STORED artifact; a batch of new pairs
+    * (every pair touching a doc_id % 5 == 0 document) folds in via CC
+    * over the batch-sized QUOTIENT graph only — per-ingest cost
+    * independent of corpus size, the production shape of keeping
+    * dedup clusters current under a daily crawl. Exactness is the
+    * min-label composition argument (see the op's doc); the oracle is
+    * q71's full-recompute closure over history ∪ batch, so the gate
+    * verifies incremental ≡ recompute bit-for-bit.
+    */
+  private def qIncrementalClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = NearDup.ngramJaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, minJaccard = 0.5, maxDf = 100L)
+      .select("id_a", "id_b")
+      .localCheckpoint()
+    val hist = pairs.filter(col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0)
+    val batch = pairs.filter(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
+    val labels = DedupClusters.connectedComponents(hist, "id_a", "id_b")
+    val cc = DedupClusters.incrementalComponents(labels, batch,
+      "id_a", "id_b")
+    val sizes = cc.groupBy("cluster_rep").agg(count(lit(1)).as("n_members"))
+    cc.join(sizes, "cluster_rep")
+      .select(col("node").as("doc_id"), col("cluster_rep"), col("n_members"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -2780,7 +2807,8 @@ object TrainQueries {
     "q124_star_join" -> (qStarJoin _),
     "q125_negative_sampling" -> (qNegativeSampling _),
     "q126_ewma_rates" -> (qEwmaRates _),
-    "q127_copurchase" -> (qCoPurchase _))
+    "q127_copurchase" -> (qCoPurchase _),
+    "q128_incr_clusters" -> (qIncrementalClusters _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -3361,6 +3389,13 @@ object TrainQueries {
                / CAST(x.n + y.n - n_shared AS DOUBLE) >= 0.5
          ORDER BY id_a, id_b""",
     "q71_dedup_clusters" ->
+      s"""WITH RECURSIVE $dedupClusterCtes
+         SELECT lab.node AS doc_id, lab.cluster_rep, sz.n_members
+         FROM lab JOIN sz USING (cluster_rep) ORDER BY doc_id""",
+    // q128 shares q71's full-recompute oracle: the incremental path
+    // must be bit-identical to CC over history ∪ batch (the q57/q70
+    // shared-oracle pattern applied to the component family)
+    "q128_incr_clusters" ->
       s"""WITH RECURSIVE $dedupClusterCtes
          SELECT lab.node AS doc_id, lab.cluster_rep, sz.n_members
          FROM lab JOIN sz USING (cluster_rep) ORDER BY doc_id""",

@@ -165,6 +165,58 @@ object DedupClusters {
     EdgeSnap(back, rdd, sig.getLong(0), h)
   }
 
+  /** Incremental connected components — the E53/E89/E93/E99/E108
+    * incremental axis at component granularity, E57's missing member:
+    * fold a BATCH of new edges into an existing canonical labeling
+    * WITHOUT re-running CC over the history graph. New edges map
+    * their endpoints onto existing cluster reps (unlabeled endpoints
+    * stay themselves), CC runs only on that QUOTIENT graph — sized by
+    * the batch and the components it touches, independent of corpus
+    * size — and the result remaps history labels whose rep merged.
+    *
+    * Canonical-label composition is what makes this exact: history
+    * labels are component-min ids, the quotient CC takes mins over
+    * {merged component mins ∪ new node ids}, and min composes — so
+    * the output is bit-identical to a full recompute over
+    * history ∪ batch (the q128 oracle verifies precisely that).
+    */
+  def incrementalComponents(labels: DataFrame, batchEdges: DataFrame,
+      aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+    val lab = labels.select(col("node").as("__n"), col("cluster_rep").as("__r"))
+    val ea = batchEdges.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .filter(col("__a") =!= col("__b"))
+    val mapped = ea
+      .join(lab.select(col("__n").as("__a"), col("__r").as("__ra")),
+        Seq("__a"), "left")
+      .join(lab.select(col("__n").as("__b"), col("__r").as("__rb")),
+        Seq("__b"), "left")
+      .select(coalesce(col("__ra"), col("__a")).as("qa"),
+        coalesce(col("__rb"), col("__b")).as("qb"))
+      .filter(col("qa") =!= col("qb"))
+    // all batch edges may collapse inside existing components — the
+    // quotient is then empty and the labeling passes through (the
+    // isEmpty action is batch-sized, not corpus-sized)
+    val qcc =
+      if (mapped.isEmpty)
+        lab.sparkSession.range(0)
+          .select(col("id").as("__q"), col("id").as("__qr"))
+      else
+        connectedComponents(mapped, "qa", "qb", maxIter)
+          .select(col("node").as("__q"), col("cluster_rep").as("__qr"))
+    val updatedHist = lab
+      .join(qcc, col("__r") === col("__q"), "left")
+      .select(col("__n").as("node"),
+        coalesce(col("__qr"), col("__r")).as("cluster_rep"))
+    val batchNodes = ea.select(col("__a").as("__n"))
+      .union(ea.select(col("__b").as("__n"))).distinct()
+      .join(lab, Seq("__n"), "left")
+      .select(col("__n"), coalesce(col("__r"), col("__n")).as("__q0"))
+      .join(qcc, col("__q0") === col("__q"), "left")
+      .select(col("__n").as("node"),
+        coalesce(col("__qr"), col("__q0")).as("cluster_rep"))
+    updatedHist.union(batchNodes).distinct()
+  }
+
   /** Convenience: cluster membership with component sizes, ordered —
     * the review surface ("which documents collapse together").
     */

@@ -103,4 +103,36 @@ class DedupClustersSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(1)).toSet
     assert(full === Set(1L))
   }
+
+  test("incremental components: batch edges merge, extend, and create " +
+      "components; result equals full recompute") {
+    import spark.implicits._
+    // history: {1,2} and {3,4}; batch: 2-3 bridges them, 4-7 extends,
+    // 5-6 is brand new, 1-2 is redundant (collapses in the quotient)
+    val hist = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val batch = Seq((2L, 3L), (4L, 7L), (5L, 6L), (1L, 2L))
+      .toDF("id_a", "id_b")
+    val labels = DedupClusters.connectedComponents(hist, "id_a", "id_b")
+    val got = DedupClusters
+      .incrementalComponents(labels, batch, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = DedupClusters
+      .connectedComponents(hist.union(batch), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === full)
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("incremental components: an all-redundant batch passes the " +
+      "labeling through unchanged (empty quotient)") {
+    import spark.implicits._
+    val hist = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val labels = DedupClusters.connectedComponents(hist, "id_a", "id_b")
+    val got = DedupClusters
+      .incrementalComponents(labels,
+        Seq((1L, 3L), (2L, 2L)).toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }
