@@ -183,8 +183,14 @@ object DedupClusters {
   def incrementalComponents(labels: DataFrame, batchEdges: DataFrame,
       aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
     val lab = labels.select(col("node").as("__n"), col("cluster_rep").as("__r"))
-    val ea = batchEdges.select(col(aCol).as("__a"), col(bCol).as("__b"))
-      .filter(col("__a") =!= col("__b"))
+    // node inventory comes from the UNFILTERED edges — a node whose
+    // only batch edge is a self-loop is still a (singleton) node in a
+    // full recompute, and the bit-identical contract must cover it
+    val eaRaw = batchEdges.select(col(aCol).as("__a"), col(bCol).as("__b"))
+    val ea = eaRaw.filter(col("__a") =!= col("__b"))
+    // pinned once: the emptiness test AND the quotient CC both read
+    // the materialized blocks, so the corpus-sized label joins run
+    // exactly once per ingest (the quotient itself is batch-sized)
     val mapped = ea
       .join(lab.select(col("__n").as("__a"), col("__r").as("__ra")),
         Seq("__a"), "left")
@@ -193,9 +199,9 @@ object DedupClusters {
       .select(coalesce(col("__ra"), col("__a")).as("qa"),
         coalesce(col("__rb"), col("__b")).as("qb"))
       .filter(col("qa") =!= col("qb"))
+      .localCheckpoint()
     // all batch edges may collapse inside existing components — the
-    // quotient is then empty and the labeling passes through (the
-    // isEmpty action is batch-sized, not corpus-sized)
+    // quotient is then empty and the labeling passes through
     val qcc =
       if (mapped.isEmpty)
         lab.sparkSession.range(0)
@@ -207,8 +213,8 @@ object DedupClusters {
       .join(qcc, col("__r") === col("__q"), "left")
       .select(col("__n").as("node"),
         coalesce(col("__qr"), col("__r")).as("cluster_rep"))
-    val batchNodes = ea.select(col("__a").as("__n"))
-      .union(ea.select(col("__b").as("__n"))).distinct()
+    val batchNodes = eaRaw.select(col("__a").as("__n"))
+      .union(eaRaw.select(col("__b").as("__n"))).distinct()
       .join(lab, Seq("__n"), "left")
       .select(col("__n"), coalesce(col("__r"), col("__n")).as("__q0"))
       .join(qcc, col("__q0") === col("__q"), "left")
@@ -220,10 +226,18 @@ object DedupClusters {
   /** Convenience: cluster membership with component sizes, ordered —
     * the review surface ("which documents collapse together").
     */
-  def clusters(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val cc = connectedComponents(edges, aCol, bCol)
-    val sizes = cc.groupBy("cluster_rep").agg(count(lit(1)).as("n_members"))
-    cc.join(sizes, "cluster_rep")
+  def clusters(edges: DataFrame, aCol: String, bCol: String): DataFrame =
+    withSizes(connectedComponents(edges, aCol, bCol))
+
+  /** The cluster review surface over any (node, cluster_rep) labeling
+    * — full ([[connectedComponents]]) or incremental
+    * ([[incrementalComponents]]): membership with component sizes,
+    * one shape for q71 and q128.
+    */
+  def withSizes(labelled: DataFrame): DataFrame = {
+    val sizes = labelled.groupBy("cluster_rep")
+      .agg(count(lit(1)).as("n_members"))
+    labelled.join(sizes, "cluster_rep")
       .select(col("node").as("doc_id"), col("cluster_rep"), col("n_members"))
   }
 }

@@ -102,12 +102,15 @@ object Staging {
         val raw = spark.read.parquet(srcParquet)
         // single-task window over the staging input — test scaffolding
         // at fixture scale (production streams arrive pre-chunked);
-        // checkpointed so the per-chunk filters below don't re-run the
-        // scan + global sort once per chunk
+        // persist()ed so the per-chunk filters below don't re-run the
+        // scan + global sort once per chunk (persist, not
+        // localCheckpoint: Dataset.unpersist then actually releases
+        // the blocks — a checkpoint's pinned RDD is not reachable
+        // through Dataset.rdd, so "unpersisting" it would be a no-op)
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("ts"), col("event_id"))
         val chunked = raw.withColumn("__c", ntile(chunks).over(w))
-          .localCheckpoint()
+          .persist()
         for (i <- 1 to chunks) {
           val chunkDir =
             graft.Scratch.register(s"$tmp/${prefix}_${tag}_c$i")
@@ -122,8 +125,7 @@ object Staging {
             java.nio.file.attribute.FileTime
               .fromMillis(1000000000000L + i * 1000L))
         }
-        // localCheckpoint pins the RDD, not the DataFrame cache
-        chunked.rdd.unpersist(blocking = false)
+        chunked.unpersist(blocking = false)
         inDir.toString
       })
     }

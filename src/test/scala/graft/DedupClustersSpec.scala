@@ -135,4 +135,23 @@ class DedupClustersSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("incremental components: a node whose only batch edge is a " +
+      "self-loop still appears, as a singleton — full-recompute parity") {
+    import spark.implicits._
+    // connectedComponents builds its node inventory before the
+    // self-loop filter, so a full recompute returns 7 -> 7; the
+    // incremental path must too
+    val hist = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val batch = Seq((7L, 7L)).toDF("id_a", "id_b")
+    val labels = DedupClusters.connectedComponents(hist, "id_a", "id_b")
+    val got = DedupClusters
+      .incrementalComponents(labels, batch, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = DedupClusters
+      .connectedComponents(hist.union(batch), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === full)
+    assert(got === Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+  }
 }
