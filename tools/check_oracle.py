@@ -54,6 +54,12 @@ def main() -> int:
         bad_cols = []
         for c in g.columns:
             a, b = g[c], w[c]
+            if a.dtype != b.dtype:
+                # The driver hashes serialized values, so int64-vs-float64
+                # (e.g. DuckDB HUGEINT from SUM(BIGINT) → float64) FAILS
+                # there even when values compare equal; mirror that.
+                bad_cols.append(f"{c} (DTYPE mismatch {a.dtype} vs {b.dtype})")
+                continue
             try:
                 eq = (a.values == b.values) | (a.isna().values & b.isna().values)
                 ok = bool(eq.all())
