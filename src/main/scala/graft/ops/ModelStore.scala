@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StructField, StructType}
+
+/** Persistent model artifacts for the ANN/clustering family — the
+  * train-once / score-many surface production actually deploys:
+  * k-means centroids ([[KMeans.fitCentroids]]) and PQ codebooks
+  * ([[ProductQuant.trainCodebooks]]) written ONCE as parquet tables,
+  * then loaded (a metadata-sized read: k·dims longs) and folded into
+  * any later batch's scoring plan as literals. Without this surface
+  * every scoring run re-trains — at 100 TB that is re-running Lloyd
+  * passes over the corpus per query batch, which no production
+  * pipeline does; with it, scoring cost is independent of training
+  * cost and the model is a versionable, auditable table like any
+  * other.
+  *
+  * Layout (one row per centroid, the vector as an array column):
+  *  - centroids:  (cluster INT, centroid ARRAY<BIGINT>)
+  *  - codebooks:  (subspace INT, code INT, centroid ARRAY<BIGINT>)
+  *
+  * Both tables are metadata-sized (k·dims / m·ksub·subDim longs), so
+  * `load*` collecting them to the driver is the same class of action
+  * as collecting a range partitioner's boundaries — NOT a data-sized
+  * collect. Determinism end-to-end: training is exact integer
+  * arithmetic, parquet stores the longs losslessly, so stored-model
+  * scoring is bit-identical to inline-trained scoring (q129's oracle
+  * proves it by re-deriving the model from the corpus in SQL).
+  */
+object ModelStore {
+
+  private val centroidSchema = StructType(Seq(
+    StructField("cluster", IntegerType, nullable = false),
+    StructField("centroid", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+
+  private val codebookSchema = StructType(Seq(
+    StructField("subspace", IntegerType, nullable = false),
+    StructField("code", IntegerType, nullable = false),
+    StructField("centroid", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+
+  /** Write a fitted centroid set as a parquet model table. */
+  def saveCentroids(spark: SparkSession, path: String,
+      cs: Array[Array[Long]]): Unit = {
+    require(cs.nonEmpty, "empty centroid set")
+    val rows = cs.zipWithIndex.map { case (c, j) => Row(j, c.toSeq) }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1), centroidSchema)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a centroid model table back into the literal form every
+    * scoring path ([[KMeans.assignTo]], [[ProductQuant.probeCells]])
+    * folds into its plan. Metadata-sized collect (k·dims longs).
+    */
+  def loadCentroids(spark: SparkSession, path: String): Array[Array[Long]] = {
+    val rows = spark.read.parquet(path)
+      .select(col("cluster"), col("centroid"))
+      .collect()
+    require(rows.nonEmpty, s"no centroids at $path")
+    val out = new Array[Array[Long]](rows.length)
+    rows.foreach { r =>
+      val j = r.getInt(0)
+      require(j >= 0 && j < out.length,
+        s"cluster id $j out of range for ${out.length} rows at $path")
+      out(j) = r.getSeq[Long](1).toArray
+    }
+    require(!out.contains(null), s"non-contiguous cluster ids at $path")
+    out
+  }
+
+  /** Write PQ sub-codebooks as a parquet model table. */
+  def saveCodebooks(spark: SparkSession, path: String,
+      cbs: Array[Array[Array[Long]]]): Unit = {
+    require(cbs.nonEmpty && cbs.forall(_.nonEmpty), "empty codebooks")
+    val rows = for {
+      (cb, s) <- cbs.zipWithIndex
+      (c, j) <- cb.zipWithIndex
+    } yield Row(s, j, c.toSeq)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1), codebookSchema)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load PQ codebooks: `out(s)(j)` = centroid j of subspace s —
+    * the exact shape [[ProductQuant.withCodes]]/[[ProductQuant.adcTopK]]
+    * take. Metadata-sized collect (m·ksub·subDim longs).
+    */
+  def loadCodebooks(spark: SparkSession,
+      path: String): Array[Array[Array[Long]]] = {
+    val rows = spark.read.parquet(path)
+      .select(col("subspace"), col("code"), col("centroid"))
+      .collect()
+    require(rows.nonEmpty, s"no codebooks at $path")
+    val m = rows.iterator.map(_.getInt(0)).max + 1
+    val ksub = rows.iterator.map(_.getInt(1)).max + 1
+    val out = Array.fill[Array[Long]](m, ksub)(null)
+    rows.foreach { r =>
+      out(r.getInt(0))(r.getInt(1)) = r.getSeq[Long](2).toArray
+    }
+    require(out.forall(cb => !cb.contains(null)),
+      s"non-contiguous (subspace, code) grid at $path")
+    out
+  }
+}

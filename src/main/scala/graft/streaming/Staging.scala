@@ -88,13 +88,24 @@ object Staging {
     scala.collection.mutable.Map.empty[(String, String, Int), String]
 
   def stageSplitAndRead(spark: SparkSession, srcParquet: String,
-      prefix: String, chunks: Int): (DataFrame, String) = {
+      prefix: String, chunks: Int,
+      orderCols: Seq[String] = Seq("ts", "event_id")): (DataFrame, String) = {
     require(chunks >= 1, s"chunks must be >= 1: $chunks")
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
     val tag = spark.sparkContext.applicationId
       .replaceAll("[^a-zA-Z0-9]", "_") + "_" + counter.incrementAndGet()
     val tmp = System.getProperty("java.io.tmpdir")
-    val key = (spark.sparkContext.applicationId, srcParquet, chunks)
+    // prefix and ordering are part of the key: the staged dir is NAMED
+    // by the first caller's prefix, so distinct prefixes (or chunk
+    // orderings) must not silently share it
+    val key = (spark.sparkContext.applicationId,
+      srcParquet + "#" + prefix + "#" + orderCols.mkString(","), chunks)
     val inDirStr = splitCache.synchronized {
+      // drop entries of earlier (stopped) sessions — same discipline as
+      // TrainQueries.incrClusterCache: a JVM cycling sessions must not
+      // accumulate stale staging registrations for its lifetime
+      splitCache.filterInPlace((k, _) =>
+        k._1 == spark.sparkContext.applicationId)
       splitCache.getOrElseUpdate(key, {
         val inDir = Paths.get(
           graft.Scratch.register(s"$tmp/${prefix}_split_$tag"))
@@ -108,7 +119,7 @@ object Staging {
         // the blocks — a checkpoint's pinned RDD is not reachable
         // through Dataset.rdd, so "unpersisting" it would be a no-op)
         val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("ts"), col("event_id"))
+          .orderBy(orderCols.map(col): _*)
         val chunked = raw.withColumn("__c", ntile(chunks).over(w))
           .persist()
         for (i <- 1 to chunks) {
@@ -145,7 +156,9 @@ object Staging {
     val raw = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(dir)
-    if (batchSchema("ts").dataType == LongType)
+    // sources without a ts column (e.g. edge streams) pass through
+    if (batchSchema.fieldNames.contains("ts") &&
+        batchSchema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
