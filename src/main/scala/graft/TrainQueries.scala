@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{QuantizedCentroid, TextFns}
 import graft.ops.{Blooms, Cardinality, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, FreqSketch, KMeans, Mixing, ModelStore, Multimodal, NearDup, PageRank, ParagraphDedup, Percentiles, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, Similarity, TableDiff}
-import graft.streaming.{EventStream, IncrementalClusters, StatefulSessions}
+import graft.streaming.{EventStream, IncrementalClusters, NearDupIndex, StatefulSessions}
 
 /** Training-data-pipeline operators (SURVEY §7.2.8) as driver-contract
   * queries: text analysis, exact + near dedup (MinHash/LSH, SimHash,
@@ -2859,6 +2859,47 @@ object TrainQueries {
   private def qStreamIncrClusters(s: SparkSession, dir: String): DataFrame =
     IncrementalClusters.run(s, dedupPairsParquet(s, dir), chunks = 3)
 
+  /** Streaming near-dup detection against a stored LSH index
+    * ([[graft.streaming.NearDupIndex]]): documents arrive in doc_id-
+    * ordered micro-batches straight off the corpus parquet, each batch
+    * is signed/banded once, probed against the PERSISTED band index of
+    * every earlier arrival, judged in signature space (est Jaccard ≥
+    * 0.5 — the q99 discipline), and appended to the index. The oracle
+    * states the same semantics non-incrementally — dup_of(d) = least
+    * e < d sharing a band with est ≥ 0.5 over the WHOLE corpus — so a
+    * green row proves the streamed fold over the stored index is
+    * bit-identical to the all-pairs formula.
+    */
+  private def qStreamNearDupIndex(s: SparkSession, dir: String): DataFrame =
+    NearDupIndex.run(s, s"$dir/documents.parquet", chunks = 3)
+
+  /** Leakage-safe train/val/test split: the q46 hash-bucket assignment
+    * keyed by near-dup CLUSTER (q71's closure — the memoized shared
+    * fixture) instead of by document, so near-duplicate documents can
+    * never straddle a split boundary and leak training text into eval
+    * — THE split discipline for LLM corpora (per-doc splits leak ~every
+    * duplicate cluster). Singleton docs (no near-dup pair) key by their
+    * own id; assignment stays scan-local once the metadata-sized label
+    * table is joined (broadcast at any corpus scale — labels are only
+    * the docs that HAVE a near-dup).
+    */
+  private def qGroupSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .join(fullClusterLabels(s, dir)
+        .select(col("node").as("doc_id"), col("cluster_rep")),
+        Seq("doc_id"), "left")
+      .withColumn("group_key",
+        coalesce(col("cluster_rep"), col("doc_id")))
+      .withColumn("bucket", expr(
+        """cast(conv(substring(md5(cast(group_key as string)), 1, 8),
+          | 16, 10) as bigint) % 100""".stripMargin))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .select("doc_id", "group_key", "split")
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -2980,7 +3021,9 @@ object TrainQueries {
     "q127_copurchase" -> (qCoPurchase _),
     "q128_incr_clusters" -> (qIncrementalClusters _),
     "q129_stored_model_ann" -> (qStoredModelAnn _),
-    "q130_stream_incr_clusters" -> (qStreamIncrClusters _))
+    "q130_stream_incr_clusters" -> (qStreamIncrClusters _),
+    "q131_stream_neardup_index" -> (qStreamNearDupIndex _),
+    "q132_group_split" -> (qGroupSplit _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -3578,6 +3621,39 @@ object TrainQueries {
       s"""WITH RECURSIVE $dedupClusterCtes
          SELECT lab.node AS doc_id, lab.cluster_rep, sz.n_members
          FROM lab JOIN sz USING (cluster_rep) ORDER BY doc_id""",
+    // q131: the all-pairs statement of the streamed-index semantics —
+    // dup_of(d) = least earlier doc sharing a band with signature-
+    // estimated Jaccard ≥ 0.5 (same minhash CTE chain as q25/q99)
+    "q131_stream_neardup_index" ->
+      s"""$minhashCtes,
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b
+             ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         est AS (SELECT id_a, id_b,
+             CAST(len(list_filter(
+                 list_zip(sa.sg, sb.sg), p -> p[1] = p[2])) AS DOUBLE)
+               / 32.0 AS est_jaccard
+           FROM cand JOIN sig sa ON cand.id_a = sa.doc_id
+                     JOIN sig sb ON cand.id_b = sb.doc_id)
+         SELECT id_b AS doc_id, CAST(MIN(id_a) AS BIGINT) AS dup_of
+         FROM est WHERE est_jaccard >= 0.5
+         GROUP BY id_b ORDER BY doc_id""",
+    // q132: the q46 bucket formula keyed by the recursive near-dup
+    // closure's cluster rep (singletons key by their own id)
+    "q132_group_split" ->
+      s"""WITH RECURSIVE $dedupClusterCtes,
+         grp AS (SELECT d.doc_id,
+             COALESCE(lab.cluster_rep, d.doc_id) AS group_key
+           FROM documents d LEFT JOIN lab ON d.doc_id = lab.node),
+         bk AS (SELECT doc_id, group_key,
+             CAST('0x' || substr(md5(CAST(group_key AS VARCHAR)), 1, 8)
+               AS BIGINT) % 100 AS bucket
+           FROM grp)
+         SELECT doc_id, group_key,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+         FROM bk ORDER BY doc_id""",
     "q65_top_bigrams" ->
       """WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
          g AS (SELECT unnest(CASE WHEN len(t) >= 2

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Damped PageRank in EXACT integer arithmetic (SURVEY §2.11
@@ -64,5 +65,100 @@ object PageRank {
         .select("node", "outdeg", "__n", "r")
     }
     ranks.select("node", "outdeg", "r")
+  }
+
+  /** Result of [[ranksAdaptive]]: the final ranks (node, outdeg, r),
+    * how many rounds actually ran, and the last residual mass
+    * Σ|r_t − r_{t−1}| (0 means an exact integer fixpoint — truncation
+    * often reaches one, but can instead settle into a limit cycle a
+    * few units wide, so callers should pass a small positive `tol`
+    * rather than demanding 0; see [[ranksAdaptive]]).
+    */
+  final case class AdaptiveRanks(ranks: DataFrame, rounds: Int,
+      residual: Long)
+
+  /** Convergence-stopped PageRank — the at-scale form of [[ranks]]:
+    * identical per-round arithmetic, but each round's node-sized state
+    * is materialized (`localCheckpoint`, truncating the otherwise
+    * iters-deep join lineage) and the residual mass Σ|r_t − r_{t−1}|
+    * rides THAT materializing aggregate — the [[DedupClusters]] snap
+    * discipline, so convergence detection costs zero extra jobs per
+    * round. Stops when the residual falls to `tol` (damping contracts
+    * the residual by ~d per round, so rounds ≈ log_{1/d}(total/tol) —
+    * data-independent) or at `maxIters`. An exact aggregate, not an
+    * accumulator, so task retries cannot distort it; Σ|Δ| ≤ 2·total
+    * cannot overflow int64. Truncating `div` means the iteration may
+    * land in a limit cycle a few units wide instead of an exact
+    * fixpoint, so `tol` = 0 is a request, not a guarantee — pass a
+    * small positive `tol` (anything ≥ ~node count dwarfs the cycle
+    * amplitude and is far below any ordering-relevant mass) and keep
+    * `maxIters` as the backstop.
+    *
+    * Fixed-round [[ranks]] stays the oracle surface (an ANSI engine
+    * replays N rounds verbatim; replaying "until converged" would need
+    * the oracle to re-implement the stop rule); this variant is what a
+    * 100 TB run calls, where a round is expensive and the needed count
+    * is not known up front. Same no-dangling contract as [[ranks]].
+    */
+  def ranksAdaptive(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int, tol: Long = 0L,
+      total: Long = 1000000000000L): AdaptiveRanks = {
+    require(maxIters >= 1, s"maxIters must be >= 1: $maxIters")
+    require(tol >= 0, s"tol must be >= 0: $tol")
+    require(total > 0, s"total mass must be positive: $total")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var cur = snapCount(deg.select(col("src").as("node"), col("outdeg"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("__n"))))
+      .withColumn("r", expr(s"${total}L div __n")))
+    var rounds = 0
+    var residual = Long.MaxValue
+    while (rounds < maxIters && residual > tol) {
+      val contrib = e
+        .join(cur._1.select(col("node").as("src"),
+          col("outdeg").as("__d"), col("r").as("__r")), "src")
+        .groupBy("dst").agg(sum(expr("__r div __d")).as("__s"))
+      val next = cur._1
+        .join(contrib.select(col("dst").as("node"), col("__s")),
+          Seq("node"), "left")
+        .withColumn("__s", coalesce(col("__s"), lit(0L)))
+        .withColumn("__rprev", col("r"))
+        .withColumn("r", expr(
+          s"(15L * (${total}L div __n)) div 100 + (85L * __s) div 100"))
+        .select("node", "outdeg", "__n", "r", "__rprev")
+      val (snapped, rdd, res) = snapResidual(next)
+      // superseded round state — release eagerly (we hold the exact
+      // RDD reference: Dataset.rdd on a checkpointed frame would be a
+      // fresh, unpinned lineage)
+      cur._2.unpersist(blocking = false)
+      cur = (snapped.select("node", "outdeg", "__n", "r"), rdd)
+      residual = res
+      rounds += 1
+    }
+    AdaptiveRanks(cur._1.select("node", "outdeg", "r"), rounds, residual)
+  }
+
+  /** Materialize node-sized rank state in one job, counting as the
+    * action (the initial state has no predecessor to diff against).
+    */
+  private def snapCount(df: DataFrame): (DataFrame, RDD[Row]) = {
+    val rdd = df.rdd
+    rdd.localCheckpoint()
+    val back = df.sparkSession.createDataFrame(rdd, df.schema)
+    back.count()
+    (back, rdd)
+  }
+
+  /** Materialize a round's state with the residual-mass aggregate as
+    * the materializing action: ONE job yields both the pinned state
+    * and the convergence signal.
+    */
+  private def snapResidual(df: DataFrame): (DataFrame, RDD[Row], Long) = {
+    val rdd = df.rdd
+    rdd.localCheckpoint()
+    val back = df.sparkSession.createDataFrame(rdd, df.schema)
+    val sig = back.agg(sum(expr("abs(r - __rprev)")).as("res")).head()
+    (back, rdd, if (sig.isNullAt(0)) 0L else sig.getLong(0))
   }
 }

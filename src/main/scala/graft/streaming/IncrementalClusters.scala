@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -87,38 +86,23 @@ object IncrementalClusters {
   private def foldBatch(spark: SparkSession, labDir: String,
       batch: DataFrame, batchId: Long): Unit = {
     if (!batch.isEmpty) {
-      val prev = latestVersionBelow(spark, labDir, batchId)
+      // labels are SNAPSHOT state: each version is the full folded
+      // labeling, so a batch reads the one latest version below its id
+      // (the VersionedStore replay discipline)
+      val prev = VersionedStore.latestBelow(spark, labDir, batchId)
         .map(p => spark.read.parquet(p))
         .getOrElse(emptyLabels(spark))
-      DedupClusters.incrementalComponents(prev, batch, "id_a", "id_b")
-        .write.mode("overwrite").parquet(s"$labDir/batch-$batchId")
+      VersionedStore.write(
+        DedupClusters.incrementalComponents(prev, batch, "id_a", "id_b"),
+        labDir, batchId)
     }
   }
 
   /** The current labeling = the highest committed version. */
   def currentLabels(spark: SparkSession,
       labDir: String): Option[DataFrame] =
-    latestVersionBelow(spark, labDir, Long.MaxValue)
+    VersionedStore.latestBelow(spark, labDir, Long.MaxValue)
       .map(p => spark.read.parquet(p))
-
-  private def latestVersionBelow(spark: SparkSession, labDir: String,
-      bound: Long): Option[String] = {
-    val dir = new Path(labDir)
-    // the session's Hadoop filesystem — the SAME resolution the writer
-    // used (the q58 lesson: java.io.File lies for non-local default FS)
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(dir)) None
-    else fs.listStatus(dir).iterator
-      .filter(_.isDirectory)
-      .map(_.getPath)
-      .filter(_.getName.startsWith("batch-"))
-      .map(p => (p.getName.stripPrefix("batch-").toLong, p.toString))
-      .filter(_._1 < bound)
-      .toSeq
-      .sortBy(_._1)
-      .lastOption
-      .map(_._2)
-  }
 
   private def emptyLabels(spark: SparkSession): DataFrame =
     spark.range(0)

@@ -49,4 +49,62 @@ class PageRankSpec extends AnyFunSuite {
     assert(rows.map(r => r._1 -> r._2).toMap === Map(1L -> 5L) ++
       (2L to 6L).map(_ -> 1L).toMap)
   }
+
+  test("adaptive run matches the fixed-round run at its stop count") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (4L, 1L))
+    val ar = PageRank.ranksAdaptive(edges.toDF("src", "dst"),
+      "src", "dst", maxIters = 60, tol = 0L)
+    val adaptive = ar.ranks.collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // per-round arithmetic is identical, so stopping after `rounds`
+    // must equal running exactly `rounds` fixed iterations
+    assert(adaptive === reference(edges, ar.rounds, 1000000000000L))
+  }
+
+  test("adaptive stops at the integer fixpoint, well before maxIters, " +
+      "and one more round would not change the ranks") {
+    import spark.implicits._
+    // the asymmetric graph reaches an EXACT integer fixpoint (residual
+    // 0 at round 3, driver-replay-verified) — unlike the star graph,
+    // which settles into a 9-unit limit cycle (covered below)
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (4L, 1L))
+    val ar = PageRank.ranksAdaptive(edges.toDF("src", "dst"),
+      "src", "dst", maxIters = 200, tol = 0L)
+    assert(ar.residual === 0L)
+    assert(ar.rounds < 200, s"did not converge early: ${ar.rounds}")
+    val atStop = ar.ranks.collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // stationarity: the fixed-round run one past the stop is identical
+    assert(atStop === reference(edges, ar.rounds + 1, 1000000000000L))
+  }
+
+  test("a small positive tol terminates a limit-cycling graph early") {
+    import spark.implicits._
+    // star: truncation never reaches residual 0 (a persistent 9-unit
+    // cycle); tol above the cycle amplitude stops once the geometric
+    // decay (~0.85/round from ~1.1e12) crosses it, well before the
+    // maxIters backstop
+    val half = (2L to 6L).map(v => (1L, v))
+    val edges = half ++ half.map(_.swap)
+    val ar = PageRank.ranksAdaptive(edges.toDF("src", "dst"),
+      "src", "dst", maxIters = 200, tol = 16L)
+    assert(ar.residual <= 16L)
+    assert(ar.rounds < 200, s"did not converge early: ${ar.rounds}")
+    assert(ar.ranks.collect().map(r => r.getLong(0) -> r.getLong(2))
+      .toMap === reference(edges, ar.rounds, 1000000000000L))
+  }
+
+  test("tol bounds rounds: a loose tolerance stops earlier than exact") {
+    import spark.implicits._
+    // residuals on this graph: 6.375e11, 1.80625e11, 0 — so tol=2e11
+    // stops after round 2, tol=0 after round 3
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (4L, 1L))
+    val exact = PageRank.ranksAdaptive(edges.toDF("src", "dst"),
+      "src", "dst", maxIters = 200, tol = 0L)
+    val loose = PageRank.ranksAdaptive(edges.toDF("src", "dst"),
+      "src", "dst", maxIters = 200, tol = 200000000000L)
+    assert(loose.rounds < exact.rounds)
+    assert(loose.residual <= 200000000000L)
+  }
 }
