@@ -44,6 +44,17 @@ object IncrementalClusters {
     */
   def run(spark: SparkSession, edgesParquet: String,
       chunks: Int = 3): DataFrame =
+    runWithHistory(spark, edgesParquet, chunks)._1
+
+  /** [[run]], also returning the label store's directory — the version
+    * history is itself a queryable surface ([[VersionedStore.readAt]]):
+    * version k is the complete labeling as of micro-batch k, so a
+    * caller can audit "what were the clusters after Tuesday's ingest"
+    * without replaying anything (q135 oracles exactly that read against
+    * a prefix recompute).
+    */
+  def runWithHistory(spark: SparkSession, edgesParquet: String,
+      chunks: Int = 3): (DataFrame, String) =
       // quotient-CC joins are batch-sized; 4 partitions sized to state,
       // not scan width (the q122 discipline)
       Staging.withStreamShufflePartitions(spark, n = "4") {
@@ -53,9 +64,9 @@ object IncrementalClusters {
     val labDir = graft.Scratch.register(s"$tmp/graft_incrcc_lab_$tag")
     val ck = graft.Scratch.register(s"$tmp/graft_incrcc_ck_$tag")
     runInto(spark, edges, labDir, ck)
-    DedupClusters.withSizes(
+    (DedupClusters.withSizes(
         currentLabels(spark, labDir).getOrElse(emptyLabels(spark)))
-      .orderBy("doc_id")
+      .orderBy("doc_id"), labDir)
   }
 
   /** The pipeline against CALLER-OWNED label-store and checkpoint

@@ -66,4 +66,82 @@ object VersionedStore {
     */
   def write(df: DataFrame, dir: String, batchId: Long): Unit =
     df.write.mode("overwrite").parquet(s"$dir/batch-$batchId")
+
+  /** Time travel: read exactly version `batchId` if committed. For
+    * snapshot state this is the store AS OF that batch — what an
+    * incremental pipeline's audit ("what were the labels after
+    * Tuesday's ingest?") and backfill-from-a-known-good-point both
+    * read. None when that version was never committed or has been
+    * retired by [[compactSnapshots]].
+    */
+  def readAt(spark: SparkSession, dir: String,
+      batchId: Long): Option[DataFrame] = {
+    val p = new Path(s"$dir/batch-$batchId")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Retention for SNAPSHOT stores: delete all but the newest
+    * `retainLast` versions, returning the retired batch ids. Each
+    * snapshot version is the complete folded state, so old versions
+    * exist only for time travel / replay — and replay can only revisit
+    * ids the stream's checkpoint has NOT committed past, so the safe
+    * call site is "retain at least the checkpoint's uncommitted
+    * window" (the VACUUM-vs-time-travel retention trade every
+    * versioned table format documents). Never deletes the latest
+    * version regardless of `retainLast`.
+    */
+  def compactSnapshots(spark: SparkSession, dir: String,
+      retainLast: Int): Seq[Long] = {
+    require(retainLast >= 1, s"retainLast must be >= 1: $retainLast")
+    val all = allBelow(spark, dir, Long.MaxValue)
+    val retire = all.dropRight(retainLast)
+    val fs = new Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    retire.map { p =>
+      fs.delete(new Path(p), true)
+      p.split("batch-").last.toLong
+    }
+  }
+
+  /** Compaction for APPEND stores: union every version with id ≤
+    * `upTo` into ONE consolidated version `batch-<upTo>` and delete
+    * the inputs — the small-files cure for a long-running index (a
+    * year of daily batches is 365 directories; reads pay per-file
+    * open cost and the listing itself). Contents are preserved
+    * exactly: union-read before ≡ union-read after. Crash safety is
+    * write-ahead: the consolidated copy is FULLY written (parquet
+    * `_SUCCESS` marker) to a dot-prefixed temp directory — invisible
+    * to [[allBelow]] — before any input is removed, and a re-run first
+    * ADOPTS a marker-complete temp copy from a crashed predecessor
+    * (which already holds every original input's rows, including any
+    * the crash had started deleting) instead of rebuilding from the
+    * survivors; a marker-less (half-written) temp is discarded and
+    * rebuilt. So recovery = re-run with the SAME `upTo`; no committed
+    * row is ever readable only half-written. Same retention rule as
+    * [[compactSnapshots]]: only consolidate ids the stream's
+    * checkpoint has committed past, so no replay can write below the
+    * consolidated version.
+    */
+  def consolidateAppend(spark: SparkSession, dir: String,
+      upTo: Long): Unit = {
+    val fs = new Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(s"$dir/.compact-$upTo")
+    val complete = fs.exists(new Path(tmp, "_SUCCESS"))
+    if (!complete) {
+      if (fs.exists(tmp)) fs.delete(tmp, true) // half-written attempt
+      val inputs = allBelow(spark, dir, Long.MaxValue)
+        .filter(_.split("batch-").last.toLong <= upTo)
+      if (inputs.isEmpty) return
+      spark.read.parquet(inputs: _*)
+        .write.mode("overwrite").parquet(tmp.toString)
+    }
+    // the temp copy now subsumes every version ≤ upTo that still
+    // exists; retire them and promote the copy
+    allBelow(spark, dir, Long.MaxValue)
+      .filter(_.split("batch-").last.toLong <= upTo)
+      .foreach(p => fs.delete(new Path(p), true))
+    fs.rename(tmp, new Path(s"$dir/batch-$upTo"))
+  }
 }

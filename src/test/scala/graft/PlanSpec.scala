@@ -358,4 +358,25 @@ class PlanSpec extends AnyFunSuite {
     // rank ordering is a top-k, not a global sort
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("q133: triangle wedges and closings are equi-joins — no " +
+      "cartesian, no nested-loop anywhere") {
+    // the degree-ordered orientation's whole point: wedge build joins
+    // on src, closing probes join on (dst1, dst2) — a cartesian or
+    // BNLJ here means the orientation predicate fell out of the keys
+    val p = sparkPlan("q133_triangles")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q134: prefix index and verification are equi-joins; the " +
+      "per-doc prefix window stays doc-partitioned") {
+    val p = sparkPlan("q134_setsim_join")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the prefix ranking must partition by doc (doc-bounded frames) —
+    // a global window here would single-task the corpus
+    assert(p.contains("windowspecdefinition(__id"),
+      s"prefix window not partitioned by doc:\n${p.take(1200)}")
+  }
 }

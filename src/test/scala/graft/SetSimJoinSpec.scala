@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.SetSimJoin
+
+/** The prefix-filter pruning must be LOSSLESS: every pair with true
+  * Jaccard ≥ t comes back, with the exact intersection size — checked
+  * against a driver-side brute force over all pairs, plus the edge
+  * cases the prefix formula has to get right (identical docs, docs
+  * shorter than the shingle width, threshold 1.0).
+  */
+class SetSimJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def grams(text: String, n: Int): Set[String] = {
+    val t = text.split(" ")
+    if (t.length < n) Set(t.mkString(" "))
+    else t.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  private def brute(docs: Seq[(Long, String)], n: Int,
+      t: Double): Set[(Long, Long, Long)] =
+    (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      ga = grams(ta, n); gb = grams(tb, n)
+      inter = (ga & gb).size
+      j = inter.toDouble / (ga.size + gb.size - inter)
+      if j >= t
+    } yield (ia, ib, inter.toLong)).toSet
+
+  private def run(docs: Seq[(Long, String)], n: Int,
+      t: Double): Set[(Long, Long, Long)] = {
+    import spark.implicits._
+    SetSimJoin.prefixJaccardPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", n, t)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+  }
+
+  private val corpus = Seq(
+    1L -> "a b c d e f g h",
+    2L -> "a b c d e f g x",     // near-dup of 1
+    3L -> "a b c d e f g h",     // exact dup of 1
+    4L -> "p q r s t u v w",     // disjoint
+    5L -> "p q r s t u v y",     // near-dup of 4
+    6L -> "m n",                 // shorter than the shingle width
+    7L -> "m n")                 // its exact dup
+
+  test("matches brute force at t=0.5 (no false negatives, none extra)") {
+    assert(run(corpus, n = 3, t = 0.5) === brute(corpus, 3, 0.5))
+  }
+
+  test("matches brute force at a high threshold") {
+    assert(run(corpus, n = 3, t = 0.9) === brute(corpus, 3, 0.9))
+  }
+
+  test("t=1.0 returns exactly the identical-set pairs") {
+    val out = run(corpus, n = 3, t = 1.0)
+    assert(out === Set((1L, 3L, 6L), (6L, 7L, 1L)))
+  }
+
+  test("unigram shingles against brute force") {
+    assert(run(corpus, n = 1, t = 0.5) === brute(corpus, 1, 0.5))
+  }
+
+  test("pruning is lossless on a skewed corpus (shared stop-grams)") {
+    // every doc shares the 'the of and' stop tail — the high-df grams
+    // a df-cap would drop; prefix filtering must still return every
+    // qualifying pair exactly
+    val skew = (0L until 12L).map { i =>
+      i -> (s"w$i x$i y$i z${i % 3} the of and")
+    }
+    assert(run(skew, n = 2, t = 0.3) === brute(skew, 2, 0.3))
+  }
+}
