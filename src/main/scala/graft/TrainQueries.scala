@@ -5,8 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{QuantizedCentroid, TextFns}
-import graft.ops.{Blooms, Cardinality, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, FreqSketch, KMeans, Mixing, ModelStore, Multimodal, NearDup, PageRank, ParagraphDedup, Percentiles, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, SetSimJoin, Similarity, TableDiff, Triangles}
-import graft.streaming.{EventStream, IncrementalClusters, NearDupIndex, StatefulSessions, VersionedStore}
+import graft.ops.{Blooms, Cardinality, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, FreqSketch, KCore, KMeans, Mixing, ModelStore, Multimodal, NearDup, PageRank, ParagraphDedup, Percentiles, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, SetSimJoin, Similarity, TableDiff, Triangles}
+import graft.streaming.{BudgetAdmission, EventStream, IncrementalClusters, NearDupIndex, RateMonitor, StatefulSessions, VersionedStore}
 
 /** Training-data-pipeline operators (SURVEY §7.2.8) as driver-contract
   * queries: text analysis, exact + near dedup (MinHash/LSH, SimHash,
@@ -2438,18 +2438,40 @@ object TrainQueries {
     * the top-20 is a TakeOrderedAndProject.
     */
   private def qBm25(s: SparkSession, dir: String): DataFrame = {
-    val terms = Seq("spark", "merge", "window")
-    val docs = t(s, dir, "documents")
+    val docs = bm25Docs(t(s, dir, "documents"))
+    val stats = docs.agg(count(lit(1)).as("__n"), sum("dl").as("__sumdl"))
+    val tf = bm25Postings(docs)
+      .filter(col("term").isin(bm25Terms: _*))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    bm25TopK(tf, dfc, stats)
+  }
+
+  private val bm25Terms = Seq("spark", "merge", "window")
+
+  private def bm25Docs(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"),
         expr("filter(split(text, ' '), x -> x <> '')").as("__t"))
       .select(col("doc_id"), col("__t"),
         size(col("__t")).cast("long").as("dl"))
-    val stats = docs.agg(count(lit(1)).as("__n"), sum("dl").as("__sumdl"))
-    val tf = docs
+
+  /** (doc_id, dl, term, tf) postings — the append-only index half of
+    * the retrieval state (all terms: the production posting list, not
+    * just the fixture's query terms).
+    */
+  private def bm25Postings(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("dl"), explode(col("__t")).as("term"))
-      .filter(col("term").isin(terms: _*))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** The q116 scoring kernel, shared verbatim by the full-corpus form
+    * and q136's merged-stored-stats form so the two produce
+    * bit-identical floats: per-term contributions are summed in the
+    * FIXED left-fold expression order (never a row-order float SUM),
+    * rational idf, Robertson k1/b normalization.
+    */
+  private def bm25TopK(tf: DataFrame, dfc: DataFrame,
+      stats: DataFrame): DataFrame = {
     val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
     val norm = col("tf").cast("double") +
       lit(1.2) * (lit(1.0) - lit(0.75) +
@@ -2463,8 +2485,7 @@ object TrainQueries {
       .crossJoin(broadcast(stats))
       .withColumn("__c", contrib)
       .groupBy("doc_id")
-      .agg((termSum("spark") + termSum("merge") + termSum("window"))
-          .as("score"),
+      .agg(bm25Terms.map(termSum).reduce(_ + _).as("score"),
         count(lit(1)).as("n_terms"))
       .orderBy(col("score").desc, col("doc_id")).limit(20)
     scored
@@ -2746,12 +2767,20 @@ object TrainQueries {
     * never events — at 100 TB the explode input is still just
     * hours × types.
     */
-  private def qEwmaRates(s: SparkSession, dir: String): DataFrame = {
+  private def qEwmaRates(s: SparkSession, dir: String): DataFrame =
+    ewmaFromBuckets(
+      t(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hr"))
+        .groupBy("event_type", "hr").agg(count(lit(1)).as("cnt")))
+
+  /** The q126 emission kernel over hourly (event_type, hr, cnt)
+    * buckets, shared verbatim by the batch form and q138's
+    * folded-state form so the two produce bit-identical longs: the
+    * smoothing reads only the bucket table, never the event stream.
+    */
+  private def ewmaFromBuckets(hourly: DataFrame): DataFrame = {
     val horizon = 24
-    val hourly = t(s, dir, "events")
-      .select(col("event_type"),
-        expr("unix_micros(ts) div 3600000000").as("hr"))
-      .groupBy("event_type", "hr").agg(count(lit(1)).as("cnt"))
     val contrib = hourly
       .select(col("event_type"), col("cnt"), col("hr"),
         explode(expr(s"sequence(0, $horizon)")).as("k"))
@@ -2767,6 +2796,20 @@ object TrainQueries {
           lit(16777216.0d)).as("ewma"))
       .orderBy("event_type", "hr")
   }
+
+  /** Streaming ingest-rate monitoring (q138): events arrive in
+    * micro-batches, [[graft.streaming.RateMonitor]] folds each batch's
+    * hourly partial counts into the versioned bucket store (counts
+    * add; an hour straddling batches MERGES), and the q126 EWMA is
+    * emitted from the FOLDED state — the stored sufficient statistic —
+    * via the shared [[ewmaFromBuckets]] kernel. Sharing q126's oracle
+    * proves fold-then-smooth ≡ smooth-over-everything bit-for-bit:
+    * the monitoring twin of the q130/q131/q137 deployable
+    * compositions.
+    */
+  private def qStreamEwma(s: SparkSession, dir: String): DataFrame =
+    ewmaFromBuckets(
+      RateMonitor.run(s, s"$dir/events.parquet", chunks = 3))
 
   /** Market-basket association mining: supplier pairs co-purchased by
     * the same customer, ranked by co-occurrence with exact
@@ -2926,6 +2969,20 @@ object TrainQueries {
         "doc_id", "text", n = 3, minJaccard = 0.5)
       .orderBy("id_a", "id_b")
 
+  /** 2-core of the near-dup pair graph ([[graft.ops.KCore]]) — the
+    * density profile of the SAME shared edge fixture q71/q107/q128/
+    * q133 consume: members of the core are the densely interlinked
+    * duplicates safe to transitively merge; everything peeled away is
+    * the pendant/bridge fringe a reviewer should see first. The Spark
+    * side runs peeling to its fixpoint (maxRounds pins the bound); the
+    * oracle unrolls the same simultaneous-removal rounds, which is
+    * sound because the k-core is unique and extra rounds past the
+    * fixpoint are no-ops.
+    */
+  private def qKCore(s: SparkSession, dir: String): DataFrame =
+    KCore.coreNodes(dedupPairs(s, dir), "id_a", "id_b", k = 2,
+      maxRounds = 8).nodes.orderBy("node")
+
   /** Time travel over q130's versioned label store
     * ([[VersionedStore.readAt]]): the state AS OF micro-batch 1 —
     * clusters after the first two of three ingests — read straight
@@ -2955,6 +3012,73 @@ object TrainQueries {
       IncrementalClusters.runWithHistory(
         s, dedupPairsParquet(s, dir), chunks = 3)._2
     }
+
+  /** Incremental BM25 retrieval-statistics maintenance (q136): the
+    * retrieval-index member of the incremental axis. The index state
+    * of a search deployment is (a) per-doc postings — APPEND-ONLY, a
+    * batch only adds its own rows — and (b) the tiny global stats the
+    * scoring function reads (N, Σdl, per-term df), every one a
+    * commutative monoid (counts add). So a daily crawl folds into the
+    * stored stats WITHOUT rescanning history text — the q121 partial-
+    * merge argument applied to retrieval — and scoring with merged
+    * stats must be bit-identical to scoring a full recompute, which is
+    * exactly what sharing q116's oracle proves (same discipline as
+    * q128/q130 sharing q71's). History artifacts (postings + df +
+    * stats, the stored index tables) are built once per (session,
+    * corpus): the doc_id % 5 != 0 docs, the q67/q128 history/arrival
+    * convention.
+    */
+  private val bm25StatsCache = scala.collection.mutable.Map
+    .empty[(String, String), (String, String, String)]
+
+  private def bm25HistArtifacts(s: SparkSession,
+      dir: String): (String, String, String) =
+    sessionFixture(bm25StatsCache, s, dir) {
+      val tag = (s.sparkContext.applicationId + "_" + dir)
+        .replaceAll("[^a-zA-Z0-9]", "_")
+      val tmp = System.getProperty("java.io.tmpdir")
+      val hist = bm25Docs(t(s, dir, "documents")
+        .filter(col("doc_id") % 5 =!= 0))
+      val postings = bm25Postings(hist).localCheckpoint()
+      val pPath = graft.Scratch.register(s"$tmp/graft_bm25_post_$tag")
+      val dPath = graft.Scratch.register(s"$tmp/graft_bm25_df_$tag")
+      val sPath = graft.Scratch.register(s"$tmp/graft_bm25_stats_$tag")
+      postings.write.mode("overwrite").parquet(pPath)
+      postings.groupBy("term").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(dPath)
+      hist.agg(count(lit(1)).as("__n"), sum("dl").as("__sumdl"))
+        .write.mode("overwrite").parquet(sPath)
+      (pPath, dPath, sPath)
+    }
+
+  private def qIncrBm25(s: SparkSession, dir: String): DataFrame = {
+    val (pPath, dPath, sPath) = bm25HistArtifacts(s, dir)
+    // the arriving batch: only ITS text is scanned
+    val batch = bm25Docs(t(s, dir, "documents")
+      .filter(col("doc_id") % 5 === 0))
+    val bPostings = bm25Postings(batch).localCheckpoint()
+    // stats fold: every piece a monoid — df outer-merges (a term may
+    // be new, historical, or both), N and Σdl add
+    val mergedDf = s.read.parquet(dPath)
+      .select(col("term"), col("df").as("__dh"))
+      .join(bPostings.groupBy("term").agg(count(lit(1)).as("__db")),
+        Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("__dh"), lit(0L)) + coalesce(col("__db"), lit(0L)))
+          .as("df"))
+    val mergedStats = s.read.parquet(sPath)
+      .unionByName(batch.agg(count(lit(1)).as("__n"),
+        sum("dl").as("__sumdl")))
+      .agg(sum("__n").as("__n"), sum("__sumdl").as("__sumdl"))
+    // postings union: history rows come from the STORED table (no
+    // history text in the plan), filtered to the query terms before
+    // the union so only metadata-sized rows move
+    val tf = s.read.parquet(pPath)
+      .filter(col("term").isin(bm25Terms: _*))
+      .unionByName(bPostings.filter(col("term").isin(bm25Terms: _*)))
+    bm25TopK(tf,
+      mergedDf.filter(col("term").isin(bm25Terms: _*)), mergedStats)
+  }
 
   // ---------------------------------------------------------------------
   // Contract maps
@@ -3082,12 +3206,75 @@ object TrainQueries {
     "q132_group_split" -> (qGroupSplit _),
     "q133_triangles" -> (qTriangles _),
     "q134_setsim_join" -> (qSetSimJoin _),
-    "q135_state_time_travel" -> (qStateTimeTravel _))
+    "q135_state_time_travel" -> (qStateTimeTravel _),
+    "q136_incr_bm25" -> (qIncrBm25 _),
+    "q137_stream_budget" -> ((s: SparkSession, dir: String) =>
+      BudgetAdmission.run(s, s"$dir/documents.parquet",
+        budget = 20000L, chunks = 3)),
+    "q138_stream_ewma" -> (qStreamEwma _),
+    "q139_kcore" -> (qKCore _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
     * with the same replay.
     */
+  /** Shared by q126 (batch EWMA) and q138 (streamed bucket fold): the
+    * smoothing over the folded sufficient statistic must equal the
+    * smoothing over everything — mirrors [[ewmaFromBuckets]].
+    */
+  private val ewmaOracle =
+    """WITH hourly AS (SELECT event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+           COUNT(*) AS cnt
+         FROM events GROUP BY 1, 2),
+       c AS (SELECT event_type, hr + k AS hr2,
+           cnt * (CAST(1 AS BIGINT) << (24 - k)) AS w
+         FROM hourly, (SELECT unnest(range(0, 25)) AS k) u),
+       e AS (SELECT event_type, hr2 AS hr,
+           CAST(SUM(w) AS BIGINT) AS ewma_scaled
+         FROM c GROUP BY 1, 2)
+       SELECT h.event_type, h.hr, h.cnt, e.ewma_scaled,
+           CAST(e.ewma_scaled AS DOUBLE) / 16777216.0 AS ewma
+       FROM e JOIN hourly h ON e.event_type = h.event_type
+            AND e.hr = h.hr
+       ORDER BY h.event_type, h.hr"""
+
+  /** Shared by q116 (full-corpus BM25) and q136 (merged stored stats):
+    * the incremental fold must score bit-identically to this full
+    * recompute. Mirrors [[bm25TopK]] — fixed per-term sum order,
+    * rational idf, Robertson k1=1.2 / b=0.75.
+    */
+  private val bm25Oracle =
+    """WITH d AS (SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS t
+         FROM documents),
+       dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
+       st AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM dl),
+       tok AS (SELECT doc_id, unnest(t) AS term FROM d),
+       tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+         WHERE term IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+       dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       sc AS (SELECT tf.doc_id, tf.term,
+           (CAST(tf.tf AS DOUBLE) * 2.2
+             / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+                 + 0.75 * CAST(dl.dl AS DOUBLE)
+                   / (CAST(st.sumdl AS DOUBLE) / CAST(st.n AS DOUBLE)))))
+           * ((CAST(st.n AS DOUBLE) - CAST(dfc.df AS DOUBLE) + 0.5)
+             / (CAST(dfc.df AS DOUBLE) + 0.5)) AS c
+         FROM tf JOIN dl USING (doc_id) JOIN dfc USING (term), st),
+       agg AS (SELECT doc_id,
+           COALESCE(SUM(c) FILTER (WHERE term = 'spark'), 0.0)
+             + COALESCE(SUM(c) FILTER (WHERE term = 'merge'), 0.0)
+             + COALESCE(SUM(c) FILTER (WHERE term = 'window'), 0.0)
+             AS score,
+           COUNT(*) AS n_terms
+         FROM sc GROUP BY 1),
+       r AS (SELECT doc_id, score, CAST(n_terms AS BIGINT) AS n_terms,
+           row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+         FROM agg)
+       SELECT CAST(rk AS BIGINT) AS rank, doc_id, score, n_terms
+       FROM r WHERE rk <= 20 ORDER BY rank"""
+
   private val intervalJoinOracle =
     """WITH e AS (SELECT user_id, event_id, event_type,
            epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events)
@@ -3117,6 +3304,41 @@ object TrainQueries {
              FROM idx a JOIN idx b
                ON a.gram = b.gram AND a.doc_id < b.doc_id
              GROUP BY 1, 2)"""
+
+  /** q139's oracle: the near-dup edge set (the q133 pair CTEs), then
+    * `rounds` UNROLLED simultaneous-removal peel rounds — sound
+    * because the k-core fixpoint is unique and rounds past it are
+    * no-ops; the Spark side's maxRounds pins the same bound, so an
+    * insufficient unroll fails loudly there, never as a silent hash
+    * mismatch.
+    */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    // every peel CTE is MATERIALIZED: each e_i is referenced three
+    // times by round i+1, so inlining would expand the base scan
+    // 3^rounds times (DuckDB ran out of file handles at 8 rounds)
+    val peel = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM
+             (SELECT lo AS node FROM e${i - 1}
+              UNION ALL SELECT hi FROM e${i - 1}) u$i
+           GROUP BY node),
+         e$i AS MATERIALIZED (SELECT lo, hi FROM e${i - 1}
+           WHERE lo IN (SELECT node FROM d$i WHERE d >= $k)
+             AND hi IN (SELECT node FROM d$i WHERE d >= $k))"""
+    }.mkString(",\n         ")
+    s"""WITH $ngramIdxCte,
+       e0 AS MATERIALIZED (SELECT id_a AS lo, id_b AS hi
+           FROM p JOIN na x ON p.id_a = x.doc_id
+                JOIN na y ON p.id_b = y.doc_id
+           WHERE CAST(n_shared AS DOUBLE)
+                 / CAST(x.n + y.n - n_shared AS DOUBLE) >= 0.5),
+       $peel,
+       fd AS (SELECT node, COUNT(*) AS d FROM
+           (SELECT lo AS node FROM e$rounds
+            UNION ALL SELECT hi FROM e$rounds) uf
+         GROUP BY node)
+       SELECT node, CAST(d AS BIGINT) AS core_degree
+       FROM fd ORDER BY node"""
+  }
 
   /** Shared by the q71 and q107 oracles: q64's df-capped pair CTEs →
     * recursive closure → (node, cluster_rep) labels + component sizes.
@@ -4384,36 +4606,26 @@ object TrainQueries {
     // the parquet model roundtrip is lossless end-to-end
     "q129_stored_model_ann" -> pqAnnOracle(4, 16, 2, ivfCells = 8,
       ivfIters = 2, nprobe = 2, storedShape = true),
-    "q116_bm25" ->
+    "q116_bm25" -> bm25Oracle,
+    // q136 shares q116's full-recompute oracle: scoring against the
+    // MERGED stored stats (history fold + batch) must be bit-identical
+    // to scoring a full recompute — the q71/q128/q130 shared-oracle
+    // discipline applied to the retrieval index
+    "q136_incr_bm25" -> bm25Oracle,
+    // q137: one prefix sum over the whole corpus in arrival (doc_id)
+    // order with the q86 boundary rule — what the streamed quota fold
+    // must reproduce across micro-batch boundaries
+    "q137_stream_budget" ->
       """WITH d AS (SELECT doc_id,
-             list_filter(string_split(text, ' '), x -> x <> '') AS t
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
            FROM documents),
-         dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
-         st AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM dl),
-         tok AS (SELECT doc_id, unnest(t) AS term FROM d),
-         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
-           WHERE term IN ('spark', 'merge', 'window') GROUP BY 1, 2),
-         dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-         sc AS (SELECT tf.doc_id, tf.term,
-             (CAST(tf.tf AS DOUBLE) * 2.2
-               / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75
-                   + 0.75 * CAST(dl.dl AS DOUBLE)
-                     / (CAST(st.sumdl AS DOUBLE) / CAST(st.n AS DOUBLE)))))
-             * ((CAST(st.n AS DOUBLE) - CAST(dfc.df AS DOUBLE) + 0.5)
-               / (CAST(dfc.df AS DOUBLE) + 0.5)) AS c
-           FROM tf JOIN dl USING (doc_id) JOIN dfc USING (term), st),
-         agg AS (SELECT doc_id,
-             COALESCE(SUM(c) FILTER (WHERE term = 'spark'), 0.0)
-               + COALESCE(SUM(c) FILTER (WHERE term = 'merge'), 0.0)
-               + COALESCE(SUM(c) FILTER (WHERE term = 'window'), 0.0)
-               AS score,
-             COUNT(*) AS n_terms
-           FROM sc GROUP BY 1),
-         r AS (SELECT doc_id, score, CAST(n_terms AS BIGINT) AS n_terms,
-             row_number() OVER (ORDER BY score DESC, doc_id) AS rk
-           FROM agg)
-         SELECT CAST(rk AS BIGINT) AS rank, doc_id, score, n_terms
-         FROM r WHERE rk <= 20 ORDER BY rank""",
+         cum AS (SELECT doc_id, n_tok,
+             CAST(SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+           FROM d)
+         SELECT doc_id, n_tok, cum_tok
+         FROM cum WHERE cum_tok - n_tok < 20000
+         ORDER BY doc_id""",
     "q117_boilerplate" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
                        FROM documents),
@@ -4592,22 +4804,15 @@ object TrainQueries {
          FROM d JOIN nrm na ON d.vec_id = na.vec_id
               JOIN nrm nb ON d.neg_id = nb.vec_id
          ORDER BY d.vec_id, d.j""",
-    "q126_ewma_rates" ->
-      """WITH hourly AS (SELECT event_type,
-             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
-             COUNT(*) AS cnt
-           FROM events GROUP BY 1, 2),
-         c AS (SELECT event_type, hr + k AS hr2,
-             cnt * (CAST(1 AS BIGINT) << (24 - k)) AS w
-           FROM hourly, (SELECT unnest(range(0, 25)) AS k) u),
-         e AS (SELECT event_type, hr2 AS hr,
-             CAST(SUM(w) AS BIGINT) AS ewma_scaled
-           FROM c GROUP BY 1, 2)
-         SELECT h.event_type, h.hr, h.cnt, e.ewma_scaled,
-             CAST(e.ewma_scaled AS DOUBLE) / 16777216.0 AS ewma
-         FROM e JOIN hourly h ON e.event_type = h.event_type
-              AND e.hr = h.hr
-         ORDER BY h.event_type, h.hr""",
+    "q126_ewma_rates" -> ewmaOracle,
+    // q138 shares q126's batch oracle: the EWMA emitted from the
+    // FOLDED bucket state must be bit-identical to smoothing the whole
+    // stream at once — the q71/q116 shared-oracle discipline applied
+    // to the monitoring statistic
+    "q138_stream_ewma" -> ewmaOracle,
+    // q139: same pair CTEs as q133, then the unrolled peel — the
+    // Spark side's maxRounds = 8 pins the oracle's unroll depth
+    "q139_kcore" -> kcoreOracle(k = 2, rounds = 8),
     "q127_copurchase" ->
       """WITH cs AS (SELECT DISTINCT o_custkey AS cust,
              l_suppkey AS supp
