@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{QuantizedCentroid, TextFns}
-import graft.ops.{Blooms, Cardinality, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, FreqSketch, KCore, KMeans, Mixing, ModelStore, Multimodal, NearDup, PageRank, ParagraphDedup, Percentiles, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, SetSimJoin, Similarity, TableDiff, Triangles}
+import graft.ops.{Blooms, Cardinality, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, FreqSketch, KCore, KMeans, Mixing, ModelStore, Multimodal, NearDup, Packing, PageRank, ParagraphDedup, Percentiles, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, SetSimJoin, Similarity, TableDiff, Triangles}
 import graft.streaming.{BudgetAdmission, EventStream, IncrementalClusters, NearDupIndex, RateMonitor, StatefulSessions, VersionedStore}
 
 /** Training-data-pipeline operators (SURVEY §7.2.8) as driver-contract
@@ -2983,6 +2983,184 @@ object TrainQueries {
     KCore.coreNodes(dedupPairs(s, dir), "id_a", "id_b", k = 2,
       maxRounds = 8).nodes.orderBy("node")
 
+  /** GROUPING SETS with an explicit set list (q140) — the §2.5 member
+    * rollup (q38) and cube (q74) don't cover: the caller names exactly
+    * the aggregation levels ((lang, source), (lang), (source)) and
+    * nothing else — no grand total, unlike both — one shuffle
+    * producing all three (Spark expands sets over one Expand node, so
+    * the fact table is scanned once regardless of how many levels).
+    */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupingSets(
+        Seq(Seq(col("lang"), col("source")), Seq(col("lang")),
+          Seq(col("source"))),
+        col("lang"), col("source"))
+      .agg(grouping_id().cast("bigint").as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("gid"), col("n_docs"), col("sum_chars"))
+      .orderBy("gid", "lang", "source")
+
+  /** Robust outlier profiling via median absolute deviation (q141) —
+    * the monitoring family's robust member: q93/q94 winsorize/z-score
+    * stand on mean ± stddev, which outliers themselves drag; the
+    * MAD-based modified z-score (threshold 3·1.4826·MAD ≈ 3σ under
+    * normality) is the textbook robust alternative. Two exact-median
+    * passes over the [[Percentiles.exactFewGroups]] machinery (every
+    * core busy regardless of group count), each result metadata-sized
+    * and broadcast back — the deviation column never shuffles.
+    */
+  private def qMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select("event_type", "value")
+    val med = Percentiles.exactFewGroups(ev, Seq("event_type"), "value",
+      Seq(("med", 0.5)))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("__ad", abs(col("value") - col("med")))
+    val mad = Percentiles.exactFewGroups(
+      dev.select(col("event_type"), col("__ad")), Seq("event_type"),
+      "__ad", Seq(("mad", 0.5)))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(first("med").as("med"), first("mad").as("mad"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("__ad") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("med"), col("mad"),
+        col("n_events"), col("n_outliers"),
+        (col("n_outliers").cast("double") /
+          col("n_events").cast("double")).as("outlier_rate"))
+      .orderBy("event_type")
+  }
+
+  /** Equi-depth discretization (q142) — the feature-engineering
+    * counterpart of q44's equi-WIDTH histogram: bin boundaries are the
+    * exact k/8 quantiles ([[Percentiles.exactFewGroups]], the same
+    * distributed range-exchange sort), collected once (7 doubles —
+    * metadata, the centroids-as-literals discipline) and folded into
+    * the assignment expression as literals, so binning is scan-local
+    * codegen'd comparisons — rows never shuffle to learn their bin;
+    * only the per-bin aggregate does. Near-equal bin counts are the
+    * point; the oracle reproduces boundary ties exactly because both
+    * engines interpolate the same type-7 quantile on the same doubles.
+    */
+  private def qEquidepthBins(s: SparkSession, dir: String): DataFrame = {
+    val nb = 8
+    val li = t(s, dir, "lineitem").select(col("l_extendedprice").as("v"))
+    val bounds = Percentiles.exactFewGroups(li.withColumn("__g", lit(1)),
+      Seq("__g"), "v", (1 until nb).map(i => (s"b$i", i.toDouble / nb)))
+      .head()
+    val bin = (1 until nb)
+      .map(i => when(col("v") >= lit(bounds.getAs[Double](s"b$i")), 1L)
+        .otherwise(0L))
+      .reduce(_ + _)
+    li.withColumn("bin", bin)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_rows"), min("v").as("min_v"),
+        max("v").as("max_v"))
+      .orderBy("bin")
+  }
+
+  /** Curriculum construction (q144): the whole corpus ordered by
+    * quality (desc, doc_id tiebreak) and cut into 4 stages of EQUAL
+    * TOKEN MASS — the quality-curriculum recipe (train on the cleanest
+    * quartile first, anneal toward the tail). Stage assignment uses a
+    * document's START offset in the cumulative token order (the
+    * q86/q137 straddle rule) over [[Packing.withRunningSum]]'s
+    * distributed range-exchange prefix sum — no single-task window —
+    * and `(start · 4) div total` is pure int64 (start < total, so the
+    * stage index needs no clamp). Per-stage quality bounds are
+    * min/max — order-independent doubles, never a float SUM.
+    */
+  private def qCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("__toks", TextFns.tokens("text"))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tok"),
+        TextFns.qualityScore("text", "__toks").as("quality"))
+    val cum = Packing.withRunningSum(docs, "cum_tok", "n_tok",
+      col("quality").desc, col("doc_id").asc)
+    cum.crossJoin(broadcast(cum.agg(sum("n_tok").as("__tt"))))
+      .withColumn("stage", expr("((cum_tok - n_tok) * 4L) div __tt"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("stage_tokens"),
+        min("quality").as("min_quality"),
+        max("quality").as("max_quality"))
+      .orderBy("stage")
+  }
+
+  /** Temperature-flattened source mixing (q145) — the standard
+    * pretraining mix recipe (weight ∝ count^α, α = ½), where q85
+    * balances to the hard cap: small sources are UP-weighted relative
+    * to their share so the head domain can't drown them. Everything
+    * replayable: weights are floor(sqrt(n)) — IEEE sqrt is correctly
+    * rounded and both engines floor the same double, so the weights
+    * are identical longs — the weight total and quotas are pure
+    * integer arithmetic (no float Σ anywhere), and selection is
+    * RATE-based on the portable md5 bucket (keep iff
+    * bucket·n_total < quota·10⁴), scan-local with the metadata-sized
+    * quota table broadcast — no per-source window, no single-task
+    * partition, at any corpus size.
+    */
+  private def qTemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "source")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+      .withColumn("weight",
+        expr("cast(floor(sqrt(cast(n_total as double))) as bigint)"))
+    val quotas = counts
+      .crossJoin(broadcast(counts.agg(sum("weight").as("__w"))))
+      .withColumn("quota", expr("(2000L * weight) div __w"))
+    val kept = docs
+      .withColumn("__b", expr(
+        """cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)
+          | as bigint) % 10000""".stripMargin))
+      .join(broadcast(quotas.select("source", "n_total", "quota")),
+        "source")
+      .filter(col("__b") * col("n_total") < col("quota") * lit(10000L))
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    quotas.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_total"), col("weight"), col("quota"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  /** Seed-personalized trust propagation (q143,
+    * [[PageRank.seededRanks]]): total mass starts on (and re-seeds
+    * only at) the trusted customer whitelist (custkey % 10 = 0 →
+    * node % 20 = 0 in q118's bipartite encoding), so after 3 damped
+    * rounds every node's score measures proximity to the trusted set —
+    * the TrustRank pass a curation pipeline runs from hand-vetted
+    * seeds to score unvetted sources. Same exact integer arithmetic
+    * and per-round plan shape as q118 (one equi-join + one partial-agg
+    * shuffle, node-sized state).
+    */
+  private def qTrustRank(s: SparkSession, dir: String): DataFrame = {
+    val half = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = half
+      .union(half.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = edges.select(col("src").as("node")).distinct()
+      .filter(col("node") % 20 === 0)
+    PageRank.seededRanks(edges, "src", "dst", seeds, "node", 3)
+      .orderBy(col("r").desc, col("node")).limit(20)
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("r").desc, col("node"))).cast("long"))
+      .select(col("pos"),
+        when(col("node") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type"),
+        expr("node div 2").as("entity_key"),
+        col("outdeg").as("degree"), col("is_seed"),
+        col("r").as("trust_scaled"))
+      .orderBy("pos")
+  }
+
   /** Time travel over q130's versioned label store
     * ([[VersionedStore.readAt]]): the state AS OF micro-batch 1 —
     * clusters after the first two of three ingests — read straight
@@ -3212,7 +3390,13 @@ object TrainQueries {
       BudgetAdmission.run(s, s"$dir/documents.parquet",
         budget = 20000L, chunks = 3)),
     "q138_stream_ewma" -> (qStreamEwma _),
-    "q139_kcore" -> (qKCore _))
+    "q139_kcore" -> (qKCore _),
+    "q140_grouping_sets" -> (qGroupingSets _),
+    "q141_mad_outliers" -> (qMadOutliers _),
+    "q142_equidepth_bins" -> (qEquidepthBins _),
+    "q143_trustrank" -> (qTrustRank _),
+    "q144_curriculum" -> (qCurriculum _),
+    "q145_temperature_mix" -> (qTemperatureMix _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -4813,6 +4997,139 @@ object TrainQueries {
     // q139: same pair CTEs as q133, then the unrolled peel — the
     // Spark side's maxRounds = 8 pins the oracle's unroll depth
     "q139_kcore" -> kcoreOracle(k = 2, rounds = 8),
+    "q140_grouping_sets" ->
+      """SELECT COALESCE(lang, 'ALL') AS lang,
+             COALESCE(source, 'ALL') AS source,
+             CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents
+         GROUP BY GROUPING SETS ((lang, source), (lang), (source))
+         ORDER BY gid, lang, source""",
+    "q141_mad_outliers" ->
+      """WITH med AS (SELECT event_type,
+             quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY 1),
+         dev AS (SELECT e.event_type, ABS(e.value - m.med) AS ad
+           FROM events e JOIN med m USING (event_type)),
+         mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+           FROM dev GROUP BY 1),
+         fl AS (SELECT d.event_type, COUNT(*) AS n_events,
+             CAST(SUM(CASE WHEN d.ad > 3.0 * 1.4826 * m.mad
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+           FROM dev d JOIN mad m USING (event_type) GROUP BY 1)
+         SELECT f.event_type, me.med, ma.mad, f.n_events, f.n_outliers,
+             CAST(f.n_outliers AS DOUBLE) / CAST(f.n_events AS DOUBLE)
+               AS outlier_rate
+         FROM fl f JOIN med me USING (event_type)
+              JOIN mad ma USING (event_type)
+         ORDER BY f.event_type""",
+    "q142_equidepth_bins" ->
+      """WITH b AS (SELECT
+             quantile_cont(l_extendedprice, 0.125) AS b1,
+             quantile_cont(l_extendedprice, 0.25) AS b2,
+             quantile_cont(l_extendedprice, 0.375) AS b3,
+             quantile_cont(l_extendedprice, 0.5) AS b4,
+             quantile_cont(l_extendedprice, 0.625) AS b5,
+             quantile_cont(l_extendedprice, 0.75) AS b6,
+             quantile_cont(l_extendedprice, 0.875) AS b7
+           FROM lineitem),
+         a AS (SELECT l_extendedprice AS v,
+             (CASE WHEN l_extendedprice >= b.b1 THEN 1 ELSE 0 END)
+             + (CASE WHEN l_extendedprice >= b.b2 THEN 1 ELSE 0 END)
+             + (CASE WHEN l_extendedprice >= b.b3 THEN 1 ELSE 0 END)
+             + (CASE WHEN l_extendedprice >= b.b4 THEN 1 ELSE 0 END)
+             + (CASE WHEN l_extendedprice >= b.b5 THEN 1 ELSE 0 END)
+             + (CASE WHEN l_extendedprice >= b.b6 THEN 1 ELSE 0 END)
+             + (CASE WHEN l_extendedprice >= b.b7 THEN 1 ELSE 0 END)
+               AS bin
+           FROM lineitem, b)
+         SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_rows,
+             MIN(v) AS min_v, MAX(v) AS max_v
+         FROM a GROUP BY bin ORDER BY bin""",
+    // q143: q118's CTE chain with the seed-restricted teleport — only
+    // whitelist nodes (node % 20 = 0) hold initial mass and re-seed
+    "q143_trustrank" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+             l_suppkey * 2 + 1 AS dst
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         e AS (SELECT src, dst FROM e0
+               UNION ALL SELECT dst, src FROM e0),
+         d AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY 1),
+         sd AS (SELECT node FROM d WHERE node % 20 = 0),
+         ns AS (SELECT COUNT(*) AS ns FROM sd),
+         r0 AS (SELECT d.node, d.outdeg,
+             CASE WHEN sd.node IS NOT NULL THEN 1 ELSE 0 END AS seed,
+             CASE WHEN sd.node IS NOT NULL
+                  THEN 1000000000000 // ns ELSE 0 END AS r
+           FROM d LEFT JOIN sd USING (node), ns),
+         s1 AS (SELECT e.dst AS node, SUM(r0.r // r0.outdeg) AS s
+           FROM e JOIN r0 ON e.src = r0.node GROUP BY 1),
+         r1 AS (SELECT r0.node, r0.outdeg, r0.seed,
+             r0.seed * ((15 * (1000000000000 // ns)) // 100)
+               + (85 * COALESCE(s1.s, 0)) // 100 AS r
+           FROM r0 LEFT JOIN s1 USING (node), ns),
+         s2 AS (SELECT e.dst AS node, SUM(r1.r // r1.outdeg) AS s
+           FROM e JOIN r1 ON e.src = r1.node GROUP BY 1),
+         r2 AS (SELECT r1.node, r1.outdeg, r1.seed,
+             r1.seed * ((15 * (1000000000000 // ns)) // 100)
+               + (85 * COALESCE(s2.s, 0)) // 100 AS r
+           FROM r1 LEFT JOIN s2 USING (node), ns),
+         s3 AS (SELECT e.dst AS node, SUM(r2.r // r2.outdeg) AS s
+           FROM e JOIN r2 ON e.src = r2.node GROUP BY 1),
+         r3 AS (SELECT r2.node, r2.outdeg, r2.seed,
+             r2.seed * ((15 * (1000000000000 // ns)) // 100)
+               + (85 * COALESCE(s3.s, 0)) // 100 AS r
+           FROM r2 LEFT JOIN s3 USING (node), ns),
+         top AS (SELECT node, outdeg, seed, r,
+             row_number() OVER (ORDER BY r DESC, node) AS pos
+           FROM r3)
+         SELECT CAST(pos AS BIGINT) AS pos,
+             CASE WHEN node % 2 = 0 THEN 'customer'
+                  ELSE 'supplier' END AS node_type,
+             node // 2 AS entity_key, outdeg AS degree,
+             CAST(seed AS BIGINT) AS is_seed,
+             CAST(r AS BIGINT) AS trust_scaled
+         FROM top WHERE pos <= 20 ORDER BY pos""",
+    // q144: the q86 quality/token CTEs, the same prefix sum, then the
+    // integer stage cut on each document's START offset
+    "q144_curriculum" ->
+      s"""$qualityScoredCtes,
+         cum AS (SELECT doc_id, n_tok, quality,
+             CAST(SUM(n_tok) OVER (ORDER BY quality DESC, doc_id ASC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+           FROM sc),
+         tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS tt FROM sc),
+         st AS (SELECT doc_id, n_tok, quality,
+             ((cum_tok - n_tok) * 4) // tt AS stage
+           FROM cum, tot)
+         SELECT CAST(stage AS BIGINT) AS stage, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS stage_tokens,
+             MIN(quality) AS min_quality, MAX(quality) AS max_quality
+         FROM st GROUP BY stage ORDER BY stage""",
+    // q145: floor(sqrt) weights are identical longs on both engines
+    // (IEEE sqrt is correctly rounded), quotas are pure integer
+    // arithmetic, selection replays the portable md5 bucket
+    "q145_temperature_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_total,
+             CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)
+               AS weight
+           FROM documents GROUP BY 1),
+         w AS (SELECT CAST(SUM(weight) AS BIGINT) AS tw FROM c),
+         q AS (SELECT source, n_total, weight,
+             (2000 * weight) // tw AS quota FROM c, w),
+         b AS (SELECT d.source,
+             CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) % 10000 AS bkt,
+             q.n_total, q.quota
+           FROM documents d JOIN q USING (source)),
+         k AS (SELECT source, COUNT(*) AS n_kept FROM b
+           WHERE bkt * n_total < quota * 10000 GROUP BY 1)
+         SELECT q.source, q.n_total, q.weight,
+             CAST(q.quota AS BIGINT) AS quota,
+             COALESCE(k.n_kept, 0) AS n_kept
+         FROM q LEFT JOIN k USING (source)
+         ORDER BY q.source""",
     "q127_copurchase" ->
       """WITH cs AS (SELECT DISTINCT o_custkey AS cust,
              l_suppkey AS supp

@@ -67,6 +67,58 @@ object PageRank {
     ranks.select("node", "outdeg", "r")
   }
 
+  /** Seed-personalized PageRank (TrustRank shape) in the same exact
+    * integer arithmetic as [[ranks]]: total mass is spread only over
+    * the `seeds` (`total div nSeeds` each) and ONLY seeds re-seed —
+    * every other node holds propagated mass alone, so scores measure
+    * proximity to the trusted set, not global centrality. This is the
+    * trust/quality-propagation pass a curation pipeline runs from a
+    * hand-vetted whitelist: mass flows from curated seed documents
+    * through the similarity/link graph and scores the unvetted rest.
+    * Per round: r = seed·(15·(total div nSeeds)) div 100 +
+    * (85·Σ inbound) div 100 — truncating `div` throughout, so any ANSI
+    * engine replays identical longs.
+    *
+    * Same plan shape and no-dangling contract as [[ranks]]; the seed
+    * set is metadata-sized and broadcast onto the node table once.
+    * Seeds not appearing as a `src` are ignored (they are not graph
+    * nodes); callers own seed hygiene.
+    */
+  def seededRanks(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, iters: Int,
+      total: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(total > 0, s"total mass must be positive: $total")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val sd = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("__sd", lit(1L))
+    val nodes = deg.select(col("src").as("node"), col("outdeg"))
+      .join(broadcast(sd), Seq("node"), "left")
+      .withColumn("__seed", coalesce(col("__sd"), lit(0L)))
+      .drop("__sd")
+    var ranks = nodes
+      .crossJoin(broadcast(nodes.agg(sum("__seed").as("__ns"))))
+      .withColumn("r", expr(s"__seed * (${total}L div __ns)"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(ranks.select(col("node").as("src"),
+          col("outdeg").as("__d"), col("r").as("__r")), "src")
+        .groupBy("dst").agg(sum(expr("__r div __d")).as("__s"))
+      ranks = ranks
+        .join(contrib.select(col("dst").as("node"), col("__s")),
+          Seq("node"), "left")
+        .withColumn("__s", coalesce(col("__s"), lit(0L)))
+        .withColumn("r", expr(
+          s"__seed * ((15L * (${total}L div __ns)) div 100)" +
+            " + (85L * __s) div 100"))
+        .select("node", "outdeg", "__ns", "__seed", "r")
+    }
+    ranks.select(col("node"), col("outdeg"),
+      col("__seed").as("is_seed"), col("r"))
+  }
+
   /** Result of [[ranksAdaptive]]: the final ranks (node, outdeg, r),
     * how many rounds actually ran, and the last residual mass
     * Σ|r_t − r_{t−1}| (0 means an exact integer fixpoint — truncation

@@ -95,6 +95,55 @@ class PageRankSpec extends AnyFunSuite {
       .toMap === reference(edges, ar.rounds, 1000000000000L))
   }
 
+  /** Driver-side exact replay of the SEEDED integer contract. */
+  private def seededReference(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int, total: Long): Map[Long, Long] = {
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = out.keySet
+    val inSeeds = nodes.intersect(seeds)
+    val base = total / inSeeds.size
+    var r = nodes.map(v => v -> (if (inSeeds(v)) base else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).view
+        .mapValues(_.map(e => r(e._1) / out(e._1)).sum).toMap
+      r = nodes.map(v => v ->
+        ((if (inSeeds(v)) (15L * base) / 100 else 0L) +
+          (85L * in.getOrElse(v, 0L)) / 100)).toMap
+    }
+    r
+  }
+
+  test("seeded ranks match the exact reference; unreachable nodes " +
+      "score zero; seeds outside the graph are ignored") {
+    import spark.implicits._
+    // component A: 1↔2↔3 (seed 1); component B: 10↔11 (no seed,
+    // unreachable from the trusted set → must stay at exactly 0);
+    // seed 99 is not a graph node and must not dilute the mass split
+    val half = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val edges = half ++ half.map(_.swap)
+    val got = PageRank.seededRanks(edges.toDF("src", "dst"),
+        "src", "dst", Seq(1L, 99L).toDF("node"), "node", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got === seededReference(edges, Set(1L, 99L), 3,
+      1000000000000L))
+    assert(got(10L) === 0L && got(11L) === 0L)
+    assert(got(1L) > 0L && got(2L) > 0L && got(3L) > 0L)
+  }
+
+  test("with every node a seed, seeded ranks equal global ranks " +
+      "(the teleport degenerates to uniform)") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (4L, 1L))
+    val all = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val seeded = PageRank.seededRanks(edges.toDF("src", "dst"),
+        "src", "dst", all, "node", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val global = PageRank.ranks(edges.toDF("src", "dst"),
+        "src", "dst", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(seeded === global)
+  }
+
   test("tol bounds rounds: a loose tolerance stops earlier than exact") {
     import spark.implicits._
     // residuals on this graph: 6.375e11, 1.80625e11, 0 — so tol=2e11

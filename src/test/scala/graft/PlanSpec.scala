@@ -379,4 +379,51 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(__id"),
       s"prefix window not partitioned by doc:\n${p.take(1200)}")
   }
+
+  test("q140: grouping sets plan ONE Expand over one scan — levels " +
+      "don't re-scan the fact table") {
+    val p = sparkPlan("q140_grouping_sets")
+    assert(p.contains("Expand"))
+    assert("Expand".r.findAllIn(p).size === 1, "exactly one Expand")
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      "all three levels must share one scan")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "level aggregation must combine map-side")
+  }
+
+  test("q142: bin assignment is scan-local — boundaries are literals, " +
+      "no join and no window between scan and the bin aggregate") {
+    val df = SparkEntry.queries("q142_equidepth_bins")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("Join"), "boundaries must fold in as literals")
+    assert(!p.contains("Window"))
+    assert(p.contains("partial_count"),
+      "per-bin counts must combine map-side")
+  }
+
+  test("q143: the seed table broadcasts onto the node state; rounds " +
+      "are equi-joins with partial aggregation, top-k not global sort") {
+    val p = sparkPlan("q143_trustrank")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), "seed join must broadcast")
+    assert(p.contains("partial_sum"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q144: curriculum staging plans NO window operator (the prefix " +
+      "sum is the distributed range exchange)") {
+    val p = SparkEntry.queries("q144_curriculum")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "stage aggregation must combine map-side")
+  }
+
+  test("q145: selection is scan-local rate filtering — quota table " +
+      "broadcasts, no window, no per-source sort") {
+    val p = sparkPlan("q145_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), "quotas must broadcast")
+    assert(!p.contains("Window"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
