@@ -3063,6 +3063,86 @@ object TrainQueries {
       .orderBy("bin")
   }
 
+  /** q148's stored reference artifacts, built once per (session,
+    * corpus): the eval set's distinct paragraph fingerprints as a
+    * parquet table (the exact-confirm side) and their Bloom filter
+    * (the scan-local pre-filter) — the q110 eval convention
+    * (doc_id % 17 == 0, 20-token paragraphs, md5 fps).
+    */
+  private val contamScreenCache = scala.collection.mutable.Map
+    .empty[(String, String), (String, Array[Byte])]
+
+  private def contamArtifacts(s: SparkSession,
+      dir: String): (String, Array[Byte]) =
+    sessionFixture(contamScreenCache, s, dir) {
+      val tag = (s.sparkContext.applicationId + "_" + dir)
+        .replaceAll("[^a-zA-Z0-9]", "_")
+      val fps = ParagraphDedup.paragraphs(
+          t(s, dir, "documents").filter(col("doc_id") % 17 === 0),
+          "doc_id", "text", 20)
+        .select(md5(col("para")).as("fp")).distinct().localCheckpoint()
+      val path = graft.Scratch.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_contam_ev_$tag")
+      fps.write.mode("overwrite").parquet(path)
+      (path, Blooms.build(fps, col("fp"), math.max(fps.count(), 1L),
+        0.01))
+    }
+
+  /** Streaming contamination screen (q148,
+    * [[graft.streaming.ContaminationScreen]]): documents arrive in
+    * micro-batches and are screened against the STORED eval artifacts
+    * — Bloom pre-filter scan-local (the clean common case never leaves
+    * the scan), exact confirm against the fingerprint table (no false
+    * positives survive, none missed: Blooms have no false negatives) —
+    * with per-doc verdicts appended replay-safely per batch. The
+    * oracle replays the whole-corpus screen, so green proves streamed
+    * screening ≡ batch screening: q110's operator made deployable.
+    */
+  private def qStreamContamination(s: SparkSession,
+      dir: String): DataFrame = {
+    val (evalPath, bloom) = contamArtifacts(s, dir)
+    graft.streaming.ContaminationScreen.run(s,
+      s"$dir/documents.parquet", evalPath, bloom,
+      docFilter = col("doc_id") % 17 =!= 0, parLen = 20, chunks = 3)
+  }
+
+  /** Wide→long UNPIVOT (q146) — the inverse of q42's pivot and the
+    * remaining §2.5 reshape member: three per-flag money measures
+    * melted to (flag, measure, value) rows via Spark's typed
+    * `unpivot` (one Expand over the aggregated table — metadata-sized
+    * input, the reshape never touches the fact scan). Measure sums use
+    * the q74 DECIMAL-before-sum money discipline so the doubles are
+    * order-independent.
+    */
+  private def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(money(col("l_extendedprice"))).cast("double").as("sum_price"),
+        sum(money(col("l_discount"))).cast("double").as("sum_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "measure", "value")
+      .orderBy("l_returnflag", "measure")
+
+  /** EXACT cross-corpus contamination screen (q147,
+    * [[SetSimJoin.crossJaccardPairs]]): every (arriving, history) pair
+    * with true 3-gram Jaccard ≥ 0.5, via side-agnostic prefix
+    * filtering over a SHARED df ordering — the lossless counterpart of
+    * q99's banded screen (bands can miss true pairs by signature
+    * chance; the prefix theorem cannot). The oracle is the full
+    * uncapped inverted-index R⋈S join, so a green row is the
+    * zero-false-negative proof for the cross-corpus case.
+    */
+  private def qCrossSetSim(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    SetSimJoin.crossJaccardPairs(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", n = 3, minJaccard = 0.5)
+      .orderBy("id_r", "id_s")
+  }
+
   /** Curriculum construction (q144): the whole corpus ordered by
     * quality (desc, doc_id tiebreak) and cut into 4 stages of EQUAL
     * TOKEN MASS — the quality-curriculum recipe (train on the cleanest
@@ -3396,7 +3476,10 @@ object TrainQueries {
     "q142_equidepth_bins" -> (qEquidepthBins _),
     "q143_trustrank" -> (qTrustRank _),
     "q144_curriculum" -> (qCurriculum _),
-    "q145_temperature_mix" -> (qTemperatureMix _))
+    "q145_temperature_mix" -> (qTemperatureMix _),
+    "q146_unpivot" -> (qUnpivot _),
+    "q147_cross_setsim" -> (qCrossSetSim _),
+    "q148_stream_contamination" -> (qStreamContamination _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -5130,6 +5213,67 @@ object TrainQueries {
              COALESCE(k.n_kept, 0) AS n_kept
          FROM q LEFT JOIN k USING (source)
          ORDER BY q.source""",
+    // q146: the melt replayed as three UNION ALL legs (engine-portable
+    // UNPIVOT), same DECIMAL-before-sum money discipline as q74
+    "q146_unpivot" ->
+      """WITH w AS (SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_price,
+             CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_disc
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, measure, value FROM (
+           SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value
+             FROM w
+           UNION ALL
+           SELECT l_returnflag, 'sum_price', sum_price FROM w
+           UNION ALL
+           SELECT l_returnflag, 'sum_disc', sum_disc FROM w) u
+         ORDER BY l_returnflag, measure""",
+    // q147: the UNCAPPED full inverted-index R⋈S join (q134's oracle
+    // split across the arrival/history halves) — green IS the
+    // zero-false-negative proof for the cross-corpus prefix filter
+    "q147_cross_setsim" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents),
+         g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(t) - 2, 1) + 1),
+                 i -> array_to_string(t[i:i+2], ' ')))) AS gram
+               FROM toks),
+         gr AS (SELECT doc_id, gram FROM g WHERE doc_id % 5 = 0),
+         gs AS (SELECT doc_id, gram FROM g WHERE doc_id % 5 <> 0),
+         nr AS (SELECT doc_id, COUNT(*) AS n FROM gr GROUP BY 1),
+         ns AS (SELECT doc_id, COUNT(*) AS n FROM gs GROUP BY 1),
+         p AS (SELECT r.doc_id AS id_r, s.doc_id AS id_s,
+                 COUNT(*) AS n_shared
+               FROM gr r JOIN gs s ON r.gram = s.gram GROUP BY 1, 2)
+         SELECT id_r, id_s, CAST(n_shared AS BIGINT) AS n_shared,
+             CAST(n_shared AS DOUBLE)
+               / CAST(x.n + y.n - n_shared AS DOUBLE) AS jaccard
+         FROM p JOIN nr x ON p.id_r = x.doc_id
+              JOIN ns y ON p.id_s = y.doc_id
+         WHERE CAST(n_shared AS DOUBLE)
+               / CAST(x.n + y.n - n_shared AS DOUBLE) >= 0.5
+         ORDER BY id_r, id_s""",
+    // q148: q110's whole-corpus screen (paragraph md5 ∩ eval fps) —
+    // what the streamed per-batch screening must reproduce exactly
+    "q148_stream_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents),
+         p AS (SELECT doc_id,
+             trim(array_to_string(t[((i-1)*20+1):((i-1)*20+20)], ' '))
+               AS para
+           FROM toks, unnest(range(1,
+             greatest(CAST(ceil(len(t) / 20.0) AS BIGINT), 1) + 1)) u(i)),
+         np AS (SELECT doc_id, md5(para) AS fp FROM p WHERE para <> ''),
+         ev AS (SELECT DISTINCT fp FROM np WHERE doc_id % 17 = 0),
+         co AS (SELECT DISTINCT doc_id, fp FROM np WHERE doc_id % 17 <> 0),
+         h AS (SELECT doc_id, COUNT(*) AS n_hit_paras FROM co
+               WHERE fp IN (SELECT fp FROM ev) GROUP BY 1)
+         SELECT doc_id, CAST(n_hit_paras AS BIGINT) AS n_hit_paras
+         FROM h ORDER BY doc_id""",
     "q127_copurchase" ->
       """WITH cs AS (SELECT DISTINCT o_custkey AS cust,
              l_suppkey AS supp

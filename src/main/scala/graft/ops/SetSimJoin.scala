@@ -42,12 +42,7 @@ object SetSimJoin {
       s"minJaccard must be in (0,1]: $minJaccard")
     // distinct shingle hashes per doc; pinned — fans out into the df
     // count, the prefix index, and the verification arrays
-    val grams = docs
-      .select(col(idCol).as("__id"), split(col(textCol), " ").as("__toks"))
-      .select(col("__id"),
-        explode(Contamination.wordGrams("__toks", n)).as("__gram"))
-      .select(col("__id"), md5(col("__gram")).as("__gh"))
-      .localCheckpoint()
+    val grams = shingleHashes(docs, idCol, textCol, n)
     val df = grams.groupBy("__gh").agg(count(lit(1)).as("__df"))
     // per-doc ascending (df, hash) order; the window partitions by doc
     // so its frame is doc-bounded — never corpus-sized
@@ -84,4 +79,78 @@ object SetSimJoin {
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "n_shared", "jaccard")
   }
+
+  /** EXACT cross-corpus set-similarity screen — the R⋈S form of
+    * [[prefixJaccardPairs]], the lossless counterpart of the BANDED
+    * cross-corpus screen (`NearDup` band probing can miss true pairs
+    * by signature chance; this provably returns every (arriving,
+    * history) pair with Jaccard ≥ t). The prefix theorem is
+    * side-agnostic: order ALL shingles (both sides together) by
+    * ascending global df, index each document's first n − ⌈t·n⌉ + 1,
+    * and any qualifying cross pair must collide inside both prefixes —
+    * so candidates are prefix-on-prefix collisions on the rarest
+    * tokens, never the full posting-list product, and verification
+    * reads just the two candidates' own arrays. The df ordering is
+    * computed over the UNION so both sides prune against the same
+    * total order (a per-side ordering would break the theorem when
+    * a gram is rare on one side but common on the other).
+    *
+    * Output: (id_r, id_s, n_shared, jaccard) — one row per qualifying
+    * cross pair; ids may coincide numerically (the sides are distinct
+    * corpora).
+    */
+  def crossJaccardPairs(r: DataFrame, s: DataFrame, idCol: String,
+      textCol: String, n: Int, minJaccard: Double): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0,1]: $minJaccard")
+    val gr = shingleHashes(r, idCol, textCol, n)
+    val gs = shingleHashes(s, idCol, textCol, n)
+    val df = gr.unionByName(gs)
+      .groupBy("__gh").agg(count(lit(1)).as("__df"))
+    def prefixOf(g: DataFrame): DataFrame = {
+      val w = Window.partitionBy("__id")
+        .orderBy(col("__df").asc, col("__gh").asc)
+      g.join(df, "__gh")
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("__id")))
+        .filter(col("__rn") <=
+          col("__n") - ceil(lit(minJaccard) * col("__n")) + 1)
+        .select("__id", "__gh")
+    }
+    val cand = prefixOf(gr).select(col("__id").as("id_r"), col("__gh"))
+      .join(prefixOf(gs).select(col("__id").as("id_s"), col("__gh")),
+        "__gh")
+      .select("id_r", "id_s")
+      .distinct()
+    def setsOf(g: DataFrame): DataFrame =
+      g.groupBy("__id")
+        .agg(sort_array(collect_list(col("__gh"))).as("__set"),
+          count(lit(1)).as("__n"))
+    cand
+      .join(setsOf(gr).select(col("__id").as("id_r"),
+        col("__set").as("__sr"), col("__n").as("__nr")), "id_r")
+      .join(setsOf(gs).select(col("__id").as("id_s"),
+        col("__set").as("__ss"), col("__n").as("__ns")), "id_s")
+      .withColumn("n_shared",
+        size(array_intersect(col("__sr"), col("__ss"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_shared").cast("double") /
+          (col("__nr") + col("__ns") - col("n_shared")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_r", "id_s", "n_shared", "jaccard")
+  }
+
+  /** Distinct shingle hashes per doc (md5 of the word n-gram — 32
+    * bytes on the wire, text never shuffles); pinned, since every
+    * caller fans it into df counts, prefix index, and verify arrays.
+    */
+  private def shingleHashes(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol).as("__id"), split(col(textCol), " ").as("__toks"))
+      .select(col("__id"),
+        explode(Contamination.wordGrams("__toks", n)).as("__gram"))
+      .select(col("__id"), md5(col("__gram")).as("__gh"))
+      .localCheckpoint()
 }

@@ -74,4 +74,43 @@ class SetSimJoinSpec extends AnyFunSuite {
     }
     assert(run(skew, n = 2, t = 0.3) === brute(skew, 2, 0.3))
   }
+
+  private def bruteCross(r: Seq[(Long, String)], s: Seq[(Long, String)],
+      n: Int, t: Double): Set[(Long, Long, Long)] =
+    (for {
+      (ir, tr) <- r; (is, ts) <- s
+      gr = grams(tr, n); gs = grams(ts, n)
+      inter = (gr & gs).size
+      j = inter.toDouble / (gr.size + gs.size - inter)
+      if j >= t
+    } yield (ir, is, inter.toLong)).toSet
+
+  private def runCross(r: Seq[(Long, String)], s: Seq[(Long, String)],
+      n: Int, t: Double): Set[(Long, Long, Long)] = {
+    import spark.implicits._
+    SetSimJoin.crossJaccardPairs(r.toDF("doc_id", "text"),
+        s.toDF("doc_id", "text"), "doc_id", "text", n, t)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .toSet
+  }
+
+  test("cross join matches brute force — incl. ids shared across " +
+      "sides and a gram rare on one side, common on the other") {
+    // side s floods 'a b' (common there, rare in r): a PER-SIDE df
+    // ordering would push it out of s-prefixes and lose (1, 10); the
+    // union ordering must keep the pair. id 1 exists on both sides
+    // with different text — sides are distinct corpora.
+    val r = Seq(1L -> "a b c d e", 2L -> "p q r s t")
+    val s = Seq(10L -> "a b c d x", 11L -> "a b m", 12L -> "a b n",
+      13L -> "a b o", 1L -> "p q r s u")
+    assert(runCross(r, s, n = 2, t = 0.4) === bruteCross(r, s, 2, 0.4))
+    assert(runCross(r, s, n = 2, t = 0.4).contains((1L, 10L, 3L)))
+  }
+
+  test("cross join at t=1.0 returns exactly cross-side identical sets") {
+    val r = Seq(1L -> "a b c", 2L -> "x y z")
+    val s = Seq(5L -> "a b c", 6L -> "x y w")
+    assert(runCross(r, s, n = 2, t = 1.0) === Set((1L, 5L, 2L)))
+  }
 }
