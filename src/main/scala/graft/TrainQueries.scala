@@ -3063,6 +3063,68 @@ object TrainQueries {
       .orderBy("bin")
   }
 
+  /** Sequence training-example construction (q149): each user's
+    * event-type stream materialized as autoregressive (context →
+    * next) examples — the dataset-construction step behavioral
+    * sequence models train on (and the shape any next-token objective
+    * takes over event streams). Sliding 3-context via lag windows in
+    * per-user partitions (user-count parallelism, the q66/q75 window
+    * discipline — frames are user-bounded, never corpus-sized);
+    * positions without full context are dropped, so every row is a
+    * complete (ctx1, ctx2, ctx3 → label) example. Emitted as the
+    * top-20 pattern counts — the n-gram-over-behavior profile a
+    * curriculum of sequence data starts from.
+    */
+  private def qSeqExamples(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("ctx1", lag("event_type", 3).over(w))
+      .withColumn("ctx2", lag("event_type", 2).over(w))
+      .withColumn("ctx3", lag("event_type", 1).over(w))
+      .filter(col("ctx1").isNotNull)
+      .groupBy(col("ctx1"), col("ctx2"), col("ctx3"),
+        col("event_type").as("label"))
+      .agg(count(lit(1)).as("n_examples"))
+      .orderBy(col("n_examples").desc, col("ctx1"), col("ctx2"),
+        col("ctx3"), col("label"))
+      .limit(20)
+  }
+
+  /** EXACT stratified split (q150) — E30's rate-based hash split made
+    * exact-count: every source stratum lands EXACTLY ⌊n·8/10⌋ /
+    * ⌊n·9/10⌋−⌊n·8/10⌋ / rest rows in train/val/test, with membership
+    * still deterministic in the portable md5 order (shuffle-free
+    * reproducibility: any engine recomputes the same assignment).
+    * The per-stratum rank comes from ONE global prefix sum over
+    * (source, hash) order — [[Packing.withRunningSum]]'s range
+    * exchange — minus the stratum's broadcast offset: no per-source
+    * window, no single-task partition at any stratum size (the E102
+    * argument applied to splitting).
+    */
+  private def qExactSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), lit(1L).as("__one"))
+      .withColumn("__h", expr(
+        """cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)
+          | as bigint)""".stripMargin))
+    val ranked = Packing.withRunningSum(docs, "__grk", "__one",
+      col("source").asc, col("__h").asc, col("doc_id").asc)
+    val offs = ranked.groupBy("source")
+      .agg(min("__grk").as("__off"), count(lit(1)).as("__n"))
+    ranked.join(broadcast(offs), "source")
+      .withColumn("__rk", col("__grk") - col("__off"))
+      .withColumn("split",
+        when(col("__rk") * 10 < col("__n") * 8, "train")
+          .when(col("__rk") * 10 < col("__n") * 9, "val")
+          .otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "split")
+  }
+
   /** q148's stored reference artifacts, built once per (session,
     * corpus): the eval set's distinct paragraph fingerprints as a
     * parquet table (the exact-confirm side) and their Bloom filter
