@@ -3541,7 +3541,9 @@ object TrainQueries {
     "q145_temperature_mix" -> (qTemperatureMix _),
     "q146_unpivot" -> (qUnpivot _),
     "q147_cross_setsim" -> (qCrossSetSim _),
-    "q148_stream_contamination" -> (qStreamContamination _))
+    "q148_stream_contamination" -> (qStreamContamination _),
+    "q149_seq_examples" -> (qSeqExamples _),
+    "q150_exact_split" -> (qExactSplit _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
