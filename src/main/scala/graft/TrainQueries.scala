@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{QuantizedCentroid, TextFns}
-import graft.ops.{Blooms, Cardinality, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, FreqSketch, KCore, KMeans, Mixing, ModelStore, Multimodal, NearDup, Packing, PageRank, ParagraphDedup, Percentiles, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, SetSimJoin, Similarity, TableDiff, Triangles}
+import graft.ops.{Blooms, Cardinality, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, FreqSketch, FuzzyJoin, KCore, KMeans, Mixing, ModelStore, Multimodal, NearDup, Packing, PageRank, ParagraphDedup, Percentiles, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, SetSimJoin, Similarity, TableDiff, Triangles}
 import graft.streaming.{BudgetAdmission, EventStream, IncrementalClusters, NearDupIndex, RateMonitor, StatefulSessions, VersionedStore}
 
 /** Training-data-pipeline operators (SURVEY §7.2.8) as driver-contract
@@ -3094,8 +3094,8 @@ object TrainQueries {
   }
 
   /** EXACT stratified split (q150) — E30's rate-based hash split made
-    * exact-count: every source stratum lands EXACTLY ⌊n·8/10⌋ /
-    * ⌊n·9/10⌋−⌊n·8/10⌋ / rest rows in train/val/test, with membership
+    * exact-count: every source stratum lands EXACTLY ⌈n·8/10⌉ /
+    * ⌈n·9/10⌉−⌈n·8/10⌉ / rest rows in train/val/test, with membership
     * still deterministic in the portable md5 order (shuffle-free
     * reproducibility: any engine recomputes the same assignment).
     * The per-stratum rank comes from ONE global prefix sum over
@@ -3123,6 +3123,135 @@ object TrainQueries {
       .groupBy("source", "split")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("source", "split")
+  }
+
+  /** Source-relative quality deciles (q151): each document's quality
+    * PERCENTILE within its own source — the source-relative form every
+    * multilingual/multi-domain curation pass needs (a global threshold
+    * silently empties low-resource domains whose absolute scores run
+    * lower; rank-within-source makes "top 20% of EACH source"
+    * expressible). Rank = the q150 construction — ONE global prefix sum
+    * over (source, quality, doc_id) order minus the stratum's broadcast
+    * min-offset; NO per-source window, so the biggest domain never
+    * funnels through one task. Emitted as per-(source, decile) counts
+    * with order-independent min/max quality bounds.
+    */
+  private def qSourceQualityDeciles(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents")
+      .withColumn("__toks", split(col("text"), " "))
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFns.qualityScore("text", "__toks")
+          .as("quality"))
+      .withColumn("__one", lit(1L))
+    val ranked = Packing.withRunningSum(scored, "__grk", "__one",
+      col("source").asc, col("quality").asc, col("doc_id").asc)
+    val offs = ranked.groupBy("source")
+      .agg(min("__grk").as("__off"), count(lit(1)).as("__n"))
+    ranked.join(broadcast(offs), "source")
+      .withColumn("decile", expr("((__grk - __off) * 10) div __n"))
+      .groupBy("source", "decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min("quality").as("q_min"), max("quality").as("q_max"))
+      .orderBy("source", "decile")
+  }
+
+  /** Fuzzy name matching (q152): every supplier-name pair within
+    * Levenshtein distance 1, via [[FuzzyJoin]]'s symmetric deletion
+    * neighborhood — candidates from ONE equi-join on exploded delete
+    * variants, never an all-pairs product; one codegen'd `levenshtein`
+    * verify per distinct candidate pair. The oracle is the full
+    * O(n²) levenshtein join, so green IS the proof the deletion
+    * neighborhood loses no true pair.
+    */
+  private def qFuzzyNames(s: SparkSession, dir: String): DataFrame =
+    FuzzyJoin.selfPairs(t(s, dir, "supplier"), "s_name")
+      .withColumn("dist", col("dist").cast("long"))
+      .orderBy("name_a", "name_b")
+
+  /** Fractional-epoch upsampling (q153): the pretraining mix knob E71/
+    * E139 down-select can't express — REPEATING small sources (epochs
+    * > 1) toward the head's token mass. Each source's milli-epoch
+    * factor m = min(n_max·1000 div n_src, 3000) (cap 3 epochs — the
+    * public consensus ceiling before memorization outweighs balance);
+    * every doc gets m div 1000 copies plus one more iff its portable
+    * md5 bucket (mod 1000) < m mod 1000 — so a source hits EXACTLY its
+    * fractional rate in expectation with deterministic membership, all
+    * integer arithmetic. The explode materializes real training rows
+    * scan-locally (copies-per-row is a plan literal decision, no
+    * shuffle to learn it); only the per-(source, n_copies) audit
+    * aggregate shuffles.
+    */
+  private def qEpochUpsample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("__n"))
+    // nmax is ONE row — broadcast-bounded crossJoin, never a window
+    val m = counts
+      .crossJoin(broadcast(counts.agg(max("__n").as("__nmax"))))
+      .withColumn("__m",
+        least(expr("(__nmax * 1000) div __n"), lit(3000L)))
+      .select("source", "__m")
+    val copies = docs.join(broadcast(m), "source")
+      .withColumn("__bkt", expr(
+        """cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)
+          | as bigint) % 1000""".stripMargin))
+      .withColumn("n_copies",
+        expr("__m div 1000") +
+          when(col("__bkt") < col("__m") % 1000L, 1L).otherwise(0L))
+    copies
+      .withColumn("__copy", explode(expr("sequence(1, n_copies)")))
+      .groupBy("source", "n_copies")
+      .agg(count(lit(1)).as("n_rows_out"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy("source", "n_copies")
+  }
+
+  /** Join-size preflight (q154): predict |lineitem ⋈ lineitem on
+    * l_partkey| EXACTLY before running it — Σ cnt(k)² over per-key
+    * counts — the decision input for broadcast-vs-shuffle-vs-salt on a
+    * self-join that can explode quadratically on a hot key. The
+    * prediction pass shuffles only (key, cnt) pairs (metadata scale,
+    * partial-agg combined) while the join it predicts shuffles data
+    * scale; the query then RUNS the count-only join and emits both, so
+    * green proves the preflight is exact, not an estimate. Top key by
+    * `max(struct(cnt, key))` — one more map-side aggregate, no sort.
+    */
+  private def qJoinPreflight(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_partkey"))
+    val perKey = li.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+    val pred = perKey.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt") * col("cnt")).as("predicted_rows"),
+      max(struct(col("cnt"), col("l_partkey"))).as("__top"))
+      .select(col("n_keys"), col("predicted_rows"),
+        col("__top.l_partkey").as("top_key"),
+        col("__top.cnt").as("top_key_rows"))
+    val actual = li.as("a").join(li.as("b"), "l_partkey")
+      .agg(count(lit(1)).as("actual_rows"))
+    pred.crossJoin(broadcast(actual)) // both sides are ONE row
+  }
+
+  /** Shuffle-key skew profile (q155): the pre-shuffle diagnostic that
+    * decides whether a key needs salting (E16) before it becomes a
+    * straggler — per candidate key column: row/key counts, the top
+    * key's share in basis points, and max-over-mean occupancy ×100.
+    * Pure integer arithmetic (shares as `div` basis points — no float
+    * Σ), one partial-agg pass per column over (key, cnt) pairs; the
+    * two profiles union into one report. At 100 TB this is the cheap
+    * scan you run BEFORE committing to a join strategy, not after the
+    * straggler appears.
+    */
+  private def qKeySkewProfile(s: SparkSession, dir: String): DataFrame = {
+    def profile(c: String): DataFrame =
+      t(s, dir, "lineitem").select(col(c).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("cnt"))
+        .agg(sum("cnt").as("__n"), count(lit(1)).as("n_keys"),
+          max("cnt").as("__top"))
+        .select(lit(c).as("key_col"), col("__n").as("n_rows"),
+          col("n_keys"),
+          expr("(__top * 10000) div __n").as("top1_share_bp"),
+          expr("(__top * n_keys * 100) div __n").as("max_over_mean_x100"))
+    profile("l_partkey").unionByName(profile("l_suppkey"))
+      .orderBy("key_col")
   }
 
   /** q148's stored reference artifacts, built once per (session,
@@ -3543,7 +3672,12 @@ object TrainQueries {
     "q147_cross_setsim" -> (qCrossSetSim _),
     "q148_stream_contamination" -> (qStreamContamination _),
     "q149_seq_examples" -> (qSeqExamples _),
-    "q150_exact_split" -> (qExactSplit _))
+    "q150_exact_split" -> (qExactSplit _),
+    "q151_quality_deciles" -> (qSourceQualityDeciles _),
+    "q152_fuzzy_names" -> (qFuzzyNames _),
+    "q153_epoch_upsample" -> (qEpochUpsample _),
+    "q154_join_preflight" -> (qJoinPreflight _),
+    "q155_key_skew" -> (qKeySkewProfile _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -5338,6 +5472,119 @@ object TrainQueries {
                WHERE fp IN (SELECT fp FROM ev) GROUP BY 1)
          SELECT doc_id, CAST(n_hit_paras AS BIGINT) AS n_hit_paras
          FROM h ORDER BY doc_id""",
+    // q149: per-user lag windows — DuckDB's window semantics match
+    // Spark's exactly here (full tiebreak on (ts_ms, event_id))
+    "q149_seq_examples" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ts_ms FROM events),
+         l AS (SELECT event_type,
+             lag(event_type, 3) OVER w AS ctx1,
+             lag(event_type, 2) OVER w AS ctx2,
+             lag(event_type, 1) OVER w AS ctx3
+           FROM e WINDOW w AS (PARTITION BY user_id
+                               ORDER BY ts_ms, event_id))
+         SELECT ctx1, ctx2, ctx3, event_type AS label,
+             CAST(COUNT(*) AS BIGINT) AS n_examples
+         FROM l WHERE ctx1 IS NOT NULL GROUP BY 1, 2, 3, 4
+         ORDER BY n_examples DESC, ctx1, ctx2, ctx3, label LIMIT 20""",
+    // q150: the oracle mirrors the rank as a per-stratum row_number over
+    // the same (md5, doc_id) order — proving the prefix-sum-minus-offset
+    // rank ≡ the windowed rank it replaces at scale
+    "q150_exact_split" ->
+      """WITH h AS (SELECT doc_id, source,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) AS hv
+           FROM documents),
+         r AS (SELECT source,
+             row_number() OVER (PARTITION BY source ORDER BY hv, doc_id)
+               - 1 AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS n
+           FROM h)
+         SELECT source,
+             CASE WHEN rk * 10 < n * 8 THEN 'train'
+                  WHEN rk * 10 < n * 9 THEN 'val'
+                  ELSE 'test' END AS split,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+         FROM r GROUP BY 1, 2 ORDER BY source, split""",
+    // q151: rank replayed as a per-stratum row_number over the same
+    // (quality, doc_id) order — prefix-sum-minus-offset ≡ windowed rank
+    "q151_quality_deciles" ->
+      s"""$qualityScoredCtes,
+         r AS (SELECT source, quality,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality, doc_id) - 1 AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS n
+           FROM sc)
+         SELECT source, CAST(rk * 10 // n AS BIGINT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             MIN(quality) AS q_min, MAX(quality) AS q_max
+         FROM r GROUP BY 1, 2 ORDER BY source, decile""",
+    // q152: the oracle is the FULL O(n²) levenshtein join — green is
+    // the zero-false-negative proof for the deletion neighborhood
+    "q152_fuzzy_names" ->
+      """SELECT a.s_name AS name_a, b.s_name AS name_b,
+             CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+         FROM supplier a JOIN supplier b ON a.s_name < b.s_name
+         WHERE levenshtein(a.s_name, b.s_name) <= 1
+         ORDER BY name_a, name_b""",
+    "q153_epoch_upsample" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents
+                    GROUP BY 1),
+         mx AS (SELECT MAX(n) AS nmax FROM c),
+         f AS (SELECT source, least(nmax * 1000 // n, 1000 * 3) AS m
+               FROM c, mx),
+         k AS (SELECT d.doc_id, d.source,
+             CAST(f.m // 1000
+               + CASE WHEN CAST('0x' || substr(md5(CAST(d.doc_id
+                     AS VARCHAR)), 1, 8) AS BIGINT) % 1000 < f.m % 1000
+                 THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+           FROM documents d JOIN f ON d.source = f.source),
+         e AS (SELECT k.source, k.n_copies, k.doc_id
+               FROM k, unnest(range(1, k.n_copies + 1)) u(i))
+         SELECT source, n_copies,
+             CAST(COUNT(*) AS BIGINT) AS n_rows_out,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         FROM e GROUP BY 1, 2 ORDER BY source, n_copies""",
+    // q154: predicted (Σ cnt²) AND actual join count both replayed —
+    // green proves the preflight is exact
+    "q154_join_preflight" ->
+      """WITH pk AS (SELECT l_partkey, COUNT(*) AS cnt FROM lineitem
+                     GROUP BY 1),
+         p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS predicted_rows
+           FROM pk),
+         tk AS (SELECT l_partkey AS top_key,
+             CAST(cnt AS BIGINT) AS top_key_rows
+           FROM pk ORDER BY cnt DESC, l_partkey DESC LIMIT 1),
+         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+           FROM lineitem x JOIN lineitem y
+             ON x.l_partkey = y.l_partkey)
+         SELECT n_keys, predicted_rows, top_key, top_key_rows,
+             actual_rows
+         FROM p, tk, a""",
+    "q155_key_skew" ->
+      """WITH pp AS (SELECT l_partkey AS k, COUNT(*) AS cnt
+                     FROM lineitem GROUP BY 1),
+         sp AS (SELECT l_suppkey AS k, COUNT(*) AS cnt
+                FROM lineitem GROUP BY 1),
+         a AS (SELECT 'l_partkey' AS key_col,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(cnt) * 10000 // SUM(cnt) AS BIGINT)
+               AS top1_share_bp,
+             CAST(MAX(cnt) * COUNT(*) * 100 // SUM(cnt) AS BIGINT)
+               AS max_over_mean_x100
+           FROM pp),
+         b AS (SELECT 'l_suppkey' AS key_col,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(cnt) * 10000 // SUM(cnt) AS BIGINT)
+               AS top1_share_bp,
+             CAST(MAX(cnt) * COUNT(*) * 100 // SUM(cnt) AS BIGINT)
+               AS max_over_mean_x100
+           FROM sp)
+         SELECT * FROM a UNION ALL SELECT * FROM b
+         ORDER BY key_col""",
     "q127_copurchase" ->
       """WITH cs AS (SELECT DISTINCT o_custkey AS cust,
              l_suppkey AS supp

@@ -426,4 +426,47 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q149: sequence-example windows are user-partitioned (frames " +
+      "bounded by one user's stream); top-20 is TakeOrderedAndProject") {
+    val p = sparkPlan("q149_seq_examples")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must not global-sort")
+    assert(p.contains("partial_count"),
+      "pattern counts must combine map-side")
+    val winLine = p.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(winLine.contains("user_id"),
+      s"window must partition by user_id:\n$winLine")
+  }
+
+  test("q150: exact stratified split has NO window operator — the " +
+      "per-stratum rank is the range-exchange prefix sum minus a " +
+      "broadcast offset") {
+    val df = SparkEntry.queries("q150_exact_split")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      "rank must come from the prefix sum, not a per-source window")
+    assert(p.contains("BroadcastHashJoin"),
+      "stratum offsets must broadcast")
+  }
+
+  test("q151: source-relative deciles have NO window — rank is the " +
+      "prefix sum minus a broadcast stratum offset") {
+    val df = SparkEntry.queries("q151_quality_deciles")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      "per-source rank must not be a window (single task per source)")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q153: upsampling is scan-local — factors broadcast, copies " +
+      "materialized by Generate, no cartesian beyond the 1-row nmax") {
+    val df = SparkEntry.queries("q153_epoch_upsample")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Generate"), "explode must materialize copies")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-source factors must broadcast onto the scan")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"))
+  }
 }

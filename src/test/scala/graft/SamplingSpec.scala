@@ -131,4 +131,24 @@ class SamplingSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(ids === base)
   }
+
+  test("q150 exact split: every stratum lands exactly " +
+      "⌈0.8n⌉ / ⌈0.9n⌉−⌈0.8n⌉ / rest — no rate-split variance") {
+    val dir = "/root/testdata/sf0.001"
+    val totals = Tables(spark, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("q150_exact_split")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    totals.foreach { case (src, n) =>
+      // rk*10 < n*8 keeps rk = 0..⌈0.8n⌉−1 — ceil, not floor
+      val train = (n * 8 + 9) / 10
+      val valN = (n * 9 + 9) / 10 - train
+      assert(got.getOrElse((src, "train"), 0L) === train, s"$src train")
+      assert(got.getOrElse((src, "val"), 0L) === valN, s"$src val")
+      assert(got.getOrElse((src, "test"), 0L) === n - train - valN,
+        s"$src test")
+    }
+  }
 }
