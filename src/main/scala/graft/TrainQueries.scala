@@ -3254,6 +3254,106 @@ object TrainQueries {
       .orderBy("key_col")
   }
 
+  /** One referential-integrity edge for q156: child FK column vs
+    * parent PK — ONE (key, cnt) shuffle per edge via a full-outer join
+    * of per-key child counts against the parent key set, from which
+    * all four audit numbers fall out in a single aggregate (orphan
+    * child rows, unreferenced parents, totals). Never materializes a
+    * row-level join.
+    */
+  private def fkEdge(name: String, child: DataFrame, ck: String,
+      parent: DataFrame, pk: String): DataFrame = {
+    val c = child.groupBy(col(ck).as("__k")).agg(count(lit(1)).as("__c"))
+    val p = parent.select(col(pk).as("__p"))
+    c.join(p, col("__k") === col("__p"), "full_outer")
+      .agg(
+        coalesce(sum("__c"), lit(0L)).as("n_child_rows"),
+        coalesce(sum(when(col("__p").isNull, col("__c"))), lit(0L))
+          .as("n_orphan_rows"),
+        count(col("__p")).as("n_parents"),
+        coalesce(sum(when(col("__c").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_unref_parents"))
+      .select(lit(name).as("edge"), col("n_child_rows"),
+        col("n_orphan_rows"), col("n_parents"), col("n_unref_parents"))
+  }
+
+  /** Referential-integrity audit (q156): the data-quality pass a
+    * multi-table corpus runs before every release — per FK edge, how
+    * many child rows dangle and how many parent keys go unreferenced.
+    * Each edge costs one (key, cnt)-sized shuffle (see [[fkEdge]]);
+    * a clean report (zero orphans) is the deliverable, and the
+    * mechanism is what the oracle proves.
+    */
+  private def qFkAudit(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    fkEdge("customer.c_nationkey->nation", t(s, dir, "customer"),
+        "c_nationkey", t(s, dir, "nation"), "n_nationkey")
+      .unionByName(fkEdge("lineitem.l_orderkey->orders", li,
+        "l_orderkey", o, "o_orderkey"))
+      .unionByName(fkEdge("lineitem.l_suppkey->supplier", li,
+        "l_suppkey", t(s, dir, "supplier"), "s_suppkey"))
+      .unionByName(fkEdge("orders.o_custkey->customer", o,
+        "o_custkey", t(s, dir, "customer"), "c_custkey"))
+      .orderBy("edge")
+  }
+
+  /** Exact small-domain distinct sets as integer bitmasks (q157): each
+    * user's SET of event types folded to one int64 via
+    * `bit_or(1 << ordinal)` — 8 bytes of aggregate state per user
+    * regardless of activity volume, where `collect_set` state grows
+    * with set size and approx_count_distinct is approximate. The
+    * ordinal dictionary is the sorted distinct domain (metadata-sized,
+    * broadcast); masks then profile into (mask, popcount, n_users) —
+    * the exact behavioral-segment histogram. All integer, fully
+    * partial-aggregated. Scoped per (user, UTC day) so the histogram
+    * profiles daily behavior mixes, not the all-time saturated set.
+    */
+  private def qBitsetDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+    val dict = DenseId.withDenseId(
+        ev.select("event_type").distinct(), "__id",
+        col("event_type").asc)
+      .withColumn("__ord", (col("__id") - 1L).cast("int"))
+      .select("event_type", "__ord")
+    ev.join(broadcast(dict), "event_type")
+      .withColumn("__bit", expr("shiftleft(cast(1 as bigint), __ord)"))
+      .groupBy("user_id", "day")
+      .agg(expr("bit_or(__bit)").as("type_mask"))
+      .groupBy("type_mask").agg(count(lit(1)).as("n_user_days"))
+      .withColumn("n_types", expr("cast(bit_count(type_mask) as bigint)"))
+      .select("type_mask", "n_types", "n_user_days")
+      .orderBy("type_mask")
+  }
+
+  /** Run-length event collapse (q158) — the gaps-and-islands member of
+    * the window family: consecutive same-type events per user collapse
+    * into runs via the rn − rn_per_type difference (two per-user
+    * windows, frames bounded by one user's stream), profiled as
+    * (event_type, run_len) → n_runs. The op behind repeated-ping
+    * dedup and burst detection; output stays bounded by the run-length
+    * distribution, not the event volume.
+    */
+  private def qEventRuns(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms").asc, col("event_id").asc)
+    val wt = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts_ms").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__rnt", row_number().over(wt))
+      .withColumn("__grp", col("__rn") - col("__rnt"))
+      .groupBy("user_id", "event_type", "__grp")
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy("event_type", "run_len")
+      .agg(count(lit(1)).as("n_runs"))
+      .orderBy("event_type", "run_len")
+  }
+
   /** q148's stored reference artifacts, built once per (session,
     * corpus): the eval set's distinct paragraph fingerprints as a
     * parquet table (the exact-confirm side) and their Bloom filter
@@ -3677,7 +3777,10 @@ object TrainQueries {
     "q152_fuzzy_names" -> (qFuzzyNames _),
     "q153_epoch_upsample" -> (qEpochUpsample _),
     "q154_join_preflight" -> (qJoinPreflight _),
-    "q155_key_skew" -> (qKeySkewProfile _))
+    "q155_key_skew" -> (qKeySkewProfile _),
+    "q156_fk_audit" -> (qFkAudit _),
+    "q157_bitset_distinct" -> (qBitsetDistinct _),
+    "q158_event_runs" -> (qEventRuns _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -5585,6 +5688,73 @@ object TrainQueries {
            FROM sp)
          SELECT * FROM a UNION ALL SELECT * FROM b
          ORDER BY key_col""",
+    "q156_fk_audit" ->
+      """WITH e AS (
+           SELECT 'customer.c_nationkey->nation' AS edge,
+             (SELECT COUNT(*) FROM customer) AS n_child_rows,
+             (SELECT COUNT(*) FROM customer WHERE c_nationkey NOT IN
+               (SELECT n_nationkey FROM nation)) AS n_orphan_rows,
+             (SELECT COUNT(*) FROM nation) AS n_parents,
+             (SELECT COUNT(*) FROM nation WHERE n_nationkey NOT IN
+               (SELECT c_nationkey FROM customer)) AS n_unref_parents
+           UNION ALL
+           SELECT 'lineitem.l_orderkey->orders',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
+               (SELECT o_orderkey FROM orders)),
+             (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(*) FROM orders WHERE o_orderkey NOT IN
+               (SELECT l_orderkey FROM lineitem))
+           UNION ALL
+           SELECT 'lineitem.l_suppkey->supplier',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem WHERE l_suppkey NOT IN
+               (SELECT s_suppkey FROM supplier)),
+             (SELECT COUNT(*) FROM supplier),
+             (SELECT COUNT(*) FROM supplier WHERE s_suppkey NOT IN
+               (SELECT l_suppkey FROM lineitem))
+           UNION ALL
+           SELECT 'orders.o_custkey->customer',
+             (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+               (SELECT c_custkey FROM customer)),
+             (SELECT COUNT(*) FROM customer),
+             (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+               (SELECT o_custkey FROM orders)))
+         SELECT edge, CAST(n_child_rows AS BIGINT) AS n_child_rows,
+             CAST(n_orphan_rows AS BIGINT) AS n_orphan_rows,
+             CAST(n_parents AS BIGINT) AS n_parents,
+             CAST(n_unref_parents AS BIGINT) AS n_unref_parents
+         FROM e ORDER BY edge""",
+    "q157_bitset_distinct" ->
+      """WITH d AS (SELECT event_type,
+             row_number() OVER (ORDER BY event_type) - 1 AS ord
+           FROM (SELECT DISTINCT event_type FROM events)),
+         m AS (SELECT e.user_id,
+             epoch_us(CAST(e.ts AS TIMESTAMP)) // 1000 // 86400000
+               AS day,
+             bit_or(CAST(1 AS BIGINT) << d.ord) AS type_mask
+           FROM events e JOIN d USING (event_type) GROUP BY 1, 2)
+         SELECT type_mask,
+             CAST(bit_count(type_mask) AS BIGINT) AS n_types,
+             CAST(COUNT(*) AS BIGINT) AS n_user_days
+         FROM m GROUP BY 1 ORDER BY type_mask""",
+    "q158_event_runs" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ts_ms
+           FROM events),
+         r AS (SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts_ms, event_id)
+               - row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts_ms, event_id) AS grp
+           FROM e),
+         runs AS (SELECT user_id, event_type, grp,
+             CAST(COUNT(*) AS BIGINT) AS run_len
+           FROM r GROUP BY 1, 2, 3)
+         SELECT event_type, run_len,
+             CAST(COUNT(*) AS BIGINT) AS n_runs
+         FROM runs GROUP BY 1, 2 ORDER BY event_type, run_len""",
     "q127_copurchase" ->
       """WITH cs AS (SELECT DISTINCT o_custkey AS cust,
              l_suppkey AS supp

@@ -469,4 +469,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("Window"))
   }
+
+  test("q156: FK audit joins (key, cnt) pairs, child counts partial — " +
+      "no row-level join materialization, no cartesian") {
+    val df = SparkEntry.queries("q156_fk_audit")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_count"),
+      "per-key child counts must combine map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q157: bitmask distinct — dictionary broadcasts, bit_or " +
+      "aggregate is partial (8-byte state), no cartesian") {
+    val df = SparkEntry.queries("q157_bitset_distinct")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "the ordinal dictionary must broadcast")
+    assert(p.contains("partial_bit_or") || p.contains("partial_bitor")
+      || p.contains("bit_or"), s"bit_or must appear:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q158: both run-collapse windows are user-partitioned — no " +
+      "corpus-sized frame") {
+    val p = sparkPlan("q158_event_runs")
+    val winLines = p.linesIterator.filter(_.contains("Window")).toList
+    assert(winLines.nonEmpty)
+    assert(winLines.forall(_.contains("user_id")),
+      s"every window must partition by user_id:\n${winLines.mkString("\n")}")
+  }
 }
