@@ -3354,6 +3354,71 @@ object TrainQueries {
       .orderBy("event_type", "run_len")
   }
 
+  /** Time-weighted average (q159): the telemetry aggregate a plain
+    * mean gets wrong — each reading weighted by how long it HELD
+    * (until the user's next event), so sparse-but-stable readings
+    * aren't drowned by bursts. Durations from one per-user lead
+    * window; values milli-quantized via floor(v·1000) (floor-then-cast
+    * is portable — a bare double→int cast truncates in Spark but
+    * rounds in DuckDB), then pure int64 Σ(vq·dur) div Σdur per
+    * event type. Overflow headroom: vq ≤ 5.6·10⁵ here and Σdur ≤
+    * users × span, so the weighted sum stays < 2⁶³ up to ~10⁴ user-
+    * years of held readings per type; at larger scales drop to
+    * centi-quantization or per-partition DECIMAL.
+    */
+  private def qTimeWeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("__dur", lead("ts_ms", 1).over(w) - col("ts_ms"))
+      .filter(col("__dur").isNotNull)
+      .withColumn("__vq", expr("cast(floor(value * 1000d) as bigint)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_held"),
+        sum("__dur").as("total_held_ms"),
+        sum(col("__vq") * col("__dur")).as("__wsum"))
+      .withColumn("twap_mq", expr("__wsum div total_held_ms"))
+      .select("event_type", "n_held", "total_held_ms", "twap_mq")
+      .orderBy("event_type")
+  }
+
+  /** CDC merge with tombstones (q160): apply a change feed of upserts
+    * AND deletes to a stored snapshot in one pass — the maintenance
+    * primitive behind every incrementally-maintained corpus table
+    * (q77's upsert handles inserts/updates; deletes need the
+    * tombstone leg). One full-outer join on the key decides each row:
+    * feed delete → drop, feed upsert → new image, untouched → keep.
+    * The feed is deterministic synthetic CDC over orders (high keys
+    * re-priced +10%, every third of them tombstoned). Money travels as
+    * floor-quantized int64 cents (floor-then-cast is the portable
+    * quantization; the +10% re-price is exact integer cents × 110
+    * div 100), so the post-merge per-status audit sums are
+    * order-independent and engine-exact.
+    */
+  private def qCdcMerge(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        expr("cast(floor(o_totalprice * 100d) as bigint)").as("cents"))
+    val snapshot = o.filter(col("o_orderkey") % 10 < 8)
+    val feed = o.filter(col("o_orderkey") % 10 >= 6)
+      .withColumn("__op",
+        when(col("o_orderkey") % 3 === 0, lit("D")).otherwise(lit("U")))
+      .withColumn("cents", expr("(cents * 110) div 100"))
+    val merged = snapshot.as("s")
+      .join(feed.as("f"), Seq("o_orderkey"), "full_outer")
+      .filter(coalesce(col("f.__op"), lit("K")) =!= "D")
+      .select(col("o_orderkey"),
+        coalesce(col("f.o_orderstatus"), col("s.o_orderstatus"))
+          .as("o_orderstatus"),
+        coalesce(col("f.cents"), col("s.cents")).as("cents"))
+    merged.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("cents").as("total_cents"))
+      .orderBy("o_orderstatus")
+  }
+
   /** q148's stored reference artifacts, built once per (session,
     * corpus): the eval set's distinct paragraph fingerprints as a
     * parquet table (the exact-confirm side) and their Bloom filter
@@ -3780,7 +3845,9 @@ object TrainQueries {
     "q155_key_skew" -> (qKeySkewProfile _),
     "q156_fk_audit" -> (qFkAudit _),
     "q157_bitset_distinct" -> (qBitsetDistinct _),
-    "q158_event_runs" -> (qEventRuns _))
+    "q158_event_runs" -> (qEventRuns _),
+    "q159_time_weighted_avg" -> (qTimeWeightedAvg _),
+    "q160_cdc_merge" -> (qCdcMerge _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -5755,6 +5822,39 @@ object TrainQueries {
          SELECT event_type, run_len,
              CAST(COUNT(*) AS BIGINT) AS n_runs
          FROM runs GROUP BY 1, 2 ORDER BY event_type, run_len""",
+    "q159_time_weighted_avg" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ts_ms
+           FROM events),
+         g AS (SELECT event_type,
+             CAST(floor(value * 1000) AS BIGINT) AS vq,
+             lead(ts_ms) OVER (PARTITION BY user_id
+                               ORDER BY ts_ms, event_id) - ts_ms AS dur
+           FROM e)
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_held,
+             CAST(SUM(dur) AS BIGINT) AS total_held_ms,
+             CAST(SUM(vq * dur) // SUM(dur) AS BIGINT) AS twap_mq
+         FROM g WHERE dur IS NOT NULL
+         GROUP BY 1 ORDER BY event_type""",
+    "q160_cdc_merge" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         snap AS (SELECT * FROM o WHERE o_orderkey % 10 < 8),
+         feed AS (SELECT o_orderkey, o_orderstatus,
+             (cents * 110) // 100 AS cents,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS op
+           FROM o WHERE o_orderkey % 10 >= 6),
+         m AS (SELECT COALESCE(f.o_orderkey, s.o_orderkey) AS k,
+             COALESCE(f.o_orderstatus, s.o_orderstatus) AS o_orderstatus,
+             COALESCE(f.cents, s.cents) AS cents,
+             COALESCE(f.op, 'K') AS op
+           FROM snap s FULL OUTER JOIN feed f
+             ON s.o_orderkey = f.o_orderkey)
+         SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(cents) AS BIGINT) AS total_cents
+         FROM m WHERE op <> 'D'
+         GROUP BY 1 ORDER BY o_orderstatus""",
     "q127_copurchase" ->
       """WITH cs AS (SELECT DISTINCT o_custkey AS cust,
              l_suppkey AS supp

@@ -498,4 +498,23 @@ class PlanSpec extends AnyFunSuite {
     assert(winLines.forall(_.contains("user_id")),
       s"every window must partition by user_id:\n${winLines.mkString("\n")}")
   }
+
+  test("q159: the duration window is user-partitioned and the " +
+      "weighted sum aggregates partially") {
+    val p = sparkPlan("q159_time_weighted_avg")
+    val winLine = p.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(winLine.contains("user_id"),
+      s"lead window must partition by user_id:\n$winLine")
+    assert(p.contains("partial_sum"),
+      "Σ(vq·dur) must combine map-side")
+  }
+
+  test("q160: CDC merge is one key-equi full-outer join — no " +
+      "cartesian, no window") {
+    val df = SparkEntry.queries("q160_cdc_merge")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"))
+    assert(p.contains("FullOuter"), "merge must be the full-outer join")
+  }
 }
