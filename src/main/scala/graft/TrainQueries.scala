@@ -3419,6 +3419,113 @@ object TrainQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** Point-in-time dimension join (q161) — the leakage-safe feature
+    * lookup every ML feature store must get right: each purchase event
+    * joined to the user's tier (floor(value/100) of their last
+    * STATE-SETTING event — click/view/signup — STRICTLY before the
+    * purchase; the purchase itself must not update the state it reads,
+    * and same-millisecond states don't apply). Implemented as the
+    * scalable union-carry-forward: state rows and fact rows merge into
+    * one per-user window ordered (ms, fact-before-state-on-ties,
+    * event_id) and `last(tier, ignoreNulls)` carries the state — NO
+    * interval/range join, no per-version fan-out. The oracle computes
+    * the SAME semantics the STRUCTURALLY OPPOSITE way (explicit
+    * validity intervals via lead + a from < ts ≤ to range join), so
+    * green proves carry-forward ≡ interval containment, boundary and
+    * zero-length-version cases included. Purchases before any state
+    * get tier −1.
+    */
+  private def qPitJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_millis(col("ts")).as("ms"))
+    val state = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ms"), col("event_id"),
+        lit(0).as("__is_fact"),
+        expr("cast(floor(value / 100d) as bigint)").as("__tier"),
+        lit(null).cast("long").as("__vq"))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ms"), col("event_id"),
+        lit(1).as("__is_fact"),
+        lit(null).cast("long").as("__tier"),
+        expr("cast(floor(value * 1000d) as bigint)").as("__vq"))
+    // facts sort BEFORE states at equal ms (desc on __is_fact) so a
+    // same-ms state never reaches the purchase — the strict rule
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ms").asc, col("__is_fact").desc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    state.unionByName(facts)
+      .withColumn("tier",
+        coalesce(last("__tier", ignoreNulls = true).over(w), lit(-1L)))
+      .filter(col("__is_fact") === 1)
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_purchases"), sum("__vq").as("sum_vq"))
+      .orderBy("tier")
+  }
+
+  /** Reciprocal-rank fusion (q162): combine two retrievers' rankings —
+    * the standard score-free ensemble for heterogeneous retrieval
+    * (here: a length prior vs the quality heuristic) — as
+    * Σ 10⁶ div (60 + rank) over each list's top-20, integer-exact
+    * (the float 1/(60+r) sum is order-dependent; the scaled `div`
+    * form is portable). Each top-20 comes from TakeOrderedAndProject
+    * (no global sort); ranking within 20 rows is metadata-sized.
+    */
+  private def qRrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("__toks", split(col("text"), " "))
+      .select(col("doc_id"), col("n_chars"),
+        graft.functions.TextFns.qualityScore("text", "__toks")
+          .as("__q"))
+    def top20(ord: org.apache.spark.sql.Column*): DataFrame = {
+      val w = Window.orderBy(ord: _*)
+      docs.orderBy(ord: _*).limit(20)
+        .withColumn("rank", row_number().over(w))
+        .withColumn("rrf", expr("1000000 div (60 + rank)"))
+        .select(col("doc_id"), col("rrf"))
+    }
+    val byLen = top20(col("n_chars").desc, col("doc_id").asc)
+    val byQuality = top20(col("__q").desc, col("doc_id").asc)
+    byLen.unionByName(byQuality)
+      .groupBy("doc_id").agg(sum("rrf").as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  /** Dynamic partition pruning (q163): the mechanism that makes a
+    * day-partitioned 100 TB fact table affordable to query by a
+    * RUNTIME-computed key set — here the 5 busiest purchase days,
+    * unknowable at plan time, computed from the raw feed and
+    * broadcast; Catalyst injects a `dynamicpruningexpression` on the
+    * fact scan so only those 5 of ~30 day-partitions are read at all
+    * (PlanSpec-asserted on the executed plan). Like q41, the "query"
+    * time includes writing the partitioned table every run — that is
+    * the demonstration's setup cost, documented in BASELINE.md.
+    */
+  private def qDynamicPruning(s: SparkSession, dir: String): DataFrame = {
+    val uid = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    val tb = s"graft_dpp_ev_$uid"
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        expr("unix_millis(ts) div 86400000").as("day"),
+        expr("cast(floor(value * 1000d) as bigint)").as("vq"))
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("day").saveAsTable(tb)
+    val facts = s.table(tb)
+    val busiest = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
+      .agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("day").asc)
+      .limit(5)
+      .select("day")
+    facts.join(broadcast(busiest), "day")
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_events"), sum("vq").as("sum_vq"))
+      .orderBy("day")
+  }
+
   /** q148's stored reference artifacts, built once per (session,
     * corpus): the eval set's distinct paragraph fingerprints as a
     * parquet table (the exact-confirm side) and their Bloom filter
@@ -3847,7 +3954,10 @@ object TrainQueries {
     "q157_bitset_distinct" -> (qBitsetDistinct _),
     "q158_event_runs" -> (qEventRuns _),
     "q159_time_weighted_avg" -> (qTimeWeightedAvg _),
-    "q160_cdc_merge" -> (qCdcMerge _))
+    "q160_cdc_merge" -> (qCdcMerge _),
+    "q161_pit_join" -> (qPitJoin _),
+    "q162_rrf_fusion" -> (qRrfFusion _),
+    "q163_dynamic_pruning" -> (qDynamicPruning _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -5855,6 +5965,54 @@ object TrainQueries {
              CAST(SUM(cents) AS BIGINT) AS total_cents
          FROM m WHERE op <> 'D'
          GROUP BY 1 ORDER BY o_orderstatus""",
+    // q161: the STRUCTURALLY OPPOSITE implementation — explicit
+    // validity intervals + a range join — proving the Spark side's
+    // union-carry-forward computes interval containment exactly
+    "q161_pit_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
+           FROM events),
+         st AS (SELECT user_id, ms, event_id,
+             CAST(floor(value / 100) AS BIGINT) AS tier,
+             lead(ms) OVER (PARTITION BY user_id
+                            ORDER BY ms, event_id) AS to_ms
+           FROM e WHERE event_type <> 'purchase'),
+         f AS (SELECT user_id, ms,
+             CAST(floor(value * 1000) AS BIGINT) AS vq
+           FROM e WHERE event_type = 'purchase'),
+         j AS (SELECT COALESCE(s.tier, -1) AS tier, f.vq
+           FROM f LEFT JOIN st s
+             ON f.user_id = s.user_id AND s.ms < f.ms
+                AND (s.to_ms IS NULL OR f.ms <= s.to_ms))
+         SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+             CAST(SUM(vq) AS BIGINT) AS sum_vq
+         FROM j GROUP BY 1 ORDER BY tier""",
+    "q162_rrf_fusion" ->
+      s"""$qualityScoredCtes,
+         bl AS (SELECT doc_id, row_number() OVER
+               (ORDER BY n_chars DESC, doc_id) AS rank
+             FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20),
+         bq AS (SELECT doc_id, row_number() OVER
+               (ORDER BY quality DESC, doc_id) AS rank
+             FROM sc ORDER BY quality DESC, doc_id LIMIT 20),
+         u AS (SELECT doc_id, 1000000 // (60 + rank) AS rrf FROM bl
+               UNION ALL
+               SELECT doc_id, 1000000 // (60 + rank) AS rrf FROM bq)
+         SELECT doc_id, CAST(SUM(rrf) AS BIGINT) AS rrf_score,
+             CAST(COUNT(*) AS BIGINT) AS n_lists
+         FROM u GROUP BY 1
+         ORDER BY rrf_score DESC, doc_id LIMIT 10""",
+    "q163_dynamic_pruning" ->
+      """WITH e AS (SELECT event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 // 86400000 AS day,
+             CAST(floor(value * 1000) AS BIGINT) AS vq
+           FROM events),
+         busiest AS (SELECT day FROM e WHERE event_type = 'purchase'
+           GROUP BY day ORDER BY COUNT(*) DESC, day ASC LIMIT 5)
+         SELECT e.day, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(e.vq) AS BIGINT) AS sum_vq
+         FROM e JOIN busiest b ON e.day = b.day
+         GROUP BY 1 ORDER BY e.day""",
     "q127_copurchase" ->
       """WITH cs AS (SELECT DISTINCT o_custkey AS cust,
              l_suppkey AS supp

@@ -509,6 +509,27 @@ class PlanSpec extends AnyFunSuite {
       "Σ(vq·dur) must combine map-side")
   }
 
+  test("q161: PIT join is the union-carry-forward — user-partitioned " +
+      "window, NO range join fan-out, no cartesian") {
+    val df = SparkEntry.queries("q161_pit_join")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "carry-forward must avoid the interval-join fan-out")
+    val winLine = p.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(winLine.contains("user_id"),
+      s"carry-forward window must partition by user_id:\n$winLine")
+  }
+
+  test("q163: the runtime day set dynamically prunes the partitioned " +
+      "fact scan") {
+    val df = SparkEntry.queries("q163_dynamic_pruning")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"fact scan must carry a dynamic pruning subquery:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("q160: CDC merge is one key-equi full-outer join — no " +
       "cartesian, no window") {
     val df = SparkEntry.queries("q160_cdc_merge")(spark, dir)
