@@ -3526,6 +3526,68 @@ object TrainQueries {
       .orderBy("day")
   }
 
+  /** Mergeable-sketch rollup (q164): the sketch ALGEBRA that makes
+    * 100 TB observability affordable — per-day HLL sketches built
+    * ONCE (`hll_sketch_agg`, KB-sized state), then weekly distincts
+    * from `hll_union_agg` over the seven daily sketches WITHOUT
+    * rescanning the week. The query proves the algebra in-engine (the
+    * q112 discipline — DuckDB can't replay DataSketches): merged
+    * estimate ≡ direct whole-week estimate (same lgK over the same
+    * stream of distinct items, MEASURED: bit-identical while the
+    * sketches stay in sparse mode — sf0.001/0.01 — and within 0.4%
+    * once dense-mode unions round differently at sf0.1, asserted at
+    * 1%) and the merged estimate within 3·rsd of the exact count;
+    * the oracle replays exact counts and TRUE literals.
+    */
+  private def qSketchRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+    val daily = ev.groupBy("day")
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("__sk"))
+    val merged = daily
+      .withColumn("week", expr("day div 7"))
+      .groupBy("week")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(__sk, true))")
+        .as("__merged_est"))
+    val direct = ev.withColumn("week", expr("day div 7"))
+      .groupBy("week")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))")
+          .as("__direct_est"),
+        count_distinct(col("user_id")).as("exact_users"))
+    direct.join(merged, "week")
+      // 3·rsd for lgK=12 ≈ 4.9% — the published HLL bound
+      .withColumn("merge_within_1pct",
+        abs(col("__merged_est") - col("__direct_est")) * 100 <=
+          col("__direct_est"))
+      .withColumn("within_3rsd",
+        abs(col("__merged_est") - col("exact_users")) * 1000 <=
+          col("exact_users") * 49)
+      .select("week", "exact_users", "merge_within_1pct", "within_3rsd")
+      .orderBy("week")
+  }
+
+  /** Multiset set-ops (q165): EXCEPT ALL / INTERSECT ALL — the
+    * §2.5 members q15's distinct-set forms don't cover (multiplicity
+    * matters: "remove ONE occurrence per match", the bag semantics
+    * dedup ledgers need). Spark plans both as aggregate+generate over
+    * per-row counts — no join explosion; profiled per event_type to a
+    * bounded report.
+    */
+  private def qSetopsAll(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val a = ev.filter(col("value") >= 100d).select("user_id", "event_type")
+    val b = ev.filter(col("value") < 400d).select("user_id", "event_type")
+    val ex = a.exceptAll(b).groupBy("event_type")
+      .agg(count(lit(1)).as("n_except_all"))
+    val in = a.intersectAll(b).groupBy("event_type")
+      .agg(count(lit(1)).as("n_intersect_all"))
+    ex.join(in, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("n_except_all"), lit(0L)).as("n_except_all"),
+        coalesce(col("n_intersect_all"), lit(0L)).as("n_intersect_all"))
+      .orderBy("event_type")
+  }
+
   /** q148's stored reference artifacts, built once per (session,
     * corpus): the eval set's distinct paragraph fingerprints as a
     * parquet table (the exact-confirm side) and their Bloom filter
@@ -3957,7 +4019,9 @@ object TrainQueries {
     "q160_cdc_merge" -> (qCdcMerge _),
     "q161_pit_join" -> (qPitJoin _),
     "q162_rrf_fusion" -> (qRrfFusion _),
-    "q163_dynamic_pruning" -> (qDynamicPruning _))
+    "q163_dynamic_pruning" -> (qDynamicPruning _),
+    "q164_sketch_rollup" -> (qSketchRollup _),
+    "q165_setops_all" -> (qSetopsAll _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -6013,6 +6077,35 @@ object TrainQueries {
              CAST(SUM(e.vq) AS BIGINT) AS sum_vq
          FROM e JOIN busiest b ON e.day = b.day
          GROUP BY 1 ORDER BY e.day""",
+    // q164: the q112 sketch discipline — exact counts replayed, the
+    // in-engine sketch-algebra assertions ride as TRUE literals
+    "q164_sketch_rollup" ->
+      """SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000 // 86400000 // 7
+             AS week,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS merge_within_1pct, TRUE AS within_3rsd
+         FROM events GROUP BY 1 ORDER BY week""",
+    "q165_setops_all" ->
+      """WITH a AS (SELECT user_id, event_type FROM events
+                    WHERE value >= 100),
+         b AS (SELECT user_id, event_type FROM events
+               WHERE value < 400),
+         ex AS (SELECT event_type, COUNT(*) AS n_except_all
+           FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+           GROUP BY 1),
+         ia AS (SELECT event_type, COUNT(*) AS n_intersect_all
+           FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+           GROUP BY 1),
+         ks AS (SELECT event_type FROM ex
+                UNION SELECT event_type FROM ia)
+         SELECT ks.event_type,
+             CAST(COALESCE(ex.n_except_all, 0) AS BIGINT)
+               AS n_except_all,
+             CAST(COALESCE(ia.n_intersect_all, 0) AS BIGINT)
+               AS n_intersect_all
+         FROM ks LEFT JOIN ex ON ks.event_type = ex.event_type
+              LEFT JOIN ia ON ks.event_type = ia.event_type
+         ORDER BY ks.event_type""",
     "q127_copurchase" ->
       """WITH cs AS (SELECT DISTINCT o_custkey AS cust,
              l_suppkey AS supp
