@@ -3588,6 +3588,39 @@ object TrainQueries {
       .orderBy("event_type")
   }
 
+  /** Bucket-pruned point lookup (q166): the read-side payoff of the
+    * q41 bucketed layout — an equality filter on the bucket column
+    * reads ONE of 8 bucket files (`SelectedBucketsCount: 1 out of 8`,
+    * PlanSpec-asserted), the 100 TB difference between a point lookup
+    * scanning 1/8th of the table and scanning all of it. The bucketed
+    * table is built once per session (catalog-memoized), so trials
+    * measure the pruned READ; the lookup key (max l_orderkey) is one
+    * metadata-sized collect.
+    */
+  private def qBucketPruning(s: SparkSession, dir: String): DataFrame = {
+    val uid = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    val tb = s"graft_bktp_li_$uid"
+    if (!s.catalog.tableExists(tb)) {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").saveAsTable(tb)
+    }
+    val key = t(s, dir, "lineitem").agg(max("l_orderkey")).head().getLong(0)
+    s.table(tb).filter(col("l_orderkey") === key)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        expr("sum(cast(floor(l_quantity * 100d) as bigint))")
+          .as("qty_centi"))
+  }
+
+  /** Streaming native session windows (q167): see
+    * [[EventStream.sessionWindowCounts]] — the engine-managed
+    * counterpart of q35's custom-state sessionizer.
+    */
+  private def qStreamSessionWindow(s: SparkSession, dir: String): DataFrame =
+    EventStream.sessionWindowCounts(s, s"$dir/events.parquet")
+
   /** q148's stored reference artifacts, built once per (session,
     * corpus): the eval set's distinct paragraph fingerprints as a
     * parquet table (the exact-confirm side) and their Bloom filter
@@ -4021,7 +4054,9 @@ object TrainQueries {
     "q162_rrf_fusion" -> (qRrfFusion _),
     "q163_dynamic_pruning" -> (qDynamicPruning _),
     "q164_sketch_rollup" -> (qSketchRollup _),
-    "q165_setops_all" -> (qSetopsAll _))
+    "q165_setops_all" -> (qSetopsAll _),
+    "q166_bucket_pruning" -> (qBucketPruning _),
+    "q167_stream_session_window" -> (qStreamSessionWindow _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -6106,6 +6141,36 @@ object TrainQueries {
          FROM ks LEFT JOIN ex ON ks.event_type = ex.event_type
               LEFT JOIN ia ON ks.event_type = ia.event_type
          ORDER BY ks.event_type""",
+    "q166_bucket_pruning" ->
+      """WITH k AS (SELECT MAX(l_orderkey) AS key FROM lineitem)
+         SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT))
+               AS BIGINT) AS qty_centi
+         FROM lineitem, k WHERE l_orderkey = k.key GROUP BY 1""",
+    // q167: q83's batch sessionization (same ≥-gap break rule)
+    // restricted to sessions CLOSED before the final watermark —
+    // last event + 30 min gap behind max(ts) − 1 h delay
+    "q167_stream_session_window" ->
+      """WITH e AS (SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events),
+         mx AS (SELECT MAX(ms) AS max_ms FROM e),
+         g AS (SELECT user_id, ms, event_id,
+             CASE WHEN lag(ms) OVER w IS NULL
+                    OR ms - lag(ms) OVER w >= 1800000
+                  THEN 1 ELSE 0 END AS ns
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+         s AS (SELECT user_id, ms, SUM(ns) OVER
+             (PARTITION BY user_id ORDER BY ms, event_id
+              ROWS UNBOUNDED PRECEDING) AS session_idx
+           FROM g),
+         ses AS (SELECT user_id, MIN(ms) AS session_start_ms,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(ms) AS last_ms
+           FROM s GROUP BY user_id, session_idx)
+         SELECT session_start_ms, user_id, n_events
+         FROM ses, mx
+         WHERE last_ms + 1800000 <= max_ms - 3600000
+         ORDER BY session_start_ms, user_id""",
     "q127_copurchase" ->
       """WITH cs AS (SELECT DISTINCT o_custkey AS cust,
              l_suppkey AS supp

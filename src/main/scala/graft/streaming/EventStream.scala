@@ -65,6 +65,43 @@ object EventStream {
     windowedToMemory(spark, srcParquet, "graft_stream", window,
       Some(delay), "append", count(lit(1)).as("n_events"))
 
+  /** Native session windows in streaming mode (q167): Spark's built-in
+    * `session_window` under a watermark — the declarative counterpart
+    * of the custom `flatMapGroupsWithState` sessionizer (q35): state
+    * handling, merging of adjacent windows, and emission-on-close all
+    * come from the engine. Append mode ⇒ only sessions whose end
+    * (last event + gap) fell behind the final watermark emit, so the
+    * result ≡ the batch gaps-and-islands sessionization restricted to
+    * sessions closed before max(ts) − delay — which is what the
+    * oracle replays (with the same ≥-gap break rule as q83's batch
+    * form). State per key is the open session only: bounded by the
+    * gap horizon, not the stream.
+    */
+  def sessionWindowCounts(spark: SparkSession, srcParquet: String,
+      gap: String = "30 minutes",
+      delay: String = "1 hour"): DataFrame =
+      Staging.withStreamShufflePartitions(spark) {
+    val (events, tag) = Staging.stageAndRead(spark, srcParquet,
+      "graft_sesswin_in")
+    val qn = s"graft_sesswin_$tag"
+    val query = events
+      .withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qn)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(qn)
+      .select(unix_millis(col("session_window.start"))
+          .as("session_start_ms"),
+        col("user_id"), col("n_events"))
+      .orderBy("session_start_ms", "user_id")
+  }
+
   /** Stream-stream interval join (the remaining first-class Structured
     * Streaming operator): click→purchase attribution — every purchase
     * within `lag` after a click by the same user. Both sides carry

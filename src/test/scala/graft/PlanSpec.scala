@@ -530,6 +530,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("q166: the point lookup reads ONE of 8 bucket files") {
+    val df = SparkEntry.queries("q166_bucket_pruning")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+      s"bucket pruning must select exactly one bucket:\n${p.take(1200)}")
+  }
+
   test("q160: CDC merge is one key-equi full-outer join — no " +
       "cartesian, no window") {
     val df = SparkEntry.queries("q160_cdc_merge")(spark, dir)
