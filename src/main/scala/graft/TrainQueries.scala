@@ -3621,6 +3621,57 @@ object TrainQueries {
   private def qStreamSessionWindow(s: SparkSession, dir: String): DataFrame =
     EventStream.sessionWindowCounts(s, s"$dir/events.parquet")
 
+  /** Exchange reuse (q168): one shuffle feeds two consumers — the
+    * per-(source, lang) aggregate is joined against its own re-
+    * aggregation to per-source totals to emit each cell's share in
+    * basis points. Catalyst plans the second consumer as a
+    * `ReusedExchange` over the first's shuffle (PlanSpec-asserted):
+    * at 100 TB the fact scan and its exchange run ONCE, not once per
+    * consumer — the fan-out pattern every report-style query hits.
+    * Shares are integer `div` basis points (no float Σ).
+    */
+  private def qExchangeReuse(s: SparkSession, dir: String): DataFrame = {
+    val cell = t(s, dir, "documents")
+      .groupBy("source", "lang").agg(count(lit(1)).as("n_docs"))
+    val totals = cell.groupBy("source").agg(sum("n_docs").as("__tot"))
+    cell.join(totals, "source")
+      .withColumn("share_bp", expr("(n_docs * 10000) div __tot"))
+      .select("source", "lang", "n_docs", "share_bp")
+      .orderBy("source", "lang")
+  }
+
+  /** Incremental gap-free id assignment (q169): stable dense ids that
+    * CONTINUE across ingests — history docs hold their ids and a new
+    * batch gets max+1… in deterministic (hash, doc_id) order, the
+    * id-authority pattern behind stable example ids across daily
+    * crawls. Both phases are [[DenseId.withDenseId]] (count-then-
+    * offset range exchange, no single-task window); the arrival phase
+    * adds the stored max as a broadcast literal — per-ingest cost is
+    * the batch's own sort, independent of corpus size. The oracle
+    * replays both row_number phases and their concatenation.
+    */
+  private def qIncrementalIds(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      expr("""cast(conv(substring(md5(cast(doc_id as string)), 1, 8),
+             16, 10) as bigint)""").as("__h"))
+    val hist = docs.filter(col("doc_id") % 10 < 8)
+    val arr = docs.filter(col("doc_id") % 10 >= 8)
+    val histIds = DenseId.withDenseId(hist, "stable_id",
+      col("__h").asc, col("doc_id").asc)
+    val maxId = histIds.agg(max("stable_id")).head().getLong(0)
+    val arrIds = DenseId.withDenseId(arr, "__rk",
+        col("__h").asc, col("doc_id").asc)
+      .withColumn("stable_id", col("__rk") + lit(maxId))
+      .drop("__rk")
+    histIds.withColumn("phase", lit("history"))
+      .unionByName(arrIds.withColumn("phase", lit("arrival")))
+      .groupBy("phase")
+      .agg(count(lit(1)).as("n_docs"),
+        min("stable_id").as("min_id"), max("stable_id").as("max_id"),
+        sum("stable_id").as("id_sum"))
+      .orderBy("phase")
+  }
+
   /** q148's stored reference artifacts, built once per (session,
     * corpus): the eval set's distinct paragraph fingerprints as a
     * parquet table (the exact-confirm side) and their Bloom filter
@@ -4056,7 +4107,9 @@ object TrainQueries {
     "q164_sketch_rollup" -> (qSketchRollup _),
     "q165_setops_all" -> (qSetopsAll _),
     "q166_bucket_pruning" -> (qBucketPruning _),
-    "q167_stream_session_window" -> (qStreamSessionWindow _))
+    "q167_stream_session_window" -> (qStreamSessionWindow _),
+    "q168_exchange_reuse" -> (qExchangeReuse _),
+    "q169_incremental_ids" -> (qIncrementalIds _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -6171,6 +6224,36 @@ object TrainQueries {
          FROM ses, mx
          WHERE last_ms + 1800000 <= max_ms - 3600000
          ORDER BY session_start_ms, user_id""",
+    "q168_exchange_reuse" ->
+      """WITH cell AS (SELECT source, lang, COUNT(*) AS n_docs
+                       FROM documents GROUP BY 1, 2),
+         tot AS (SELECT source, SUM(n_docs) AS tot FROM cell
+                 GROUP BY 1)
+         SELECT cell.source, lang, CAST(n_docs AS BIGINT) AS n_docs,
+             CAST(n_docs * 10000 // tot AS BIGINT) AS share_bp
+         FROM cell JOIN tot ON cell.source = tot.source
+         ORDER BY cell.source, lang""",
+    // q169: min=1 / max=n / sum=n(n+1)/2 per phase IS the gap-free +
+    // continuation proof
+    "q169_incremental_ids" ->
+      """WITH d AS (SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) AS h
+           FROM documents),
+         hist AS (SELECT doc_id,
+             row_number() OVER (ORDER BY h, doc_id) AS sid
+           FROM d WHERE doc_id % 10 < 8),
+         mx AS (SELECT MAX(sid) AS m FROM hist),
+         arr AS (SELECT doc_id,
+             row_number() OVER (ORDER BY h, doc_id) + m AS sid
+           FROM d, mx WHERE doc_id % 10 >= 8),
+         u AS (SELECT 'history' AS phase, sid FROM hist
+               UNION ALL SELECT 'arrival', sid FROM arr)
+         SELECT phase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(MIN(sid) AS BIGINT) AS min_id,
+             CAST(MAX(sid) AS BIGINT) AS max_id,
+             CAST(SUM(sid) AS BIGINT) AS id_sum
+         FROM u GROUP BY 1 ORDER BY phase""",
     "q127_copurchase" ->
       """WITH cs AS (SELECT DISTINCT o_custkey AS cust,
              l_suppkey AS supp

@@ -530,6 +530,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("q168: the cell aggregate's shuffle feeds both consumers — " +
+      "exchange reused in the final adaptive plan") {
+    val df = SparkEntry.queries("q168_exchange_reuse")(spark, dir)
+    df.collect() // AQE applies exchange reuse during execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"the totals re-aggregation must reuse the cell shuffle:\n${p.take(1600)}")
+  }
+
+  test("q169: incremental ids plan NO window — both phases are the " +
+      "count-then-offset range exchange") {
+    val df = SparkEntry.queries("q169_incremental_ids")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      "dense ids must come from DenseId, not a global window")
+  }
+
   test("q166: the point lookup reads ONE of 8 bucket files") {
     val df = SparkEntry.queries("q166_bucket_pruning")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
