@@ -3672,6 +3672,67 @@ object TrainQueries {
       .orderBy("phase")
   }
 
+  /** Commutative set digests (q170): an order-independent corpus
+    * fingerprint — `bit_xor` (and a checked sum) over per-row content
+    * hashes — that updates in O(1) per ingest or delete: digest(full)
+    * = digest(history) ⊕ digest(arrivals), and deleting a batch is
+    * the same XOR applied again. This is the set-reconciliation trick
+    * that lets two 100 TB replicas compare WITHOUT a row-level diff
+    * (E79's TableDiff is the row-level escalation when digests
+    * disagree). The query computes all three digests and asserts the
+    * algebra in-engine; the sum variant's overflow caveat (int64
+    * wraps differ from HUGEINT at extreme scale — prefer XOR there)
+    * is why both are shown. Row hash covers doc_id AND content, so
+    * moves, edits, and deletes all perturb it.
+    */
+  private def qSetDigest(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      // 32-bit row hashes: the SUM variant stays exact in int64 to
+      // ~2^31 rows (XOR has no such bound — width-extend it at scale)
+      .select(col("doc_id"), expr(
+        """cast(conv(substring(md5(concat(cast(doc_id as string), ':',
+          | md5(text))), 1, 8), 16, 10) as bigint)""".stripMargin)
+        .as("__h"))
+    def digest(df: DataFrame, tag: String): DataFrame =
+      df.agg(count(lit(1)).as(s"n_$tag"),
+        expr("bit_xor(__h)").as(s"xor_$tag"),
+        sum("__h").as(s"sum_$tag"))
+    val full = digest(d, "full")
+    val hist = digest(d.filter(col("doc_id") % 10 < 8), "hist")
+    val arr = digest(d.filter(col("doc_id") % 10 >= 8), "arr")
+    full.crossJoin(broadcast(hist)).crossJoin(broadcast(arr))
+      .select(col("n_full"), col("xor_full"), col("sum_full"),
+        (expr("xor_hist ^ xor_arr") === col("xor_full"))
+          .as("xor_composes"),
+        (col("sum_hist") + col("sum_arr") === col("sum_full"))
+          .as("sum_composes"),
+        (expr("xor_full ^ xor_arr") === col("xor_hist"))
+          .as("xor_deletes"))
+  }
+
+  /** Exact integer Gini coefficient (q171): inequality of user
+    * engagement — the balance metric that tells a curation pass
+    * whether a head of power users dominates the corpus the way E149
+    * tells it a key dominates a shuffle. Fully rational arithmetic on
+    * the sorted per-user counts: Gini = (2·Σ i·xᵢ − (n+1)·Σx) /
+    * (n·Σx), emitted in milli-units via `div`. The rank comes from
+    * the E26 count-then-offset range exchange (no global window) and
+    * Σ i·xᵢ from one partial-agg pass — two linear passes at any
+    * corpus size. Headroom: Σ i·xᵢ ≤ n²·max_count stays under 2⁶³
+    * to ~10⁹ users at 10⁴ events each.
+    */
+  private def qGini(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "events").groupBy("user_id")
+      .agg(count(lit(1)).as("x"))
+    val ranked = DenseId.withDenseId(counts, "i",
+      col("x").asc, col("user_id").asc)
+    ranked.agg(count(lit(1)).as("n_users"), sum("x").as("total_events"),
+        sum(col("i") * col("x")).as("__ix"))
+      .select(col("n_users"), col("total_events"),
+        expr("""((2 * __ix - (n_users + 1) * total_events) * 1000)
+               div (n_users * total_events)""").as("gini_milli"))
+  }
+
   /** q148's stored reference artifacts, built once per (session,
     * corpus): the eval set's distinct paragraph fingerprints as a
     * parquet table (the exact-confirm side) and their Bloom filter
@@ -4109,7 +4170,9 @@ object TrainQueries {
     "q166_bucket_pruning" -> (qBucketPruning _),
     "q167_stream_session_window" -> (qStreamSessionWindow _),
     "q168_exchange_reuse" -> (qExchangeReuse _),
-    "q169_incremental_ids" -> (qIncrementalIds _))
+    "q169_incremental_ids" -> (qIncrementalIds _),
+    "q170_set_digest" -> (qSetDigest _),
+    "q171_gini" -> (qGini _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -6254,6 +6317,30 @@ object TrainQueries {
              CAST(MAX(sid) AS BIGINT) AS max_id,
              CAST(SUM(sid) AS BIGINT) AS id_sum
          FROM u GROUP BY 1 ORDER BY phase""",
+    "q170_set_digest" ->
+      """WITH d AS (SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+               || md5(text)), 1, 8) AS BIGINT) AS h
+           FROM documents)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_full,
+             CAST(bit_xor(h) AS BIGINT) AS xor_full,
+             CAST(SUM(h) AS BIGINT) AS sum_full,
+             TRUE AS xor_composes, TRUE AS sum_composes,
+             TRUE AS xor_deletes
+         FROM d""",
+    "q171_gini" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS x FROM events
+                    GROUP BY 1),
+         r AS (SELECT x,
+             row_number() OVER (ORDER BY x, user_id) AS i FROM c),
+         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(x) AS BIGINT) AS total_events,
+             CAST(SUM(i * x) AS BIGINT) AS ix
+           FROM r)
+         SELECT n_users, total_events,
+             CAST(((2 * ix - (n_users + 1) * total_events) * 1000)
+               // (n_users * total_events) AS BIGINT) AS gini_milli
+         FROM a""",
     "q127_copurchase" ->
       """WITH cs AS (SELECT DISTINCT o_custkey AS cust,
              l_suppkey AS supp
