@@ -3733,6 +3733,37 @@ object TrainQueries {
                div (n_users * total_events)""").as("gini_milli"))
   }
 
+  /** q172's stored deletion-variant index, built once per (session,
+    * corpus) from the history suppliers (s_suppkey % 10 < 8).
+    */
+  private val fuzzyIndexCache = scala.collection.mutable.Map
+    .empty[(String, String), String]
+
+  private def fuzzyIndexArtifact(s: SparkSession, dir: String): String =
+    sessionFixture(fuzzyIndexCache, s, dir) {
+      val tag = (s.sparkContext.applicationId + "_" + dir)
+        .replaceAll("[^a-zA-Z0-9]", "_")
+      val path = graft.Scratch.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_fuzzy_idx_$tag")
+      graft.streaming.FuzzyNameIndex.writeIndex(
+        t(s, dir, "supplier").filter(col("s_suppkey") % 10 < 8),
+        "s_name", path)
+      path
+    }
+
+  /** Streaming fuzzy-name screen (q172,
+    * [[graft.streaming.FuzzyNameIndex]]): arriving supplier names
+    * (s_suppkey % 10 ≥ 8) probe the STORED deletion-variant index of
+    * history names per micro-batch — candidates only where variant
+    * keys collide, one `levenshtein` verify each, matches appended
+    * replay-safely. The oracle is the full O(|A|·|H|) levenshtein
+    * join, so green proves the streamed index loses no true pair.
+    */
+  private def qStreamFuzzyNames(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.FuzzyNameIndex.run(s, s"$dir/supplier.parquet",
+      "s_name", fuzzyIndexArtifact(s, dir),
+      arrivalFilter = col("s_suppkey") % 10 >= 8, chunks = 3)
+
   /** q148's stored reference artifacts, built once per (session,
     * corpus): the eval set's distinct paragraph fingerprints as a
     * parquet table (the exact-confirm side) and their Bloom filter
@@ -4172,7 +4203,8 @@ object TrainQueries {
     "q168_exchange_reuse" -> (qExchangeReuse _),
     "q169_incremental_ids" -> (qIncrementalIds _),
     "q170_set_digest" -> (qSetDigest _),
-    "q171_gini" -> (qGini _))
+    "q171_gini" -> (qGini _),
+    "q172_stream_fuzzy_names" -> (qStreamFuzzyNames _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -6341,6 +6373,15 @@ object TrainQueries {
              CAST(((2 * ix - (n_users + 1) * total_events) * 1000)
                // (n_users * total_events) AS BIGINT) AS gini_milli
          FROM a""",
+    // q172: full O(|A|·|H|) levenshtein join — green is the
+    // zero-false-negative proof for the streamed deletion index
+    "q172_stream_fuzzy_names" ->
+      """SELECT a.s_name AS arr_name, h.s_name AS hist_name,
+             CAST(levenshtein(a.s_name, h.s_name) AS BIGINT) AS dist
+         FROM supplier a JOIN supplier h
+           ON a.s_suppkey % 10 >= 8 AND h.s_suppkey % 10 < 8
+              AND levenshtein(a.s_name, h.s_name) <= 1
+         ORDER BY arr_name, hist_name""",
     "q127_copurchase" ->
       """WITH cs AS (SELECT DISTINCT o_custkey AS cust,
              l_suppkey AS supp
