@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{QuantizedCentroid, TextFns}
-import graft.ops.{Blooms, Cardinality, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, FreqSketch, FuzzyJoin, KCore, KMeans, Mixing, ModelStore, Multimodal, NearDup, Packing, PageRank, ParagraphDedup, Percentiles, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, SetSimJoin, Similarity, TableDiff, Triangles}
+import graft.functions.{QuantizedCentroid, TextFns, TopK}
+import graft.ops.{Bfs, Blooms, Cardinality, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, FreqSketch, FuzzyJoin, KCore, KMeans, Mixing, ModelStore, Multimodal, NearDup, Packing, PageRank, ParagraphDedup, Percentiles, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, SetSimJoin, Similarity, Skyline, Snm, TableDiff, Triangles}
 import graft.streaming.{BudgetAdmission, EventStream, IncrementalClusters, NearDupIndex, RateMonitor, StatefulSessions, VersionedStore}
 
 /** Training-data-pipeline operators (SURVEY §7.2.8) as driver-contract
@@ -3764,6 +3764,115 @@ object TrainQueries {
       "s_name", fuzzyIndexArtifact(s, dir),
       arrivalFilter = col("s_suppkey") % 10 >= 8, chunks = 3)
 
+  /** Multi-source BFS hop distances (q173, [[graft.ops.Bfs]]): hop
+    * levels from the nation-0 customers over the symmetrized
+    * customer–supplier purchase graph (q118's edge construction) —
+    * the "within k hops of a trusted seed set" curation filter, with
+    * unreached nodes reported as level −1. Per-round cost is
+    * frontier-sized (one equi-join + one distinct shuffle + one
+    * anti-join against node-sized state), exact integers throughout,
+    * and the per-level (count, key-checksum, customer-count) digest
+    * the oracle replays is ordering-free.
+    */
+  private def qBfsLevels(s: SparkSession, dir: String): DataFrame = {
+    val half = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = half
+      .union(half.select(col("dst").as("src"), col("src").as("dst")))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val seeds = nodes.join(
+      t(s, dir, "customer").filter(col("c_nationkey") === 0)
+        .select((col("c_custkey") * 2).as("node")), Seq("node"))
+    val lv = Bfs.levels(edges, "src", "dst", seeds, "node", 3)
+    nodes.join(lv, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("level"), lit(-1L)).as("level"))
+      .groupBy("level")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(expr("node div 2")).as("key_sum"),
+        sum(when(col("node") % 2 === 0, 1L).otherwise(0L))
+          .as("n_customers"))
+      .orderBy("level")
+  }
+
+  /** Pareto-frontier document selection (q174,
+    * [[graft.ops.Skyline]]): the maximal (token count, lexical
+    * diversity) frontier over the corpus — no frontier doc is beaten
+    * on BOTH axes by any other, so it is exactly what a
+    * Pareto-optimal curation pass may keep without committing to a
+    * weighting. Diversity is distinct-token share in integer basis
+    * points (`div`); the two-phase partition-skyline shape cuts the
+    * corpus to frontier-sized candidates scan-locally before the one
+    * metadata-sized merge sweep. The oracle is the O(m²) NOT-EXISTS
+    * dominance definition over distinct metric pairs — green proves
+    * the two-phase sweep IS the frontier.
+    */
+  private def qSkyline(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("__t"))
+      .select(col("doc_id"), size(col("__t")).cast("long").as("x"),
+        expr("(cast(size(array_distinct(__t)) as bigint) * 10000)"
+          + " div size(__t)").as("y"))
+    Skyline.skyline2d(m, "x", "y")
+      .join(m.groupBy("x", "y").agg(count(lit(1)).as("n_docs")),
+        Seq("x", "y"))
+      .select(col("x").as("n_tok"), col("y").as("uniq_bp"),
+        col("n_docs"))
+      .orderBy(col("n_tok").desc)
+  }
+
+  /** Sorted-neighborhood record-linkage screen (q175,
+    * [[graft.ops.Snm]]): customers sorted by name, each compared to
+    * its 3 successors only — candidate volume EXACTLY n·w − w(w+1)/2
+    * (replayed by the oracle), with one codegen'd `levenshtein`
+    * verify per candidate. The sort-based blocking family beside the
+    * engine's hash families (bands q25, blocks q27, deletion index
+    * q146): rank is the E26 range exchange, the window predicate an
+    * equi-join on exploded successor ranks — no inequality join, no
+    * hot buckets, at any corpus size.
+    */
+  private def qSnmDedup(s: SparkSession, dir: String): DataFrame = {
+    val cand = Snm.candidates(
+      t(s, dir, "customer").select("c_custkey", "c_name"),
+      "c_custkey", "c_name", 3).localCheckpoint()
+    val m = cand.filter(levenshtein(col("key_a"), col("key_b")) <= 1)
+      .agg(count(lit(1)).as("n_matches"),
+        coalesce(sum("id_a"), lit(0L)).as("sum_a"),
+        coalesce(sum("id_b"), lit(0L)).as("sum_b"))
+    cand.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(broadcast(m))
+  }
+
+  /** Bounded per-group top-k (q176, [[graft.functions.TopK]]): each
+    * supplier's 3 highest-revenue line items via a typed Aggregator
+    * whose state is capped at k entries — map-side partials cut the
+    * shuffle to k·|groups| rows and a skewed group costs k per
+    * partition, not its row count (the window row_number form the
+    * oracle replays pays the full sort). Revenue in exact integer
+    * cents (DECIMAL before the cast); (score desc, id asc) total
+    * order makes the arrays deterministic.
+    */
+  private def qTopKAgg(s: SparkSession, dir: String): DataFrame = {
+    val tk = TopK.topK(3)
+    t(s, dir, "lineitem")
+      .select(col("l_suppkey"),
+        expr("cast(cast(l_extendedprice as decimal(18,2)) * 100"
+          + " as bigint)").as("cents"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("lid"))
+      .groupBy("l_suppkey")
+      .agg(tk(col("cents"), col("lid")).as("top"))
+      .select(col("l_suppkey"), posexplode(col("top")))
+      .select(col("l_suppkey"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.score").as("cents"), col("col.id").as("item_id"))
+      .orderBy("l_suppkey", "rank")
+  }
+
   /** q148's stored reference artifacts, built once per (session,
     * corpus): the eval set's distinct paragraph fingerprints as a
     * parquet table (the exact-confirm side) and their Bloom filter
@@ -4204,7 +4313,11 @@ object TrainQueries {
     "q169_incremental_ids" -> (qIncrementalIds _),
     "q170_set_digest" -> (qSetDigest _),
     "q171_gini" -> (qGini _),
-    "q172_stream_fuzzy_names" -> (qStreamFuzzyNames _))
+    "q172_stream_fuzzy_names" -> (qStreamFuzzyNames _),
+    "q173_bfs_levels" -> (qBfsLevels _),
+    "q174_skyline" -> (qSkyline _),
+    "q175_snm_dedup" -> (qSnmDedup _),
+    "q176_topk_agg" -> (qTopKAgg _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -6382,6 +6495,89 @@ object TrainQueries {
            ON a.s_suppkey % 10 >= 8 AND h.s_suppkey % 10 < 8
               AND levenshtein(a.s_name, h.s_name) <= 1
          ORDER BY arr_name, hist_name""",
+    // q173: BFS levels unrolled as CTE rounds — NOT IN the union of
+    // prior levels IS the first-visit rule
+    "q173_bfs_levels" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+             l_suppkey * 2 + 1 AS dst
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         e AS (SELECT src, dst FROM e0
+               UNION ALL SELECT dst, src FROM e0),
+         nodes AS (SELECT DISTINCT src AS node FROM e),
+         l0 AS (SELECT n.node FROM nodes n
+           JOIN customer c ON n.node = c.c_custkey * 2
+           WHERE c.c_nationkey = 0),
+         l1 AS (SELECT DISTINCT e.dst AS node
+           FROM e JOIN l0 ON e.src = l0.node
+           WHERE e.dst NOT IN (SELECT node FROM l0)),
+         l2 AS (SELECT DISTINCT e.dst AS node
+           FROM e JOIN l1 ON e.src = l1.node
+           WHERE e.dst NOT IN (SELECT node FROM l0
+             UNION ALL SELECT node FROM l1)),
+         l3 AS (SELECT DISTINCT e.dst AS node
+           FROM e JOIN l2 ON e.src = l2.node
+           WHERE e.dst NOT IN (SELECT node FROM l0
+             UNION ALL SELECT node FROM l1
+             UNION ALL SELECT node FROM l2)),
+         lv AS (SELECT 0 AS level, node FROM l0
+           UNION ALL SELECT 1, node FROM l1
+           UNION ALL SELECT 2, node FROM l2
+           UNION ALL SELECT 3, node FROM l3),
+         allv AS (SELECT * FROM lv
+           UNION ALL SELECT -1 AS level, node FROM nodes
+             WHERE node NOT IN (SELECT node FROM lv))
+         SELECT CAST(level AS BIGINT) AS level,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(node // 2) AS BIGINT) AS key_sum,
+             CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_customers
+         FROM allv GROUP BY 1 ORDER BY level""",
+    // q174: the O(m^2) NOT-EXISTS dominance definition — green proves
+    // the two-phase partition-skyline sweep is exactly the frontier
+    "q174_skyline" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents),
+         m AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS x,
+             CAST(len(list_distinct(t)) * 10000 // len(t) AS BIGINT)
+               AS y
+           FROM d),
+         p AS (SELECT x, y, COUNT(*) AS n_docs FROM m GROUP BY 1, 2),
+         sk AS (SELECT * FROM p pp WHERE NOT EXISTS (SELECT 1 FROM p q
+           WHERE q.x >= pp.x AND q.y >= pp.y
+             AND (q.x > pp.x OR q.y > pp.y)))
+         SELECT x AS n_tok, y AS uniq_bp,
+             CAST(n_docs AS BIGINT) AS n_docs
+         FROM sk ORDER BY n_tok DESC""",
+    // q175: rank window replayed as row_number; candidate count must
+    // equal n*w - w(w+1)/2 exactly
+    "q175_snm_dedup" ->
+      """WITH r AS (SELECT c_custkey AS id, c_name AS k,
+             row_number() OVER (ORDER BY c_name, c_custkey) AS rk
+           FROM customer),
+         cand AS (SELECT a.id AS id_a, a.k AS ka, b.id AS id_b,
+             b.k AS kb
+           FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 3),
+         m AS (SELECT * FROM cand WHERE levenshtein(ka, kb) <= 1)
+         SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand)
+               AS n_candidates,
+             CAST(COUNT(*) AS BIGINT) AS n_matches,
+             CAST(COALESCE(SUM(id_a), 0) AS BIGINT) AS sum_a,
+             CAST(COALESCE(SUM(id_b), 0) AS BIGINT) AS sum_b
+         FROM m""",
+    // q176: the window row_number form the bounded aggregator replaces
+    "q176_topk_agg" ->
+      """WITH li AS (SELECT l_suppkey,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+               AS BIGINT) AS cents,
+             l_orderkey * 10 + l_linenumber AS lid
+           FROM lineitem),
+         rk AS (SELECT l_suppkey, cents, lid,
+             row_number() OVER (PARTITION BY l_suppkey
+               ORDER BY cents DESC, lid) AS rank
+           FROM li)
+         SELECT l_suppkey, CAST(rank AS BIGINT) AS rank, cents,
+             CAST(lid AS BIGINT) AS item_id
+         FROM rk WHERE rank <= 3 ORDER BY l_suppkey, rank""",
     "q127_copurchase" ->
       """WITH cs AS (SELECT DISTINCT o_custkey AS cust,
              l_suppkey AS supp
