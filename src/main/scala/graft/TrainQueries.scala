@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{QuantizedCentroid, TextFns, TopK}
-import graft.ops.{Bfs, Blooms, Cardinality, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, FreqSketch, FuzzyJoin, KCore, KMeans, Mixing, ModelStore, Multimodal, NearDup, Packing, PageRank, ParagraphDedup, Percentiles, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, SetSimJoin, Similarity, Skyline, Snm, TableDiff, Triangles}
+import graft.ops.{Bfs, Blooms, Cardinality, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, FreqSketch, FuzzyJoin, KCenter, KCore, KMeans, Mixing, ModelStore, Multimodal, NearDup, Packing, PageRank, ParagraphDedup, Paths, Percentiles, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, SetSimJoin, Similarity, Skyline, Snm, TableDiff, Triangles}
 import graft.streaming.{BudgetAdmission, EventStream, IncrementalClusters, NearDupIndex, RateMonitor, StatefulSessions, VersionedStore}
 
 /** Training-data-pipeline operators (SURVEY §7.2.8) as driver-contract
@@ -3873,6 +3873,132 @@ object TrainQueries {
       .orderBy("l_suppkey", "rank")
   }
 
+  /** Skip-gram co-occurrence pair extraction (q177) — the
+    * word-embedding training-data construction step (word2vec-style
+    * context pairs, PMI/collocation numerators): for every token, its
+    * co-occurrences within a ±2 window, counted as unordered
+    * (least, greatest) pairs. Pair generation is SCAN-LOCAL — one
+    * nested `transform` + `flatten` over the token array inside the
+    * projection, so the fanout (n_tokens × window) materializes after
+    * the scan with ZERO joins and nothing but (w1, w2) pairs ever
+    * shuffles (one partial-agg); top-30 is TakeOrderedAndProject
+    * under the full (n desc, w1, w2) tiebreak, never a global sort.
+    * The oracle generates the same pairs the structurally opposite
+    * way — a positional self-join on unnested (doc, ord) tokens — so
+    * green proves the scan-local expression ≡ the join definition.
+    */
+  private def qSkipgramPairs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(split(col("text"), " ").as("toks"))
+      .select(explode(expr(
+        """flatten(transform(toks, (t, i) ->
+          |  transform(slice(toks, i + 2, 2),
+          |    c -> struct(least(t, c) as w1, greatest(t, c) as w2))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_cooc"))
+      .orderBy(col("n_cooc").desc, col("w1"), col("w2"))
+      .limit(30)
+
+  /** Bounded-hop weighted shortest distances (q178,
+    * [[graft.ops.Paths]]): min-plus Bellman–Ford over the symmetrized
+    * customer–supplier purchase graph with exact integer edge weights
+    * (floor(min quantity) per partnership — "cheapest connection"),
+    * from the nation-0 customer seed set, capped at 4 relaxation
+    * rounds — the trust/affinity-distance filter where q173's BFS
+    * counts hops but THIS weighs them (the cheapest 3-edge route can
+    * beat a direct edge). Delta relaxation keeps per-round cost
+    * frontier-sized; the per-distance digest (count, key checksum,
+    * customer count; −1 = unreached) is ordering-free, and the oracle
+    * unrolls the same 4 rounds as union+min CTEs — green proves delta
+    * relaxation ≡ full Bellman–Ford at equal depth.
+    */
+  private def qWeightedPaths(s: SparkSession, dir: String): DataFrame = {
+    val half = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+      .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .agg(floor(min(col("l_quantity"))).cast("long").as("w"))
+    val edges = half.union(
+      half.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val seeds = nodes.join(
+      t(s, dir, "customer").filter(col("c_nationkey") === 0)
+        .select((col("c_custkey") * 2).as("node")), Seq("node"))
+    val dist = Paths.boundedDistances(edges, "src", "dst", "w",
+      seeds, "node", 4)
+    nodes.join(dist, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("dist"), lit(-1L)).as("dist"))
+      .groupBy("dist")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(expr("node div 2")).as("key_sum"),
+        sum(when(col("node") % 2 === 0, 1L).otherwise(0L))
+          .as("n_customers"))
+      .orderBy("dist")
+  }
+
+  /** Seasonal-baseline anomaly detection (q179) — the observability
+    * pass q126's EWMA can't express: traffic with a DAILY SHAPE
+    * (quiet 4am, busy 6pm) needs each (type, day, hour) cell judged
+    * against its OWN seasonal slot — the (type, hour-of-day) lower
+    * median over the observed days — not against the trailing rate.
+    * Cells deviating ≥ 25% from their slot baseline are flagged with
+    * the deviation in basis points. All integer: the lower median is
+    * an exact rank pick (rn = (n+1) div 2 over the slot's day-counts,
+    * full (n, day) tiebreak), deviation is abs-then-div so no
+    * negative integer division crosses the Spark-truncates /
+    * DuckDB-floors divide; the slot windows partition by (type,
+    * hour) — 120 metadata-sized partitions of ≤ n_days cells each,
+    * never an event-scale frame. Observed cells only (an absent
+    * (day, hour) is silence, not a zero sample) — documented.
+    */
+  private def qSeasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+          .cast("long").as("day"),
+        hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type", "hr")
+    val ranked = cells
+      .withColumn("__rn", row_number().over(
+        w.orderBy(col("n_events"), col("day"))))
+      .withColumn("__nc", count(lit(1)).over(w))
+    val med = ranked
+      .filter(col("__rn") === expr("(__nc + 1L) div 2L"))
+      .select(col("event_type"), col("hr"),
+        col("n_events").as("med_baseline"))
+    cells.join(med, Seq("event_type", "hr"))
+      .withColumn("dev_bp",
+        expr("abs(n_events - med_baseline) * 10000L div med_baseline"))
+      .filter(col("dev_bp") >= 2500)
+      .select(col("event_type"), col("day"), col("hr"),
+        col("n_events"), col("med_baseline"), col("dev_bp"),
+        (col("n_events") > col("med_baseline")).as("above"))
+      .orderBy("event_type", "day", "hr")
+  }
+
+  /** Greedy k-center diversity selection (q180,
+    * [[graft.ops.KCenter]]): 5 maximally-spread exemplars over the
+    * quantized embeddings via Gonzalez's farthest-point sweep (a
+    * 2-approximation of the optimal k-center radius), plus the
+    * coverage-reporter row whose d² IS the achieved radius. Each
+    * round is one scan-local running-min update against the newest
+    * center (a plan literal, the q97 discipline) and one max(struct)
+    * partial-agg — k linear scans total, the base never shuffled or
+    * self-joined. The oracle unrolls the same 5 rounds in SQL over
+    * the shared quantized CTE — green proves the running-min sweep ≡
+    * the min-over-selected-set definition, argmax tiebreaks included.
+    */
+  private def qKCenter(s: SparkSession, dir: String): DataFrame =
+    KCenter.select(
+      Similarity.prepare(t(s, dir, "embeddings"), "embedding"),
+      "vec_id", 5)
+
   /** q148's stored reference artifacts, built once per (session,
     * corpus): the eval set's distinct paragraph fingerprints as a
     * parquet table (the exact-confirm side) and their Bloom filter
@@ -4317,7 +4443,11 @@ object TrainQueries {
     "q173_bfs_levels" -> (qBfsLevels _),
     "q174_skyline" -> (qSkyline _),
     "q175_snm_dedup" -> (qSnmDedup _),
-    "q176_topk_agg" -> (qTopKAgg _))
+    "q176_topk_agg" -> (qTopKAgg _),
+    "q177_skipgram_pairs" -> (qSkipgramPairs _),
+    "q178_weighted_paths" -> (qWeightedPaths _),
+    "q179_seasonal_anomaly" -> (qSeasonalAnomaly _),
+    "q180_kcenter" -> (qKCenter _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -6578,6 +6708,153 @@ object TrainQueries {
          SELECT l_suppkey, CAST(rank AS BIGINT) AS rank, cents,
              CAST(lid AS BIGINT) AS item_id
          FROM rk WHERE rank <= 3 ORDER BY l_suppkey, rank""",
+    // q177: the oracle generates the window pairs the structurally
+    // opposite way — a positional self-join over unnested tokens —
+    // so green proves the scan-local nested-transform expression
+    // equals the join definition of "within ±2 positions".
+    "q177_skipgram_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents),
+         tok AS (SELECT doc_id, i, t[i] AS tk
+           FROM toks, unnest(range(1, len(t) + 1)) u(i)),
+         p AS (SELECT least(a.tk, b.tk) AS w1,
+             greatest(a.tk, b.tk) AS w2
+           FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+             AND b.i >= a.i + 1 AND b.i <= a.i + 2)
+         SELECT w1, w2, COUNT(*) AS n_cooc FROM p GROUP BY 1, 2
+         ORDER BY n_cooc DESC, w1, w2 LIMIT 30""",
+    // q178: full Bellman–Ford unrolled to 4 union+min rounds — what
+    // the delta relaxation must equal at the same depth; -1 sentinels
+    // (unreached bucket, its min/max) keep every column int64 with no
+    // NULL-driven float64 widening (the q92 coalesce discipline).
+    "q178_weighted_paths" ->
+      """WITH e0 AS (SELECT o_custkey * 2 AS src,
+             l_suppkey * 2 + 1 AS dst,
+             CAST(floor(MIN(l_quantity)) AS BIGINT) AS w
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1, 2),
+         e AS (SELECT src, dst, w FROM e0
+               UNION ALL SELECT dst, src, w FROM e0),
+         nodes AS (SELECT DISTINCT src AS node FROM e),
+         seeds AS (SELECT n.node FROM nodes n
+           JOIN customer c ON n.node = c.c_custkey * 2
+           WHERE c.c_nationkey = 0),
+         d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds),
+         d1 AS (SELECT node, MIN(c) AS dist FROM (
+             SELECT node, dist AS c FROM d0
+             UNION ALL SELECT e.dst, d0.dist + e.w
+               FROM e JOIN d0 ON e.src = d0.node) GROUP BY 1),
+         d2 AS (SELECT node, MIN(c) AS dist FROM (
+             SELECT node, dist AS c FROM d1
+             UNION ALL SELECT e.dst, d1.dist + e.w
+               FROM e JOIN d1 ON e.src = d1.node) GROUP BY 1),
+         d3 AS (SELECT node, MIN(c) AS dist FROM (
+             SELECT node, dist AS c FROM d2
+             UNION ALL SELECT e.dst, d2.dist + e.w
+               FROM e JOIN d2 ON e.src = d2.node) GROUP BY 1),
+         d4 AS (SELECT node, MIN(c) AS dist FROM (
+             SELECT node, dist AS c FROM d3
+             UNION ALL SELECT e.dst, d3.dist + e.w
+               FROM e JOIN d3 ON e.src = d3.node) GROUP BY 1),
+         j AS (SELECT n.node,
+             COALESCE(d4.dist, CAST(-1 AS BIGINT)) AS dist
+           FROM nodes n LEFT JOIN d4 ON n.node = d4.node)
+         SELECT dist, COUNT(*) AS n_nodes,
+           CAST(SUM(node // 2) AS BIGINT) AS key_sum,
+           CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_customers
+         FROM j GROUP BY 1 ORDER BY dist""",
+    // q179: abs-then-div keeps the basis-point deviation out of the
+    // negative-division divergence (Spark `div` truncates, DuckDB //
+    // floors); the lower median is the exact rank pick rn=(n+1)//2
+    // under the full (n_events, day) tiebreak.
+    "q179_seasonal_anomaly" ->
+      """WITH cells AS (SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS day,
+             CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+             COUNT(*) AS n_events
+           FROM events GROUP BY 1, 2, 3),
+         rk AS (SELECT event_type, hr, day, n_events,
+             row_number() OVER (PARTITION BY event_type, hr
+               ORDER BY n_events, day) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type, hr) AS nc
+           FROM cells),
+         med AS (SELECT event_type, hr, n_events AS med_baseline
+           FROM rk WHERE rn = (nc + 1) // 2)
+         SELECT c.event_type, c.day, c.hr, c.n_events, m.med_baseline,
+             abs(c.n_events - m.med_baseline) * 10000 // m.med_baseline
+               AS dev_bp,
+             c.n_events > m.med_baseline AS above
+         FROM cells c JOIN med m
+           ON c.event_type = m.event_type AND c.hr = m.hr
+         WHERE abs(c.n_events - m.med_baseline) * 10000
+           // m.med_baseline >= 2500
+         ORDER BY c.event_type, c.day, c.hr""",
+    // q180: the same 5 greedy rounds unrolled — each e_r folds the
+    // distance to round r−1's pick into the running min, each c_r is
+    // the (dmin desc, vec_id) argmax — over the shared quantization;
+    // every d2 leg CAST to BIGINT (SUM would widen to HUGEINT, the
+    // q118 dtype lesson).
+    "q180_kcenter" ->
+      """WITH q AS (SELECT vec_id, i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0 + 0.5)
+                  AS BIGINT) AS x
+           FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+         nn AS (SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS nn
+           FROM q GROUP BY 1),
+         c0 AS (SELECT vec_id FROM nn ORDER BY nn DESC, vec_id LIMIT 1),
+         e1 AS (SELECT a.vec_id,
+             CAST(SUM((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS dmin
+           FROM q a JOIN q b ON a.i = b.i
+           WHERE b.vec_id = (SELECT vec_id FROM c0) GROUP BY 1),
+         c1 AS (SELECT vec_id, dmin FROM e1
+           ORDER BY dmin DESC, vec_id LIMIT 1),
+         e2 AS (SELECT e1.vec_id, LEAST(e1.dmin, d.d2) AS dmin
+           FROM e1 JOIN (SELECT a.vec_id,
+               CAST(SUM((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2
+             FROM q a JOIN q b ON a.i = b.i
+             WHERE b.vec_id = (SELECT vec_id FROM c1) GROUP BY 1) d
+           USING (vec_id)),
+         c2 AS (SELECT vec_id, dmin FROM e2
+           ORDER BY dmin DESC, vec_id LIMIT 1),
+         e3 AS (SELECT e2.vec_id, LEAST(e2.dmin, d.d2) AS dmin
+           FROM e2 JOIN (SELECT a.vec_id,
+               CAST(SUM((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2
+             FROM q a JOIN q b ON a.i = b.i
+             WHERE b.vec_id = (SELECT vec_id FROM c2) GROUP BY 1) d
+           USING (vec_id)),
+         c3 AS (SELECT vec_id, dmin FROM e3
+           ORDER BY dmin DESC, vec_id LIMIT 1),
+         e4 AS (SELECT e3.vec_id, LEAST(e3.dmin, d.d2) AS dmin
+           FROM e3 JOIN (SELECT a.vec_id,
+               CAST(SUM((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2
+             FROM q a JOIN q b ON a.i = b.i
+             WHERE b.vec_id = (SELECT vec_id FROM c3) GROUP BY 1) d
+           USING (vec_id)),
+         c4 AS (SELECT vec_id, dmin FROM e4
+           ORDER BY dmin DESC, vec_id LIMIT 1),
+         e5 AS (SELECT e4.vec_id, LEAST(e4.dmin, d.d2) AS dmin
+           FROM e4 JOIN (SELECT a.vec_id,
+               CAST(SUM((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2
+             FROM q a JOIN q b ON a.i = b.i
+             WHERE b.vec_id = (SELECT vec_id FROM c4) GROUP BY 1) d
+           USING (vec_id)),
+         c5 AS (SELECT vec_id, dmin FROM e5
+           ORDER BY dmin DESC, vec_id LIMIT 1)
+         SELECT CAST(0 AS BIGINT) AS sel_round, vec_id,
+             CAST(0 AS BIGINT) AS d2 FROM c0
+         UNION ALL SELECT CAST(1 AS BIGINT), vec_id,
+             CAST(dmin AS BIGINT) FROM c1
+         UNION ALL SELECT CAST(2 AS BIGINT), vec_id,
+             CAST(dmin AS BIGINT) FROM c2
+         UNION ALL SELECT CAST(3 AS BIGINT), vec_id,
+             CAST(dmin AS BIGINT) FROM c3
+         UNION ALL SELECT CAST(4 AS BIGINT), vec_id,
+             CAST(dmin AS BIGINT) FROM c4
+         UNION ALL SELECT CAST(5 AS BIGINT), vec_id,
+             CAST(dmin AS BIGINT) FROM c5
+         ORDER BY sel_round""",
     "q127_copurchase" ->
       """WITH cs AS (SELECT DISTINCT o_custkey AS cust,
              l_suppkey AS supp

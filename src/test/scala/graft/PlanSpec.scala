@@ -562,4 +562,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"))
     assert(p.contains("FullOuter"), "merge must be the full-outer join")
   }
+
+  test("q177: skip-gram pair generation is scan-local — no join of " +
+      "the token stream against itself; top-30 is TakeOrderedAndProject") {
+    val df = SparkEntry.queries("q177_skipgram_pairs")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"),
+      "pairs must come from the nested-transform expression, not a " +
+        s"positional self-join:\n${p.take(1200)}")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("partial_count"),
+      "the pair count must partial-aggregate map-side")
+  }
+
+  test("q179: the seasonal-slot median windows partition by " +
+      "(type, hour) — never an unpartitioned frame") {
+    val df = SparkEntry.queries("q179_seasonal_anomaly")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("Window"))
+    assert(p.contains("windowspecdefinition(event_type"),
+      "slot windows must be keyed by (event_type, hr), not a " +
+        s"global frame:\n${p.take(1200)}")
+  }
 }
