@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.expressions.LongDot
 import graft.functions.{QuantizedCentroid, TextFns, TopK}
-import graft.ops.{Bfs, Blooms, Cardinality, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, FreqSketch, FuzzyJoin, KCenter, KCore, KMeans, Mixing, ModelStore, Multimodal, NearDup, Packing, PageRank, ParagraphDedup, Paths, Percentiles, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, SetSimJoin, Similarity, Skyline, Snm, TableDiff, Triangles}
+import graft.ops.{Bfs, Blooms, Cardinality, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, FreqSketch, FuzzyJoin, GapFill, KCenter, KCore, KMeans, Mixing, ModelStore, Multimodal, NearDup, Packing, PageRank, ParagraphDedup, Paths, Percentiles, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, SetSimJoin, Similarity, Skyline, Snm, TableDiff, Triangles}
 import graft.streaming.{BudgetAdmission, EventStream, IncrementalClusters, NearDupIndex, RateMonitor, StatefulSessions, VersionedStore}
 
 /** Training-data-pipeline operators (SURVEY §7.2.8) as driver-contract
@@ -493,6 +494,69 @@ object TrainQueries {
                      JOIN sig sb ON cand.id_b = sb.doc_id)
          SELECT id_a, id_b, jaccard, est_jaccard FROM jac
          WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""
+
+  /** q192's oracle: the same 32-hash signature chain banded three
+    * ways (the shared `bands` CTE IS the (4,8) config), candidates
+    * per config from the band self-join, ground truth from the full
+    * inverted-index J ≥ 0.5 join, and the theory column interpolated
+    * as the SAME Scala-computed literal the engine emits (no
+    * cross-engine pow).
+    */
+  private def lshTuningOracle: String = {
+    def bandCte(b: Int, r: Int, name: String): String = {
+      val selects = (0 until b).map { bnd =>
+        val parts = (1 to r)
+          .map(rr => s"CAST(sg[${bnd * r + rr}] AS VARCHAR)")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, $bnd AS b, md5($parts) AS bkey FROM sig"
+      }.mkString("\n           UNION ALL ")
+      s"$name AS ($selects)"
+    }
+    def candCte(bandName: String, name: String): String =
+      s"""$name AS (SELECT DISTINCT a.doc_id AS id_a,
+             b.doc_id AS id_b
+           FROM $bandName a JOIN $bandName b
+             ON a.b = b.b AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id)"""
+    def leg(config: String, b: Int, r: Int, cand: String): String =
+      s"""SELECT '$config' AS config, CAST($b AS BIGINT) AS bands,
+             CAST($r AS BIGINT) AS rows_per_band,
+             (SELECT COUNT(*) FROM $cand) AS n_candidates,
+             (SELECT COUNT(*) FROM truth) AS n_true,
+             (SELECT COUNT(*) FROM $cand JOIN truth
+               USING (id_a, id_b)) AS n_found,
+             CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+               THEN (SELECT COUNT(*) FROM $cand JOIN truth
+                 USING (id_a, id_b)) * 10000
+                 // (SELECT COUNT(*) FROM truth)
+               ELSE 10000 END AS recall_bp,
+             CASE WHEN (SELECT COUNT(*) FROM $cand) > 0
+               THEN (SELECT COUNT(*) FROM $cand JOIN truth
+                 USING (id_a, id_b)) * 10000
+                 // (SELECT COUNT(*) FROM $cand)
+               ELSE 10000 END AS precision_bp,
+             CAST(${theoryRecallBp(b, r)} AS BIGINT)
+               AS theory_recall_bp"""
+    s"""$minhashCtes,
+         ${bandCte(16, 2, "b16")}, ${candCte("b16", "c162")},
+         ${bandCte(8, 4, "b8")}, ${candCte("b8", "c84")},
+         ${candCte("bands", "c48")},
+         g AS (SELECT doc_id, unnest(shingles) AS sh FROM s),
+         p0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*) AS inter
+           FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         sz AS (SELECT doc_id, len(shingles) AS n FROM s),
+         truth AS (SELECT id_a, id_b FROM p0
+           JOIN sz x ON p0.id_a = x.doc_id
+           JOIN sz y ON p0.id_b = y.doc_id
+           WHERE CAST(inter AS DOUBLE)
+             / CAST(x.n + y.n - inter AS DOUBLE) >= 0.5)
+         ${leg("b16r2", 16, 2, "c162")}
+         UNION ALL ${leg("b4r8", 4, 8, "c48")}
+         UNION ALL ${leg("b8r4", 8, 4, "c84")}
+         ORDER BY config"""
+  }
 
   /** q99's oracle: the same signature/band chain, candidates from the
     * new-batch × history band join, scored by the signature estimator.
@@ -3950,8 +4014,10 @@ object TrainQueries {
     * the deviation in basis points. All integer: the lower median is
     * an exact rank pick (rn = (n+1) div 2 over the slot's day-counts,
     * full (n, day) tiebreak), deviation is abs-then-div so no
-    * negative integer division crosses the Spark-truncates /
-    * DuckDB-floors divide; the slot windows partition by (type,
+    * engine's negative-integer-division convention is ever in play
+    * (both truncate — q181 measured it — but signed div in a
+    * portability surface is a hazard, not a dependency to take);
+    * the slot windows partition by (type,
     * hour) — 120 metadata-sized partitions of ≤ n_days cells each,
     * never an event-scale frame. Observed cells only (an absent
     * (day, hour) is silence, not a zero sample) — documented.
@@ -3998,6 +4064,549 @@ object TrainQueries {
     KCenter.select(
       Similarity.prepare(t(s, dir, "embeddings"), "embedding"),
       "vec_id", 5)
+
+  /** Embedding-space class-separation audit (q181) — the labeled-data
+    * health check run before training a classifier on an embedding
+    * column: per label, the exact integer centroid (the KMeans update
+    * rule: floor-divided per-dimension sums), the intra-class mean
+    * squared distance, the nearest OTHER centroid, and the
+    * separation ratio in basis points — a label whose nearest foreign
+    * centroid sits closer than its own spread (sep_bp low) is
+    * mislabeled or unlearnable. One (label, dim) partial-agg pass
+    * builds all centroids (metadata-sized: |labels|×64 rows collected
+    * like a range partitioner's boundaries); per-vector distance to
+    * the OWN centroid is scan-local against label-dispatched plan
+    * literals (one codegen'd [[graft.expressions.LongDot]] dot per
+    * row); inter-centroid geometry is pure driver arithmetic over the
+    * |labels|² metadata. Centroid division TRUNCATES toward zero on
+    * both sides (Scala `/`, DuckDB `//` — measured: −4165 // 43 =
+    * −96, not the floor −97), the one place a per-dimension sum goes
+    * negative — so the replay is bit-identical.
+    */
+  private def qClassSeparation(s: SparkSession, dir: String): DataFrame = {
+    val prep = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
+      .select(col("label").cast("long").as("label"), col("qv"),
+        col("qn"))
+    val cent = prep
+      .select(col("label"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(sum("x").as("s"), count(lit(1)).as("n"))
+      .collect()
+      .groupBy(_.getAs[Long]("label"))
+      .map { case (l, rows) =>
+        val dims = rows.map(r => r.getAs[Int]("pos") ->
+          r.getAs[Long]("s") / r.getAs[Long]("n"))
+          .sortBy(_._1).map(_._2)
+        l -> dims
+      }
+    val labels = cent.keys.toSeq.sorted
+    // Per-vector d² to the OWN centroid: label-dispatched literals.
+    val own = labels.foldLeft(lit(null).cast("long")) { (acc, l) =>
+      val c = cent(l)
+      val cn = c.map(x => x * x).sum
+      when(col("label") === l,
+        col("qn") - lit(2L) * LongDot.dot(typedLit(c.toSeq), col("qv"))
+          + lit(cn)).otherwise(acc)
+    }
+    val intra = prep.withColumn("__d2", own)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(__d2) div count(1)").as("intra_msd"))
+    // Nearest foreign centroid: |labels|² pure driver arithmetic.
+    val nn = labels.map { l =>
+      val best = labels.filter(_ != l).map { m =>
+        val d = cent(l).zip(cent(m))
+          .map { case (a, b) => (a - b) * (a - b) }.sum
+        (d, m)
+      }.min
+      (l, best._2, best._1)
+    }
+    val nnDf = s.createDataFrame(nn).toDF("label", "nn_label", "nn_d2")
+    intra.join(nnDf, "label")
+      .withColumn("sep_bp",
+        expr("nn_d2 * 10000L div greatest(intra_msd, 1L)"))
+      .orderBy("label")
+  }
+
+  /** Interval-union coverage (q182) — the gaps-and-islands member
+    * q158 (same-type run collapse) and q83 (gap sessionization) don't
+    * cover: each event projects a 5-minute attention interval and the
+    * question is each user's UNION length — overlapping intervals
+    * must not double-count (a plain SUM of durations overstates
+    * exactly where activity is densest). The classic running-max
+    * sweep: an interval opens a new island iff its start exceeds the
+    * running max end of everything earlier (one per-user lag-frame
+    * window, bounded by the user's stream), islands aggregate to
+    * (min start, max end), coverage = Σ island lengths. All integer
+    * milliseconds under the full (start, event_id) tiebreak, so the
+    * DuckDB window replay is exact.
+    */
+  private def qIntervalCoverage(s: SparkSession, dir: String): DataFrame = {
+    val horizon = 300000L // 5 min
+    val iv = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("s_ms"))
+      .withColumn("e_ms", col("s_ms") + horizon)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("s_ms"), col("event_id"))
+    val isl = iv
+      .withColumn("__pmax",
+        max("e_ms").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("s_ms") > col("__pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    isl.groupBy("user_id", "island")
+      .agg(count(lit(1)).as("__n"), min("s_ms").as("__is"),
+        max("e_ms").as("__ie"))
+      .groupBy("user_id")
+      .agg(sum("__n").as("n_events"),
+        count(lit(1)).as("n_islands"),
+        sum(col("__ie") - col("__is")).as("covered_ms"))
+      .orderBy("user_id")
+  }
+
+  /** Cross-source duplication matrix (q183) — the curation instrument
+    * behind "which sources copy which": for every source pair, the
+    * number of duplicate 20-token-paragraph DOC PAIRS and the number
+    * of distinct shared paragraphs (diagonal = intra-source
+    * duplication). The counting is pure ALGEBRA, never a doc-pair
+    * materialization: per (paragraph-hash, source) occurrence counts
+    * c (32-byte keys, one partial-agg), then per-hash source-pair
+    * products c_a·c_b (same source: c(c−1)/2) — per-hash join fanout
+    * is bounded by |sources|², NOT occurrences², so a boilerplate
+    * paragraph in a thousand docs costs |sources|² rows where the
+    * naive pair join pays 10⁶. The oracle IS that naive O(pairs)
+    * doc-pair join — green proves the counting algebra ≡ pair
+    * materialization.
+    */
+  private def qCrossSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val np = ParagraphDedup.paragraphs(docs, "doc_id", "text", 20)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"), md5(col("para")).as("ph"))
+      .distinct()
+    val g = np.groupBy("ph", "source").agg(count(lit(1)).as("c"))
+    val a = g.select(col("ph"), col("source").as("sa"), col("c").as("ca"))
+    val b = g.select(col("ph"), col("source").as("sb"), col("c").as("cb"))
+    a.join(b, Seq("ph"))
+      .filter(col("sa") <= col("sb"))
+      .withColumn("pairs",
+        when(col("sa") === col("sb"),
+          expr("ca * (ca - 1L) div 2L"))
+          .otherwise(col("ca") * col("cb")))
+      .filter(col("pairs") > 0)
+      .groupBy(col("sa").as("source_a"), col("sb").as("source_b"))
+      .agg(sum("pairs").as("n_pairs"), count(lit(1)).as("n_paras"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Time-series gap fill (q184, [[graft.ops.GapFill]]): each event
+    * type's hourly milli-quantized `value` volume densified onto the
+    * hour grid — linear interpolation across interior gaps, forward
+    * fill after the type's last observation up to the corpus-wide
+    * last hour (the common grid END that aligns every key into one
+    * feature matrix). Per-key grids and per-key windows only; the
+    * interpolation is ONE fixed-shape double expression over
+    * integer-valued operands (one multiply, one divide, one add), so
+    * the DuckDB window replay is bit-identical, `fill` provenance
+    * column included.
+    */
+  private def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    val obs = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr("unix_millis(ts) div 3600000").as("hr"))
+      .agg(sum(expr(
+        "cast(cast(value as decimal(18,2)) * 100 as bigint) * 10L"))
+        .as("v_milli"))
+    GapFill.fill(obs, "event_type", "hr", "v_milli")
+      .orderBy("event_type", "hr")
+  }
+
+  /** Streaming exact top-k leaderboard (q185,
+    * [[graft.streaming.Leaderboard]]): the global 20 highest-value
+    * events maintained across 3 micro-batches — per-row scores make
+    * k stored rows a SUFFICIENT STATISTIC (top-k(A∪B) =
+    * top-k(top-k(A)∪B)), so the fold is exact and per-ingest cost is
+    * independent of history. Oracle = the one-shot batch top-20 over
+    * all events, so green proves streamed fold ≡ batch ranking;
+    * LeaderboardSpec drives restart-resume with displacement and
+    * no-change batches.
+    */
+  private def qStreamTopK(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Leaderboard.run(s, s"$dir/events.parquet", 20,
+      chunks = 3)
+
+  /** Functional-dependency audit (q186) — the schema-contract gate
+    * beside E150's referential audit: does column A determine column
+    * B? Five candidate FDs (two that HOLD — key → attribute — and
+    * three plausible-but-false ones a pipeline might wrongly assume),
+    * each audited in one (LHS, distinct-RHS) partial-agg pass: LHS
+    * key count, violating-key count (distinct RHS > 1), violation
+    * share in basis points, worst fanout. At 100 TB this is the scan
+    * that decides whether a "join on A, take B from either side"
+    * denormalization is safe — run BEFORE the pipeline bakes the
+    * assumption in.
+    */
+  private def qFdAudit(s: SparkSession, dir: String): DataFrame = {
+    def fd(df: DataFrame, name: String, lhs: String,
+        rhs: String): DataFrame =
+      df.groupBy(col(lhs))
+        .agg(countDistinct(col(rhs)).as("__nr"))
+        .agg(count(lit(1)).as("n_lhs"),
+          sum(when(col("__nr") > 1, 1L).otherwise(0L))
+            .as("n_violating"),
+          max("__nr").as("max_fanout"))
+        .select(lit(name).as("fd"), col("n_lhs"), col("n_violating"),
+          expr("n_violating * 10000L div n_lhs").as("viol_bp"),
+          col("max_fanout"))
+    fd(t(s, dir, "orders"), "orders: o_orderkey -> o_custkey",
+        "o_orderkey", "o_custkey")
+      .unionByName(fd(t(s, dir, "lineitem"),
+        "lineitem: l_orderkey -> l_suppkey", "l_orderkey", "l_suppkey"))
+      .unionByName(fd(t(s, dir, "documents"),
+        "documents: doc_id -> lang", "doc_id", "lang"))
+      .unionByName(fd(t(s, dir, "documents"),
+        "documents: source -> lang", "source", "lang"))
+      .unionByName(fd(t(s, dir, "events"),
+        "events: user_id -> event_type", "user_id", "event_type"))
+      .orderBy("fd")
+  }
+
+  /** Streaming incremental skyline (q187,
+    * [[graft.streaming.SkylineStream]]): q174's Pareto frontier kept
+    * current under document arrivals — dominance is transitive, so
+    * the stored frontier is a SUFFICIENT STATISTIC (skyline(A∪B) =
+    * skyline(skyline(A)∪B)) and per-ingest cost is the batch's own
+    * sweep plus a frontier-sized merge. Oracle = the one-shot
+    * NOT-EXISTS dominance frontier over ALL docs, so green proves
+    * streamed fold ≡ batch skyline; SkylineStreamSpec drives
+    * restart-resume with arrivals that EVICT stored frontier points.
+    */
+  private def qStreamSkyline(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.SkylineStream.run(s, s"$dir/documents.parquet",
+      chunks = 3)
+
+  /** Per-source bottom-k (KMV) sketch (q188) — the deterministic
+    * sample-AND-estimator in one k-row state: the k smallest 52-bit
+    * md5 hashes of each source's distinct 5-gram shingles are (a) a
+    * reproducible uniform sample of the source's content space any
+    * engine recomputes bit-identically, and (b) the classic KMV
+    * distinct-count estimator est = (k−1)·2⁵²/h_k — REPORTED against
+    * the exact count with its error in basis points and the 3·rsd
+    * check (rsd ≈ 1/√(k−2)), measured not asserted. Bottom-k rides
+    * the E170 bounded aggregate (negated score), so state caps at k
+    * per source map-side — no per-group window, no global sort — and
+    * the sketch is MERGEABLE (bottom-k(A∪B) = bottom-k(bk(A)∪bk(B)):
+    * the merge law is asserted in-engine per source over the
+    * doc_id-parity halves (merge_exact, the q164/q170 discipline —
+    * DuckDB replays the estimator numerically and gets a TRUE
+    * literal for the in-engine law).
+    */
+  private def qKmvSketch(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val scale = 4503599627370496L // 16^13 = 2^52
+    val tk = TopK.topK(k)
+    def hashes(docs: DataFrame): DataFrame = docs
+      .select(col("source"),
+        explode(TextFns.shingles("text", 5)).as("g"))
+      .distinct()
+      .select(col("source"),
+        expr("cast(conv(substring(md5(g), 1, 13), 16, 10) as bigint)")
+          .as("h"))
+      .distinct()
+    def bottomK(hs: DataFrame, out: String): DataFrame = hs
+      .groupBy("source")
+      .agg(tk(-col("h"), col("h")).as(out),
+        count(lit(1)).as(out + "_n"))
+    val docs = t(s, dir, "documents")
+    val whole = bottomK(hashes(docs), "bk")
+    // merge law over the doc_id-parity halves: bottom-k of the union
+    // of the two k-row states must equal the whole corpus's bottom-k
+    val h1 = bottomK(hashes(docs.filter(col("doc_id") % 2 === 0)), "b1")
+    val h2 = bottomK(hashes(docs.filter(col("doc_id") % 2 === 1)), "b2")
+    val mergedState = h1
+      .select(col("source"), explode(col("b1")).as("e"))
+      .unionByName(h2.select(col("source"), explode(col("b2")).as("e")))
+      .select(col("source"), col("e.id").as("h"))
+      .distinct()
+    val merged = bottomK(mergedState, "bm")
+    val nGrams = t(s, dir, "documents")
+      .select(col("source"),
+        explode(TextFns.shingles("text", 5)).as("g"))
+      .distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_grams"))
+    whole.join(merged.select("source", "bm"), "source")
+      .join(nGrams, "source")
+      .select(col("source"), col("n_grams"),
+        when(col("bk_n") < k, col("bk_n"))
+          .otherwise(expr(s"(${k - 1}L * ${scale}L) div"
+            + s" greatest(element_at(bk, $k).id, 1L)")).as("kmv_est"),
+        (col("bm") === col("bk")).as("merge_exact"))
+      .withColumn("err_bp",
+        expr("abs(kmv_est - n_grams) * 10000L div n_grams"))
+      .withColumn("within_3rsd", col("err_bp") <= 3810L)
+      .select(col("source"), col("n_grams"), col("kmv_est"),
+        col("err_bp"), col("within_3rsd"), col("merge_exact"))
+      .orderBy("source")
+  }
+
+  /** q189's stored bin boundaries, trained once per (session, corpus)
+    * on the HISTORY orders (o_orderkey % 10 < 8): the 9 exact
+    * lower-decile cents values at ranks ⌈i·n/10⌉ in (cents, orderkey)
+    * order — the rank from [[Packing.withRunningSum]]'s range
+    * exchange (zero Window operators), boundaries written as a
+    * 9-row parquet artifact (bin_idx, bound_cents).
+    */
+  private val binArtifactCache = scala.collection.mutable.Map
+    .empty[(String, String), String]
+
+  private def binArtifact(s: SparkSession, dir: String): String =
+    sessionFixture(binArtifactCache, s, dir) {
+      val tag = (s.sparkContext.applicationId + "_" + dir)
+        .replaceAll("[^a-zA-Z0-9]", "_")
+      val hist = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 10 < 8)
+        .select(expr(
+          "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")
+          .as("cents"), col("o_orderkey"))
+        .withColumn("__one", lit(1L))
+      val n = hist.count()
+      val ranks = (1 to 9).map(i => (i * n + 9) / 10)
+      val byRank = Packing
+        .withRunningSum(hist, "rk", "__one",
+          col("cents").asc, col("o_orderkey").asc)
+        .filter(col("rk").isin(ranks: _*))
+        .select(col("rk"), col("cents"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val path = graft.Scratch.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_bins_$tag")
+      import s.implicits._
+      ranks.zipWithIndex
+        .map { case (rk, i) => (i.toLong + 1L, byRank(rk)) }
+        .toDF("bin_idx", "bound_cents")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      path
+    }
+
+  /** Stored equi-depth binning — train once, apply many (q189): the
+    * q129 stored-artifact lifecycle applied to feature PREPROCESSING.
+    * Decile boundaries are trained on the history orders, persisted
+    * as a parquet artifact, and APPLIED to the disjoint arrival batch
+    * (o_orderkey % 10 ≥ 8) as plan literals — binning is scan-local
+    * codegen'd comparisons, rows never shuffle to learn their bin
+    * (the q142 discipline, but with the boundary artifact OUTLIVING
+    * the run: at 100 TB the training scan happens once per model
+    * version, not once per scoring job). Boundaries are exact-rank
+    * integer cents (no interpolated doubles), so the oracle replays
+    * train AND apply numerically end-to-end — green proves the
+    * parquet roundtrip lossless and the stored-model application
+    * identical to an inline recompute.
+    */
+  private def qStoredBins(s: SparkSession, dir: String): DataFrame = {
+    val bounds = s.read.parquet(binArtifact(s, dir))
+      .orderBy("bin_idx").collect().map(_.getAs[Long]("bound_cents"))
+    val batch = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 10 >= 8)
+      .select(expr(
+        "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")
+        .as("cents"))
+    val bin = bounds
+      .map(b => when(col("cents") >= b, 1L).otherwise(0L))
+      .reduce(_ + _)
+    batch.withColumn("bin", bin)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_orders"), min("cents").as("min_cents"),
+        max("cents").as("max_cents"))
+      .orderBy("bin")
+  }
+
+  /** Per-group OLS trend fit (q190) — drift detection with an exact
+    * replay: per event type, the least-squares slope of value (cents)
+    * against time (minutes since the corpus start) from INTEGER
+    * sufficient statistics (n, Σx, Σy, Σxy, Σx²) — one partial-agg
+    * pass, rebased x so Σx² stays far under 2⁶³ (x ≤ 43 200 minutes;
+    * a raw epoch-minute x² would overflow by 10×) — with slope_num =
+    * n·Σxy − Σx·Σy and slope_den = n·Σx² − (Σx)² emitted as the
+    * exact integers they are and the slope as ONE double division.
+    * Built-in regr_slope in either engine accumulates doubles in
+    * engine-specific order and is NOT bit-stable across engines; the
+    * sufficient-statistic form is.
+    */
+  private def qGroupTrend(s: SparkSession, dir: String): DataFrame = {
+    val t0 = t(s, dir, "events")
+      .agg(min(expr("unix_millis(ts) div 60000"))).head().getLong(0)
+    t(s, dir, "events")
+      .select(col("event_type"),
+        (expr("unix_millis(ts) div 60000") - t0).as("x"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+          .as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy"))
+          .as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+          .as("slope_den"))
+      .withColumn("slope_cents_per_min",
+        col("slope_num").cast("double") / col("slope_den").cast("double"))
+      .orderBy("event_type")
+  }
+
+  /** LSH operating-curve measurement (q192) — the tuning table that
+    * picks (bands, rows) BEFORE committing a 100 TB dedup run: the
+    * same 32-hash MinHash signatures banded three ways — (16,2),
+    * (8,4), (4,8) — each config's candidate volume, recall and
+    * precision measured against the EXACT J ≥ 0.5 ground truth
+    * (E134's lossless prefix-filtered join on the same 5-gram unit,
+    * so the truth side misses nothing), beside the textbook expected
+    * recall at the threshold, 1−(1−t^r)^b — theory and measurement in
+    * one table. The collision probability is a property of the
+    * signature algebra, so this fixture-scale measurement is the
+    * SAME curve a 100 TB corpus sees; candidate volume is what
+    * scales, and that is exactly the column the table exposes per
+    * config. Driver-side loop is 3 configs × 2 counters — metadata.
+    */
+  private def qLshTuning(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .repartition(col("doc_id"))
+      .withColumn("shingles", TextFns.shingles("text", 5))
+      .select("doc_id", "shingles")
+      .localCheckpoint()
+    val sigs = NearDup.minHashSigs(docs, "doc_id", "shingles", 32,
+      "sig").localCheckpoint()
+    val truth = SetSimJoin.prefixJaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 5, minJaccard = 0.5)
+      .select("id_a", "id_b").localCheckpoint()
+    val nTrue = truth.count()
+    val rows = Seq((16, 2), (8, 4), (4, 8)).map { case (b, r) =>
+      val cand = NearDup.candidatePairs(
+        NearDup.bandRows(sigs, "doc_id", "sig", b, r, 32), "doc_id")
+        .localCheckpoint()
+      val nc = cand.count()
+      val nf = cand.join(truth, Seq("id_a", "id_b")).count()
+      (s"b${b}r$r", b.toLong, r.toLong, nc, nTrue, nf,
+        if (nTrue > 0) nf * 10000L / nTrue else 10000L,
+        if (nc > 0) nf * 10000L / nc else 10000L,
+        theoryRecallBp(b, r))
+    }
+    import s.implicits._
+    rows.toDF("config", "bands", "rows_per_band", "n_candidates",
+        "n_true", "n_found", "recall_bp", "precision_bp",
+        "theory_recall_bp")
+      .orderBy("config")
+  }
+
+  /** ⌊10⁴·(1−(1−0.5^r)^b)⌋ — the S-curve collision probability at the
+    * J = 0.5 threshold. Computed ONCE here and interpolated into the
+    * oracle as the identical literal, so no cross-engine `pow` is
+    * ever compared.
+    */
+  private def theoryRecallBp(b: Int, r: Int): Long =
+    math.floor((1.0 - math.pow(1.0 - math.pow(0.5, r), b)) * 10000).toLong
+
+  /** Media near-duplicate detection (q193,
+    * [[graft.ops.Multimodal.blockHash]]) — the multimodal × dedup
+    * crossover: payloads fingerprint to a LOCALITY-SENSITIVE 60-bit
+    * blockhash (chunk-sum profile, not an avalanche digest), then the
+    * E9 pigeonhole: 4 blocks of 15 bits as equi-join keys (Hamming ≤ 3
+    * ⟹ at least one block matches exactly — zero false negatives at
+    * the threshold, by pigeonhole, never an all-pairs product), one
+    * codegen'd `bit_count(xor)` verify per candidate. Payloads never
+    * shuffle — only (id, fp) longs leave the scan; with a real image
+    * pHash the plumbing is IDENTICAL, only the codec changes (the
+    * multimodal-stub convention, byte-exact-oracled end to end).
+    */
+  private def qMediaNearDup(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val fps = Multimodal
+      .blockHash(Multimodal.asMedia(t(s, dir, "documents")))
+      .toDF().select(col("doc_id"), col("fp"))
+      .localCheckpoint()
+    val blocks = fps.select(col("doc_id"), explode(expr(
+      """transform(sequence(0, 3), b -> struct(b as blk,
+        | shiftright(fp, b * 15) % 32768 as key))""".stripMargin))
+      .as("p"))
+      .select(col("doc_id"), col("p.blk").as("blk"),
+        col("p.key").as("key"))
+    val pairs = blocks
+      .select(col("doc_id").as("id_a"), col("blk"), col("key"))
+      .join(blocks.select(col("doc_id").as("id_b"), col("blk"),
+        col("key")), Seq("blk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(fps.select(col("doc_id").as("id_a"), col("fp").as("__fa")),
+        "id_a")
+      .join(fps.select(col("doc_id").as("id_b"), col("fp").as("__fb")),
+        "id_b")
+      .withColumn("hamming",
+        expr("cast(bit_count(__fa ^ __fb) as bigint)"))
+      .filter(col("hamming") <= 3)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Digest-driven partition repair (q191) — anti-entropy between two
+    * replicas of a day-partitioned table, composing E164's O(1)
+    * digests with E79's row diff at the granularity that matters:
+    * per-DAY (count, bit_xor-of-row-hash) digests locate divergence
+    * for the cost of one aggregate per replica (metadata out), and
+    * only the diverged days — here a deterministic corruption: drops
+    * on day%7=3 (event_id%97=0), +1-cent flips on day%7=5
+    * (event_id%89=0) — pay the row-level join. At 100 TB the digest
+    * pass reads both replicas once; the repair join reads 2/7ths of
+    * the days instead of all of them (the diverged-day list is a
+    * collected metadata literal → partition pruning). Everything
+    * md5-hash deterministic, so the oracle replays digest AND diff.
+    */
+  private def qPartitionRepair(s: SparkSession, dir: String): DataFrame = {
+    def hashed(df: DataFrame): DataFrame = df.withColumn("__rh", expr(
+      """cast(conv(substring(md5(concat(cast(event_id as string), ':',
+        | cast(cents as string))), 1, 8), 16, 10) as bigint)"""
+        .stripMargin))
+    val a = hashed(t(s, dir, "events")
+      .select(col("event_id"),
+        datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+          .cast("long").as("day"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+          .as("cents")))
+    val b = hashed(a.select(col("event_id"), col("day"),
+        (col("cents") + when(col("day") % 7 === 5 &&
+          col("event_id") % 89 === 0, 1L).otherwise(0L)).as("cents"))
+      .filter(!(col("day") % 7 === 3 && col("event_id") % 97 === 0)))
+    def digest(df: DataFrame, tag: String): DataFrame =
+      df.groupBy("day").agg(count(lit(1)).as(s"n_$tag"),
+        expr("bit_xor(__rh)").as(s"x_$tag"))
+    val dg = digest(a, "a").join(digest(b, "b"), Seq("day"), "left")
+      .select(col("day"), col("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        (coalesce(col("n_b"), lit(-1L)) =!= col("n_a") ||
+          coalesce(col("x_b"), lit(0L)) =!= col("x_a"))
+          .as("diverged"))
+    val badDays = dg.filter(col("diverged")).select("day")
+      .collect().map(_.getLong(0))
+    val af = a.filter(col("day").isin(badDays: _*))
+    val bf = b.filter(col("day").isin(badDays: _*))
+    val miss = af.join(bf.select(col("event_id").as("__eb")),
+        col("event_id") === col("__eb"), "left_anti")
+      .groupBy("day").agg(count(lit(1)).as("n_missing_b"))
+    val changed = af.select(col("day"), col("event_id"),
+        col("cents").as("__ca"))
+      .join(bf.select(col("event_id"), col("cents").as("__cb")),
+        "event_id")
+      .filter(col("__ca") =!= col("__cb"))
+      .groupBy("day").agg(count(lit(1)).as("n_value_diff"))
+    dg.join(miss, Seq("day"), "left").join(changed, Seq("day"), "left")
+      .select(col("day"), col("n_a"), col("n_b"), col("diverged"),
+        coalesce(col("n_missing_b"), lit(0L)).as("n_missing_b"),
+        coalesce(col("n_value_diff"), lit(0L)).as("n_value_diff"))
+      .orderBy("day")
+  }
 
   /** q148's stored reference artifacts, built once per (session,
     * corpus): the eval set's distinct paragraph fingerprints as a
@@ -4447,7 +5056,20 @@ object TrainQueries {
     "q177_skipgram_pairs" -> (qSkipgramPairs _),
     "q178_weighted_paths" -> (qWeightedPaths _),
     "q179_seasonal_anomaly" -> (qSeasonalAnomaly _),
-    "q180_kcenter" -> (qKCenter _))
+    "q180_kcenter" -> (qKCenter _),
+    "q181_class_separation" -> (qClassSeparation _),
+    "q182_interval_coverage" -> (qIntervalCoverage _),
+    "q183_cross_source_matrix" -> (qCrossSourceMatrix _),
+    "q184_gap_fill" -> (qGapFill _),
+    "q185_stream_topk" -> (qStreamTopK _),
+    "q186_fd_audit" -> (qFdAudit _),
+    "q187_stream_skyline" -> (qStreamSkyline _),
+    "q188_kmv_sketch" -> (qKmvSketch _),
+    "q189_stored_bins" -> (qStoredBins _),
+    "q190_group_trend" -> (qGroupTrend _),
+    "q191_partition_repair" -> (qPartitionRepair _),
+    "q192_lsh_tuning" -> (qLshTuning _),
+    "q193_media_neardup" -> (qMediaNearDup _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -6764,9 +7386,10 @@ object TrainQueries {
            CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_customers
          FROM j GROUP BY 1 ORDER BY dist""",
-    // q179: abs-then-div keeps the basis-point deviation out of the
-    // negative-division divergence (Spark `div` truncates, DuckDB //
-    // floors); the lower median is the exact rank pick rn=(n+1)//2
+    // q179: abs-then-div keeps the basis-point deviation away from
+    // signed integer division entirely (both engines truncate — q181
+    // measured it — but portability surfaces shouldn't depend on
+    // that); the lower median is the exact rank pick rn=(n+1)//2
     // under the full (n_events, day) tiebreak.
     "q179_seasonal_anomaly" ->
       """WITH cells AS (SELECT event_type,
@@ -6855,6 +7478,365 @@ object TrainQueries {
          UNION ALL SELECT CAST(5 AS BIGINT), vec_id,
              CAST(dmin AS BIGINT) FROM c5
          ORDER BY sel_round""",
+    // q181: DuckDB's // TRUNCATES toward zero on negatives (measured:
+    // -4165 // 43 = -96), matching Scala's Long division — the one
+    // place a per-dimension centroid sum goes negative.
+    "q181_class_separation" ->
+      """WITH q AS (SELECT CAST(label AS BIGINT) AS label, vec_id, i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0 + 0.5)
+                  AS BIGINT) AS x
+           FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+         c AS (SELECT label, i,
+             CAST(SUM(x) AS BIGINT) // COUNT(*) AS cv
+           FROM q GROUP BY 1, 2),
+         d2 AS (SELECT q.vec_id, q.label,
+             CAST(SUM((q.x - c.cv) * (q.x - c.cv)) AS BIGINT) AS d2
+           FROM q JOIN c ON q.label = c.label AND q.i = c.i
+           GROUP BY 1, 2),
+         intra AS (SELECT label, COUNT(*) AS n_vecs,
+             CAST(SUM(d2) AS BIGINT) // COUNT(*) AS intra_msd
+           FROM d2 GROUP BY 1),
+         cd AS (SELECT a.label AS la, b.label AS lb,
+             CAST(SUM((a.cv - b.cv) * (a.cv - b.cv)) AS BIGINT) AS dd
+           FROM c a JOIN c b ON a.i = b.i AND a.label <> b.label
+           GROUP BY 1, 2),
+         nn AS (SELECT la AS label, lb AS nn_label, dd AS nn_d2
+           FROM (SELECT la, lb, dd, row_number() OVER
+               (PARTITION BY la ORDER BY dd, lb) AS rn FROM cd)
+           WHERE rn = 1)
+         SELECT i.label, i.n_vecs, i.intra_msd, n.nn_label, n.nn_d2,
+             n.nn_d2 * 10000 // greatest(i.intra_msd, 1) AS sep_bp
+         FROM intra i JOIN nn n ON i.label = n.label
+         ORDER BY i.label""",
+    // q182: the same running-max island sweep as DuckDB windows under
+    // the full (s_ms, event_id) tiebreak — covered_ms must not
+    // double-count overlap, which a plain SUM of durations would.
+    "q182_interval_coverage" ->
+      """WITH iv AS (SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS s_ms,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 + 300000 AS e_ms
+           FROM events),
+         sw AS (SELECT user_id, event_id, s_ms, e_ms,
+             MAX(e_ms) OVER (PARTITION BY user_id
+               ORDER BY s_ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pmax
+           FROM iv),
+         fl AS (SELECT user_id, s_ms, e_ms,
+             CASE WHEN pmax IS NULL OR s_ms > pmax THEN 1 ELSE 0 END
+               AS nw, event_id
+           FROM sw),
+         isl AS (SELECT user_id, s_ms, e_ms,
+             SUM(nw) OVER (PARTITION BY user_id
+               ORDER BY s_ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+           FROM fl),
+         gi AS (SELECT user_id, island, COUNT(*) AS n,
+             MIN(s_ms) AS ist, MAX(e_ms) AS ien
+           FROM isl GROUP BY 1, 2)
+         SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+             COUNT(*) AS n_islands,
+             CAST(SUM(ien - ist) AS BIGINT) AS covered_ms
+         FROM gi GROUP BY 1 ORDER BY user_id""",
+    // q183: the NAIVE O(pairs) doc-pair join — what the engine's
+    // per-hash counting algebra must equal without ever
+    // materializing a pair; the paragraph construction is the q110/
+    // q117 20-token convention.
+    "q183_cross_source_matrix" ->
+      """WITH toks AS (SELECT doc_id, source,
+             string_split(text, ' ') AS t FROM documents),
+         p AS (SELECT doc_id, source,
+             trim(array_to_string(t[((i-1)*20+1):((i-1)*20+20)], ' '))
+               AS para
+           FROM toks, unnest(range(1,
+             greatest(CAST(ceil(len(t) / 20.0) AS BIGINT), 1) + 1))
+             u(i)),
+         np AS (SELECT DISTINCT doc_id, source, md5(para) AS ph
+           FROM p WHERE para <> ''),
+         pr AS (SELECT least(a.source, b.source) AS source_a,
+             greatest(a.source, b.source) AS source_b, a.ph
+           FROM np a JOIN np b
+             ON a.ph = b.ph AND a.doc_id < b.doc_id)
+         SELECT source_a, source_b, COUNT(*) AS n_pairs,
+             COUNT(DISTINCT ph) AS n_paras
+         FROM pr GROUP BY 1, 2 ORDER BY source_a, source_b""",
+    // q184: the same running last/first IGNORE NULLS windows and the
+    // same fixed-shape interpolation expression — integer products
+    // divided once in doubles, one add — so every interpolated double
+    // is bit-identical; grid ends at the corpus-wide max hour so the
+    // ffill branch is exercised, not dead.
+    "q184_gap_fill" ->
+      """WITH obs AS (SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 // 3600000 AS hr,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+               AS BIGINT) * 10) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         span AS (SELECT event_type, MIN(hr) AS h0 FROM obs
+           GROUP BY 1),
+         gmax AS (SELECT MAX(hr) AS g1 FROM obs),
+         grid AS (SELECT event_type, unnest(range(h0, g1 + 1)) AS hr
+           FROM span, gmax),
+         j AS (SELECT g.event_type, g.hr, o.v FROM grid g
+           LEFT JOIN obs o
+             ON g.event_type = o.event_type AND g.hr = o.hr),
+         w AS (SELECT event_type, hr, v,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+               ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN hr END
+               IGNORE NULLS) OVER (PARTITION BY event_type
+               ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS ph,
+             first_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+               ORDER BY hr ROWS BETWEEN CURRENT ROW
+               AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN hr END
+               IGNORE NULLS) OVER (PARTITION BY event_type
+               ORDER BY hr ROWS BETWEEN CURRENT ROW
+               AND UNBOUNDED FOLLOWING) AS nh
+           FROM j)
+         SELECT event_type, hr,
+             CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                  WHEN nh IS NULL THEN CAST(pv AS DOUBLE)
+                  ELSE pv + (nv - pv) * (hr - ph) / (nh - ph) END
+               AS value_milli,
+             CASE WHEN v IS NOT NULL THEN 'observed'
+                  WHEN nh IS NULL THEN 'ffill'
+                  ELSE 'interp' END AS fill
+         FROM w ORDER BY event_type, hr""",
+    // q185: the one-shot batch ranking the streamed k-row fold must
+    // equal — per-row scores make the stored top-k a sufficient
+    // statistic, which is exactly what this green row proves.
+    "q185_stream_topk" ->
+      """WITH e AS (SELECT event_id, user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+           FROM events)
+         SELECT CAST(row_number() OVER (ORDER BY cents DESC, event_id)
+               AS BIGINT) AS rank,
+             event_id, user_id, cents
+         FROM e ORDER BY cents DESC, event_id LIMIT 20""",
+    // q186: each FD leg is one (LHS, distinct-RHS) aggregation; the
+    // names carry the audited contract.
+    "q186_fd_audit" ->
+      """WITH f1 AS (SELECT COUNT(*) AS n_lhs,
+             CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+             MAX(nr) AS max_fanout
+           FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS nr
+                 FROM orders GROUP BY 1)),
+         f2 AS (SELECT COUNT(*) AS n_lhs,
+             CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+             MAX(nr) AS max_fanout
+           FROM (SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS nr
+                 FROM lineitem GROUP BY 1)),
+         f3 AS (SELECT COUNT(*) AS n_lhs,
+             CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+             MAX(nr) AS max_fanout
+           FROM (SELECT doc_id, COUNT(DISTINCT lang) AS nr
+                 FROM documents GROUP BY 1)),
+         f4 AS (SELECT COUNT(*) AS n_lhs,
+             CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+             MAX(nr) AS max_fanout
+           FROM (SELECT source, COUNT(DISTINCT lang) AS nr
+                 FROM documents GROUP BY 1)),
+         f5 AS (SELECT COUNT(*) AS n_lhs,
+             CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+             MAX(nr) AS max_fanout
+           FROM (SELECT user_id, COUNT(DISTINCT event_type) AS nr
+                 FROM events GROUP BY 1))
+         SELECT 'orders: o_orderkey -> o_custkey' AS fd, n_lhs,
+             n_violating, n_violating * 10000 // n_lhs AS viol_bp,
+             max_fanout FROM f1
+         UNION ALL SELECT 'lineitem: l_orderkey -> l_suppkey', n_lhs,
+             n_violating, n_violating * 10000 // n_lhs, max_fanout
+           FROM f2
+         UNION ALL SELECT 'documents: doc_id -> lang', n_lhs,
+             n_violating, n_violating * 10000 // n_lhs, max_fanout
+           FROM f3
+         UNION ALL SELECT 'documents: source -> lang', n_lhs,
+             n_violating, n_violating * 10000 // n_lhs, max_fanout
+           FROM f4
+         UNION ALL SELECT 'events: user_id -> event_type', n_lhs,
+             n_violating, n_violating * 10000 // n_lhs, max_fanout
+           FROM f5
+         ORDER BY fd""",
+    // q187: q174's one-shot NOT-EXISTS dominance frontier over ALL
+    // docs — what the streamed frontier fold must equal (the
+    // sufficient-statistic law, proven by this shared-shape oracle).
+    "q187_stream_skyline" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents),
+         m AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS x,
+             CAST(len(list_distinct(t)) * 10000 // len(t) AS BIGINT)
+               AS y
+           FROM d),
+         p AS (SELECT DISTINCT x, y FROM m),
+         sk AS (SELECT * FROM p pp WHERE NOT EXISTS (SELECT 1 FROM p q
+           WHERE q.x >= pp.x AND q.y >= pp.y
+             AND (q.x > pp.x OR q.y > pp.y)))
+         SELECT x AS n_tok, y AS uniq_bp
+         FROM sk ORDER BY n_tok DESC""",
+    // q188: the estimator is fully deterministic (52-bit md5-prefix
+    // hashes, integer div), so DuckDB replays est/err numerically;
+    // only the in-engine merge law is a TRUE literal (the q164/q170
+    // convention for laws DuckDB cannot restate).
+    "q188_kmv_sketch" ->
+      """WITH sh AS (SELECT DISTINCT source, substr(text, i, 5) AS g
+           FROM documents, unnest(range(1,
+             greatest(len(text) - 4, 1) + 1)) u(i)),
+         hh AS (SELECT DISTINCT source,
+             CAST('0x' || substr(md5(g), 1, 13) AS BIGINT) AS h
+           FROM sh),
+         cnt AS (SELECT source, COUNT(*) AS n_h FROM hh GROUP BY 1),
+         ng AS (SELECT source, COUNT(*) AS n_grams FROM sh GROUP BY 1),
+         hk AS (SELECT source, h AS hkv FROM (
+             SELECT source, h, row_number() OVER
+               (PARTITION BY source ORDER BY h) AS rn FROM hh)
+           WHERE rn = 64),
+         est AS (SELECT c.source,
+             CASE WHEN c.n_h < 64 THEN c.n_h
+                  ELSE (63 * 4503599627370496) //
+                       greatest(k.hkv, 1) END AS kmv_est
+           FROM cnt c LEFT JOIN hk k ON c.source = k.source)
+         SELECT g.source, g.n_grams, e.kmv_est,
+             abs(e.kmv_est - g.n_grams) * 10000 // g.n_grams AS err_bp,
+             abs(e.kmv_est - g.n_grams) * 10000 // g.n_grams <= 3810
+               AS within_3rsd,
+             TRUE AS merge_exact
+         FROM ng g JOIN est e ON g.source = e.source
+         ORDER BY g.source""",
+    // q189: the oracle replays TRAIN (exact-rank decile boundaries
+    // over history in (cents, orderkey) order) and APPLY (count of
+    // boundaries <= cents) end-to-end — green proves the stored
+    // artifact's roundtrip lossless and stored-model application ≡
+    // inline recompute. Integer cents boundaries: no interpolated
+    // doubles anywhere.
+    "q189_stored_bins" ->
+      """WITH h AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2))
+               * 100 AS BIGINT) AS cents, o_orderkey
+           FROM orders WHERE o_orderkey % 10 < 8),
+         n AS (SELECT COUNT(*) AS n FROM h),
+         r AS (SELECT cents,
+             row_number() OVER (ORDER BY cents, o_orderkey) AS rk
+           FROM h),
+         b AS (SELECT u.i, r.cents AS bound
+           FROM (SELECT unnest(range(1, 10)) AS i) u, n
+           JOIN r ON r.rk = (u.i * n.n + 9) // 10),
+         ba AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2))
+               * 100 AS BIGINT) AS cents
+           FROM orders WHERE o_orderkey % 10 >= 8),
+         bi AS (SELECT cents, (SELECT COUNT(*) FROM b
+             WHERE b.bound <= ba.cents) AS bin FROM ba)
+         SELECT bin, COUNT(*) AS n_orders, MIN(cents) AS min_cents,
+             MAX(cents) AS max_cents
+         FROM bi GROUP BY 1 ORDER BY bin""",
+    // q190: integer sufficient statistics, then ONE double division —
+    // regr_slope in either engine is double-accumulation-order-
+    // dependent; this replay is exact.
+    "q190_group_trend" ->
+      """WITH t0 AS (SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))
+             // 1000 // 60000) AS t0 FROM events),
+         e AS (SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 // 60000 - t0.t0
+               AS x,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+           FROM events, t0),
+         g AS (SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+           FROM e GROUP BY 1)
+         SELECT event_type, n, n * sxy - sx * sy AS slope_num,
+             n * sxx - sx * sx AS slope_den,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE)
+               AS slope_cents_per_min
+         FROM g ORDER BY event_type""",
+    // q191: digest pass and row diff both replayed — the corruption
+    // is a pure function of (day, event_id), so both replicas are
+    // reconstructible in SQL.
+    "q191_partition_repair" ->
+      """WITH a AS (SELECT event_id,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS day,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+           FROM events),
+         ah AS (SELECT *, CAST('0x' || substr(md5(
+             CAST(event_id AS VARCHAR) || ':' ||
+             CAST(cents AS VARCHAR)), 1, 8) AS BIGINT) AS rh FROM a),
+         b0 AS (SELECT event_id, day,
+             cents + CASE WHEN day % 7 = 5 AND event_id % 89 = 0
+               THEN 1 ELSE 0 END AS cents
+           FROM a WHERE NOT (day % 7 = 3 AND event_id % 97 = 0)),
+         bh AS (SELECT *, CAST('0x' || substr(md5(
+             CAST(event_id AS VARCHAR) || ':' ||
+             CAST(cents AS VARCHAR)), 1, 8) AS BIGINT) AS rh FROM b0),
+         da AS (SELECT day, COUNT(*) AS n_a, bit_xor(rh) AS x_a
+           FROM ah GROUP BY 1),
+         db AS (SELECT day, COUNT(*) AS n_b, bit_xor(rh) AS x_b
+           FROM bh GROUP BY 1),
+         dg AS (SELECT da.day, da.n_a,
+             COALESCE(db.n_b, 0) AS n_b,
+             (COALESCE(db.n_b, -1) <> da.n_a
+               OR COALESCE(db.x_b, 0) <> da.x_a) AS diverged
+           FROM da LEFT JOIN db ON da.day = db.day),
+         bad AS (SELECT day FROM dg WHERE diverged),
+         miss AS (SELECT ah.day, COUNT(*) AS n_missing_b
+           FROM ah JOIN bad USING (day)
+           WHERE NOT EXISTS (SELECT 1 FROM bh
+             WHERE bh.event_id = ah.event_id)
+           GROUP BY 1),
+         chg AS (SELECT ah.day, COUNT(*) AS n_value_diff
+           FROM ah JOIN bad USING (day)
+           JOIN bh ON bh.event_id = ah.event_id
+           WHERE bh.cents <> ah.cents GROUP BY 1)
+         SELECT dg.day, dg.n_a, dg.n_b, dg.diverged,
+             COALESCE(m.n_missing_b, 0) AS n_missing_b,
+             COALESCE(c.n_value_diff, 0) AS n_value_diff
+         FROM dg LEFT JOIN miss m ON dg.day = m.day
+              LEFT JOIN chg c ON dg.day = c.day
+         ORDER BY dg.day""",
+    "q192_lsh_tuning" -> lshTuningOracle,
+    // q193: the fingerprint recomputed from the text bytes char by
+    // char (ascii corpus: octet == char), chunk membership the same
+    // ⌊i·60/n⌋, the bit rule the same division-free sum·60 > total,
+    // then the identical pigeonhole blocks + Hamming verify.
+    "q193_media_neardup" ->
+      """WITH ch AS (SELECT doc_id,
+             (j - 1) * 60 // strlen(text) AS c,
+             ascii(substr(text, j, 1)) AS v
+           FROM documents,
+             unnest(range(1, strlen(text) + 1)) u(j)),
+         cs AS (SELECT doc_id, c, CAST(SUM(v) AS BIGINT) AS s
+           FROM ch GROUP BY 1, 2),
+         tt AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS total
+           FROM ch GROUP BY 1),
+         fp0 AS (SELECT cs.doc_id,
+             CAST(SUM(CASE WHEN cs.s * 60 > tt.total
+               THEN (CAST(1 AS BIGINT) << cs.c) ELSE 0 END)
+               AS BIGINT) AS fp
+           FROM cs JOIN tt ON cs.doc_id = tt.doc_id GROUP BY 1),
+         fp AS (SELECT d.doc_id, COALESCE(fp0.fp, 0) AS fp
+           FROM documents d LEFT JOIN fp0 ON d.doc_id = fp0.doc_id),
+         bl AS (SELECT doc_id, b, (fp >> (b * 15)) % 32768 AS key
+           FROM fp, (SELECT unnest(range(0, 4)) AS b)),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+           FROM bl a JOIN bl c
+             ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id)
+         SELECT cand.id_a, cand.id_b,
+             CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
+         FROM cand JOIN fp fa ON cand.id_a = fa.doc_id
+              JOIN fp fb ON cand.id_b = fb.doc_id
+         WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
+         ORDER BY cand.id_a, cand.id_b""",
     "q127_copurchase" ->
       """WITH cs AS (SELECT DISTINCT o_custkey AS cust,
              l_suppkey AS supp

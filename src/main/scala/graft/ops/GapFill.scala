@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
   * observation. The output distinguishes observed / interpolated /
   * forward-filled rows so a downstream consumer can weight them.
   *
-  * Scale shape: the grid is generated per key from its own (min, max)
-  * bucket span (`sequence` + explode — rows ∝ Σ spans, never
-  * key-count × global span), the join back to observations is a
+  * Scale shape: each key's grid runs from its OWN first observation
+  * to the corpus-wide last bucket (one broadcast scalar) — the common
+  * grid END is what aligns every key's features into one matrix, and
+  * it is exactly what makes the forward-filled tail reachable (a
+  * per-key max would make the last grid point an observation by
+  * construction and `ffill` dead code). Rows ∝ Σ per-key spans via
+  * `sequence` + explode; the join back to observations is a
   * co-partitioned equi-join on (key, bucket), and both fill
   * directions are per-key windows — partitioned by key, so the sort
   * is per-key-sized and shuffles once on the key. No global window,
@@ -42,9 +46,10 @@ object GapFill {
       col(bucketCol).cast("long").as("__h"),
       col(valueCol).cast("long").as("__v"))
     val grid = obs.groupBy("__k")
-      .agg(min("__h").as("__h0"), max("__h").as("__h1"))
+      .agg(min("__h").as("__h0"))
+      .crossJoin(broadcast(obs.agg(max("__h").as("__g1"))))
       .select(col("__k"),
-        explode(sequence(col("__h0"), col("__h1"))).as("__h"))
+        explode(sequence(col("__h0"), col("__g1"))).as("__h"))
     val w = Window.partitionBy("__k").orderBy("__h")
     val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)

@@ -76,6 +76,47 @@ object Multimodal {
     }
   }
 
+  /** A 60-bit blockhash-style perceptual fingerprint of the payload. */
+  case class MediaHash(doc_id: Long, fp: Long, n_bytes: Long)
+
+  /** Blockhash-style perceptual fingerprint (the public blockhash.io
+    * idea applied to the byte signal): the payload splits into 60
+    * equal chunks — byte i lands in chunk ⌊i·60/n⌋ — and bit b is set
+    * iff chunk b's byte-sum exceeds the uniform share, compared
+    * EXACTLY as sum·60 > total (no division, no doubles). Unlike the
+    * avalanche digests ([[decodeStub]]'s md5), this is
+    * LOCALITY-SENSITIVE: payloads sharing most of their content land
+    * within a few bits, which is what makes Hamming-block dedup work
+    * downstream. 60 bits, not 64, so no engine ever shifts into the
+    * int64 sign bit. Scan-local like every codec here: one pass over
+    * the bytes, payloads never shuffle, only (id, fp) flows on.
+    */
+  def blockHash(media: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[MediaHash] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val p = if (r.payload == null) Array.emptyByteArray else r.payload
+        val n = p.length
+        val sums = new Array[Long](60)
+        var total = 0L
+        var i = 0
+        while (i < n) {
+          val v = p(i) & 0xff
+          sums(((i.toLong * 60) / n).toInt) += v
+          total += v
+          i += 1
+        }
+        var fp = 0L
+        var b = 0
+        while (b < 60) {
+          if (sums(b) * 60 > total) fp |= (1L << b)
+          b += 1
+        }
+        MediaHash(r.doc_id, fp, n.toLong)
+      }
+    }
+  }
+
   /** A sampled "frame" of a media payload: fixed-size byte window with
     * its byte-sum (a fake "brightness", byte-exact in any engine) and
     * checksum. The video-frame-extraction shape: one record expands to

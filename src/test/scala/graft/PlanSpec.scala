@@ -584,4 +584,21 @@ class PlanSpec extends AnyFunSuite {
       "slot windows must be keyed by (event_type, hr), not a " +
         s"global frame:\n${p.take(1200)}")
   }
+
+  test("q182: the island sweep windows partition by user — never a " +
+      "corpus-wide frame") {
+    val df = SparkEntry.queries("q182_interval_coverage")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"island windows must be keyed by user_id:\n${p.take(1200)}")
+  }
+
+  test("q183: the duplication matrix joins per-hash COUNTS, never " +
+      "doc pairs — no cartesian, counts partial-aggregated") {
+    val df = SparkEntry.queries("q183_cross_source_matrix")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count"),
+      "the (ph, source) occurrence counts must partial-aggregate")
+  }
 }
