@@ -4551,6 +4551,117 @@ object TrainQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Deterministic synthetic data generation (q194) — the datagen
+    * primitive behind every scale test and anonymized-fixture export:
+    * 100 000 rows materialized from NOTHING but `spark.range` and
+    * md5-derived columns — scan-local, ZERO shuffle until the 8-row
+    * shard digest, which is how a 100 TB synthetic corpus generates
+    * (range(10¹²) partitioned across the cluster, no data movement at
+    * all). Cross-engine REPRODUCIBLE by construction: every derived
+    * column is a pure function of the row id through the portable
+    * md5-prefix convention, so the oracle regenerates the identical
+    * table from DuckDB's own `range` — the digest row set is the
+    * proof that "generate the fixture anywhere" holds.
+    */
+  private def qDataGen(s: SparkSession, dir: String): DataFrame =
+    s.range(100000L).toDF("id")
+      .select(col("id"),
+        expr("""cast(conv(substring(md5(cast(id as string)), 1, 8),
+          | 16, 10) as bigint)""".stripMargin).as("h"),
+        expr("""cast(conv(substring(md5(cast(id as string)), 9, 15),
+          | 16, 10) as bigint)""".stripMargin).as("h2"))
+      .select(col("id"), (col("h") % 97).as("key"),
+        (col("h") % 10000).as("amount_cents"), col("h2"))
+      .groupBy((col("id") % 8).as("shard"))
+      .agg(count(lit(1)).as("n_rows"), sum("key").as("key_sum"),
+        sum("amount_cents").as("amount_sum"),
+        expr("bit_xor(h2)").as("content_xor"))
+      .orderBy("shard")
+
+  /** Source-balanced training-order interleave (q195) — the
+    * data-ORDERING construction a training run consumes: documents
+    * laid out round-robin across sources in deterministic per-source
+    * md5 order, so every window of the training stream sees every
+    * source (no source-contiguous runs to bias early optimization —
+    * the complement of E143's curriculum, which orders by QUALITY;
+    * this orders for BALANCE). Both ranks come from the E26
+    * count-then-offset range exchange (per-source rank in md5 order,
+    * then the global position over (rank, source) lexicographic order
+    * — zero Window operators on the ranking path, so no single-task
+    * funnel at any corpus size). The per-source digest (count,
+    * min/max position, position checksum, max gap between consecutive
+    * appearances) proves the interleave even: max_gap = |sources| for
+    * every source is the round-robin signature, and the oracle
+    * replays both ranks as row_numbers plus a lag window.
+    */
+  private def qInterleave(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("il|"), col("doc_id").cast("string")))
+          .as("__hv"))
+      .withColumn("__one", lit(1L))
+    val ranked = Packing
+      .withRunningSum(docs, "__rs", "__one",
+        col("source").asc, col("__hv").asc, col("doc_id").asc)
+    // __rs is a GLOBAL running count in (source, hv) order; the
+    // per-source 0-based rank = __rs − (count of docs in earlier
+    // sources) — a broadcast metadata offset, the E26 discipline.
+    val offsets = docs.groupBy("source")
+      .agg(count(lit(1)).as("__n")).orderBy("source")
+      .collect()
+    val offMap = {
+      var acc = 0L
+      offsets.map { r =>
+        val o = r.getString(0) -> acc; acc += r.getLong(1); o
+      }.toMap
+    }
+    val offCol = offsets.map(_.getString(0)).foldLeft(lit(0L)) {
+      (a, src) => when(col("source") === src, lit(offMap(src)))
+        .otherwise(a)
+    }
+    val withRank = ranked
+      .withColumn("rnk", col("__rs") - lit(1L) - offCol)
+      .withColumn("__one2", lit(1L))
+    val pos = Packing
+      .withRunningSum(withRank, "__ps", "__one2",
+        col("rnk").asc, col("source").asc, col("doc_id").asc)
+      .withColumn("pos", col("__ps") - 1L)
+    val w = Window.partitionBy("source").orderBy("pos")
+    pos
+      .withColumn("__gap", col("pos") - lag("pos", 1).over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), min("pos").as("min_pos"),
+        max("pos").as("max_pos"), sum("pos").as("pos_sum"),
+        max("__gap").as("max_gap"))
+      .orderBy("source")
+  }
+
+  /** Multi-horizon trailing activity features (q196) — the rolling
+    * feature matrix behavioral models consume: per event, the user's
+    * trailing 1 h / 6 h / 24 h counts and the 24 h DECIMAL-quantized
+    * value sum, all four frames riding ONE per-user (ms, event) sort
+    * — a single window shuffle feeds every horizon (PlanSpec asserts
+    * one Window node), which is the difference between one pass and
+    * one pass per horizon at 100 TB. Frames are per-user-bounded
+    * RANGE frames (the q90 discipline), peers-at-same-ms included
+    * identically by both engines.
+    */
+  private def qMultiHorizon(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ms"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+          .as("cents"))
+    def frame(h: Long) = Window.partitionBy("user_id").orderBy("ms")
+      .rangeBetween(-h * 3600000L, 0)
+    e.select(col("event_id"), col("user_id"), col("ms"),
+        count(lit(1)).over(frame(1)).as("n_1h"),
+        count(lit(1)).over(frame(6)).as("n_6h"),
+        count(lit(1)).over(frame(24)).as("n_24h"),
+        sum("cents").over(frame(24)).as("cents_24h"))
+      .orderBy("event_id")
+  }
+
   /** Digest-driven partition repair (q191) — anti-entropy between two
     * replicas of a day-partitioned table, composing E164's O(1)
     * digests with E79's row diff at the granularity that matters:
@@ -5069,7 +5180,10 @@ object TrainQueries {
     "q190_group_trend" -> (qGroupTrend _),
     "q191_partition_repair" -> (qPartitionRepair _),
     "q192_lsh_tuning" -> (qLshTuning _),
-    "q193_media_neardup" -> (qMediaNearDup _))
+    "q193_media_neardup" -> (qMediaNearDup _),
+    "q194_datagen" -> (qDataGen _),
+    "q195_interleave" -> (qInterleave _),
+    "q196_multi_horizon" -> (qMultiHorizon _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -7805,6 +7919,66 @@ object TrainQueries {
               LEFT JOIN chg c ON dg.day = c.day
          ORDER BY dg.day""",
     "q192_lsh_tuning" -> lshTuningOracle,
+    // q194: the oracle REGENERATES the synthetic table from DuckDB's
+    // own range() through the identical md5-prefix derivations —
+    // green is the "generate the fixture anywhere" proof.
+    "q194_datagen" ->
+      """WITH g AS (SELECT i AS id,
+             CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 8)
+               AS BIGINT) AS h,
+             CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 9, 15)
+               AS BIGINT) AS h2
+           FROM range(0, 100000) t(i))
+         SELECT id % 8 AS shard, COUNT(*) AS n_rows,
+             CAST(SUM(h % 97) AS BIGINT) AS key_sum,
+             CAST(SUM(h % 10000) AS BIGINT) AS amount_sum,
+             bit_xor(h2) AS content_xor
+         FROM g GROUP BY 1 ORDER BY shard""",
+    // q195: both range-exchange ranks replayed as row_numbers, the
+    // gap as a per-source lag — max_gap = |sources| everywhere IS the
+    // round-robin signature.
+    "q195_interleave" ->
+      """WITH d AS (SELECT doc_id, source,
+             md5('il|' || CAST(doc_id AS VARCHAR)) AS hv
+           FROM documents),
+         r AS (SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY hv, doc_id) - 1 AS BIGINT) AS rnk
+           FROM d),
+         p AS (SELECT doc_id, source, rnk,
+             CAST(row_number() OVER (ORDER BY rnk, source, doc_id) - 1
+               AS BIGINT) AS pos
+           FROM r),
+         gp AS (SELECT source, pos,
+             pos - lag(pos) OVER (PARTITION BY source ORDER BY pos)
+               AS gap
+           FROM p)
+         SELECT source, COUNT(*) AS n_docs, MIN(pos) AS min_pos,
+             MAX(pos) AS max_pos, CAST(SUM(pos) AS BIGINT) AS pos_sum,
+             MAX(gap) AS max_gap
+         FROM gp GROUP BY 1 ORDER BY source""",
+    // q196: q90's RANGE-frame discipline at three horizons sharing
+    // one (user, ms) ordering; peers-at-same-ms included identically
+    // by both engines.
+    "q196_multi_horizon" ->
+      """WITH e AS (SELECT event_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+           FROM events)
+         SELECT event_id, user_id, ms,
+             COUNT(*) OVER w1 AS n_1h,
+             COUNT(*) OVER w6 AS n_6h,
+             COUNT(*) OVER w24 AS n_24h,
+             CAST(SUM(cents) OVER w24 AS BIGINT) AS cents_24h
+         FROM e
+         WINDOW w1 AS (PARTITION BY user_id ORDER BY ms
+             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW),
+           w6 AS (PARTITION BY user_id ORDER BY ms
+             RANGE BETWEEN 21600000 PRECEDING AND CURRENT ROW),
+           w24 AS (PARTITION BY user_id ORDER BY ms
+             RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
     // q193: the fingerprint recomputed from the text bytes char by
     // char (ascii corpus: octet == char), chunk membership the same
     // ⌊i·60/n⌋, the bit rule the same division-free sum·60 > total,

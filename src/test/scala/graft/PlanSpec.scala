@@ -601,4 +601,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"),
       "the (ph, source) occurrence counts must partial-aggregate")
   }
+
+  test("q195: no row_number window anywhere — both interleave ranks " +
+      "are the count-then-offset range exchange; the only window is " +
+      "the per-source gap lag") {
+    val df = SparkEntry.queries("q195_interleave")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("row_number"),
+      s"ranks must come from the range exchange:\n${p.take(1200)}")
+    assert(p.contains("windowspecdefinition(source"),
+      "the gap lag must partition by source")
+  }
+
+  test("q196: all four horizon frames ride ONE (user, ms) exchange " +
+      "and sort — never one shuffle per horizon") {
+    val df = SparkEntry.queries("q196_multi_horizon")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(p).length
+    assert(exchanges == 1,
+      s"expected exactly one window exchange, got $exchanges:\n" +
+        p.take(1500))
+  }
 }
