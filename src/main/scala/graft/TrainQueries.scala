@@ -4662,6 +4662,162 @@ object TrainQueries {
       .orderBy("event_id")
   }
 
+  /** Integer CUSUM change detection (q197) — the sequential
+    * control-chart statistic S_t = max(0, S_{t−1} + x_t − k) that EWMA
+    * (E120) and the seasonal median (E173) don't cover: CUSUM
+    * accumulates SMALL persistent shifts that never individually trip
+    * a threshold. The recurrence looks inherently sequential, but it
+    * has the exact closed form S_t = P_t − min(0, min_{j≤t} P_j)
+    * (P = prefix sum of x−k) — two running window aggregates, fully
+    * parallel over (type, hour) series, no driver loop, exact int64.
+    * Per-type digest: max CUSUM + its hour (argmax, min-hour
+    * tie-break) + buckets over the 3k alarm line — nondegenerate even
+    * when the synthetic corpus never alarms (the max and where it
+    * happened IS the monitoring read-out). Allowance k = mean+1
+    * (integer div), so drift is absorbed and only sustained excess
+    * accumulates. Observed hours only (the q179 convention).
+    */
+  private def qCusum(s: SparkSession, dir: String): DataFrame =
+    cusumOverHourly(t(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr("unix_millis(ts) div 3600000").as("hr"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The CUSUM closed form over an hourly (event_type, hr, n) table —
+    * shared by q197 (batch group-by input) and q200 (the streamed
+    * [[graft.streaming.RateMonitor]] bucket fold), which is why the
+    * two share one oracle: counts are a commutative monoid, so the
+    * folded buckets are bit-identical to the batch group-by, and any
+    * formula over them — this one included — inherits the equality.
+    */
+  private def cusumOverHourly(hourly: DataFrame): DataFrame = {
+    val tot = hourly.groupBy("event_type")
+      .agg(sum("n").as("__tn"), count(lit(1)).as("n_buckets"))
+      .withColumn("k", expr("__tn div n_buckets + 1L"))
+    val w = Window.partitionBy("event_type").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly.join(broadcast(tot), "event_type")
+      .withColumn("__p", sum(col("n") - col("k")).over(w))
+      .withColumn("__m", least(lit(0L), min("__p").over(w)))
+      .withColumn("__s", col("__p") - col("__m"))
+      .groupBy("event_type")
+      .agg(first("n_buckets").as("n_buckets"), first("k").as("k"),
+        max(struct(col("__s").as("s"), (-col("hr")).as("nh"))).as("__mx"),
+        sum(when(col("__s") >= lit(3L) * col("k"), 1L).otherwise(0L))
+          .as("n_over_3k"))
+      .select(col("event_type"), col("n_buckets"), col("k"),
+        col("__mx.s").as("max_cusum"), (-col("__mx.nh")).as("argmax_hr"),
+        col("n_over_3k"))
+      .orderBy("event_type")
+  }
+
+  /** Streaming CUSUM monitoring (q200) — the sequential statistic
+    * DEPLOYED: micro-batches fold into [[graft.streaming.RateMonitor]]'s
+    * stored hourly buckets (the sufficient statistic, O(types×hours)
+    * state, hour-straddling batches merge as a monoid) and the CUSUM
+    * read-out is one metadata-sized computation over the folded
+    * state — so re-tuning k or the alarm line after the fact costs
+    * NOTHING, because the statistic, not the alarm curve, is what's
+    * stored. Shares q197's oracle verbatim: green proves streamed
+    * fold + formula ≡ batch group-by + formula (the q126/q138
+    * discipline applied to the sequential-statistic family).
+    */
+  private def qStreamCusum(s: SparkSession, dir: String): DataFrame =
+    cusumOverHourly(graft.streaming.RateMonitor
+      .run(s, s"$dir/events.parquet", chunks = 3)
+      .select(col("event_type"), col("hr"), col("cnt").as("n")))
+
+  /** Bounded-staleness point-in-time join (q198) — q161's leakage-safe
+    * carry-forward plus the feature-store TTL every serving layer
+    * enforces: a state older than 1 h at fact time must NOT apply (a
+    * stale feature is often worse than none). The carry-forward now
+    * carries the state's OWN timestamp beside its value — both ride
+    * the same `last(ignoreNulls)` frame, so they move in lockstep —
+    * and the tier resolves to −1 (never seen) or −2 (seen but stale)
+    * at read time. The oracle computes the SAME semantics the
+    * structurally opposite way (q161's lead-built validity intervals,
+    * now intersected with the staleness cap), so green proves
+    * carry-forward + TTL ≡ interval containment + TTL.
+    */
+  private def qStalePitJoin(s: SparkSession, dir: String): DataFrame = {
+    val ttl = 3600000L
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_millis(col("ts")).as("ms"))
+    val state = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ms"), col("event_id"),
+        lit(0).as("__is_fact"),
+        expr("cast(floor(value / 100d) as bigint)").as("__tier"),
+        col("ms").as("__sms"),
+        lit(null).cast("long").as("__vq"))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ms"), col("event_id"),
+        lit(1).as("__is_fact"),
+        lit(null).cast("long").as("__tier"),
+        lit(null).cast("long").as("__sms"),
+        expr("cast(floor(value * 1000d) as bigint)").as("__vq"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ms").asc, col("__is_fact").desc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    state.unionByName(facts)
+      .withColumn("__ct", last("__tier", ignoreNulls = true).over(w))
+      .withColumn("__cs", last("__sms", ignoreNulls = true).over(w))
+      .filter(col("__is_fact") === 1)
+      .withColumn("tier",
+        when(col("__ct").isNull, lit(-1L))
+          .when(col("ms") - col("__cs") > ttl, lit(-2L))
+          .otherwise(col("__ct")))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_purchases"), sum("__vq").as("sum_vq"))
+      .orderBy("tier")
+  }
+
+  /** Distributed exact weighted median (q199) — the robust weighted
+    * aggregate a plain weighted MEAN gets wrong under heavy tails:
+    * per return flag, the unit price (cents) at which cumulative
+    * QUANTITY crosses half the total — the "half the goods moved at
+    * or below this price" statistic. One global range-exchange prefix
+    * sum of integer weights over (flag, price, rowid) order
+    * ([[Packing.withRunningSum]] — zero Window operators,
+    * PlanSpec-asserted) minus broadcast per-flag offsets; the
+    * crossing row (2·cumw ≥ W and 2·(cumw − w) < W) is unique
+    * because weights are positive, so the pick is deterministic and
+    * the oracle replays it as a per-flag window cumsum with the
+    * identical predicate.
+    */
+  private def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        expr("cast(cast(l_extendedprice as decimal(18,2)) * 100"
+          + " as bigint)").as("v"),
+        expr("cast(floor(l_quantity) as bigint)").as("wt"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"))
+    val cum = Packing.withRunningSum(li, "__cum", "wt",
+      col("flag").asc, col("v").asc, col("rid").asc)
+    val offs = li.groupBy("flag").agg(sum("wt").as("__w"))
+      .orderBy("flag").collect()
+    val offMap = {
+      var acc = 0L
+      offs.map { r =>
+        val o = r.getString(0) -> acc; acc += r.getLong(1); o
+      }.toMap
+    }
+    val wMap = offs.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val offCol = offs.map(_.getString(0)).foldLeft(lit(0L)) { (a, f) =>
+      when(col("flag") === f, lit(offMap(f))).otherwise(a)
+    }
+    val wCol = offs.map(_.getString(0)).foldLeft(lit(0L)) { (a, f) =>
+      when(col("flag") === f, lit(wMap(f))).otherwise(a)
+    }
+    cum.withColumn("__cw", col("__cum") - offCol)
+      .withColumn("__W", wCol)
+      .filter(lit(2L) * col("__cw") >= col("__W") &&
+        lit(2L) * (col("__cw") - col("wt")) < col("__W"))
+      .select(col("flag"), col("__W").as("w_total"),
+        col("v").as("wmedian_cents"))
+      .orderBy("flag")
+  }
+
   /** Digest-driven partition repair (q191) — anti-entropy between two
     * replicas of a day-partitioned table, composing E164's O(1)
     * digests with E79's row diff at the granularity that matters:
@@ -5183,7 +5339,11 @@ object TrainQueries {
     "q193_media_neardup" -> (qMediaNearDup _),
     "q194_datagen" -> (qDataGen _),
     "q195_interleave" -> (qInterleave _),
-    "q196_multi_horizon" -> (qMultiHorizon _))
+    "q196_multi_horizon" -> (qMultiHorizon _),
+    "q197_cusum" -> (qCusum _),
+    "q198_stale_pit" -> (qStalePitJoin _),
+    "q199_weighted_median" -> (qWeightedMedian _),
+    "q200_stream_cusum" -> (qStreamCusum _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -5193,6 +5353,42 @@ object TrainQueries {
     * smoothing over the folded sufficient statistic must equal the
     * smoothing over everything — mirrors [[ewmaFromBuckets]].
     */
+  /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
+    * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
+    * windows — CUSUM's "sequential" recurrence with no recurrence.
+    */
+  private val cusumOracle =
+    """WITH hourly AS (SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 // 3600000 AS hr,
+             COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+         tk AS (SELECT event_type, COUNT(*) AS n_buckets,
+             CAST(SUM(n) AS BIGINT) // COUNT(*) + 1 AS k
+           FROM hourly GROUP BY 1),
+         pp AS (SELECT h.event_type, h.hr, h.n, t.k, t.n_buckets,
+             CAST(SUM(h.n - t.k) OVER (PARTITION BY h.event_type
+               ORDER BY h.hr ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS p
+           FROM hourly h JOIN tk t ON h.event_type = t.event_type),
+         ss AS (SELECT event_type, hr, n, k, n_buckets,
+             p - LEAST(0, MIN(p) OVER (PARTITION BY event_type
+               ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)) AS s
+           FROM pp),
+         mx AS (SELECT event_type, s AS max_cusum, hr AS argmax_hr
+           FROM (SELECT event_type, s, hr, row_number() OVER
+               (PARTITION BY event_type ORDER BY s DESC, hr) AS rn
+             FROM ss) WHERE rn = 1),
+         ag AS (SELECT event_type,
+             CAST(SUM(CASE WHEN s >= 3 * k THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_over_3k
+           FROM ss GROUP BY 1)
+         SELECT tk.event_type, tk.n_buckets, tk.k, mx.max_cusum,
+             mx.argmax_hr, ag.n_over_3k
+         FROM tk JOIN mx ON tk.event_type = mx.event_type
+              JOIN ag ON tk.event_type = ag.event_type
+         ORDER BY tk.event_type"""
+
   private val ewmaOracle =
     """WITH hourly AS (SELECT event_type,
            epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
@@ -7979,6 +8175,53 @@ object TrainQueries {
            w24 AS (PARTITION BY user_id ORDER BY ms
              RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+    // q197 / q200 share one oracle: the streamed bucket fold is
+    // bit-identical to the batch group-by (counts are a monoid), so
+    // the CUSUM formula over either input must agree with this replay.
+    "q197_cusum" -> cusumOracle,
+    "q200_stream_cusum" -> cusumOracle,
+    // q198: q161's lead-built validity intervals intersected with the
+    // 1 h staleness cap — the structurally opposite computation of
+    // the carry-forward + TTL read.
+    "q198_stale_pit" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
+           FROM events),
+         st AS (SELECT user_id, ms, event_id,
+             CAST(floor(value / 100) AS BIGINT) AS tier,
+             lead(ms) OVER (PARTITION BY user_id
+                            ORDER BY ms, event_id) AS to_ms
+           FROM e WHERE event_type <> 'purchase'),
+         f AS (SELECT user_id, ms,
+             CAST(floor(value * 1000) AS BIGINT) AS vq
+           FROM e WHERE event_type = 'purchase'),
+         j AS (SELECT CASE WHEN s.tier IS NULL THEN -1
+               WHEN f.ms - s.ms > 3600000 THEN -2
+               ELSE s.tier END AS tier, f.vq
+           FROM f LEFT JOIN st s
+             ON f.user_id = s.user_id AND s.ms < f.ms
+                AND (s.to_ms IS NULL OR f.ms <= s.to_ms))
+         SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+             CAST(SUM(vq) AS BIGINT) AS sum_vq
+         FROM j GROUP BY 1 ORDER BY tier""",
+    // q199: per-flag window cumsum with the identical unique-crossing
+    // predicate (weights positive ⟹ cumw strictly increasing).
+    "q199_weighted_median" ->
+      """WITH li AS (SELECT l_returnflag AS flag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+               AS BIGINT) AS v,
+             CAST(floor(l_quantity) AS BIGINT) AS wt,
+             l_orderkey * 10 + l_linenumber AS rid
+           FROM lineitem),
+         c AS (SELECT flag, v, wt,
+             CAST(SUM(wt) OVER (PARTITION BY flag ORDER BY v, rid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cw,
+             CAST(SUM(wt) OVER (PARTITION BY flag) AS BIGINT) AS W
+           FROM li)
+         SELECT flag, W AS w_total, v AS wmedian_cents
+         FROM c WHERE 2 * cw >= W AND 2 * (cw - wt) < W
+         ORDER BY flag""",
     // q193: the fingerprint recomputed from the text bytes char by
     // char (ascii corpus: octet == char), chunk membership the same
     // ⌊i·60/n⌋, the bit rule the same division-free sum·60 > total,

@@ -613,6 +613,15 @@ class PlanSpec extends AnyFunSuite {
       "the gap lag must partition by source")
   }
 
+  test("q199: the weighted-median crossing pick plans NO window — " +
+      "the cumulative weight is the range-exchange prefix sum") {
+    val df = SparkEntry.queries("q199_weighted_median")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("Window"),
+      s"cumulative weights must come from Packing, not a window:\n" +
+        p.take(1200))
+  }
+
   test("q196: all four horizon frames ride ONE (user, ms) exchange " +
       "and sort — never one shuffle per horizon") {
     val df = SparkEntry.queries("q196_multi_horizon")(spark, dir)
