@@ -4818,6 +4818,63 @@ object TrainQueries {
       .orderBy("flag")
   }
 
+  /** Corpus-refresh capstone v2 (q201) — the DAILY-REFRESH
+    * composition wired from this round's machinery the way q100 wired
+    * the round-3 surface: exact-dedup keep-first (32-byte fingerprint
+    * keys, min-id representative) → quality gate (≥ 0.6, the E1
+    * score) → source-balanced round-robin interleave (E189's two
+    * range-exchange ranks — the TRAINING ORDER, not just the set) →
+    * 20k-token budget admission in that order (the E72 straddle rule
+    * over one more range-exchange prefix sum) → per-source manifest
+    * digest. Every stage is individually proven elsewhere
+    * (q24/q21/q195/q86); the capstone proves the COMPOSITION — four
+    * chained shuffles of ids/keys, never text after the scan, no
+    * stage that fails at 100 TB — and the oracle replays the full
+    * chain end-to-end.
+    */
+  private def qRefreshPipeline(s: SparkSession, dir: String): DataFrame = {
+    val budget = 20000L
+    val docs = t(s, dir, "documents")
+      .withColumn("__toks", TextFns.tokens("text"))
+      .select(col("doc_id"), col("source"),
+        TextFns.fingerprint("text").as("__f"),
+        size(col("__toks")).cast("long").as("n_tok"),
+        TextFns.qualityScore("text", "__toks").as("__q"))
+    val keepIds = docs.groupBy("__f").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val kept = docs.join(keepIds, "doc_id")
+      .filter(col("__q") >= 0.6)
+      .withColumn("__hv",
+        md5(concat(lit("il|"), col("doc_id").cast("string"))))
+      .withColumn("__one", lit(1L))
+    val ranked = Packing.withRunningSum(kept, "__rs", "__one",
+      col("source").asc, col("__hv").asc, col("doc_id").asc)
+    val offs = kept.groupBy("source").agg(count(lit(1)).as("__n"))
+      .orderBy("source").collect()
+    val offMap = {
+      var acc = 0L
+      offs.map { r =>
+        val o = r.getString(0) -> acc; acc += r.getLong(1); o
+      }.toMap
+    }
+    val offCol = offs.map(_.getString(0)).foldLeft(lit(0L)) { (a, f) =>
+      when(col("source") === f, lit(offMap(f))).otherwise(a)
+    }
+    val withRank = ranked
+      .withColumn("rnk", col("__rs") - lit(1L) - offCol)
+      .withColumn("__one2", lit(1L))
+    val pos = Packing.withRunningSum(withRank, "__ps", "__one2",
+        col("rnk").asc, col("source").asc, col("doc_id").asc)
+      .withColumn("pos", col("__ps") - 1L)
+    Packing.withRunningSum(pos, "cum_tok", "n_tok", col("pos").asc)
+      .filter(col("cum_tok") - col("n_tok") < budget)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_admitted"),
+        sum("n_tok").as("tok_admitted"),
+        min("pos").as("min_pos"), max("pos").as("max_pos"))
+      .orderBy("source")
+  }
+
   /** Digest-driven partition repair (q191) — anti-entropy between two
     * replicas of a day-partitioned table, composing E164's O(1)
     * digests with E79's row diff at the granularity that matters:
@@ -5343,7 +5400,8 @@ object TrainQueries {
     "q197_cusum" -> (qCusum _),
     "q198_stale_pit" -> (qStalePitJoin _),
     "q199_weighted_median" -> (qWeightedMedian _),
-    "q200_stream_cusum" -> (qStreamCusum _))
+    "q200_stream_cusum" -> (qStreamCusum _),
+    "q201_refresh_pipeline" -> (qRefreshPipeline _))
 
   /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
     * engines implement the SAME interval-join semantics and must agree
@@ -8180,6 +8238,38 @@ object TrainQueries {
     // the CUSUM formula over either input must agree with this replay.
     "q197_cusum" -> cusumOracle,
     "q200_stream_cusum" -> cusumOracle,
+    // q201: the full refresh chain replayed end-to-end — dedup
+    // keep-first, quality gate, both interleave ranks, the budget
+    // prefix sum with the straddle rule, per-source manifest.
+    "q201_refresh_pipeline" ->
+      s"""$qualityScoredCtes,
+         fp AS (SELECT doc_id, source, n_tok, quality,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS f
+           FROM sc),
+         kp AS (SELECT * FROM (SELECT fp.*, row_number() OVER
+             (PARTITION BY f ORDER BY doc_id) AS __rn FROM fp)
+           WHERE __rn = 1),
+         q AS (SELECT doc_id, source, n_tok FROM kp
+           WHERE quality >= 0.6),
+         r AS (SELECT doc_id, source, n_tok,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY md5('il|' || CAST(doc_id AS VARCHAR)), doc_id)
+               - 1 AS BIGINT) AS rnk
+           FROM q),
+         p AS (SELECT doc_id, source, n_tok, rnk,
+             CAST(row_number() OVER (ORDER BY rnk, source, doc_id) - 1
+               AS BIGINT) AS pos
+           FROM r),
+         c AS (SELECT doc_id, source, n_tok, pos,
+             CAST(SUM(n_tok) OVER (ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM p),
+         a AS (SELECT * FROM c WHERE cum - n_tok < 20000)
+         SELECT source, COUNT(*) AS n_admitted,
+             CAST(SUM(n_tok) AS BIGINT) AS tok_admitted,
+             MIN(pos) AS min_pos, MAX(pos) AS max_pos
+         FROM a GROUP BY 1 ORDER BY source""",
     // q198: q161's lead-built validity intervals intersected with the
     // 1 h staleness cap — the structurally opposite computation of
     // the carry-forward + TTL read.
