@@ -65,15 +65,34 @@ object Bench {
     val failed = results.count(_._2 < 0)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","trials":$trials,"failed":$failed}"""
-    println(line)
-    // The artifact of record: stdout gets truncated by log-capture
-    // tails (BENCH_r04 lost 39 of 101 per-query medians that way), so
-    // the same JSON line is also written to a file.
+    // The artifact of record: the full per-query map goes to a file —
+    // the driver keeps only a ~2000-char TAIL of stdout, and the full
+    // 200+-query line is >6 KB (BENCH_r04 and r06/r07 all lost the
+    // line's head that way, leaving parsed=null).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     try Files.writeString(Paths.get(outPath), line + "\n")
     catch { case t: Throwable =>
       System.err.println(s"[bench] WARN could not write $outPath: ${t.getMessage}")
     }
+    // stdout gets a line guaranteed to survive the tail capture intact:
+    // same headline fields, but the queries map holds only the slowest
+    // entries that fit a fixed byte budget (3-decimal seconds — the
+    // informative ones; fast queries are the ones safely summarized by
+    // the total), plus how many were omitted and where the full map is.
+    val budget = 1600 // < 2000-char driver tail, with headroom
+    def r3(v: Double): String = // locale-proof 3-decimal rendering
+      (math.rint(v * 1000) / 1000.0).toString
+    val sorted = results.toSeq.sortBy { case (n, v) => (-v, n) }
+    val head = new StringBuilder
+    var omitted = 0
+    sorted.foreach { case (k, v) =>
+      val ent = (if (head.nonEmpty) "," else "") + "\"" + k + "\":" + r3(v)
+      if (head.length + ent.length <= budget) head.append(ent)
+      else omitted += 1
+    }
+    val shortLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{${head.toString}},"omitted":$omitted,"full":"$outPath","sf":"$sfDir","trials":$trials,"failed":$failed}"""
+    println(shortLine)
     spark.stop()
   }
 }

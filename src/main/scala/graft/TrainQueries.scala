@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.expressions.LongDot
 import graft.functions.{QuantizedCentroid, TextFns, TopK}
-import graft.ops.{Bfs, Blooms, Cardinality, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, FreqSketch, FuzzyJoin, GapFill, KCenter, KCore, KMeans, Mixing, ModelStore, Multimodal, NearDup, Packing, PageRank, ParagraphDedup, Paths, Percentiles, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, SetSimJoin, Similarity, Skyline, Snm, TableDiff, Triangles}
+import graft.ops.{Bfs, Blooms, Bpe, Cardinality, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, FreqSketch, FuzzyJoin, GapFill, KCenter, KCore, KMeans, Mixing, ModelStore, Multimodal, NearDup, Nested, Packing, PageRank, ParagraphDedup, Paths, Percentiles, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, SetSimJoin, Similarity, Skyline, Snm, TableDiff, Triangles}
 import graft.streaming.{BudgetAdmission, EventStream, IncrementalClusters, NearDupIndex, RateMonitor, StatefulSessions, VersionedStore}
 
 /** Training-data-pipeline operators (SURVEY §7.2.8) as driver-contract
@@ -1332,6 +1332,32 @@ object TrainQueries {
         sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
         sum(money(col("l_extendedprice"))).cast("double").as("sum_price"))
       .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Avro source/sink roundtrip ([[graft.sources.AvroIo]]) — the
+    * remaining big-data format beside parquet/JSON/CSV/ORC/binary:
+    * write customer (long/string/int/double fields, every Avro branch
+    * the corpus needs) as real Avro object container files, read back
+    * under the declared schema, aggregate. Ints, longs and IEEE
+    * doubles are exact across the binary encoding, so the oracle
+    * aggregates the parquet directly — green proves the container
+    * roundtrip is lossless.
+    */
+  private def qAvroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_avro_" +
+        s.sparkContext.applicationId)
+    val c = t(s, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+    graft.sources.AvroIo.write(c, out)
+    graft.sources.AvroIo.read(s, out, c.schema)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_custs"),
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+          .as("total_acctbal"))
+      .orderBy("c_mktsegment")
   }
 
   /** Exact n-gram Jaccard near-dup pairs (the exact member of the dedup
@@ -4470,7 +4496,24 @@ object TrainQueries {
     * SAME curve a 100 TB corpus sees; candidate volume is what
     * scales, and that is exactly the column the table exposes per
     * config. Driver-side loop is 3 configs × 2 counters — metadata.
+    *
+    * The exact-truth side is a [[sessionFixture]]: ground truth is a
+    * property of the corpus, not of the banding configs under test, so
+    * repeated trials (bench median-of-3) must measure the three
+    * candidate-generation configs, not re-run E134's exact join every
+    * trial (the q82/q128 stored-fixture discipline).
     */
+  private val lshTruthCache = scala.collection.mutable.Map
+    .empty[(String, String), (DataFrame, Long)]
+
+  private def lshTruth(s: SparkSession, dir: String): (DataFrame, Long) =
+    sessionFixture(lshTruthCache, s, dir) {
+      val truth = SetSimJoin.prefixJaccardPairs(t(s, dir, "documents"),
+          "doc_id", "text", n = 5, minJaccard = 0.5)
+        .select("id_a", "id_b").localCheckpoint()
+      (truth, truth.count())
+    }
+
   private def qLshTuning(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .repartition(col("doc_id"))
@@ -4479,10 +4522,7 @@ object TrainQueries {
       .localCheckpoint()
     val sigs = NearDup.minHashSigs(docs, "doc_id", "shingles", 32,
       "sig").localCheckpoint()
-    val truth = SetSimJoin.prefixJaccardPairs(t(s, dir, "documents"),
-        "doc_id", "text", n = 5, minJaccard = 0.5)
-      .select("id_a", "id_b").localCheckpoint()
-    val nTrue = truth.count()
+    val (truth, nTrue) = lshTruth(s, dir)
     val rows = Seq((16, 2), (8, 4), (4, 8)).map { case (b, r) =>
       val cand = NearDup.candidatePairs(
         NearDup.bandRows(sigs, "doc_id", "sig", b, r, 32), "doc_id")
@@ -5207,6 +5247,230 @@ object TrainQueries {
       mergedDf.filter(col("term").isin(bm25Terms: _*)), mergedStats)
   }
 
+  /** Nested build → explode → aggregate (q202, [[graft.ops.Nested]]):
+    * the `array<struct>` annotation column is constructed by ONE
+    * scan-local O(n) `aggregate` fold (offsets are an in-expression
+    * prefix sum — no window, no join), then exploded and rolled up per
+    * label. Only (doc_id, label, span ints) ever shuffle — the text
+    * never leaves the scan stage. The oracle rebuilds the identical
+    * spans the structurally opposite way (unnest + a windowed prefix
+    * sum over token lengths), so green proves fold ≡ window.
+    */
+  private def qNestedExplode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .withColumn("anns", Nested.tokenAnnotations("toks"))
+      .select(col("doc_id"), explode(col("anns")).as("a"))
+      .groupBy(col("a.label").as("label"))
+      .agg(count(lit(1)).as("n_spans"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum((col("a.span_end") - col("a.span_start")).cast("long"))
+          .as("sum_len"),
+        max(col("a.span_end").cast("long")).as("max_end"))
+      .orderBy("label")
+
+  /** The annotated corpus STORED as nested parquet — the fixture for
+    * q203's schema-pruned read (and the realistic at-rest shape: a
+    * 100 TB annotated corpus is one nested table, not a doc table plus
+    * an exploded span table). Built once per (session, corpus); the
+    * cache holds only the path — the artifact of record is the parquet.
+    */
+  private val nestedFileCache = scala.collection.mutable.Map
+    .empty[(String, String), String]
+
+  private def annotatedDocsParquet(s: SparkSession, dir: String): String =
+    sessionFixture(nestedFileCache, s, dir) {
+      val tag = (s.sparkContext.applicationId + "_" + dir)
+        .replaceAll("[^a-zA-Z0-9]", "_")
+      val path = graft.Scratch.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_nested_docs_$tag")
+      t(s, dir, "documents")
+        .withColumn("toks",
+          expr("filter(split(text, ' '), t -> t <> '')"))
+        .withColumn("annotations", Nested.tokenAnnotations("toks"))
+        .select("doc_id", "source", "lang", "n_chars", "text",
+          "annotations")
+        .write.mode("overwrite").parquet(path)
+      path
+    }
+
+  /** Nested-field projection over the stored annotated corpus (q203):
+    * reads ONLY `source` and `annotations.label` — nested schema
+    * pruning pushes the sub-field selection into the parquet scan, so
+    * neither the span ints nor the (dominant) `text` column is ever
+    * decoded (PlanSpec-asserted on the executed ReadSchema). The
+    * at-scale point: label statistics over an annotated 100 TB corpus
+    * cost a metadata-sized read, not a corpus read. Oracle derives the
+    * same counts from the flat table (labels are a deterministic
+    * function of the tokens), proving store → prune → explode lost
+    * nothing.
+    */
+  private def qNestedPrune(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(annotatedDocsParquet(s, dir))
+      .select(col("source"), explode(col("annotations.label")).as("label"))
+      .groupBy("source", "label")
+      .agg(count(lit(1)).as("n_spans"))
+      .orderBy("source", "label")
+
+  /** Span-level flatten feeding the exact-dedup family (q204): explode
+    * the nested annotations, slice each span's text back out of the
+    * joined token text by its [span_start, span_end) offsets, md5 it
+    * (the [[TextFns]] fingerprint convention), and count total vs
+    * distinct spans per source. Only (source, fp) pairs shuffle —
+    * span text is hashed inside the scan stage. The oracle fingerprints
+    * the TOKENS directly (never touching offsets), so a green hash is
+    * an end-to-end proof that every stored offset slices back exactly
+    * its own token.
+    */
+  private def qSpanDedup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .withColumn("joined", concat_ws(" ", col("toks")))
+      .withColumn("anns", Nested.tokenAnnotations("toks"))
+      .select(col("source"), col("joined"), explode(col("anns")).as("a"))
+      .select(col("source"), md5(expr(
+        "substring(joined, a.span_start + 1, a.span_end - a.span_start)"))
+        .as("fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_spans"),
+        countDistinct(col("fp")).as("n_distinct_spans"))
+      .orderBy("source")
+
+  /** Merge-count for the q206/q207 BPE fixture: small enough that the
+    * oracle's round-per-CTE replay stays readable, large enough that
+    * later merges build on earlier ones (multi-char symbols appear).
+    */
+  private val bpeRounds = 6
+
+  /** The corpus word-count table BPE trains on (one shuffle). */
+  private def bpeWords(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(expr("filter(split(text, ' '), t -> t <> '')"))
+        .as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** BPE merge training + model store roundtrip (q206,
+    * [[graft.ops.Bpe]]): train [[bpeRounds]] merges inline (the
+    * q71/q118 BSP measurement — like q71, this query IS the
+    * full-pipeline demonstration and retrains every trial), persist
+    * the chain via [[ModelStore.saveMerges]], read it back, and emit
+    * it. The oracle replays the ENTIRE training loop — pair counting,
+    * the (count DESC, s1, s2) argmax, and the leftmost-nonoverlapping
+    * contraction — round by round in SQL, so green proves the whole
+    * iterative computation, not just a summary statistic.
+    */
+  private def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val merges = Bpe.train(bpeWords(s, dir), "w", "cnt", bpeRounds)
+    val tag = (s.sparkContext.applicationId + "_" + dir)
+      .replaceAll("[^a-zA-Z0-9]", "_")
+    val path = Scratch.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_bpe_merges_$tag")
+    ModelStore.saveMerges(s, path, merges)
+    import s.implicits._
+    ModelStore.loadMerges(s, path)
+      .map(m => (m.rank.toLong, m.s1, m.s2))
+      .toDF("rank", "s1", "s2")
+      .orderBy("rank")
+  }
+
+  /** Stored merge chain, trained once per (session, corpus) — q207's
+    * input artifact (q206 keeps retraining inline as the measured
+    * demonstration; this is the deployed-tokenizer read path).
+    */
+  private val bpeMergeCache = scala.collection.mutable.Map
+    .empty[(String, String), Seq[Bpe.Merge]]
+
+  private def bpeMerges(s: SparkSession, dir: String): Seq[Bpe.Merge] =
+    sessionFixture(bpeMergeCache, s, dir) {
+      val merges = Bpe.train(bpeWords(s, dir), "w", "cnt", bpeRounds)
+      val tag = (s.sparkContext.applicationId + "_" + dir)
+        .replaceAll("[^a-zA-Z0-9]", "_")
+      val path = Scratch.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_bpe_model_$tag")
+      ModelStore.saveMerges(s, path, merges)
+      ModelStore.loadMerges(s, path)
+    }
+
+  /** Scan-local BPE application under the stored merge chain (q207):
+    * the whole document becomes ONE wrapped symbol string (word
+    * boundaries un-fusable by construction) and the chain applies as
+    * [[bpeRounds]] composed `replace` calls with the merges as plan
+    * literals — fully inside whole-stage codegen, no join, no
+    * shuffle; token counts fall out as delimiter arithmetic. This is
+    * the deployed-tokenizer cost shape at 100 TB: corpus-sized scan,
+    * metadata-sized model.
+    */
+  private def qBpeApply(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .withColumn("seq", Bpe.docSeq("toks"))
+      .withColumn("seq2", Bpe.applyMerges("seq", bpeMerges(s, dir)))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_ws_tokens"),
+        Bpe.symbolCount("seq2").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** The q206/q207 oracle's training replay: round r's CTEs compute
+    * pair counts over state s(r−1) (p{r}), the deterministic argmax
+    * (b{r}), and the contracted state (s{r}) — the same leftmost-
+    * nonoverlapping `replace` the engine uses.
+    */
+  private def bpeChainCtes(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """wd AS (SELECT w, COUNT(*) AS cnt FROM (
+        |    SELECT unnest(list_filter(string_split(text, ' '),
+        |        x -> x <> '')) AS w
+        |    FROM documents) GROUP BY 1),
+        |  s0 AS (SELECT chr(31) || array_to_string(
+        |      list_transform(range(1, length(w) + 1),
+        |        i -> substr(w, i, 1)), chr(31) || chr(31)) || chr(31)
+        |      AS seq,
+        |      CAST(cnt AS BIGINT) AS cnt FROM wd)""".stripMargin)
+    for (r <- 1 to k) {
+      sb.append(s""",
+        p$r AS (SELECT list_extract(syms, i) AS s1,
+            list_extract(syms, i + 1) AS s2, cnt
+          FROM (SELECT syms, cnt,
+              unnest(range(1, len(syms))) AS i
+            FROM (SELECT string_split(substr(seq, 2, length(seq) - 2),
+                chr(31) || chr(31)) AS syms, cnt FROM s${r - 1}))),
+        b$r AS (SELECT s1, s2 FROM p$r GROUP BY s1, s2
+          ORDER BY SUM(cnt) DESC, s1, s2 LIMIT 1),
+        s$r AS (SELECT replace(seq,
+            chr(31) || b.s1 || chr(31) || chr(31) || b.s2 || chr(31),
+            chr(31) || b.s1 || b.s2 || chr(31)) AS seq, cnt
+          FROM s${r - 1}, b$r b)""")
+    }
+    sb.toString
+  }
+
+  /** Real-codec media decode (q208, [[Multimodal.decodePpm]]): every
+    * document becomes a genuine binary PPM (P6) file — deterministic
+    * dims 4+id%5 × 3+id%4 so header PARSING is actually exercised, a
+    * (id·31+j) mod 256 raster — and the real decoder (magic check,
+    * whitespace/comment-tolerant header ints, raster walk) extracts
+    * dims, per-channel sums, and the whole-file checksum. Same
+    * mapPartitions seam as the stub codecs (q30/q61/q193); swapping
+    * PPM for JPEG changes only the parser. The oracle recomputes every
+    * decoded number from the generation rule (ASCII header sum +
+    * closed-form raster sums), so green means the decode is RIGHT, not
+    * merely deterministic.
+    */
+  private def qPpmDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val media = t(s, dir, "documents")
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .map { id =>
+        Multimodal.MediaRecord(id,
+          Multimodal.encodePpm(id, (4 + id % 5).toInt, (3 + id % 4).toInt),
+          "ppm")
+      }
+    Multimodal.decodePpmFeatures(media).toDF().orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -5401,16 +5665,15 @@ object TrainQueries {
     "q198_stale_pit" -> (qStalePitJoin _),
     "q199_weighted_median" -> (qWeightedMedian _),
     "q200_stream_cusum" -> (qStreamCusum _),
-    "q201_refresh_pipeline" -> (qRefreshPipeline _))
+    "q201_refresh_pipeline" -> (qRefreshPipeline _),
+    "q202_nested_explode" -> (qNestedExplode _),
+    "q203_nested_prune" -> (qNestedPrune _),
+    "q204_span_dedup" -> (qSpanDedup _),
+    "q205_avro_roundtrip" -> (qAvroRoundtrip _),
+    "q206_bpe_train" -> (qBpeTrain _),
+    "q207_bpe_apply" -> (qBpeApply _),
+    "q208_ppm_decode" -> (qPpmDecode _))
 
-  /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
-    * engines implement the SAME interval-join semantics and must agree
-    * with the same replay.
-    */
-  /** Shared by q126 (batch EWMA) and q138 (streamed bucket fold): the
-    * smoothing over the folded sufficient statistic must equal the
-    * smoothing over everything — mirrors [[ewmaFromBuckets]].
-    */
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
     * windows — CUSUM's "sequential" recurrence with no recurrence.
@@ -5447,6 +5710,10 @@ object TrainQueries {
               JOIN ag ON tk.event_type = ag.event_type
          ORDER BY tk.event_type"""
 
+  /** Shared by q126 (batch EWMA) and q138 (streamed bucket fold): the
+    * smoothing over the folded sufficient statistic must equal the
+    * smoothing over everything — mirrors [[ewmaFromBuckets]].
+    */
   private val ewmaOracle =
     """WITH hourly AS (SELECT event_type,
            epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
@@ -5500,6 +5767,10 @@ object TrainQueries {
        SELECT CAST(rk AS BIGINT) AS rank, doc_id, score, n_terms
        FROM r WHERE rk <= 20 ORDER BY rank"""
 
+  /** Shared by q57 (streaming) and q70 (batch bin-bucketed): the two
+    * engines implement the SAME interval-join semantics and must agree
+    * with the same replay.
+    */
   private val intervalJoinOracle =
     """WITH e AS (SELECT user_id, event_id, event_type,
            epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events)
@@ -8312,6 +8583,136 @@ object TrainQueries {
          SELECT flag, W AS w_total, v AS wmedian_cents
          FROM c WHERE 2 * cw >= W AND 2 * (cw - wt) < W
          ORDER BY flag""",
+    // q202: the annotation spans rebuilt the structurally opposite
+    // way — unnest + a windowed prefix sum over token lengths vs the
+    // engine's scan-local aggregate fold; green proves fold ≡ window.
+    "q202_nested_explode" ->
+      """WITH d AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+           FROM documents),
+         tok AS (SELECT doc_id, unnest(t) AS w,
+             generate_subscripts(t, 1) AS p
+           FROM d),
+         off AS (SELECT doc_id, w,
+             CAST(COALESCE(SUM(length(w) + 1) OVER (PARTITION BY doc_id
+               ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS span_start
+           FROM tok),
+         ann AS (SELECT doc_id, span_start,
+             span_start + length(w) AS span_end,
+             CASE WHEN length(w) < 4 THEN 'short'
+                  WHEN length(w) < 8 THEN 'mid'
+                  ELSE 'long' END AS label
+           FROM off)
+         SELECT label, CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(SUM(span_end - span_start) AS BIGINT) AS sum_len,
+             CAST(MAX(span_end) AS BIGINT) AS max_end
+         FROM ann GROUP BY 1 ORDER BY label""",
+    // q203: label counts derived from the flat table (the label is a
+    // deterministic function of the token), proving the stored nested
+    // parquet → pruned sub-field read → explode chain lost nothing.
+    "q203_nested_prune" ->
+      """WITH d AS (SELECT source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+           FROM documents),
+         tok AS (SELECT source, unnest(t) AS w FROM d)
+         SELECT source,
+             CASE WHEN length(w) < 4 THEN 'short'
+                  WHEN length(w) < 8 THEN 'mid'
+                  ELSE 'long' END AS label,
+             CAST(COUNT(*) AS BIGINT) AS n_spans
+         FROM tok GROUP BY 1, 2 ORDER BY source, label""",
+    // q204: fingerprints over the TOKENS directly — the engine slices
+    // each span back out of the text by its stored offsets, so a green
+    // hash proves every offset pair addresses exactly its own token.
+    "q204_span_dedup" ->
+      """WITH d AS (SELECT source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+           FROM documents),
+         tok AS (SELECT source, unnest(t) AS w FROM d)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(COUNT(DISTINCT md5(w)) AS BIGINT) AS n_distinct_spans
+         FROM tok GROUP BY 1 ORDER BY source""",
+    // q205: ints/longs/IEEE doubles are exact across the Avro binary
+    // encoding, so the parquet aggregates directly (q62's discipline).
+    "q205_avro_roundtrip" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_custs,
+             CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_acctbal
+         FROM customer GROUP BY 1 ORDER BY 1""",
+    // q206: the ENTIRE merge-training loop replayed round by round —
+    // pair counts, (count DESC, s1, s2) argmax, leftmost contraction.
+    "q206_bpe_train" -> {
+      val ranks = (1 to bpeRounds)
+        .map(r => s"SELECT CAST($r AS BIGINT) AS rank, s1, s2 FROM b$r")
+        .mkString(" UNION ALL ")
+      s"""WITH ${bpeChainCtes(bpeRounds)}
+         SELECT rank, s1, s2 FROM ($ranks) ORDER BY rank"""
+    },
+    // q207: the replayed chain applied to every document by the same
+    // wrapped-string replace cascade; token counts are delimiter
+    // arithmetic on the final string.
+    "q207_bpe_apply" -> {
+      val applies = (1 to bpeRounds).map { r =>
+        s"""d$r AS (SELECT doc_id, n_ws_tokens, replace(seq,
+            chr(31) || b.s1 || chr(31) || chr(31) || b.s2 || chr(31),
+            chr(31) || b.s1 || b.s2 || chr(31)) AS seq
+          FROM d${r - 1}, b$r b)"""
+      }.mkString(",\n        ")
+      s"""WITH ${bpeChainCtes(bpeRounds)},
+        d0 AS (SELECT doc_id,
+            CAST(len(list_filter(string_split(text, ' '),
+              x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+            array_to_string(list_transform(
+              list_filter(string_split(text, ' '), x -> x <> ''),
+              w -> chr(31) || array_to_string(
+                list_transform(range(1, length(w) + 1),
+                  i -> substr(w, i, 1)), chr(31) || chr(31))
+                || chr(31)), ' ') AS seq
+          FROM documents),
+        $applies
+        SELECT doc_id, n_ws_tokens,
+            CAST((length(seq) - length(replace(seq, chr(31), ''))) // 2
+              AS BIGINT) AS n_bpe_tokens
+        FROM d$bpeRounds ORDER BY doc_id"""
+    },
+    // q208: every decoded number recomputed from the generation rule —
+    // header = ASCII sum of the exact P6 header string, raster = the
+    // closed-form (id·31+j) mod 256 channel sums over range(w·h·3).
+    "q208_ppm_decode" ->
+      """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w,
+             3 + doc_id % 4 AS h FROM documents),
+         hdr AS (SELECT doc_id, w, h,
+             'P6' || chr(10) || CAST(w AS VARCHAR) || ' '
+               || CAST(h AS VARCHAR) || chr(10) || '255' || chr(10)
+               AS hs
+           FROM dims),
+         hsum AS (SELECT doc_id,
+             CAST(list_sum(list_transform(range(1, length(hs) + 1),
+               i -> ascii(substr(hs, i, 1)))) AS BIGINT) AS hb
+           FROM hdr),
+         px AS (SELECT doc_id, unnest(range(0, w * h * 3)) AS j
+           FROM dims),
+         v AS (SELECT doc_id, j, (doc_id * 31 + j) % 256 AS val
+           FROM px),
+         agg AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN j % 3 = 0 THEN val ELSE 0 END)
+               AS BIGINT) AS r_sum,
+             CAST(SUM(CASE WHEN j % 3 = 1 THEN val ELSE 0 END)
+               AS BIGINT) AS g_sum,
+             CAST(SUM(CASE WHEN j % 3 = 2 THEN val ELSE 0 END)
+               AS BIGINT) AS b_sum,
+             CAST(SUM(val) AS BIGINT) AS raster_sum
+           FROM v GROUP BY 1)
+         SELECT d.doc_id, CAST(d.w AS BIGINT) AS width,
+             CAST(d.h AS BIGINT) AS height, CAST(255 AS BIGINT) AS maxval,
+             a.r_sum, a.g_sum, a.b_sum,
+             hsum.hb + a.raster_sum AS checksum
+         FROM dims d JOIN agg a ON d.doc_id = a.doc_id
+              JOIN hsum ON d.doc_id = hsum.doc_id
+         ORDER BY d.doc_id""",
     // q193: the fingerprint recomputed from the text bytes char by
     // char (ascii corpus: octet == char), chunk membership the same
     // ⌊i·60/n⌋, the bit rule the same division-free sum·60 > total,

@@ -33,50 +33,64 @@ import graft.expressions.LongDot
 object KCenter {
 
   /** Greedy selection of `k` centers over `prepared` (must carry
-    * `idCol`, `qv`, `qn` — see [[Similarity.prepare]]). Returns
+    * `idCol`, `qv`, `qn` — see [[Similarity.prepare]]). Returns up to
     * k+1 rows (sel_round, vec_id, d2): round 0 is the max-norm seed
     * (ties → min id), round r picks the point farthest (squared L2)
-    * from the selected set, and the FINAL row (sel_round = k) is the
-    * coverage reporter — the next would-be pick, whose d2 IS the
-    * 2-approximate coverage radius of the k selected centers.
+    * from the selected set, and the FINAL row is the coverage
+    * reporter — the next would-be pick, whose d2 IS the 2-approximate
+    * coverage radius of the selected centers. Normally that is row
+    * sel_round = k (k centers selected); if the farthest remaining
+    * distance hits 0 earlier — fewer distinct points than k — the
+    * sweep STOPS at that round (selecting on would only re-pick
+    * already-chosen centers), so the zero-distance row is the
+    * reporter (radius 0, and its vec_id may repeat an earlier
+    * center's — it reports, it does not select). Input must be
+    * non-empty.
     */
   def select(prepared: DataFrame, idCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val spark = prepared.sparkSession
-    val vecs = prepared
-      .select(col(idCol).cast("long").as("__id"), col("qv"), col("qn"))
-      .localCheckpoint()
+    val (vecs, vecsRdd) = Snap.pin(prepared
+      .select(col(idCol).cast("long").as("__id"), col("qv"), col("qn")))
     // Seed: max squared norm, min id on ties. qv rides the struct so
     // one job returns both the winner and its coordinates; (qn, −id)
     // is already a total order, so qv never drives the comparison.
-    val s0 = vecs
+    val s0Row = vecs
       .agg(max(struct(col("qn").as("d"), (-col("__id")).as("ni"),
         col("qv").as("v"))).as("m"))
-      .head().getStruct(0)
+      .head()
+    require(!s0Row.isNullAt(0),
+      "KCenter.select: input has no rows — nothing to select from")
+    val s0 = s0Row.getStruct(0)
     var centerQv: Seq[Long] = s0.getSeq[Long](2)
     val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](
       (0L, -s0.getLong(1), 0L))
     var cur = vecs.withColumn("dmin", lit(Long.MaxValue))
-    var pinned = vecs
-    for (r <- 1 to k) {
+    var pinnedRdd: org.apache.spark.rdd.RDD[Row] = vecsRdd
+    var r = 1
+    var covered = false
+    while (r <= k && !covered) {
       val cn = centerQv.map(x => x * x).sum
-      val next = cur
+      val (next, nextRdd) = Snap.pin(cur
         .withColumn("dmin",
           least(col("dmin"),
             col("qn") - lit(2L) * LongDot.dot(typedLit(centerQv), col("qv"))
-              + lit(cn)))
-        .localCheckpoint()
-      pinned.rdd.unpersist(blocking = false)
-      pinned = next
-      cur = next
-      val m = cur
+              + lit(cn))))
+      // the argmax job below materializes `next`'s checkpoint; only
+      // then is the superseded round's handle released
+      val m = next
         .agg(max(struct(col("dmin").as("d"), (-col("__id")).as("ni"),
           col("qv").as("v"))).as("m"))
         .head().getStruct(0)
+      Snap.release(pinnedRdd)
+      pinnedRdd = nextRdd
+      cur = next
       picks += ((r.toLong, -m.getLong(1), m.getLong(0)))
       centerQv = m.getSeq[Long](2)
+      covered = m.getLong(0) == 0L
+      r += 1
     }
-    pinned.rdd.unpersist(blocking = false)
+    Snap.release(pinnedRdd)
     fromPicks(spark, picks.toSeq)
   }
 

@@ -104,4 +104,39 @@ object ModelStore {
       s"non-contiguous (subspace, code) grid at $path")
     out
   }
+
+  private val mergeSchema = StructType(Seq(
+    StructField("rank", IntegerType, nullable = false),
+    StructField("s1", org.apache.spark.sql.types.StringType,
+      nullable = false),
+    StructField("s2", org.apache.spark.sql.types.StringType,
+      nullable = false)))
+
+  /** Write a trained BPE merge chain ([[Bpe.train]]) as a parquet
+    * model table — the tokenizer artifact a registry versions.
+    */
+  def saveMerges(spark: SparkSession, path: String,
+      merges: Seq[Bpe.Merge]): Unit = {
+    require(merges.nonEmpty, "empty merge chain")
+    val rows = merges.map(m => Row(m.rank, m.s1, m.s2))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), mergeSchema)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a merge chain back, ordered by rank (metadata-sized: one
+    * row per merge). Ranks must be the contiguous 1..k the trainer
+    * emits — application order is the chain's whole meaning.
+    */
+  def loadMerges(spark: SparkSession, path: String): Seq[Bpe.Merge] = {
+    val out = spark.read.parquet(path)
+      .select(col("rank"), col("s1"), col("s2"))
+      .collect()
+      .map(r => Bpe.Merge(r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_.rank).toSeq
+    require(out.nonEmpty, s"no merges at $path")
+    require(out.map(_.rank) == (1 to out.size),
+      s"non-contiguous merge ranks at $path")
+    out
+  }
 }

@@ -45,26 +45,43 @@ object PageRank {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    var ranks = deg.select(col("src").as("node"), col("outdeg"))
+    // per-round state is pinned with the exact-RDD-handle discipline
+    // ([[Snap]]): without it the lineage grows iters-deep (a 100 TB
+    // run's rounds are expensive — a lost executor would replay the
+    // whole chain) and superseded round state is never actually freed
+    var cur = Snap.pin(deg.select(col("src").as("node"), col("outdeg"))
       .crossJoin(broadcast(deg.agg(count(lit(1)).as("__n"))))
-      .withColumn("r", expr(s"${total}L div __n"))
+      .withColumn("r", expr(s"${total}L div __n")))
     for (_ <- 1 to iters) {
-      val contrib = e
-        .join(ranks.select(col("node").as("src"),
-          col("outdeg").as("__d"), col("r").as("__r")), "src")
-        .groupBy("dst").agg(sum(expr("__r div __d")).as("__s"))
-      // left join: a node with no inbound edges keeps the base mass
-      // (the symmetric graphs q118 builds always have inbound edges;
-      // a directed source node must not vanish from the rank table)
-      ranks = ranks
-        .join(contrib.select(col("dst").as("node"), col("__s")),
-          Seq("node"), "left")
-        .withColumn("__s", coalesce(col("__s"), lit(0L)))
-        .withColumn("r", expr(
-          s"(15L * (${total}L div __n)) div 100 + (85L * __s) div 100"))
-        .select("node", "outdeg", "__n", "r")
+      val next = Snap.pinEager(roundNext(e, cur._1, total))
+      Snap.release(cur._2)
+      cur = next
     }
-    ranks.select("node", "outdeg", "r")
+    cur._1.select("node", "outdeg", "r")
+  }
+
+  /** One [[ranks]] round over pinned edges and the current node state
+    * — package-visible so PlanSpec asserts the ROUND's plan shape
+    * (equi-join + partial-aggregated shuffle) directly: the per-round
+    * snap means the final query plan starts at the last checkpoint
+    * and no longer shows the round structure.
+    */
+  private[graft] def roundNext(e: DataFrame, cur: DataFrame,
+      total: Long): DataFrame = {
+    val contrib = e
+      .join(cur.select(col("node").as("src"),
+        col("outdeg").as("__d"), col("r").as("__r")), "src")
+      .groupBy("dst").agg(sum(expr("__r div __d")).as("__s"))
+    // left join: a node with no inbound edges keeps the base mass
+    // (the symmetric graphs q118 builds always have inbound edges;
+    // a directed source node must not vanish from the rank table)
+    cur
+      .join(contrib.select(col("dst").as("node"), col("__s")),
+        Seq("node"), "left")
+      .withColumn("__s", coalesce(col("__s"), lit(0L)))
+      .withColumn("r", expr(
+        s"(15L * (${total}L div __n)) div 100 + (85L * __s) div 100"))
+      .select("node", "outdeg", "__n", "r")
   }
 
   /** Seed-personalized PageRank (TrustRank shape) in the same exact
@@ -91,32 +108,53 @@ object PageRank {
     require(total > 0, s"total mass must be positive: $total")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint()
+    val nodes = seedNodes(e, seeds, seedCol)
+    // same per-round [[Snap]] discipline as [[ranks]]: lineage stays
+    // one round deep and superseded round state is actually freed
+    var cur = Snap.pin(nodes
+      .crossJoin(broadcast(nodes.agg(sum("__seed").as("__ns"))))
+      .withColumn("r", expr(s"__seed * (${total}L div __ns)")))
+    for (_ <- 1 to iters) {
+      val next = Snap.pinEager(seededRoundNext(e, cur._1, total))
+      Snap.release(cur._2)
+      cur = next
+    }
+    cur._1.select(col("node"), col("outdeg"),
+      col("__seed").as("is_seed"), col("r"))
+  }
+
+  /** The seeded node table: outdegrees with the metadata-sized seed
+    * set BROADCAST on — package-visible so PlanSpec asserts the
+    * broadcast (the per-round snap hides it from the final plan).
+    */
+  private[graft] def seedNodes(e: DataFrame, seeds: DataFrame,
+      seedCol: String): DataFrame = {
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val sd = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("__sd", lit(1L))
-    val nodes = deg.select(col("src").as("node"), col("outdeg"))
+    deg.select(col("src").as("node"), col("outdeg"))
       .join(broadcast(sd), Seq("node"), "left")
       .withColumn("__seed", coalesce(col("__sd"), lit(0L)))
       .drop("__sd")
-    var ranks = nodes
-      .crossJoin(broadcast(nodes.agg(sum("__seed").as("__ns"))))
-      .withColumn("r", expr(s"__seed * (${total}L div __ns)"))
-    for (_ <- 1 to iters) {
-      val contrib = e
-        .join(ranks.select(col("node").as("src"),
-          col("outdeg").as("__d"), col("r").as("__r")), "src")
-        .groupBy("dst").agg(sum(expr("__r div __d")).as("__s"))
-      ranks = ranks
-        .join(contrib.select(col("dst").as("node"), col("__s")),
-          Seq("node"), "left")
-        .withColumn("__s", coalesce(col("__s"), lit(0L)))
-        .withColumn("r", expr(
-          s"__seed * ((15L * (${total}L div __ns)) div 100)" +
-            " + (85L * __s) div 100"))
-        .select("node", "outdeg", "__ns", "__seed", "r")
-    }
-    ranks.select(col("node"), col("outdeg"),
-      col("__seed").as("is_seed"), col("r"))
+  }
+
+  /** One [[seededRanks]] round — package-visible for the same
+    * PlanSpec reason as [[roundNext]].
+    */
+  private[graft] def seededRoundNext(e: DataFrame, cur: DataFrame,
+      total: Long): DataFrame = {
+    val contrib = e
+      .join(cur.select(col("node").as("src"),
+        col("outdeg").as("__d"), col("r").as("__r")), "src")
+      .groupBy("dst").agg(sum(expr("__r div __d")).as("__s"))
+    cur
+      .join(contrib.select(col("dst").as("node"), col("__s")),
+        Seq("node"), "left")
+      .withColumn("__s", coalesce(col("__s"), lit(0L)))
+      .withColumn("r", expr(
+        s"__seed * ((15L * (${total}L div __ns)) div 100)" +
+          " + (85L * __s) div 100"))
+      .select("node", "outdeg", "__ns", "__seed", "r")
   }
 
   /** Result of [[ranksAdaptive]]: the final ranks (node, outdeg, r),

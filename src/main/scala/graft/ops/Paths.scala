@@ -30,8 +30,8 @@ object Paths {
     * `maxRounds` edges from `seeds` (dist 0) over `edges(src, dst,
     * w)`; symmetrize upstream for undirected semantics. Nodes
     * unreachable within the cap are absent. Weights must be
-    * non-negative longs (negative weights would make the bounded
-    * prefix non-monotone across rounds).
+    * non-negative longs (enforced — negative weights would make the
+    * bounded prefix non-monotone across rounds).
     */
   def boundedDistances(edges: DataFrame, srcCol: String, dstCol: String,
       wCol: String, seeds: DataFrame, seedCol: String,
@@ -42,12 +42,16 @@ object Paths {
         col(dstCol).cast("long").as("dst"),
         col(wCol).cast("long").as("w"))
       .localCheckpoint()
-    var dist = seeds.select(col(seedCol).cast("long").as("node"))
+    // the edge list is already pinned, so this precondition scan is one
+    // cheap agg over checkpointed blocks, not a source rescan
+    val mw = e.agg(min(col("w"))).head()
+    require(mw.isNullAt(0) || mw.getLong(0) >= 0L,
+      s"edge weights must be non-negative; min(w) = ${mw.getLong(0)}")
+    var cur = Snap.pin(seeds.select(col(seedCol).cast("long").as("node"))
       .distinct()
-      .withColumn("dist", lit(0L))
-      .localCheckpoint()
-    var pinned = dist
-    var frontier = dist
+      .withColumn("dist", lit(0L)))
+    var dist = cur._1
+    var frontier = cur._1
     var r = 0
     var exhausted = false
     while (r < maxRounds && !exhausted) {
@@ -58,23 +62,24 @@ object Paths {
           "src")
         .select(col("dst").as("node"), (col("fd") + col("w")).as("cand"))
         .groupBy("node").agg(min("cand").as("cand"))
-      val merged = dist.join(cand, Seq("node"), "full_outer")
+      val merged = Snap.pin(dist.join(cand, Seq("node"), "full_outer")
         .select(col("node"),
           least(coalesce(col("dist"), lit(Long.MaxValue)),
             coalesce(col("cand"), lit(Long.MaxValue))).as("dist"),
           (col("dist").isNull ||
             (col("cand").isNotNull && col("cand") < col("dist")))
-            .as("__improved"))
-        .localCheckpoint()
-      val next = merged.filter(col("__improved"))
+            .as("__improved")))
+      val next = merged._1.filter(col("__improved"))
         .select(col("node"), col("dist"))
+      // the isEmpty job materializes `merged`'s checkpoint; only then
+      // is the superseded round's handle released (Snap discipline)
       if (next.isEmpty) {
         exhausted = true
-        merged.rdd.unpersist(blocking = false)
+        Snap.release(merged._2)
       } else {
-        pinned.rdd.unpersist(blocking = false)
-        pinned = merged
-        dist = merged.select("node", "dist")
+        Snap.release(cur._2)
+        cur = merged
+        dist = merged._1.select("node", "dist")
         frontier = next
       }
       r += 1

@@ -1,0 +1,133 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{Schema, SchemaBuilder}
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Avro container-file source/sink — the remaining big-data format
+  * beside the engine's parquet (q19), JSON (q40), CSV (q62), ORC
+  * (q63) and raw-binary (q82) surfaces. The Spark distribution here
+  * ships the Avro CORE jars but not the `spark-avro` datasource
+  * module, so this is a minimal honest implementation on the public
+  * Avro API (`DataFileWriter`/`DataFileStream`, Apache Avro 1.12):
+  * real Avro object container files with a declared record schema,
+  * readable by any Avro tool.
+  *
+  * Scale shape: the WRITE is one file per partition through the
+  * Hadoop FileSystem API (works against HDFS/S3A, not just local
+  * disk), executor-side, no driver materialization. The READ lists
+  * the directory on the driver (metadata), then parallelizes one
+  * task per container file; records decode inside the task and only
+  * typed Rows ever leave it. Container files are internally
+  * block-compressed and sync-marked; a production-hardened reader
+  * would split on sync markers via avro-mapred's input format — file
+  * granularity is the honest simplification here, matching how this
+  * engine's writer lays out one file per upstream partition.
+  *
+  * Type surface (all the corpus needs): long, int, double, string,
+  * boolean; every field nullable via the standard `["null", T]`
+  * union. Unsupported Spark types fail fast at write time.
+  */
+object AvroIo {
+
+  /** Avro schema JSON for a Spark schema (nullable union per field). */
+  private[sources] def avroSchemaJson(schema: StructType): String = {
+    def tpe(dt: DataType): String = dt match {
+      case LongType => "\"long\""
+      case IntegerType => "\"int\""
+      case DoubleType => "\"double\""
+      case StringType => "\"string\""
+      case BooleanType => "\"boolean\""
+      case other =>
+        throw new IllegalArgumentException(
+          s"AvroIo supports long/int/double/string/boolean, got: $other")
+    }
+    val fields = schema.fields.map { f =>
+      s"""{"name":"${f.name}","type":["null",${tpe(f.dataType)}],"default":null}"""
+    }.mkString(",")
+    s"""{"type":"record","name":"graft_row","fields":[$fields]}"""
+  }
+
+  /** Write `df` as a directory of Avro container files, one per
+    * partition (`part-NNNNN.avro`), overwriting `path`.
+    */
+  def write(df: DataFrame, path: String): Unit = {
+    val schemaJson = avroSchemaJson(df.schema)
+    val names = df.schema.fieldNames
+    val fs0 = FileSystem.get(java.net.URI.create(path), new Configuration())
+    fs0.delete(new HPath(path), true)
+    fs0.mkdirs(new HPath(path))
+    df.rdd.mapPartitionsWithIndex { (idx, it) =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      val fs = FileSystem.get(java.net.URI.create(path), new Configuration())
+      val out = fs.create(new HPath(path, f"part-$idx%05d.avro"), true)
+      val writer = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      writer.create(schema, out)
+      var n = 0L
+      it.foreach { row =>
+        val rec = new GenericData.Record(schema)
+        var i = 0
+        while (i < names.length) {
+          rec.put(names(i), if (row.isNullAt(i)) null else row.get(i))
+          i += 1
+        }
+        writer.append(rec)
+        n += 1
+      }
+      writer.close()
+      Iterator.single(n)
+    }.count() // materialize the write
+  }
+
+  /** Read a directory of Avro container files back under the declared
+    * Spark `schema` (names matched against the writer schema; the
+    * file's own schema decodes, so this also reads third-party Avro).
+    */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val fs = FileSystem.get(java.net.URI.create(path), new Configuration())
+    val files = fs.listStatus(new HPath(path)).toSeq
+      .map(_.getPath.toString)
+      .filter(_.endsWith(".avro"))
+      .sorted
+    val names = schema.fieldNames
+    val rows = spark.sparkContext
+      .parallelize(files, math.max(files.size, 1))
+      .flatMap { file =>
+        val cfs = FileSystem.get(java.net.URI.create(file), new Configuration())
+        val in = cfs.open(new HPath(file))
+        val reader = new DataFileStream[GenericRecord](in,
+          new GenericDatumReader[GenericRecord]())
+        // stream, never materialize the file: close on exhaustion AND
+        // on task completion (covers failure/early-termination paths)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ =>
+            try reader.close() catch { case _: Throwable => () }))
+        val base = reader.iterator
+        new Iterator[Row] {
+          def hasNext: Boolean = {
+            val h = base.hasNext
+            if (!h) try reader.close() catch { case _: Throwable => () }
+            h
+          }
+          def next(): Row = {
+            val rec = base.next()
+            Row.fromSeq(names.toSeq.map { n =>
+              rec.get(n) match {
+                case null => null
+                case u: org.apache.avro.util.Utf8 => u.toString
+                case v => v
+              }
+            })
+          }
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+}

@@ -54,10 +54,21 @@ class KCenterSpec extends AnyFunSuite {
     assert(out(1)._2 === 2L)
   }
 
-  test("duplicate corpus: radius collapses to zero") {
+  test("duplicate corpus: sweep stops at radius zero") {
+    // 3 identical points, k=2: seed = min id (norm tie), round 1's
+    // farthest distance is already 0 → that row is the reporter and
+    // the sweep stops (no duplicate selections for the unreachable
+    // round 2). The reporter may repeat a selected id — it reports.
     val out = run(Seq((1L, Seq(2f, 2f)), (2L, Seq(2f, 2f)),
       (3L, Seq(2f, 2f))), k = 2)
-    assert(out.map(_._3) === Seq(0L, 0L, 0L))
+    assert(out === Seq((0L, 1L, 0L), (1L, 1L, 0L)))
+  }
+
+  test("empty input fails with a clear message") {
+    val e = intercept[IllegalArgumentException] {
+      run(Seq.empty, k = 1)
+    }
+    assert(e.getMessage.contains("no rows"))
   }
 
   test("selection d2 is non-increasing and bounds the radius") {

@@ -351,11 +351,22 @@ class PlanSpec extends AnyFunSuite {
 
   test("q118: each PageRank round is an equi-join + partial-aggregated " +
       "shuffle, no cartesian, no window") {
+    // the per-round Snap checkpoint makes the FINAL plan start at the
+    // last pinned state, so the round structure is asserted on the
+    // actual round builder the loop runs
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val cur = Seq((1L, 1L, 2L, 100L), (2L, 1L, 2L, 100L))
+      .toDF("node", "outdeg", "__n", "r")
+    val round = graft.ops.PageRank.roundNext(e, cur, 1000L)
+      .queryExecution.sparkPlan.toString
+    assert(!round.contains("CartesianProduct"))
+    assert(round.contains("partial_sum"),
+      "per-edge contributions must combine map-side")
+    assert(!round.contains("Window"))
+    // the query's own final stage: top-k, never a global sort
     val p = sparkPlan("q118_pagerank")
     assert(!p.contains("CartesianProduct"))
-    assert(p.contains("partial_sum"),
-      "per-edge contributions must combine map-side")
-    // rank ordering is a top-k, not a global sort
     assert(p.contains("TakeOrderedAndProject"))
   }
 
@@ -403,10 +414,22 @@ class PlanSpec extends AnyFunSuite {
 
   test("q143: the seed table broadcasts onto the node state; rounds " +
       "are equi-joins with partial aggregation, top-k not global sort") {
+    // round + seed-join shapes asserted on the builders the loop runs
+    // (the per-round Snap checkpoint hides them from the final plan)
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val nodes = graft.ops.PageRank.seedNodes(e, seeds, "node")
+      .queryExecution.sparkPlan.toString
+    assert(nodes.contains("BroadcastHashJoin"), "seed join must broadcast")
+    val cur = Seq((1L, 1L, 1L, 1L, 100L), (2L, 1L, 1L, 0L, 0L))
+      .toDF("node", "outdeg", "__ns", "__seed", "r")
+    val round = graft.ops.PageRank.seededRoundNext(e, cur, 1000L)
+      .queryExecution.sparkPlan.toString
+    assert(!round.contains("CartesianProduct"))
+    assert(round.contains("partial_sum"))
     val p = sparkPlan("q143_trustrank")
     assert(!p.contains("CartesianProduct"))
-    assert(p.contains("BroadcastHashJoin"), "seed join must broadcast")
-    assert(p.contains("partial_sum"))
     assert(p.contains("TakeOrderedAndProject"))
   }
 
@@ -631,5 +654,30 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1,
       s"expected exactly one window exchange, got $exchanges:\n" +
         p.take(1500))
+  }
+
+  test("q203: nested schema pruning — the stored annotated corpus is " +
+      "read as annotations.label only; span ints and text never decode") {
+    val df = SparkEntry.queries("q203_nested_prune")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    val readSchema = p.split("ReadSchema:").last
+    assert(readSchema.contains("annotations"),
+      s"the nested column must be in the scan:\n$readSchema")
+    assert(readSchema.contains("label"))
+    assert(!readSchema.contains("span_start"),
+      s"span ints must be pruned from the parquet read:\n$readSchema")
+    assert(!readSchema.contains("text"),
+      s"the dominant text column must be pruned:\n$readSchema")
+  }
+
+  test("q202: nested build is scan-local — no join, no window; only " +
+      "the label rollup shuffles") {
+    val df = SparkEntry.queries("q202_nested_explode")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("Join"),
+      s"annotation construction must not join:\n${p.take(1200)}")
+    assert(!p.contains("Window"),
+      s"offsets must come from the aggregate fold, not a window:\n" +
+        p.take(1200))
   }
 }
