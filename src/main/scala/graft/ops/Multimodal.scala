@@ -215,12 +215,9 @@ object Multimodal {
     header ++ raster
   }
 
-  /** Parse a binary PPM (P6): magic, whitespace/comment-tolerant
-    * header ints (width, height, maxval ≤ 255), the single whitespace
-    * byte ending the header, then the raw raster. Throws on anything
-    * malformed — a codec must fail loudly, not fabricate pixels.
-    */
-  def decodePpm(docId: Long, bytes: Array[Byte]): PpmFeatures = {
+  /** Parsed P6 header: dims, maxval, and the raster's byte offset. */
+  private def parsePpmHeader(docId: Long,
+      bytes: Array[Byte]): (Int, Int, Int, Int) = {
     require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
       s"doc $docId: not a P6 ppm")
     var i = 2
@@ -258,8 +255,18 @@ object Multimodal {
     require(bytes.length - i == w * h * 3,
       s"doc $docId: raster is ${bytes.length - i} bytes, " +
         s"expected ${w * h * 3}")
+    (w, h, maxval, i)
+  }
+
+  /** Parse a binary PPM (P6): magic, whitespace/comment-tolerant
+    * header ints (width, height, maxval ≤ 255), the single whitespace
+    * byte ending the header, then the raw raster. Throws on anything
+    * malformed — a codec must fail loudly, not fabricate pixels.
+    */
+  def decodePpm(docId: Long, bytes: Array[Byte]): PpmFeatures = {
+    val (w, h, maxval, off) = parsePpmHeader(docId, bytes)
     var (rs, gs, bs) = (0L, 0L, 0L)
-    var p = i
+    var p = off
     while (p < bytes.length) {
       rs += bytes(p) & 0xff
       gs += bytes(p + 1) & 0xff
@@ -268,6 +275,34 @@ object Multimodal {
     }
     PpmFeatures(docId, w.toLong, h.toLong, maxval.toLong, rs, gs, bs,
       byteSumAll(bytes))
+  }
+
+  /** Real nearest-neighbor half-resize on the decoded raster grid:
+    * out(x, y) = in(2x, 2y), output dims max(d/2, 1) — the actual
+    * image operation the [[resizeStub]] byte-stride stands in for.
+    * Decodes, samples the 2-D grid, and RE-ENCODES a valid P6, so the
+    * output is itself decodable (q210 decodes it for its features).
+    */
+  def resizePpmHalf(docId: Long, bytes: Array[Byte]): Array[Byte] = {
+    val (w, h, maxval, off) = parsePpmHeader(docId, bytes)
+    val w2 = math.max(w / 2, 1)
+    val h2 = math.max(h / 2, 1)
+    val header = s"P6\n$w2 $h2\n$maxval\n".getBytes("US-ASCII")
+    val raster = new Array[Byte](w2 * h2 * 3)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val src = off + 3 * ((2 * y) * w + 2 * x)
+        val dst = 3 * (y * w2 + x)
+        raster(dst) = bytes(src)
+        raster(dst + 1) = bytes(src + 1)
+        raster(dst + 2) = bytes(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    header ++ raster
   }
 
   private def byteSumAll(bytes: Array[Byte]): Long = {

@@ -670,6 +670,18 @@ class PlanSpec extends AnyFunSuite {
       s"the dominant text column must be pruned:\n$readSchema")
   }
 
+  test("q209: nested aggregation never explodes — no Generate in the " +
+      "plan; three scalars per doc shuffle, not one row per span") {
+    val df = SparkEntry.queries("q209_nested_scan_agg")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("Generate"),
+      s"span stats must compute inside the array:\n${p.take(1200)}")
+    assert(p.contains("partial_sum"), "rollup must combine map-side")
+    val readSchema = p.split("ReadSchema:").last
+    assert(!readSchema.contains("text"),
+      s"the dominant text column must be pruned:\n$readSchema")
+  }
+
   test("q202: nested build is scan-local — no join, no window; only " +
       "the label rollup shuffles") {
     val df = SparkEntry.queries("q202_nested_explode")(spark, dir)

@@ -33,6 +33,21 @@ class PpmCodecSpec extends AnyFunSuite {
     assert(f.r_sum + f.g_sum + f.b_sum === (1 + 2 + 3 + 4 + 5 + 6).toLong)
   }
 
+  test("half-resize samples the 2-D grid and re-encodes a valid P6") {
+    val (seed, w, h) = (3L, 6, 4)
+    val resized = Multimodal.resizePpmHalf(seed,
+      Multimodal.encodePpm(seed, w, h))
+    val f = Multimodal.decodePpm(seed, resized)
+    assert((f.width, f.height) === ((3L, 2L)))
+    // out(x,y) = in(2x,2y): source byte for (x,y,c) is 3*(2y*w+2x)+c
+    val expect = for {
+      y <- 0 until 2; x <- 0 until 3; c <- 0 until 3
+    } yield (c, (seed * 31 + 3 * (2 * y * w + 2 * x) + c) % 256)
+    assert(f.r_sum === expect.filter(_._1 == 0).map(_._2).sum)
+    assert(f.g_sum === expect.filter(_._1 == 1).map(_._2).sum)
+    assert(f.b_sum === expect.filter(_._1 == 2).map(_._2).sum)
+  }
+
   test("malformed inputs fail loudly") {
     intercept[IllegalArgumentException] {
       Multimodal.decodePpm(1L, "P5\n1 1\n255\n".getBytes("US-ASCII"))
