@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.expressions.LongDot
 import graft.functions.{QuantizedCentroid, TextFns, TopK}
-import graft.ops.{Bfs, Blooms, Bpe, Cardinality, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, FreqSketch, FuzzyJoin, GapFill, KCenter, KCore, KMeans, Mixing, ModelStore, Multimodal, NearDup, Nested, Packing, PageRank, ParagraphDedup, Paths, Percentiles, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, SetSimJoin, Similarity, Skyline, Snm, TableDiff, Triangles}
+import graft.ops.{Bfs, Blooms, Bpe, Cardinality, CharLm, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, FreqSketch, FuzzyJoin, GapFill, KCenter, KCore, KMeans, Mixing, ModelStore, Multimodal, NearDup, Nested, Packing, PageRank, ParagraphDedup, Paths, Percentiles, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, SetSimJoin, Similarity, Skyline, Snm, TableDiff, Triangles}
 import graft.streaming.{BudgetAdmission, EventStream, IncrementalClusters, NearDupIndex, RateMonitor, StatefulSessions, VersionedStore}
 
 /** Training-data-pipeline operators (SURVEY §7.2.8) as driver-contract
@@ -5542,6 +5542,53 @@ object TrainQueries {
     Multimodal.decodePpmFeatures(media).toDF().orderBy("doc_id")
   }
 
+  /** Char-bigram LM training + model store roundtrip (q211,
+    * [[graft.ops.CharLm]]): ONE scan-local bigram expansion into one
+    * (c1, c2) partial-agg shuffle, stored as a parquet model table
+    * (alphabet² rows — metadata), read back and emitted. Like q206,
+    * this query IS the training demonstration and retrains per trial.
+    */
+  private def qCharLmTrain(s: SparkSession, dir: String): DataFrame = {
+    val model = CharLm.trainBigrams(t(s, dir, "documents"), "text")
+    val tag = (s.sparkContext.applicationId + "_" + dir)
+      .replaceAll("[^a-zA-Z0-9]", "_")
+    val path = Scratch.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_charlm_$tag")
+    model.coalesce(1).write.mode("overwrite").parquet(path)
+    s.read.parquet(path).orderBy("c1", "c2")
+  }
+
+  /** Stored char-LM model path, trained once per (session, corpus) —
+    * q212's input artifact (the deployed-filter read path).
+    */
+  private val charLmCache = scala.collection.mutable.Map
+    .empty[(String, String), String]
+
+  private def charLmModelPath(s: SparkSession, dir: String): String =
+    sessionFixture(charLmCache, s, dir) {
+      val tag = (s.sparkContext.applicationId + "_" + dir)
+        .replaceAll("[^a-zA-Z0-9]", "_")
+      val path = Scratch.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_charlm_m_$tag")
+      CharLm.trainBigrams(t(s, dir, "documents"), "text")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      path
+    }
+
+  /** Statistical quality scoring under the stored char-LM (q212) —
+    * the KenLM-filter shape in its exact-integer core: the
+    * metadata-sized model BROADCASTS onto the scan-local bigram
+    * stream, contributions are (cnt·2^20) div tot truncating longs,
+    * and only (doc_id, counters) shuffle. Scoring cost at 100 TB is
+    * one corpus scan + one doc-keyed reduce; the model is a stored,
+    * versionable table. Oracle re-derives the model AND the scores in
+    * SQL, so the whole train → store → score chain is gate-checked.
+    */
+  private def qCharLmScore(s: SparkSession, dir: String): DataFrame =
+    CharLm.score(t(s, dir, "documents"), "doc_id", "text",
+        s.read.parquet(charLmModelPath(s, dir)))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -5745,7 +5792,9 @@ object TrainQueries {
     "q207_bpe_apply" -> (qBpeApply _),
     "q208_ppm_decode" -> (qPpmDecode _),
     "q209_nested_scan_agg" -> (qNestedScanAgg _),
-    "q210_ppm_resize" -> (qPpmResize _))
+    "q210_ppm_resize" -> (qPpmResize _),
+    "q211_charlm_train" -> (qCharLmTrain _),
+    "q212_charlm_score" -> (qCharLmScore _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -8767,6 +8816,30 @@ object TrainQueries {
              CAST(SUM(nl) AS BIGINT) AS n_long_spans,
              CAST(MAX(ml) AS BIGINT) AS max_span_len
          FROM per GROUP BY 1 ORDER BY source""",
+    // q211/q212: the bigram model and the scores re-derived entirely
+    // in SQL — same lateral char expansion, same truncating
+    // (cnt·2^20)//tot contributions, same truncating mean.
+    "q211_charlm_train" ->
+      """WITH bg AS (SELECT substr(text, j, 2) AS b FROM documents,
+             unnest(range(1, length(text))) u(j))
+         SELECT substr(b, 1, 1) AS c1, substr(b, 2, 1) AS c2,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM bg GROUP BY 1, 2 ORDER BY c1, c2""",
+    "q212_charlm_score" ->
+      """WITH bg AS (SELECT doc_id, substr(text, j, 1) AS c1,
+             substr(text, j + 1, 1) AS c2
+           FROM documents, unnest(range(1, length(text))) u(j)),
+         m AS (SELECT c1, c2, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM bg GROUP BY 1, 2),
+         t AS (SELECT c1, CAST(SUM(cnt) AS BIGINT) AS tot
+           FROM m GROUP BY 1),
+         q AS (SELECT bg.doc_id, (m.cnt * 1048576) // t.tot AS q
+           FROM bg JOIN m ON bg.c1 = m.c1 AND bg.c2 = m.c2
+                  JOIN t ON bg.c1 = t.c1)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(q) AS BIGINT) AS sum_q,
+             CAST(SUM(q) // COUNT(*) AS BIGINT) AS avg_q
+         FROM q GROUP BY 1 ORDER BY doc_id""",
     // q210: the sampled grid recomputed in closed form — resized pixel
     // (x, y) channel c has source byte index 3·(2y·w + 2x) + c in the
     // generation rule; checksum covers the RE-ENCODED header + raster.

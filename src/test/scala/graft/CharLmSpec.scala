@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.CharLm
+
+/** [[graft.ops.CharLm]] on hand-checkable strings: bigram counts,
+  * conditional-probability quantization, truncating means, the
+  * no-bigram edge, and OOV handling under a foreign model.
+  */
+class CharLmSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs(ts: (Long, String)*) = {
+    import spark.implicits._
+    ts.toSeq.toDF("doc_id", "text")
+  }
+
+  test("bigram counts are exact") {
+    val m = CharLm.trainBigrams(docs(1L -> "abab", 2L -> "ba"), "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // abab: ab, ba, ab; ba: ba → ab×2, ba×2
+    assert(m === Set(("a", "b", 2L), ("b", "a", 2L)))
+  }
+
+  test("scores are the truncating scaled conditionals") {
+    val corpus = docs(1L -> "aab", 2L -> "ab")
+    val model = CharLm.trainBigrams(corpus, "text")
+    // counts: aa×1, ab×2; tot(a)=3 → q(aa) = 2^20 div 3 = 349525,
+    // q(ab) = 2·2^20 div 3 = 699050
+    val out = CharLm.score(corpus, "doc_id", "text", model)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) === ((1L, 2L, 349525L + 699050L,
+      (349525L + 699050L) / 2)))
+    assert(out(1) === ((2L, 1L, 699050L, 699050L)))
+  }
+
+  test("documents without bigrams are absent; OOV contributes zero") {
+    val model = CharLm.trainBigrams(docs(1L -> "ab"), "text")
+    val out = CharLm.score(docs(10L -> "x", 11L -> "zz"), "doc_id",
+        "text", model)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // "x" has no bigram → absent; "zz" is fully OOV → sum 0
+    assert(out.toSeq === Seq((11L, 1L, 0L)))
+  }
+}

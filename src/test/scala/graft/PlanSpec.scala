@@ -670,6 +670,28 @@ class PlanSpec extends AnyFunSuite {
       s"the dominant text column must be pruned:\n$readSchema")
   }
 
+  test("q212: LM scoring broadcasts the model; the bigram stream " +
+      "never sort-merges and training plans no join at all") {
+    val train = SparkEntry.queries("q211_charlm_train")(spark, dir)
+    val tp = train.queryExecution.sparkPlan.toString
+    // the emitted frame is the stored model read back — asserting the
+    // TRAINING shape needs the builder itself
+    import graft.ops.CharLm
+    val build = CharLm.trainBigrams(
+      spark.read.parquet(s"$dir/documents.parquet"), "text")
+      .queryExecution.sparkPlan.toString
+    assert(!build.contains("Join"), "training is scan-local + one agg")
+    assert(build.contains("partial_count"),
+      "bigram counts must combine map-side")
+    val score = SparkEntry.queries("q212_charlm_score")(spark, dir)
+    val sp = score.queryExecution.sparkPlan.toString
+    assert(sp.contains("BroadcastHashJoin"), "model must broadcast")
+    assert(!sp.contains("SortMergeJoin"),
+      s"the corpus-sized bigram stream must never sort-merge:\n" +
+        sp.take(1200))
+    assert(tp.nonEmpty)
+  }
+
   test("q209: nested aggregation never explodes — no Generate in the " +
       "plan; three scalars per doc shuffle, not one row per span") {
     val df = SparkEntry.queries("q209_nested_scan_agg")(spark, dir)
