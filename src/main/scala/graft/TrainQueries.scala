@@ -4977,7 +4977,7 @@ object TrainQueries {
           coalesce(col("x_b"), lit(0L)) =!= col("x_a"))
           .as("diverged"))
     val badDays = dg.filter(col("diverged")).select("day")
-      .collect().map(_.getLong(0))
+      .collect().map(_.getLong(0)).toIndexedSeq
     val af = a.filter(col("day").isin(badDays: _*))
     val bf = b.filter(col("day").isin(badDays: _*))
     val miss = af.join(bf.select(col("event_id").as("__eb")),
@@ -5589,6 +5589,19 @@ object TrainQueries {
         s.read.parquet(charLmModelPath(s, dir)))
       .orderBy("doc_id")
 
+  /** Streaming LM quality screen (q213,
+    * [[graft.streaming.LmScreen]]): documents arrive in 3
+    * micro-batches and are gated scan-locally against the STORED
+    * char-bigram model (the [[qCharLmScore]] artifact) — the deployed
+    * KenLM-filter: training offline, admission a per-batch scan whose
+    * cost is independent of corpus history. Verdicts append
+    * per batch (docs arrive once → the union is the corpus answer)
+    * and the oracle replays model + scores + threshold for every doc.
+    */
+  private def qStreamLmScreen(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.LmScreen.run(s, s"$dir/documents.parquet",
+      s.read.parquet(charLmModelPath(s, dir)), minAvgQ = 270000L)
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -5794,7 +5807,8 @@ object TrainQueries {
     "q209_nested_scan_agg" -> (qNestedScanAgg _),
     "q210_ppm_resize" -> (qPpmResize _),
     "q211_charlm_train" -> (qCharLmTrain _),
-    "q212_charlm_score" -> (qCharLmScore _))
+    "q212_charlm_score" -> (qCharLmScore _),
+    "q213_stream_lm_screen" -> (qStreamLmScreen _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -8840,6 +8854,28 @@ object TrainQueries {
              CAST(SUM(q) AS BIGINT) AS sum_q,
              CAST(SUM(q) // COUNT(*) AS BIGINT) AS avg_q
          FROM q GROUP BY 1 ORDER BY doc_id""",
+    // q213: the stream's model, scores and threshold replayed for
+    // every document — the streamed per-batch union must equal the
+    // whole-corpus screen (docs arrive exactly once).
+    "q213_stream_lm_screen" ->
+      """WITH bg AS (SELECT doc_id, substr(text, j, 1) AS c1,
+             substr(text, j + 1, 1) AS c2
+           FROM documents, unnest(range(1, length(text))) u(j)),
+         m AS (SELECT c1, c2, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM bg GROUP BY 1, 2),
+         t AS (SELECT c1, CAST(SUM(cnt) AS BIGINT) AS tot
+           FROM m GROUP BY 1),
+         q AS (SELECT bg.doc_id, (m.cnt * 1048576) // t.tot AS q
+           FROM bg JOIN m ON bg.c1 = m.c1 AND bg.c2 = m.c2
+                  JOIN t ON bg.c1 = t.c1),
+         sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(q) // COUNT(*) AS BIGINT) AS avg_q
+           FROM q GROUP BY 1)
+         SELECT sc.doc_id, d.source, sc.n_bigrams, sc.avg_q,
+             CAST(CASE WHEN sc.avg_q >= 270000 THEN 1 ELSE 0 END
+               AS BIGINT) AS admitted
+         FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+         ORDER BY sc.doc_id""",
     // q210: the sampled grid recomputed in closed form — resized pixel
     // (x, y) channel c has source byte index 3·(2y·w + 2x) + c in the
     // generation rule; checksum covers the RE-ENCODED header + raster.

@@ -32,7 +32,7 @@ object DenseId {
     val sorted = df.orderBy(orderCols: _*)
     val schema = StructType(sorted.schema.fields :+
       StructField(out, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))
     }
     sorted.sparkSession.createDataFrame(rdd, schema)
