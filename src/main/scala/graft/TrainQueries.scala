@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.expressions.LongDot
 import graft.functions.{QuantizedCentroid, TextFns, TopK}
-import graft.ops.{Bfs, Blooms, Bpe, Cardinality, CharLm, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, FreqSketch, FuzzyJoin, GapFill, KCenter, KCore, KMeans, Mixing, ModelStore, Multimodal, NearDup, Nested, Packing, PageRank, ParagraphDedup, Paths, Percentiles, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, SetSimJoin, Similarity, Skyline, Snm, TableDiff, Triangles}
+import graft.ops.{Bfs, Blooms, Bpe, Cardinality, CharLm, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, FreqSketch, FuzzyJoin, GapFill, KCenter, KCore, KMeans, Mixing, ModelStore, Multimodal, NearDup, Nested, Packing, PageRank, ParagraphDedup, Paths, Percentiles, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, SetSimJoin, Similarity, Skyline, Snm, TableDiff, Triangles, Winnowing}
 import graft.streaming.{BudgetAdmission, EventStream, IncrementalClusters, NearDupIndex, RateMonitor, StatefulSessions, VersionedStore}
 
 /** Training-data-pipeline operators (SURVEY §7.2.8) as driver-contract
@@ -5602,6 +5602,21 @@ object TrainQueries {
     graft.streaming.LmScreen.run(s, s"$dir/documents.parquet",
       s.read.parquet(charLmModelPath(s, dir)), minAvgQ = 270000L)
 
+  /** Winnowing memorization audit (q214, [[graft.ops.Winnowing]]):
+    * the top repeated 30-char sequences across the corpus by document
+    * count — Schleimer et al.'s guarantee means every shared run of
+    * ≥ 37 chars (L + w − 1) surfaces, with NO pairwise comparison:
+    * scan-local gram expansion, a per-document sliding-window min (the
+    * bounded window class), scan-local selection keeping ~1/w of the
+    * stream, then one distinct + one partial-agg shuffle of selected
+    * grams only. The boilerplate/license/template detector a 100 TB
+    * pretraining corpus is audited with before dedup parameters are
+    * chosen. Oracle replays the identical window + selection + count.
+    */
+  private def qMemorizationAudit(s: SparkSession, dir: String): DataFrame =
+    Winnowing.repeatedGrams(t(s, dir, "documents"), "doc_id", "text",
+      l = 30, w = 8, topK = 20)
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -5808,7 +5823,8 @@ object TrainQueries {
     "q210_ppm_resize" -> (qPpmResize _),
     "q211_charlm_train" -> (qCharLmTrain _),
     "q212_charlm_score" -> (qCharLmScore _),
-    "q213_stream_lm_screen" -> (qStreamLmScreen _))
+    "q213_stream_lm_screen" -> (qStreamLmScreen _),
+    "q214_memorization_audit" -> (qMemorizationAudit _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -8876,6 +8892,23 @@ object TrainQueries {
                AS BIGINT) AS admitted
          FROM sc JOIN documents d ON sc.doc_id = d.doc_id
          ORDER BY sc.doc_id""",
+    // q214: the identical winnowing replay — same 60-bit gram hash,
+    // same trailing ROWS window min, same h = min selection, same
+    // distinct + count + (n_docs DESC, gram) top-20.
+    "q214_memorization_audit" ->
+      """WITH g AS (SELECT doc_id, j, substr(text, j, 30) AS gram,
+             CAST('0x' || substr(md5(substr(text, j, 30)), 1, 15)
+               AS BIGINT) AS h
+           FROM documents, unnest(range(1, length(text) - 28)) u(j)),
+         w AS (SELECT doc_id, gram, h,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS mh
+           FROM g),
+         sel AS (SELECT DISTINCT doc_id, gram FROM w WHERE h = mh),
+         cnt AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM sel GROUP BY 1)
+         SELECT gram, n_docs FROM cnt
+         ORDER BY n_docs DESC, gram LIMIT 20""",
     // q210: the sampled grid recomputed in closed form — resized pixel
     // (x, y) channel c has source byte index 3·(2y·w + 2x) + c in the
     // generation rule; checksum covers the RE-ENCODED header + raster.

@@ -68,21 +68,7 @@ object Bpe {
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      // pair expansion is scan-local (sequence/transform over the
-      // symbol split); only (s1, s2, partial count) rows shuffle
-      val best = cur._1
-        .select(col("cnt"), expr("split(substring(seq, 2, " +
-          "length(seq) - 2), concat(chr(31), chr(31)))").as("s"))
-        .select(col("cnt"), explode(expr(
-          // guard: sequence(1, 0) is the DESCENDING [1, 0] in Spark,
-          // so single-symbol words must short-circuit to an empty list
-          "case when size(s) < 2 then " +
-            "cast(array() as array<struct<s1:string,s2:string>>) " +
-            "else transform(sequence(1, size(s) - 1), " +
-            "i -> struct(element_at(s, i) as s1, " +
-            "element_at(s, i + 1) as s2)) end")).as("p"))
-        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
-        .agg(sum("cnt").as("c"))
+      val best = pairCounts(cur._1)
         .orderBy(col("c").desc, col("s1"), col("s2"))
         .limit(1).collect()
       Snap.release(prevRdd)
@@ -101,6 +87,27 @@ object Bpe {
     Snap.release(cur._2)
     merges.toSeq
   }
+
+  /** One round's adjacent-pair counts over the wrapped-symbol state —
+    * package-visible so PlanSpec asserts the round's plan shape
+    * directly (the expansion is scan-local — sequence/transform over
+    * the symbol split, no join — and only (s1, s2, partial count)
+    * rows shuffle).
+    */
+  private[graft] def pairCounts(state: DataFrame): DataFrame =
+    state
+      .select(col("cnt"), expr("split(substring(seq, 2, " +
+        "length(seq) - 2), concat(chr(31), chr(31)))").as("s"))
+      .select(col("cnt"), explode(expr(
+        // guard: sequence(1, 0) is the DESCENDING [1, 0] in Spark,
+        // so single-symbol words must short-circuit to an empty list
+        "case when size(s) < 2 then " +
+          "cast(array() as array<struct<s1:string,s2:string>>) " +
+          "else transform(sequence(1, size(s) - 1), " +
+          "i -> struct(element_at(s, i) as s1, " +
+          "element_at(s, i + 1) as s2)) end")).as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(sum("cnt").as("c"))
 
   /** The wrapped whole-document symbol string: words wrapped
     * individually, joined by ' ' (symbols never contain spaces and

@@ -692,6 +692,33 @@ class PlanSpec extends AnyFunSuite {
     assert(tp.nonEmpty)
   }
 
+  test("q214: winnowing audit is scan-local until the count — no " +
+      "join, no Window, no shuffle of the gram stream; top-k is " +
+      "TakeOrderedAndProject") {
+    val df = SparkEntry.queries("q214_memorization_audit")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("Join"),
+      s"repeated-substring detection must never compare pairs:\n" +
+        p.take(1200))
+    assert(!p.contains("Window"),
+      "the sliding min is the in-array conjunction, not a window")
+    assert(p.contains("partial_count"),
+      "the selected-gram count must combine map-side")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("BPE pair counting: scan-local expansion, partial-agg shuffle, " +
+      "no join") {
+    import spark.implicits._
+    val state = Seq(("ab", 3L))
+      .toDF("seq", "cnt")
+    val p = graft.ops.Bpe.pairCounts(state)
+      .queryExecution.sparkPlan.toString
+    assert(!p.contains("Join"))
+    assert(p.contains("partial_sum"),
+      "pair counts must combine map-side")
+  }
+
   test("q209: nested aggregation never explodes — no Generate in the " +
       "plan; three scalars per doc shuffle, not one row per span") {
     val df = SparkEntry.queries("q209_nested_scan_agg")(spark, dir)
