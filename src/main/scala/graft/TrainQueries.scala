@@ -3977,7 +3977,7 @@ object TrainQueries {
     * way — a positional self-join on unnested (doc, ord) tokens — so
     * green proves the scan-local expression ≡ the join definition.
     */
-  private def qSkipgramPairs(s: SparkSession, dir: String): DataFrame =
+  private def skipgramPairCounts(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(split(col("text"), " ").as("toks"))
       .select(explode(expr(
@@ -3987,8 +3987,70 @@ object TrainQueries {
           .stripMargin)).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("n_cooc"))
+
+  private def qSkipgramPairs(s: SparkSession, dir: String): DataFrame =
+    skipgramPairCounts(s, dir)
       .orderBy(col("n_cooc").desc, col("w1"), col("w2"))
       .limit(30)
+
+  /** PMI-ordered collocation ranking (q215) — the collocation-strength
+    * step on top of q177's co-occurrence numerators (word2vec/PMI
+    * consumers rank by p(xy)/(p(x)·p(y)), not raw counts, or frequent
+    * words dominate): the ordering is preserved EXACTLY without logs
+    * or doubles by the staged integer form
+    * pmi_q = ((n_cooc·2^20) div c1 · N_tok) div c2 — n_cooc ≤ 4·c1
+    * (each w1 occurrence contributes ≤ 4 window pairs) bounds the
+    * first stage at 4·2^20, so the product stays in int64 up to
+    * ~2·10^12 corpus tokens; a larger corpus rebases the 2^20. Rare
+    * pairs (n_cooc < 5) are floored out first — the standard PMI
+    * noise guard, and it keeps truncation meaningful. Vocabulary-sized
+    * unigram tables BROADCAST onto the pair counts; top-30 is
+    * TakeOrderedAndProject under the full (pmi_q, w1, w2) tiebreak.
+    */
+  private def qPmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val uni = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val nTok = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(count(lit(1)).as("n_tok"))
+    skipgramPairCounts(s, dir)
+      .filter(col("n_cooc") >= 5)
+      .join(broadcast(uni.select(col("w").as("w1"), col("cw").as("c1"))),
+        Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("cw").as("c2"))),
+        Seq("w2"))
+      .crossJoin(broadcast(nTok))
+      .withColumn("pmi_q",
+        expr("(((n_cooc * 1048576L) div c1) * n_tok) div c2"))
+      .select("w1", "w2", "n_cooc", "c1", "c2", "pmi_q")
+      .orderBy(col("pmi_q").desc, col("w1"), col("w2"))
+      .limit(30)
+  }
+
+  /** Near-dup component-size histogram (q216) — the "how big are my
+    * duplicate clusters" report every dedup run is judged by before
+    * choosing keep-rules: sizes of the stored [[fullClusterLabels]]
+    * components (metadata-sized group-by over node labels) plus the
+    * singleton row (docs in no pair are their own components —
+    * counted from two driver-side metadata counts, never a join).
+    * The oracle recomputes the closure from scratch (RECURSIVE CTE)
+    * and histograms it, so the stored labels are re-proved in the
+    * same query that consumes them.
+    */
+  private def qClusterSizes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = fullClusterLabels(s, dir)
+    val singletons =
+      t(s, dir, "documents").count() - labels.count()
+    labels
+      .groupBy("cluster_rep").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").cast("long").as("component_size"))
+      .agg(count(lit(1)).as("n_components"))
+      .unionByName(Seq((1L, singletons)).toDF(
+        "component_size", "n_components"))
+      .orderBy("component_size")
+  }
 
   /** Bounded-hop weighted shortest distances (q178,
     * [[graft.ops.Paths]]): min-plus Bellman–Ford over the symmetrized
@@ -5824,7 +5886,9 @@ object TrainQueries {
     "q211_charlm_train" -> (qCharLmTrain _),
     "q212_charlm_score" -> (qCharLmScore _),
     "q213_stream_lm_screen" -> (qStreamLmScreen _),
-    "q214_memorization_audit" -> (qMemorizationAudit _))
+    "q214_memorization_audit" -> (qMemorizationAudit _),
+    "q215_pmi_collocations" -> (qPmiCollocations _),
+    "q216_cluster_sizes" -> (qClusterSizes _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -8892,6 +8956,44 @@ object TrainQueries {
                AS BIGINT) AS admitted
          FROM sc JOIN documents d ON sc.doc_id = d.doc_id
          ORDER BY sc.doc_id""",
+    // q215: the same positional-self-join pair definition as q177's
+    // oracle, the same staged integer PMI — ((n·2^20)//c1·N)//c2 —
+    // and the same rare-pair floor; green proves the scan-local
+    // expression AND the truncation order.
+    "q215_pmi_collocations" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents),
+         tok AS (SELECT doc_id, i, t[i] AS tk
+           FROM toks, unnest(range(1, len(t) + 1)) u(i)),
+         p AS (SELECT least(a.tk, b.tk) AS w1,
+             greatest(a.tk, b.tk) AS w2
+           FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+             AND b.i >= a.i + 1 AND b.i <= a.i + 2),
+         pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_cooc
+           FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+         uni AS (SELECT tk AS w, CAST(COUNT(*) AS BIGINT) AS cw
+           FROM tok GROUP BY 1),
+         nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok)
+         SELECT w1, w2, n_cooc, u1.cw AS c1, u2.cw AS c2,
+             CAST((((n_cooc * 1048576) // u1.cw) * nt.n_tok)
+               // u2.cw AS BIGINT) AS pmi_q
+         FROM pc JOIN uni u1 ON pc.w1 = u1.w
+              JOIN uni u2 ON pc.w2 = u2.w, nt
+         ORDER BY pmi_q DESC, w1, w2 LIMIT 30""",
+    // q216: the closure recomputed from scratch (RECURSIVE CTE),
+    // histogrammed, with the singleton row derived by difference.
+    "q216_cluster_sizes" -> {
+      s"""WITH RECURSIVE $dedupClusterCtes,
+         hist AS (SELECT CAST(n_members AS BIGINT) AS component_size,
+             CAST(COUNT(*) AS BIGINT) AS n_components
+           FROM sz GROUP BY 1),
+         sing AS (SELECT CAST(1 AS BIGINT) AS component_size,
+             CAST((SELECT COUNT(*) FROM documents)
+               - (SELECT COUNT(*) FROM lab) AS BIGINT) AS n_components)
+         SELECT component_size, n_components FROM
+           (SELECT * FROM hist UNION ALL SELECT * FROM sing)
+         ORDER BY component_size"""
+    },
     // q214: the identical winnowing replay — same 60-bit gram hash,
     // same trailing ROWS window min, same h = min selection, same
     // distinct + count + (n_docs DESC, gram) top-20.
