@@ -5679,6 +5679,19 @@ object TrainQueries {
     Winnowing.repeatedGrams(t(s, dir, "documents"), "doc_id", "text",
       l = 30, w = 8, topK = 20)
 
+  /** Directed near-containment pairs (q217,
+    * [[NearDup.ngramContainmentPairs]]): the asymmetric dedup
+    * predicate at the q64 parameters (3-gram, df ≤ 100) with an 80 %
+    * containment floor — catching the excerpt/quote-expansion
+    * redundancy symmetric Jaccard dilutes away. Exact-integer
+    * predicate and basis-point score; the oracle replays the same
+    * inverted index with both directions unioned.
+    */
+  private def qContainmentPairs(s: SparkSession, dir: String): DataFrame =
+    NearDup.ngramContainmentPairs(t(s, dir, "documents"), "doc_id",
+        "text", n = 3, minPct = 80, maxDf = 100L)
+      .orderBy("contained", "container")
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -5888,7 +5901,8 @@ object TrainQueries {
     "q213_stream_lm_screen" -> (qStreamLmScreen _),
     "q214_memorization_audit" -> (qMemorizationAudit _),
     "q215_pmi_collocations" -> (qPmiCollocations _),
-    "q216_cluster_sizes" -> (qClusterSizes _))
+    "q216_cluster_sizes" -> (qClusterSizes _),
+    "q217_containment_pairs" -> (qContainmentPairs _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -8956,6 +8970,26 @@ object TrainQueries {
                AS BIGINT) AS admitted
          FROM sc JOIN documents d ON sc.doc_id = d.doc_id
          ORDER BY sc.doc_id""",
+    // q217: the q64 inverted index replayed with the containment
+    // predicate tested in both directions — same exact-integer floor,
+    // same truncated basis points.
+    "q217_containment_pairs" -> {
+      s"""WITH $ngramIdxCte
+         SELECT * FROM (
+           SELECT p.id_a AS contained, p.id_b AS container,
+               CAST(p.n_shared AS BIGINT) AS n_shared,
+               CAST(x.n AS BIGINT) AS n_contained,
+               CAST(p.n_shared * 10000 // x.n AS BIGINT) AS cont_bp
+           FROM p JOIN na x ON p.id_a = x.doc_id
+           WHERE p.n_shared * 100 >= 80 * x.n
+           UNION ALL
+           SELECT p.id_b, p.id_a, CAST(p.n_shared AS BIGINT),
+               CAST(y.n AS BIGINT),
+               CAST(p.n_shared * 10000 // y.n AS BIGINT)
+           FROM p JOIN na y ON p.id_b = y.doc_id
+           WHERE p.n_shared * 100 >= 80 * y.n)
+         ORDER BY contained, container"""
+    },
     // q215: the same positional-self-join pair definition as q177's
     // oracle, the same staged integer PMI — ((n·2^20)//c1·N)//c2 —
     // and the same rare-pair floor; green proves the scan-local

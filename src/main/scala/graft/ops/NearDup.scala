@@ -429,4 +429,52 @@ object NearDup {
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "n_shared", "jaccard")
   }
+
+  /** Directed near-CONTAINMENT pairs — the asymmetric member of the
+    * exact dedup family: C(A ⊆ B) = |grams(A) ∩ grams(B)| / |grams(A)|
+    * ≥ minPct/100, the predicate that catches quote-expansion and
+    * excerpt duplication (a short doc wholly inside a long one scores
+    * near-zero symmetric Jaccard — |A∩B|/|A∪B| is diluted by the
+    * container — yet is exactly the redundancy a training corpus must
+    * not double-count). Same inverted-index machinery and df-cap as
+    * [[ngramJaccardPairs]]; each unordered pair then tests BOTH
+    * directions with the exact-integer predicate
+    * n_shared·100 ≥ minPct·n_contained (no doubles — replayable
+    * anywhere). Returns (contained, container, n_shared, n_contained,
+    * cont_bp) with cont_bp the truncated basis-point containment.
+    */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, minPct: Int, maxDf: Long): DataFrame = {
+    require(minPct >= 1 && minPct <= 100, s"minPct out of range: $minPct")
+    val grams = docs
+      .select(col(idCol).as("__id"), split(col(textCol), " ").as("__toks"))
+      .select(col("__id"),
+        explode(graft.ops.Contamination.wordGrams("__toks", n)).as("__gram"))
+      .select(col("__id"), md5(col("__gram")).as("__gh"))
+      .localCheckpoint()
+    val stop = grams.groupBy("__gh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select("__gh")
+    val capped = grams.join(stop, Seq("__gh"), "left_anti")
+      .localCheckpoint()
+    val sizes = capped.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val shared = capped.select(col("__id").as("id_a"), col("__gh"))
+      .join(capped.select(col("__id").as("id_b"), col("__gh")), "__gh")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("__id").as("id_a"), col("__n").as("__na")),
+        "id_a")
+      .join(sizes.select(col("__id").as("id_b"), col("__n").as("__nb")),
+        "id_b")
+    def directed(contained: String, container: String,
+        nCol: String): DataFrame = shared
+      .filter(col("n_shared") * 100 >= lit(minPct) * col(nCol))
+      .select(col(contained).as("contained"),
+        col(container).as("container"), col("n_shared"),
+        col(nCol).as("n_contained"),
+        expr(s"(n_shared * 10000L) div $nCol").as("cont_bp"))
+    directed("id_a", "id_b", "__na")
+      .unionByName(directed("id_b", "id_a", "__nb"))
+  }
 }
