@@ -5692,6 +5692,45 @@ object TrainQueries {
         "text", n = 3, minPct = 80, maxDf = 100L)
       .orderBy("contained", "container")
 
+  /** Per-source diversity profile (q218) — the repetitiveness report
+    * beside E-Gopher's per-DOC filters (q55 flags one document's
+    * repetition; this profiles a SOURCE'S aggregate diversity, the
+    * number a mixing policy weighs): type-token ratio and distinct
+    * 3-gram share in exact basis points (truncating div — no
+    * doubles), token/type/gram counts. One scan-local token + gram
+    * expansion (the q177 discipline), three partial-agg shuffles of
+    * (source, token/gram) keyed counts — text never shuffles. A
+    * low-diversity source at 100 TB is boilerplate; this is the table
+    * that catches it before the mixer trusts its token count.
+    */
+  private def qDiversityProfile(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("source"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
+      .localCheckpoint()
+    val tokenStats = toks
+      .select(col("source"), explode(col("toks")).as("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("w")).as("n_types"))
+    val gramStats = toks
+      .select(col("source"), explode(expr(
+        """case when size(toks) < 3
+          |  then cast(array() as array<string>)
+          |  else transform(sequence(1, size(toks) - 2),
+          |    i -> concat_ws(' ', element_at(toks, i),
+          |      element_at(toks, i + 1), element_at(toks, i + 2))) end"""
+          .stripMargin)).as("g"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("g")).as("n_distinct_grams"))
+    tokenStats.join(gramStats, Seq("source"))
+      .withColumn("ttr_bp", expr("(n_types * 10000L) div n_tokens"))
+      .withColumn("gram_diversity_bp",
+        expr("(n_distinct_grams * 10000L) div n_grams"))
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -5902,7 +5941,8 @@ object TrainQueries {
     "q214_memorization_audit" -> (qMemorizationAudit _),
     "q215_pmi_collocations" -> (qPmiCollocations _),
     "q216_cluster_sizes" -> (qClusterSizes _),
-    "q217_containment_pairs" -> (qContainmentPairs _))
+    "q217_containment_pairs" -> (qContainmentPairs _),
+    "q218_diversity_profile" -> (qDiversityProfile _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -8970,6 +9010,31 @@ object TrainQueries {
                AS BIGINT) AS admitted
          FROM sc JOIN documents d ON sc.doc_id = d.doc_id
          ORDER BY sc.doc_id""",
+    // q218: tokens and positional 3-grams rebuilt by unnest (the
+    // structurally opposite expansion), identical truncating ratios.
+    "q218_diversity_profile" ->
+      """WITH d AS (SELECT source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+           FROM documents),
+         tok AS (SELECT source, unnest(t) AS w FROM d),
+         ts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types
+           FROM tok GROUP BY 1),
+         g AS (SELECT source,
+             array_to_string(t[i:i+2], ' ') AS gram
+           FROM d, unnest(range(1, len(t) - 1)) u(i)
+           WHERE len(t) >= 3),
+         gs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct_grams
+           FROM g GROUP BY 1)
+         SELECT ts.source, ts.n_tokens, ts.n_types, gs.n_grams,
+             gs.n_distinct_grams,
+             CAST((ts.n_types * 10000) // ts.n_tokens AS BIGINT)
+               AS ttr_bp,
+             CAST((gs.n_distinct_grams * 10000) // gs.n_grams AS BIGINT)
+               AS gram_diversity_bp
+         FROM ts JOIN gs ON ts.source = gs.source
+         ORDER BY ts.source""",
     // q217: the q64 inverted index replayed with the containment
     // predicate tested in both directions — same exact-integer floor,
     // same truncated basis points.
