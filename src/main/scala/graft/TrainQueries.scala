@@ -5731,6 +5731,41 @@ object TrainQueries {
       .orderBy("source")
   }
 
+  /** Purged temporal split with an embargo gap (q219) — the
+    * leakage-guard member for TIME: q132 guards identity leakage
+    * (cluster-keyed), q161/q198 guard feature-time leakage
+    * (point-in-time reads); this guards the SPLIT BOUNDARY itself —
+    * an event just before the cutoff leaks into training through any
+    * trailing-window feature (q196's 1 h horizons) that straddles it,
+    * so the hour before the cutoff is embargoed out of training
+    * entirely (the purged-split discipline from financial ML, applied
+    * to behavioral pretraining data). Cutoff = lo + (hi − lo)·8 div 10
+    * epoch-ms — two driver-side metadata aggregates, then ONE
+    * scan-local split assignment and one partial-agg rollup; exact
+    * integers throughout.
+    */
+  private def qEmbargoSplit(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("unix_millis(ts)").as("ms"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
+          .as("cents"))
+    val mm = ev.agg(min("ms").as("lo"), max("ms").as("hi")).head()
+    val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 8L / 10L
+    val emb = cut - 3600000L
+    ev
+      .withColumn("split",
+        when(col("ms") < emb, "train")
+          .when(col("ms") < cut, "embargo")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum("cents").as("sum_cents"),
+        min("ms").as("min_ms"), max("ms").as("max_ms"))
+      .orderBy("split")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -5942,7 +5977,8 @@ object TrainQueries {
     "q215_pmi_collocations" -> (qPmiCollocations _),
     "q216_cluster_sizes" -> (qClusterSizes _),
     "q217_containment_pairs" -> (qContainmentPairs _),
-    "q218_diversity_profile" -> (qDiversityProfile _))
+    "q218_diversity_profile" -> (qDiversityProfile _),
+    "q219_embargo_split" -> (qEmbargoSplit _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -9010,6 +9046,26 @@ object TrainQueries {
                AS BIGINT) AS admitted
          FROM sc JOIN documents d ON sc.doc_id = d.doc_id
          ORDER BY sc.doc_id""",
+    // q219: the same arithmetic cutoff, embargo window, and split
+    // predicate replayed over the raw events.
+    "q219_embargo_split" ->
+      """WITH e AS (SELECT event_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+           FROM events),
+         mm AS (SELECT MIN(ms) AS lo, MAX(ms) AS hi FROM e),
+         c AS (SELECT lo + (hi - lo) * 8 // 10 AS cut FROM mm),
+         sp AS (SELECT e.*, CASE
+               WHEN ms < c.cut - 3600000 THEN 'train'
+               WHEN ms < c.cut THEN 'embargo'
+               ELSE 'test' END AS split
+           FROM e, c)
+         SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(SUM(cents) AS BIGINT) AS sum_cents,
+             CAST(MIN(ms) AS BIGINT) AS min_ms,
+             CAST(MAX(ms) AS BIGINT) AS max_ms
+         FROM sp GROUP BY 1 ORDER BY split""",
     // q218: tokens and positional 3-grams rebuilt by unnest (the
     // structurally opposite expansion), identical truncating ratios.
     "q218_diversity_profile" ->
