@@ -5766,6 +5766,93 @@ object TrainQueries {
       .orderBy("split")
   }
 
+  /** Incremental gram-novelty audit (q220) — "how much NEW text does
+    * this crawl actually add": the arriving split's (doc, 3-gram)
+    * pairs anti-joined against the STORED corpus gram-hash set (the
+    * q67/q128 arrival convention: doc_id % 5 == 0 arrives, the rest
+    * is history), per-source novelty in exact basis points. A source
+    * whose arrivals are ~0 bp novel is re-crawled duplication — drop
+    * it before dedup even runs; this is the cheap pre-dedup triage
+    * (one hash anti-join) that saves the expensive pairwise machinery
+    * for corpora that need it. Only 32-byte hashes shuffle; the
+    * history set is a stored artifact (session fixture), so repeated
+    * trials measure the audit, not history construction.
+    */
+  private val novHistCache = scala.collection.mutable.Map
+    .empty[(String, String), String]
+
+  private def novHistoryParquet(s: SparkSession, dir: String): String =
+    sessionFixture(novHistCache, s, dir) {
+      val tag = (s.sparkContext.applicationId + "_" + dir)
+        .replaceAll("[^a-zA-Z0-9]", "_")
+      val path = Scratch.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_novhist_$tag")
+      t(s, dir, "documents")
+        .filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+        .select(explode(Contamination.wordGrams("__toks", 3)).as("__g"))
+        .select(md5(col("__g")).as("gh"))
+        .distinct()
+        .write.mode("overwrite").parquet(path)
+      path
+    }
+
+  private def qGramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val hist = s.read.parquet(novHistoryParquet(s, dir))
+    val arriving = t(s, dir, "documents")
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("source"), col("doc_id"),
+        split(col("text"), " ").as("__toks"))
+      .select(col("source"), col("doc_id"),
+        explode(Contamination.wordGrams("__toks", 3)).as("__g"))
+      .select(col("source"), col("doc_id"), md5(col("__g")).as("gh"))
+    val novel = arriving.join(hist, Seq("gh"), "left_anti")
+      .groupBy("source").agg(count(lit(1)).as("n_novel"))
+    arriving.groupBy("source").agg(count(lit(1)).as("n_grams"))
+      .join(novel, Seq("source"), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+      .withColumn("novelty_bp", expr("(n_novel * 10000L) div n_grams"))
+      .orderBy("source")
+  }
+
+  /** Quality-signal agreement audit (q221) — before swapping the
+    * heuristic filter for the learned one, production asks "do the two
+    * signals even agree": the Pearson correlation between the stored
+    * char-LM score (E206's avg_q) and each document's surface
+    * type-token ratio, computed from exact int64 sufficient statistics
+    * (the q190 discipline: both signals REBASED by their minima so
+    * n·Σx² stays far under 2⁶³ — x spreads ~10⁴ after rebase, good to
+    * ~3·10⁵ docs at these magnitudes, rebase the quantization beyond)
+    * with ONE double expression at the end — identical IEEE ops on
+    * identical longs, so the double is bit-stable across engines.
+    * One scan + one metadata min-pair + one single-row aggregate.
+    */
+  private def qSignalCorrelation(s: SparkSession, dir: String): DataFrame = {
+    val lm = CharLm.score(t(s, dir, "documents"), "doc_id", "text",
+        s.read.parquet(charLmModelPath(s, dir)))
+      .select(col("doc_id"), col("avg_q").as("x"))
+    val ttr = t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"),
+        expr("cast(size(array_distinct(tk)) * 10000L div size(tk) " +
+          "as bigint)").as("y"))
+    val joined = lm.join(ttr, "doc_id").localCheckpoint()
+    val mn = joined.agg(min("x"), min("y")).head()
+    joined
+      .select((col("x") - mn.getLong(0)).as("x"),
+        (col("y") - mn.getLong(1)).as("y"))
+      .agg(count(lit(1)).as("n"), sum("x").as("sum_x"),
+        sum("y").as("sum_y"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("corr", expr(
+        "cast(n * sxy - sum_x * sum_y as double) / " +
+          "sqrt(cast(n * sxx - sum_x * sum_x as double) * " +
+          "cast(n * syy - sum_y * sum_y as double))"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -5978,7 +6065,9 @@ object TrainQueries {
     "q216_cluster_sizes" -> (qClusterSizes _),
     "q217_containment_pairs" -> (qContainmentPairs _),
     "q218_diversity_profile" -> (qDiversityProfile _),
-    "q219_embargo_split" -> (qEmbargoSplit _))
+    "q219_embargo_split" -> (qEmbargoSplit _),
+    "q220_gram_novelty" -> (qGramNovelty _),
+    "q221_signal_correlation" -> (qSignalCorrelation _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -9046,6 +9135,70 @@ object TrainQueries {
                AS BIGINT) AS admitted
          FROM sc JOIN documents d ON sc.doc_id = d.doc_id
          ORDER BY sc.doc_id""",
+    // q221: the q212 LM-score CTEs + the TTR signal + the same
+    // min-rebase and integer sufficient statistics; corr is one
+    // identical IEEE expression over identical longs.
+    "q221_signal_correlation" ->
+      """WITH bg AS (SELECT doc_id, substr(text, j, 1) AS c1,
+             substr(text, j + 1, 1) AS c2
+           FROM documents, unnest(range(1, length(text))) u(j)),
+         m AS (SELECT c1, c2, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM bg GROUP BY 1, 2),
+         t AS (SELECT c1, CAST(SUM(cnt) AS BIGINT) AS tot
+           FROM m GROUP BY 1),
+         q AS (SELECT bg.doc_id, (m.cnt * 1048576) // t.tot AS q
+           FROM bg JOIN m ON bg.c1 = m.c1 AND bg.c2 = m.c2
+                  JOIN t ON bg.c1 = t.c1),
+         sc AS (SELECT doc_id,
+             CAST(SUM(q) // COUNT(*) AS BIGINT) AS x
+           FROM q GROUP BY 1),
+         tk AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS tk
+           FROM documents),
+         ttr AS (SELECT doc_id,
+             CAST(len(list_distinct(tk)) * 10000 // len(tk) AS BIGINT)
+               AS y
+           FROM tk WHERE len(tk) > 0),
+         j AS (SELECT sc.doc_id, sc.x, ttr.y
+           FROM sc JOIN ttr ON sc.doc_id = ttr.doc_id),
+         mn AS (SELECT MIN(x) AS x0, MIN(y) AS y0 FROM j),
+         r AS (SELECT x - x0 AS x, y - y0 AS y FROM j, mn),
+         st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sum_x,
+             CAST(SUM(y) AS BIGINT) AS sum_y,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+           FROM r)
+         SELECT n, sum_x, sum_y, sxy, sxx, syy,
+             CAST(n * sxy - sum_x * sum_y AS DOUBLE)
+               / sqrt(CAST(n * sxx - sum_x * sum_x AS DOUBLE)
+                 * CAST(n * syy - sum_y * sum_y AS DOUBLE)) AS corr
+         FROM st""",
+    // q220: the same per-doc-distinct gram expansion (the q64 CTE's
+    // list_distinct form), history/arrival split, anti-join novelty.
+    "q220_gram_novelty" ->
+      """WITH toks AS (SELECT doc_id, source,
+             string_split(text, ' ') AS t
+           FROM documents),
+         g AS (SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' ')))) AS gram
+           FROM toks),
+         hist AS (SELECT DISTINCT gram FROM g WHERE doc_id % 5 <> 0),
+         arr AS (SELECT source, gram FROM g WHERE doc_id % 5 = 0),
+         nov AS (SELECT a.source, CAST(COUNT(*) AS BIGINT) AS n_novel
+           FROM arr a LEFT JOIN hist h ON a.gram = h.gram
+           WHERE h.gram IS NULL GROUP BY 1),
+         tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+           FROM arr GROUP BY 1)
+         SELECT t.source, t.n_grams,
+             CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+             CAST((COALESCE(n.n_novel, 0) * 10000) // t.n_grams
+               AS BIGINT) AS novelty_bp
+         FROM tot t LEFT JOIN nov n ON t.source = n.source
+         ORDER BY t.source""",
     // q219: the same arithmetic cutoff, embargo window, and split
     // predicate replayed over the raw events.
     "q219_embargo_split" ->
