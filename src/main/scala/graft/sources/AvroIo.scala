@@ -54,18 +54,39 @@ object AvroIo {
     s"""{"type":"record","name":"graft_row","fields":[$fields]}"""
   }
 
+  /** The session's Hadoop conf as a serializable property list —
+    * executors rebuild a `Configuration` from it, so `spark.hadoop.*`
+    * settings (S3A credentials, endpoints, filesystem impls) reach
+    * the tasks exactly as they would through a built-in sink; a bare
+    * `new Configuration()` on the executor would silently drop them.
+    */
+  private def confProps(df: DataFrame): Array[(String, String)] = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val it = conf.iterator()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (it.hasNext) { val e = it.next(); buf += (e.getKey -> e.getValue) }
+    buf.toArray
+  }
+
+  private def rebuild(props: Array[(String, String)]): Configuration = {
+    val c = new Configuration(false)
+    props.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   /** Write `df` as a directory of Avro container files, one per
     * partition (`part-NNNNN.avro`), overwriting `path`.
     */
   def write(df: DataFrame, path: String): Unit = {
     val schemaJson = avroSchemaJson(df.schema)
     val names = df.schema.fieldNames
-    val fs0 = FileSystem.get(java.net.URI.create(path), new Configuration())
+    val props = confProps(df)
+    val fs0 = FileSystem.get(java.net.URI.create(path), rebuild(props))
     fs0.delete(new HPath(path), true)
     fs0.mkdirs(new HPath(path))
     df.rdd.mapPartitionsWithIndex { (idx, it) =>
       val schema = new Schema.Parser().parse(schemaJson)
-      val fs = FileSystem.get(java.net.URI.create(path), new Configuration())
+      val fs = FileSystem.get(java.net.URI.create(path), rebuild(props))
       val out = fs.create(new HPath(path, f"part-$idx%05d.avro"), true)
       val writer = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema))
@@ -91,7 +112,14 @@ object AvroIo {
     * file's own schema decodes, so this also reads third-party Avro).
     */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    val fs = FileSystem.get(java.net.URI.create(path), new Configuration())
+    val props = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val it = conf.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += (e.getKey -> e.getValue) }
+      buf.toArray
+    }
+    val fs = FileSystem.get(java.net.URI.create(path), rebuild(props))
     val files = fs.listStatus(new HPath(path)).toSeq
       .map(_.getPath.toString)
       .filter(_.endsWith(".avro"))
@@ -100,7 +128,7 @@ object AvroIo {
     val rows = spark.sparkContext
       .parallelize(files, math.max(files.size, 1))
       .flatMap { file =>
-        val cfs = FileSystem.get(java.net.URI.create(file), new Configuration())
+        val cfs = FileSystem.get(java.net.URI.create(file), rebuild(props))
         val in = cfs.open(new HPath(file))
         val reader = new DataFileStream[GenericRecord](in,
           new GenericDatumReader[GenericRecord]())
