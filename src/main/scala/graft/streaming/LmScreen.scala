@@ -36,18 +36,29 @@ object LmScreen {
     val tmp = System.getProperty("java.io.tmpdir")
     val root = graft.Scratch.register(s"$tmp/graft_lmscreen_state_$tag")
     val ck = graft.Scratch.register(s"$tmp/graft_lmscreen_ck_$tag")
-    val query = docs.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldBatch(spark, root, model, minAvgQ, batch, batchId)
-      }
-      .option("checkpointLocation", ck)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    runInto(spark, docs, model, minAvgQ, root, ck)
     VersionedStore.readAllBelow(spark, s"$root/verdicts", Long.MaxValue)
       .getOrElse(emptyVerdicts(spark))
       .orderBy("doc_id")
+  }
+
+  /** The pipeline against a caller-owned state root
+    * (`<root>/verdicts` append store) and checkpoint — the restart
+    * surface, same contract as [[ContaminationScreen.runInto]]:
+    * committed batches never re-screen, post-restart arrivals are
+    * still gated against the stored model.
+    */
+  def runInto(spark: SparkSession, docs: DataFrame, model: DataFrame,
+      minAvgQ: Long, stateRoot: String, checkpoint: String): Unit = {
+    val query = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(spark, stateRoot, model, minAvgQ, batch, batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
   }
 
   /** One ingest: score this batch under the stored model, gate on the
