@@ -5853,6 +5853,33 @@ object TrainQueries {
           "cast(n * syy - sum_y * sum_y as double))"))
   }
 
+  /** Winnowing-based PARTIAL contamination detection (q222) — the
+    * E208 machinery pointed at the benchmark-leak family: q53/q110
+    * match whole word-grams/paragraphs, so an eval item paraphrased
+    * around a verbatim 40-char span slips through; winnowing
+    * fingerprints guarantee every shared character run ≥ L+w−1 (37
+    * chars at L=30, w=8) yields a common selected gram, so PARTIAL
+    * verbatim overlap is caught with no pairwise comparison. Same
+    * doc_id % 50 eval split as q53; the eval fingerprint set is
+    * metadata-sized and the join is one semi-ish equi-join of
+    * selected grams — corpus text never shuffles.
+    */
+  private def qWinnowContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val evalFps = Winnowing.selectedGrams(
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
+        l = 30, w = 8)
+      .select(col("gram")).distinct()
+    val corpusFps = Winnowing.selectedGrams(
+        docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+        l = 30, w = 8)
+    corpusFps
+      .join(broadcast(evalFps), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -6067,7 +6094,8 @@ object TrainQueries {
     "q218_diversity_profile" -> (qDiversityProfile _),
     "q219_embargo_split" -> (qEmbargoSplit _),
     "q220_gram_novelty" -> (qGramNovelty _),
-    "q221_signal_correlation" -> (qSignalCorrelation _))
+    "q221_signal_correlation" -> (qSignalCorrelation _),
+    "q222_winnow_contamination" -> (qWinnowContamination _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -9135,6 +9163,23 @@ object TrainQueries {
                AS BIGINT) AS admitted
          FROM sc JOIN documents d ON sc.doc_id = d.doc_id
          ORDER BY sc.doc_id""",
+    // q222: the q214 winnowing replay split into eval/corpus sides,
+    // joined on the selected gram — same window, same selection.
+    "q222_winnow_contamination" ->
+      """WITH g AS (SELECT doc_id, j, substr(text, j, 30) AS gram,
+             CAST('0x' || substr(md5(substr(text, j, 30)), 1, 15)
+               AS BIGINT) AS h
+           FROM documents, unnest(range(1, length(text) - 28)) u(j)),
+         w AS (SELECT doc_id, gram, h,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS mh
+           FROM g),
+         sel AS (SELECT DISTINCT doc_id, gram FROM w WHERE h = mh),
+         ev AS (SELECT DISTINCT gram FROM sel WHERE doc_id % 50 = 0),
+         co AS (SELECT doc_id, gram FROM sel WHERE doc_id % 50 <> 0)
+         SELECT co.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+         FROM co JOIN ev ON co.gram = ev.gram
+         GROUP BY 1 ORDER BY co.doc_id""",
     // q221: the q212 LM-score CTEs + the TTR signal + the same
     // min-rebase and integer sufficient statistics; corr is one
     // identical IEEE expression over identical longs.
