@@ -5880,6 +5880,20 @@ object TrainQueries {
       .orderBy("doc_id")
   }
 
+  /** Streaming novelty monitor (q223,
+    * [[graft.streaming.NoveltyMonitor]]): q220's audit run LIVE — each
+    * arriving micro-batch's per-doc-distinct 3-grams anti-joined
+    * against the STORED corpus gram set, per-(batch, source) novelty
+    * appended as it lands, so a crawler re-fetching old content is
+    * caught batch-by-batch. Per-batch cost independent of corpus
+    * history (the stored-artifact screen shape); the oracle replays
+    * batch membership via the staging NTILE and the identical
+    * anti-join per batch.
+    */
+  private def qStreamNovelty(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.NoveltyMonitor.run(s, s"$dir/documents.parquet",
+      novHistoryParquet(s, dir), docFilter = col("doc_id") % 5 === 0)
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -6095,7 +6109,8 @@ object TrainQueries {
     "q219_embargo_split" -> (qEmbargoSplit _),
     "q220_gram_novelty" -> (qGramNovelty _),
     "q221_signal_correlation" -> (qSignalCorrelation _),
-    "q222_winnow_contamination" -> (qWinnowContamination _))
+    "q222_winnow_contamination" -> (qWinnowContamination _),
+    "q223_stream_novelty" -> (qStreamNovelty _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -9163,6 +9178,39 @@ object TrainQueries {
                AS BIGINT) AS admitted
          FROM sc JOIN documents d ON sc.doc_id = d.doc_id
          ORDER BY sc.doc_id""",
+    // q223: batch membership replayed via the staging NTILE over
+    // doc_id (chunk c arrives as batch c−1 — the staging contract),
+    // then q220's anti-join per (batch, source).
+    "q223_stream_novelty" ->
+      """WITH ad AS (SELECT doc_id, source, text,
+             CAST(NTILE(3) OVER (ORDER BY doc_id) - 1 AS BIGINT)
+               AS batch_id
+           FROM documents),
+         toks AS (SELECT batch_id, doc_id, source,
+             string_split(text, ' ') AS t
+           FROM ad),
+         g AS (SELECT batch_id, doc_id, source,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' ')))) AS gram
+           FROM toks),
+         hist AS (SELECT DISTINCT gram FROM g WHERE doc_id % 5 <> 0),
+         arr AS (SELECT batch_id, source, gram FROM g
+           WHERE doc_id % 5 = 0),
+         nov AS (SELECT a.batch_id, a.source,
+             CAST(COUNT(*) AS BIGINT) AS n_novel
+           FROM arr a LEFT JOIN hist h ON a.gram = h.gram
+           WHERE h.gram IS NULL GROUP BY 1, 2),
+         tot AS (SELECT batch_id, source,
+             CAST(COUNT(*) AS BIGINT) AS n_grams
+           FROM arr GROUP BY 1, 2)
+         SELECT t.batch_id, t.source, t.n_grams,
+             CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+             CAST((COALESCE(n.n_novel, 0) * 10000) // t.n_grams
+               AS BIGINT) AS novelty_bp
+         FROM tot t LEFT JOIN nov n
+           ON t.batch_id = n.batch_id AND t.source = n.source
+         ORDER BY t.batch_id, t.source""",
     // q222: the q214 winnowing replay split into eval/corpus sides,
     // joined on the selected gram — same window, same selection.
     "q222_winnow_contamination" ->

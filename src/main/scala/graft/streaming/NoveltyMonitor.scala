@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.ops.Contamination
+
+/** Streaming gram-novelty monitoring — the crawl-health dial run LIVE:
+  * where the batch audit (q220) asks "how novel was this crawl" after
+  * the fact, this scores EVERY arriving micro-batch against the stored
+  * corpus gram set as it lands, so a crawler that starts re-fetching
+  * old content (novelty collapsing toward 0 bp) is caught batch-by-
+  * batch, not at the next audit. Per batch: one scan-local
+  * per-doc-distinct gram expansion, one hash anti-join against the
+  * stored set (32-byte hashes only), one per-source rollup appended as
+  * version `batchId` — per-batch cost independent of corpus history
+  * (the reference set is a fixed stored artifact, the
+  * ContaminationScreen/LmScreen shape). Batches are disjoint document
+  * sets, so the per-batch rows union into the exact per-(batch,
+  * source) novelty series the oracle replays.
+  */
+object NoveltyMonitor {
+
+  /** Stream the staged `docsParquet` (columns `doc_id`, `source`,
+    * `text`) in `chunks` micro-batches against the stored gram-hash
+    * set at `histParquet` (column `gh`); returns one row per
+    * (batch_id, source) with gram counts and novelty in basis points,
+    * ordered. */
+  def run(spark: SparkSession, docsParquet: String, histParquet: String,
+      docFilter: Column = lit(true), chunks: Int = 3): DataFrame =
+      Staging.withStreamShufflePartitions(spark, n = "4") {
+    val (docs, tag) = Staging.stageSplitAndRead(spark, docsParquet,
+      "graft_novmon_in", chunks, orderCols = Seq("doc_id"))
+    val tmp = System.getProperty("java.io.tmpdir")
+    val root = graft.Scratch.register(s"$tmp/graft_novmon_state_$tag")
+    val ck = graft.Scratch.register(s"$tmp/graft_novmon_ck_$tag")
+    runInto(spark, docs.filter(docFilter), histParquet, root, ck)
+    VersionedStore.readAllBelow(spark, s"$root/rates", Long.MaxValue)
+      .getOrElse(emptyRates(spark))
+      .orderBy("batch_id", "source")
+  }
+
+  /** The pipeline against a caller-owned state root (`<root>/rates`
+    * append store) and checkpoint — the restart surface.
+    */
+  def runInto(spark: SparkSession, docs: DataFrame, histParquet: String,
+      stateRoot: String, checkpoint: String): Unit = {
+    val query = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatch(spark, stateRoot, histParquet, batch, batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
+  private def foldBatch(spark: SparkSession, stateRoot: String,
+      histParquet: String, batch: DataFrame, batchId: Long): Unit = {
+    if (!batch.isEmpty) {
+      val grams = batch
+        .select(col("source"), col("doc_id"),
+          split(col("text"), " ").as("__toks"))
+        .select(col("source"),
+          explode(Contamination.wordGrams("__toks", 3)).as("__g"))
+        .select(col("source"), md5(col("__g")).as("gh"))
+      val novel = grams
+        .join(spark.read.parquet(histParquet), Seq("gh"), "left_anti")
+        .groupBy("source").agg(count(lit(1)).as("n_novel"))
+      val rates = grams.groupBy("source")
+        .agg(count(lit(1)).as("n_grams"))
+        .join(novel, Seq("source"), "left")
+        .select(lit(batchId).as("batch_id"), col("source"),
+          col("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+        .withColumn("novelty_bp",
+          expr("(n_novel * 10000L) div n_grams"))
+      VersionedStore.write(rates, s"$stateRoot/rates", batchId)
+    }
+  }
+
+  private def emptyRates(spark: SparkSession): DataFrame =
+    spark.range(0)
+      .select(col("id").as("batch_id"), lit("").as("source"),
+        col("id").as("n_grams"), col("id").as("n_novel"),
+        col("id").as("novelty_bp"))
+}
