@@ -692,6 +692,36 @@ class PlanSpec extends AnyFunSuite {
     assert(tp.nonEmpty)
   }
 
+  test("q217: containment tests both directions over equi-joins — " +
+      "no cartesian, no nested loop anywhere") {
+    val p = sparkPlan("q217_containment_pairs")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q220: novelty is a hash anti-join of 32-byte hashes") {
+    val p = sparkPlan("q220_gram_novelty")
+    assert(p.contains("LeftAnti"),
+      s"novel grams must come from an anti-join:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q222: the metadata-sized eval fingerprint set broadcasts " +
+      "onto the corpus gram stream") {
+    val p = sparkPlan("q222_winnow_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval side must broadcast:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q215: unigram tables broadcast onto the pair counts; top-30 " +
+      "is TakeOrderedAndProject") {
+    val p = sparkPlan("q215_pmi_collocations")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q214: winnowing audit is scan-local until the count — no " +
       "join, no Window, no shuffle of the gram stream; top-k is " +
       "TakeOrderedAndProject") {
