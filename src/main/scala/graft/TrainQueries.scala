@@ -5894,6 +5894,44 @@ object TrainQueries {
     graft.streaming.NoveltyMonitor.run(s, s"$dir/documents.parquet",
       novHistoryParquet(s, dir), docFilter = col("doc_id") % 5 === 0)
 
+  /** Row-level snapshot diff classification (q224) — the migration
+    * sign-off table: q92 LOCALIZES divergence (bucket checksums say
+    * where to look), q160 APPLIES changes (CDC merge); this COUNTS
+    * them by kind — added / removed / changed / unchanged — which is
+    * the number a cutover is approved on. One full-outer equi-join on
+    * the key carrying only 32-byte row hashes (values never shuffle);
+    * the same chr(1) null-sentinel discipline as q92 (guard AFTER the
+    * mutation on both sides), a deterministic synthetic v2 (mutate
+    * %97, drop %89, clone %83 at +10⁶ ids). Exact counts, fully
+    * replayable.
+    */
+  private def qRowDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def hashed(df: DataFrame) = df.select(col("doc_id"),
+      md5(concat_ws("\u0001",
+        coalesce(col("text"), lit("\u0001")),
+        coalesce(col("lang"), lit("\u0001")),
+        coalesce(col("source"), lit("\u0001")),
+        col("n_chars").cast("string"))).as("h"))
+    val v2base = docs
+      .filter(col("doc_id") % 89 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 97 === 0, concat(col("text"), lit("X")))
+          .otherwise(col("text")))
+    val additions = docs.filter(col("doc_id") % 83 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    hashed(docs).select(col("doc_id"), col("h").as("h1"))
+      .join(hashed(v2base.unionByName(additions))
+          .select(col("doc_id"), col("h").as("h2")),
+        Seq("doc_id"), "full_outer")
+      .select(when(col("h1").isNull, "added")
+        .when(col("h2").isNull, "removed")
+        .when(col("h1") =!= col("h2"), "changed")
+        .otherwise("unchanged").as("change_type"))
+      .groupBy("change_type").agg(count(lit(1)).as("n_rows"))
+      .orderBy("change_type")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -6110,7 +6148,8 @@ object TrainQueries {
     "q220_gram_novelty" -> (qGramNovelty _),
     "q221_signal_correlation" -> (qSignalCorrelation _),
     "q222_winnow_contamination" -> (qWinnowContamination _),
-    "q223_stream_novelty" -> (qStreamNovelty _))
+    "q223_stream_novelty" -> (qStreamNovelty _),
+    "q224_row_diff" -> (qRowDiff _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -9178,6 +9217,37 @@ object TrainQueries {
                AS BIGINT) AS admitted
          FROM sc JOIN documents d ON sc.doc_id = d.doc_id
          ORDER BY sc.doc_id""",
+    // q224: the same synthetic v2 (mutate %97, drop %89, clone %83),
+    // the same chr(1)-sentineled row hash, the same full-outer
+    // classification.
+    "q224_row_diff" ->
+      """WITH v1 AS (SELECT doc_id,
+             md5(coalesce(text, chr(1)) || chr(1)
+               || coalesce(lang, chr(1)) || chr(1)
+               || coalesce(source, chr(1)) || chr(1)
+               || CAST(n_chars AS VARCHAR)) AS h
+           FROM documents),
+         v2b AS (SELECT doc_id,
+             CASE WHEN doc_id % 97 = 0 THEN text || 'X' ELSE text END
+               AS text, lang, source, n_chars
+           FROM documents WHERE doc_id % 89 <> 0),
+         adds AS (SELECT doc_id + 1000000 AS doc_id, text, lang,
+             source, n_chars
+           FROM documents WHERE doc_id % 83 = 0),
+         v2 AS (SELECT doc_id,
+             md5(coalesce(text, chr(1)) || chr(1)
+               || coalesce(lang, chr(1)) || chr(1)
+               || coalesce(source, chr(1)) || chr(1)
+               || CAST(n_chars AS VARCHAR)) AS h
+           FROM (SELECT * FROM v2b UNION ALL SELECT * FROM adds)),
+         j AS (SELECT v1.h AS h1, v2.h AS h2
+           FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+         SELECT CASE WHEN h1 IS NULL THEN 'added'
+               WHEN h2 IS NULL THEN 'removed'
+               WHEN h1 <> h2 THEN 'changed'
+               ELSE 'unchanged' END AS change_type,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+         FROM j GROUP BY 1 ORDER BY change_type""",
     // q223: batch membership replayed via the staging NTILE over
     // doc_id (chunk c arrives as batch c−1 — the staging contract),
     // then q220's anti-join per (batch, source).
