@@ -58,6 +58,20 @@ class AvroIoSpec extends AnyFunSuite {
       Seq(Row(2L, 2, 2.0, "b", false)))
   }
 
+  test("empty frames roundtrip: schema preserved, zero rows, files " +
+      "still written per partition") {
+    val path = scratch("graft_avro_spec_empty")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[Row], 2), schema)
+    AvroIo.write(df, path)
+    val back = AvroIo.read(spark, path, schema)
+    assert(back.count() === 0L)
+    assert(back.schema.fieldNames.toSeq === schema.fieldNames.toSeq)
+    val files = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.endsWith(".avro"))
+    assert(files.length === 2, "empty partitions still emit containers")
+  }
+
   test("unsupported types fail fast at write time") {
     import spark.implicits._
     val df = Seq((1L, Seq(1, 2))).toDF("id", "arr")

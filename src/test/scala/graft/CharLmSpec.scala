@@ -37,6 +37,13 @@ class CharLmSpec extends AnyFunSuite {
     assert(out(1) === ((2L, 1L, 699050L, 699050L)))
   }
 
+  test("an empty model scores everything as fully OOV (sum 0)") {
+    val empty = CharLm.trainBigrams(docs(), "text")
+    val out = CharLm.score(docs(1L -> "abc"), "doc_id", "text", empty)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 2L, 0L)))
+  }
+
   test("documents without bigrams are absent; OOV contributes zero") {
     val model = CharLm.trainBigrams(docs(1L -> "ab"), "text")
     val out = CharLm.score(docs(10L -> "x", 11L -> "zz"), "doc_id",
