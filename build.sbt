@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes RAW to this process's stdout/stderr instead of
+// through sbt's logger: the logger prefixes every line with "[info] ",
+// which breaks any line-wise JSON parse of Bench's one-line result (the
+// driver's bench artifact has been parsed=null for three rounds because
+// no stdout line starts with '{').
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and no "[success] Total time" epilogue after it, so the JSON line
+// is also the LAST stdout line (covers a last-line-only parser too).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

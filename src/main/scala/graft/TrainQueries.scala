@@ -4557,10 +4557,11 @@ object TrainQueries {
     * signature algebra, so this fixture-scale measurement is the
     * SAME curve a 100 TB corpus sees; candidate volume is what
     * scales, and that is exactly the column the table exposes per
-    * config. Driver-side loop is 3 configs × ONE two-counter
-    * aggregate — metadata; the candidate stream is consumed in a
-    * single pass (volume + truth-hit count together), never
-    * materialized or rescanned.
+    * config. All three configs run as ONE job — config-tagged band
+    * rows, one keyed self-join, one per-config two-counter
+    * aggregate; the candidate stream is consumed in a single pass
+    * (volume + truth-hit count together), never materialized or
+    * rescanned, and only 3 counter rows reach the driver.
     *
     * The exact-truth side AND the shared 32-hash signature table are
     * [[sessionFixture]]s: both are properties of the corpus, not of
@@ -4599,22 +4600,48 @@ object TrainQueries {
   private def qLshTuning(s: SparkSession, dir: String): DataFrame = {
     val sigs = lshSigs(s, dir)
     val (truth, nTrue) = lshTruth(s, dir)
-    val rows = Seq((16, 2), (8, 4), (4, 8)).map { case (b, r) =>
-      // both counters ride ONE pass over the candidate stream: the
-      // pair-sized frame (4M+ pairs at b16r2 — the flood is the
-      // config's own result) is never materialized or rescanned; the
-      // metadata-sized truth broadcasts onto it and candidate volume +
-      // found-truth count come out of a single aggregate
-      val cand = NearDup.candidatePairs(
-        NearDup.bandRows(sigs, "doc_id", "sig", b, r, 32), "doc_id")
-      val cnt = cand
-        .join(broadcast(truth.withColumn("__t", lit(1L))),
-          Seq("id_a", "id_b"), "left")
-        .agg(count(lit(1)).as("nc"),
-          sum(coalesce(col("__t"), lit(0L))).as("nf"))
-        .head()
-      val nc = cnt.getLong(0)
-      val nf = if (cnt.isNullAt(1)) 0L else cnt.getLong(1)
+    val configs = Seq((16, 2), (8, 4), (4, 8))
+    // ALL THREE configs ride ONE job: band rows are tagged with their
+    // config and unioned, so the collision self-join (config in the
+    // key — configs never cross), the per-config pair distinct, the
+    // broadcast-truth left join and the two counters are a single
+    // pass over the combined candidate stream (4M+ pairs at b16r2 —
+    // the flood is that config's own result) instead of three
+    // sequential jobs over the same checkpointed signatures. The
+    // pair stream is never materialized or rescanned.
+    // The pair-dedup shuffle is the flood's cost center (4.3M+ rows
+    // at b16r2), so each (id_a < id_b) pair travels as ONE long
+    // (id_a<<32 | id_b — ids are far under 2³² at every tested SF)
+    // and the config as a small int: ~3× fewer shuffled bytes than
+    // (string, long, long) rows for the identical distinct.
+    val allBands = configs.zipWithIndex.map { case ((b, r), ci) =>
+      NearDup.bandRows(sigs, "doc_id", "sig", b, r, 32)
+        .withColumn("cfg", lit(ci))
+    }.reduce(_ unionByName _)
+    val a = allBands.select(col("cfg"), col("band"), col("band_key"),
+      col("doc_id").as("id_a"))
+    val bb = allBands.select(col("cfg"), col("band"), col("band_key"),
+      col("doc_id").as("id_b"))
+    val truthEnc = truth.select(
+      (shiftleft(col("id_a"), 32) + col("id_b")).as("pc"),
+      lit(1L).as("__t"))
+    val counters = a.join(bb, Seq("cfg", "band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("cfg"),
+        (shiftleft(col("id_a"), 32) + col("id_b")).as("pc"))
+      .distinct()
+      .join(broadcast(truthEnc), Seq("pc"), "left")
+      .groupBy("cfg")
+      .agg(count(lit(1)).as("nc"),
+        sum(coalesce(col("__t"), lit(0L))).as("nf"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val counterByName = configs.zipWithIndex.map { case ((b, r), ci) =>
+      s"b${b}r$r" -> counters.getOrElse(ci, (0L, 0L))
+    }.toMap
+    val rows = configs.map { case (b, r) =>
+      val (nc, nf) = counterByName(s"b${b}r$r")
       (s"b${b}r$r", b.toLong, r.toLong, nc, nTrue, nf,
         if (nTrue > 0) nf * 10000L / nTrue else 10000L,
         if (nc > 0) nf * 10000L / nc else 10000L,
@@ -5335,12 +5362,14 @@ object TrainQueries {
 
   /** Nested build → explode → aggregate (q202, [[graft.ops.Nested]]):
     * the `array<struct>` annotation column is constructed by ONE
-    * scan-local O(n) `aggregate` fold (offsets are an in-expression
-    * prefix sum — no window, no join), then exploded and rolled up per
-    * label. Only (doc_id, label, span ints) ever shuffle — the text
-    * never leaves the scan stage. The oracle rebuilds the identical
-    * spans the structurally opposite way (unnest + a windowed prefix
-    * sum over token lengths), so green proves fold ≡ window.
+    * scan-local O(n) pass of the native
+    * [[graft.expressions.TokenSpans]] expression (offsets are an
+    * in-expression prefix sum — no window, no join), then exploded
+    * and rolled up per label. Only (doc_id, label, span ints) ever
+    * shuffle — the text never leaves the scan stage. The oracle
+    * rebuilds the identical spans the structurally opposite way
+    * (unnest + a windowed prefix sum over token lengths), so green
+    * proves the native pass ≡ window.
     */
   private def qNestedExplode(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -5668,8 +5697,9 @@ object TrainQueries {
     * the top repeated 30-char sequences across the corpus by document
     * count — Schleimer et al.'s guarantee means every shared run of
     * ≥ 37 chars (L + w − 1) surfaces, with NO pairwise comparison:
-    * scan-local gram expansion, a per-document sliding-window min (the
-    * bounded window class), scan-local selection keeping ~1/w of the
+    * scan-local gram expansion, the per-window-min selection (min of
+    * SOME covering w-window — the context-free rule that makes the
+    * guarantee hold at the exact boundary), keeping ~2/(w+1) of the
     * stream, then one distinct + one partial-agg shuffle of selected
     * grams only. The boilerplate/license/template detector a 100 TB
     * pretraining corpus is audited with before dedup parameters are
@@ -9062,7 +9092,7 @@ object TrainQueries {
          ORDER BY flag""",
     // q202: the annotation spans rebuilt the structurally opposite
     // way — unnest + a windowed prefix sum over token lengths vs the
-    // engine's scan-local aggregate fold; green proves fold ≡ window.
+    // engine's scan-local native TokenSpans pass; green proves pass ≡ window.
     "q202_nested_explode" ->
       """WITH d AS (SELECT doc_id,
              list_filter(string_split(text, ' '), x -> x <> '') AS t
@@ -9173,7 +9203,12 @@ object TrainQueries {
          FROM per GROUP BY 1 ORDER BY source""",
     // q211/q212: the bigram model and the scores re-derived entirely
     // in SQL — same lateral char expansion, same truncating
-    // (cnt·2^20)//tot contributions, same truncating mean.
+    // (cnt·2^20)//tot contributions, same truncating mean. The LEFT
+    // JOIN + COALESCE(…, 0) replays the engine's OOV rule (unseen
+    // bigram → contribution 0, still counted in the mean divisor) so
+    // the forms stay equivalent even scoring a foreign corpus; on
+    // the self-scoring path there are no OOV bigrams and it reduces
+    // to the inner join.
     "q211_charlm_train" ->
       """WITH bg AS (SELECT substr(text, j, 2) AS b FROM documents,
              unnest(range(1, length(text))) u(j))
@@ -9188,9 +9223,10 @@ object TrainQueries {
            FROM bg GROUP BY 1, 2),
          t AS (SELECT c1, CAST(SUM(cnt) AS BIGINT) AS tot
            FROM m GROUP BY 1),
-         q AS (SELECT bg.doc_id, (m.cnt * 1048576) // t.tot AS q
-           FROM bg JOIN m ON bg.c1 = m.c1 AND bg.c2 = m.c2
-                  JOIN t ON bg.c1 = t.c1)
+         q AS (SELECT bg.doc_id,
+             COALESCE((m.cnt * 1048576) // t.tot, 0) AS q
+           FROM bg LEFT JOIN m ON bg.c1 = m.c1 AND bg.c2 = m.c2
+                  LEFT JOIN t ON bg.c1 = t.c1)
          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
              CAST(SUM(q) AS BIGINT) AS sum_q,
              CAST(SUM(q) // COUNT(*) AS BIGINT) AS avg_q
@@ -9206,9 +9242,10 @@ object TrainQueries {
            FROM bg GROUP BY 1, 2),
          t AS (SELECT c1, CAST(SUM(cnt) AS BIGINT) AS tot
            FROM m GROUP BY 1),
-         q AS (SELECT bg.doc_id, (m.cnt * 1048576) // t.tot AS q
-           FROM bg JOIN m ON bg.c1 = m.c1 AND bg.c2 = m.c2
-                  JOIN t ON bg.c1 = t.c1),
+         q AS (SELECT bg.doc_id,
+             COALESCE((m.cnt * 1048576) // t.tot, 0) AS q
+           FROM bg LEFT JOIN m ON bg.c1 = m.c1 AND bg.c2 = m.c2
+                  LEFT JOIN t ON bg.c1 = t.c1),
          sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
              CAST(SUM(q) // COUNT(*) AS BIGINT) AS avg_q
            FROM q GROUP BY 1)
@@ -9282,17 +9319,45 @@ object TrainQueries {
            ON t.batch_id = n.batch_id AND t.source = n.source
          ORDER BY t.batch_id, t.source""",
     // q222: the q214 winnowing replay split into eval/corpus sides,
-    // joined on the selected gram — same window, same selection.
+    // joined on the selected gram — same per-window-min selection:
+    // h selected iff it is the min of SOME full covering 8-window
+    // (one windowed MIN per offset d of j inside the window), with
+    // the global-min fallback for docs shorter than 8 grams.
     "q222_winnow_contamination" ->
       """WITH g AS (SELECT doc_id, j, substr(text, j, 30) AS gram,
              CAST('0x' || substr(md5(substr(text, j, 30)), 1, 15)
                AS BIGINT) AS h
            FROM documents, unnest(range(1, length(text) - 28)) u(j)),
-         w AS (SELECT doc_id, gram, h,
+         w AS (SELECT doc_id, j, gram, h,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n,
+             MIN(h) OVER (PARTITION BY doc_id) AS gm,
              MIN(h) OVER (PARTITION BY doc_id ORDER BY j
-               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS mh
+               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m0,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
+               ROWS BETWEEN 1 PRECEDING AND 6 FOLLOWING) AS m1,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
+               ROWS BETWEEN 2 PRECEDING AND 5 FOLLOWING) AS m2,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
+               ROWS BETWEEN 3 PRECEDING AND 4 FOLLOWING) AS m3,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
+               ROWS BETWEEN 4 PRECEDING AND 3 FOLLOWING) AS m4,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
+               ROWS BETWEEN 5 PRECEDING AND 2 FOLLOWING) AS m5,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
+               ROWS BETWEEN 6 PRECEDING AND 1 FOLLOWING) AS m6,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS m7
            FROM g),
-         sel AS (SELECT DISTINCT doc_id, gram FROM w WHERE h = mh),
+         sel AS (SELECT DISTINCT doc_id, gram FROM w
+           WHERE (n < 8 AND h = gm)
+              OR (j + 7 <= n AND h = m0)
+              OR (j >= 2 AND j + 6 <= n AND h = m1)
+              OR (j >= 3 AND j + 5 <= n AND h = m2)
+              OR (j >= 4 AND j + 4 <= n AND h = m3)
+              OR (j >= 5 AND j + 3 <= n AND h = m4)
+              OR (j >= 6 AND j + 2 <= n AND h = m5)
+              OR (j >= 7 AND j + 1 <= n AND h = m6)
+              OR (j >= 8 AND h = m7)),
          ev AS (SELECT DISTINCT gram FROM sel WHERE doc_id % 50 = 0),
          co AS (SELECT doc_id, gram FROM sel WHERE doc_id % 50 <> 0)
          SELECT co.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_fps
@@ -9309,9 +9374,10 @@ object TrainQueries {
            FROM bg GROUP BY 1, 2),
          t AS (SELECT c1, CAST(SUM(cnt) AS BIGINT) AS tot
            FROM m GROUP BY 1),
-         q AS (SELECT bg.doc_id, (m.cnt * 1048576) // t.tot AS q
-           FROM bg JOIN m ON bg.c1 = m.c1 AND bg.c2 = m.c2
-                  JOIN t ON bg.c1 = t.c1),
+         q AS (SELECT bg.doc_id,
+             COALESCE((m.cnt * 1048576) // t.tot, 0) AS q
+           FROM bg LEFT JOIN m ON bg.c1 = m.c1 AND bg.c2 = m.c2
+                  LEFT JOIN t ON bg.c1 = t.c1),
          sc AS (SELECT doc_id,
              CAST(SUM(q) // COUNT(*) AS BIGINT) AS x
            FROM q GROUP BY 1),
@@ -9466,18 +9532,45 @@ object TrainQueries {
          ORDER BY component_size"""
     },
     // q214: the identical winnowing replay — same 60-bit gram hash,
-    // same trailing ROWS window min, same h = min selection, same
-    // distinct + count + (n_docs DESC, gram) top-20.
+    // same per-window-min selection (min of SOME full covering
+    // 8-window, one windowed MIN per in-window offset, global-min
+    // fallback for sub-8-gram docs), same distinct + count +
+    // (n_docs DESC, gram) top-20.
     "q214_memorization_audit" ->
       """WITH g AS (SELECT doc_id, j, substr(text, j, 30) AS gram,
              CAST('0x' || substr(md5(substr(text, j, 30)), 1, 15)
                AS BIGINT) AS h
            FROM documents, unnest(range(1, length(text) - 28)) u(j)),
-         w AS (SELECT doc_id, gram, h,
+         w AS (SELECT doc_id, j, gram, h,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n,
+             MIN(h) OVER (PARTITION BY doc_id) AS gm,
              MIN(h) OVER (PARTITION BY doc_id ORDER BY j
-               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS mh
+               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m0,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
+               ROWS BETWEEN 1 PRECEDING AND 6 FOLLOWING) AS m1,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
+               ROWS BETWEEN 2 PRECEDING AND 5 FOLLOWING) AS m2,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
+               ROWS BETWEEN 3 PRECEDING AND 4 FOLLOWING) AS m3,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
+               ROWS BETWEEN 4 PRECEDING AND 3 FOLLOWING) AS m4,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
+               ROWS BETWEEN 5 PRECEDING AND 2 FOLLOWING) AS m5,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
+               ROWS BETWEEN 6 PRECEDING AND 1 FOLLOWING) AS m6,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS m7
            FROM g),
-         sel AS (SELECT DISTINCT doc_id, gram FROM w WHERE h = mh),
+         sel AS (SELECT DISTINCT doc_id, gram FROM w
+           WHERE (n < 8 AND h = gm)
+              OR (j + 7 <= n AND h = m0)
+              OR (j >= 2 AND j + 6 <= n AND h = m1)
+              OR (j >= 3 AND j + 5 <= n AND h = m2)
+              OR (j >= 4 AND j + 4 <= n AND h = m3)
+              OR (j >= 5 AND j + 3 <= n AND h = m4)
+              OR (j >= 6 AND j + 2 <= n AND h = m5)
+              OR (j >= 7 AND j + 1 <= n AND h = m6)
+              OR (j >= 8 AND h = m7)),
          cnt AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs
            FROM sel GROUP BY 1)
          SELECT gram, n_docs FROM cnt

@@ -9,39 +9,62 @@ import org.apache.spark.sql.functions._
   * behind "Deduplicating Training Data Makes Language Models Better",
   * Lee et al. '22): any substring shared between two documents with
   * length ≥ L + w − 1 is GUARANTEED to contribute at least one
-  * identical selected fingerprint to both (every window of w
-  * consecutive grams selects its minimum hash, and selection is
-  * content-defined, so alignment never matters). Grouping selections
-  * by gram across the corpus therefore finds every sufficiently-long
-  * repeated sequence — boilerplate, licenses, templates — without any
-  * pairwise comparison.
+  * identical selected fingerprint to both. The paper's rule — select
+  * position j iff h(j) is the minimum of SOME window of w consecutive
+  * gram hashes containing j — makes the guarantee context-free: a
+  * shared run of ≥ w grams contains at least one full window, that
+  * window's content (hence its min) is identical in both documents,
+  * and a window min depends only on the window's own content, never
+  * on surrounding context. Grouping selections by gram across the
+  * corpus therefore finds every sufficiently-long repeated sequence —
+  * boilerplate, licenses, templates — without any pairwise
+  * comparison. (A trailing-window-only rule — h(j) ≤ its w−1
+  * PREDECESSORS — is a strict subset and loses the guarantee: a
+  * smaller hash within w−1 grams BEFORE a boundary-length shared run
+  * suppresses selection in one document but not the other.)
+  *
+  * Implementation: "min of some covering window" ≡ the two-sided run
+  * test lrun(j) + rrun(j) ≥ min(w, n) − 1, where lrun/rrun count the
+  * CONSECUTIVE neighbors left/right of j with hash ≥ h(j) (capped at
+  * w − 1): the maximal ≥-interval around j has length lrun+rrun+1,
+  * and a full w-window covering j fits inside it iff that length ≥ w.
+  * Documents with fewer than w grams (n < w) fall back to their
+  * global minimum (the min(w, n) clamp) so every non-empty document
+  * still yields ≥ 1 fingerprint. Ties select every tied minimum —
+  * deterministic in any engine, and the guarantee survives ties.
   *
   * Scale shape: ENTIRELY scan-local until the final count — the
   * per-position gram hashes are one in-array `transform`, the
-  * trailing-window minimum test is a w−1-term conjunction over the
-  * hash array (selection is h[j] ≤ every hash in its trailing window
-  * — algebraically identical to h[j] = windowed MIN, which is how the
-  * oracle replays it), and per-doc dedup is `array_distinct` — so the
+  * covering-window-min test is two O(w) in-array run-length folds per
+  * position, and per-doc dedup is `array_distinct` — so the
   * n_chars-sized gram stream NEVER shuffles; the only shuffle is the
-  * partial-agg count over the ~n/w selected grams. Ties inside a
-  * window select both positions — deterministic in any engine.
+  * partial-agg count over the ~2n/(w+1) selected grams.
   */
 object Winnowing {
 
   /** Distinct (id, gram) selections: position j's L-gram is selected
-    * iff its hash is ≤ each of the w−1 preceding gram hashes (≡ the
-    * trailing-window-of-w minimum; partial leading windows
-    * participate). Hashes are the repo's 60-bit md5 convention.
+    * iff its hash is the minimum of some full window of w consecutive
+    * gram hashes containing j (≡ lrun + rrun ≥ min(w, n) − 1; docs
+    * with fewer than w grams select their global min). Hashes are the
+    * repo's 60-bit md5 convention.
     */
   def selectedGrams(docs: DataFrame, idCol: String, textCol: String,
       l: Int, w: Int): DataFrame = {
     require(l >= 2 && w >= 1, s"bad winnowing params: L=$l w=$w")
-    val guards = (1 until w).map(k =>
-      s"(j <= $k or element_at(hs, j) <= element_at(hs, j - $k))")
-      .mkString(" and ")
+    // Run-length fold: acc = k after step k iff steps 1..k ALL
+    // qualified (acc = k−1 gates consecutiveness), so the final acc
+    // is the length of the consecutive ≥-run next to j, capped w−1.
+    def run(sign: String, bound: String) =
+      s"""aggregate(sequence(1, ${w - 1}), 0, (acc, k) ->
+         |  if(acc = k - 1 and $bound
+         |     and element_at(hs, j $sign k) >= element_at(hs, j),
+         |   k, acc))""".stripMargin
     val selectedSql =
       if (w == 1) "sequence(1, size(hs))"
-      else s"filter(sequence(1, size(hs)), j -> $guards)"
+      else
+        s"""filter(sequence(1, size(hs)), j ->
+           |  ${run("-", "j > k")} + ${run("+", "j + k <= size(hs)")}
+           |  >= least($w, size(hs)) - 1)""".stripMargin
     docs
       .select(col(idCol), col(textCol).as("__t"))
       .withColumn("hs", expr(

@@ -1,10 +1,9 @@
 package graft.sources
 
-import scala.jdk.CollectionConverters._
-
-import org.apache.avro.{Schema, SchemaBuilder}
-import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.FsInput
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -15,26 +14,39 @@ import org.apache.spark.sql.types._
   * (q63) and raw-binary (q82) surfaces. The Spark distribution here
   * ships the Avro CORE jars but not the `spark-avro` datasource
   * module, so this is a minimal honest implementation on the public
-  * Avro API (`DataFileWriter`/`DataFileStream`, Apache Avro 1.12):
+  * Avro API (`DataFileWriter`/`DataFileReader`, Apache Avro 1.12):
   * real Avro object container files with a declared record schema,
   * readable by any Avro tool.
   *
   * Scale shape: the WRITE is one file per partition through the
   * Hadoop FileSystem API (works against HDFS/S3A, not just local
-  * disk), executor-side, no driver materialization. The READ lists
-  * the directory on the driver (metadata), then parallelizes one
-  * task per container file; records decode inside the task and only
-  * typed Rows ever leave it. Container files are internally
-  * block-compressed and sync-marked; a production-hardened reader
-  * would split on sync markers via avro-mapred's input format — file
-  * granularity is the honest simplification here, matching how this
-  * engine's writer lays out one file per upstream partition.
+  * disk), executor-side, no driver materialization, and COMMITTED,
+  * not best-effort: tasks write attempt-unique temp files and
+  * claim the canonical part name by rename (so speculative/retried
+  * attempts never interleave bytes in one file — first rename wins,
+  * losers delete themselves), the job writes into a hidden temp
+  * directory that is renamed over the target only after every task
+  * succeeded, and a `_SUCCESS` marker is the commit record. A failed
+  * mid-job write therefore leaves the previous target intact, and
+  * `read` refuses a directory with no marker instead of silently
+  * treating a torn write as complete data.
+  *
+  * The READ lists the directory on the driver (metadata), then
+  * splits every container on its sync markers — each task seeks to
+  * the first sync point at/after its byte range start
+  * (`DataFileReader.sync`) and decodes blocks until `pastSync(end)`,
+  * the avro-mapred input-format discipline — so one 10 GB container
+  * becomes ~len/splitBytes parallel tasks, not one. Records decode
+  * inside the task and only typed Rows ever leave it.
   *
   * Type surface (all the corpus needs): long, int, double, string,
   * boolean; every field nullable via the standard `["null", T]`
   * union. Unsupported Spark types fail fast at write time.
   */
 object AvroIo {
+
+  /** Default read-split size: 32 MiB of container bytes per task. */
+  val DefaultSplitBytes: Long = 32L * 1024 * 1024
 
   /** Avro schema JSON for a Spark schema (nullable union per field). */
   private[sources] def avroSchemaJson(schema: StructType): String = {
@@ -60,8 +72,7 @@ object AvroIo {
     * the tasks exactly as they would through a built-in sink; a bare
     * `new Configuration()` on the executor would silently drop them.
     */
-  private def confProps(df: DataFrame): Array[(String, String)] = {
-    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+  private def confProps(conf: Configuration): Array[(String, String)] = {
     val it = conf.iterator()
     val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     while (it.hasNext) { val e = it.next(); buf += (e.getKey -> e.getValue) }
@@ -75,77 +86,125 @@ object AvroIo {
   }
 
   /** Write `df` as a directory of Avro container files, one per
-    * partition (`part-NNNNN.avro`), overwriting `path`.
+    * partition (`part-NNNNN.avro`), atomically replacing `path`:
+    * tasks commit by rename inside a job-unique temp directory, the
+    * temp directory replaces the target only on full job success,
+    * and `_SUCCESS` marks the commit.
     */
   def write(df: DataFrame, path: String): Unit = {
     val schemaJson = avroSchemaJson(df.schema)
     val names = df.schema.fieldNames
-    val props = confProps(df)
-    val fs0 = FileSystem.get(java.net.URI.create(path), rebuild(props))
-    fs0.delete(new HPath(path), true)
-    fs0.mkdirs(new HPath(path))
-    df.rdd.mapPartitionsWithIndex { (idx, it) =>
-      val schema = new Schema.Parser().parse(schemaJson)
-      val fs = FileSystem.get(java.net.URI.create(path), rebuild(props))
-      val out = fs.create(new HPath(path, f"part-$idx%05d.avro"), true)
-      val writer = new DataFileWriter[GenericRecord](
-        new GenericDatumWriter[GenericRecord](schema))
-      writer.create(schema, out)
-      var n = 0L
-      it.foreach { row =>
-        val rec = new GenericData.Record(schema)
-        var i = 0
-        while (i < names.length) {
-          rec.put(names(i), if (row.isNullAt(i)) null else row.get(i))
-          i += 1
+    val props = confProps(df.sparkSession.sparkContext.hadoopConfiguration)
+    val target = new HPath(path)
+    // Job-unique hidden sibling: atomic-rename distance from the
+    // target on any FileSystem with directory rename (HDFS; on S3A
+    // the rename is a copy, but the _SUCCESS gate still holds).
+    val tmpDir = new HPath(target.getParent,
+      s".${target.getName}.__inprogress-${java.util.UUID.randomUUID}")
+    val fs0 = FileSystem.get(target.toUri, rebuild(props))
+    fs0.mkdirs(tmpDir)
+    val tmpDirStr = tmpDir.toString
+    try {
+      df.rdd.mapPartitionsWithIndex { (idx, it) =>
+        val schema = new Schema.Parser().parse(schemaJson)
+        val fs = FileSystem.get(java.net.URI.create(tmpDirStr),
+          rebuild(props))
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val tmpFile = new HPath(tmpDirStr,
+          f"part-$idx%05d-a$attempt.inprogress")
+        val out = fs.create(tmpFile, true)
+        val writer = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](schema))
+        writer.create(schema, out)
+        var n = 0L
+        it.foreach { row =>
+          val rec = new GenericData.Record(schema)
+          var i = 0
+          while (i < names.length) {
+            rec.put(names(i), if (row.isNullAt(i)) null else row.get(i))
+            i += 1
+          }
+          writer.append(rec)
+          n += 1
         }
-        writer.append(rec)
-        n += 1
-      }
-      writer.close()
-      Iterator.single(n)
-    }.count() // materialize the write
+        writer.close()
+        // Task commit: first attempt to rename to the canonical part
+        // name wins; a concurrent speculative/retried attempt finds
+        // the destination taken, discards its own bytes, and the
+        // committed file is always one attempt's complete output.
+        val dst = new HPath(tmpDirStr, f"part-$idx%05d.avro")
+        if (!fs.rename(tmpFile, dst)) fs.delete(tmpFile, false)
+        Iterator.single(n)
+      }.count() // materialize the write
+      // Job commit: marker first (inside tmp), then swap directories.
+      fs0.create(new HPath(tmpDir, "_SUCCESS"), true).close()
+      fs0.delete(target, true)
+      if (!fs0.rename(tmpDir, target))
+        throw new java.io.IOException(
+          s"AvroIo: failed to commit $tmpDir over $target")
+    } catch {
+      case e: Throwable =>
+        // Job abort: remove the temp directory, leave the target as
+        // it was before the write started.
+        try fs0.delete(tmpDir, true)
+        catch { case _: Throwable => () }
+        throw e
+    }
   }
 
-  /** Read a directory of Avro container files back under the declared
-    * Spark `schema` (names matched against the writer schema; the
-    * file's own schema decodes, so this also reads third-party Avro).
+  /** Read a committed directory of Avro container files back under
+    * the declared Spark `schema` (names matched against the writer
+    * schema; the file's own schema decodes, so this also reads
+    * third-party Avro). Refuses an uncommitted directory (no
+    * `_SUCCESS`) — a torn write must fail loudly, not read as a
+    * smaller dataset. Each container is split on sync markers into
+    * ~`splitBytes` byte ranges, one task per range.
     */
-  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    val props = {
-      val conf = spark.sparkContext.hadoopConfiguration
-      val it = conf.iterator()
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-      while (it.hasNext) { val e = it.next(); buf += (e.getKey -> e.getValue) }
-      buf.toArray
-    }
+  def read(spark: SparkSession, path: String, schema: StructType,
+      splitBytes: Long = DefaultSplitBytes): DataFrame = {
+    require(splitBytes > 0, s"splitBytes must be positive: $splitBytes")
+    val props = confProps(spark.sparkContext.hadoopConfiguration)
     val fs = FileSystem.get(java.net.URI.create(path), rebuild(props))
-    val files = fs.listStatus(new HPath(path)).toSeq
-      .map(_.getPath.toString)
-      .filter(_.endsWith(".avro"))
-      .sorted
+    if (!fs.exists(new HPath(path, "_SUCCESS")))
+      throw new java.io.IOException(
+        s"AvroIo: $path has no _SUCCESS marker — uncommitted or " +
+          "partial write; refusing to read it as complete data")
+    val splits = fs.listStatus(new HPath(path)).toSeq
+      .filter(_.getPath.getName.endsWith(".avro"))
+      .sortBy(_.getPath.toString)
+      .flatMap { st =>
+        val file = st.getPath.toString
+        (0L until math.max(st.getLen, 1L) by splitBytes).map { off =>
+          (file, off, math.min(off + splitBytes, st.getLen))
+        }
+      }
     val names = schema.fieldNames
     val rows = spark.sparkContext
-      .parallelize(files, math.max(files.size, 1))
-      .flatMap { file =>
-        val cfs = FileSystem.get(java.net.URI.create(file), rebuild(props))
-        val in = cfs.open(new HPath(file))
-        val reader = new DataFileStream[GenericRecord](in,
+      .parallelize(splits, math.max(splits.size, 1))
+      .flatMap { case (file, start, end) =>
+        val conf = rebuild(props)
+        val reader = new DataFileReader[GenericRecord](
+          new FsInput(new HPath(file), conf),
           new GenericDatumReader[GenericRecord]())
-        // stream, never materialize the file: close on exhaustion AND
-        // on task completion (covers failure/early-termination paths)
+        // The avro-mapred split discipline: decode exactly the blocks
+        // whose sync boundary lies in [start, end) — sync(start) seeks
+        // to the first block at/after start, pastSync(end) stops after
+        // the range; together every block lands in exactly one split.
+        reader.sync(start)
+        // Stream, never materialize: close on exhaustion AND on task
+        // completion (covers failure/early-termination paths).
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ =>
             try reader.close() catch { case _: Throwable => () }))
-        val base = reader.iterator
         new Iterator[Row] {
           def hasNext: Boolean = {
-            val h = base.hasNext
+            val h = reader.hasNext && !reader.pastSync(end)
             if (!h) try reader.close() catch { case _: Throwable => () }
             h
           }
           def next(): Row = {
-            val rec = base.next()
+            val rec = reader.next()
             Row.fromSeq(names.toSeq.map { n =>
               rec.get(n) match {
                 case null => null

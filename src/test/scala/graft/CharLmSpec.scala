@@ -53,4 +53,15 @@ class CharLmSpec extends AnyFunSuite {
     // "x" has no bigram → absent; "zz" is fully OOV → sum 0
     assert(out.toSeq === Seq((11L, 1L, 0L)))
   }
+
+  test("mixed known/OOV: the OOV bigram still counts in the mean " +
+      "divisor (the harshest penalty)") {
+    val model = CharLm.trainBigrams(docs(1L -> "ab"), "text")
+    // "abz": ab known (q = 2^20 div 1 = 1048576), bz OOV (q = 0)
+    // → n = 2, sum = 1048576, avg = 524288 — NOT 1048576/1
+    val out = CharLm.score(docs(20L -> "abz"), "doc_id", "text", model)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((20L, 2L, 1048576L, 524288L)))
+  }
 }

@@ -54,4 +54,39 @@ class NestedSpec extends AnyFunSuite {
         "a.span_end - a.span_start) <> element_at(toks, p + 1)"))
     assert(bad.count() === 0L)
   }
+
+  test("TokenSpans null semantics: null array -> null, null element -> null") {
+    import spark.implicits._
+    val out = Seq(
+      (1, Some(Seq(Some("ab"), Some("c")))),
+      (2, None), // null array
+      (3, Some(Seq(Some("ab"), None))) // poisoned element
+    ).toDF("id", "toks")
+      .withColumn("anns", Nested.tokenAnnotations("toks"))
+      .select("id", "anns").collect().map(r => r.getInt(0) -> r.isNullAt(1))
+      .toMap
+    assert(out === Map(1 -> false, 2 -> true, 3 -> true))
+  }
+
+  test("TokenSpans interpreted eval agrees with the codegen path") {
+    // eval() drives the interpreted branch directly; the DataFrame
+    // paths above run through codegen (build() is shared, but the
+    // null/return plumbing differs between the two branches)
+    import graft.expressions.TokenSpans
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    def lit(toks: Seq[String]) = Literal.create(
+      new GenericArrayData(toks.map(t =>
+        if (t == null) null else UTF8String.fromString(t)).toArray[Any]),
+      ArrayType(StringType))
+    val ok = TokenSpans(lit(Seq("ab", "cde"))).eval(null)
+      .asInstanceOf[GenericArrayData]
+    assert(ok.numElements() === 2)
+    val r1 = ok.getStruct(1, 3)
+    assert((r1.getInt(0), r1.getInt(1), r1.getUTF8String(2).toString) ===
+      ((3, 6, "short")))
+    assert(TokenSpans(lit(Seq("ab", null))).eval(null) === null)
+  }
 }
