@@ -1,12 +1,12 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.expressions.LongDot
 import graft.functions.{QuantizedCentroid, TextFns, TopK}
-import graft.ops.{Bfs, Blooms, Bpe, Cardinality, CharLm, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, FreqSketch, FuzzyJoin, GapFill, KCenter, KCore, KMeans, Mixing, ModelStore, Multimodal, NearDup, Nested, Packing, PageRank, ParagraphDedup, Paths, Percentiles, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, SetSimJoin, Similarity, Skyline, Snm, TableDiff, Triangles, Winnowing}
+import graft.ops.{Bfs, Blooms, Bpe, Cardinality, CharLm, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, Dsir, FreqSketch, FuzzyJoin, GapFill, JoinEstimate, KCenter, KCore, KMeans, Mixing, ModelStore, Multimodal, NearDup, Nested, Packing, PageRank, ParagraphDedup, Paths, Percentiles, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, Sharding, SetSimJoin, Similarity, Skyline, Snm, SpanDedup, TableDiff, Triangles, Winnowing}
 import graft.streaming.{BudgetAdmission, EventStream, IncrementalClusters, NearDupIndex, RateMonitor, StatefulSessions, VersionedStore}
 
 /** Training-data-pipeline operators (SURVEY §7.2.8) as driver-contract
@@ -5962,6 +5962,189 @@ object TrainQueries {
       .orderBy("change_type")
   }
 
+  /** Join-size estimation report (q225, [[graft.ops.JoinEstimate]]):
+    * the CMS-inner-product estimate of an equi-join's output
+    * cardinality next to the exact recount — once for the reference
+    * engine's own star join key (orders ⋈ lineitem on orderkey, the
+    * 1:N shape) and once for the skew-sensitive many-many case a
+    * planner most needs it (lineitem self-join on partkey, size
+    * Σ f(p)²). The sketch is built with the portable md5 bucket
+    * hash, so the oracle replays the ESTIMATOR itself — counter
+    * matrices, per-depth inner products, min — not just the exact
+    * verification columns. d=4 depth rows, w=2²⁴ buckets — the
+    * matrix is SPARSE (zero buckets never materialize in a groupBy),
+    * so the shuffled counter rows are ≤ d·|distinct keys| regardless
+    * of w, while the collision error shrinks as n_A·n_B/w; sizing w
+    * ≫ that ratio is what makes the estimate TIGHT (measured err_bp
+    * ships in the row), not merely bounded.
+    */
+  private def qJoinSizeEstimate(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val lineitem = t(s, dir, "lineitem")
+    val starCase = JoinEstimate.joinSize(
+        orders, col("o_orderkey"), lineitem, col("l_orderkey"), 4, 1 << 24)
+      .select(lit("orders_x_lineitem_orderkey").as("join_case"),
+        col("est_pairs"), col("exact_pairs"),
+        col("overestimate_ok"), col("err_bp"))
+    val selfCase = JoinEstimate.joinSize(
+        lineitem, col("l_partkey"), lineitem, col("l_partkey"), 4, 1 << 24)
+      .select(lit("lineitem_self_partkey").as("join_case"),
+        col("est_pairs"), col("exact_pairs"),
+        col("overestimate_ok"), col("err_bp"))
+    starCase.unionByName(selfCase).orderBy("join_case")
+  }
+
+  /** Rendezvous-sharding rebalance report (q226,
+    * [[graft.ops.Sharding]]): every document routed under 8 and
+    * under 9 shards by BOTH routers — HRW and naive mod — and the
+    * per-(new-)shard movement counted. The table shows the resize
+    * economics a 100 TB store plans around: HRW moves ~1/9 of docs
+    * (only keys whose new shard's weight wins), mod remaps ~8/9 (a
+    * full corpus rewrite). Each router's movement is grouped by ITS
+    * OWN new-shard assignment — two scan-local partial-agg rollups
+    * joined on the metadata-sized shard spine; text never shuffles.
+    */
+  private def qHrwSharding(s: SparkSession, dir: String): DataFrame = {
+    val routed = t(s, dir, "documents").select(
+      Sharding.hrwShard("doc_id", 8).as("h8"),
+      Sharding.hrwShard("doc_id", 9).as("h9"),
+      (col("doc_id") % 8).as("m8"),
+      (col("doc_id") % 9).as("m9"))
+    val hrw = routed.groupBy(col("h9").as("shard"))
+      .agg(count(lit(1)).as("n_docs_hrw"),
+        sum(when(col("h8") =!= col("h9"), 1L).otherwise(0L))
+          .as("n_moved_hrw"))
+    val mod = routed.groupBy(col("m9").as("shard"))
+      .agg(count(lit(1)).as("n_docs_mod"),
+        sum(when(col("m8") =!= col("m9"), 1L).otherwise(0L))
+          .as("n_moved_mod"))
+    hrw.join(mod, Seq("shard")).orderBy("shard")
+  }
+
+  /** k-anonymity audit with a generalization walk (q227): the
+    * governance check beside E38's PII detection — BEFORE releasing a
+    * training corpus with quasi-identifier columns, count how many
+    * rows sit in QI groups smaller than k (re-identifiable by
+    * joining public attributes). Three rungs of the generalization
+    * lattice are audited together: L0 (nation, segment) → L1
+    * (region, segment) → L2 (region) — the standard Samarati walk:
+    * coarsen until every group reaches k. Per level: group count,
+    * at-risk group count, rows at risk, and the achieved k (min
+    * group size). Each level is one partial-agg rollup over the
+    * broadcast nation dim; only (QI, count) pairs shuffle.
+    */
+  private def qKAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val k = 10L
+    val joined = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+    def level(lvl: Long, qi: String, keys: Seq[Column]): DataFrame =
+      joined.groupBy(keys: _*).agg(count(lit(1)).as("g"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("g") < k, 1L).otherwise(0L)).as("n_at_risk_groups"),
+          sum(when(col("g") < k, col("g")).otherwise(0L))
+            .as("n_rows_at_risk"),
+          min(col("g")).as("k_achieved"))
+        .select(lit(lvl).as("level"), lit(qi).as("qi"),
+          col("n_groups"), col("n_at_risk_groups"),
+          col("n_rows_at_risk"), col("k_achieved"))
+    level(0L, "nation,segment",
+        Seq(col("c_nationkey"), col("c_mktsegment")))
+      .unionByName(level(1L, "region,segment",
+        Seq(col("n_regionkey"), col("c_mktsegment"))))
+      .unionByName(level(2L, "region", Seq(col("n_regionkey"))))
+      .orderBy("level")
+  }
+
+  /** Incrementally-maintained join-size estimate (q228,
+    * [[graft.ops.JoinEstimate]]): the q225 sketch under batch
+    * arrival, the q67/q121/q136 incremental discipline applied to
+    * shuffle planning. CMS counters are LINEAR — counters(history ∪
+    * delta) = elementwise sum — so when a new lineitem batch lands,
+    * the stored matrix absorbs the delta's d·w counters and the
+    * estimate refreshes WITHOUT rescanning history. The gate proves
+    * the algebra: the merged-counter estimate must EQUAL the
+    * recomputed-from-scratch estimate (`linear_ok` — exact equality,
+    * not a tolerance), alongside the measured error vs the exact
+    * join size. History/delta split: l_orderkey % 10 (the repo's
+    * deterministic batch-arrival convention).
+    */
+  private def qIncrJoinEstimate(s: SparkSession, dir: String): DataFrame = {
+    val (d, w) = (4, 1 << 24)
+    val orders = t(s, dir, "orders")
+    val lineitem = t(s, dir, "lineitem")
+    val history = lineitem.filter(col("l_orderkey") % 10 =!= 0)
+    val delta = lineitem.filter(col("l_orderkey") % 10 === 0)
+    val co = JoinEstimate.cmsCounters(orders, col("o_orderkey"), d, w)
+    val merged = JoinEstimate.mergeCounters(
+      JoinEstimate.cmsCounters(history, col("l_orderkey"), d, w),
+      JoinEstimate.cmsCounters(delta, col("l_orderkey"), d, w))
+    val scratch = JoinEstimate.cmsCounters(lineitem, col("l_orderkey"), d, w)
+    val estIncr = JoinEstimate.estimateFromCounters(co, merged, d)
+      .select(col("est_pairs").as("est_incr"))
+    val estScratch = JoinEstimate.estimateFromCounters(co, scratch, d)
+      .select(col("est_pairs").as("est_scratch"))
+    val exact = orders.groupBy(col("o_orderkey").as("__k"))
+      .agg(count(lit(1)).as("fa"))
+      .join(lineitem.groupBy(col("l_orderkey").as("__k"))
+        .agg(count(lit(1)).as("fb")), "__k")
+      .agg(coalesce(sum(col("fa") * col("fb")), lit(0L)).as("exact_pairs"))
+    estIncr.crossJoin(estScratch).crossJoin(exact).select(
+      col("est_incr"), col("est_scratch"),
+      (col("est_incr") === col("est_scratch")).as("linear_ok"),
+      col("exact_pairs"),
+      (col("est_incr") >= col("exact_pairs")).as("overestimate_ok"),
+      when(col("exact_pairs") === 0L, 0L)
+        .otherwise(expr(
+          "(est_incr - exact_pairs) * 10000L div exact_pairs"))
+        .as("err_bp"))
+  }
+
+  /** Exact-substring span excision (q229, [[graft.ops.SpanDedup]]):
+    * repeated ≥8-token runs removed from every occurrence but the
+    * corpus-first one, per-document removal accounting plus the
+    * cleaned text. The published "exact substring dedup" operation
+    * (suffix-array pipelines mark the same positions — a maximal
+    * repeat of length L ≥ n is the union of its overlapping repeated
+    * n-grams), and the surgical complement of q24 (whole-doc) and
+    * q101 (whole-paragraph): the near-identical documents the
+    * generator plants lose their shared body here but KEEP their
+    * novel prefix/suffix tokens — visible in the output as short
+    * `text_clean` remnants. Only gram hashes shuffle; the oracle
+    * replays occurrences, canonical picks, the covered-token set,
+    * island counting, and reconstruction in full.
+    */
+  private def qSpanExcision(s: SparkSession, dir: String): DataFrame =
+    SpanDedup.excise(t(s, dir, "documents"), "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+
+  /** DSIR importance-resampling selection (q230, [[graft.ops.Dsir]]):
+    * the raw corpus re-tilted toward the English subset as target —
+    * hashed-unigram count tables for target and raw, the scaled
+    * smoothed odds model, per-doc truncating-mean scores, and the
+    * best-first fill under a 20,000-token budget (q86's
+    * [[Selection.underTokenBudget]] prefix-sum machinery — no
+    * single-task window). The lang column rides along so the output
+    * IS the measurement: the generator's per-language unigram
+    * marginals differ, so the en share among selected docs visibly
+    * exceeds its corpus share. 2^16 buckets — the model is
+    * parameter-bounded and broadcast, never vocabulary-sized.
+    */
+  private def qDsirSelection(s: SparkSession, dir: String): DataFrame = {
+    val buckets = 1 << 16
+    val docs = t(s, dir, "documents")
+    val target = Dsir.hashedCounts(
+      docs.filter(col("lang") === "en"), "text", buckets)
+    val raw = Dsir.hashedCounts(docs, "text", buckets)
+    val scored = Dsir.score(docs, "doc_id", "text", target, raw, buckets)
+    val withLang = docs.select(col("doc_id"), col("lang")).join(scored, "doc_id")
+    Selection.underTokenBudget(withLang, "n_tokens", 20000L,
+        col("score_q").desc, col("doc_id").asc)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("score_q"), col("cum_tok"))
+      .orderBy("cum_tok")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -6179,7 +6362,13 @@ object TrainQueries {
     "q221_signal_correlation" -> (qSignalCorrelation _),
     "q222_winnow_contamination" -> (qWinnowContamination _),
     "q223_stream_novelty" -> (qStreamNovelty _),
-    "q224_row_diff" -> (qRowDiff _))
+    "q224_row_diff" -> (qRowDiff _),
+    "q225_join_size_estimate" -> (qJoinSizeEstimate _),
+    "q226_hrw_sharding" -> (qHrwSharding _),
+    "q227_k_anonymity" -> (qKAnonymity _),
+    "q228_incr_join_estimate" -> (qIncrJoinEstimate _),
+    "q229_span_excision" -> (qSpanExcision _),
+    "q230_dsir_selection" -> (qDsirSelection _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -9285,6 +9474,267 @@ object TrainQueries {
                ELSE 'unchanged' END AS change_type,
              CAST(COUNT(*) AS BIGINT) AS n_rows
          FROM j GROUP BY 1 ORDER BY change_type""",
+    // q225: the FULL estimator replays — portable md5 bucket hash
+    // (the q46 '0x'||substr(md5(..)) idiom), d=4 depth rows × w=2²⁴
+    // buckets, per-depth bucket-wise inner products, MIN over a depth
+    // spine (a depth with no shared bucket is inner product 0, not a
+    // dropped row), next to the exact Σ f_A·f_B recount.
+    "q225_join_size_estimate" ->
+      """WITH depths AS (SELECT UNNEST([0, 1, 2, 3]) AS r),
+         co AS (SELECT d.r,
+             CAST('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':'
+               || CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT)
+               % 16777216 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM orders CROSS JOIN depths d
+           WHERE o_orderkey IS NOT NULL GROUP BY 1, 2),
+         clo AS (SELECT d.r,
+             CAST('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':'
+               || CAST(l_orderkey AS VARCHAR)), 1, 8) AS BIGINT)
+               % 16777216 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM lineitem CROSS JOIN depths d
+           WHERE l_orderkey IS NOT NULL GROUP BY 1, 2),
+         clp AS (SELECT d.r,
+             CAST('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':'
+               || CAST(l_partkey AS VARCHAR)), 1, 8) AS BIGINT)
+               % 16777216 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM lineitem CROSS JOIN depths d
+           WHERE l_partkey IS NOT NULL GROUP BY 1, 2),
+         est1 AS (SELECT MIN(coalesce(ip, 0)) AS est_pairs
+           FROM depths d LEFT JOIN (
+             SELECT co.r, SUM(co.cnt * clo.cnt) AS ip
+             FROM co JOIN clo ON co.r = clo.r AND co.bucket = clo.bucket
+             GROUP BY 1) p ON d.r = p.r),
+         est2 AS (SELECT MIN(coalesce(ip, 0)) AS est_pairs
+           FROM depths d LEFT JOIN (
+             SELECT a.r, SUM(a.cnt * b.cnt) AS ip
+             FROM clp a JOIN clp b ON a.r = b.r AND a.bucket = b.bucket
+             GROUP BY 1) p ON d.r = p.r),
+         ex1 AS (SELECT coalesce(SUM(fa.c * fb.c), 0) AS exact_pairs
+           FROM (SELECT o_orderkey k, COUNT(*) c FROM orders
+                 WHERE o_orderkey IS NOT NULL GROUP BY 1) fa
+           JOIN (SELECT l_orderkey k, COUNT(*) c FROM lineitem
+                 WHERE l_orderkey IS NOT NULL GROUP BY 1) fb
+             ON fa.k = fb.k),
+         ex2 AS (SELECT coalesce(SUM(f.c * f.c), 0) AS exact_pairs
+           FROM (SELECT l_partkey k, COUNT(*) c FROM lineitem
+                 WHERE l_partkey IS NOT NULL GROUP BY 1) f),
+         rpt AS (
+           SELECT 'orders_x_lineitem_orderkey' AS join_case,
+               est1.est_pairs, ex1.exact_pairs FROM est1, ex1
+           UNION ALL
+           SELECT 'lineitem_self_partkey' AS join_case,
+               est2.est_pairs, ex2.exact_pairs FROM est2, ex2)
+         SELECT join_case, CAST(est_pairs AS BIGINT) AS est_pairs,
+             CAST(exact_pairs AS BIGINT) AS exact_pairs,
+             est_pairs >= exact_pairs AS overestimate_ok,
+             CAST(CASE WHEN exact_pairs = 0 THEN 0
+                  ELSE (est_pairs - exact_pairs) * 10000
+                    // exact_pairs END AS BIGINT) AS err_bp
+         FROM rpt ORDER BY join_case""",
+    // q226: the HRW argmax replays as MAX(weight·9 + s) % 9 over the
+    // shard series (the engine's collision-free long encoding), with
+    // the same '#'-separated md5 weight; mod routing is plain %.
+    "q226_hrw_sharding" ->
+      """WITH s8 AS (SELECT UNNEST([0,1,2,3,4,5,6,7]) AS s),
+         s9 AS (SELECT UNNEST([0,1,2,3,4,5,6,7,8]) AS s),
+         w AS (SELECT doc_id,
+             (SELECT MAX(CAST('0x' || substr(md5(CAST(s.s AS VARCHAR)
+                 || '#' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                 * 8 + s.s) FROM s8 s) % 8 AS h8,
+             (SELECT MAX(CAST('0x' || substr(md5(CAST(s.s AS VARCHAR)
+                 || '#' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                 * 9 + s.s) FROM s9 s) % 9 AS h9,
+             doc_id % 8 AS m8, doc_id % 9 AS m9
+           FROM documents d),
+         hrw AS (SELECT h9 AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs_hrw,
+             CAST(SUM(CASE WHEN h8 <> h9 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_moved_hrw
+           FROM w GROUP BY 1),
+         md AS (SELECT m9 AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs_mod,
+             CAST(SUM(CASE WHEN m8 <> m9 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_moved_mod
+           FROM w GROUP BY 1)
+         SELECT hrw.shard, n_docs_hrw, n_moved_hrw, n_docs_mod, n_moved_mod
+         FROM hrw JOIN md ON hrw.shard = md.shard ORDER BY 1""",
+    // q227: three grouped rollups over customer ⋈ nation, k = 10.
+    "q227_k_anonymity" ->
+      """WITH j AS (SELECT c.c_mktsegment, c.c_nationkey, n.n_regionkey
+           FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+         l0 AS (SELECT COUNT(*) AS g FROM j GROUP BY c_nationkey,
+           c_mktsegment),
+         l1 AS (SELECT COUNT(*) AS g FROM j GROUP BY n_regionkey,
+           c_mktsegment),
+         l2 AS (SELECT COUNT(*) AS g FROM j GROUP BY n_regionkey),
+         rpt AS (
+           SELECT 0 AS level, 'nation,segment' AS qi,
+               COUNT(*) AS n_groups,
+               SUM(CASE WHEN g < 10 THEN 1 ELSE 0 END) AS n_at_risk_groups,
+               SUM(CASE WHEN g < 10 THEN g ELSE 0 END) AS n_rows_at_risk,
+               MIN(g) AS k_achieved
+           FROM l0
+           UNION ALL
+           SELECT 1, 'region,segment', COUNT(*),
+               SUM(CASE WHEN g < 10 THEN 1 ELSE 0 END),
+               SUM(CASE WHEN g < 10 THEN g ELSE 0 END), MIN(g)
+           FROM l1
+           UNION ALL
+           SELECT 2, 'region', COUNT(*),
+               SUM(CASE WHEN g < 10 THEN 1 ELSE 0 END),
+               SUM(CASE WHEN g < 10 THEN g ELSE 0 END), MIN(g)
+           FROM l2)
+         SELECT CAST(level AS BIGINT) AS level, qi,
+             CAST(n_groups AS BIGINT) AS n_groups,
+             CAST(n_at_risk_groups AS BIGINT) AS n_at_risk_groups,
+             CAST(n_rows_at_risk AS BIGINT) AS n_rows_at_risk,
+             CAST(k_achieved AS BIGINT) AS k_achieved
+         FROM rpt ORDER BY level""",
+    // q228: the merged-counter path replays literally — history and
+    // delta counters built separately, summed per (r, bucket), then
+    // the q225 estimation pipeline; linear_ok restates CMS linearity
+    // as data.
+    "q228_incr_join_estimate" ->
+      """WITH depths AS (SELECT UNNEST([0, 1, 2, 3]) AS r),
+         co AS (SELECT d.r,
+             CAST('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':'
+               || CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT)
+               % 16777216 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM orders CROSS JOIN depths d
+           WHERE o_orderkey IS NOT NULL GROUP BY 1, 2),
+         ch AS (SELECT d.r,
+             CAST('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':'
+               || CAST(l_orderkey AS VARCHAR)), 1, 8) AS BIGINT)
+               % 16777216 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM lineitem CROSS JOIN depths d
+           WHERE l_orderkey IS NOT NULL AND l_orderkey % 10 <> 0
+           GROUP BY 1, 2),
+         cd AS (SELECT d.r,
+             CAST('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':'
+               || CAST(l_orderkey AS VARCHAR)), 1, 8) AS BIGINT)
+               % 16777216 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM lineitem CROSS JOIN depths d
+           WHERE l_orderkey IS NOT NULL AND l_orderkey % 10 = 0
+           GROUP BY 1, 2),
+         merged AS (SELECT r, bucket, SUM(cnt) AS cnt FROM
+           (SELECT * FROM ch UNION ALL SELECT * FROM cd)
+           GROUP BY 1, 2),
+         cs AS (SELECT d.r,
+             CAST('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':'
+               || CAST(l_orderkey AS VARCHAR)), 1, 8) AS BIGINT)
+               % 16777216 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM lineitem CROSS JOIN depths d
+           WHERE l_orderkey IS NOT NULL GROUP BY 1, 2),
+         ei AS (SELECT MIN(coalesce(ip, 0)) AS est_incr
+           FROM depths d LEFT JOIN (
+             SELECT co.r, SUM(co.cnt * m.cnt) AS ip
+             FROM co JOIN merged m ON co.r = m.r AND co.bucket = m.bucket
+             GROUP BY 1) p ON d.r = p.r),
+         es AS (SELECT MIN(coalesce(ip, 0)) AS est_scratch
+           FROM depths d LEFT JOIN (
+             SELECT co.r, SUM(co.cnt * cs.cnt) AS ip
+             FROM co JOIN cs ON co.r = cs.r AND co.bucket = cs.bucket
+             GROUP BY 1) p ON d.r = p.r),
+         ex AS (SELECT coalesce(SUM(fa.c * fb.c), 0) AS exact_pairs
+           FROM (SELECT o_orderkey k, COUNT(*) c FROM orders
+                 WHERE o_orderkey IS NOT NULL GROUP BY 1) fa
+           JOIN (SELECT l_orderkey k, COUNT(*) c FROM lineitem
+                 WHERE l_orderkey IS NOT NULL GROUP BY 1) fb
+             ON fa.k = fb.k)
+         SELECT CAST(est_incr AS BIGINT) AS est_incr,
+             CAST(est_scratch AS BIGINT) AS est_scratch,
+             est_incr = est_scratch AS linear_ok,
+             CAST(exact_pairs AS BIGINT) AS exact_pairs,
+             est_incr >= exact_pairs AS overestimate_ok,
+             CAST(CASE WHEN exact_pairs = 0 THEN 0
+                  ELSE (est_incr - exact_pairs) * 10000
+                    // exact_pairs END AS BIGINT) AS err_bp
+         FROM ei, es, ex""",
+    // q229: the full excision replays — positioned 8-gram occurrences
+    // (doc·2^20+pos encoding), cnt>=2 grams with the MIN-enc canonical
+    // survivor, the DISTINCT covered-token set (overlap merge for
+    // free), island starts via the self-LEFT-JOIN on (doc, i-1), and
+    // ordered string_agg reconstruction of the uncovered tokens.
+    "q229_span_excision" ->
+      """WITH tk AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+           FROM documents),
+         occ AS (SELECT doc_id, CAST(u.p AS BIGINT) AS p,
+             md5(array_to_string(toks[u.p + 1:u.p + 8], ' ')) AS gh,
+             doc_id * 1048576 + u.p AS enc
+           FROM tk, UNNEST(range(len(toks) - 7)) AS u(p)
+           WHERE len(toks) >= 8),
+         g AS (SELECT gh, COUNT(*) AS cnt, MIN(enc) AS canon
+           FROM occ GROUP BY 1),
+         mk AS (SELECT o.doc_id, o.p FROM occ o JOIN g ON o.gh = g.gh
+           WHERE g.cnt >= 2 AND o.enc <> g.canon),
+         cov AS (SELECT DISTINCT doc_id, p + d.d AS i
+           FROM mk, UNNEST(range(8)) AS d(d)),
+         rpt AS (SELECT c.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens_removed,
+             CAST(SUM(CASE WHEN prev.i IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_spans_removed
+           FROM cov c LEFT JOIN cov prev
+             ON c.doc_id = prev.doc_id AND c.i = prev.i + 1
+           GROUP BY 1),
+         keep AS (SELECT t.doc_id, r.i AS idx,
+             t.toks[CAST(r.i AS INT) + 1] AS tok
+           FROM tk t, UNNEST(range(len(t.toks))) AS r(i)
+           WHERE EXISTS (SELECT 1 FROM rpt WHERE rpt.doc_id = t.doc_id)
+             AND NOT EXISTS (SELECT 1 FROM cov
+               WHERE cov.doc_id = t.doc_id AND cov.i = r.i)),
+         txt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx)
+             AS text_clean
+           FROM keep GROUP BY 1)
+         SELECT r.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+             r.n_tokens_removed, r.n_spans_removed,
+             COALESCE(x.text_clean, '') AS text_clean
+         FROM rpt r JOIN tk t ON r.doc_id = t.doc_id
+         LEFT JOIN txt x ON r.doc_id = x.doc_id
+         ORDER BY r.doc_id""",
+    // q230: the full DSIR replays — hashed-unigram count tables for
+    // the en target and the raw corpus (the q46 '0x'||md5 bucket
+    // idiom, 2^16 buckets), the Laplace-smoothed scaled odds with
+    // truncating //, per-doc truncating-mean scores, and the q86
+    // running-sum budget fill. Every scored token's bucket is in the
+    // raw table by construction (raw = the scored corpus), so the
+    // raw-side LEFT JOIN is exact.
+    "q230_dsir_selection" ->
+      """WITH tok AS (SELECT doc_id, lang,
+             unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS w
+           FROM documents),
+         bt AS (SELECT CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)
+               % 65536 AS bucket, COUNT(*) AS cnt_t
+           FROM tok WHERE lang = 'en' GROUP BY 1),
+         br AS (SELECT CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)
+               % 65536 AS bucket, COUNT(*) AS cnt_r
+           FROM tok GROUP BY 1),
+         q AS (SELECT br.bucket,
+             (COALESCE(bt.cnt_t, 0) + 1) * 1048576 // (br.cnt_r + 1) AS q
+           FROM br LEFT JOIN bt ON br.bucket = bt.bucket),
+         ds AS (SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             SUM(q.q) AS sum_q
+           FROM tok t JOIN q
+             ON CAST('0x' || substr(md5(t.w), 1, 8) AS BIGINT)
+               % 65536 = q.bucket
+           GROUP BY 1),
+         sc AS (SELECT d.doc_id, k.lang, d.n_tokens,
+             CAST(d.sum_q // d.n_tokens AS BIGINT) AS score_q
+           FROM ds d JOIN documents k ON d.doc_id = k.doc_id),
+         cum AS (SELECT doc_id, lang, n_tokens, score_q,
+             CAST(SUM(n_tokens) OVER (ORDER BY score_q DESC, doc_id ASC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+           FROM sc)
+         SELECT doc_id, lang, n_tokens, score_q, cum_tok
+         FROM cum WHERE cum_tok - n_tokens < 20000
+         ORDER BY cum_tok""",
     // q223: batch membership replayed via the staging NTILE over
     // doc_id (chunk c arrives as batch c−1 — the staging contract),
     // then q220's anti-join per (batch, source).

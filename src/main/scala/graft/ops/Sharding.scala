@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Rendezvous (highest-random-weight) sharding — the consistent
+  * document-to-shard router a 100 TB corpus store needs when the
+  * shard count CHANGES (SURVEY §2.11 E220).
+  *
+  * `shard(k, n) = argmax_{s<n} h(k, s)`: each (key, shard) pair gets
+  * an independent deterministic weight and the key lives on its
+  * heaviest shard. Growing n → n+1 only moves the keys whose NEW
+  * shard's weight beats all previous ones — an expected 1/(n+1) of
+  * the corpus — while the naive `key mod n` router remaps ~n/(n+1)
+  * of all keys (every key whose id changes residue), i.e. a full
+  * corpus rewrite on every resize. Thomas–Valduriez/HRW is the
+  * standard answer (same family as consistent hashing, but exact
+  * balance and no virtual-node ring state).
+  *
+  * Implementation is ONE scan-local expression, no joins, no state:
+  * the n weights are an in-expression `transform(sequence(0, n−1))`
+  * over the repo's portable md5 hash, and the argmax is
+  * `array_max` over `weight·n + s` encoded longs (weight < 2^32 and
+  * s < n keep the encoding collision-free in int64 up to n ≤ ~4·10⁵
+  * shards; ties — probability ~2⁻³² per pair — break toward the
+  * larger shard id, identically in any engine). Decoding is `% n`.
+  */
+object Sharding {
+
+  /** HRW shard of column `keyCol` over `n` shards, as the argmax of
+    * the portable per-(key, shard) md5 weight. Deterministic across
+    * engines, runs, and partitionings; null key → null shard.
+    */
+  def hrwShard(keyCol: String, n: Int): Column = {
+    require(n > 0 && n <= 400000, s"shard count out of range: $n")
+    val w = s"cast(conv(substring(md5(concat(cast(s as string), '#', " +
+      s"cast($keyCol as string))), 1, 8), 16, 10) as bigint)"
+    expr(
+      s"""array_max(transform(sequence(0, ${n - 1}),
+         |  s -> $w * ${n}L + s)) % ${n}L""".stripMargin)
+  }
+}
