@@ -4611,9 +4611,20 @@ object TrainQueries {
     // pair stream is never materialized or rescanned.
     // The pair-dedup shuffle is the flood's cost center (4.3M+ rows
     // at b16r2), so each (id_a < id_b) pair travels as ONE long
-    // (id_a<<32 | id_b — ids are far under 2³² at every tested SF)
-    // and the config as a small int: ~3× fewer shuffled bytes than
-    // (string, long, long) rows for the identical distinct.
+    // (id_a<<32 | id_b) and the config as a small int: ~3× fewer
+    // shuffled bytes than (string, long, long) rows for the identical
+    // distinct. The encoding is exact only for ids in [0, 2^32);
+    // pairEnc ENFORCES that per row (two codegen'd comparisons on the
+    // flood — negligible) so a larger corpus fails loudly instead of
+    // silently merging distinct pairs into one counter row.
+    def pairEnc(ia: String, ib: String): Column = expr(
+      s"""case when $ia >= 0 and $ia < 4294967296
+         |      and $ib >= 0 and $ib < 4294967296
+         |then shiftleft($ia, 32) + $ib
+         |else raise_error(concat(
+         |  'qLshTuning: doc id outside [0, 2^32) breaks the packed ',
+         |  'pair encoding: ', cast(greatest($ia, $ib) as string))) end"""
+        .stripMargin)
     val allBands = configs.zipWithIndex.map { case ((b, r), ci) =>
       NearDup.bandRows(sigs, "doc_id", "sig", b, r, 32)
         .withColumn("cfg", lit(ci))
@@ -4623,12 +4634,11 @@ object TrainQueries {
     val bb = allBands.select(col("cfg"), col("band"), col("band_key"),
       col("doc_id").as("id_b"))
     val truthEnc = truth.select(
-      (shiftleft(col("id_a"), 32) + col("id_b")).as("pc"),
+      pairEnc("id_a", "id_b").as("pc"),
       lit(1L).as("__t"))
     val counters = a.join(bb, Seq("cfg", "band", "band_key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("cfg"),
-        (shiftleft(col("id_a"), 32) + col("id_b")).as("pc"))
+      .select(col("cfg"), pairEnc("id_a", "id_b").as("pc"))
       .distinct()
       .join(broadcast(truthEnc), Seq("pc"), "left")
       .groupBy("cfg")

@@ -477,4 +477,47 @@ object NearDup {
     directed("id_a", "id_b", "__na")
       .unionByName(directed("id_b", "id_a", "__nb"))
   }
+
+  /** Resolve a FRACTION-of-corpus df cap to the absolute count the
+    * capped operators take: ⌈fraction · nDocs⌉, floored at 2 (a cap
+    * below 2 would drop every REPEATED gram — exactly the signal the
+    * near-dup operators exist to find). Pure, so the resolution rule
+    * is spec-pinnable against the absolute form.
+    *
+    * Why this form exists: an absolute `maxDf` is a corpus-size-
+    * RELATIVE policy wearing absolute clothes — the sf1 spot-gate
+    * (BASELINE.md) measured that the same `maxDf = 100` admits 10×
+    * deeper posting lists at 10× the corpus, turning the inverted-
+    * index families quadratic. A fraction holds the stop-gram POLICY
+    * ("drop grams shared by more than 0.2% of documents") fixed as
+    * the corpus grows, which keeps per-gram pair fanout proportional
+    * to corpus size instead of its square.
+    */
+  def dfCapForFraction(nDocs: Long, fraction: Double): Long = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"df fraction must be in (0,1]: $fraction")
+    require(nDocs >= 0, s"negative corpus size: $nDocs")
+    math.max(2L, math.ceil(fraction * nDocs).toLong)
+  }
+
+  /** [[ngramJaccardPairs]] with the df cap given as a fraction of the
+    * corpus: one O(1)-result `count()` job resolves
+    * [[dfCapForFraction]](|docs|, maxDfFraction), then the absolute
+    * form runs unchanged — both forms are the same operator, the
+    * fraction form just scales its cap with the corpus.
+    */
+  def ngramJaccardPairsByDfFraction(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, minJaccard: Double,
+      maxDfFraction: Double): DataFrame =
+    ngramJaccardPairs(docs, idCol, textCol, n, minJaccard,
+      dfCapForFraction(docs.count(), maxDfFraction))
+
+  /** [[ngramContainmentPairs]] with the df cap as a corpus fraction —
+    * see [[ngramJaccardPairsByDfFraction]].
+    */
+  def ngramContainmentPairsByDfFraction(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, minPct: Int,
+      maxDfFraction: Double): DataFrame =
+    ngramContainmentPairs(docs, idCol, textCol, n, minPct,
+      dfCapForFraction(docs.count(), maxDfFraction))
 }

@@ -24,6 +24,19 @@ import org.apache.spark.sql.functions._
   * s < n keep the encoding collision-free in int64 up to n ≤ ~4·10⁵
   * shards; ties — probability ~2⁻³² per pair — break toward the
   * larger shard id, identically in any engine). Decoding is `% n`.
+  *
+  * COST: O(n_shards) md5 evaluations PER ROW — that is HRW's
+  * intrinsic price for statelessness, not an implementation slip.
+  * At realistic shard counts (n ≤ a few thousand: one md5 is ~100 ns,
+  * so n = 1024 costs ~0.1 ms/row, amortized trivially against the
+  * I/O of writing the row) this is the right trade; the `n ≤ 4·10⁵`
+  * require is an encoding bound, not a performance endorsement. For
+  * very large n, the standard fix is HIERARCHICAL two-level HRW:
+  * route over √n super-shards with one hrwShard, then over the √n
+  * shards inside the winner with a second (key, super-shard)-salted
+  * hrwShard — 2·√n hashes per row (n = 10⁵ → ~640 vs 10⁵) while
+  * keeping the minimal-movement property at each level (a resize of
+  * the inner fan-out only moves keys within one super-shard).
   */
 object Sharding {
 

@@ -23,13 +23,18 @@ import org.apache.spark.sql.types._
   * disk), executor-side, no driver materialization, and COMMITTED,
   * not best-effort: tasks write attempt-unique temp files and
   * claim the canonical part name by rename (so speculative/retried
-  * attempts never interleave bytes in one file — first rename wins,
-  * losers delete themselves), the job writes into a hidden temp
-  * directory that is renamed over the target only after every task
-  * succeeded, and a `_SUCCESS` marker is the commit record. A failed
-  * mid-job write therefore leaves the previous target intact, and
-  * `read` refuses a directory with no marker instead of silently
-  * treating a torn write as complete data.
+  * attempts never interleave bytes in one file — the first
+  * FAIL-ON-EXISTS rename wins on every FileSystem, losers delete
+  * themselves), the job writes into a hidden temp directory that is
+  * renamed over the target only after every task succeeded, and a
+  * `_SUCCESS` marker is the commit record. The swap itself is
+  * two-phase: the previous target renames ASIDE (never deleted)
+  * before the new directory renames into place, so even a
+  * commit-phase rename failure cannot destroy both copies — the
+  * backup restores and the new data survives in the named temp
+  * directory. A failed mid-job write therefore leaves the previous
+  * target intact, and `read` refuses a directory with no marker
+  * instead of silently treating a torn write as complete data.
   *
   * The READ lists the directory on the driver (metadata), then
   * splits every container on its sync markers — each task seeks to
@@ -129,27 +134,65 @@ object AvroIo {
           n += 1
         }
         writer.close()
-        // Task commit: first attempt to rename to the canonical part
-        // name wins; a concurrent speculative/retried attempt finds
-        // the destination taken, discards its own bytes, and the
-        // committed file is always one attempt's complete output.
+        // Task commit: first attempt to claim the canonical part name
+        // wins. FileContext.rename with default Options.Rename.NONE is
+        // fail-on-exists on EVERY FileSystem (the AbstractFileSystem
+        // layer checks the destination itself) — FileSystem.rename on
+        // RawLocalFileSystem would silently OVERWRITE an existing
+        // destination (POSIX rename), letting a slow speculative or
+        // zombie attempt replace the already-counted winner. A loser
+        // (destination taken) or a zombie outliving job commit (parent
+        // directory gone → FileNotFoundException) deletes its own
+        // bytes and the committed file is one attempt's complete
+        // output.
         val dst = new HPath(tmpDirStr, f"part-$idx%05d.avro")
-        if (!fs.rename(tmpFile, dst)) fs.delete(tmpFile, false)
+        val fctx = org.apache.hadoop.fs.FileContext.getFileContext(
+          java.net.URI.create(tmpDirStr), rebuild(props))
+        try fctx.rename(tmpFile, dst)
+        catch { case _: java.io.IOException =>
+          try fs.delete(tmpFile, false)
+          catch { case _: Throwable => () }
+        }
         Iterator.single(n)
       }.count() // materialize the write
-      // Job commit: marker first (inside tmp), then swap directories.
+      // Marker first (inside tmp) — the swap below moves it into place.
       fs0.create(new HPath(tmpDir, "_SUCCESS"), true).close()
-      fs0.delete(target, true)
-      if (!fs0.rename(tmpDir, target))
-        throw new java.io.IOException(
-          s"AvroIo: failed to commit $tmpDir over $target")
     } catch {
       case e: Throwable =>
-        // Job abort: remove the temp directory, leave the target as
-        // it was before the write started.
+        // Job abort BEFORE the commit swap: remove the temp directory,
+        // leave the target exactly as it was before the write started.
         try fs0.delete(tmpDir, true)
         catch { case _: Throwable => () }
         throw e
+    }
+    // Job commit swap. The previous target is moved ASIDE, never
+    // deleted, until the new data is in place — so no failure mode
+    // destroys both copies: if moving the old target aside fails, the
+    // old data is untouched (tmp is dropped, plain abort); if the
+    // commit rename then fails (S3A copy-rename, permissions, crash),
+    // the backup is restored and tmpDir is KEPT — it holds the only
+    // copy of the new data — with its path named in the error.
+    val backup = new HPath(target.getParent,
+      s".${target.getName}.__replaced-${java.util.UUID.randomUUID}")
+    val hadTarget = fs0.exists(target)
+    if (hadTarget && !fs0.rename(target, backup)) {
+      try fs0.delete(tmpDir, true)
+      catch { case _: Throwable => () }
+      throw new java.io.IOException(
+        s"AvroIo: could not move previous $target aside; " +
+          "previous data left untouched, write aborted")
+    }
+    if (!fs0.rename(tmpDir, target)) {
+      val restored = !hadTarget || fs0.rename(backup, target)
+      throw new java.io.IOException(
+        s"AvroIo: failed to commit $tmpDir over $target; " +
+          (if (restored) s"previous data restored at $target, "
+           else s"previous data left at $backup, ") +
+          s"new data preserved at $tmpDir")
+    }
+    if (hadTarget) {
+      try fs0.delete(backup, true)
+      catch { case _: Throwable => () } // stray backup is harmless
     }
   }
 

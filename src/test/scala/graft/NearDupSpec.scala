@@ -159,4 +159,53 @@ class NearDupSpec extends AnyFunSuite {
         n = 3, minJaccard = 0.01, maxDf = 100L).count()
     assert(uncapped === 6L)
   }
+
+  test("fraction df cap: resolution rule pinned against the absolute " +
+      "form, and the fraction operator equals the absolute one at the " +
+      "resolved cap") {
+    import spark.implicits._
+    // the resolution rule: ceil(fraction * nDocs), floored at 2
+    assert(NearDup.dfCapForFraction(1000L, 0.1) === 100L)
+    assert(NearDup.dfCapForFraction(50000L, 0.002) === 100L)
+    // SCALE-AWARENESS, the reason the form exists: 10x corpus, same
+    // fraction -> 10x cap (the absolute form would stay at 100)
+    assert(NearDup.dfCapForFraction(500000L, 0.002) === 1000L)
+    // ceil, not floor; and the >=2 floor keeps repeated grams findable
+    assert(NearDup.dfCapForFraction(1001L, 0.001) === 2L)
+    assert(NearDup.dfCapForFraction(100L, 0.0001) === 2L)
+    intercept[IllegalArgumentException] {
+      NearDup.dfCapForFraction(100L, 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      NearDup.dfCapForFraction(100L, 1.5)
+    }
+    // operator equivalence: 4 docs, fraction 0.75 -> cap 3 (the same
+    // cap the absolute spec above uses), identical pair rows
+    val d = Seq(
+      (1L, "the quick brown fox jumps alpha beta gamma"),
+      (2L, "the quick brown fox jumps alpha beta gamma"),
+      (3L, "the quick brown fox jumps delta epsilon zeta"),
+      (4L, "the quick brown fox jumps eta theta iota")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    val frac = rows(NearDup.ngramJaccardPairsByDfFraction(
+      d, "doc_id", "text", n = 3, minJaccard = 0.01,
+      maxDfFraction = 0.75))
+    val abs = rows(NearDup.ngramJaccardPairs(
+      d, "doc_id", "text", n = 3, minJaccard = 0.01, maxDf = 3L))
+    assert(frac === abs)
+    assert(frac.nonEmpty)
+    // containment variant delegates through the same resolution
+    val fracC = NearDup.ngramContainmentPairsByDfFraction(
+      d, "doc_id", "text", n = 3, minPct = 50,
+      maxDfFraction = 0.75).collect().toSet.map((r: org.apache.spark.sql.Row) =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val absC = NearDup.ngramContainmentPairs(
+      d, "doc_id", "text", n = 3, minPct = 50,
+      maxDf = 3L).collect().toSet.map((r: org.apache.spark.sql.Row) =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(fracC === absC)
+  }
 }
