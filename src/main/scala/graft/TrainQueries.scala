@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.expressions.LongDot
 import graft.functions.{QuantizedCentroid, TextFns, TopK}
-import graft.ops.{Bfs, Blooms, Bpe, Cardinality, CharLm, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, Dsir, FreqSketch, FuzzyJoin, GapFill, JoinEstimate, KCenter, KCore, KMeans, Mixing, ModelStore, Multimodal, NearDup, Nested, Packing, PageRank, ParagraphDedup, Paths, Percentiles, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, Sharding, SetSimJoin, Similarity, Skyline, Snm, SpanDedup, TableDiff, Triangles, Winnowing}
+import graft.ops.{Bfs, Blooms, Bpe, Cardinality, CharLm, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, Drift, Dsir, FreqSketch, FuzzyJoin, GapFill, JoinEstimate, KCenter, KCore, KMeans, Mixing, ModelStore, Multimodal, NearDup, Nested, Packing, PageRank, ParagraphDedup, Paths, Percentiles, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, Sharding, SetSimJoin, Similarity, Skyline, Snm, SpanDedup, TableDiff, Triangles, Winnowing}
 import graft.streaming.{BudgetAdmission, EventStream, IncrementalClusters, NearDupIndex, RateMonitor, StatefulSessions, VersionedStore}
 
 /** Training-data-pipeline operators (SURVEY §7.2.8) as driver-contract
@@ -6155,6 +6155,157 @@ object TrainQueries {
       .orderBy("cum_tok")
   }
 
+  /** Hierarchical two-level HRW sharding (q231,
+    * [[graft.ops.Sharding.hrwShardWithin]]): the large-n form the
+    * flat router's scaladoc prescribes — route over 8 super-shards,
+    * then over an inner fan-out WITHIN the winner with a
+    * super-shard-salted weight family (16 hashes/row for 64 shards
+    * instead of 64). The report routes every document under inner
+    * fan-outs 8 AND 9 and proves the per-level minimal-movement
+    * property AS DATA: per super-shard, `n_moved_inner_resize` is the
+    * ~1/9 HRW expectation and `n_moved_not_to_new` (keys that
+    * changed inner shard but NOT onto the newly added one) is
+    * structurally zero; movement cannot cross super-shards at all
+    * because the super route does not read the inner fan-out. One
+    * scan, one partial-agg rollup — shard arithmetic never shuffles
+    * rows.
+    */
+  private def qHrwTwoLevel(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), Sharding.hrwShard("doc_id", 8).as("sup"))
+      .select(col("doc_id"), col("sup"),
+        Sharding.hrwShardWithin("doc_id", "sup", 8).as("i8"),
+        Sharding.hrwShardWithin("doc_id", "sup", 9).as("i9"))
+      .groupBy(col("sup").as("super_shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("i9") =!= col("i8"), 1L).otherwise(0L))
+          .as("n_moved_inner_resize"),
+        sum(when(col("i9") =!= col("i8") && col("i9") =!= 8L, 1L)
+          .otherwise(0L)).as("n_moved_not_to_new"))
+      .orderBy("super_shard")
+
+  /** Hashed-vocabulary drift audit (q232, [[graft.ops.Drift]]): the
+    * refresh-monitoring question — which parts of the token
+    * distribution differ between the English and Chinese slices of
+    * the corpus — as a ≤ buckets-row exact-integer report: every
+    * hashed bucket whose slice frequency differs at ppm resolution,
+    * with the drifted amount. 256 buckets; TV distance =
+    * Σ d_ppm / 2·10⁶ is derivable from the rows (spec-pinned).
+    */
+  private def qVocabDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Drift.vocabDrift(docs.filter(col("lang") === "en"),
+      docs.filter(col("lang") === "zh"), "text", 256)
+  }
+
+  /** Deterministic pseudonymization with referential integrity
+    * (q233): the release-governance step after E221's k-anonymity
+    * audit — user identifiers replaced by a salted-hash pseudonym
+    * (md5, 16 hex chars) CONSISTENTLY across tables, so released
+    * tables still join on the pseudonym without exposing the raw
+    * key. The query proves referential integrity as data: events
+    * aggregate under the pseudonym, customers pseudonymize
+    * INDEPENDENTLY, and the output joins the two releases ON THE
+    * PSEUDONYM — the market segment arrives through that join, and
+    * no raw identifier appears in any output column. Injectivity at
+    * corpus scale is spec-asserted (distinct pseudonyms = distinct
+    * users). Scan-local hashing; one partial-agg + one broadcastable
+    * dim join.
+    */
+  private def qPseudonymize(s: SparkSession, dir: String): DataFrame = {
+    def pseudo(c: Column): Column =
+      substring(md5(concat(lit("u#"), c.cast("string"))), 1, 16)
+    val perUser = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_event_types"))
+      .select(pseudo(col("user_id")).as("pseudo_id"),
+        col("n_events"), col("n_event_types"))
+    val custRelease = t(s, dir, "customer")
+      .select(pseudo(col("c_custkey")).as("pseudo_id"),
+        col("c_mktsegment").as("segment"))
+    perUser.join(custRelease, "pseudo_id")
+      .orderBy("pseudo_id")
+  }
+
+  /** Dictionary-based document tagging (q234): the lexicon screen a
+    * curation pipeline runs for topic routing, blocklists, and
+    * compliance terms — match every document against a term
+    * dictionary and emit its tags. The dictionary is a BROADCAST
+    * literal (parameter-bounded); matching is one scan-local
+    * `array_intersect` on the token array — no explode, no join, no
+    * shuffle of text; only tagged doc ids and their tag strings
+    * leave the scan. At 100 TB this is a map-only pass.
+    */
+  private def qDictTags(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "join", "window", "filter", "scan")
+    val termsArr = array(terms.map(lit): _*)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        array_sort(array_intersect(
+          expr("filter(split(text, ' '), t -> t <> '')"), termsArr))
+          .as("__tags"))
+      .filter(size(col("__tags")) > 0)
+      .select(col("doc_id"), size(col("__tags")).cast("long").as("n_tags"),
+        array_join(col("__tags"), " ").as("tags"))
+      .orderBy("doc_id")
+  }
+
+  /** Epoch-seeded deterministic corpus shuffle (q235): the training-
+    * order primitive — each epoch's visit order is the ascending
+    * md5(epoch # doc_id) hash, so the order is reproducible from the
+    * seed alone, decorrelates across epochs, and needs NO stored
+    * permutation table. The query emits the first 16 positions of
+    * epochs 0–2 (a distributed TakeOrdered per epoch — top-k, never
+    * a global sort); the production form for a full-corpus order is
+    * a range-partitioned sort by the same hash, noted here rather
+    * than run because the ORDER is the operator, not the 100 TB
+    * rewrite. The position window runs on 48 surviving rows —
+    * k-bounded, not corpus-bounded.
+    */
+  private def qEpochOrder(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    (0 to 2).map { e =>
+      docs.select(lit(e.toLong).as("epoch"), col("doc_id"),
+        md5(concat(lit(s"e$e#"), col("doc_id").cast("string")))
+          .as("__h"))
+        .orderBy(col("__h").asc, col("doc_id").asc)
+        .limit(16)
+    }.reduce(_ unionByName _)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("epoch").orderBy(col("__h").asc,
+          col("doc_id").asc)).cast("long"))
+      .select("epoch", "pos", "doc_id")
+      .orderBy("epoch", "pos")
+  }
+
+  /** Source-concentration audit (q236): the mixing-governance
+    * counterpart of E71's rebalancing — per-source token counts,
+    * integer-ppm corpus shares, and the Herfindahl–Hirschman index
+    * (Σ share², the standard concentration measure) over the whole
+    * corpus, exact-integer at ppm scale. A training corpus whose
+    * HHI approaches 10⁶ ppm is one source wearing a corpus costume;
+    * the per-source rows name the offenders. One token-count scan,
+    * one ≤ sources-group rollup, two broadcast scalars.
+    */
+  private def qSourceHhi(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = t(s, dir, "documents")
+      .select(col("source"),
+        expr("cast(size(filter(split(text, ' '), t -> t <> '')) as long)")
+          .as("__ntok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__ntok")).as("n_tokens"))
+    val shares = perSrc
+      .crossJoin(broadcast(perSrc.agg(sum(col("n_tokens")).as("__tot"))))
+      .withColumn("share_ppm", expr("n_tokens * 1000000 div __tot"))
+    shares
+      .crossJoin(broadcast(shares
+        .agg(expr("sum(share_ppm * share_ppm) div 1000000").as("hhi_ppm"))))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("share_ppm"), col("hhi_ppm"))
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -6378,7 +6529,13 @@ object TrainQueries {
     "q227_k_anonymity" -> (qKAnonymity _),
     "q228_incr_join_estimate" -> (qIncrJoinEstimate _),
     "q229_span_excision" -> (qSpanExcision _),
-    "q230_dsir_selection" -> (qDsirSelection _))
+    "q230_dsir_selection" -> (qDsirSelection _),
+    "q231_hrw_two_level" -> (qHrwTwoLevel _),
+    "q232_vocab_drift" -> (qVocabDrift _),
+    "q233_pseudonymize" -> (qPseudonymize _),
+    "q234_dict_tags" -> (qDictTags _),
+    "q235_epoch_order" -> (qEpochOrder _),
+    "q236_source_hhi" -> (qSourceHhi _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -9745,6 +9902,103 @@ object TrainQueries {
          SELECT doc_id, lang, n_tokens, score_q, cum_tok
          FROM cum WHERE cum_tok - n_tokens < 20000
          ORDER BY cum_tok""",
+    // q231: two-level HRW — the q226 argmax with the inner weight
+    // salted by the super-shard, inner fan-outs 8 and 9.
+    "q231_hrw_two_level" ->
+      """WITH s8 AS (SELECT UNNEST([0,1,2,3,4,5,6,7]) AS s),
+         s9 AS (SELECT UNNEST([0,1,2,3,4,5,6,7,8]) AS s),
+         w AS (SELECT doc_id,
+             (SELECT MAX(CAST('0x' || substr(md5(CAST(s.s AS VARCHAR)
+                 || '#' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                 * 8 + s.s) FROM s8 s) % 8 AS sup
+           FROM documents d),
+         w2 AS (SELECT doc_id, sup,
+             (SELECT MAX(CAST('0x' || substr(md5(CAST(s.s AS VARCHAR)
+                 || '#' || CAST(w.sup AS VARCHAR) || '|'
+                 || CAST(w.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                 * 8 + s.s) FROM s8 s) % 8 AS i8,
+             (SELECT MAX(CAST('0x' || substr(md5(CAST(s.s AS VARCHAR)
+                 || '#' || CAST(w.sup AS VARCHAR) || '|'
+                 || CAST(w.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                 * 9 + s.s) FROM s9 s) % 9 AS i9
+           FROM w)
+         SELECT sup AS super_shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN i9 <> i8 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_moved_inner_resize,
+             CAST(SUM(CASE WHEN i9 <> i8 AND i9 <> 8 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_moved_not_to_new
+         FROM w2 GROUP BY 1 ORDER BY 1""",
+    // q232: hashed-vocabulary ppm drift, en vs zh, 256 buckets.
+    "q232_vocab_drift" ->
+      """WITH tk AS (SELECT CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS g,
+             unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS w
+           FROM documents WHERE lang IN ('en', 'zh')),
+         c AS (SELECT CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)
+               % 256 AS bucket,
+             SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS cb
+           FROM tk GROUP BY 1),
+         t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM c),
+         p AS (SELECT bucket,
+             CAST(ca * 1000000 // t.na AS BIGINT) AS ppm_a,
+             CAST(cb * 1000000 // t.nb AS BIGINT) AS ppm_b
+           FROM c, t)
+         SELECT bucket, ppm_a, ppm_b,
+             CAST(abs(ppm_a - ppm_b) AS BIGINT) AS d_ppm
+         FROM p WHERE ppm_a <> ppm_b
+         ORDER BY d_ppm DESC, bucket""",
+    // q233: salted-md5 pseudonyms; the releases join ON the pseudonym.
+    "q233_pseudonymize" ->
+      """WITH pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types
+           FROM events GROUP BY 1),
+         pr AS (SELECT substr(md5('u#' || CAST(user_id AS VARCHAR)),
+               1, 16) AS pseudo_id, n_events, n_event_types
+           FROM pu),
+         cr AS (SELECT substr(md5('u#' || CAST(c_custkey AS VARCHAR)),
+               1, 16) AS pseudo_id, c_mktsegment AS segment
+           FROM customer)
+         SELECT pr.pseudo_id, n_events, n_event_types, segment
+         FROM pr JOIN cr USING (pseudo_id) ORDER BY pseudo_id""",
+    // q234: broadcast-lexicon tagging via list_intersect.
+    "q234_dict_tags" ->
+      """WITH m AS (SELECT doc_id, list_sort(list_intersect(
+             list_distinct(list_filter(string_split(text, ' '),
+               t -> t <> '')),
+             ['spark', 'join', 'window', 'filter', 'scan'])) AS tl
+           FROM documents)
+         SELECT doc_id, CAST(len(tl) AS BIGINT) AS n_tags,
+             array_to_string(tl, ' ') AS tags
+         FROM m WHERE len(tl) > 0 ORDER BY doc_id""",
+    // q235: per-epoch ascending-md5 visit order, first 16 positions.
+    "q235_epoch_order" ->
+      """WITH e AS (SELECT UNNEST([0, 1, 2]) AS epoch),
+         h AS (SELECT e.epoch, d.doc_id,
+             md5('e' || CAST(e.epoch AS VARCHAR) || '#'
+               || CAST(d.doc_id AS VARCHAR)) AS hh
+           FROM e, documents d),
+         r AS (SELECT epoch, doc_id, CAST(row_number() OVER
+             (PARTITION BY epoch ORDER BY hh, doc_id) AS BIGINT) AS pos
+           FROM h)
+         SELECT CAST(epoch AS BIGINT) AS epoch, pos, doc_id
+         FROM r WHERE pos <= 16 ORDER BY epoch, pos""",
+    // q236: per-source token shares in ppm + corpus HHI.
+    "q236_source_hhi" ->
+      """WITH d AS (SELECT source, CAST(len(list_filter(
+             string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ntok
+           FROM documents),
+         s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(ntok) AS BIGINT) AS n_tokens
+           FROM d GROUP BY 1),
+         t AS (SELECT SUM(n_tokens) AS tot FROM s),
+         sh AS (SELECT source, n_docs, n_tokens,
+             CAST(n_tokens * 1000000 // t.tot AS BIGINT) AS share_ppm
+           FROM s, t),
+         h AS (SELECT CAST(SUM(share_ppm * share_ppm) // 1000000
+             AS BIGINT) AS hhi_ppm FROM sh)
+         SELECT source, n_docs, n_tokens, share_ppm, h.hhi_ppm
+         FROM sh, h ORDER BY source""",
     // q223: batch membership replayed via the staging NTILE over
     // doc_id (chunk c arrives as batch c−1 — the staging contract),
     // then q220's anti-join per (batch, source).

@@ -52,4 +52,26 @@ object Sharding {
       s"""array_max(transform(sequence(0, ${n - 1}),
          |  s -> $w * ${n}L + s)) % ${n}L""".stripMargin)
   }
+
+  /** Inner level of the hierarchical (two-level) HRW router described
+    * above: the HRW shard of `keyCol` over `n` shards WITHIN the
+    * super-shard held in column `outerCol` — the weight hash is
+    * salted with the super-shard, so each super-shard routes its keys
+    * with an independent weight family. Composition:
+    * `sup = hrwShard(key, nSup)`, `inner = hrwShardWithin(key, sup,
+    * nInner)`, global shard = `sup · nInner + inner` — `nSup + nInner`
+    * hashes per row instead of `nSup · nInner`, and a resize of the
+    * INNER fan-out moves keys only within their own super-shard
+    * (spec-asserted), preserving HRW's minimal-movement property per
+    * level.
+    */
+  def hrwShardWithin(keyCol: String, outerCol: String, n: Int): Column = {
+    require(n > 0 && n <= 400000, s"shard count out of range: $n")
+    val w = s"cast(conv(substring(md5(concat(cast(s as string), '#', " +
+      s"cast($outerCol as string), '|', cast($keyCol as string))), " +
+      "1, 8), 16, 10) as bigint)"
+    expr(
+      s"""array_max(transform(sequence(0, ${n - 1}),
+         |  s -> $w * ${n}L + s)) % ${n}L""".stripMargin)
+  }
 }

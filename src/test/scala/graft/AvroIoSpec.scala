@@ -130,6 +130,25 @@ class AvroIoSpec extends AnyFunSuite {
     assert(leftovers.isEmpty, s"temp dirs left: ${leftovers.toSeq}")
   }
 
+  test("a successful overwrite leaves no backup sibling behind (the " +
+      "two-phase swap cleans up its rename-aside copy)") {
+    val path = scratch("graft_avro_spec_swap")
+    val df1 = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, 1, 1.0, "a", true)), 1),
+      schema)
+    val df2 = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(2L, 2, 2.0, "b", false)), 1),
+      schema)
+    AvroIo.write(df1, path)
+    AvroIo.write(df2, path) // commit swap moves df1 aside, then drops it
+    assert(AvroIo.read(spark, path, schema).collect().toSeq ===
+      Seq(Row(2L, 2, 2.0, "b", false)))
+    val strays = new java.io.File(path).getParentFile.listFiles()
+      .map(_.getName).filter(_.contains("graft_avro_spec_swap"))
+      .filterNot(_ == new java.io.File(path).getName)
+    assert(strays.isEmpty, s"swap left siblings behind: ${strays.toSeq}")
+  }
+
   test("unsupported types fail fast at write time") {
     import spark.implicits._
     val df = Seq((1L, Seq(1, 2))).toDF("id", "arr")

@@ -771,4 +771,48 @@ class PlanSpec extends AnyFunSuite {
       s"offsets must come from the aggregate fold, not a window:\n" +
         p.take(1200))
   }
+
+  test("q231: two-level HRW routing is scan-local — no join, no " +
+      "window; one partial-agg rollup shuffles shard counters only") {
+    val df = SparkEntry.queries("q231_hrw_two_level")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("Join"),
+      s"shard arithmetic must not join:\n${p.take(1200)}")
+    assert(!p.contains("Window"), "no window in the rollup")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "shard counters must combine map-side")
+  }
+
+  test("q232: drift counters ride ONE exchange (both slices tagged " +
+      "into the same partial agg); totals broadcast back") {
+    val df = SparkEntry.queries("q232_vocab_drift")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    // the sole pair of exchanges: bucket rollup + the scalar totals;
+    // the counter-to-totals join must be broadcast, never sort-merge
+    assert(!p.contains("SortMergeJoin"),
+      s"scalar totals must broadcast:\n${p.take(1500)}")
+    assert(p.contains("partial_sum"), "counters must combine map-side")
+  }
+
+  test("q234: dictionary tagging is a map-only pass — no join, no " +
+      "shuffle of text; the lexicon is a plan literal") {
+    val df = SparkEntry.queries("q234_dict_tags")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("Join"),
+      s"the broadcast-literal lexicon must not plan a join:\n" +
+        p.take(1200))
+    assert(!p.contains("Window"), "no window anywhere")
+    // the terms appear as array literals folded into the plan
+    assert(p.contains("spark") && p.contains("filter"),
+      "lexicon terms must be plan literals")
+  }
+
+  test("q235: per-epoch order is TakeOrdered (top-k), never a global " +
+      "sort of the corpus") {
+    val df = SparkEntry.queries("q235_epoch_order")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"each epoch's first-k must be a distributed top-k:\n" +
+        p.take(1200))
+  }
 }

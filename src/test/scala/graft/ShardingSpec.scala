@@ -57,4 +57,62 @@ class ShardingSpec extends AnyFunSuite {
       .select(Sharding.hrwShard("k", 4).as("s")).collect()
     assert(out.count(_.isNullAt(0)) === 1)
   }
+
+  private def twoLevel(nInner: Int, keys: Range = 0 until 2000) =
+    keys.map(_.toLong).toDF("k")
+      .select(col("k"), Sharding.hrwShard("k", 8).as("sup"))
+      .select(col("k"), col("sup"),
+        Sharding.hrwShardWithin("k", "sup", nInner).as("inner"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+
+  test("two-level HRW: inner shards in range, deterministic, and " +
+      "roughly balanced within each super-shard") {
+    val a = twoLevel(8)
+    assert(a === twoLevel(8))
+    assert(a.values.forall { case (sup, i) =>
+      sup >= 0 && sup < 8 && i >= 0 && i < 8 })
+    // each super-shard uses its whole inner range (250 keys over 8
+    // inner shards leaves no inner shard empty w.h.p.)
+    a.values.groupBy(_._1).foreach { case (sup, vs) =>
+      assert(vs.map(_._2).toSet.size === 8,
+        s"super-shard $sup uses ${vs.map(_._2).toSet.size} inner shards")
+    }
+  }
+
+  test("two-level HRW: resizing the INNER fan-out 8 -> 9 moves keys " +
+      "only onto the new inner shard and never across super-shards") {
+    val i8 = twoLevel(8)
+    val i9 = twoLevel(9)
+    var movedInner = 0
+    i8.keys.foreach { k =>
+      val (sup8, in8) = i8(k)
+      val (sup9, in9) = i9(k)
+      assert(sup8 === sup9, s"key $k left its super-shard")
+      if (in8 != in9) {
+        assert(in9 === 8L,
+          s"key $k moved between surviving inner shards: $in8 -> $in9")
+        movedInner += 1
+      }
+    }
+    // expected 2000/9 ~ 222 across all super-shards
+    assert(movedInner > 100 && movedInner < 400,
+      s"moved $movedInner, expected ~222")
+  }
+
+  test("two-level HRW: inner weight families differ across " +
+      "super-shards (the salt is live)") {
+    // route the same key range under two FIXED outer values: if the
+    // salt were dead, the assignments would coincide everywhere
+    val base = (0 until 500).map(_.toLong).toDF("k")
+    def under(sup: Int) = base
+      .select(col("k"), lit(sup.toLong).as("sup"))
+      .select(col("k"), Sharding.hrwShardWithin("k", "sup", 8).as("i"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val u0 = under(0)
+    val u1 = under(1)
+    val same = u0.keys.count(k => u0(k) == u1(k))
+    // independent families agree ~1/8 of the time, never ~100%
+    assert(same < 200, s"salted families agree on $same of 500 keys")
+  }
 }
