@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.expressions.LongDot
 import graft.functions.{QuantizedCentroid, TextFns, TopK}
-import graft.ops.{Bfs, Blooms, Bpe, Cardinality, CharLm, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, Drift, Dsir, FreqSketch, FuzzyJoin, GapFill, JoinEstimate, KCenter, KCore, KMeans, Mixing, ModelStore, Multimodal, NearDup, Nested, Packing, PageRank, ParagraphDedup, Paths, Percentiles, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, Sharding, SetSimJoin, Similarity, Skyline, Snm, SpanDedup, TableDiff, Triangles, Winnowing}
+import graft.ops.{Bfs, Blooms, Bpe, Cardinality, CharLm, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, Drift, Dsir, FreqSketch, FuzzyJoin, GapFill, JoinEstimate, KCenter, KCore, KMeans, Mixing, ModelStore, Multimodal, NearDup, Nested, Packing, PageRank, ParagraphDedup, Paths, Percentiles, PhraseExcise, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, Sharding, SetSimJoin, Similarity, Skyline, Snm, SpanDedup, TableDiff, Triangles, Winnowing}
 import graft.streaming.{BudgetAdmission, EventStream, IncrementalClusters, NearDupIndex, RateMonitor, StatefulSessions, VersionedStore}
 
 /** Training-data-pipeline operators (SURVEY §7.2.8) as driver-contract
@@ -494,6 +494,36 @@ object TrainQueries {
                      JOIN sig sb ON cand.id_b = sb.doc_id)
          SELECT id_a, id_b, jaccard, est_jaccard FROM jac
          WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""
+
+  /** q237's oracle: the q25 chain (shared CTEs) verified at J ≥ 0.5,
+    * crossed with the q46 md5-bucket split and kept where the splits
+    * differ.
+    */
+  private def splitLeakageOracle: String =
+    s"""$minhashCtes,
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b
+             ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         jac AS (SELECT id_a, id_b,
+             CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+               / CAST(len(x.shingles) + len(y.shingles)
+                   - len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+               AS jaccard
+           FROM cand JOIN s x ON cand.id_a = x.doc_id
+                     JOIN s y ON cand.id_b = y.doc_id),
+         sp AS (SELECT doc_id,
+             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                   1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+               WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                   1, 8) AS BIGINT) % 100 < 90 THEN 'val'
+               ELSE 'test' END AS split
+           FROM documents)
+         SELECT id_a, id_b, jaccard, sa.split AS split_a,
+             sb.split AS split_b
+         FROM jac JOIN sp sa ON jac.id_a = sa.doc_id
+                  JOIN sp sb ON jac.id_b = sb.doc_id
+         WHERE jaccard >= 0.5 AND sa.split <> sb.split
+         ORDER BY id_a, id_b"""
 
   /** q192's oracle: the same 32-hash signature chain banded three
     * ways (the shared `bands` CTE IS the (4,8) config), candidates
@@ -6306,6 +6336,314 @@ object TrainQueries {
       .orderBy("source")
   }
 
+  /** Cross-split near-duplicate leakage audit (q237): the check that
+    * makes a train/val/test split TRUSTWORTHY — a validation document
+    * whose near-duplicate sits in training is memorization leakage
+    * regardless of how clean the split arithmetic is (q132 guards
+    * cluster-identity leakage, q219 the time boundary; this guards
+    * CONTENT). Composition of the q25 banded MinHash screen (exact
+    * Jaccard ≥ 0.5 verified on band candidates only — never n² pairs)
+    * with q46's md5-bucket split assignment: every verified near-dup
+    * pair whose members land in DIFFERENT splits, with both splits
+    * named. Split hashing is scan-local on the pair rows (two md5s per
+    * surviving pair — pair-bounded, not corpus-bounded). At 100 TB the
+    * cost is exactly q25's screen; the audit itself is free.
+    */
+  private def qSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    def splitOf(c: String): Column = {
+      val bucket = expr(
+        s"""cast(conv(substring(md5(cast($c as string)), 1, 8), 16, 10)
+           | as bigint) % 100""".stripMargin)
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    }
+    val docs = t(s, dir, "documents")
+      .repartition(col("doc_id"))
+      .withColumn("shingles", TextFns.shingles("text", 5))
+      .select("doc_id", "shingles")
+      .localCheckpoint()
+    val sigs = NearDup.minHashSigs(docs, "doc_id", "shingles", 32, "sig")
+    val cand = NearDup.candidatePairs(
+      NearDup.bandRows(sigs, "doc_id", "sig", 4, 8, 32), "doc_id")
+    NearDup.jaccard(cand, docs, "doc_id", "shingles")
+      .filter(col("jaccard") >= 0.5)
+      .withColumn("split_a", splitOf("id_a"))
+      .withColumn("split_b", splitOf("id_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Length-bucket padding-waste audit (q238): the batch-assembly
+    * economics question — pad-to-power-of-2 length bucketing (the
+    * standard kernel-friendly batching scheme) costs `bucket_len −
+    * n_tok` padding tokens per document; this reports, per bucket,
+    * document count, real tokens, padding tokens, and the padding
+    * share of bucket capacity in integer basis points. The bucket
+    * boundary is an exact-integer `array_min(filter(...))` over the
+    * 9 power-of-2 literals (no cross-engine float log2), documents
+    * beyond the 4096 cap truncate to it. One scan-local projection,
+    * one ≤ 9-group partial-agg rollup — map-only at 100 TB.
+    */
+  private def qLengthBuckets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(expr(
+        "cast(size(filter(split(text, ' '), t -> t <> '')) as long)")
+        .as("__ntok"))
+      .withColumn("__eff", expr("least(__ntok, 4096L)"))
+      .withColumn("bucket_len", expr(
+        """array_min(filter(
+          |  array(16L,32L,64L,128L,256L,512L,1024L,2048L,4096L),
+          |  p -> p >= __eff))""".stripMargin))
+      .groupBy("bucket_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__eff")).as("n_tokens"),
+        sum(expr("bucket_len - __eff")).as("n_padding"))
+      .withColumn("waste_bp",
+        expr("n_padding * 10000 div (bucket_len * n_docs)"))
+      .orderBy("bucket_len")
+
+  /** Data-constrained epoch schedule (q239): the repeat-factor
+    * arithmetic a token-budgeted pretraining run does when sources
+    * are finite — target budget 2× the corpus, uniform per-source
+    * target shares, repeats capped at 4 epochs (the published
+    * diminishing-returns knee for repeated data). Per source: the
+    * available tokens, the ideal allocation, the granted repeat
+    * factor in exact ppm (`least(ideal·10⁶ div avail, 4·10⁶)`), the
+    * achieved tokens under it, and the deficit a re-mixing pass
+    * would have to cover from elsewhere. Truncating-integer ppm
+    * throughout (deficit ≥ 0 by construction). One token-count
+    * rollup + one broadcast scalar pair — the schedule itself is
+    * ≤ sources rows of arithmetic.
+    */
+  private def qEpochSchedule(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = t(s, dir, "documents")
+      .select(col("source"),
+        expr("cast(size(filter(split(text, ' '), t -> t <> '')) as long)")
+          .as("__ntok"))
+      .groupBy("source")
+      .agg(sum(col("__ntok")).as("avail_tokens"))
+    perSrc
+      .crossJoin(broadcast(perSrc.agg(
+        sum(col("avail_tokens")).as("__tot"),
+        count(lit(1)).as("__nsrc"))))
+      .withColumn("ideal_tokens", expr("__tot * 2 div __nsrc"))
+      .withColumn("repeats_ppm", expr(
+        "least(ideal_tokens * 1000000 div avail_tokens, 4000000L)"))
+      .withColumn("achieved_tokens",
+        expr("avail_tokens * repeats_ppm div 1000000"))
+      .withColumn("deficit_tokens",
+        expr("ideal_tokens - achieved_tokens"))
+      .select(col("source"), col("avail_tokens"), col("ideal_tokens"),
+        col("repeats_ppm"), col("achieved_tokens"), col("deficit_tokens"))
+      .orderBy("source")
+  }
+
+  /** l-diversity audit (q240): the release-governance check k-anonymity
+    * (q227) cannot make — a quasi-identifier group can be large (k-safe)
+    * yet carry ONE sensitive value, so membership alone discloses it
+    * (the homogeneity attack l-diversity exists to name). Per
+    * (nation, segment) QI group: row count, the number of DISTINCT
+    * sensitive account-band values present, and whether the group
+    * meets l = 3. The sensitive banding is exact-integer decimal-cents
+    * comparison (no float thresholds). One broadcast nation-dim join +
+    * one partial-agg rollup; only (QI, count, distinct-count) rows
+    * shuffle — the audit is group-bounded at any corpus size.
+    */
+  private def qLDiversity(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        col("c_mktsegment").as("segment"),
+        expr("""case
+          | when cast(c_acctbal as decimal(18,2)) < 0 then 'debt'
+          | when cast(c_acctbal as decimal(18,2)) < 5000 then 'mid'
+          | else 'high' end""".stripMargin).as("__sens"))
+      .groupBy("nation", "segment")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("__sens")).as("l_distinct"))
+      .withColumn("l_ok", col("l_distinct") >= 3)
+      .orderBy("nation", "segment")
+
+  /** Session-path assembly (q241): the SFT-example primitive — each
+    * behavioral session becomes one ordered event-type sequence (the
+    * 30-minute-gap sessionization of q32), truncated to its first 8
+    * turns, and the corpus's dominant interaction paths are reported
+    * with session/user/event counts. Assembly is a deterministic
+    * in-group sort (`sort_array(collect_list(struct(ts, id, type)))`
+    * — per-session bounded, never a global sort); the path rollup is
+    * a partial agg over path strings and the result is the top-20
+    * under a total order. At 100 TB: one sessionize shuffle by user,
+    * one path-key shuffle of (path, counts) rows, TakeOrdered for
+    * the report — no window over the corpus, no driver loop.
+    */
+  private def qSessionPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms").asc, col("event_id").asc)
+    val sess = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("__prev", lag("ts_ms", 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        col("ts_ms") - col("__prev") > 30L * 60 * 1000, 1L).otherwise(0L))
+      .withColumn("__sess", sum("__new").over(w))
+    sess.groupBy("user_id", "__sess")
+      .agg(sort_array(collect_list(struct(
+        col("ts_ms"), col("event_id"), col("event_type")))).as("__evs"))
+      .select(col("user_id"),
+        expr("array_join(transform(slice(__evs, 1, 8)," +
+          " e -> e.event_type), '>')").as("path"),
+        expr("cast(size(__evs) as long)").as("__ne"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("__ne")).as("n_events"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
+  /** Normalization-aware decontamination (q242): real benchmark text
+    * never arrives formatted like the training corpus — casing,
+    * punctuation, and spacing differ — so a RAW n-gram screen (q53)
+    * silently misses contaminated pairs. Here the eval set is the
+    * q53 holdout re-formatted adversarially IN-QUERY (uppercased,
+    * comma-joined, period-terminated: zero raw 4-gram overlap with
+    * the corpus — spec-asserted), and both sides pass through the
+    * normalizer (lowercase → non-alphanumerics to spaces → collapse →
+    * trim) before the [[Contamination.sharedGramCounts]] screen. The
+    * normalized screen recovers exactly the q53 pair set — the
+    * measured value of normalizing before matching. Normalization is
+    * scan-local string work; the join ships only md5 gram hashes.
+    */
+  private def qNormDecontam(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val evalRaw = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"),
+        expr("concat(upper(array_join(split(text, ' '), ', ')), '.')")
+          .as("text"))
+    def normalize(df: DataFrame): DataFrame = df
+      .withColumn("text", expr(
+        """trim(regexp_replace(regexp_replace(lower(text),
+          | '[^a-z0-9 ]', ' '), ' +', ' '))""".stripMargin))
+    Contamination.sharedGramCounts(
+        normalize(docs.filter(col("doc_id") % 50 =!= 0)),
+        normalize(evalRaw), "doc_id", "text", 4)
+      .orderBy("corpus_id", "eval_id")
+  }
+
+  /** Dedup-weighted sampling (q243): sample uniformly over CONTENT,
+    * not over copies — a document in a near-dup cluster of size k
+    * keeps with probability r/k (exact-integer hash rule:
+    * md5 % (10⁴·k) < 2·10³), so every content cluster's total
+    * inclusion mass equals a singleton's and duplicated content stops
+    * being over-represented in the sample (the soft-dedup discipline
+    * of published corpus pipelines, where hard dedup is too blunt).
+    * Cluster sizes come from the stored [[fullClusterLabels]] (the
+    * q71/q216 component machinery over the exact-Jaccard pair class);
+    * unclustered docs are size-1. The report groups by component
+    * size: clusters, docs, kept docs, and clusters with ≥ 1 survivor
+    * — the flat-across-sizes column that PROVES the content-uniform
+    * property as data. Labels/sizes are pair-bounded small join
+    * sides (broadcast under AQE); the keep rule is one scan-local
+    * md5 per doc.
+    */
+  private def qDedupWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val labels = fullClusterLabels(s, dir)
+    val sizes = labels.groupBy("cluster_rep").agg(count(lit(1)).as("__sz"))
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"),
+        "left")
+      .join(sizes, Seq("cluster_rep"), "left")
+      .withColumn("__csz", coalesce(col("__sz"), lit(1L)))
+      .withColumn("__rep", coalesce(col("cluster_rep"), col("doc_id")))
+      .withColumn("__kept", expr(
+        """cast(conv(substring(md5(concat('dws|',
+          |  cast(doc_id as string))), 1, 12), 16, 10) as bigint)
+          |  % (10000L * __csz) < 2000L""".stripMargin))
+      .groupBy(col("__csz"), col("__rep"))
+      .agg(count(lit(1)).as("__nd"),
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("__nk"))
+      .groupBy(col("__csz").as("component_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("__nd")).as("n_docs"),
+        sum(col("__nk")).as("n_kept"),
+        sum(when(col("__nk") > 0, 1L).otherwise(0L))
+          .as("n_clusters_hit"))
+      .orderBy("component_size")
+  }
+
+  /** Tokenizer fertility audit (q244): the tokenizer-economics
+    * question a multilingual corpus forces — how many characters one
+    * BPE token buys per language (fertility), and how much the
+    * trained merges compress over whitespace tokens. Composition of
+    * the stored q206 merge chain applied scan-locally (q207's
+    * [[graft.ops.Bpe.applyMerges]]) with a per-language rollup:
+    * docs, word chars, whitespace tokens, BPE symbols, then
+    * chars-per-BPE-token and BPE-per-whitespace-token in exact
+    * truncating bp. A language whose fertility is half the others'
+    * pays double the sequence length for the same text — this table
+    * is the evidence a tokenizer retrain starts from. One scan
+    * (merges broadcast as literals), one ≤ langs-group rollup.
+    */
+  private def qTokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("__toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .withColumn("__seq", Bpe.docSeq("__toks"))
+      .withColumn("__seq2", Bpe.applyMerges("__seq", bpeMerges(s, dir)))
+      .select(col("lang"),
+        expr("aggregate(__toks, 0L, (a, x) -> a + length(x))")
+          .as("__chars"),
+        size(col("__toks")).cast("long").as("__nws"),
+        Bpe.symbolCount("__seq2").as("__nbpe"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__chars")).as("n_chars"),
+        sum(col("__nws")).as("n_ws_tokens"),
+        sum(col("__nbpe")).as("n_bpe_tokens"))
+      .withColumn("chars_per_bpe_bp",
+        expr("n_chars * 10000 div n_bpe_tokens"))
+      .withColumn("bpe_per_ws_bp",
+        expr("n_bpe_tokens * 10000 div n_ws_tokens"))
+      .orderBy("lang")
+
+  /** Checksum-validated identifier screen (q245): the verification
+    * layer behind E38's PII detection — a 16-digit run is only a
+    * card-number FINDING if it passes the Luhn mod-10 check
+    * ([[TextFns.luhnValid]]); random digit runs pass at 1/10, so the
+    * checksum cuts false escalations 10× before anything is redacted
+    * or reported. The corpus carries no real identifiers (the q52
+    * discipline), so each document's candidate is a deterministic
+    * 16-digit stand-in derived from its id — the per-source rates
+    * then measure exactly the 1/10 background a screen must expect
+    * from random digits. Scan-local integer fold per candidate, one
+    * ≤ sources-group rollup; real Luhn vectors are spec-pinned.
+    */
+  private def qLuhnScreen(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("__cand", expr(
+        """lpad(cast((doc_id % 1000000007L) * 76695841L
+          |  % 10000000000000000L as string), 16, '0')""".stripMargin))
+      .withColumn("__ok", TextFns.luhnValid("__cand"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("__ok"), 1L).otherwise(0L)).as("n_luhn_valid"))
+      .withColumn("valid_bp",
+        expr("n_luhn_valid * 10000 div n_candidates"))
+      .orderBy("source")
+
+  /** Blocklist phrase excision (q246, [[graft.ops.PhraseExcise]]):
+    * policy scrubbing at span granularity — every occurrence of a
+    * blocked multi-word phrase is cut out of the text, surrounding
+    * tokens kept, overlapping matches merged into one island (the
+    * q229 island discipline driven by a PATTERN list instead of
+    * corpus repeats). The phrase list folds into the plan as
+    * literals, so the whole operator is a map-only pass: no corpus
+    * statistics, no joins, no shuffle of text — the excision costs
+    * the scan the corpus already pays at 100 TB.
+    */
+  private def qPhraseExcise(s: SparkSession, dir: String): DataFrame =
+    PhraseExcise.excise(t(s, dir, "documents"), "doc_id", "text",
+        Seq("table scan", "fast sort key", "sort key agg"))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -6535,7 +6873,17 @@ object TrainQueries {
     "q233_pseudonymize" -> (qPseudonymize _),
     "q234_dict_tags" -> (qDictTags _),
     "q235_epoch_order" -> (qEpochOrder _),
-    "q236_source_hhi" -> (qSourceHhi _))
+    "q236_source_hhi" -> (qSourceHhi _),
+    "q237_split_leakage" -> (qSplitLeakage _),
+    "q238_length_buckets" -> (qLengthBuckets _),
+    "q239_epoch_schedule" -> (qEpochSchedule _),
+    "q240_l_diversity" -> (qLDiversity _),
+    "q241_session_paths" -> (qSessionPaths _),
+    "q242_norm_decontam" -> (qNormDecontam _),
+    "q243_dedup_weighted_sample" -> (qDedupWeightedSample _),
+    "q244_tokenizer_fertility" -> (qTokenizerFertility _),
+    "q245_luhn_screen" -> (qLuhnScreen _),
+    "q246_phrase_excise" -> (qPhraseExcise _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -10396,6 +10744,231 @@ object TrainQueries {
               JOIN fp fb ON cand.id_b = fb.doc_id
          WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
          ORDER BY cand.id_a, cand.id_b""",
+    "q237_split_leakage" -> splitLeakageOracle,
+    // q238: pow-2 bucket boundary as an exact-integer list_min over
+    // the same 9 literals the engine folds in.
+    "q238_length_buckets" ->
+      """WITH d AS (SELECT least(CAST(len(list_filter(
+             string_split(text, ' '), t -> t <> '')) AS BIGINT),
+             4096) AS eff
+           FROM documents),
+         b AS (SELECT eff, list_min(list_filter(
+             [16, 32, 64, 128, 256, 512, 1024, 2048, 4096],
+             p -> p >= eff)) AS bucket_len
+           FROM d)
+         SELECT CAST(bucket_len AS BIGINT) AS bucket_len,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(eff) AS BIGINT) AS n_tokens,
+             CAST(SUM(bucket_len - eff) AS BIGINT) AS n_padding,
+             CAST(SUM(bucket_len - eff) * 10000
+               // (bucket_len * COUNT(*)) AS BIGINT) AS waste_bp
+         FROM b GROUP BY bucket_len ORDER BY 1""",
+    // q239: truncating-integer ppm repeat schedule, 2x budget,
+    // uniform target shares, 4-epoch cap.
+    "q239_epoch_schedule" ->
+      """WITH d AS (SELECT source, CAST(len(list_filter(
+             string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ntok
+           FROM documents),
+         s AS (SELECT source, SUM(ntok) AS avail FROM d GROUP BY 1),
+         t AS (SELECT SUM(avail) AS tot, COUNT(*) AS nsrc FROM s),
+         x AS (SELECT source, avail, tot * 2 // nsrc AS ideal,
+             least(((tot * 2 // nsrc) * 1000000) // avail, 4000000)
+               AS rp
+           FROM s, t)
+         SELECT source, CAST(avail AS BIGINT) AS avail_tokens,
+             CAST(ideal AS BIGINT) AS ideal_tokens,
+             CAST(rp AS BIGINT) AS repeats_ppm,
+             CAST(avail * rp // 1000000 AS BIGINT) AS achieved_tokens,
+             CAST(ideal - avail * rp // 1000000 AS BIGINT)
+               AS deficit_tokens
+         FROM x ORDER BY source""",
+    // q240: l-diversity over (nation, segment) QI groups, sensitive =
+    // exact-decimal account band, l = 3.
+    "q240_l_diversity" ->
+      """WITH c AS (SELECT n.n_name AS nation,
+             c_mktsegment AS segment,
+             CASE WHEN CAST(c_acctbal AS DECIMAL(18,2)) < 0 THEN 'debt'
+               WHEN CAST(c_acctbal AS DECIMAL(18,2)) < 5000 THEN 'mid'
+               ELSE 'high' END AS sens
+           FROM customer JOIN nation n ON c_nationkey = n.n_nationkey)
+         SELECT nation, segment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT sens) AS BIGINT) AS l_distinct,
+             COUNT(DISTINCT sens) >= 3 AS l_ok
+         FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q241: 30-min-gap sessionize replay, ordered-list path assembly
+    // truncated to 8 turns, top-20 paths under a total order.
+    "q241_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events),
+         l AS (SELECT *, lag(ms) OVER
+             (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+           FROM e),
+         sgrp AS (SELECT *, SUM(CASE WHEN prev IS NULL
+               OR ms - prev > 1800000 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ms, event_id
+               ROWS UNBOUNDED PRECEDING) AS sess
+           FROM l),
+         p AS (SELECT user_id, sess, array_to_string(
+             list(event_type ORDER BY ms, event_id)[1:8], '>') AS path,
+             CAST(COUNT(*) AS BIGINT) AS ne
+           FROM sgrp GROUP BY 1, 2)
+         SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(SUM(ne) AS BIGINT) AS n_events
+         FROM p GROUP BY 1
+         ORDER BY n_sessions DESC, path LIMIT 20""",
+    // q242: eval side adversarially re-formatted, both sides through
+    // the normalizer, then the q53 distinct-4-gram screen.
+    "q242_norm_decontam" ->
+      """WITH ev0 AS (SELECT doc_id, upper(array_to_string(
+             string_split(text, ' '), ', ')) || '.' AS text
+           FROM documents WHERE doc_id % 50 = 0),
+         co0 AS (SELECT doc_id, text FROM documents
+           WHERE doc_id % 50 <> 0),
+         nv AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))
+             AS text
+           FROM ev0),
+         nc AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))
+             AS text
+           FROM co0),
+         tc AS (SELECT doc_id, string_split(text, ' ') AS t FROM nc),
+         te AS (SELECT doc_id, string_split(text, ' ') AS t FROM nv),
+         gc AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(t) - 3, 1) + 1),
+             i -> array_to_string(t[i:i+3], ' ')))) AS gram
+           FROM tc),
+         ge AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(t) - 3, 1) + 1),
+             i -> array_to_string(t[i:i+3], ' ')))) AS gram
+           FROM te)
+         SELECT c.doc_id AS corpus_id, e.doc_id AS eval_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+         FROM gc c JOIN ge e ON c.gram = e.gram
+         GROUP BY 1, 2 ORDER BY corpus_id, eval_id""",
+    // q243: the q216 component machinery + the r/k keep rule, rolled
+    // up per component size with the clusters-hit column.
+    "q243_dedup_weighted_sample" ->
+      s"""WITH RECURSIVE $dedupClusterCtes,
+         lab2 AS (SELECT d.doc_id,
+             COALESCE(l.cluster_rep, d.doc_id) AS rep,
+             COALESCE(s.n_members, 1) AS csz
+           FROM documents d
+           LEFT JOIN lab l ON d.doc_id = l.node
+           LEFT JOIN sz s ON l.cluster_rep = s.cluster_rep),
+         k AS (SELECT doc_id, rep, csz,
+             CAST('0x' || substr(md5('dws|' || CAST(doc_id AS VARCHAR)),
+               1, 12) AS BIGINT) % (10000 * csz) < 2000 AS kept
+           FROM lab2),
+         pc AS (SELECT csz, rep, COUNT(*) AS nd,
+             SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS nk
+           FROM k GROUP BY 1, 2)
+         SELECT CAST(csz AS BIGINT) AS component_size,
+             CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(SUM(nd) AS BIGINT) AS n_docs,
+             CAST(SUM(nk) AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN nk > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clusters_hit
+         FROM pc GROUP BY 1 ORDER BY 1""",
+    // q244: the q207 merge-chain replay carrying (lang, chars, nws),
+    // rolled up per language with truncating-bp ratios.
+    "q244_tokenizer_fertility" -> {
+      val applies = (1 to bpeRounds).map { r =>
+        s"""d$r AS (SELECT lang, chars, nws, replace(seq,
+            chr(31) || b.s1 || chr(31) || chr(31) || b.s2 || chr(31),
+            chr(31) || b.s1 || b.s2 || chr(31)) AS seq
+          FROM d${r - 1}, b$r b)"""
+      }.mkString(",\n        ")
+      s"""WITH ${bpeChainCtes(bpeRounds)},
+        d0 AS (SELECT lang,
+            CAST(coalesce(list_sum(list_transform(list_filter(
+              string_split(text, ' '), x -> x <> ''),
+              w -> length(w))), 0) AS BIGINT) AS chars,
+            CAST(len(list_filter(string_split(text, ' '),
+              x -> x <> '')) AS BIGINT) AS nws,
+            array_to_string(list_transform(
+              list_filter(string_split(text, ' '), x -> x <> ''),
+              w -> chr(31) || array_to_string(
+                list_transform(range(1, length(w) + 1),
+                  i -> substr(w, i, 1)), chr(31) || chr(31))
+                || chr(31)), ' ') AS seq
+          FROM documents),
+        $applies,
+        per AS (SELECT lang, chars, nws,
+            (length(seq) - length(replace(seq, chr(31), ''))) // 2
+              AS nbpe
+          FROM d$bpeRounds)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(chars) AS BIGINT) AS n_chars,
+            CAST(SUM(nws) AS BIGINT) AS n_ws_tokens,
+            CAST(SUM(nbpe) AS BIGINT) AS n_bpe_tokens,
+            CAST(SUM(chars) * 10000 // SUM(nbpe) AS BIGINT)
+              AS chars_per_bpe_bp,
+            CAST(SUM(nbpe) * 10000 // SUM(nws) AS BIGINT)
+              AS bpe_per_ws_bp
+        FROM per GROUP BY 1 ORDER BY lang"""
+    },
+    // q245: the Luhn fold replayed digit-for-digit on the same
+    // deterministic 16-digit candidates.
+    "q245_luhn_screen" ->
+      """WITH c AS (SELECT source, lpad(CAST((doc_id % 1000000007)
+             * 76695841 % 10000000000000000 AS VARCHAR), 16, '0')
+             AS cand
+           FROM documents),
+         v AS (SELECT source, list_sum(list_transform(range(1, 17),
+             i -> CASE WHEN i % 2 = 1
+               THEN CAST(substr(reverse(cand), CAST(i AS INT), 1)
+                 AS BIGINT)
+               ELSE CASE WHEN CAST(substr(reverse(cand),
+                   CAST(i AS INT), 1) AS BIGINT) * 2 > 9
+                 THEN CAST(substr(reverse(cand), CAST(i AS INT), 1)
+                   AS BIGINT) * 2 - 9
+                 ELSE CAST(substr(reverse(cand), CAST(i AS INT), 1)
+                   AS BIGINT) * 2 END END)) % 10 = 0 AS ok
+           FROM c)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_luhn_valid,
+             CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) * 10000
+               // COUNT(*) AS BIGINT) AS valid_bp
+         FROM v GROUP BY 1 ORDER BY 1""",
+    // q246: per-phrase slice-equality matches, covered-position set,
+    // island count by consecutive difference, complement reassembly.
+    "q246_phrase_excise" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '),
+             x -> x <> '') AS t
+           FROM documents),
+         m AS (SELECT doc_id, t, flatten([
+             list_transform(list_filter(range(0, len(t) - 1),
+               i -> t[CAST(i + 1 AS INT):CAST(i + 2 AS INT)]
+                 = ['table', 'scan']),
+               i -> {'s': i, 'e': i + 1}),
+             list_transform(list_filter(range(0, len(t) - 2),
+               i -> t[CAST(i + 1 AS INT):CAST(i + 3 AS INT)]
+                 = ['fast', 'sort', 'key']),
+               i -> {'s': i, 'e': i + 2}),
+             list_transform(list_filter(range(0, len(t) - 2),
+               i -> t[CAST(i + 1 AS INT):CAST(i + 3 AS INT)]
+                 = ['sort', 'key', 'agg']),
+               i -> {'s': i, 'e': i + 2})
+           ]) AS ms FROM d),
+         f AS (SELECT doc_id, t, ms, list_sort(list_distinct(flatten(
+             list_transform(ms, x -> range(x.s, x.e + 1))))) AS cov
+           FROM m WHERE len(ms) > 0),
+         i AS (SELECT doc_id, t, ms, cov,
+             len(list_filter(range(1, len(cov) + 1),
+               j -> j = 1 OR cov[CAST(j AS INT)]
+                 - cov[CAST(j - 1 AS INT)] > 1)) AS nisl
+           FROM f)
+         SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(len(ms) AS BIGINT) AS n_matches,
+             CAST(len(cov) AS BIGINT) AS n_tokens_removed,
+             CAST(nisl AS BIGINT) AS n_spans_removed,
+             array_to_string(list_transform(list_filter(
+               range(0, len(t)), p -> NOT list_contains(cov, p)),
+               p -> t[CAST(p + 1 AS INT)]), ' ') AS text_clean
+         FROM i ORDER BY doc_id""",
     "q127_copurchase" ->
       """WITH cs AS (SELECT DISTINCT o_custkey AS cust,
              l_suppkey AS supp

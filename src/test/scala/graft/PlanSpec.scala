@@ -815,4 +815,81 @@ class PlanSpec extends AnyFunSuite {
       s"each epoch's first-k must be a distributed top-k:\n" +
         p.take(1200))
   }
+
+  test("q238: length bucketing is map-only + one partial-agg rollup — " +
+      "no join, no window; the pow-2 boundary is a plan literal") {
+    val df = SparkEntry.queries("q238_length_buckets")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("Join"),
+      s"bucket arithmetic must not join:\n${p.take(1200)}")
+    assert(!p.contains("Window"), "no window in the rollup")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "bucket counters must combine map-side")
+  }
+
+  test("q239: the epoch schedule's corpus totals broadcast back onto " +
+      "the ≤sources-row side — never a sort-merge join") {
+    val df = SparkEntry.queries("q239_epoch_schedule")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      s"scalar totals must broadcast:\n${p.take(1500)}")
+    assert(p.contains("partial_sum"), "token counters must combine map-side")
+  }
+
+  test("q240: the nation dim broadcasts; sensitive-band distinct is a " +
+      "grouped aggregate, not a window") {
+    val df = SparkEntry.queries("q240_l_diversity")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"nation must broadcast:\n${p.take(1200)}")
+    assert(!p.contains("Window"), "no window anywhere")
+  }
+
+  test("q241: the path report is TakeOrdered over path-rollup rows — " +
+      "never a global sort; session assembly stays in one user shuffle") {
+    val df = SparkEntry.queries("q241_session_paths")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 paths must be a distributed top-k:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
+  }
+
+  test("q242: the normalized screen ships only gram hashes — the eval " +
+      "side broadcasts, and no cartesian appears") {
+    val df = SparkEntry.queries("q242_norm_decontam")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the eval gram side must broadcast:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
+  }
+
+  test("q244: the merge chain folds in as literals — no join anywhere " +
+      "in the fertility rollup") {
+    val df = SparkEntry.queries("q244_tokenizer_fertility")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("Join"),
+      s"stored merges must apply as plan literals:\n${p.take(1200)}")
+    assert(p.contains("partial_sum"), "token counters must combine map-side")
+  }
+
+  test("q245: the Luhn screen is map-only — no join, no window; " +
+      "counters combine map-side") {
+    val df = SparkEntry.queries("q245_luhn_screen")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("Join"), s"no join:\n${p.take(1200)}")
+    assert(!p.contains("Window"), "no window")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "counters must combine map-side")
+  }
+
+  test("q246: phrase excision is ONE corpus pass — a single parquet " +
+      "scan, no join, no aggregate exchange") {
+    val df = SparkEntry.queries("q246_phrase_excise")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("Join"),
+      s"the phrase list must fold in as literals:\n${p.take(1200)}")
+    assert(!p.contains("Window"), "no window")
+    assert(p.split("Scan parquet").length - 1 === 1,
+      s"exactly one corpus scan:\n${p.take(1200)}")
+  }
 }
