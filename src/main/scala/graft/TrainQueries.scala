@@ -6644,6 +6644,141 @@ object TrainQueries {
         Seq("table scan", "fast sort key", "sort key agg"))
       .orderBy("doc_id")
 
+  /** Mixed-language document audit (q247): monolingual training slices
+    * rot when documents code-switch internally — a doc whose PARTS
+    * identify as different languages pollutes whichever slice its
+    * doc-level tag routes it to. Each document splits into 20-token
+    * parts, every part runs the E2 stopword-profile language-ID
+    * ([[TextFns.withLanguageId]] — scores materialized once per part),
+    * and the per-source rollup reports how many documents are
+    * part-consistent vs mixed (any disagreement, 'und' included: an
+    * unidentifiable part is exactly the signal an audit must not
+    * average away). Chunking and scoring are scan-local; one (doc)
+    * partial agg + one (source) rollup shuffle counter rows only.
+    */
+  private def qMixedLangAudit(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "documents")
+      .withColumn("__toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          "transform(sequence(1, size(__toks), 20)," +
+            " i -> slice(__toks, i, 20))")).as("__part"))
+    TextFns.withLanguageId(parts, "__part", "__plang")
+      .groupBy("doc_id", "source")
+      .agg(countDistinct(col("__plang")).as("__nl"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__nl") === 1, 1L).otherwise(0L)).as("n_consistent"),
+        sum(when(col("__nl") > 1, 1L).otherwise(0L)).as("n_mixed"))
+      .withColumn("mixed_bp", expr("n_mixed * 10000 div n_docs"))
+      .orderBy("source")
+  }
+
+  /** Deletion-compliance re-ingestion screen (q248): honoring a
+    * deletion request means more than dropping the row — re-crawls
+    * and mirrors re-ingest the SAME CONTENT under new ids, so the
+    * compliance screen must match tombstones by content, not by key.
+    * The corpus carries no exact duplicates (q24: all fingerprints
+    * unique), so the screen is the q25 banded MinHash pipeline with
+    * the tombstone set (doc_id % 10 = 0 — the "deleted" docs) on one
+    * side: every SURVIVING document that is a verified near-dup
+    * (J ≥ 0.5) of a deleted one, with the tombstone named. Cost is
+    * the near-dup screen the pipeline already runs; the tombstone
+    * predicate is two scan-local mod tests per verified pair.
+    */
+  private def qTombstoneScreen(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .repartition(col("doc_id"))
+      .withColumn("shingles", TextFns.shingles("text", 5))
+      .select("doc_id", "shingles")
+      .localCheckpoint()
+    val sigs = NearDup.minHashSigs(docs, "doc_id", "shingles", 32, "sig")
+    val cand = NearDup.candidatePairs(
+      NearDup.bandRows(sigs, "doc_id", "sig", 4, 8, 32), "doc_id")
+    NearDup.jaccard(cand, docs, "doc_id", "shingles")
+      .filter(col("jaccard") >= 0.5)
+      .filter((col("id_a") % 10 === 0) =!= (col("id_b") % 10 === 0))
+      .select(
+        when(col("id_a") % 10 === 0, col("id_b")).otherwise(col("id_a"))
+          .as("surviving_doc"),
+        when(col("id_a") % 10 === 0, col("id_a")).otherwise(col("id_b"))
+          .as("tombstone_doc"),
+        col("jaccard"))
+      .orderBy("surviving_doc", "tombstone_doc")
+  }
+
+  /** Deficit-redistributing budget remix (q249): the water-filling
+    * round q239's deficit column invites — after the uniform-share
+    * pass caps scarce sources at 4 epochs, the UNMET budget
+    * redistributes to sources with repeat headroom, proportional to
+    * that headroom in exact truncating integers (extra =
+    * min(headroom, total_deficit · headroom div total_headroom)).
+    * Per source: the round-1 grant, the headroom, the redistributed
+    * extra, the final tokens, and the final repeat factor in ppm —
+    * one more broadcast scalar pair over q239's rollup; the remix is
+    * still ≤ sources rows of arithmetic at any corpus size.
+    */
+  private def qBudgetRemix(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = t(s, dir, "documents")
+      .select(col("source"),
+        expr("cast(size(filter(split(text, ' '), t -> t <> '')) as long)")
+          .as("__ntok"))
+      .groupBy("source")
+      .agg(sum(col("__ntok")).as("avail_tokens"))
+    val r1 = perSrc
+      .crossJoin(broadcast(perSrc.agg(
+        sum(col("avail_tokens")).as("__tot"),
+        count(lit(1)).as("__nsrc"))))
+      .withColumn("ideal_tokens", expr("__tot * 2 div __nsrc"))
+      .withColumn("__rp1", expr(
+        "least(ideal_tokens * 1000000 div avail_tokens, 4000000L)"))
+      .withColumn("r1_tokens", expr("avail_tokens * __rp1 div 1000000"))
+      .withColumn("__deficit", expr("ideal_tokens - r1_tokens"))
+      .withColumn("headroom_tokens",
+        expr("avail_tokens * 4 - r1_tokens"))
+    r1.crossJoin(broadcast(r1.agg(
+        sum(col("__deficit")).as("__td"),
+        sum(col("headroom_tokens")).as("__th"))))
+      .withColumn("extra_tokens", expr(
+        """least(headroom_tokens,
+          |  if(__th > 0, __td * headroom_tokens div __th, 0L))"""
+          .stripMargin))
+      .withColumn("final_tokens", expr("r1_tokens + extra_tokens"))
+      .withColumn("final_repeats_ppm",
+        expr("final_tokens * 1000000 div avail_tokens"))
+      .select(col("source"), col("avail_tokens"), col("r1_tokens"),
+        col("headroom_tokens"), col("extra_tokens"), col("final_tokens"),
+        col("final_repeats_ppm"))
+      .orderBy("source")
+  }
+
+  /** Corpus-driven stopword discovery (q250): hardcoded stopword
+    * lists (E2's profiles) age badly — the corpus's OWN high-df
+    * tokens are the boilerplate/function-word vocabulary its filters
+    * should use. Per language: every token appearing in ≥ 30% of the
+    * language's documents, with document frequency and share in
+    * exact bp. The df rollup shuffles (lang, token, count) rows
+    * after a scan-local per-doc distinct; the ≥ 30% screen keeps the
+    * report vocabulary-bounded (high-df tokens are few by Zipf — at
+    * 100 TB the output is still a stopword list, not a corpus).
+    */
+  private def qStopwordDiscovery(s: SparkSession, dir: String): DataFrame = {
+    val docTokens = t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        explode(expr(
+          "array_distinct(filter(split(text, ' '), t -> t <> ''))"))
+          .as("token"))
+    val perLang = t(s, dir, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("__nd"))
+    docTokens.groupBy("lang", "token")
+      .agg(count(lit(1)).as("df"))
+      .join(broadcast(perLang), "lang")
+      .withColumn("share_bp", expr("df * 10000 div __nd"))
+      .filter(col("share_bp") >= 3000)
+      .select("lang", "token", "df", "share_bp")
+      .orderBy(col("lang"), col("share_bp").desc, col("token"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -6883,7 +7018,11 @@ object TrainQueries {
     "q243_dedup_weighted_sample" -> (qDedupWeightedSample _),
     "q244_tokenizer_fertility" -> (qTokenizerFertility _),
     "q245_luhn_screen" -> (qLuhnScreen _),
-    "q246_phrase_excise" -> (qPhraseExcise _))
+    "q246_phrase_excise" -> (qPhraseExcise _),
+    "q247_mixed_lang_audit" -> (qMixedLangAudit _),
+    "q248_tombstone_screen" -> (qTombstoneScreen _),
+    "q249_budget_remix" -> (qBudgetRemix _),
+    "q250_stopword_discovery" -> (qStopwordDiscovery _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -10969,6 +11108,120 @@ object TrainQueries {
                range(0, len(t)), p -> NOT list_contains(cov, p)),
                p -> t[CAST(p + 1 AS INT)]), ' ') AS text_clean
          FROM i ORDER BY doc_id""",
+    // q247: 20-token chunks through the q22 profile argmax (same
+    // profile order and 'und' fallback), per-doc distinct labels,
+    // per-source consistency rollup.
+    "q247_mixed_lang_audit" ->
+      """WITH d AS (SELECT doc_id, source, list_filter(
+             string_split(text, ' '), x -> x <> '') AS t
+           FROM documents),
+         p AS (SELECT doc_id, source, unnest(list_transform(
+             range(1, len(t) + 1, 20),
+             i -> t[CAST(i AS INT):CAST(i + 19 AS INT)])) AS part
+           FROM d),
+         sc AS (SELECT doc_id, source,
+             len(list_filter(part, w -> w IN
+               ('der','die','das','und','ist'))) AS s_de,
+             len(list_filter(part, w -> w IN
+               ('the','a','of','and','is'))) AS s_en,
+             len(list_filter(part, w -> w IN
+               ('el','los','las','y','es'))) AS s_es,
+             len(list_filter(part, w -> w IN
+               ('le','la','les','et','est'))) AS s_fr,
+             len(list_filter(part, w -> w IN
+               ('的','是','了','在','和'))) AS s_zh
+           FROM p),
+         lg AS (SELECT doc_id, source,
+             CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0
+                 THEN 'und'
+               WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh)
+                 THEN 'de'
+               WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh)
+                 THEN 'en'
+               WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh)
+                 THEN 'es'
+               WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh)
+                 THEN 'fr'
+               ELSE 'zh' END AS plang
+           FROM sc),
+         per AS (SELECT doc_id, source,
+             COUNT(DISTINCT plang) AS nl
+           FROM lg GROUP BY 1, 2)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN nl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_consistent,
+             CAST(SUM(CASE WHEN nl > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_mixed,
+             CAST(SUM(CASE WHEN nl > 1 THEN 1 ELSE 0 END) * 10000
+               // COUNT(*) AS BIGINT) AS mixed_bp
+         FROM per GROUP BY 1 ORDER BY 1""",
+    // q248: the q25 chain kept at J >= 0.5 where exactly one member
+    // is tombstoned (doc_id % 10 = 0); survivor named first.
+    "q248_tombstone_screen" ->
+      s"""$minhashCtes,
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b
+             ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         jac AS (SELECT id_a, id_b,
+             CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+               / CAST(len(x.shingles) + len(y.shingles)
+                   - len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+               AS jaccard
+           FROM cand JOIN s x ON cand.id_a = x.doc_id
+                     JOIN s y ON cand.id_b = y.doc_id)
+         SELECT CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END
+               AS surviving_doc,
+             CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END
+               AS tombstone_doc,
+             jaccard
+         FROM jac
+         WHERE jaccard >= 0.5 AND (id_a % 10 = 0) <> (id_b % 10 = 0)
+         ORDER BY surviving_doc, tombstone_doc""",
+    // q249: q239's round-1 grant plus one proportional-to-headroom
+    // redistribution of the total deficit, exact truncating integers.
+    "q249_budget_remix" ->
+      """WITH d AS (SELECT source, CAST(len(list_filter(
+             string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ntok
+           FROM documents),
+         s AS (SELECT source, SUM(ntok) AS avail FROM d GROUP BY 1),
+         t AS (SELECT SUM(avail) AS tot, COUNT(*) AS nsrc FROM s),
+         r1 AS (SELECT source, avail, tot * 2 // nsrc AS ideal,
+             least(((tot * 2 // nsrc) * 1000000) // avail, 4000000)
+               AS rp
+           FROM s, t),
+         r2 AS (SELECT source, avail, ideal,
+             avail * rp // 1000000 AS r1t,
+             ideal - avail * rp // 1000000 AS def,
+             avail * 4 - avail * rp // 1000000 AS hr
+           FROM r1),
+         g AS (SELECT SUM(def) AS td, SUM(hr) AS th FROM r2),
+         f AS (SELECT source, avail, r1t, hr,
+             least(hr, CASE WHEN th > 0 THEN td * hr // th
+               ELSE 0 END) AS extra
+           FROM r2, g)
+         SELECT source, CAST(avail AS BIGINT) AS avail_tokens,
+             CAST(r1t AS BIGINT) AS r1_tokens,
+             CAST(hr AS BIGINT) AS headroom_tokens,
+             CAST(extra AS BIGINT) AS extra_tokens,
+             CAST(r1t + extra AS BIGINT) AS final_tokens,
+             CAST((r1t + extra) * 1000000 // avail AS BIGINT)
+               AS final_repeats_ppm
+         FROM f ORDER BY source""",
+    // q250: per-language document frequencies over per-doc distinct
+    // tokens, kept at share >= 30%.
+    "q250_stopword_discovery" ->
+      """WITH dt AS (SELECT lang, doc_id, unnest(list_distinct(
+             list_filter(string_split(text, ' '), x -> x <> '')))
+             AS token
+           FROM documents),
+         nd AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+         df AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS df
+           FROM dt GROUP BY 1, 2)
+         SELECT df.lang, token, df,
+             CAST(df * 10000 // nd.n AS BIGINT) AS share_bp
+         FROM df JOIN nd ON df.lang = nd.lang
+         WHERE df * 10000 // nd.n >= 3000
+         ORDER BY df.lang, share_bp DESC, token""",
     "q127_copurchase" ->
       """WITH cs AS (SELECT DISTINCT o_custkey AS cust,
              l_suppkey AS supp

@@ -225,6 +225,77 @@ class CurationSpec extends AnyFunSuite {
       "singletons: every kept doc is its own hit cluster")
   }
 
+  test("q247: a document whose parts identify as different languages " +
+      "is mixed; single-language docs stay consistent") {
+    import spark.implicits._
+    val dir = fixtureDir("q247")
+    val en = Seq.fill(4)("the a of and is x").mkString(" ")     // 24 toks en
+    val de = Seq.fill(4)("der die das und ist y").mkString(" ") // 24 toks de
+    Seq((1L, s"$en $de", "web"),     // part 1 en, part 2 en/de boundary
+        (2L, en, "web"),             // consistent en
+        (3L, de, "books"))           // consistent de
+      .toDF("doc_id", "text", "source").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q247_mixed_lang_audit")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("web") === ((2L, 1L, 1L)),
+      "the code-switched doc must count as mixed, the pure one as consistent")
+    assert(got("books") === ((1L, 1L, 0L)))
+  }
+
+  test("q248: only surviving near-dups of tombstoned docs surface — " +
+      "not same-status pairs") {
+    import spark.implicits._
+    val dir = fixtureDir("q248")
+    val dup1 = "the quick brown fox jumps over the lazy dog again and again"
+    val dup2 = "pack my box with five dozen liquor jugs every single day now"
+    val dup3 = "sphinx of black quartz judge my vow tonight and tomorrow too"
+    Seq((10L, dup1), (11L, dup1),    // tombstoned 10, survivor 11 → flag
+        (12L, dup2), (13L, dup2),    // neither tombstoned → silent
+        (20L, dup3), (30L, dup3))    // both tombstoned → silent
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q248_tombstone_screen")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq === Seq((11L, 10L)))
+  }
+
+  test("q249: the redistribution pass moves the capped source's " +
+      "deficit onto the source with headroom, exactly") {
+    import spark.implicits._
+    val dir = fixtureDir("q249")
+    def words(n: Int): String = (1 to n).map(_ => "w").mkString(" ")
+    (Seq((1L, words(1000), "a")) ++ Seq((2L, words(100), "b")))
+      .toDF("doc_id", "text", "source").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q249_budget_remix")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // a: r1 grants 1100 (deficit 0, headroom 2900); b caps at 400
+    // (deficit 700) — the full 700 moves to a: final 1800 = 1.8 epochs
+    assert(got("a") === ((1000L, 1100L, 2900L, 700L, 1800L, 1800000L)))
+    assert(got("b") === ((100L, 400L, 0L, 0L, 400L, 4000000L)))
+  }
+
+  test("q250: a token in >=30% of a language's docs is discovered, " +
+      "one below the line is not") {
+    import spark.implicits._
+    val dir = fixtureDir("q250")
+    val docs = (1 to 10).map { i =>
+      val common = if (i <= 4) " common" else ""
+      val rare = if (i <= 2) " rare" else ""
+      (i.toLong, s"filler$i other$i more$i$common$rare", "en")
+    }
+    docs.toDF("doc_id", "text", "lang").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q250_stopword_discovery")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(("en", "common")) === ((4L, 4000L)))
+    assert(!got.contains(("en", "rare")), "20% df must stay below the line")
+  }
+
   test("q237: only verified near-dup pairs whose members cross the " +
       "split boundary surface") {
     import spark.implicits._

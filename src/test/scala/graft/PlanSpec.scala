@@ -882,6 +882,32 @@ class PlanSpec extends AnyFunSuite {
       "counters must combine map-side")
   }
 
+  test("q247: part language-ID is scan-local — no join; consistency " +
+      "counters combine map-side") {
+    val df = SparkEntry.queries("q247_mixed_lang_audit")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("Join"), s"no join:\n${p.take(1200)}")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "consistency counters must combine map-side")
+  }
+
+  test("q249: the remix's two scalar-total joins broadcast — never " +
+      "sort-merge") {
+    val df = SparkEntry.queries("q249_budget_remix")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      s"scalar totals must broadcast:\n${p.take(1500)}")
+    assert(p.contains("partial_sum"), "token counters must combine map-side")
+  }
+
+  test("q250: the per-language doc totals broadcast onto the df rollup") {
+    val df = SparkEntry.queries("q250_stopword_discovery")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ≤ langs-row dim must broadcast:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), "no cartesian")
+  }
+
   test("q246: phrase excision is ONE corpus pass — a single parquet " +
       "scan, no join, no aggregate exchange") {
     val df = SparkEntry.queries("q246_phrase_excise")(spark, dir)
