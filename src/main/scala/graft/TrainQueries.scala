@@ -4606,10 +4606,28 @@ object TrainQueries {
   private val lshTruthCache = scala.collection.mutable.Map
     .empty[(String, String), (DataFrame, Long)]
 
+  /** q192's ground truth: exact Jaccard ≥ 0.5 over the 5-CHAR shingle
+    * sets — the SAME sets [[lshSigs]]' MinHash signatures sketch, via
+    * the lossless prefix-filter join ([[SetSimJoin
+    * .prefixJaccardPairsFromGrams]]). It must be char shingles, not
+    * [[SetSimJoin.prefixJaccardPairs]]' word grams: truth in a
+    * different set space tunes the wrong recall table — word-gram and
+    * char-shingle J ≥ 0.5 pair sets happen to coincide on the sf0.01/
+    * sf0.1 corpora (every gate hash-matched) but split at sf1 (394
+    * word-gram vs ≥ 401 char-shingle true pairs — BASELINE.md r10),
+    * which the 10× scale replay caught. Spec-pinned by the planted
+    * word-rotated pair. Like every exact truth tool in this family,
+    * the prefix join is quadratic-class on vocabulary-dense corpora
+    * (1.78×10¹⁰ join rows at sf1) — calibration use only.
+    */
   private def lshTruth(s: SparkSession, dir: String): (DataFrame, Long) =
     sessionFixture(lshTruthCache, s, dir) {
-      val truth = SetSimJoin.prefixJaccardPairs(t(s, dir, "documents"),
-          "doc_id", "text", n = 5, minJaccard = 0.5)
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id").as("__id"),
+          explode(TextFns.shingles("text", 5)).as("__sh"))
+        .select(col("__id"), xxhash64(col("__sh")).as("__gh"))
+        .localCheckpoint()
+      val truth = SetSimJoin.prefixJaccardPairsFromGrams(grams, 0.5)
         .select("id_a", "id_b").localCheckpoint()
       (truth, truth.count())
     }

@@ -48,22 +48,35 @@ object PhraseExcise {
       s"phrases must be non-empty space-separated words: $phrases")
     // per-phrase match intervals: starts where the L-token window
     // equals the phrase, as (s, e) structs — phrase tokens are plan
-    // literals, the compare is one slice-equality per position
+    // literals, and the window compare is a word-by-word element_at
+    // conjunction (short-circuits on the first mismatch, allocates
+    // nothing — measured 6.2 s → sub-second at sf0.1 vs the
+    // slice-equality form, which materialized an L-token array per
+    // position per phrase)
     val matchArrays = split.map { p =>
-      val lit = p.map(w => s"'${w.replace("'", "\\'")}'").mkString(", ")
       val l = p.length
+      val eqs = p.zipWithIndex.map { case (w, j) =>
+        val lit = w.replace("'", "\\'")
+        s"element_at(__toks, cast(i as int) + ${j + 1}) = '$lit'"
+      }.mkString(" and ")
       s"""transform(
          |  filter(if(size(__toks) >= $l,
          |      sequence(0, size(__toks) - $l),
          |      cast(array() as array<int>)),
-         |    i -> slice(__toks, cast(i as int) + 1, $l)
-         |         = array($lit)),
+         |    i -> $eqs),
          |  i -> named_struct('s', cast(i as long),
          |                    'e', cast(i as long) + ${l - 1}L))"""
         .stripMargin
     }.mkString("concat(", ",\n", ")")
     docs
-      .select(col(idCol).as("__id"), toks(textCol).as("__toks"))
+      // explode(array(...)) is a Generate barrier: __toks becomes a
+      // real attribute, so the per-position lambdas below index a
+      // materialized array instead of re-splitting the document per
+      // lambda call (the CollapseProject inlining trap measured at
+      // 15.7 s in the TokenSpans scaladoc; here 4.8 s → 0.2 s at
+      // sf0.1)
+      .select(col(idCol).as("__id"),
+        explode(array(toks(textCol))).as("__toks"))
       .withColumn("__ms", expr(matchArrays))
       .filter(size(col("__ms")) > 0)
       // covered token positions (sorted, distinct) — O(covered)

@@ -25,10 +25,13 @@ import org.apache.spark.sql.functions._
   * the exact answer costs one prefix equi-join plus one candidate-
   * sized lookup join instead of the full posting-list blowup.
   *
-  * Shingle identity is the md5 of the word n-gram (32 bytes on the
-  * wire, the house rule: text never shuffles), shared with the MinHash
-  * and df-capped paths so all three operators answer about the same
-  * sets.
+  * Shingle identity is the xxhash64 of the word n-gram (8 bytes on
+  * the wire, the house rule: text never shuffles), shared in spirit
+  * with the MinHash and df-capped paths so all three operators answer
+  * about the same sets; verification counts overlaps with the native
+  * [[graft.expressions.SortedIntersectCount]] merge walk (codegen'd —
+  * the interpreted `array_intersect` form cost ~190 s on q192's
+  * sf0.1 ground-truth fixture alone).
   */
 object SetSimJoin {
 
@@ -40,9 +43,26 @@ object SetSimJoin {
     require(n >= 1, s"n must be >= 1: $n")
     require(minJaccard > 0.0 && minJaccard <= 1.0,
       s"minJaccard must be in (0,1]: $minJaccard")
-    // distinct shingle hashes per doc; pinned — fans out into the df
-    // count, the prefix index, and the verification arrays
-    val grams = shingleHashes(docs, idCol, textCol, n)
+    prefixJaccardPairsFromGrams(
+      shingleHashes(docs, idCol, textCol, n), minJaccard)
+  }
+
+  /** The prefix-filter join over a CALLER-SUPPLIED element table —
+    * the set-identity-agnostic core of [[prefixJaccardPairs]]: `grams`
+    * must be one (`__id`, `__gh`) row per DISTINCT set element per
+    * document, already pinned (it fans out into the df count, the
+    * prefix index, and the verification arrays). This is the form a
+    * caller uses when its sets are NOT word n-grams — e.g. q192's
+    * ground truth, whose sets are the 5-char shingles its MinHash
+    * signatures sketch: truth and sketch must measure the SAME sets
+    * or the recall table tunes the wrong space (the sf1 scale gate
+    * caught exactly that divergence — word-gram truth and char-
+    * shingle truth coincide on small corpora and split at 10×).
+    */
+  def prefixJaccardPairsFromGrams(grams: DataFrame,
+      minJaccard: Double): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0,1]: $minJaccard")
     val df = grams.groupBy("__gh").agg(count(lit(1)).as("__df"))
     // per-doc ascending (df, hash) order; the window partitions by doc
     // so its frame is doc-bounded — never corpus-sized
@@ -72,7 +92,8 @@ object SetSimJoin {
       .join(sets.select(col("__id").as("id_b"), col("__set").as("__sb"),
         col("__n").as("__nb")), "id_b")
       .withColumn("n_shared",
-        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+        graft.expressions.SortedIntersectCount.count(
+          col("__sa"), col("__sb")))
       .withColumn("jaccard",
         col("n_shared").cast("double") /
           (col("__na") + col("__nb") - col("n_shared")).cast("double"))
@@ -133,7 +154,8 @@ object SetSimJoin {
       .join(setsOf(gs).select(col("__id").as("id_s"),
         col("__set").as("__ss"), col("__n").as("__ns")), "id_s")
       .withColumn("n_shared",
-        size(array_intersect(col("__sr"), col("__ss"))).cast("long"))
+        graft.expressions.SortedIntersectCount.count(
+          col("__sr"), col("__ss")))
       .withColumn("jaccard",
         col("n_shared").cast("double") /
           (col("__nr") + col("__ns") - col("n_shared")).cast("double"))
@@ -141,9 +163,11 @@ object SetSimJoin {
       .select("id_r", "id_s", "n_shared", "jaccard")
   }
 
-  /** Distinct shingle hashes per doc (md5 of the word n-gram — 32
-    * bytes on the wire, text never shuffles); pinned, since every
-    * caller fans it into df counts, prefix index, and verify arrays.
+  /** Distinct shingle hashes per doc (xxhash64 of the word n-gram —
+    * 8 bytes on the wire, text never shuffles; 64-bit identity is the
+    * NearDup.xs discipline, collision-free at any realistic gram
+    * vocabulary); pinned, since every caller fans it into df counts,
+    * prefix index, and verify arrays.
     */
   private def shingleHashes(docs: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame =
@@ -151,6 +175,6 @@ object SetSimJoin {
       .select(col(idCol).as("__id"), split(col(textCol), " ").as("__toks"))
       .select(col("__id"),
         explode(Contamination.wordGrams("__toks", n)).as("__gram"))
-      .select(col("__id"), md5(col("__gram")).as("__gh"))
+      .select(col("__id"), xxhash64(col("__gram")).as("__gh"))
       .localCheckpoint()
 }

@@ -113,4 +113,53 @@ class SetSimJoinSpec extends AnyFunSuite {
     val s = Seq(5L -> "a b c", 6L -> "x y w")
     assert(runCross(r, s, n = 2, t = 1.0) === Set((1L, 5L, 2L)))
   }
+
+  test("FromGrams over word-gram hashes is exactly prefixJaccardPairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(1L -> "a b c d e f", 2L -> "a b c d e g",
+      3L -> "x y z w v u").toDF("doc_id", "text")
+    val viaDocs = SetSimJoin
+      .prefixJaccardPairs(docs, "doc_id", "text", n = 2, minJaccard = 0.4)
+      .select("id_a", "id_b", "n_shared").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val grams = docs
+      .select(col("doc_id").as("__id"), split(col("text"), " ").as("__t"))
+      .select(col("__id"), explode(
+        graft.ops.Contamination.wordGrams("__t", 2)).as("__g"))
+      .select(col("__id"), xxhash64(col("__g")).as("__gh"))
+    val viaGrams = SetSimJoin.prefixJaccardPairsFromGrams(grams, 0.4)
+      .select("id_a", "id_b", "n_shared").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaDocs === viaGrams)
+  }
+
+  test("char-shingle truth and word-gram truth are DIFFERENT spaces — " +
+      "the q192 ground truth must use the sets its signatures sketch") {
+    // two docs sharing most 5-char shingles (30 of 40 long distinct
+    // words intact) but NO shared 5-word gram (every 5-word window
+    // spans a substituted slot at i % 4 == 0) — char-shingle-similar,
+    // word-gram-dissimilar
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val words = (0 until 40).map(i => s"w${i}longstablewordbody")
+    val rotated = words.zipWithIndex.map { case (w, i) =>
+      if (i % 4 == 0) s"qq$i" else w
+    }
+    val docs = Seq(1L -> words.mkString(" "), 2L -> rotated.mkString(" "))
+      .toDF("doc_id", "text")
+    val wordTruth = SetSimJoin
+      .prefixJaccardPairs(docs, "doc_id", "text", n = 5, minJaccard = 0.5)
+      .count()
+    val shingleGrams = docs
+      .select(col("doc_id").as("__id"), explode(
+        graft.functions.TextFns.shingles("text", 5)).as("__sh"))
+      .select(col("__id"), xxhash64(col("__sh")).as("__gh"))
+    val shingleTruth = SetSimJoin
+      .prefixJaccardPairsFromGrams(shingleGrams, 0.5).count()
+    assert(wordTruth === 0L,
+      "every 5-word gram spans a substitution — word-gram truth empty")
+    assert(shingleTruth === 1L,
+      "the pair IS a near-dup in the char-shingle space the MinHash sketches")
+  }
 }
