@@ -525,6 +525,69 @@ object TrainQueries {
          WHERE jaccard >= 0.5 AND sa.split <> sb.split
          ORDER BY id_a, id_b"""
 
+  /** q257's oracle: the q25 chain (shared CTEs) verified at J ≥ 0.5
+    * rolled up within-source, crossed with the quantized quality
+    * rollup and the q220 novelty legs — every signal the scorecard
+    * composes, replayed from its dedicated query's oracle idioms.
+    */
+  private def sourceScorecardOracle: String =
+    s"""$minhashCtes,
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b
+             ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         jac AS (SELECT id_a, id_b
+           FROM cand JOIN s x ON cand.id_a = x.doc_id
+                     JOIN s y ON cand.id_b = y.doc_id
+           WHERE CAST(len(list_intersect(x.shingles, y.shingles))
+                 AS DOUBLE)
+               / CAST(len(x.shingles) + len(y.shingles)
+                   - len(list_intersect(x.shingles, y.shingles))
+                 AS DOUBLE) >= 0.5),
+         dsrc AS (SELECT doc_id, source FROM documents),
+         dp AS (SELECT a.source,
+             CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+           FROM jac j JOIN dsrc a ON j.id_a = a.doc_id
+                      JOIN dsrc b ON j.id_b = b.doc_id
+           WHERE a.source = b.source GROUP BY 1),
+         tk AS (SELECT doc_id, source, text,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+           FROM documents),
+         q AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(floor((
+                 0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+                 + 0.3 * (1.0 - CAST(len(list_filter(toks,
+                       w -> w IN ('the','a','of','and','is')))
+                     AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+                 + 0.2 * least(((CAST(length(text) AS DOUBLE)
+                       - (CAST(len(toks) AS DOUBLE) - 1.0))
+                     / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0)
+               ) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS qsum
+           FROM tk GROUP BY 1),
+         gt AS (SELECT doc_id, source,
+             string_split(text, ' ') AS t FROM documents),
+         g AS (SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' ')))) AS gram
+           FROM gt),
+         hist AS (SELECT DISTINCT gram FROM g WHERE doc_id % 5 <> 0),
+         arr AS (SELECT source, gram FROM g WHERE doc_id % 5 = 0),
+         nov AS (SELECT a.source, CAST(COUNT(*) AS BIGINT) AS n_novel
+           FROM arr a LEFT JOIN hist h ON a.gram = h.gram
+           WHERE h.gram IS NULL GROUP BY 1),
+         tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+           FROM arr GROUP BY 1)
+         SELECT q.source, q.n_docs, q.n_tokens,
+             CAST(q.qsum // q.n_docs AS BIGINT) AS mean_quality_bp,
+             CAST(COALESCE((COALESCE(nov.n_novel, 0) * 10000)
+               // tot.n_grams, 0) AS BIGINT) AS novelty_bp,
+             CAST(COALESCE(dp.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs
+         FROM q LEFT JOIN tot ON q.source = tot.source
+                LEFT JOIN nov ON q.source = nov.source
+                LEFT JOIN dp ON q.source = dp.source
+         ORDER BY q.source"""
+
   /** q192's oracle: the same 32-hash signature chain banded three
     * ways (the shared `bands` CTE IS the (4,8) config), candidates
     * per config from the band self-join, ground truth from the full
@@ -5864,42 +5927,39 @@ object TrainQueries {
     * (one hash anti-join) that saves the expensive pairwise machinery
     * for corpora that need it. Only 32-byte hashes shuffle; the
     * history set is a stored artifact (session fixture), so repeated
-    * trials measure the audit, not history construction.
+    * trials measure the audit, not history construction — and it is
+    * stored as a catalog table BUCKETED AND SORTED on `gh` (8
+    * buckets), so every probe (this audit and q223's per-micro-batch
+    * screen) shuffles only the ARRIVING grams into the history's
+    * bucketing: no history re-shuffle, ever (PlanSpec asserts no
+    * Exchange above the bucketed scan). At 100 TB the history gram
+    * set is trillions of rows — re-shuffling it per probe is the
+    * difference between a monitor and a nightly job.
     */
   private val novHistCache = scala.collection.mutable.Map
     .empty[(String, String), String]
 
-  private def novHistoryParquet(s: SparkSession, dir: String): String =
+  private def novHistoryTable(s: SparkSession, dir: String): String =
     sessionFixture(novHistCache, s, dir) {
       val tag = (s.sparkContext.applicationId + "_" + dir)
         .replaceAll("[^a-zA-Z0-9]", "_")
-      val path = Scratch.register(
-        s"${System.getProperty("java.io.tmpdir")}/graft_novhist_$tag")
+      val tbl = s"graft_novhist_$tag"
       t(s, dir, "documents")
         .filter(col("doc_id") % 5 =!= 0)
         .select(col("doc_id"), split(col("text"), " ").as("__toks"))
         .select(explode(Contamination.wordGrams("__toks", 3)).as("__g"))
         .select(md5(col("__g")).as("gh"))
         .distinct()
-        .write.mode("overwrite").parquet(path)
-      path
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "gh").sortBy("gh").saveAsTable(tbl)
+      tbl
     }
 
   private def qGramNovelty(s: SparkSession, dir: String): DataFrame = {
-    val hist = s.read.parquet(novHistoryParquet(s, dir))
-    val arriving = t(s, dir, "documents")
-      .filter(col("doc_id") % 5 === 0)
-      .select(col("source"), col("doc_id"),
-        split(col("text"), " ").as("__toks"))
-      .select(col("source"), col("doc_id"),
-        explode(Contamination.wordGrams("__toks", 3)).as("__g"))
-      .select(col("source"), col("doc_id"), md5(col("__g")).as("gh"))
-    val novel = arriving.join(hist, Seq("gh"), "left_anti")
-      .groupBy("source").agg(count(lit(1)).as("n_novel"))
-    arriving.groupBy("source").agg(count(lit(1)).as("n_grams"))
-      .join(novel, Seq("source"), "left")
-      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
-      .withColumn("novelty_bp", expr("(n_novel * 10000L) div n_grams"))
+    val arriving = graft.streaming.NoveltyMonitor.gramHashes(
+      t(s, dir, "documents").filter(col("doc_id") % 5 === 0))
+    graft.streaming.NoveltyMonitor
+      .noveltyCounts(s, arriving, novHistoryTable(s, dir))
       .orderBy("source")
   }
 
@@ -5910,11 +5970,47 @@ object TrainQueries {
     * type-token ratio, computed from exact int64 sufficient statistics
     * (the q190 discipline: both signals REBASED by their minima so
     * n·Σx² stays far under 2⁶³ — x spreads ~10⁴ after rebase, good to
-    * ~3·10⁵ docs at these magnitudes, rebase the quantization beyond)
+    * ~3·10⁵ docs at these magnitudes; beyond that the quantization
+    * must be rebased, and the bound is now ENFORCED by a raise_error
+    * guard on every cross product, checked in decimal(38,0))
     * with ONE double expression at the end — identical IEEE ops on
     * identical longs, so the double is bit-stable across engines.
     * One scan + one metadata min-pair + one single-row aggregate.
     */
+  /** The exact-integer Pearson numerator/denominator over sufficient
+    * statistics (n, sum_x, sum_y, sxy, sxx, syy), with the 2⁶²
+    * headroom of every cross product ENFORCED by a raise_error (the
+    * PosBits/pairEnc house pattern): the bigint subtractions n·Σxy −
+    * Σx·Σy etc. wrap silently in non-ANSI Spark once any product
+    * crosses 2⁶³, so each is bound-checked in decimal(38,0) — which
+    * cannot itself overflow — before the double arithmetic runs. The
+    * guard lives inside the corr expression so column pruning cannot
+    * drop it. Package-visible so the spec can drive the raise with
+    * synthetic statistics (the corpus fixture never trips it).
+    */
+  private[graft] val guardedCorrExpr: String =
+    """case when cast(n as decimal(38,0)) * sxx
+      |         < 4611686018427387904
+      |       and cast(n as decimal(38,0)) * syy
+      |         < 4611686018427387904
+      |       and abs(cast(sum_x as decimal(38,0)) * sum_x)
+      |         < 4611686018427387904
+      |       and abs(cast(sum_y as decimal(38,0)) * sum_y)
+      |         < 4611686018427387904
+      |       and abs(cast(n as decimal(38,0)) * sxy)
+      |         < 4611686018427387904
+      |       and abs(cast(sum_x as decimal(38,0)) * sum_y)
+      |         < 4611686018427387904
+      |  then cast(n * sxy - sum_x * sum_y as double) /
+      |    sqrt(cast(n * sxx - sum_x * sum_x as double) *
+      |      cast(n * syy - sum_y * sum_y as double))
+      |  else raise_error(concat(
+      |    'qSignalCorrelation: sufficient-statistic product ',
+      |    'exceeds the 2^62 bigint headroom at n = ',
+      |    cast(n as string),
+      |    ' - rebase the signal quantization before correlating'))
+      |  end""".stripMargin
+
   private def qSignalCorrelation(s: SparkSession, dir: String): DataFrame = {
     val lm = CharLm.score(t(s, dir, "documents"), "doc_id", "text",
         s.read.parquet(charLmModelPath(s, dir)))
@@ -5935,10 +6031,9 @@ object TrainQueries {
         sum("y").as("sum_y"), sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
-      .withColumn("corr", expr(
-        "cast(n * sxy - sum_x * sum_y as double) / " +
-          "sqrt(cast(n * sxx - sum_x * sum_x as double) * " +
-          "cast(n * syy - sum_y * sum_y as double))"))
+      // the documented Σx² headroom, ENFORCED (the PosBits/pairEnc
+      // house pattern) — see [[guardedCorrExpr]]
+      .withColumn("corr", expr(guardedCorrExpr))
   }
 
   /** Winnowing-based PARTIAL contamination detection (q222) — the
@@ -5973,14 +6068,17 @@ object TrainQueries {
     * arriving micro-batch's per-doc-distinct 3-grams anti-joined
     * against the STORED corpus gram set, per-(batch, source) novelty
     * appended as it lands, so a crawler re-fetching old content is
-    * caught batch-by-batch. Per-batch cost independent of corpus
-    * history (the stored-artifact screen shape); the oracle replays
-    * batch membership via the staging NTILE and the identical
-    * anti-join per batch.
+    * caught batch-by-batch. No history re-shuffle per batch: the
+    * stored gram set is the q220 fixture's BUCKETED-on-`gh` catalog
+    * table, and the merge-hinted anti-join shuffles only the batch's
+    * grams into its bucketing (the history is still scanned per
+    * batch — see [[graft.streaming.NoveltyMonitor]] for the precise
+    * claim). The oracle replays batch membership via the staging
+    * NTILE and the identical anti-join per batch.
     */
   private def qStreamNovelty(s: SparkSession, dir: String): DataFrame =
     graft.streaming.NoveltyMonitor.run(s, s"$dir/documents.parquet",
-      novHistoryParquet(s, dir), docFilter = col("doc_id") % 5 === 0)
+      novHistoryTable(s, dir), docFilter = col("doc_id") % 5 === 0)
 
   /** Row-level snapshot diff classification (q224) — the migration
     * sign-off table: q92 LOCALIZES divergence (bucket checksums say
@@ -6445,8 +6543,13 @@ object TrainQueries {
         sum(col("avail_tokens")).as("__tot"),
         count(lit(1)).as("__nsrc"))))
       .withColumn("ideal_tokens", expr("__tot * 2 div __nsrc"))
+      // the ×10⁶ ppm scaling runs in decimal(38,0): bigint wraps
+      // silently past ~9.2e12 tokens (non-ANSI Spark) — real 100 TB
+      // corpora are ~10¹³ tokens, inside the wrap zone. IntegralDivide
+      // still returns bigint, so the output schema is unchanged.
       .withColumn("repeats_ppm", expr(
-        "least(ideal_tokens * 1000000 div avail_tokens, 4000000L)"))
+        "least(cast(ideal_tokens as decimal(38,0)) * 1000000" +
+          " div avail_tokens, 4000000L)"))
       .withColumn("achieved_tokens",
         expr("avail_tokens * repeats_ppm div 1000000"))
       .withColumn("deficit_tokens",
@@ -6678,9 +6781,15 @@ object TrainQueries {
     val parts = t(s, dir, "documents")
       .withColumn("__toks", expr("filter(split(text, ' '), t -> t <> '')"))
       .select(col("doc_id"), col("source"),
+        // empty/whitespace-only text yields zero tokens; sequence(1,0)
+        // throws in Spark while the oracle's range(1,1,20) is empty, so
+        // the chunker guards explicitly (the doc then has no parts and,
+        // matching the oracle, no row at all)
         explode(expr(
-          "transform(sequence(1, size(__toks), 20)," +
-            " i -> slice(__toks, i, 20))")).as("__part"))
+          "if(size(__toks) > 0," +
+            " transform(sequence(1, size(__toks), 20)," +
+            " i -> slice(__toks, i, 20))," +
+            " cast(array() as array<array<string>>))")).as("__part"))
     TextFns.withLanguageId(parts, "__part", "__plang")
       .groupBy("doc_id", "source")
       .agg(countDistinct(col("__plang")).as("__nl"))
@@ -6748,9 +6857,15 @@ object TrainQueries {
         sum(col("avail_tokens")).as("__tot"),
         count(lit(1)).as("__nsrc"))))
       .withColumn("ideal_tokens", expr("__tot * 2 div __nsrc"))
+      // every ×ppm / cross-scalar product runs in decimal(38,0): at
+      // 100 TB token counts (~10¹³) the bigint forms wrap silently in
+      // non-ANSI Spark (the q239 fix, applied to all four sites here);
+      // IntegralDivide returns bigint, so output schemas are unchanged
       .withColumn("__rp1", expr(
-        "least(ideal_tokens * 1000000 div avail_tokens, 4000000L)"))
-      .withColumn("r1_tokens", expr("avail_tokens * __rp1 div 1000000"))
+        "least(cast(ideal_tokens as decimal(38,0)) * 1000000" +
+          " div avail_tokens, 4000000L)"))
+      .withColumn("r1_tokens", expr(
+        "cast(avail_tokens as decimal(38,0)) * __rp1 div 1000000"))
       .withColumn("__deficit", expr("ideal_tokens - r1_tokens"))
       .withColumn("headroom_tokens",
         expr("avail_tokens * 4 - r1_tokens"))
@@ -6759,11 +6874,14 @@ object TrainQueries {
         sum(col("headroom_tokens")).as("__th"))))
       .withColumn("extra_tokens", expr(
         """least(headroom_tokens,
-          |  if(__th > 0, __td * headroom_tokens div __th, 0L))"""
+          |  if(__th > 0,
+          |    cast(__td as decimal(38,0)) * headroom_tokens div __th,
+          |    0L))"""
           .stripMargin))
       .withColumn("final_tokens", expr("r1_tokens + extra_tokens"))
       .withColumn("final_repeats_ppm",
-        expr("final_tokens * 1000000 div avail_tokens"))
+        expr("cast(final_tokens as decimal(38,0)) * 1000000" +
+          " div avail_tokens"))
       .select(col("source"), col("avail_tokens"), col("r1_tokens"),
         col("headroom_tokens"), col("extra_tokens"), col("final_tokens"),
         col("final_repeats_ppm"))
@@ -6795,6 +6913,265 @@ object TrainQueries {
       .filter(col("share_bp") >= 3000)
       .select("lang", "token", "df", "share_bp")
       .orderBy(col("lang"), col("share_bp").desc, col("token"))
+  }
+
+  /** Real PNG decode (q251, [[Multimodal.decodePng]]): every document
+    * becomes a genuine PNG — encoded through `javax.imageio`
+    * (JDK-bundled, zero new dependencies), deterministic dims
+    * 4+id%5 × 3+id%4, pixel rule (id·31 + 3·(y·w+x) + c) mod 256, the
+    * SAME raster arithmetic as q208's PPM — and decoded back through
+    * the real ImageIO PNG reader for dims and per-channel sums. The
+    * bytes on the wire are DEFLATE-compressed and encoder-private, so
+    * unlike q208 there is no whole-file checksum: the DECODED raster
+    * is the cross-engine contract (PNG is lossless), and the oracle
+    * recomputes every decoded number in closed form from the
+    * generation rule — green means a real inflate + unfilter + pixel
+    * walk produced exactly the committed pixels. Same mapPartitions
+    * codec seam as q208; payloads never shuffle.
+    */
+  private def qPngDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val media = t(s, dir, "documents")
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .map { id =>
+        Multimodal.MediaRecord(id,
+          Multimodal.encodePng(id, (4 + id % 5).toInt, (3 + id % 4).toInt),
+          "png")
+      }
+    Multimodal.decodePngFeatures(media).toDF().orderBy("doc_id")
+  }
+
+  /** Perceptual fingerprint on REAL pixel rasters (q252,
+    * [[Multimodal.toRaster]] + [[Multimodal.blockHash]]): the E187
+    * claim — "a real image pHash swaps in, only the codec changes" —
+    * made runnable: PNGs decode through `javax.imageio`, the payload
+    * swaps for the w·h·3 row-major RGB raster, and the SAME 60-bit
+    * blockhash that fingerprints q193's stub bytes fingerprints the
+    * decoded pixels. Fingerprinting the raster (never the container)
+    * is the load-bearing property: two encoders of one image differ
+    * in every container byte and zero raster bytes, so only the
+    * raster-side fingerprint deduplicates re-encoded media. The
+    * oracle replays chunk sums and threshold bits closed-form from
+    * the pixel rule. Scan-local end to end; only (id, fp, n) rows
+    * leave the scan.
+    */
+  private def qPngBlockhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val media = t(s, dir, "documents")
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .map { id =>
+        Multimodal.MediaRecord(id,
+          Multimodal.encodePng(id, (4 + id % 5).toInt, (3 + id % 4).toInt),
+          "png")
+      }
+    Multimodal.blockHash(Multimodal.toRaster(media))
+      .toDF().orderBy("doc_id")
+  }
+
+  /** Shard-stitch audit (q253): chunked crawls and sharded exports cut
+    * documents at arbitrary boundaries with a safety overlap; before
+    * training, the pipeline must REJOIN them (or at minimum know the
+    * overlap volume, which double-counts tokens and leaks duplicated
+    * spans). Detection is exact and join-shaped: every shard keys its
+    * first-20-token window and last-20-token window (md5 of the joined
+    * window — 32 bytes, the fingerprint discipline), and a stitch is
+    * suffix-key(a) = prefix-key(b) — one hash equi-join, no pairwise
+    * text comparison, scan-local key extraction. The shard fixture is
+    * derived deterministically in-query (docs %7 with ≥ 50 tokens split
+    * into two shards sharing EXACTLY 20 tokens), so the oracle replays
+    * generation + detection end to end. At 100 TB: keys are 2×32 bytes
+    * per shard, the join is hash-partitioned on the key — map-only
+    * until a tiny equi-join.
+    */
+  private def qShardStitch(s: SparkSession, dir: String): DataFrame = {
+    val sp = t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("__t"))
+      .filter(col("doc_id") % 7 === 0 && size(col("__t")) >= 50)
+      .withColumn("__m", expr("cast(ceil(size(__t) / 2.0d) as int)"))
+    val shards = sp
+      .select((col("doc_id") * 2).as("shard_id"), col("doc_id"),
+        expr("slice(__t, 1, __m + 10)").as("__st"))
+      .unionByName(sp
+        .select((col("doc_id") * 2 + 1).as("shard_id"), col("doc_id"),
+          expr("slice(__t, __m - 9, size(__t) - __m + 10)").as("__st")))
+    val keyed = shards.select(col("shard_id"), col("doc_id"),
+      md5(expr("array_join(slice(__st, 1, 20), ' ')")).as("__pk"),
+      md5(expr("array_join(slice(__st, -20, 20), ' ')")).as("__sk"))
+    keyed
+      .select(col("shard_id").as("shard_a"), col("doc_id").as("doc_a"),
+        col("__sk").as("__k"))
+      .join(keyed.select(col("shard_id").as("shard_b"),
+        col("doc_id").as("doc_b"), col("__pk").as("__k")), "__k")
+      .filter(col("shard_a") =!= col("shard_b"))
+      .select("shard_a", "shard_b", "doc_a", "doc_b")
+      .orderBy("shard_a", "shard_b")
+  }
+
+  /** Embedding-store hygiene audit (q254): before any ANN index builds
+    * (E10–E21), the feature store itself needs screening — zero
+    * vectors (failed encoder calls) poison every cosine (0/0), exact
+    * duplicate vectors waste index space and bias k-NN votes, and a
+    * collapsed norm distribution signals an encoder regression. Per
+    * label: vector count, zero-vector count, duplicate-vector count
+    * (identical at the engine's own 10⁴ quantization — the E10
+    * convention, so "duplicate" here means "indistinguishable to every
+    * downstream similarity op"), quantized-norm min/max, and exact
+    * LOWER-RANK p10/p50/p90 ([[Percentiles.exactFewGroupsLowerRank]] —
+    * two passes, no per-group collect, and interpolation-free: the
+    * statistic is an element of the data, so it stays an exact bigint
+    * and no type-7 blend arithmetic crosses the oracle boundary).
+    * Norms via the codegen'd [[LongDot]]; only (label, hash, norm)
+    * rows shuffle — payload vectors never do.
+    */
+  private def qEmbeddingHygiene(s: SparkSession, dir: String): DataFrame = {
+    val q = t(s, dir, "embeddings")
+      .select(col("label").cast("long").as("label"),
+        Similarity.quantized("embedding").as("__qv"))
+      .withColumn("__qn", Similarity.dot(col("__qv"), col("__qv")))
+      .withColumn("__h",
+        md5(expr("array_join(transform(__qv, x -> cast(x as string)), ',')")))
+    val dups = q.groupBy("label", "__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .groupBy("label").agg(sum("__c").as("n_dup_vecs"))
+    val stats = q.groupBy("label").agg(
+      count(lit(1)).as("n_vecs"),
+      sum(when(expr("forall(__qv, x -> x = 0L)"), 1L).otherwise(0L))
+        .as("n_zero_vecs"),
+      min("__qn").as("min_qnorm"), max("__qn").as("max_qnorm"))
+    val pct = Percentiles.exactFewGroupsLowerRank(q, Seq("label"), "__qn",
+        Seq(("p10_qnorm", 0.1), ("p50_qnorm", 0.5), ("p90_qnorm", 0.9)))
+      .select(col("label"), col("p10_qnorm").cast("long").as("p10_qnorm"),
+        col("p50_qnorm").cast("long").as("p50_qnorm"),
+        col("p90_qnorm").cast("long").as("p90_qnorm"))
+    stats
+      .join(dups, Seq("label"), "left")
+      .withColumn("n_dup_vecs", coalesce(col("n_dup_vecs"), lit(0L)))
+      .join(pct, "label")
+      .select("label", "n_vecs", "n_zero_vecs", "n_dup_vecs",
+        "min_qnorm", "max_qnorm", "p10_qnorm", "p50_qnorm", "p90_qnorm")
+      .orderBy("label")
+  }
+
+  /** Streaming tombstone enforcement (q255,
+    * [[graft.streaming.TombstoneScreen]]): q248's deletion-compliance
+    * screen moved from audit to GATE — deletion requests (the %97
+    * fixture convention) hold canonical-form fingerprints
+    * ([[TextFns.fingerprint]]), and every arriving micro-batch is
+    * probed at ingestion, so deleted content re-entering via re-crawl
+    * is counted (and in production dropped) the moment it lands, not
+    * at the next audit. The tombstone store is deletion-request-sized
+    * — KB, not corpus — so the probe legitimately BROADCASTS (the
+    * ContaminationScreen shape; contrast q223, whose corpus-sized
+    * history had to be bucketed instead). The oracle replays batch
+    * membership via the staging NTILE and the identical
+    * fingerprint join.
+    */
+  private def qStreamTombstone(s: SparkSession, dir: String): DataFrame = {
+    val tombstones = t(s, dir, "documents")
+      .filter(col("doc_id") % 97 === 0)
+      .select(TextFns.fingerprint("text").as("fp"))
+    graft.streaming.TombstoneScreen.run(s, s"$dir/documents.parquet",
+      tombstones)
+  }
+
+  /** Incremental gram-history maintenance (q256): the WRITE side of
+    * the q220/q223 bucketed novelty screens — after a crawl is
+    * admitted, its novel grams must enter the stored history WITHOUT
+    * rewriting it (at 100 TB the history is trillions of rows; a
+    * rewrite-per-ingest is a nightly job, an append is a minute). The
+    * arriving split's novel grams (the same merge anti-join the
+    * probes use) APPEND into the bucketed table as new per-bucket
+    * files — the bucket layout is preserved (Spark's bucketed writer
+    * routes appended rows to their gh bucket), so every later probe
+    * still reads the history exchange-free. Output: before/added/
+    * after gram counts plus the re-probe ("recheck_novel", provably 0
+    * — the maintained history now contains the arrivals). The query
+    * clones the shared fixture into its own table first (order
+    * independence: q220/q223 must keep reading the un-maintained
+    * history) — like q206, it IS the maintenance demonstration and
+    * rebuilds per trial.
+    */
+  private def qIncrGramHistory(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tag = (s.sparkContext.applicationId + "_" + dir)
+      .replaceAll("[^a-zA-Z0-9]", "_")
+    val tbl = s"graft_novhist_incr_$tag"
+    s.table(novHistoryTable(s, dir))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "gh").sortBy("gh").saveAsTable(tbl)
+    val before = s.table(tbl).count()
+    val arriving = graft.streaming.NoveltyMonitor.gramHashes(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0))
+      .select("gh").distinct()
+      .localCheckpoint()
+    arriving.join(s.table(tbl).hint("merge"), Seq("gh"), "left_anti")
+      .write.mode("append").format("parquet")
+      .bucketBy(8, "gh").sortBy("gh").saveAsTable(tbl)
+    val after = s.table(tbl).count()
+    val recheck = arriving
+      .join(s.table(tbl).hint("merge"), Seq("gh"), "left_anti").count()
+    Seq(("added", after - before), ("after", after), ("before", before),
+      ("recheck_novel", recheck))
+      .toDF("phase", "n_grams")
+      .orderBy("phase")
+  }
+
+  /** Per-source curation scorecard (q257) — the capstone table a
+    * corpus owner actually reads before a training run: one row per
+    * source with volume (docs, tokens), mean heuristic quality in
+    * exact bp (the E3 formula, quantized floor(q·10⁴+0.5) so the mean
+    * is integer arithmetic), arrival novelty in bp (the q220 bucketed
+    * probe, reused verbatim), and within-source verified near-dup
+    * pairs (the q25 banded MinHash chain at J ≥ 0.5, both endpoints
+    * in the source). Every signal reuses the machinery its dedicated
+    * query gates — the scorecard adds two broadcast-joined rollups,
+    * nothing new moves at scale.
+    */
+  private def qSourceScorecard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val base = docs
+      .withColumn("__toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .withColumn("__q", TextFns.qualityScore("text", "__toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("__toks")).cast("long")).as("n_tokens"),
+        sum(expr("cast(floor(__q * 10000.0d + 0.5d) as bigint)"))
+          .as("__qsum"))
+      .withColumn("mean_quality_bp", expr("__qsum div n_docs"))
+    val nov = graft.streaming.NoveltyMonitor.noveltyCounts(s,
+        graft.streaming.NoveltyMonitor.gramHashes(
+          docs.filter(col("doc_id") % 5 === 0)),
+        novHistoryTable(s, dir))
+      .select(col("source"), col("novelty_bp"))
+    val shingled = docs.withColumn("shingles", TextFns.shingles("text", 5))
+      .select("doc_id", "shingles")
+    val sigs = NearDup.minHashSigs(shingled, "doc_id", "shingles", 32, "sig")
+    val cand = NearDup.candidatePairs(
+      NearDup.bandRows(sigs, "doc_id", "sig", 4, 8, 32), "doc_id")
+    val verified = NearDup.jaccard(cand, shingled, "doc_id", "shingles")
+      .filter(col("jaccard") >= 0.5)
+    val dsrc = docs.select(col("doc_id"), col("source"))
+    val dp = verified
+      .join(dsrc.select(col("doc_id").as("id_a"),
+        col("source").as("__sa")), "id_a")
+      .join(dsrc.select(col("doc_id").as("id_b"),
+        col("source").as("__sb")), "id_b")
+      .filter(col("__sa") === col("__sb"))
+      .groupBy(col("__sa").as("source"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+    base
+      .join(nov, Seq("source"), "left")
+      .join(dp, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("mean_quality_bp"),
+        coalesce(col("novelty_bp"), lit(0L)).as("novelty_bp"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"))
+      .orderBy("source")
   }
 
   // ---------------------------------------------------------------------
@@ -7040,7 +7417,14 @@ object TrainQueries {
     "q247_mixed_lang_audit" -> (qMixedLangAudit _),
     "q248_tombstone_screen" -> (qTombstoneScreen _),
     "q249_budget_remix" -> (qBudgetRemix _),
-    "q250_stopword_discovery" -> (qStopwordDiscovery _))
+    "q250_stopword_discovery" -> (qStopwordDiscovery _),
+    "q251_png_decode" -> (qPngDecode _),
+    "q252_png_blockhash" -> (qPngBlockhash _),
+    "q253_shard_stitch" -> (qShardStitch _),
+    "q254_embedding_hygiene" -> (qEmbeddingHygiene _),
+    "q255_stream_tombstone" -> (qStreamTombstone _),
+    "q256_incr_gram_history" -> (qIncrGramHistory _),
+    "q257_source_scorecard" -> (qSourceScorecard _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -11240,6 +11624,164 @@ object TrainQueries {
          FROM df JOIN nd ON df.lang = nd.lang
          WHERE df * 10000 // nd.n >= 3000
          ORDER BY df.lang, share_bp DESC, token""",
+    // q251: the decoded-pixel contract recomputed in closed form from
+    // the generation rule — raster byte 3*(y*w+x)+c of doc id is
+    // (id*31 + 3*(y*w+x) + c) % 256; PNG is lossless, so the real
+    // ImageIO inflate+unfilter must reproduce exactly these sums.
+    "q251_png_decode" ->
+      """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w,
+             3 + doc_id % 4 AS h FROM documents),
+         px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS p
+           FROM dims),
+         v AS (SELECT doc_id, w, h, c,
+             (doc_id * 31 + 3 * p + c) % 256 AS val
+           FROM px, (SELECT unnest(range(0, 3)) AS c))
+         SELECT doc_id, CAST(w AS BIGINT) AS width,
+             CAST(h AS BIGINT) AS height,
+             CAST(SUM(CASE WHEN c = 0 THEN val ELSE 0 END) AS BIGINT)
+               AS r_sum,
+             CAST(SUM(CASE WHEN c = 1 THEN val ELSE 0 END) AS BIGINT)
+               AS g_sum,
+             CAST(SUM(CASE WHEN c = 2 THEN val ELSE 0 END) AS BIGINT)
+               AS b_sum
+         FROM v GROUP BY doc_id, w, h ORDER BY doc_id""",
+    // q252: the q193 blockhash replay pointed at the DECODED raster —
+    // byte i of doc id's w*h*3 raster is (id*31 + i) % 256.
+    "q252_png_blockhash" ->
+      """WITH dims AS (SELECT doc_id,
+             (4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS n
+           FROM documents),
+         ch AS (SELECT doc_id, n, (i * 60) // n AS c,
+             (doc_id * 31 + i) % 256 AS v
+           FROM dims, unnest(range(0, n)) u(i)),
+         cs AS (SELECT doc_id, c, CAST(SUM(v) AS BIGINT) AS s
+           FROM ch GROUP BY 1, 2),
+         tt AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS total
+           FROM ch GROUP BY 1),
+         fp AS (SELECT cs.doc_id,
+             CAST(SUM(CASE WHEN cs.s * 60 > tt.total
+               THEN (CAST(1 AS BIGINT) << cs.c) ELSE 0 END)
+               AS BIGINT) AS fp
+           FROM cs JOIN tt ON cs.doc_id = tt.doc_id GROUP BY 1)
+         SELECT d.doc_id, fp.fp, CAST(d.n AS BIGINT) AS n_bytes
+         FROM dims d JOIN fp ON d.doc_id = fp.doc_id
+         ORDER BY d.doc_id""",
+    // q253: shard generation (docs %7, >=50 tokens, 20-token overlap)
+    // + suffix-key = prefix-key stitch join, replayed end to end.
+    "q253_shard_stitch" ->
+      """WITH tk AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS t
+           FROM documents),
+         sp AS (SELECT doc_id, t,
+             CAST(ceil(len(t) / 2.0) AS INT) AS m
+           FROM tk WHERE doc_id % 7 = 0 AND len(t) >= 50),
+         sh AS (SELECT doc_id * 2 AS shard_id, doc_id,
+             t[1 : m + 10] AS st FROM sp
+           UNION ALL
+           SELECT doc_id * 2 + 1, doc_id, t[m - 9 : len(t)] FROM sp),
+         k AS (SELECT shard_id, doc_id,
+             md5(array_to_string(st[1 : 20], ' ')) AS pk,
+             md5(array_to_string(st[len(st) - 19 : len(st)], ' '))
+               AS sk
+           FROM sh)
+         SELECT a.shard_id AS shard_a, b.shard_id AS shard_b,
+             a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM k a JOIN k b
+           ON a.sk = b.pk AND a.shard_id <> b.shard_id
+         ORDER BY shard_a, shard_b""",
+    // q254: hygiene stats over the engine's own 10^4 quantization;
+    // exact percentiles via quantile_cont (the q47 convention).
+    "q254_embedding_hygiene" ->
+      """WITH q AS (SELECT CAST(label AS BIGINT) AS label,
+             list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5)
+                 AS BIGINT)) AS qv
+           FROM embeddings),
+         n AS (SELECT label, qv,
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)
+               AS qn,
+             md5(array_to_string(list_transform(qv,
+               x -> CAST(x AS VARCHAR)), ',')) AS h
+           FROM q),
+         d AS (SELECT label, CAST(SUM(c) AS BIGINT) AS n_dup_vecs
+           FROM (SELECT label, h, COUNT(*) AS c FROM n GROUP BY 1, 2)
+           WHERE c > 1 GROUP BY 1),
+         r AS (SELECT label, qn,
+             CAST(ROW_NUMBER() OVER (PARTITION BY label ORDER BY qn)
+               AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS nn
+           FROM n),
+         p AS (SELECT label,
+             MAX(CASE WHEN rn = CAST(floor((nn - 1) * 0.1) AS BIGINT)
+               + 1 THEN qn END) AS p10_qnorm,
+             MAX(CASE WHEN rn = CAST(floor((nn - 1) * 0.5) AS BIGINT)
+               + 1 THEN qn END) AS p50_qnorm,
+             MAX(CASE WHEN rn = CAST(floor((nn - 1) * 0.9) AS BIGINT)
+               + 1 THEN qn END) AS p90_qnorm
+           FROM r GROUP BY 1)
+         SELECT n.label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(CASE WHEN len(list_filter(qv, x -> x <> 0)) = 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vecs,
+             CAST(COALESCE(MAX(d.n_dup_vecs), 0) AS BIGINT)
+               AS n_dup_vecs,
+             MIN(qn) AS min_qnorm, MAX(qn) AS max_qnorm,
+             CAST(MAX(p.p10_qnorm) AS BIGINT) AS p10_qnorm,
+             CAST(MAX(p.p50_qnorm) AS BIGINT) AS p50_qnorm,
+             CAST(MAX(p.p90_qnorm) AS BIGINT) AS p90_qnorm
+         FROM n LEFT JOIN d ON n.label = d.label
+              JOIN p ON n.label = p.label
+         GROUP BY n.label ORDER BY n.label""",
+    // q255: staging NTILE batch membership + the identical canonical
+    // fingerprint join against the %97 tombstone fixture.
+    "q255_stream_tombstone" ->
+      """WITH ad AS (SELECT doc_id, text,
+             CAST(NTILE(3) OVER (ORDER BY doc_id) - 1 AS BIGINT)
+               AS batch_id
+           FROM documents),
+         fp AS (SELECT batch_id,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+               AS fp
+           FROM ad),
+         tomb AS (SELECT DISTINCT
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+               AS fp
+           FROM documents WHERE doc_id % 97 = 0)
+         SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN t.fp IS NULL THEN 0 ELSE 1 END)
+               AS BIGINT) AS n_blocked,
+             CAST((SUM(CASE WHEN t.fp IS NULL THEN 0 ELSE 1 END)
+               * 10000) // COUNT(*) AS BIGINT) AS blocked_bp
+         FROM fp LEFT JOIN tomb t ON fp.fp = t.fp
+         GROUP BY batch_id ORDER BY batch_id""",
+    // q256: before/added/after/recheck over distinct 3-gram hashes of
+    // the history (%5<>0) vs arriving (%5=0) splits.
+    "q256_incr_gram_history" ->
+      """WITH toks AS (SELECT doc_id,
+             string_split(text, ' ') AS t FROM documents),
+         g AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' ')))) AS gram
+           FROM toks),
+         hist AS (SELECT DISTINCT gram FROM g WHERE doc_id % 5 <> 0),
+         arr AS (SELECT DISTINCT gram FROM g WHERE doc_id % 5 = 0),
+         novel AS (SELECT a.gram FROM arr a
+           LEFT JOIN hist h ON a.gram = h.gram WHERE h.gram IS NULL)
+         SELECT 'added' AS phase,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM novel) AS n_grams
+         UNION ALL
+         SELECT 'after',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM hist)
+               + (SELECT COUNT(*) FROM novel)
+         UNION ALL
+         SELECT 'before',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM hist)
+         UNION ALL
+         SELECT 'recheck_novel', CAST(0 AS BIGINT)
+         ORDER BY phase""",
+    // q257: volume + quantized mean quality + the q220 novelty legs +
+    // the q25 banded-minhash verified pairs rolled up within-source.
+    "q257_source_scorecard" -> sourceScorecardOracle,
     "q127_copurchase" ->
       """WITH cs AS (SELECT DISTINCT o_custkey AS cust,
              l_suppkey AS supp

@@ -27,9 +27,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * REQUIRES both arrays sorted ascending (the callers build them with
   * `sort_array`); on unsorted input the count is undefined (it counts
-  * order-compatible matches only). Null semantics match LongDot's
-  * discipline: null if either array is null or any element is null
-  * (the callers' hash arrays are never null).
+  * order-compatible matches only). Null semantics: null if either
+  * array is null, or if a null ELEMENT is encountered during the merge
+  * walk — elements past the point where one side is exhausted are
+  * never inspected, so e.g. [1,2,3] vs [5,null] returns 0, not null
+  * (eval and codegen agree; the callers' hash arrays are never null,
+  * so the distinction is defensive, not load-bearing).
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {

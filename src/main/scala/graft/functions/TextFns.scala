@@ -47,7 +47,12 @@ object TextFns {
   def profile(lang: String): Seq[String] =
     stopwordProfiles.toMap.apply(lang)
 
-  private def sqlLit(w: String): String =
+  /** SQL string literal with backslash-then-quote escaping — the one
+    * escaping discipline for every expr() that embeds caller-supplied
+    * words (a backslash escaped after the quote pass would re-break
+    * the quote escape, so order matters and lives in one place).
+    */
+  private[graft] def sqlLit(w: String): String =
     "'" + w.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
   private def inList(words: Seq[String]): String =
@@ -166,10 +171,6 @@ object TextFns {
        |    x -> size(filter($gramsCol, b -> b = x)))) as double)
        |  / cast(size($gramsCol) as double)""".stripMargin)
 
-  /** Digit masking for identifier-bearing fields (account ids, ticket
-    * numbers): every digit replaced, shape preserved. Scan-local,
-    * dialect-portable (plain character class, no lookaround).
-    */
   /** Luhn checksum validity of a digit string (the mod-10 check every
     * real payment-card number passes): from the RIGHT, double every
     * second digit (subtracting 9 on overflow), sum, and test total
@@ -177,20 +178,32 @@ object TextFns {
     * runs are found — a random 16-digit run passes with p = 1/10, so
     * Luhn cuts card-number false positives 10× before redaction or
     * escalation. One scan-local integer fold per candidate (codegen
-    * HOF, no UDF); any ANSI engine replays it bit-exactly.
+    * HOF, no UDF); any ANSI engine replays it bit-exactly. The
+    * reversed string is materialized ONCE as a lambda binding (the
+    * transform(array(...)) scalar-let trick — the first form
+    * re-reversed the input per digit), each digit is read once into a
+    * struct, and the empty string is explicitly false (a zero-length
+    * candidate is not a valid card number, not an unknown).
     */
   def luhnValid(digitsCol: String): Column = {
     val d = digitsCol
     expr(
-      s"""aggregate(sequence(1, length($d)), 0L, (a, i) -> a +
-         |  (case when i % 2 = 1
-         |     then cast(substring(reverse($d), i, 1) as long)
-         |     else if(cast(substring(reverse($d), i, 1) as long) * 2 > 9,
-         |       cast(substring(reverse($d), i, 1) as long) * 2 - 9,
-         |       cast(substring(reverse($d), i, 1) as long) * 2)
-         |   end)) % 10 = 0""".stripMargin)
+      s"""length($d) > 0 and element_at(
+         |  transform(array(reverse($d)), r ->
+         |    aggregate(
+         |      transform(sequence(1, length(r)), i ->
+         |        named_struct('odd', i % 2 = 1,
+         |          'v', cast(substring(r, i, 1) as long))),
+         |      0L,
+         |      (a, s) -> a + if(s.odd, s.v,
+         |        if(s.v * 2 > 9, s.v * 2 - 9, s.v * 2))) % 10 = 0),
+         |  1)""".stripMargin)
   }
 
+  /** Digit masking for identifier-bearing fields (account ids, ticket
+    * numbers): every digit replaced, shape preserved. Scan-local,
+    * dialect-portable (plain character class, no lookaround).
+    */
   def maskDigits(c: Column, repl: String = "#"): Column =
     regexp_replace(c, "[0-9]", repl)
 

@@ -321,4 +321,117 @@ object Multimodal {
     media.mapPartitions(_.map(r => decodePpm(r.doc_id,
       if (r.payload == null) Array.emptyByteArray else r.payload)))
   }
+
+  // ------------------------------------------------------------------
+  // Real PNG, second real raster format (E246/E247): decoded through
+  // `javax.imageio` — JDK-bundled, zero new dependencies, a public
+  // format real crawls actually carry. Unlike PPM, the ENCODED bytes
+  // are not the contract (compression level and chunk layout are
+  // encoder-private); PNG is lossless, so the DECODED raster is — the
+  // features and the perceptual fingerprint run on decoded pixels and
+  // replay closed-form from the generation rule, which is exactly the
+  // discipline a real-image pHash needs (fingerprint the raster, never
+  // the container bytes: two encoders of the same image differ in
+  // every container byte and in zero raster bytes).
+  // ------------------------------------------------------------------
+
+  /** Decoded PNG features: dims and per-channel raster sums, exact
+    * integers. No whole-file checksum on purpose — see above.
+    */
+  case class PngFeatures(doc_id: Long, width: Long, height: Long,
+      r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** Encode a deterministic RGB PNG: pixel (x, y) channel c holds
+    * (seed·31 + 3·(y·w + x) + c) mod 256 — the SAME raster rule as
+    * [[encodePpm]], so both real codecs share one closed-form oracle
+    * arithmetic and the PNG path is provably decoding (not echoing
+    * its input: the bytes on the wire are DEFLATE-compressed).
+    */
+  def encodePng(seed: Long, width: Int, height: Int): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"bad dims: ${width}x$height")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val j = 3 * (y * width + x)
+        val r = ((seed * 31 + j) % 256).toInt
+        val g = ((seed * 31 + j + 1) % 256).toInt
+        val b = ((seed * 31 + j + 2) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", out),
+      "no PNG writer available in this JVM")
+    out.toByteArray
+  }
+
+  /** Decode any `javax.imageio`-supported image to its row-major RGB
+    * raster (w·h·3 bytes) — the real-pixel signal [[blockHash]] and
+    * every downstream perceptual op consume. Throws on undecodable
+    * bytes (a codec must fail loudly, not fabricate pixels).
+    */
+  def imageRaster(docId: Long, bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"doc $docId: not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val dst = 3 * (y * w + x)
+        raster(dst) = ((rgb >> 16) & 0xff).toByte
+        raster(dst + 1) = ((rgb >> 8) & 0xff).toByte
+        raster(dst + 2) = (rgb & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, raster)
+  }
+
+  /** Real PNG decode via `javax.imageio` → typed features. */
+  def decodePng(docId: Long, bytes: Array[Byte]): PngFeatures = {
+    val (w, h, raster) = imageRaster(docId, bytes)
+    var (rs, gs, bs) = (0L, 0L, 0L)
+    var p = 0
+    while (p < raster.length) {
+      rs += raster(p) & 0xff
+      gs += raster(p + 1) & 0xff
+      bs += raster(p + 2) & 0xff
+      p += 3
+    }
+    PngFeatures(docId, w.toLong, h.toLong, rs, gs, bs)
+  }
+
+  /** Batched real PNG decode over partitions — same seam as
+    * [[decodePpmFeatures]]; payloads never shuffle, only typed rows.
+    */
+  def decodePngFeatures(media: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[PngFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(_.map(r => decodePng(r.doc_id,
+      if (r.payload == null) Array.emptyByteArray else r.payload)))
+  }
+
+  /** Swap a media record's payload for its DECODED raster — the move
+    * that points [[blockHash]]'s perceptual fingerprint at real pixels
+    * (E187's "a real image pHash swaps in" claim, made runnable): the
+    * container bytes are encoder-private, the raster is the image.
+    */
+  def toRaster(media: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val (_, _, raster) = imageRaster(r.doc_id,
+        if (r.payload == null) Array.emptyByteArray else r.payload)
+      MediaRecord(r.doc_id, raster, "raster")
+    })
+  }
 }

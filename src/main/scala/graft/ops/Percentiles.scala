@@ -107,7 +107,37 @@ object Percentiles {
     * deterministic and identical to [[exact]].
     */
   def exactFewGroups(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      ps: Seq[(String, Double)]): DataFrame = {
+      ps: Seq[(String, Double)]): DataFrame =
+    interpolate(fewGroupsProbes(df, groupCols, valueCol, ps),
+      groupCols, ps)
+
+  /** Exact per-group LOWER order statistics at rank floor((n−1)·p)+1 —
+    * the interpolation-free sibling of [[exactFewGroups]]: the result
+    * is always an ELEMENT of the data, never a blend, so integer
+    * inputs stay exactly representable and no interpolation
+    * arithmetic crosses an engine boundary (the q254 lesson: type-7
+    * blends agree with `quantile_cont` at p ∈ {.25, .5, .75} on the
+    * gated fixtures but diverge in the last ulp at p = .1/.9 — two
+    * algebraically-equal formulas, different rounding). Same two-pass
+    * probe machinery; the rank arithmetic (floor of one IEEE double
+    * multiply) is engine-portable.
+    */
+  def exactFewGroupsLowerRank(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, ps: Seq[(String, Double)]): DataFrame = {
+    val probed = fewGroupsProbes(df, groupCols, valueCol, ps)
+    def lo(p: Double): Column =
+      floor((col("__n") - 1).cast("double") * lit(p)).cast("long") + 1L
+    probed.groupBy(groupCols.map(col): _*)
+      .agg(
+        max(when(col("__rn") === lo(ps.head._2), col("__v")))
+          .as(ps.head._1),
+        ps.tail.map { case (name, p) =>
+          max(when(col("__rn") === lo(p), col("__v"))).as(name)
+        }: _*)
+  }
+
+  private def fewGroupsProbes(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, ps: Seq[(String, Double)]): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
       s"percentiles must be in [0,1]: $ps")
     val spark = df.sparkSession
@@ -175,6 +205,6 @@ object Percentiles {
         StructField("__rn", LongType, nullable = false) :+
         StructField("__v", DoubleType, nullable = false) :+
         StructField("__n", LongType, nullable = false))
-    interpolate(spark.createDataFrame(probeRows, probeSchema), groupCols, ps)
+    spark.createDataFrame(probeRows, probeSchema)
   }
 }

@@ -56,8 +56,8 @@ object PhraseExcise {
     val matchArrays = split.map { p =>
       val l = p.length
       val eqs = p.zipWithIndex.map { case (w, j) =>
-        val lit = w.replace("'", "\\'")
-        s"element_at(__toks, cast(i as int) + ${j + 1}) = '$lit'"
+        val lit = graft.functions.TextFns.sqlLit(w)
+        s"element_at(__toks, cast(i as int) + ${j + 1}) = $lit"
       }.mkString(" and ")
       s"""transform(
          |  filter(if(size(__toks) >= $l,

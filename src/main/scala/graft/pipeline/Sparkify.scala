@@ -85,15 +85,22 @@ object Sparkify {
     * preserved bit-for-bit, never tolerance-matched; SURVEY §2.3 J1).
     * Expressed through the SQL surface over temp views for parity with
     * the reference (`etl.py:149–169`); `songplay_id` is a deterministic
-    * surrogate key instead of `monotonically_increasing_id()`.
+    * surrogate key instead of `monotonically_increasing_id()`, assigned
+    * by [[graft.ops.DenseId]] in (ts, session_id, item_in_session)
+    * order — the fact table is the LARGEST table this pipeline writes,
+    * so the id must NOT funnel through a single-task global
+    * `row_number()` window (the q06-vs-q06b distinction: same dense
+    * deterministic ids, range-partitioned count-then-offset assignment
+    * instead of one task holding every row).
     */
   def songplaysTable(spark: SparkSession, songData: DataFrame, logData: DataFrame): DataFrame = {
     nextSongEvents(logData)
       .withColumn("start_time", TimeOps.fromEpochMillis(col("ts")))
       .createOrReplaceTempView("log_data")
     songData.createOrReplaceTempView("song_data")
-    spark.sql("""
-      SELECT row_number() OVER (ORDER BY ld.ts, ld.sessionId, ld.itemInSession) AS songplay_id,
+    val joined = spark.sql("""
+      SELECT ld.ts            AS __ts,
+             ld.itemInSession AS __item,
              ld.start_time,
              year(ld.start_time)  AS year,
              month(ld.start_time) AS month,
@@ -109,6 +116,11 @@ object Sparkify {
         ON ld.song = sd.title
        AND ld.length = sd.duration
        AND ld.artist = sd.artist_name""")
+    graft.ops.DenseId.withDenseId(joined, "songplay_id",
+        col("__ts"), col("session_id"), col("__item"))
+      .select("songplay_id", "start_time", "year", "month", "user_id",
+        "level", "song_id", "artist_id", "session_id", "location",
+        "user_agent")
   }
 
   /** Full pipeline: read both inputs once, cache at the fan-out points,

@@ -14,20 +14,31 @@ import graft.ops.Contamination
   * batch, not at the next audit. Per batch: one scan-local
   * per-doc-distinct gram expansion, one hash anti-join against the
   * stored set (32-byte hashes only), one per-source rollup appended as
-  * version `batchId` — per-batch cost independent of corpus history
-  * (the reference set is a fixed stored artifact, the
-  * ContaminationScreen/LmScreen shape). Batches are disjoint document
-  * sets, so the per-batch rows union into the exact per-(batch,
-  * source) novelty series the oracle replays.
+  * version `batchId`.
+  *
+  * Scale shape, stated precisely: the stored gram set is a BUCKETED
+  * catalog table on `gh` (built by the q220 fixture,
+  * `bucketBy(gh).sortBy(gh)`), and the anti-join is hinted merge, so
+  * the plan shuffles ONLY the batch's grams into the history's
+  * bucketing — NO history re-shuffle per batch (PlanSpec asserts no
+  * Exchange above the bucketed history scan). The history side is
+  * still SCANNED per batch (an anti-join must consult it; at larger
+  * history-to-batch ratios the next step is partition-pruning the
+  * history by a coarse gh prefix carried as a partition column —
+  * same probe shape, fewer buckets touched). Contrast
+  * [[ContaminationScreen]], whose reference set is KB-sized and
+  * simply broadcasts. Batches are disjoint document sets, so the
+  * per-batch rows union into the exact per-(batch, source) novelty
+  * series the oracle replays.
   */
 object NoveltyMonitor {
 
   /** Stream the staged `docsParquet` (columns `doc_id`, `source`,
     * `text`) in `chunks` micro-batches against the stored gram-hash
-    * set at `histParquet` (column `gh`); returns one row per
-    * (batch_id, source) with gram counts and novelty in basis points,
-    * ordered. */
-  def run(spark: SparkSession, docsParquet: String, histParquet: String,
+    * set in the BUCKETED catalog table `histTable` (column `gh`,
+    * bucketed on it); returns one row per (batch_id, source) with
+    * gram counts and novelty in basis points, ordered. */
+  def run(spark: SparkSession, docsParquet: String, histTable: String,
       docFilter: Column = lit(true), chunks: Int = 3): DataFrame =
       Staging.withStreamShufflePartitions(spark, n = "4") {
     val (docs, tag) = Staging.stageSplitAndRead(spark, docsParquet,
@@ -35,7 +46,7 @@ object NoveltyMonitor {
     val tmp = System.getProperty("java.io.tmpdir")
     val root = graft.Scratch.register(s"$tmp/graft_novmon_state_$tag")
     val ck = graft.Scratch.register(s"$tmp/graft_novmon_ck_$tag")
-    runInto(spark, docs.filter(docFilter), histParquet, root, ck)
+    runInto(spark, docs.filter(docFilter), histTable, root, ck)
     VersionedStore.readAllBelow(spark, s"$root/rates", Long.MaxValue)
       .getOrElse(emptyRates(spark))
       .orderBy("batch_id", "source")
@@ -44,12 +55,12 @@ object NoveltyMonitor {
   /** The pipeline against a caller-owned state root (`<root>/rates`
     * append store) and checkpoint — the restart surface.
     */
-  def runInto(spark: SparkSession, docs: DataFrame, histParquet: String,
+  def runInto(spark: SparkSession, docs: DataFrame, histTable: String,
       stateRoot: String, checkpoint: String): Unit = {
     val query = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldBatch(spark, stateRoot, histParquet, batch, batchId)
+        foldBatch(spark, stateRoot, histTable, batch, batchId)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -57,26 +68,43 @@ object NoveltyMonitor {
     query.awaitTermination()
   }
 
+  /** Per-doc gram expansion for one batch/split: (source, gh) rows. */
+  def gramHashes(batch: DataFrame): DataFrame =
+    batch
+      .select(col("source"), col("doc_id"),
+        split(col("text"), " ").as("__toks"))
+      .select(col("source"),
+        explode(Contamination.wordGrams("__toks", 3)).as("__g"))
+      .select(col("source"), md5(col("__g")).as("gh"))
+
+  /** The ONE novelty probe both the batch audit (q220) and the
+    * streaming monitor (q223) run: per-source gram totals plus the
+    * anti-join survivors against the bucketed history table. The
+    * merge hint pins the sort-merge shape whose history leg reads the
+    * bucket layout in place — broadcast would be wrong both ways here
+    * (the history is the big side), and the hint keeps the plan
+    * assertable rather than stats-dependent.
+    */
+  def noveltyCounts(spark: SparkSession, grams: DataFrame,
+      histTable: String): DataFrame = {
+    val novel = grams
+      .join(spark.table(histTable).hint("merge"), Seq("gh"), "left_anti")
+      .groupBy("source").agg(count(lit(1)).as("n_novel"))
+    grams.groupBy("source")
+      .agg(count(lit(1)).as("n_grams"))
+      .join(novel, Seq("source"), "left")
+      .select(col("source"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_bp",
+        expr("(n_novel * 10000L) div n_grams"))
+  }
+
   private def foldBatch(spark: SparkSession, stateRoot: String,
-      histParquet: String, batch: DataFrame, batchId: Long): Unit = {
+      histTable: String, batch: DataFrame, batchId: Long): Unit = {
     if (!batch.isEmpty) {
-      val grams = batch
-        .select(col("source"), col("doc_id"),
-          split(col("text"), " ").as("__toks"))
-        .select(col("source"),
-          explode(Contamination.wordGrams("__toks", 3)).as("__g"))
-        .select(col("source"), md5(col("__g")).as("gh"))
-      val novel = grams
-        .join(spark.read.parquet(histParquet), Seq("gh"), "left_anti")
-        .groupBy("source").agg(count(lit(1)).as("n_novel"))
-      val rates = grams.groupBy("source")
-        .agg(count(lit(1)).as("n_grams"))
-        .join(novel, Seq("source"), "left")
+      val rates = noveltyCounts(spark, gramHashes(batch), histTable)
         .select(lit(batchId).as("batch_id"), col("source"),
-          col("n_grams"),
-          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
-        .withColumn("novelty_bp",
-          expr("(n_novel * 10000L) div n_grams"))
+          col("n_grams"), col("n_novel"), col("novelty_bp"))
       VersionedStore.write(rates, s"$stateRoot/rates", batchId)
     }
   }

@@ -103,4 +103,26 @@ class PercentilesSpec extends AnyFunSuite {
       .toMap
     assert(r === want)
   }
+
+  test("exactFewGroupsLowerRank returns the element at floor((n-1)p)+1 " +
+      "— an element of the data, never a blend") {
+    import spark.implicits._
+    val ps = Seq(("p10", 0.10), ("p50", 0.50), ("p90", 0.90))
+    val got = Percentiles.exactFewGroupsLowerRank(df, Seq("g"), "v", ps)
+      .collect().map(r => r.getString(0) ->
+        (1 to 3).map(r.getDouble).toVector).toMap
+    // reference: sort each group, index directly
+    val want = df.collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (g, rows) =>
+        val sorted = rows.map(_._2).sorted.toVector
+        g -> ps.map { case (_, p) =>
+          sorted(math.floor((sorted.size - 1).toDouble * p).toInt)
+        }.toVector
+      }
+    assert(got === want)
+    // every returned statistic is an actual element
+    val elems = df.collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    got.foreach { case (g, vs) =>
+      vs.foreach(v => assert(elems.contains((g, v)))) }
+  }
 }

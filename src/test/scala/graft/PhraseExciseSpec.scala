@@ -64,4 +64,25 @@ class PhraseExciseSpec extends AnyFunSuite {
     assert(!got("79927398710"))
     assert(got("0000000000000000"), "all zeros sum to 0 mod 10")
   }
+
+  test("luhn: empty input is false, not null") {
+    import spark.implicits._
+    val row = Seq("").toDF("d")
+      .select(graft.functions.TextFns.luhnValid("d").as("ok"))
+      .collect().head
+    assert(!row.isNullAt(0) && !row.getBoolean(0))
+  }
+
+  test("excise: phrase words with quotes and backslashes match literally") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "keep a\\b 'q' tail"),
+      (2L, "keep nothing odd here")).toDF("doc_id", "text")
+    val got = PhraseExcise.excise(docs, "doc_id", "text",
+        Seq("a\\b 'q'"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text_clean")).toMap
+    assert(got === Map(1L -> "keep tail"),
+      "the escaped phrase matches doc 1 and only doc 1")
+  }
 }

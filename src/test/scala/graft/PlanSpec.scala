@@ -706,6 +706,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q220/q223 novelty probe: NO Exchange above the bucketed " +
+      "gram-history scan — only the arriving grams shuffle (the scale " +
+      "claim: per-batch probes never re-shuffle trillion-row history)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // assertions must run on the EXECUTED plan (EnsureRequirements only
+    // inserts Exchange there), flattened through the AQE wrappers
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case r: ReusedExchangeExec => flatten(r.child)
+      case _ => p.children.flatMap(flatten)
+    })
+    val df = SparkEntry.queries("q220_gram_novelty")(spark, dir)
+    df.count()
+    val all = flatten(df.queryExecution.executedPlan)
+    val antis = all.collect {
+      case j: SortMergeJoinExec if j.joinType.sql == "LEFT ANTI" => j
+    }
+    assert(antis.nonEmpty,
+      s"the novelty probe must be a merge anti-join:\n${all.head.toString.take(1500)}")
+    val hist = flatten(antis.head.right)
+    assert(hist.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+      s"history side must carry no Exchange:\n${antis.head.right.toString.take(1500)}")
+    assert(hist.collect { case f: FileSourceScanExec => f }
+        .exists(_.relation.bucketSpec.exists(b =>
+          b.numBuckets == 8 && b.bucketColumnNames == Seq("gh"))),
+      "history side must read the gh-bucketed table layout in place")
+    assert(flatten(antis.head.left).collect {
+        case e: ShuffleExchangeLike => e }.nonEmpty,
+      "the arriving grams are the side that shuffles into the bucketing")
+  }
+
   test("q222: the metadata-sized eval fingerprint set broadcasts " +
       "onto the corpus gram stream") {
     val p = sparkPlan("q222_winnow_contamination")

@@ -58,4 +58,25 @@ class SortedIntersectSpec extends AnyFunSuite {
     val empty = SortedIntersectCount(lit(Seq.empty), lit(Seq(1L)))
     assert(empty.eval(null) === 0L)
   }
+
+  test("null elements: null only when the merge walk reaches one") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    def lit(xs: Seq[java.lang.Long]) =
+      Literal(ArrayData.toArrayData(xs.toArray), ArrayType(LongType))
+    def l(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+    // the walk hits the null on the right before either side exhausts
+    val hit = SortedIntersectCount(
+      lit(Seq(l(1L), l(2L))), lit(Seq(null, l(2L))))
+    assert(hit.eval(null) === null)
+    // the left exhausts at 3 < 5 — [5, null]'s null is never inspected
+    val missed = SortedIntersectCount(
+      lit(Seq(l(1L), l(2L), l(3L))), lit(Seq(l(5L), null)))
+    assert(missed.eval(null) === 0L)
+    // whole-array null stays null regardless of the other side
+    val wholeNull = SortedIntersectCount(
+      Literal(null, ArrayType(LongType)), lit(Seq(l(1L))))
+    assert(wholeNull.eval(null) === null)
+  }
 }
