@@ -588,6 +588,75 @@ object TrainQueries {
                 LEFT JOIN dp ON q.source = dp.source
          ORDER BY q.source"""
 
+  /** q259's oracle: the q25 chain's candidates with both estimators
+    * recomputed in exact truncating integers beside exact Jaccard.
+    */
+  private def bbitMinhashOracle: String =
+    s"""$minhashCtes,
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b
+             ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         m AS (SELECT id_a, id_b,
+             CAST(len(list_filter(list_zip(sa.sg, sb.sg),
+               p -> p[1] = p[2])) AS BIGINT) AS m32,
+             CAST(len(list_filter(list_zip(sa.sg, sb.sg),
+               p -> p[1] % 2 = p[2] % 2)) AS BIGINT) AS m1
+           FROM cand JOIN sig sa ON cand.id_a = sa.doc_id
+                     JOIN sig sb ON cand.id_b = sb.doc_id),
+         j AS (SELECT id_a, id_b,
+             CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+               / CAST(len(x.shingles) + len(y.shingles)
+                   - len(list_intersect(x.shingles, y.shingles))
+                 AS DOUBLE) AS jaccard
+           FROM cand JOIN s x ON cand.id_a = x.doc_id
+                     JOIN s y ON cand.id_b = y.doc_id)
+         SELECT j.id_a, j.id_b, j.jaccard,
+             CAST((m32 * 10000) // 32 AS BIGINT) AS est32_bp,
+             CAST((2 * m1 * 10000) // 32 - 10000 AS BIGINT) AS est1_bp
+         FROM j JOIN m ON j.id_a = m.id_a AND j.id_b = m.id_b
+         ORDER BY j.id_a, j.id_b"""
+
+  /** q260's oracle: the q25 verified pair set with quantized endpoint
+    * qualities and the quality-max-ties-to-min-id policy compare.
+    */
+  private def canonPolicyOracle: String =
+    s"""$minhashCtes,
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b
+             ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         jac AS (SELECT id_a, id_b
+           FROM cand JOIN s x ON cand.id_a = x.doc_id
+                     JOIN s y ON cand.id_b = y.doc_id
+           WHERE CAST(len(list_intersect(x.shingles, y.shingles))
+                 AS DOUBLE)
+               / CAST(len(x.shingles) + len(y.shingles)
+                   - len(list_intersect(x.shingles, y.shingles))
+                 AS DOUBLE) >= 0.5),
+         tk AS (SELECT doc_id, text,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+           FROM documents),
+         q AS (SELECT doc_id, CAST(floor((
+               0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (1.0 - CAST(len(list_filter(toks,
+                     w -> w IN ('the','a','of','and','is')))
+                   AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+               + 0.2 * least(((CAST(length(text) AS DOUBLE)
+                     - (CAST(len(toks) AS DOUBLE) - 1.0))
+                   / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0)
+             ) * 10000.0 + 0.5) AS BIGINT) AS q_bp
+           FROM tk)
+         SELECT j.id_a, j.id_b, qa.q_bp AS q_a_bp, qb.q_bp AS q_b_bp,
+             CASE WHEN qa.q_bp > qb.q_bp THEN j.id_a
+                  WHEN qb.q_bp > qa.q_bp THEN j.id_b
+                  ELSE least(j.id_a, j.id_b) END AS rep_quality,
+             CASE WHEN qa.q_bp > qb.q_bp THEN j.id_a
+                  WHEN qb.q_bp > qa.q_bp THEN j.id_b
+                  ELSE least(j.id_a, j.id_b) END
+               <> least(j.id_a, j.id_b) AS policy_differs
+         FROM jac j JOIN q qa ON j.id_a = qa.doc_id
+                    JOIN q qb ON j.id_b = qb.doc_id
+         ORDER BY j.id_a, j.id_b"""
+
   /** q192's oracle: the same 32-hash signature chain banded three
     * ways (the shared `bands` CTE IS the (4,8) config), candidates
     * per config from the band self-join, ground truth from the full
@@ -7174,6 +7243,120 @@ object TrainQueries {
       .orderBy("source")
   }
 
+  /** Bot-rate screen over behavioral logs (q258): human users do not
+    * emit 50 events in a minute — training on bot sessions teaches a
+    * model bot behavior, so behavioral corpora screen on the maximum
+    * short-window event rate per user BEFORE sessionization. The rate
+    * is a RANGE-frame window (count over [ms−60000, ms] per user —
+    * event-time, not row-count, so burst density is measured even
+    * through sparse stretches), then one per-user max and the top-20
+    * worst offenders with a fixed superhuman flag (> 30/min). Window
+    * partitions by user (bounded per-user history), top-k is
+    * TakeOrderedAndProject — no global sort at any size.
+    */
+  private def qBotRateScreen(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ms").rangeBetween(-60000L, 0L)
+    t(s, dir, "events")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+      .withColumn("__r", count(lit(1)).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(col("__r")).as("max_rate_60s"))
+      .withColumn("superhuman", col("max_rate_60s") > 30L)
+      .orderBy(col("max_rate_60s").desc, col("user_id"))
+      .limit(20)
+  }
+
+  /** b-bit MinHash estimation audit (q259, the published Li–König
+    * one-bit compression): a 32-hash signature stores 256 bytes per
+    * document; at 100 TB signature storage IS the dedup index's cost,
+    * and b-bit MinHash keeps only the LOW b BITS of each hash — 32×
+    * smaller at b = 1 — at the price of random collisions (half of
+    * all non-matching hashes agree by chance). The estimator corrects
+    * exactly: E[bit match] = (1+J)/2, so Ĵ = 2·(m₁/k) − 1. This audit
+    * computes, per banded candidate pair, the full-signature estimate
+    * and the 1-bit estimate in exact truncating bp (integers — no
+    * cross-engine float risk on either estimator) beside the exact
+    * Jaccard, so the precision cost of 32× compression is MEASURED
+    * (q51-style: the claim ships with its error, never alone). Same
+    * banded chain as q25; only signatures and pair ids shuffle.
+    */
+  private def qBbitMinhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .repartition(col("doc_id"))
+      .withColumn("shingles", TextFns.shingles("text", 5))
+      .select("doc_id", "shingles")
+      .localCheckpoint()
+    val sigs = NearDup.minHashSigs(docs, "doc_id", "shingles", 32, "sig")
+      .localCheckpoint()
+    val cand = NearDup.candidatePairs(
+      NearDup.bandRows(sigs, "doc_id", "sig", 4, 8, 32), "doc_id")
+    val ests = cand
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("__sa")),
+        "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("__sb")),
+        "id_b")
+      .withColumn("__m32", expr(
+        "size(filter(zip_with(__sa, __sb, (x, y) -> x = y), b -> b))"))
+      .withColumn("__m1", expr(
+        "size(filter(zip_with(__sa, __sb, (x, y) -> x % 2 = y % 2)," +
+          " b -> b))"))
+      .select(col("id_a"), col("id_b"),
+        expr("cast(__m32 * 10000L div 32 as bigint)").as("est32_bp"),
+        expr("cast(2L * __m1 * 10000L div 32 - 10000L as bigint)")
+          .as("est1_bp"))
+    NearDup.jaccard(cand, docs, "doc_id", "shingles")
+      .join(ests, Seq("id_a", "id_b"))
+      .select("id_a", "id_b", "jaccard", "est32_bp", "est1_bp")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Canonicalization-policy audit (q260): when a near-dup pair
+    * collapses to one representative, WHICH copy survives is a
+    * curation policy — min-id (stable, arbitrary) vs quality-max
+    * (keeps the better copy, the CCNet choice). This audit measures
+    * how often the two policies disagree on the corpus's own verified
+    * pairs (q25's banded chain at J ≥ 0.5): per pair, both endpoint
+    * qualities in exact bp (the E3 formula, quantized), the
+    * quality-max representative (ties break to min id, so the policy
+    * is total), and whether it differs from min-id. Disagreement ≈
+    * half on a quality-uncorrelated corpus; strongly-skewed
+    * disagreement flags quality-correlated duplication (e.g. the
+    * re-crawl is always the truncated copy). Same chain as q25 plus
+    * one broadcast-sized quality lookup join.
+    */
+  private def qCanonPolicy(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val qual = docs
+      .withColumn("__toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .withColumn("__q", TextFns.qualityScore("text", "__toks"))
+      .select(col("doc_id"),
+        expr("cast(floor(__q * 10000.0d + 0.5d) as bigint)").as("q_bp"))
+    val shingled = docs.repartition(col("doc_id"))
+      .withColumn("shingles", TextFns.shingles("text", 5))
+      .select("doc_id", "shingles")
+      .localCheckpoint()
+    val sigs = NearDup.minHashSigs(shingled, "doc_id", "shingles", 32, "sig")
+    val cand = NearDup.candidatePairs(
+      NearDup.bandRows(sigs, "doc_id", "sig", 4, 8, 32), "doc_id")
+    NearDup.jaccard(cand, shingled, "doc_id", "shingles")
+      .filter(col("jaccard") >= 0.5)
+      .join(qual.select(col("doc_id").as("id_a"), col("q_bp").as("q_a_bp")),
+        "id_a")
+      .join(qual.select(col("doc_id").as("id_b"), col("q_bp").as("q_b_bp")),
+        "id_b")
+      .withColumn("rep_quality", expr(
+        """case when q_a_bp > q_b_bp then id_a
+          |     when q_b_bp > q_a_bp then id_b
+          |     else least(id_a, id_b) end""".stripMargin))
+      .withColumn("policy_differs",
+        col("rep_quality") =!= least(col("id_a"), col("id_b")))
+      .select("id_a", "id_b", "q_a_bp", "q_b_bp", "rep_quality",
+        "policy_differs")
+      .orderBy("id_a", "id_b")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -7424,7 +7607,10 @@ object TrainQueries {
     "q254_embedding_hygiene" -> (qEmbeddingHygiene _),
     "q255_stream_tombstone" -> (qStreamTombstone _),
     "q256_incr_gram_history" -> (qIncrGramHistory _),
-    "q257_source_scorecard" -> (qSourceScorecard _))
+    "q257_source_scorecard" -> (qSourceScorecard _),
+    "q258_bot_rate_screen" -> (qBotRateScreen _),
+    "q259_bbit_minhash" -> (qBbitMinhash _),
+    "q260_canon_policy" -> (qCanonPolicy _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -11782,6 +11968,27 @@ object TrainQueries {
     // q257: volume + quantized mean quality + the q220 novelty legs +
     // the q25 banded-minhash verified pairs rolled up within-source.
     "q257_source_scorecard" -> sourceScorecardOracle,
+    // q258: event-time RANGE frame (60s trailing), per-user max, top-20.
+    "q258_bot_rate_screen" ->
+      """WITH e AS (SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events),
+         r AS (SELECT user_id, CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ms
+               RANGE BETWEEN 60000 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS rate
+           FROM e),
+         u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(rate) AS max_rate_60s
+           FROM r GROUP BY 1)
+         SELECT user_id, n_events, max_rate_60s,
+             max_rate_60s > 30 AS superhuman
+         FROM u ORDER BY max_rate_60s DESC, user_id LIMIT 20""",
+    // q259: the q25 chain + exact-integer full-signature and 1-bit
+    // estimators beside exact Jaccard.
+    "q259_bbit_minhash" -> bbitMinhashOracle,
+    // q260: the q25 verified pairs + quantized endpoint qualities +
+    // the quality-max-ties-to-min-id representative policy.
+    "q260_canon_policy" -> canonPolicyOracle,
     "q127_copurchase" ->
       """WITH cs AS (SELECT DISTINCT o_custkey AS cust,
              l_suppkey AS supp
