@@ -657,6 +657,40 @@ object TrainQueries {
                     JOIN q qb ON j.id_b = qb.doc_id
          ORDER BY j.id_a, j.id_b"""
 
+  /** q261's oracle: the q25 candidates rescored with df weights
+    * w = 10⁶ div df in exact truncating bp, beside unweighted exact J.
+    */
+  private def weightedJaccardOracle: String =
+    s"""$minhashCtes,
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b
+             ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         gr AS (SELECT doc_id, unnest(shingles) AS g FROM s),
+         w AS (SELECT g, CAST(1000000 // COUNT(*) AS BIGINT) AS w
+           FROM gr GROUP BY 1),
+         pg AS (SELECT id_a, id_b, g, MAX(ina) AS a, MAX(inb) AS b
+           FROM (SELECT c.id_a, c.id_b, gr.g, 1 AS ina, 0 AS inb
+                 FROM cand c JOIN gr ON gr.doc_id = c.id_a
+                 UNION ALL
+                 SELECT c.id_a, c.id_b, gr.g, 0, 1
+                 FROM cand c JOIN gr ON gr.doc_id = c.id_b)
+           GROUP BY 1, 2, 3),
+         agg AS (SELECT id_a, id_b,
+             SUM(CASE WHEN a = 1 AND b = 1 THEN w.w ELSE 0 END) AS num,
+             SUM(w.w) AS den
+           FROM pg JOIN w ON pg.g = w.g GROUP BY 1, 2),
+         j AS (SELECT id_a, id_b,
+             CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+               / CAST(len(x.shingles) + len(y.shingles)
+                   - len(list_intersect(x.shingles, y.shingles))
+                 AS DOUBLE) AS jaccard
+           FROM cand JOIN s x ON cand.id_a = x.doc_id
+                     JOIN s y ON cand.id_b = y.doc_id)
+         SELECT j.id_a, j.id_b, j.jaccard,
+             CAST((num * 10000) // den AS BIGINT) AS wjaccard_bp
+         FROM j JOIN agg ON j.id_a = agg.id_a AND j.id_b = agg.id_b
+         ORDER BY j.id_a, j.id_b"""
+
   /** q192's oracle: the same 32-hash signature chain banded three
     * ways (the shared `bands` CTE IS the (4,8) config), candidates
     * per config from the band self-join, ground truth from the full
@@ -7357,6 +7391,77 @@ object TrainQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** IDF-weighted Jaccard rescoring (q261): plain Jaccard counts a
+    * boilerplate shingle ("click here to subscribe") the same as a
+    * rare one, so template-heavy corpora over-merge distinct documents
+    * that share chrome. The weighted form down-weights each shingle by
+    * its corpus document frequency — w(g) = 10⁶ div df(g), exact
+    * integers — and rescores every banded candidate pair: wJ =
+    * Σ_{g∈A∩B} w / Σ_{g∈A∪B} w in truncating bp beside the unweighted
+    * exact J, so pairs held together only by common chrome become
+    * visible (wJ ≪ J). Candidates stay banded-bounded (the q25 chain);
+    * the per-pair work is one exploded-gram rollup joined to the df
+    * table — O(|A|+|B|) rows per pair, gram hashes only.
+    */
+  private def qWeightedJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .repartition(col("doc_id"))
+      .withColumn("shingles", TextFns.shingles("text", 5))
+      .select("doc_id", "shingles")
+      .localCheckpoint()
+    val grams = docs.select(col("doc_id"), explode(col("shingles")).as("g"))
+    val w = grams.groupBy("g").agg(count(lit(1)).as("__df"))
+      .withColumn("__w", expr("1000000L div __df"))
+    val sigs = NearDup.minHashSigs(docs, "doc_id", "shingles", 32, "sig")
+    val cand = NearDup.candidatePairs(
+        NearDup.bandRows(sigs, "doc_id", "sig", 4, 8, 32), "doc_id")
+      .localCheckpoint()
+    val sides = cand
+      .join(grams.select(col("doc_id").as("id_a"), col("g")), "id_a")
+      .select(col("id_a"), col("id_b"), col("g"),
+        lit(1).as("__ina"), lit(0).as("__inb"))
+      .unionByName(cand
+        .join(grams.select(col("doc_id").as("id_b"), col("g")), "id_b")
+        .select(col("id_a"), col("id_b"), col("g"),
+          lit(0).as("__ina"), lit(1).as("__inb")))
+    val weighted = sides.groupBy("id_a", "id_b", "g")
+      .agg(max("__ina").as("__a"), max("__inb").as("__b"))
+      .join(w.select(col("g"), col("__w")), "g")
+      .groupBy("id_a", "id_b")
+      .agg(sum(when(col("__a") === 1 && col("__b") === 1, col("__w"))
+          .otherwise(0L)).as("__num"),
+        sum("__w").as("__den"))
+      .withColumn("wjaccard_bp", expr("__num * 10000L div __den"))
+      .select("id_a", "id_b", "wjaccard_bp")
+    NearDup.jaccard(cand, docs, "doc_id", "shingles")
+      .join(weighted, Seq("id_a", "id_b"))
+      .select("id_a", "id_b", "jaccard", "wjaccard_bp")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Byte-budget shard planning (q262): training jobs read
+    * fixed-budget shards, so the export layout question is "which
+    * docs land in which shard when each shard holds ≤ B payload
+    * bytes, in corpus order". Assignment is start-offset sharding:
+    * shard(d) = floor(start_offset(d) / B) with start offsets from
+    * the EXACT distributed running sum ([[Packing.withRunningSum]] —
+    * the range-exchange prefix sum, never a single-task window), the
+    * same discipline the token-budget selection (E145) and packing
+    * (E202) ops use. One prefix sum + one shard rollup; the plan
+    * table is shards-sized metadata at any corpus size.
+    */
+  private def qByteShardPlan(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val cum = graft.ops.Packing.withRunningSum(docs, "__cum", "n_chars",
+      col("doc_id"))
+    cum.withColumn("shard", expr("(__cum - n_chars) div 16384L"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("shard_bytes"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("shard")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -7610,7 +7715,9 @@ object TrainQueries {
     "q257_source_scorecard" -> (qSourceScorecard _),
     "q258_bot_rate_screen" -> (qBotRateScreen _),
     "q259_bbit_minhash" -> (qBbitMinhash _),
-    "q260_canon_policy" -> (qCanonPolicy _))
+    "q260_canon_policy" -> (qCanonPolicy _),
+    "q261_weighted_jaccard" -> (qWeightedJaccard _),
+    "q262_byte_shard_plan" -> (qByteShardPlan _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -11989,6 +12096,21 @@ object TrainQueries {
     // q260: the q25 verified pairs + quantized endpoint qualities +
     // the quality-max-ties-to-min-id representative policy.
     "q260_canon_policy" -> canonPolicyOracle,
+    // q261: df-weighted Jaccard in exact truncating bp over the q25
+    // candidates, beside unweighted exact J.
+    "q261_weighted_jaccard" -> weightedJaccardOracle,
+    // q262: start-offset sharding over the exact running sum, 16 KiB
+    // payload budget.
+    "q262_byte_shard_plan" ->
+      """WITH c AS (SELECT doc_id, n_chars,
+             SUM(n_chars) OVER (ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM documents)
+         SELECT CAST((cum - n_chars) // 16384 AS BIGINT) AS shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS shard_bytes,
+             MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         FROM c GROUP BY 1 ORDER BY 1""",
     "q127_copurchase" ->
       """WITH cs AS (SELECT DISTINCT o_custkey AS cust,
              l_suppkey AS supp
