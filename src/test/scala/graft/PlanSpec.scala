@@ -749,6 +749,47 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q253: shard stitching is a hash equi-join on 32-byte keys — " +
+      "no cartesian, no nested loop") {
+    val p = sparkPlan("q253_shard_stitch")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q258: bot-rate screen is one RANGE-frame window + partial agg " +
+      "+ TakeOrderedAndProject — no global sort") {
+    val p = sparkPlan("q258_bot_rate_screen")
+    assert(p.contains("RangeFrame, -60000"),
+      s"the 60s burst count must be an event-time range frame:\n${p.take(1200)}")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("partial_count") || p.contains("partial_max"))
+  }
+
+  test("q262: byte-budget sharding has NO Window — the running sum is " +
+      "the distributed range-exchange pass; the rollup is partial") {
+    val p = sparkPlan("q262_byte_shard_plan")
+    assert(!p.contains("Window"),
+      s"the prefix sum must never be a single-task window:\n${p.take(1200)}")
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+  }
+
+  test("q254: embedding hygiene percentiles avoid the Window form and " +
+      "nothing goes cartesian") {
+    val p = sparkPlan("q254_embedding_hygiene")
+    assert(!p.contains("Window"),
+      s"exactFewGroupsLowerRank must use the range-exchange probe pass:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q259/q260/q261: the banded-chain audits never go cartesian") {
+    Seq("q259_bbit_minhash", "q260_canon_policy", "q261_weighted_jaccard")
+      .foreach { q =>
+        val p = sparkPlan(q)
+        assert(!p.contains("CartesianProduct"), q)
+        assert(!p.contains("BroadcastNestedLoopJoin"), q)
+      }
+  }
+
   test("q215: unigram tables broadcast onto the pair counts; top-30 " +
       "is TakeOrderedAndProject") {
     val p = sparkPlan("q215_pmi_collocations")
