@@ -64,6 +64,28 @@ class SparkifySpec extends AnyFunSuite {
     assert(time.columns.contains("ts"))
   }
 
+  test("songplay_id is dense 1..N in (ts, session, item) order with " +
+      "NO single-task global window (the DenseId scalable form)") {
+    val dir = Scratch.register(
+      Files.createTempDirectory("graft_sparkify_id").toFile.getAbsolutePath)
+    Files.write(java.nio.file.Paths.get(s"$dir/songs.json"),
+      songJson.mkString("\n").getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(s"$dir/logs.json"),
+      logJson.mkString("\n").getBytes("UTF-8"))
+    val songs = Sparkify.readSongs(spark, s"$dir/songs.json")
+    val logs = Sparkify.readLogs(spark, s"$dir/logs.json")
+    val sp = Sparkify.songplaysTable(spark, songs, logs)
+    // the fact table is the pipeline's largest output: its surrogate
+    // key must never plan a global Window (one task holding all rows)
+    assert(!sp.queryExecution.executedPlan.toString.contains("Window"),
+      "songplay_id must use the DenseId count-then-offset form")
+    val rows = sp.orderBy("songplay_id")
+      .select("songplay_id", "session_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to rows.length))
+    // ts order: session 818's play precedes session 819's
+    assert(rows.head.getLong(1) === 818L)
+  }
+
   test("S2 literal form: schema inference over logs matches Schemas.logEvent") {
     // the reference infers the log schema (`etl.py:105`); the engine
     // declares it, but the inference pass must produce the SAME types
