@@ -7212,8 +7212,15 @@ object TrainQueries {
         t(s, dir, "documents").filter(col("doc_id") % 5 === 0))
       .select("gh").distinct()
       .localCheckpoint()
-    arriving.join(s.table(tbl).hint("merge"), Seq("gh"), "left_anti")
-      .write.mode("append").format("parquet")
+    // materialize the novel-gram diff BEFORE appending: the anti-join
+    // reads the same catalog table the append writes into, and relying
+    // on Spark's planning-time file-list snapshot is fragile under task
+    // retries / AQE re-listing (a re-list mid-write could double-read
+    // or see its own half-committed output)
+    val novel = arriving
+      .join(s.table(tbl).hint("merge"), Seq("gh"), "left_anti")
+      .localCheckpoint()
+    novel.write.mode("append").format("parquet")
       .bucketBy(8, "gh").sortBy("gh").saveAsTable(tbl)
     val after = s.table(tbl).count()
     val recheck = arriving

@@ -62,9 +62,14 @@ object TombstoneScreen {
   private def foldBatch(spark: SparkSession, stateRoot: String,
       tombstones: DataFrame, batch: DataFrame, batchId: Long): Unit = {
     if (!batch.isEmpty) {
+      // dropDuplicates before the probe: deletion requests legitimately
+      // repeat content (two requesters, one document), and a duplicated
+      // store fp would multiply matched arrival rows through the left
+      // join, inflating n_docs AND n_blocked. The store stays
+      // request-sized, so the dedup rides inside the broadcast build.
       val rates = batch
         .select(TextFns.fingerprint("text").as("fp"))
-        .join(broadcast(tombstones.select(col("fp"))
+        .join(broadcast(tombstones.select(col("fp")).dropDuplicates("fp")
           .withColumn("__hit", lit(1L))), Seq("fp"), "left")
         .agg(count(lit(1)).as("n_docs"),
           coalesce(sum("__hit"), lit(0L)).as("n_blocked"))

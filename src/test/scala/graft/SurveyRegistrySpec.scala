@@ -53,5 +53,15 @@ class SurveyRegistrySpec extends AnyFunSuite {
     val os = SparkEntry.oracleSql.keySet
     assert((os -- qs).isEmpty,
       s"oracleSql keys without a queries entry: ${(os -- qs).toSeq.sorted}")
+    // ... and the direction that matters for gating: a query registered
+    // WITHOUT an oracle silently downgrades to the driver's rows-only
+    // check. Intentionally oracle-free queries (no cross-engine contract
+    // exists — e.g. lossy-codec decode) must be allowlisted here with
+    // the reason documented at the query.
+    val oracleFreeAllowlist = Set.empty[String]
+    val ungated = qs -- os -- oracleFreeAllowlist
+    assert(ungated.isEmpty,
+      s"queries registered without an oracleSql entry (add the oracle " +
+        s"or allowlist with a documented reason): ${ungated.toSeq.sorted}")
   }
 }

@@ -76,4 +76,37 @@ class TombstoneScreenSpec extends AnyFunSuite {
     runOnce()
     assert(rates(state).size === 3)
   }
+
+  test("duplicate fingerprints in the tombstone store do not multiply " +
+      "arrival rows or blocked counts") {
+    import spark.implicits._
+    val root = new java.io.File(Scratch.register(
+      Files.createTempDirectory("graft_tomb_dup_spec").toString))
+    val src = new java.io.File(root, "src"); src.mkdirs()
+    val state = s"${root.getAbsolutePath}/state"
+    val ck = s"${root.getAbsolutePath}/ck"
+
+    // the same document deleted by THREE requesters: the store carries
+    // its fingerprint three times — realistic for deletion requests
+    val tombstones = Seq("the deleted document body",
+        "the deleted document body", "THE  deleted Document body")
+      .toDF("text")
+      .select(graft.functions.TextFns.fingerprint("text").as("fp"))
+      .localCheckpoint()
+    assert(tombstones.count() === 3L &&
+      tombstones.distinct().count() === 1L)
+
+    writeDocs(src, "f1.parquet", Seq(
+      1L -> "the deleted document body", 2L -> "fresh content"))
+    Staging.withStreamShufflePartitions(spark, "4") {
+      val docs = spark.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.getAbsolutePath)
+      TombstoneScreen.runInto(spark, docs, tombstones, state, ck)
+    }
+    // without the probe-side dedup this reads (4, 3): the matched
+    // arrival row triples through the left join
+    assert(rates(state) === Map(0L -> ((2L, 1L))))
+  }
 }
