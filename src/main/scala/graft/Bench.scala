@@ -43,6 +43,12 @@ object Bench {
           System.err.println(s"[bench] WARN warmup of $name on $warmupDir " +
             s"failed: ${t.getClass.getSimpleName}: ${t.getMessage}")
       }
+      // release this invocation's tracked one-shot checkpoints NOW —
+      // 263 queries × (warmup + trials) of stale blocks otherwise sit
+      // in the block-manager store until a driver GC lets the
+      // ContextCleaner catch up (eviction + GC pressure exactly where
+      // the bench is deepest)
+      finally ops.Snap.drainTracked()
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val secs = (1 to trials).map { i =>
@@ -50,6 +56,8 @@ object Bench {
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
         val sec = (System.nanoTime() - t0) / 1e9
+        // outside the timed window: bookkeeping, not query work
+        ops.Snap.drainTracked()
         System.err.println(f"[bench] $name trial $i/$trials $sec%.2fs" +
           (if (ok) "" else " FAILED"))
         if (ok) sec else -1.0

@@ -23,6 +23,17 @@ object TrainQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
+  /** Tracked one-shot checkpoint ([[graft.ops.Snap.tracked]]): every
+    * `localCheckpoint` inside a QUERY BODY routes through here so the
+    * harness (Bench per trial, Verify per dump) releases the pinned
+    * blocks deterministically once the query's action completes —
+    * 263 queries × (warmup + 3 trials) otherwise accumulate stale
+    * blocks until a driver GC lets the ContextCleaner catch up.
+    * Session-fixture builders keep raw `localCheckpoint()`: their
+    * state must survive the invoking query.
+    */
+  private def snap(df: DataFrame): DataFrame = graft.ops.Snap.tracked(df)
+
   /** Session-scoped fixture memoization — the shared discipline for
     * every stored-artifact input (q82 staging, q128 history labels,
     * the ANN model tables, the q130 edge file): build once per
@@ -845,15 +856,15 @@ object TrainQueries {
       .repartition(col("doc_id"))
       .withColumn("shingles", TextFns.shingles("text", 5))
       .select("doc_id", "shingles")
-      .localCheckpoint()
+      .transform(snap)
     val sigs = NearDup.minHashSigs(docs, "doc_id", "shingles", 32, "sig")
-      .localCheckpoint()
+      .transform(snap)
     // cand fans out to the estimate and exact-verification paths —
     // materialize once (hundreds of rows) instead of re-running the
     // band self-join per consumer
     val cand = NearDup.candidatePairs(
       NearDup.bandRows(sigs, "doc_id", "sig", 4, 8, 32), "doc_id")
-      .localCheckpoint()
+      .transform(snap)
     val est = cand
       .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("__sa")), "id_a")
       .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("__sb")), "id_b")
@@ -889,7 +900,7 @@ object TrainQueries {
       NearDup.simHashSigs(
         t(s, dir, "documents").withColumn("toks", TextFns.tokens("text")),
         "doc_id", "toks", "simhash")
-        .localCheckpoint(),
+        .transform(snap),
       "doc_id", "simhash", 8)
       .orderBy("id_a")
 
@@ -1039,7 +1050,7 @@ object TrainQueries {
     // materialize once (150 id pairs)
     val exact = Similarity.bruteForceTopK(base, queries, "vec_id", 3)
       .select("query_id", "neighbor_id")
-      .localCheckpoint()
+      .transform(snap)
     val lsh = Similarity.lshTopK(base, "vec_id", 3, 4)
       .filter(col("query_id") < 50)
       .select("query_id", "neighbor_id")
@@ -1201,7 +1212,7 @@ object TrainQueries {
         "toks", "predicted")
       .withColumn("fingerprint", TextFns.fingerprint("text"))
       .select("doc_id", "source", "quality", "predicted", "fingerprint")
-      .localCheckpoint()
+      .transform(snap)
     val kept = scored
       .filter(col("quality") >= 0.6 && col("predicted") === "en")
     val unique = graft.ops.Dedup.firstBy(kept, Seq("fingerprint"),
@@ -2001,7 +2012,7 @@ object TrainQueries {
     // one stats pass serves both the filter and the report — pinned,
     // since two plan subtrees referencing it would each recompute the
     // aggregation (no common-subplan reuse across join sides)
-    val thr = Mixing.thresholds(docs, "source").localCheckpoint()
+    val thr = Mixing.thresholds(docs, "source").transform(snap)
     val kept = Mixing.balanceWith(docs, "doc_id", "source", "mix", thr)
       .groupBy("source").agg(count(lit(1)).as("n_kept"))
     thr.join(kept, Seq("source"), "left")
@@ -2205,7 +2216,7 @@ object TrainQueries {
         Similarity.prepare(t(s, dir, "embeddings"), "embedding"),
         "vec_id", 8, 2)
       .filter(col("qn") > 0)
-      .localCheckpoint()
+      .transform(snap)
     val l = a.select(col("vec_id").as("id_a"), col("cluster"),
       col("qv").as("__qva"), col("qn").as("__qna"))
     val r = a.select(col("vec_id").as("id_b"), col("cluster"),
@@ -2291,9 +2302,9 @@ object TrainQueries {
       .repartition(col("doc_id"))
       .withColumn("shingles", TextFns.shingles("text", 5))
       .select("doc_id", "shingles")
-      .localCheckpoint()
+      .transform(snap)
     val sigs = NearDup.minHashSigs(docs, "doc_id", "shingles", 32, "sig")
-      .localCheckpoint()
+      .transform(snap)
     val bands = NearDup.bandRows(sigs, "doc_id", "sig", 4, 8, 32)
     NearDup.crossCandidatePairs(
         bands.filter(col("doc_id") % 3 === 0),
@@ -2523,12 +2534,12 @@ object TrainQueries {
         t(s, dir, "documents"), "doc_id", "text", 20)
       .select(col("doc_id"), md5(col("para")).as("fp"))
     val eval = paras.filter(col("doc_id") % 17 === 0)
-      .select("fp").distinct().localCheckpoint()
+      .select("fp").distinct().transform(snap)
     // pinned like eval: the pair stats, the bloom-filtered candidate
     // join, and the ground-truth anti-join below are three actions —
     // unpinned, each would re-run the paragraph explode + distinct
     val corpus = paras.filter(col("doc_id") % 17 =!= 0)
-      .select("doc_id", "fp").distinct().localCheckpoint()
+      .select("doc_id", "fp").distinct().transform(snap)
     val bloom = Blooms.build(eval, col("fp"),
       math.max(eval.count(), 1L), fpp)
 
@@ -2540,7 +2551,7 @@ object TrainQueries {
         .as("cand")).head()
     val (nPairs, nCand) = (cstats.getLong(0), cstats.getLong(1))
     val hits = corpus.filter(Blooms.mightContain(bloom, col("fp")))
-      .join(eval, Seq("fp"), "left_semi").localCheckpoint()
+      .join(eval, Seq("fp"), "left_semi").transform(snap)
     val nHit = hits.count()
     // no-false-negative check: ground-truth hits from the UNFILTERED
     // corpus must all have survived the bloom pre-filter
@@ -2625,7 +2636,7 @@ object TrainQueries {
     // pinned like q115: encoding, the query filter, and the exact
     // baseline all consume it
     val prep = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
-      .filter(col("qn") > 0).localCheckpoint()
+      .filter(col("qn") > 0).transform(snap)
     // codebooks come from the STORED model table (trained+saved once
     // per session by annModelPaths, loaded here — the production
     // score path; the oracle retrains from the corpus, so the gate
@@ -2651,7 +2662,7 @@ object TrainQueries {
   private def qIvfPq(s: SparkSession, dir: String): DataFrame = {
     // pinned: assignment, queries, and the exact baseline all consume it
     val prep = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
-      .filter(col("qn") > 0).localCheckpoint()
+      .filter(col("qn") > 0).transform(snap)
     // both models come from the STORED tables (annModelPaths trains and
     // saves once per session) — scoring loads k·dims longs and folds
     // them into the plan as literals, never re-runs Lloyd
@@ -2687,7 +2698,7 @@ object TrainQueries {
     */
   private def qStoredModelAnn(s: SparkSession, dir: String): DataFrame = {
     val prep = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
-      .filter(col("qn") > 0).localCheckpoint()
+      .filter(col("qn") > 0).transform(snap)
     val (coarsePath, cbPath) = annModelPaths(s, dir)
     val coarse = ModelStore.loadCentroids(s, coarsePath)
     val cbs = ModelStore.loadCodebooks(s, cbPath)
@@ -4126,7 +4137,7 @@ object TrainQueries {
   private def qSnmDedup(s: SparkSession, dir: String): DataFrame = {
     val cand = Snm.candidates(
       t(s, dir, "customer").select("c_custkey", "c_name"),
-      "c_custkey", "c_name", 3).localCheckpoint()
+      "c_custkey", "c_name", 3).transform(snap)
     val m = cand.filter(levenshtein(col("key_a"), col("key_b")) <= 1)
       .agg(count(lit(1)).as("n_matches"),
         coalesce(sum("id_a"), lit(0L)).as("sum_a"),
@@ -4903,7 +4914,7 @@ object TrainQueries {
     val fps = Multimodal
       .blockHash(Multimodal.asMedia(t(s, dir, "documents")))
       .toDF().select(col("doc_id"), col("fp"))
-      .localCheckpoint()
+      .transform(snap)
     val blocks = fps.select(col("doc_id"), explode(expr(
       """transform(sequence(0, 3), b -> struct(b as blk,
         | shiftright(fp, b * 15) % 32768 as key))""".stripMargin))
@@ -5560,7 +5571,7 @@ object TrainQueries {
     // the arriving batch: only ITS text is scanned
     val batch = bm25Docs(t(s, dir, "documents")
       .filter(col("doc_id") % 5 === 0))
-    val bPostings = bm25Postings(batch).localCheckpoint()
+    val bPostings = bm25Postings(batch).transform(snap)
     // stats fold: every piece a monoid — df outer-merges (a term may
     // be new, historical, or both), N and Σdl add
     val mergedDf = s.read.parquet(dPath)
@@ -5961,7 +5972,7 @@ object TrainQueries {
     val toks = t(s, dir, "documents")
       .select(col("source"),
         expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
-      .localCheckpoint()
+      .transform(snap)
     val tokenStats = toks
       .select(col("source"), explode(col("toks")).as("w"))
       .groupBy("source")
@@ -6125,7 +6136,7 @@ object TrainQueries {
       .select(col("doc_id"),
         expr("cast(size(array_distinct(tk)) * 10000L div size(tk) " +
           "as bigint)").as("y"))
-    val joined = lm.join(ttr, "doc_id").localCheckpoint()
+    val joined = lm.join(ttr, "doc_id").transform(snap)
     val mn = joined.agg(min("x"), min("y")).head()
     joined
       .select((col("x") - mn.getLong(0)).as("x"),
@@ -6579,7 +6590,7 @@ object TrainQueries {
       .repartition(col("doc_id"))
       .withColumn("shingles", TextFns.shingles("text", 5))
       .select("doc_id", "shingles")
-      .localCheckpoint()
+      .transform(snap)
     val sigs = NearDup.minHashSigs(docs, "doc_id", "shingles", 32, "sig")
     val cand = NearDup.candidatePairs(
       NearDup.bandRows(sigs, "doc_id", "sig", 4, 8, 32), "doc_id")
@@ -6921,7 +6932,7 @@ object TrainQueries {
       .repartition(col("doc_id"))
       .withColumn("shingles", TextFns.shingles("text", 5))
       .select("doc_id", "shingles")
-      .localCheckpoint()
+      .transform(snap)
     val sigs = NearDup.minHashSigs(docs, "doc_id", "shingles", 32, "sig")
     val cand = NearDup.candidatePairs(
       NearDup.bandRows(sigs, "doc_id", "sig", 4, 8, 32), "doc_id")
@@ -7211,7 +7222,7 @@ object TrainQueries {
     val arriving = graft.streaming.NoveltyMonitor.gramHashes(
         t(s, dir, "documents").filter(col("doc_id") % 5 === 0))
       .select("gh").distinct()
-      .localCheckpoint()
+      .transform(snap)
     // materialize the novel-gram diff BEFORE appending: the anti-join
     // reads the same catalog table the append writes into, and relying
     // on Spark's planning-time file-list snapshot is fragile under task
@@ -7219,7 +7230,7 @@ object TrainQueries {
     // or see its own half-committed output)
     val novel = arriving
       .join(s.table(tbl).hint("merge"), Seq("gh"), "left_anti")
-      .localCheckpoint()
+      .transform(snap)
     novel.write.mode("append").format("parquet")
       .bucketBy(8, "gh").sortBy("gh").saveAsTable(tbl)
     val after = s.table(tbl).count()
@@ -7328,9 +7339,9 @@ object TrainQueries {
       .repartition(col("doc_id"))
       .withColumn("shingles", TextFns.shingles("text", 5))
       .select("doc_id", "shingles")
-      .localCheckpoint()
+      .transform(snap)
     val sigs = NearDup.minHashSigs(docs, "doc_id", "shingles", 32, "sig")
-      .localCheckpoint()
+      .transform(snap)
     val cand = NearDup.candidatePairs(
       NearDup.bandRows(sigs, "doc_id", "sig", 4, 8, 32), "doc_id")
     val ests = cand
@@ -7377,7 +7388,7 @@ object TrainQueries {
     val shingled = docs.repartition(col("doc_id"))
       .withColumn("shingles", TextFns.shingles("text", 5))
       .select("doc_id", "shingles")
-      .localCheckpoint()
+      .transform(snap)
     val sigs = NearDup.minHashSigs(shingled, "doc_id", "shingles", 32, "sig")
     val cand = NearDup.candidatePairs(
       NearDup.bandRows(sigs, "doc_id", "sig", 4, 8, 32), "doc_id")
@@ -7415,14 +7426,14 @@ object TrainQueries {
       .repartition(col("doc_id"))
       .withColumn("shingles", TextFns.shingles("text", 5))
       .select("doc_id", "shingles")
-      .localCheckpoint()
+      .transform(snap)
     val grams = docs.select(col("doc_id"), explode(col("shingles")).as("g"))
     val w = grams.groupBy("g").agg(count(lit(1)).as("__df"))
       .withColumn("__w", expr("1000000L div __df"))
     val sigs = NearDup.minHashSigs(docs, "doc_id", "shingles", 32, "sig")
     val cand = NearDup.candidatePairs(
         NearDup.bandRows(sigs, "doc_id", "sig", 4, 8, 32), "doc_id")
-      .localCheckpoint()
+      .transform(snap)
     val sides = cand
       .join(grams.select(col("doc_id").as("id_a"), col("g")), "id_a")
       .select(col("id_a"), col("id_b"), col("g"),

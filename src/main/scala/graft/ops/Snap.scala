@@ -43,4 +43,55 @@ object Snap {
   /** Free a superseded handle (null-safe, non-blocking). */
   def release(rdd: RDD[Row]): Unit =
     if (rdd != null) rdd.unpersist(blocking = false)
+
+  // -------------------------------------------------------------------
+  // Tracked one-shot checkpoints (the Bench/Verify lifecycle)
+  // -------------------------------------------------------------------
+
+  private val trackedHandles =
+    new java.util.concurrent.ConcurrentLinkedQueue[RDD[_]]()
+
+  /** `Dataset.localCheckpoint()` with the pinned INTERNAL RDD captured
+    * for deterministic release: the eager checkpoint registers exactly
+    * one new persistent RDD, diffed out of `getPersistentRDDs` around
+    * the call and queued for [[drainTracked]]. One-shot query bodies
+    * route their checkpoints here (via `TrainQueries.snap`) so a
+    * harness that invokes hundreds of queries per session — Bench runs
+    * 263 × (warmup + 3 trials) — releases each invocation's blocks as
+    * soon as its action completes, instead of waiting for the
+    * ContextCleaner to notice the dropped reference after a driver GC
+    * (the block-manager store fills with stale MEMORY_AND_DISK blocks
+    * in the meantime — eviction + GC pressure exactly where the bench
+    * is deepest). SESSION FIXTURES must NOT come through here: their
+    * checkpoints outlive the invoking query by design (raw
+    * `localCheckpoint()` — a drained fixture would be unrecomputable,
+    * lineage is truncated).
+    */
+  def tracked(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val cp = df.localCheckpoint()
+    sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!before.contains(id)) trackedHandles.add(rdd)
+    }
+    cp
+  }
+
+  /** Unpersist every tracked checkpoint (non-blocking); returns how
+    * many were released. Callers invoke this once the consuming action
+    * is DONE — the checkpointed frames cannot be recomputed after.
+    */
+  def drainTracked(): Int = {
+    var n = 0
+    var rdd = trackedHandles.poll()
+    while (rdd != null) {
+      rdd.unpersist(blocking = false)
+      n += 1
+      rdd = trackedHandles.poll()
+    }
+    n
+  }
+
+  /** Currently-tracked (not yet drained) checkpoint count. */
+  def trackedCount: Int = trackedHandles.size
 }

@@ -33,10 +33,9 @@ import org.apache.spark.sql.functions._
   * still yields ≥ 1 fingerprint. Ties select every tied minimum —
   * deterministic in any engine, and the guarantee survives ties.
   *
-  * Scale shape: ENTIRELY scan-local until the final count — the
-  * per-position gram hashes are one in-array `transform`, the
-  * covering-window-min test is two O(w) in-array run-length folds per
-  * position, and per-doc dedup is `array_distinct` — so the
+  * Scale shape: ENTIRELY scan-local until the final count — hashing,
+  * selection, and per-doc dedup are ONE native O(n_chars) codegen pass
+  * per document ([[graft.expressions.WinnowSelect]]) — so the
   * n_chars-sized gram stream NEVER shuffles; the only shuffle is the
   * partial-agg count over the ~2n/(w+1) selected grams.
   */
@@ -46,10 +45,29 @@ object Winnowing {
     * iff its hash is the minimum of some full window of w consecutive
     * gram hashes containing j (≡ lrun + rrun ≥ min(w, n) − 1; docs
     * with fewer than w grams select their global min). Hashes are the
-    * repo's 60-bit md5 convention.
+    * repo's 60-bit md5 convention. Evaluates as the native O(n)
+    * [[graft.expressions.WinnowSelect]] pass (monotonic-stack
+    * nearest-smaller runs, one thread-local digest) — the SQL HOF form
+    * below ([[selectedGramsSql]]) computes the identical selection
+    * interpreted and is kept as the cross-implementation parity
+    * reference (`WinnowingSpec` asserts native ≡ SQL on adversarial
+    * inputs including multi-byte code points).
     */
   def selectedGrams(docs: DataFrame, idCol: String, textCol: String,
       l: Int, w: Int): DataFrame = {
+    require(l >= 2 && w >= 1, s"bad winnowing params: L=$l w=$w")
+    docs.select(col(idCol),
+      explode(graft.expressions.WinnowSelect.grams(col(textCol), l, w))
+        .as("gram"))
+  }
+
+  /** The SQL higher-order-function form of [[selectedGrams]] — two
+    * interpreted O(w) run-length folds per position. Identical output;
+    * retained as the parity oracle for the native expression (and as
+    * the dialect-portable statement of the selection rule).
+    */
+  private[graft] def selectedGramsSql(docs: DataFrame, idCol: String,
+      textCol: String, l: Int, w: Int): DataFrame = {
     require(l >= 2 && w >= 1, s"bad winnowing params: L=$l w=$w")
     // Run-length fold: acc = k after step k iff steps 1..k ALL
     // qualified (acc = k−1 gates consecutiveness), so the final acc

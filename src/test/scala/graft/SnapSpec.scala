@@ -37,6 +37,28 @@ class SnapSpec extends AnyFunSuite {
     assert(!sc.getPersistentRDDs.contains(rdd.id))
   }
 
+  test("tracked checkpoints release on drain: the persistent-RDD " +
+      "registry does not grow across two invocations of one query") {
+    val sc = spark.sparkContext
+    val dir = "/root/testdata/sf0.001"
+    // a q25-chain query: two tracked one-shot checkpoints per
+    // invocation (shingles, signatures)
+    val fn = SparkEntry.queries("q259_bbit_minhash")
+    def invokeAndDrain(): (Int, Int) = {
+      fn(spark, dir).count()
+      val released = Snap.drainTracked()
+      (released, sc.getPersistentRDDs.size)
+    }
+    val (rel1, after1) = invokeAndDrain()
+    assert(rel1 >= 2, s"expected >= 2 tracked checkpoints, got $rel1")
+    assert(Snap.trackedCount === 0)
+    val (rel2, after2) = invokeAndDrain()
+    assert(rel2 === rel1,
+      "second invocation must track the same checkpoint count")
+    assert(after2 <= after1,
+      s"persistent-RDD registry grew across invocations: $after1 -> $after2")
+  }
+
   test("Dataset-level checkpoint + .rdd.unpersist is the no-op Snap fixes") {
     import spark.implicits._
     val sc = spark.sparkContext

@@ -64,6 +64,31 @@ class WinnowingSpec extends AnyFunSuite {
     }
   }
 
+  test("native expression equals the SQL HOF form, including " +
+      "multi-byte code points, ties, and sub-window texts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "aaaaaaaaaaaaaaaaaaaaaaaa", // all ties
+      "ábç déf ghî jkl mnö pqr stü vwx", // 2-byte code points
+      "的是了在和的是了在和的是了在和", // 3-byte code points
+      "mixed ascii 和 multi-byte 的 boundaries 了 here",
+      "tiny", // below L
+      "justsix", // below w grams at l=5, w=8
+      Seq.fill(200)(('a' + rnd.nextInt(5)).toChar).mkString,
+      Seq.fill(300)(if (rnd.nextBoolean()) '字' else 'x').mkString)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (w <- Seq(1, 3, 8); l <- Seq(2, 5)) {
+      val native = Winnowing.selectedGrams(df, "doc_id", "text", l, w)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val sql = Winnowing.selectedGramsSql(df, "doc_id", "text", l, w)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(native === sql, s"native/SQL divergence at l=$l w=$w")
+    }
+  }
+
   test("guarantee: a shared run of >= L + w - 1 chars yields a " +
       "common selected gram") {
     val shared = "zzCOMMONSHAREDRUNzz" // 19 chars >= 5 + 4 - 1 = 8
