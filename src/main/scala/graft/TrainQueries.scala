@@ -2532,7 +2532,7 @@ object TrainQueries {
     val fpp = 0.01
     val paras = ParagraphDedup.paragraphs(
         t(s, dir, "documents"), "doc_id", "text", 20)
-      .select(col("doc_id"), md5(col("para")).as("fp"))
+      .select(col("doc_id"), md5(graft.expressions.UnicodeNormalize.nfc(col("para"))).as("fp"))
     val eval = paras.filter(col("doc_id") % 17 === 0)
       .select("fp").distinct().transform(snap)
     // pinned like eval: the pair stats, the bloom-filtered candidate
@@ -4480,7 +4480,7 @@ object TrainQueries {
     val docs = t(s, dir, "documents")
     val np = ParagraphDedup.paragraphs(docs, "doc_id", "text", 20)
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      .select(col("doc_id"), col("source"), md5(col("para")).as("ph"))
+      .select(col("doc_id"), col("source"), md5(graft.expressions.UnicodeNormalize.nfc(col("para"))).as("ph"))
       .distinct()
     val g = np.groupBy("ph", "source").agg(count(lit(1)).as("c"))
     val a = g.select(col("ph"), col("source").as("sa"), col("c").as("ca"))
@@ -5337,7 +5337,7 @@ object TrainQueries {
       val fps = ParagraphDedup.paragraphs(
           t(s, dir, "documents").filter(col("doc_id") % 17 === 0),
           "doc_id", "text", 20)
-        .select(md5(col("para")).as("fp")).distinct().localCheckpoint()
+        .select(md5(graft.expressions.UnicodeNormalize.nfc(col("para"))).as("fp")).distinct().localCheckpoint()
       val path = graft.Scratch.register(
         s"${System.getProperty("java.io.tmpdir")}/graft_contam_ev_$tag")
       fps.write.mode("overwrite").parquet(path)
@@ -7480,6 +7480,43 @@ object TrainQueries {
       .orderBy("shard")
   }
 
+  /** Unicode-canonicalization dedup audit (q263,
+    * [[graft.expressions.UnicodeNormalize]]): real crawls carry the
+    * same text precomposed and decomposed (é as U+00E9 or
+    * e + U+0301) — byte-identical to a READER, distinct to a byte-level
+    * fingerprint, so NFD twins evade exact dedup, tombstones, and
+    * boilerplate removal unless the canonical form normalizes first.
+    * This audit PROVES the collapse on planted twins: for every %7 doc,
+    * a precomposed variant (a → U+00E0) and its decomposed equivalent
+    * (a → a + U+0300) enter as separate documents; grouping by the NFC
+    * fingerprint collapses each twin pair into one group whose members
+    * still disagree on the PRE-normalization fingerprint (n_raw_fps =
+    * 2 — the measured evasion the old chain allowed). Scan-local
+    * normalization (JDK UAX #15, already-NFC fast path), one 32-byte-
+    * key group-by — the q24 shape; the oracle replays byte-for-byte
+    * via DuckDB's `nfc_normalize`.
+    */
+  private def qNfcDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("text"))
+    val pre = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      regexp_replace(col("text"), "a", "\u00e0").as("text"))
+    val dec = docs.select((col("doc_id") + 2000000L).as("doc_id"),
+      regexp_replace(col("text"), "a", "a\u0300").as("text"))
+    docs.unionByName(pre).unionByName(dec)
+      .select(col("doc_id"), TextFns.fingerprint("text").as("fp"),
+        // the pre-normalization (byte-level) fingerprint — kept beside
+        // the canonical one to MEASURE what NFC closed
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+          .cast("binary")).as("raw_fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("raw_fp").as("n_raw_fps"),
+        min("doc_id").as("first_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy("first_doc")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -7735,7 +7772,8 @@ object TrainQueries {
     "q259_bbit_minhash" -> (qBbitMinhash _),
     "q260_canon_policy" -> (qCanonPolicy _),
     "q261_weighted_jaccard" -> (qWeightedJaccard _),
-    "q262_byte_shard_plan" -> (qByteShardPlan _))
+    "q262_byte_shard_plan" -> (qByteShardPlan _),
+    "q263_nfc_dedup" -> (qNfcDedup _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -7964,7 +8002,7 @@ object TrainQueries {
          FROM sc ORDER BY doc_id""",
     "q23_fingerprint" ->
       """SELECT doc_id,
-           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+           md5(regexp_replace(lower(trim(nfc_normalize(text))), '\s+', ' ', 'g'))
              AS fingerprint,
            list_min(list_transform(
              list_distinct(list_transform(
@@ -7973,7 +8011,7 @@ object TrainQueries {
              sh -> md5(sh))) AS min_shingle
          FROM documents ORDER BY doc_id""",
     "q24_dedup_exact" ->
-      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      """SELECT md5(regexp_replace(lower(trim(nfc_normalize(text))), '\s+', ' ', 'g'))
                   AS fingerprint,
                 COUNT(*) AS n_docs, MIN(doc_id) AS rep_doc
          FROM documents GROUP BY 1 ORDER BY fingerprint""",
@@ -8238,7 +8276,7 @@ object TrainQueries {
                  len(list_filter(toks, w -> w IN ('le','la','les','et','est'))),
                  len(list_filter(toks, w -> w IN ('的','是','了','在','和')))) THEN 'en'
                ELSE 'other' END AS predicted,
-             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             md5(regexp_replace(lower(trim(nfc_normalize(text))), '\s+', ' ', 'g'))
                AS fingerprint
            FROM d),
          kept AS (SELECT * FROM scored
@@ -8942,7 +8980,7 @@ object TrainQueries {
     "q100_full_pipeline" ->
       s"""$qualityScoredCtes,
          kept AS (SELECT * FROM sc WHERE quality >= 0.5),
-         fp AS (SELECT *, md5(regexp_replace(lower(trim(text)),
+         fp AS (SELECT *, md5(regexp_replace(lower(trim(nfc_normalize(text))),
              '\\s+', ' ', 'g')) AS f FROM kept),
          uq AS (SELECT * FROM (SELECT *, row_number() OVER
              (PARTITION BY f ORDER BY doc_id) AS rn FROM fp)
@@ -8974,7 +9012,7 @@ object TrainQueries {
              greatest(CAST(ceil(len(t) / 20.0) AS BIGINT), 1) + 1)) u(i)),
          np AS (SELECT * FROM p WHERE para <> ''),
          k AS (SELECT doc_id, par_idx, para,
-             (row_number() OVER (PARTITION BY md5(para)
+             (row_number() OVER (PARTITION BY md5(nfc_normalize(para))
                 ORDER BY doc_id, par_idx) = 1) AS keep
            FROM np)
          SELECT doc_id, COUNT(*) AS n_paras,
@@ -9078,9 +9116,9 @@ object TrainQueries {
                AS para
            FROM ht, unnest(range(1,
              greatest(CAST(ceil(len(t) / 20.0) AS BIGINT), 1) + 1)) u(i)),
-         hh AS (SELECT DISTINCT md5(para) AS ph FROM hp WHERE para <> ''),
-         k AS (SELECT doc_id, par_idx, md5(para) AS ph,
-             row_number() OVER (PARTITION BY md5(para)
+         hh AS (SELECT DISTINCT md5(nfc_normalize(para)) AS ph FROM hp WHERE para <> ''),
+         k AS (SELECT doc_id, par_idx, md5(nfc_normalize(para)) AS ph,
+             row_number() OVER (PARTITION BY md5(nfc_normalize(para))
                 ORDER BY doc_id, par_idx) AS rn
            FROM bnp),
          m AS (SELECT k.doc_id, k.rn, (hh.ph IS NOT NULL) AS seen
@@ -9112,7 +9150,7 @@ object TrainQueries {
                AS para
            FROM toks, unnest(range(1,
              greatest(CAST(ceil(len(t) / 20.0) AS BIGINT), 1) + 1)) u(i)),
-         np AS (SELECT doc_id, md5(para) AS fp FROM p WHERE para <> ''),
+         np AS (SELECT doc_id, md5(nfc_normalize(para)) AS fp FROM p WHERE para <> ''),
          ev AS (SELECT DISTINCT fp FROM np WHERE doc_id % 17 = 0),
          co AS (SELECT DISTINCT doc_id, fp FROM np WHERE doc_id % 17 <> 0),
          h AS (SELECT doc_id, COUNT(*) AS n_hit_paras FROM co
@@ -9193,7 +9231,7 @@ object TrainQueries {
                AS para
            FROM toks, unnest(range(1,
              greatest(CAST(ceil(len(t) / 20.0) AS BIGINT), 1) + 1)) u(i)),
-         np AS (SELECT doc_id, par_idx, para, md5(para) AS ph
+         np AS (SELECT doc_id, par_idx, para, md5(nfc_normalize(para)) AS ph
            FROM p WHERE para <> ''),
          bo AS (SELECT ph FROM (SELECT DISTINCT ph, doc_id FROM np) u
            GROUP BY ph HAVING COUNT(*) >= 2),
@@ -9559,7 +9597,7 @@ object TrainQueries {
                AS para
            FROM toks, unnest(range(1,
              greatest(CAST(ceil(len(t) / 20.0) AS BIGINT), 1) + 1)) u(i)),
-         np AS (SELECT doc_id, md5(para) AS fp FROM p WHERE para <> ''),
+         np AS (SELECT doc_id, md5(nfc_normalize(para)) AS fp FROM p WHERE para <> ''),
          ev AS (SELECT DISTINCT fp FROM np WHERE doc_id % 17 = 0),
          co AS (SELECT DISTINCT doc_id, fp FROM np WHERE doc_id % 17 <> 0),
          h AS (SELECT doc_id, COUNT(*) AS n_hit_paras FROM co
@@ -10254,7 +10292,7 @@ object TrainQueries {
            FROM toks, unnest(range(1,
              greatest(CAST(ceil(len(t) / 20.0) AS BIGINT), 1) + 1))
              u(i)),
-         np AS (SELECT DISTINCT doc_id, source, md5(para) AS ph
+         np AS (SELECT DISTINCT doc_id, source, md5(nfc_normalize(para)) AS ph
            FROM p WHERE para <> ''),
          pr AS (SELECT least(a.source, b.source) AS source_a,
              greatest(a.source, b.source) AS source_b, a.ph
@@ -10578,7 +10616,7 @@ object TrainQueries {
     "q201_refresh_pipeline" ->
       s"""$qualityScoredCtes,
          fp AS (SELECT doc_id, source, n_tok, quality,
-             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             md5(regexp_replace(lower(trim(nfc_normalize(text))), '\\s+', ' ', 'g'))
                AS f
            FROM sc),
          kp AS (SELECT * FROM (SELECT fp.*, row_number() OVER
@@ -12050,11 +12088,11 @@ object TrainQueries {
                AS batch_id
            FROM documents),
          fp AS (SELECT batch_id,
-             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             md5(regexp_replace(lower(trim(nfc_normalize(text))), '\s+', ' ', 'g'))
                AS fp
            FROM ad),
          tomb AS (SELECT DISTINCT
-             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             md5(regexp_replace(lower(trim(nfc_normalize(text))), '\s+', ' ', 'g'))
                AS fp
            FROM documents WHERE doc_id % 97 = 0)
          SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -12129,6 +12167,29 @@ object TrainQueries {
              CAST(SUM(n_chars) AS BIGINT) AS shard_bytes,
              MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          FROM c GROUP BY 1 ORDER BY 1""",
+    // q263: planted precomposed/decomposed twins collapse under the
+    // NFC fingerprint while their byte-level fingerprints still
+    // disagree (chr(224) = U+00E0, chr(768) = U+0300).
+    "q263_nfc_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+           WHERE doc_id % 7 = 0),
+         au AS (SELECT doc_id, text FROM base
+           UNION ALL
+           SELECT doc_id + 1000000, replace(text, 'a', chr(224))
+           FROM base
+           UNION ALL
+           SELECT doc_id + 2000000, replace(text, 'a', 'a' || chr(768))
+           FROM base),
+         f AS (SELECT doc_id,
+             md5(regexp_replace(lower(trim(nfc_normalize(text))),
+               '\s+', ' ', 'g')) AS fp,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+               AS raw_fp
+           FROM au)
+         SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT raw_fp) AS BIGINT) AS n_raw_fps,
+             MIN(doc_id) AS first_doc
+         FROM f GROUP BY fp HAVING COUNT(*) > 1 ORDER BY first_doc""",
     "q127_copurchase" ->
       """WITH cs AS (SELECT DISTINCT o_custkey AS cust,
              l_suppkey AS supp

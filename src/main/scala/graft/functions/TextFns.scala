@@ -119,13 +119,23 @@ object TextFns {
          | + 0.2d * least(($avgLen) / 8.0d, 1.0d)""".stripMargin)
   }
 
-  /** Canonical-form fingerprint: md5 of the whitespace-normalized,
-    * lower-cased text. Exact-dedup key (group-by on this column is a
-    * single hash shuffle of 32-byte keys, not of document bodies).
+  /** Canonical-form fingerprint: md5 of the NFC-normalized,
+    * whitespace-normalized, lower-cased text. Exact-dedup key
+    * (group-by on this column is a single hash shuffle of 32-byte
+    * keys, not of document bodies). NFC first
+    * ([[graft.expressions.UnicodeNormalize]]): real crawls carry the
+    * same text precomposed and decomposed (é as U+00E9 or
+    * e + U+0301), which evades a byte-level md5 — canonical
+    * equivalence is exactly the class that is safe to collapse
+    * unconditionally. The oracle side replays with DuckDB's
+    * `nfc_normalize`. (NFKC — full-width/ligature folding — is a
+    * lossy per-corpus choice, exposed as [[UnicodeNormalize.nfkc]]
+    * but deliberately NOT in the default chain.)
     */
   def fingerprint(textCol: String): Column =
-    md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
-      .cast("binary"))
+    md5(regexp_replace(
+      lower(trim(graft.expressions.UnicodeNormalize.nfc(col(textCol)))),
+      "\\s+", " ").cast("binary"))
 
   /** Winnowing-style content fingerprint: the minimum shingle hash —
     * stable under small edits away from the minimizing shingle.

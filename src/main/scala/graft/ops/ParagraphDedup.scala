@@ -50,7 +50,7 @@ object ParagraphDedup {
   def decisions(docs: DataFrame, idCol: String, textCol: String,
       parLen: Int): DataFrame = {
     val ids = paragraphs(docs, idCol, textCol, parLen)
-      .select(col(idCol), col("par_idx"), md5(col("para")).as("__ph"))
+      .select(col(idCol), col("par_idx"), md5(graft.expressions.UnicodeNormalize.nfc(col("para"))).as("__ph"))
     val winners = ids
       .groupBy("__ph")
       .agg(min(struct(col(idCol), col("par_idx"))).as("__w"))
@@ -72,9 +72,9 @@ object ParagraphDedup {
   def incrementalDecisions(history: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, parLen: Int): DataFrame = {
     val histH = paragraphs(history, idCol, textCol, parLen)
-      .select(md5(col("para")).as("__ph")).distinct()
+      .select(md5(graft.expressions.UnicodeNormalize.nfc(col("para"))).as("__ph")).distinct()
     val ids = paragraphs(batch, idCol, textCol, parLen)
-      .select(col(idCol), col("par_idx"), md5(col("para")).as("__ph"))
+      .select(col(idCol), col("par_idx"), md5(graft.expressions.UnicodeNormalize.nfc(col("para"))).as("__ph"))
     val winners = ids.groupBy("__ph")
       .agg(min(struct(col(idCol), col("par_idx"))).as("__w"))
     ids.join(winners, "__ph")
@@ -122,7 +122,7 @@ object ParagraphDedup {
       parLen: Int, minDocs: Int): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
     val ids = paragraphs(docs, idCol, textCol, parLen)
-      .select(col(idCol), col("par_idx"), md5(col("para")).as("__ph"))
+      .select(col(idCol), col("par_idx"), md5(graft.expressions.UnicodeNormalize.nfc(col("para"))).as("__ph"))
     val boiler = ids.select(col("__ph"), col(idCol)).distinct()
       .groupBy("__ph").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocs)

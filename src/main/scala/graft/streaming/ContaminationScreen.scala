@@ -78,7 +78,7 @@ object ContaminationScreen {
     if (!batch.isEmpty) {
       val fps = ParagraphDedup
         .paragraphs(batch, "doc_id", "text", parLen)
-        .select(col("doc_id"), md5(col("para")).as("fp"))
+        .select(col("doc_id"), md5(graft.expressions.UnicodeNormalize.nfc(col("para"))).as("fp"))
         .distinct()
       val verdicts = fps
         .filter(Blooms.mightContain(bloom, col("fp")))

@@ -109,4 +109,35 @@ class TombstoneScreenSpec extends AnyFunSuite {
     // arrival row triples through the left join
     assert(rates(state) === Map(0L -> ((2L, 1L))))
   }
+
+  test("a decomposed (NFD) re-ingestion of tombstoned content is " +
+      "blocked: the canonical fingerprint normalizes Unicode") {
+    import spark.implicits._
+    val root = new java.io.File(Scratch.register(
+      Files.createTempDirectory("graft_tomb_nfd_spec").toString))
+    val src = new java.io.File(root, "src"); src.mkdirs()
+    val state = s"${root.getAbsolutePath}/state"
+    val ck = s"${root.getAbsolutePath}/ck"
+
+    // deletion request holds the PRECOMPOSED form (e-acute U+00E9)
+    val tombstones = Seq("the caf\u00e9 r\u00e9sum\u00e9 to delete")
+      .toDF("text")
+      .select(graft.functions.TextFns.fingerprint("text").as("fp"))
+      .localCheckpoint()
+
+    // the re-ingestion arrives DECOMPOSED (e + combining acute) —
+    // byte-distinct, reader-identical; pre-NFC chains let this through
+    writeDocs(src, "f1.parquet", Seq(
+      1L -> "the cafe\u0301 re\u0301sume\u0301 to delete",
+      2L -> "unrelated clean document"))
+    Staging.withStreamShufflePartitions(spark, "4") {
+      val docs = spark.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.getAbsolutePath)
+      TombstoneScreen.runInto(spark, docs, tombstones, state, ck)
+    }
+    assert(rates(state) === Map(0L -> ((2L, 1L))),
+      "the NFD twin must be blocked")
+  }
 }
