@@ -7418,8 +7418,14 @@ object TrainQueries {
     * Σ_{g∈A∩B} w / Σ_{g∈A∪B} w in truncating bp beside the unweighted
     * exact J, so pairs held together only by common chrome become
     * visible (wJ ≪ J). Candidates stay banded-bounded (the q25 chain);
-    * the per-pair work is one exploded-gram rollup joined to the df
-    * table — O(|A|+|B|) rows per pair, gram hashes only.
+    * per-pair scoring is ONE merge walk over the two docs' sorted
+    * (gram, weight) arrays
+    * ([[graft.expressions.SortedWeightedIntersectSum]] — the q134
+    * verification discipline): Σ_{A∩B} w comes out of the walk, and
+    * Σ_{A∪B} w = Σ_A w + Σ_B w − Σ_{A∩B} w folds out of per-doc
+    * totals, so NO per-pair gram rows ever shuffle — the df table
+    * joins per-doc ONCE (corpus-gram-sized, not pair-bounded), and the
+    * pair legs carry only the prepacked arrays.
     */
   private def qWeightedJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -7434,22 +7440,36 @@ object TrainQueries {
     val cand = NearDup.candidatePairs(
         NearDup.bandRows(sigs, "doc_id", "sig", 4, 8, 32), "doc_id")
       .transform(snap)
-    val sides = cand
-      .join(grams.select(col("doc_id").as("id_a"), col("g")), "id_a")
-      .select(col("id_a"), col("id_b"), col("g"),
-        lit(1).as("__ina"), lit(0).as("__inb"))
-      .unionByName(cand
-        .join(grams.select(col("doc_id").as("id_b"), col("g")), "id_b")
-        .select(col("id_a"), col("id_b"), col("g"),
-          lit(0).as("__ina"), lit(1).as("__inb")))
-    val weighted = sides.groupBy("id_a", "id_b", "g")
-      .agg(max("__ina").as("__a"), max("__inb").as("__b"))
+    // per-doc sorted gram array, aligned weights, and total weight —
+    // packed ONLY for candidate members (broadcast semi-join: the
+    // candidate doc set is band-bounded, tiny beside the corpus; a
+    // corpus-wide packing measured 1.6× SLOWER than the per-pair
+    // shuffle it replaced). sort_array on struct orders by the gram,
+    // Spark's binary string order — the walk's contract.
+    val candIds = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+    val docW = grams
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
       .join(w.select(col("g"), col("__w")), "g")
-      .groupBy("id_a", "id_b")
-      .agg(sum(when(col("__a") === 1 && col("__b") === 1, col("__w"))
-          .otherwise(0L)).as("__num"),
-        sum("__w").as("__den"))
-      .withColumn("wjaccard_bp", expr("__num * 10000L div __den"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("g"), col("__w"))))
+          .as("__gw"),
+        sum("__w").as("__wsum"))
+      .select(col("doc_id"),
+        expr("transform(__gw, x -> x.g)").as("__gs"),
+        expr("transform(__gw, x -> x.__w)").as("__ws"),
+        col("__wsum"))
+      .transform(snap)
+    val weighted = cand
+      .join(docW.select(col("doc_id").as("id_a"), col("__gs").as("__gsa"),
+        col("__ws").as("__wsa"), col("__wsum").as("__suma")), "id_a")
+      .join(docW.select(col("doc_id").as("id_b"), col("__gs").as("__gsb"),
+        col("__wsum").as("__sumb")), "id_b")
+      .withColumn("__num", graft.expressions.SortedWeightedIntersectSum
+        .sum(col("__gsa"), col("__wsa"), col("__gsb")))
+      .withColumn("wjaccard_bp",
+        expr("__num * 10000L div (__suma + __sumb - __num)"))
       .select("id_a", "id_b", "wjaccard_bp")
     NearDup.jaccard(cand, docs, "doc_id", "shingles")
       .join(weighted, Seq("id_a", "id_b"))
