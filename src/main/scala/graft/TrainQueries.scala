@@ -6064,7 +6064,14 @@ object TrainQueries {
         .select(explode(Contamination.wordGrams("__toks", 3)).as("__g"))
         .select(md5(col("__g")).as("gh"))
         .distinct()
+        // coarse gh-prefix PARTITION column on top of the bucketing:
+        // a probe filters the scan to the prefixes its own grams touch
+        // (static partition pruning — see NoveltyMonitor.noveltyCounts),
+        // so a small batch against a trillion-gram history reads only
+        // its prefixes' buckets instead of the whole table
+        .withColumn("ghp", substring(col("gh"), 1, 1))
         .write.mode("overwrite").format("parquet")
+        .partitionBy("ghp")
         .bucketBy(8, "gh").sortBy("gh").saveAsTable(tbl)
       tbl
     }
@@ -7217,6 +7224,7 @@ object TrainQueries {
     val tbl = s"graft_novhist_incr_$tag"
     s.table(novHistoryTable(s, dir))
       .write.mode("overwrite").format("parquet")
+      .partitionBy("ghp")
       .bucketBy(8, "gh").sortBy("gh").saveAsTable(tbl)
     val before = s.table(tbl).count()
     val arriving = graft.streaming.NoveltyMonitor.gramHashes(
@@ -7231,7 +7239,11 @@ object TrainQueries {
     val novel = arriving
       .join(s.table(tbl).hint("merge"), Seq("gh"), "left_anti")
       .transform(snap)
-    novel.write.mode("append").format("parquet")
+    // append preserves BOTH layout axes: rows route to their ghp
+    // partition AND their gh bucket as new per-bucket files
+    novel.withColumn("ghp", substring(col("gh"), 1, 1))
+      .write.mode("append").format("parquet")
+      .partitionBy("ghp")
       .bucketBy(8, "gh").sortBy("gh").saveAsTable(tbl)
     val after = s.table(tbl).count()
     val recheck = arriving

@@ -84,11 +84,31 @@ object NoveltyMonitor {
     * bucket layout in place — broadcast would be wrong both ways here
     * (the history is the big side), and the hint keeps the plan
     * assertable rather than stats-dependent.
+    *
+    * PARTITION PRUNING: the history table is additionally partitioned
+    * on the coarse gh prefix `ghp`, and the probe first collects the
+    * batch's own distinct prefixes (≤ 16 hex values — metadata-sized,
+    * one batch-side job) and filters the history scan to them. A
+    * history row in an untouched prefix partition cannot match any
+    * probe gram, so the anti-join is unchanged — but the scan now
+    * reads only the touched prefixes' buckets. A trickle batch
+    * touching 3 of 16 prefixes reads 3/16 of a trillion-gram history;
+    * a corpus-sized batch with uniform hashes touches all 16 and
+    * legitimately reads everything (an anti-join must consult every
+    * partition its probe keys can land in — that bound is inherent,
+    * not a layout defect). PlanSpec asserts both the pruned scan and
+    * the unchanged no-Exchange-above-history shape.
     */
   def noveltyCounts(spark: SparkSession, grams: DataFrame,
       histTable: String): DataFrame = {
+    val prefixes = grams
+      .select(substring(col("gh"), 1, 1).as("ghp")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val hist = spark.table(histTable)
+      .filter(col("ghp").isin(prefixes: _*))
+      .select("gh")
     val novel = grams
-      .join(spark.table(histTable).hint("merge"), Seq("gh"), "left_anti")
+      .join(hist.hint("merge"), Seq("gh"), "left_anti")
       .groupBy("source").agg(count(lit(1)).as("n_novel"))
     grams.groupBy("source")
       .agg(count(lit(1)).as("n_grams"))

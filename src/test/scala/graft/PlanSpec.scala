@@ -741,6 +741,53 @@ class PlanSpec extends AnyFunSuite {
       "the arriving grams are the side that shuffles into the bucketing")
   }
 
+  test("novelty probe partition pruning: a prefix-restricted probe " +
+      "reads ONLY its prefixes' history partitions; a full probe " +
+      "reads all (the trickle-batch scale claim)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case r: ReusedExchangeExec => flatten(r.child)
+      case _ => p.children.flatMap(flatten)
+    })
+    // history: enough grams that all 16 hex prefixes exist as partitions
+    val tbl = "graft_planspec_novhist"
+    spark.range(2000)
+      .select(md5(concat(lit("h"), col("id"))).as("gh"))
+      .withColumn("ghp", substring(col("gh"), 1, 1))
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("ghp").bucketBy(8, "gh").sortBy("gh").saveAsTable(tbl)
+    def probe(grams: org.apache.spark.sql.DataFrame): Int = {
+      val out = graft.streaming.NoveltyMonitor
+        .noveltyCounts(spark, grams, tbl)
+      out.count()
+      val scans = flatten(out.queryExecution.executedPlan).collect {
+        case f: FileSourceScanExec
+            if f.relation.bucketSpec.exists(_.bucketColumnNames ==
+              Seq("gh")) => f
+      }
+      assert(scans.nonEmpty, "history scan not found in executed plan")
+      scans.map(_.selectedPartitions.partitionCount).max
+    }
+    val grams = spark.range(500)
+      .select(lit("s").as("source"),
+        md5(concat(lit("p"), col("id"))).as("gh"))
+    // restricted probe: only grams whose prefix is 0-3 → ≤ 4 partitions
+    val restricted = grams.filter(substring(col("gh"), 1, 1) <= "3")
+    val prunedCount = probe(restricted)
+    assert(prunedCount <= 4,
+      s"prefix-restricted probe must prune the history scan to its " +
+        s"prefixes, read $prunedCount partitions")
+    // positive control: the unrestricted probe touches every prefix
+    assert(probe(grams) === 16,
+      "a full probe legitimately reads every partition")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("q222: the metadata-sized eval fingerprint set broadcasts " +
       "onto the corpus gram stream") {
     val p = sparkPlan("q222_winnow_contamination")
