@@ -7549,6 +7549,80 @@ object TrainQueries {
       .orderBy("first_doc")
   }
 
+  /** Real JPEG decode audit (q264, [[Multimodal.decodeJpeg]]): the
+    * LOSSY flavor of the q251 javax.imageio seam — JPEG is the format
+    * crawls actually carry, and a lossy codec has no cross-engine bit
+    * contract (DCT quantization is encoder-private, IDCT rounding
+    * decoder-private). So the row ships what IS portable: exact dims
+    * (closed-form) and the per-channel tolerance claim
+    * |decoded − source| ≤ 16 everywhere (measured max 14, min 7
+    * across the full dim/level parameter space — chroma-subsampling-
+    * dominated, the real 4:2:0 cost) against the closed-form
+    * gradient raster (the q104 within-eps discipline for approximate
+    * ops; the measured error magnitude lives in `JpegSpec`, which
+    * also proves the decode is real — lossy, nonzero error — not an
+    * input echo). Scan-local encode+decode per task; payloads never
+    * shuffle.
+    */
+  private def qJpegDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val media = t(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .map { id =>
+        Multimodal.MediaRecord(id,
+          Multimodal.encodeJpeg(id, (16 + ((id / 3) % 3) * 8).toInt,
+            (16 + (id % 2) * 8).toInt),
+          "jpg")
+      }
+    Multimodal.decodeJpegFeatures(media, tol = 16).toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Re-encoded-media dedup proof (q265): the end-to-end property
+    * q252 set up — the SAME image re-encoded through a DIFFERENT
+    * codec must deduplicate. Per doc, one closed-form gradient raster
+    * is encoded losslessly (PNG) and lossily (JPEG), both decoded
+    * through the real codecs, both blockhashed on DECODED pixels:
+    * the PNG-leg fingerprint is bit-exact against the closed form
+    * (lossless decode — the oracle replays it in SQL, the q252
+    * discipline), and the JPEG-leg fingerprint lands within 8/60 bits
+    * of it (`reencode_dedups` — the pigeonhole-band match the E187
+    * near-dup screen keys on; measured distances live in `JpegSpec`).
+    * Container bytes differ in EVERY byte across the two legs; the
+    * rasters agree within JPEG tolerance — fingerprinting decoded
+    * pixels is exactly what makes that visible.
+    */
+  private def qReencodeDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val ids = t(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+    def dims(id: Long) =
+      ((16 + ((id / 3) % 3) * 8).toInt, (16 + (id % 2) * 8).toInt)
+    val png = ids.map { id =>
+      val (w, h) = dims(id)
+      Multimodal.MediaRecord(id, Multimodal.encodeGradientPng(id, w, h), "png")
+    }
+    val jpg = ids.map { id =>
+      val (w, h) = dims(id)
+      Multimodal.MediaRecord(id, Multimodal.encodeJpeg(id, w, h), "jpg")
+    }
+    val hp = Multimodal.blockHash(Multimodal.toRaster(png)).toDF()
+      .select(col("doc_id"), col("fp").as("fp_png"),
+        col("n_bytes").as("n_raster_bytes"))
+    val hj = Multimodal.blockHash(Multimodal.toRaster(jpg)).toDF()
+      .select(col("doc_id"), col("fp").as("__fp_jpg"))
+    hp.join(hj, "doc_id")
+      .select(col("doc_id"), col("n_raster_bytes"), col("fp_png"),
+        (expr("bit_count(fp_png ^ __fp_jpg)") <= 8).as("reencode_dedups"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -7805,7 +7879,9 @@ object TrainQueries {
     "q260_canon_policy" -> (qCanonPolicy _),
     "q261_weighted_jaccard" -> (qWeightedJaccard _),
     "q262_byte_shard_plan" -> (qByteShardPlan _),
-    "q263_nfc_dedup" -> (qNfcDedup _))
+    "q263_nfc_dedup" -> (qNfcDedup _),
+    "q264_jpeg_decode" -> (qJpegDecode _),
+    "q265_reencode_dedup" -> (qReencodeDedup _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -12222,6 +12298,47 @@ object TrainQueries {
              CAST(COUNT(DISTINCT raw_fp) AS BIGINT) AS n_raw_fps,
              MIN(doc_id) AS first_doc
          FROM f GROUP BY fp HAVING COUNT(*) > 1 ORDER BY first_doc""",
+    // q264: lossy decode — the portable columns are exact dims
+    // (closed-form) and the tolerance BOOLEAN (the q104 within-eps
+    // discipline); the error magnitude is spec-measured, not oracle'd
+    // (no cross-engine bit contract exists for a lossy codec).
+    "q264_jpeg_decode" ->
+      """SELECT doc_id,
+             CAST(16 + ((doc_id // 3) % 3) * 8 AS BIGINT) AS width,
+             CAST(16 + (doc_id % 2) * 8 AS BIGINT) AS height,
+             CAST((16 + ((doc_id // 3) % 3) * 8) * (16 + (doc_id % 2) * 8)
+               AS BIGINT) AS n_pixels,
+             TRUE AS within_tol
+         FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""",
+    // q265: the PNG-leg blockhash replays bit-exactly in SQL from the
+    // closed-form gradient raster (lossless decode — the q252
+    // discipline: channel 0 ramps on x, 1 on y, 2 flat per doc); the
+    // JPEG-leg proximity is the TRUE claim (spec-measured distances).
+    "q265_reencode_dedup" ->
+      """WITH dims AS (SELECT doc_id,
+             CAST(16 + ((doc_id // 3) % 3) * 8 AS BIGINT) AS w,
+             CAST(16 + (doc_id % 2) * 8 AS BIGINT) AS h
+           FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT doc_id, w, h, i, (i // 3) % w AS x,
+             (i // 3) // w AS y, i % 3 AS c
+           FROM dims, unnest(range(0, w * h * 3)) u(i)),
+         ch AS (SELECT doc_id, w, h, (i * 60) // (w * h * 3) AS blk,
+             CASE c WHEN 0 THEN (x * 255) // (w - 1)
+                    WHEN 1 THEN (y * 255) // (h - 1)
+                    ELSE (doc_id * 37) % 256 END AS v
+           FROM px),
+         cs AS (SELECT doc_id, blk, CAST(SUM(v) AS BIGINT) AS s
+           FROM ch GROUP BY 1, 2),
+         tt AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS total
+           FROM ch GROUP BY 1),
+         fp AS (SELECT cs.doc_id,
+             CAST(SUM(CASE WHEN cs.s * 60 > tt.total
+               THEN 1::BIGINT << cs.blk ELSE 0 END) AS BIGINT) AS fp_png
+           FROM cs JOIN tt ON cs.doc_id = tt.doc_id GROUP BY cs.doc_id)
+         SELECT d.doc_id, d.w * d.h * 3 AS n_raster_bytes, fp.fp_png,
+             TRUE AS reencode_dedups
+         FROM dims d JOIN fp ON d.doc_id = fp.doc_id
+         ORDER BY d.doc_id""",
     "q127_copurchase" ->
       """WITH cs AS (SELECT DISTINCT o_custkey AS cust,
              l_suppkey AS supp

@@ -421,6 +421,155 @@ object Multimodal {
       if (r.payload == null) Array.emptyByteArray else r.payload)))
   }
 
+  // ------------------------------------------------------------------
+  // JPEG — the LOSSY flavor of the javax.imageio seam (q264/q265).
+  // PNG proved the lossless path, where the decoded raster is the
+  // cross-engine contract (closed-form oracles). JPEG is the format
+  // crawls actually carry, and lossy codecs have NO cross-engine bit
+  // contract: the DCT quantization is encoder-private and the IDCT
+  // rounding decoder-private, so the only honest cross-engine claims
+  // are (a) exact container STRUCTURE (dims — closed-form) and (b) a
+  // spec-MEASURED per-channel decode tolerance against the source
+  // raster. The queries therefore ship exact dims + tolerance
+  // BOOLEANS (the q104 within_rank_eps discipline for approximate
+  // ops); the tolerance magnitude itself is spec-verified, never
+  // oracle'd. Rasters are SMOOTH gradients: JPEG's 8×8 DCT represents
+  // low-frequency content within a few counts per channel at q≈0.9,
+  // which is what makes a tight, meaningful tolerance claim possible
+  // (per-pixel noise would decode with errors bounded only by the
+  // quantization table — a vacuous claim).
+  // ------------------------------------------------------------------
+
+  /** Decoded-JPEG audit row: exact dims + the measured per-channel
+    * tolerance claim against the closed-form source raster.
+    */
+  case class JpegFeatures(doc_id: Long, width: Long, height: Long,
+      n_pixels: Long, within_tol: Boolean)
+
+  /** The deterministic smooth source raster for doc `seed` at
+    * (x, y): R ramps left→right, G ramps top→bottom, B is a per-doc
+    * flat level — closed-form, so any engine can recompute it.
+    */
+  def gradientPixel(seed: Long, width: Int, height: Int, x: Int,
+      y: Int): (Int, Int, Int) = (
+    if (width == 1) 0 else (x * 255) / (width - 1),
+    if (height == 1) 0 else (y * 255) / (height - 1),
+    ((seed * 37) % 256).toInt)
+
+  /** Row-major RGB gradient raster (the PNG/JPEG-shared source). */
+  def gradientRaster(seed: Long, width: Int, height: Int): Array[Byte] = {
+    val out = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = gradientPixel(seed, width, height, x, y)
+        val dst = 3 * (y * width + x)
+        out(dst) = r.toByte; out(dst + 1) = g.toByte; out(dst + 2) = b.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def gradientImage(seed: Long, width: Int,
+      height: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = gradientPixel(seed, width, height, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Encode the deterministic gradient raster as a real JPEG at an
+    * explicit quality — through the JDK's actual DCT/quantize/Huffman
+    * path, so decoding it exercises the real inflate-free lossy
+    * pipeline (and provably does NOT echo input bytes).
+    */
+  def encodeJpeg(seed: Long, width: Int, height: Int,
+      quality: Float = 0.92f): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"bad dims: ${width}x$height")
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(
+        gradientImage(seed, width, height), null, null), param)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
+  }
+
+  /** Encode the SAME gradient raster losslessly (the q265 PNG leg). */
+  def encodeGradientPng(seed: Long, width: Int, height: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(
+      gradientImage(seed, width, height), "png", out),
+      "no PNG writer available in this JVM")
+    out.toByteArray
+  }
+
+  /** Max per-channel absolute error of a decoded raster against the
+    * closed-form gradient source — the number the tolerance claim is
+    * made of. Package-visible so the spec can measure it directly.
+    */
+  private[graft] def gradientMaxAbsErr(seed: Long, width: Int,
+      height: Int, raster: Array[Byte]): Int = {
+    require(raster.length == width * height * 3,
+      s"raster/dims mismatch: ${raster.length} vs ${width}x$height")
+    var worst = 0
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = gradientPixel(seed, width, height, x, y)
+        val src = 3 * (y * width + x)
+        worst = math.max(worst, math.max(
+          math.abs((raster(src) & 0xff) - r), math.max(
+            math.abs((raster(src + 1) & 0xff) - g),
+            math.abs((raster(src + 2) & 0xff) - b))))
+        x += 1
+      }
+      y += 1
+    }
+    worst
+  }
+
+  /** Real JPEG decode → audit row: exact dims plus the per-channel
+    * tolerance claim (|decoded − source| ≤ `tol` everywhere).
+    */
+  def decodeJpeg(docId: Long, bytes: Array[Byte], tol: Int): JpegFeatures = {
+    val (w, h, raster) = imageRaster(docId, bytes)
+    JpegFeatures(docId, w.toLong, h.toLong, (w.toLong * h),
+      gradientMaxAbsErr(docId, w, h, raster) <= tol)
+  }
+
+  /** Batched real JPEG decode over partitions — payloads never
+    * shuffle, only typed audit rows.
+    */
+  def decodeJpegFeatures(media: Dataset[MediaRecord], tol: Int)(
+      implicit spark: SparkSession): Dataset[JpegFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(_.map(r => decodeJpeg(r.doc_id,
+      if (r.payload == null) Array.emptyByteArray else r.payload, tol)))
+  }
+
   /** Swap a media record's payload for its DECODED raster — the move
     * that points [[blockHash]]'s perceptual fingerprint at real pixels
     * (E187's "a real image pHash swaps in" claim, made runnable): the
