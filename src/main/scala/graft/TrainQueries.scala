@@ -486,6 +486,71 @@ object TrainQueries {
          bands AS ($bandSelects)"""
   }
 
+  /** q266's oracle: the q25 chain re-sourced onto the synthetic
+    * corpus (docs + the two planted canonical twins per %13 doc) and
+    * shingled on the CANONICAL text, with the exact raw-shingle
+    * Jaccard of every verified pair beside it in bp.
+    */
+  private def canonNearDupOracle: String = {
+    val sigEntries = NearDup.hashCoeffs(32)
+      .map { case (a, b) =>
+        s"list_min(list_transform(xs, x -> ($a * x + $b) % ${NearDup.HashP}))"
+      }
+      .mkString("[\n             ", ",\n             ", "\n           ]")
+    val bandSelects = (0 until 4).map { bnd =>
+      val parts = (1 to 8).map(r => s"CAST(sg[${bnd * 8 + r}] AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $bnd AS b, md5($parts) AS bkey FROM sig"
+    }.mkString("\n           UNION ALL ")
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, replace(lower(text), 'e', chr(233))
+           FROM documents WHERE doc_id % 13 = 0
+           UNION ALL
+           SELECT doc_id + 2000000,
+             upper(replace(lower(text), 'e', 'e' || chr(769)))
+           FROM documents WHERE doc_id % 13 = 0),
+         cn AS (SELECT doc_id, text,
+             regexp_replace(lower(trim(nfc_normalize(text))),
+               '\\s+', ' ', 'g') AS canon
+           FROM corpus),
+         s AS (SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(length(canon) - 4, 1) + 1),
+               i -> substr(canon, i, 5))) AS shingles
+           FROM cn),
+         sraw AS (SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(length(text) - 4, 1) + 1),
+               i -> substr(text, i, 5))) AS rsh
+           FROM cn),
+         xs AS (SELECT doc_id, shingles, list_transform(shingles,
+             sh -> CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)
+                   % ${NearDup.HashP}) AS xs
+           FROM s),
+         sig AS (SELECT doc_id, $sigEntries AS sg FROM xs),
+         bands AS ($bandSelects),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b
+             ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         jac AS (SELECT id_a, id_b,
+             CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+               / CAST(len(x.shingles) + len(y.shingles)
+                   - len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+               AS jaccard_canon
+           FROM cand JOIN s x ON cand.id_a = x.doc_id
+                     JOIN s y ON cand.id_b = y.doc_id)
+         SELECT jac.id_a, jac.id_b, jac.jaccard_canon,
+             CAST(len(list_intersect(ra.rsh, rb.rsh)) * 10000
+               // (len(ra.rsh) + len(rb.rsh)
+                   - len(list_intersect(ra.rsh, rb.rsh))) AS BIGINT)
+               AS jaccard_raw_bp
+         FROM jac JOIN sraw ra ON jac.id_a = ra.doc_id
+                  JOIN sraw rb ON jac.id_b = rb.doc_id
+         WHERE jac.jaccard_canon >= 0.5
+         ORDER BY jac.id_a, jac.id_b"""
+  }
+
   private def minhashLshOracle: String =
     s"""$minhashCtes,
          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -7623,6 +7688,125 @@ object TrainQueries {
       .orderBy("doc_id")
   }
 
+  /** Canonicalization-aware near-dup (q266): the E258 canonical form
+    * carried into the MINHASH chain — raw character shingles treat a
+    * case-flipped, Unicode-recomposed re-crawl as a DIFFERENT document
+    * (every shingle containing the perturbed bytes changes, J ≈ 0),
+    * so the q25 screen structurally misses re-crawls that differ only
+    * in formatting. Shingling the canonical text (NFC + lower + ws
+    * collapse) closes it. Proven on planted twins: per %13 doc, two
+    * variants of the same content — one with precomposed é (U+00E9),
+    * one UPPER-cased with decomposed E+U+0301 — whose canonical forms
+    * are IDENTICAL while their raw forms share almost nothing. The
+    * canon-shingle chain verifies each twin pair at J = 1; the exact
+    * raw-shingle Jaccard ships beside it in exact bp, measuring what
+    * the raw chain would have seen (≈ 0). Same banded cost class as
+    * q25 over 1.15× the docs; the raw-J rescoring is pair-bounded.
+    */
+  private def qCanonNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") % 13 === 0)
+    // twin A: lower-cased, e → precomposed é; twin B: the SAME
+    // abstract text UPPER-cased with the DECOMPOSED e + U+0301 —
+    // canonical forms identical, raw bytes disjoint wherever an e/E
+    // or any letter sits (explicit escapes: literals recompose)
+    val a = planted.select((col("doc_id") + 1000000L).as("doc_id"),
+      regexp_replace(lower(col("text")), "e", "\u00e9").as("text"))
+    val b = planted.select((col("doc_id") + 2000000L).as("doc_id"),
+      upper(regexp_replace(lower(col("text")), "e", "e\u0301")).as("text"))
+    val corpus = docs.unionByName(a).unionByName(b)
+      .repartition(col("doc_id"))
+      .withColumn("__canon", regexp_replace(lower(trim(
+        graft.expressions.UnicodeNormalize.nfc(col("text")))),
+        "\\s+", " "))
+      .withColumn("canon_shingles", TextFns.shingles("__canon", 5))
+      .withColumn("raw_shingles", TextFns.shingles("text", 5))
+      .select("doc_id", "canon_shingles", "raw_shingles")
+      .transform(snap)
+    val sigs = NearDup.minHashSigs(corpus, "doc_id", "canon_shingles",
+      32, "sig")
+    val cand = NearDup.candidatePairs(
+      NearDup.bandRows(sigs, "doc_id", "sig", 4, 8, 32), "doc_id")
+    val canonJ = NearDup.jaccard(cand,
+        corpus.select(col("doc_id"), col("canon_shingles").as("shingles")),
+        "doc_id", "shingles")
+      .filter(col("jaccard") >= 0.5)
+      .withColumnRenamed("jaccard", "jaccard_canon")
+    val raw = corpus.select(col("doc_id"), col("raw_shingles"))
+    canonJ
+      .join(raw.select(col("doc_id").as("id_a"),
+        col("raw_shingles").as("__ra")), "id_a")
+      .join(raw.select(col("doc_id").as("id_b"),
+        col("raw_shingles").as("__rb")), "id_b")
+      .withColumn("jaccard_raw_bp", expr(
+        """size(array_intersect(__ra, __rb)) * 10000L
+          | div (size(__ra) + size(__rb)
+          |      - size(array_intersect(__ra, __rb)))""".stripMargin))
+      .select("id_a", "id_b", "jaccard_canon", "jaccard_raw_bp")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The q267 media fixture: every %3 doc's gradient raster as a real
+    * PNG payload, staged once per (session, dir) — the stored media
+    * table a streaming ingest reads.
+    */
+  private val mediaFileCache = scala.collection.mutable.Map
+    .empty[(String, String), String]
+
+  private def mediaParquetPath(s: SparkSession, dir: String): String =
+    sessionFixture(mediaFileCache, s, dir) {
+      import s.implicits._
+      val tag = (s.sparkContext.applicationId + "_" + dir)
+        .replaceAll("[^a-zA-Z0-9]", "_")
+      val path = graft.Scratch.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_media_$tag")
+      t(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          (id, Multimodal.encodeGradientPng(id,
+            (16 + ((id / 3) % 3) * 8).toInt, (16 + (id % 2) * 8).toInt))
+        }
+        .toDF("doc_id", "payload")
+        .write.mode("overwrite").parquet(path)
+      path
+    }
+
+  /** Streaming media ingestion gate (q267,
+    * [[graft.streaming.MediaScreen]]): the q255 tombstone discipline
+    * pointed at BINARY payloads — every arriving micro-batch's media
+    * is decoded through the real codec and blockhashed on DECODED
+    * pixels, then probed against a known-bad perceptual blocklist
+    * (removal-request media, broadcast-sized) at ingestion — a
+    * pigeonhole NEAR-match (band join + hamming ≤ 8 verify; exact-fp
+    * equality would miss ~38% of re-encodes, see [[MediaScreen]]).
+    * Because the fingerprint is computed on rasters, a blocklisted
+    * image RE-ENCODED through a different codec still matches (the
+    * q265 property, enforced live — spec-proved with an actual JPEG
+    * re-encode of blocklisted media). The oracle replays the
+    * closed-form gradient blockhash, the staging NTILE, and the
+    * identical band + hamming probe.
+    */
+  private def qStreamMediaScreen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    // blocklist: removal requests for the %41 media docs — fingerprints
+    // computed through the SAME real decode path (request media is
+    // media); broadcast-sized by nature
+    val blocked = t(s, dir, "documents")
+      .filter(col("doc_id") % 3 === 0 && col("doc_id") % 41 === 0)
+      .select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        Multimodal.MediaRecord(id, Multimodal.encodeGradientPng(id,
+          (16 + ((id / 3) % 3) * 8).toInt, (16 + (id % 2) * 8).toInt),
+          "png")
+      }
+    val blockedFps = Multimodal.blockHash(Multimodal.toRaster(blocked))
+      .toDF().select(col("fp")).transform(snap)
+    graft.streaming.MediaScreen.run(s, mediaParquetPath(s, dir),
+      blockedFps)
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -7881,7 +8065,9 @@ object TrainQueries {
     "q262_byte_shard_plan" -> (qByteShardPlan _),
     "q263_nfc_dedup" -> (qNfcDedup _),
     "q264_jpeg_decode" -> (qJpegDecode _),
-    "q265_reencode_dedup" -> (qReencodeDedup _))
+    "q265_reencode_dedup" -> (qReencodeDedup _),
+    "q266_canon_neardup" -> (qCanonNearDup _),
+    "q267_stream_media_screen" -> (qStreamMediaScreen _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -12339,6 +12525,47 @@ object TrainQueries {
              TRUE AS reencode_dedups
          FROM dims d JOIN fp ON d.doc_id = fp.doc_id
          ORDER BY d.doc_id""",
+    // q266: the q25 chain shingled on the canonical form, over the
+    // planted-twin corpus; exact raw-shingle J in bp beside it.
+    "q266_canon_neardup" -> canonNearDupOracle,
+    // q267: closed-form gradient blockhash per media doc (the q265
+    // fp replay), staging NTILE batches, broadcast blocklist join.
+    "q267_stream_media_screen" ->
+      """WITH m AS (SELECT doc_id,
+             CAST(16 + ((doc_id // 3) % 3) * 8 AS BIGINT) AS w,
+             CAST(16 + (doc_id % 2) * 8 AS BIGINT) AS h,
+             CAST(NTILE(3) OVER (ORDER BY doc_id) - 1 AS BIGINT)
+               AS batch_id
+           FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT doc_id, w, h, (i * 60) // (w * h * 3) AS blk,
+             CASE i % 3 WHEN 0 THEN (((i // 3) % w) * 255) // (w - 1)
+                        WHEN 1 THEN (((i // 3) // w) * 255) // (h - 1)
+                        ELSE (doc_id * 37) % 256 END AS v
+           FROM m, unnest(range(0, w * h * 3)) u(i)),
+         cs AS (SELECT doc_id, blk, CAST(SUM(v) AS BIGINT) AS s
+           FROM px GROUP BY 1, 2),
+         tt AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS total
+           FROM px GROUP BY 1),
+         fp AS (SELECT cs.doc_id,
+             CAST(SUM(CASE WHEN cs.s * 60 > tt.total
+               THEN 1::BIGINT << cs.blk ELSE 0 END) AS BIGINT) AS fp
+           FROM cs JOIN tt ON cs.doc_id = tt.doc_id GROUP BY cs.doc_id),
+         bl AS (SELECT DISTINCT fp AS bfp FROM fp WHERE doc_id % 41 = 0),
+         bb AS (SELECT bfp, ((bfp >> (b.b * 15)) & 32767) * 4 + b.b AS bk
+           FROM bl, unnest(range(0, 4)) b(b)),
+         ab AS (SELECT fp.doc_id, fp.fp,
+             ((fp.fp >> (b.b * 15)) & 32767) * 4 + b.b AS bk
+           FROM fp, unnest(range(0, 4)) b(b)),
+         hits AS (SELECT DISTINCT ab.doc_id
+           FROM ab JOIN bb ON ab.bk = bb.bk
+           WHERE bit_count(xor(ab.fp, bb.bfp)) <= 8)
+         SELECT m.batch_id, CAST(COUNT(*) AS BIGINT) AS n_media,
+             CAST(SUM(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END)
+               AS BIGINT) AS n_blocked,
+             CAST((SUM(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END)
+               * 10000) // COUNT(*) AS BIGINT) AS blocked_bp
+         FROM m LEFT JOIN hits h ON m.doc_id = h.doc_id
+         GROUP BY m.batch_id ORDER BY m.batch_id""",
     "q127_copurchase" ->
       """WITH cs AS (SELECT DISTINCT o_custkey AS cust,
              l_suppkey AS supp

@@ -828,6 +828,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q263: NFC dedup is one partial-agg group-by of 32-byte keys") {
+    val p = sparkPlan("q263_nfc_dedup")
+    assert(p.contains("partial_count"),
+      s"the fingerprint rollup must combine map-side:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q265: the re-encode dedup joins 16-byte fingerprint rows on " +
+      "doc_id — payloads never shuffle past the decode") {
+    val p = sparkPlan("q265_reencode_dedup")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q266: the canon-shingle chain never goes cartesian") {
+    val p = sparkPlan("q266_canon_neardup")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q259/q260/q261: the banded-chain audits never go cartesian") {
     Seq("q259_bbit_minhash", "q260_canon_policy", "q261_weighted_jaccard")
       .foreach { q =>
