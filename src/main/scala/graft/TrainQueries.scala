@@ -486,6 +486,47 @@ object TrainQueries {
          bands AS ($bandSelects)"""
   }
 
+  /** The q214/q268-shared DuckDB replay of winnowing selection at
+    * L = 30, w = 8: per-position 60-bit gram hashes, the per-window-
+    * min rule as the 8 covering-window MIN frames + the sub-w global-
+    * min fallback, distinct (doc_id, gram) selections in `sel`.
+    */
+  private val winnowSelCtes: String =
+    """WITH g AS (SELECT doc_id, j, substr(text, j, 30) AS gram,
+             CAST('0x' || substr(md5(substr(text, j, 30)), 1, 15)
+               AS BIGINT) AS h
+           FROM documents, unnest(range(1, length(text) - 28)) u(j)),
+         w AS (SELECT doc_id, j, gram, h,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n,
+             MIN(h) OVER (PARTITION BY doc_id) AS gm,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
+               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m0,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
+               ROWS BETWEEN 1 PRECEDING AND 6 FOLLOWING) AS m1,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
+               ROWS BETWEEN 2 PRECEDING AND 5 FOLLOWING) AS m2,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
+               ROWS BETWEEN 3 PRECEDING AND 4 FOLLOWING) AS m3,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
+               ROWS BETWEEN 4 PRECEDING AND 3 FOLLOWING) AS m4,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
+               ROWS BETWEEN 5 PRECEDING AND 2 FOLLOWING) AS m5,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
+               ROWS BETWEEN 6 PRECEDING AND 1 FOLLOWING) AS m6,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS m7
+           FROM g),
+         sel AS (SELECT DISTINCT doc_id, gram FROM w
+           WHERE (n < 8 AND h = gm)
+              OR (j + 7 <= n AND h = m0)
+              OR (j >= 2 AND j + 6 <= n AND h = m1)
+              OR (j >= 3 AND j + 5 <= n AND h = m2)
+              OR (j >= 4 AND j + 4 <= n AND h = m3)
+              OR (j >= 5 AND j + 3 <= n AND h = m4)
+              OR (j >= 6 AND j + 2 <= n AND h = m5)
+              OR (j >= 7 AND j + 1 <= n AND h = m6)
+              OR (j >= 8 AND h = m7))"""
+
   /** q266's oracle: the q25 chain re-sourced onto the synthetic
     * corpus (docs + the two planted canonical twins per %13 doc) and
     * shingled on the CANONICAL text, with the exact raw-shingle
@@ -7807,6 +7848,70 @@ object TrainQueries {
       blockedFps)
   }
 
+  /** Winnowing pairwise similarity (q268) — the MOSS use of the E208
+    * machinery: q214 counts how many documents repeat a fingerprint;
+    * this asks WHICH PAIRS share many — the plagiarism/near-copy
+    * ranking, with the guarantee that any shared character run ≥
+    * L+w−1 (37 chars) contributes to the pair's score. Pairs come
+    * from a self-join WITHIN fingerprint groups, df-capped to
+    * [2, 50] (the q64 discipline: singleton fingerprints pair with
+    * nothing; >50-doc fingerprints are boilerplate mass that belongs
+    * to q214's audit, and the cap bounds candidate volume by
+    * Σ df² ≤ 50·Σ df — linear in selected fingerprints). Selection is
+    * the native scan-local [[graft.expressions.WinnowSelect]] pass;
+    * only (gram, id) rows shuffle.
+    */
+  private def qWinnowPairs(s: SparkSession, dir: String): DataFrame = {
+    val sel = Winnowing.selectedGrams(t(s, dir, "documents"),
+      "doc_id", "text", l = 30, w = 8)
+    val df = sel.groupBy("gram").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= 50)
+    val rare = sel.join(df.select("gram"), "gram").transform(snap)
+    rare.select(col("gram"), col("doc_id").as("id_a"))
+      .join(rare.select(col("gram"), col("doc_id").as("id_b")), "gram")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .orderBy(col("n_shared_fps").desc, col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
+  /** Repetition-loop screen (q269): machine-generated and
+    * scrape-corrupted text loops — the same token run repeating with
+    * a short period — and training on it teaches the loop. The signal
+    * is the lag-L token self-match rate: for L in 1..10, the fraction
+    * of positions i with t(i) = t(i+L), maxed over lags (ties →
+    * smallest lag) in exact bp. A looping document scores near 10⁴ at
+    * its period; natural prose sits low (function-word recurrence).
+    * Entirely scan-local — one O(tokens · 10) pass per document over
+    * a Generate-materialized token array (the CollapseProject-
+    * inlining trap: an ALIAS referenced in a HOF lambda re-splits the
+    * document per lambda call — `explode(array(...))` pins it once,
+    * the q246 lesson). Top-20 worst + the screen flag.
+    */
+  private def qRepetitionLoop(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(expr(
+        "array(filter(split(text, ' '), t -> t <> ''))")).as("tk"))
+      .filter(size(col("tk")) > 10)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, 10), L -> named_struct(
+          |  'lag', cast(L as bigint),
+          |  'bp', aggregate(sequence(1, size(tk) - L), 0L,
+          |          (a, i) -> a + if(element_at(tk, i) =
+          |                           element_at(tk, i + L), 1L, 0L))
+          |        * 10000L div cast(size(tk) - L as bigint)))"""
+          .stripMargin)).as("r"))
+      .groupBy("doc_id")
+      .agg(min(struct((-col("r.bp")).as("nbp"), col("r.lag").as("lag")))
+        .as("__m"))
+      .select(col("doc_id"), (-col("__m.nbp")).as("max_lag_bp"),
+        col("__m.lag").as("best_lag"))
+      .withColumn("looped", col("max_lag_bp") >= 3000L)
+      .orderBy(col("max_lag_bp").desc, col("doc_id"))
+      .limit(20)
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -8067,7 +8172,9 @@ object TrainQueries {
     "q264_jpeg_decode" -> (qJpegDecode _),
     "q265_reencode_dedup" -> (qReencodeDedup _),
     "q266_canon_neardup" -> (qCanonNearDup _),
-    "q267_stream_media_screen" -> (qStreamMediaScreen _))
+    "q267_stream_media_screen" -> (qStreamMediaScreen _),
+    "q268_winnow_pairs" -> (qWinnowPairs _),
+    "q269_repetition_loop" -> (qRepetitionLoop _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -11783,40 +11890,7 @@ object TrainQueries {
     // fallback for sub-8-gram docs), same distinct + count +
     // (n_docs DESC, gram) top-20.
     "q214_memorization_audit" ->
-      """WITH g AS (SELECT doc_id, j, substr(text, j, 30) AS gram,
-             CAST('0x' || substr(md5(substr(text, j, 30)), 1, 15)
-               AS BIGINT) AS h
-           FROM documents, unnest(range(1, length(text) - 28)) u(j)),
-         w AS (SELECT doc_id, j, gram, h,
-             COUNT(*) OVER (PARTITION BY doc_id) AS n,
-             MIN(h) OVER (PARTITION BY doc_id) AS gm,
-             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
-               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m0,
-             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
-               ROWS BETWEEN 1 PRECEDING AND 6 FOLLOWING) AS m1,
-             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
-               ROWS BETWEEN 2 PRECEDING AND 5 FOLLOWING) AS m2,
-             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
-               ROWS BETWEEN 3 PRECEDING AND 4 FOLLOWING) AS m3,
-             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
-               ROWS BETWEEN 4 PRECEDING AND 3 FOLLOWING) AS m4,
-             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
-               ROWS BETWEEN 5 PRECEDING AND 2 FOLLOWING) AS m5,
-             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
-               ROWS BETWEEN 6 PRECEDING AND 1 FOLLOWING) AS m6,
-             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
-               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS m7
-           FROM g),
-         sel AS (SELECT DISTINCT doc_id, gram FROM w
-           WHERE (n < 8 AND h = gm)
-              OR (j + 7 <= n AND h = m0)
-              OR (j >= 2 AND j + 6 <= n AND h = m1)
-              OR (j >= 3 AND j + 5 <= n AND h = m2)
-              OR (j >= 4 AND j + 4 <= n AND h = m3)
-              OR (j >= 5 AND j + 3 <= n AND h = m4)
-              OR (j >= 6 AND j + 2 <= n AND h = m5)
-              OR (j >= 7 AND j + 1 <= n AND h = m6)
-              OR (j >= 8 AND h = m7)),
+      s"""$winnowSelCtes,
          cnt AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs
            FROM sel GROUP BY 1)
          SELECT gram, n_docs FROM cnt
@@ -12528,6 +12602,41 @@ object TrainQueries {
     // q266: the q25 chain shingled on the canonical form, over the
     // planted-twin corpus; exact raw-shingle J in bp beside it.
     "q266_canon_neardup" -> canonNearDupOracle,
+    // q268: the q214 winnowing selection, df-capped [2,50], self-join
+    // within fingerprint groups, top-20 pairs.
+    "q268_winnow_pairs" ->
+      s"""$winnowSelCtes,
+         dfc AS (SELECT gram FROM sel GROUP BY gram
+           HAVING COUNT(*) BETWEEN 2 AND 50),
+         rare AS (SELECT s.doc_id, s.gram FROM sel s
+           JOIN dfc ON s.gram = dfc.gram),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+           FROM rare a JOIN rare b
+             ON a.gram = b.gram AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b, n_shared_fps FROM p
+         ORDER BY n_shared_fps DESC, id_a, id_b LIMIT 20""",
+    // q269: lag-1..10 token self-match rates in exact bp, argmax with
+    // smallest-lag ties, top-20 worst.
+    "q269_repetition_loop" ->
+      """WITH tk AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS tk
+           FROM documents),
+         f AS (SELECT doc_id, tk FROM tk WHERE len(tk) > 10),
+         l AS (SELECT doc_id, CAST(u.L AS BIGINT) AS lag,
+             CAST(len(list_filter(range(1, len(tk) - u.L + 1),
+                 i -> tk[i] = tk[i + u.L])) * 10000
+               // (len(tk) - u.L) AS BIGINT) AS bp
+           FROM f, unnest(range(1, 11)) u(L)),
+         a AS (SELECT doc_id, bp AS max_lag_bp, lag AS best_lag,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY bp DESC, lag) AS rn
+           FROM l)
+         SELECT doc_id, max_lag_bp, best_lag,
+             max_lag_bp >= 3000 AS looped
+         FROM a WHERE rn = 1
+         ORDER BY max_lag_bp DESC, doc_id LIMIT 20""",
     // q267: closed-form gradient blockhash per media doc (the q265
     // fp replay), staging NTILE batches, broadcast blocklist join.
     "q267_stream_media_screen" ->

@@ -848,6 +848,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q268: winnow pairs come from a group self-join, never a " +
+      "cartesian; top-k is TakeOrderedAndProject") {
+    val p = sparkPlan("q268_winnow_pairs")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must never be a global sort:\n${p.take(1200)}")
+  }
+
+  test("q269: the repetition screen is scan-local + one partial agg — " +
+      "no Window, no join, top-k is TakeOrderedAndProject") {
+    val p = sparkPlan("q269_repetition_loop")
+    assert(!p.contains("Window"))
+    assert(!p.contains("Join"), s"nothing to join:\n${p.take(1200)}")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("q259/q260/q261: the banded-chain audits never go cartesian") {
     Seq("q259_bbit_minhash", "q260_canon_policy", "q261_weighted_jaccard")
       .foreach { q =>
