@@ -7912,6 +7912,49 @@ object TrainQueries {
       .limit(20)
   }
 
+  /** Vocabulary-growth curve (q270) — the Heaps-law crawl-health
+    * audit: a healthy crawl keeps discovering new grams at a
+    * power-law rate; a curve that flattens early says the crawler is
+    * re-fetching (the batch-level signal q220/q223 monitor, read as a
+    * corpus-order CURVE). Per corpus-order decile — the CLOSED-FORM
+    * id-range rule decile = id·10 div n + 1 off one metadata count,
+    * never an NTILE (a global-order window is one task at any scale) —
+    * count the grams whose FIRST occurrence falls in that decile.
+    * First-occurrence is one partial-agg min(doc_id) per gram (32-byte
+    * hashes only) with the decile derived SCAN-LOCALLY from it; the
+    * running cumulative runs on the 10-row curve, metadata-sized by
+    * construction. Nothing here outgrows the q220 gram-rollup shape
+    * at 100 TB.
+    */
+  private def qVocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val n = docs.count()
+    // integer division on purpose (Column./ is double division)
+    val decileExpr = expr(s"doc_id * 10 div ${n}L + 1")
+    val firstSeen = docs
+      .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+      .select(col("doc_id"),
+        explode(Contamination.wordGrams("__toks", 3)).as("__g"))
+      .select(col("doc_id"), md5(col("__g")).as("gh"))
+      .groupBy("gh").agg(min("doc_id").as("doc_id"))
+    val perDecile = firstSeen
+      .select(decileExpr.as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_new_grams"))
+      .join(docs.select(decileExpr.as("decile"))
+          .groupBy("decile").agg(count(lit(1)).as("n_docs")),
+        Seq("decile"), "right")
+      .select(col("decile"), col("n_docs"),
+        coalesce(col("n_new_grams"), lit(0L)).as("n_new_grams"))
+    // 10-row curve: the running-sum window is metadata-sized
+    perDecile
+      .withColumn("cum_grams", sum("n_new_grams").over(
+        org.apache.spark.sql.expressions.Window.orderBy("decile")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .orderBy("decile")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -8174,7 +8217,8 @@ object TrainQueries {
     "q266_canon_neardup" -> (qCanonNearDup _),
     "q267_stream_media_screen" -> (qStreamMediaScreen _),
     "q268_winnow_pairs" -> (qWinnowPairs _),
-    "q269_repetition_loop" -> (qRepetitionLoop _))
+    "q269_repetition_loop" -> (qRepetitionLoop _),
+    "q270_vocab_growth" -> (qVocabGrowth _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -12637,6 +12681,32 @@ object TrainQueries {
              max_lag_bp >= 3000 AS looped
          FROM a WHERE rn = 1
          ORDER BY max_lag_bp DESC, doc_id LIMIT 20""",
+    // q270: first-occurrence decile per distinct 3-gram hash (the E39
+    // gram convention), closed-form id-range deciles, running total.
+    "q270_vocab_growth" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+         toks AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents),
+         g AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' ')))) AS gram
+           FROM toks),
+         fs AS (SELECT md5(gram) AS gh, MIN(doc_id) AS doc_id
+           FROM g GROUP BY 1),
+         nd AS (SELECT CAST(doc_id * 10 // n.n + 1 AS BIGINT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_new_grams
+           FROM fs, n GROUP BY 1),
+         dd AS (SELECT CAST(doc_id * 10 // n.n + 1 AS BIGINT) AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents, n GROUP BY 1)
+         SELECT dd.decile, dd.n_docs,
+             COALESCE(nd.n_new_grams, 0) AS n_new_grams,
+             CAST(SUM(COALESCE(nd.n_new_grams, 0)) OVER (
+               ORDER BY dd.decile ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_grams
+         FROM dd LEFT JOIN nd ON dd.decile = nd.decile
+         ORDER BY dd.decile""",
     // q267: closed-form gradient blockhash per media doc (the q265
     // fp replay), staging NTILE batches, broadcast blocklist join.
     "q267_stream_media_screen" ->
