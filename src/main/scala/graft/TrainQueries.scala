@@ -7755,14 +7755,14 @@ object TrainQueries {
       regexp_replace(lower(col("text")), "e", "\u00e9").as("text"))
     val b = planted.select((col("doc_id") + 2000000L).as("doc_id"),
       upper(regexp_replace(lower(col("text")), "e", "e\u0301")).as("text"))
-    val corpus = docs.unionByName(a).unionByName(b)
+    val texts = docs.unionByName(a).unionByName(b)
+    val corpus = texts
       .repartition(col("doc_id"))
       .withColumn("__canon", regexp_replace(lower(trim(
         graft.expressions.UnicodeNormalize.nfc(col("text")))),
         "\\s+", " "))
-      .withColumn("canon_shingles", TextFns.shingles("__canon", 5))
-      .withColumn("raw_shingles", TextFns.shingles("text", 5))
-      .select("doc_id", "canon_shingles", "raw_shingles")
+      .select(col("doc_id"), TextFns.shingles("__canon", 5)
+        .as("canon_shingles"))
       .transform(snap)
     val sigs = NearDup.minHashSigs(corpus, "doc_id", "canon_shingles",
       32, "sig")
@@ -7773,7 +7773,18 @@ object TrainQueries {
         "doc_id", "shingles")
       .filter(col("jaccard") >= 0.5)
       .withColumnRenamed("jaccard", "jaccard_canon")
-    val raw = corpus.select(col("doc_id"), col("raw_shingles"))
+      .transform(snap)
+    // raw shingles ONLY for verified-pair members (broadcast semi-join
+    // — the q261 lesson: corpus-wide array packing loses when the
+    // pair set is small, and at any scale the rescore needs exactly
+    // the members)
+    val members = canonJ
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+    val raw = texts
+      .join(broadcast(members), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), TextFns.shingles("text", 5)
+        .as("raw_shingles"))
     canonJ
       .join(raw.select(col("doc_id").as("id_a"),
         col("raw_shingles").as("__ra")), "id_a")
