@@ -7966,6 +7966,67 @@ object TrainQueries {
       .orderBy("decile")
   }
 
+  /** Dedup impact report (q271) — the prioritization table a corpus
+    * owner reads before choosing which screens to run: per screen, its
+    * INDEPENDENT impact on the raw corpus (docs affected, tokens
+    * removed, removal share in exact bp of total tokens). Independent
+    * on purpose — "what would this screen alone remove" is the number
+    * screens are prioritized on; pipeline-order composition is a
+    * different question with order-dependent answers. Three screens,
+    * each reusing its dedicated query's machinery verbatim:
+    * `exact` = non-representatives of NFC-fingerprint groups (q24's
+    * key, min-id representative — whole docs); `near_dup` = the larger
+    * id of every q25-verified pair at J ≥ 0.5 (the drop-the-re-crawl
+    * greedy — whole docs); `paragraph` = dropped duplicate paragraphs
+    * inside kept docs (q101's decisions — PARTIAL removal, tokens of
+    * the dropped paragraphs only). One corpus scan per leg plus the
+    * q25 chain; three 1-row aggregates union into the 3-row report.
+    */
+  private def qDedupImpact(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), col("text"),
+        expr("cast(size(filter(split(text, ' '), t -> t <> '')) " +
+          "as bigint)").as("n_toks"))
+      .transform(snap)
+    val total = toks.agg(sum("n_toks")).head().getLong(0)
+    def row(screen: String, affected: DataFrame) = affected
+      .agg(count(lit(1)).as("n_docs_affected"),
+        coalesce(sum("__removed"), lit(0L)).as("n_tokens_removed"))
+      .select(lit(screen).as("screen"), col("n_docs_affected"),
+        col("n_tokens_removed"),
+        expr(s"n_tokens_removed * 10000L div ${total}L")
+          .as("removed_bp"))
+    val fps = toks.select(col("doc_id"), col("n_toks").as("__removed"),
+      TextFns.fingerprint("text").as("fp"))
+    val exact = fps
+      .join(fps.groupBy("fp").agg(min("doc_id").as("__rep")), "fp")
+      .filter(col("doc_id") =!= col("__rep"))
+    val shingled = docs.repartition(col("doc_id"))
+      .withColumn("shingles", TextFns.shingles("text", 5))
+      .select("doc_id", "shingles")
+      .transform(snap)
+    val sigs = NearDup.minHashSigs(shingled, "doc_id", "shingles", 32,
+      "sig")
+    val cand = NearDup.candidatePairs(
+      NearDup.bandRows(sigs, "doc_id", "sig", 4, 8, 32), "doc_id")
+    val ndRemoved = NearDup.jaccard(cand, shingled, "doc_id", "shingles")
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_b").as("doc_id")).distinct()
+      .join(toks.select(col("doc_id"),
+        col("n_toks").as("__removed")), "doc_id")
+    val paras = ParagraphDedup.paragraphs(docs, "doc_id", "text", 20)
+      .withColumn("__pt", expr(
+        "cast(size(filter(split(para, ' '), t -> t <> '')) as bigint)"))
+    val dropped = ParagraphDedup.decisions(docs, "doc_id", "text", 20)
+      .filter(!col("keep"))
+      .join(paras, Seq("doc_id", "par_idx"))
+      .groupBy("doc_id").agg(sum("__pt").as("__removed"))
+    row("exact", exact)
+      .unionByName(row("near_dup", ndRemoved))
+      .unionByName(row("paragraph", dropped))
+      .orderBy("screen")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -8229,7 +8290,8 @@ object TrainQueries {
     "q267_stream_media_screen" -> (qStreamMediaScreen _),
     "q268_winnow_pairs" -> (qWinnowPairs _),
     "q269_repetition_loop" -> (qRepetitionLoop _),
-    "q270_vocab_growth" -> (qVocabGrowth _))
+    "q270_vocab_growth" -> (qVocabGrowth _),
+    "q271_dedup_impact" -> (qDedupImpact _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -12718,6 +12780,68 @@ object TrainQueries {
                AS cum_grams
          FROM dd LEFT JOIN nd ON dd.decile = nd.decile
          ORDER BY dd.decile""",
+    // q271: three independent screen-impact legs — NFC-fp exact dedup,
+    // the q25 chain's larger-id drops, q101's dropped paragraphs —
+    // each replayed from its dedicated query's oracle idioms.
+    "q271_dedup_impact" ->
+      s"""$minhashCtes,
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bands a JOIN bands b
+             ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         jac AS (SELECT id_a, id_b,
+             CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+               / CAST(len(x.shingles) + len(y.shingles)
+                   - len(list_intersect(x.shingles, y.shingles))
+                 AS DOUBLE) AS jaccard
+           FROM cand JOIN s x ON cand.id_a = x.doc_id
+                     JOIN s y ON cand.id_b = y.doc_id),
+         tok AS (SELECT doc_id, text,
+             CAST(len(list_filter(string_split(text, ' '),
+               t -> t <> '')) AS BIGINT) AS n_toks
+           FROM documents),
+         tot AS (SELECT SUM(n_toks) AS total FROM tok),
+         fpt AS (SELECT doc_id, n_toks,
+             md5(regexp_replace(lower(trim(nfc_normalize(text))),
+               '\\s+', ' ', 'g')) AS fp
+           FROM tok),
+         ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(f.n_toks), 0) AS BIGINT) AS t
+           FROM fpt f JOIN (SELECT fp, MIN(doc_id) AS rep
+             FROM fpt GROUP BY 1) r ON f.fp = r.fp
+           WHERE f.doc_id <> r.rep),
+         ndd AS (SELECT DISTINCT id_b FROM jac WHERE jaccard >= 0.5),
+         nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(tok.n_toks), 0) AS BIGINT) AS t
+           FROM ndd JOIN tok ON ndd.id_b = tok.doc_id),
+         ptoks AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents),
+         pp AS (SELECT doc_id, i - 1 AS par_idx,
+             trim(array_to_string(t[((i-1)*20+1):((i-1)*20+20)], ' '))
+               AS para
+           FROM ptoks, unnest(range(1,
+             greatest(CAST(ceil(len(t) / 20.0) AS BIGINT), 1) + 1)) u(i)),
+         np AS (SELECT * FROM pp WHERE para <> ''),
+         k AS (SELECT doc_id, para,
+             (row_number() OVER (PARTITION BY md5(nfc_normalize(para))
+                ORDER BY doc_id, par_idx) = 1) AS keep
+           FROM np),
+         pd AS (SELECT doc_id,
+             SUM(CAST(len(list_filter(string_split(para, ' '),
+               t -> t <> '')) AS BIGINT)) AS t
+           FROM k WHERE NOT keep GROUP BY doc_id),
+         pg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(t), 0) AS BIGINT) AS t FROM pd)
+         SELECT 'exact' AS screen, ex.n AS n_docs_affected,
+             ex.t AS n_tokens_removed,
+             CAST(ex.t * 10000 // tot.total AS BIGINT) AS removed_bp
+         FROM ex, tot
+         UNION ALL
+         SELECT 'near_dup', nd.n, nd.t,
+             CAST(nd.t * 10000 // tot.total AS BIGINT) FROM nd, tot
+         UNION ALL
+         SELECT 'paragraph', pg.n, pg.t,
+             CAST(pg.t * 10000 // tot.total AS BIGINT) FROM pg, tot
+         ORDER BY screen""",
     // q267: closed-form gradient blockhash per media doc (the q265
     // fp replay), staging NTILE batches, broadcast blocklist join.
     "q267_stream_media_screen" ->
