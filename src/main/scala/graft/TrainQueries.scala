@@ -8027,6 +8027,58 @@ object TrainQueries {
       .orderBy("screen")
   }
 
+  /** Decontamination certificate (q272) — the per-eval-document
+    * verdict an eval set ships with: each of the three independent
+    * contamination screens' signal in ONE row, so "this benchmark is
+    * clean against this corpus" is a table, not a claim. Legs, each
+    * its dedicated query's machinery verbatim: `n_shared_grams` =
+    * the eval doc's distinct word-3-grams present anywhere in the
+    * corpus (q53/q220's gram idiom — catches verbatim spans),
+    * `n_shared_fps` = its winnowing fingerprints selected anywhere in
+    * the corpus (q222 — catches PARTIAL verbatim runs ≥ 37 chars
+    * inside paraphrase), `exact_canon_hit` = its NFC canonical
+    * fingerprint present verbatim (q242/q263 — catches reformatting
+    * and Unicode tricks). `contaminated` ORs the three at the
+    * documented thresholds (≥ 5 shared grams, ≥ 1 shared fingerprint,
+    * any exact hit). Eval side is benchmark-sized; every leg is a
+    * semi-join of hashes/grams against corpus-side distinct sets —
+    * the corpus is scanned, never pairwise-compared.
+    */
+  private def qDecontamCertificate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val evalDocs = docs.filter(col("doc_id") % 50 === 0)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    def grams(df: DataFrame) = df
+      .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+      .select(col("doc_id"),
+        explode(Contamination.wordGrams("__toks", 3)).as("g"))
+    val legA = grams(evalDocs)
+      .join(grams(corpus).select("g").distinct(), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+    val legB = Winnowing.selectedGrams(evalDocs, "doc_id", "text", 30, 8)
+      .join(Winnowing.selectedGrams(corpus, "doc_id", "text", 30, 8)
+        .select("gram").distinct(), Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_fps"))
+    val legC = evalDocs
+      .select(col("doc_id"), TextFns.fingerprint("text").as("fp"))
+      .join(corpus.select(TextFns.fingerprint("text").as("fp"))
+        .distinct().withColumn("__h", lit(true)), Seq("fp"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__h"), lit(false)).as("exact_canon_hit"))
+    evalDocs.select("doc_id")
+      .join(legA, Seq("doc_id"), "left")
+      .join(legB, Seq("doc_id"), "left")
+      .join(legC, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        coalesce(col("n_shared_fps"), lit(0L)).as("n_shared_fps"),
+        col("exact_canon_hit"))
+      .withColumn("contaminated",
+        col("n_shared_grams") >= 5L || col("n_shared_fps") >= 1L ||
+          col("exact_canon_hit"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -8291,7 +8343,8 @@ object TrainQueries {
     "q268_winnow_pairs" -> (qWinnowPairs _),
     "q269_repetition_loop" -> (qRepetitionLoop _),
     "q270_vocab_growth" -> (qVocabGrowth _),
-    "q271_dedup_impact" -> (qDedupImpact _))
+    "q271_dedup_impact" -> (qDedupImpact _),
+    "q272_decontam_certificate" -> (qDecontamCertificate _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -12842,6 +12895,46 @@ object TrainQueries {
          SELECT 'paragraph', pg.n, pg.t,
              CAST(pg.t * 10000 // tot.total AS BIGINT) FROM pg, tot
          ORDER BY screen""",
+    // q272: the three screens' idioms (q220 grams, q214/q222 winnowing
+    // selection via the shared CTEs, q242/q263 canonical fp) composed
+    // into one per-eval-doc certificate row.
+    "q272_decontam_certificate" ->
+      s"""$winnowSelCtes,
+         toks AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents),
+         gr AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' ')))) AS gram3
+           FROM toks),
+         cg AS (SELECT DISTINCT gram3 FROM gr WHERE doc_id % 50 <> 0),
+         la AS (SELECT e.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+           FROM gr e JOIN cg ON e.gram3 = cg.gram3
+           WHERE e.doc_id % 50 = 0 GROUP BY 1),
+         cf AS (SELECT DISTINCT gram FROM sel WHERE doc_id % 50 <> 0),
+         lb AS (SELECT e.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+           FROM sel e JOIN cf ON e.gram = cf.gram
+           WHERE e.doc_id % 50 = 0 GROUP BY 1),
+         cn AS (SELECT doc_id,
+             md5(regexp_replace(lower(trim(nfc_normalize(text))),
+               '\\s+', ' ', 'g')) AS fp
+           FROM documents),
+         ch AS (SELECT DISTINCT fp FROM cn WHERE doc_id % 50 <> 0),
+         lc AS (SELECT e.doc_id, (ch.fp IS NOT NULL) AS exact_canon_hit
+           FROM cn e LEFT JOIN ch ON e.fp = ch.fp
+           WHERE e.doc_id % 50 = 0)
+         SELECT lc.doc_id,
+             COALESCE(la.n_shared_grams, 0) AS n_shared_grams,
+             COALESCE(lb.n_shared_fps, 0) AS n_shared_fps,
+             lc.exact_canon_hit,
+             (COALESCE(la.n_shared_grams, 0) >= 5
+              OR COALESCE(lb.n_shared_fps, 0) >= 1
+              OR lc.exact_canon_hit) AS contaminated
+         FROM lc LEFT JOIN la ON lc.doc_id = la.doc_id
+                 LEFT JOIN lb ON lc.doc_id = lb.doc_id
+         ORDER BY lc.doc_id""",
     // q267: closed-form gradient blockhash per media doc (the q265
     // fp replay), staging NTILE batches, broadcast blocklist join.
     "q267_stream_media_screen" ->

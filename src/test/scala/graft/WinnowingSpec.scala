@@ -89,6 +89,26 @@ class WinnowingSpec extends AnyFunSuite {
     }
   }
 
+  test("WinnowSelect interpreted eval agrees with the codegen path") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.expressions.WinnowSelect
+    // eval() is the interpreted path; the DataFrame runs above go
+    // through codegen — assert both produce the same selections
+    for (t <- Seq("the quick brown fox jumps over the lazy dog",
+        "aaaaaaaaaa", "tiny", "字字x字 mixed 的 bytes here")) {
+      val e = WinnowSelect(Literal(UTF8String.fromString(t)), 5, 4)
+      val interpreted = e.eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSet
+      assert(interpreted === refSelect(t, 5, 4), s"text '$t'")
+    }
+    // null in, null out
+    assert(WinnowSelect(Literal(null,
+      org.apache.spark.sql.types.StringType), 5, 4).eval(null) === null)
+  }
+
   test("guarantee: a shared run of >= L + w - 1 chars yields a " +
       "common selected gram") {
     val shared = "zzCOMMONSHAREDRUNzz" // 19 chars >= 5 + 4 - 1 = 8
