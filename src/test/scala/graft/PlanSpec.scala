@@ -865,6 +865,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q271/q272: the capstone compositions never go cartesian and " +
+      "keep their aggregates partial") {
+    Seq("q271_dedup_impact", "q272_decontam_certificate").foreach { q =>
+      val p = sparkPlan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+      assert(p.contains("partial_count") || p.contains("partial_sum"), q)
+    }
+  }
+
   test("q259/q260/q261: the banded-chain audits never go cartesian") {
     Seq("q259_bbit_minhash", "q260_canon_policy", "q261_weighted_jaccard")
       .foreach { q =>
