@@ -8079,6 +8079,29 @@ object TrainQueries {
       .orderBy("doc_id")
   }
 
+  /** Semantic contamination screen (q273): the axis the lexical
+    * certificate (q272) cannot see — a translated or fully-paraphrased
+    * eval item shares no grams, no winnowing fingerprints, and no
+    * canonical fingerprint with its source, but its EMBEDDING sits
+    * next to it. Per eval vector (%50 split), the exact top-1 cosine
+    * against the corpus side (the q28 integer-quantized brute-force —
+    * the EXACT baseline, the q51 discipline: approximate indexes are
+    * judged against this; at corpus scale the probe side swaps to the
+    * IVF/stored-model path, q37/q129) with the flag at ≥ 0.3 (~p99.9
+    * of this corpus's pairwise cosine — the qCosineNearDup threshold
+    * note). Eval side is benchmark-sized and broadcasts; the corpus
+    * is scanned once.
+    */
+  private def qSemanticContam(s: SparkSession, dir: String): DataFrame = {
+    val base = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
+    Similarity.bruteForceTopK(
+        base.filter(col("vec_id") % 50 =!= 0),
+        base.filter(col("vec_id") % 50 === 0), "vec_id", 1)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+      .withColumn("flagged", col("sim") >= 0.3)
+      .orderBy("query_id")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -8344,7 +8367,8 @@ object TrainQueries {
     "q269_repetition_loop" -> (qRepetitionLoop _),
     "q270_vocab_growth" -> (qVocabGrowth _),
     "q271_dedup_impact" -> (qDedupImpact _),
-    "q272_decontam_certificate" -> (qDecontamCertificate _))
+    "q272_decontam_certificate" -> (qDecontamCertificate _),
+    "q273_semantic_contam" -> (qSemanticContam _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -12935,6 +12959,26 @@ object TrainQueries {
          FROM lc LEFT JOIN la ON lc.doc_id = la.doc_id
                  LEFT JOIN lb ON lc.doc_id = lb.doc_id
          ORDER BY lc.doc_id""",
+    // q273: exact top-1 integer-quantized cosine of each %50 eval
+    // vector against the corpus side (the q28 idiom), flag at 0.3.
+    "q273_semantic_contam" ->
+      s"""WITH $quantCte,
+         d AS (SELECT a.vec_id AS query_id, b.vec_id AS id_b,
+             SUM(a.x * b.x) AS dot
+           FROM q a JOIN q b ON a.i = b.i
+           WHERE a.vec_id % 50 = 0 AND b.vec_id % 50 <> 0
+           GROUP BY 1, 2),
+         sm AS (SELECT query_id, id_b,
+             CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
+               * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
+           FROM d JOIN nrm na ON d.query_id = na.vec_id
+                  JOIN nrm nb ON d.id_b = nb.vec_id),
+         rk AS (SELECT query_id, id_b, sim, row_number() OVER
+             (PARTITION BY query_id ORDER BY sim DESC, id_b ASC) AS rank
+           FROM sm)
+         SELECT query_id, id_b AS neighbor_id, sim,
+             (sim >= 0.3) AS flagged
+         FROM rk WHERE rank = 1 ORDER BY query_id""",
     // q267: closed-form gradient blockhash per media doc (the q265
     // fp replay), staging NTILE batches, broadcast blocklist join.
     "q267_stream_media_screen" ->
