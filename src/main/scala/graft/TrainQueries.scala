@@ -8102,6 +8102,37 @@ object TrainQueries {
       .orderBy("query_id")
   }
 
+  /** Canonical cluster resolution, quality-max policy APPLIED (q274):
+    * q260 AUDITS the policy pairwise; this applies it through the
+    * actual dedup clusters — per connected component (the q71/q216 CC
+    * over 3-gram-Jaccard pairs, the stored [[fullClusterLabels]]
+    * fixture), the member that SURVIVES under quality-max (exact bp,
+    * ties to min id — the policy is total) beside the min-id label,
+    * with the disagreement flag. This is the table the rewrite job
+    * reads: one row per cluster, the kept doc named. One broadcast-
+    * scale quality join onto the label table + one argmax aggregate
+    * (max over struct(q_bp, −id) — no window); labels are
+    * cluster-member-sized, never corpus-sized.
+    */
+  private def qCanonResolution(s: SparkSession, dir: String): DataFrame = {
+    val qual = t(s, dir, "documents")
+      .withColumn("__toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .withColumn("__q", TextFns.qualityScore("text", "__toks"))
+      .select(col("doc_id").as("node"),
+        expr("cast(floor(__q * 10000.0d + 0.5d) as bigint)").as("q_bp"))
+    fullClusterLabels(s, dir)
+      .join(qual, "node")
+      .groupBy("cluster_rep")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("q_bp"), (-col("node")).as("negid"))).as("__m"))
+      .select(col("cluster_rep"), col("n_members"),
+        (-col("__m.negid")).as("rep_quality_max"),
+        col("__m.q_bp").as("rep_q_bp"))
+      .withColumn("policy_differs",
+        col("rep_quality_max") =!= col("cluster_rep"))
+      .orderBy("cluster_rep")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -8368,7 +8399,8 @@ object TrainQueries {
     "q270_vocab_growth" -> (qVocabGrowth _),
     "q271_dedup_impact" -> (qDedupImpact _),
     "q272_decontam_certificate" -> (qDecontamCertificate _),
-    "q273_semantic_contam" -> (qSemanticContam _))
+    "q273_semantic_contam" -> (qSemanticContam _),
+    "q274_canon_resolution" -> (qCanonResolution _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -12979,6 +13011,34 @@ object TrainQueries {
          SELECT query_id, id_b AS neighbor_id, sim,
              (sim >= 0.3) AS flagged
          FROM rk WHERE rank = 1 ORDER BY query_id""",
+    // q274: the q216 recursive-CTE closure + the q260 quality-bp
+    // formula, argmax per component via row_number (q_bp desc, node).
+    "q274_canon_resolution" ->
+      s"""WITH RECURSIVE $dedupClusterCtes,
+         tk AS (SELECT doc_id, text,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+           FROM documents),
+         qq AS (SELECT doc_id, CAST(floor((
+               0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (1.0 - CAST(len(list_filter(toks,
+                     w -> w IN ('the','a','of','and','is')))
+                   AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+               + 0.2 * least(((CAST(length(text) AS DOUBLE)
+                     - (CAST(len(toks) AS DOUBLE) - 1.0))
+                   / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0)
+             ) * 10000.0 + 0.5) AS BIGINT) AS q_bp
+           FROM tk),
+         lq AS (SELECT lab.cluster_rep, lab.node, qq.q_bp,
+             row_number() OVER (PARTITION BY lab.cluster_rep
+               ORDER BY qq.q_bp DESC, lab.node ASC) AS rn
+           FROM lab JOIN qq ON lab.node = qq.doc_id),
+         nm AS (SELECT cluster_rep, CAST(COUNT(*) AS BIGINT)
+             AS n_members FROM lq GROUP BY 1)
+         SELECT lq.cluster_rep, nm.n_members,
+             lq.node AS rep_quality_max, lq.q_bp AS rep_q_bp,
+             (lq.node <> lq.cluster_rep) AS policy_differs
+         FROM lq JOIN nm ON lq.cluster_rep = nm.cluster_rep
+         WHERE lq.rn = 1 ORDER BY lq.cluster_rep""",
     // q267: closed-form gradient blockhash per media doc (the q265
     // fp replay), staging NTILE batches, broadcast blocklist join.
     "q267_stream_media_screen" ->
