@@ -100,6 +100,10 @@ object Bench {
     }
     val shortLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{${head.toString}},"omitted":$omitted,"full":"$outPath","sf":"$sfDir","trials":$trials,"failed":$failed}"""
+    // quiesce BEFORE the artifact line: the StateStore maintenance
+    // thread's shutdown WARN otherwise lands after the JSON and breaks
+    // the driver's tail parse (r12 finding #1)
+    Sessions.quiesceStreaming()
     println(shortLine)
     spark.stop()
   }

@@ -25,4 +25,21 @@ object Sessions {
       // TimestampType, not TIMESTAMP_NTZ — keeps unix_millis()/calendar
       // functions applicable and matches the DuckDB oracle's naive reads.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+  /** Quiesce streaming machinery BEFORE a harness prints its final
+    * artifact line and stops the session: the state-store maintenance
+    * thread outlives `spark.stop()` and logs a WARN ("SparkEnv not
+    * active") at JVM shutdown — AFTER Bench's JSON line, which made the
+    * driver's tail parse return `parsed: null` (r12 finding #1). Stop
+    * the maintenance task explicitly and pin that logger to ERROR as a
+    * belt (a provider unloaded mid-stop can still race one message).
+    */
+  def quiesceStreaming(): Unit = {
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => () }
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.state.StateStore",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
+  }
 }

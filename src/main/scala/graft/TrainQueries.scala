@@ -7661,14 +7661,17 @@ object TrainQueries {
     * contract (DCT quantization is encoder-private, IDCT rounding
     * decoder-private). So the row ships what IS portable: exact dims
     * (closed-form) and the per-channel tolerance claim
-    * |decoded − source| ≤ 16 everywhere (measured max 14, min 7
-    * across the full dim/level parameter space — chroma-subsampling-
-    * dominated, the real 4:2:0 cost) against the closed-form
-    * gradient raster (the q104 within-eps discipline for approximate
-    * ops; the measured error magnitude lives in `JpegSpec`, which
-    * also proves the decode is real — lossy, nonzero error — not an
-    * input echo). Scan-local encode+decode per task; payloads never
-    * shuffle.
+    * |decoded − source| ≤ 24 everywhere (measured max 14, min 7 on
+    * this JDK across the full dim/level parameter space — chroma-
+    * subsampling-dominated, the real 4:2:0 cost; the contract adds
+    * ~10 levels of headroom because IDCT rounding is JDK-vendor-
+    * private, so a different vendor could land a few levels higher —
+    * 24 stays far below the vacuous 255 bound) against the
+    * closed-form gradient raster (the q104 within-eps discipline for
+    * approximate ops; the measured error magnitude lives in
+    * `JpegSpec`, which also proves the decode is real — lossy,
+    * nonzero error — not an input echo). Scan-local encode+decode per
+    * task; payloads never shuffle.
     */
   private def qJpegDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -7683,7 +7686,7 @@ object TrainQueries {
             (16 + (id % 2) * 8).toInt),
           "jpg")
       }
-    Multimodal.decodeJpegFeatures(media, tol = 16).toDF()
+    Multimodal.decodeJpegFeatures(media, tol = 24).toDF()
       .orderBy("doc_id")
   }
 

@@ -48,15 +48,23 @@ object Snap {
   // Tracked one-shot checkpoints (the Bench/Verify lifecycle)
   // -------------------------------------------------------------------
 
-  private val trackedHandles =
-    new java.util.concurrent.ConcurrentLinkedQueue[RDD[_]]()
+  private val trackedHandles = new java.util.concurrent
+    .ConcurrentLinkedQueue[java.lang.ref.WeakReference[RDD[_]]]()
 
   /** `Dataset.localCheckpoint()` with the pinned INTERNAL RDD captured
-    * for deterministic release: the eager checkpoint registers exactly
-    * one new persistent RDD, diffed out of `getPersistentRDDs` around
-    * the call and queued for [[drainTracked]]. One-shot query bodies
-    * route their checkpoints here (via `TrainQueries.snap`) so a
-    * harness that invokes hundreds of queries per session — Bench runs
+    * for deterministic release: the checkpointed frame's logical plan
+    * IS a `LogicalRDD` over exactly the persisted handle, so it is
+    * pulled straight off the plan — never diffed out of the global
+    * `getPersistentRDDs` registry, which could capture an UNRELATED
+    * RDD persisted concurrently (e.g. a session fixture's raw
+    * `localCheckpoint()` on another thread) and later unpersist it,
+    * leaving that fixture unrecomputable. The queue holds the handle
+    * through a `WeakReference`: callers that never drain (specs invoke
+    * query bodies directly) pin nothing — once the query's frames are
+    * unreferenced the ContextCleaner reclaims the blocks exactly as it
+    * would for an untracked checkpoint. One-shot query bodies route
+    * their checkpoints here (via `TrainQueries.snap`) so a harness
+    * that invokes hundreds of queries per session — Bench runs
     * 263 × (warmup + 3 trials) — releases each invocation's blocks as
     * soon as its action completes, instead of waiting for the
     * ContextCleaner to notice the dropped reference after a driver GC
@@ -68,26 +76,29 @@ object Snap {
     * lineage is truncated).
     */
   def tracked(df: DataFrame): DataFrame = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val cp = df.localCheckpoint()
-    sc.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!before.contains(id)) trackedHandles.add(rdd)
+    cp.queryExecution.logical.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        trackedHandles.add(new java.lang.ref.WeakReference[RDD[_]](lr.rdd))
     }
     cp
   }
 
-  /** Unpersist every tracked checkpoint (non-blocking); returns how
-    * many were released. Callers invoke this once the consuming action
-    * is DONE — the checkpointed frames cannot be recomputed after.
+  /** Release every tracked checkpoint (non-blocking); returns how many
+    * entries were drained. An entry whose weak reference was already
+    * cleared counts too — a collected RDD's blocks are the
+    * ContextCleaner's to reclaim, so it is equally released. Callers
+    * invoke this once the consuming action is DONE — the checkpointed
+    * frames cannot be recomputed after.
     */
   def drainTracked(): Int = {
     var n = 0
-    var rdd = trackedHandles.poll()
-    while (rdd != null) {
-      rdd.unpersist(blocking = false)
+    var ref = trackedHandles.poll()
+    while (ref != null) {
+      val rdd = ref.get()
+      if (rdd != null) rdd.unpersist(blocking = false)
       n += 1
-      rdd = trackedHandles.poll()
+      ref = trackedHandles.poll()
     }
     n
   }

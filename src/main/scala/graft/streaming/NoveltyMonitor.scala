@@ -96,17 +96,29 @@ object NoveltyMonitor {
     * a corpus-sized batch with uniform hashes touches all 16 and
     * legitimately reads everything (an anti-join must consult every
     * partition its probe keys can land in — that bound is inherent,
-    * not a layout defect). PlanSpec asserts both the pruned scan and
-    * the unchanged no-Exchange-above-history shape.
+    * not a layout defect). Histories WITHOUT a ghp column (written
+    * before the partition axis existed, or by external callers) take
+    * the unpruned scan — same join, no schema requirement. PlanSpec
+    * asserts both the pruned scan and the unchanged
+    * no-Exchange-above-history shape.
     */
   def noveltyCounts(spark: SparkSession, grams: DataFrame,
       histTable: String): DataFrame = {
-    val prefixes = grams
-      .select(substring(col("gh"), 1, 1).as("ghp")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
-    val hist = spark.table(histTable)
-      .filter(col("ghp").isin(prefixes: _*))
-      .select("gh")
+    val histRaw = spark.table(histTable)
+    // Legacy histories (written before the ghp partition axis, or by
+    // external callers of the public run()/noveltyCounts surface) have
+    // no ghp column — fall back to the unpruned scan rather than fail
+    // at plan time; the anti-join is identical either way, pruning is
+    // purely a scan optimization. The probe-side prefix collect only
+    // runs when pruning applies (one metadata-sized job saved).
+    val hist =
+      if (!histRaw.columns.contains("ghp")) histRaw.select("gh")
+      else {
+        val prefixes = grams
+          .select(substring(col("gh"), 1, 1).as("ghp")).distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+        histRaw.filter(col("ghp").isin(prefixes: _*)).select("gh")
+      }
     val novel = grams
       .join(hist.hint("merge"), Seq("gh"), "left_anti")
       .groupBy("source").agg(count(lit(1)).as("n_novel"))

@@ -10,8 +10,9 @@ import graft.functions.TextFns
   * run LIVE: where the batch audit asks "did deleted content re-enter
   * the corpus" after the fact, this blocks it AT INGESTION — every
   * arriving micro-batch's canonical-form fingerprints
-  * ([[TextFns.fingerprint]]: whitespace-normalized, lower-cased md5,
-  * so trivial re-formatting does not evade the tombstone) probe the
+  * ([[TextFns.fingerprint]]: NFC-normalized, whitespace-normalized,
+  * lower-cased md5 — so neither trivial re-formatting nor a
+  * decomposed-Unicode re-encode evades the tombstone) probe the
   * deletion-request store and the per-batch blocked counts append as
   * version `batchId`. The tombstone store is KB-to-MB-sized (deletion
   * requests, not the corpus), so the probe is one BROADCAST left join

@@ -30,6 +30,12 @@ class JpegSpec extends AnyFunSuite {
       assert((dw, dh) === ((w, h)), s"doc $id: dims must survive")
       Multimodal.gradientMaxAbsErr(id, dw, dh, raster)
     }
+    // This JDK measures max 14 / min 7. q264's CONTRACT uses tol = 24:
+    // measured max + ~10 levels of headroom, because JPEG quantization
+    // and IDCT rounding are implementation-private — a different JDK
+    // vendor/version may land a few levels above 14, and the oracle
+    // hardcodes within_tol = TRUE. 24 is still far below the vacuous
+    // 255 bound, so the claim stays meaningful.
     assert(errs.max <= 16,
       s"tolerance claim violated: max per-channel error ${errs.max}")
     assert(errs.min >= 1,

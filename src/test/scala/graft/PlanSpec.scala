@@ -788,6 +788,27 @@ class PlanSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("novelty probe legacy fallback: a history table WITHOUT a ghp " +
+      "column (pre-partition-axis, or externally written) takes the " +
+      "unpruned scan instead of failing at plan time") {
+    import org.apache.spark.sql.functions._
+    val tbl = "graft_planspec_novhist_legacy"
+    val hist = spark.range(100)
+      .select(md5(concat(lit("h"), col("id"))).as("gh"))
+    hist.write.mode("overwrite").format("parquet").saveAsTable(tbl)
+    // probe: 50 grams known to the history + 10 novel ones
+    val grams = hist.limit(50).select(lit("s").as("source"), col("gh"))
+      .unionByName(spark.range(10)
+        .select(lit("s").as("source"),
+          md5(concat(lit("novel"), col("id"))).as("gh")))
+    val out = graft.streaming.NoveltyMonitor
+      .noveltyCounts(spark, grams, tbl).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_grams") === 60L)
+    assert(out.head.getAs[Long]("n_novel") === 10L)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("q222: the metadata-sized eval fingerprint set broadcasts " +
       "onto the corpus gram stream") {
     val p = sparkPlan("q222_winnow_contamination")
