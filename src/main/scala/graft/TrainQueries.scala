@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.expressions.LongDot
 import graft.functions.{QuantizedCentroid, TextFns, TopK}
 import graft.ops.{Bfs, Blooms, Bpe, Cardinality, CharLm, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, Drift, Dsir, FreqSketch, FuzzyJoin, GapFill, JoinEstimate, KCenter, KCore, KMeans, Mixing, ModelStore, Multimodal, NearDup, Nested, Packing, PageRank, ParagraphDedup, Paths, Percentiles, PhraseExcise, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, Sharding, SetSimJoin, Similarity, Skyline, Snm, SpanDedup, TableDiff, Triangles, Winnowing}
-import graft.streaming.{BudgetAdmission, EventStream, IncrementalClusters, NearDupIndex, RateMonitor, StatefulSessions, VersionedStore}
+import graft.streaming.{BudgetAdmission, EventStream, IncrementalClusters, NearDupIndex, RateMonitor, SemanticDedupScreen, StatefulSessions, VersionedStore}
 
 /** Training-data-pipeline operators (SURVEY §7.2.8) as driver-contract
   * queries: text analysis, exact + near dedup (MinHash/LSH, SimHash,
@@ -8136,6 +8136,139 @@ object TrainQueries {
       .orderBy("cluster_rep")
   }
 
+  private val semDedupCache = scala.collection.mutable.Map
+    .empty[(String, String), (String, String)]
+
+  /** Stored semantic-dedup artifacts for the STREAMING screen (q276):
+    * the cell centroids (via [[ModelStore]]) and the history side's
+    * cell ASSIGNMENTS (parquet), trained/written once per (session,
+    * corpus) from the q103 history split (vec_id % 3 ≠ 0, the exact
+    * q103 training set — zero-norm rows included in training, excluded
+    * from the stored probe side, mirroring q103's calls). This is the
+    * "in production the centroids and history assignments are the
+    * stored artifact" shape q103's scaladoc names, made real: the
+    * stream's per-batch work LOADS both and re-trains nothing.
+    */
+  private def semDedupPaths(s: SparkSession, dir: String): (String, String) =
+    sessionFixture(semDedupCache, s, dir) {
+      val hist = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
+        .filter(col("vec_id") % 3 =!= 0)
+      val cs = KMeans.fitCentroids(hist, "vec_id", 8, 2)
+      val tag = (s.sparkContext.applicationId + "_" + dir)
+        .replaceAll("[^a-zA-Z0-9]", "_")
+      val tmp = System.getProperty("java.io.tmpdir")
+      val cPath = graft.Scratch.register(s"$tmp/graft_semdedup_coarse_$tag")
+      val hPath = graft.Scratch.register(s"$tmp/graft_semdedup_hist_$tag")
+      ModelStore.saveCentroids(s, cPath, cs)
+      KMeans.assignTo(hist, "vec_id", cs)
+        .filter(col("qn") > 0)
+        .select(col("vec_id").as("hist_id"), col("cluster"), col("qv"),
+          col("qn"))
+        .write.mode("overwrite").parquet(hPath)
+      (cPath, hPath)
+    }
+
+  /** Streaming semantic-dedup screen (q276,
+    * [[graft.streaming.SemanticDedupScreen]]): q103's incremental
+    * semantic dedup as the LIVE ingestion gate — arriving embedding
+    * micro-batches (vec_id ≡ 0 mod 3, staged in 3 chunks) assigned to
+    * the STORED cell model scan-locally, probed against the STORED
+    * in-cell history assignments with the codegen'd integer dot,
+    * verdicts appended under the versioned-store replay rule.
+    * Batches are disjoint and probe only the static history, so the
+    * streamed fold is row-identical to q103 — the oracle is SHARED
+    * verbatim (the q57/q70 stream≡batch discipline), and
+    * `SemanticDedupScreenSpec` drives the stop → arrivals → restart
+    * resume plus replay idempotence.
+    */
+  private def qStreamSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val (cPath, hPath) = semDedupPaths(s, dir)
+    SemanticDedupScreen.run(s, s"$dir/embeddings.parquet",
+      ModelStore.loadCentroids(s, cPath), s.read.parquet(hPath),
+      batchFilter = col("vec_id") % 3 === 0)
+  }
+
+  /** Semantic contamination at corpus scale (q275): q273's screen
+    * re-expressed over the STORED IVF coarse model (q129's artifact —
+    * [[annModelPaths]] trains k=8/iters=2 once per session and
+    * persists; scoring LOADS the centroids and folds them in as plan
+    * literals), with the approximation MEASURED against q273's exact
+    * flag set — the q51/q59/q113 discipline: no approximate path
+    * ships without its recall number. Corpus vectors assign to their
+    * one cell SCAN-LOCALLY ([[KMeans.assignTo]] — centroids are plan
+    * literals, no join); each eval vector probes its `nprobe` = 2
+    * nearest cells (exact integer L2 against the 8 broadcast cell
+    * rows); the fine search is the exact integer cosine top-1 within
+    * probed cells only. Probe cost per eval item: nprobe/k of the
+    * corpus (~n/4 here) instead of n — at 100 TB the inverted lists
+    * are the only thing read. One summary row: eval/flag counts for
+    * both paths, `flag_recall` (of the exact screen's flagged items,
+    * the share the probed screen also flags — the number that says
+    * whether the cheap screen is safe to deploy) and `top1_recall`.
+    * The probed top-1 sim is ≤ the exact top-1 sim by construction
+    * (subset max), so the probed flag set can only under-flag — recall
+    * is the one-sided risk, and both gates recompute it from scratch
+    * (the oracle retrains the coarse model in SQL, so stored-model
+    * scoring ≡ inline-trained scoring stays proven, the q129 chain).
+    */
+  private def qSemanticContamIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nprobe = 2
+    val prep = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
+      .filter(col("qn") > 0).transform(snap)
+    val coarse = ModelStore.loadCentroids(s, annModelPaths(s, dir)._1)
+    val corpus = KMeans
+      .assignTo(prep.filter(col("vec_id") % 50 =!= 0), "vec_id", coarse)
+      .select(col("vec_id").as("neighbor_id"), col("cluster").as("cell"),
+        col("qv").as("__qvb"), col("qn").as("__qnb"))
+    val evalQ = prep.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("__qva"),
+        col("qn").as("__qna"))
+    // the 8 cell rows (64 longs each) — metadata-sized, broadcast
+    val cells = coarse.zipWithIndex.toSeq
+      .map { case (c, j) => (j.toLong, c.toSeq, c.map(x => x * x).sum) }
+      .toDF("cell", "__c", "__cn")
+    val wCoarse = Window.partitionBy("query_id")
+      .orderBy(col("__d").asc, col("cell").asc)
+    val probed = evalQ.crossJoin(broadcast(cells))
+      .withColumn("__d", col("__qna")
+        - lit(2L) * Similarity.dot(col("__c"), col("__qva")) + col("__cn"))
+      .withColumn("__rn", row_number().over(wCoarse))
+      .filter(col("__rn") <= nprobe)
+      .select("query_id", "__qva", "__qna", "cell")
+    val wFine = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val ivfTop1 = probed.join(corpus, Seq("cell"))
+      .withColumn("sim", Similarity.cosine(col("__qva"), col("__qvb"),
+        col("__qna"), col("__qnb")))
+      .withColumn("__rn", row_number().over(wFine))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("neighbor_id").as("ivf_neighbor"),
+        col("sim").as("ivf_sim"))
+    val exact = Similarity.bruteForceTopK(
+        prep.filter(col("vec_id") % 50 =!= 0),
+        prep.filter(col("vec_id") % 50 === 0), "vec_id", 1)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    exact.join(ivfTop1, Seq("query_id"), "left")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("sim") >= 0.3, 1L).otherwise(0L))
+          .as("n_flagged_exact"),
+        sum(when(col("ivf_sim") >= 0.3, 1L).otherwise(0L))
+          .as("n_flagged_ivf"),
+        sum(when(col("sim") >= 0.3 && col("ivf_sim") >= 0.3, 1L)
+          .otherwise(0L)).as("n_flag_hits"),
+        sum(when(col("neighbor_id") === col("ivf_neighbor"), 1L)
+          .otherwise(0L)).as("n_top1_hits"))
+      .select(lit("ivf_semantic").as("method"),
+        lit(nprobe.toLong).as("nprobe"), col("n_eval"),
+        col("n_flagged_exact"), col("n_flagged_ivf"), col("n_flag_hits"),
+        when(col("n_flagged_exact") === 0L, lit(1.0))
+          .otherwise(col("n_flag_hits").cast("double")
+            / col("n_flagged_exact").cast("double")).as("flag_recall"),
+        (col("n_top1_hits").cast("double") / col("n_eval").cast("double"))
+          .as("top1_recall"))
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -8403,7 +8536,9 @@ object TrainQueries {
     "q271_dedup_impact" -> (qDedupImpact _),
     "q272_decontam_certificate" -> (qDecontamCertificate _),
     "q273_semantic_contam" -> (qSemanticContam _),
-    "q274_canon_resolution" -> (qCanonResolution _))
+    "q274_canon_resolution" -> (qCanonResolution _),
+    "q275_semantic_contam_ivf" -> (qSemanticContamIvf _),
+    "q276_stream_semantic_dedup" -> (qStreamSemanticDedup _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -9669,6 +9804,10 @@ object TrainQueries {
              CAST(COUNT(DISTINCT event_type) AS BIGINT), TRUE FROM events
          ORDER BY column_name""",
     "q103_cross_semantic_dedup" -> crossSemanticDedupOracle(8, 2),
+    // q276 SHARES q103's oracle verbatim: disjoint micro-batches, each
+    // probing only the static stored history, fold to exactly the
+    // batch incremental answer (the q57/q70 stream≡batch discipline).
+    "q276_stream_semantic_dedup" -> crossSemanticDedupOracle(8, 2),
     "q104_approx_percentile" ->
       """SELECT l_returnflag,
              quantile_cont(l_quantity, 0.5) AS exact_p50,
@@ -13042,6 +13181,106 @@ object TrainQueries {
              (lq.node <> lq.cluster_rep) AS policy_differs
          FROM lq JOIN nm ON lq.cluster_rep = nm.cluster_rep
          WHERE lq.rn = 1 ORDER BY lq.cluster_rep""",
+    // q275: the stored-IVF semantic screen's recall vs the exact flag
+    // set — the oracle RETRAINS the k=8/iters=2 coarse model in SQL
+    // (the q115/q129 cl_* chain: lowest-id seeding, (d, j) tie-break,
+    // truncating-division updates over ALL nonzero vectors), probes
+    // each %50 eval vector's 2 nearest cells, runs the in-cell exact
+    // cosine top-1, and compares against the q273 exact top-1 flags.
+    "q275_semantic_contam_ivf" ->
+      s"""WITH $quantCte,
+         qf AS (SELECT q.vec_id, q.i, q.x FROM q JOIN nrm USING (vec_id)),
+         ids_cl AS (SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j
+           FROM nrm ORDER BY vec_id LIMIT 8),
+         cl_c0 AS (SELECT ids_cl.j, t.i, t.x FROM qf t
+           JOIN ids_cl USING (vec_id)),
+         cl_d1 AS (SELECT t.vec_id, c.j,
+             SUM((t.x - c.x) * (t.x - c.x)) AS d
+           FROM qf t JOIN cl_c0 c ON t.i = c.i GROUP BY 1, 2),
+         cl_a1 AS (SELECT vec_id, j AS cluster FROM (
+             SELECT vec_id, j, row_number() OVER
+               (PARTITION BY vec_id ORDER BY d, j) AS rn FROM cl_d1)
+           WHERE rn = 1),
+         cl_s1 AS (SELECT a.cluster, t.i, SUM(t.x) AS sx, COUNT(*) AS n
+           FROM qf t JOIN cl_a1 a USING (vec_id) GROUP BY 1, 2),
+         cl_c1 AS (SELECT c.j, c.i,
+             CAST(COALESCE(s.sx // s.n, c.x) AS BIGINT) AS x
+           FROM cl_c0 c LEFT JOIN cl_s1 s ON c.j = s.cluster AND c.i = s.i),
+         cl_d2 AS (SELECT t.vec_id, c.j,
+             SUM((t.x - c.x) * (t.x - c.x)) AS d
+           FROM qf t JOIN cl_c1 c ON t.i = c.i GROUP BY 1, 2),
+         cl_a2 AS (SELECT vec_id, j AS cluster FROM (
+             SELECT vec_id, j, row_number() OVER
+               (PARTITION BY vec_id ORDER BY d, j) AS rn FROM cl_d2)
+           WHERE rn = 1),
+         cl_s2 AS (SELECT a.cluster, t.i, SUM(t.x) AS sx, COUNT(*) AS n
+           FROM qf t JOIN cl_a2 a USING (vec_id) GROUP BY 1, 2),
+         cl_c2 AS (SELECT c.j, c.i,
+             CAST(COALESCE(s.sx // s.n, c.x) AS BIGINT) AS x
+           FROM cl_c1 c LEFT JOIN cl_s2 s ON c.j = s.cluster AND c.i = s.i),
+         cl_dfin AS (SELECT t.vec_id, c.j,
+             SUM((t.x - c.x) * (t.x - c.x)) AS d
+           FROM qf t JOIN cl_c2 c ON t.i = c.i GROUP BY 1, 2),
+         cl_afin AS (SELECT vec_id, j AS cluster FROM (
+             SELECT vec_id, j, row_number() OVER
+               (PARTITION BY vec_id ORDER BY d, j) AS rn FROM cl_dfin)
+           WHERE rn = 1),
+         probed AS (SELECT vec_id AS query_id, j AS cell FROM (
+             SELECT vec_id, j, row_number() OVER
+               (PARTITION BY vec_id ORDER BY d, j) AS rn FROM cl_dfin
+             WHERE vec_id % 50 = 0)
+           WHERE rn <= 2),
+         fined AS (SELECT p.query_id, ca.vec_id AS id_b,
+             SUM(a.x * b.x) AS dot
+           FROM probed p
+           JOIN cl_afin ca ON ca.cluster = p.cell AND ca.vec_id % 50 <> 0
+           JOIN q a ON a.vec_id = p.query_id
+           JOIN q b ON b.vec_id = ca.vec_id AND b.i = a.i
+           GROUP BY 1, 2),
+         fs AS (SELECT query_id, id_b, CAST(dot AS DOUBLE) /
+             (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)))
+               AS sim
+           FROM fined JOIN nrm na ON fined.query_id = na.vec_id
+                      JOIN nrm nb ON fined.id_b = nb.vec_id),
+         ivf1 AS (SELECT query_id, id_b, sim FROM (
+             SELECT query_id, id_b, sim, row_number() OVER
+               (PARTITION BY query_id ORDER BY sim DESC, id_b ASC) AS rn
+             FROM fs)
+           WHERE rn = 1),
+         exd AS (SELECT a.vec_id AS query_id, b.vec_id AS id_b,
+             SUM(a.x * b.x) AS dot
+           FROM q a JOIN q b ON a.i = b.i
+           WHERE a.vec_id % 50 = 0 AND b.vec_id % 50 <> 0
+           GROUP BY 1, 2),
+         exs AS (SELECT query_id, id_b, CAST(dot AS DOUBLE) /
+             (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)))
+               AS sim
+           FROM exd JOIN nrm na ON exd.query_id = na.vec_id
+                    JOIN nrm nb ON exd.id_b = nb.vec_id),
+         ex1 AS (SELECT query_id, id_b, sim FROM (
+             SELECT query_id, id_b, sim, row_number() OVER
+               (PARTITION BY query_id ORDER BY sim DESC, id_b ASC) AS rn
+             FROM exs)
+           WHERE rn = 1),
+         agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+             CAST(SUM(CASE WHEN e.sim >= 0.3 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_flagged_exact,
+             CAST(SUM(CASE WHEN v.sim >= 0.3 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_flagged_ivf,
+             CAST(SUM(CASE WHEN e.sim >= 0.3 AND v.sim >= 0.3
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_hits,
+             CAST(SUM(CASE WHEN e.id_b = v.id_b THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_top1_hits
+           FROM ex1 e LEFT JOIN ivf1 v USING (query_id))
+         SELECT 'ivf_semantic' AS method, CAST(2 AS BIGINT) AS nprobe,
+             n_eval, n_flagged_exact, n_flagged_ivf, n_flag_hits,
+             CASE WHEN n_flagged_exact = 0 THEN 1.0
+               ELSE CAST(n_flag_hits AS DOUBLE)
+                 / CAST(n_flagged_exact AS DOUBLE) END AS flag_recall,
+             CAST(n_top1_hits AS DOUBLE) / CAST(n_eval AS DOUBLE)
+               AS top1_recall
+         FROM agg""",
     // q267: closed-form gradient blockhash per media doc (the q265
     // fp replay), staging NTILE batches, broadcast blocklist join.
     "q267_stream_media_screen" ->

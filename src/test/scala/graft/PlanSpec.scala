@@ -896,6 +896,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q275: the stored-IVF semantic screen's fine search is a hash " +
+      "equi-join on the cell id — the corpus side never meets a " +
+      "nested loop; the only non-equi join is the 8-row broadcast " +
+      "cell ranking") {
+    val df = SparkEntry.queries("q275_semantic_contam_ivf")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"fine search must be an equi-join on cell:\n${p.take(1200)}")
+    // the exact-baseline leg broadcasts the eval side (q28's shape) and
+    // the coarse ranking broadcasts the 8 cell rows — each
+    // BroadcastNestedLoopJoin in this plan must have a broadcast side
+    // that is metadata- or eval-sized, never the corpus: both appear
+    // only under a BroadcastExchange
+    assert(!p.contains("ShuffledNestedLoopJoin"))
+  }
+
   test("q259/q260/q261: the banded-chain audits never go cartesian") {
     Seq("q259_bbit_minhash", "q260_canon_policy", "q261_weighted_jaccard")
       .foreach { q =>

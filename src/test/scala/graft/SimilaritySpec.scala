@@ -137,4 +137,23 @@ class SimilaritySpec extends AnyFunSuite {
     // all-127 exactly, so reconstruction is exact up to the step grid
     assert(rows(2L)._2 === 1.0)
   }
+
+  test("q275 one-sided risk: the stored-IVF semantic screen can only " +
+      "UNDER-flag — its top-1 sim is a subset max of the exact top-1, " +
+      "so every IVF flag is also an exact flag") {
+    val r = SparkEntry.queries("q275_semantic_contam_ivf")(
+      spark, "/root/testdata/sf0.001").collect().head
+    val nEval = r.getAs[Long]("n_eval")
+    val nExact = r.getAs[Long]("n_flagged_exact")
+    val nIvf = r.getAs[Long]("n_flagged_ivf")
+    val nHits = r.getAs[Long]("n_flag_hits")
+    assert(nEval > 0)
+    // subset-max: an IVF-flagged item is necessarily exact-flagged
+    assert(nHits === nIvf,
+      s"IVF flagged $nIvf but only $nHits coincide with exact flags — " +
+        "the probed screen must never flag what exact search does not")
+    assert(nIvf <= nExact)
+    val recall = r.getAs[Double]("flag_recall")
+    assert(recall >= 0.0 && recall <= 1.0)
+  }
 }
