@@ -8269,6 +8269,94 @@ object TrainQueries {
           .as("top1_recall"))
   }
 
+  /** Image–caption PAIR curation (q277): the LAION-class multimodal
+    * step — (media, caption) is the curation UNIT, and the interesting
+    * dup is "same image, different caption": per media doc (%3 split,
+    * the q264/q265 corpus), a twin unit carries the SAME raster
+    * re-encoded through a DIFFERENT codec (PNG vs JPEG — every
+    * container byte differs) and a deterministically REWORDED caption.
+    * The pair dedups on the RASTER axis — blockhash of DECODED pixels
+    * (q252/q265: the container is encoder-private, the raster is the
+    * image), candidates from the q267 band-equality probe (4×15-bit
+    * bands; hamming ≤ 8 verify) — while the CAPTION axis disagrees
+    * (NFC-canonical fingerprints differ, q263), so a keep decision is
+    * forced: the q274 quality-max policy at pair granularity (exact
+    * quality bp over the caption, ties to min id). One row per planted
+    * pair: the replayable PNG-leg fingerprint (q252 discipline), the
+    * band+hamming raster verdict (TRUE is the measured q265 claim —
+    * the JPEG leg has no cross-engine bit contract), the canonical
+    * caption disagreement, and the kept/dropped resolution — exactly
+    * the table a pair-rewrite job reads. Payloads never shuffle: both
+    * codecs and the blockhash are scan-local mapPartitions; only
+    * (id, fp) rows reach the band join (PlanSpec asserts no Exchange
+    * carries a payload column).
+    */
+  private def qPairCuration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val docs = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").cast("long"), col("text"))
+    def dims(id: Long) =
+      ((16 + ((id / 3) % 3) * 8).toInt, (16 + (id % 2) * 8).toInt)
+    val ids = docs.select("doc_id").as[Long]
+    val media = ids.map { id =>
+      val (w, h) = dims(id)
+      Multimodal.MediaRecord(id, Multimodal.encodeGradientPng(id, w, h),
+        "png")
+    }.unionByName(ids.map { id =>
+      val (w, h) = dims(id)
+      // twin unit id; the raster seed stays the BASE id — same image
+      Multimodal.MediaRecord(id + 1000000L,
+        Multimodal.encodeJpeg(id, w, h), "jpg")
+    })
+    val fps = Multimodal.blockHash(Multimodal.toRaster(media)).toDF()
+      .select(col("doc_id").as("unit_id"), col("fp"))
+    // q267's band probe: 15-bit slice value * 4 + band index
+    val bandsOf = "transform(sequence(0, 3), " +
+      "b -> (shiftright(%s, b * 15) & 32767) * 4 + b)"
+    val baseF = fps.filter(col("unit_id") < 1000000L)
+      .select(col("unit_id").as("base_id"), col("fp").as("fp_base"),
+        explode(expr(bandsOf.format("fp"))).as("bk"))
+    val twinF = fps.filter(col("unit_id") >= 1000000L)
+      .select((col("unit_id") - 1000000L).as("base_id"),
+        col("fp").as("__fpb"), explode(expr(bandsOf.format("fp"))).as("bk"))
+    val rasterHits = baseF.join(twinF, Seq("base_id", "bk"))
+      .filter(expr("bit_count(fp_base ^ __fpb) <= 8"))
+      .select("base_id", "fp_base").dropDuplicates("base_id")
+      .withColumn("__hit", lit(true))
+    // reworded twin captions, both policy directions planted: even
+    // media get an APPENDED variant (quality rises — twin kept), odd
+    // media a TRUNCATED one (quality falls — base kept)
+    val caps = docs
+      .select(col("doc_id").as("base_id"), col("text").as("cap_a"),
+        when(expr("(doc_id div 3) % 2 = 0"),
+            concat(col("text"), lit(" alternate caption variant")))
+          .otherwise(expr(
+            "substring(text, 1, greatest(length(text) div 2, 1))"))
+          .as("cap_b"))
+      .withColumn("__ta", expr("filter(split(cap_a, ' '), t -> t <> '')"))
+      .withColumn("__tb", expr("filter(split(cap_b, ' '), t -> t <> '')"))
+      .withColumn("__qa", TextFns.qualityScore("cap_a", "__ta"))
+      .withColumn("__qb", TextFns.qualityScore("cap_b", "__tb"))
+      .select(col("base_id"),
+        TextFns.fingerprint("cap_a").as("__cfa"),
+        TextFns.fingerprint("cap_b").as("__cfb"),
+        expr("cast(floor(__qa * 10000.0d + 0.5d) as bigint)").as("q_a"),
+        expr("cast(floor(__qb * 10000.0d + 0.5d) as bigint)").as("q_b"))
+    caps.join(rasterHits, Seq("base_id"), "left")
+      .select(col("base_id"), (col("base_id") + 1000000L).as("twin_id"),
+        col("fp_base"), coalesce(col("__hit"), lit(false))
+          .as("raster_match"),
+        (col("__cfa") =!= col("__cfb")).as("caption_differs"),
+        when(col("q_b") > col("q_a"), col("base_id") + 1000000L)
+          .otherwise(col("base_id")).as("kept_id"),
+        when(col("q_b") > col("q_a"), col("q_b")).otherwise(col("q_a"))
+          .as("kept_q_bp"),
+        when(col("q_b") > col("q_a"), col("base_id"))
+          .otherwise(col("base_id") + 1000000L).as("dropped_id"))
+      .orderBy("base_id")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -8538,7 +8626,8 @@ object TrainQueries {
     "q273_semantic_contam" -> (qSemanticContam _),
     "q274_canon_resolution" -> (qCanonResolution _),
     "q275_semantic_contam_ivf" -> (qSemanticContamIvf _),
-    "q276_stream_semantic_dedup" -> (qStreamSemanticDedup _))
+    "q276_stream_semantic_dedup" -> (qStreamSemanticDedup _),
+    "q277_pair_curation" -> (qPairCuration _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -13281,6 +13370,75 @@ object TrainQueries {
              CAST(n_top1_hits AS DOUBLE) / CAST(n_eval AS DOUBLE)
                AS top1_recall
          FROM agg""",
+    // q277: the PNG-leg blockhash replays bit-exactly from the
+    // closed-form gradient (q252/q265/q267's px CTE); the JPEG-leg
+    // raster proximity is the TRUE claim (spec-measured, no
+    // cross-engine bit contract for a lossy codec); caption canonical
+    // fps (q263's form) and the q274 quality formula replay exactly.
+    "q277_pair_curation" ->
+      """WITH m AS (SELECT doc_id,
+             CAST(16 + ((doc_id // 3) % 3) * 8 AS BIGINT) AS w,
+             CAST(16 + (doc_id % 2) * 8 AS BIGINT) AS h,
+             text
+           FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT doc_id, w, h, (i * 60) // (w * h * 3) AS blk,
+             CASE i % 3 WHEN 0 THEN (((i // 3) % w) * 255) // (w - 1)
+                        WHEN 1 THEN (((i // 3) // w) * 255) // (h - 1)
+                        ELSE (doc_id * 37) % 256 END AS v
+           FROM m, unnest(range(0, w * h * 3)) u(i)),
+         cs AS (SELECT doc_id, blk, CAST(SUM(v) AS BIGINT) AS s
+           FROM px GROUP BY 1, 2),
+         tt AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS total
+           FROM px GROUP BY 1),
+         fp AS (SELECT cs.doc_id,
+             CAST(SUM(CASE WHEN cs.s * 60 > tt.total
+               THEN 1::BIGINT << cs.blk ELSE 0 END) AS BIGINT) AS fp
+           FROM cs JOIN tt ON cs.doc_id = tt.doc_id GROUP BY cs.doc_id),
+         cap AS (SELECT doc_id, text AS cap_a,
+             CASE WHEN (doc_id // 3) % 2 = 0
+               THEN text || ' alternate caption variant'
+               ELSE substr(text, 1, greatest(length(text) // 2, 1))
+             END AS cap_b FROM m),
+         cq AS (SELECT doc_id,
+             md5(regexp_replace(lower(trim(nfc_normalize(cap_a))),
+               '\s+', ' ', 'g')) AS cfa,
+             md5(regexp_replace(lower(trim(nfc_normalize(cap_b))),
+               '\s+', ' ', 'g')) AS cfb,
+             list_filter(string_split(cap_a, ' '), t -> t <> '') AS ta,
+             list_filter(string_split(cap_b, ' '), t -> t <> '') AS tb,
+             cap_a, cap_b
+           FROM cap),
+         qq AS (SELECT doc_id, cfa, cfb,
+             CAST(floor((
+               0.5 * least(CAST(len(ta) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (1.0 - CAST(len(list_filter(ta,
+                     w -> w IN ('the','a','of','and','is')))
+                   AS DOUBLE) / CAST(len(ta) AS DOUBLE))
+               + 0.2 * least(((CAST(length(cap_a) AS DOUBLE)
+                     - (CAST(len(ta) AS DOUBLE) - 1.0))
+                   / CAST(len(ta) AS DOUBLE)) / 8.0, 1.0)
+             ) * 10000.0 + 0.5) AS BIGINT) AS q_a,
+             CAST(floor((
+               0.5 * least(CAST(len(tb) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (1.0 - CAST(len(list_filter(tb,
+                     w -> w IN ('the','a','of','and','is')))
+                   AS DOUBLE) / CAST(len(tb) AS DOUBLE))
+               + 0.2 * least(((CAST(length(cap_b) AS DOUBLE)
+                     - (CAST(len(tb) AS DOUBLE) - 1.0))
+                   / CAST(len(tb) AS DOUBLE)) / 8.0, 1.0)
+             ) * 10000.0 + 0.5) AS BIGINT) AS q_b
+           FROM cq)
+         SELECT q.doc_id AS base_id, q.doc_id + 1000000 AS twin_id,
+             f.fp AS fp_base, TRUE AS raster_match,
+             (q.cfa <> q.cfb) AS caption_differs,
+             CASE WHEN q.q_b > q.q_a THEN q.doc_id + 1000000
+               ELSE q.doc_id END AS kept_id,
+             CASE WHEN q.q_b > q.q_a THEN q.q_b ELSE q.q_a END
+               AS kept_q_bp,
+             CASE WHEN q.q_b > q.q_a THEN q.doc_id
+               ELSE q.doc_id + 1000000 END AS dropped_id
+         FROM qq q JOIN fp f ON q.doc_id = f.doc_id
+         ORDER BY base_id""",
     // q267: closed-form gradient blockhash per media doc (the q265
     // fp replay), staging NTILE batches, broadcast blocklist join.
     "q267_stream_media_screen" ->

@@ -913,6 +913,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ShuffledNestedLoopJoin"))
   }
 
+  test("q277: media payloads never shuffle — no Exchange input carries " +
+      "a payload column; only (id, fp) rows reach the band join") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    val df = SparkEntry.queries("q277_pair_curation")(spark, dir)
+    df.count() // executedPlan: exchanges are final only after an action
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case r: ReusedExchangeExec => flatten(r.child)
+      case _ => p.children.flatMap(flatten)
+    })
+    val exchanges = flatten(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeLike => e }
+    assert(exchanges.nonEmpty, "expected the band-join hash exchanges")
+    exchanges.foreach { e =>
+      val cols = e.child.output.map(_.name.toLowerCase)
+      assert(!cols.exists(_.contains("payload")),
+        s"an Exchange would shuffle media payloads: $cols")
+    }
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q259/q260/q261: the banded-chain audits never go cartesian") {
     Seq("q259_bbit_minhash", "q260_canon_policy", "q261_weighted_jaccard")
       .foreach { q =>
