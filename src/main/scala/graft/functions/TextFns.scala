@@ -62,24 +62,35 @@ object TextFns {
   def profileHits(tokensCol: String, words: Seq[String]): Column =
     expr(s"size(filter($tokensCol, t -> t in ${inList(words)}))")
 
-  /** The per-language score vector, in [[stopwordProfiles]] order. */
-  private def scoresExpr(tokensCol: String): String =
-    stopwordProfiles
+  /** The per-language score vector over caller-supplied profiles, in
+    * the given profile order.
+    */
+  private def scoresExprFrom(profiles: Seq[(String, Seq[String])],
+      tokensCol: String): String =
+    profiles
       .map { case (_, words) =>
         s"size(filter($tokensCol, t -> t in ${inList(words)}))"
       }
       .mkString("array(", ", ", ")")
 
+  /** The per-language score vector, in [[stopwordProfiles]] order. */
+  private def scoresExpr(tokensCol: String): String =
+    scoresExprFrom(stopwordProfiles, tokensCol)
+
   /** Argmax over a precomputed score array: first max in profile order
     * (deterministic tiebreak), 'und' when nothing scores.
     */
-  private def pickExpr(scoresCol: String): String = {
-    val langs = stopwordProfiles.map(p => sqlLit(p._1)).mkString(", ")
+  private def pickExprFrom(profiles: Seq[(String, Seq[String])],
+      scoresCol: String): String = {
+    val langs = profiles.map(p => sqlLit(p._1)).mkString(", ")
     s"""case when array_max($scoresCol) <= 0 then 'und'
        |else element_at(array($langs), cast(
        |  array_position($scoresCol, array_max($scoresCol)) as int))
        |end""".stripMargin
   }
+
+  private def pickExpr(scoresCol: String): String =
+    pickExprFrom(stopwordProfiles, scoresCol)
 
   /** Heuristic language-ID: argmax of per-language stopword-profile hits,
     * ties broken by profile order (deterministic). At 100 TB this stays
@@ -100,9 +111,28 @@ object TextFns {
     */
   def withLanguageId(df: org.apache.spark.sql.DataFrame, tokensCol: String,
       out: String): org.apache.spark.sql.DataFrame =
-    df.withColumn("__lang_scores", expr(scoresExpr(tokensCol)))
-      .withColumn(out, expr(pickExpr("__lang_scores")))
+    withLanguageIdFrom(df, stopwordProfiles, tokensCol, out)
+
+  /** [[withLanguageId]] over CALLER-SUPPLIED profiles — the
+    * stored-model scoring path (q278): profiles are TRAINED from the
+    * corpus (the q250 high-df discovery), persisted via
+    * `ModelStore.saveTokenProfiles`, loaded (metadata-sized), and
+    * folded in here as plan literals — scan-local scoring, the
+    * train-once / score-many discipline. The hardcoded
+    * [[stopwordProfiles]] remain only as the bootstrap for corpora
+    * with no trained model yet. Argmax ties break by profile order
+    * (pass languages sorted for determinism); a document hitting no
+    * profile — an UNSEEN language — falls back to 'und'
+    * (spec-asserted in `StoredLangIdSpec`).
+    */
+  def withLanguageIdFrom(df: org.apache.spark.sql.DataFrame,
+      profiles: Seq[(String, Seq[String])], tokensCol: String,
+      out: String): org.apache.spark.sql.DataFrame = {
+    require(profiles.nonEmpty, "empty language profiles")
+    df.withColumn("__lang_scores", expr(scoresExprFrom(profiles, tokensCol)))
+      .withColumn(out, expr(pickExprFrom(profiles, "__lang_scores")))
       .drop("__lang_scores")
+  }
 
   /** Length/stopword/word-shape quality score in [0,1] — the standard
     * pre-training heuristic filter family, as one deterministic double

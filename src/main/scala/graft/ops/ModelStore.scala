@@ -124,6 +124,40 @@ object ModelStore {
       .write.mode("overwrite").parquet(path)
   }
 
+  private val profileSchema = StructType(Seq(
+    StructField("lang", org.apache.spark.sql.types.StringType,
+      nullable = false),
+    StructField("token", org.apache.spark.sql.types.StringType,
+      nullable = false)))
+
+  /** Write per-language token profiles (the q250 corpus-driven
+    * discovery output, one row per (lang, token)) as a parquet model
+    * table — the lang-ID artifact a registry versions (q278). */
+  def saveTokenProfiles(spark: SparkSession, path: String,
+      profiles: Seq[(String, String)]): Unit = {
+    require(profiles.nonEmpty, "empty token profiles")
+    val rows = profiles.map { case (l, t) => Row(l, t) }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), profileSchema)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load token profiles back into the (lang → tokens) literal form
+    * the scoring path folds into its plan, languages and tokens both
+    * sorted for a deterministic argmax order. Metadata-sized collect
+    * (a stopword list per language — high-df tokens are few by Zipf).
+    */
+  def loadTokenProfiles(spark: SparkSession,
+      path: String): Seq[(String, Seq[String])] = {
+    val rows = spark.read.parquet(path)
+      .select(col("lang"), col("token"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    require(rows.nonEmpty, s"no token profiles at $path")
+    rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (l, ts) => (l, ts.map(_._2).toSeq.sorted) }
+  }
+
   /** Load a merge chain back, ordered by rank (metadata-sized: one
     * row per merge). Ranks must be the contiguous 1..k the trainer
     * emits — application order is the chain's whole meaning.
