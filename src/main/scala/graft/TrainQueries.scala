@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.expressions.LongDot
 import graft.functions.{QuantizedCentroid, TextFns, TopK}
-import graft.ops.{Bfs, Blooms, Bpe, Cardinality, CharLm, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, Drift, Dsir, FreqSketch, FuzzyJoin, GapFill, JoinEstimate, KCenter, KCore, KMeans, Mixing, ModelStore, Multimodal, NearDup, Nested, Packing, PageRank, ParagraphDedup, Paths, Percentiles, PhraseExcise, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, Sharding, SetSimJoin, Similarity, Skyline, Snm, SpanDedup, TableDiff, Triangles, Winnowing}
+import graft.ops.{Bfs, Blooms, Bpe, Cardinality, CharLm, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, Drift, Dsir, FreqSketch, FuzzyJoin, GapFill, JoinEstimate, KCenter, KCore, KMeans, Mixing, ModelStore, Multimodal, NearDup, Nested, Packing, PageRank, ParagraphDedup, Paths, Percentiles, PhraseExcise, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, Sharding, SetSimJoin, Similarity, Skyline, Snm, SpanDedup, TableDiff, TCloseness, Triangles, Winnowing}
 import graft.streaming.{BudgetAdmission, EventStream, IncrementalClusters, NearDupIndex, RateMonitor, SemanticDedupScreen, StatefulSessions, VersionedStore}
 
 /** Training-data-pipeline operators (SURVEY §7.2.8) as driver-contract
@@ -8522,6 +8522,56 @@ object TrainQueries {
       .orderBy("doc_id")
   }
 
+  /** t-closeness audit with the generalization walk (q279,
+    * [[graft.ops.TCloseness]]): completes the release-governance trio
+    * — k-anonymity (q227) bounds group SIZE, l-diversity (q240)
+    * bounds sensitive VARIETY, and neither catches a group that is
+    * large and diverse but SKEWED (90 % of one group in the top
+    * account band vs 30 % corpus-wide shifts an attacker's belief by
+    * membership alone — the homogeneity-blind class; at sf0.01, 28 of
+    * the 125 L0 groups pass l = 3 yet fail t = 0.1, reported in the
+    * `n_ldiv_ok_t_fail` column). Distance is the exact-integer
+    * ordered-band EMD (prefix |Δ| sums in pure int64 — no floats, no
+    * engine divergence) between each QI group's sensitive-band
+    * distribution and the corpus-wide one, over the q240 bands
+    * (debt < mid < high). The q227 Samarati walk applies: per rung
+    * L0 (nation, segment) → L1 (region, segment) → L2 (region), the
+    * group count, t-failures at t = 0.1 (1000 bp), the l-diverse-but-
+    * t-far count, and the worst distance — coarsening pulls every
+    * group toward the corpus distribution, and the walk shows where
+    * the release becomes t-safe. One broadcast dim join + one
+    * partial-agg rollup per rung; only (QI, band-count) rows shuffle.
+    */
+  private def qTCloseness(s: SparkSession, dir: String): DataFrame = {
+    val tBp = 1000L
+    val joined = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+    val band = expr("""case
+      | when cast(c_acctbal as decimal(18,2)) < 0 then 0
+      | when cast(c_acctbal as decimal(18,2)) < 5000 then 1
+      | else 2 end""".stripMargin)
+    def level(lvl: Long, qi: String,
+        keys: Seq[(String, Column)]): DataFrame =
+      TCloseness.audit(joined, keys, band, 3, tBp)
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(!col("t_ok"), 1L).otherwise(0L)).as("n_t_fail"),
+          sum(when(col("l_distinct") >= 3 && !col("t_ok"), 1L)
+            .otherwise(0L)).as("n_ldiv_ok_t_fail"),
+          max("emd_bp").as("max_emd_bp"))
+        .select(lit(lvl).as("level"), lit(qi).as("qi"), col("n_groups"),
+          col("n_t_fail"), col("n_ldiv_ok_t_fail"), col("max_emd_bp"))
+    level(0L, "nation,segment",
+        Seq("nationkey" -> col("c_nationkey"),
+          "segment" -> col("c_mktsegment")))
+      .unionByName(level(1L, "region,segment",
+        Seq("regionkey" -> col("n_regionkey"),
+          "segment" -> col("c_mktsegment"))))
+      .unionByName(level(2L, "region",
+        Seq("regionkey" -> col("n_regionkey"))))
+      .orderBy("level")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -8793,7 +8843,8 @@ object TrainQueries {
     "q275_semantic_contam_ivf" -> (qSemanticContamIvf _),
     "q276_stream_semantic_dedup" -> (qStreamSemanticDedup _),
     "q277_pair_curation" -> (qPairCuration _),
-    "q278_stored_lang_id" -> (qStoredLangId _))
+    "q278_stored_lang_id" -> (qStoredLangId _),
+    "q279_t_closeness" -> (qTCloseness _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -13536,6 +13587,85 @@ object TrainQueries {
              CAST(n_top1_hits AS DOUBLE) / CAST(n_eval AS DOUBLE)
                AS top1_recall
          FROM agg""",
+    // q279: exact-integer ordered-band EMD per QI group vs the corpus
+    // (prefix |Δ| cross-multiplied sums — pure int64, `//` mirrors
+    // Spark's div), three generalization rungs, t = 1000 bp.
+    "q279_t_closeness" ->
+      """WITH b AS (SELECT c_nationkey, c_mktsegment, n_regionkey,
+             CASE WHEN CAST(c_acctbal AS DECIMAL(18,2)) < 0 THEN 0
+                  WHEN CAST(c_acctbal AS DECIMAL(18,2)) < 5000 THEN 1
+                  ELSE 2 END AS band
+           FROM customer JOIN nation ON c_nationkey = n_nationkey),
+         corpus AS (SELECT
+             SUM(CASE WHEN band = 0 THEN 1 ELSE 0 END) AS c0,
+             SUM(CASE WHEN band = 1 THEN 1 ELSE 0 END) AS c1,
+             COUNT(*) AS c FROM b),
+         g0 AS (SELECT c_nationkey, c_mktsegment,
+             SUM(CASE WHEN band = 0 THEN 1 ELSE 0 END) AS g0,
+             SUM(CASE WHEN band = 1 THEN 1 ELSE 0 END) AS g1,
+             SUM(CASE WHEN band = 2 THEN 1 ELSE 0 END) AS g2,
+             COUNT(*) AS gg
+           FROM b GROUP BY 1, 2),
+         g1 AS (SELECT n_regionkey, c_mktsegment,
+             SUM(CASE WHEN band = 0 THEN 1 ELSE 0 END) AS g0,
+             SUM(CASE WHEN band = 1 THEN 1 ELSE 0 END) AS g1,
+             SUM(CASE WHEN band = 2 THEN 1 ELSE 0 END) AS g2,
+             COUNT(*) AS gg
+           FROM b GROUP BY 1, 2),
+         g2 AS (SELECT n_regionkey,
+             SUM(CASE WHEN band = 0 THEN 1 ELSE 0 END) AS g0,
+             SUM(CASE WHEN band = 1 THEN 1 ELSE 0 END) AS g1,
+             SUM(CASE WHEN band = 2 THEN 1 ELSE 0 END) AS g2,
+             COUNT(*) AS gg
+           FROM b GROUP BY 1),
+         e0 AS (SELECT gg,
+             (CASE WHEN g0 > 0 THEN 1 ELSE 0 END
+              + CASE WHEN g1 > 0 THEN 1 ELSE 0 END
+              + CASE WHEN g2 > 0 THEN 1 ELSE 0 END) AS l_distinct,
+             (abs(g0 * c - c0 * gg) + abs((g0 + g1) * c - (c0 + c1) * gg))
+               * 10000 // (2 * gg * c) AS emd_bp
+           FROM g0, corpus),
+         e1 AS (SELECT gg,
+             (CASE WHEN g0 > 0 THEN 1 ELSE 0 END
+              + CASE WHEN g1 > 0 THEN 1 ELSE 0 END
+              + CASE WHEN g2 > 0 THEN 1 ELSE 0 END) AS l_distinct,
+             (abs(g0 * c - c0 * gg) + abs((g0 + g1) * c - (c0 + c1) * gg))
+               * 10000 // (2 * gg * c) AS emd_bp
+           FROM g1, corpus),
+         e2 AS (SELECT gg,
+             (CASE WHEN g0 > 0 THEN 1 ELSE 0 END
+              + CASE WHEN g1 > 0 THEN 1 ELSE 0 END
+              + CASE WHEN g2 > 0 THEN 1 ELSE 0 END) AS l_distinct,
+             (abs(g0 * c - c0 * gg) + abs((g0 + g1) * c - (c0 + c1) * gg))
+               * 10000 // (2 * gg * c) AS emd_bp
+           FROM g2, corpus)
+         SELECT CAST(0 AS BIGINT) AS level, 'nation,segment' AS qi,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(CASE WHEN emd_bp > 1000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_t_fail,
+             CAST(SUM(CASE WHEN l_distinct >= 3 AND emd_bp > 1000
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_ldiv_ok_t_fail,
+             CAST(MAX(emd_bp) AS BIGINT) AS max_emd_bp
+         FROM e0
+         UNION ALL
+         SELECT CAST(1 AS BIGINT), 'region,segment',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN emd_bp > 1000 THEN 1 ELSE 0 END)
+               AS BIGINT),
+             CAST(SUM(CASE WHEN l_distinct >= 3 AND emd_bp > 1000
+               THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(MAX(emd_bp) AS BIGINT)
+         FROM e1
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), 'region',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN emd_bp > 1000 THEN 1 ELSE 0 END)
+               AS BIGINT),
+             CAST(SUM(CASE WHEN l_distinct >= 3 AND emd_bp > 1000
+               THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(MAX(emd_bp) AS BIGINT)
+         FROM e2
+         ORDER BY level""",
     // q278: the oracle re-plants the marker corpus (marker lists from
     // the same stopwordProfiles constant — one source of truth),
     // re-derives the per-language profiles from the training split
