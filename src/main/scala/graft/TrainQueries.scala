@@ -8264,6 +8264,13 @@ object TrainQueries {
     * is the one-sided risk, and both gates recompute it from scratch
     * (the oracle retrains the coarse model in SQL, so stored-model
     * scoring ≡ inline-trained scoring stays proven, the q129 chain).
+    * The stored model is the session's corpus-wide artifact
+    * ([[annModelPaths]] — deliberately SHARED with q113/q115/q129, the
+    * one-registry discipline); eval vectors being in the coarse
+    * TRAINING set moves centroids slightly but leaks nothing a screen
+    * could exploit — cells carry no labels, and both the corpus
+    * assignment and the probe read only geometry. The oracle trains
+    * on the identical set, so the comparison is apples-to-apples.
     */
   private def qSemanticContamIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -8363,8 +8370,12 @@ object TrainQueries {
       Multimodal.MediaRecord(id + 1000000L,
         Multimodal.encodeJpeg(id, w, h), "jpg")
     })
+    // both band-join branches consume the fingerprints — pin them so
+    // the real codecs (PNG encode+decode, JPEG encode+decode) run once
+    // per unit, not once per branch
     val fps = Multimodal.blockHash(Multimodal.toRaster(media)).toDF()
       .select(col("doc_id").as("unit_id"), col("fp"))
+      .transform(snap)
     // q267's band probe: 15-bit slice value * 4 + band index
     val bandsOf = "transform(sequence(0, 3), " +
       "b -> (shiftright(%s, b * 15) & 32767) * 4 + b)"

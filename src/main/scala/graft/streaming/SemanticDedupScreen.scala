@@ -75,29 +75,42 @@ object SemanticDedupScreen {
     query.awaitTermination()
   }
 
-  /** One batch's verdicts: scan-local cell assignment, in-cell exact
-    * cosine against the stored history, committed as version `batchId`.
+  /** One batch's verdict plan: scan-local cell assignment of the batch
+    * (centroids as plan literals), then the in-cell exact cosine
+    * against the stored history. The BATCH side broadcasts: a
+    * micro-batch is small by nature and the history is corpus-sized —
+    * broadcasting the batch means the stored history NEVER re-shuffles
+    * per batch (each history partition probes the broadcast batch in
+    * place), the same no-history-exchange discipline as the bucketed
+    * novelty store. Public so the spec can assert exactly that plan
+    * shape on the plan that runs.
     */
+  def batchVerdicts(batch: DataFrame, centroids: Array[Array[Long]],
+      histAssigned: DataFrame, threshold: Double): DataFrame = {
+    val b = KMeans
+      .assignTo(Similarity.prepare(batch, "embedding"), "vec_id",
+        centroids)
+      .filter(col("qn") > 0)
+      .select(col("vec_id").as("new_id"), col("cluster"),
+        col("qv").as("__qva"), col("qn").as("__qna"))
+    val h = histAssigned
+      .select(col("hist_id"), col("cluster"), col("qv").as("__qvb"),
+        col("qn").as("__qnb"))
+    broadcast(b).join(h, Seq("cluster"))
+      .withColumn("sim", Similarity.cosine(col("__qva"), col("__qvb"),
+        col("__qna"), col("__qnb")))
+      .filter(col("sim") >= threshold)
+      .select(col("new_id"), col("hist_id"), col("cluster"), col("sim"))
+  }
+
+  /** One batch folded: verdicts committed as version `batchId`. */
   private def foldBatch(stateRoot: String, centroids: Array[Array[Long]],
       histAssigned: DataFrame, threshold: Double, batch: DataFrame,
       batchId: Long): Unit = {
-    if (!batch.isEmpty) {
-      val b = KMeans
-        .assignTo(Similarity.prepare(batch, "embedding"), "vec_id",
-          centroids)
-        .filter(col("qn") > 0)
-        .select(col("vec_id").as("new_id"), col("cluster"),
-          col("qv").as("__qva"), col("qn").as("__qna"))
-      val h = histAssigned
-        .select(col("hist_id"), col("cluster"), col("qv").as("__qvb"),
-          col("qn").as("__qnb"))
-      val verdicts = b.join(h, Seq("cluster"))
-        .withColumn("sim", Similarity.cosine(col("__qva"), col("__qvb"),
-          col("__qna"), col("__qnb")))
-        .filter(col("sim") >= threshold)
-        .select(col("new_id"), col("hist_id"), col("cluster"), col("sim"))
-      VersionedStore.write(verdicts, s"$stateRoot/verdicts", batchId)
-    }
+    if (!batch.isEmpty)
+      VersionedStore.write(
+        batchVerdicts(batch, centroids, histAssigned, threshold),
+        s"$stateRoot/verdicts", batchId)
   }
 
   private def emptyVerdicts(spark: SparkSession): DataFrame =

@@ -84,6 +84,44 @@ class SemanticDedupScreenSpec extends AnyFunSuite {
       .allBelow(spark, s"$state/verdicts", Long.MaxValue).size === 2)
   }
 
+  test("per-batch plan shape: the batch side broadcasts — the stored " +
+      "history never re-shuffles (no Exchange above the history scan)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val cs = Array(Array(10000L, 0L), Array(0L, 10000L))
+    val hist = graft.ops.KMeans.assignTo(
+        graft.ops.Similarity.prepare(
+          Seq((1L, Array(1.0f, 0.05f)), (2L, Array(0.05f, 1.0f)))
+            .toDF("vec_id", "embedding"), "embedding"), "vec_id", cs)
+      .filter(col("qn") > 0)
+      .select(col("vec_id").as("hist_id"), col("cluster"), col("qv"),
+        col("qn"))
+    val batch = Seq((10L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val plan = SemanticDedupScreen
+      .batchVerdicts(batch, cs, hist, threshold = 0.3)
+    plan.count()
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case r: ReusedExchangeExec => flatten(r.child)
+      case _ => p.children.flatMap(flatten)
+    })
+    val nodes = flatten(plan.queryExecution.executedPlan)
+    val bhj = nodes.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "the in-cell probe must be a broadcast join")
+    // the history (streamed) side of the broadcast join carries no
+    // shuffle: the corpus-sized store is read in place every batch
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    assert(bhj.forall { j =>
+      val streamed = if (j.buildSide == BuildLeft) j.right else j.left
+      flatten(streamed)
+        .collect { case e: ShuffleExchangeLike => e }.isEmpty
+    }, "the stored history must never re-shuffle per batch")
+  }
+
   test("streamed fold ≡ batch incremental: q276 replays q103's rows " +
       "exactly at sf0.001") {
     val dir = "/root/testdata/sf0.001"

@@ -41,6 +41,10 @@ class SnapSpec extends AnyFunSuite {
       "registry does not grow across two invocations of one query") {
     val sc = spark.sparkContext
     val dir = "/root/testdata/sf0.001"
+    // the tracked queue is session-global: other suites invoke query
+    // bodies without draining (legal — weak refs pin nothing), so
+    // clear their leftovers before counting this test's own
+    Snap.drainTracked()
     // a q25-chain query: two tracked one-shot checkpoints per
     // invocation (shingles, signatures)
     val fn = SparkEntry.queries("q259_bbit_minhash")
