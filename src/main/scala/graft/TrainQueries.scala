@@ -8583,6 +8583,74 @@ object TrainQueries {
       .orderBy("level")
   }
 
+  /** Corpus-wide raster dedup clusters with the quality-max keep
+    * (q280): the PRODUCTION form of q277's per-pair decision — q277
+    * proves the re-encode/reword mechanics on aligned planted twins;
+    * this clusters the WHOLE media corpus on the raster axis and
+    * applies the keep policy through the clusters (q274's shape at
+    * media granularity). The scale discipline is exact-before-near:
+    * identical decoded-raster fingerprints collapse FIRST (one
+    * 8-byte-key distinct — the step that removes the bulk: 16,667
+    * docs → 22 distinct fps at sf1), and the band+hamming near-dup
+    * machinery (q267's probe) then runs over the DISTINCT fingerprints
+    * only — a metadata-sized set, so the band self-join and the CC
+    * that follows cost nothing at any corpus size (contrast the naive
+    * doc-level band self-join, whose identical-fp cliques alone would
+    * be ~n²/22 pairs). Components label the fp graph
+    * ([[DedupClusters.connectedComponents]], min-fp representative;
+    * singleton fps keep themselves), docs map to their fp's cluster,
+    * and per cluster the quality-max caption survives (exact bp, ties
+    * to min doc_id — the q274 total policy). One row per cluster:
+    * rep, doc/fp counts, kept doc. Fingerprints come from the REAL
+    * PNG decode (lossless — the oracle replays them closed-form, the
+    * q252 discipline); payloads never shuffle.
+    */
+  private def qRasterClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val docs = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").cast("long"), col("text"))
+    def dims(id: Long) =
+      ((16 + ((id / 3) % 3) * 8).toInt, (16 + (id % 2) * 8).toInt)
+    val media = docs.select("doc_id").as[Long].map { id =>
+      val (w, h) = dims(id)
+      Multimodal.MediaRecord(id, Multimodal.encodeGradientPng(id, w, h),
+        "png")
+    }
+    // fan-out: the doc→fp map feeds both the distinct-fp graph and the
+    // final cluster mapping — decode once
+    val fps = Multimodal.blockHash(Multimodal.toRaster(media)).toDF()
+      .select(col("doc_id"), col("fp")).transform(snap)
+    val dfps = fps.select("fp").distinct()
+    val bandsOf = "transform(sequence(0, 3), " +
+      "b -> (shiftright(%s, b * 15) & 32767) * 4 + b)"
+    val a = dfps.select(col("fp").as("fa"),
+      explode(expr(bandsOf.format("fp"))).as("bk"))
+    val b = dfps.select(col("fp").as("fb"),
+      explode(expr(bandsOf.format("fp"))).as("bk"))
+    val edges = a.join(b, Seq("bk"))
+      .filter(col("fa") < col("fb"))
+      .filter(expr("bit_count(fa ^ fb) <= 8"))
+      .select("fa", "fb").distinct()
+    val labels = DedupClusters.connectedComponents(edges, "fa", "fb")
+      .withColumnRenamed("node", "fp")
+    val qual = docs
+      .withColumn("__toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .withColumn("__q", TextFns.qualityScore("text", "__toks"))
+      .select(col("doc_id"),
+        expr("cast(floor(__q * 10000.0d + 0.5d) as bigint)").as("q_bp"))
+    fps.join(qual, "doc_id")
+      .join(labels, Seq("fp"), "left")
+      .withColumn("cluster_rep", coalesce(col("cluster_rep"), col("fp")))
+      .groupBy("cluster_rep")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("fp").as("n_fps"),
+        max(struct(col("q_bp"), (-col("doc_id")).as("negid"))).as("__m"))
+      .select(col("cluster_rep"), col("n_docs"), col("n_fps"),
+        (-col("__m.negid")).as("kept_doc"), col("__m.q_bp").as("kept_q_bp"))
+      .orderBy("cluster_rep")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -8855,7 +8923,8 @@ object TrainQueries {
     "q276_stream_semantic_dedup" -> (qStreamSemanticDedup _),
     "q277_pair_curation" -> (qPairCuration _),
     "q278_stored_lang_id" -> (qStoredLangId _),
-    "q279_t_closeness" -> (qTCloseness _))
+    "q279_t_closeness" -> (qTCloseness _),
+    "q280_raster_clusters" -> (qRasterClusters _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -13598,6 +13667,71 @@ object TrainQueries {
              CAST(n_top1_hits AS DOUBLE) / CAST(n_eval AS DOUBLE)
                AS top1_recall
          FROM agg""",
+    // q280: the PNG fps replay closed-form (q277's px chain), the
+    // distinct-fp band graph + recursive-CTE closure is metadata-sized
+    // by construction (22 fps at sf1), and the keep policy is the
+    // q274 argmax.
+    "q280_raster_clusters" ->
+      """WITH RECURSIVE m AS (SELECT doc_id,
+             CAST(16 + ((doc_id // 3) % 3) * 8 AS BIGINT) AS w,
+             CAST(16 + (doc_id % 2) * 8 AS BIGINT) AS h,
+             text
+           FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT doc_id, w, h, (i * 60) // (w * h * 3) AS blk,
+             CASE i % 3 WHEN 0 THEN (((i // 3) % w) * 255) // (w - 1)
+                        WHEN 1 THEN (((i // 3) // w) * 255) // (h - 1)
+                        ELSE (doc_id * 37) % 256 END AS v
+           FROM m, unnest(range(0, w * h * 3)) u(i)),
+         cs AS (SELECT doc_id, blk, CAST(SUM(v) AS BIGINT) AS s
+           FROM px GROUP BY 1, 2),
+         tt AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS total
+           FROM px GROUP BY 1),
+         fpt AS (SELECT cs.doc_id,
+             CAST(SUM(CASE WHEN cs.s * 60 > tt.total
+               THEN 1::BIGINT << cs.blk ELSE 0 END) AS BIGINT) AS fp
+           FROM cs JOIN tt ON cs.doc_id = tt.doc_id GROUP BY cs.doc_id),
+         dfp AS (SELECT DISTINCT fp FROM fpt),
+         bnd AS (SELECT fp, ((fp >> (b.b * 15)) & 32767) * 4 + b.b AS bk
+           FROM dfp, unnest(range(0, 4)) b(b)),
+         e AS (SELECT DISTINCT a.fp AS fa, c.fp AS fb
+           FROM bnd a JOIN bnd c ON a.bk = c.bk AND a.fp < c.fp
+           WHERE bit_count(xor(a.fp, c.fp)) <= 8),
+         sym AS (SELECT fa AS src, fb AS dst FROM e
+                 UNION SELECT fb, fa FROM e),
+         r AS (SELECT src AS node, dst AS peer FROM sym
+               UNION
+               SELECT r.node, s.dst FROM r JOIN sym s ON r.peer = s.src),
+         lab AS (SELECT node, LEAST(node, MIN(peer)) AS cluster_rep
+           FROM r GROUP BY node),
+         tk AS (SELECT doc_id, text,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+           FROM m),
+         qq AS (SELECT doc_id, CAST(floor((
+               0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (1.0 - CAST(len(list_filter(toks,
+                     w -> w IN ('the','a','of','and','is')))
+                   AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+               + 0.2 * least(((CAST(length(text) AS DOUBLE)
+                     - (CAST(len(toks) AS DOUBLE) - 1.0))
+                   / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0)
+             ) * 10000.0 + 0.5) AS BIGINT) AS q_bp
+           FROM tk),
+         dl AS (SELECT f.doc_id, f.fp,
+             COALESCE(l.cluster_rep, f.fp) AS cluster_rep, q.q_bp
+           FROM fpt f LEFT JOIN lab l ON f.fp = l.node
+           JOIN qq q ON f.doc_id = q.doc_id),
+         win AS (SELECT cluster_rep, doc_id, q_bp, row_number() OVER
+             (PARTITION BY cluster_rep ORDER BY q_bp DESC, doc_id ASC)
+             AS rn
+           FROM dl),
+         agg AS (SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fps
+           FROM dl GROUP BY 1)
+         SELECT a.cluster_rep, a.n_docs, a.n_fps,
+             w.doc_id AS kept_doc, w.q_bp AS kept_q_bp
+         FROM agg a JOIN win w
+           ON a.cluster_rep = w.cluster_rep AND w.rn = 1
+         ORDER BY a.cluster_rep""",
     // q279: exact-integer ordered-band EMD per QI group vs the corpus
     // (prefix |Δ| cross-multiplied sums — pure int64, `//` mirrors
     // Spark's div), three generalization rungs, t = 1000 bp.

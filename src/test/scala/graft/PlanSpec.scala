@@ -913,29 +913,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ShuffledNestedLoopJoin"))
   }
 
-  test("q277: media payloads never shuffle — no Exchange input carries " +
-      "a payload column; only (id, fp) rows reach the band join") {
+  test("q277/q280: media payloads never shuffle — no Exchange input " +
+      "carries a payload column; only (id, fp) rows reach the joins") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
-    val df = SparkEntry.queries("q277_pair_curation")(spark, dir)
-    df.count() // executedPlan: exchanges are final only after an action
     def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
       case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
       case q: QueryStageExec => flatten(q.plan)
       case r: ReusedExchangeExec => flatten(r.child)
       case _ => p.children.flatMap(flatten)
     })
-    val exchanges = flatten(df.queryExecution.executedPlan)
-      .collect { case e: ShuffleExchangeLike => e }
-    assert(exchanges.nonEmpty, "expected the band-join hash exchanges")
-    exchanges.foreach { e =>
-      val cols = e.child.output.map(_.name.toLowerCase)
-      assert(!cols.exists(_.contains("payload")),
-        s"an Exchange would shuffle media payloads: $cols")
+    Seq("q277_pair_curation", "q280_raster_clusters").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.count() // executedPlan: exchanges are final only after an action
+      val exchanges = flatten(df.queryExecution.executedPlan)
+        .collect { case e: ShuffleExchangeLike => e }
+      assert(exchanges.nonEmpty, s"$name: expected hash exchanges")
+      exchanges.foreach { e =>
+        val cols = e.child.output.map(_.name.toLowerCase)
+        assert(!cols.exists(_.contains("payload")),
+          s"$name: an Exchange would shuffle media payloads: $cols")
+      }
+      assert(!df.queryExecution.sparkPlan.toString
+        .contains("CartesianProduct"), name)
     }
-    val p = df.queryExecution.sparkPlan.toString
-    assert(!p.contains("CartesianProduct"))
   }
 
   test("q259/q260/q261: the banded-chain audits never go cartesian") {
