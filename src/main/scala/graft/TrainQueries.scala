@@ -8242,6 +8242,32 @@ object TrainQueries {
       batchFilter = col("vec_id") % 3 === 0)
   }
 
+  /** Self-extending streaming semantic dedup (q281,
+    * [[SemanticDedupScreen.runGrowing]]): q276 probes a STATIC stored
+    * history — the audit shape; a continuously-ingesting pipeline
+    * needs the state to GROW, or a near-dup between two arrivals an
+    * hour apart slips through because neither is "history" yet (the
+    * q128/q130 incremental-fold discipline on the semantic axis).
+    * Each micro-batch probes the stored history PLUS every earlier
+    * batch's arrivals (read-below-own-id: versions < batchId), then
+    * appends its own cell assignments as version batchId — a replayed
+    * batch sees the identical predecessor state and rewrites exactly
+    * its own two versions. Batch broadcast, probe side read in place;
+    * per-batch cost grows only with arrival volume, exactly as the
+    * production store does. The oracle replays the ENTIRE fold
+    * closed-form: the staging NTILE defines batch membership, hist
+    * rows rank strictly earlier than every arrival, and a pair
+    * (a, other) emits iff other's batch < a's — so the streamed
+    * verdict set equals one SQL join over the ordered inventory.
+    */
+  private def qStreamSemanticDedupGrow(s: SparkSession,
+      dir: String): DataFrame = {
+    val (cPath, hPath) = semDedupPaths(s, dir)
+    SemanticDedupScreen.runGrowing(s, s"$dir/embeddings.parquet",
+      ModelStore.loadCentroids(s, cPath), s.read.parquet(hPath),
+      batchFilter = col("vec_id") % 3 === 0)
+  }
+
   /** Semantic contamination at corpus scale (q275): q273's screen
     * re-expressed over the STORED IVF coarse model (q129's artifact —
     * [[annModelPaths]] trains k=8/iters=2 once per session and
@@ -8924,7 +8950,8 @@ object TrainQueries {
     "q277_pair_curation" -> (qPairCuration _),
     "q278_stored_lang_id" -> (qStoredLangId _),
     "q279_t_closeness" -> (qTCloseness _),
-    "q280_raster_clusters" -> (qRasterClusters _))
+    "q280_raster_clusters" -> (qRasterClusters _),
+    "q281_stream_semantic_grow" -> (qStreamSemanticDedupGrow _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -10194,6 +10221,9 @@ object TrainQueries {
     // probing only the static stored history, fold to exactly the
     // batch incremental answer (the q57/q70 stream≡batch discipline).
     "q276_stream_semantic_dedup" -> crossSemanticDedupOracle(8, 2),
+    // q281: the self-extending fold — hist + earlier-batch arrivals
+    // per batch, replayed closed-form from the staging NTILE.
+    "q281_stream_semantic_grow" -> growingSemanticDedupOracle(8, 2, 3),
     "q104_approx_percentile" ->
       """SELECT l_returnflag,
              quantile_cont(l_quantity, 0.5) AS exact_p50,
@@ -14030,6 +14060,63 @@ object TrainQueries {
                    JOIN nh nb2 ON pd.hist_id = nb2.vec_id)
          SELECT new_id, hist_id, cluster, sim FROM sm
          WHERE sim >= 0.3 ORDER BY new_id, hist_id"""
+
+  /** q281's oracle: the self-extending fold replayed closed-form —
+    * [[crossSemanticDedupOracle]]'s chain plus the staging NTILE
+    * (batch membership over ALL embeddings rows, mirroring
+    * `Staging.stageSplitAndRead`'s chunk cut), with the probe
+    * inventory ranked: stored history at batch −1 (earlier than every
+    * arrival), each arrival at its own batch; a pair emits iff the
+    * other side's batch is strictly smaller.
+    */
+  private def growingSemanticDedupOracle(k: Int, iters: Int,
+      chunks: Int): String =
+    s"""${kmeansCtes(k, iters, "WHERE vec_id % 3 <> 0")},
+         bt AS (SELECT vec_id,
+             CAST(NTILE($chunks) OVER (ORDER BY vec_id) AS BIGINT) AS b
+           FROM embeddings),
+         qb AS (SELECT e.vec_id, i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0 + 0.5)
+                  AS BIGINT) AS x
+           FROM embeddings e, (SELECT unnest(range(1, 65)) AS i)
+           WHERE vec_id % 3 = 0),
+         db AS (SELECT qb.vec_id, c.j,
+             SUM((qb.x - c.x) * (qb.x - c.x)) AS d
+           FROM qb JOIN c$iters c ON qb.i = c.i GROUP BY 1, 2),
+         ab AS (SELECT vec_id, j AS cluster FROM (
+             SELECT vec_id, j, d, row_number() OVER
+               (PARTITION BY vec_id ORDER BY d, j) AS rn FROM db)
+           WHERE rn = 1),
+         nh AS (SELECT vec_id, SUM(x * x) AS nn FROM q GROUP BY 1
+                 HAVING SUM(x * x) > 0),
+         nb AS (SELECT vec_id, SUM(x * x) AS nn FROM qb GROUP BY 1
+                 HAVING SUM(x * x) > 0),
+         qa AS (SELECT vec_id, i, x FROM q
+                UNION ALL SELECT vec_id, i, x FROM qb),
+         nall AS (SELECT vec_id, nn FROM nh
+                  UNION ALL SELECT vec_id, nn FROM nb),
+         pv AS (SELECT hh.vec_id, hh.cluster, CAST(-1 AS BIGINT) AS b
+             FROM afin hh
+           UNION ALL
+           SELECT bb.vec_id, bb.cluster, bt.b
+             FROM ab bb JOIN bt ON bb.vec_id = bt.vec_id),
+         pd AS (SELECT bb.vec_id AS new_id, pv.vec_id AS other_id,
+             bb.cluster, SUM(qx.x * qy.x) AS dot
+           FROM ab bb
+           JOIN bt bx ON bb.vec_id = bx.vec_id
+           JOIN pv ON pv.cluster = bb.cluster AND pv.b < bx.b
+           JOIN nb nx ON nx.vec_id = bb.vec_id
+           JOIN nall ny ON ny.vec_id = pv.vec_id
+           JOIN qb qx ON qx.vec_id = bb.vec_id
+           JOIN qa qy ON qy.vec_id = pv.vec_id AND qx.i = qy.i
+           GROUP BY 1, 2, 3),
+         sm AS (SELECT new_id, other_id, cluster,
+             CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
+               * sqrt(CAST(no.nn AS DOUBLE))) AS sim
+           FROM pd JOIN nb na ON pd.new_id = na.vec_id
+                   JOIN nall no ON pd.other_id = no.vec_id)
+         SELECT new_id, other_id, cluster, sim FROM sm
+         WHERE sim >= 0.3 ORDER BY new_id, other_id"""
 
   /** q113's oracle: the FULL PQ pipeline in SQL — m independent
     * sub-codebook k-means runs (the [[kmeansCtes]] construction per

@@ -113,6 +113,107 @@ object SemanticDedupScreen {
         s"$stateRoot/verdicts", batchId)
   }
 
+  // -------------------------------------------------------------------
+  // Growing mode: arrivals EXTEND the probe side
+  // -------------------------------------------------------------------
+
+  /** [[run]] with SELF-EXTENDING state — the form a continuously-
+    * ingesting pipeline actually deploys: each batch probes the stored
+    * history AND every EARLIER batch's arrivals (a near-dup between
+    * two arrivals an hour apart must not slip through just because
+    * neither is "history" yet). The read-below-own-id rule is now
+    * load-bearing twice over: batch i reads the arrivals store at
+    * versions < i and appends its own assignments as version i, so a
+    * replayed batch sees exactly the predecessor state it saw the
+    * first time and rewrites exactly its own two versions — verdicts
+    * never duplicate, pairs never flip direction. Per-batch cost is
+    * still cell-blocked (batch broadcast, probe side read in place);
+    * the probe side grows by arrival volume exactly as the production
+    * store would. Output pairs carry `other_id` from EITHER side
+    * (hist or an earlier arrival), ordered — the oracle replays the
+    * whole fold closed-form from the staging NTILE.
+    */
+  def runGrowing(spark: SparkSession, embParquet: String,
+      centroids: Array[Array[Long]], histAssigned: DataFrame,
+      batchFilter: Column = lit(true), threshold: Double = 0.3,
+      chunks: Int = 3): DataFrame =
+      Staging.withStreamShufflePartitions(spark, n = "4") {
+    val (vecs, tag) = Staging.stageSplitAndRead(spark, embParquet,
+      "graft_semdedupg_in", chunks, orderCols = Seq("vec_id"))
+    val tmp = System.getProperty("java.io.tmpdir")
+    val root = graft.Scratch.register(s"$tmp/graft_semdedupg_state_$tag")
+    val ck = graft.Scratch.register(s"$tmp/graft_semdedupg_ck_$tag")
+    runGrowingInto(spark, vecs.filter(batchFilter), centroids,
+      histAssigned, threshold, root, ck)
+    VersionedStore.readAllBelow(spark, s"$root/verdicts", Long.MaxValue)
+      .getOrElse(emptyGrowVerdicts(spark))
+      .orderBy("new_id", "other_id")
+  }
+
+  /** The growing pipeline against a caller-owned state root
+    * (`<root>/verdicts` + `<root>/arrivals` append stores) and
+    * checkpoint — the restart surface.
+    */
+  def runGrowingInto(spark: SparkSession, vecs: DataFrame,
+      centroids: Array[Array[Long]], histAssigned: DataFrame,
+      threshold: Double, stateRoot: String, checkpoint: String): Unit = {
+    val query = vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldGrowingBatch(spark, stateRoot, centroids, histAssigned,
+          threshold, batch, batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
+  private def foldGrowingBatch(spark: SparkSession, stateRoot: String,
+      centroids: Array[Array[Long]], histAssigned: DataFrame,
+      threshold: Double, batch: DataFrame, batchId: Long): Unit = {
+    if (!batch.isEmpty) {
+      val b = KMeans
+        .assignTo(Similarity.prepare(batch, "embedding"), "vec_id",
+          centroids)
+        .filter(col("qn") > 0)
+        .select(col("vec_id").as("new_id"), col("cluster"),
+          col("qv").as("__qva"), col("qn").as("__qna"))
+      // probe side: stored history ∪ arrivals of versions < batchId
+      // (read-below-own-id — a replayed batch sees the same state)
+      val probe = histAssigned
+        .select(col("hist_id").as("other_id"), col("cluster"),
+          col("qv").as("__qvb"), col("qn").as("__qnb"))
+        .unionByName(VersionedStore
+          .readAllBelow(spark, s"$stateRoot/arrivals", batchId)
+          .map(_.select(col("hist_id").as("other_id"), col("cluster"),
+            col("qv").as("__qvb"), col("qn").as("__qnb")))
+          .getOrElse(emptyArrivals(spark)))
+      val verdicts = broadcast(b).join(probe, Seq("cluster"))
+        .withColumn("sim", Similarity.cosine(col("__qva"), col("__qvb"),
+          col("__qna"), col("__qnb")))
+        .filter(col("sim") >= threshold)
+        .select(col("new_id"), col("other_id"), col("cluster"), col("sim"))
+      VersionedStore.write(verdicts, s"$stateRoot/verdicts", batchId)
+      // append this batch's assignments — the probe side of every
+      // LATER batch (same schema as the stored history)
+      VersionedStore.write(
+        b.select(col("new_id").as("hist_id"), col("cluster"),
+          col("__qva").as("qv"), col("__qna").as("qn")),
+        s"$stateRoot/arrivals", batchId)
+    }
+  }
+
+  private def emptyArrivals(spark: SparkSession): DataFrame =
+    spark.range(0)
+      .select(col("id").as("other_id"), col("id").as("cluster"),
+        expr("array(id)").as("__qvb"), col("id").as("__qnb"))
+
+  private def emptyGrowVerdicts(spark: SparkSession): DataFrame =
+    spark.range(0)
+      .select(col("id").as("new_id"), col("id").as("other_id"),
+        col("id").as("cluster"), col("id").cast("double").as("sim"))
+
   private def emptyVerdicts(spark: SparkSession): DataFrame =
     spark.range(0)
       .select(col("id").as("new_id"), col("id").as("hist_id"),

@@ -122,6 +122,56 @@ class SemanticDedupScreenSpec extends AnyFunSuite {
     }, "the stored history must never re-shuffle per batch")
   }
 
+  test("growing mode across a restart: a later arrival pairs against " +
+      "an EARLIER batch's arrival — the arrivals store survives the " +
+      "checkpoint restart and extends the probe side") {
+    import spark.implicits._
+    val root = new java.io.File(Scratch.register(
+      Files.createTempDirectory("graft_semdedupg_spec").toString))
+    val src = new java.io.File(root, "src"); src.mkdirs()
+    val state = s"${root.getAbsolutePath}/state"
+    val ck = s"${root.getAbsolutePath}/ck"
+    val cs = Array(Array(10000L, 0L), Array(0L, 10000L))
+    val hist = graft.ops.KMeans.assignTo(
+        graft.ops.Similarity.prepare(
+          Seq((1L, Array(1.0f, 0.05f))).toDF("vec_id", "embedding"),
+          "embedding"), "vec_id", cs)
+      .filter(col("qn") > 0)
+      .select(col("vec_id").as("hist_id"), col("cluster"), col("qv"),
+        col("qn"))
+      .localCheckpoint()
+    def runOnce(): Unit = graft.streaming.Staging
+        .withStreamShufflePartitions(spark, n = "4") {
+      val vecs = spark.readStream
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.getAbsolutePath)
+      SemanticDedupScreen.runGrowingInto(spark, vecs, cs, hist,
+        threshold = 0.3, stateRoot = state, checkpoint = ck)
+    }
+    def verdicts(): Set[(Long, Long)] =
+      VersionedStore.readAllBelow(spark, s"$state/verdicts", Long.MaxValue)
+        .map(_.select("new_id", "other_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet)
+        .getOrElse(Set.empty)
+    // run 1: b10 near h1 (cell 0); b11 alone in cell 1 — no partner YET
+    writeVecs(src, "f1.parquet",
+      Seq((10L, Array(0.95f, 0.0f)), (11L, Array(0.0f, 0.9f))))
+    runOnce()
+    assert(verdicts() === Set((10L, 1L)))
+    // run 2 (restart): b12 near b11 in cell 1 — its only possible
+    // partner is the EARLIER ARRIVAL, not history; the pair must
+    // emit, proving the arrivals store persisted across the restart
+    writeVecs(src, "f2.parquet", Seq((12L, Array(0.0f, 0.85f))))
+    runOnce()
+    assert(verdicts() === Set((10L, 1L), (12L, 11L)))
+    // one verdict + one arrivals version per non-empty batch
+    assert(VersionedStore
+      .allBelow(spark, s"$state/verdicts", Long.MaxValue).size === 2)
+    assert(VersionedStore
+      .allBelow(spark, s"$state/arrivals", Long.MaxValue).size === 2)
+  }
+
   test("streamed fold ≡ batch incremental: q276 replays q103's rows " +
       "exactly at sf0.001") {
     val dir = "/root/testdata/sf0.001"
