@@ -8268,6 +8268,71 @@ object TrainQueries {
       batchFilter = col("vec_id") % 3 === 0)
   }
 
+  private val driftGateCache = scala.collection.mutable.Map
+    .empty[(String, String), (String, String)]
+
+  /** Stored artifacts for the streaming drift gate (q282): the
+    * BASELINE hashed-bucket distribution (trained from the accepted
+    * corpus slice doc_id % 5 ≠ 0 on RAW text, persisted as a
+    * ≤ 256-row parquet — the model-store shape) and the staged SOURCE
+    * with the planted bad crawl: every document in the LAST staging
+    * batch (doc_id ≥ ⌈2n/3⌉ — exactly NTILE(3)'s third group over the
+    * contiguous 0-based ids, so the plant lands in one whole batch)
+    * has its vowels deterministically corrupted — the
+    * encoding-rot/spam-flood class a live gate exists to catch, with
+    * the token stream pushed onto disjoint hash buckets.
+    */
+  private def driftGatePaths(s: SparkSession, dir: String): (String, String) =
+    sessionFixture(driftGateCache, s, dir) {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val n = docs.count()
+      val boundary = (2L * n + 2L) / 3L
+      val tag = (s.sparkContext.applicationId + "_" + dir)
+        .replaceAll("[^a-zA-Z0-9]", "_")
+      val tmp = System.getProperty("java.io.tmpdir")
+      val srcPath = graft.Scratch.register(s"$tmp/graft_driftsrc_$tag")
+      val basePath = graft.Scratch.register(s"$tmp/graft_driftbase_$tag")
+      docs.select(col("doc_id"),
+          when(col("doc_id") >= boundary,
+            regexp_replace(col("text"), "[aeiou]", "0"))
+            .otherwise(col("text")).as("text"))
+        .coalesce(1).write.mode("overwrite").parquet(srcPath)
+      val counts = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(explode(expr(
+          "filter(split(text, ' '), t -> t <> '')")).as("__w"))
+        .select(expr("cast(conv(substring(md5(__w), 1, 8), 16, 10) " +
+          "as bigint) % 256").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("__c"))
+      counts
+        .crossJoin(broadcast(counts.agg(sum("__c").as("__n"))))
+        .select(col("bucket"), expr("__c * 1000000 div __n").as("ppm"))
+        .coalesce(1).write.mode("overwrite").parquet(basePath)
+      (srcPath, basePath)
+    }
+
+  /** Streaming distribution-drift gate (q282,
+    * [[graft.streaming.DriftGate]]): the q232 vocabulary-drift audit
+    * deployed LIVE against a STORED baseline — the last monitoring
+    * primitive without a live form (novelty/rate/CUSUM/LM/media/
+    * tombstones all gate arrivals already). Arrivals (doc_id % 5 = 0,
+    * staged in 3 batches) project onto 256 hashed vocabulary buckets
+    * scan-locally; per batch, the exact-integer TV drift in ppm
+    * against the stored baseline plus the alert verdict at 150,000
+    * ppm. The fixture plants a bad crawl in exactly the LAST batch
+    * (vowel corruption — disjoint hash buckets): batches 1–2 sit at
+    * the sampling-noise floor (~45–70k ppm, alert false) and batch 3
+    * alerts — the gate genuinely separates noise from rot. The
+    * oracle replays batch membership via the staging NTILE, the
+    * corruption boundary closed-form (⌈2n/3⌉ over contiguous ids),
+    * and the whole ppm arithmetic in integers.
+    */
+  private def qStreamDriftGate(s: SparkSession, dir: String): DataFrame = {
+    val (srcPath, basePath) = driftGatePaths(s, dir)
+    graft.streaming.DriftGate.run(s, srcPath,
+      s.read.parquet(basePath), buckets = 256, alertPpm = 150000L,
+      docFilter = col("doc_id") % 5 === 0)
+  }
+
   /** Semantic contamination at corpus scale (q275): q273's screen
     * re-expressed over the STORED IVF coarse model (q129's artifact —
     * [[annModelPaths]] trains k=8/iters=2 once per session and
@@ -8951,7 +9016,8 @@ object TrainQueries {
     "q278_stored_lang_id" -> (qStoredLangId _),
     "q279_t_closeness" -> (qTCloseness _),
     "q280_raster_clusters" -> (qRasterClusters _),
-    "q281_stream_semantic_grow" -> (qStreamSemanticDedupGrow _))
+    "q281_stream_semantic_grow" -> (qStreamSemanticDedupGrow _),
+    "q282_stream_drift_gate" -> (qStreamDriftGate _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -10224,6 +10290,52 @@ object TrainQueries {
     // q281: the self-extending fold — hist + earlier-batch arrivals
     // per batch, replayed closed-form from the staging NTILE.
     "q281_stream_semantic_grow" -> growingSemanticDedupOracle(8, 2, 3),
+    // q282: per-batch TV drift vs the stored baseline — batch
+    // membership via the staging NTILE, the planted corruption
+    // boundary closed-form (⌈2n/3⌉ over contiguous ids), all ppm
+    // arithmetic in truncating integers.
+    "q282_stream_drift_gate" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+         src AS (SELECT doc_id,
+             CASE WHEN doc_id >= (2 * nn.n + 2) // 3
+               THEN regexp_replace(text, '[aeiou]', '0', 'g')
+               ELSE text END AS text,
+             CAST(NTILE(3) OVER (ORDER BY doc_id) AS BIGINT) AS b
+           FROM documents, nn),
+         btok AS (SELECT CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+               % 256 AS bucket
+           FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                 t -> t <> '')) AS tok
+               FROM documents WHERE doc_id % 5 <> 0)),
+         bppm AS (SELECT bucket,
+             COUNT(*) * 1000000 // (SELECT COUNT(*) FROM btok) AS ppm
+           FROM btok GROUP BY 1),
+         stok AS (SELECT b, CAST('0x' || substr(md5(tok), 1, 8)
+               AS BIGINT) % 256 AS bucket
+           FROM (SELECT b, unnest(list_filter(string_split(text, ' '),
+                 t -> t <> '')) AS tok
+               FROM src WHERE doc_id % 5 = 0)),
+         stot AS (SELECT b, COUNT(*) AS n FROM stok GROUP BY 1),
+         sppm AS (SELECT s.b, s.bucket,
+             COUNT(*) * 1000000 // any_value(t.n) AS ppm
+           FROM stok s JOIN stot t USING (b) GROUP BY s.b, s.bucket),
+         allb AS (SELECT DISTINCT bucket FROM
+           (SELECT bucket FROM bppm UNION ALL SELECT bucket FROM sppm)),
+         grid AS (SELECT ob.b, ab.bucket
+           FROM (SELECT DISTINCT b FROM sppm) ob CROSS JOIN allb ab),
+         j AS (SELECT g.b,
+             abs(COALESCE(s.ppm, 0) - COALESCE(bp.ppm, 0)) AS d
+           FROM grid g
+           LEFT JOIN sppm s ON s.b = g.b AND s.bucket = g.bucket
+           LEFT JOIN bppm bp ON bp.bucket = g.bucket)
+         SELECT CAST(j.b - 1 AS BIGINT) AS batch_id,
+             CAST(st.n AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN j.d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS drifted_buckets,
+             CAST(SUM(j.d) // 2 AS BIGINT) AS drift_ppm,
+             (SUM(j.d) // 2 > 150000) AS drift_alert
+         FROM j JOIN stot st ON st.b = j.b
+         GROUP BY j.b, st.n ORDER BY batch_id""",
     "q104_approx_percentile" ->
       """SELECT l_returnflag,
              quantile_cont(l_quantity, 0.5) AS exact_p50,
