@@ -148,8 +148,13 @@ object TrainQueries {
     */
   private def storedLangIdOracle: String = {
     val profiles = TextFns.stopwordProfiles
+    // DuckDB string-literal escaping (doubled quote — NOT backslash,
+    // which is TextFns.sqlLit's Spark dialect): the engine-side twin
+    // langMarkedDocs escapes via sqlLit, so a profile token carrying
+    // an apostrophe (French "l'", say) must survive BOTH generators
     def arm(ws: Seq[String]) =
-      ws.map(w => "'" + w + "'").mkString("[", ", ", "]")
+      ws.map(w => "'" + w.replace("'", "''") + "'")
+        .mkString("[", ", ", "]")
     val mk = profiles
       .map { case (l, ws) => s"WHEN '$l' THEN ${arm(ws)}" }
       .mkString("CASE lang ", " ", " END")
@@ -8249,16 +8254,20 @@ object TrainQueries {
     * hour apart slips through because neither is "history" yet (the
     * q128/q130 incremental-fold discipline on the semantic axis).
     * Each micro-batch probes the stored history PLUS every earlier
-    * batch's arrivals (read-below-own-id: versions < batchId), then
-    * appends its own cell assignments as version batchId — a replayed
-    * batch sees the identical predecessor state and rewrites exactly
-    * its own two versions. Batch broadcast, probe side read in place;
-    * per-batch cost grows only with arrival volume, exactly as the
-    * production store does. The oracle replays the ENTIRE fold
-    * closed-form: the staging NTILE defines batch membership, hist
-    * rows rank strictly earlier than every arrival, and a pair
-    * (a, other) emits iff other's batch < a's — so the streamed
-    * verdict set equals one SQL join over the ordered inventory.
+    * batch's arrivals (read-below-own-id: versions < batchId) PLUS
+    * its own batch's other members (lower id as the other side —
+    * co-arriving near-dups are the likeliest re-fetch form and no
+    * earlier state could surface them), then appends its own cell
+    * assignments as version batchId — a replayed batch sees the
+    * identical predecessor state and rewrites exactly its own two
+    * versions. Batch broadcast, probe side read in place; per-batch
+    * cost grows only with arrival volume, exactly as the production
+    * store does. The oracle replays the ENTIRE fold closed-form: the
+    * staging NTILE defines batch membership, hist rows rank strictly
+    * earlier than every arrival, and a pair (a, other) emits iff
+    * other's batch < a's, or batches are equal and other's id is
+    * lower — so the streamed verdict set equals one SQL join over
+    * the ordered inventory.
     */
   private def qStreamSemanticDedupGrow(s: SparkSession,
       dir: String): DataFrame = {
@@ -8478,8 +8487,13 @@ object TrainQueries {
         col("fp").as("__fpb"), explode(expr(bandsOf.format("fp"))).as("bk"))
     val rasterHits = baseF.join(twinF, Seq("base_id", "bk"))
       .filter(expr("bit_count(fp_base ^ __fpb) <= 8"))
-      .select("base_id", "fp_base").dropDuplicates("base_id")
+      .select("base_id").dropDuplicates("base_id")
       .withColumn("__hit", lit(true))
+    // the replayable PNG-leg fingerprint rides EVERY row (sourced from
+    // the fp table, not the hit join — a band+hamming MISS must still
+    // carry the fingerprint needed to debug it)
+    val baseFp = fps.filter(col("unit_id") < 1000000L)
+      .select(col("unit_id").as("base_id"), col("fp").as("fp_base"))
     // reworded twin captions, both policy directions planted: even
     // media get an APPENDED variant (quality rises — twin kept), odd
     // media a TRUNCATED one (quality falls — base kept)
@@ -8499,7 +8513,8 @@ object TrainQueries {
         TextFns.fingerprint("cap_b").as("__cfb"),
         expr("cast(floor(__qa * 10000.0d + 0.5d) as bigint)").as("q_a"),
         expr("cast(floor(__qb * 10000.0d + 0.5d) as bigint)").as("q_b"))
-    caps.join(rasterHits, Seq("base_id"), "left")
+    caps.join(baseFp, Seq("base_id"))
+      .join(rasterHits, Seq("base_id"), "left")
       .select(col("base_id"), (col("base_id") + 1000000L).as("twin_id"),
         col("fp_base"), coalesce(col("__hit"), lit(false))
           .as("raster_match"),
@@ -14179,7 +14194,9 @@ object TrainQueries {
     * `Staging.stageSplitAndRead`'s chunk cut), with the probe
     * inventory ranked: stored history at batch −1 (earlier than every
     * arrival), each arrival at its own batch; a pair emits iff the
-    * other side's batch is strictly smaller.
+    * other side's batch is strictly smaller, or equal with a strictly
+    * smaller id (the intra-batch members, emitted once, direction
+    * deterministic).
     */
   private def growingSemanticDedupOracle(k: Int, iters: Int,
       chunks: Int): String =
@@ -14216,7 +14233,9 @@ object TrainQueries {
              bb.cluster, SUM(qx.x * qy.x) AS dot
            FROM ab bb
            JOIN bt bx ON bb.vec_id = bx.vec_id
-           JOIN pv ON pv.cluster = bb.cluster AND pv.b < bx.b
+           JOIN pv ON pv.cluster = bb.cluster
+             AND (pv.b < bx.b
+                  OR (pv.b = bx.b AND pv.vec_id < bb.vec_id))
            JOIN nb nx ON nx.vec_id = bb.vec_id
            JOIN nall ny ON ny.vec_id = pv.vec_id
            JOIN qb qx ON qx.vec_id = bb.vec_id

@@ -20,8 +20,15 @@ import org.apache.spark.sql.functions._
   * and corpus counts c_j (total C), each cumulative term is
   * |cumG_i·C − cumC_i·G| and emd_bp = Σ·10⁴ div ((m−1)·G·C). No
   * floats anywhere, so any engine reproduces the verdict bit-for-bit.
-  * (int64 headroom: G·C·10⁴ — fine to ~10⁹ audited rows; past that
-  * the same formula runs in decimal(38,0).)
+  * The cross-multiplied terms run in DECIMAL(38,0) (still exact
+  * integers — Spark and DuckDB decimal arithmetic is exact at scale
+  * 0): in int64, cumG·C alone wraps once G·C exceeds ~9.2×10¹⁸/10⁴,
+  * which a coarse QI rung (G ≈ C/5) reaches near ~10⁸ audited rows —
+  * a silently negative EMD would PASS the very group the audit
+  * exists to catch. Decimal(38,0) extends the exact range to ~10¹⁶
+  * rows; the final floor-division is computed as (n − n mod d)/d,
+  * which is exact in decimal because the adjusted numerator is
+  * divisible (and the quotient ≤ 10⁴ by TV ≤ 1).
   *
   * Scale shape: one partial-agg rollup to (QI, band counts) — only
   * group-bounded rows shuffle — and the corpus distribution is a
@@ -42,8 +49,18 @@ object TCloseness {
       nBands: Int, tBp: Long): DataFrame = {
     require(nBands >= 2, s"need >= 2 ordered bands: $nBands")
     require(tBp >= 0, s"tBp must be non-negative: $tBp")
+    // an out-of-domain or NULL band would silently vanish from both
+    // distributions (its rows land in no band sum) — a governance
+    // audit must fail fast instead of under-reporting violations
+    val checkedBand = {
+      val b = bandCol.cast("long")
+      when(b.isNull || b < 0 || b >= nBands,
+        raise_error(concat(lit(s"band index outside 0..${nBands - 1}: "),
+          coalesce(b.cast("string"), lit("NULL")))).cast("long"))
+        .otherwise(b)
+    }
     val base = df.select(qiCols.map { case (n, c) => c.as(n) } :+
-      bandCol.cast("long").as("__b"): _*)
+      checkedBand.as("__b"): _*)
     def bandSums(prefix: String): Seq[Column] = (0 until nBands)
       .map(j => sum(when(col("__b") === j, 1L).otherwise(0L))
         .as(s"$prefix$j"))
@@ -52,19 +69,27 @@ object TCloseness {
     val corpus = base.agg(bandSums("__c").head, bandSums("__c").tail: _*)
     val g = (0 until nBands).map(j => col(s"__g$j")).reduce(_ + _)
     val c = (0 until nBands).map(j => col(s"__c$j")).reduce(_ + _)
+    val dec = "decimal(38,0)"
     def cum(prefix: String, i: Int): Column =
-      (0 to i).map(j => col(s"$prefix$j")).reduce(_ + _)
+      (0 to i).map(j => col(s"$prefix$j")).reduce(_ + _).cast(dec)
     val numer = (0 until nBands - 1)
-      .map(i => abs(cum("__g", i) * c - cum("__c", i) * g))
+      .map(i => abs(cum("__g", i) * c.cast(dec) -
+        cum("__c", i) * g.cast(dec)))
       .reduce(_ + _)
     grouped.crossJoin(broadcast(corpus))
       .withColumn("n_rows", g)
       .withColumn("l_distinct", (0 until nBands)
         .map(j => when(col(s"__g$j") > 0, 1L).otherwise(0L))
         .reduce(_ + _))
-      .withColumn("__num", numer * lit(10000L))
-      .withColumn("__den", lit((nBands - 1).toLong) * g * c)
-      .withColumn("emd_bp", expr("__num div __den"))
+      .withColumn("__num", (numer * lit(10000L).cast(dec)).cast(dec))
+      .withColumn("__den", (lit((nBands - 1).toLong).cast(dec)
+        * g.cast(dec) * c.cast(dec)).cast(dec))
+      // exact floor division in decimal: (n − n mod d)/d — the
+      // adjusted numerator is divisible, and the quotient ≤ 10⁴, so
+      // the decimal divide is exact and the bigint cast lossless
+      .withColumn("emd_bp",
+        ((col("__num") - col("__num") % col("__den")) / col("__den"))
+          .cast("bigint"))
       .withColumn("t_ok", col("emd_bp") <= tBp)
       .drop((0 until nBands).flatMap(j => Seq(s"__g$j", s"__c$j")) ++
         Seq("__num", "__den"): _*)

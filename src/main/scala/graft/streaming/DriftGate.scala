@@ -110,6 +110,14 @@ object DriftGate {
           .as("drifted_buckets"),
         expr(s"sum(__d) div 2").as("drift_ppm"))
       .withColumn("drift_alert", col("drift_ppm") > alertPpm)
+      // a batch with rows but ZERO tokens (all empty/whitespace text)
+      // has no distribution to compare: n_tokens aggregates to NULL
+      // (only baseline rows survived the outer join) and drift_ppm
+      // would collapse to Σbaseline/2 ≈ 500k — neither 0 nor the 10⁶
+      // disjoint endpoint. Emit NO row for it (the version still
+      // commits empty — append readers see no gap), matching the
+      // oracle, which derives batches only from rows with tokens.
+      .filter(col("n_tokens").isNotNull)
   }
 
   private def emptyRates(spark: SparkSession): DataFrame =

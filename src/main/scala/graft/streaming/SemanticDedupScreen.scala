@@ -119,9 +119,13 @@ object SemanticDedupScreen {
 
   /** [[run]] with SELF-EXTENDING state — the form a continuously-
     * ingesting pipeline actually deploys: each batch probes the stored
-    * history AND every EARLIER batch's arrivals (a near-dup between
-    * two arrivals an hour apart must not slip through just because
-    * neither is "history" yet). The read-below-own-id rule is now
+    * history, every EARLIER batch's arrivals (a near-dup between two
+    * arrivals an hour apart must not slip through just because
+    * neither is "history" yet), AND its own batch's other members
+    * (id-ordered, lower id as `other_id` — two co-arriving
+    * near-identical vectors are the LIKELIEST form a crawl re-fetch
+    * takes, and neither "earlier batches" nor "history" would ever
+    * surface the pair). The read-below-own-id rule is now
     * load-bearing twice over: batch i reads the arrivals store at
     * versions < i and appends its own assignments as version i, so a
     * replayed batch sees exactly the predecessor state it saw the
@@ -189,7 +193,14 @@ object SemanticDedupScreen {
           .map(_.select(col("hist_id").as("other_id"), col("cluster"),
             col("qv").as("__qvb"), col("qn").as("__qnb")))
           .getOrElse(emptyArrivals(spark)))
-      val verdicts = broadcast(b).join(probe, Seq("cluster"))
+      // intra-batch pairs: the batch against itself, lower id as the
+      // "other" side (a < b emitted once, direction deterministic)
+      val bSelf = b.select(col("new_id").as("other_id"), col("cluster"),
+        col("__qva").as("__qvb"), col("__qna").as("__qnb"))
+      val paired = broadcast(b).join(probe, Seq("cluster"))
+        .unionByName(broadcast(b).join(bSelf, Seq("cluster"))
+          .filter(col("other_id") < col("new_id")))
+      val verdicts = paired
         .withColumn("sim", Similarity.cosine(col("__qva"), col("__qvb"),
           col("__qna"), col("__qnb")))
         .filter(col("sim") >= threshold)

@@ -34,10 +34,13 @@ class JpegSpec extends AnyFunSuite {
     // measured max + ~10 levels of headroom, because JPEG quantization
     // and IDCT rounding are implementation-private — a different JDK
     // vendor/version may land a few levels above 14, and the oracle
-    // hardcodes within_tol = TRUE. 24 is still far below the vacuous
-    // 255 bound, so the claim stays meaningful.
-    assert(errs.max <= 16,
-      s"tolerance claim violated: max per-channel error ${errs.max}")
+    // hardcodes within_tol = TRUE. The gate therefore asserts the
+    // CONTRACT bound (24), not this JDK's measurement (16) — a build
+    // on a vendor at 17–23 is exactly what the headroom exists to
+    // allow, and must not fail here while q264 passes its oracle.
+    info(s"measured per-channel error: max ${errs.max}, min ${errs.min}")
+    assert(errs.max <= 24,
+      s"tolerance CONTRACT violated: max per-channel error ${errs.max}")
     assert(errs.min >= 1,
       "zero error would mean the codec path is not actually lossy — " +
         "the tolerance contract would be vacuous")

@@ -154,17 +154,22 @@ class SemanticDedupScreenSpec extends AnyFunSuite {
         .map(_.select("new_id", "other_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet)
         .getOrElse(Set.empty)
-    // run 1: b10 near h1 (cell 0); b11 alone in cell 1 — no partner YET
+    // run 1: b10 and b13 CO-ARRIVE near h1 in cell 0 — the intra-batch
+    // pair (13, 10) must emit alongside both history pairs (no earlier
+    // state could surface two same-batch near-dups); b11 alone in
+    // cell 1 — no partner YET
     writeVecs(src, "f1.parquet",
-      Seq((10L, Array(0.95f, 0.0f)), (11L, Array(0.0f, 0.9f))))
+      Seq((10L, Array(0.95f, 0.0f)), (11L, Array(0.0f, 0.9f)),
+        (13L, Array(0.9f, 0.05f))))
     runOnce()
-    assert(verdicts() === Set((10L, 1L)))
+    assert(verdicts() === Set((10L, 1L), (13L, 1L), (13L, 10L)))
     // run 2 (restart): b12 near b11 in cell 1 — its only possible
     // partner is the EARLIER ARRIVAL, not history; the pair must
     // emit, proving the arrivals store persisted across the restart
     writeVecs(src, "f2.parquet", Seq((12L, Array(0.0f, 0.85f))))
     runOnce()
-    assert(verdicts() === Set((10L, 1L), (12L, 11L)))
+    assert(verdicts() === Set((10L, 1L), (13L, 1L), (13L, 10L),
+      (12L, 11L)))
     // one verdict + one arrivals version per non-empty batch
     assert(VersionedStore
       .allBelow(spark, s"$state/verdicts", Long.MaxValue).size === 2)
