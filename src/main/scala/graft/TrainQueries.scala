@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.expressions.LongDot
 import graft.functions.{QuantizedCentroid, TextFns, TopK}
-import graft.ops.{Bfs, Blooms, Bpe, Cardinality, CharLm, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, Drift, Dsir, FreqSketch, FuzzyJoin, GapFill, JoinEstimate, KCenter, KCore, KMeans, Mixing, ModelStore, Multimodal, NearDup, Nested, Packing, PageRank, ParagraphDedup, Paths, Percentiles, PhraseExcise, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, Sharding, SetSimJoin, Similarity, Skyline, Snm, SpanDedup, TableDiff, TCloseness, Triangles, Winnowing}
+import graft.ops.{Audio, Bfs, Blooms, Bpe, Cardinality, CharLm, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, Drift, Dsir, FreqSketch, FuzzyJoin, GapFill, JoinEstimate, KCenter, KCore, KMeans, Mixing, ModelStore, Multimodal, NearDup, Nested, Packing, PageRank, ParagraphDedup, Paths, Percentiles, PhraseExcise, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, Sharding, SetSimJoin, Similarity, Skyline, Snm, SpanDedup, TableDiff, TCloseness, Triangles, Winnowing}
 import graft.streaming.{BudgetAdmission, EventStream, IncrementalClusters, NearDupIndex, RateMonitor, SemanticDedupScreen, StatefulSessions, VersionedStore}
 
 /** Training-data-pipeline operators (SURVEY §7.2.8) as driver-contract
@@ -8757,6 +8757,34 @@ object TrainQueries {
       .orderBy("cluster_rep")
   }
 
+  /** Real audio decode + frame features (q283, [[graft.ops.Audio]]):
+    * every document becomes a genuine RIFF/WAVE PCM16 file — varied
+    * sample counts 400 + (id%7)·100 + (id%53) so partial final frames
+    * are exercised, varied sample rates so the fmt chunk is actually
+    * READ, a LIST metadata chunk on every 5th doc so the chunk walk is
+    * exercised — and the real decoder extracts amplitude mass, peak,
+    * zero-crossings, and the per-frame energy argmax (100-sample
+    * frames — the audio form of frame-sampling: a clip of any length
+    * reduces to ONE typed row inside the scan, payloads never shuffle).
+    * The oracle recomputes every decoded number from the closed-form
+    * sawtooth, so green means the PCM/chunk decode is RIGHT — the
+    * PPM/PNG lossless-codec discipline (E200/E246) on the audio axis.
+    */
+  private def qWavDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val media = t(s, dir, "documents")
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .map { id =>
+        val n = (400 + (id % 7) * 100 + (id % 53)).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        Multimodal.MediaRecord(id,
+          Audio.encodeWav(id, n, rate, junkChunk = id % 5 == 0), "wav")
+      }
+    Audio.decodeWavFeatures(media, frame = 100).toDF().orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -9032,7 +9060,8 @@ object TrainQueries {
     "q279_t_closeness" -> (qTCloseness _),
     "q280_raster_clusters" -> (qRasterClusters _),
     "q281_stream_semantic_grow" -> (qStreamSemanticDedupGrow _),
-    "q282_stream_drift_gate" -> (qStreamDriftGate _))
+    "q282_stream_drift_gate" -> (qStreamDriftGate _),
+    "q283_wav_decode" -> (qWavDecode _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -14105,7 +14134,43 @@ object TrainQueries {
              CAST(cnt_ab AS DOUBLE) * CAST(n AS DOUBLE)
                / (CAST(cnt_a AS DOUBLE) * CAST(cnt_b AS DOUBLE)) AS lift
          FROM top, tot
-         ORDER BY cnt_ab DESC, supp_a, supp_b""")
+         ORDER BY cnt_ab DESC, supp_a, supp_b""",
+    // q283: every decoded number recomputed from the generation rule —
+    // the closed-form sawtooth (id·31 + 7j) mod 4096 − 2048 per sample,
+    // zero-crossings via the (j, j−1) pair BOTH computed closed-form
+    // (no window), frame energies grouped on j // 100, peak frame via
+    // ROW_NUMBER(energy DESC, f) — the decoder's strict-> tie rule.
+    "q283_wav_decode" ->
+      """WITH dims AS (SELECT doc_id,
+             400 + (doc_id % 7) * 100 + (doc_id % 53) AS n,
+             8000 + (doc_id % 3) * 4000 AS rate FROM documents),
+         sm AS (SELECT doc_id, n, rate, unnest(range(0, n)) AS j
+           FROM dims),
+         v AS (SELECT doc_id, n, rate, j,
+             (doc_id * 31 + 7 * j) % 4096 - 2048 AS s,
+             CASE WHEN j > 0
+               THEN (doc_id * 31 + 7 * (j - 1)) % 4096 - 2048 END AS p
+           FROM sm),
+         fe AS (SELECT doc_id, j // 100 AS f,
+             CAST(SUM(s * s) AS BIGINT) AS energy
+           FROM v GROUP BY 1, 2),
+         pk AS (SELECT doc_id, f, energy, ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY energy DESC, f) AS rn
+           FROM fe),
+         agg AS (SELECT doc_id, MAX(n) AS n, MAX(rate) AS rate,
+             CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+             CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+             CAST(SUM(CASE WHEN j > 0 AND ((s >= 0) <> (p >= 0))
+               THEN 1 ELSE 0 END) AS BIGINT) AS zc
+           FROM v GROUP BY 1)
+         SELECT a.doc_id, CAST(a.rate AS BIGINT) AS sample_rate,
+             CAST(a.n AS BIGINT) AS n_samples, a.sum_abs, a.peak_abs,
+             a.zc AS zero_crossings,
+             CAST((a.n + 99) // 100 AS BIGINT) AS n_frames,
+             CAST(p.f AS BIGINT) AS peak_frame_idx,
+             p.energy AS peak_frame_energy
+         FROM agg a JOIN pk p ON a.doc_id = p.doc_id AND p.rn = 1
+         ORDER BY a.doc_id""")
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized

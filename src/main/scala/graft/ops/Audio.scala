@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Real audio codec: RIFF/WAVE PCM — the audio-modality member of the
+  * multimodal seam (SURVEY §7.2.8; siblings: PPM `Multimodal.decodePpm`,
+  * PNG/JPEG via `javax.imageio`). WAV is the one audio container whose
+  * encoder AND decoder fit in dependency-free code (RIFF chunk walk +
+  * little-endian PCM samples, per the public RIFF/WAVE spec), and PCM is
+  * lossless — so like PPM/PNG the DECODED samples are the cross-engine
+  * contract and every feature replays closed-form from the generation
+  * rule.
+  *
+  * Scale posture (identical to the image codecs): decode is scan-local
+  * `mapPartitions`, payloads never shuffle — only the fixed-width typed
+  * feature row leaves the scan. Frame-level features (the audio form of
+  * video frame-sampling) reduce inside the decoder, so a 10-minute clip
+  * and a 1-second clip both emit ONE row.
+  */
+object Audio {
+
+  /** Decoded WAV audit row — all exact integers.
+    *
+    * Signal features: `sum_abs`/`peak_abs` (amplitude mass and peak),
+    * `zero_crossings` (sign(x) = x ≥ 0 transitions — the classic cheap
+    * pitch/noisiness proxy), and the frame quartet: fixed `frame` sample
+    * windows, per-frame energy Σs², peak frame by energy (ties → min
+    * index) — the loudness hotspot a caption-alignment or silence screen
+    * reads.
+    */
+  case class WavFeatures(doc_id: Long, sample_rate: Long, n_samples: Long,
+      sum_abs: Long, peak_abs: Long, zero_crossings: Long,
+      n_frames: Long, peak_frame_idx: Long, peak_frame_energy: Long)
+
+  /** The deterministic integer sawtooth: sample j of doc `seed` is
+    * ((seed·31 + 7j) mod 4096) − 2048 ∈ [−2048, 2047] — closed-form, so
+    * any engine recomputes every decoded sample (the `gradientPixel`
+    * discipline on the time axis).
+    */
+  def sawtoothSample(seed: Long, j: Long): Int =
+    (((seed * 31 + 7 * j) % 4096) - 2048).toInt
+
+  private def putLe32(b: Array[Byte], off: Int, v: Long): Unit = {
+    b(off) = (v & 0xff).toByte
+    b(off + 1) = ((v >> 8) & 0xff).toByte
+    b(off + 2) = ((v >> 16) & 0xff).toByte
+    b(off + 3) = ((v >> 24) & 0xff).toByte
+  }
+
+  private def putLe16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte
+    b(off + 1) = ((v >> 8) & 0xff).toByte
+  }
+
+  private def putAscii(b: Array[Byte], off: Int, s: String): Unit = {
+    var i = 0
+    while (i < s.length) { b(off + i) = s.charAt(i).toByte; i += 1 }
+  }
+
+  /** Encode a genuine RIFF/WAVE file: 16-bit PCM mono little-endian
+    * samples of the deterministic sawtooth. When `junkChunk` is set, a
+    * `LIST` metadata chunk (with odd-size pad byte, as real encoders
+    * emit) sits between `fmt ` and `data`, so the decoder's chunk walk
+    * is actually exercised — a header-offset shortcut would misread
+    * every such file.
+    */
+  def encodeWav(seed: Long, nSamples: Int, sampleRate: Int,
+      junkChunk: Boolean = false): Array[Byte] = {
+    require(nSamples >= 1 && sampleRate >= 1,
+      s"bad wav params: n=$nSamples rate=$sampleRate")
+    val junk = if (junkChunk) {
+      val payload = s"INFOgraft seed $seed".getBytes("US-ASCII")
+      val padded = payload.length + (payload.length & 1) // RIFF pads odd
+      val c = new Array[Byte](8 + padded)
+      putAscii(c, 0, "LIST")
+      putLe32(c, 4, payload.length.toLong)
+      System.arraycopy(payload, 0, c, 8, payload.length)
+      c
+    } else Array.emptyByteArray
+    val dataBytes = nSamples * 2
+    val out = new Array[Byte](12 + 24 + junk.length + 8 + dataBytes)
+    putAscii(out, 0, "RIFF")
+    putLe32(out, 4, (out.length - 8).toLong)
+    putAscii(out, 8, "WAVE")
+    putAscii(out, 12, "fmt ")
+    putLe32(out, 16, 16L) // PCM fmt chunk body size
+    putLe16(out, 20, 1) // audioFormat = PCM
+    putLe16(out, 22, 1) // mono
+    putLe32(out, 24, sampleRate.toLong)
+    putLe32(out, 28, sampleRate.toLong * 2) // byteRate
+    putLe16(out, 32, 2) // blockAlign
+    putLe16(out, 34, 16) // bitsPerSample
+    System.arraycopy(junk, 0, out, 36, junk.length)
+    val dataOff = 36 + junk.length
+    putAscii(out, dataOff, "data")
+    putLe32(out, dataOff + 4, dataBytes.toLong)
+    var j = 0
+    while (j < nSamples) {
+      putLe16(out, dataOff + 8 + 2 * j, sawtoothSample(seed, j.toLong) & 0xffff)
+      j += 1
+    }
+    out
+  }
+
+  private def le32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** Decode a RIFF/WAVE file — a REAL chunk walk: verify the RIFF/WAVE
+    * container, iterate chunks (honoring the odd-size pad byte), parse
+    * `fmt ` (PCM, mono, 16-bit only — loud failure otherwise, a codec
+    * must not fabricate samples), locate `data`, then one pass over the
+    * little-endian samples computing every feature. `frame` is the
+    * frame-sample window size in samples (the last frame may be short).
+    */
+  def decodeWav(docId: Long, bytes: Array[Byte], frame: Int): WavFeatures = {
+    require(frame >= 1, s"frame must be >= 1: $frame")
+    require(bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" &&
+      fourcc(bytes, 8) == "WAVE", s"doc $docId: not a RIFF/WAVE file")
+    require(le32(bytes, 4) == bytes.length - 8,
+      s"doc $docId: RIFF size ${le32(bytes, 4)} != ${bytes.length - 8}")
+    var rate = -1L
+    var dataOff = -1
+    var dataLen = -1
+    var i = 12
+    while (i + 8 <= bytes.length) {
+      val id = fourcc(bytes, i)
+      val size = le32(bytes, i + 4).toInt
+      require(i + 8 + size <= bytes.length,
+        s"doc $docId: chunk $id overruns the file")
+      if (id == "fmt ") {
+        require(size >= 16, s"doc $docId: fmt chunk too short: $size")
+        val audioFormat = le16(bytes, i + 8)
+        val channels = le16(bytes, i + 10)
+        val bits = le16(bytes, i + 22)
+        require(audioFormat == 1 && channels == 1 && bits == 16,
+          s"doc $docId: unsupported wav (fmt=$audioFormat ch=$channels " +
+            s"bits=$bits; PCM mono 16-bit only)")
+        rate = le32(bytes, i + 12)
+      } else if (id == "data") {
+        dataOff = i + 8
+        dataLen = size
+      }
+      i += 8 + size + (size & 1) // odd chunk sizes pad one byte
+    }
+    require(rate > 0, s"doc $docId: no fmt chunk")
+    require(dataOff >= 0, s"doc $docId: no data chunk")
+    require(dataLen % 2 == 0, s"doc $docId: odd PCM16 data size $dataLen")
+    val n = dataLen / 2
+    var (sumAbs, zc) = (0L, 0L)
+    var peakAbs = 0L
+    var prevNonNeg = true
+    var frameEnergy = 0L
+    var peakFrameEnergy = -1L
+    var peakFrameIdx = -1L
+    var frameIdx = 0L
+    var j = 0
+    while (j < n) {
+      val s = le16(bytes, dataOff + 2 * j).toShort.toInt
+      val a = math.abs(s).toLong
+      sumAbs += a
+      if (a > peakAbs) peakAbs = a
+      val nonNeg = s >= 0
+      if (j > 0 && nonNeg != prevNonNeg) zc += 1
+      prevNonNeg = nonNeg
+      frameEnergy += s.toLong * s
+      if (j % frame == frame - 1 || j == n - 1) { // frame boundary
+        if (frameEnergy > peakFrameEnergy) { // strict: ties keep min idx
+          peakFrameEnergy = frameEnergy
+          peakFrameIdx = frameIdx
+        }
+        frameEnergy = 0L
+        frameIdx += 1
+      }
+      j += 1
+    }
+    WavFeatures(docId, rate, n.toLong, sumAbs, peakAbs, zc,
+      (n.toLong + frame - 1) / frame, peakFrameIdx, peakFrameEnergy)
+  }
+
+  /** Batched real WAV decode over partitions — the shared codec seam:
+    * payloads never shuffle, only typed feature rows.
+    */
+  def decodeWavFeatures(media: Dataset[Multimodal.MediaRecord], frame: Int)(
+      implicit spark: SparkSession): Dataset[WavFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(_.map(r => decodeWav(r.doc_id,
+      if (r.payload == null) Array.emptyByteArray else r.payload, frame)))
+  }
+}
