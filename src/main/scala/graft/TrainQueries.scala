@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.expressions.LongDot
 import graft.functions.{QuantizedCentroid, TextFns, TopK}
-import graft.ops.{Audio, Bfs, Blooms, Bpe, Cardinality, CharLm, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, Drift, Dsir, FreqSketch, FuzzyJoin, GapFill, JoinEstimate, KCenter, KCore, KMeans, Mixing, ModelStore, Multimodal, NearDup, Nested, Packing, PageRank, ParagraphDedup, Paths, Percentiles, PhraseExcise, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, Sharding, SetSimJoin, Similarity, Skyline, Snm, SpanDedup, TableDiff, TCloseness, Triangles, Winnowing}
+import graft.ops.{Audio, Video, Bfs, Blooms, Bpe, Cardinality, CharLm, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, Drift, Dsir, FreqSketch, FuzzyJoin, GapFill, JoinEstimate, KCenter, KCore, KMeans, Mixing, ModelStore, Multimodal, NearDup, Nested, Packing, PageRank, ParagraphDedup, Paths, Percentiles, PhraseExcise, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, Sharding, SetSimJoin, Similarity, Skyline, Snm, SpanDedup, TableDiff, TCloseness, Triangles, Winnowing}
 import graft.streaming.{BudgetAdmission, EventStream, IncrementalClusters, NearDupIndex, RateMonitor, SemanticDedupScreen, StatefulSessions, VersionedStore}
 
 /** Training-data-pipeline operators (SURVEY §7.2.8) as driver-contract
@@ -8785,6 +8785,36 @@ object TrainQueries {
     Audio.decodeWavFeatures(media, frame = 100).toDF().orderBy("doc_id")
   }
 
+  /** Real video decode + scene-change detection (q284,
+    * [[graft.ops.Video]]): every document becomes a genuine YUV4MPEG2
+    * clip — varied dims/frame counts, a planted scene cut at frame
+    * ⌊n/2⌋ on 3 of 4 docs (every 4th is single-scene, so the no-cut
+    * path is exercised too) — and the real decoder (ASCII tagged
+    * header, C444 plane layout, per-frame FRAME markers) reduces the
+    * per-frame luma series, the brightest-frame argmax, and the
+    * division-free mean-luma cut rule |ΔYsum| > 48·w·h in ONE
+    * scan-local pass: any clip length emits one typed row, payloads
+    * never shuffle. Y4M is uncompressed, so decoded planes are the
+    * cross-engine contract — the oracle recomputes every byte from the
+    * closed-form plane rule and replays the cut rule with LAG.
+    */
+  private def qY4mScenes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val media = t(s, dir, "documents")
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .map { id =>
+        val (w, h) = ((4 + id % 3).toInt, (3 + id % 2).toInt)
+        val nf = (6 + id % 5).toInt
+        val cut = if (id % 4 == 0) -1 else nf / 2
+        Multimodal.MediaRecord(id, Video.encodeY4m(id, w, h, nf, cut),
+          "y4m")
+      }
+    Video.decodeY4mFeatures(media, cutMeanDelta = 48).toDF()
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -9061,7 +9091,8 @@ object TrainQueries {
     "q280_raster_clusters" -> (qRasterClusters _),
     "q281_stream_semantic_grow" -> (qStreamSemanticDedupGrow _),
     "q282_stream_drift_gate" -> (qStreamDriftGate _),
-    "q283_wav_decode" -> (qWavDecode _))
+    "q283_wav_decode" -> (qWavDecode _),
+    "q284_y4m_scenes" -> (qY4mScenes _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -14170,6 +14201,54 @@ object TrainQueries {
              CAST(p.f AS BIGINT) AS peak_frame_idx,
              p.energy AS peak_frame_energy
          FROM agg a JOIN pk p ON a.doc_id = p.doc_id AND p.rn = 1
+         ORDER BY a.doc_id""",
+    // q284: every decoded plane byte recomputed from the generation
+    // rule (id·31 + 5f + k) mod 96 (+160 from the cut frame on), the
+    // Y-plane restricted to k < w·h, the cut rule replayed with LAG,
+    // brightest frame via ROW_NUMBER(ysum DESC, f) — the decoder's
+    // strict-> tie rule.
+    "q284_y4m_scenes" ->
+      """WITH dims AS (SELECT doc_id, 4 + doc_id % 3 AS w,
+             3 + doc_id % 2 AS h, 6 + doc_id % 5 AS nf,
+             CASE WHEN doc_id % 4 = 0 THEN -1
+               ELSE (6 + doc_id % 5) // 2 END AS cut
+           FROM documents),
+         fr AS (SELECT doc_id, w, h, nf, cut, unnest(range(0, nf)) AS f
+           FROM dims),
+         px AS (SELECT doc_id, w, h, nf, cut, f,
+             unnest(range(0, 3 * w * h)) AS k
+           FROM fr),
+         v AS (SELECT doc_id, w, h, nf, cut, f, k,
+             (doc_id * 31 + 5 * f + k) % 96
+               + CASE WHEN cut >= 0 AND f >= cut THEN 160 ELSE 0 END
+               AS val
+           FROM px),
+         ys AS (SELECT doc_id, w, h, nf, f,
+             CAST(SUM(CASE WHEN k < w * h THEN val ELSE 0 END) AS BIGINT)
+               AS ysum,
+             CAST(SUM(val) AS BIGINT) AS allsum
+           FROM v GROUP BY 1, 2, 3, 4, 5),
+         lagd AS (SELECT doc_id, w, h, nf, f, ysum, allsum,
+             LAG(ysum) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+           FROM ys),
+         mx AS (SELECT doc_id, f, ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY ysum DESC, f) AS rn
+           FROM ys),
+         agg AS (SELECT doc_id, MAX(w) AS w, MAX(h) AS h, MAX(nf) AS nf,
+             SUM(allsum) AS y_total,
+             CAST(SUM(CASE WHEN prev IS NOT NULL
+                 AND ABS(ysum - prev) > 48 * w * h
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+             COALESCE(MIN(CASE WHEN prev IS NOT NULL
+                 AND ABS(ysum - prev) > 48 * w * h
+               THEN f END), -1) AS cut_frame
+           FROM lagd GROUP BY 1)
+         SELECT a.doc_id, CAST(a.w AS BIGINT) AS width,
+             CAST(a.h AS BIGINT) AS height, CAST(a.nf AS BIGINT) AS n_frames,
+             CAST(a.y_total AS BIGINT) AS y_total,
+             CAST(m.f AS BIGINT) AS max_y_frame, a.n_cuts,
+             CAST(a.cut_frame AS BIGINT) AS cut_frame
+         FROM agg a JOIN mx m ON a.doc_id = m.doc_id AND m.rn = 1
          ORDER BY a.doc_id""")
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
