@@ -8815,6 +8815,55 @@ object TrainQueries {
       .orderBy("doc_id")
   }
 
+  /** Markup extraction — the crawl→text step (q285,
+    * [[TextFns.stripMarkup]]): every document renders as a
+    * deterministic HTML page (DOCTYPE + comment + head with title and
+    * style + body script + the text with every len%3==0 word
+    * bold-wrapped and every len%4==0 word followed by an `&#32;`
+    * entity), and the extraction chain — comments, head, script/style
+    * WITH content, tags, entity decode, whitespace collapse — must
+    * recover the original text EXACTLY. Every 10th doc plants leaked
+    * boilerplate (a footer inside body), which tag-stripping correctly
+    * KEEPS as text — those docs report clean = false, proving the
+    * equality check is live. Both the page construction and the
+    * extraction are pure codegen column expressions (transform +
+    * ordered regexp_replace chain, no UDF); the oracle replays both
+    * verbatim.
+    */
+  private def qHtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val rendered = expr(
+      """array_join(transform(split(text, ' '), w -> concat(
+        |  CASE WHEN length(w) % 3 = 0 THEN concat('<b>', w, '</b>')
+        |    ELSE w END,
+        |  CASE WHEN length(w) % 4 = 0 THEN '&#32;' ELSE ' ' END)), '')"""
+        .stripMargin)
+    val html = concat(
+      lit("<!DOCTYPE html><html><!-- graft crawler snapshot -->" +
+        "<head><title>doc "),
+      col("doc_id").cast("string"),
+      lit("</title><style>p { color: #222; }</style></head>" +
+        "<body><script>var doc = "),
+      col("doc_id").cast("string"),
+      lit(";</script><p>"), rendered, lit("</p>"),
+      when(col("doc_id") % 10 === 0,
+        lit("<footer>copyright 2026 example corp</footer>"))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+    t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .withColumn("html", html)
+      .withColumn("extracted", TextFns.stripMarkup(col("html")))
+      .select(col("doc_id"),
+        length(col("html")).cast("long").as("html_len"),
+        length(col("extracted")).cast("long").as("extracted_len"),
+        expr("cast((length(html) - length(replace(html, '<b>', ''))) " +
+          "div 3 as bigint)").as("n_bold"),
+        expr("cast(cast(length(html) - length(extracted) as bigint) " +
+          "* 10000 div length(html) as bigint)").as("markup_bp"),
+        (col("extracted") === col("text")).as("clean"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -9092,7 +9141,8 @@ object TrainQueries {
     "q281_stream_semantic_grow" -> (qStreamSemanticDedupGrow _),
     "q282_stream_drift_gate" -> (qStreamDriftGate _),
     "q283_wav_decode" -> (qWavDecode _),
-    "q284_y4m_scenes" -> (qY4mScenes _))
+    "q284_y4m_scenes" -> (qY4mScenes _),
+    "q285_html_extract" -> (qHtmlExtract _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -14249,7 +14299,55 @@ object TrainQueries {
              CAST(m.f AS BIGINT) AS max_y_frame, a.n_cuts,
              CAST(a.cut_frame AS BIGINT) AS cut_frame
          FROM agg a JOIN mx m ON a.doc_id = m.doc_id AND m.rn = 1
-         ORDER BY a.doc_id""")
+         ORDER BY a.doc_id""",
+    // q285: the page construction AND the extraction chain replayed
+    // verbatim — same element-wise render rules, same ordered
+    // regexp_replace chain (inline (?s) dotall, 'g' global), same
+    // truncating integer division for the markup share.
+    "q285_html_extract" ->
+      """WITH src AS (SELECT doc_id, text,
+             array_to_string(list_transform(string_split(text, ' '),
+               w -> (CASE WHEN length(w) % 3 = 0
+                   THEN '<b>' || w || '</b>' ELSE w END) ||
+                 (CASE WHEN length(w) % 4 = 0 THEN '&#32;'
+                   ELSE ' ' END)), '') AS rendered
+           FROM documents),
+         page AS (SELECT doc_id, text,
+             '<!DOCTYPE html><html><!-- graft crawler snapshot -->'
+               || '<head><title>doc ' || doc_id
+               || '</title><style>p { color: #222; }</style></head>'
+               || '<body><script>var doc = ' || doc_id
+               || ';</script><p>' || rendered || '</p>'
+               || CASE WHEN doc_id % 10 = 0
+                 THEN '<footer>copyright 2026 example corp</footer>'
+                 ELSE '' END
+               || '</body></html>' AS html
+           FROM src),
+         ext AS (SELECT doc_id, text, html,
+             trim(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 html,
+                 '(?s)<!--.*?-->', '', 'g'),
+                 '(?s)<head>.*?</head>', '', 'g'),
+                 '(?s)<script[^>]*>.*?</script>', '', 'g'),
+                 '(?s)<style[^>]*>.*?</style>', '', 'g'),
+                 '<[^>]*>', ' ', 'g'),
+                 '&#32;', ' ', 'g'),
+                 '&lt;', '<', 'g'),
+                 '&gt;', '>', 'g'),
+                 '&amp;', '&', 'g'),
+               '\s+', ' ', 'g')) AS extracted
+           FROM page)
+         SELECT doc_id, CAST(length(html) AS BIGINT) AS html_len,
+             CAST(length(extracted) AS BIGINT) AS extracted_len,
+             CAST((length(html) - length(replace(html, '<b>', ''))) // 3
+               AS BIGINT) AS n_bold,
+             CAST(CAST(length(html) - length(extracted) AS BIGINT)
+               * 10000 // CAST(length(html) AS BIGINT) AS BIGINT)
+               AS markup_bp,
+             extracted = text AS clean
+         FROM ext ORDER BY doc_id""")
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized

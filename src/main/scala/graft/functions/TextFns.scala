@@ -260,4 +260,31 @@ object TextFns {
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
     regexp_replace(email, "\\+?[0-9][0-9()\\-\\s.]{6,}[0-9]", "<PHONE>")
   }
+
+  /** Markup extraction — the crawl→text step (the Common Crawl
+    * WARC→WET shape): strip comments, the whole head block, script and
+    * style elements WITH their content (tag-stripping alone would leak
+    * JS/CSS into training text), then every remaining tag; decode the
+    * core character entities; collapse whitespace runs. An ordered
+    * scan-local `regexp_replace` chain, fully inside whole-stage
+    * codegen (no UDF, no parser state) — patterns are lookaround-free
+    * and use inline `(?s)` so the same regex runs identically under
+    * Java (Spark) and RE2-class engines (the oracle replays the chain
+    * verbatim). Entity decode order matters: `&amp;` is decoded LAST,
+    * the classic rule that keeps `&amp;#32;` from double-decoding.
+    */
+  def stripMarkup(html: Column): Column = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", "")
+    val noHead = regexp_replace(noComment, "(?s)<head>.*?</head>", "")
+    val noScript = regexp_replace(noHead,
+      "(?s)<script[^>]*>.*?</script>", "")
+    val noStyle = regexp_replace(noScript,
+      "(?s)<style[^>]*>.*?</style>", "")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val sp32 = regexp_replace(noTags, "&#32;", " ")
+    val lt = regexp_replace(sp32, "&lt;", "<")
+    val gt = regexp_replace(lt, "&gt;", ">")
+    val amp = regexp_replace(gt, "&amp;", "&")
+    trim(regexp_replace(amp, "\\s+", " "))
+  }
 }

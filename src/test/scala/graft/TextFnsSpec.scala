@@ -123,4 +123,26 @@ class TextFnsSpec extends AnyFunSuite {
       .select(TextFns.maskDigits(col("s")).as("m")).head().getString(0)
     assert(got === "Customer##########")
   }
+
+  test("stripMarkup: comments/head/script/style removed WITH content, " +
+      "tags stripped, entities decoded, whitespace collapsed") {
+    import spark.implicits._
+    def strip(html: String): String =
+      Seq((html, 0)).toDF("h", "x")
+        .select(TextFns.stripMarkup(col("h")).as("t")).head().getString(0)
+    assert(strip("<!DOCTYPE html><html><!-- note --><head><title>T" +
+      "</title></head><body><script>var x = '<p>';</script>" +
+      "<style>p{}</style><p>hello <b>world</b></p></body></html>")
+      === "hello world")
+    // content INSIDE script/style never leaks (tag-strip alone would)
+    assert(strip("<body><script>leak1</script><style>leak2</style>a</body>")
+      === "a")
+    // multi-line blocks: (?s) dotall really applies
+    assert(strip("<head>\nx\ny\n</head><p>k</p>") === "k")
+    // entity decode, &amp; last so &amp;#32; cannot double-decode
+    assert(strip("a&#32;b &lt;tag&gt; c &amp;#32; d")
+      === "a b <tag> c &#32; d")
+    // adjacent blocks don't glue words together (tags become spaces)
+    assert(strip("<p>one</p><p>two</p>") === "one two")
+  }
 }
