@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.expressions.LongDot
 import graft.functions.{QuantizedCentroid, TextFns, TopK}
-import graft.ops.{Audio, Video, Bfs, Blooms, Bpe, Cardinality, CharLm, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, Drift, Dsir, FreqSketch, FuzzyJoin, GapFill, JoinEstimate, KCenter, KCore, KMeans, Mixing, ModelStore, Multimodal, NearDup, Nested, Packing, PageRank, ParagraphDedup, Paths, Percentiles, PhraseExcise, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, Sharding, SetSimJoin, Similarity, Skyline, Snm, SpanDedup, TableDiff, TCloseness, Triangles, Winnowing}
+import graft.ops.{Audio, Video, Bfs, Blooms, Bpe, Cardinality, CharLm, Classifier, Cogrouped, Contamination, Dedup, DedupClusters, DenseId, Drift, Dsir, FreqSketch, FuzzyJoin, GapFill, JoinEstimate, KCenter, KCore, KMeans, Mixing, ModelStore, Multimodal, NearDup, Nested, Packing, PageRank, ParagraphDedup, Paths, Percentiles, PhraseExcise, ProductQuant, Salting, Sampling, Scd, Selection, Sessionize, Sharding, SetSimJoin, Similarity, Skyline, Snm, SpanDedup, TableDiff, TCloseness, Triangles, Winnowing}
 import graft.streaming.{BudgetAdmission, EventStream, IncrementalClusters, NearDupIndex, RateMonitor, SemanticDedupScreen, StatefulSessions, VersionedStore}
 
 /** Training-data-pipeline operators (SURVEY §7.2.8) as driver-contract
@@ -8864,6 +8864,90 @@ object TrainQueries {
       .orderBy("doc_id")
   }
 
+  /** The planted quality-labeled corpus for q286 (the q278 planted-
+    * marker discipline on the quality axis): label = good iff
+    * doc_id % 3 ≠ 0 (a realistic 2:1 imbalance — the smoothed-ratio
+    * normalization is exercised, a raw-count vote would skew good);
+    * each doc carries 3–4 of its class's 5 marker tokens (present iff
+    * (doc_id + i) % 3 ≠ 0) plus occasional markers of the OTHER class
+    * as noise (iff (doc_id + 2i) % 7 = 0, ~14 %) under the shared
+    * corpus vocabulary that lands in BOTH classes at near-equal rates
+    * (and so must earn no vote). Closed-form, replayed verbatim by the
+    * oracle.
+    */
+  private def qualityMarkedDocs(s: SparkSession, dir: String): DataFrame = {
+    val good = Seq("citation", "reference", "paragraph", "summary",
+      "bibliography")
+    val bad = Seq("cheap", "click", "winner", "casino", "pills")
+    def arm(ws: Seq[String]) =
+      ws.map(TextFns.sqlLit).mkString("array(", ", ", ")")
+    val own = s"CASE WHEN doc_id % 3 <> 0 THEN ${arm(good)} " +
+      s"ELSE ${arm(bad)} END"
+    val other = s"CASE WHEN doc_id % 3 <> 0 THEN ${arm(bad)} " +
+      s"ELSE ${arm(good)} END"
+    t(s, dir, "documents")
+      .withColumn("label_good", col("doc_id") % 3 =!= 0)
+      .withColumn("__toks", expr(
+        s"""filter(concat(
+           |  filter(transform(sequence(0, 4),
+           |    i -> CASE WHEN (doc_id + i) % 3 <> 0
+           |         THEN element_at($own, cast(i + 1 as int)) END),
+           |    x -> x is not null),
+           |  filter(transform(sequence(0, 4),
+           |    i -> CASE WHEN (doc_id + i * 2) % 7 = 0
+           |         THEN element_at($other, cast(i + 1 as int)) END),
+           |    x -> x is not null),
+           |  split(text, ' ')), t -> t <> '')""".stripMargin))
+      .select(col("doc_id").cast("long").as("doc_id"), col("label_good"),
+        col("__toks"))
+  }
+
+  private val qualityModelCache = scala.collection.mutable.Map
+    .empty[(String, String), String]
+
+  /** Stored quality-classifier model (q286): token votes TRAINED on
+    * the labeled split (doc_id % 10 ≠ 0) via
+    * [[Classifier.trainTokenVotes]] and persisted once per (session,
+    * corpus) — the artifact a 100 TB scoring pass broadcasts.
+    */
+  private def qualityModelPath(s: SparkSession, dir: String): String =
+    sessionFixture(qualityModelCache, s, dir) {
+      val tr = qualityMarkedDocs(s, dir).filter(col("doc_id") % 10 =!= 0)
+      val votes = Classifier.trainTokenVotes(tr, "__toks", "label_good")
+      val tag = (s.sparkContext.applicationId + "_" + dir)
+        .replaceAll("[^a-zA-Z0-9]", "_")
+      val path = graft.Scratch.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_qclf_$tag")
+      votes.coalesce(1).write.mode("overwrite").parquet(path)
+      path
+    }
+
+  /** Trained quality classifier (q286, [[graft.ops.Classifier]]): the
+    * CCNet/fastText-class seed-labeled quality filter as a full
+    * train → store → score chain — exact-integer Naive-Bayes token
+    * votes (Laplace-smoothed class-conditional rates compared
+    * cross-multiplied, ±1 only at ≥ 2× imbalance, the shared
+    * vocabulary earning NO vote and leaving the model — what keeps the
+    * stored artifact metadata-sized), persisted as a parquet model
+    * table, then BROADCAST onto the held-out scan (doc_id % 10 = 0):
+    * explode + broadcast lookup + one doc-keyed partial agg. Verdict =
+    * vote sum > 0, ties reject. 50/50 held-out docs correct at sf0.01
+    * despite the 2:1 class imbalance and the ~14 % cross-class noise
+    * markers. The oracle retrains in SQL from the same closed-form
+    * plants, so green proves stored ≡ inline through the parquet
+    * roundtrip (the q278 discipline on the quality axis).
+    */
+  private def qQualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val votes = s.read.parquet(qualityModelPath(s, dir))
+    val test = qualityMarkedDocs(s, dir).filter(col("doc_id") % 10 === 0)
+    Classifier.scoreTokenVotes(test, votes, "doc_id", "__toks")
+      .join(test.select("doc_id", "label_good"), "doc_id")
+      .select(col("doc_id"), col("label_good"), col("score"),
+        col("pred_pos").as("pred_good"),
+        (col("pred_pos") === col("label_good")).as("correct"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -9142,7 +9226,8 @@ object TrainQueries {
     "q282_stream_drift_gate" -> (qStreamDriftGate _),
     "q283_wav_decode" -> (qWavDecode _),
     "q284_y4m_scenes" -> (qY4mScenes _),
-    "q285_html_extract" -> (qHtmlExtract _))
+    "q285_html_extract" -> (qHtmlExtract _),
+    "q286_quality_classifier" -> (qQualityClassifier _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -14347,7 +14432,55 @@ object TrainQueries {
                * 10000 // CAST(length(html) AS BIGINT) AS BIGINT)
                AS markup_bp,
              extracted = text AS clean
-         FROM ext ORDER BY doc_id""")
+         FROM ext ORDER BY doc_id""",
+    // q286: the oracle RETRAINS the token-vote model in SQL from the
+    // same closed-form plants — identical smoothed cross-multiplied
+    // vote rule, identical occurrence scoring — so stored-model
+    // scoring ≡ inline-trained scoring through the parquet roundtrip.
+    "q286_quality_classifier" ->
+      """WITH mk(i, pos, tok) AS (VALUES
+             (0, TRUE, 'citation'), (1, TRUE, 'reference'),
+             (2, TRUE, 'paragraph'), (3, TRUE, 'summary'),
+             (4, TRUE, 'bibliography'),
+             (0, FALSE, 'cheap'), (1, FALSE, 'click'),
+             (2, FALSE, 'winner'), (3, FALSE, 'casino'),
+             (4, FALSE, 'pills')),
+         lab AS (SELECT doc_id, text, doc_id % 3 <> 0 AS pos
+           FROM documents),
+         own AS (SELECT l.doc_id, m.tok FROM lab l JOIN mk m
+           ON m.pos = l.pos AND (l.doc_id + m.i) % 3 <> 0),
+         noise AS (SELECT l.doc_id, m.tok FROM lab l JOIN mk m
+           ON m.pos <> l.pos AND (l.doc_id + m.i * 2) % 7 = 0),
+         toks AS (SELECT doc_id, tok FROM own
+           UNION ALL SELECT doc_id, tok FROM noise
+           UNION ALL SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+           FROM lab),
+         tr AS (SELECT t.doc_id, t.tok, l.pos FROM toks t
+           JOIN lab l USING (doc_id) WHERE t.doc_id % 10 <> 0),
+         counts AS (SELECT tok,
+             CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+             CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+           FROM tr GROUP BY 1),
+         tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS np,
+             CAST(SUM(cn) AS BIGINT) AS nn, COUNT(*) AS v FROM counts),
+         votes AS (SELECT tok,
+             CASE WHEN (cp + 1) * (nn + v) > 2 * (cn + 1) * (np + v)
+                 THEN 1
+               WHEN (cn + 1) * (np + v) > 2 * (cp + 1) * (nn + v)
+                 THEN -1
+               ELSE 0 END AS vote
+           FROM counts, tot),
+         te AS (SELECT doc_id, tok FROM toks WHERE doc_id % 10 = 0),
+         sc AS (SELECT te.doc_id,
+             CAST(SUM(COALESCE(v.vote, 0)) AS BIGINT) AS score
+           FROM te LEFT JOIN votes v ON te.tok = v.tok AND v.vote <> 0
+           GROUP BY 1)
+         SELECT s.doc_id, l.pos AS label_good, s.score,
+             s.score > 0 AS pred_good,
+             (s.score > 0) = l.pos AS correct
+         FROM sc s JOIN lab l USING (doc_id)
+         ORDER BY s.doc_id""")
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized
