@@ -8948,6 +8948,45 @@ object TrainQueries {
       .orderBy("doc_id")
   }
 
+  /** Cross-modal pair alignment — the CLIP-score filter (q287): the
+    * LAION-class step AFTER pair dedup (q277 dedups the pairs, this
+    * screens whether image and caption BELONG together): per (image,
+    * caption) pair the integer-quantized cosine between the two
+    * modality embeddings, keep at ≥ 0.9 — a mislabeled pair (crawler
+    * attached the wrong alt-text) scores at the corpus's random-pair
+    * cosine level (~p99.9 ≈ 0.3, the q273 threshold note) and drops.
+    * The fixture plants the mislabeling: every 13th pair's caption
+    * embedding comes from the NEXT document (closed-form, inner-join
+    * dropping the edge), aligned pairs carry their own. One 1:1 hash
+    * join materializes the fixture's caption side (a production pairs
+    * table carries both embedding columns already — zero joins there);
+    * the cosine is the codegen'd [[graft.expressions.LongDot]] per
+    * pair, zero-norm vectors excluded on both sides (no cosine
+    * direction — the q28 rule). Oracle replays the exact quantized
+    * arithmetic.
+    */
+  private def qPairAlignment(s: SparkSession, dir: String): DataFrame = {
+    val base = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
+      .filter(col("qn") > 0)
+      .select(col("vec_id").cast("long").as("vec_id"), col("qv"),
+        col("qn"))
+    val img = base
+      .select(col("vec_id").as("pair_id"), col("qv").as("__qvi"),
+        col("qn").as("__qni"))
+      .withColumn("cap_src",
+        when(col("pair_id") % 13 === 0, col("pair_id") + 1)
+          .otherwise(col("pair_id")))
+    val cap = base.select(col("vec_id").as("cap_src"),
+      col("qv").as("__qvc"), col("qn").as("__qnc"))
+    img.join(cap, "cap_src")
+      .withColumn("alignment", Similarity.cosine(col("__qvi"),
+        col("__qvc"), col("__qni"), col("__qnc")))
+      .select(col("pair_id"), col("cap_src"),
+        (col("cap_src") =!= col("pair_id")).as("swapped"),
+        col("alignment"), (col("alignment") >= 0.9).as("kept"))
+      .orderBy("pair_id")
+  }
+
   // ---------------------------------------------------------------------
   // Contract maps
   // ---------------------------------------------------------------------
@@ -9227,7 +9266,8 @@ object TrainQueries {
     "q283_wav_decode" -> (qWavDecode _),
     "q284_y4m_scenes" -> (qY4mScenes _),
     "q285_html_extract" -> (qHtmlExtract _),
-    "q286_quality_classifier" -> (qQualityClassifier _))
+    "q286_quality_classifier" -> (qQualityClassifier _),
+    "q287_pair_alignment" -> (qPairAlignment _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -14480,7 +14520,28 @@ object TrainQueries {
              s.score > 0 AS pred_good,
              (s.score > 0) = l.pos AS correct
          FROM sc s JOIN lab l USING (doc_id)
-         ORDER BY s.doc_id""")
+         ORDER BY s.doc_id""",
+    // q287: the quantized-cosine arithmetic replayed exactly (shared
+    // quantCte), the swap plant closed-form, zero-norm exclusion via
+    // the nrm joins on BOTH pair sides.
+    "q287_pair_alignment" ->
+      s"""WITH $quantCte,
+         pr AS (SELECT n.vec_id AS pair_id,
+             CASE WHEN n.vec_id % 13 = 0 THEN n.vec_id + 1
+               ELSE n.vec_id END AS cap_src
+           FROM nrm n),
+         d AS (SELECT p.pair_id, p.cap_src, SUM(a.x * b.x) AS dot
+           FROM pr p JOIN q a ON a.vec_id = p.pair_id
+             JOIN q b ON b.vec_id = p.cap_src AND a.i = b.i
+           GROUP BY 1, 2),
+         sm AS (SELECT d.pair_id, d.cap_src,
+             CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
+               * sqrt(CAST(nb.nn AS DOUBLE))) AS alignment
+           FROM d JOIN nrm na ON d.pair_id = na.vec_id
+                  JOIN nrm nb ON d.cap_src = nb.vec_id)
+         SELECT pair_id, cap_src, cap_src <> pair_id AS swapped,
+             alignment, alignment >= 0.9 AS kept
+         FROM sm ORDER BY pair_id""")
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized

@@ -156,4 +156,25 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = r.getAs[Double]("flag_recall")
     assert(recall >= 0.0 && recall <= 1.0)
   }
+
+  test("pair alignment: an aligned pair scores 1, a swapped caption " +
+      "from an orthogonal doc drops below any sane threshold") {
+    val p = Similarity.prepare(vecs, "embedding")
+      .select(col("vec_id"), col("qv"), col("qn"))
+    // pair 0 aligned (caption = own embedding); pair 2's caption
+    // embedding swapped to doc 3's (orthogonal-to-2's image)
+    val img = p.select(col("vec_id").as("pair_id"),
+        col("qv").as("qa"), col("qn").as("na"))
+      .withColumn("cap_src",
+        when(col("pair_id") === 2L, 3L).otherwise(col("pair_id")))
+    val cap = p.select(col("vec_id").as("cap_src"),
+      col("qv").as("qb"), col("qn").as("nb"))
+    val got = img.join(cap, "cap_src")
+      .withColumn("alignment", Similarity.cosine(col("qa"), col("qb"),
+        col("na"), col("nb")))
+      .collect().map(r => r.getAs[Long]("pair_id")
+        -> r.getAs[Double]("alignment")).toMap
+    assert(got(0L) >= 0.999999)
+    assert(math.abs(got(2L)) < 0.01) // orthogonal caption: no alignment
+  }
 }
