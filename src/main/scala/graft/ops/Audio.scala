@@ -193,4 +193,104 @@ object Audio {
     media.mapPartitions(_.map(r => decodeWav(r.doc_id,
       if (r.payload == null) Array.emptyByteArray else r.payload, frame)))
   }
+
+  // ------------------------------------------------------------------
+  // Resample-robust near-dup fingerprinting (the E187/E246 raster
+  // discipline on the time axis): container bytes and even SAMPLES are
+  // encoder-private across resamplings — the amplitude ENVELOPE is the
+  // audio. Fingerprint the envelope of the DECODED samples, never the
+  // bytes, and the same recording at a different sample rate lands a
+  // few bits away while a different recording lands far.
+  // ------------------------------------------------------------------
+
+  /** The amplitude-modulated sawtooth: the q290 fixture's "recording" —
+    * the raw sawtooth ([[sawtoothSample]]) scaled by a per-document
+    * 30-segment gain pattern g = 1 + (seed + seg·(seed mod 7 + 2)) mod 8
+    * over 8, integer-truncating — closed-form, so any engine recomputes
+    * every sample, and segment index j·30/n is POSITION-relative, so a
+    * resample maps each sample into the same segment.
+    */
+  def modulatedSample(seed: Long, j: Long, n: Long): Int = {
+    val seg = j * 30 / n
+    val gain = 1 + (seed + seg * (seed % 7 + 2)) % 8
+    (sawtoothSample(seed, j).toLong * gain / 8).toInt
+  }
+
+  /** Encode arbitrary PCM16 samples as a RIFF/WAVE file (the generic
+    * seam [[encodeWav]]'s sawtooth path rides; q290 uses it for the
+    * half-rate resample leg).
+    */
+  def encodeWavSamples(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    require(samples.nonEmpty && sampleRate >= 1,
+      s"bad wav params: n=${samples.length} rate=$sampleRate")
+    val dataBytes = samples.length * 2
+    val out = new Array[Byte](12 + 24 + 8 + dataBytes)
+    putAscii(out, 0, "RIFF")
+    putLe32(out, 4, (out.length - 8).toLong)
+    putAscii(out, 8, "WAVE")
+    putAscii(out, 12, "fmt ")
+    putLe32(out, 16, 16L)
+    putLe16(out, 20, 1)
+    putLe16(out, 22, 1)
+    putLe32(out, 24, sampleRate.toLong)
+    putLe32(out, 28, sampleRate.toLong * 2)
+    putLe16(out, 32, 2)
+    putLe16(out, 34, 16)
+    putAscii(out, 36, "data")
+    putLe32(out, 40, dataBytes.toLong)
+    var j = 0
+    while (j < samples.length) {
+      putLe16(out, 44 + 2 * j, samples(j) & 0xffff)
+      j += 1
+    }
+    out
+  }
+
+  /** 60-bit amplitude-envelope fingerprint of a DECODED wav: |sample j|
+    * lands in bin ⌊j·60/n⌋, bit b set iff bin_b·60 > total (the
+    * division-free blockhash rule on the time axis). Bins are
+    * POSITION-relative, so a resampled copy of the same recording
+    * produces near-identical bins (each bin just holds every k-th
+    * sample of the same envelope region) — measured on the q290
+    * fixture: ≤ 4 bits across a 2× resample, ≥ 17 bits between
+    * different recordings, gates at 8 (`AudioFingerprintSpec`).
+    * Scan-local one-pass like every codec here.
+    */
+  def envelopeHash(docId: Long, bytes: Array[Byte]): Long = {
+    // reuse the real chunk walk: features are not needed, samples are —
+    // parse locations via decodeWav's validations, then one pass
+    require(bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" &&
+      fourcc(bytes, 8) == "WAVE", s"doc $docId: not a RIFF/WAVE file")
+    var dataOff = -1
+    var dataLen = -1
+    var i = 12
+    while (i + 8 <= bytes.length) {
+      val id = fourcc(bytes, i)
+      val size = le32(bytes, i + 4).toInt
+      require(i + 8 + size <= bytes.length,
+        s"doc $docId: chunk $id overruns the file")
+      if (id == "data") { dataOff = i + 8; dataLen = size }
+      i += 8 + size + (size & 1)
+    }
+    require(dataOff >= 0 && dataLen % 2 == 0,
+      s"doc $docId: no valid data chunk")
+    val n = dataLen / 2
+    require(n >= 1, s"doc $docId: empty wav")
+    val bins = new Array[Long](60)
+    var total = 0L
+    var j = 0
+    while (j < n) {
+      val a = math.abs(le16(bytes, dataOff + 2 * j).toShort.toInt).toLong
+      bins(((j.toLong * 60) / n).toInt) += a
+      total += a
+      j += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 60) {
+      if (bins(b) * 60 > total) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
 }

@@ -31,19 +31,33 @@ import org.apache.spark.sql.functions._
   */
 object Classifier {
 
-  /** Train the token-vote model: `labeled` needs (`docIdCol`, tokens
-    * array column `toksCol`, boolean `labelCol` — true = positive
-    * class). Returns (token, vote) rows, vote ∈ {+1, −1}, zero-vote
-    * tokens dropped.
+  /** The model's SUFFICIENT STATISTICS: per-token class-conditional
+    * occurrence counts. Additive by construction — which is what makes
+    * the classifier incrementally maintainable: an arriving labeled
+    * batch's counts MERGE into the stored table by plain summation
+    * (`mergeCounts`), and the refreshed votes are identical to a full
+    * retrain, without ever re-scanning the base corpus.
     */
-  def trainTokenVotes(labeled: DataFrame, toksCol: String,
-      labelCol: String, margin: Int = 2): DataFrame = {
-    require(margin >= 1, s"margin must be >= 1: $margin")
-    val occ = labeled.select(col(labelCol).as("__pos"),
-      explode(col(toksCol)).as("token"))
-    val counts = occ.groupBy("token")
+  def tokenCounts(labeled: DataFrame, toksCol: String,
+      labelCol: String): DataFrame =
+    labeled.select(col(labelCol).as("__pos"),
+        explode(col(toksCol)).as("token"))
+      .groupBy("token")
       .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("cnt_p"),
         sum(when(col("__pos"), 0L).otherwise(1L)).as("cnt_n"))
+
+  /** Merge two counts tables (stored + arriving batch): one union +
+    * one token-keyed partial agg over batch-sized + model-sized rows.
+    */
+  def mergeCounts(stored: DataFrame, batch: DataFrame): DataFrame =
+    stored.select("token", "cnt_p", "cnt_n")
+      .union(batch.select("token", "cnt_p", "cnt_n"))
+      .groupBy("token")
+      .agg(sum("cnt_p").as("cnt_p"), sum("cnt_n").as("cnt_n"))
+
+  /** Derive the vote model from a counts table. */
+  def votesFromCounts(counts: DataFrame, margin: Int = 2): DataFrame = {
+    require(margin >= 1, s"margin must be >= 1: $margin")
     // class totals + vocabulary size: one metadata-sized row, folded in
     // as literals (the model-store discipline — no driver-side loops)
     val t = counts.agg(sum("cnt_p").as("np"), sum("cnt_n").as("nn"),
@@ -59,6 +73,15 @@ object Classifier {
       .filter(col("vote") =!= 0)
       .select(col("token"), col("vote").cast("long").as("vote"))
   }
+
+  /** Train the token-vote model: `labeled` needs (`docIdCol`, tokens
+    * array column `toksCol`, boolean `labelCol` — true = positive
+    * class). Returns (token, vote) rows, vote ∈ {+1, −1}, zero-vote
+    * tokens dropped.
+    */
+  def trainTokenVotes(labeled: DataFrame, toksCol: String,
+      labelCol: String, margin: Int = 2): DataFrame =
+    votesFromCounts(tokenCounts(labeled, toksCol, labelCol), margin)
 
   /** Score documents against a stored vote model: per doc the sum of
     * its token OCCURRENCES' votes (a repeated spam token votes each

@@ -71,6 +71,22 @@ class ClassifierSpec extends AnyFunSuite {
     assert(got.getLong(1) === -1L) // 2 - 3
   }
 
+  test("counts are additive: stored-base + batch merge trains the " +
+      "identical model to a from-scratch retrain") {
+    val s = spark
+    import s.implicits._
+    val all = labeled
+    val base = all.filter(col("doc_id") <= 4L)
+    val batch = all.filter(col("doc_id") > 4L)
+    val merged = Classifier.votesFromCounts(Classifier.mergeCounts(
+      Classifier.tokenCounts(base, "toks", "label_good"),
+      Classifier.tokenCounts(batch, "toks", "label_good")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = Classifier.trainTokenVotes(all, "toks", "label_good")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === full)
+  }
+
   test("class imbalance alone creates no spurious votes") {
     val s = spark
     import s.implicits._
