@@ -242,8 +242,8 @@ object TrainQueries {
     * split, so one SQL retrain gates both (the q103/q276
     * incremental≡batch shared-oracle discipline).
     */
-  private val qualityClassifierOracle =
-    """WITH mk(i, pos, tok) AS (VALUES
+  private val qualityClassifierCtes =
+    """mk(i, pos, tok) AS (VALUES
       |    (0, TRUE, 'citation'), (1, TRUE, 'reference'),
       |    (2, TRUE, 'paragraph'), (3, TRUE, 'summary'),
       |    (4, TRUE, 'bibliography'),
@@ -280,12 +280,15 @@ object TrainQueries {
       |sc AS (SELECT te.doc_id,
       |    CAST(SUM(COALESCE(v.vote, 0)) AS BIGINT) AS score
       |  FROM te LEFT JOIN votes v ON te.tok = v.tok AND v.vote <> 0
-      |  GROUP BY 1)
-      |SELECT s.doc_id, l.pos AS label_good, s.score,
-      |    s.score > 0 AS pred_good,
-      |    (s.score > 0) = l.pos AS correct
-      |FROM sc s JOIN lab l USING (doc_id)
-      |ORDER BY s.doc_id""".stripMargin
+      |  GROUP BY 1)""".stripMargin
+
+  private val qualityClassifierOracle =
+    s"""WITH $qualityClassifierCtes
+       |SELECT s.doc_id, l.pos AS label_good, s.score,
+       |    s.score > 0 AS pred_good,
+       |    (s.score > 0) = l.pos AS correct
+       |FROM sc s JOIN lab l USING (doc_id)
+       |ORDER BY s.doc_id""".stripMargin
 
   /** q51's oracle: exact top-3, LSH top-3, and IVF top-3 all recomputed
     * in SQL (the q28/q29/q37 constructions on the vec_id < 50 query
@@ -9052,6 +9055,46 @@ object TrainQueries {
       .orderBy("doc_id")
   }
 
+  /** Classifier calibration sweep (q291): no gate ships with a
+    * hardcoded operating point — the threshold is CHOSEN from this
+    * table (the q192 (b,r)-tuning discipline on the classifier axis):
+    * per integer threshold t ∈ [−2, 2] the held-out confusion counts
+    * for verdict = score > t, with precision/recall in exact truncated
+    * bp. Scoring happens ONCE (the stored q286 model, broadcast); the
+    * 5-row threshold table joins onto the scored docs and one partial
+    * agg produces the sweep — sweeping costs one extra metadata-sized
+    * join, never a rescore. The oracle re-derives the scores from the
+    * shared retrain CTEs and replays the same sweep.
+    */
+  private def qClassifierCalibration(s: SparkSession,
+      dir: String): DataFrame = {
+    val votes = s.read.parquet(qualityModelPath(s, dir))
+    val test = qualityMarkedDocs(s, dir).filter(col("doc_id") % 10 === 0)
+    val scored = Classifier.scoreTokenVotes(test, votes, "doc_id",
+        "__toks")
+      .join(test.select("doc_id", "label_good"), "doc_id")
+    val th = s.range(-2, 3).select(col("id").as("threshold"))
+    scored.crossJoin(broadcast(th)) // 5 literal rows — a sweep, not a blowup
+      .withColumn("__pred", col("score") > col("threshold"))
+      .groupBy("threshold")
+      .agg(
+        sum(when(col("__pred") && col("label_good"), 1L).otherwise(0L))
+          .as("n_tp"),
+        sum(when(col("__pred") && !col("label_good"), 1L).otherwise(0L))
+          .as("n_fp"),
+        sum(when(!col("__pred") && col("label_good"), 1L).otherwise(0L))
+          .as("n_fn"),
+        sum(when(!col("__pred") && !col("label_good"), 1L).otherwise(0L))
+          .as("n_tn"))
+      .select(col("threshold"), col("n_tp"), col("n_fp"), col("n_fn"),
+        col("n_tn"),
+        expr("case when n_tp + n_fp = 0 then null " +
+          "else n_tp * 10000 div (n_tp + n_fp) end").as("precision_bp"),
+        expr("case when n_tp + n_fn = 0 then null " +
+          "else n_tp * 10000 div (n_tp + n_fn) end").as("recall_bp"))
+      .orderBy("threshold")
+  }
+
   /** Embedding dimension-truncation recall (q289, the matryoshka
     * budget table): serving infrastructure routinely truncates stored
     * embeddings to a prefix of their dimensions (matryoshka
@@ -9469,7 +9512,8 @@ object TrainQueries {
     "q287_pair_alignment" -> (qPairAlignment _),
     "q288_incr_classifier" -> (qIncrClassifier _),
     "q289_dim_truncation" -> (qDimTruncation _),
-    "q290_audio_neardup" -> (qAudioNearDup _))
+    "q290_audio_neardup" -> (qAudioNearDup _),
+    "q291_classifier_calibration" -> (qClassifierCalibration _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -14800,7 +14844,32 @@ object TrainQueries {
              bit_count(xor(f.fp_full, c.fp_full)) > 8 AS separated
          FROM ffp f JOIN hfp h ON f.doc_id = h.doc_id
               JOIN ffp c ON c.doc_id = f.doc_id + 1
-         ORDER BY f.doc_id""")
+         ORDER BY f.doc_id""",
+    // q291: scores re-derived from the shared retrain CTEs, the same
+    // 5-threshold sweep, truncating bp division, NULL on an empty
+    // precision/recall denominator in both engines.
+    "q291_classifier_calibration" ->
+      s"""WITH $qualityClassifierCtes,
+         th(t) AS (VALUES (-2), (-1), (0), (1), (2)),
+         j AS (SELECT th.t, s.score, l.pos
+           FROM sc s JOIN lab l USING (doc_id), th),
+         cm AS (SELECT t AS threshold,
+             CAST(SUM(CASE WHEN score > t AND pos THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_tp,
+             CAST(SUM(CASE WHEN score > t AND NOT pos THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_fp,
+             CAST(SUM(CASE WHEN score <= t AND pos THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_fn,
+             CAST(SUM(CASE WHEN score <= t AND NOT pos THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_tn
+           FROM j GROUP BY 1)
+         SELECT CAST(threshold AS BIGINT) AS threshold, n_tp, n_fp,
+             n_fn, n_tn,
+             CASE WHEN n_tp + n_fp = 0 THEN NULL
+               ELSE n_tp * 10000 // (n_tp + n_fp) END AS precision_bp,
+             CASE WHEN n_tp + n_fn = 0 THEN NULL
+               ELSE n_tp * 10000 // (n_tp + n_fn) END AS recall_bp
+         FROM cm ORDER BY threshold""")
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized
