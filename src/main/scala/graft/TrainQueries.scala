@@ -9055,6 +9055,127 @@ object TrainQueries {
       .orderBy("doc_id")
   }
 
+  /** Mixed-media router (q292, [[Multimodal.sniffFormat]]): real
+    * crawls arrive format-MIXED with lying Content-Type headers — the
+    * step before any codec is magic-byte sniffing and routing to the
+    * right decoder. The fixture interleaves all five real containers
+    * this engine decodes (P6 ⁄ PNG ⁄ JPEG ⁄ WAV ⁄ Y4M by doc_id % 5);
+    * each payload is sniffed, routed to ITS codec, and reduced to one
+    * typed row: detected format + content units (pixels for rasters,
+    * samples for audio, luma-pixels for video) — all from the REAL
+    * decoders' parsed structure, closed-form replayable (JPEG dims are
+    * exact container structure even though pixels are lossy — the
+    * q264 rule). One mapPartitions pass, every codec instantiated per
+    * partition, payloads never shuffle. A payload failing its sniff
+    * would route to "unknown" and a loud decode failure — sniff-then-
+    * decode never guesses.
+    */
+  private def qMediaRouter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = t(s, dir, "documents")
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .map { id =>
+        val payload = (id % 5) match {
+          case 0 => Multimodal.encodePpm(id, (4 + id % 5).toInt,
+            (3 + id % 4).toInt)
+          case 1 => Multimodal.encodeGradientPng(id, (8 + id % 5).toInt,
+            (6 + id % 3).toInt)
+          case 2 => Multimodal.encodeJpeg(id, (8 + id % 5).toInt,
+            (6 + id % 3).toInt)
+          case 3 => Audio.encodeWav(id, (400 + id % 53).toInt, 8000)
+          case _ => Video.encodeY4m(id, (4 + id % 3).toInt,
+            (3 + id % 2).toInt, (6 + id % 5).toInt, -1)
+        }
+        Multimodal.MediaRecord(id, payload, "mixed")
+      }
+    media.mapPartitions { it =>
+      it.map { r =>
+        val p = if (r.payload == null) Array.emptyByteArray else r.payload
+        val fmt = Multimodal.sniffFormat(p)
+        val units: Long = fmt match {
+          case "ppm" =>
+            val f = Multimodal.decodePpm(r.doc_id, p); f.width * f.height
+          case "png" =>
+            val f = Multimodal.decodePng(r.doc_id, p); f.width * f.height
+          case "jpeg" =>
+            val (w, h, _) = Multimodal.imageRaster(r.doc_id, p)
+            w.toLong * h
+          case "wav" =>
+            Audio.decodeWav(r.doc_id, p, frame = 100).n_samples
+          case "y4m" =>
+            val f = Video.decodeY4m(r.doc_id, p, cutMeanDelta = 48)
+            f.n_frames * f.width * f.height
+          case other => sys.error(s"doc ${r.doc_id}: unroutable $other")
+        }
+        (r.doc_id, fmt, units)
+      }
+    }.toDF("doc_id", "format", "content_units").orderBy("doc_id")
+  }
+
+  private val mediaRouterCache = scala.collection.mutable.Map
+    .empty[(String, String), String]
+
+  /** Staged mixed-media source for the streaming router gate (q293):
+    * the q292 five-format interleave carried as REAL binary payloads
+    * in the staged parquet (the ingest stream ships payloads), with
+    * the planted corruption in exactly the LAST staging batch — every
+    * 7th doc past ⌈2n/3⌉ gets its first magic byte bit-flipped, the
+    * container-rot class a live router gate exists to catch (every
+    * flip lands outside all five magics, spec-checked per format).
+    */
+  private def mediaRouterSrcPath(s: SparkSession, dir: String): String =
+    sessionFixture(mediaRouterCache, s, dir) {
+      import s.implicits._
+      val n = t(s, dir, "documents").count()
+      val boundary = (2L * n + 2L) / 3L
+      val tag = (s.sparkContext.applicationId + "_" + dir)
+        .replaceAll("[^a-zA-Z0-9]", "_")
+      val path = graft.Scratch.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_mroutersrc_$tag")
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long"))
+        .as[Long]
+        .map { id =>
+          val payload = (id % 5) match {
+            case 0 => Multimodal.encodePpm(id, (4 + id % 5).toInt,
+              (3 + id % 4).toInt)
+            case 1 => Multimodal.encodeGradientPng(id,
+              (8 + id % 5).toInt, (6 + id % 3).toInt)
+            case 2 => Multimodal.encodeJpeg(id, (8 + id % 5).toInt,
+              (6 + id % 3).toInt)
+            case 3 => Audio.encodeWav(id, (400 + id % 53).toInt, 8000)
+            case _ => Video.encodeY4m(id, (4 + id % 3).toInt,
+              (3 + id % 2).toInt, (6 + id % 5).toInt, -1)
+          }
+          if (id >= boundary && id % 7 == 0)
+            payload(0) = (payload(0) ^ 0x01).toByte
+          (id, payload)
+        }
+        .toDF("doc_id", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      path
+    }
+
+  /** Streaming mixed-media router gate (q293,
+    * [[graft.streaming.MediaRouterGate]]): the q292 router deployed
+    * LIVE — arriving binary payloads (all five real containers
+    * interleaved, staged in 3 batches) sniff, route to their real
+    * decoder, and reduce scan-locally; per batch the per-format
+    * inventory (docs + content units) appends as a version, with the
+    * batch's unroutable share in bp and the alert at > 100 bp. The
+    * fixture plants container rot (first-magic-byte bit flips) in
+    * exactly the last batch: batches 1–2 route everything (unknown_bp
+    * 0, no alert) and batch 3 alerts at ~1400 bp with the corrupted
+    * docs attributed to 'unknown' rows — never decoded, never fatal.
+    * Oracle replays batch membership via the staging NTILE, the
+    * corruption boundary closed-form, and every routed unit from the
+    * per-format fixture dims.
+    */
+  private def qStreamMediaRouter(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.MediaRouterGate.run(s, mediaRouterSrcPath(s, dir),
+      alertUnknownBp = 100L)
+
   /** Classifier calibration sweep (q291): no gate ships with a
     * hardcoded operating point — the threshold is CHOSEN from this
     * table (the q192 (b,r)-tuning discipline on the classifier axis):
@@ -9513,7 +9634,9 @@ object TrainQueries {
     "q288_incr_classifier" -> (qIncrClassifier _),
     "q289_dim_truncation" -> (qDimTruncation _),
     "q290_audio_neardup" -> (qAudioNearDup _),
-    "q291_classifier_calibration" -> (qClassifierCalibration _))
+    "q291_classifier_calibration" -> (qClassifierCalibration _),
+    "q292_media_router" -> (qMediaRouter _),
+    "q293_stream_media_router" -> (qStreamMediaRouter _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -14869,7 +14992,58 @@ object TrainQueries {
                ELSE n_tp * 10000 // (n_tp + n_fp) END AS precision_bp,
              CASE WHEN n_tp + n_fn = 0 THEN NULL
                ELSE n_tp * 10000 // (n_tp + n_fn) END AS recall_bp
-         FROM cm ORDER BY threshold""")
+         FROM cm ORDER BY threshold""",
+    // q292: the routed formats and content units replayed closed-form
+    // from the per-format fixture dims (JPEG dims are exact container
+    // structure — the q264 rule; everything else is lossless).
+    "q292_media_router" ->
+      """SELECT doc_id,
+             CASE doc_id % 5 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
+               WHEN 2 THEN 'jpeg' WHEN 3 THEN 'wav'
+               ELSE 'y4m' END AS format,
+             CAST(CASE doc_id % 5
+               WHEN 0 THEN (4 + doc_id % 5) * (3 + doc_id % 4)
+               WHEN 1 THEN (8 + doc_id % 5) * (6 + doc_id % 3)
+               WHEN 2 THEN (8 + doc_id % 5) * (6 + doc_id % 3)
+               WHEN 3 THEN 400 + doc_id % 53
+               ELSE (6 + doc_id % 5) * (4 + doc_id % 3)
+                 * (3 + doc_id % 2) END AS BIGINT) AS content_units
+         FROM documents ORDER BY doc_id""",
+    // q293: batch membership via the staging NTILE, the corruption
+    // boundary closed-form, formats + units from the per-format
+    // fixture dims (unknown → units 0), truncated-bp unroutable share
+    // batch-scoped.
+    "q293_stream_media_router" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+         src AS (SELECT doc_id,
+             CAST(NTILE(3) OVER (ORDER BY doc_id) AS BIGINT) - 1 AS b,
+             CASE WHEN doc_id >= (2 * nn.n + 2) // 3 AND doc_id % 7 = 0
+               THEN 'unknown'
+               ELSE CASE doc_id % 5 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
+                 WHEN 2 THEN 'jpeg' WHEN 3 THEN 'wav'
+                 ELSE 'y4m' END END AS format
+           FROM documents, nn),
+         u AS (SELECT doc_id, b, format,
+             CASE WHEN format = 'unknown' THEN 0
+               ELSE CASE doc_id % 5
+                 WHEN 0 THEN (4 + doc_id % 5) * (3 + doc_id % 4)
+                 WHEN 1 THEN (8 + doc_id % 5) * (6 + doc_id % 3)
+                 WHEN 2 THEN (8 + doc_id % 5) * (6 + doc_id % 3)
+                 WHEN 3 THEN 400 + doc_id % 53
+                 ELSE (6 + doc_id % 5) * (4 + doc_id % 3)
+                   * (3 + doc_id % 2) END END AS units
+           FROM src),
+         bt AS (SELECT b, COUNT(*) AS n,
+             SUM(CASE WHEN format = 'unknown' THEN 1 ELSE 0 END) AS nu
+           FROM u GROUP BY 1)
+         SELECT u.b AS batch_id, u.format,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(u.units) AS BIGINT) AS sum_units,
+             CAST(bt.nu * 10000 // bt.n AS BIGINT) AS unknown_bp,
+             (bt.nu * 10000 // bt.n > 100) AS unknown_alert
+         FROM u JOIN bt ON u.b = bt.b
+         GROUP BY u.b, u.format, bt.nu, bt.n
+         ORDER BY batch_id, u.format""")
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized

@@ -570,6 +570,29 @@ object Multimodal {
       if (r.payload == null) Array.emptyByteArray else r.payload, tol)))
   }
 
+  /** Content-type sniffing — the dispatcher a MIXED media crawl needs
+    * before any codec runs (real crawls do not arrive sorted by
+    * format; Content-Type headers lie): detect the container by its
+    * magic bytes, exactly as `file(1)` does — P6 (netpbm), the 8-byte
+    * PNG signature, the JPEG SOI marker, RIFF/WAVE, YUV4MPEG2 — and
+    * return "unknown" (never a guess) otherwise. Scan-local, reads at
+    * most 12 bytes.
+    */
+  def sniffFormat(bytes: Array[Byte]): String = {
+    def at(off: Int, s: String): Boolean =
+      bytes.length >= off + s.length &&
+        s.indices.forall(i => bytes(off + i) == s.charAt(i).toByte)
+    if (at(0, "P6")) "ppm"
+    else if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 &&
+      at(1, "PNG") && bytes(4) == 0x0d && bytes(5) == 0x0a &&
+      bytes(6) == 0x1a && bytes(7) == 0x0a) "png"
+    else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) "jpeg"
+    else if (at(0, "RIFF") && at(8, "WAVE")) "wav"
+    else if (at(0, "YUV4MPEG2")) "y4m"
+    else "unknown"
+  }
+
   /** Swap a media record's payload for its DECODED raster — the move
     * that points [[blockHash]]'s perceptual fingerprint at real pixels
     * (E187's "a real image pHash swaps in" claim, made runnable): the

@@ -54,6 +54,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.resized_checksum === expected)
   }
 
+  test("sniffFormat detects every real container by magic, never guesses") {
+    import graft.ops.{Audio, Video}
+    assert(Multimodal.sniffFormat(Multimodal.encodePpm(1L, 2, 2)) === "ppm")
+    assert(Multimodal.sniffFormat(
+      Multimodal.encodeGradientPng(1L, 4, 3)) === "png")
+    assert(Multimodal.sniffFormat(Multimodal.encodeJpeg(1L, 8, 6)) === "jpeg")
+    assert(Multimodal.sniffFormat(Audio.encodeWav(1L, 10, 8000)) === "wav")
+    assert(Multimodal.sniffFormat(
+      Video.encodeY4m(1L, 2, 2, 1, -1)) === "y4m")
+    // near-misses must NOT match: truncated magic, RIFF without WAVE,
+    // P5 (grayscale pnm), empty
+    assert(Multimodal.sniffFormat("P5\n1 1\n255\n".getBytes("US-ASCII"))
+      === "unknown")
+    assert(Multimodal.sniffFormat("RIFF0000AVI ".getBytes("US-ASCII"))
+      === "unknown")
+    assert(Multimodal.sniffFormat(Array[Byte](0x89.toByte, 'P', 'N'))
+      === "unknown")
+    assert(Multimodal.sniffFormat(Array.emptyByteArray) === "unknown")
+  }
+
   test("mapPartitions plumbing preserves every record") {
     implicit val s = spark
     import s.implicits._
