@@ -9113,6 +9113,118 @@ object TrainQueries {
     }.toDF("doc_id", "format", "content_units").orderBy("doc_id")
   }
 
+  /** Corpus-wide audio dedup clusters (q294): q290 PROVES the pairwise
+    * resample property; this runs the production screen — the q280
+    * exact-before-near discipline on the audio axis, closing E287's
+    * "slots into the band+hamming machinery" claim with code. The
+    * fixture plants real duplicate groups: docs sharing doc_id/5 carry
+    * the SAME recording ([[Audio.modulatedSample]], seed = id/5),
+    * half of them naively 2×-downsampled (id % 2), so each group holds
+    * exactly two distinct envelope fingerprints ≤ 4 bits apart, while
+    * recordings with distinct gain patterns sit ≥ 16 (the generator's
+    * gain arithmetic is 56-periodic in the seed, so seed pairs ≡
+    * mod 56 are genuinely near-identical recordings — same envelope,
+    * shifted phase — which the screen CORRECTLY merges; the cluster
+    * table reports what the envelopes are, not what the plant
+    * intended). Identical fps collapse FIRST (one
+    * 8-byte-key distinct), the band self-join runs over DISTINCT fps
+    * only — 5×12-bit bands (≤ 4 flips over 5 bands pigeonholes ≥ 1
+    * intact band, so every true resample pair IS a candidate; the
+    * 4×15 layout q267 uses guarantees only ≤ 3) — hamming ≤ 8 verify,
+    * q71's CC over the fp graph, and the q274 quality-max keep applies
+    * through the clusters at doc granularity. Oracle replays fps
+    * closed-form + the recursive closure.
+    */
+  private def qAudioClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val fps = docs.select("doc_id").as[Long].map { id =>
+      val seed = id / 5
+      val n = (2000 + (seed % 7) * 500 + (seed % 53)).toInt
+      val step = (1 + id % 2).toInt
+      val samples = Array.tabulate(if (step == 1) n else n / 2)(k =>
+        Audio.modulatedSample(seed, step.toLong * k, n.toLong))
+      (id, Audio.envelopeHash(id,
+        Audio.encodeWavSamples(samples, 16000 / step)))
+    }.toDF("doc_id", "fp").transform(snap)
+    val dfps = fps.select("fp").distinct()
+    val bandsOf = "transform(sequence(0, 4), " +
+      "b -> (shiftright(%s, b * 12) & 4095) * 5 + b)"
+    val a = dfps.select(col("fp").as("fa"),
+      explode(expr(bandsOf.format("fp"))).as("bk"))
+    val b = dfps.select(col("fp").as("fb"),
+      explode(expr(bandsOf.format("fp"))).as("bk"))
+    val edges = a.join(b, Seq("bk"))
+      .filter(col("fa") < col("fb"))
+      .filter(expr("bit_count(fa ^ fb) <= 8"))
+      .select("fa", "fb").distinct()
+    val labels = DedupClusters.connectedComponents(edges, "fa", "fb")
+      .withColumnRenamed("node", "fp")
+    val qual = docs
+      .withColumn("__toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .withColumn("__q", TextFns.qualityScore("text", "__toks"))
+      .select(col("doc_id"),
+        expr("cast(floor(__q * 10000.0d + 0.5d) as bigint)").as("q_bp"))
+    fps.join(qual, "doc_id")
+      .join(labels, Seq("fp"), "left")
+      .withColumn("cluster_rep", coalesce(col("cluster_rep"), col("fp")))
+      .groupBy("cluster_rep")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("fp").as("n_fps"),
+        max(struct(col("q_bp"), (-col("doc_id")).as("negid"))).as("__m"))
+      .select(col("cluster_rep"), col("n_docs"), col("n_fps"),
+        (-col("__m.negid")).as("kept_doc"), col("__m.q_bp").as("kept_q_bp"))
+      .orderBy("cluster_rep")
+  }
+
+  /** Scene-segmented keyframe extraction (q295, [[Video.frameLumas]]):
+    * the thumbnail/representative-frame job every video corpus runs —
+    * per clip the decoded per-frame luma series (the 1→N frame-sample
+    * expansion, scan-local) segments into SCENES at the q284 cut rule
+    * (|ΔYsum| > 48·w·h via LAG + running cut count) and each scene
+    * elects its keyframe: the brightest frame (argmax Y-sum, ties →
+    * earliest — a real pipeline swaps in sharpness or a learned
+    * score; the election machinery is identical). One row per scene:
+    * bounds, size, keyframe, its luma. Windows partition by doc —
+    * per-clip state only, never corpus-wide. Oracle replays the luma
+    * series closed-form and the same two windows.
+    */
+  private def qVideoKeyframes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val media = t(s, dir, "documents")
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .map { id =>
+        val (w, h) = ((4 + id % 3).toInt, (3 + id % 2).toInt)
+        val nf = (6 + id % 5).toInt
+        val cut = if (id % 4 == 0) -1 else nf / 2
+        Multimodal.MediaRecord(id, Video.encodeY4m(id, w, h, nf, cut),
+          "y4m")
+      }
+    val perFrame = Video.frameLumas(media).toDF()
+    val byFrame = Window.partitionBy("doc_id").orderBy("frame")
+    val scenes = perFrame
+      .withColumn("__prev", lag("y_sum", 1).over(byFrame))
+      .withColumn("__cut",
+        when(col("__prev").isNotNull &&
+          abs(col("y_sum") - col("__prev")) >
+            lit(48L) * col("width") * col("height"), 1L).otherwise(0L))
+      .withColumn("scene", sum("__cut").over(
+        byFrame.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    scenes.groupBy("doc_id", "scene")
+      .agg(min("frame").as("start_frame"), max("frame").as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        max(struct(col("y_sum"), (-col("frame")).as("negf"))).as("__m"))
+      .select(col("doc_id"), col("scene"), col("start_frame"),
+        col("end_frame"), col("n_frames"),
+        (-col("__m.negf")).as("keyframe"),
+        col("__m.y_sum").as("key_y_sum"))
+      .orderBy("doc_id", "scene")
+  }
+
   private val mediaRouterCache = scala.collection.mutable.Map
     .empty[(String, String), String]
 
@@ -9636,7 +9748,9 @@ object TrainQueries {
     "q290_audio_neardup" -> (qAudioNearDup _),
     "q291_classifier_calibration" -> (qClassifierCalibration _),
     "q292_media_router" -> (qMediaRouter _),
-    "q293_stream_media_router" -> (qStreamMediaRouter _))
+    "q293_stream_media_router" -> (qStreamMediaRouter _),
+    "q294_audio_clusters" -> (qAudioClusters _),
+    "q295_video_keyframes" -> (qVideoKeyframes _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -15043,7 +15157,122 @@ object TrainQueries {
              (bt.nu * 10000 // bt.n > 100) AS unknown_alert
          FROM u JOIN bt ON u.b = bt.b
          GROUP BY u.b, u.format, bt.nu, bt.n
-         ORDER BY batch_id, u.format""")
+         ORDER BY batch_id, u.format""",
+    // q294: the q280 recursive-closure idiom over audio envelope fps —
+    // every fingerprint replayed closed-form (seed = id // 5, the
+    // step-2 leg sampling 2k of the full rule), 5x12-bit bands,
+    // hamming <= 8 verify, quality-max keep per cluster.
+    "q294_audio_clusters" ->
+      """WITH RECURSIVE base AS (SELECT doc_id, doc_id // 5 AS seed,
+             2000 + ((doc_id // 5) % 7) * 500 + ((doc_id // 5) % 53)
+               AS n,
+             1 + doc_id % 2 AS step, text
+           FROM documents),
+         b2 AS (SELECT doc_id, seed, n, step,
+             CASE WHEN step = 1 THEN n ELSE n // 2 END AS m
+           FROM base),
+         kv AS (SELECT doc_id, m, (k * 60) // m AS b,
+             ABS(((seed * 31 + 7 * (k * step)) % 4096 - 2048)
+               * (1 + (seed + (((k * step) * 30) // n)
+                 * (seed % 7 + 2)) % 8) // 8) AS a
+           FROM b2, unnest(range(0, m)) u(k)),
+         bins AS (SELECT doc_id, b, CAST(SUM(a) AS BIGINT) AS s
+           FROM kv GROUP BY 1, 2),
+         tt AS (SELECT doc_id, CAST(SUM(a) AS BIGINT) AS total
+           FROM kv GROUP BY 1),
+         fpt AS (SELECT bins.doc_id,
+             CAST(SUM(CASE WHEN bins.s * 60 > tt.total
+               THEN 1::BIGINT << bins.b ELSE 0 END) AS BIGINT) AS fp
+           FROM bins JOIN tt ON bins.doc_id = tt.doc_id
+           GROUP BY bins.doc_id),
+         dfp AS (SELECT DISTINCT fp FROM fpt),
+         bnd AS (SELECT fp, ((fp >> (b.b * 12)) & 4095) * 5 + b.b AS bk
+           FROM dfp, unnest(range(0, 5)) b(b)),
+         e AS (SELECT DISTINCT a.fp AS fa, c.fp AS fb
+           FROM bnd a JOIN bnd c ON a.bk = c.bk AND a.fp < c.fp
+           WHERE bit_count(xor(a.fp, c.fp)) <= 8),
+         sym AS (SELECT fa AS src, fb AS dst FROM e
+                 UNION SELECT fb, fa FROM e),
+         r AS (SELECT src AS node, dst AS peer FROM sym
+               UNION
+               SELECT r.node, s.dst FROM r JOIN sym s ON r.peer = s.src),
+         lab AS (SELECT node, LEAST(node, MIN(peer)) AS cluster_rep
+           FROM r GROUP BY node),
+         tk AS (SELECT doc_id, text,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+           FROM documents),
+         qq AS (SELECT doc_id, CAST(floor((
+               0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (1.0 - CAST(len(list_filter(toks,
+                     w -> w IN ('the','a','of','and','is')))
+                   AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+               + 0.2 * least(((CAST(length(text) AS DOUBLE)
+                     - (CAST(len(toks) AS DOUBLE) - 1.0))
+                   / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0)
+             ) * 10000.0 + 0.5) AS BIGINT) AS q_bp
+           FROM tk),
+         dl AS (SELECT f.doc_id, f.fp,
+             COALESCE(l.cluster_rep, f.fp) AS cluster_rep, q.q_bp
+           FROM fpt f LEFT JOIN lab l ON f.fp = l.node
+           JOIN qq q ON f.doc_id = q.doc_id),
+         win AS (SELECT cluster_rep, doc_id, q_bp, row_number() OVER
+             (PARTITION BY cluster_rep ORDER BY q_bp DESC, doc_id ASC)
+             AS rn
+           FROM dl),
+         agg AS (SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fps
+           FROM dl GROUP BY 1)
+         SELECT a.cluster_rep, a.n_docs, a.n_fps,
+             w.doc_id AS kept_doc, w.q_bp AS kept_q_bp
+         FROM agg a JOIN win w
+           ON a.cluster_rep = w.cluster_rep AND w.rn = 1
+         ORDER BY a.cluster_rep""",
+    // q295: the per-frame luma series replayed closed-form (Y plane
+    // only), the same LAG cut rule, running cut-count scene ids, and
+    // the (ysum DESC, f) keyframe election.
+    "q295_video_keyframes" ->
+      """WITH dims AS (SELECT doc_id, 4 + doc_id % 3 AS w,
+             3 + doc_id % 2 AS h, 6 + doc_id % 5 AS nf,
+             CASE WHEN doc_id % 4 = 0 THEN -1
+               ELSE (6 + doc_id % 5) // 2 END AS cut
+           FROM documents),
+         fr AS (SELECT doc_id, w, h, nf, cut, unnest(range(0, nf)) AS f
+           FROM dims),
+         px AS (SELECT doc_id, w, h, cut, f,
+             unnest(range(0, w * h)) AS k
+           FROM fr),
+         ys AS (SELECT doc_id, w, h, f,
+             CAST(SUM((doc_id * 31 + 5 * f + k) % 96
+               + CASE WHEN cut >= 0 AND f >= cut THEN 160 ELSE 0 END)
+               AS BIGINT) AS ysum
+           FROM px GROUP BY 1, 2, 3, 4),
+         lg AS (SELECT doc_id, w, h, f, ysum,
+             LAG(ysum) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+           FROM ys),
+         ct AS (SELECT doc_id, f, ysum,
+             CASE WHEN prev IS NOT NULL
+                 AND ABS(ysum - prev) > 48 * w * h
+               THEN 1 ELSE 0 END AS cut1
+           FROM lg),
+         sc AS (SELECT doc_id, f, ysum,
+             CAST(SUM(cut1) OVER (PARTITION BY doc_id ORDER BY f
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene
+           FROM ct),
+         rk AS (SELECT doc_id, scene, f, ysum, ROW_NUMBER() OVER (
+               PARTITION BY doc_id, scene
+               ORDER BY ysum DESC, f) AS rn
+           FROM sc),
+         agg AS (SELECT doc_id, scene,
+             CAST(MIN(f) AS BIGINT) AS start_frame,
+             CAST(MAX(f) AS BIGINT) AS end_frame,
+             CAST(COUNT(*) AS BIGINT) AS n_frames
+           FROM sc GROUP BY 1, 2)
+         SELECT a.doc_id, a.scene, a.start_frame, a.end_frame,
+             a.n_frames, CAST(r.f AS BIGINT) AS keyframe,
+             r.ysum AS key_y_sum
+         FROM agg a JOIN rk r ON a.doc_id = r.doc_id
+           AND a.scene = r.scene AND r.rn = 1
+         ORDER BY a.doc_id, a.scene""")
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized

@@ -80,9 +80,12 @@ object Video {
     * reduced in the same pass. `cutMeanDelta` is the scene-cut
     * threshold on mean luma (applied division-free).
     */
-  def decodeY4m(docId: Long, bytes: Array[Byte],
-      cutMeanDelta: Int): Y4mFeatures = {
-    require(cutMeanDelta >= 1, s"cutMeanDelta must be >= 1: $cutMeanDelta")
+  /** Parse the Y4M stream header: returns (width, height, offset of
+    * the first FRAME marker). W/H required, C must be 444 — a codec
+    * must fail loudly on plane layouts it does not implement.
+    */
+  private def parseY4mHeader(docId: Long,
+      bytes: Array[Byte]): (Int, Int, Int) = {
     val magic = "YUV4MPEG2"
     require(bytes.length > magic.length &&
       new String(bytes, 0, magic.length, "US-ASCII") == magic,
@@ -111,6 +114,14 @@ object Video {
     require(w >= 1 && h >= 1, s"doc $docId: missing W/H in y4m header")
     require(chroma == "444",
       s"doc $docId: unsupported chroma C$chroma (C444 only)")
+    (w, h, i)
+  }
+
+  def decodeY4m(docId: Long, bytes: Array[Byte],
+      cutMeanDelta: Int): Y4mFeatures = {
+    require(cutMeanDelta >= 1, s"cutMeanDelta must be >= 1: $cutMeanDelta")
+    val (w, h, hdrEnd) = parseY4mHeader(docId, bytes)
+    var i = hdrEnd
     val ySize = w * h
     val planeLen = 3 * ySize
     var (yTotal, nCuts) = (0L, 0L)
@@ -163,5 +174,51 @@ object Video {
     media.mapPartitions(_.map(r => decodeY4m(r.doc_id,
       if (r.payload == null) Array.emptyByteArray else r.payload,
       cutMeanDelta)))
+  }
+
+  /** One row per frame: the decoded per-frame luma signal. */
+  case class FrameLuma(doc_id: Long, width: Long, height: Long,
+      frame: Long, y_sum: Long)
+
+  /** Export the per-frame luma SERIES (the 1→N frame-sample expansion):
+    * each clip expands to one narrow row per frame inside the scan
+    * (flatMap in mapPartitions — payloads never shuffle, only
+    * (id, frame, ysum) rows flow on), which is the input every
+    * frame-level job reads: scene segmentation, keyframe selection,
+    * silence/black-frame screens.
+    */
+  def frameLumas(media: Dataset[Multimodal.MediaRecord])(
+      implicit spark: SparkSession): Dataset[FrameLuma] = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val bytes =
+        if (r.payload == null) Array.emptyByteArray else r.payload
+      val (w, h, hdrEnd) = parseY4mHeader(r.doc_id, bytes)
+      val ySize = w * h
+      val planeLen = 3 * ySize
+      var i = hdrEnd
+      val out = scala.collection.mutable.ArrayBuffer.empty[FrameLuma]
+      var f = 0L
+      while (i < bytes.length) {
+        val fm = "FRAME"
+        require(i + fm.length <= bytes.length &&
+          new String(bytes, i, fm.length, "US-ASCII") == fm,
+          s"doc ${r.doc_id}: missing FRAME marker at byte $i")
+        i += fm.length
+        while (i < bytes.length && bytes(i) != '\n') i += 1
+        require(i < bytes.length,
+          s"doc ${r.doc_id}: unterminated FRAME header")
+        i += 1
+        require(i + planeLen <= bytes.length,
+          s"doc ${r.doc_id}: truncated frame $f")
+        var ySum = 0L
+        var k = 0
+        while (k < ySize) { ySum += bytes(i + k) & 0xff; k += 1 }
+        i += planeLen
+        out += FrameLuma(r.doc_id, w.toLong, h.toLong, f, ySum)
+        f += 1
+      }
+      out.iterator
+    })
   }
 }

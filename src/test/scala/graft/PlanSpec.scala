@@ -940,6 +940,44 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q283/q284/q292/q294: codec-family plans — payloads never cross " +
+      "an Exchange (features reduce inside the scan), no cartesian") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case r: ReusedExchangeExec => flatten(r.child)
+      case _ => p.children.flatMap(flatten)
+    })
+    Seq("q283_wav_decode", "q284_y4m_scenes", "q292_media_router",
+      "q294_audio_clusters").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.count()
+      flatten(df.queryExecution.executedPlan)
+        .collect { case e: ShuffleExchangeLike => e }
+        .foreach { e =>
+          val cols = e.child.output.map(_.name.toLowerCase)
+          assert(!cols.exists(_.contains("payload")),
+            s"$name: an Exchange would shuffle media payloads: $cols")
+        }
+      assert(!df.queryExecution.sparkPlan.toString
+        .contains("CartesianProduct"), name)
+    }
+  }
+
+  test("q295: keyframe election is per-doc windows over narrow frame " +
+      "rows — no cartesian, no corpus-wide window") {
+    val p = sparkPlan("q295_video_keyframes")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // both windows must partition by doc_id (per-clip state only)
+    assert(!p.contains("Window [") ||
+      p.split("Window \\[").drop(1).forall(_.contains("doc_id")),
+      s"a window without doc_id partitioning:\n${p.take(1500)}")
+  }
+
   test("q259/q260/q261: the banded-chain audits never go cartesian") {
     Seq("q259_bbit_minhash", "q260_canon_policy", "q261_weighted_jaccard")
       .foreach { q =>

@@ -78,6 +78,21 @@ class Y4mCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("frameLumas exports the per-frame Y series the features reduce") {
+    implicit val s = TestSpark.spark
+    import s.implicits._
+    val (seed, w, h, nf, cut) = (7L, 4, 3, 8, 4)
+    val media = Seq(seed).toDS().map(id =>
+      graft.ops.Multimodal.MediaRecord(id,
+        Video.encodeY4m(id, w, h, nf, cut), "y4m"))
+    val rows = Video.frameLumas(media).collect().sortBy(_.frame)
+    assert(rows.length === nf)
+    val want = (0 until nf).map(f =>
+      (0 until w * h).map(k => Video.planeByte(seed, cut, f, k).toLong).sum)
+    assert(rows.map(_.y_sum).toSeq === want)
+    assert(rows.forall(r => r.width == w.toLong && r.height == h.toLong))
+  }
+
   test("distributed decode: payloads decode scan-locally per partition") {
     implicit val s = TestSpark.spark
     import s.implicits._
