@@ -9225,6 +9225,38 @@ object TrainQueries {
       .orderBy("doc_id", "scene")
   }
 
+  /** Grand decontamination certificate (q296): the q272 lexical
+    * certificate EXTENDED with the semantic axis it admits it cannot
+    * see — per eval document ALL FOUR screens in one row: shared
+    * word-3-grams (verbatim spans), shared winnowing fingerprints
+    * (partial verbatim ≥ 37 chars inside paraphrase), the NFC
+    * canonical hit (reformatting/Unicode tricks), and q273's exact
+    * embedding-top-1 flag (full paraphrase/translation — the axis no
+    * lexical screen reaches), plus the OR verdict. The semantic leg is
+    * honest about coverage: eval docs without an embedding row carry
+    * `semantic_screened = false` (at sf0.1 the embeddings table covers
+    * 2 of 5 k docs — a real corpus has exactly this partial-coverage
+    * shape, and a certificate that silently skipped the unscreened
+    * docs would overclaim). Every leg reuses its proven machinery
+    * verbatim; one benchmark-sized left join stitches them.
+    */
+  private def qFullCertificate(s: SparkSession, dir: String): DataFrame = {
+    val lex = qDecontamCertificate(s, dir)
+      .withColumnRenamed("contaminated", "lexical_contaminated")
+    val sem = qSemanticContam(s, dir)
+      .select(col("query_id").as("doc_id"),
+        col("sim").as("semantic_sim"), col("flagged").as("__sh"))
+    lex.join(sem, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shared_grams"), col("n_shared_fps"),
+        col("exact_canon_hit"), col("lexical_contaminated"),
+        col("semantic_sim"),
+        coalesce(col("__sh"), lit(false)).as("semantic_hit"),
+        col("semantic_sim").isNotNull.as("semantic_screened"),
+        (col("lexical_contaminated") || coalesce(col("__sh"), lit(false)))
+          .as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   private val mediaRouterCache = scala.collection.mutable.Map
     .empty[(String, String), String]
 
@@ -9750,7 +9782,8 @@ object TrainQueries {
     "q292_media_router" -> (qMediaRouter _),
     "q293_stream_media_router" -> (qStreamMediaRouter _),
     "q294_audio_clusters" -> (qAudioClusters _),
-    "q295_video_keyframes" -> (qVideoKeyframes _))
+    "q295_video_keyframes" -> (qVideoKeyframes _),
+    "q296_full_certificate" -> (qFullCertificate _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -15272,7 +15305,70 @@ object TrainQueries {
              r.ysum AS key_y_sum
          FROM agg a JOIN rk r ON a.doc_id = r.doc_id
            AND a.scene = r.scene AND r.rn = 1
-         ORDER BY a.doc_id, a.scene""")
+         ORDER BY a.doc_id, a.scene""",
+    // q296: the q272 lexical CTEs + the q273 semantic CTEs composed —
+    // all four screens' replay idioms verbatim, one left join, the
+    // partial-coverage semantic leg honest (screened flag).
+    "q296_full_certificate" ->
+      s"""$winnowSelCtes,
+         toks AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents),
+         gr AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(t[i:i+2], ' ')))) AS gram3
+           FROM toks),
+         cg AS (SELECT DISTINCT gram3 FROM gr WHERE doc_id % 50 <> 0),
+         la AS (SELECT e.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+           FROM gr e JOIN cg ON e.gram3 = cg.gram3
+           WHERE e.doc_id % 50 = 0 GROUP BY 1),
+         cf AS (SELECT DISTINCT gram FROM sel WHERE doc_id % 50 <> 0),
+         lb AS (SELECT e.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+           FROM sel e JOIN cf ON e.gram = cf.gram
+           WHERE e.doc_id % 50 = 0 GROUP BY 1),
+         cn AS (SELECT doc_id,
+             md5(regexp_replace(lower(trim(nfc_normalize(text))),
+               '\\s+', ' ', 'g')) AS fp
+           FROM documents),
+         ch AS (SELECT DISTINCT fp FROM cn WHERE doc_id % 50 <> 0),
+         lc AS (SELECT e.doc_id, (ch.fp IS NOT NULL) AS exact_canon_hit
+           FROM cn e LEFT JOIN ch ON e.fp = ch.fp
+           WHERE e.doc_id % 50 = 0),
+         $quantCte,
+         d AS (SELECT a.vec_id AS query_id, b.vec_id AS id_b,
+             SUM(a.x * b.x) AS dot
+           FROM q a JOIN q b ON a.i = b.i
+           WHERE a.vec_id % 50 = 0 AND b.vec_id % 50 <> 0
+           GROUP BY 1, 2),
+         sm AS (SELECT query_id, id_b,
+             CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
+               * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
+           FROM d JOIN nrm na ON d.query_id = na.vec_id
+                  JOIN nrm nb ON d.id_b = nb.vec_id),
+         rk AS (SELECT query_id, sim, row_number() OVER
+             (PARTITION BY query_id ORDER BY sim DESC, id_b ASC) AS rank
+           FROM sm),
+         se AS (SELECT query_id AS doc_id, sim FROM rk WHERE rank = 1)
+         SELECT lc.doc_id,
+             COALESCE(la.n_shared_grams, 0) AS n_shared_grams,
+             COALESCE(lb.n_shared_fps, 0) AS n_shared_fps,
+             lc.exact_canon_hit,
+             (COALESCE(la.n_shared_grams, 0) >= 5
+              OR COALESCE(lb.n_shared_fps, 0) >= 1
+              OR lc.exact_canon_hit) AS lexical_contaminated,
+             se.sim AS semantic_sim,
+             COALESCE(se.sim >= 0.3, FALSE) AS semantic_hit,
+             se.sim IS NOT NULL AS semantic_screened,
+             (COALESCE(la.n_shared_grams, 0) >= 5
+              OR COALESCE(lb.n_shared_fps, 0) >= 1
+              OR lc.exact_canon_hit
+              OR COALESCE(se.sim >= 0.3, FALSE)) AS contaminated
+         FROM lc LEFT JOIN la ON lc.doc_id = la.doc_id
+                 LEFT JOIN lb ON lc.doc_id = lb.doc_id
+                 LEFT JOIN se ON lc.doc_id = se.doc_id
+         ORDER BY lc.doc_id""")
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized
