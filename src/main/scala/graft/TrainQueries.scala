@@ -9257,6 +9257,45 @@ object TrainQueries {
       .orderBy("doc_id")
   }
 
+  private val clfGateCache = scala.collection.mutable.Map
+    .empty[(String, String), String]
+
+  /** Staged arrivals for the streaming classifier gate (q297): the
+    * held-out marked docs (doc_id % 10 = 0) with their planted-token
+    * text joined back to a string — the ingest stream ships text, the
+    * gate tokenizes scan-locally.
+    */
+  private def clfGateSrcPath(s: SparkSession, dir: String): String =
+    sessionFixture(clfGateCache, s, dir) {
+      val tag = (s.sparkContext.applicationId + "_" + dir)
+        .replaceAll("[^a-zA-Z0-9]", "_")
+      val path = graft.Scratch.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_clfgatesrc_$tag")
+      qualityMarkedDocs(s, dir).filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          expr("array_join(__toks, ' ')").as("text"))
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      path
+    }
+
+  /** Streaming quality admission (q297,
+    * [[graft.streaming.ClassifierGate]]): the trained classifier
+    * family's live member — q286 trains and stores, q288 refreshes
+    * incrementally, q291 calibrates the operating point, and THIS is
+    * what production actually runs: arriving documents (the held-out
+    * split, staged in 3 batches) score per batch against the stored
+    * broadcast vote model and admit on the calibrated score > 0
+    * verdict, appending under the versioned-store replay rule. Docs
+    * arrive once and the model is static, so the streamed union is
+    * row-identical to batch scoring — the oracle is q286's retrain
+    * projected to (doc_id, score, admitted), the q103/q276
+    * stream≡batch shared-oracle discipline.
+    */
+  private def qStreamClassifierGate(s: SparkSession,
+      dir: String): DataFrame =
+    graft.streaming.ClassifierGate.run(s, clfGateSrcPath(s, dir),
+      s.read.parquet(qualityModelPath(s, dir)))
+
   private val mediaRouterCache = scala.collection.mutable.Map
     .empty[(String, String), String]
 
@@ -9783,7 +9822,8 @@ object TrainQueries {
     "q293_stream_media_router" -> (qStreamMediaRouter _),
     "q294_audio_clusters" -> (qAudioClusters _),
     "q295_video_keyframes" -> (qVideoKeyframes _),
-    "q296_full_certificate" -> (qFullCertificate _))
+    "q296_full_certificate" -> (qFullCertificate _),
+    "q297_stream_classifier_gate" -> (qStreamClassifierGate _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -15368,7 +15408,15 @@ object TrainQueries {
          FROM lc LEFT JOIN la ON lc.doc_id = la.doc_id
                  LEFT JOIN lb ON lc.doc_id = lb.doc_id
                  LEFT JOIN se ON lc.doc_id = se.doc_id
-         ORDER BY lc.doc_id""")
+         ORDER BY lc.doc_id""",
+    // q297: docs arrive once and the model is static, so the streamed
+    // union is row-identical to batch scoring — q286's retrain
+    // projected to the gate's verdict columns (the stream≡batch
+    // shared-oracle discipline).
+    "q297_stream_classifier_gate" ->
+      s"""WITH $qualityClassifierCtes
+         SELECT s.doc_id, s.score, s.score > 0 AS admitted
+         FROM sc s ORDER BY s.doc_id""")
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized

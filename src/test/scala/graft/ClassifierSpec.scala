@@ -87,6 +87,23 @@ class ClassifierSpec extends AnyFunSuite {
     assert(merged === full)
   }
 
+  test("streaming gate: streamed verdicts are row-identical to batch " +
+      "scoring against the same stored model") {
+    val s = spark
+    import s.implicits._
+    val streamed = SparkEntry.queries("q297_stream_classifier_gate")(
+      s, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+    assert(streamed.nonEmpty)
+    // the batch answer, from the same query surface (q286 columns
+    // projected to the gate's) — the shared-oracle equivalence locally
+    val batch = SparkEntry.queries("q286_quality_classifier")(
+      s, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"),
+        r.getAs[Boolean]("pred_good"))).sorted
+    assert(streamed === batch)
+  }
+
   test("class imbalance alone creates no spurious votes") {
     val s = spark
     import s.implicits._
