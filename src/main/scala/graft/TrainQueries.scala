@@ -9257,6 +9257,35 @@ object TrainQueries {
       .orderBy("doc_id")
   }
 
+  /** Stereo WAV decode + channel-balance audit (q298,
+    * [[Audio.decodeWavStereo]]): real crawls carry STEREO audio, and
+    * interleaved L/R frames with blockAlign 4 are exactly the layout a
+    * mono-only reader mis-parses silently — so the stereo path earns
+    * its own gate through the SHARED chunk walk (channel policy is the
+    * caller's; mono readers reject stereo loudly and vice versa,
+    * `WavCodecSpec`). Left = the sawtooth, right = half-period
+    * phase-shifted; the decoder de-interleaves in one pass and reports
+    * per-channel amplitude mass/peaks plus the exact truncated-bp
+    * left-share balance (the broken-capture imbalance signal). Oracle
+    * replays both channels closed-form.
+    */
+  private def qWavStereo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val media = t(s, dir, "documents")
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .map { id =>
+        val n = (300 + id % 47).toInt
+        Multimodal.MediaRecord(id,
+          Audio.encodeWavStereo(id, n, (22050 + (id % 2) * 22050).toInt),
+          "wav")
+      }
+    media.mapPartitions(_.map(r => Audio.decodeWavStereo(r.doc_id,
+        r.payload)))
+      .toDF().orderBy("doc_id")
+  }
+
   private val clfGateCache = scala.collection.mutable.Map
     .empty[(String, String), String]
 
@@ -9823,7 +9852,8 @@ object TrainQueries {
     "q294_audio_clusters" -> (qAudioClusters _),
     "q295_video_keyframes" -> (qVideoKeyframes _),
     "q296_full_certificate" -> (qFullCertificate _),
-    "q297_stream_classifier_gate" -> (qStreamClassifierGate _))
+    "q297_stream_classifier_gate" -> (qStreamClassifierGate _),
+    "q298_wav_stereo" -> (qWavStereo _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -15416,7 +15446,30 @@ object TrainQueries {
     "q297_stream_classifier_gate" ->
       s"""WITH $qualityClassifierCtes
          SELECT s.doc_id, s.score, s.score > 0 AS admitted
-         FROM sc s ORDER BY s.doc_id""")
+         FROM sc s ORDER BY s.doc_id""",
+    // q298: both channels recomputed closed-form (right = half-period
+    // phase shift), truncated-bp balance, zero-sum guard mirrored.
+    "q298_wav_stereo" ->
+      """WITH dims AS (SELECT doc_id, 300 + doc_id % 47 AS n,
+             22050 + (doc_id % 2) * 22050 AS rate FROM documents),
+         sm AS (SELECT doc_id, n, rate, unnest(range(0, n)) AS j
+           FROM dims),
+         v AS (SELECT doc_id, n, rate,
+             ABS((doc_id * 31 + 7 * j) % 4096 - 2048) AS al,
+             ABS((doc_id * 31 + 7 * j + 2048) % 4096 - 2048) AS ar
+           FROM sm),
+         agg AS (SELECT doc_id, MAX(n) AS n, MAX(rate) AS rate,
+             CAST(SUM(al) AS BIGINT) AS sl,
+             CAST(SUM(ar) AS BIGINT) AS sr,
+             CAST(MAX(al) AS BIGINT) AS pl,
+             CAST(MAX(ar) AS BIGINT) AS pr
+           FROM v GROUP BY 1)
+         SELECT doc_id, CAST(rate AS BIGINT) AS sample_rate,
+             CAST(n AS BIGINT) AS n_samples, sl AS sum_abs_l,
+             sr AS sum_abs_r, pl AS peak_abs_l, pr AS peak_abs_r,
+             CASE WHEN sl + sr = 0 THEN 5000
+               ELSE sl * 10000 // (sl + sr) END AS balance_bp
+         FROM agg ORDER BY doc_id""")
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized

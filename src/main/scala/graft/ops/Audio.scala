@@ -112,20 +112,24 @@ object Audio {
   private def fourcc(b: Array[Byte], off: Int): String =
     new String(b, off, 4, "US-ASCII")
 
-  /** Decode a RIFF/WAVE file — a REAL chunk walk: verify the RIFF/WAVE
-    * container, iterate chunks (honoring the odd-size pad byte), parse
-    * `fmt ` (PCM, mono, 16-bit only — loud failure otherwise, a codec
-    * must not fabricate samples), locate `data`, then one pass over the
-    * little-endian samples computing every feature. `frame` is the
-    * frame-sample window size in samples (the last frame may be short).
+  /** Parsed RIFF/WAVE layout: fmt fields + data chunk location. */
+  private[graft] case class WavLayout(rate: Long, channels: Int,
+      bits: Int, dataOff: Int, dataLen: Int)
+
+  /** The REAL chunk walk shared by every WAV reader here: verify the
+    * RIFF/WAVE container and size, iterate chunks (honoring the
+    * odd-size pad byte), parse `fmt ` (PCM + 16-bit enforced — a codec
+    * must not fabricate samples; channel-count policy is the
+    * CALLER's), locate `data`.
     */
-  def decodeWav(docId: Long, bytes: Array[Byte], frame: Int): WavFeatures = {
-    require(frame >= 1, s"frame must be >= 1: $frame")
+  private def parseWav(docId: Long, bytes: Array[Byte]): WavLayout = {
     require(bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" &&
       fourcc(bytes, 8) == "WAVE", s"doc $docId: not a RIFF/WAVE file")
     require(le32(bytes, 4) == bytes.length - 8,
       s"doc $docId: RIFF size ${le32(bytes, 4)} != ${bytes.length - 8}")
     var rate = -1L
+    var channels = -1
+    var bits = -1
     var dataOff = -1
     var dataLen = -1
     var i = 12
@@ -137,11 +141,11 @@ object Audio {
       if (id == "fmt ") {
         require(size >= 16, s"doc $docId: fmt chunk too short: $size")
         val audioFormat = le16(bytes, i + 8)
-        val channels = le16(bytes, i + 10)
-        val bits = le16(bytes, i + 22)
-        require(audioFormat == 1 && channels == 1 && bits == 16,
-          s"doc $docId: unsupported wav (fmt=$audioFormat ch=$channels " +
-            s"bits=$bits; PCM mono 16-bit only)")
+        channels = le16(bytes, i + 10)
+        bits = le16(bytes, i + 22)
+        require(audioFormat == 1 && bits == 16,
+          s"doc $docId: unsupported wav (fmt=$audioFormat bits=$bits; " +
+            "PCM 16-bit only)")
         rate = le32(bytes, i + 12)
       } else if (id == "data") {
         dataOff = i + 8
@@ -152,6 +156,21 @@ object Audio {
     require(rate > 0, s"doc $docId: no fmt chunk")
     require(dataOff >= 0, s"doc $docId: no data chunk")
     require(dataLen % 2 == 0, s"doc $docId: odd PCM16 data size $dataLen")
+    WavLayout(rate, channels, bits, dataOff, dataLen)
+  }
+
+  /** Decode a mono RIFF/WAVE file via the shared chunk walk (mono
+    * enforced loudly — the stereo path is [[decodeWavStereo]]), then
+    * one pass over the little-endian samples computing every feature.
+    * `frame` is the frame-sample window size in samples (the last
+    * frame may be short).
+    */
+  def decodeWav(docId: Long, bytes: Array[Byte], frame: Int): WavFeatures = {
+    require(frame >= 1, s"frame must be >= 1: $frame")
+    val lay = parseWav(docId, bytes)
+    require(lay.channels == 1,
+      s"doc $docId: expected mono, got ${lay.channels} channels")
+    val (rate, dataOff, dataLen) = (lay.rate, lay.dataOff, lay.dataLen)
     val n = dataLen / 2
     var (sumAbs, zc) = (0L, 0L)
     var peakAbs = 0L
@@ -182,6 +201,85 @@ object Audio {
     }
     WavFeatures(docId, rate, n.toLong, sumAbs, peakAbs, zc,
       (n.toLong + frame - 1) / frame, peakFrameIdx, peakFrameEnergy)
+  }
+
+  /** Decoded STEREO audit row — per-channel amplitude mass and peaks
+    * plus the left-share balance in exact truncated bp (the
+    * channel-imbalance signal a broken capture pipeline shows).
+    */
+  case class StereoFeatures(doc_id: Long, sample_rate: Long,
+      n_samples: Long, sum_abs_l: Long, sum_abs_r: Long,
+      peak_abs_l: Long, peak_abs_r: Long, balance_bp: Long)
+
+  /** Encode a genuine STEREO RIFF/WAVE file: 16-bit PCM, 2 channels,
+    * L/R samples INTERLEAVED per frame with blockAlign 4 and byteRate
+    * rate·4 — the layout details a mono-only reader gets wrong
+    * silently, which is why the stereo path earns its own gate. The
+    * left channel carries the sawtooth; the right carries it phase-
+    * shifted by half the period (+2048 before the mod) — closed-form
+    * both.
+    */
+  def encodeWavStereo(seed: Long, nSamples: Int,
+      sampleRate: Int): Array[Byte] = {
+    require(nSamples >= 1 && sampleRate >= 1,
+      s"bad wav params: n=$nSamples rate=$sampleRate")
+    val dataBytes = nSamples * 4
+    val out = new Array[Byte](12 + 24 + 8 + dataBytes)
+    putAscii(out, 0, "RIFF")
+    putLe32(out, 4, (out.length - 8).toLong)
+    putAscii(out, 8, "WAVE")
+    putAscii(out, 12, "fmt ")
+    putLe32(out, 16, 16L)
+    putLe16(out, 20, 1) // PCM
+    putLe16(out, 22, 2) // stereo
+    putLe32(out, 24, sampleRate.toLong)
+    putLe32(out, 28, sampleRate.toLong * 4) // byteRate = rate * blockAlign
+    putLe16(out, 32, 4) // blockAlign = channels * 2
+    putLe16(out, 34, 16)
+    putAscii(out, 36, "data")
+    putLe32(out, 40, dataBytes.toLong)
+    var j = 0
+    while (j < nSamples) {
+      putLe16(out, 44 + 4 * j, sawtoothSample(seed, j.toLong) & 0xffff)
+      putLe16(out, 44 + 4 * j + 2,
+        stereoRightSample(seed, j.toLong) & 0xffff)
+      j += 1
+    }
+    out
+  }
+
+  /** The right channel's closed-form rule: the sawtooth phase-shifted
+    * by half the 4096 period.
+    */
+  def stereoRightSample(seed: Long, j: Long): Int =
+    (((seed * 31 + 7 * j + 2048) % 4096) - 2048).toInt
+
+  /** Decode a stereo RIFF/WAVE file via the shared chunk walk (2
+    * channels enforced loudly), de-interleaving L/R frames in one
+    * pass. `balance_bp` = sum|L|·10⁴ div (sum|L| + sum|R|), truncated
+    * — exact in any engine.
+    */
+  def decodeWavStereo(docId: Long, bytes: Array[Byte]): StereoFeatures = {
+    val lay = parseWav(docId, bytes)
+    require(lay.channels == 2,
+      s"doc $docId: expected stereo, got ${lay.channels} channels")
+    require(lay.dataLen % 4 == 0,
+      s"doc $docId: stereo data not frame-aligned: ${lay.dataLen}")
+    val n = lay.dataLen / 4
+    var (sl, sr, pl, pr) = (0L, 0L, 0L, 0L)
+    var j = 0
+    while (j < n) {
+      val l = math.abs(le16(bytes, lay.dataOff + 4 * j).toShort.toInt)
+        .toLong
+      val r = math.abs(le16(bytes, lay.dataOff + 4 * j + 2).toShort.toInt)
+        .toLong
+      sl += l; sr += r
+      if (l > pl) pl = l
+      if (r > pr) pr = r
+      j += 1
+    }
+    val balance = if (sl + sr == 0) 5000L else sl * 10000 / (sl + sr)
+    StereoFeatures(docId, lay.rate, n.toLong, sl, sr, pl, pr, balance)
   }
 
   /** Batched real WAV decode over partitions — the shared codec seam:
@@ -257,23 +355,11 @@ object Audio {
     * Scan-local one-pass like every codec here.
     */
   def envelopeHash(docId: Long, bytes: Array[Byte]): Long = {
-    // reuse the real chunk walk: features are not needed, samples are —
-    // parse locations via decodeWav's validations, then one pass
-    require(bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" &&
-      fourcc(bytes, 8) == "WAVE", s"doc $docId: not a RIFF/WAVE file")
-    var dataOff = -1
-    var dataLen = -1
-    var i = 12
-    while (i + 8 <= bytes.length) {
-      val id = fourcc(bytes, i)
-      val size = le32(bytes, i + 4).toInt
-      require(i + 8 + size <= bytes.length,
-        s"doc $docId: chunk $id overruns the file")
-      if (id == "data") { dataOff = i + 8; dataLen = size }
-      i += 8 + size + (size & 1)
-    }
-    require(dataOff >= 0 && dataLen % 2 == 0,
-      s"doc $docId: no valid data chunk")
+    val lay = parseWav(docId, bytes) // shared real chunk walk
+    require(lay.channels == 1,
+      s"doc $docId: envelope fingerprint is mono-only, " +
+        s"got ${lay.channels} channels (downmix first)")
+    val (dataOff, dataLen) = (lay.dataOff, lay.dataLen)
     val n = dataLen / 2
     require(n >= 1, s"doc $docId: empty wav")
     val bins = new Array[Long](60)

@@ -63,6 +63,27 @@ class WavCodecSpec extends AnyFunSuite {
     assert(f.peak_frame_energy === e.peak_frame_energy)
   }
 
+  test("stereo: interleaved frames de-interleave, channel policy is " +
+      "enforced both directions") {
+    val (seed, n, rate) = (9L, 120, 44100)
+    val f = Audio.decodeWavStereo(seed, Audio.encodeWavStereo(seed, n, rate))
+    val ls = (0 until n).map(j =>
+      math.abs(Audio.sawtoothSample(seed, j.toLong)).toLong)
+    val rs = (0 until n).map(j =>
+      math.abs(Audio.stereoRightSample(seed, j.toLong)).toLong)
+    assert(f === Audio.StereoFeatures(seed, rate.toLong, n.toLong,
+      ls.sum, rs.sum, ls.max, rs.max, ls.sum * 10000 / (ls.sum + rs.sum)))
+    intercept[IllegalArgumentException] { // stereo file into mono reader
+      Audio.decodeWav(seed, Audio.encodeWavStereo(seed, n, rate), 100)
+    }
+    intercept[IllegalArgumentException] { // mono file into stereo reader
+      Audio.decodeWavStereo(seed, Audio.encodeWav(seed, n, rate))
+    }
+    intercept[IllegalArgumentException] { // envelope hash is mono-only
+      Audio.envelopeHash(seed, Audio.encodeWavStereo(seed, n, rate))
+    }
+  }
+
   test("malformed containers fail loudly") {
     intercept[IllegalArgumentException] { // wrong magic
       Audio.decodeWav(1L, "RIFX0000WAVE".getBytes("US-ASCII"), 10)
