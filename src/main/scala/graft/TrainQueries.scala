@@ -9286,6 +9286,53 @@ object TrainQueries {
       .toDF().orderBy("doc_id")
   }
 
+  /** Stereo-downmix dedup (q299, [[Audio.downmixToMono]]): the
+    * distribution case q290's resample leg doesn't cover — the SAME
+    * mono master shipped as a STEREO render (here the common
+    * fake-stereo form: right = attenuated left, L/2 truncating) must
+    * deduplicate against the master, and the route back into the
+    * mono-only envelope chain is the downmix the [[Audio.envelopeHash]]
+    * contract points at: (L + R)/2 truncating per frame through the
+    * real stereo parse, re-encoded as a valid mono wav, fingerprinted.
+    * Measured: downmix lands ≤ 1 envelope bit from the master
+    * (attenuation cancels in the scale-invariant bit rule; truncation
+    * is the only noise) while different recordings sit ≥ 19 — the
+    * same 8-bit gate separates. Every sample closed-form both legs
+    * (truncating integer divisions mirror in DuckDB `//`), so the
+    * oracle replays BOTH fingerprints bit-exactly; payloads never
+    * shuffle.
+    */
+  private def qStereoDownmixDedup(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    val fps = t(s, dir, "documents")
+      .select(col("doc_id").cast("long"))
+      .as[Long]
+      .map { id =>
+        val n = (2000 + (id % 7) * 500 + (id % 53)).toInt
+        val master = Array.tabulate(n)(j =>
+          Audio.modulatedSample(id, j.toLong, n.toLong))
+        val stereo = Audio.encodeWavStereoSamples(master,
+          master.map(_ / 2), 16000)
+        (id,
+          Audio.envelopeHash(id, Audio.encodeWavSamples(master, 16000)),
+          Audio.envelopeHash(id, Audio.downmixToMono(id, stereo)))
+      }
+      .toDF("doc_id", "fp_master", "fp_downmix")
+    val ctrl = fps.select((col("doc_id") - 1).as("doc_id"),
+      col("fp_master").as("fp_ctrl"))
+    fps.join(ctrl, "doc_id")
+      .withColumn("hamming",
+        expr("cast(bit_count(fp_master ^ fp_downmix) as bigint)"))
+      .withColumn("control_hamming",
+        expr("cast(bit_count(fp_downmix ^ fp_ctrl) as bigint)"))
+      .select(col("doc_id"), col("fp_master"), col("fp_downmix"),
+        col("hamming"), (col("hamming") <= 8).as("is_dup"),
+        col("control_hamming"),
+        (col("control_hamming") > 8).as("separated"))
+      .orderBy("doc_id")
+  }
+
   private val clfGateCache = scala.collection.mutable.Map
     .empty[(String, String), String]
 
@@ -9853,7 +9900,8 @@ object TrainQueries {
     "q295_video_keyframes" -> (qVideoKeyframes _),
     "q296_full_certificate" -> (qFullCertificate _),
     "q297_stream_classifier_gate" -> (qStreamClassifierGate _),
-    "q298_wav_stereo" -> (qWavStereo _))
+    "q298_wav_stereo" -> (qWavStereo _),
+    "q299_stereo_downmix" -> (qStereoDownmixDedup _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -15469,7 +15517,48 @@ object TrainQueries {
              sr AS sum_abs_r, pl AS peak_abs_l, pr AS peak_abs_r,
              CASE WHEN sl + sr = 0 THEN 5000
                ELSE sl * 10000 // (sl + sr) END AS balance_bp
-         FROM agg ORDER BY doc_id""")
+         FROM agg ORDER BY doc_id""",
+    // q299: both fingerprints replayed bit-exactly — the master leg is
+    // q290's full rule; the downmix leg is d = (L + L//2) // 2 with L
+    // the signed modulated sample (all truncating divisions mirror
+    // Scala's, the measured q87/q290 property).
+    "q299_stereo_downmix" ->
+      """WITH dims AS (SELECT doc_id,
+             2000 + (doc_id % 7) * 500 + (doc_id % 53) AS n
+           FROM documents),
+         fj AS (SELECT doc_id, n, unnest(range(0, n)) AS j FROM dims),
+         lv AS (SELECT doc_id, n, j, (j * 60) // n AS b,
+             ((doc_id * 31 + 7 * j) % 4096 - 2048)
+               * (1 + (doc_id + ((j * 30) // n) * (doc_id % 7 + 2)) % 8)
+               // 8 AS l
+           FROM fj),
+         mv AS (SELECT doc_id, b, ABS(l) AS am,
+             ABS((l + l // 2) // 2) AS ad
+           FROM lv),
+         mbin AS (SELECT doc_id, b, CAST(SUM(am) AS BIGINT) AS sm,
+             CAST(SUM(ad) AS BIGINT) AS sd
+           FROM mv GROUP BY 1, 2),
+         mtot AS (SELECT doc_id, CAST(SUM(am) AS BIGINT) AS tm,
+             CAST(SUM(ad) AS BIGINT) AS td
+           FROM mv GROUP BY 1),
+         fps AS (SELECT mbin.doc_id,
+             CAST(SUM(CASE WHEN mbin.sm * 60 > mtot.tm
+               THEN 1::BIGINT << mbin.b ELSE 0 END) AS BIGINT)
+               AS fp_master,
+             CAST(SUM(CASE WHEN mbin.sd * 60 > mtot.td
+               THEN 1::BIGINT << mbin.b ELSE 0 END) AS BIGINT)
+               AS fp_downmix
+           FROM mbin JOIN mtot ON mbin.doc_id = mtot.doc_id
+           GROUP BY mbin.doc_id)
+         SELECT f.doc_id, f.fp_master, f.fp_downmix,
+             CAST(bit_count(xor(f.fp_master, f.fp_downmix)) AS BIGINT)
+               AS hamming,
+             bit_count(xor(f.fp_master, f.fp_downmix)) <= 8 AS is_dup,
+             CAST(bit_count(xor(f.fp_downmix, c.fp_master)) AS BIGINT)
+               AS control_hamming,
+             bit_count(xor(f.fp_downmix, c.fp_master)) > 8 AS separated
+         FROM fps f JOIN fps c ON c.doc_id = f.doc_id + 1
+         ORDER BY f.doc_id""")
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized

@@ -254,6 +254,41 @@ object Audio {
   def stereoRightSample(seed: Long, j: Long): Int =
     (((seed * 31 + 7 * j + 2048) % 4096) - 2048).toInt
 
+  /** Encode arbitrary PCM16 L/R channels as a stereo RIFF/WAVE file
+    * (interleaved frames — the generic seam [[encodeWavStereo]]'s
+    * fixture rides; q299 feeds it a fake-stereo render).
+    */
+  def encodeWavStereoSamples(left: Array[Int], right: Array[Int],
+      sampleRate: Int): Array[Byte] = {
+    require(left.length == right.length && left.nonEmpty &&
+      sampleRate >= 1,
+      s"bad stereo params: l=${left.length} r=${right.length} " +
+        s"rate=$sampleRate")
+    val n = left.length
+    val dataBytes = n * 4
+    val out = new Array[Byte](12 + 24 + 8 + dataBytes)
+    putAscii(out, 0, "RIFF")
+    putLe32(out, 4, (out.length - 8).toLong)
+    putAscii(out, 8, "WAVE")
+    putAscii(out, 12, "fmt ")
+    putLe32(out, 16, 16L)
+    putLe16(out, 20, 1)
+    putLe16(out, 22, 2)
+    putLe32(out, 24, sampleRate.toLong)
+    putLe32(out, 28, sampleRate.toLong * 4)
+    putLe16(out, 32, 4)
+    putLe16(out, 34, 16)
+    putAscii(out, 36, "data")
+    putLe32(out, 40, dataBytes.toLong)
+    var j = 0
+    while (j < n) {
+      putLe16(out, 44 + 4 * j, left(j) & 0xffff)
+      putLe16(out, 44 + 4 * j + 2, right(j) & 0xffff)
+      j += 1
+    }
+    out
+  }
+
   /** Decode a stereo RIFF/WAVE file via the shared chunk walk (2
     * channels enforced loudly), de-interleaving L/R frames in one
     * pass. `balance_bp` = sum|L|·10⁴ div (sum|L| + sum|R|), truncated
@@ -280,6 +315,32 @@ object Audio {
     }
     val balance = if (sl + sr == 0) 5000L else sl * 10000 / (sl + sr)
     StereoFeatures(docId, lay.rate, n.toLong, sl, sr, pl, pr, balance)
+  }
+
+  /** Downmix a stereo RIFF/WAVE file to mono — the operation
+    * [[envelopeHash]]'s mono-only contract points at: per frame the
+    * truncating channel average (L + R) / 2 (toward zero, exact in any
+    * engine), re-encoded as a valid mono wav at the same rate so the
+    * result feeds any mono reader — which is how a stereo distribution
+    * of a mono master re-enters the envelope-fingerprint dedup chain
+    * (q299). Scan-local like every codec here.
+    */
+  def downmixToMono(docId: Long, bytes: Array[Byte]): Array[Byte] = {
+    val lay = parseWav(docId, bytes)
+    require(lay.channels == 2,
+      s"doc $docId: downmix expects stereo, got ${lay.channels} channels")
+    require(lay.dataLen % 4 == 0,
+      s"doc $docId: stereo data not frame-aligned: ${lay.dataLen}")
+    val n = lay.dataLen / 4
+    val mono = new Array[Int](n)
+    var j = 0
+    while (j < n) {
+      val l = le16(bytes, lay.dataOff + 4 * j).toShort.toInt
+      val r = le16(bytes, lay.dataOff + 4 * j + 2).toShort.toInt
+      mono(j) = (l + r) / 2 // Java division: truncates toward zero
+      j += 1
+    }
+    encodeWavSamples(mono, lay.rate.toInt)
   }
 
   /** Batched real WAV decode over partitions — the shared codec seam:
