@@ -135,9 +135,13 @@ object Audio {
     var i = 12
     while (i + 8 <= bytes.length) {
       val id = fourcc(bytes, i)
-      val size = le32(bytes, i + 4).toInt
-      require(i + 8 + size <= bytes.length,
-        s"doc $docId: chunk $id overruns the file")
+      // Size stays Long until range-checked: a crafted 32-bit size
+      // >= 2^31 (or 0xFFFFFFF8 ≈ -8 after toInt) would wrap negative,
+      // slip past the overrun check, and stall the walk forever.
+      val sizeL = le32(bytes, i + 4)
+      require(sizeL >= 0 && i + 8 + sizeL <= bytes.length,
+        s"doc $docId: chunk $id size $sizeL overruns the file")
+      val size = sizeL.toInt
       if (id == "fmt ") {
         require(size >= 16, s"doc $docId: fmt chunk too short: $size")
         val audioFormat = le16(bytes, i + 8)

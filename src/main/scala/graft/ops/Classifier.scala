@@ -92,9 +92,15 @@ object Classifier {
   def scoreTokenVotes(docs: DataFrame, votes: DataFrame, docIdCol: String,
       toksCol: String): DataFrame = {
     val occ = docs.select(col(docIdCol), explode(col(toksCol)).as("token"))
-    occ.join(broadcast(votes), Seq("token"), "left")
+    val scored = occ.join(broadcast(votes), Seq("token"), "left")
       .groupBy(docIdCol)
       .agg(sum(coalesce(col("vote"), lit(0L))).as("score"))
+    // explode emits no rows for an empty token array, so a blank doc
+    // would vanish from `scored` — left-join back onto the doc keys and
+    // score it 0 (ties reject), keeping the one-verdict-per-doc contract.
+    docs.select(col(docIdCol)).distinct()
+      .join(scored, Seq(docIdCol), "left")
+      .withColumn("score", coalesce(col("score"), lit(0L)))
       .withColumn("pred_pos", col("score") > 0)
   }
 }

@@ -112,6 +112,11 @@ object Video {
     require(i < bytes.length, s"doc $docId: unterminated y4m header")
     i += 1 // consume the header newline
     require(w >= 1 && h >= 1, s"doc $docId: missing W/H in y4m header")
+    // Header-supplied dimensions: 3·w·h must fit in Int, or the plane
+    // length computed downstream overflows negative and the frame walk
+    // runs backwards instead of failing loudly on the bad header.
+    require(3L * w * h <= Int.MaxValue,
+      s"doc $docId: y4m dimensions ${w}x$h overflow the plane size")
     require(chroma == "444",
       s"doc $docId: unsupported chroma C$chroma (C444 only)")
     (w, h, i)

@@ -54,10 +54,10 @@ class ClassifierSpec extends AnyFunSuite {
     assert(got(10L) === ((2L, true)))
     assert(got(11L) === ((-1L, false)))
     assert(got(12L) === ((0L, false)))
-    // a doc with no tokens emits no occurrence rows at all: absent from
-    // the scored output by construction (explode of an empty array) —
-    // callers join back to the doc table, as q286 does
-    assert(!got.contains(13L))
+    // a doc with no tokens emits no occurrence rows (explode of an
+    // empty array), but the one-verdict-per-doc contract holds: the
+    // join-back scores it 0, and ties reject
+    assert(got(13L) === ((0L, false)))
   }
 
   test("repeated-token occurrences each vote (multinomial form)") {

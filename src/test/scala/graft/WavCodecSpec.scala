@@ -102,6 +102,18 @@ class WavCodecSpec extends AnyFunSuite {
       b(4) = (b(4) + 1).toByte
       Audio.decodeWav(1L, b, 10)
     }
+    intercept[IllegalArgumentException] { // crafted huge chunk size:
+      // 0xFFFFFFF8 once wrapped through toInt as -8 kept the walk from
+      // advancing — an infinite loop, not an error. Must fail loudly.
+      val b = new Array[Byte](20)
+      "RIFF".getBytes("US-ASCII").copyToArray(b, 0)
+      b(4) = 12; b(5) = 0; b(6) = 0; b(7) = 0 // RIFF size = 20 - 8
+      "WAVE".getBytes("US-ASCII").copyToArray(b, 8)
+      "data".getBytes("US-ASCII").copyToArray(b, 12)
+      b(16) = 0xf8.toByte; b(17) = 0xff.toByte
+      b(18) = 0xff.toByte; b(19) = 0xff.toByte // size = 0xFFFFFFF8
+      Audio.decodeWav(1L, b, 10)
+    }
   }
 
   test("distributed decode: payloads decode scan-locally per partition") {

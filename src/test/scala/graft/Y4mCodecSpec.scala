@@ -76,6 +76,12 @@ class Y4mCodecSpec extends AnyFunSuite {
         "JUNK\n".getBytes("US-ASCII")
       Video.decodeY4m(1L, b, 48)
     }
+    intercept[IllegalArgumentException] { // header dims that overflow
+      // 3·w·h past Int.MaxValue must die on the header, not walk the
+      // frame loop backwards with a negative plane length
+      Video.decodeY4m(1L,
+        "YUV4MPEG2 W50000 H50000 C444\nFRAME\n".getBytes("US-ASCII"), 48)
+    }
   }
 
   test("frameLumas exports the per-frame Y series the features reduce") {
