@@ -9120,13 +9120,13 @@ object TrainQueries {
     * fixture plants real duplicate groups: docs sharing doc_id/5 carry
     * the SAME recording ([[Audio.modulatedSample]], seed = id/5),
     * half of them naively 2×-downsampled (id % 2), so each group holds
-    * exactly two distinct envelope fingerprints ≤ 4 bits apart, while
-    * recordings with distinct gain patterns sit ≥ 16 (the generator's
-    * gain arithmetic is 56-periodic in the seed, so seed pairs ≡
-    * mod 56 are genuinely near-identical recordings — same envelope,
-    * shifted phase — which the screen CORRECTLY merges; the cluster
-    * table reports what the envelopes are, not what the plant
-    * intended). Identical fps collapse FIRST (one
+    * at most two distinct envelope fingerprints 0–1 bits apart, while
+    * distinct recordings never come near the gate (measured over ALL
+    * 10,000 sf1 seeds: zero cross-seed fp pairs within hamming 8, the
+    * closest at 9 — the r13 generator's 56-periodic gain arithmetic
+    * that collapsed seed-congruent recordings into giant clusters is
+    * gone, see [[Audio.modulatedSample]]). Identical fps collapse
+    * FIRST (one
     * 8-byte-key distinct), the band self-join runs over DISTINCT fps
     * only — 5×12-bit bands (≤ 4 flips over 5 bands pigeonholes ≥ 1
     * intact band, so every true resample pair IS a candidate; the
@@ -9294,10 +9294,11 @@ object TrainQueries {
     * mono-only envelope chain is the downmix the [[Audio.envelopeHash]]
     * contract points at: (L + R)/2 truncating per frame through the
     * real stereo parse, re-encoded as a valid mono wav, fingerprinted.
-    * Measured: downmix lands ≤ 1 envelope bit from the master
-    * (attenuation cancels in the scale-invariant bit rule; truncation
-    * is the only noise) while different recordings sit ≥ 19 — the
-    * same 8-bit gate separates. Every sample closed-form both legs
+    * Measured: downmix lands 0 envelope bits from the master
+    * (attenuation cancels in the scale-invariant bit rule; the gapped
+    * gain alphabet keeps every bin ≥ 20 % from the threshold, so the
+    * truncation noise never flips one) while different recordings sit
+    * ≥ 14 — the same 8-bit gate separates. Every sample closed-form both legs
     * (truncating integer divisions mirror in DuckDB `//`), so the
     * oracle replays BOTH fingerprints bit-exactly; payloads never
     * shuffle.
@@ -9530,12 +9531,14 @@ object TrainQueries {
     * ([[Audio.modulatedSample]], 2,000–5,000 samples) encodes at full
     * rate AND naively 2×-downsampled (every 2nd sample, half the
     * rate); both decode through the real chunk walk and fingerprint on
-    * the position-relative 60-bin amplitude envelope. Measured: the
-    * two legs land ≤ 4 bits apart while different recordings sit
-    * ≥ 17 apart (validated over 5,000 seeds; the next-doc control
-    * column carries the proof in-data) — the 8-bit gate separates with
-    * margin on BOTH sides, so this fingerprint slots straight into the
-    * q193/q267 band+hamming machinery. PCM is lossless and the
+    * the position-relative 60-bin amplitude envelope. Measured over
+    * ALL 50,000 sf1 seeds: the two legs land 0 bits apart (the gapped
+    * gain alphabet — [[Audio.modulatedSample]]) while adjacent-seed
+    * controls sit ≥ 14 apart and the closest pair ANYWHERE in the
+    * 2×10⁸ cross-seed space sits at 9 (the next-doc control column
+    * carries the proof in-data) — the 8-bit gate separates on BOTH
+    * sides at full corpus scale, so this fingerprint slots straight
+    * into the q193/q267 band+hamming machinery. PCM is lossless and the
     * recording closed-form, so the oracle replays BOTH fingerprints
     * bit-exactly. Payloads never shuffle; only (id, fp) rows leave the
     * scan.
@@ -15193,9 +15196,12 @@ object TrainQueries {
            FROM documents),
          fj AS (SELECT doc_id, n, unnest(range(0, n)) AS j FROM dims),
          fv AS (SELECT doc_id, (j * 60) // n AS b,
-             ABS(((doc_id * 31 + 7 * j) % 4096 - 2048)
-               * (1 + (doc_id + ((j * 30) // n) * (doc_id % 7 + 2)) % 8)
-               // 8) AS a
+             (doc_id * 60 + (j * 60) // n + 1) * 2654435761
+               % 4294967296 AS h0,
+             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
+             xor(h1, h1 >> 13) % 6 AS m,
+             ABS(((doc_id * 31 + 997 * j) % 4096 - 2048)
+               * (1 + m + CASE WHEN m >= 3 THEN 5 ELSE 0 END) // 8) AS a
            FROM fj),
          fbin AS (SELECT doc_id, b, CAST(SUM(a) AS BIGINT) AS s
            FROM fv GROUP BY 1, 2),
@@ -15210,9 +15216,12 @@ object TrainQueries {
              unnest(range(0, n // 2)) AS k
            FROM dims),
          hv AS (SELECT doc_id, (k * 60) // m AS b,
-             ABS(((doc_id * 31 + 7 * (2 * k)) % 4096 - 2048)
-               * (1 + (doc_id + (((2 * k) * 30) // n)
-                 * (doc_id % 7 + 2)) % 8) // 8) AS a
+             (doc_id * 60 + ((2 * k) * 60) // n + 1) * 2654435761
+               % 4294967296 AS h0,
+             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
+             xor(h1, h1 >> 13) % 6 AS m2,
+             ABS(((doc_id * 31 + 997 * (2 * k)) % 4096 - 2048)
+               * (1 + m2 + CASE WHEN m2 >= 3 THEN 5 ELSE 0 END) // 8) AS a
            FROM hj),
          hbin AS (SELECT doc_id, b, CAST(SUM(a) AS BIGINT) AS s
            FROM hv GROUP BY 1, 2),
@@ -15323,9 +15332,12 @@ object TrainQueries {
              CASE WHEN step = 1 THEN n ELSE n // 2 END AS m
            FROM base),
          kv AS (SELECT doc_id, m, (k * 60) // m AS b,
-             ABS(((seed * 31 + 7 * (k * step)) % 4096 - 2048)
-               * (1 + (seed + (((k * step) * 30) // n)
-                 * (seed % 7 + 2)) % 8) // 8) AS a
+             (seed * 60 + ((k * step) * 60) // n + 1) * 2654435761
+               % 4294967296 AS h0,
+             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
+             xor(h1, h1 >> 13) % 6 AS mm,
+             ABS(((seed * 31 + 997 * (k * step)) % 4096 - 2048)
+               * (1 + mm + CASE WHEN mm >= 3 THEN 5 ELSE 0 END) // 8) AS a
            FROM b2, unnest(range(0, m)) u(k)),
          bins AS (SELECT doc_id, b, CAST(SUM(a) AS BIGINT) AS s
            FROM kv GROUP BY 1, 2),
@@ -15528,9 +15540,12 @@ object TrainQueries {
            FROM documents),
          fj AS (SELECT doc_id, n, unnest(range(0, n)) AS j FROM dims),
          lv AS (SELECT doc_id, n, j, (j * 60) // n AS b,
-             ((doc_id * 31 + 7 * j) % 4096 - 2048)
-               * (1 + (doc_id + ((j * 30) // n) * (doc_id % 7 + 2)) % 8)
-               // 8 AS l
+             (doc_id * 60 + (j * 60) // n + 1) * 2654435761
+               % 4294967296 AS h0,
+             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
+             xor(h1, h1 >> 13) % 6 AS m,
+             ((doc_id * 31 + 997 * j) % 4096 - 2048)
+               * (1 + m + CASE WHEN m >= 3 THEN 5 ELSE 0 END) // 8 AS l
            FROM fj),
          mv AS (SELECT doc_id, b, ABS(l) AS am,
              ABS((l + l // 2) // 2) AS ad

@@ -38,17 +38,21 @@ class AudioFingerprintSpec extends AnyFunSuite {
   }
 
   test("measured margins behind the 8-bit gate: a 2x resample stays " +
-      "<= 4 bits, a different recording sits >= 17") {
+      "<= 1 bit, a different recording sits >= 15") {
+    // the gapped gain alphabet keeps every bin >= 20% from the bit
+    // threshold, so resample drift measured 0 over all 50k sf1 seeds
+    // (asserted <= 1 for slack) and the min ALL-pairs control within
+    // this range measured 15 (adjacent-seed controls 22)
     for (seed <- 0L until 150L) {
       val n = (2000 + (seed % 7) * 500 + (seed % 53)).toInt
       val full = fpOf(seed, n, 1)
       val half = fpOf(seed, n, 2)
       val sameHam = java.lang.Long.bitCount(full ^ half)
-      assert(sameHam <= 4, s"seed $seed: resample hamming $sameHam > 4")
+      assert(sameHam <= 1, s"seed $seed: resample hamming $sameHam > 1")
       val n2 = (2000 + ((seed + 1) % 7) * 500 + ((seed + 1) % 53)).toInt
       val other = fpOf(seed + 1, n2, 1)
       val ctrlHam = java.lang.Long.bitCount(full ^ other)
-      assert(ctrlHam >= 17, s"seed $seed: control hamming $ctrlHam < 17")
+      assert(ctrlHam >= 15, s"seed $seed: control hamming $ctrlHam < 15")
     }
   }
 
