@@ -235,6 +235,24 @@ object TrainQueries {
       |        HAVING SUM(x * x) > 0)"""
       .stripMargin
 
+  /** The SAME 10⁴ quantization as [[quantCte]]'s `q`, kept as one list
+    * per vector so pair dots run through DuckDB's native
+    * `list_inner_product` instead of a 64-rows-per-pair unnest join —
+    * the difference between minutes and hours when an oracle replays a
+    * quadratic pair leg at the sf1 50 k-vector scale. Exactness holds
+    * because every quantized term is an integer: |x| ≤ ~10⁴,
+    * |x·x| ≤ 10⁸, 64-element sums ≤ ~10¹⁰ — all far under 2⁵³, so the
+    * DOUBLE arithmetic is exact and `CAST(... AS BIGINT)` of the
+    * product reproduces the integer dot bit-for-bit.
+    */
+  private val qlistCte =
+    """qv AS (SELECT vec_id,
+      |    list_transform(embedding, e ->
+      |      CAST(floor(CAST(e AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE))
+      |      AS xs
+      |  FROM embeddings)"""
+      .stripMargin
+
   /** Shared oracle for q286 (stored-model scoring) and q288
     * (incremental counts-merge refresh): both train the SAME model —
     * counts are additive, so base(%10∉{0,1}) + batch(%10=1) ≡ a
@@ -14552,11 +14570,11 @@ object TrainQueries {
     // vector against the corpus side (the q28 idiom), flag at 0.3.
     "q273_semantic_contam" ->
       s"""WITH $quantCte,
+         $qlistCte,
          d AS (SELECT a.vec_id AS query_id, b.vec_id AS id_b,
-             SUM(a.x * b.x) AS dot
-           FROM q a JOIN q b ON a.i = b.i
-           WHERE a.vec_id % 50 = 0 AND b.vec_id % 50 <> 0
-           GROUP BY 1, 2),
+             CAST(list_inner_product(a.xs, b.xs) AS BIGINT) AS dot
+           FROM qv a, qv b
+           WHERE a.vec_id % 50 = 0 AND b.vec_id % 50 <> 0),
          sm AS (SELECT query_id, id_b,
              CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
                * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
@@ -14604,6 +14622,7 @@ object TrainQueries {
     // cosine top-1, and compares against the q273 exact top-1 flags.
     "q275_semantic_contam_ivf" ->
       s"""WITH $quantCte,
+         $qlistCte,
          qf AS (SELECT q.vec_id, q.i, q.x FROM q JOIN nrm USING (vec_id)),
          ids_cl AS (SELECT vec_id,
              CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j
@@ -14647,12 +14666,11 @@ object TrainQueries {
              WHERE vec_id % 50 = 0)
            WHERE rn <= 2),
          fined AS (SELECT p.query_id, ca.vec_id AS id_b,
-             SUM(a.x * b.x) AS dot
+             CAST(list_inner_product(a.xs, b.xs) AS BIGINT) AS dot
            FROM probed p
            JOIN cl_afin ca ON ca.cluster = p.cell AND ca.vec_id % 50 <> 0
-           JOIN q a ON a.vec_id = p.query_id
-           JOIN q b ON b.vec_id = ca.vec_id AND b.i = a.i
-           GROUP BY 1, 2),
+           JOIN qv a ON a.vec_id = p.query_id
+           JOIN qv b ON b.vec_id = ca.vec_id),
          fs AS (SELECT query_id, id_b, CAST(dot AS DOUBLE) /
              (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)))
                AS sim
@@ -14664,10 +14682,9 @@ object TrainQueries {
              FROM fs)
            WHERE rn = 1),
          exd AS (SELECT a.vec_id AS query_id, b.vec_id AS id_b,
-             SUM(a.x * b.x) AS dot
-           FROM q a JOIN q b ON a.i = b.i
-           WHERE a.vec_id % 50 = 0 AND b.vec_id % 50 <> 0
-           GROUP BY 1, 2),
+             CAST(list_inner_product(a.xs, b.xs) AS BIGINT) AS dot
+           FROM qv a, qv b
+           WHERE a.vec_id % 50 = 0 AND b.vec_id % 50 <> 0),
          exs AS (SELECT query_id, id_b, CAST(dot AS DOUBLE) /
              (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)))
                AS sim
@@ -15467,11 +15484,11 @@ object TrainQueries {
            FROM cn e LEFT JOIN ch ON e.fp = ch.fp
            WHERE e.doc_id % 50 = 0),
          $quantCte,
+         $qlistCte,
          d AS (SELECT a.vec_id AS query_id, b.vec_id AS id_b,
-             SUM(a.x * b.x) AS dot
-           FROM q a JOIN q b ON a.i = b.i
-           WHERE a.vec_id % 50 = 0 AND b.vec_id % 50 <> 0
-           GROUP BY 1, 2),
+             CAST(list_inner_product(a.xs, b.xs) AS BIGINT) AS dot
+           FROM qv a, qv b
+           WHERE a.vec_id % 50 = 0 AND b.vec_id % 50 <> 0),
          sm AS (SELECT query_id, id_b,
              CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
                * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
@@ -15594,18 +15611,19 @@ object TrainQueries {
     */
   private def semanticDedupOracle(k: Int, iters: Int): String =
     s"""${kmeansCtes(k, iters)},
+         $qlistCte,
          nrm AS (SELECT vec_id, SUM(x * x) AS nn FROM q GROUP BY 1
                  HAVING SUM(x * x) > 0),
          pd AS (SELECT aa.vec_id AS id_a, bb.vec_id AS id_b,
-             aa.cluster, SUM(qa.x * qb.x) AS dot
+             aa.cluster,
+             CAST(list_inner_product(qa.xs, qb.xs) AS BIGINT) AS dot
            FROM afin aa
            JOIN afin bb ON aa.cluster = bb.cluster
              AND aa.vec_id < bb.vec_id
            JOIN nrm ea ON ea.vec_id = aa.vec_id
            JOIN nrm eb ON eb.vec_id = bb.vec_id
-           JOIN q qa ON qa.vec_id = aa.vec_id
-           JOIN q qb ON qb.vec_id = bb.vec_id AND qa.i = qb.i
-           GROUP BY 1, 2, 3),
+           JOIN qv qa ON qa.vec_id = aa.vec_id
+           JOIN qv qb ON qb.vec_id = bb.vec_id),
          sm AS (SELECT id_a, id_b, cluster,
              CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
                * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
@@ -15623,6 +15641,7 @@ object TrainQueries {
     */
   private def crossSemanticDedupOracle(k: Int, iters: Int): String =
     s"""${kmeansCtes(k, iters, "WHERE vec_id % 3 <> 0")},
+         $qlistCte,
          qb AS (SELECT e.vec_id, i,
              CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0 + 0.5)
                   AS BIGINT) AS x
@@ -15640,14 +15659,14 @@ object TrainQueries {
          nb AS (SELECT vec_id, SUM(x * x) AS nn FROM qb GROUP BY 1
                  HAVING SUM(x * x) > 0),
          pd AS (SELECT bb.vec_id AS new_id, hh.vec_id AS hist_id,
-             bb.cluster, SUM(qx.x * qy.x) AS dot
+             bb.cluster,
+             CAST(list_inner_product(qx.xs, qy.xs) AS BIGINT) AS dot
            FROM ab bb
            JOIN afin hh ON bb.cluster = hh.cluster
            JOIN nb eb ON eb.vec_id = bb.vec_id
            JOIN nh eh ON eh.vec_id = hh.vec_id
-           JOIN qb qx ON qx.vec_id = bb.vec_id
-           JOIN q qy ON qy.vec_id = hh.vec_id AND qx.i = qy.i
-           GROUP BY 1, 2, 3),
+           JOIN qv qx ON qx.vec_id = bb.vec_id
+           JOIN qv qy ON qy.vec_id = hh.vec_id),
          sm AS (SELECT new_id, hist_id, cluster,
              CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
                * sqrt(CAST(nb2.nn AS DOUBLE))) AS sim
@@ -15669,6 +15688,7 @@ object TrainQueries {
   private def growingSemanticDedupOracle(k: Int, iters: Int,
       chunks: Int): String =
     s"""${kmeansCtes(k, iters, "WHERE vec_id % 3 <> 0")},
+         $qlistCte,
          bt AS (SELECT vec_id,
              CAST(NTILE($chunks) OVER (ORDER BY vec_id) AS BIGINT) AS b
            FROM embeddings),
@@ -15698,7 +15718,8 @@ object TrainQueries {
            SELECT bb.vec_id, bb.cluster, bt.b
              FROM ab bb JOIN bt ON bb.vec_id = bt.vec_id),
          pd AS (SELECT bb.vec_id AS new_id, pv.vec_id AS other_id,
-             bb.cluster, SUM(qx.x * qy.x) AS dot
+             bb.cluster,
+             CAST(list_inner_product(qx.xs, qy.xs) AS BIGINT) AS dot
            FROM ab bb
            JOIN bt bx ON bb.vec_id = bx.vec_id
            JOIN pv ON pv.cluster = bb.cluster
@@ -15706,9 +15727,8 @@ object TrainQueries {
                   OR (pv.b = bx.b AND pv.vec_id < bb.vec_id))
            JOIN nb nx ON nx.vec_id = bb.vec_id
            JOIN nall ny ON ny.vec_id = pv.vec_id
-           JOIN qb qx ON qx.vec_id = bb.vec_id
-           JOIN qa qy ON qy.vec_id = pv.vec_id AND qx.i = qy.i
-           GROUP BY 1, 2, 3),
+           JOIN qv qx ON qx.vec_id = bb.vec_id
+           JOIN qv qy ON qy.vec_id = pv.vec_id),
          sm AS (SELECT new_id, other_id, cluster,
              CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
                * sqrt(CAST(no.nn AS DOUBLE))) AS sim
