@@ -9352,6 +9352,81 @@ object TrainQueries {
       .orderBy("doc_id")
   }
 
+  /** Cross-video near-dup clusters (q300,
+    * [[Video.sceneKeyframeHashes]]): the missing modality member —
+    * rasters cluster through q280 and audio through q294, and the most
+    * common video dup in a crawl is a re-encoded or trimmed copy of
+    * the same clip. The clip fingerprint composes the two proven
+    * pieces in ONE decode pass: q295's scene segmentation + keyframe
+    * election and q252's raster blockhash applied to the elected
+    * keyframe (8×8 block-vs-frame-mean over the DECODED Y plane,
+    * division-free) — so a clip reduces to a handful of 64-bit
+    * keyframe hashes and payloads never shuffle. The fixture plants
+    * both production dup forms per doc_id/4 group: a 2× PIXEL-
+    * DUPLICATION upscale (the exact closed-form re-encode — every
+    * container byte, plane length and y_sum differs, but blocks scale
+    * uniformly so every keyframe hash is IDENTICAL) and a first-scene
+    * TRIM (every surviving scene's keyframe hash survives), plus an
+    * unrelated control clip. Content bits are xor-shift-hashed per
+    * (clip, scene, block) ([[Video.sceneBlockBit]] — the
+    * [[Audio.modulatedSample]] entropy discipline), so each keyframe
+    * hash carries 64 iid bits and distinct clips never collide by
+    * birthday at corpus scale. Candidates come from one EXACT
+    * hash-equality self-join (no banding needed — the dup forms
+    * preserve hashes bit-for-bit), verified at ≥ 2 matching keyframes
+    * (a trimmed copy keeps ≥ 2 of its 3–5 scenes; one shared hash is
+    * the chance-collision guard), then q71's CC over doc pairs and the
+    * q274 quality-max keep. The oracle replays hashes closed-form, the
+    * same ≥ 2 pair rule, and the recursive closure.
+    */
+  private def qVideoClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val media = docs.select("doc_id").as[Long].map { id =>
+      val seed = id / 4
+      val r = id % 4
+      val seedKey = if (r == 3) 2 * seed + 1 else 2 * seed
+      val nScenes = (3 + seed % 3).toInt
+      val (w, h) = if (r == 1) (32, 16) else (16, 8)
+      val (ns, off) = if (r == 2) (nScenes - 1, 1L) else (nScenes, 0L)
+      Multimodal.MediaRecord(id,
+        Video.encodeY4mBlockScenes(seedKey, w, h, ns, 4, off), "y4m")
+    }
+    val kfs = Video.keyframeHashes(media, 48).toDF().transform(snap)
+    val a = kfs.select(col("doc_id").as("id_a"), col("kf_hash"))
+    val b = kfs.select(col("doc_id").as("id_b"), col("kf_hash"))
+    val edges = a.join(b, Seq("kf_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("__nm"))
+      .filter(col("__nm") >= 2)
+      .select("id_a", "id_b")
+    val labels = DedupClusters.connectedComponents(edges, "id_a", "id_b")
+      .withColumnRenamed("node", "doc_id")
+    val qual = docs
+      .withColumn("__toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .withColumn("__q", TextFns.qualityScore("text", "__toks"))
+      .select(col("doc_id"),
+        expr("cast(floor(__q * 10000.0d + 0.5d) as bigint)").as("q_bp"))
+    val docLab = kfs.select("doc_id").distinct()
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_rep", coalesce(col("cluster_rep"),
+        col("doc_id")))
+    val nkf = kfs.join(docLab, "doc_id")
+      .groupBy("cluster_rep")
+      .agg(countDistinct("kf_hash").as("n_kf_hashes"))
+    docLab.join(qual, "doc_id")
+      .groupBy("cluster_rep")
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("q_bp"), (-col("doc_id")).as("negid"))).as("__m"))
+      .join(nkf, "cluster_rep")
+      .select(col("cluster_rep"), col("n_docs"), col("n_kf_hashes"),
+        (-col("__m.negid")).as("kept_doc"), col("__m.q_bp").as("kept_q_bp"))
+      .orderBy("cluster_rep")
+  }
+
   private val clfGateCache = scala.collection.mutable.Map
     .empty[(String, String), String]
 
@@ -9922,7 +9997,8 @@ object TrainQueries {
     "q296_full_certificate" -> (qFullCertificate _),
     "q297_stream_classifier_gate" -> (qStreamClassifierGate _),
     "q298_wav_stereo" -> (qWavStereo _),
-    "q299_stereo_downmix" -> (qStereoDownmixDedup _))
+    "q299_stereo_downmix" -> (qStereoDownmixDedup _),
+    "q300_video_clusters" -> (qVideoClusters _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -15590,7 +15666,77 @@ object TrainQueries {
                AS control_hamming,
              bit_count(xor(f.fp_downmix, c.fp_master)) > 8 AS separated
          FROM fps f JOIN fps c ON c.doc_id = f.doc_id + 1
-         ORDER BY f.doc_id""")
+         ORDER BY f.doc_id""",
+    // q300: keyframe blockhashes replayed closed-form (the planted
+    // per-(clip, scene, block) xor-shift bits ARE the decoded
+    // block-vs-frame-mean bits, all-ones degenerating to 0 under the
+    // strict > rule), the same exact-equality >= 2 pair rule, the
+    // recursive closure, and the q274 quality-max keep.
+    "q300_video_clusters" ->
+      """WITH RECURSIVE base AS (SELECT doc_id, doc_id // 4 AS seed,
+             doc_id % 4 AS r FROM documents),
+         b2 AS (SELECT doc_id,
+             CASE WHEN r = 3 THEN 2 * seed + 1 ELSE 2 * seed END AS sk,
+             3 + seed % 3 AS ns, r
+           FROM base),
+         sc AS (SELECT doc_id, sk,
+             CASE WHEN r = 2 THEN s + 1 ELSE s END AS scene
+           FROM b2, unnest(range(0,
+             CASE WHEN r = 2 THEN ns - 1 ELSE ns END)) u(s)),
+         bits AS (SELECT doc_id, scene, b,
+             (sk * 512 + scene * 64 + b + 1) * 2654435761
+               % 4294967296 AS h0,
+             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
+             xor(h1, h1 >> 13) % 2 AS bit
+           FROM sc, unnest(range(0, 64)) v(b)),
+         kf AS (SELECT doc_id, scene,
+             CASE WHEN SUM(bit) = 64 THEN 0
+               ELSE CAST(SUM(CASE WHEN bit = 0 THEN 0
+                 WHEN b = 63 THEN -9223372036854775808
+                 ELSE 1::BIGINT << b END) AS BIGINT) END AS kf_hash
+           FROM bits GROUP BY 1, 2),
+         e AS (SELECT a.doc_id AS na, c.doc_id AS nb
+           FROM kf a JOIN kf c ON a.kf_hash = c.kf_hash
+             AND a.doc_id < c.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         sym AS (SELECT na AS src, nb AS dst FROM e
+                 UNION SELECT nb, na FROM e),
+         r AS (SELECT src AS node, dst AS peer FROM sym
+               UNION
+               SELECT r.node, s.dst FROM r JOIN sym s ON r.peer = s.src),
+         lab AS (SELECT node, LEAST(node, MIN(peer)) AS cluster_rep
+           FROM r GROUP BY node),
+         tk AS (SELECT doc_id, text,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+           FROM documents),
+         qq AS (SELECT doc_id, CAST(floor((
+               0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (1.0 - CAST(len(list_filter(toks,
+                     w -> w IN ('the','a','of','and','is')))
+                   AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+               + 0.2 * least(((CAST(length(text) AS DOUBLE)
+                     - (CAST(len(toks) AS DOUBLE) - 1.0))
+                   / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0)
+             ) * 10000.0 + 0.5) AS BIGINT) AS q_bp
+           FROM tk),
+         dl AS (SELECT d.doc_id,
+             COALESCE(l.cluster_rep, d.doc_id) AS cluster_rep, q.q_bp
+           FROM base d LEFT JOIN lab l ON d.doc_id = l.node
+           JOIN qq q ON d.doc_id = q.doc_id),
+         win AS (SELECT cluster_rep, doc_id, q_bp, row_number() OVER
+             (PARTITION BY cluster_rep ORDER BY q_bp DESC, doc_id ASC)
+             AS rn
+           FROM dl),
+         nk AS (SELECT dl.cluster_rep,
+             CAST(COUNT(DISTINCT kf.kf_hash) AS BIGINT) AS n_kf_hashes
+           FROM dl JOIN kf ON dl.doc_id = kf.doc_id GROUP BY 1),
+         agg AS (SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM dl GROUP BY 1)
+         SELECT a.cluster_rep, a.n_docs, k.n_kf_hashes,
+             w.doc_id AS kept_doc, w.q_bp AS kept_q_bp
+         FROM agg a JOIN nk k ON a.cluster_rep = k.cluster_rep
+           JOIN win w ON a.cluster_rep = w.cluster_rep AND w.rn = 1
+         ORDER BY a.cluster_rep""")
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized

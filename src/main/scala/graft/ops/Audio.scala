@@ -436,6 +436,128 @@ object Audio {
     out
   }
 
+  // ------------------------------------------------------------------
+  // Shift-robust landmark fingerprint (q301/q302): the envelope
+  // fingerprint is position-RELATIVE — robust to resampling, blind to
+  // time SHIFTS (a leading-silence pad or a content trim moves every
+  // bin). The public Shazam-style fix is landmark-PAIR hashing: anchor
+  // on signal events, hash their relative geometry. Here in exact
+  // integers with zero quantization jitter: landmarks are onset edges
+  // (|s| crossing a threshold upward) in the DECODED samples, and each
+  // hash packs two consecutive inter-onset deltas plus two quantized
+  // amplitude ratios — a pad or trim shifts every onset equally, so
+  // every interior hash survives bit-for-bit.
+  // ------------------------------------------------------------------
+
+  /** One onset landmark: exact sample position + its amplitude. */
+  private[graft] case class Onset(pos: Long, amp: Long)
+
+  /** The xor-shift mixer shared by the closed-form fixtures (the
+    * [[modulatedSample]] discipline — affine hashes measurably
+    * collapse); public so oracles' SQL replicas can be spot-checked
+    * against it.
+    */
+  def mix32(x: Long): Long = {
+    val h0 = x * 2654435761L % 4294967296L
+    val h1 = (h0 ^ (h0 >> 16)) * 40503 % 4294967296L
+    h1 ^ (h1 >> 13)
+  }
+
+  /** Detect onset landmarks in a decoded mono wav: sample j is an
+    * onset iff |s_j| ≥ `threshold` and |s_(j−1)| < threshold (j = 0
+    * counts when loud). Exact — no windows, no spectral estimate — so
+    * a silence pad or an arbitrary-offset trim shifts every onset by
+    * exactly the pad/trim length.
+    */
+  def onsets(docId: Long, bytes: Array[Byte],
+      threshold: Int): Seq[Onset] = {
+    require(threshold >= 1, s"threshold must be >= 1: $threshold")
+    val lay = parseWav(docId, bytes)
+    require(lay.channels == 1,
+      s"doc $docId: onset landmarks are mono-only, " +
+        s"got ${lay.channels} channels (downmix first)")
+    val n = lay.dataLen / 2
+    val out = scala.collection.mutable.ArrayBuffer.empty[Onset]
+    var prevLoud = false
+    var j = 0
+    while (j < n) {
+      val a = math.abs(le16(bytes, lay.dataOff + 2 * j).toShort.toInt)
+        .toLong
+      val loud = a >= threshold
+      if (loud && !prevLoud) out += Onset(j.toLong, a)
+      prevLoud = loud
+      j += 1
+    }
+    out.toSeq
+  }
+
+  /** Landmark-pair hashes of a decoded wav: for each run of three
+    * consecutive onsets (p₁,a₁)(p₂,a₂)(p₃,a₃) one 64-bit hash packing
+    * the two exact deltas (Δ₁ = p₂−p₁, Δ₂ = p₃−p₂, each capped into
+    * 20 bits) and the two truncated amplitude ratios r = a₂·8/a₁ and
+    * a₃·8/a₂ (4 bits each, capped 15). Time-shift invariant by
+    * construction: a leading pad shifts every pᵢ equally and a trim
+    * that removes the first k onsets removes exactly the k leading
+    * hashes — every interior hash survives bit-for-bit, which is what
+    * lets a ≥ k-shared-hashes vote verify a padded/trimmed copy the
+    * position-relative envelope provably misses (q301 carries the
+    * envelope-miss proof in-data).
+    */
+  def landmarkHashes(docId: Long, bytes: Array[Byte],
+      threshold: Int = 256): Seq[Long] = {
+    val on = onsets(docId, bytes, threshold)
+    (0 until on.length - 2).map { i =>
+      val d1 = math.min(on(i + 1).pos - on(i).pos, (1L << 20) - 1)
+      val d2 = math.min(on(i + 2).pos - on(i + 1).pos, (1L << 20) - 1)
+      val r1 = math.min(on(i + 1).amp * 8 / on(i).amp, 15L)
+      val r2 = math.min(on(i + 2).amp * 8 / on(i + 1).amp, 15L)
+      (((d1 << 20) | d2) << 8) | (r1 << 4) | r2
+    }
+  }
+
+  /** The q301/q302 fixture "recording": a click train over a quiet
+    * noise floor — the transient-rich signal landmark systems are
+    * built for, closed-form so any engine recomputes every sample.
+    * Background |b| ≤ 40 (stride-997 fast sweep over [−40, 40]); m
+    * clicks of 3 samples each at hashed gaps gᵢ = 150 + mix(…) mod 250
+    * and hashed 8-level amplitudes Aᵢ = 1500 + (mix(…) mod 8)·64 —
+    * far above any onset threshold in (40, 1500]. Samples fit PCM16.
+    */
+  def clickTrainSample(seed: Long, j: Long, n: Long): Int = {
+    // closed-form membership: click i starts at p_i; p_0 = 200 +
+    // mix(seed*1024+1000) mod 200, p_{i+1} = p_i + 3 + g_i
+    var p = 200 + mix32(seed * 1024 + 1000) % 200
+    var i = 0L
+    while (p + 3 <= n - 100) {
+      if (j >= p && j < p + 3)
+        return (1500 + mix32(seed * 1024 + 2 * i + 2) % 8 * 64).toInt
+      p += 3 + 150 + mix32(seed * 1024 + 2 * i + 1) % 250
+      i += 1
+    }
+    (((seed * 31 + 997 * j) % 81) - 40).toInt
+  }
+
+  /** Materialize a click-train recording (the loop form of
+    * [[clickTrainSample]] — O(n) instead of O(n·m)).
+    */
+  def clickTrain(seed: Long, n: Int): Array[Int] = {
+    val s = new Array[Int](n)
+    var j = 0
+    while (j < n) {
+      s(j) = (((seed * 31 + 997 * j) % 81) - 40).toInt
+      j += 1
+    }
+    var p = 200 + mix32(seed * 1024 + 1000) % 200
+    var i = 0L
+    while (p + 3 <= n - 100) {
+      val a = (1500 + mix32(seed * 1024 + 2 * i + 2) % 8 * 64).toInt
+      s(p.toInt) = a; s(p.toInt + 1) = a; s(p.toInt + 2) = a
+      p += 3 + 150 + mix32(seed * 1024 + 2 * i + 1) % 250
+      i += 1
+    }
+    s
+  }
+
   /** 60-bit amplitude-envelope fingerprint of a DECODED wav: |sample j|
     * lands in bin ⌊j·60/n⌋, bit b set iff bin_b·60 > total (the
     * division-free blockhash rule on the time axis). Bins are

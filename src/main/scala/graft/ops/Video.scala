@@ -181,6 +181,174 @@ object Video {
       cutMeanDelta)))
   }
 
+  // ------------------------------------------------------------------
+  // Cross-video near-dup (q300): per-scene keyframe BLOCKHASHES as the
+  // clip fingerprint — the q252 raster discipline composed with the
+  // q295 keyframe election, in ONE decode pass. A re-encoded duplicate
+  // (here the exact closed form: a 2x pixel-duplication upscale — every
+  // container byte and every plane byte count differs) keeps identical
+  // blockhashes because blocks scale uniformly; a trimmed duplicate
+  // keeps every surviving scene's keyframe hash. Payloads never
+  // shuffle: only (doc, scene, keyframe, hash) rows leave the scan.
+  // ------------------------------------------------------------------
+
+  /** One row per scene: the elected keyframe and its 64-bit blockhash
+    * (8x8 grid over the Y plane, bit = block mean > frame mean,
+    * division-free as blockSum·64 > ySum — w,h multiples of 8 enforced
+    * so blocks are exact).
+    */
+  case class KeyframeHash(doc_id: Long, scene: Long, keyframe: Long,
+      kf_hash: Long)
+
+  /** Decode a Y4M clip once, segmenting scenes at the |Δmean| >
+    * `cutMeanDelta` rule (division-free), electing each scene's
+    * brightest frame (ties → earliest), and emitting that keyframe's
+    * Y-plane blockhash — all in the same frame walk, so a 2-hour clip
+    * streams through without buffering more than one frame's 64 block
+    * sums plus the current best.
+    */
+  def sceneKeyframeHashes(docId: Long, bytes: Array[Byte],
+      cutMeanDelta: Int): Seq[KeyframeHash] = {
+    require(cutMeanDelta >= 1, s"cutMeanDelta must be >= 1: $cutMeanDelta")
+    val (w, h, hdrEnd) = parseY4mHeader(docId, bytes)
+    require(w % 8 == 0 && h % 8 == 0,
+      s"doc $docId: blockhash needs dims divisible by 8, got ${w}x$h")
+    val ySize = w * h
+    val planeLen = 3 * ySize
+    val out = scala.collection.mutable.ArrayBuffer.empty[KeyframeHash]
+    var i = hdrEnd
+    var f = 0L
+    var prevYSum = -1L
+    var scene = 0L
+    var bestYSum = -1L
+    var bestFrame = -1L
+    var bestBlocks: Array[Long] = null
+    def hashOf(blocks: Array[Long], ySum: Long): Long = {
+      var fp = 0L
+      var b = 0
+      while (b < 64) { // blockSum/npix > ySum/(64*npix) <=> sum*64 > ySum
+        if (blocks(b) * 64 > ySum) fp |= (1L << b)
+        b += 1
+      }
+      fp
+    }
+    while (i < bytes.length) {
+      val fm = "FRAME"
+      require(i + fm.length <= bytes.length &&
+        new String(bytes, i, fm.length, "US-ASCII") == fm,
+        s"doc $docId: missing FRAME marker at byte $i")
+      i += fm.length
+      while (i < bytes.length && bytes(i) != '\n') i += 1
+      require(i < bytes.length, s"doc $docId: unterminated FRAME header")
+      i += 1
+      require(i + planeLen <= bytes.length, s"doc $docId: truncated frame $f")
+      var ySum = 0L
+      val blocks = new Array[Long](64)
+      var k = 0
+      while (k < ySize) {
+        val v = (bytes(i + k) & 0xff).toLong
+        ySum += v
+        blocks(((k / w) * 8 / h) * 8 + (k % w) * 8 / w) += v
+        k += 1
+      }
+      i += planeLen
+      if (f > 0 && math.abs(ySum - prevYSum) >
+          cutMeanDelta.toLong * w * h) { // scene closes: emit keyframe
+        out += KeyframeHash(docId, scene, bestFrame,
+          hashOf(bestBlocks, bestYSum))
+        scene += 1
+        bestYSum = -1L
+      }
+      if (ySum > bestYSum) { // strict: ties keep the earliest frame
+        bestYSum = ySum
+        bestFrame = f
+        bestBlocks = blocks
+      }
+      prevYSum = ySum
+      f += 1
+    }
+    require(f >= 1, s"doc $docId: y4m stream has no frames")
+    out += KeyframeHash(docId, scene, bestFrame,
+      hashOf(bestBlocks, bestYSum))
+    out.toSeq
+  }
+
+  /** Batched scene-keyframe blockhashing — the shared codec seam. */
+  def keyframeHashes(media: Dataset[Multimodal.MediaRecord],
+      cutMeanDelta: Int)(
+      implicit spark: SparkSession): Dataset[KeyframeHash] = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap(r => sceneKeyframeHashes(r.doc_id,
+      if (r.payload == null) Array.emptyByteArray else r.payload,
+      cutMeanDelta)))
+  }
+
+  /** The q300 fixture's per-(clip, scene, block) content bit — the
+    * xor-shift mixer of [[graft.ops.Audio.modulatedSample]] (an affine
+    * hash measurably collapses the pattern family), so each scene's
+    * keyframe blockhash carries 64 iid bits and distinct clips never
+    * collide by birthday at corpus scale.
+    */
+  def sceneBlockBit(seedKey: Long, scene: Long, block: Int): Boolean = {
+    val x = seedKey * 512 + scene * 64 + block + 1
+    val h0 = x * 2654435761L % 4294967296L
+    val h1 = (h0 ^ (h0 >> 16)) * 40503 % 4294967296L
+    val h2 = h1 ^ (h1 >> 13)
+    h2 % 2 == 1
+  }
+
+  /** The q300 fixture's plane byte: scene parity lifts by 160 (the cut
+    * signal), the per-(seedKey, scene, block) hashed bit selects 90 vs
+    * 10 (the blockhash payload — exactly the bits the decoder's
+    * block-vs-frame-mean rule recovers), and a +1-per-frame ramp makes
+    * the scene's LAST frame its brightest (the election target) without
+    * moving any block bit. Chroma planes repeat the Y pattern.
+    */
+  def blockScenePixel(seedKey: Long, scene: Long, fin: Long, w: Int,
+      h: Int, k: Int): Int = {
+    val ky = k % (w * h)
+    val block = ((ky / w) * 8 / h) * 8 + (ky % w) * 8 / w
+    (160 * (scene % 2) + (if (sceneBlockBit(seedKey, scene, block)) 90
+      else 10) + fin).toInt
+  }
+
+  /** Encode the q300 fixture clip: `nScenes` scenes of `sceneLen`
+    * frames whose content scene index starts at `sceneOffset` — a
+    * trimmed duplicate is the SAME seedKey rendered at offset 1 with
+    * one scene fewer, a re-encoded duplicate the same seedKey at
+    * doubled dims (blocks scale uniformly, so it IS the
+    * pixel-duplication upscale of the master).
+    */
+  def encodeY4mBlockScenes(seedKey: Long, w: Int, h: Int, nScenes: Int,
+      sceneLen: Int, sceneOffset: Long): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0 && nScenes >= 1 && sceneLen >= 1 &&
+      sceneLen <= 6, s"bad block-scene params: ${w}x$h $nScenes x$sceneLen")
+    val header =
+      s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C444\n".getBytes("US-ASCII")
+    val frameHdr = "FRAME\n".getBytes("US-ASCII")
+    val planeLen = 3 * w * h
+    val nf = nScenes * sceneLen
+    val out = new Array[Byte](header.length +
+      nf * (frameHdr.length + planeLen))
+    System.arraycopy(header, 0, out, 0, header.length)
+    var pos = header.length
+    var f = 0
+    while (f < nf) {
+      System.arraycopy(frameHdr, 0, out, pos, frameHdr.length)
+      pos += frameHdr.length
+      val scene = sceneOffset + f / sceneLen
+      val fin = (f % sceneLen).toLong
+      var k = 0
+      while (k < planeLen) {
+        out(pos) = blockScenePixel(seedKey, scene, fin, w, h, k).toByte
+        pos += 1
+        k += 1
+      }
+      f += 1
+    }
+    out
+  }
+
   /** One row per frame: the decoded per-frame luma signal. */
   case class FrameLuma(doc_id: Long, width: Long, height: Long,
       frame: Long, y_sum: Long)

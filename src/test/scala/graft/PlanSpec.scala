@@ -952,7 +952,7 @@ class PlanSpec extends AnyFunSuite {
       case _ => p.children.flatMap(flatten)
     })
     Seq("q283_wav_decode", "q284_y4m_scenes", "q292_media_router",
-      "q294_audio_clusters").foreach { name =>
+      "q294_audio_clusters", "q300_video_clusters").foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       df.count()
       flatten(df.queryExecution.executedPlan)

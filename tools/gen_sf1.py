@@ -1,12 +1,24 @@
 #!/usr/bin/env python3
-"""Generate a 10x (sf1) documents table for the scale spot-gate.
+"""Generate 10x (sf1) documents AND embeddings tables for the scale
+spot-gate.
 
 The driver ships sf0.001/0.01/0.1 only; this synthesizes an sf1-sized
 documents.parquet in the SAME distribution family as the driver's
 generator (empirical word frequencies, word-count distribution and
 lang/source marginals measured from sf0.1), seeded, so the heavy
-dedup/ANN families can be probed at 10x the bench scale. Other tables
-are copied from sf0.1 (the gated queries read only documents).
+dedup/ANN families can be probed at 10x the bench scale.
+
+embeddings.parquet is generated DOC-LINKED at full corpus coverage
+(one vec per doc, vec_id = doc_id): sf0.1's embeddings measure as
+unit-norm isotropic float32 vectors with random labels (the per-label
+centroid norm is exactly the 1/sqrt(n_label) sampling noise of a mean
+of random unit vectors, and the residual std is the isotropic 1/8),
+so the sf1 family is seeded standard-normal / normalize / uniform
+labels on the measured marginals. Earlier rounds copied the 2,000-row
+sf0.1 table, which proved the semantic family's determinism at 10x
+docs but never at 10x vector volume (VERDICT-r13 #1).
+
+Other tables are copied from sf0.1.
 
 Usage: python3 tools/gen_sf1.py /tmp/sf1 [n_docs=50000]
 """
@@ -16,6 +28,7 @@ import sys
 from collections import Counter
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 SRC = "/root/testdata/sf0.1"
@@ -71,11 +84,37 @@ def main() -> None:
     import os
     os.makedirs(out, exist_ok=True)
     df.to_parquet(f"{out}/documents.parquet", index=False)
+
+    # doc-linked embeddings at full coverage: vec_id = doc_id, one
+    # unit-norm isotropic float32 vector per doc, labels on sf0.1's
+    # measured marginals (they are random there: centroid norm ==
+    # mean-of-unit-vectors sampling noise)
+    emb_labels = con.execute(
+        f"SELECT label FROM '{SRC}/embeddings.parquet'").df().label
+    lab_keys = sorted(Counter(emb_labels).keys())
+    lab_wts = [int((emb_labels == k).sum()) for k in lab_keys]
+    rng = np.random.RandomState(20260816)
+    vecs = rng.standard_normal((n_docs, 64)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    labels = rnd.choices(lab_keys, weights=lab_wts, k=n_docs)
+    emb = pd.DataFrame({
+        "vec_id": np.arange(n_docs, dtype=np.int64),
+        "embedding": [v for v in vecs],
+        "label": np.array(labels, dtype=np.int32)})
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    schema = pa.schema([("vec_id", pa.int64()),
+                        ("embedding", pa.list_(pa.float32())),
+                        ("label", pa.int32())])
+    pq.write_table(pa.Table.from_pandas(emb, schema=schema),
+                   f"{out}/embeddings.parquet")
+
     for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events", "embeddings"):
+              "orders", "lineitem", "events"):
         shutil.copy(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
     print(f"wrote {out}/documents.parquet with {len(df)} docs; "
-          f"vocab={len(vocab)} avg_words={sum(lengths)/len(lengths):.1f}")
+          f"vocab={len(vocab)} avg_words={sum(lengths)/len(lengths):.1f}; "
+          f"embeddings {len(emb)} doc-linked unit vecs")
 
 
 if __name__ == "__main__":
