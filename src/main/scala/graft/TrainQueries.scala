@@ -9427,6 +9427,122 @@ object TrainQueries {
       .orderBy("cluster_rep")
   }
 
+  /** Shift-robust audio landmark fingerprint, pairwise margins (q301,
+    * [[Audio.landmarkHashes]]): the envelope fingerprint (q290) is
+    * position-RELATIVE — robust to resampling, provably blind to time
+    * SHIFTS (a leading-silence pad moves every bin;
+    * `AudioLandmarkSpec` carries the measured envelope-miss proof).
+    * The public Shazam-style fix is landmark-PAIR hashing, here in
+    * exact integers with zero quantization jitter: onset edges in the
+    * DECODED samples anchor the hash (|s| crossing the threshold
+    * upward — no frames, no windows, so a pad/trim shifts every onset
+    * by exactly the pad length), and each hash packs two consecutive
+    * inter-onset deltas plus two truncated amplitude ratios. Per doc
+    * the click-train master ([[Audio.clickTrain]], the transient-rich
+    * signal landmark systems are built for) meets its three twins
+    * through the REAL codec: a (n/3)-sample leading-silence pad
+    * (every hash survives bit-for-bit), a content trim at
+    * first-onset+5 — an ARBITRARY unaligned offset, derived from the
+    * decoded data, killing the first landmark (every interior hash
+    * survives), and an unrelated control (hashes carry ~21 bits of
+    * hashed delta + ratio entropy ×2 each — measured zero shared).
+    * The ≥ 3-shared-hashes vote is the dup rule the cluster chain
+    * (q302) runs on. Every click is closed-form, so the oracle
+    * replays the landmark sets WITHOUT per-sample expansion — oracle
+    * cost scales with clicks (~20/doc), not samples.
+    */
+  private def qAudioLandmarks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val n = (4000 + (id % 7) * 500 + id % 53).toInt
+        def hashSet(samples: Array[Int]): Set[Long] =
+          Audio.landmarkHashes(id,
+            Audio.encodeWavSamples(samples, 16000)).toSet
+        val master = Audio.clickTrain(2 * id, n)
+        val mw = Audio.encodeWavSamples(master, 16000)
+        val on = Audio.onsets(id, mw, 256)
+        val mh = Audio.landmarkHashes(id, mw).toSet
+        val ph = hashSet(Array.fill(n / 3)(0) ++ master)
+        val th = hashSet(master.drop(on.head.pos.toInt + 5))
+        val ch = hashSet(Audio.clickTrain(2 * id + 1, n))
+        (id, on.length.toLong, mh.size.toLong,
+          (mh & ph).size.toLong, (mh & th).size.toLong,
+          (mh & ch).size.toLong)
+      }
+      .toDF("doc_id", "n_onsets", "n_hashes", "pad_shared",
+        "trim_shared", "ctrl_shared")
+      .withColumn("pad_dup", col("pad_shared") >= 3)
+      .withColumn("trim_dup", col("trim_shared") >= 3)
+      .withColumn("ctrl_separated", col("ctrl_shared") < 3)
+      .orderBy("doc_id")
+  }
+
+  /** Shift-robust audio dedup clusters (q302): q301's landmark
+    * fingerprint routed through the production cluster chain — the
+    * q294/q300 shape with landmark-vote edges: per doc_id/4 group the
+    * master, its silence-padded copy and its trimmed copy (both
+    * invisible to the envelope path by construction) plus an
+    * unrelated control; per-doc DISTINCT hash rows leave the scan
+    * (payloads never shuffle), one hash-equality self-join votes
+    * pairs, edges at ≥ 3 shared hashes, q71's CC, q274 quality-max
+    * keep. Landmark edges UNION q294's envelope band edges in one
+    * line when both fingerprint families run on the same corpus —
+    * the screens compose because both reduce to doc-pair edge sets.
+    */
+  private def qLandmarkClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val hashes = docs.select("doc_id").as[Long].flatMap { id =>
+      val g = id / 4
+      val r = id % 4
+      val n = (4000 + (g % 7) * 500 + g % 53).toInt
+      val sk = if (r == 3) 2 * g + 1 else 2 * g
+      val master = Audio.clickTrain(sk, n)
+      val samples = r match {
+        case 1L => Array.fill(n / 3)(0) ++ master
+        case 2L =>
+          val mw = Audio.encodeWavSamples(master, 16000)
+          master.drop(Audio.onsets(id, mw, 256).head.pos.toInt + 5)
+        case _ => master
+      }
+      Audio.landmarkHashes(id, Audio.encodeWavSamples(samples, 16000))
+        .distinct.map(h => (id, h))
+    }.toDF("doc_id", "lm_hash").transform(snap)
+    val a = hashes.select(col("doc_id").as("id_a"), col("lm_hash"))
+    val b = hashes.select(col("doc_id").as("id_b"), col("lm_hash"))
+    val edges = a.join(b, Seq("lm_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("__nm"))
+      .filter(col("__nm") >= 3)
+      .select("id_a", "id_b")
+    val labels = DedupClusters.connectedComponents(edges, "id_a", "id_b")
+      .withColumnRenamed("node", "doc_id")
+    val qual = docs
+      .withColumn("__toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .withColumn("__q", TextFns.qualityScore("text", "__toks"))
+      .select(col("doc_id"),
+        expr("cast(floor(__q * 10000.0d + 0.5d) as bigint)").as("q_bp"))
+    val docLab = hashes.select("doc_id").distinct()
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_rep", coalesce(col("cluster_rep"),
+        col("doc_id")))
+    val nlm = hashes.join(docLab, "doc_id")
+      .groupBy("cluster_rep")
+      .agg(countDistinct("lm_hash").as("n_lm_hashes"))
+    docLab.join(qual, "doc_id")
+      .groupBy("cluster_rep")
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("q_bp"), (-col("doc_id")).as("negid"))).as("__m"))
+      .join(nlm, "cluster_rep")
+      .select(col("cluster_rep"), col("n_docs"), col("n_lm_hashes"),
+        (-col("__m.negid")).as("kept_doc"), col("__m.q_bp").as("kept_q_bp"))
+      .orderBy("cluster_rep")
+  }
+
   private val clfGateCache = scala.collection.mutable.Map
     .empty[(String, String), String]
 
@@ -9998,7 +10114,9 @@ object TrainQueries {
     "q297_stream_classifier_gate" -> (qStreamClassifierGate _),
     "q298_wav_stereo" -> (qWavStereo _),
     "q299_stereo_downmix" -> (qStereoDownmixDedup _),
-    "q300_video_clusters" -> (qVideoClusters _))
+    "q300_video_clusters" -> (qVideoClusters _),
+    "q301_audio_landmarks" -> (qAudioLandmarks _),
+    "q302_landmark_clusters" -> (qLandmarkClusters _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -15733,6 +15851,154 @@ object TrainQueries {
          agg AS (SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_docs
            FROM dl GROUP BY 1)
          SELECT a.cluster_rep, a.n_docs, k.n_kf_hashes,
+             w.doc_id AS kept_doc, w.q_bp AS kept_q_bp
+         FROM agg a JOIN nk k ON a.cluster_rep = k.cluster_rep
+           JOIN win w ON a.cluster_rep = w.cluster_rep AND w.rn = 1
+         ORDER BY a.cluster_rep""",
+    // q301: clicks replayed closed-form (xor-shift gaps/amps,
+    // cumulative positions), triplet hashes in the arithmetic packing,
+    // DISTINCT sets per leg. The pad leg shifts every onset equally so
+    // its hash set IS the master's (a theorem of the construction);
+    // the trim leg keeps exactly the i >= 1 triplets (a subset, so the
+    // intersection is its own size). Oracle cost scales with clicks
+    // (~20/doc), never samples.
+    "q301_audio_landmarks" ->
+      """WITH dims AS (SELECT doc_id,
+             4000 + (doc_id % 7) * 500 + doc_id % 53 AS n
+           FROM documents),
+         legs AS (SELECT doc_id, n, 2 * doc_id AS sk, TRUE AS is_m
+             FROM dims
+           UNION ALL
+           SELECT doc_id, n, 2 * doc_id + 1, FALSE FROM dims),
+         gi AS (SELECT doc_id, n, sk, is_m, i,
+             (sk * 1024 + 2 * i + 1) * 2654435761 % 4294967296 AS g0,
+             xor(g0, g0 >> 16) * 40503 % 4294967296 AS g1,
+             150 + xor(g1, g1 >> 13) % 250 AS gap,
+             (sk * 1024 + 2 * i + 2) * 2654435761 % 4294967296 AS a0,
+             xor(a0, a0 >> 16) * 40503 % 4294967296 AS a1,
+             1500 + xor(a1, a1 >> 13) % 8 * 64 AS amp
+           FROM legs, unnest(range(0, 45)) u(i)),
+         ps AS (SELECT doc_id, sk,
+             (sk * 1024 + 1000) * 2654435761 % 4294967296 AS h0,
+             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
+             200 + xor(h1, h1 >> 13) % 200 AS p
+           FROM legs),
+         ck AS (SELECT gi.doc_id, gi.sk, gi.is_m, gi.i, gi.amp, gi.n,
+             ps.p + COALESCE(SUM(3 + gi.gap) OVER (
+               PARTITION BY gi.doc_id, gi.sk ORDER BY gi.i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS pos
+           FROM gi JOIN ps ON gi.doc_id = ps.doc_id AND gi.sk = ps.sk),
+         cf AS (SELECT * FROM ck WHERE pos + 3 <= n - 100),
+         tr AS (SELECT a.doc_id, a.sk, a.is_m, a.i,
+             (((b.pos - a.pos) * 1048576 + (c.pos - b.pos)) * 256
+               + LEAST(b.amp * 8 // a.amp, 15) * 16
+               + LEAST(c.amp * 8 // b.amp, 15)) AS h
+           FROM cf a
+           JOIN cf b ON a.doc_id = b.doc_id AND a.sk = b.sk
+             AND b.i = a.i + 1
+           JOIN cf c ON a.doc_id = c.doc_id AND a.sk = c.sk
+             AND c.i = a.i + 2),
+         mh AS (SELECT DISTINCT doc_id, h FROM tr WHERE is_m),
+         th AS (SELECT DISTINCT doc_id, h FROM tr WHERE is_m
+           AND i >= 1),
+         ch AS (SELECT DISTINCT doc_id, h FROM tr WHERE NOT is_m),
+         non AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_onsets
+           FROM cf WHERE is_m GROUP BY 1),
+         nh AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hashes
+           FROM mh GROUP BY 1),
+         ts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS trim_shared
+           FROM th GROUP BY 1),
+         cs AS (SELECT m.doc_id, CAST(COUNT(*) AS BIGINT) AS ctrl_shared
+           FROM mh m JOIN ch c ON m.doc_id = c.doc_id AND m.h = c.h
+           GROUP BY 1)
+         SELECT nh.doc_id, non.n_onsets, nh.n_hashes,
+             nh.n_hashes AS pad_shared, ts.trim_shared,
+             COALESCE(cs.ctrl_shared, 0) AS ctrl_shared,
+             nh.n_hashes >= 3 AS pad_dup,
+             ts.trim_shared >= 3 AS trim_dup,
+             COALESCE(cs.ctrl_shared, 0) < 3 AS ctrl_separated
+         FROM nh JOIN non ON nh.doc_id = non.doc_id
+              JOIN ts ON nh.doc_id = ts.doc_id
+              LEFT JOIN cs ON nh.doc_id = cs.doc_id
+         ORDER BY nh.doc_id""",
+    // q302: the q301 click replay per id/4 group (trimmed member
+    // keeps i >= 1 triplets), >= 3-vote edges, recursive closure,
+    // quality-max keep — the q300 oracle shape on the audio axis.
+    "q302_landmark_clusters" ->
+      """WITH RECURSIVE base AS (SELECT doc_id, doc_id // 4 AS g,
+             doc_id % 4 AS r FROM documents),
+         b2 AS (SELECT doc_id, g, r,
+             CASE WHEN r = 3 THEN 2 * g + 1 ELSE 2 * g END AS sk,
+             4000 + (g % 7) * 500 + g % 53 AS n
+           FROM base),
+         gi AS (SELECT doc_id, n, sk, r, i,
+             (sk * 1024 + 2 * i + 1) * 2654435761 % 4294967296 AS g0,
+             xor(g0, g0 >> 16) * 40503 % 4294967296 AS g1,
+             150 + xor(g1, g1 >> 13) % 250 AS gap,
+             (sk * 1024 + 2 * i + 2) * 2654435761 % 4294967296 AS a0,
+             xor(a0, a0 >> 16) * 40503 % 4294967296 AS a1,
+             1500 + xor(a1, a1 >> 13) % 8 * 64 AS amp
+           FROM b2, unnest(range(0, 45)) u(i)),
+         ps AS (SELECT doc_id, sk,
+             (sk * 1024 + 1000) * 2654435761 % 4294967296 AS h0,
+             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
+             200 + xor(h1, h1 >> 13) % 200 AS p
+           FROM b2),
+         ck AS (SELECT gi.doc_id, gi.r, gi.i, gi.amp, gi.n,
+             ps.p + COALESCE(SUM(3 + gi.gap) OVER (
+               PARTITION BY gi.doc_id ORDER BY gi.i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS pos
+           FROM gi JOIN ps ON gi.doc_id = ps.doc_id),
+         cf AS (SELECT * FROM ck WHERE pos + 3 <= n - 100),
+         tr AS (SELECT a.doc_id, a.r, a.i,
+             (((b.pos - a.pos) * 1048576 + (c.pos - b.pos)) * 256
+               + LEAST(b.amp * 8 // a.amp, 15) * 16
+               + LEAST(c.amp * 8 // b.amp, 15)) AS h
+           FROM cf a
+           JOIN cf b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+           JOIN cf c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+         hs AS (SELECT DISTINCT doc_id, h FROM tr
+           WHERE r <> 2 OR i >= 1),
+         e AS (SELECT a.doc_id AS na, c.doc_id AS nb
+           FROM hs a JOIN hs c ON a.h = c.h AND a.doc_id < c.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         sym AS (SELECT na AS src, nb AS dst FROM e
+                 UNION SELECT nb, na FROM e),
+         rr AS (SELECT src AS node, dst AS peer FROM sym
+               UNION
+               SELECT rr.node, s.dst FROM rr JOIN sym s
+                 ON rr.peer = s.src),
+         lab AS (SELECT node, LEAST(node, MIN(peer)) AS cluster_rep
+           FROM rr GROUP BY node),
+         tk AS (SELECT doc_id, text,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+           FROM documents),
+         qq AS (SELECT doc_id, CAST(floor((
+               0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (1.0 - CAST(len(list_filter(toks,
+                     w -> w IN ('the','a','of','and','is')))
+                   AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+               + 0.2 * least(((CAST(length(text) AS DOUBLE)
+                     - (CAST(len(toks) AS DOUBLE) - 1.0))
+                   / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0)
+             ) * 10000.0 + 0.5) AS BIGINT) AS q_bp
+           FROM tk),
+         dl AS (SELECT d.doc_id,
+             COALESCE(l.cluster_rep, d.doc_id) AS cluster_rep, q.q_bp
+           FROM base d LEFT JOIN lab l ON d.doc_id = l.node
+           JOIN qq q ON d.doc_id = q.doc_id),
+         win AS (SELECT cluster_rep, doc_id, q_bp, row_number() OVER
+             (PARTITION BY cluster_rep ORDER BY q_bp DESC, doc_id ASC)
+             AS rn
+           FROM dl),
+         nk AS (SELECT dl.cluster_rep,
+             CAST(COUNT(DISTINCT hs.h) AS BIGINT) AS n_lm_hashes
+           FROM dl JOIN hs ON dl.doc_id = hs.doc_id GROUP BY 1),
+         agg AS (SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM dl GROUP BY 1)
+         SELECT a.cluster_rep, a.n_docs, k.n_lm_hashes,
              w.doc_id AS kept_doc, w.q_bp AS kept_q_bp
          FROM agg a JOIN nk k ON a.cluster_rep = k.cluster_rep
            JOIN win w ON a.cluster_rep = w.cluster_rep AND w.rn = 1
