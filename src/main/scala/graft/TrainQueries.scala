@@ -9582,6 +9582,56 @@ object TrainQueries {
     graft.streaming.ClassifierGate.run(s, clfGateSrcPath(s, dir),
       s.read.parquet(qualityModelPath(s, dir)))
 
+  private val opPointCache = scala.collection.mutable.Map
+    .empty[(String, String), String]
+
+  /** Stored operating point for q303: q291's calibration sweep run
+    * once per (session, corpus), the q291-discipline choice applied —
+    * max F1 among thresholds at precision ≥ 9,500 bp, ties to the
+    * smallest threshold — and persisted through [[ModelStore]] like
+    * any other model artifact.
+    */
+  private def calibratedOpPath(s: SparkSession, dir: String): String =
+    sessionFixture(opPointCache, s, dir) {
+      val (thr, p, r) = Classifier.chooseOperatingPoint(
+        qClassifierCalibration(s, dir), minPrecisionBp = 9500L)
+      val tag = (s.sparkContext.applicationId + "_" + dir)
+        .replaceAll("[^a-zA-Z0-9]", "_")
+      val path = graft.Scratch.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_qop_$tag")
+      ModelStore.saveOperatingPoint(s, path, thr, p, r)
+      path
+    }
+
+  /** Calibrated streaming admission (q303): q297 closes the loop the
+    * r13 verdict called out as dangling — q291 computes the full
+    * threshold → precision/recall table, but the deployed gate
+    * admitted at the hardcoded score > 0 default. Here the OPERATING
+    * POINT is a first-class stored artifact: the calibration sweep
+    * runs once, [[Classifier.chooseOperatingPoint]] picks max-F1
+    * subject to precision ≥ 9,500 bp (ties → smallest threshold, the
+    * recall-friendly side), [[ModelStore.saveOperatingPoint]] persists
+    * (threshold, precision_bp, recall_bp), and the LIVE gate reads the
+    * threshold back and admits at score > threshold — the ModelStore
+    * discipline applied to the cutoff exactly as q129 applies it to
+    * centroids. Output carries the applied threshold beside every
+    * verdict (the audit row a compliance review reads). The oracle
+    * re-derives scores from the shared retrain CTEs, REPLAYS the
+    * sweep + the choice rule in SQL, and gates at its own chosen
+    * threshold — green proves the stored roundtrip AND the choice
+    * agree across engines. `CalibratedGateSpec` proves a DIFFERENT
+    * stored threshold changes admissions.
+    */
+  private def qCalibratedGate(s: SparkSession, dir: String): DataFrame = {
+    val (thr, _, _) =
+      ModelStore.loadOperatingPoint(s, calibratedOpPath(s, dir))
+    graft.streaming.ClassifierGate.run(s, clfGateSrcPath(s, dir),
+        s.read.parquet(qualityModelPath(s, dir)), threshold = thr)
+      .withColumn("threshold", lit(thr))
+      .select(col("doc_id"), col("score"), col("threshold"),
+        col("admitted"))
+  }
+
   private val mediaRouterCache = scala.collection.mutable.Map
     .empty[(String, String), String]
 
@@ -10116,7 +10166,8 @@ object TrainQueries {
     "q299_stereo_downmix" -> (qStereoDownmixDedup _),
     "q300_video_clusters" -> (qVideoClusters _),
     "q301_audio_landmarks" -> (qAudioLandmarks _),
-    "q302_landmark_clusters" -> (qLandmarkClusters _))
+    "q302_landmark_clusters" -> (qLandmarkClusters _),
+    "q303_calibrated_gate" -> (qCalibratedGate _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -15718,6 +15769,38 @@ object TrainQueries {
       s"""WITH $qualityClassifierCtes
          SELECT s.doc_id, s.score, s.score > 0 AS admitted
          FROM sc s ORDER BY s.doc_id""",
+    // q303: the q291 sweep REPLAYED, the choice rule applied in SQL
+    // (max F1 at precision >= 9500 bp, ties to the smallest
+    // threshold — F1 compared as a double, exact for these small
+    // integer counts), verdicts gated at the chosen threshold. Green
+    // proves the stored-artifact roundtrip AND the choice agree.
+    "q303_calibrated_gate" ->
+      s"""WITH $qualityClassifierCtes,
+         th(t) AS (VALUES (-2), (-1), (0), (1), (2)),
+         j AS (SELECT th.t, s.score, l.pos
+           FROM sc s JOIN lab l USING (doc_id), th),
+         cm AS (SELECT t AS threshold,
+             CAST(SUM(CASE WHEN score > t AND pos THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_tp,
+             CAST(SUM(CASE WHEN score > t AND NOT pos THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_fp,
+             CAST(SUM(CASE WHEN score <= t AND pos THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_fn
+           FROM j GROUP BY 1),
+         el AS (SELECT CAST(threshold AS BIGINT) AS threshold,
+             n_tp, n_fp, n_fn,
+             CASE WHEN n_tp + n_fp = 0 THEN NULL
+               ELSE n_tp * 10000 // (n_tp + n_fp) END AS precision_bp
+           FROM cm),
+         ch AS (SELECT threshold FROM el
+           WHERE precision_bp IS NOT NULL AND precision_bp >= 9500
+           ORDER BY CASE WHEN 2 * n_tp + n_fp + n_fn = 0 THEN 0.0
+             ELSE 2.0 * n_tp / (2 * n_tp + n_fp + n_fn) END DESC,
+             threshold ASC
+           LIMIT 1)
+         SELECT s.doc_id, s.score, ch.threshold,
+             s.score > ch.threshold AS admitted
+         FROM sc s, ch ORDER BY s.doc_id""",
     // q298: both channels recomputed closed-form (right = half-period
     // phase shift), truncated-bp balance, zero-sum guard mirrored.
     "q298_wav_stereo" ->

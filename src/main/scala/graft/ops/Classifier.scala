@@ -103,4 +103,35 @@ object Classifier {
       .withColumn("score", coalesce(col("score"), lit(0L)))
       .withColumn("pred_pos", col("score") > 0)
   }
+
+  /** Choose the gate's OPERATING POINT from a calibration sweep (the
+    * q291 table: threshold, n_tp, n_fp, n_fn, precision_bp,
+    * recall_bp): among thresholds meeting `minPrecisionBp`, maximize
+    * F1 = 2·tp / (2·tp + fp + fn), ties to the SMALLEST threshold
+    * (the recall-friendly side of equal F1). The F1 comparison runs
+    * in double but stays exact: counts are small integers, division
+    * is correctly rounded, and equal rationals round identically —
+    * the oracle replays the identical rule in SQL. The sweep table is
+    * metadata-sized (a handful of thresholds), so the collect is the
+    * range-partitioner-boundaries class, not a data collect. Returns
+    * (threshold, precision_bp, recall_bp).
+    */
+  def chooseOperatingPoint(calib: DataFrame,
+      minPrecisionBp: Long): (Long, Long, Long) = {
+    val rows = calib
+      .filter(col("precision_bp").isNotNull &&
+        col("precision_bp") >= minPrecisionBp)
+      .select(col("threshold"), col("n_tp"), col("n_fp"), col("n_fn"),
+        col("precision_bp"), col("recall_bp"))
+      .collect()
+    require(rows.nonEmpty,
+      s"no calibration row meets precision >= $minPrecisionBp bp")
+    val best = rows.map { r =>
+      val (tp, fp, fn) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val f1 = if (2 * tp + fp + fn == 0) 0.0
+        else 2.0 * tp / (2 * tp + fp + fn)
+      (f1, -r.getLong(0), r) // max F1, then min threshold
+    }.maxBy(t => (t._1, t._2))._3
+    (best.getLong(0), best.getLong(4), best.getLong(5))
+  }
 }

@@ -105,6 +105,38 @@ object ModelStore {
     out
   }
 
+  private val opPointSchema = StructType(Seq(
+    StructField("threshold", LongType, nullable = false),
+    StructField("precision_bp", LongType, nullable = false),
+    StructField("recall_bp", LongType, nullable = false)))
+
+  /** Write a classifier OPERATING POINT — the calibration-chosen
+    * threshold with the credentials it was chosen on — as a one-row
+    * parquet artifact. A deployed gate (q303's `ClassifierGate`) must
+    * read its cutoff from a versioned store exactly like the model
+    * weights: a hardcoded `score > 0` is an uncalibrated default, and
+    * re-deriving the sweep at admission time re-couples serving to the
+    * held-out corpus.
+    */
+  def saveOperatingPoint(spark: SparkSession, path: String,
+      threshold: Long, precisionBp: Long, recallBp: Long): Unit = {
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq(Row(threshold, precisionBp, recallBp)), 1), opPointSchema)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load an operating point: (threshold, precision_bp, recall_bp). */
+  def loadOperatingPoint(spark: SparkSession,
+      path: String): (Long, Long, Long) = {
+    val rows = spark.read.parquet(path)
+      .select(col("threshold"), col("precision_bp"), col("recall_bp"))
+      .collect()
+    require(rows.length == 1,
+      s"expected exactly one operating point at $path, got ${rows.length}")
+    (rows(0).getLong(0), rows(0).getLong(1), rows(0).getLong(2))
+  }
+
   private val mergeSchema = StructType(Seq(
     StructField("rank", IntegerType, nullable = false),
     StructField("s1", org.apache.spark.sql.types.StringType,
