@@ -9632,6 +9632,76 @@ object TrainQueries {
         col("admitted"))
   }
 
+  private val audioGateCache = scala.collection.mutable.Map
+    .empty[(String, String), (String, String)]
+
+  /** Staged arrivals + stored fingerprint index for the streaming
+    * audio-dedup gate (q304). Groups of doc_id/3: members ≡ 1, 2 mod 3
+    * are HISTORY (full-rate renders of the group recording,
+    * fingerprinted once and stored as the band index — the ingested
+    * corpus); members ≡ 0 arrive as the 2×-downsampled rendition of
+    * the SAME recording (the classic re-fetch form), except every
+    * fifth group's arrival is a NOVEL recording (the odd seed-key
+    * namespace) that must match nothing.
+    */
+  private def audioGatePaths(s: SparkSession,
+      dir: String): (String, String) =
+    sessionFixture(audioGateCache, s, dir) {
+      import s.implicits._
+      val tag = (s.sparkContext.applicationId + "_" + dir)
+        .replaceAll("[^a-zA-Z0-9]", "_")
+      val tmp = System.getProperty("java.io.tmpdir")
+      val srcPath = graft.Scratch.register(s"$tmp/graft_audiogate_src_$tag")
+      val idxPath = graft.Scratch.register(s"$tmp/graft_audiogate_idx_$tag")
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+      docs.filter((id: Long) => id % 3 == 0)
+        .map { id =>
+          val g = id / 3
+          val sk = if (g % 5 == 0) 2 * g + 1 else 2 * g
+          val n = (2000 + (g % 7) * 500 + g % 53).toInt
+          (id, Audio.encodeWavSamples(Array.tabulate(n / 2)(k =>
+            Audio.modulatedSample(sk, 2L * k, n.toLong)), 8000))
+        }
+        .toDF("doc_id", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(srcPath)
+      val hist = docs.filter((id: Long) => id % 3 != 0)
+        .map { id =>
+          val g = id / 3
+          val n = (2000 + (g % 7) * 500 + g % 53).toInt
+          (id, Audio.envelopeHash(id, Audio.encodeWavSamples(
+            Array.tabulate(n)(j =>
+              Audio.modulatedSample(2 * g, j.toLong, n.toLong)), 16000)))
+        }
+        .toDF("hist_id", "fp")
+      graft.streaming.AudioDedupGate.buildIndex(hist)
+        .write.mode("overwrite").parquet(idxPath)
+      (srcPath, idxPath)
+    }
+
+  /** Streaming audio-dedup gate (q304,
+    * [[graft.streaming.AudioDedupGate]]): the deployable member the
+    * modality family still lacked — rasters have the q267 blocklist
+    * screen and text the q131 LSH index; here arriving AUDIO
+    * micro-batches decode through the real chunk walk, fingerprint on
+    * the amplitude envelope scan-locally (payloads never shuffle), and
+    * probe the STORED band index of the already-ingested corpus (5×12
+    * bands, hamming ≤ 8 verify — the q294 layout, safe at the measured
+    * 0–1-bit resample drift), matched (arrival, history) pairs
+    * appending under the versioned-store replay rule. Fixture: each
+    * doc_id/3 group's arrival is the 2×-downsampled re-fetch of the
+    * group recording held twice in history (identical-fp handling
+    * exercised), except every fifth group's arrival is NOVEL and must
+    * match nothing (cross-seed fps sit ≥ 9 bits — measured). The
+    * oracle replays both legs' fingerprints per-sample closed-form and
+    * the SAME band+verify rule; `AudioDedupGateSpec` drives the
+    * restart-resume contract.
+    */
+  private def qStreamAudioDedup(s: SparkSession, dir: String): DataFrame = {
+    val (src, idx) = audioGatePaths(s, dir)
+    graft.streaming.AudioDedupGate.run(s, src, s.read.parquet(idx))
+  }
+
   private val mediaRouterCache = scala.collection.mutable.Map
     .empty[(String, String), String]
 
@@ -10167,7 +10237,8 @@ object TrainQueries {
     "q300_video_clusters" -> (qVideoClusters _),
     "q301_audio_landmarks" -> (qAudioLandmarks _),
     "q302_landmark_clusters" -> (qLandmarkClusters _),
-    "q303_calibrated_gate" -> (qCalibratedGate _))
+    "q303_calibrated_gate" -> (qCalibratedGate _),
+    "q304_stream_audio_dedup" -> (qStreamAudioDedup _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -15801,6 +15872,55 @@ object TrainQueries {
          SELECT s.doc_id, s.score, ch.threshold,
              s.score > ch.threshold AS admitted
          FROM sc s, ch ORDER BY s.doc_id""",
+    // q304: both legs' envelope fingerprints replayed per-sample
+    // closed-form (the q290/q294 pattern with the per-group seed key),
+    // then the engine's EXACT candidate rule: >= 1 shared 12-bit band
+    // AND hamming <= 8 (a naive all-pairs <= 8 oracle would claim
+    // pairs the band layout cannot surface).
+    "q304_stream_audio_dedup" ->
+      """WITH base AS (SELECT doc_id, doc_id // 3 AS grp,
+             doc_id % 3 AS r FROM documents),
+         b2 AS (SELECT doc_id, r,
+             CASE WHEN r = 0 AND grp % 5 = 0 THEN 2 * grp + 1
+               ELSE 2 * grp END AS sk,
+             2000 + (grp % 7) * 500 + grp % 53 AS n,
+             CASE WHEN r = 0 THEN 2 ELSE 1 END AS step
+           FROM base),
+         b3 AS (SELECT doc_id, r, sk, n, step,
+             CASE WHEN step = 1 THEN n ELSE n // 2 END AS m FROM b2),
+         kv AS (SELECT doc_id, m, (k * 60) // m AS b,
+             (sk * 60 + ((k * step) * 60) // n + 1) * 2654435761
+               % 4294967296 AS h0,
+             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
+             xor(h1, h1 >> 13) % 6 AS mm,
+             ABS(((sk * 31 + 997 * (k * step)) % 4096 - 2048)
+               * (1 + mm + CASE WHEN mm >= 3 THEN 5 ELSE 0 END) // 8)
+               AS a
+           FROM b3, unnest(range(0, m)) u(k)),
+         bins AS (SELECT doc_id, b, CAST(SUM(a) AS BIGINT) AS s
+           FROM kv GROUP BY 1, 2),
+         tt AS (SELECT doc_id, CAST(SUM(a) AS BIGINT) AS total
+           FROM kv GROUP BY 1),
+         fpt AS (SELECT bins.doc_id,
+             CAST(SUM(CASE WHEN bins.s * 60 > tt.total
+               THEN 1::BIGINT << bins.b ELSE 0 END) AS BIGINT) AS fp
+           FROM bins JOIN tt ON bins.doc_id = tt.doc_id
+           GROUP BY bins.doc_id),
+         ab AS (SELECT f.doc_id, f.fp,
+             ((f.fp >> (b.b * 12)) & 4095) * 5 + b.b AS bk
+           FROM fpt f JOIN base USING (doc_id),
+             unnest(range(0, 5)) b(b)
+           WHERE base.r = 0),
+         hb AS (SELECT f.doc_id AS hist_id, f.fp AS hfp,
+             ((f.fp >> (b.b * 12)) & 4095) * 5 + b.b AS bk
+           FROM fpt f JOIN base USING (doc_id),
+             unnest(range(0, 5)) b(b)
+           WHERE base.r <> 0)
+         SELECT DISTINCT ab.doc_id, hb.hist_id,
+             CAST(bit_count(xor(ab.fp, hb.hfp)) AS BIGINT) AS hamming
+         FROM ab JOIN hb ON ab.bk = hb.bk
+         WHERE bit_count(xor(ab.fp, hb.hfp)) <= 8
+         ORDER BY ab.doc_id, hb.hist_id""",
     // q298: both channels recomputed closed-form (right = half-period
     // phase shift), truncated-bp balance, zero-sum guard mirrored.
     "q298_wav_stereo" ->

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.ops.Audio
+
+/** Streaming audio-dedup gate — the [[MediaScreen]] shape on the audio
+  * axis, completing the modality family's deployable members (rasters:
+  * MediaScreen/q267; text: NearDupIndex/q131): every arriving
+  * micro-batch of WAV payloads is DECODED through the real chunk walk
+  * and fingerprinted on the amplitude envelope
+  * ([[Audio.envelopeHash]] — container bytes and sample values are
+  * encoder-private across resamplings; the envelope is the audio),
+  * then probed against a STORED fingerprint index of the already-
+  * ingested corpus via the q294 band layout: 5 bands × 12 bits
+  * (resample drift measured 0–1 bits, so the pigeonhole guarantee
+  * holds with room), candidates verified at hamming ≤ 8. Matched
+  * (arrival, history) pairs append as version `batchId` — the audit
+  * trail a re-fetch suppression job reads.
+  *
+  * Scale posture: decode is scan-local (payloads never shuffle — only
+  * 16-byte (doc_id, fp) rows leave the scan); the probe is one
+  * band-key equi-join of the batch's ~5 rows/doc against the stored
+  * band index, read in place from parquet — at 100 TB the index is
+  * bucketed by band key (the q131/E217 catalog discipline) so the
+  * history side never re-shuffles; per-batch cost is
+  * candidate-proportional and independent of history size.
+  */
+object AudioDedupGate {
+
+  /** Band expansion shared by index build and probe: 12-bit slice
+    * value tagged with its band position, one long key.
+    */
+  private val bandsOf = "transform(sequence(0, 4), " +
+    "b -> (shiftright(%s, b * 12) & 4095) * 5 + b)"
+
+  /** Build the stored band index from history fingerprints
+    * (columns `hist_id`, `fp`): one row per (band key, fp, hist_id),
+    * the fingerprint carried as `hfp` so probes join cleanly.
+    */
+  def buildIndex(histFps: DataFrame): DataFrame =
+    histFps.select(col("hist_id"), col("fp").as("hfp"),
+      explode(expr(bandsOf.format("fp"))).as("bk"))
+
+  /** Stream the staged `mediaParquet` (columns `doc_id`, `payload` —
+    * mono WAV bytes) in `chunks` micro-batches against the stored
+    * band `index` ([[buildIndex]] layout); returns the matched
+    * (doc_id, hist_id, hamming) pairs, ordered.
+    */
+  def run(spark: SparkSession, mediaParquet: String, index: DataFrame,
+      chunks: Int = 3): DataFrame =
+      Staging.withStreamShufflePartitions(spark, n = "4") {
+    val (media, tag) = Staging.stageSplitAndRead(spark, mediaParquet,
+      "graft_audiogate_in", chunks, orderCols = Seq("doc_id"))
+    val tmp = System.getProperty("java.io.tmpdir")
+    val root = graft.Scratch.register(s"$tmp/graft_audiogate_state_$tag")
+    val ck = graft.Scratch.register(s"$tmp/graft_audiogate_ck_$tag")
+    runInto(spark, media, index, root, ck)
+    VersionedStore.readAllBelow(spark, s"$root/matches", Long.MaxValue)
+      .getOrElse(emptyMatches(spark))
+      .orderBy("doc_id", "hist_id")
+  }
+
+  /** The pipeline against a caller-owned state root and checkpoint —
+    * the restart surface: committed batches never re-probe,
+    * post-restart arrivals still probe the same stored index.
+    */
+  def runInto(spark: SparkSession, media: DataFrame, index: DataFrame,
+      stateRoot: String, checkpoint: String): Unit = {
+    val query = media.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          VersionedStore.write(batchMatches(spark, batch, index),
+            s"$stateRoot/matches", batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
+  /** One batch's matches: decode + fingerprint scan-locally, band
+    * probe, hamming verify. Public so specs can assert streamed ≡
+    * batch probing directly.
+    */
+  def batchMatches(spark: SparkSession, batch: DataFrame,
+      index: DataFrame): DataFrame = {
+    import spark.implicits._
+    val fps = batch
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) => (id, Audio.envelopeHash(id,
+        if (p == null) Array.emptyByteArray else p)) }
+      .toDF("doc_id", "fp")
+    fps.select(col("doc_id"), col("fp"),
+        explode(expr(bandsOf.format("fp"))).as("bk"))
+      .join(index, Seq("bk"))
+      .filter(expr("bit_count(fp ^ hfp) <= 8"))
+      .select(col("doc_id"), col("hist_id"),
+        expr("cast(bit_count(fp ^ hfp) as bigint)").as("hamming"))
+      .distinct()
+  }
+
+  private def emptyMatches(spark: SparkSession): DataFrame =
+    spark.range(0)
+      .select(col("id").as("doc_id"), col("id").as("hist_id"),
+        col("id").as("hamming"))
+}
