@@ -9632,6 +9632,77 @@ object TrainQueries {
         col("admitted"))
   }
 
+  /** Video-caption pair alignment (q305): q287's CLIP-score keep/drop
+    * screen lifted to the VIDEO level — the (video, caption) pair gets
+    * the curation-unit treatment (image, caption) pairs already have
+    * (q277/q287), with the video represented by its DECODED keyframes:
+    * clips decode through the real Y4M path, scenes segment and elect
+    * keyframes in one pass ([[Video.sceneKeyframeHashes]] — payloads
+    * never shuffle), each keyframe links to its embedding row
+    * (vec 7u+scene — the per-frame CLIP-embedding table a production
+    * pipeline materializes), and the video-level alignment is the MAX
+    * over keyframes of the keyframe↔caption cosine — the standard
+    * best-frame CLIP scoring rule: a caption is kept if SOME scene
+    * shows what it describes. Aligned fixtures carry the caption of
+    * one of their own scenes (alignment 1.0); every 13th video's
+    * caption is swapped with the next video's (the q287 plant) and
+    * drops at the 0.9 gate since no scene reaches it (cross-vector
+    * cosine ≤ ~0.65 measured family-wide). Output carries the elected
+    * best scene + keyframe beside the verdict — the row a pair-rewrite
+    * job reads. One metadata-sized max(vec_id) anchors the video count
+    * (the q129 model-load class); the oracle replays the election
+    * closed-form and the same max-cosine rule via native list dots.
+    */
+  private def qVideoCaptionAlign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val emb = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
+      .filter(col("qn") > 0)
+      .select(col("vec_id").cast("long").as("vec_id"), col("qv"),
+        col("qn"))
+      .transform(snap)
+    val maxv = t(s, dir, "embeddings")
+      .agg(max(col("vec_id").cast("long"))).head().getLong(0)
+    val nVids = (maxv - 6) / 7 + 1
+    val media = s.range(nVids).as[Long].map { u =>
+      Multimodal.MediaRecord(u,
+        Video.encodeY4mBlockScenes(u, 16, 8, (3 + u % 3).toInt, 4, 0L),
+        "y4m")
+    }
+    val kfs = Video.keyframeHashes(media, 48).toDF()
+      .select(col("doc_id").as("video_id"), col("scene"),
+        col("keyframe"))
+    val kemb = emb.select(col("vec_id").as("__kv"),
+      col("qv").as("__qvk"), col("qn").as("__qnk"))
+    val cemb = emb.select(col("vec_id").as("cap_src"),
+      col("qv").as("__qvc"), col("qn").as("__qnc"))
+    val caps = s.range(nVids).toDF("video_id")
+      .withColumn("__u2", (col("video_id") + 1) % nVids)
+      .withColumn("cap_src",
+        when(col("video_id") % 13 === 0,
+          col("__u2") * 7 + col("__u2") % (lit(3) + col("__u2") % 3))
+          .otherwise(col("video_id") * 7
+            + col("video_id") % (lit(3) + col("video_id") % 3)))
+      .select("video_id", "cap_src")
+    kfs.join(caps, "video_id")
+      .withColumn("__kv", col("video_id") * 7 + col("scene"))
+      .join(kemb, "__kv")
+      .join(cemb, "cap_src")
+      .withColumn("__sim", Similarity.cosine(col("__qvk"), col("__qvc"),
+        col("__qnk"), col("__qnc")))
+      .groupBy("video_id", "cap_src")
+      .agg(count(lit(1)).as("n_scenes"),
+        max(struct(col("__sim").as("sim"), (-col("scene")).as("negs"),
+          (-col("keyframe")).as("negk"))).as("__m"))
+      .select(col("video_id"), col("n_scenes"), col("cap_src"),
+        (col("video_id") % 13 === 0).as("swapped"),
+        (-col("__m.negs")).as("best_scene"),
+        (-col("__m.negk")).as("best_keyframe"),
+        col("__m.sim").as("alignment"),
+        (col("__m.sim") >= 0.9).as("kept"))
+      .orderBy("video_id")
+  }
+
   private val audioGateCache = scala.collection.mutable.Map
     .empty[(String, String), (String, String)]
 
@@ -10238,7 +10309,8 @@ object TrainQueries {
     "q301_audio_landmarks" -> (qAudioLandmarks _),
     "q302_landmark_clusters" -> (qLandmarkClusters _),
     "q303_calibrated_gate" -> (qCalibratedGate _),
-    "q304_stream_audio_dedup" -> (qStreamAudioDedup _))
+    "q304_stream_audio_dedup" -> (qStreamAudioDedup _),
+    "q305_video_caption_align" -> (qVideoCaptionAlign _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -15921,6 +15993,46 @@ object TrainQueries {
          FROM ab JOIN hb ON ab.bk = hb.bk
          WHERE bit_count(xor(ab.fp, hb.hfp)) <= 8
          ORDER BY ab.doc_id, hb.hist_id""",
+    // q305: the keyframe election replayed closed-form (scenes
+    // 3 + u%3, keyframe = last frame of each scene), the caption link
+    // rule, and the same best-frame max-cosine via native list dots.
+    "q305_video_caption_align" ->
+      s"""WITH $quantCte,
+         $qlistCte,
+         uu AS (SELECT (MAX(vec_id) - 6) // 7 + 1 AS uc
+           FROM embeddings),
+         vids AS (SELECT unnest(range(0, (SELECT uc FROM uu))) AS u),
+         vb AS (SELECT u, 3 + u % 3 AS nsc,
+             (u + 1) % (SELECT uc FROM uu) AS u2
+           FROM vids),
+         caps AS (SELECT u, nsc,
+             CASE WHEN u % 13 = 0 THEN 7 * u2 + u2 % (3 + u2 % 3)
+               ELSE 7 * u + u % nsc END AS cap_src
+           FROM vb),
+         kf AS (SELECT vb.u, s AS scene, 7 * vb.u + s AS kvec,
+             4 * s + 3 AS keyframe
+           FROM vb, unnest(range(0, vb.nsc)) t(s)),
+         sm AS (SELECT kf.u, kf.scene, kf.keyframe, c.cap_src,
+             CAST(list_inner_product(a.xs, d.xs) AS DOUBLE)
+               / (sqrt(CAST(na.nn AS DOUBLE))
+                 * sqrt(CAST(nc.nn AS DOUBLE))) AS sim
+           FROM kf JOIN caps c ON kf.u = c.u
+           JOIN qv a ON a.vec_id = kf.kvec
+           JOIN qv d ON d.vec_id = c.cap_src
+           JOIN nrm na ON na.vec_id = kf.kvec
+           JOIN nrm nc ON nc.vec_id = c.cap_src),
+         rk AS (SELECT u, scene, keyframe, cap_src, sim,
+             row_number() OVER (PARTITION BY u
+               ORDER BY sim DESC, scene ASC) AS rn
+           FROM sm),
+         ag AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n_scenes
+           FROM sm GROUP BY 1)
+         SELECT r.u AS video_id, ag.n_scenes, r.cap_src,
+             (r.u % 13 = 0) AS swapped, r.scene AS best_scene,
+             CAST(r.keyframe AS BIGINT) AS best_keyframe,
+             r.sim AS alignment, r.sim >= 0.9 AS kept
+         FROM rk r JOIN ag ON r.u = ag.u
+         WHERE r.rn = 1 ORDER BY r.u""",
     // q298: both channels recomputed closed-form (right = half-period
     // phase shift), truncated-bp balance, zero-sum guard mirrored.
     "q298_wav_stereo" ->
