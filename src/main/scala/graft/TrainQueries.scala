@@ -9543,6 +9543,228 @@ object TrainQueries {
       .orderBy("cluster_rep")
   }
 
+  /** Union dedup clusters — envelope ∪ landmark (q306): the two audio
+    * fingerprint families COMPOSED, proving E299's one-line-union
+    * claim as code. The fixture plants, per doc_id/4 group, the two
+    * production dup forms that each family catches and the OTHER
+    * provably misses: a 2× RESAMPLE (envelope drift ≤ 1 bit — the
+    * hybrid recording, [[Audio.hybridTrain]] — while landmark deltas
+    * halve: zero shared hashes) and a content TRIM at first-onset+3,
+    * an arbitrary unaligned offset derived from decoded data (every
+    * interior landmark hash survives, ≥ 9 shared, while the envelope
+    * support shifts ≥ 11 bits), plus an unrelated control. One decode
+    * pass emits BOTH fingerprints (payloads never shuffle); envelope
+    * edges come from the 5×12 band probe verified at hamming ≤ 4 (the
+    * gate follows the MEASURED drift: ≤ 1 here, and ≤ 4 pigeonholes
+    * ≥ 1 intact band — at this gate the 12,500-group sf1 space has
+    * ZERO cross-group candidates, where the q294 ≤ 8 gate would admit
+    * 3), landmark edges from the q302 ≥ 3-vote rule, and their UNION
+    * feeds one CC — the trio clusters, and `UnionClustersSpec` proves
+    * each single-family edge set leaves its blind twin out. Oracle
+    * replays the envelope bins WITHOUT a sample×click join (background
+    * mass per bin + one correction row per click — exact), the
+    * landmark sets from click rows, both edge rules, and the closure.
+    */
+  private def qUnionClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val feats = docs.select("doc_id").as[Long].map { id =>
+      val g = id / 4
+      val r = id % 4
+      val n = (4000 + (g % 7) * 500 + g % 53).toInt
+      val master = Audio.hybridTrain(if (r == 3) 2 * g + 1 else 2 * g, n)
+      val samples = r match {
+        case 1L => Array.tabulate(n / 2)(k => master(2 * k))
+        case 2L =>
+          val mw = Audio.encodeWavSamples(master, 16000)
+          master.drop(Audio.onsets(id, mw, 256).head.pos.toInt + 3)
+        case _ => master
+      }
+      val wav = Audio.encodeWavSamples(samples,
+        if (r == 1L) 8000 else 16000)
+      (id, Audio.envelopeHash(id, wav),
+        Audio.landmarkHashes(id, wav).distinct)
+    }.toDF("doc_id", "fp", "lm_hashes").transform(snap)
+    val bandsOf = "transform(sequence(0, 4), " +
+      "b -> (shiftright(%s, b * 12) & 4095) * 5 + b)"
+    val ea = feats.select(col("doc_id").as("id_a"), col("fp").as("fa"),
+      explode(expr(bandsOf.format("fp"))).as("bk"))
+    val eb = feats.select(col("doc_id").as("id_b"), col("fp").as("fb"),
+      explode(expr(bandsOf.format("fp"))).as("bk"))
+    val envEdges = ea.join(eb, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(expr("bit_count(fa ^ fb) <= 4"))
+      .select("id_a", "id_b").distinct()
+    val la = feats.select(col("doc_id").as("id_a"),
+      explode(col("lm_hashes")).as("h"))
+    val lb = feats.select(col("doc_id").as("id_b"),
+      explode(col("lm_hashes")).as("h"))
+    val lmEdges = la.join(lb, Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("__nm"))
+      .filter(col("__nm") >= 3)
+      .select("id_a", "id_b")
+    val edges = envEdges.union(lmEdges).distinct()
+    val labels = DedupClusters.connectedComponents(edges, "id_a", "id_b")
+      .withColumnRenamed("node", "doc_id")
+    val qual = docs
+      .withColumn("__toks", expr("filter(split(text, ' '), t -> t <> '')"))
+      .withColumn("__q", TextFns.qualityScore("text", "__toks"))
+      .select(col("doc_id"),
+        expr("cast(floor(__q * 10000.0d + 0.5d) as bigint)").as("q_bp"))
+    feats.select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_rep", coalesce(col("cluster_rep"),
+        col("doc_id")))
+      .join(qual, "doc_id")
+      .groupBy("cluster_rep")
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("q_bp"), (-col("doc_id")).as("negid"))).as("__m"))
+      .select(col("cluster_rep"), col("n_docs"),
+        (-col("__m.negid")).as("kept_doc"), col("__m.q_bp").as("kept_q_bp"))
+      .orderBy("cluster_rep")
+  }
+
+  private val videoGateCache = scala.collection.mutable.Map
+    .empty[(String, String), (String, String)]
+
+  /** Staged arrivals + stored keyframe-hash index for the streaming
+    * video-dedup gate (q307). Groups of doc_id/3: members ≡ 1, 2 mod 3
+    * are HISTORY — the master clip and its 2× pixel-duplication
+    * upscale (identical keyframe hashes: identical-entry handling
+    * exercised) — and members ≡ 0 arrive as the first-scene TRIM of
+    * the group clip, except every fifth group's arrival is a NOVEL
+    * clip that must match nothing.
+    */
+  private def videoGatePaths(s: SparkSession,
+      dir: String): (String, String) =
+    sessionFixture(videoGateCache, s, dir) {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val tag = (s.sparkContext.applicationId + "_" + dir)
+        .replaceAll("[^a-zA-Z0-9]", "_")
+      val tmp = System.getProperty("java.io.tmpdir")
+      val srcPath = graft.Scratch.register(s"$tmp/graft_vgate_src_$tag")
+      val idxPath = graft.Scratch.register(s"$tmp/graft_vgate_idx_$tag")
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+      docs.filter((id: Long) => id % 3 == 0)
+        .map { id =>
+          val g = id / 3
+          val sk = if (g % 5 == 0) 2 * g + 1 else 2 * g
+          val ns = (3 + g % 3).toInt
+          val (nsr, off) =
+            if (g % 5 == 0) (ns, 0L) else (ns - 1, 1L) // novel vs trim
+          (id, Video.encodeY4mBlockScenes(sk, 16, 8, nsr, 4, off))
+        }
+        .toDF("doc_id", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(srcPath)
+      val histMedia = docs.filter((id: Long) => id % 3 != 0)
+        .map { id =>
+          val g = id / 3
+          val (w, h) = if (id % 3 == 1) (16, 8) else (32, 16)
+          Multimodal.MediaRecord(id,
+            Video.encodeY4mBlockScenes(2 * g, w, h, (3 + g % 3).toInt,
+              4, 0L), "y4m")
+        }
+      graft.streaming.VideoDedupGate.buildIndex(
+          Video.keyframeHashes(histMedia, 48).toDF()
+            .select(col("doc_id").as("hist_id"), col("kf_hash")))
+        .write.mode("overwrite").parquet(idxPath)
+      (srcPath, idxPath)
+    }
+
+  /** Streaming video-dedup gate (q307,
+    * [[graft.streaming.VideoDedupGate]]): the live-ingestion trio
+    * completed — rasters (q267), audio (q304), and now VIDEO: arriving
+    * clips decode, segment, elect and blockhash keyframes in one
+    * scan-local pass, then probe the STORED keyframe-hash index by
+    * exact equality with the q300 ≥ 2-vote verify; matched
+    * (arrival, history, n_shared) verdicts append under the replay
+    * rule. Fixture: each id/3 group's arrival is the first-scene TRIM
+    * of the group clip held twice in history (master + its 2×
+    * upscale — identical hash entries exercised); every fifth group's
+    * arrival is novel. Oracle replays hashes closed-form + the same
+    * vote; `VideoDedupGateSpec` drives restart-resume.
+    */
+  private def qStreamVideoDedup(s: SparkSession, dir: String): DataFrame = {
+    val (src, idx) = videoGatePaths(s, dir)
+    graft.streaming.VideoDedupGate.run(s, src, s.read.parquet(idx))
+  }
+
+  /** The q308/q309 per-doc recording: silence-only every 7th doc, a
+    * wall-of-sound every 11th (not 7th), hashed speech bursts
+    * otherwise ([[Audio.burstTrain]]).
+    */
+  private def speechSamples(id: Long, n: Int): Array[Int] =
+    if (id % 7 == 0)
+      Array.tabulate(n)(j => (((id * 31 + 997 * j) % 81) - 40).toInt)
+    else if (id % 11 == 0)
+      Array.tabulate(n)(j => if (j % 2 == 0) 1000 else -1000)
+    else Audio.burstTrain(id, n)
+
+  /** Utterance segmentation / VAD stats (q308, [[Audio.utterances]]):
+    * speech corpora are curated at the UTTERANCE level, and the first
+    * pass over every recording is the energy-gate VAD — maximal runs
+    * of |s| ≥ threshold in the DECODED samples, one scan-local pass
+    * (payloads never shuffle; a 10-minute recording emits one row).
+    * Per doc: utterance count, speech mass, the exact truncated-bp
+    * speech ratio, and the longest utterance with its position (ties →
+    * earliest — the clip a transcription job reads first). The fixture
+    * plants the two degenerate classes every real crawl contains —
+    * silence-only (no utterances) and wall-of-sound (one utterance
+    * spanning the recording) — beside hashed burst trains; all
+    * closed-form, so the oracle replays from ~12 burst rows per doc,
+    * never samples.
+    */
+  private def qUtteranceStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val n = (4000 + (id % 7) * 500 + id % 53).toInt
+        val us = Audio.utterances(id,
+          Audio.encodeWavSamples(speechSamples(id, n), 16000), 256)
+        val longest = if (us.isEmpty) null
+          else us.maxBy(u => (u.len, -u.start))
+        (id, us.length.toLong, us.map(_.len).sum,
+          us.map(_.len).sum * 10000 / n,
+          if (longest == null) 0L else longest.len,
+          if (longest == null) -1L else longest.start)
+      }
+      .toDF("doc_id", "n_utterances", "speech_samples", "speech_bp",
+        "longest_len", "longest_start")
+      .orderBy("doc_id")
+  }
+
+  /** Speech-quality admission screen (q309): the Gopher-style quality
+    * gate on the AUDIO axis — q308's VAD stats thresholded into a
+    * keep/drop verdict with named reasons: enough utterances
+    * (≥ 3 — single-blob audio is usually not speech), a speech ratio
+    * inside the usable band (2,000–9,000 bp — silence-padded and
+    * wall-of-sound recordings both fail), and no utterance longer
+    * than 1,200 samples (the no-segmentation-possible guard). The
+    * planted degenerate classes drop for exactly their reason;
+    * hashed burst docs all keep (ratio ~52 %, utterances 6–12,
+    * longest ≤ 499 — measured by construction). Reasons are columns,
+    * not a boolean — the table a curation dashboard reads.
+    */
+  private def qSpeechQualityScreen(s: SparkSession,
+      dir: String): DataFrame =
+    qUtteranceStats(s, dir)
+      .withColumn("enough_utterances", col("n_utterances") >= 3)
+      .withColumn("ratio_in_band",
+        col("speech_bp") >= 2000 && col("speech_bp") <= 9000)
+      .withColumn("segmentable", col("longest_len") <= 1200)
+      .withColumn("kept", col("enough_utterances") &&
+        col("ratio_in_band") && col("segmentable"))
+      .select(col("doc_id"), col("n_utterances"), col("speech_bp"),
+        col("longest_len"), col("enough_utterances"),
+        col("ratio_in_band"), col("segmentable"), col("kept"))
+      .orderBy("doc_id")
+
   private val clfGateCache = scala.collection.mutable.Map
     .empty[(String, String), String]
 
@@ -10310,7 +10532,11 @@ object TrainQueries {
     "q302_landmark_clusters" -> (qLandmarkClusters _),
     "q303_calibrated_gate" -> (qCalibratedGate _),
     "q304_stream_audio_dedup" -> (qStreamAudioDedup _),
-    "q305_video_caption_align" -> (qVideoCaptionAlign _))
+    "q305_video_caption_align" -> (qVideoCaptionAlign _),
+    "q306_union_clusters" -> (qUnionClusters _),
+    "q307_stream_video_dedup" -> (qStreamVideoDedup _),
+    "q308_utterance_stats" -> (qUtteranceStats _),
+    "q309_speech_quality" -> (qSpeechQualityScreen _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -16033,6 +16259,293 @@ object TrainQueries {
              r.sim AS alignment, r.sim >= 0.9 AS kept
          FROM rk r JOIN ag ON r.u = ag.u
          WHERE r.rn = 1 ORDER BY r.u""",
+    // q306: clicks replayed once; each leg's envelope bins come from
+    // the background mass per bin PLUS one correction row per click
+    // (amp minus the background it overwrote) — exact, and never a
+    // sample-by-click join; landmark sets transform onset positions
+    // per leg (resample pos//2 for even positions, trim pos−T); both
+    // edge rules, one union, the recursive closure, quality-max keep.
+    "q306_union_clusters" ->
+      """WITH RECURSIVE base AS (SELECT doc_id, doc_id // 4 AS g,
+             doc_id % 4 AS r FROM documents),
+         b2 AS (SELECT doc_id, g, r,
+             CASE WHEN r = 3 THEN 2 * g + 1 ELSE 2 * g END AS sk,
+             4000 + (g % 7) * 500 + g % 53 AS n
+           FROM base),
+         gi AS (SELECT doc_id, n, sk, i,
+             (sk * 1024 + 2 * i + 1) * 2654435761 % 4294967296 AS g0,
+             xor(g0, g0 >> 16) * 40503 % 4294967296 AS g1,
+             150 + xor(g1, g1 >> 13) % 250 AS gap,
+             (sk * 1024 + 2 * i + 2) * 2654435761 % 4294967296 AS a0,
+             xor(a0, a0 >> 16) * 40503 % 4294967296 AS a1,
+             256 + xor(a1, a1 >> 13) % 8 * 32 AS amp
+           FROM b2, unnest(range(0, 45)) u(i)),
+         ps AS (SELECT doc_id, sk,
+             (sk * 1024 + 1000) * 2654435761 % 4294967296 AS h0,
+             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
+             200 + xor(h1, h1 >> 13) % 200 AS p
+           FROM b2),
+         ck AS (SELECT gi.doc_id, gi.i, gi.amp, gi.n,
+             ps.p + COALESCE(SUM(1 + gi.gap) OVER (
+               PARTITION BY gi.doc_id ORDER BY gi.i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS pos
+           FROM gi JOIN ps ON gi.doc_id = ps.doc_id),
+         cf AS (SELECT * FROM ck WHERE pos + 1 <= n - 100),
+         b3 AS (SELECT b2.doc_id, b2.r, b2.sk, b2.n,
+             CASE WHEN b2.r = 2 THEN ps.p + 3 ELSE 0 END AS tr,
+             CASE WHEN b2.r = 1 THEN b2.n // 2
+               WHEN b2.r = 2 THEN b2.n - (ps.p + 3)
+               ELSE b2.n END AS len
+           FROM b2 JOIN ps ON b2.doc_id = ps.doc_id),
+         bgv AS (SELECT q.doc_id, (q.jj * 60) // q.len AS b,
+             ABS(((q.sk * 31 + 997 * q.oj) % 4096 - 2048)
+               * (1 + q.mm + CASE WHEN q.mm >= 3 THEN 5 ELSE 0 END))
+               // 8 // 16 AS v
+           FROM (SELECT b3x.doc_id, b3x.sk, b3x.len, jj,
+               CASE WHEN b3x.r = 1 THEN 2 * jj
+                 ELSE jj + b3x.tr END AS oj,
+               (b3x.sk * 60 + ((CASE WHEN b3x.r = 1 THEN 2 * jj
+                   ELSE jj + b3x.tr END) * 60) // b3x.n + 1)
+                 * 2654435761 % 4294967296 AS mh0,
+               xor(mh0, mh0 >> 16) * 40503 % 4294967296 AS mh1,
+               xor(mh1, mh1 >> 13) % 6 AS mm
+             FROM b3 b3x, unnest(range(0, b3x.len)) u(jj)) q),
+         crx AS (SELECT cf.doc_id, b3.r, b3.tr, b3.len, b3.n, b3.sk,
+             cf.pos, cf.amp,
+             CASE WHEN b3.r = 1 THEN cf.pos // 2
+               ELSE cf.pos - b3.tr END AS k
+           FROM cf JOIN b3 USING (doc_id)
+           WHERE (b3.r <> 1 OR cf.pos % 2 = 0)
+             AND (b3.r <> 2 OR cf.pos >= b3.tr)),
+         cr AS (SELECT q.doc_id, (q.k * 60) // q.len AS b,
+             q.amp - ABS(((q.sk * 31 + 997 * q.pos) % 4096 - 2048)
+               * (1 + q.mm + CASE WHEN q.mm >= 3 THEN 5 ELSE 0 END))
+               // 8 // 16 AS v
+           FROM (SELECT crx.doc_id, crx.sk, crx.len, crx.k, crx.pos,
+               crx.amp,
+               (crx.sk * 60 + (crx.pos * 60) // crx.n + 1)
+                 * 2654435761 % 4294967296 AS mh0,
+               xor(mh0, mh0 >> 16) * 40503 % 4294967296 AS mh1,
+               xor(mh1, mh1 >> 13) % 6 AS mm
+             FROM crx) q),
+         allv AS (SELECT doc_id, b, CAST(v AS BIGINT) AS v FROM bgv
+                  UNION ALL
+                  SELECT doc_id, b, CAST(v AS BIGINT) FROM cr),
+         bins AS (SELECT doc_id, b, CAST(SUM(v) AS BIGINT) AS s
+           FROM allv GROUP BY 1, 2),
+         tt AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS total
+           FROM allv GROUP BY 1),
+         fpt AS (SELECT bins.doc_id,
+             CAST(SUM(CASE WHEN bins.s * 60 > tt.total
+               THEN 1::BIGINT << bins.b ELSE 0 END) AS BIGINT) AS fp
+           FROM bins JOIN tt ON bins.doc_id = tt.doc_id
+           GROUP BY bins.doc_id),
+         eb1 AS (SELECT doc_id, fp,
+             ((fp >> (b.b * 12)) & 4095) * 5 + b.b AS bk
+           FROM fpt, unnest(range(0, 5)) b(b)),
+         ee AS (SELECT DISTINCT a.doc_id AS na, c.doc_id AS nb
+           FROM eb1 a JOIN eb1 c ON a.bk = c.bk AND a.doc_id < c.doc_id
+           WHERE bit_count(xor(a.fp, c.fp)) <= 4),
+         lmq AS (SELECT crx.doc_id, crx.k AS q, crx.amp,
+             row_number() OVER (PARTITION BY crx.doc_id
+               ORDER BY crx.pos) AS rk
+           FROM crx),
+         tr2 AS (SELECT a.doc_id,
+             (((b.q - a.q) * 1048576 + (c.q - b.q)) * 256
+               + LEAST(b.amp * 8 // a.amp, 15) * 16
+               + LEAST(c.amp * 8 // b.amp, 15)) AS h
+           FROM lmq a
+           JOIN lmq b ON a.doc_id = b.doc_id AND b.rk = a.rk + 1
+           JOIN lmq c ON a.doc_id = c.doc_id AND c.rk = a.rk + 2),
+         hs AS (SELECT DISTINCT doc_id, h FROM tr2),
+         le AS (SELECT a.doc_id AS na, c.doc_id AS nb
+           FROM hs a JOIN hs c ON a.h = c.h AND a.doc_id < c.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+         e AS (SELECT na, nb FROM ee UNION SELECT na, nb FROM le),
+         sym AS (SELECT na AS src, nb AS dst FROM e
+                 UNION SELECT nb, na FROM e),
+         rr AS (SELECT src AS node, dst AS peer FROM sym
+               UNION
+               SELECT rr.node, s.dst FROM rr JOIN sym s
+                 ON rr.peer = s.src),
+         lab AS (SELECT node, LEAST(node, MIN(peer)) AS cluster_rep
+           FROM rr GROUP BY node),
+         tk AS (SELECT doc_id, text,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+           FROM documents),
+         qq AS (SELECT doc_id, CAST(floor((
+               0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (1.0 - CAST(len(list_filter(toks,
+                     w -> w IN ('the','a','of','and','is')))
+                   AS DOUBLE) / CAST(len(toks) AS DOUBLE))
+               + 0.2 * least(((CAST(length(text) AS DOUBLE)
+                     - (CAST(len(toks) AS DOUBLE) - 1.0))
+                   / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0)
+             ) * 10000.0 + 0.5) AS BIGINT) AS q_bp
+           FROM tk),
+         dl AS (SELECT d.doc_id,
+             COALESCE(l.cluster_rep, d.doc_id) AS cluster_rep, q.q_bp
+           FROM base d LEFT JOIN lab l ON d.doc_id = l.node
+           JOIN qq q ON d.doc_id = q.doc_id),
+         win AS (SELECT cluster_rep, doc_id, q_bp, row_number() OVER
+             (PARTITION BY cluster_rep ORDER BY q_bp DESC, doc_id ASC)
+             AS rn
+           FROM dl),
+         agg AS (SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM dl GROUP BY 1)
+         SELECT a.cluster_rep, a.n_docs,
+             w.doc_id AS kept_doc, w.q_bp AS kept_q_bp
+         FROM agg a JOIN win w
+           ON a.cluster_rep = w.cluster_rep AND w.rn = 1
+         ORDER BY a.cluster_rep""",
+    // q307: the q300 hash-bit replay with per-role scene windows
+    // (history full at offset 0, arrivals trimmed at offset 1, novel
+    // arrivals full in the odd namespace), then the exact-equality
+    // >= 2-keyframe vote.
+    "q307_stream_video_dedup" ->
+      """WITH base AS (SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS r
+           FROM documents),
+         b2 AS (SELECT doc_id, g, r,
+             CASE WHEN r = 0 AND g % 5 = 0 THEN 2 * g + 1
+               ELSE 2 * g END AS sk,
+             3 + g % 3 AS ns
+           FROM base),
+         sc AS (SELECT doc_id, r, sk,
+             CASE WHEN r = 0 AND g % 5 <> 0 THEN s + 1 ELSE s END
+               AS scene
+           FROM b2, unnest(range(0,
+             CASE WHEN r = 0 AND g % 5 <> 0 THEN ns - 1 ELSE ns END))
+             u(s)),
+         bits AS (SELECT doc_id, r, scene, b,
+             (sk * 512 + scene * 64 + b + 1) * 2654435761
+               % 4294967296 AS h0,
+             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
+             xor(h1, h1 >> 13) % 2 AS bit
+           FROM sc, unnest(range(0, 64)) v(b)),
+         kf AS (SELECT doc_id, r, scene,
+             CASE WHEN SUM(bit) = 64 THEN 0
+               ELSE CAST(SUM(CASE WHEN bit = 0 THEN 0
+                 WHEN b = 63 THEN -9223372036854775808
+                 ELSE 1::BIGINT << b END) AS BIGINT) END AS kf_hash
+           FROM bits GROUP BY 1, 2, 3),
+         ar AS (SELECT DISTINCT doc_id, kf_hash FROM kf WHERE r = 0),
+         hi AS (SELECT DISTINCT doc_id AS hist_id, kf_hash FROM kf
+           WHERE r <> 0)
+         SELECT ar.doc_id, hi.hist_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+         FROM ar JOIN hi ON ar.kf_hash = hi.kf_hash
+         GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         ORDER BY ar.doc_id, hi.hist_id""",
+    // q308: bursts replayed from ~12 closed-form rows per doc
+    // (cumulative positions via one window; the first overflow is
+    // final because p_i + d_i is strictly increasing), the two planted
+    // degenerate classes as CASE rows.
+    "q308_utterance_stats" ->
+      """WITH dims AS (SELECT doc_id,
+             4000 + (doc_id % 7) * 500 + doc_id % 53 AS n
+           FROM documents),
+         cls AS (SELECT doc_id, n,
+             CASE WHEN doc_id % 7 = 0 THEN 's'
+               WHEN doc_id % 11 = 0 THEN 'l' ELSE 'b' END AS cl
+           FROM dims),
+         gi AS (SELECT doc_id, n, i,
+             (doc_id * 2048 + 3 * i + 1) * 2654435761
+               % 4294967296 AS d0,
+             xor(d0, d0 >> 16) * 40503 % 4294967296 AS d1,
+             100 + xor(d1, d1 >> 13) % 400 AS dur,
+             (doc_id * 2048 + 3 * i + 3) * 2654435761
+               % 4294967296 AS g0,
+             xor(g0, g0 >> 16) * 40503 % 4294967296 AS g1,
+             120 + xor(g1, g1 >> 13) % 300 AS gap
+           FROM cls, unnest(range(0, 40)) u(i)
+           WHERE cl = 'b'),
+         ps AS (SELECT doc_id,
+             (doc_id * 2048 + 3000) * 2654435761 % 4294967296 AS h0,
+             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
+             150 + xor(h1, h1 >> 13) % 150 AS p
+           FROM cls WHERE cl = 'b'),
+         bu AS (SELECT gi.doc_id, gi.i, gi.dur, gi.n,
+             ps.p + COALESCE(SUM(gi.dur + gi.gap) OVER (
+               PARTITION BY gi.doc_id ORDER BY gi.i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS pos
+           FROM gi JOIN ps ON gi.doc_id = ps.doc_id),
+         bv AS (SELECT * FROM bu WHERE pos + dur <= n - 100),
+         bs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_utt,
+             CAST(SUM(dur) AS BIGINT) AS speech
+           FROM bv GROUP BY 1),
+         bl AS (SELECT doc_id, dur, pos, row_number() OVER
+             (PARTITION BY doc_id ORDER BY dur DESC, i ASC) AS rn
+           FROM bv)
+         SELECT c.doc_id,
+             CASE c.cl WHEN 's' THEN 0 WHEN 'l' THEN 1
+               ELSE COALESCE(bs.n_utt, 0) END AS n_utterances,
+             CASE c.cl WHEN 's' THEN 0 WHEN 'l' THEN c.n
+               ELSE COALESCE(bs.speech, 0) END AS speech_samples,
+             CASE c.cl WHEN 's' THEN 0 WHEN 'l' THEN 10000
+               ELSE COALESCE(bs.speech, 0) * 10000 // c.n END
+               AS speech_bp,
+             CASE c.cl WHEN 's' THEN 0 WHEN 'l' THEN c.n
+               ELSE COALESCE(bl.dur, 0) END AS longest_len,
+             CAST(CASE c.cl WHEN 's' THEN -1 WHEN 'l' THEN 0
+               ELSE COALESCE(bl.pos, -1) END AS BIGINT) AS longest_start
+         FROM cls c
+         LEFT JOIN bs ON c.doc_id = bs.doc_id
+         LEFT JOIN bl ON c.doc_id = bl.doc_id AND bl.rn = 1
+         ORDER BY c.doc_id""",
+    // q309: the q308 replay thresholded — reasons as columns.
+    "q309_speech_quality" ->
+      """WITH dims AS (SELECT doc_id,
+             4000 + (doc_id % 7) * 500 + doc_id % 53 AS n
+           FROM documents),
+         cls AS (SELECT doc_id, n,
+             CASE WHEN doc_id % 7 = 0 THEN 's'
+               WHEN doc_id % 11 = 0 THEN 'l' ELSE 'b' END AS cl
+           FROM dims),
+         gi AS (SELECT doc_id, n, i,
+             (doc_id * 2048 + 3 * i + 1) * 2654435761
+               % 4294967296 AS d0,
+             xor(d0, d0 >> 16) * 40503 % 4294967296 AS d1,
+             100 + xor(d1, d1 >> 13) % 400 AS dur,
+             (doc_id * 2048 + 3 * i + 3) * 2654435761
+               % 4294967296 AS g0,
+             xor(g0, g0 >> 16) * 40503 % 4294967296 AS g1,
+             120 + xor(g1, g1 >> 13) % 300 AS gap
+           FROM cls, unnest(range(0, 40)) u(i)
+           WHERE cl = 'b'),
+         ps AS (SELECT doc_id,
+             (doc_id * 2048 + 3000) * 2654435761 % 4294967296 AS h0,
+             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
+             150 + xor(h1, h1 >> 13) % 150 AS p
+           FROM cls WHERE cl = 'b'),
+         bu AS (SELECT gi.doc_id, gi.i, gi.dur, gi.n,
+             ps.p + COALESCE(SUM(gi.dur + gi.gap) OVER (
+               PARTITION BY gi.doc_id ORDER BY gi.i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS pos
+           FROM gi JOIN ps ON gi.doc_id = ps.doc_id),
+         bv AS (SELECT * FROM bu WHERE pos + dur <= n - 100),
+         bs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_utt,
+             CAST(SUM(dur) AS BIGINT) AS speech,
+             CAST(MAX(dur) AS BIGINT) AS longest
+           FROM bv GROUP BY 1),
+         st AS (SELECT c.doc_id,
+             CASE c.cl WHEN 's' THEN 0 WHEN 'l' THEN 1
+               ELSE COALESCE(bs.n_utt, 0) END AS n_utterances,
+             CASE c.cl WHEN 's' THEN 0 WHEN 'l' THEN 10000
+               ELSE COALESCE(bs.speech, 0) * 10000 // c.n END
+               AS speech_bp,
+             CASE c.cl WHEN 's' THEN 0 WHEN 'l' THEN c.n
+               ELSE COALESCE(bs.longest, 0) END AS longest_len
+           FROM cls c LEFT JOIN bs ON c.doc_id = bs.doc_id)
+         SELECT doc_id, n_utterances, speech_bp, longest_len,
+             n_utterances >= 3 AS enough_utterances,
+             (speech_bp >= 2000 AND speech_bp <= 9000) AS ratio_in_band,
+             longest_len <= 1200 AS segmentable,
+             (n_utterances >= 3 AND speech_bp >= 2000
+              AND speech_bp <= 9000 AND longest_len <= 1200) AS kept
+         FROM st ORDER BY doc_id""",
     // q298: both channels recomputed closed-form (right = half-period
     // phase shift), truncated-bp balance, zero-sum guard mirrored.
     "q298_wav_stereo" ->

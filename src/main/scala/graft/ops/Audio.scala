@@ -558,6 +558,115 @@ object Audio {
     s
   }
 
+  // ------------------------------------------------------------------
+  // Utterance segmentation / VAD (q308/q309): speech corpora are
+  // curated at the UTTERANCE level — silence-trimming, speech-ratio
+  // quality gates, per-utterance transcripts. The exact-integer form:
+  // an utterance is a maximal run of samples at |s| >= threshold in
+  // the DECODED signal (the energy-gate VAD every pipeline starts
+  // from), reduced in one pass.
+  // ------------------------------------------------------------------
+
+  /** One utterance: start sample, length, peak amplitude. */
+  case class Utterance(start: Long, len: Long, peak: Long)
+
+  /** Segment a decoded mono wav into utterances: maximal runs of
+    * |s| ≥ `threshold`. One pass, exact.
+    */
+  def utterances(docId: Long, bytes: Array[Byte],
+      threshold: Int): Seq[Utterance] = {
+    require(threshold >= 1, s"threshold must be >= 1: $threshold")
+    val lay = parseWav(docId, bytes)
+    require(lay.channels == 1,
+      s"doc $docId: utterance segmentation is mono-only, " +
+        s"got ${lay.channels} channels (downmix first)")
+    val n = lay.dataLen / 2
+    val out = scala.collection.mutable.ArrayBuffer.empty[Utterance]
+    var start = -1L
+    var peak = 0L
+    var j = 0
+    while (j < n) {
+      val a = math.abs(le16(bytes, lay.dataOff + 2 * j).toShort.toInt)
+        .toLong
+      if (a >= threshold) {
+        if (start < 0) { start = j.toLong; peak = 0L }
+        if (a > peak) peak = a
+      } else if (start >= 0) {
+        out += Utterance(start, j - start, peak)
+        start = -1L
+      }
+      j += 1
+    }
+    if (start >= 0) out += Utterance(start, n - start, peak)
+    out.toSeq
+  }
+
+  /** The q308/q309 fixture "recording": hashed speech BURSTS over the
+    * quiet floor — burst i holds |level| Aᵢ = 800 + mix(…) mod 8 · 128
+    * for dᵢ = 100 + mix(…) mod 400 samples, then gᵢ = 120 + mix(…)
+    * mod 300 quiet samples (the stride-997 floor, |b| ≤ 40) — all
+    * closed-form, so the oracle replays utterances from ~15 burst
+    * rows per doc, never samples. Burst samples alternate sign with j
+    * so the signal is audio-shaped, not DC.
+    */
+  def burstTrain(seed: Long, n: Int): Array[Int] = {
+    val s = new Array[Int](n)
+    var j = 0
+    while (j < n) {
+      s(j) = (((seed * 31 + 997 * j) % 81) - 40).toInt
+      j += 1
+    }
+    var p = 150 + mix32(seed * 2048 + 3000) % 150
+    var i = 0L
+    var fits = true
+    while (fits) {
+      val d = 100 + mix32(seed * 2048 + 3 * i + 1) % 400
+      if (p + d > n - 100) fits = false
+      else {
+        val a = (800 + mix32(seed * 2048 + 3 * i + 2) % 8 * 128).toInt
+        var k = p
+        while (k < p + d) {
+          s(k.toInt) = if (k % 2 == 0) a else -a
+          k += 1
+        }
+        p += d + 120 + mix32(seed * 2048 + 3 * i + 3) % 300
+        i += 1
+      }
+    }
+    s
+  }
+
+  /** The q306 fixture "recording": the gapped-gain modulated signal
+    * scaled to 1/16 (|s| ≤ 160 — under any onset threshold, so the
+    * ENVELOPE bits stay purely gain-driven with the measured q290
+    * margins) plus SINGLE-SAMPLE clicks at hashed gaps with hashed
+    * amplitudes 256–480 — loud enough to be onsets, small enough
+    * (≤ 13 % of a bin's gain mass vs the ≥ 34 % gain margin) never to
+    * flip an envelope bit. Measured over all 12,500 sf1 groups:
+    * envelope 2×-resample drift ≤ 1 bit, content-trim distance ≥ 11
+    * (past the 4-bit union gate), ZERO cross-group pairs within 4 bits
+    * across 2×10⁸ pairs; landmark sets ≥ 10 hashes, resample-shared 0,
+    * trim-shared ≥ 9. Wider or louder clicks measurably fail: width-4
+    * amp-1500 clicks dominated bins and straddled boundaries
+    * differently per leg (drift 10–16 bits).
+    */
+  def hybridTrain(seed: Long, n: Int): Array[Int] = {
+    val s = new Array[Int](n)
+    var j = 0
+    while (j < n) {
+      s(j) = modulatedSample(seed, j.toLong, n.toLong) / 16
+      j += 1
+    }
+    var p = 200 + mix32(seed * 1024 + 1000) % 200
+    var i = 0L
+    while (p + 1 <= n - 100) {
+      s(p.toInt) = (256 + mix32(seed * 1024 + 2 * i + 2) % 8 * 32).toInt
+      p += 1 + 150 + mix32(seed * 1024 + 2 * i + 1) % 250
+      i += 1
+    }
+    s
+  }
+
   /** 60-bit amplitude-envelope fingerprint of a DECODED wav: |sample j|
     * lands in bin ⌊j·60/n⌋, bit b set iff bin_b·60 > total (the
     * division-free blockhash rule on the time axis). Bins are

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.ops.Video
+
+/** Streaming video-dedup gate — [[AudioDedupGate]]'s sibling on the
+  * video axis, completing the live-ingestion trio (rasters:
+  * MediaScreen; audio: AudioDedupGate): every arriving micro-batch of
+  * Y4M clips decodes through the real frame walk, segments scenes and
+  * elects keyframes in ONE pass, blockhashes each keyframe on decoded
+  * pixels ([[Video.sceneKeyframeHashes]] — payloads never shuffle;
+  * only (doc_id, kf_hash) rows leave the scan), and probes the STORED
+  * keyframe-hash index of the already-ingested corpus by EXACT hash
+  * equality with a ≥ 2-matching-keyframes vote (the q300 verify rule —
+  * re-encodes preserve hashes bit-for-bit, trims preserve every
+  * surviving scene's, and one shared hash is the chance-collision
+  * guard). Matched (arrival, history, n_shared) verdicts append as
+  * version `batchId` under the replay rule.
+  *
+  * Scale posture: per-batch cost is one equi-join of the batch's
+  * few-hashes-per-clip rows against the stored index (bucketed by
+  * hash at 100 TB — the q131 catalog discipline) — candidate-
+  * proportional, independent of history size.
+  */
+object VideoDedupGate {
+
+  /** Build the stored index from history keyframe hashes (columns
+    * `hist_id`, `kf_hash`), distinct per (clip, hash).
+    */
+  def buildIndex(histKfs: DataFrame): DataFrame =
+    histKfs.select(col("hist_id"), col("kf_hash")).distinct()
+
+  /** Stream the staged `mediaParquet` (columns `doc_id`, `payload` —
+    * Y4M bytes) in `chunks` micro-batches against the stored `index`;
+    * returns matched (doc_id, hist_id, n_shared) rows, ordered.
+    */
+  def run(spark: SparkSession, mediaParquet: String, index: DataFrame,
+      chunks: Int = 3): DataFrame =
+      Staging.withStreamShufflePartitions(spark, n = "4") {
+    val (media, tag) = Staging.stageSplitAndRead(spark, mediaParquet,
+      "graft_videogate_in", chunks, orderCols = Seq("doc_id"))
+    val tmp = System.getProperty("java.io.tmpdir")
+    val root = graft.Scratch.register(s"$tmp/graft_videogate_state_$tag")
+    val ck = graft.Scratch.register(s"$tmp/graft_videogate_ck_$tag")
+    runInto(spark, media, index, root, ck)
+    VersionedStore.readAllBelow(spark, s"$root/matches", Long.MaxValue)
+      .getOrElse(emptyMatches(spark))
+      .orderBy("doc_id", "hist_id")
+  }
+
+  /** The pipeline against a caller-owned state root and checkpoint —
+    * the restart surface.
+    */
+  def runInto(spark: SparkSession, media: DataFrame, index: DataFrame,
+      stateRoot: String, checkpoint: String): Unit = {
+    val query = media.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          VersionedStore.write(batchMatches(spark, batch, index),
+            s"$stateRoot/matches", batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
+  /** One batch's matches: decode + keyframe-hash scan-locally, exact
+    * equality probe, ≥ 2-keyframe vote. Public so specs can assert
+    * streamed ≡ batch probing directly.
+    */
+  def batchMatches(spark: SparkSession, batch: DataFrame,
+      index: DataFrame): DataFrame = {
+    import spark.implicits._
+    val kfs = batch
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        Video.sceneKeyframeHashes(id,
+            if (p == null) Array.emptyByteArray else p, 48)
+          .map(k => (id, k.kf_hash)).distinct
+      }
+      .toDF("doc_id", "kf_hash")
+    kfs.join(index, Seq("kf_hash"))
+      .groupBy("doc_id", "hist_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+  }
+
+  private def emptyMatches(spark: SparkSession): DataFrame =
+    spark.range(0)
+      .select(col("id").as("doc_id"), col("id").as("hist_id"),
+        col("id").as("n_shared"))
+}
