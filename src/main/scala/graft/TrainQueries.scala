@@ -9817,6 +9817,80 @@ object TrainQueries {
       .orderBy("doc_id")
   }
 
+  /** Incremental keyframe-index maintenance (q311): the WRITE side of
+    * the q307 video gate — the q256 bucketed-history discipline on the
+    * video axis. The stored keyframe-hash index lives as a
+    * hash-BUCKETED catalog table (probes join exchange-free —
+    * `VideoIndexSpec` asserts no Exchange on the index side); after a
+    * batch of clips is admitted, their (clip, keyframe-hash) entries
+    * APPEND as new per-bucket files (the bucket layout is preserved,
+    * never rewritten — at 100 TB the index is billions of rows and a
+    * rewrite-per-ingest is a nightly job). Output: entry counts
+    * before/added/after, `novel_hashes` (hash VALUES the index had
+    * never seen — the trimmed re-fetches contribute zero, only the
+    * genuinely novel clips add vocabulary), and the maintenance
+    * guarantee `recheck_unmatched` = 0: re-probing the admitted batch
+    * through the q307 ≥ 2-vote gate now matches every clip (each at
+    * least self-matches on all its scenes), which is exactly the
+    * re-fetch suppression the index exists for. Like q256 the query
+    * IS the maintenance demonstration and rebuilds its table per run.
+    */
+  private def qIncrKeyframeIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val tag = (s.sparkContext.applicationId + "_" + dir)
+      .replaceAll("[^a-zA-Z0-9]", "_")
+    val tbl = s"graft_kfidx_incr_$tag"
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+    val histMedia = docs.filter((id: Long) => id % 3 != 0)
+      .map { id =>
+        val g = id / 3
+        val (w, h) = if (id % 3 == 1) (16, 8) else (32, 16)
+        Multimodal.MediaRecord(id,
+          Video.encodeY4mBlockScenes(2 * g, w, h, (3 + g % 3).toInt,
+            4, 0L), "y4m")
+      }
+    Video.keyframeHashes(histMedia, 48).toDF()
+      .select(col("doc_id").as("hist_id"), col("kf_hash")).distinct()
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "kf_hash").sortBy("kf_hash").saveAsTable(tbl)
+    val before = s.table(tbl).count()
+    val oldHashes = s.table(tbl).select("kf_hash").distinct()
+      .transform(snap)
+    val arrMedia = docs.filter((id: Long) => id % 3 == 0)
+      .map { id =>
+        val g = id / 3
+        val sk = if (g % 5 == 0) 2 * g + 1 else 2 * g
+        val ns = (3 + g % 3).toInt
+        val (nsr, off) = if (g % 5 == 0) (ns, 0L) else (ns - 1, 1L)
+        Multimodal.MediaRecord(id,
+          Video.encodeY4mBlockScenes(sk, 16, 8, nsr, 4, off), "y4m")
+      }
+    val arriving = Video.keyframeHashes(arrMedia, 48).toDF()
+      .select(col("doc_id").as("hist_id"), col("kf_hash")).distinct()
+      .transform(snap)
+    val novelHashes = arriving.select("kf_hash").distinct()
+      .join(oldHashes, Seq("kf_hash"), "left_anti").count()
+    // append routes each entry to its kf_hash bucket as new
+    // per-bucket files — layout preserved, probes stay exchange-free
+    arriving.write.mode("append").format("parquet")
+      .bucketBy(8, "kf_hash").sortBy("kf_hash").saveAsTable(tbl)
+    val after = s.table(tbl).count()
+    val matched = graft.streaming.VideoDedupGate.batchMatches(s,
+        arrMedia.map(r => (r.doc_id, r.payload))
+          .toDF("doc_id", "payload"),
+        s.table(tbl))
+      .select("doc_id").distinct()
+    val recheck = arriving.select(col("hist_id").as("doc_id")).distinct()
+      .join(matched, Seq("doc_id"), "left_anti").count()
+    Seq(("added_entries", after - before), ("after_entries", after),
+      ("before_entries", before), ("novel_hashes", novelHashes),
+      ("recheck_unmatched", recheck))
+      .toDF("phase", "n")
+      .orderBy("phase")
+  }
+
   private val clfGateCache = scala.collection.mutable.Map
     .empty[(String, String), String]
 
@@ -10589,7 +10663,8 @@ object TrainQueries {
     "q307_stream_video_dedup" -> (qStreamVideoDedup _),
     "q308_utterance_stats" -> (qUtteranceStats _),
     "q309_speech_quality" -> (qSpeechQualityScreen _),
-    "q310_pad_robust_dedup" -> (qPadRobustDedup _))
+    "q310_pad_robust_dedup" -> (qPadRobustDedup _),
+    "q311_incr_keyframe_index" -> (qIncrKeyframeIndex _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -16721,6 +16796,52 @@ object TrainQueries {
          JOIN rfm ON b.doc_id = rfm.doc_id
          JOIN rfp ON b.doc_id = rfp.doc_id
          ORDER BY b.doc_id""",
+    // q311: the q307 hash replay aggregated into maintenance counts —
+    // entries per role, hash vocabulary novelty (only novel clips add
+    // any), and the self-match guarantee (every arrival has >= 2
+    // scenes, so recheck_unmatched is identically 0).
+    "q311_incr_keyframe_index" ->
+      """WITH base AS (SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS r
+           FROM documents),
+         b2 AS (SELECT doc_id, g, r,
+             CASE WHEN r = 0 AND g % 5 = 0 THEN 2 * g + 1
+               ELSE 2 * g END AS sk,
+             3 + g % 3 AS ns
+           FROM base),
+         sc AS (SELECT doc_id, r, sk,
+             CASE WHEN r = 0 AND g % 5 <> 0 THEN s + 1 ELSE s END
+               AS scene
+           FROM b2, unnest(range(0,
+             CASE WHEN r = 0 AND g % 5 <> 0 THEN ns - 1 ELSE ns END))
+             u(s)),
+         bits AS (SELECT doc_id, r, scene, b,
+             (sk * 512 + scene * 64 + b + 1) * 2654435761
+               % 4294967296 AS h0,
+             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
+             xor(h1, h1 >> 13) % 2 AS bit
+           FROM sc, unnest(range(0, 64)) v(b)),
+         kf AS (SELECT doc_id, r, scene,
+             CASE WHEN SUM(bit) = 64 THEN 0
+               ELSE CAST(SUM(CASE WHEN bit = 0 THEN 0
+                 WHEN b = 63 THEN -9223372036854775808
+                 ELSE 1::BIGINT << b END) AS BIGINT) END AS kf_hash
+           FROM bits GROUP BY 1, 2, 3),
+         hist AS (SELECT DISTINCT doc_id, kf_hash FROM kf WHERE r <> 0),
+         arr AS (SELECT DISTINCT doc_id, kf_hash FROM kf WHERE r = 0),
+         cnts AS (SELECT
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM hist) AS nb,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM arr) AS na,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+               (SELECT DISTINCT kf_hash FROM arr) x
+               WHERE kf_hash NOT IN (SELECT kf_hash FROM hist))
+               AS nv)
+         SELECT phase, n FROM (
+           SELECT 'added_entries' AS phase, na AS n FROM cnts
+           UNION ALL SELECT 'after_entries', nb + na FROM cnts
+           UNION ALL SELECT 'before_entries', nb FROM cnts
+           UNION ALL SELECT 'novel_hashes', nv FROM cnts
+           UNION ALL SELECT 'recheck_unmatched', 0 FROM cnts)
+         ORDER BY phase""",
     // q298: both channels recomputed closed-form (right = half-period
     // phase shift), truncated-bp balance, zero-sum guard mirrored.
     "q298_wav_stereo" ->
