@@ -9891,6 +9891,57 @@ object TrainQueries {
       .orderBy("phase")
   }
 
+  /** Channel-turn diarization (q312, [[Audio.channelTurns]]): the
+    * interview/call-center convention made an operator — each speaker
+    * sits on one STEREO channel, so speaker turns are CHANNEL turns,
+    * and the diarization a transcript-alignment job needs is one
+    * decode pass: utterances at max(|L|, |R|) ≥ 256 (the q308 VAD rule
+    * lifted to stereo through the real interleaved-frame parse, q298),
+    * each attributed to the channel with the larger amplitude mass.
+    * Per doc: utterance count, per-channel counts, speaker TURNS
+    * (adjacent attribution changes — the conversational-structure
+    * signal a dialogue-data curator filters on), and the two-speaker
+    * flag. Fixture: hashed stereo burst trains
+    * ([[Audio.stereoBurstTrain]] — each burst on a hashed channel, the
+    * silent channel keeping its noise floor); every 13th doc is a
+    * MONOLOGUE (all bursts forced left — a one-speaker recording that
+    * must report zero turns). Closed-form per burst, so the oracle
+    * replays ~12 rows per doc, never samples.
+    */
+  private def qChannelDiarization(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val n = (4000 + (id % 7) * 500 + id % 53).toInt
+        val (l, r) = Audio.stereoBurstTrain(id, n)
+        val lr = if (id % 13 == 0) { // monologue: everything left
+          val lm = l.clone()
+          var j = 0
+          while (j < n) {
+            if (math.abs(r(j)) > math.abs(lm(j))) lm(j) = r(j)
+            j += 1
+          }
+          (lm, Array.tabulate(n)(j =>
+            (((id * 31 + 997 * j + 40) % 81) - 40).toInt))
+        } else (l, r)
+        val us = Audio.channelTurns(id,
+          Audio.encodeWavStereoSamples(lr._1, lr._2, 16000), 256)
+        val turns = us.sliding(2).count {
+          case Seq(a, b) => a.channel != b.channel
+          case _ => false
+        }
+        (id, us.length.toLong, turns.toLong,
+          us.count(_.channel == 0).toLong,
+          us.count(_.channel == 1).toLong)
+      }
+      .toDF("doc_id", "n_utterances", "n_turns", "left_utts",
+        "right_utts")
+      .withColumn("two_speakers",
+        col("left_utts") >= 1 && col("right_utts") >= 1)
+      .orderBy("doc_id")
+  }
+
   private val clfGateCache = scala.collection.mutable.Map
     .empty[(String, String), String]
 
@@ -10664,7 +10715,8 @@ object TrainQueries {
     "q308_utterance_stats" -> (qUtteranceStats _),
     "q309_speech_quality" -> (qSpeechQualityScreen _),
     "q310_pad_robust_dedup" -> (qPadRobustDedup _),
-    "q311_incr_keyframe_index" -> (qIncrKeyframeIndex _))
+    "q311_incr_keyframe_index" -> (qIncrKeyframeIndex _),
+    "q312_channel_diarization" -> (qChannelDiarization _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -16842,6 +16894,59 @@ object TrainQueries {
            UNION ALL SELECT 'novel_hashes', nv FROM cnts
            UNION ALL SELECT 'recheck_unmatched', 0 FROM cnts)
          ORDER BY phase""",
+    // q312: bursts replayed closed-form (position cumsum, hashed
+    // channel bits — forced left on monologue docs), turns = adjacent
+    // channel changes via LAG.
+    "q312_channel_diarization" ->
+      """WITH dims AS (SELECT doc_id,
+             4000 + (doc_id % 7) * 500 + doc_id % 53 AS n
+           FROM documents),
+         gi AS (SELECT doc_id, n, i,
+             (doc_id * 4096 + 4 * i + 1) * 2654435761
+               % 4294967296 AS d0,
+             xor(d0, d0 >> 16) * 40503 % 4294967296 AS d1,
+             100 + xor(d1, d1 >> 13) % 300 AS dur,
+             (doc_id * 4096 + 4 * i + 3) * 2654435761
+               % 4294967296 AS g0,
+             xor(g0, g0 >> 16) * 40503 % 4294967296 AS g1,
+             120 + xor(g1, g1 >> 13) % 300 AS gap,
+             (doc_id * 4096 + 4 * i) * 2654435761 % 4294967296 AS c0,
+             xor(c0, c0 >> 16) * 40503 % 4294967296 AS c1,
+             CASE WHEN doc_id % 13 = 0 THEN 0
+               ELSE xor(c1, c1 >> 13) % 2 END AS ch
+           FROM dims, unnest(range(0, 45)) u(i)),
+         ps AS (SELECT doc_id,
+             (doc_id * 4096 + 4000) * 2654435761 % 4294967296 AS h0,
+             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
+             150 + xor(h1, h1 >> 13) % 150 AS p
+           FROM dims),
+         bu AS (SELECT gi.doc_id, gi.i, gi.dur, gi.ch, gi.n,
+             ps.p + COALESCE(SUM(gi.dur + gi.gap) OVER (
+               PARTITION BY gi.doc_id ORDER BY gi.i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS pos
+           FROM gi JOIN ps ON gi.doc_id = ps.doc_id),
+         bv AS (SELECT * FROM bu WHERE pos + dur <= n - 100),
+         tv AS (SELECT doc_id, i, ch,
+             LAG(ch) OVER (PARTITION BY doc_id ORDER BY i) AS pch
+           FROM bv),
+         ag AS (SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_utterances,
+             CAST(SUM(CASE WHEN pch IS NOT NULL AND ch <> pch
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_turns,
+             CAST(SUM(CASE WHEN ch = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS left_utts,
+             CAST(SUM(CASE WHEN ch = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS right_utts
+           FROM tv GROUP BY 1)
+         SELECT d.doc_id, COALESCE(a.n_utterances, 0) AS n_utterances,
+             COALESCE(a.n_turns, 0) AS n_turns,
+             COALESCE(a.left_utts, 0) AS left_utts,
+             COALESCE(a.right_utts, 0) AS right_utts,
+             (COALESCE(a.left_utts, 0) >= 1
+              AND COALESCE(a.right_utts, 0) >= 1) AS two_speakers
+         FROM dims d LEFT JOIN ag a ON d.doc_id = a.doc_id
+         ORDER BY d.doc_id""",
     // q298: both channels recomputed closed-form (right = half-period
     // phase shift), truncated-bp balance, zero-sum guard mirrored.
     "q298_wav_stereo" ->

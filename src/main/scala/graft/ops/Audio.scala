@@ -601,6 +601,94 @@ object Audio {
     out.toSeq
   }
 
+  /** One channel-attributed utterance: bounds plus which channel
+    * carried it (0 = left, 1 = right) — decided by amplitude mass, the
+    * two-speaker interview convention where each party sits on one
+    * channel.
+    */
+  case class ChannelUtterance(start: Long, len: Long, channel: Int)
+
+  /** Channel-turn diarization over a STEREO wav — the interview/
+    * call-center convention made an operator: each speaker sits on one
+    * channel, so speaker turns are CHANNEL turns. One pass through the
+    * interleaved frames: an utterance is a maximal run of frames at
+    * max(|L|, |R|) ≥ `threshold` (the q308 VAD rule lifted to stereo),
+    * attributed to the channel with the larger amplitude mass over the
+    * run (ties → left — with real per-channel speech vs a noise floor
+    * the masses are never close). Exact integers throughout.
+    */
+  def channelTurns(docId: Long, bytes: Array[Byte],
+      threshold: Int): Seq[ChannelUtterance] = {
+    require(threshold >= 1, s"threshold must be >= 1: $threshold")
+    val lay = parseWav(docId, bytes)
+    require(lay.channels == 2,
+      s"doc $docId: channel diarization expects stereo, " +
+        s"got ${lay.channels} channels")
+    require(lay.dataLen % 4 == 0,
+      s"doc $docId: stereo data not frame-aligned: ${lay.dataLen}")
+    val n = lay.dataLen / 4
+    val out = scala.collection.mutable.ArrayBuffer.empty[ChannelUtterance]
+    var start = -1L
+    var (sl, sr) = (0L, 0L)
+    var j = 0
+    while (j < n) {
+      val l = math.abs(le16(bytes, lay.dataOff + 4 * j).toShort.toInt)
+        .toLong
+      val r = math.abs(le16(bytes, lay.dataOff + 4 * j + 2).toShort.toInt)
+        .toLong
+      if (math.max(l, r) >= threshold) {
+        if (start < 0) { start = j.toLong; sl = 0L; sr = 0L }
+        sl += l; sr += r
+      } else if (start >= 0) {
+        out += ChannelUtterance(start, j - start,
+          if (sl >= sr) 0 else 1)
+        start = -1L
+      }
+      j += 1
+    }
+    if (start >= 0)
+      out += ChannelUtterance(start, n - start, if (sl >= sr) 0 else 1)
+    out.toSeq
+  }
+
+  /** The q312 fixture: a STEREO burst train — hashed bursts each
+    * carried on a hashed channel (the other channel keeps its noise
+    * floor), the two floors phase-shifted copies of the stride-997
+    * sweep. Closed-form per burst: position (cumulative), duration
+    * 100 + mix mod 300, amplitude 800 + mix mod 8 · 128, channel
+    * mix mod 2.
+    */
+  def stereoBurstTrain(seed: Long, n: Int): (Array[Int], Array[Int]) = {
+    val l = new Array[Int](n)
+    val r = new Array[Int](n)
+    var j = 0
+    while (j < n) {
+      l(j) = (((seed * 31 + 997 * j) % 81) - 40).toInt
+      r(j) = (((seed * 31 + 997 * j + 40) % 81) - 40).toInt
+      j += 1
+    }
+    var p = 150 + mix32(seed * 4096 + 4000) % 150
+    var i = 0L
+    var fits = true
+    while (fits) {
+      val d = 100 + mix32(seed * 4096 + 4 * i + 1) % 300
+      if (p + d > n - 100) fits = false
+      else {
+        val a = (800 + mix32(seed * 4096 + 4 * i + 2) % 8 * 128).toInt
+        val ch = mix32(seed * 4096 + 4 * i) % 2
+        val tgt = if (ch == 0) l else r
+        var k = p
+        while (k < p + d) {
+          tgt(k.toInt) = if (k % 2 == 0) a else -a
+          k += 1
+        }
+        p += d + 120 + mix32(seed * 4096 + 4 * i + 3) % 300
+        i += 1
+      }
+    }
+    (l, r)
+  }
+
   /** The q308/q309 fixture "recording": hashed speech BURSTS over the
     * quiet floor — burst i holds |level| Aᵢ = 800 + mix(…) mod 8 · 128
     * for dᵢ = 100 + mix(…) mod 400 samples, then gᵢ = 120 + mix(…)
