@@ -9942,6 +9942,33 @@ object TrainQueries {
       .orderBy("doc_id")
   }
 
+  /** Media dedup impact report (q313): the q271 corpus-owner table on
+    * the MODALITY axes — per media family (raster q280, audio q294,
+    * video q300) one row: items, clusters, duplicate items removed
+    * under min-cluster keep, the exact truncated-bp dup rate, and the
+    * largest cluster (the skew signal a rewrite planner reads). Each
+    * leg IS its gated cluster query — the report adds three
+    * metadata-sized aggregates, nothing new moves at scale — and the
+    * oracle composes the three cluster oracles as subqueries, so green
+    * means chains and roll-up agree cross-engine.
+    */
+  private def qMediaDedupReport(s: SparkSession, dir: String): DataFrame = {
+    def leg(name: String, df: DataFrame) = df
+      .agg(sum("n_docs").as("n_items"),
+        count(lit(1)).as("n_clusters"),
+        (sum("n_docs") - count(lit(1))).as("n_dup_items"),
+        expr("(sum(n_docs) - count(1)) * 10000 div sum(n_docs)")
+          .as("dup_rate_bp"),
+        max("n_docs").as("max_cluster"))
+      .withColumn("modality", lit(name))
+      .select("modality", "n_items", "n_clusters", "n_dup_items",
+        "dup_rate_bp", "max_cluster")
+    leg("audio", qAudioClusters(s, dir))
+      .unionAll(leg("raster", qRasterClusters(s, dir)))
+      .unionAll(leg("video", qVideoClusters(s, dir)))
+      .orderBy("modality")
+  }
+
   private val clfGateCache = scala.collection.mutable.Map
     .empty[(String, String), String]
 
@@ -10716,7 +10743,8 @@ object TrainQueries {
     "q309_speech_quality" -> (qSpeechQualityScreen _),
     "q310_pad_robust_dedup" -> (qPadRobustDedup _),
     "q311_incr_keyframe_index" -> (qIncrKeyframeIndex _),
-    "q312_channel_diarization" -> (qChannelDiarization _))
+    "q312_channel_diarization" -> (qChannelDiarization _),
+    "q313_media_dedup_report" -> (qMediaDedupReport _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -10901,7 +10929,32 @@ object TrainQueries {
          sz AS (SELECT cluster_rep, COUNT(*) AS n_members
                 FROM lab GROUP BY 1)"""
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    ("q313_media_dedup_report" -> mediaDedupReportOracle)
+
+  /** q313's oracle COMPOSES the three modality cluster oracles as
+    * subqueries (DuckDB allows WITH RECURSIVE inside a derived table)
+    * and aggregates each into the impact row — the roll-up adds no
+    * replay logic of its own, so green means the three chains and the
+    * aggregation all agree.
+    */
+  private def mediaDedupReportOracle: String = {
+    def leg(name: String, key: String) =
+      s"""SELECT '$name' AS modality,
+           CAST(SUM(n_docs) AS BIGINT) AS n_items,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_docs) - COUNT(*) AS BIGINT) AS n_dup_items,
+           CAST((SUM(n_docs) - COUNT(*)) * 10000 // SUM(n_docs)
+             AS BIGINT) AS dup_rate_bp,
+           CAST(MAX(n_docs) AS BIGINT) AS max_cluster
+         FROM (${oracleSqlBase(key)}) t"""
+    Seq(leg("audio", "q294_audio_clusters"),
+      leg("raster", "q280_raster_clusters"),
+      leg("video", "q300_video_clusters"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY modality")
+  }
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "q21_text_stats" ->
       """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks
                     FROM documents)
