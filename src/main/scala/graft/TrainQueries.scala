@@ -16513,6 +16513,9 @@ object TrainQueries {
              xor(a0, a0 >> 16) * 40503 % 4294967296 AS a1,
              256 + xor(a1, a1 >> 13) % 8 * 32 AS amp
            FROM b2, unnest(range(0, 45)) u(i)),
+         -- 45 >= 1 + (7052-100-w-200)//(w+150) for click widths
+         -- w in {1,3}: the densest legal train fits the budget
+         -- exactly (OracleClickBudgetSpec guards n growth)
          ps AS (SELECT doc_id, sk,
              (sk * 1024 + 1000) * 2654435761 % 4294967296 AS h0,
              xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
@@ -16801,6 +16804,9 @@ object TrainQueries {
              xor(a0, a0 >> 16) * 40503 % 4294967296 AS a1,
              256 + xor(a1, a1 >> 13) % 8 * 32 AS amp
            FROM legs, unnest(range(0, 45)) u(i)),
+         -- 45 >= 1 + (7052-100-w-200)//(w+150) for click widths
+         -- w in {1,3}: the densest legal train fits the budget
+         -- exactly (OracleClickBudgetSpec guards n growth)
          ps AS (SELECT doc_id, sk,
              (sk * 1024 + 1000) * 2654435761 % 4294967296 AS h0,
              xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
@@ -16968,6 +16974,9 @@ object TrainQueries {
              CASE WHEN doc_id % 13 = 0 THEN 0
                ELSE xor(c1, c1 >> 13) % 2 END AS ch
            FROM dims, unnest(range(0, 45)) u(i)),
+         -- 45 >= 1 + (7052-100-w-200)//(w+150) for click widths
+         -- w in {1,3}: the densest legal train fits the budget
+         -- exactly (OracleClickBudgetSpec guards n growth)
          ps AS (SELECT doc_id,
              (doc_id * 4096 + 4000) * 2654435761 % 4294967296 AS h0,
              xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
@@ -17160,6 +17169,9 @@ object TrainQueries {
              xor(a0, a0 >> 16) * 40503 % 4294967296 AS a1,
              1500 + xor(a1, a1 >> 13) % 8 * 64 AS amp
            FROM legs, unnest(range(0, 45)) u(i)),
+         -- 45 >= 1 + (7052-100-w-200)//(w+150) for click widths
+         -- w in {1,3}: the densest legal train fits the budget
+         -- exactly (OracleClickBudgetSpec guards n growth)
          ps AS (SELECT doc_id, sk,
              (sk * 1024 + 1000) * 2654435761 % 4294967296 AS h0,
              xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
@@ -17222,6 +17234,9 @@ object TrainQueries {
              xor(a0, a0 >> 16) * 40503 % 4294967296 AS a1,
              1500 + xor(a1, a1 >> 13) % 8 * 64 AS amp
            FROM b2, unnest(range(0, 45)) u(i)),
+         -- 45 >= 1 + (7052-100-w-200)//(w+150) for click widths
+         -- w in {1,3}: the densest legal train fits the budget
+         -- exactly (OracleClickBudgetSpec guards n growth)
          ps AS (SELECT doc_id, sk,
              (sk * 1024 + 1000) * 2654435761 % 4294967296 AS h0,
              xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,

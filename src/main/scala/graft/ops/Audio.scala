@@ -397,6 +397,11 @@ object Audio {
     *     apart (2×10⁸ pairs) — clean on both sides of the 8-bit gate.
     */
   def modulatedSample(seed: Long, j: Long, n: Long): Int = {
+    // Scala % keeps the dividend's sign: a negative seed would turn
+    // every hash residue negative (gapped-alphabet gains silently
+    // wrong, and the click/burst siblings would index s(p) at p < 0)
+    // AND diverge from DuckDB's % in the oracles — fail loudly.
+    require(seed >= 0, s"fixture seed must be >= 0: $seed")
     val seg = j * 60 / n
     val h0 = (seed * 60 + seg + 1) * 2654435761L % 4294967296L
     val h1 = (h0 ^ (h0 >> 16)) * 40503 % 4294967296L
@@ -524,6 +529,7 @@ object Audio {
     * far above any onset threshold in (40, 1500]. Samples fit PCM16.
     */
   def clickTrainSample(seed: Long, j: Long, n: Long): Int = {
+    require(seed >= 0, s"fixture seed must be >= 0: $seed")
     // closed-form membership: click i starts at p_i; p_0 = 200 +
     // mix(seed*1024+1000) mod 200, p_{i+1} = p_i + 3 + g_i
     var p = 200 + mix32(seed * 1024 + 1000) % 200
@@ -541,6 +547,7 @@ object Audio {
     * [[clickTrainSample]] — O(n) instead of O(n·m)).
     */
   def clickTrain(seed: Long, n: Int): Array[Int] = {
+    require(seed >= 0, s"fixture seed must be >= 0: $seed")
     val s = new Array[Int](n)
     var j = 0
     while (j < n) {
@@ -659,6 +666,7 @@ object Audio {
     * mix mod 2.
     */
   def stereoBurstTrain(seed: Long, n: Int): (Array[Int], Array[Int]) = {
+    require(seed >= 0, s"fixture seed must be >= 0: $seed")
     val l = new Array[Int](n)
     val r = new Array[Int](n)
     var j = 0
@@ -698,6 +706,7 @@ object Audio {
     * so the signal is audio-shaped, not DC.
     */
   def burstTrain(seed: Long, n: Int): Array[Int] = {
+    require(seed >= 0, s"fixture seed must be >= 0: $seed")
     val s = new Array[Int](n)
     var j = 0
     while (j < n) {
@@ -739,6 +748,7 @@ object Audio {
     * differently per leg (drift 10–16 bits).
     */
   def hybridTrain(seed: Long, n: Int): Array[Int] = {
+    require(seed >= 0, s"fixture seed must be >= 0: $seed")
     val s = new Array[Int](n)
     var j = 0
     while (j < n) {

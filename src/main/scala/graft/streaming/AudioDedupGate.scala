@@ -20,6 +20,18 @@ import graft.ops.Audio
   * (arrival, history) pairs append as version `batchId` — the audit
   * trail a re-fetch suppression job reads.
   *
+  * RECALL BOUND (documented, not a bug): 5 bands over 60 bits
+  * pigeonhole-GUARANTEE candidate generation only for pairs within
+  * hamming ≤ 4 (4 flips cannot touch all 5 bands); the ≤ 8 verify is
+  * a widened ACCEPT gate — a pair differing 5–8 bits is admitted iff
+  * its flips happen to spare one band. For the measured envelope
+  * family this is exact in practice (resample drift is 0–1 bits,
+  * measured over all 50 k sf1 seeds), and the oracle replays the same
+  * band rule, so the gate's contract is "everything within 4 bits,
+  * plus band-lucky pairs to 8" — q306 gates at ≤ 4, the bound the
+  * layout actually guarantees. Callers needing guaranteed ≤ 8 recall
+  * must widen to 9 narrower bands, paying 9/5 the index volume.
+  *
   * Scale posture: decode is scan-local (payloads never shuffle — only
   * 16-byte (doc_id, fp) rows leave the scan); the probe is one
   * band-key equi-join of the batch's ~5 rows/doc against the stored

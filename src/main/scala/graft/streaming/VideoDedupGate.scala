@@ -38,14 +38,14 @@ object VideoDedupGate {
     * returns matched (doc_id, hist_id, n_shared) rows, ordered.
     */
   def run(spark: SparkSession, mediaParquet: String, index: DataFrame,
-      chunks: Int = 3): DataFrame =
+      chunks: Int = 3, cutMeanDelta: Int = 48): DataFrame =
       Staging.withStreamShufflePartitions(spark, n = "4") {
     val (media, tag) = Staging.stageSplitAndRead(spark, mediaParquet,
       "graft_videogate_in", chunks, orderCols = Seq("doc_id"))
     val tmp = System.getProperty("java.io.tmpdir")
     val root = graft.Scratch.register(s"$tmp/graft_videogate_state_$tag")
     val ck = graft.Scratch.register(s"$tmp/graft_videogate_ck_$tag")
-    runInto(spark, media, index, root, ck)
+    runInto(spark, media, index, root, ck, cutMeanDelta)
     VersionedStore.readAllBelow(spark, s"$root/matches", Long.MaxValue)
       .getOrElse(emptyMatches(spark))
       .orderBy("doc_id", "hist_id")
@@ -55,12 +55,14 @@ object VideoDedupGate {
     * the restart surface.
     */
   def runInto(spark: SparkSession, media: DataFrame, index: DataFrame,
-      stateRoot: String, checkpoint: String): Unit = {
+      stateRoot: String, checkpoint: String,
+      cutMeanDelta: Int = 48): Unit = {
     val query = media.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          VersionedStore.write(batchMatches(spark, batch, index),
+          VersionedStore.write(
+            batchMatches(spark, batch, index, cutMeanDelta),
             s"$stateRoot/matches", batchId)
       }
       .option("checkpointLocation", checkpoint)
@@ -71,17 +73,21 @@ object VideoDedupGate {
 
   /** One batch's matches: decode + keyframe-hash scan-locally, exact
     * equality probe, ≥ 2-keyframe vote. Public so specs can assert
-    * streamed ≡ batch probing directly.
+    * streamed ≡ batch probing directly. `cutMeanDelta` is the scene
+    * segmentation threshold and MUST match the one the stored index
+    * was built with — it is a parameter (not a constant) precisely so
+    * probe and index cannot silently drift apart and segment scenes
+    * differently (a drift reports zero matches, not an error).
     */
   def batchMatches(spark: SparkSession, batch: DataFrame,
-      index: DataFrame): DataFrame = {
+      index: DataFrame, cutMeanDelta: Int = 48): DataFrame = {
     import spark.implicits._
     val kfs = batch
       .select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, p) =>
         Video.sceneKeyframeHashes(id,
-            if (p == null) Array.emptyByteArray else p, 48)
+            if (p == null) Array.emptyByteArray else p, cutMeanDelta)
           .map(k => (id, k.kf_hash)).distinct
       }
       .toDF("doc_id", "kf_hash")

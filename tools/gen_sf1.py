@@ -96,7 +96,14 @@ def main() -> None:
     rng = np.random.RandomState(20260816)
     vecs = rng.standard_normal((n_docs, 64)).astype(np.float32)
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
-    labels = rnd.choices(lab_keys, weights=lab_wts, k=n_docs)
+    # labels from the SAME dedicated RandomState as the vectors (after
+    # the vecs draw, so both are fixed given the seed): drawing them
+    # from the shared module-level `rnd` stream would re-assign every
+    # label whenever doc-gen consumes a different number of draws,
+    # silently weakening the seeded-reproducibility claim.
+    lab_p = np.array(lab_wts, dtype=np.float64)
+    labels = rng.choice(np.array(lab_keys), size=n_docs,
+                        p=lab_p / lab_p.sum())
     emb = pd.DataFrame({
         "vec_id": np.arange(n_docs, dtype=np.int64),
         "embedding": [v for v in vecs],
