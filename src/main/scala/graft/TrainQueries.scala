@@ -9376,8 +9376,18 @@ object TrainQueries {
     * preserve hashes bit-for-bit), verified at ≥ 2 matching keyframes
     * (a trimmed copy keeps ≥ 2 of its 3–5 scenes; one shared hash is
     * the chance-collision guard), then q71's CC over doc pairs and the
-    * q274 quality-max keep. The oracle replays hashes closed-form, the
-    * same ≥ 2 pair rule, and the recursive closure.
+    * q274 quality-max keep. The candidate join runs under
+    * [[graft.ops.VideoNearDup]]'s full scale discipline — identical
+    * hash multisets collapse to one representative BEFORE pairing (the
+    * q294 exact-before-near rule: a million re-uploads cost one
+    * representative, not a quadratic join) and hashes above the df cap
+    * are excluded from pairing (the E50/maxDf boilerplate rule — a
+    * black-frame keyframe cannot explode the join); both are
+    * semantics-preserving here (equivalence argument at
+    * [[graft.ops.VideoNearDup]]; the fixture's iid hashes keep in-data
+    * df ≤ 2), so the oracle replays the UNCOLLAPSED ≥ 2 pair rule
+    * verbatim and `VideoScaleSpec` measures the group-linear candidate
+    * volume on planted giant-group/degenerate-hash corpora.
     */
   private def qVideoClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -9395,25 +9405,13 @@ object TrainQueries {
         Video.encodeY4mBlockScenes(seedKey, w, h, ns, 4, off), "y4m")
     }
     val kfs = Video.keyframeHashes(media, 48).toDF().transform(snap)
-    val a = kfs.select(col("doc_id").as("id_a"), col("kf_hash"))
-    val b = kfs.select(col("doc_id").as("id_b"), col("kf_hash"))
-    val edges = a.join(b, Seq("kf_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("__nm"))
-      .filter(col("__nm") >= 2)
-      .select("id_a", "id_b")
-    val labels = DedupClusters.connectedComponents(edges, "id_a", "id_b")
-      .withColumnRenamed("node", "doc_id")
     val qual = docs
       .withColumn("__toks", expr("filter(split(text, ' '), t -> t <> '')"))
       .withColumn("__q", TextFns.qualityScore("text", "__toks"))
       .select(col("doc_id"),
         expr("cast(floor(__q * 10000.0d + 0.5d) as bigint)").as("q_bp"))
-    val docLab = kfs.select("doc_id").distinct()
-      .join(labels, Seq("doc_id"), "left")
-      .withColumn("cluster_rep", coalesce(col("cluster_rep"),
-        col("doc_id")))
+    val docLab = graft.ops.VideoNearDup.clusterLabels(
+      kfs.select("doc_id", "kf_hash"), maxDf = 64)
     val nkf = kfs.join(docLab, "doc_id")
       .groupBy("cluster_rep")
       .agg(countDistinct("kf_hash").as("n_kf_hashes"))
@@ -9876,17 +9874,26 @@ object TrainQueries {
     // per-bucket files — layout preserved, probes stay exchange-free
     arriving.write.mode("append").format("parquet")
       .bucketBy(8, "kf_hash").sortBy("kf_hash").saveAsTable(tbl)
+    // before/after are metadata-only parquet counts (footer row
+    // counts) — the post-append read IS the maintenance guarantee
     val after = s.table(tbl).count()
+    // appends can push a hash past the build-time df cap, so the
+    // maintenance job refreshes the stop-hash artifact HERE (one
+    // exchange-free agg on the bucket layout) and every probe
+    // anti-joins against it instead of ever scanning the index
+    val stop = graft.streaming.VideoDedupGate
+      .stopHashes(s.table(tbl), maxDf = 64).transform(snap)
+    val nStop = stop.count()
     val matched = graft.streaming.VideoDedupGate.batchMatches(s,
         arrMedia.map(r => (r.doc_id, r.payload))
           .toDF("doc_id", "payload"),
-        s.table(tbl))
+        s.table(tbl), stop = Some(stop))
       .select("doc_id").distinct()
     val recheck = arriving.select(col("hist_id").as("doc_id")).distinct()
       .join(matched, Seq("doc_id"), "left_anti").count()
     Seq(("added_entries", after - before), ("after_entries", after),
       ("before_entries", before), ("novel_hashes", novelHashes),
-      ("recheck_unmatched", recheck))
+      ("recheck_unmatched", recheck), ("stop_hashes", nStop))
       .toDF("phase", "n")
       .orderBy("phase")
   }
@@ -16945,13 +16952,18 @@ object TrainQueries {
              (SELECT CAST(COUNT(*) AS BIGINT) FROM
                (SELECT DISTINCT kf_hash FROM arr) x
                WHERE kf_hash NOT IN (SELECT kf_hash FROM hist))
-               AS nv)
+               AS nv),
+         stopn AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM (
+             SELECT kf_hash FROM (SELECT * FROM hist
+               UNION ALL SELECT * FROM arr) u2
+             GROUP BY kf_hash HAVING COUNT(*) > 64) hot)
          SELECT phase, n FROM (
            SELECT 'added_entries' AS phase, na AS n FROM cnts
            UNION ALL SELECT 'after_entries', nb + na FROM cnts
            UNION ALL SELECT 'before_entries', nb FROM cnts
            UNION ALL SELECT 'novel_hashes', nv FROM cnts
-           UNION ALL SELECT 'recheck_unmatched', 0 FROM cnts)
+           UNION ALL SELECT 'recheck_unmatched', 0 FROM cnts
+           UNION ALL SELECT 'stop_hashes', ns FROM stopn)
          ORDER BY phase""",
     // q312: bursts replayed closed-form (position cumsum, hashed
     // channel bits — forced left on monologue docs), turns = adjacent

@@ -28,10 +28,38 @@ import graft.ops.Video
 object VideoDedupGate {
 
   /** Build the stored index from history keyframe hashes (columns
-    * `hist_id`, `kf_hash`), distinct per (clip, hash).
+    * `hist_id`, `kf_hash`), distinct per (clip, hash), with the
+    * [[graft.ops.VideoNearDup]] df cap applied at BUILD time: a hash
+    * carried by more than `maxDf` distinct history clips is
+    * boilerplate (a black frame, an intro card), has no discriminative
+    * value under the ≥ 2 vote, and is precisely the skew magnet that
+    * would make every future probe's equi-join output quadratic — so
+    * it never enters the index at all, and probes need no per-batch
+    * guard. (Incrementally APPENDED indexes can grow hot hashes after
+    * build; the maintenance job recomputes [[stopHashes]] at append
+    * time — q311 — and probes anti-join against that tiny artifact.)
     */
-  def buildIndex(histKfs: DataFrame): DataFrame =
-    histKfs.select(col("hist_id"), col("kf_hash")).distinct()
+  def buildIndex(histKfs: DataFrame, maxDf: Int = 64): DataFrame = {
+    val entries = histKfs.select(col("hist_id"), col("kf_hash"))
+      .distinct()
+    entries.join(broadcast(stopHashes(entries, maxDf)),
+        Seq("kf_hash"), "left_anti")
+      .select("hist_id", "kf_hash")
+  }
+
+  /** Hashes carried by more than `maxDf` distinct index entries —
+    * tiny by construction (only degenerate hashes qualify), computed
+    * exchange-free on a kf_hash-bucketed catalog table. The
+    * maintenance-time artifact an append job refreshes (q311) so
+    * probes stay candidate-proportional without scanning the index.
+    */
+  def stopHashes(index: DataFrame, maxDf: Int): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1: $maxDf")
+    index.groupBy("kf_hash")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select("kf_hash")
+  }
 
   /** Stream the staged `mediaParquet` (columns `doc_id`, `payload` —
     * Y4M bytes) in `chunks` micro-batches against the stored `index`;
@@ -78,11 +106,17 @@ object VideoDedupGate {
     * was built with — it is a parameter (not a constant) precisely so
     * probe and index cannot silently drift apart and segment scenes
     * differently (a drift reports zero matches, not an error).
+    * `stop` is the maintenance-time [[stopHashes]] artifact for
+    * indexes that grew past their build-time cap through appends —
+    * probe rows carrying a stop hash are dropped BEFORE the index
+    * join (a broadcast anti-join on the batch side; the index-side
+    * plan is untouched, `VideoIndexSpec`-asserted).
     */
   def batchMatches(spark: SparkSession, batch: DataFrame,
-      index: DataFrame, cutMeanDelta: Int = 48): DataFrame = {
+      index: DataFrame, cutMeanDelta: Int = 48,
+      stop: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
-    val kfs = batch
+    val raw = batch
       .select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, p) =>
@@ -91,6 +125,8 @@ object VideoDedupGate {
           .map(k => (id, k.kf_hash)).distinct
       }
       .toDF("doc_id", "kf_hash")
+    val kfs = stop.fold(raw)(s =>
+      raw.join(broadcast(s), Seq("kf_hash"), "left_anti"))
     kfs.join(index, Seq("kf_hash"))
       .groupBy("doc_id", "hist_id")
       .agg(count(lit(1)).as("n_shared"))

@@ -73,6 +73,9 @@ class VideoIndexSpec extends AnyFunSuite {
     assert(rows("recheck_unmatched") === 0L)
     assert(rows("after_entries") ===
       rows("before_entries") + rows("added_entries"))
+    // the fixture's iid hashes keep every df at 2-3: the refreshed
+    // maintenance stop-list must be empty
+    assert(rows("stop_hashes") === 0L)
     // novel vocabulary = exactly the novel clips' scenes (g % 5 == 0)
     val wantNovel = (0 until 167).filter(_ % 5 == 0)
       .map(g => 3 + g % 3).sum.toLong
