@@ -9444,8 +9444,10 @@ object TrainQueries {
     * decoded data, killing the first landmark (every interior hash
     * survives), and an unrelated control (hashes carry ~21 bits of
     * hashed delta + ratio entropy ×2 each — measured zero shared).
-    * The ≥ 3-shared-hashes vote is the dup rule the cluster chain
-    * (q302) runs on. Every click is closed-form, so the oracle
+    * The shared-hash vote is the dup rule the cluster chain (q302)
+    * runs on — since r15 at the STORED q314-tuned operating point
+    * (the flags here report margins at the legacy 3-vote floor, the
+    * weakest gate any tuned point strengthens). Every click is closed-form, so the oracle
     * replays the landmark sets WITHOUT per-sample expansion — oracle
     * cost scales with clicks (~20/doc), not samples.
     */
@@ -9476,6 +9478,54 @@ object TrainQueries {
       .orderBy("doc_id")
   }
 
+  private val landmarkOpCache = scala.collection.mutable.Map
+    .empty[(String, String), String]
+
+  /** The STORED landmark operating point (q314,
+    * [[graft.ops.LandmarkTuning]]): the tuning table is built over the
+    * fixed 256-group labeled calibration sample, the
+    * (delta-quantization, vote-threshold) choice applied by rule
+    * (smallest viable quantization, equal-margin threshold), and the
+    * result persisted via [[graft.ops.ModelStore.saveLandmarkPoint]] —
+    * the artifact q302 and q306's landmark leg admit at.
+    */
+  private def landmarkOpPath(s: SparkSession, dir: String): String =
+    sessionFixture(landmarkOpCache, s, dir) {
+      val tag = (s.sparkContext.applicationId + "_" + dir)
+        .replaceAll("[^a-zA-Z0-9]", "_")
+      val path = graft.Scratch.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_lmop_$tag")
+      val (pos, neg) = graft.ops.LandmarkTuning.labeledShared(s)
+      val st = graft.ops.LandmarkTuning.stats(pos, neg)
+        .collect()
+        .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2)))
+        .toSeq
+      val (qStar, tStar) = graft.ops.LandmarkTuning.choose(st)
+      // at the chosen cell recall and precision are full BY the
+      // viability construction (t* <= minPos, t* > maxNeg)
+      graft.ops.ModelStore.saveLandmarkPoint(s, path, tStar, qStar,
+        10000L, 10000L)
+      path
+    }
+
+  /** Landmark operating-point tuning table (q314,
+    * [[graft.ops.LandmarkTuning]]): the measured
+    * (delta-quantization, vote-threshold) → {admitted twins, admitted
+    * chance pairs, recall, precision} sweep over the fixed 256-group
+    * calibration sample — the q192 (b,r)-table discipline on the
+    * landmark axis, closing the r14 gap where q302 admitted at a
+    * hardcoded ≥ 3 while its sf1 run measured a real chance tail. The
+    * sample is generated from the group INDEX (not the corpus), so
+    * the table and the stored choice are identical at every scale;
+    * the coarsest quantization level deliberately floods the
+    * candidate join (deltas quantize to a handful of values) so the
+    * precision cliff is MEASURED, not asserted. The oracle replays
+    * the sample's clicks closed-form, all four quantization levels,
+    * the candidate join, and both admitted counts.
+    */
+  private def qLandmarkTuning(s: SparkSession, dir: String): DataFrame =
+    graft.ops.LandmarkTuning.table(s)
+
   /** Shift-robust audio dedup clusters (q302): q301's landmark
     * fingerprint routed through the production cluster chain — the
     * q294/q300 shape with landmark-vote edges: per doc_id/4 group the
@@ -9491,6 +9541,11 @@ object TrainQueries {
   private def qLandmarkClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sp: SparkSession = s
+    // the vote threshold and delta quantization are the STORED
+    // q314-tuned operating point (the q303 discipline on this knob:
+    // serving reads the calibration artifact, never a hardcoded 3)
+    val (voteT, deltaQ, _, _) = graft.ops.ModelStore
+      .loadLandmarkPoint(s, landmarkOpPath(s, dir))
     val docs = t(s, dir, "documents")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
     val hashes = docs.select("doc_id").as[Long].flatMap { id =>
@@ -9506,7 +9561,8 @@ object TrainQueries {
           master.drop(Audio.onsets(id, mw, 256).head.pos.toInt + 5)
         case _ => master
       }
-      Audio.landmarkHashes(id, Audio.encodeWavSamples(samples, 16000))
+      Audio.landmarkHashes(id, Audio.encodeWavSamples(samples, 16000),
+          256, deltaQ.toInt)
         .distinct.map(h => (id, h))
     }.toDF("doc_id", "lm_hash").transform(snap)
     val a = hashes.select(col("doc_id").as("id_a"), col("lm_hash"))
@@ -9515,7 +9571,7 @@ object TrainQueries {
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("__nm"))
-      .filter(col("__nm") >= 3)
+      .filter(col("__nm") >= voteT)
       .select("id_a", "id_b")
     val labels = DedupClusters.connectedComponents(edges, "id_a", "id_b")
       .withColumnRenamed("node", "doc_id")
@@ -9556,7 +9612,8 @@ object TrainQueries {
     * gate follows the MEASURED drift: ≤ 1 here, and ≤ 4 pigeonholes
     * ≥ 1 intact band — at this gate the 12,500-group sf1 space has
     * ZERO cross-group candidates, where the q294 ≤ 8 gate would admit
-    * 3), landmark edges from the q302 ≥ 3-vote rule, and their UNION
+    * 3), landmark edges from the q302 vote rule at the STORED q314
+    * operating point, and their UNION
     * feeds one CC — the trio clusters, and `UnionClustersSpec` proves
     * each single-family edge set leaves its blind twin out. Oracle
     * replays the envelope bins WITHOUT a sample×click join (background
@@ -9566,6 +9623,11 @@ object TrainQueries {
   private def qUnionClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sp: SparkSession = s
+    // the landmark leg admits at the STORED q314 operating point,
+    // exactly like q302 (the envelope leg's <= 4 gate follows its own
+    // measured drift and is not landmark-tunable)
+    val (voteT, deltaQ, _, _) = graft.ops.ModelStore
+      .loadLandmarkPoint(s, landmarkOpPath(s, dir))
     val docs = t(s, dir, "documents")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
     val feats = docs.select("doc_id").as[Long].map { id =>
@@ -9583,7 +9645,7 @@ object TrainQueries {
       val wav = Audio.encodeWavSamples(samples,
         if (r == 1L) 8000 else 16000)
       (id, Audio.envelopeHash(id, wav),
-        Audio.landmarkHashes(id, wav).distinct)
+        Audio.landmarkHashes(id, wav, 256, deltaQ.toInt).distinct)
     }.toDF("doc_id", "fp", "lm_hashes").transform(snap)
     val bandsOf = "transform(sequence(0, 4), " +
       "b -> (shiftright(%s, b * 12) & 4095) * 5 + b)"
@@ -9603,7 +9665,7 @@ object TrainQueries {
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("__nm"))
-      .filter(col("__nm") >= 3)
+      .filter(col("__nm") >= voteT)
       .select("id_a", "id_b")
     val edges = envEdges.union(lmEdges).distinct()
     val labels = DedupClusters.connectedComponents(edges, "id_a", "id_b")
@@ -10751,7 +10813,8 @@ object TrainQueries {
     "q310_pad_robust_dedup" -> (qPadRobustDedup _),
     "q311_incr_keyframe_index" -> (qIncrKeyframeIndex _),
     "q312_channel_diarization" -> (qChannelDiarization _),
-    "q313_media_dedup_report" -> (qMediaDedupReport _))
+    "q313_media_dedup_report" -> (qMediaDedupReport _),
+    "q314_landmark_tuning" -> (qLandmarkTuning _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -10960,6 +11023,76 @@ object TrainQueries {
       leg("video", "q300_video_clusters"))
       .mkString("", "\nUNION ALL\n", "\nORDER BY modality")
   }
+
+  /** Shared oracle CTEs replaying the q314 landmark calibration
+    * sample (256 groups x 4 legs, generated from the group index —
+    * scale-independent), the per-quantization-level sweep stats, and
+    * the operating-point choice rule. No leading WITH; yields
+    * `lmstat2` (per-level min twin overlap / max chance overlap) and
+    * `lmop` (the chosen (qstar, tstar)). Spliced into the q314 table
+    * oracle and the q302/q306 cluster gates so both engines DERIVE
+    * the same stored point rather than trusting it.
+    */
+  private val landmarkOpCtes: String =
+    """lmg AS (SELECT g FROM unnest(range(0, 256)) tg(g)),
+         lmdoc AS (SELECT 4 * g + r AS did, g, r,
+             CASE WHEN r = 3 THEN 2 * g + 1 ELSE 2 * g END AS sk,
+             4000 + (g % 7) * 500 + g % 53 AS n
+           FROM lmg, unnest(range(0, 4)) tr(r)),
+         lmgi AS (SELECT did, n, sk, r, i,
+             (sk * 1024 + 2 * i + 1) * 2654435761 % 4294967296 AS g0,
+             xor(g0, g0 >> 16) * 40503 % 4294967296 AS g1,
+             150 + xor(g1, g1 >> 13) % 250 AS gap,
+             (sk * 1024 + 2 * i + 2) * 2654435761 % 4294967296 AS a0,
+             xor(a0, a0 >> 16) * 40503 % 4294967296 AS a1,
+             1500 + xor(a1, a1 >> 13) % 8 * 64 AS amp
+           FROM lmdoc, unnest(range(0, 45)) u(i)),
+         lmps AS (SELECT did,
+             (sk * 1024 + 1000) * 2654435761 % 4294967296 AS h0,
+             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
+             200 + xor(h1, h1 >> 13) % 200 AS p
+           FROM lmdoc),
+         lmck AS (SELECT lmgi.did, lmgi.r, lmgi.i, lmgi.amp, lmgi.n,
+             lmps.p + COALESCE(SUM(3 + lmgi.gap) OVER (
+               PARTITION BY lmgi.did ORDER BY lmgi.i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS pos
+           FROM lmgi JOIN lmps ON lmgi.did = lmps.did),
+         lmcf AS (SELECT * FROM lmck WHERE pos + 3 <= n - 100),
+         lmqs AS (SELECT q FROM unnest([0, 2, 4, 6]) tq(q)),
+         lmtr AS (SELECT a.did, a.r, a.i, lmqs.q,
+             ((((b.pos - a.pos) >> lmqs.q) * 1048576
+                 + ((c.pos - b.pos) >> lmqs.q)) * 256
+               + LEAST(b.amp * 8 // a.amp, 15) * 16
+               + LEAST(c.amp * 8 // b.amp, 15)) AS h
+           FROM lmcf a
+           JOIN lmcf b ON a.did = b.did AND b.i = a.i + 1
+           JOIN lmcf c ON a.did = c.did AND c.i = a.i + 2, lmqs),
+         lmhs AS (SELECT DISTINCT did, q, h FROM lmtr
+           WHERE r <> 2 OR i >= 1),
+         lmcand AS (SELECT a.q, a.did AS da, b.did AS db,
+             CAST(COUNT(*) AS BIGINT) AS shared
+           FROM lmhs a JOIN lmhs b
+             ON a.q = b.q AND a.h = b.h AND a.did < b.did
+           GROUP BY 1, 2, 3),
+         lmpos AS (SELECT lmqs.q, 4 * g + ra AS da, 4 * g + rb AS db
+           FROM lmg, (VALUES (0, 1), (0, 2), (1, 2)) pp(ra, rb), lmqs),
+         lmposj AS (SELECT p.q, COALESCE(c.shared, 0) AS shared
+           FROM lmpos p LEFT JOIN lmcand c
+             ON p.q = c.q AND p.da = c.da AND p.db = c.db),
+         lmneg AS (SELECT c.q, c.shared FROM lmcand c
+           WHERE NOT (c.da // 4 = c.db // 4
+             AND c.da % 4 < 3 AND c.db % 4 < 3)),
+         lmstat AS (SELECT pj.q, MIN(pj.shared) AS minpos FROM lmposj pj
+           GROUP BY 1),
+         lmstat2 AS (SELECT st.q, st.minpos,
+             COALESCE((SELECT MAX(n2.shared) FROM lmneg n2
+               WHERE n2.q = st.q), 0) AS maxneg
+           FROM lmstat st),
+         lmop AS (SELECT q AS qstar,
+             (maxneg + 2 + minpos) // 2 AS tstar
+           FROM lmstat2 WHERE maxneg + 2 <= minpos
+           ORDER BY q LIMIT 1)"""
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q21_text_stats" ->
@@ -16506,7 +16639,8 @@ object TrainQueries {
     // per leg (resample pos//2 for even positions, trim pos−T); both
     // edge rules, one union, the recursive closure, quality-max keep.
     "q306_union_clusters" ->
-      """WITH RECURSIVE base AS (SELECT doc_id, doc_id // 4 AS g,
+      s"""WITH RECURSIVE $landmarkOpCtes,
+         base AS (SELECT doc_id, doc_id // 4 AS g,
              doc_id % 4 AS r FROM documents),
          b2 AS (SELECT doc_id, g, r,
              CASE WHEN r = 3 THEN 2 * g + 1 ELSE 2 * g END AS sk,
@@ -16595,7 +16729,8 @@ object TrainQueries {
                ORDER BY crx.pos) AS rk
            FROM crx),
          tr2 AS (SELECT a.doc_id,
-             (((b.q - a.q) * 1048576 + (c.q - b.q)) * 256
+             ((((b.q - a.q) >> (SELECT qstar FROM lmop)) * 1048576
+                 + ((c.q - b.q) >> (SELECT qstar FROM lmop))) * 256
                + LEAST(b.amp * 8 // a.amp, 15) * 16
                + LEAST(c.amp * 8 // b.amp, 15)) AS h
            FROM lmq a
@@ -16604,7 +16739,7 @@ object TrainQueries {
          hs AS (SELECT DISTINCT doc_id, h FROM tr2),
          le AS (SELECT a.doc_id AS na, c.doc_id AS nb
            FROM hs a JOIN hs c ON a.h = c.h AND a.doc_id < c.doc_id
-           GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+           GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT tstar FROM lmop)),
          e AS (SELECT na, nb FROM ee UNION SELECT na, nb FROM le),
          sym AS (SELECT na AS src, nb AS dst FROM e
                  UNION SELECT nb, na FROM e),
@@ -17229,10 +17364,12 @@ object TrainQueries {
               LEFT JOIN cs ON nh.doc_id = cs.doc_id
          ORDER BY nh.doc_id""",
     // q302: the q301 click replay per id/4 group (trimmed member
-    // keeps i >= 1 triplets), >= 3-vote edges, recursive closure,
+    // keeps i >= 1 triplets), vote edges at the lmop-derived stored
+    // operating point, recursive closure,
     // quality-max keep — the q300 oracle shape on the audio axis.
     "q302_landmark_clusters" ->
-      """WITH RECURSIVE base AS (SELECT doc_id, doc_id // 4 AS g,
+      s"""WITH RECURSIVE $landmarkOpCtes,
+         base AS (SELECT doc_id, doc_id // 4 AS g,
              doc_id % 4 AS r FROM documents),
          b2 AS (SELECT doc_id, g, r,
              CASE WHEN r = 3 THEN 2 * g + 1 ELSE 2 * g END AS sk,
@@ -17262,7 +17399,8 @@ object TrainQueries {
            FROM gi JOIN ps ON gi.doc_id = ps.doc_id),
          cf AS (SELECT * FROM ck WHERE pos + 3 <= n - 100),
          tr AS (SELECT a.doc_id, a.r, a.i,
-             (((b.pos - a.pos) * 1048576 + (c.pos - b.pos)) * 256
+             ((((b.pos - a.pos) >> (SELECT qstar FROM lmop)) * 1048576
+                 + ((c.pos - b.pos) >> (SELECT qstar FROM lmop))) * 256
                + LEAST(b.amp * 8 // a.amp, 15) * 16
                + LEAST(c.amp * 8 // b.amp, 15)) AS h
            FROM cf a
@@ -17272,7 +17410,7 @@ object TrainQueries {
            WHERE r <> 2 OR i >= 1),
          e AS (SELECT a.doc_id AS na, c.doc_id AS nb
            FROM hs a JOIN hs c ON a.h = c.h AND a.doc_id < c.doc_id
-           GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+           GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT tstar FROM lmop)),
          sym AS (SELECT na AS src, nb AS dst FROM e
                  UNION SELECT nb, na FROM e),
          rr AS (SELECT src AS node, dst AS peer FROM sym
@@ -17311,7 +17449,34 @@ object TrainQueries {
              w.doc_id AS kept_doc, w.q_bp AS kept_q_bp
          FROM agg a JOIN nk k ON a.cluster_rep = k.cluster_rep
            JOIN win w ON a.cluster_rep = w.cluster_rep AND w.rn = 1
-         ORDER BY a.cluster_rep""")
+         ORDER BY a.cluster_rep""",
+    // q314: the calibration sample, all four quantization levels, and
+    // the admitted-count sweep replayed verbatim from landmarkOpCtes;
+    // 768 = the fixed positive-pair count (3 per sample group).
+    "q314_landmark_tuning" ->
+      s"""WITH $landmarkOpCtes,
+         lmts AS (SELECT t FROM unnest(range(1, 17)) tt(t)),
+         cellp AS (SELECT p.q, t.t,
+             CAST(SUM(CASE WHEN p.shared >= t.t THEN 1 ELSE 0 END)
+               AS BIGINT) AS pos_admitted
+           FROM lmposj p, lmts t GROUP BY 1, 2),
+         celln AS (SELECT n2.q, t.t,
+             CAST(SUM(CASE WHEN n2.shared >= t.t THEN 1 ELSE 0 END)
+               AS BIGINT) AS neg_admitted
+           FROM lmneg n2, lmts t GROUP BY 1, 2)
+         SELECT CAST(cp.q AS BIGINT) AS delta_qbits,
+             CAST(cp.t AS BIGINT) AS vote_t,
+             cp.pos_admitted,
+             COALESCE(cn.neg_admitted, 0) AS neg_admitted,
+             cp.pos_admitted * 10000 // 768 AS recall_bp,
+             CASE WHEN cp.pos_admitted + COALESCE(cn.neg_admitted, 0)
+                 = 0 THEN 10000
+               ELSE cp.pos_admitted * 10000
+                 // (cp.pos_admitted + COALESCE(cn.neg_admitted, 0))
+               END AS precision_bp
+         FROM cellp cp LEFT JOIN celln cn
+           ON cp.q = cn.q AND cp.t = cn.t
+         ORDER BY 1, 2""")
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized

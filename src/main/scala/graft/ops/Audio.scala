@@ -509,11 +509,20 @@ object Audio {
     * envelope-miss proof in-data).
     */
   def landmarkHashes(docId: Long, bytes: Array[Byte],
-      threshold: Int = 256): Seq[Long] = {
+      threshold: Int = 256, deltaShift: Int = 0): Seq[Long] = {
+    require(deltaShift >= 0 && deltaShift < 20,
+      s"deltaShift must be in [0, 20): $deltaShift")
     val on = onsets(docId, bytes, threshold)
     (0 until on.length - 2).map { i =>
-      val d1 = math.min(on(i + 1).pos - on(i).pos, (1L << 20) - 1)
-      val d2 = math.min(on(i + 2).pos - on(i + 1).pos, (1L << 20) - 1)
+      // deltaShift coarsens the delta fields — the "delta range"
+      // knob of the q314 tuning table: a wider match range trades
+      // chance-merge precision for jitter tolerance, and the STORED
+      // operating point (ModelStore.loadLandmarkPoint) carries the
+      // measured choice (0 for this zero-jitter codec)
+      val d1 = math.min((on(i + 1).pos - on(i).pos) >> deltaShift,
+        (1L << 20) - 1)
+      val d2 = math.min((on(i + 2).pos - on(i + 1).pos) >> deltaShift,
+        (1L << 20) - 1)
       val r1 = math.min(on(i + 1).amp * 8 / on(i).amp, 15L)
       val r2 = math.min(on(i + 2).amp * 8 / on(i + 1).amp, 15L)
       (((d1 << 20) | d2) << 8) | (r1 << 4) | r2

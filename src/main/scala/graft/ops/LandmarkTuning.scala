@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured operating-point tuning for the landmark-vote dedup rule
+  * (q314; the q192 LSH-(b,r) discipline on the landmark axis). The
+  * q302 cluster gate admitted at a hardcoded ≥ 3 shared hashes while
+  * its own sf1 run measured a real false-positive tail (one 4-doc
+  * chance cluster at 1.25×10⁹ pairs) — the knob had no measured table
+  * and no stored artifact. This builds the
+  * (delta-quantization, vote threshold) → {trim recall, chance merges}
+  * table over a fixed LABELED CALIBRATION SAMPLE — 256 groups of the
+  * exact q302 fixture legs (master, silence-pad, content-trim,
+  * control), generated from the group index so the sample (and hence
+  * the chosen point) is IDENTICAL at every corpus scale — and chooses
+  * the operating point by rule:
+  *
+  *  - a delta-quantization level q is VIABLE iff
+  *    maxNeg(q) + 2 ≤ minPos(q) (a separating threshold exists with
+  *    full measured recall and zero chance admissions);
+  *  - q* = the smallest viable level (exact deltas preferred — the
+  *    codec's measured delta jitter is zero, so coarsening buys
+  *    nothing and only erodes specificity; the table SHOWS the
+  *    erosion);
+  *  - t* = (maxNeg(q*) + 2 + minPos(q*)) / 2 — the EQUAL-MARGIN
+  *    point: as far above the measured chance ceiling as below the
+  *    measured twin floor, the max-F1-with-slack analogue of q303's
+  *    choice rule.
+  *
+  * The choice is persisted via [[ModelStore.saveLandmarkPoint]] and
+  * the live cluster gates (q302, q306's landmark leg) READ it — a
+  * different stored point provably changes clusters
+  * (`LandmarkTuningSpec`). The oracle replays sample, sweep, choice,
+  * and gate in SQL, so green means the cross-engine choice agrees.
+  *
+  * Scale posture: the sample is fixed-size (1,024 docs, ~20 hashes
+  * each), so the whole sweep — including the coarsest level's
+  * deliberately flooded candidate join — costs the same at sf0.01 and
+  * at 100 TB; production tunes on a labeled sample, never by sweeping
+  * the corpus.
+  */
+object LandmarkTuning {
+
+  /** Delta-coarsening levels swept (bit shifts on both delta fields). */
+  val qLevels: Seq[Int] = Seq(0, 2, 4, 6)
+
+  /** Calibration sample size in groups (4 legs each). */
+  val nGroups: Int = 256
+
+  /** Vote thresholds swept: 1..tMax. */
+  val tMax: Int = 16
+
+  /** Per-doc DISTINCT landmark hash sets of the calibration sample at
+    * every quantization level: doc 4g+r is the q302 fixture leg r of
+    * group g (0 = master, 1 = n/3 silence pad, 2 = trim at
+    * first-onset+5, 3 = unrelated control), all through the real
+    * codec.
+    */
+  def sampleHashes(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.range(0L, 4L * nGroups).as[Long].flatMap { id =>
+      val g = id / 4
+      val r = id % 4
+      val n = (4000 + (g % 7) * 500 + g % 53).toInt
+      val sk = if (r == 3) 2 * g + 1 else 2 * g
+      val master = Audio.clickTrain(sk, n)
+      val samples = r match {
+        case 1L => Array.fill(n / 3)(0) ++ master
+        case 2L =>
+          val mw = Audio.encodeWavSamples(master, 16000)
+          master.drop(Audio.onsets(id, mw, 256).head.pos.toInt + 5)
+        case _ => master
+      }
+      val wav = Audio.encodeWavSamples(samples, 16000)
+      qLevels.flatMap(q =>
+        Audio.landmarkHashes(id, wav, 256, q).distinct
+          .map(h => (q, id, h)))
+    }.toDF("q", "doc_id", "h")
+  }
+
+  /** Candidate pairs per level with shared-hash counts (docs pair iff
+    * they share ≥ 1 hash at that level).
+    */
+  private def pairShared(hashes: DataFrame): DataFrame = {
+    val a = hashes.select(col("q"), col("doc_id").as("da"),
+      col("h"))
+    val b = hashes.select(col("q").as("qb"), col("doc_id").as("db"),
+      col("h").as("hb"))
+    a.join(b, col("q") === col("qb") && col("h") === col("hb") &&
+        col("da") < col("db"))
+      .groupBy("q", "da", "db")
+      .agg(count(lit(1)).as("shared"))
+  }
+
+  /** Labeled shared counts: every positive pair (within-group,
+    * non-control: (m,pad), (m,trim), (pad,trim)) with its shared
+    * count COALESCED to 0 when the candidate join never surfaced it,
+    * and every surfaced negative. Snapped once; everything downstream
+    * reads it.
+    */
+  def labeledShared(spark: SparkSession): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val cand = pairShared(sampleHashes(spark))
+    val posKeys = spark.range(0L, nGroups.toLong).as[Long]
+      .flatMap(g => Seq((4 * g, 4 * g + 1), (4 * g, 4 * g + 2),
+        (4 * g + 1, 4 * g + 2)))
+      .toDF("da", "db")
+      .crossJoin(broadcast(qLevels.toDF("q")))
+    val pos = Snap.tracked(posKeys
+      .join(cand, Seq("q", "da", "db"), "left")
+      .select(col("q"), coalesce(col("shared"), lit(0L)).as("shared")))
+    val neg = Snap.tracked(cand
+      .filter(!(expr("da div 4") === expr("db div 4") &&
+        col("da") % 4 < 3 && col("db") % 4 < 3))
+      .select(col("q"), col("shared")))
+    (pos, neg)
+  }
+
+  /** Per-level measured stats: (q, min_pos, max_neg). */
+  def stats(pos: DataFrame, neg: DataFrame): DataFrame = {
+    val mp = pos.groupBy("q").agg(min("shared").as("min_pos"))
+    val mn = neg.groupBy("q").agg(max("shared").as("max_neg"))
+    mp.join(mn, Seq("q"), "left")
+      .select(col("q"), col("min_pos"),
+        coalesce(col("max_neg"), lit(0L)).as("max_neg"))
+  }
+
+  /** The full measured table: one row per (delta_qbits, vote_t) with
+    * admitted counts and exact truncated-bp recall/precision.
+    */
+  def table(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val (pos, neg) = labeledShared(spark)
+    val ts = (1 to tMax).map(_.toLong).toDF("vote_t")
+    val grid = qLevels.map(_.toLong).toDF("delta_qbits")
+      .crossJoin(broadcast(ts))
+    val nPos = 3L * nGroups
+    val cp = pos.crossJoin(broadcast(ts))
+      .groupBy(col("q").cast("long").as("delta_qbits"), col("vote_t"))
+      .agg(sum(when(col("shared") >= col("vote_t"), 1L)
+        .otherwise(0L)).as("pos_admitted"))
+    val cn = neg.crossJoin(broadcast(ts))
+      .groupBy(col("q").cast("long").as("delta_qbits"), col("vote_t"))
+      .agg(sum(when(col("shared") >= col("vote_t"), 1L)
+        .otherwise(0L)).as("neg_admitted"))
+    grid.join(cp, Seq("delta_qbits", "vote_t"), "left")
+      .join(cn, Seq("delta_qbits", "vote_t"), "left")
+      .select(col("delta_qbits"), col("vote_t"),
+        coalesce(col("pos_admitted"), lit(0L)).as("pos_admitted"),
+        coalesce(col("neg_admitted"), lit(0L)).as("neg_admitted"))
+      .withColumn("recall_bp",
+        expr(s"pos_admitted * 10000 div $nPos"))
+      .withColumn("precision_bp",
+        expr("CASE WHEN pos_admitted + neg_admitted = 0 THEN 10000 " +
+          "ELSE pos_admitted * 10000 div " +
+          "(pos_admitted + neg_admitted) END"))
+      .orderBy("delta_qbits", "vote_t")
+  }
+
+  /** The choice rule over collected per-level stats (metadata-sized:
+    * one row per quantization level). Fails LOUDLY when no level
+    * separates — an unseparable fixture must never silently fall back
+    * to a default vote count.
+    */
+  def choose(stats: Seq[(Long, Long, Long)]): (Long, Long) = {
+    val viable = stats.filter { case (_, minPos, maxNeg) =>
+      maxNeg + 2 <= minPos }
+    require(viable.nonEmpty,
+      s"no delta-quantization level separates twins from chance: " +
+        stats.mkString(", "))
+    val (q, minPos, maxNeg) = viable.minBy(_._1)
+    (q, (maxNeg + 2 + minPos) / 2)
+  }
+}

@@ -110,6 +110,43 @@ object ModelStore {
     StructField("precision_bp", LongType, nullable = false),
     StructField("recall_bp", LongType, nullable = false)))
 
+  private val lmPointSchema = StructType(Seq(
+    StructField("vote_t", LongType, nullable = false),
+    StructField("delta_qbits", LongType, nullable = false),
+    StructField("precision_bp", LongType, nullable = false),
+    StructField("recall_bp", LongType, nullable = false)))
+
+  /** Write the LANDMARK operating point — the q314-tuned
+    * (vote threshold, delta-quantization) pair with the credentials
+    * it was chosen on — the [[saveOperatingPoint]] discipline for the
+    * audio landmark dedup family: q302/q306 admit at this stored
+    * artifact, never at a hardcoded vote count.
+    */
+  def saveLandmarkPoint(spark: SparkSession, path: String,
+      voteT: Long, deltaQbits: Long, precisionBp: Long,
+      recallBp: Long): Unit = {
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          Seq(Row(voteT, deltaQbits, precisionBp, recallBp)), 1),
+        lmPointSchema)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a landmark operating point:
+    * (vote_t, delta_qbits, precision_bp, recall_bp).
+    */
+  def loadLandmarkPoint(spark: SparkSession,
+      path: String): (Long, Long, Long, Long) = {
+    val rows = spark.read.parquet(path)
+      .select(col("vote_t"), col("delta_qbits"), col("precision_bp"),
+        col("recall_bp"))
+      .collect()
+    require(rows.length == 1,
+      s"expected exactly one landmark point at $path, got ${rows.length}")
+    (rows(0).getLong(0), rows(0).getLong(1), rows(0).getLong(2),
+      rows(0).getLong(3))
+  }
+
   /** Write a classifier OPERATING POINT — the calibration-chosen
     * threshold with the credentials it was chosen on — as a one-row
     * parquet artifact. A deployed gate (q303's `ClassifierGate`) must
