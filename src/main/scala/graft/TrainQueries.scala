@@ -10268,6 +10268,146 @@ object TrainQueries {
     graft.streaming.AudioDedupGate.run(s, src, s.read.parquet(idx))
   }
 
+  private val audioTakedownCache = scala.collection.mutable.Map
+    .empty[(String, String), (String, String)]
+
+  /** Staged arrivals + stored TAKEDOWN band index for the audio
+    * deletion-compliance screen (q315). The blocklist carries the
+    * rightsholder's reference fingerprints — every ninth recording
+    * group (doc_id/3) is protected, fingerprinted once from the
+    * full-rate reference copy. Arrivals are renditions of their
+    * group's recording: full-rate or naively 2×-downsampled
+    * (odd doc_ids — the re-encode a takedown screen must still catch).
+    */
+  private def audioTakedownPaths(s: SparkSession,
+      dir: String): (String, String) =
+    sessionFixture(audioTakedownCache, s, dir) {
+      import s.implicits._
+      val tag = (s.sparkContext.applicationId + "_" + dir)
+        .replaceAll("[^a-zA-Z0-9]", "_")
+      val tmp = System.getProperty("java.io.tmpdir")
+      val srcPath = graft.Scratch.register(s"$tmp/graft_atd_src_$tag")
+      val idxPath = graft.Scratch.register(s"$tmp/graft_atd_idx_$tag")
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+      docs.map { id =>
+          val g = id / 3
+          val n = (2000 + (g % 7) * 500 + g % 53).toInt
+          val step = (1 + id % 2).toInt
+          (id, Audio.encodeWavSamples(Array.tabulate(n / step)(k =>
+            Audio.modulatedSample(2 * g, step.toLong * k, n.toLong)),
+            16000 / step))
+        }
+        .toDF("doc_id", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(srcPath)
+      val blocklist = docs.map(_ / 3).distinct()
+        .filter((g: Long) => g % 9 == 0)
+        .map { g =>
+          val n = (2000 + (g % 7) * 500 + g % 53).toInt
+          (g, Audio.envelopeHash(g, Audio.encodeWavSamples(
+            Array.tabulate(n)(j =>
+              Audio.modulatedSample(2 * g, j.toLong, n.toLong)), 16000)))
+        }
+        .toDF("hist_id", "fp")
+      graft.streaming.AudioDedupGate.buildIndex(blocklist)
+        .write.mode("overwrite").parquet(idxPath)
+      (srcPath, idxPath)
+    }
+
+  /** Streaming audio takedown screen (q315,
+    * [[graft.streaming.AudioDedupGate]] pointed at a BLOCKLIST): the
+    * deletion-compliance member the media axes lacked — text has
+    * tombstones batch + live (q248/q255) and rasters the q267
+    * blocklist, but real takedown traffic is mostly MEDIA (copyright),
+    * and a deletion request arrives as the rightsholder's reference
+    * FINGERPRINT, not a document id. Arriving audio decodes and
+    * fingerprints scan-locally, probes the stored takedown band index,
+    * and blocked (arrival, takedown_id, hamming) verdicts append per
+    * batch — the audit trail a compliance job replays. The verify gate
+    * is hamming ≤ 4, NOT the dedup default 8: that is the bound the
+    * 5×12 band layout pigeonhole-guarantees, and a compliance screen
+    * must not depend on band luck (the q306 discipline; resample
+    * drift is measured 0–1 bits, so protected renditions sit well
+    * inside). Fixture: every ninth recording group is protected; its
+    * full-rate and 2×-downsampled arrivals must both block, everything
+    * else must pass (cross-seed fingerprints sit ≥ 9 bits — measured).
+    * Oracle replays arrival AND reference fingerprints closed-form
+    * plus the exact band + ≤ 4 rule; `MediaTakedownSpec` drives
+    * restart-resume and the ≤ 4-vs-≤ 8 gate difference.
+    */
+  private def qAudioTakedown(s: SparkSession, dir: String): DataFrame = {
+    val (src, idx) = audioTakedownPaths(s, dir)
+    graft.streaming.AudioDedupGate.run(s, src, s.read.parquet(idx),
+      maxHamming = 4)
+  }
+
+  private val videoTakedownCache = scala.collection.mutable.Map
+    .empty[(String, String), (String, String)]
+
+  /** Staged arrivals + stored TAKEDOWN keyframe index for the video
+    * deletion-compliance screen (q316): every ninth clip group
+    * (doc_id/3) is protected — its reference clip's keyframe hashes
+    * are the blocklist entries. Arrivals are renditions of the group
+    * clip: the 2× pixel-duplication upscale (identical hashes), a
+    * first-scene trim, or the reference resolution itself.
+    */
+  private def videoTakedownPaths(s: SparkSession,
+      dir: String): (String, String) =
+    sessionFixture(videoTakedownCache, s, dir) {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val tag = (s.sparkContext.applicationId + "_" + dir)
+        .replaceAll("[^a-zA-Z0-9]", "_")
+      val tmp = System.getProperty("java.io.tmpdir")
+      val srcPath = graft.Scratch.register(s"$tmp/graft_vtd_src_$tag")
+      val idxPath = graft.Scratch.register(s"$tmp/graft_vtd_idx_$tag")
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+      docs.map { id =>
+          val g = id / 3
+          val ns = (3 + g % 3).toInt
+          val payload = (id % 3) match {
+            case 0L => Video.encodeY4mBlockScenes(2 * g, 32, 16, ns, 4, 0L)
+            case 1L => Video.encodeY4mBlockScenes(2 * g, 16, 8, ns - 1,
+              4, 1L)
+            case _ => Video.encodeY4mBlockScenes(2 * g, 16, 8, ns, 4, 0L)
+          }
+          (id, payload)
+        }
+        .toDF("doc_id", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(srcPath)
+      val refMedia = docs.map(_ / 3).distinct()
+        .filter((g: Long) => g % 9 == 0)
+        .map(g => Multimodal.MediaRecord(g,
+          Video.encodeY4mBlockScenes(2 * g, 16, 8, (3 + g % 3).toInt,
+            4, 0L), "y4m"))
+      graft.streaming.VideoDedupGate.buildIndex(
+          Video.keyframeHashes(refMedia, 48).toDF()
+            .select(col("doc_id").as("hist_id"), col("kf_hash")))
+        .write.mode("overwrite").parquet(idxPath)
+      (srcPath, idxPath)
+    }
+
+  /** Streaming video takedown screen (q316,
+    * [[graft.streaming.VideoDedupGate]] pointed at a BLOCKLIST): the
+    * q315 compliance pattern on the video axis — deletion requests
+    * carry the reference clip's keyframe-hash set, arrivals probe it
+    * by exact hash equality with the ≥ 2-matching-keyframes vote
+    * (re-encodes preserve hashes bit-for-bit, trims preserve every
+    * surviving scene's, one shared hash is the chance guard), and
+    * blocked (arrival, takedown_id, n_shared) verdicts append per
+    * batch. The stored index went through the build-time df cap, so a
+    * degenerate keyframe in a reference clip cannot explode the probe.
+    * Fixture: every ninth clip group is protected; its upscale, trim,
+    * and same-resolution arrivals must all block, everything else
+    * passes. Oracle replays hashes closed-form + the vote;
+    * `MediaTakedownSpec` drives restart-resume.
+    */
+  private def qVideoTakedown(s: SparkSession, dir: String): DataFrame = {
+    val (src, idx) = videoTakedownPaths(s, dir)
+    graft.streaming.VideoDedupGate.run(s, src, s.read.parquet(idx))
+  }
+
   private val mediaRouterCache = scala.collection.mutable.Map
     .empty[(String, String), String]
 
@@ -10814,7 +10954,9 @@ object TrainQueries {
     "q311_incr_keyframe_index" -> (qIncrKeyframeIndex _),
     "q312_channel_diarization" -> (qChannelDiarization _),
     "q313_media_dedup_report" -> (qMediaDedupReport _),
-    "q314_landmark_tuning" -> (qLandmarkTuning _))
+    "q314_landmark_tuning" -> (qLandmarkTuning _),
+    "q315_audio_takedown" -> (qAudioTakedown _),
+    "q316_video_takedown" -> (qVideoTakedown _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -17476,7 +17618,101 @@ object TrainQueries {
                END AS precision_bp
          FROM cellp cp LEFT JOIN celln cn
            ON cp.q = cn.q AND cp.t = cn.t
-         ORDER BY 1, 2""")
+         ORDER BY 1, 2""",
+    // q315: arrival and takedown-reference envelope fingerprints
+    // replayed per-sample closed-form (the q304 kv chain over a
+    // tagged unit union), the exact band rule, and the <= 4
+    // compliance gate (the guaranteed pigeonhole bound, not the
+    // band-lucky dedup 8).
+    "q315_audio_takedown" ->
+      """WITH units AS (SELECT doc_id AS uid,
+             2 * (doc_id // 3) AS sk,
+             2000 + ((doc_id // 3) % 7) * 500 + (doc_id // 3) % 53
+               AS n,
+             1 + doc_id % 2 AS step, FALSE AS is_td,
+             doc_id AS out_id
+           FROM documents
+           UNION ALL
+           SELECT -g - 1, 2 * g, 2000 + (g % 7) * 500 + g % 53, 1,
+             TRUE, g
+           FROM (SELECT DISTINCT doc_id // 3 AS g FROM documents
+                 WHERE (doc_id // 3) % 9 = 0) tds),
+         b3 AS (SELECT uid, sk, n, step, is_td, out_id,
+             n // step AS m
+           FROM units),
+         kv AS (SELECT uid, m, (k * 60) // m AS b,
+             (sk * 60 + ((k * step) * 60) // n + 1) * 2654435761
+               % 4294967296 AS h0,
+             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
+             xor(h1, h1 >> 13) % 6 AS mm,
+             ABS(((sk * 31 + 997 * (k * step)) % 4096 - 2048)
+               * (1 + mm + CASE WHEN mm >= 3 THEN 5 ELSE 0 END) // 8)
+               AS a
+           FROM b3, unnest(range(0, m)) u(k)),
+         bins AS (SELECT uid, b, CAST(SUM(a) AS BIGINT) AS sm
+           FROM kv GROUP BY 1, 2),
+         tt AS (SELECT uid, CAST(SUM(a) AS BIGINT) AS total
+           FROM kv GROUP BY 1),
+         fpt AS (SELECT bins.uid,
+             CAST(SUM(CASE WHEN bins.sm * 60 > tt.total
+               THEN 1::BIGINT << bins.b ELSE 0 END) AS BIGINT) AS fp
+           FROM bins JOIN tt ON bins.uid = tt.uid
+           GROUP BY bins.uid),
+         ab AS (SELECT u.out_id AS doc_id, f.fp,
+             ((f.fp >> (b.b * 12)) & 4095) * 5 + b.b AS bk
+           FROM fpt f JOIN b3 u ON f.uid = u.uid,
+             unnest(range(0, 5)) b(b)
+           WHERE NOT u.is_td),
+         hb AS (SELECT u.out_id AS hist_id, f.fp AS hfp,
+             ((f.fp >> (b.b * 12)) & 4095) * 5 + b.b AS bk
+           FROM fpt f JOIN b3 u ON f.uid = u.uid,
+             unnest(range(0, 5)) b(b)
+           WHERE u.is_td)
+         SELECT DISTINCT ab.doc_id, hb.hist_id,
+             CAST(bit_count(xor(ab.fp, hb.hfp)) AS BIGINT) AS hamming
+         FROM ab JOIN hb ON ab.bk = hb.bk
+         WHERE bit_count(xor(ab.fp, hb.hfp)) <= 4
+         ORDER BY ab.doc_id, hb.hist_id""",
+    // q316: the q300/q307 keyframe-hash bit replay over a tagged unit
+    // union (arrival renditions + takedown references), exact
+    // equality probe, >= 2-keyframe vote.
+    "q316_video_takedown" ->
+      """WITH units AS (SELECT doc_id AS uid,
+             2 * (doc_id // 3) AS sk,
+             3 + (doc_id // 3) % 3 AS ns, doc_id % 3 AS r,
+             FALSE AS is_td, doc_id AS out_id
+           FROM documents
+           UNION ALL
+           SELECT -g - 1, 2 * g, 3 + g % 3, 0, TRUE, g
+           FROM (SELECT DISTINCT doc_id // 3 AS g FROM documents
+                 WHERE (doc_id // 3) % 9 = 0) tds),
+         sc AS (SELECT uid, sk, is_td, out_id,
+             CASE WHEN NOT is_td AND r = 1 THEN sx + 1 ELSE sx END
+               AS scene
+           FROM units, unnest(range(0,
+             CASE WHEN NOT is_td AND r = 1 THEN ns - 1 ELSE ns END))
+             u(sx)),
+         bits AS (SELECT uid, is_td, out_id, scene, b,
+             (sk * 512 + scene * 64 + b + 1) * 2654435761
+               % 4294967296 AS h0,
+             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
+             xor(h1, h1 >> 13) % 2 AS bit
+           FROM sc, unnest(range(0, 64)) v(b)),
+         kf AS (SELECT uid, is_td, out_id, scene,
+             CASE WHEN SUM(bit) = 64 THEN 0
+               ELSE CAST(SUM(CASE WHEN bit = 0 THEN 0
+                 WHEN b = 63 THEN -9223372036854775808
+                 ELSE 1::BIGINT << b END) AS BIGINT) END AS kf_hash
+           FROM bits GROUP BY 1, 2, 3, 4),
+         akf AS (SELECT DISTINCT out_id AS doc_id, kf_hash FROM kf
+           WHERE NOT is_td),
+         tkf AS (SELECT DISTINCT out_id AS hist_id, kf_hash FROM kf
+           WHERE is_td)
+         SELECT a.doc_id, t2.hist_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+         FROM akf a JOIN tkf t2 ON a.kf_hash = t2.kf_hash
+         GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         ORDER BY a.doc_id, t2.hist_id""")
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized

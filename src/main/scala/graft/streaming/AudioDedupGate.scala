@@ -62,14 +62,14 @@ object AudioDedupGate {
     * (doc_id, hist_id, hamming) pairs, ordered.
     */
   def run(spark: SparkSession, mediaParquet: String, index: DataFrame,
-      chunks: Int = 3): DataFrame =
+      chunks: Int = 3, maxHamming: Int = 8): DataFrame =
       Staging.withStreamShufflePartitions(spark, n = "4") {
     val (media, tag) = Staging.stageSplitAndRead(spark, mediaParquet,
       "graft_audiogate_in", chunks, orderCols = Seq("doc_id"))
     val tmp = System.getProperty("java.io.tmpdir")
     val root = graft.Scratch.register(s"$tmp/graft_audiogate_state_$tag")
     val ck = graft.Scratch.register(s"$tmp/graft_audiogate_ck_$tag")
-    runInto(spark, media, index, root, ck)
+    runInto(spark, media, index, root, ck, maxHamming)
     VersionedStore.readAllBelow(spark, s"$root/matches", Long.MaxValue)
       .getOrElse(emptyMatches(spark))
       .orderBy("doc_id", "hist_id")
@@ -80,12 +80,14 @@ object AudioDedupGate {
     * post-restart arrivals still probe the same stored index.
     */
   def runInto(spark: SparkSession, media: DataFrame, index: DataFrame,
-      stateRoot: String, checkpoint: String): Unit = {
+      stateRoot: String, checkpoint: String,
+      maxHamming: Int = 8): Unit = {
     val query = media.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          VersionedStore.write(batchMatches(spark, batch, index),
+          VersionedStore.write(
+            batchMatches(spark, batch, index, maxHamming),
             s"$stateRoot/matches", batchId)
       }
       .option("checkpointLocation", checkpoint)
@@ -99,7 +101,13 @@ object AudioDedupGate {
     * batch probing directly.
     */
   def batchMatches(spark: SparkSession, batch: DataFrame,
-      index: DataFrame): DataFrame = {
+      index: DataFrame, maxHamming: Int = 8): DataFrame = {
+    // maxHamming: the verify gate. 8 is the dedup default (band-lucky
+    // admits past the pigeonhole bound are a recall bonus there); a
+    // TAKEDOWN screen passes 4 — the bound the 5-band layout actually
+    // guarantees, because a compliance gate must not depend on luck.
+    require(maxHamming >= 0 && maxHamming <= 60,
+      s"maxHamming out of range: $maxHamming")
     import spark.implicits._
     val fps = batch
       .select(col("doc_id").cast("long"), col("payload"))
@@ -110,7 +118,7 @@ object AudioDedupGate {
     fps.select(col("doc_id"), col("fp"),
         explode(expr(bandsOf.format("fp"))).as("bk"))
       .join(index, Seq("bk"))
-      .filter(expr("bit_count(fp ^ hfp) <= 8"))
+      .filter(expr(s"bit_count(fp ^ hfp) <= $maxHamming"))
       .select(col("doc_id"), col("hist_id"),
         expr("cast(bit_count(fp ^ hfp) as bigint)").as("hamming"))
       .distinct()
