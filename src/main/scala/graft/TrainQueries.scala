@@ -10408,6 +10408,64 @@ object TrainQueries {
     graft.streaming.VideoDedupGate.run(s, src, s.read.parquet(idx))
   }
 
+  /** The q317 transcript a correct ASR pass would produce for the
+    * burst recording of `seed`: one line per utterance, duration/25
+    * + 1 tokens per line — token counts carry the utterance DURATIONS
+    * so alignment can verify structure, not just counts.
+    */
+  private def transcriptText(seed: Long, n: Int): String =
+    Audio.utterances(seed,
+        Audio.encodeWavSamples(Audio.burstTrain(seed, n), 16000), 256)
+      .map(u => Seq.fill((u.len / 25 + 1).toInt)("tok").mkString(" "))
+      .mkString("\n")
+
+  /** Audio↔transcript pair alignment (q317): the keep/drop pair
+    * screen that exists on the image (q277/q287) and video (q305)
+    * axes, built for SPEECH corpora — the (audio, transcript) pair is
+    * the curation unit of every ASR training set, and the standard
+    * cheap alignment check is STRUCTURAL: the transcript's utterance
+    * segmentation must agree with the audio's measured VAD stats
+    * (q308's operator). Per pair the audio decodes through the real
+    * codec and segments utterances (scan-local — payloads never
+    * shuffle, only the stat row leaves the scan), the transcript
+    * genuinely parses (line split + token count per line), and the
+    * pair keeps iff utterance count matches line count AND every
+    * utterance's duration-implied token count matches its line
+    * (token_gap = Σ |tokens_i − (dur_i/25 + 1)| over the zip = 0).
+    * Every 13th pair carries the NEXT recording's transcript (the
+    * q305 plant — the classic off-by-one pairing bug in a crawl
+    * manifest) and must drop. Both sides are closed-form, so the
+    * oracle replays ~15 burst rows per doc for BOTH the audio and the
+    * transcript source, never samples or strings.
+    */
+  private def qAudioTranscriptAlign(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val n = (4000 + (id % 7) * 500 + id % 53).toInt
+        val us = Audio.utterances(id,
+          Audio.encodeWavSamples(Audio.burstTrain(id, n), 16000), 256)
+        val src = if (id % 13 == 0) id + 1 else id
+        val nSrc = (4000 + (src % 7) * 500 + src % 53).toInt
+        val lines = transcriptText(src, nSrc).split("\n")
+          .filter(_.nonEmpty)
+        val lineToks = lines.map(_.split(" ").count(_.nonEmpty).toLong)
+        val expToks = us.map(_.len / 25 + 1)
+        val gap = lineToks.zip(expToks)
+          .map { case (a, b) => math.abs(a - b) }.sum
+        (id, us.length.toLong, lines.length.toLong, lineToks.sum,
+          id % 13 == 0, gap)
+      }
+      .toDF("doc_id", "n_utterances", "n_lines", "n_tokens",
+        "swapped", "token_gap")
+      .withColumn("count_match", col("n_lines") === col("n_utterances"))
+      .withColumn("aligned",
+        col("count_match") && col("token_gap") === 0)
+      .withColumn("kept", col("aligned"))
+      .orderBy("doc_id")
+  }
+
   private val mediaRouterCache = scala.collection.mutable.Map
     .empty[(String, String), String]
 
@@ -10956,7 +11014,8 @@ object TrainQueries {
     "q313_media_dedup_report" -> (qMediaDedupReport _),
     "q314_landmark_tuning" -> (qLandmarkTuning _),
     "q315_audio_takedown" -> (qAudioTakedown _),
-    "q316_video_takedown" -> (qVideoTakedown _))
+    "q316_video_takedown" -> (qVideoTakedown _),
+    "q317_audio_transcript_align" -> (qAudioTranscriptAlign _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -17712,7 +17771,74 @@ object TrainQueries {
              CAST(COUNT(*) AS BIGINT) AS n_shared
          FROM akf a JOIN tkf t2 ON a.kf_hash = t2.kf_hash
          GROUP BY 1, 2 HAVING COUNT(*) >= 2
-         ORDER BY a.doc_id, t2.hist_id""")
+         ORDER BY a.doc_id, t2.hist_id""",
+    // q317: bursts replayed closed-form for BOTH pair sides (the
+    // audio recording and the transcript's SOURCE recording — id+1 on
+    // every 13th doc), zip-joined on burst index; token counts are
+    // dur//25 + 1 on each side. 45 rows over-cover the densest legal
+    // burst train (min advance 220).
+    "q317_audio_transcript_align" ->
+      """WITH dims AS (SELECT doc_id,
+             4000 + (doc_id % 7) * 500 + doc_id % 53 AS n,
+             CASE WHEN doc_id % 13 = 0 THEN doc_id + 1
+               ELSE doc_id END AS src
+           FROM documents),
+         units AS (SELECT doc_id, doc_id AS seed, n, FALSE AS is_tr
+           FROM dims
+           UNION ALL
+           SELECT doc_id, src,
+             4000 + (src % 7) * 500 + src % 53, TRUE
+           FROM dims),
+         gi AS (SELECT doc_id, is_tr, seed, n, i,
+             (seed * 2048 + 3 * i + 1) * 2654435761
+               % 4294967296 AS d0,
+             xor(d0, d0 >> 16) * 40503 % 4294967296 AS d1,
+             100 + xor(d1, d1 >> 13) % 400 AS dur,
+             (seed * 2048 + 3 * i + 3) * 2654435761
+               % 4294967296 AS g0,
+             xor(g0, g0 >> 16) * 40503 % 4294967296 AS g1,
+             120 + xor(g1, g1 >> 13) % 300 AS gap
+           FROM units, unnest(range(0, 45)) u(i)),
+         ps AS (SELECT doc_id, is_tr,
+             (seed * 2048 + 3000) * 2654435761 % 4294967296 AS h0,
+             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
+             150 + xor(h1, h1 >> 13) % 150 AS p
+           FROM units),
+         bu AS (SELECT gi.doc_id, gi.is_tr, gi.i, gi.dur, gi.n,
+             ps.p + COALESCE(SUM(gi.dur + gi.gap) OVER (
+               PARTITION BY gi.doc_id, gi.is_tr ORDER BY gi.i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS pos
+           FROM gi JOIN ps
+             ON gi.doc_id = ps.doc_id AND gi.is_tr = ps.is_tr),
+         bv AS (SELECT * FROM bu WHERE pos + dur <= n - 100),
+         au AS (SELECT doc_id, i, dur // 25 + 1 AS toks FROM bv
+           WHERE NOT is_tr),
+         tr AS (SELECT doc_id, i, dur // 25 + 1 AS toks FROM bv
+           WHERE is_tr),
+         ac AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_utts
+           FROM au GROUP BY 1),
+         tc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(toks) AS BIGINT) AS n_tokens
+           FROM tr GROUP BY 1),
+         zp AS (SELECT a.doc_id,
+             CAST(COALESCE(SUM(ABS(t2.toks - a.toks)), 0) AS BIGINT)
+               AS gap
+           FROM au a JOIN tr t2
+             ON a.doc_id = t2.doc_id AND a.i = t2.i
+           GROUP BY 1)
+         SELECT d.doc_id, ac.n_utts AS n_utterances, tc.n_lines,
+             tc.n_tokens, (d.doc_id % 13 = 0) AS swapped,
+             COALESCE(zp.gap, 0) AS token_gap,
+             tc.n_lines = ac.n_utts AS count_match,
+             tc.n_lines = ac.n_utts AND COALESCE(zp.gap, 0) = 0
+               AS aligned,
+             tc.n_lines = ac.n_utts AND COALESCE(zp.gap, 0) = 0
+               AS kept
+         FROM dims d JOIN ac ON d.doc_id = ac.doc_id
+           JOIN tc ON d.doc_id = tc.doc_id
+           LEFT JOIN zp ON d.doc_id = zp.doc_id
+         ORDER BY d.doc_id""")
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized
