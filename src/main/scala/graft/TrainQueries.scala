@@ -10021,22 +10021,59 @@ object TrainQueries {
     * oracle composes the three cluster oracles as subqueries, so green
     * means chains and roll-up agree cross-engine.
     */
-  private def qMediaDedupReport(s: SparkSession, dir: String): DataFrame = {
-    def leg(name: String, df: DataFrame) = df
-      .agg(sum("n_docs").as("n_items"),
-        count(lit(1)).as("n_clusters"),
-        (sum("n_docs") - count(lit(1))).as("n_dup_items"),
-        expr("(sum(n_docs) - count(1)) * 10000 div sum(n_docs)")
-          .as("dup_rate_bp"),
-        max("n_docs").as("max_cluster"))
-      .withColumn("modality", lit(name))
-      .select("modality", "n_items", "n_clusters", "n_dup_items",
-        "dup_rate_bp", "max_cluster")
-    leg("audio", qAudioClusters(s, dir))
-      .unionAll(leg("raster", qRasterClusters(s, dir)))
-      .unionAll(leg("video", qVideoClusters(s, dir)))
+  private def clusterImpactLeg(name: String, df: DataFrame) = df
+    .agg(sum("n_docs").as("n_items"),
+      count(lit(1)).as("n_clusters"),
+      (sum("n_docs") - count(lit(1))).as("n_dup_items"),
+      expr("(sum(n_docs) - count(1)) * 10000 div sum(n_docs)")
+        .as("dup_rate_bp"),
+      max("n_docs").as("max_cluster"))
+    .withColumn("modality", lit(name))
+    .select("modality", "n_items", "n_clusters", "n_dup_items",
+      "dup_rate_bp", "max_cluster")
+
+  private def qMediaDedupReport(s: SparkSession, dir: String): DataFrame =
+    clusterImpactLeg("audio", qAudioClusters(s, dir))
+      .unionAll(clusterImpactLeg("raster", qRasterClusters(s, dir)))
+      .unionAll(clusterImpactLeg("video", qVideoClusters(s, dir)))
       .orderBy("modality")
+
+  /** The TEXT axis cluster table for the corpus roll-up (q318): q71's
+    * near-dup closure (the shared dedupPairs edges — 3-gram Jaccard
+    * ≥ 0.5, df-capped) totalized over EVERY document (singletons count
+    * as their own cluster, exactly like the media cluster chains), one
+    * row per cluster.
+    */
+  private def textClusterSizes(s: SparkSession, dir: String): DataFrame = {
+    val labels = DedupClusters
+      .connectedComponents(dedupPairs(s, dir), "id_a", "id_b")
+      .withColumnRenamed("node", "doc_id")
+    t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_rep", coalesce(col("cluster_rep"),
+        col("doc_id")))
+      .groupBy("cluster_rep")
+      .agg(count(lit(1)).as("n_docs"))
   }
+
+  /** Corpus dedup impact report, all four modalities (q318): the
+    * q313 roll-up completed with the TEXT axis — one corpus-owner
+    * table, per modality: items, clusters, removable duplicates under
+    * min-cluster keep, exact truncated-bp dup rate, and the largest
+    * cluster (the skew signal a rewrite planner reads). Each media leg
+    * IS its gated cluster query (q294/q280/q300) and the text leg is
+    * q71's closure totalized over every document; the report itself
+    * adds four metadata-sized aggregates — nothing new moves at
+    * scale. The oracle composes the three modality cluster oracles AND
+    * the q71 closure as subqueries, so green means all four chains and
+    * the aggregation agree cross-engine.
+    */
+  private def qCorpusDedupReport(s: SparkSession, dir: String): DataFrame =
+    clusterImpactLeg("audio", qAudioClusters(s, dir))
+      .unionAll(clusterImpactLeg("raster", qRasterClusters(s, dir)))
+      .unionAll(clusterImpactLeg("text", textClusterSizes(s, dir)))
+      .unionAll(clusterImpactLeg("video", qVideoClusters(s, dir)))
+      .orderBy("modality")
 
   private val clfGateCache = scala.collection.mutable.Map
     .empty[(String, String), String]
@@ -11015,7 +11052,8 @@ object TrainQueries {
     "q314_landmark_tuning" -> (qLandmarkTuning _),
     "q315_audio_takedown" -> (qAudioTakedown _),
     "q316_video_takedown" -> (qVideoTakedown _),
-    "q317_audio_transcript_align" -> (qAudioTranscriptAlign _))
+    "q317_audio_transcript_align" -> (qAudioTranscriptAlign _),
+    "q318_corpus_dedup_report" -> (qCorpusDedupReport _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -11201,7 +11239,8 @@ object TrainQueries {
                 FROM lab GROUP BY 1)"""
 
   def oracleSql: Map[String, String] = oracleSqlBase +
-    ("q313_media_dedup_report" -> mediaDedupReportOracle)
+    ("q313_media_dedup_report" -> mediaDedupReportOracle) +
+    ("q318_corpus_dedup_report" -> corpusDedupReportOracle)
 
   /** q313's oracle COMPOSES the three modality cluster oracles as
     * subqueries (DuckDB allows WITH RECURSIVE inside a derived table)
@@ -11222,6 +11261,35 @@ object TrainQueries {
     Seq(leg("audio", "q294_audio_clusters"),
       leg("raster", "q280_raster_clusters"),
       leg("video", "q300_video_clusters"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY modality")
+  }
+
+  /** q318's oracle: the q313 composition plus the TEXT leg — the q71
+    * recursive closure totalized over every document (the q132 grp
+    * pattern) inside a derived table, aggregated with the same five
+    * stats. Zero roll-up-specific replay logic on any leg.
+    */
+  private def corpusDedupReportOracle: String = {
+    def leg(name: String, inner: String) =
+      s"""SELECT '$name' AS modality,
+           CAST(SUM(n_docs) AS BIGINT) AS n_items,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_docs) - COUNT(*) AS BIGINT) AS n_dup_items,
+           CAST((SUM(n_docs) - COUNT(*)) * 10000 // SUM(n_docs)
+             AS BIGINT) AS dup_rate_bp,
+           CAST(MAX(n_docs) AS BIGINT) AS max_cluster
+         FROM ($inner) t"""
+    val textInner =
+      s"""WITH RECURSIVE $dedupClusterCtes,
+         grp AS (SELECT d.doc_id,
+             COALESCE(lab.cluster_rep, d.doc_id) AS cluster_rep
+           FROM documents d LEFT JOIN lab ON d.doc_id = lab.node)
+         SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_docs
+         FROM grp GROUP BY 1"""
+    Seq(leg("audio", oracleSqlBase("q294_audio_clusters")),
+      leg("raster", oracleSqlBase("q280_raster_clusters")),
+      leg("text", textInner),
+      leg("video", oracleSqlBase("q300_video_clusters")))
       .mkString("", "\nUNION ALL\n", "\nORDER BY modality")
   }
 
