@@ -10445,6 +10445,90 @@ object TrainQueries {
     graft.streaming.VideoDedupGate.run(s, src, s.read.parquet(idx))
   }
 
+  private val lmTakedownCache = scala.collection.mutable.Map
+    .empty[(String, String), (String, String)]
+
+  /** Staged arrivals + stored LANDMARK blocklist for the shift-robust
+    * audio takedown screen (q319). Every ninth click-train group
+    * (doc_id/3) is protected — its reference landmark hash set (at
+    * the STORED delta quantization) is the blocklist. Arrivals are
+    * the three rendition forms per group: the master itself, a
+    * leading-silence pad, and a content trim at first-onset+5 — the
+    * two evasions the envelope takedown (q315) is provably blind to.
+    */
+  private def lmTakedownPaths(s: SparkSession,
+      dir: String): (String, String) =
+    sessionFixture(lmTakedownCache, s, dir) {
+      import s.implicits._
+      val (_, deltaQ, _, _) = graft.ops.ModelStore
+        .loadLandmarkPoint(s, landmarkOpPath(s, dir))
+      val tag = (s.sparkContext.applicationId + "_" + dir)
+        .replaceAll("[^a-zA-Z0-9]", "_")
+      val tmp = System.getProperty("java.io.tmpdir")
+      val srcPath = graft.Scratch.register(s"$tmp/graft_lmtd_src_$tag")
+      val idxPath = graft.Scratch.register(s"$tmp/graft_lmtd_idx_$tag")
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+      docs.map { id =>
+          val g = id / 3
+          val n = (4000 + (g % 7) * 500 + g % 53).toInt
+          val master = Audio.clickTrain(2 * g, n)
+          val samples = (id % 3) match {
+            case 1L => Array.fill(n / 3)(0) ++ master
+            case 2L =>
+              val mw = Audio.encodeWavSamples(master, 16000)
+              master.drop(Audio.onsets(id, mw, 256).head.pos.toInt + 5)
+            case _ => master
+          }
+          (id, Audio.encodeWavSamples(samples, 16000))
+        }
+        .toDF("doc_id", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(srcPath)
+      val refs = docs.map(_ / 3).distinct()
+        .filter((g: Long) => g % 9 == 0)
+        .flatMap { g =>
+          val n = (4000 + (g % 7) * 500 + g % 53).toInt
+          Audio.landmarkHashes(g,
+              Audio.encodeWavSamples(Audio.clickTrain(2 * g, n), 16000),
+              256, deltaQ.toInt)
+            .distinct.map(h => (g, h))
+        }
+        .toDF("takedown_id", "h")
+      graft.streaming.LandmarkTakedownGate.buildIndex(refs)
+        .write.mode("overwrite").parquet(idxPath)
+      (srcPath, idxPath)
+    }
+
+  /** Streaming landmark takedown screen (q319,
+    * [[graft.streaming.LandmarkTakedownGate]]): the SHIFT-ROBUST half
+    * of audio deletion compliance, closing the evasion q315 is
+    * provably blind to — the envelope fingerprint is
+    * position-relative, so a leading-silence pad or a content trim
+    * moves every bin (q301 carries the ≥ 14-bit measured miss) while
+    * every interior landmark hash survives bit-for-bit. Deletion
+    * requests carry the reference recording's landmark hash set;
+    * arrivals decode and hash scan-locally and block at ≥ t* shared
+    * hashes, where BOTH knobs (vote threshold, delta quantization)
+    * come from the stored q314 operating point — the takedown gate
+    * serves the same calibration artifact as the dedup chain, so one
+    * measured tuning governs every landmark consumer. Fixture: every
+    * ninth group protected; its master, padded, and trimmed arrivals
+    * all block (trim keeps ≥ 8 interior hashes ≥ t* = 6 — measured
+    * corpus-wide at both scales), everything else passes (cross-seed
+    * overlap ≤ 1). Oracle replays clicks per GROUP closed-form, the
+    * per-rendition hash windows, the lmop choice, and the vote;
+    * `LandmarkTakedownSpec` proves the trimmed re-upload blocks here
+    * and provably does NOT block through the envelope screen, plus
+    * restart-resume.
+    */
+  private def qLandmarkTakedown(s: SparkSession, dir: String): DataFrame = {
+    val (voteT, deltaQ, _, _) = graft.ops.ModelStore
+      .loadLandmarkPoint(s, landmarkOpPath(s, dir))
+    val (src, idx) = lmTakedownPaths(s, dir)
+    graft.streaming.LandmarkTakedownGate.run(s, src,
+      s.read.parquet(idx), voteT, deltaQ.toInt)
+  }
+
   /** The q317 transcript a correct ASR pass would produce for the
     * burst recording of `seed`: one line per utterance, duration/25
     * + 1 tokens per line — token counts carry the utterance DURATIONS
@@ -11053,7 +11137,8 @@ object TrainQueries {
     "q315_audio_takedown" -> (qAudioTakedown _),
     "q316_video_takedown" -> (qVideoTakedown _),
     "q317_audio_transcript_align" -> (qAudioTranscriptAlign _),
-    "q318_corpus_dedup_report" -> (qCorpusDedupReport _))
+    "q318_corpus_dedup_report" -> (qCorpusDedupReport _),
+    "q319_landmark_takedown" -> (qLandmarkTakedown _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -17906,7 +17991,58 @@ object TrainQueries {
          FROM dims d JOIN ac ON d.doc_id = ac.doc_id
            JOIN tc ON d.doc_id = tc.doc_id
            LEFT JOIN zp ON d.doc_id = zp.doc_id
-         ORDER BY d.doc_id""")
+         ORDER BY d.doc_id""",
+    // q319: clicks replayed once per GROUP (all three renditions of a
+    // group derive from the same master train; the pad keeps every
+    // triplet, the trim keeps i >= 1), hashes at the lmop-derived
+    // stored quantization, the protected groups' sets as the
+    // blocklist, and the >= tstar vote.
+    "q319_landmark_takedown" ->
+      s"""WITH $landmarkOpCtes,
+         tdbase AS (SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS r
+           FROM documents),
+         tdg AS (SELECT DISTINCT g, 2 * g AS sk,
+             4000 + (g % 7) * 500 + g % 53 AS n
+           FROM tdbase),
+         tdgi AS (SELECT g, n, sk, i,
+             (sk * 1024 + 2 * i + 1) * 2654435761 % 4294967296 AS g0,
+             xor(g0, g0 >> 16) * 40503 % 4294967296 AS g1,
+             150 + xor(g1, g1 >> 13) % 250 AS gap,
+             (sk * 1024 + 2 * i + 2) * 2654435761 % 4294967296 AS a0,
+             xor(a0, a0 >> 16) * 40503 % 4294967296 AS a1,
+             1500 + xor(a1, a1 >> 13) % 8 * 64 AS amp
+           FROM tdg, unnest(range(0, 45)) u(i)),
+         tdps AS (SELECT g,
+             (sk * 1024 + 1000) * 2654435761 % 4294967296 AS h0,
+             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
+             200 + xor(h1, h1 >> 13) % 200 AS p
+           FROM tdg),
+         tdck AS (SELECT tdgi.g, tdgi.i, tdgi.amp, tdgi.n,
+             tdps.p + COALESCE(SUM(3 + tdgi.gap) OVER (
+               PARTITION BY tdgi.g ORDER BY tdgi.i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS pos
+           FROM tdgi JOIN tdps ON tdgi.g = tdps.g),
+         tdcf AS (SELECT * FROM tdck WHERE pos + 3 <= n - 100),
+         tdtr AS (SELECT a.g, a.i,
+             ((((b.pos - a.pos) >> (SELECT qstar FROM lmop)) * 1048576
+                 + ((c.pos - b.pos) >> (SELECT qstar FROM lmop))) * 256
+               + LEAST(b.amp * 8 // a.amp, 15) * 16
+               + LEAST(c.amp * 8 // b.amp, 15)) AS h
+           FROM tdcf a
+           JOIN tdcf b ON a.g = b.g AND b.i = a.i + 1
+           JOIN tdcf c ON a.g = c.g AND c.i = a.i + 2),
+         tdarr AS (SELECT DISTINCT d.doc_id, t2.h
+           FROM tdbase d JOIN tdtr t2 ON d.g = t2.g
+           WHERE d.r <> 2 OR t2.i >= 1),
+         tdref AS (SELECT DISTINCT g AS takedown_id, h FROM tdtr
+           WHERE g % 9 = 0)
+         SELECT a.doc_id, rf.takedown_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+         FROM tdarr a JOIN tdref rf ON a.h = rf.h
+         GROUP BY 1, 2
+         HAVING COUNT(*) >= (SELECT tstar FROM lmop)
+         ORDER BY a.doc_id, rf.takedown_id""")
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized

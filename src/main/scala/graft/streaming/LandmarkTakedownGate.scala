@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.ops.Audio
+
+/** Streaming LANDMARK takedown screen — the shift-robust half of the
+  * audio deletion-compliance story. The envelope takedown screen
+  * ([[AudioDedupGate]] at the guaranteed ≤ 4 bound, q315) catches
+  * resampled re-uploads but is position-relative and therefore
+  * provably BLIND to the two commonest evasions of a music takedown:
+  * leading-silence pads and content trims (the q301 measured proof).
+  * This gate probes the stored landmark-hash blocklist instead —
+  * deletion requests carry the rightsholder reference's landmark
+  * hash SET, arrivals decode and hash scan-locally (payloads never
+  * shuffle; only (doc_id, h) rows leave the scan), and a match is
+  * ≥ voteT shared hashes at the STORED q314-tuned operating point
+  * (vote threshold AND delta quantization come from
+  * `ModelStore.loadLandmarkPoint` — the compliance gate serves the
+  * calibration artifact, never a constant). Blocked
+  * (arrival, takedown_id, n_shared) verdicts append as version
+  * `batchId` under the replay rule.
+  *
+  * Scale posture: the probe is one hash equi-join of the batch's
+  * ~20-hashes-per-clip rows against the stored index (bucketed by
+  * hash at 100 TB — the E217 catalog discipline); per-batch cost is
+  * candidate-proportional and independent of blocklist size.
+  */
+object LandmarkTakedownGate {
+
+  /** Build the stored blocklist index from reference landmark hashes
+    * (columns `takedown_id`, `h`), distinct per (request, hash).
+    */
+  def buildIndex(refHashes: DataFrame): DataFrame =
+    refHashes.select(col("takedown_id"), col("h")).distinct()
+
+  /** Stream the staged `mediaParquet` (columns `doc_id`, `payload` —
+    * mono WAV bytes) in `chunks` micro-batches against the stored
+    * blocklist `index`; returns blocked
+    * (doc_id, takedown_id, n_shared) rows, ordered. `voteT` and
+    * `deltaQ` are the stored q314 operating point.
+    */
+  def run(spark: SparkSession, mediaParquet: String, index: DataFrame,
+      voteT: Long, deltaQ: Int, chunks: Int = 3): DataFrame =
+      Staging.withStreamShufflePartitions(spark, n = "4") {
+    val (media, tag) = Staging.stageSplitAndRead(spark, mediaParquet,
+      "graft_lmtakedown_in", chunks, orderCols = Seq("doc_id"))
+    val tmp = System.getProperty("java.io.tmpdir")
+    val root = graft.Scratch.register(s"$tmp/graft_lmtd_state_$tag")
+    val ck = graft.Scratch.register(s"$tmp/graft_lmtd_ck_$tag")
+    runInto(spark, media, index, root, ck, voteT, deltaQ)
+    VersionedStore.readAllBelow(spark, s"$root/matches", Long.MaxValue)
+      .getOrElse(emptyMatches(spark))
+      .orderBy("doc_id", "takedown_id")
+  }
+
+  /** The pipeline against a caller-owned state root and checkpoint —
+    * the restart surface: committed batches never re-probe,
+    * post-restart arrivals still probe the same stored blocklist.
+    */
+  def runInto(spark: SparkSession, media: DataFrame, index: DataFrame,
+      stateRoot: String, checkpoint: String, voteT: Long,
+      deltaQ: Int): Unit = {
+    val query = media.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          VersionedStore.write(
+            batchMatches(spark, batch, index, voteT, deltaQ),
+            s"$stateRoot/matches", batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
+  /** One batch's blocks: decode + landmark-hash scan-locally at the
+    * stored delta quantization, exact hash probe, ≥ voteT vote.
+    * Public so specs can assert streamed ≡ batch probing directly.
+    */
+  def batchMatches(spark: SparkSession, batch: DataFrame,
+      index: DataFrame, voteT: Long, deltaQ: Int): DataFrame = {
+    require(voteT >= 1, s"voteT must be >= 1: $voteT")
+    import spark.implicits._
+    val hashes = batch
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        Audio.landmarkHashes(id,
+            if (p == null) Array.emptyByteArray else p, 256, deltaQ)
+          .distinct.map(h => (id, h))
+      }
+      .toDF("doc_id", "h")
+    hashes.join(index, Seq("h"))
+      .groupBy("doc_id", "takedown_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= voteT)
+  }
+
+  private def emptyMatches(spark: SparkSession): DataFrame =
+    spark.range(0)
+      .select(col("id").as("doc_id"), col("id").as("takedown_id"),
+        col("id").as("n_shared"))
+}
