@@ -10529,6 +10529,39 @@ object TrainQueries {
       s.read.parquet(idx), voteT, deltaQ.toInt)
   }
 
+  /** Takedown compliance report (q320): the corpus-owner dashboard
+    * over the three media takedown screens — per axis
+    * (audio envelope q315, audio landmark q319, video keyframes q316)
+    * one row: requests on the blocklist, arrivals screened, arrivals
+    * BLOCKED (distinct), requests that hit at least once, and the
+    * exact truncated-bp block rate. Each leg IS its gated screen (the
+    * q313/q318 composition discipline — the report adds three
+    * metadata-sized aggregates, nothing new moves at scale), and the
+    * oracle composes the three takedown oracles as derived-table
+    * subqueries plus two closed-form corpus counts — zero
+    * report-specific replay logic.
+    */
+  private def qTakedownReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"))
+    val nArr = docs.count()
+    val nReq = docs.select(expr("doc_id div 3").as("g")).distinct()
+      .filter(col("g") % 9 === 0).count()
+    def leg(axis: String, matched: DataFrame, reqCol: String) = matched
+      .agg(countDistinct("doc_id").as("n_blocked"),
+        countDistinct(reqCol).as("n_hit_requests"))
+      .select(lit(axis).as("axis"), lit(nReq).as("n_requests"),
+        lit(nArr).as("n_arrivals"), col("n_blocked"),
+        col("n_hit_requests"),
+        expr(s"n_blocked * 10000L div ${nArr}L").as("block_rate_bp"))
+    leg("audio_envelope", qAudioTakedown(s, dir), "hist_id")
+      .unionAll(leg("audio_landmark", qLandmarkTakedown(s, dir),
+        "takedown_id"))
+      .unionAll(leg("video_keyframes", qVideoTakedown(s, dir),
+        "hist_id"))
+      .orderBy("axis")
+  }
+
   /** The q317 transcript a correct ASR pass would produce for the
     * burst recording of `seed`: one line per utterance, duration/25
     * + 1 tokens per line — token counts carry the utterance DURATIONS
@@ -11138,7 +11171,8 @@ object TrainQueries {
     "q316_video_takedown" -> (qVideoTakedown _),
     "q317_audio_transcript_align" -> (qAudioTranscriptAlign _),
     "q318_corpus_dedup_report" -> (qCorpusDedupReport _),
-    "q319_landmark_takedown" -> (qLandmarkTakedown _))
+    "q319_landmark_takedown" -> (qLandmarkTakedown _),
+    "q320_takedown_report" -> (qTakedownReport _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -11325,7 +11359,8 @@ object TrainQueries {
 
   def oracleSql: Map[String, String] = oracleSqlBase +
     ("q313_media_dedup_report" -> mediaDedupReportOracle) +
-    ("q318_corpus_dedup_report" -> corpusDedupReportOracle)
+    ("q318_corpus_dedup_report" -> corpusDedupReportOracle) +
+    ("q320_takedown_report" -> takedownReportOracle)
 
   /** q313's oracle COMPOSES the three modality cluster oracles as
     * subqueries (DuckDB allows WITH RECURSIVE inside a derived table)
@@ -11347,6 +11382,31 @@ object TrainQueries {
       leg("raster", "q280_raster_clusters"),
       leg("video", "q300_video_clusters"))
       .mkString("", "\nUNION ALL\n", "\nORDER BY modality")
+  }
+
+  /** q320's oracle: the three takedown oracles as derived-table
+    * subqueries (request-id column normalized per leg) plus two
+    * closed-form corpus counts — the q313 composition discipline on
+    * the compliance axis.
+    */
+  private def takedownReportOracle: String = {
+    def leg(axis: String, key: String, reqCol: String) =
+      s"""SELECT '$axis' AS axis,
+           (SELECT CAST(COUNT(DISTINCT doc_id // 3) AS BIGINT)
+             FROM documents WHERE (doc_id // 3) % 9 = 0) AS n_requests,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+             AS n_arrivals,
+           CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_blocked,
+           CAST(COUNT(DISTINCT t.rid) AS BIGINT) AS n_hit_requests,
+           CAST(COUNT(DISTINCT t.doc_id) * 10000
+             // (SELECT COUNT(*) FROM documents) AS BIGINT)
+             AS block_rate_bp
+         FROM (SELECT doc_id, $reqCol AS rid
+               FROM (${oracleSqlBase(key)}) x) t"""
+    Seq(leg("audio_envelope", "q315_audio_takedown", "hist_id"),
+      leg("audio_landmark", "q319_landmark_takedown", "takedown_id"),
+      leg("video_keyframes", "q316_video_takedown", "hist_id"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY axis")
   }
 
   /** q318's oracle: the q313 composition plus the TEXT leg — the q71
