@@ -1191,4 +1191,59 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("Scan parquet").length - 1 === 1,
       s"exactly one corpus scan:\n${p.take(1200)}")
   }
+
+  test("r15 media chains: q300's collapse pipeline and the takedown " +
+      "probes shuffle only ids and hashes — no Exchange carries a " +
+      "payload, no cartesian anywhere") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import spark.implicits._
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case r: ReusedExchangeExec => flatten(r.child)
+      case _ => p.children.flatMap(flatten)
+    })
+    def assertClean(name: String,
+        df: org.apache.spark.sql.DataFrame): Unit = {
+      df.count()
+      val exchanges = flatten(df.queryExecution.executedPlan)
+        .collect { case e: ShuffleExchangeLike => e }
+      exchanges.foreach { e =>
+        val cols = e.child.output.map(_.name.toLowerCase)
+        assert(!cols.exists(_.contains("payload")),
+          s"$name: an Exchange would shuffle media payloads: $cols")
+      }
+      assert(!df.queryExecution.sparkPlan.toString
+        .contains("CartesianProduct"), name)
+    }
+    assertClean("q300_video_clusters",
+      SparkEntry.queries("q300_video_clusters")(spark, dir))
+    // the takedown probes: payloads are consumed inside the scan-local
+    // decode; everything that crosses an Exchange is (id, hash) rows
+    val n = 2400
+    val wav = graft.ops.Audio.encodeWavSamples(
+      graft.ops.Audio.clickTrain(10L, n), 16000)
+    val batch = Seq((1L, wav)).toDF("doc_id", "payload")
+    val envIdx = graft.streaming.AudioDedupGate.buildIndex(Seq(
+        (9L, graft.ops.Audio.envelopeHash(9L, wav)))
+      .toDF("hist_id", "fp"))
+    assertClean("audio takedown probe",
+      graft.streaming.AudioDedupGate.batchMatches(spark, batch, envIdx,
+        maxHamming = 4))
+    val lmIdx = graft.streaming.LandmarkTakedownGate.buildIndex(
+      graft.ops.Audio.landmarkHashes(9L, wav, 256, 0).distinct
+        .map(h => (9L, h)).toDF("takedown_id", "h"))
+    assertClean("landmark takedown probe",
+      graft.streaming.LandmarkTakedownGate.batchMatches(spark, batch,
+        lmIdx, voteT = 6L, deltaQ = 0))
+    val clip = graft.ops.Video.encodeY4mBlockScenes(18L, 16, 8, 4, 4, 0L)
+    val vIdx = graft.streaming.VideoDedupGate.buildIndex(
+      graft.ops.Video.sceneKeyframeHashes(9L, clip, 48)
+        .map(k => (9L, k.kf_hash)).toDF("hist_id", "kf_hash"))
+    assertClean("video takedown probe",
+      graft.streaming.VideoDedupGate.batchMatches(spark,
+        Seq((1L, clip)).toDF("doc_id", "payload"), vIdx))
+  }
 }
