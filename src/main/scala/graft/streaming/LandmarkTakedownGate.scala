@@ -31,10 +31,29 @@ import graft.ops.Audio
 object LandmarkTakedownGate {
 
   /** Build the stored blocklist index from reference landmark hashes
-    * (columns `takedown_id`, `h`), distinct per (request, hash).
+    * (columns `takedown_id`, `h`), distinct per (request, hash), with
+    * the df cap at BUILD time (the [[VideoDedupGate.buildIndex]] /
+    * E50 discipline on the landmark axis): a hash carried by more
+    * than `maxDf` distinct requests is a non-discriminative beat
+    * pattern — a metronome click, a drum-machine loop — that says
+    * nothing about WHICH reference matched; it is both the probe-join
+    * skew magnet and a false-vote source (boilerplate hashes
+    * accumulate toward the vote threshold against unrelated
+    * references), so it never enters the index. The fixture's hashed
+    * gaps keep every in-data df at 1; `LandmarkTakedownSpec` plants
+    * the shared beat pattern the cap exists for.
     */
-  def buildIndex(refHashes: DataFrame): DataFrame =
-    refHashes.select(col("takedown_id"), col("h")).distinct()
+  def buildIndex(refHashes: DataFrame, maxDf: Int = 64): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1: $maxDf")
+    val entries = refHashes.select(col("takedown_id"), col("h"))
+      .distinct()
+    val hot = entries.groupBy("h")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select("h")
+    entries.join(broadcast(hot), Seq("h"), "left_anti")
+      .select("takedown_id", "h")
+  }
 
   /** Stream the staged `mediaParquet` (columns `doc_id`, `payload` —
     * mono WAV bytes) in `chunks` micro-batches against the stored

@@ -52,6 +52,30 @@ class LandmarkTakedownSpec extends AnyFunSuite {
       blocked.head.getLong(2) >= 6L)
   }
 
+  test("build-time df cap: a beat-pattern hash shared by 200 " +
+      "references never enters the blocklist; discriminative hashes " +
+      "still block") {
+    import spark.implicits._
+    val n = 5200
+    val mw = Audio.encodeWavSamples(Audio.clickTrain(30L, n), 16000)
+    val real = Audio.landmarkHashes(9L, mw, 256, 0).distinct
+    // 200 unrelated takedown requests all carrying one shared
+    // metronome hash, plus the genuine reference
+    val beat = 42L
+    val refs = real.map(h => (9L, h)) ++
+      (0L until 200L).map(j => (1000L + j, beat))
+    val index = LandmarkTakedownGate.buildIndex(
+      refs.toDF("takedown_id", "h"), maxDf = 64).localCheckpoint()
+    assert(index.filter(org.apache.spark.sql.functions
+      .col("h") === beat).count() === 0L,
+      "the non-discriminative hash never enters the index")
+    val blocked = LandmarkTakedownGate.batchMatches(spark,
+        Seq((1L, mw)).toDF("doc_id", "payload"), index,
+        voteT = 6L, deltaQ = 0)
+      .collect()
+    assert(blocked.length === 1 && blocked.head.getLong(1) === 9L)
+  }
+
   test("restart: committed blocks keep, post-restart arrivals still " +
       "probe the same blocklist") {
     import spark.implicits._
