@@ -9553,14 +9553,10 @@ object TrainQueries {
       val r = id % 4
       val n = (4000 + (g % 7) * 500 + g % 53).toInt
       val sk = if (r == 3) 2 * g + 1 else 2 * g
-      val master = Audio.clickTrain(sk, n)
-      val samples = r match {
-        case 1L => Array.fill(n / 3)(0) ++ master
-        case 2L =>
-          val mw = Audio.encodeWavSamples(master, 16000)
-          master.drop(Audio.onsets(id, mw, 256).head.pos.toInt + 5)
-        case _ => master
-      }
+      // the shared rendition generator — the SAME forms the stored
+      // operating point was tuned on (Audio.clickRendition)
+      val samples = Audio.clickRendition(sk, n,
+        if (r == 3) 0L else r)
       Audio.landmarkHashes(id, Audio.encodeWavSamples(samples, 16000),
           256, deltaQ.toInt)
         .distinct.map(h => (id, h))
@@ -10472,15 +10468,8 @@ object TrainQueries {
       docs.map { id =>
           val g = id / 3
           val n = (4000 + (g % 7) * 500 + g % 53).toInt
-          val master = Audio.clickTrain(2 * g, n)
-          val samples = (id % 3) match {
-            case 1L => Array.fill(n / 3)(0) ++ master
-            case 2L =>
-              val mw = Audio.encodeWavSamples(master, 16000)
-              master.drop(Audio.onsets(id, mw, 256).head.pos.toInt + 5)
-            case _ => master
-          }
-          (id, Audio.encodeWavSamples(samples, 16000))
+          (id, Audio.encodeWavSamples(
+            Audio.clickRendition(2 * g, n, id % 3), 16000))
         }
         .toDF("doc_id", "payload")
         .coalesce(1).write.mode("overwrite").parquet(srcPath)

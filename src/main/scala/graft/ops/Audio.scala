@@ -552,6 +552,27 @@ object Audio {
     (((seed * 31 + 997 * j) % 81) - 40).toInt
   }
 
+  /** The ONE generator for the click-train rendition family shared by
+    * the q302 cluster fixture, the q314 calibration sample, and the
+    * q319 takedown arrivals: form 0 = the master recording, 1 = a
+    * leading-silence pad of n/3 zeros (every landmark hash survives),
+    * 2 = a content trim at first-onset+5 (every interior hash
+    * survives). The q314 operating point is tuned on EXACTLY these
+    * renditions, so the generators must never drift apart — hence one
+    * definition, three callers.
+    */
+  def clickRendition(seed: Long, n: Int, form: Long): Array[Int] = {
+    require(form >= 0 && form <= 2, s"unknown rendition form: $form")
+    val master = clickTrain(seed, n)
+    form match {
+      case 1L => Array.fill(n / 3)(0) ++ master
+      case 2L =>
+        val mw = encodeWavSamples(master, 16000)
+        master.drop(onsets(seed, mw, 256).head.pos.toInt + 5)
+      case _ => master
+    }
+  }
+
   /** Materialize a click-train recording (the loop form of
     * [[clickTrainSample]] — O(n) instead of O(n·m)).
     */

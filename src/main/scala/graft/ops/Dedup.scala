@@ -20,6 +20,22 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Parity form of `dropDuplicates(keys)`. */
+  /** Keys carried by more than `maxDf` rows of `df` — the E50/maxDf
+    * boilerplate discipline's shared core (a hash shared by too many
+    * units is non-discriminative and the equi-join skew magnet). Tiny
+    * by construction, so callers may broadcast the result. One
+    * definition; the video keyframe index, the video cluster pairing,
+    * and the landmark takedown blocklist all delegate here.
+    */
+  def hotKeys(df: DataFrame, key: String, maxDf: Int): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1: $maxDf")
+    df.groupBy(key)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("__df"))
+      .filter(org.apache.spark.sql.functions.col("__df") > maxDf)
+      .select(key)
+  }
+
   def arbitrary(df: DataFrame, keys: Seq[String]): DataFrame =
     df.dropDuplicates(keys)
 

@@ -64,15 +64,9 @@ object LandmarkTuning {
       val r = id % 4
       val n = (4000 + (g % 7) * 500 + g % 53).toInt
       val sk = if (r == 3) 2 * g + 1 else 2 * g
-      val master = Audio.clickTrain(sk, n)
-      val samples = r match {
-        case 1L => Array.fill(n / 3)(0) ++ master
-        case 2L =>
-          val mw = Audio.encodeWavSamples(master, 16000)
-          master.drop(Audio.onsets(id, mw, 256).head.pos.toInt + 5)
-        case _ => master
-      }
-      val wav = Audio.encodeWavSamples(samples, 16000)
+      // the control (r = 3) is the MASTER form of the odd seed
+      val wav = Audio.encodeWavSamples(
+        Audio.clickRendition(sk, n, if (r == 3) 0L else r), 16000)
       qLevels.flatMap(q =>
         Audio.landmarkHashes(id, wav, 256, q).distinct
           .map(h => (q, id, h)))
@@ -101,19 +95,22 @@ object LandmarkTuning {
     */
   def labeledShared(spark: SparkSession): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val cand = pairShared(sampleHashes(spark))
+    // ONE checkpoint of the candidate join (it contains the q=6
+    // deliberately-flooded level — materializing it once is the
+    // dominant cost of the sweep); pos/neg are cheap projections
+    val cand = Snap.tracked(pairShared(sampleHashes(spark)))
     val posKeys = spark.range(0L, nGroups.toLong).as[Long]
       .flatMap(g => Seq((4 * g, 4 * g + 1), (4 * g, 4 * g + 2),
         (4 * g + 1, 4 * g + 2)))
       .toDF("da", "db")
       .crossJoin(broadcast(qLevels.toDF("q")))
-    val pos = Snap.tracked(posKeys
+    val pos = posKeys
       .join(cand, Seq("q", "da", "db"), "left")
-      .select(col("q"), coalesce(col("shared"), lit(0L)).as("shared")))
-    val neg = Snap.tracked(cand
+      .select(col("q"), coalesce(col("shared"), lit(0L)).as("shared"))
+    val neg = cand
       .filter(!(expr("da div 4") === expr("db div 4") &&
         col("da") % 4 < 3 && col("db") % 4 < 3))
-      .select(col("q"), col("shared")))
+      .select(col("q"), col("shared"))
     (pos, neg)
   }
 
@@ -170,6 +167,12 @@ object LandmarkTuning {
       s"no delta-quantization level separates twins from chance: " +
         stats.mkString(", "))
     val (q, minPos, maxNeg) = viable.minBy(_._1)
-    (q, (maxNeg + 2 + minPos) / 2)
+    val t = (maxNeg + 2 + minPos) / 2
+    // the stored point must be a cell the published table SHOWS —
+    // if the fixture ever grows minPos past the swept grid, widen
+    // tMax rather than persisting an off-table choice
+    require(t <= tMax,
+      s"chosen threshold $t exceeds the swept grid (tMax=$tMax)")
+    (q, t)
   }
 }

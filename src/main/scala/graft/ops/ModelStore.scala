@@ -143,8 +143,14 @@ object ModelStore {
       .collect()
     require(rows.length == 1,
       s"expected exactly one landmark point at $path, got ${rows.length}")
-    (rows(0).getLong(0), rows(0).getLong(1), rows(0).getLong(2),
-      rows(0).getLong(3))
+    val (t, q) = (rows(0).getLong(0), rows(0).getLong(1))
+    // a corrupt artifact must fail HERE, loudly — consumers narrow
+    // delta_qbits with .toInt, which would silently wrap an absurd
+    // value into a legal shift, and a vote_t <= 0 silently admits
+    // every single-shared-hash chance pair
+    require(t >= 1 && q >= 0 && q < 20,
+      s"corrupt landmark point at $path: vote_t=$t delta_qbits=$q")
+    (t, q, rows(0).getLong(2), rows(0).getLong(3))
   }
 
   /** Write a classifier OPERATING POINT — the calibration-chosen

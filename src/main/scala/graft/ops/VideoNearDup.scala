@@ -75,13 +75,8 @@ object VideoNearDup {
     * exactly cnt² and rows are what the cap must bound. Tiny by
     * construction (only degenerate/boilerplate hashes qualify).
     */
-  def hotHashes(repKfs: DataFrame, maxDf: Int): DataFrame = {
-    require(maxDf >= 1, s"maxDf must be >= 1: $maxDf")
-    repKfs.groupBy("kf_hash")
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > maxDf)
-      .select("kf_hash")
-  }
+  def hotHashes(repKfs: DataFrame, maxDf: Int): DataFrame =
+    Dedup.hotKeys(repKfs, "kf_hash", maxDf)
 
   /** Candidate pairs between representatives with their shared-hash
     * vote counts, hot hashes excluded from pairing. The cap is ONE

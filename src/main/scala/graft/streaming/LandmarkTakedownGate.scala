@@ -44,14 +44,10 @@ object LandmarkTakedownGate {
     * the shared beat pattern the cap exists for.
     */
   def buildIndex(refHashes: DataFrame, maxDf: Int = 64): DataFrame = {
-    require(maxDf >= 1, s"maxDf must be >= 1: $maxDf")
     val entries = refHashes.select(col("takedown_id"), col("h"))
       .distinct()
-    val hot = entries.groupBy("h")
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > maxDf)
-      .select("h")
-    entries.join(broadcast(hot), Seq("h"), "left_anti")
+    entries.join(broadcast(graft.ops.Dedup.hotKeys(entries, "h", maxDf)),
+        Seq("h"), "left_anti")
       .select("takedown_id", "h")
   }
 

@@ -53,13 +53,8 @@ object VideoDedupGate {
     * maintenance-time artifact an append job refreshes (q311) so
     * probes stay candidate-proportional without scanning the index.
     */
-  def stopHashes(index: DataFrame, maxDf: Int): DataFrame = {
-    require(maxDf >= 1, s"maxDf must be >= 1: $maxDf")
-    index.groupBy("kf_hash")
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > maxDf)
-      .select("kf_hash")
-  }
+  def stopHashes(index: DataFrame, maxDf: Int): DataFrame =
+    graft.ops.Dedup.hotKeys(index, "kf_hash", maxDf)
 
   /** Stream the staged `mediaParquet` (columns `doc_id`, `payload` —
     * Y4M bytes) in `chunks` micro-batches against the stored `index`;
