@@ -19,7 +19,6 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Parity form of `dropDuplicates(keys)`. */
   /** Keys carried by more than `maxDf` rows of `df` — the E50/maxDf
     * boilerplate discipline's shared core (a hash shared by too many
     * units is non-discriminative and the equi-join skew magnet). Tiny
@@ -36,6 +35,7 @@ object Dedup {
       .select(key)
   }
 
+  /** Parity form of `dropDuplicates(keys)`. */
   def arbitrary(df: DataFrame, keys: Seq[String]): DataFrame =
     df.dropDuplicates(keys)
 

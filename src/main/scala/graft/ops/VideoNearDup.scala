@@ -103,9 +103,12 @@ object VideoNearDup {
   /** Full chain: collapse → df-capped candidate pairs → ≥ 2 vote →
     * connected components over representatives → doc-level labels.
     * Returns (doc_id, cluster_rep) for every doc in `kfs`, cluster_rep
-    * being the component's minimum doc_id — bit-identical to running
-    * the vote over raw doc-level rows (the equivalence argument in the
-    * object doc), at group-linear candidate cost.
+    * being the component's minimum doc_id. While no hash exceeds
+    * `maxDf` among representatives, the output is bit-identical to
+    * running the vote over raw doc-level rows (the equivalence
+    * argument in the object doc) at group-linear candidate cost; when
+    * a hash DOES exceed the cap it is deliberately excluded from
+    * pairing — the semantics change is the cap's purpose.
     */
   def clusterLabels(kfs: DataFrame, maxDf: Int = 64): DataFrame = {
     val (repKfs, docRep) = collapse(kfs)
