@@ -9411,7 +9411,7 @@ object TrainQueries {
       .select(col("doc_id"),
         expr("cast(floor(__q * 10000.0d + 0.5d) as bigint)").as("q_bp"))
     val docLab = graft.ops.VideoNearDup.clusterLabels(
-      kfs.select("doc_id", "kf_hash"), maxDf = 64)
+      kfs.select("doc_id", "kf_hash"), maxDf = storedMaxDf(s, dir))
     val nkf = kfs.join(docLab, "doc_id")
       .groupBy("cluster_rep")
       .agg(countDistinct("kf_hash").as("n_kf_hashes"))
@@ -9478,6 +9478,26 @@ object TrainQueries {
       .orderBy("doc_id")
   }
 
+  private val lmSharedCache = scala.collection.mutable.Map
+    .empty[(String, String), (DataFrame, DataFrame)]
+
+  /** The labeled landmark calibration sweep, checkpointed ONCE per
+    * session: both the stored operating point ([[landmarkOpPath]])
+    * and the published tuning table (q314) read it, so the
+    * deliberately-flooded q=6 candidate join is materialized a single
+    * time however many consumers run.
+    */
+  private def lmLabeledShared(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    sessionFixture(lmSharedCache, s, dir) {
+      // fixture discipline: RAW eager localCheckpoint, never
+      // Snap.tracked — the sweep's own tracked checkpoint is drained
+      // after the first consuming query's action, and these frames
+      // must survive it for the session's later consumers
+      val (pos, neg) = graft.ops.LandmarkTuning.labeledShared(s)
+      (pos.localCheckpoint(), neg.localCheckpoint())
+    }
+
   private val landmarkOpCache = scala.collection.mutable.Map
     .empty[(String, String), String]
 
@@ -9495,18 +9515,71 @@ object TrainQueries {
         .replaceAll("[^a-zA-Z0-9]", "_")
       val path = graft.Scratch.register(
         s"${System.getProperty("java.io.tmpdir")}/graft_lmop_$tag")
-      val (pos, neg) = graft.ops.LandmarkTuning.labeledShared(s)
+      val (pos, neg) = lmLabeledShared(s, dir)
       val st = graft.ops.LandmarkTuning.stats(pos, neg)
         .collect()
         .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2)))
         .toSeq
       val (qStar, tStar) = graft.ops.LandmarkTuning.choose(st)
+      val capStar = lmCapTable(s, dir)
+        .filter(col("chosen")).head().getLong(0)
       // at the chosen cell recall and precision are full BY the
       // viability construction (t* <= minPos, t* > maxNeg)
       graft.ops.ModelStore.saveLandmarkPoint(s, path, tStar, qStar,
-        10000L, 10000L)
+        capStar, 10000L, 10000L)
       path
     }
+
+  private val lmCapTableCache = scala.collection.mutable.Map
+    .empty[(String, String), DataFrame]
+
+  /** The measured df-cap sweep (q321,
+    * [[graft.ops.LandmarkTuning.capTable]]) at the chosen (q*, t*),
+    * checkpointed once per session: both the stored operating point
+    * ([[landmarkOpPath]] persists the chosen cap as `max_df`) and the
+    * published table (q321) read it.
+    */
+  private def lmCapTable(s: SparkSession, dir: String): DataFrame =
+    sessionFixture(lmCapTableCache, s, dir) {
+      val (pos, neg) = lmLabeledShared(s, dir)
+      val st = graft.ops.LandmarkTuning.stats(pos, neg)
+        .collect()
+        .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2)))
+        .toSeq
+      val (qStar, tStar) = graft.ops.LandmarkTuning.choose(st)
+      // fixture discipline: raw eager localCheckpoint (see
+      // lmLabeledShared)
+      graft.ops.LandmarkTuning.capTable(s, qStar, tStar)
+        .localCheckpoint()
+    }
+
+  /** Boilerplate df-cap tuning table (q321,
+    * [[graft.ops.LandmarkTuning.capTable]]): the q314 discipline on
+    * the LAST unmeasured knob — the pairing-join df cap. One row per
+    * swept power-of-two cap with the hashes it would exclude, the
+    * positive/negative pairs the stored t* vote still admits after
+    * exclusion, exact truncated-bp recall, the sample's measured max
+    * df, and the chosen flag ([[graft.ops.LandmarkTuning.chooseCap]]:
+    * smallest grid cap at ≥ 16× the sample's max df, required to sit
+    * at or above the measured full-recall floor). The chosen cap is
+    * persisted as `max_df` beside (q*, t*) in the landmark operating
+    * point and EVERY pairing-join cap consumer reads it — q300's
+    * video chain, q302/q306's landmark and envelope legs, the
+    * keyframe/landmark gate and blocklist builds — never a bare
+    * constant. The oracle replays the sample, the per-hash df, the
+    * capped vote sweep, and the choice rule.
+    */
+  private def qDfCapTuning(s: SparkSession, dir: String): DataFrame =
+    lmCapTable(s, dir)
+
+  /** The stored q321-measured pairing df cap — the single value every
+    * boilerplate-cap consumer (video keyframe chain and gate builds,
+    * audio landmark/envelope legs, takedown blocklist builds) reads
+    * from the landmark operating-point artifact.
+    */
+  private def storedMaxDf(s: SparkSession, dir: String): Int =
+    graft.ops.ModelStore
+      .loadLandmarkPoint(s, landmarkOpPath(s, dir))._3.toInt
 
   /** Landmark operating-point tuning table (q314,
     * [[graft.ops.LandmarkTuning]]): the measured
@@ -9523,8 +9596,10 @@ object TrainQueries {
     * the sample's clicks closed-form, all four quantization levels,
     * the candidate join, and both admitted counts.
     */
-  private def qLandmarkTuning(s: SparkSession, dir: String): DataFrame =
-    graft.ops.LandmarkTuning.table(s)
+  private def qLandmarkTuning(s: SparkSession, dir: String): DataFrame = {
+    val (pos, neg) = lmLabeledShared(s, dir)
+    graft.ops.LandmarkTuning.tableFrom(s, pos, neg)
+  }
 
   /** Shift-robust audio dedup clusters (q302): q301's landmark
     * fingerprint routed through the production cluster chain — the
@@ -9541,10 +9616,11 @@ object TrainQueries {
   private def qLandmarkClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sp: SparkSession = s
-    // the vote threshold and delta quantization are the STORED
-    // q314-tuned operating point (the q303 discipline on this knob:
-    // serving reads the calibration artifact, never a hardcoded 3)
-    val (voteT, deltaQ, _, _) = graft.ops.ModelStore
+    // the vote threshold, delta quantization, and pairing df cap are
+    // the STORED q314/q321-tuned operating point (the q303 discipline
+    // on every knob: serving reads the calibration artifact, never a
+    // hardcoded 3 or a bare 64)
+    val (voteT, deltaQ, maxDf, _, _) = graft.ops.ModelStore
       .loadLandmarkPoint(s, landmarkOpPath(s, dir))
     val docs = t(s, dir, "documents")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
@@ -9561,14 +9637,15 @@ object TrainQueries {
           256, deltaQ.toInt)
         .distinct.map(h => (id, h))
     }.toDF("doc_id", "lm_hash").transform(snap)
-    val a = hashes.select(col("doc_id").as("id_a"), col("lm_hash"))
-    val b = hashes.select(col("doc_id").as("id_b"), col("lm_hash"))
-    val edges = a.join(b, Seq("lm_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("__nm"))
-      .filter(col("__nm") >= voteT)
-      .select("id_a", "id_b")
+    // pairing goes through the STORED df cap (AudioNearDup: one
+    // window filter on the self-join's own shuffle); in-data df stays
+    // provably under the cap at every gated scale (measured max 18 at
+    // sf1), so the oracle replays the uncapped vote rule verbatim —
+    // reporting below (doc membership, per-cluster hash counts) stays
+    // on the uncapped frame
+    val edges = graft.ops.AudioNearDup.voteEdges(
+      hashes.select(col("doc_id"), col("lm_hash").as("h")),
+      voteT, maxDf.toInt)
     val labels = DedupClusters.connectedComponents(edges, "id_a", "id_b")
       .withColumnRenamed("node", "doc_id")
     val qual = docs
@@ -9621,8 +9698,9 @@ object TrainQueries {
     implicit val sp: SparkSession = s
     // the landmark leg admits at the STORED q314 operating point,
     // exactly like q302 (the envelope leg's <= 4 gate follows its own
-    // measured drift and is not landmark-tunable)
-    val (voteT, deltaQ, _, _) = graft.ops.ModelStore
+    // measured drift and is not landmark-tunable); BOTH legs' pairing
+    // joins ride the stored q321 df cap
+    val (voteT, deltaQ, maxDf, _, _) = graft.ops.ModelStore
       .loadLandmarkPoint(s, landmarkOpPath(s, dir))
     val docs = t(s, dir, "documents")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
@@ -9645,24 +9723,21 @@ object TrainQueries {
     }.toDF("doc_id", "fp", "lm_hashes").transform(snap)
     val bandsOf = "transform(sequence(0, 4), " +
       "b -> (shiftright(%s, b * 12) & 4095) * 5 + b)"
-    val ea = feats.select(col("doc_id").as("id_a"), col("fp").as("fa"),
-      explode(expr(bandsOf.format("fp"))).as("bk"))
-    val eb = feats.select(col("doc_id").as("id_b"), col("fp").as("fb"),
-      explode(expr(bandsOf.format("fp"))).as("bk"))
-    val envEdges = ea.join(eb, Seq("bk"))
-      .filter(col("id_a") < col("id_b"))
+    // both candidate joins ride the stored df cap (a degenerate band
+    // value — silent audio quantizing every bin below the mean — is
+    // the envelope leg's magnet exactly as a shared beat pattern is
+    // the landmark leg's); in-data dfs stay provably under the cap at
+    // every gated scale (measured max: bands 33, hashes 8 at sf1), so
+    // the oracle replays both uncapped rules verbatim
+    val envEdges = graft.ops.AudioNearDup.bandCandidates(
+        feats.select(col("doc_id"), col("fp"),
+          explode(expr(bandsOf.format("fp"))).as("bk")),
+        maxDf.toInt)
       .filter(expr("bit_count(fa ^ fb) <= 4"))
       .select("id_a", "id_b").distinct()
-    val la = feats.select(col("doc_id").as("id_a"),
-      explode(col("lm_hashes")).as("h"))
-    val lb = feats.select(col("doc_id").as("id_b"),
-      explode(col("lm_hashes")).as("h"))
-    val lmEdges = la.join(lb, Seq("h"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("__nm"))
-      .filter(col("__nm") >= voteT)
-      .select("id_a", "id_b")
+    val lmEdges = graft.ops.AudioNearDup.voteEdges(
+      feats.select(col("doc_id"), explode(col("lm_hashes")).as("h")),
+      voteT, maxDf.toInt)
     val edges = envEdges.union(lmEdges).distinct()
     val labels = DedupClusters.connectedComponents(edges, "id_a", "id_b")
       .withColumnRenamed("node", "doc_id")
@@ -9728,7 +9803,8 @@ object TrainQueries {
         }
       graft.streaming.VideoDedupGate.buildIndex(
           Video.keyframeHashes(histMedia, 48).toDF()
-            .select(col("doc_id").as("hist_id"), col("kf_hash")))
+            .select(col("doc_id").as("hist_id"), col("kf_hash")),
+          maxDf = storedMaxDf(s, dir))
         .write.mode("overwrite").parquet(idxPath)
       (srcPath, idxPath)
     }
@@ -9940,7 +10016,8 @@ object TrainQueries {
     // exchange-free agg on the bucket layout) and every probe
     // anti-joins against it instead of ever scanning the index
     val stop = graft.streaming.VideoDedupGate
-      .stopHashes(s.table(tbl), maxDf = 64).transform(snap)
+      .stopHashes(s.table(tbl), maxDf = storedMaxDf(s, dir))
+      .transform(snap)
     val nStop = stop.count()
     val matched = graft.streaming.VideoDedupGate.batchMatches(s,
         arrMedia.map(r => (r.doc_id, r.payload))
@@ -10012,10 +10089,12 @@ object TrainQueries {
     * video q300) one row: items, clusters, duplicate items removed
     * under min-cluster keep, the exact truncated-bp dup rate, and the
     * largest cluster (the skew signal a rewrite planner reads). Each
-    * leg IS its gated cluster query — the report adds three
-    * metadata-sized aggregates, nothing new moves at scale — and the
-    * oracle composes the three cluster oracles as subqueries, so green
-    * means chains and roll-up agree cross-engine.
+    * leg reads the STORED verdict table the q322 maintenance job
+    * derives from its gated cluster query — report cost is the scan
+    * of three latest-version partitions plus metadata-sized
+    * aggregates — and the oracle composes the three cluster oracles
+    * as subqueries, so green means stored chains and roll-up agree
+    * cross-engine.
     */
   private def clusterImpactLeg(name: String, df: DataFrame) = df
     .agg(sum("n_docs").as("n_items"),
@@ -10028,11 +10107,95 @@ object TrainQueries {
     .select("modality", "n_items", "n_clusters", "n_dup_items",
       "dup_rate_bp", "max_cluster")
 
-  private def qMediaDedupReport(s: SparkSession, dir: String): DataFrame =
-    clusterImpactLeg("audio", qAudioClusters(s, dir))
-      .unionAll(clusterImpactLeg("raster", qRasterClusters(s, dir)))
-      .unionAll(clusterImpactLeg("video", qVideoClusters(s, dir)))
+  private val verdictStoreCache = scala.collection.mutable.Map
+    .empty[(String, String), String]
+
+  /** The screen/cluster verdict tables the verdict store persists
+    * (q322) and the gated chains that derive them — the legs the
+    * report family (q313/q318/q320) READS instead of re-deriving.
+    * At 100 TB a compliance/dedup report is a dashboard over STORED
+    * verdict tables maintained by scheduled jobs, never a re-run of
+    * three full screens per page load.
+    */
+  private def verdictLegs(s: SparkSession,
+      dir: String): Seq[(String, () => DataFrame)] = Seq(
+    "audio_clusters" -> (() => qAudioClusters(s, dir)),
+    "audio_takedown" -> (() => qAudioTakedown(s, dir)),
+    "landmark_takedown" -> (() => qLandmarkTakedown(s, dir)),
+    "raster_clusters" -> (() => qRasterClusters(s, dir)),
+    "text_clusters" -> (() => textClusterSizes(s, dir)),
+    "video_clusters" -> (() => qVideoClusters(s, dir)),
+    "video_takedown" -> (() => qVideoTakedown(s, dir)))
+
+  /** One verdict-store maintenance pass (the q311 artifact
+    * discipline): every leg re-derives and APPENDS under the next
+    * version — each version its own partition directory, so readers
+    * partition-prune to the latest files and history stays auditable
+    * (a compliance store never rewrites old verdicts). Returns the
+    * per-table row-count summary.
+    */
+  private def refreshVerdicts(s: SparkSession, dir: String,
+      root: String): DataFrame = {
+    import s.implicits._
+    verdictLegs(s, dir).map { case (name, build) =>
+      val path = s"$root/$name"
+      val next =
+        if (!new java.io.File(path).exists()) 0L
+        else s.read.parquet(path)
+          .agg(max(col("version").cast("long"))).head().getLong(0) + 1
+      build().withColumn("version", lit(next))
+        .write.mode("append").partitionBy("version").parquet(path)
+      // metadata-only count of the freshly written partition
+      val n = s.read.parquet(path)
+        .filter(col("version").cast("long") === next).count()
+      (name, n)
+    }.toDF("table_name", "n_rows").orderBy("table_name")
+  }
+
+  /** The stored verdict root, built once per session (version 0). */
+  private def verdictStoreRoot(s: SparkSession, dir: String): String =
+    sessionFixture(verdictStoreCache, s, dir) {
+      val tag = (s.sparkContext.applicationId + "_" + dir)
+        .replaceAll("[^a-zA-Z0-9]", "_")
+      val root = graft.Scratch.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_verdicts_$tag")
+      refreshVerdicts(s, dir, root).collect()
+      root
+    }
+
+  /** Latest-version read of a stored verdict table — the max-version
+    * filter prunes the scan to the newest partition's files.
+    */
+  private def readVerdict(s: SparkSession, root: String,
+      name: String): DataFrame = {
+    val path = s"$root/$name"
+    val v = s.read.parquet(path)
+      .agg(max(col("version").cast("long"))).head().getLong(0)
+    s.read.parquet(path)
+      .filter(col("version").cast("long") === v).drop("version")
+  }
+
+  /** Verdict-store refresh (q322): the maintenance job that re-derives
+    * every screen/cluster verdict table and appends the next version
+    * (each version a partition — auditable history, partition-pruned
+    * latest reads). The report family (q313/q318/q320) reads the
+    * stored tables this job maintains, so report cost is scan cost.
+    * The oracle composes the seven leg oracles as COUNT subqueries —
+    * green means every stored table carries exactly the rows its live
+    * chain derives.
+    */
+  private def qVerdictRefresh(s: SparkSession, dir: String): DataFrame =
+    refreshVerdicts(s, dir, verdictStoreRoot(s, dir))
+
+  private def qMediaDedupReport(s: SparkSession, dir: String): DataFrame = {
+    val root = verdictStoreRoot(s, dir)
+    clusterImpactLeg("audio", readVerdict(s, root, "audio_clusters"))
+      .unionAll(clusterImpactLeg("raster",
+        readVerdict(s, root, "raster_clusters")))
+      .unionAll(clusterImpactLeg("video",
+        readVerdict(s, root, "video_clusters")))
       .orderBy("modality")
+  }
 
   /** The TEXT axis cluster table for the corpus roll-up (q318): q71's
     * near-dup closure (the shared dedupPairs edges — 3-gram Jaccard
@@ -10056,20 +10219,27 @@ object TrainQueries {
     * q313 roll-up completed with the TEXT axis — one corpus-owner
     * table, per modality: items, clusters, removable duplicates under
     * min-cluster keep, exact truncated-bp dup rate, and the largest
-    * cluster (the skew signal a rewrite planner reads). Each media leg
-    * IS its gated cluster query (q294/q280/q300) and the text leg is
-    * q71's closure totalized over every document; the report itself
-    * adds four metadata-sized aggregates — nothing new moves at
-    * scale. The oracle composes the three modality cluster oracles AND
+    * cluster (the skew signal a rewrite planner reads). Each leg
+    * reads the STORED verdict table the q322 job maintains from its
+    * gated chain (q294/q280/q300 clusters, q71's closure totalized
+    * over every document for text); the report itself adds four
+    * metadata-sized aggregates over latest-version partition scans —
+    * nothing re-derives at read time.
+    * The oracle composes the three modality cluster oracles AND
     * the q71 closure as subqueries, so green means all four chains and
     * the aggregation agree cross-engine.
     */
-  private def qCorpusDedupReport(s: SparkSession, dir: String): DataFrame =
-    clusterImpactLeg("audio", qAudioClusters(s, dir))
-      .unionAll(clusterImpactLeg("raster", qRasterClusters(s, dir)))
-      .unionAll(clusterImpactLeg("text", textClusterSizes(s, dir)))
-      .unionAll(clusterImpactLeg("video", qVideoClusters(s, dir)))
+  private def qCorpusDedupReport(s: SparkSession, dir: String): DataFrame = {
+    val root = verdictStoreRoot(s, dir)
+    clusterImpactLeg("audio", readVerdict(s, root, "audio_clusters"))
+      .unionAll(clusterImpactLeg("raster",
+        readVerdict(s, root, "raster_clusters")))
+      .unionAll(clusterImpactLeg("text",
+        readVerdict(s, root, "text_clusters")))
+      .unionAll(clusterImpactLeg("video",
+        readVerdict(s, root, "video_clusters")))
       .orderBy("modality")
+  }
 
   private val clfGateCache = scala.collection.mutable.Map
     .empty[(String, String), String]
@@ -10416,7 +10586,8 @@ object TrainQueries {
             4, 0L), "y4m"))
       graft.streaming.VideoDedupGate.buildIndex(
           Video.keyframeHashes(refMedia, 48).toDF()
-            .select(col("doc_id").as("hist_id"), col("kf_hash")))
+            .select(col("doc_id").as("hist_id"), col("kf_hash")),
+          maxDf = storedMaxDf(s, dir))
         .write.mode("overwrite").parquet(idxPath)
       (srcPath, idxPath)
     }
@@ -10456,7 +10627,7 @@ object TrainQueries {
       dir: String): (String, String) =
     sessionFixture(lmTakedownCache, s, dir) {
       import s.implicits._
-      val (_, deltaQ, _, _) = graft.ops.ModelStore
+      val (_, deltaQ, maxDf, _, _) = graft.ops.ModelStore
         .loadLandmarkPoint(s, landmarkOpPath(s, dir))
       val tag = (s.sparkContext.applicationId + "_" + dir)
         .replaceAll("[^a-zA-Z0-9]", "_")
@@ -10483,7 +10654,8 @@ object TrainQueries {
             .distinct.map(h => (g, h))
         }
         .toDF("takedown_id", "h")
-      graft.streaming.LandmarkTakedownGate.buildIndex(refs)
+      graft.streaming.LandmarkTakedownGate.buildIndex(refs,
+          maxDf.toInt)
         .write.mode("overwrite").parquet(idxPath)
       (srcPath, idxPath)
     }
@@ -10511,7 +10683,7 @@ object TrainQueries {
     * restart-resume.
     */
   private def qLandmarkTakedown(s: SparkSession, dir: String): DataFrame = {
-    val (voteT, deltaQ, _, _) = graft.ops.ModelStore
+    val (voteT, deltaQ, _, _, _) = graft.ops.ModelStore
       .loadLandmarkPoint(s, landmarkOpPath(s, dir))
     val (src, idx) = lmTakedownPaths(s, dir)
     graft.streaming.LandmarkTakedownGate.run(s, src,
@@ -10523,31 +10695,37 @@ object TrainQueries {
     * (audio envelope q315, audio landmark q319, video keyframes q316)
     * one row: requests on the blocklist, arrivals screened, arrivals
     * BLOCKED (distinct), requests that hit at least once, and the
-    * exact truncated-bp block rate. Each leg IS its gated screen (the
-    * q313/q318 composition discipline — the report adds three
-    * metadata-sized aggregates, nothing new moves at scale), and the
-    * oracle composes the three takedown oracles as derived-table
-    * subqueries plus two closed-form corpus counts — zero
-    * report-specific replay logic.
+    * exact truncated-bp block rate. Each leg reads the STORED verdict
+    * table the q322 maintenance job derives from its gated screen
+    * (the q313/q318 stored-leg discipline — the report is three
+    * latest-version partition scans plus metadata-sized aggregates;
+    * the corpus scalars fold in as one broadcast single-row
+    * aggregate), and the oracle composes the three takedown oracles
+    * as derived-table subqueries plus two closed-form corpus counts —
+    * zero report-specific replay logic.
     */
   private def qTakedownReport(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val root = verdictStoreRoot(s, dir)
+    // the two corpus scalars fold into the frame as ONE broadcast
+    // single-row aggregate — no driver-side count() actions
+    val corpus = broadcast(t(s, dir, "documents")
       .select(col("doc_id").cast("long").as("doc_id"))
-    val nArr = docs.count()
-    val nReq = docs.select(expr("doc_id div 3").as("g")).distinct()
-      .filter(col("g") % 9 === 0).count()
-    def leg(axis: String, matched: DataFrame, reqCol: String) = matched
-      .agg(countDistinct("doc_id").as("n_blocked"),
-        countDistinct(reqCol).as("n_hit_requests"))
-      .select(lit(axis).as("axis"), lit(nReq).as("n_requests"),
-        lit(nArr).as("n_arrivals"), col("n_blocked"),
-        col("n_hit_requests"),
-        expr(s"n_blocked * 10000L div ${nArr}L").as("block_rate_bp"))
-    leg("audio_envelope", qAudioTakedown(s, dir), "hist_id")
-      .unionAll(leg("audio_landmark", qLandmarkTakedown(s, dir),
+      .agg(count(lit(1)).as("n_arrivals"),
+        countDistinct(when(expr("doc_id div 3 % 9") === 0,
+          expr("doc_id div 3"))).as("n_requests")))
+    def leg(axis: String, name: String, reqCol: String) =
+      readVerdict(s, root, name)
+        .agg(countDistinct("doc_id").as("n_blocked"),
+          countDistinct(reqCol).as("n_hit_requests"))
+        .crossJoin(corpus)
+        .select(lit(axis).as("axis"), col("n_requests"),
+          col("n_arrivals"), col("n_blocked"), col("n_hit_requests"),
+          expr("n_blocked * 10000L div n_arrivals")
+            .as("block_rate_bp"))
+    leg("audio_envelope", "audio_takedown", "hist_id")
+      .unionAll(leg("audio_landmark", "landmark_takedown",
         "takedown_id"))
-      .unionAll(leg("video_keyframes", qVideoTakedown(s, dir),
-        "hist_id"))
+      .unionAll(leg("video_keyframes", "video_takedown", "hist_id"))
       .orderBy("axis")
   }
 
@@ -11161,7 +11339,9 @@ object TrainQueries {
     "q317_audio_transcript_align" -> (qAudioTranscriptAlign _),
     "q318_corpus_dedup_report" -> (qCorpusDedupReport _),
     "q319_landmark_takedown" -> (qLandmarkTakedown _),
-    "q320_takedown_report" -> (qTakedownReport _))
+    "q320_takedown_report" -> (qTakedownReport _),
+    "q321_df_cap_tuning" -> (qDfCapTuning _),
+    "q322_verdict_refresh" -> (qVerdictRefresh _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -11349,7 +11529,8 @@ object TrainQueries {
   def oracleSql: Map[String, String] = oracleSqlBase +
     ("q313_media_dedup_report" -> mediaDedupReportOracle) +
     ("q318_corpus_dedup_report" -> corpusDedupReportOracle) +
-    ("q320_takedown_report" -> takedownReportOracle)
+    ("q320_takedown_report" -> takedownReportOracle) +
+    ("q322_verdict_refresh" -> verdictRefreshOracle)
 
   /** q313's oracle COMPOSES the three modality cluster oracles as
     * subqueries (DuckDB allows WITH RECURSIVE inside a derived table)
@@ -11403,6 +11584,36 @@ object TrainQueries {
     * pattern) inside a derived table, aggregated with the same five
     * stats. Zero roll-up-specific replay logic on any leg.
     */
+  /** The q318 text leg's oracle — q71's recursive closure totalized
+    * over every document — shared by the q322 verdict-store count.
+    */
+  private def textInner: String =
+    s"""WITH RECURSIVE $dedupClusterCtes,
+         grp AS (SELECT d.doc_id,
+             COALESCE(lab.cluster_rep, d.doc_id) AS cluster_rep
+           FROM documents d LEFT JOIN lab ON d.doc_id = lab.node)
+         SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_docs
+         FROM grp GROUP BY 1"""
+
+  /** q322's oracle: the seven verdict-table row counts, each the
+    * COUNT of its leg's own oracle as a derived-table subquery — the
+    * q313/q320 composition discipline on the maintenance job.
+    */
+  private def verdictRefreshOracle: String = {
+    def leg(name: String, inner: String) =
+      s"""SELECT '$name' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+         FROM ($inner) t"""
+    Seq(leg("audio_clusters", oracleSqlBase("q294_audio_clusters")),
+      leg("audio_takedown", oracleSqlBase("q315_audio_takedown")),
+      leg("landmark_takedown", oracleSqlBase("q319_landmark_takedown")),
+      leg("raster_clusters", oracleSqlBase("q280_raster_clusters")),
+      leg("text_clusters", textInner),
+      leg("video_clusters", oracleSqlBase("q300_video_clusters")),
+      leg("video_takedown", oracleSqlBase("q316_video_takedown")))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+  }
+
   private def corpusDedupReportOracle: String = {
     def leg(name: String, inner: String) =
       s"""SELECT '$name' AS modality,
@@ -11413,13 +11624,6 @@ object TrainQueries {
              AS BIGINT) AS dup_rate_bp,
            CAST(MAX(n_docs) AS BIGINT) AS max_cluster
          FROM ($inner) t"""
-    val textInner =
-      s"""WITH RECURSIVE $dedupClusterCtes,
-         grp AS (SELECT d.doc_id,
-             COALESCE(lab.cluster_rep, d.doc_id) AS cluster_rep
-           FROM documents d LEFT JOIN lab ON d.doc_id = lab.node)
-         SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_docs
-         FROM grp GROUP BY 1"""
     Seq(leg("audio", oracleSqlBase("q294_audio_clusters")),
       leg("raster", oracleSqlBase("q280_raster_clusters")),
       leg("text", textInner),
@@ -11492,10 +11696,24 @@ object TrainQueries {
              COALESCE((SELECT MAX(n2.shared) FROM lmneg n2
                WHERE n2.q = st.q), 0) AS maxneg
            FROM lmstat st),
-         lmop AS (SELECT q AS qstar,
+         lmop0 AS (SELECT q AS qstar,
              (maxneg + 2 + minpos) // 2 AS tstar
            FROM lmstat2 WHERE maxneg + 2 <= minpos
-           ORDER BY q LIMIT 1)"""
+           ORDER BY q LIMIT 1),
+         -- the engine fails loudly when no level separates
+         -- (LandmarkTuning.choose's require) or when t* falls off the
+         -- swept grid; the oracle must fail just as loudly instead of
+         -- degrading (SELECT ... FROM lmop) scalars into NULLs that
+         -- quantize every hash into garbage and produce a confusing
+         -- mismatch on a drifted fixture
+         lmop AS (SELECT
+             CASE WHEN o.qstar IS NULL OR o.tstar > 16
+               THEN error('landmark tuning: no separating level or off-grid t*')
+               ELSE o.qstar END AS qstar,
+             CASE WHEN o.tstar IS NULL OR o.tstar > 16
+               THEN error('landmark tuning: no separating level or off-grid t*')
+               ELSE o.tstar END AS tstar
+           FROM (SELECT 1 AS one) lmone LEFT JOIN lmop0 o ON TRUE)"""
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q21_text_stats" ->
@@ -17880,6 +18098,65 @@ object TrainQueries {
          FROM cellp cp LEFT JOIN celln cn
            ON cp.q = cn.q AND cp.t = cn.t
          ORDER BY 1, 2""",
+    // q321: the df-cap sweep at the chosen (q*, t*) — per-hash df over
+    // the replayed calibration sample, the capped vote re-run per grid
+    // cap, and the headroom choice rule; 768 = the fixed positive-pair
+    // count, 16 = the documented headroom multiplier.
+    "q321_df_cap_tuning" ->
+      s"""WITH $landmarkOpCtes,
+         capg AS (SELECT CAST(cap AS BIGINT) AS cap
+           FROM unnest([1, 2, 4, 8, 16, 32, 64, 128, 256]) tc(cap)),
+         chq AS (SELECT did, h FROM lmhs
+           WHERE q = (SELECT qstar FROM lmop)),
+         cdf AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS dfh
+           FROM chq GROUP BY 1),
+         cmax AS (SELECT MAX(dfh) AS m FROM cdf),
+         cocc AS (SELECT a.did AS da, b.did AS db, d.dfh
+           FROM chq a JOIN chq b ON a.h = b.h AND a.did < b.did
+           JOIN cdf d ON d.h = a.h),
+         csh AS (SELECT g.cap, o.da, o.db,
+             CAST(COUNT(*) AS BIGINT) AS shared
+           FROM capg g JOIN cocc o ON o.dfh <= g.cap
+           GROUP BY 1, 2, 3),
+         cposk AS (SELECT g.cap, 4 * lmg.g + pp.ra AS da,
+             4 * lmg.g + pp.rb AS db
+           FROM capg g, lmg, (VALUES (0, 1), (0, 2), (1, 2)) pp(ra, rb)),
+         cpos AS (SELECT k.cap,
+             CAST(SUM(CASE WHEN COALESCE(s.shared, 0) >=
+               (SELECT tstar FROM lmop) THEN 1 ELSE 0 END) AS BIGINT)
+               AS pos_admitted
+           FROM cposk k LEFT JOIN csh s
+             ON k.cap = s.cap AND k.da = s.da AND k.db = s.db
+           GROUP BY 1),
+         cneg AS (SELECT s.cap,
+             CAST(SUM(CASE WHEN s.shared >= (SELECT tstar FROM lmop)
+               THEN 1 ELSE 0 END) AS BIGINT) AS neg_admitted
+           FROM csh s
+           WHERE NOT (s.da // 4 = s.db // 4
+             AND s.da % 4 < 3 AND s.db % 4 < 3)
+           GROUP BY 1),
+         chot AS (SELECT g.cap, CAST(COUNT(*) AS BIGINT) AS n_hot_hashes
+           FROM capg g JOIN cdf d ON d.dfh > g.cap GROUP BY 1),
+         -- the engine fails loudly when the headroom rule runs off
+         -- the grid (LandmarkTuning.chooseCap's require); so must the
+         -- oracle, instead of degrading chosen into NULLs
+         ccap AS (SELECT CASE WHEN mn IS NULL
+               THEN error('df-cap headroom runs off the swept grid')
+               ELSE mn END AS capstar
+           FROM (SELECT MIN(cap) AS mn FROM capg
+                 WHERE cap >= 16 * (SELECT m FROM cmax)) tmn)
+         SELECT g.cap,
+           COALESCE(ch.n_hot_hashes, 0) AS n_hot_hashes,
+           COALESCE(cp.pos_admitted, 0) AS pos_admitted,
+           COALESCE(cn.neg_admitted, 0) AS neg_admitted,
+           COALESCE(cp.pos_admitted, 0) * 10000 // 768 AS recall_bp,
+           (SELECT m FROM cmax) AS sample_max_df,
+           g.cap = (SELECT capstar FROM ccap) AS chosen
+         FROM capg g
+         LEFT JOIN chot ch ON g.cap = ch.cap
+         LEFT JOIN cpos cp ON g.cap = cp.cap
+         LEFT JOIN cneg cn ON g.cap = cn.cap
+         ORDER BY g.cap""",
     // q315: arrival and takedown-reference envelope fingerprints
     // replayed per-sample closed-form (the q304 kv chain over a
     // tagged unit union), the exact band rule, and the <= 4

@@ -51,6 +51,26 @@ object LandmarkTuning {
   /** Vote thresholds swept: 1..tMax. */
   val tMax: Int = 16
 
+  /** Df caps swept (powers of two): the candidate values for the
+    * boilerplate cap that every media pairing join applies.
+    */
+  val capGrid: Seq[Int] = Seq(1, 2, 4, 8, 16, 32, 64, 128, 256)
+
+  /** Headroom multiplier between the sample's measured max df and the
+    * stored cap. The fixed 1,024-doc calibration sample UNDERESTIMATES
+    * corpus chance df — collisions accumulate with corpus size
+    * (measured on the landmark axis: sample max df 6 vs 18 at the
+    * 50k-doc sf1 corpus, ×3; the envelope band axis, whose key space
+    * is only 2¹² per band, reaches 33, ×5.5) — while true boilerplate
+    * (a metronome click shared by 10⁶ clips, a black video frame) sits
+    * ORDERS OF MAGNITUDE above any chance df. 16× covers the measured
+    * corpus inflation twice over in log space and still bites ~10³
+    * below the first real magnet; the published sweep proves every
+    * grid value at or above the recall floor is recall-free on
+    * labeled data, so widening the margin costs nothing.
+    */
+  val capHeadroom: Int = 16
+
   /** Per-doc DISTINCT landmark hash sets of the calibration sample at
     * every quantization level: doc 4g+r is the q302 fixture leg r of
     * group g (0 = master, 1 = n/3 silence pad, 2 = trim at
@@ -127,8 +147,19 @@ object LandmarkTuning {
     * admitted counts and exact truncated-bp recall/precision.
     */
   def table(spark: SparkSession): DataFrame = {
-    import spark.implicits._
     val (pos, neg) = labeledShared(spark)
+    tableFrom(spark, pos, neg)
+  }
+
+  /** [[table]] over an already-materialized labeled sweep — callers
+    * that also derive the stored operating point (q314 +
+    * `landmarkOpPath`) share ONE candidate-join checkpoint per
+    * session instead of re-running the deliberately-flooded q=6
+    * sweep twice.
+    */
+  def tableFrom(spark: SparkSession, pos: DataFrame,
+      neg: DataFrame): DataFrame = {
+    import spark.implicits._
     val ts = (1 to tMax).map(_.toLong).toDF("vote_t")
     val grid = qLevels.map(_.toLong).toDF("delta_qbits")
       .crossJoin(broadcast(ts))
@@ -153,6 +184,98 @@ object LandmarkTuning {
           "ELSE pos_admitted * 10000 div " +
           "(pos_admitted + neg_admitted) END"))
       .orderBy("delta_qbits", "vote_t")
+  }
+
+  /** The measured df-cap sweep (q321) over the calibration sample at
+    * the CHOSEN (q*, t*) operating point: one row per grid cap with
+    * the hash count the cap would exclude, the positive/negative
+    * pairs still admitted by the t* vote after exclusion, exact
+    * truncated-bp recall, the sample's measured max df, and the
+    * chosen flag. The sweep publishes the evidence the stored cap
+    * stands on: recall is FULL from the floor up (excluding a
+    * high-df hash only removes votes the t* margin never needed),
+    * so the [[chooseCap]] headroom rule can only widen safety.
+    */
+  def capTable(spark: SparkSession, qStar: Long,
+      tStar: Long): DataFrame = {
+    import spark.implicits._
+    val hs = sampleHashes(spark).filter(col("q") === qStar.toInt)
+      .select(col("doc_id"), col("h"))
+    val dfh = hs.groupBy("h").agg(count(lit(1)).as("dfh"))
+    val grid = capGrid.map(_.toLong).toDF("cap")
+    val occ = hs.join(dfh, "h")
+      .select(col("doc_id").as("da"), col("h"), col("dfh"))
+      .join(hs.select(col("doc_id").as("db"), col("h")), Seq("h"))
+      .filter(col("da") < col("db"))
+    val shared = occ.crossJoin(broadcast(grid))
+      .filter(col("dfh") <= col("cap"))
+      .groupBy("cap", "da", "db")
+      .agg(count(lit(1)).as("shared"))
+    val nPos = 3L * nGroups
+    val posAdm = spark.range(0L, nGroups.toLong).as[Long]
+      .flatMap(g => Seq((4 * g, 4 * g + 1), (4 * g, 4 * g + 2),
+        (4 * g + 1, 4 * g + 2)))
+      .toDF("da", "db")
+      .crossJoin(broadcast(grid))
+      .join(shared, Seq("cap", "da", "db"), "left")
+      .groupBy("cap")
+      .agg(sum(when(coalesce(col("shared"), lit(0L)) >= tStar, 1L)
+        .otherwise(0L)).as("pos_admitted"))
+    val negAdm = shared
+      .filter(!(expr("da div 4") === expr("db div 4") &&
+        col("da") % 4 < 3 && col("db") % 4 < 3))
+      .groupBy("cap")
+      .agg(sum(when(col("shared") >= tStar, 1L).otherwise(0L))
+        .as("neg_admitted"))
+    val nHot = dfh.crossJoin(broadcast(grid))
+      .filter(col("dfh") > col("cap"))
+      .groupBy("cap").agg(count(lit(1)).as("n_hot_hashes"))
+    val maxDfSample = dfh.agg(max("dfh")).head().getLong(0)
+    val base = grid
+      .join(nHot, Seq("cap"), "left")
+      .join(posAdm, Seq("cap"), "left")
+      .join(negAdm, Seq("cap"), "left")
+      .select(col("cap"),
+        coalesce(col("n_hot_hashes"), lit(0L)).as("n_hot_hashes"),
+        coalesce(col("pos_admitted"), lit(0L)).as("pos_admitted"),
+        coalesce(col("neg_admitted"), lit(0L)).as("neg_admitted"))
+      .withColumn("recall_bp",
+        expr(s"pos_admitted * 10000 div $nPos"))
+      .withColumn("sample_max_df", lit(maxDfSample))
+    val capStar = chooseCap(
+      base.select("cap", "pos_admitted", "neg_admitted").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq,
+      maxDfSample)
+    base.withColumn("chosen", col("cap") === capStar)
+      .orderBy("cap")
+  }
+
+  /** The df-cap choice rule over the collected sweep (metadata-sized:
+    * one row per grid cap). Fails LOUDLY when no cap keeps full
+    * measured recall with zero chance admissions, when the headroom
+    * rule runs off the swept grid, or when the two measured inputs
+    * contradict (headroom below the recall floor) — a cap must never
+    * silently fall back to a constant.
+    */
+  def chooseCap(sweep: Seq[(Long, Long, Long)],
+      sampleMaxDf: Long): Long = {
+    val nPos = 3L * nGroups
+    val floors = sweep.filter { case (_, pos, neg) =>
+      pos == nPos && neg == 0L }
+    require(floors.nonEmpty,
+      s"no swept df cap keeps full recall with zero chance " +
+        s"admissions: ${sweep.mkString(", ")}")
+    val capFloor = floors.map(_._1).min
+    val above = capGrid.map(_.toLong)
+      .filter(_ >= capHeadroom * sampleMaxDf)
+    require(above.nonEmpty,
+      s"headroom rule runs off the swept grid: " +
+        s"$capHeadroom x sampleMaxDf=$sampleMaxDf > ${capGrid.max}")
+    val capStar = above.min
+    require(capStar >= capFloor,
+      s"measured inputs contradict: headroom cap $capStar below " +
+        s"recall floor $capFloor")
+    capStar
   }
 
   /** The choice rule over collected per-level stats (metadata-sized:

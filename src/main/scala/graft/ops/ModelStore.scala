@@ -113,44 +113,53 @@ object ModelStore {
   private val lmPointSchema = StructType(Seq(
     StructField("vote_t", LongType, nullable = false),
     StructField("delta_qbits", LongType, nullable = false),
+    StructField("max_df", LongType, nullable = false),
     StructField("precision_bp", LongType, nullable = false),
     StructField("recall_bp", LongType, nullable = false)))
 
   /** Write the LANDMARK operating point — the q314-tuned
-    * (vote threshold, delta-quantization) pair with the credentials
-    * it was chosen on — the [[saveOperatingPoint]] discipline for the
-    * audio landmark dedup family: q302/q306 admit at this stored
-    * artifact, never at a hardcoded vote count.
+    * (vote threshold, delta-quantization) pair plus the q321-tuned
+    * boilerplate df cap, with the credentials they were chosen on —
+    * the [[saveOperatingPoint]] discipline for the media dedup
+    * family: q302/q306 admit at this stored artifact, never at a
+    * hardcoded vote count, and every pairing-join df cap (video
+    * keyframes, audio landmark/envelope, takedown blocklists) reads
+    * `max_df` from here, never a bare constant.
     */
   def saveLandmarkPoint(spark: SparkSession, path: String,
-      voteT: Long, deltaQbits: Long, precisionBp: Long,
+      voteT: Long, deltaQbits: Long, maxDf: Long, precisionBp: Long,
       recallBp: Long): Unit = {
     spark.createDataFrame(
         spark.sparkContext.parallelize(
-          Seq(Row(voteT, deltaQbits, precisionBp, recallBp)), 1),
+          Seq(Row(voteT, deltaQbits, maxDf, precisionBp, recallBp)), 1),
         lmPointSchema)
       .write.mode("overwrite").parquet(path)
   }
 
   /** Load a landmark operating point:
-    * (vote_t, delta_qbits, precision_bp, recall_bp).
+    * (vote_t, delta_qbits, max_df, precision_bp, recall_bp).
     */
   def loadLandmarkPoint(spark: SparkSession,
-      path: String): (Long, Long, Long, Long) = {
+      path: String): (Long, Long, Long, Long, Long) = {
     val rows = spark.read.parquet(path)
-      .select(col("vote_t"), col("delta_qbits"), col("precision_bp"),
-        col("recall_bp"))
+      .select(col("vote_t"), col("delta_qbits"), col("max_df"),
+        col("precision_bp"), col("recall_bp"))
       .collect()
     require(rows.length == 1,
       s"expected exactly one landmark point at $path, got ${rows.length}")
-    val (t, q) = (rows(0).getLong(0), rows(0).getLong(1))
+    val (t, q, m) =
+      (rows(0).getLong(0), rows(0).getLong(1), rows(0).getLong(2))
     // a corrupt artifact must fail HERE, loudly — consumers narrow
     // delta_qbits with .toInt, which would silently wrap an absurd
-    // value into a legal shift, and a vote_t <= 0 silently admits
-    // every single-shared-hash chance pair
+    // value into a legal shift, a vote_t <= 0 silently admits every
+    // single-shared-hash chance pair, and a max_df <= 0 silently
+    // empties every pairing join (while an absurdly large one
+    // reopens the skew magnet the cap exists for)
     require(t >= 1 && q >= 0 && q < 20,
       s"corrupt landmark point at $path: vote_t=$t delta_qbits=$q")
-    (t, q, rows(0).getLong(2), rows(0).getLong(3))
+    require(m >= 1 && m <= (1L << 20),
+      s"corrupt landmark point at $path: max_df=$m")
+    (t, q, m, rows(0).getLong(3), rows(0).getLong(4))
   }
 
   /** Write a classifier OPERATING POINT — the calibration-chosen
