@@ -13,6 +13,28 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
+  /** 1-minute load average — the machine-contention sentinel sampled
+    * around every query so a driver-vs-idle discrepancy is
+    * adjudicable from the artifact itself instead of a re-probe
+    * (bench numbers on a loaded host run 2-4x hot; r15's four
+    * "movers" were all contention).
+    */
+  private def loadAvg(): Double =
+    try Files.readString(Paths.get("/proc/loadavg"))
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** (total, steal) jiffies from /proc/stat's aggregate cpu line —
+    * steal% over a query's window exposes hypervisor contention the
+    * load average can't see.
+    */
+  private def cpuTicks(): (Long, Long) =
+    try {
+      val f = Files.readAllLines(Paths.get("/proc/stat")).get(0)
+        .trim.split("\\s+").drop(1).map(_.toLong)
+      (f.sum, if (f.length > 7) f(7) else 0L)
+    } catch { case _: Throwable => (0L, 0L) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -50,7 +72,9 @@ object Bench {
       // the bench is deepest)
       finally ops.Snap.drainTracked()
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val timed = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val la0 = loadAvg()
+      val (tk0, st0) = cpuTicks()
       val secs = (1 to trials).map { i =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -62,17 +86,32 @@ object Bench {
           (if (ok) "" else " FAILED"))
         if (ok) sec else -1.0
       }
-      name -> (if (secs.contains(-1.0)) -1.0 else median(secs))
-    }.toMap
+      val la1 = loadAvg()
+      val (tk1, st1) = cpuTicks()
+      val stealPct =
+        if (tk1 > tk0) (st1 - st0) * 100.0 / (tk1 - tk0) else 0.0
+      (name, if (secs.contains(-1.0)) -1.0 else median(secs),
+        la0, la1, stealPct)
+    }
+    val results = timed.map { case (n, v, _, _, _) => n -> v }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // the contention sentinel: per query [loadavg before, loadavg
+    // after, steal% across its window] — all trials included
+    def r2(v: Double): String = (math.rint(v * 100) / 100.0).toString
+    val loads = timed.map { case (n, _, la0, la1, sp) =>
+      s"\"" + n + s"\":[${r2(la0)},${r2(la1)},${r2(sp)}]"
+    }.mkString("{", ",", "}")
+    val laMax = timed.map(t => math.max(t._3, t._4))
+      .foldLeft(0.0)(math.max)
+    val stealMax = timed.map(_._5).foldLeft(0.0)(math.max)
     // errored queries keep their -1 marker per-query but must not be
     // summed: total - 1.0 is a plausible-looking wrong headline number
     val ok = results.values.filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val failed = results.count(_._2 < 0)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","trials":$trials,"failed":$failed}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load":$loads,"load_max":${r2(laMax)},"steal_max_pct":${r2(stealMax)},"sf":"$sfDir","trials":$trials,"failed":$failed}"""
     // The artifact of record: the full per-query map goes to a file —
     // the driver keeps only a ~2000-char TAIL of stdout, and the full
     // 200+-query line is >6 KB (BENCH_r04 and r06/r07 all lost the
@@ -99,7 +138,7 @@ object Bench {
       else omitted += 1
     }
     val shortLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{${head.toString}},"omitted":$omitted,"full":"$outPath","sf":"$sfDir","trials":$trials,"failed":$failed}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{${head.toString}},"omitted":$omitted,"full":"$outPath","load_max":${r2(laMax)},"steal_max_pct":${r2(stealMax)},"sf":"$sfDir","trials":$trials,"failed":$failed}"""
     // quiesce BEFORE the artifact line: the StateStore maintenance
     // thread's shutdown WARN otherwise lands after the JSON and breaks
     // the driver's tail parse (r12 finding #1)

@@ -19,11012 +19,9 @@ import graft.streaming.{BudgetAdmission, EventStream, IncrementalClusters, NearD
   * tiebreaks) — see the oracle entries. Merged into [[SparkEntry]].
   */
 object TrainQueries {
-
-  private def t(s: SparkSession, dir: String, n: String): DataFrame =
-    Tables(s, dir, n)
-
-  /** Tracked one-shot checkpoint ([[graft.ops.Snap.tracked]]): every
-    * `localCheckpoint` inside a QUERY BODY routes through here so the
-    * harness (Bench per trial, Verify per dump) releases the pinned
-    * blocks deterministically once the query's action completes —
-    * 263 queries × (warmup + 3 trials) otherwise accumulate stale
-    * blocks until a driver GC lets the ContextCleaner catch up.
-    * Session-fixture builders keep raw `localCheckpoint()`: their
-    * state must survive the invoking query.
-    */
-  private def snap(df: DataFrame): DataFrame = graft.ops.Snap.tracked(df)
-
-  /** Session-scoped fixture memoization — the shared discipline for
-    * every stored-artifact input (q82 staging, q128 history labels,
-    * the ANN model tables, the q130 edge file): build once per
-    * (session, corpus dir), drop entries of stopped sessions so a JVM
-    * cycling sessions cannot retain dead state for its lifetime.
-    * Queries whose INPUT is a production-stored artifact read it from
-    * here instead of rebuilding it per bench trial — trials then
-    * measure the operator, not fixture construction.
-    */
-  private def sessionFixture[T](
-      cache: scala.collection.mutable.Map[(String, String), T],
-      s: SparkSession, dir: String)(build: => T): T =
-    cache.synchronized {
-      cache.filterInPlace((k, _) =>
-        k._1 == s.sparkContext.applicationId)
-      cache.getOrElseUpdate((s.sparkContext.applicationId, dir), build)
-    }
-
-  /** The near-dup edge set at the q64/q71 parameters (3-gram Jaccard
-    * ≥ 0.5, df-capped) — the shared clustering input consumed by
-    * q107's representative selection, q128's incremental fold, and
-    * q130's streaming fold (q71 itself recomputes it inline: it IS
-    * the full-pipeline demonstration).
-    */
-  private val pairsCache = scala.collection.mutable.Map
-    .empty[(String, String), DataFrame]
-
-  private def dedupPairs(s: SparkSession, dir: String): DataFrame =
-    sessionFixture(pairsCache, s, dir) {
-      NearDup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-          n = 3, minJaccard = 0.5, maxDf = 100L)
-        .select("id_a", "id_b")
-        .localCheckpoint()
-    }
-
-  /** Full-corpus component labels over [[dedupPairs]] — q107's stored
-    * clustering input (its oracle recomputes the closure from scratch,
-    * so the gate still verifies the whole chain).
-    */
-  private val fullClusterCache = scala.collection.mutable.Map
-    .empty[(String, String), DataFrame]
-
-  private def fullClusterLabels(s: SparkSession, dir: String): DataFrame =
-    sessionFixture(fullClusterCache, s, dir) {
-      DedupClusters.connectedComponents(dedupPairs(s, dir), "id_a", "id_b")
-        .localCheckpoint()
-    }
-
-  /** q128's stored-artifact fixture: history component labels (the
-    * corpus minus the doc_id%5==0 arrivals), memoized per (session,
-    * corpus dir).
-    */
-  private val incrClusterCache = scala.collection.mutable.Map
-    .empty[(String, String), DataFrame]
-
-  /** q130's arrival source: [[dedupPairs]] written once as a parquet
-    * edge file — what the streaming fold stages into micro-batches.
-    */
-  private val edgeFileCache = scala.collection.mutable.Map
-    .empty[(String, String), String]
-
-  private def dedupPairsParquet(s: SparkSession, dir: String): String =
-    sessionFixture(edgeFileCache, s, dir) {
-      val tag = (s.sparkContext.applicationId + "_" + dir)
-        .replaceAll("[^a-zA-Z0-9]", "_")
-      val path = graft.Scratch.register(
-        s"${System.getProperty("java.io.tmpdir")}/graft_incrcc_edges_$tag")
-      dedupPairs(s, dir).coalesce(1).write.mode("overwrite").parquet(path)
-      path
-    }
-
-  /** Stored ANN model artifacts ([[graft.ops.ModelStore]]): the IVF
-    * coarse centroids and PQ codebooks are trained ONCE per (session,
-    * corpus) and PERSISTED as parquet model tables; every scoring call
-    * then LOADS them back (a metadata-sized read — k·dims longs).
-    * This is the train-once / score-many shape production deploys:
-    * q113/q115/q129 trials measure load + score, never re-training
-    * (re-training dominated their pre-round-7 medians: 8–14 Lloyd
-    * jobs per trial). The cache holds only the PATHS — the artifact
-    * of record is the parquet, exactly what a model registry stores.
-    */
-  private val annModelCache = scala.collection.mutable.Map
-    .empty[(String, String), (String, String)]
-
-  /** Paths of the stored (coarse-centroids, codebooks) model tables
-    * for `dir`, training and saving them on first use in this session.
-    * Training params are the q113/q115 fixture: coarse k=8 iters=2,
-    * PQ m=4 ksub=16 iters=2 over the qn>0-filtered corpus.
-    */
-  private def annModelPaths(s: SparkSession, dir: String): (String, String) =
-    sessionFixture(annModelCache, s, dir) {
-      val prep = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
-        .filter(col("qn") > 0).localCheckpoint()
-      val tag = (s.sparkContext.applicationId + "_" + dir)
-        .replaceAll("[^a-zA-Z0-9]", "_")
-      val tmp = System.getProperty("java.io.tmpdir")
-      val coarsePath =
-        graft.Scratch.register(s"$tmp/graft_model_coarse_$tag")
-      val cbPath =
-        graft.Scratch.register(s"$tmp/graft_model_codebooks_$tag")
-      ModelStore.saveCentroids(s, coarsePath,
-        KMeans.fitCentroids(prep, "vec_id", 8, 2))
-      ModelStore.saveCodebooks(s, cbPath,
-        ProductQuant.trainCodebooks(prep, "vec_id", 4, 16, 2))
-      (coarsePath, cbPath)
-    }
-
-  /** q278's oracle, generated so the planted marker lists come from
-    * the SAME [[TextFns.stopwordProfiles]] constant the engine's
-    * fixture uses — one source of truth for the plant, the discovery
-    * threshold, and the scoring argmax.
-    */
-  private def storedLangIdOracle: String = {
-    val profiles = TextFns.stopwordProfiles
-    // DuckDB string-literal escaping (doubled quote — NOT backslash,
-    // which is TextFns.sqlLit's Spark dialect): the engine-side twin
-    // langMarkedDocs escapes via sqlLit, so a profile token carrying
-    // an apostrophe (French "l'", say) must survive BOTH generators
-    def arm(ws: Seq[String]) =
-      ws.map(w => "'" + w.replace("'", "''") + "'")
-        .mkString("[", ", ", "]")
-    val mk = profiles
-      .map { case (l, ws) => s"WHEN '$l' THEN ${arm(ws)}" }
-      .mkString("CASE lang ", " ", " END")
-    val mk2 = profiles.indices
-      .map(i => (profiles(i)._1, profiles((i + 1) % profiles.size)._2))
-      .map { case (l, ws) => s"WHEN '$l' THEN ${arm(ws)}" }
-      .mkString("CASE lang ", " ", " END")
-    s"""WITH d0 AS (SELECT doc_id, lang, text, $mk AS mk, $mk2 AS mk2
-           FROM documents),
-       d AS (SELECT doc_id, lang, concat_ws(' ',
-           array_to_string(list_filter(list_transform([0, 1, 2, 3, 4],
-             i -> CASE WHEN (doc_id + i) % 3 <> 0 THEN mk[i + 1] END),
-             x -> x IS NOT NULL), ' '),
-           array_to_string(list_filter(list_transform([0, 1, 2, 3, 4],
-             i -> CASE WHEN (doc_id + i * 2) % 7 = 0 THEN mk2[i + 1] END),
-             x -> x IS NOT NULL), ' '),
-           text) AS text2
-         FROM d0),
-       tr AS (SELECT lang, doc_id, text2 FROM d WHERE doc_id % 10 <> 0),
-       nd AS (SELECT lang, COUNT(*) AS n FROM tr GROUP BY 1),
-       dt AS (SELECT lang, doc_id,
-           unnest(list_distinct(list_filter(string_split(text2, ' '),
-             t -> t <> ''))) AS token
-         FROM tr),
-       dfq AS (SELECT lang, token, COUNT(*) AS df FROM dt GROUP BY 1, 2),
-       prof AS (SELECT q.lang, q.token FROM dfq q JOIN nd USING (lang)
-         WHERE q.df * 10000 // nd.n >= 3000),
-       te AS (SELECT doc_id, lang,
-           list_filter(string_split(text2, ' '), t -> t <> '') AS toks
-         FROM d WHERE doc_id % 10 = 0),
-       tok AS (SELECT doc_id, unnest(toks) AS token FROM te),
-       hits AS (SELECT t.doc_id, p.lang, COUNT(*) AS h
-         FROM tok t JOIN prof p ON t.token = p.token GROUP BY 1, 2),
-       best AS (SELECT doc_id, lang AS pred_lang FROM (
-           SELECT doc_id, lang, row_number() OVER
-             (PARTITION BY doc_id ORDER BY h DESC, lang ASC) AS rn
-           FROM hits)
-         WHERE rn = 1)
-       SELECT te.doc_id, te.lang,
-           COALESCE(b.pred_lang, 'und') AS pred_lang,
-           (te.lang = COALESCE(b.pred_lang, 'und')) AS correct
-       FROM te LEFT JOIN best b USING (doc_id)
-       ORDER BY te.doc_id"""
-  }
-
-  /** Shared SimHash CTE for the DuckDB oracles (per-doc 32-hex-char
-    * signature; must mirror [[NearDup.withSimHash]] bit-for-bit).
-    */
-  private val simhashCte =
-    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
-      |        FROM documents),
-      |th AS (SELECT doc_id, md5(tk) AS h FROM tok),
-      |bits AS (SELECT doc_id, k,
-      |    CASE WHEN ((strpos('0123456789abcdef', substr(h, (k // 4) + 1, 1))
-      |               - 1) >> (k % 4)) & 1 = 1 THEN 1 ELSE -1 END AS v
-      |  FROM th, (SELECT unnest(range(0, 128)) AS k)),
-      |acc AS (SELECT doc_id, k, SUM(v) AS s FROM bits GROUP BY 1, 2),
-      |nib AS (SELECT doc_id, k // 4 AS p,
-      |    SUM(CASE WHEN s > 0 THEN 1 << (k % 4) ELSE 0 END) AS nv
-      |  FROM acc GROUP BY 1, 2),
-      |sig AS (SELECT doc_id,
-      |    string_agg(substr('0123456789abcdef', CAST(nv + 1 AS BIGINT), 1),
-      |               '' ORDER BY p) AS simhash
-      |  FROM nib GROUP BY 1)""".stripMargin
-
-  /** Shared quantized-embedding CTEs for the DuckDB oracles (64-dim at
-    * the oracle scale factor; mirrors [[Similarity.prepare]]). `nrm`
-    * drops zero-norm vectors — the Spark side's `qn > 0` filters
-    * (Similarity: no cosine direction) must be mirrored or a zero
-    * vector would produce inf/NaN sims here while Spark excludes it.
-    */
-  private val quantCte =
-    """q AS (SELECT vec_id, i,
-      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0 + 0.5)
-      |         AS BIGINT) AS x
-      |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
-      |nrm AS (SELECT vec_id, SUM(x * x) AS nn FROM q GROUP BY 1
-      |        HAVING SUM(x * x) > 0)"""
-      .stripMargin
-
-  /** The SAME 10⁴ quantization as [[quantCte]]'s `q`, kept as one list
-    * per vector so pair dots run through DuckDB's native
-    * `list_inner_product` instead of a 64-rows-per-pair unnest join —
-    * the difference between minutes and hours when an oracle replays a
-    * quadratic pair leg at the sf1 50 k-vector scale. Exactness holds
-    * because every quantized term is an integer: |x| ≤ ~10⁴,
-    * |x·x| ≤ 10⁸, 64-element sums ≤ ~10¹⁰ — all far under 2⁵³, so the
-    * DOUBLE arithmetic is exact and `CAST(... AS BIGINT)` of the
-    * product reproduces the integer dot bit-for-bit.
-    */
-  private val qlistCte =
-    """qv AS (SELECT vec_id,
-      |    list_transform(embedding, e ->
-      |      CAST(floor(CAST(e AS DOUBLE) * 10000.0 + 0.5) AS DOUBLE))
-      |      AS xs
-      |  FROM embeddings)"""
-      .stripMargin
-
-  /** Shared oracle for q286 (stored-model scoring) and q288
-    * (incremental counts-merge refresh): both train the SAME model —
-    * counts are additive, so base(%10∉{0,1}) + batch(%10=1) ≡ a
-    * from-scratch retrain over %10≠0 — and score the same held-out
-    * split, so one SQL retrain gates both (the q103/q276
-    * incremental≡batch shared-oracle discipline).
-    */
-  private val qualityClassifierCtes =
-    """mk(i, pos, tok) AS (VALUES
-      |    (0, TRUE, 'citation'), (1, TRUE, 'reference'),
-      |    (2, TRUE, 'paragraph'), (3, TRUE, 'summary'),
-      |    (4, TRUE, 'bibliography'),
-      |    (0, FALSE, 'cheap'), (1, FALSE, 'click'),
-      |    (2, FALSE, 'winner'), (3, FALSE, 'casino'),
-      |    (4, FALSE, 'pills')),
-      |lab AS (SELECT doc_id, text, doc_id % 3 <> 0 AS pos
-      |  FROM documents),
-      |own AS (SELECT l.doc_id, m.tok FROM lab l JOIN mk m
-      |  ON m.pos = l.pos AND (l.doc_id + m.i) % 3 <> 0),
-      |noise AS (SELECT l.doc_id, m.tok FROM lab l JOIN mk m
-      |  ON m.pos <> l.pos AND (l.doc_id + m.i * 2) % 7 = 0),
-      |toks AS (SELECT doc_id, tok FROM own
-      |  UNION ALL SELECT doc_id, tok FROM noise
-      |  UNION ALL SELECT doc_id,
-      |    unnest(list_filter(string_split(text, ' '), t -> t <> ''))
-      |  FROM lab),
-      |tr AS (SELECT t.doc_id, t.tok, l.pos FROM toks t
-      |  JOIN lab l USING (doc_id) WHERE t.doc_id % 10 <> 0),
-      |counts AS (SELECT tok,
-      |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
-      |    CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
-      |  FROM tr GROUP BY 1),
-      |tot AS (SELECT CAST(SUM(cp) AS BIGINT) AS np,
-      |    CAST(SUM(cn) AS BIGINT) AS nn, COUNT(*) AS v FROM counts),
-      |votes AS (SELECT tok,
-      |    CASE WHEN (cp + 1) * (nn + v) > 2 * (cn + 1) * (np + v)
-      |        THEN 1
-      |      WHEN (cn + 1) * (np + v) > 2 * (cp + 1) * (nn + v)
-      |        THEN -1
-      |      ELSE 0 END AS vote
-      |  FROM counts, tot),
-      |te AS (SELECT doc_id, tok FROM toks WHERE doc_id % 10 = 0),
-      |sc AS (SELECT te.doc_id,
-      |    CAST(SUM(COALESCE(v.vote, 0)) AS BIGINT) AS score
-      |  FROM te LEFT JOIN votes v ON te.tok = v.tok AND v.vote <> 0
-      |  GROUP BY 1)""".stripMargin
-
-  private val qualityClassifierOracle =
-    s"""WITH $qualityClassifierCtes
-       |SELECT s.doc_id, l.pos AS label_good, s.score,
-       |    s.score > 0 AS pred_good,
-       |    (s.score > 0) = l.pos AS correct
-       |FROM sc s JOIN lab l USING (doc_id)
-       |ORDER BY s.doc_id""".stripMargin
-
-  /** q51's oracle: exact top-3, LSH top-3, and IVF top-3 all recomputed
-    * in SQL (the q28/q29/q37 constructions on the vec_id < 50 query
-    * set), then recall = hits / |exact| per method.
-    */
-  private val annRecallOracle =
-    s"""WITH $quantCte,
-       exd AS (SELECT a.vec_id AS query_id, b.vec_id AS id_b,
-           SUM(a.x * b.x) AS dot
-         FROM q a JOIN q b ON a.i = b.i
-         WHERE a.vec_id < 50 AND a.vec_id <> b.vec_id
-         GROUP BY 1, 2),
-       exs AS (SELECT query_id, id_b,
-           CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
-             * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
-         FROM exd JOIN nrm na ON exd.query_id = na.vec_id
-                  JOIN nrm nb ON exd.id_b = nb.vec_id),
-       ex AS (SELECT query_id, id_b AS neighbor_id FROM
-           (SELECT query_id, id_b, row_number() OVER
-             (PARTITION BY query_id ORDER BY sim DESC, id_b ASC) AS rk
-            FROM exs) WHERE rk <= 3),
-       w AS (SELECT h, i, CAST(strpos('0123456789abcdef',
-             substr(md5(CAST(h AS VARCHAR) || ',' ||
-               CAST(i - 1 AS VARCHAR)), 1, 1)) - 1 AS DOUBLE) - 7.5 AS w
-         FROM (SELECT unnest(range(1, 5)) AS h),
-              (SELECT unnest(range(1, 65)) AS i)),
-       proj AS (SELECT q.vec_id, w.h, SUM(w.w * CAST(q.x AS DOUBLE)) AS p
-         FROM q JOIN w ON q.i = w.i GROUP BY 1, 2),
-       bkt AS (SELECT vec_id, CAST(SUM(CASE WHEN p > 0
-             THEN 1 << (4 - h) ELSE 0 END) AS BIGINT) AS bucket
-         FROM proj GROUP BY 1),
-       ld AS (SELECT a.vec_id AS query_id, b.vec_id AS id_b,
-           SUM(a.x * b.x) AS dot
-         FROM q a JOIN bkt ba ON a.vec_id = ba.vec_id
-              JOIN bkt bb ON ba.bucket = bb.bucket
-              JOIN q b ON b.vec_id = bb.vec_id AND a.i = b.i
-         WHERE a.vec_id <> b.vec_id
-         GROUP BY 1, 2),
-       lsm AS (SELECT query_id, id_b,
-           CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
-             * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
-         FROM ld JOIN nrm na ON ld.query_id = na.vec_id
-                 JOIN nrm nb ON ld.id_b = nb.vec_id),
-       lsh AS (SELECT query_id, id_b AS neighbor_id FROM
-           (SELECT query_id, id_b, row_number() OVER
-             (PARTITION BY query_id ORDER BY sim DESC, id_b ASC) AS rk
-            FROM lsm) WHERE rk <= 3 AND query_id < 50),
-       cells AS (SELECT CAST(e.label AS BIGINT) AS cell_label, i,
-           CAST(SUM(x) AS BIGINT) AS s
-         FROM q JOIN embeddings e ON q.vec_id = e.vec_id GROUP BY 1, 2),
-       cellnorm AS (SELECT cell_label, SUM(s * s) AS cn
-         FROM cells GROUP BY 1),
-       coarse AS (SELECT a.vec_id AS query_id, c.cell_label,
-           SUM(a.x * c.s) AS dot
-         FROM q a JOIN cells c ON a.i = c.i
-         WHERE a.vec_id < 50 GROUP BY 1, 2),
-       csim AS (SELECT query_id, coarse.cell_label,
-           CAST(dot AS DOUBLE) / (sqrt(CAST(n1.nn AS DOUBLE))
-             * sqrt(CAST(cn.cn AS DOUBLE))) AS coarse_sim
-         FROM coarse JOIN nrm n1 ON coarse.query_id = n1.vec_id
-              JOIN cellnorm cn ON coarse.cell_label = cn.cell_label),
-       best AS (SELECT query_id, cell_label FROM
-           (SELECT query_id, cell_label, row_number() OVER
-             (PARTITION BY query_id
-              ORDER BY coarse_sim DESC, cell_label ASC) AS rn
-            FROM csim) WHERE rn = 1),
-       fine AS (SELECT b.query_id, e.vec_id AS neighbor_id,
-           SUM(a.x * bb.x) AS dot
-         FROM best b JOIN embeddings e
-           ON CAST(e.label AS BIGINT) = b.cell_label
-         JOIN q a ON a.vec_id = b.query_id
-         JOIN q bb ON bb.vec_id = e.vec_id AND bb.i = a.i
-         WHERE e.vec_id <> b.query_id GROUP BY 1, 2),
-       fsim AS (SELECT query_id, neighbor_id,
-           CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
-             * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
-         FROM fine JOIN nrm na ON fine.query_id = na.vec_id
-              JOIN nrm nb ON fine.neighbor_id = nb.vec_id),
-       ivf AS (SELECT query_id, neighbor_id FROM
-           (SELECT query_id, neighbor_id, row_number() OVER
-             (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC)
-             AS rk
-            FROM fsim) WHERE rk <= 3),
-       sc AS (
-         SELECT 'ivf' AS method,
-             COUNT(DISTINCT ex.query_id) AS n_queries,
-             COUNT(*) AS n_exact,
-             CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_hits
-         FROM ex LEFT JOIN ivf a
-           ON ex.query_id = a.query_id AND ex.neighbor_id = a.neighbor_id
-         UNION ALL
-         SELECT 'lsh' AS method,
-             COUNT(DISTINCT ex.query_id) AS n_queries,
-             COUNT(*) AS n_exact,
-             CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_hits
-         FROM ex LEFT JOIN lsh a
-           ON ex.query_id = a.query_id AND ex.neighbor_id = a.neighbor_id)
-       SELECT method, n_queries, n_exact, n_hits,
-              CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
-       FROM sc ORDER BY method"""
-
-  /** q56's oracle: exact top-3 and Hamming-1 multi-probe LSH top-3
-    * recomputed in SQL, recall = hits / |exact| — q51's scaffolding
-    * restricted to the one method, with each query probing its own
-    * bucket plus every single-plane flip.
-    */
-  private val lshMultiProbeOracle =
-    s"""WITH $quantCte,
-       exd AS (SELECT a.vec_id AS query_id, b.vec_id AS id_b,
-           SUM(a.x * b.x) AS dot
-         FROM q a JOIN q b ON a.i = b.i
-         WHERE a.vec_id < 50 AND a.vec_id <> b.vec_id
-         GROUP BY 1, 2),
-       exs AS (SELECT query_id, id_b,
-           CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
-             * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
-         FROM exd JOIN nrm na ON exd.query_id = na.vec_id
-                  JOIN nrm nb ON exd.id_b = nb.vec_id),
-       ex AS (SELECT query_id, id_b AS neighbor_id FROM
-           (SELECT query_id, id_b, row_number() OVER
-             (PARTITION BY query_id ORDER BY sim DESC, id_b ASC) AS rk
-            FROM exs) WHERE rk <= 3),
-       w AS (SELECT h, i, CAST(strpos('0123456789abcdef',
-             substr(md5(CAST(h AS VARCHAR) || ',' ||
-               CAST(i - 1 AS VARCHAR)), 1, 1)) - 1 AS DOUBLE) - 7.5 AS w
-         FROM (SELECT unnest(range(1, 5)) AS h),
-              (SELECT unnest(range(1, 65)) AS i)),
-       proj AS (SELECT q.vec_id, w.h, SUM(w.w * CAST(q.x AS DOUBLE)) AS p
-         FROM q JOIN w ON q.i = w.i GROUP BY 1, 2),
-       bkt AS (SELECT vec_id, CAST(SUM(CASE WHEN p > 0
-             THEN 1 << (4 - h) ELSE 0 END) AS BIGINT) AS bucket
-         FROM proj GROUP BY 1),
-       pr AS (SELECT vec_id, unnest([bucket, xor(bucket, 1),
-             xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS bucket
-         FROM bkt WHERE vec_id < 50),
-       ld AS (SELECT a.vec_id AS query_id, b.vec_id AS id_b,
-           SUM(a.x * b.x) AS dot
-         FROM q a JOIN pr pa ON a.vec_id = pa.vec_id
-              JOIN bkt bb ON pa.bucket = bb.bucket
-              JOIN q b ON b.vec_id = bb.vec_id AND a.i = b.i
-         WHERE a.vec_id <> b.vec_id
-         GROUP BY 1, 2),
-       lsm AS (SELECT query_id, id_b,
-           CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
-             * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
-         FROM ld JOIN nrm na ON ld.query_id = na.vec_id
-                 JOIN nrm nb ON ld.id_b = nb.vec_id),
-       mp AS (SELECT query_id, id_b AS neighbor_id FROM
-           (SELECT query_id, id_b, row_number() OVER
-             (PARTITION BY query_id ORDER BY sim DESC, id_b ASC) AS rk
-            FROM lsm) WHERE rk <= 3)
-       SELECT 'lsh_mp' AS method,
-           COUNT(DISTINCT ex.query_id) AS n_queries,
-           COUNT(*) AS n_exact,
-           CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_hits,
-           CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
-             AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
-       FROM ex LEFT JOIN mp a
-         ON ex.query_id = a.query_id AND ex.neighbor_id = a.neighbor_id"""
-
-  /** Shared by q31 (memory sink) and q58 (foreachBatch parquet sink):
-    * the late-filtered batch equivalent of the watermarked windowed
-    * aggregation — the sink must not change the data.
-    */
-  /** Shared by q49 (window form) and q95 (typed cogroup form): the two
-    * implementations claim identical as-of semantics and must match
-    * the same oracle — like q57/q70's streaming/batch pair.
-    */
-  private val asofOracle =
-    """SELECT event_id, user_id, ms AS click_ms, signup_ms, signup_event
-       FROM (SELECT event_id, user_id, event_type, ms,
-           last_value(CASE WHEN event_type = 'signup' THEN ms END
-             IGNORE NULLS) OVER w AS signup_ms,
-           last_value(CASE WHEN event_type = 'signup' THEN event_id END
-             IGNORE NULLS) OVER w AS signup_event
-         FROM (SELECT event_id, user_id, event_type,
-             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events)
-         WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-       WHERE event_type = 'click' ORDER BY event_id"""
-
-  private val streamWindowOracle =
-    """WITH mx AS (SELECT epoch_us(MAX(CAST(ts AS TIMESTAMP))) // 1000
-                     AS max_ms FROM events),
-       b AS (SELECT epoch_ms(time_bucket(INTERVAL 10 MINUTE,
-               CAST(ts AS TIMESTAMP), TIMESTAMP '1970-01-01'))
-               AS window_start_ms,
-             event_type, COUNT(*) AS n_events
-         FROM events GROUP BY 1, 2)
-       SELECT window_start_ms, event_type, n_events FROM b, mx
-       WHERE window_start_ms + 600000 <= max_ms - 3600000
-       ORDER BY window_start_ms, event_type"""
-
-  /** q59's oracle: q51's IVF construction with the top TWO coarse cells
-    * probed (rn ≤ 2), scored against the exact baseline.
-    */
-  private val ivfMultiProbeOracle =
-    s"""WITH $quantCte,
-       exd AS (SELECT a.vec_id AS query_id, b.vec_id AS id_b,
-           SUM(a.x * b.x) AS dot
-         FROM q a JOIN q b ON a.i = b.i
-         WHERE a.vec_id < 50 AND a.vec_id <> b.vec_id
-         GROUP BY 1, 2),
-       exs AS (SELECT query_id, id_b,
-           CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
-             * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
-         FROM exd JOIN nrm na ON exd.query_id = na.vec_id
-                  JOIN nrm nb ON exd.id_b = nb.vec_id),
-       ex AS (SELECT query_id, id_b AS neighbor_id FROM
-           (SELECT query_id, id_b, row_number() OVER
-             (PARTITION BY query_id ORDER BY sim DESC, id_b ASC) AS rk
-            FROM exs) WHERE rk <= 3),
-       cells AS (SELECT CAST(e.label AS BIGINT) AS cell_label, i,
-           CAST(SUM(x) AS BIGINT) AS s
-         FROM q JOIN embeddings e ON q.vec_id = e.vec_id GROUP BY 1, 2),
-       cellnorm AS (SELECT cell_label, SUM(s * s) AS cn
-         FROM cells GROUP BY 1),
-       coarse AS (SELECT a.vec_id AS query_id, c.cell_label,
-           SUM(a.x * c.s) AS dot
-         FROM q a JOIN cells c ON a.i = c.i
-         WHERE a.vec_id < 50 GROUP BY 1, 2),
-       csim AS (SELECT query_id, coarse.cell_label,
-           CAST(dot AS DOUBLE) / (sqrt(CAST(n1.nn AS DOUBLE))
-             * sqrt(CAST(cn.cn AS DOUBLE))) AS coarse_sim
-         FROM coarse JOIN nrm n1 ON coarse.query_id = n1.vec_id
-              JOIN cellnorm cn ON coarse.cell_label = cn.cell_label),
-       best AS (SELECT query_id, cell_label FROM
-           (SELECT query_id, cell_label, row_number() OVER
-             (PARTITION BY query_id
-              ORDER BY coarse_sim DESC, cell_label ASC) AS rn
-            FROM csim) WHERE rn <= 2),
-       fine AS (SELECT b.query_id, e.vec_id AS neighbor_id,
-           SUM(a.x * bb.x) AS dot
-         FROM best b JOIN embeddings e
-           ON CAST(e.label AS BIGINT) = b.cell_label
-         JOIN q a ON a.vec_id = b.query_id
-         JOIN q bb ON bb.vec_id = e.vec_id AND bb.i = a.i
-         WHERE e.vec_id <> b.query_id GROUP BY 1, 2),
-       fsim AS (SELECT query_id, neighbor_id,
-           CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
-             * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
-         FROM fine JOIN nrm na ON fine.query_id = na.vec_id
-              JOIN nrm nb ON fine.neighbor_id = nb.vec_id),
-       ivf AS (SELECT query_id, neighbor_id FROM
-           (SELECT query_id, neighbor_id, row_number() OVER
-             (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC)
-             AS rk
-            FROM fsim) WHERE rk <= 3)
-       SELECT 'ivf_np2' AS method,
-           COUNT(DISTINCT ex.query_id) AS n_queries,
-           COUNT(*) AS n_exact,
-           CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_hits,
-           CAST(SUM(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END)
-             AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
-       FROM ex LEFT JOIN ivf a
-         ON ex.query_id = a.query_id AND ex.neighbor_id = a.neighbor_id"""
-
-  /** q25's oracle, generated so the min-hash family coefficients are the
-    * exact same literals the Spark side uses ([[NearDup.hashCoeffs]]).
-    */
-  /** Quality-scored documents CTE chain shared by the q86 and q98
-    * oracles — ONE copy of [[TextFns.qualityScore]]'s formula so the
-    * two quality-ordered exports can never drift apart (q45 carries
-    * the same formula inside its larger composite CTE).
-    */
-  private val qualityScoredCtes =
-    """WITH d AS (SELECT doc_id, lang, source, text,
-             string_split(text, ' ') AS toks FROM documents),
-         sc AS (SELECT doc_id, lang, source, text,
-             CAST(len(toks) AS BIGINT) AS n_tok,
-             0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
-               + 0.3 * (1.0 - CAST(len(list_filter(toks,
-                     w -> w IN ('the','a','of','and','is'))) AS DOUBLE)
-                   / CAST(len(toks) AS DOUBLE))
-               + 0.2 * least(((CAST(length(text) AS DOUBLE)
-                     - (CAST(len(toks) AS DOUBLE) - 1.0))
-                   / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0) AS quality
-           FROM d)"""
-
-  /** The shingle→hash→signature→band CTE chain shared by the q25 and
-    * q99 oracles — min-hash coefficients interpolated as the exact
-    * literals the Spark side uses ([[NearDup.hashCoeffs]]).
-    */
-  private def minhashCtes: String = {
-    val sigEntries = NearDup.hashCoeffs(32)
-      .map { case (a, b) =>
-        s"list_min(list_transform(xs, x -> ($a * x + $b) % ${NearDup.HashP}))"
-      }
-      .mkString("[\n             ", ",\n             ", "\n           ]")
-    val bandSelects = (0 until 4).map { bnd =>
-      val parts = (1 to 8).map(r => s"CAST(sg[${bnd * 8 + r}] AS VARCHAR)")
-        .mkString(" || ',' || ")
-      s"SELECT doc_id, $bnd AS b, md5($parts) AS bkey FROM sig"
-    }.mkString("\n           UNION ALL ")
-    s"""WITH s AS (SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, greatest(length(text) - 4, 1) + 1),
-               i -> substr(text, i, 5))) AS shingles
-           FROM documents),
-         xs AS (SELECT doc_id, shingles, list_transform(shingles,
-             sh -> CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)
-                   % ${NearDup.HashP}) AS xs
-           FROM s),
-         sig AS (SELECT doc_id, $sigEntries AS sg FROM xs),
-         bands AS ($bandSelects)"""
-  }
-
-  /** The q214/q268-shared DuckDB replay of winnowing selection at
-    * L = 30, w = 8: per-position 60-bit gram hashes, the per-window-
-    * min rule as the 8 covering-window MIN frames + the sub-w global-
-    * min fallback, distinct (doc_id, gram) selections in `sel`.
-    */
-  private val winnowSelCtes: String =
-    """WITH g AS (SELECT doc_id, j, substr(text, j, 30) AS gram,
-             CAST('0x' || substr(md5(substr(text, j, 30)), 1, 15)
-               AS BIGINT) AS h
-           FROM documents, unnest(range(1, length(text) - 28)) u(j)),
-         w AS (SELECT doc_id, j, gram, h,
-             COUNT(*) OVER (PARTITION BY doc_id) AS n,
-             MIN(h) OVER (PARTITION BY doc_id) AS gm,
-             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
-               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m0,
-             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
-               ROWS BETWEEN 1 PRECEDING AND 6 FOLLOWING) AS m1,
-             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
-               ROWS BETWEEN 2 PRECEDING AND 5 FOLLOWING) AS m2,
-             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
-               ROWS BETWEEN 3 PRECEDING AND 4 FOLLOWING) AS m3,
-             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
-               ROWS BETWEEN 4 PRECEDING AND 3 FOLLOWING) AS m4,
-             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
-               ROWS BETWEEN 5 PRECEDING AND 2 FOLLOWING) AS m5,
-             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
-               ROWS BETWEEN 6 PRECEDING AND 1 FOLLOWING) AS m6,
-             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
-               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS m7
-           FROM g),
-         sel AS (SELECT DISTINCT doc_id, gram FROM w
-           WHERE (n < 8 AND h = gm)
-              OR (j + 7 <= n AND h = m0)
-              OR (j >= 2 AND j + 6 <= n AND h = m1)
-              OR (j >= 3 AND j + 5 <= n AND h = m2)
-              OR (j >= 4 AND j + 4 <= n AND h = m3)
-              OR (j >= 5 AND j + 3 <= n AND h = m4)
-              OR (j >= 6 AND j + 2 <= n AND h = m5)
-              OR (j >= 7 AND j + 1 <= n AND h = m6)
-              OR (j >= 8 AND h = m7))"""
-
-  /** q266's oracle: the q25 chain re-sourced onto the synthetic
-    * corpus (docs + the two planted canonical twins per %13 doc) and
-    * shingled on the CANONICAL text, with the exact raw-shingle
-    * Jaccard of every verified pair beside it in bp.
-    */
-  private def canonNearDupOracle: String = {
-    val sigEntries = NearDup.hashCoeffs(32)
-      .map { case (a, b) =>
-        s"list_min(list_transform(xs, x -> ($a * x + $b) % ${NearDup.HashP}))"
-      }
-      .mkString("[\n             ", ",\n             ", "\n           ]")
-    val bandSelects = (0 until 4).map { bnd =>
-      val parts = (1 to 8).map(r => s"CAST(sg[${bnd * 8 + r}] AS VARCHAR)")
-        .mkString(" || ',' || ")
-      s"SELECT doc_id, $bnd AS b, md5($parts) AS bkey FROM sig"
-    }.mkString("\n           UNION ALL ")
-    s"""WITH corpus AS (SELECT doc_id, text FROM documents
-           UNION ALL
-           SELECT doc_id + 1000000, replace(lower(text), 'e', chr(233))
-           FROM documents WHERE doc_id % 13 = 0
-           UNION ALL
-           SELECT doc_id + 2000000,
-             upper(replace(lower(text), 'e', 'e' || chr(769)))
-           FROM documents WHERE doc_id % 13 = 0),
-         cn AS (SELECT doc_id, text,
-             regexp_replace(lower(trim(nfc_normalize(text))),
-               '\\s+', ' ', 'g') AS canon
-           FROM corpus),
-         s AS (SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, greatest(length(canon) - 4, 1) + 1),
-               i -> substr(canon, i, 5))) AS shingles
-           FROM cn),
-         sraw AS (SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, greatest(length(text) - 4, 1) + 1),
-               i -> substr(text, i, 5))) AS rsh
-           FROM cn),
-         xs AS (SELECT doc_id, shingles, list_transform(shingles,
-             sh -> CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)
-                   % ${NearDup.HashP}) AS xs
-           FROM s),
-         sig AS (SELECT doc_id, $sigEntries AS sg FROM xs),
-         bands AS ($bandSelects),
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM bands a JOIN bands b
-             ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         jac AS (SELECT id_a, id_b,
-             CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-               / CAST(len(x.shingles) + len(y.shingles)
-                   - len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-               AS jaccard_canon
-           FROM cand JOIN s x ON cand.id_a = x.doc_id
-                     JOIN s y ON cand.id_b = y.doc_id)
-         SELECT jac.id_a, jac.id_b, jac.jaccard_canon,
-             CAST(len(list_intersect(ra.rsh, rb.rsh)) * 10000
-               // (len(ra.rsh) + len(rb.rsh)
-                   - len(list_intersect(ra.rsh, rb.rsh))) AS BIGINT)
-               AS jaccard_raw_bp
-         FROM jac JOIN sraw ra ON jac.id_a = ra.doc_id
-                  JOIN sraw rb ON jac.id_b = rb.doc_id
-         WHERE jac.jaccard_canon >= 0.5
-         ORDER BY jac.id_a, jac.id_b"""
-  }
-
-  private def minhashLshOracle: String =
-    s"""$minhashCtes,
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM bands a JOIN bands b
-             ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         jac AS (SELECT id_a, id_b,
-             CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-               / CAST(len(x.shingles) + len(y.shingles)
-                   - len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-               AS jaccard,
-             CAST(len(list_filter(
-                 list_zip(sa.sg, sb.sg), p -> p[1] = p[2])) AS DOUBLE)
-               / 32.0 AS est_jaccard
-           FROM cand JOIN s x ON cand.id_a = x.doc_id
-                     JOIN s y ON cand.id_b = y.doc_id
-                     JOIN sig sa ON cand.id_a = sa.doc_id
-                     JOIN sig sb ON cand.id_b = sb.doc_id)
-         SELECT id_a, id_b, jaccard, est_jaccard FROM jac
-         WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""
-
-  /** q237's oracle: the q25 chain (shared CTEs) verified at J ≥ 0.5,
-    * crossed with the q46 md5-bucket split and kept where the splits
-    * differ.
-    */
-  private def splitLeakageOracle: String =
-    s"""$minhashCtes,
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM bands a JOIN bands b
-             ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         jac AS (SELECT id_a, id_b,
-             CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-               / CAST(len(x.shingles) + len(y.shingles)
-                   - len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-               AS jaccard
-           FROM cand JOIN s x ON cand.id_a = x.doc_id
-                     JOIN s y ON cand.id_b = y.doc_id),
-         sp AS (SELECT doc_id,
-             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
-                   1, 8) AS BIGINT) % 100 < 80 THEN 'train'
-               WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
-                   1, 8) AS BIGINT) % 100 < 90 THEN 'val'
-               ELSE 'test' END AS split
-           FROM documents)
-         SELECT id_a, id_b, jaccard, sa.split AS split_a,
-             sb.split AS split_b
-         FROM jac JOIN sp sa ON jac.id_a = sa.doc_id
-                  JOIN sp sb ON jac.id_b = sb.doc_id
-         WHERE jaccard >= 0.5 AND sa.split <> sb.split
-         ORDER BY id_a, id_b"""
-
-  /** q257's oracle: the q25 chain (shared CTEs) verified at J ≥ 0.5
-    * rolled up within-source, crossed with the quantized quality
-    * rollup and the q220 novelty legs — every signal the scorecard
-    * composes, replayed from its dedicated query's oracle idioms.
-    */
-  private def sourceScorecardOracle: String =
-    s"""$minhashCtes,
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM bands a JOIN bands b
-             ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         jac AS (SELECT id_a, id_b
-           FROM cand JOIN s x ON cand.id_a = x.doc_id
-                     JOIN s y ON cand.id_b = y.doc_id
-           WHERE CAST(len(list_intersect(x.shingles, y.shingles))
-                 AS DOUBLE)
-               / CAST(len(x.shingles) + len(y.shingles)
-                   - len(list_intersect(x.shingles, y.shingles))
-                 AS DOUBLE) >= 0.5),
-         dsrc AS (SELECT doc_id, source FROM documents),
-         dp AS (SELECT a.source,
-             CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
-           FROM jac j JOIN dsrc a ON j.id_a = a.doc_id
-                      JOIN dsrc b ON j.id_b = b.doc_id
-           WHERE a.source = b.source GROUP BY 1),
-         tk AS (SELECT doc_id, source, text,
-             list_filter(string_split(text, ' '), t -> t <> '') AS toks
-           FROM documents),
-         q AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
-             CAST(SUM(CAST(floor((
-                 0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
-                 + 0.3 * (1.0 - CAST(len(list_filter(toks,
-                       w -> w IN ('the','a','of','and','is')))
-                     AS DOUBLE) / CAST(len(toks) AS DOUBLE))
-                 + 0.2 * least(((CAST(length(text) AS DOUBLE)
-                       - (CAST(len(toks) AS DOUBLE) - 1.0))
-                     / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0)
-               ) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS qsum
-           FROM tk GROUP BY 1),
-         gt AS (SELECT doc_id, source,
-             string_split(text, ' ') AS t FROM documents),
-         g AS (SELECT doc_id, source,
-             unnest(list_distinct(list_transform(
-               range(1, greatest(len(t) - 2, 1) + 1),
-               i -> array_to_string(t[i:i+2], ' ')))) AS gram
-           FROM gt),
-         hist AS (SELECT DISTINCT gram FROM g WHERE doc_id % 5 <> 0),
-         arr AS (SELECT source, gram FROM g WHERE doc_id % 5 = 0),
-         nov AS (SELECT a.source, CAST(COUNT(*) AS BIGINT) AS n_novel
-           FROM arr a LEFT JOIN hist h ON a.gram = h.gram
-           WHERE h.gram IS NULL GROUP BY 1),
-         tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
-           FROM arr GROUP BY 1)
-         SELECT q.source, q.n_docs, q.n_tokens,
-             CAST(q.qsum // q.n_docs AS BIGINT) AS mean_quality_bp,
-             CAST(COALESCE((COALESCE(nov.n_novel, 0) * 10000)
-               // tot.n_grams, 0) AS BIGINT) AS novelty_bp,
-             CAST(COALESCE(dp.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs
-         FROM q LEFT JOIN tot ON q.source = tot.source
-                LEFT JOIN nov ON q.source = nov.source
-                LEFT JOIN dp ON q.source = dp.source
-         ORDER BY q.source"""
-
-  /** q259's oracle: the q25 chain's candidates with both estimators
-    * recomputed in exact truncating integers beside exact Jaccard.
-    */
-  private def bbitMinhashOracle: String =
-    s"""$minhashCtes,
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM bands a JOIN bands b
-             ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         m AS (SELECT id_a, id_b,
-             CAST(len(list_filter(list_zip(sa.sg, sb.sg),
-               p -> p[1] = p[2])) AS BIGINT) AS m32,
-             CAST(len(list_filter(list_zip(sa.sg, sb.sg),
-               p -> p[1] % 2 = p[2] % 2)) AS BIGINT) AS m1
-           FROM cand JOIN sig sa ON cand.id_a = sa.doc_id
-                     JOIN sig sb ON cand.id_b = sb.doc_id),
-         j AS (SELECT id_a, id_b,
-             CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-               / CAST(len(x.shingles) + len(y.shingles)
-                   - len(list_intersect(x.shingles, y.shingles))
-                 AS DOUBLE) AS jaccard
-           FROM cand JOIN s x ON cand.id_a = x.doc_id
-                     JOIN s y ON cand.id_b = y.doc_id)
-         SELECT j.id_a, j.id_b, j.jaccard,
-             CAST((m32 * 10000) // 32 AS BIGINT) AS est32_bp,
-             CAST((2 * m1 * 10000) // 32 - 10000 AS BIGINT) AS est1_bp
-         FROM j JOIN m ON j.id_a = m.id_a AND j.id_b = m.id_b
-         ORDER BY j.id_a, j.id_b"""
-
-  /** q260's oracle: the q25 verified pair set with quantized endpoint
-    * qualities and the quality-max-ties-to-min-id policy compare.
-    */
-  private def canonPolicyOracle: String =
-    s"""$minhashCtes,
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM bands a JOIN bands b
-             ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         jac AS (SELECT id_a, id_b
-           FROM cand JOIN s x ON cand.id_a = x.doc_id
-                     JOIN s y ON cand.id_b = y.doc_id
-           WHERE CAST(len(list_intersect(x.shingles, y.shingles))
-                 AS DOUBLE)
-               / CAST(len(x.shingles) + len(y.shingles)
-                   - len(list_intersect(x.shingles, y.shingles))
-                 AS DOUBLE) >= 0.5),
-         tk AS (SELECT doc_id, text,
-             list_filter(string_split(text, ' '), t -> t <> '') AS toks
-           FROM documents),
-         q AS (SELECT doc_id, CAST(floor((
-               0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
-               + 0.3 * (1.0 - CAST(len(list_filter(toks,
-                     w -> w IN ('the','a','of','and','is')))
-                   AS DOUBLE) / CAST(len(toks) AS DOUBLE))
-               + 0.2 * least(((CAST(length(text) AS DOUBLE)
-                     - (CAST(len(toks) AS DOUBLE) - 1.0))
-                   / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0)
-             ) * 10000.0 + 0.5) AS BIGINT) AS q_bp
-           FROM tk)
-         SELECT j.id_a, j.id_b, qa.q_bp AS q_a_bp, qb.q_bp AS q_b_bp,
-             CASE WHEN qa.q_bp > qb.q_bp THEN j.id_a
-                  WHEN qb.q_bp > qa.q_bp THEN j.id_b
-                  ELSE least(j.id_a, j.id_b) END AS rep_quality,
-             CASE WHEN qa.q_bp > qb.q_bp THEN j.id_a
-                  WHEN qb.q_bp > qa.q_bp THEN j.id_b
-                  ELSE least(j.id_a, j.id_b) END
-               <> least(j.id_a, j.id_b) AS policy_differs
-         FROM jac j JOIN q qa ON j.id_a = qa.doc_id
-                    JOIN q qb ON j.id_b = qb.doc_id
-         ORDER BY j.id_a, j.id_b"""
-
-  /** q261's oracle: the q25 candidates rescored with df weights
-    * w = 10⁶ div df in exact truncating bp, beside unweighted exact J.
-    */
-  private def weightedJaccardOracle: String =
-    s"""$minhashCtes,
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM bands a JOIN bands b
-             ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         gr AS (SELECT doc_id, unnest(shingles) AS g FROM s),
-         w AS (SELECT g, CAST(1000000 // COUNT(*) AS BIGINT) AS w
-           FROM gr GROUP BY 1),
-         pg AS (SELECT id_a, id_b, g, MAX(ina) AS a, MAX(inb) AS b
-           FROM (SELECT c.id_a, c.id_b, gr.g, 1 AS ina, 0 AS inb
-                 FROM cand c JOIN gr ON gr.doc_id = c.id_a
-                 UNION ALL
-                 SELECT c.id_a, c.id_b, gr.g, 0, 1
-                 FROM cand c JOIN gr ON gr.doc_id = c.id_b)
-           GROUP BY 1, 2, 3),
-         agg AS (SELECT id_a, id_b,
-             SUM(CASE WHEN a = 1 AND b = 1 THEN w.w ELSE 0 END) AS num,
-             SUM(w.w) AS den
-           FROM pg JOIN w ON pg.g = w.g GROUP BY 1, 2),
-         j AS (SELECT id_a, id_b,
-             CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-               / CAST(len(x.shingles) + len(y.shingles)
-                   - len(list_intersect(x.shingles, y.shingles))
-                 AS DOUBLE) AS jaccard
-           FROM cand JOIN s x ON cand.id_a = x.doc_id
-                     JOIN s y ON cand.id_b = y.doc_id)
-         SELECT j.id_a, j.id_b, j.jaccard,
-             CAST((num * 10000) // den AS BIGINT) AS wjaccard_bp
-         FROM j JOIN agg ON j.id_a = agg.id_a AND j.id_b = agg.id_b
-         ORDER BY j.id_a, j.id_b"""
-
-  /** q192's oracle: the same 32-hash signature chain banded three
-    * ways (the shared `bands` CTE IS the (4,8) config), candidates
-    * per config from the band self-join, ground truth from the full
-    * inverted-index J ≥ 0.5 join, and the theory column interpolated
-    * as the SAME Scala-computed literal the engine emits (no
-    * cross-engine pow).
-    */
-  private def lshTuningOracle: String = {
-    def bandCte(b: Int, r: Int, name: String): String = {
-      val selects = (0 until b).map { bnd =>
-        val parts = (1 to r)
-          .map(rr => s"CAST(sg[${bnd * r + rr}] AS VARCHAR)")
-          .mkString(" || ',' || ")
-        s"SELECT doc_id, $bnd AS b, md5($parts) AS bkey FROM sig"
-      }.mkString("\n           UNION ALL ")
-      s"$name AS ($selects)"
-    }
-    def candCte(bandName: String, name: String): String =
-      s"""$name AS (SELECT DISTINCT a.doc_id AS id_a,
-             b.doc_id AS id_b
-           FROM $bandName a JOIN $bandName b
-             ON a.b = b.b AND a.bkey = b.bkey
-             AND a.doc_id < b.doc_id)"""
-    def leg(config: String, b: Int, r: Int, cand: String): String =
-      s"""SELECT '$config' AS config, CAST($b AS BIGINT) AS bands,
-             CAST($r AS BIGINT) AS rows_per_band,
-             (SELECT COUNT(*) FROM $cand) AS n_candidates,
-             (SELECT COUNT(*) FROM truth) AS n_true,
-             (SELECT COUNT(*) FROM $cand JOIN truth
-               USING (id_a, id_b)) AS n_found,
-             CASE WHEN (SELECT COUNT(*) FROM truth) > 0
-               THEN (SELECT COUNT(*) FROM $cand JOIN truth
-                 USING (id_a, id_b)) * 10000
-                 // (SELECT COUNT(*) FROM truth)
-               ELSE 10000 END AS recall_bp,
-             CASE WHEN (SELECT COUNT(*) FROM $cand) > 0
-               THEN (SELECT COUNT(*) FROM $cand JOIN truth
-                 USING (id_a, id_b)) * 10000
-                 // (SELECT COUNT(*) FROM $cand)
-               ELSE 10000 END AS precision_bp,
-             CAST(${theoryRecallBp(b, r)} AS BIGINT)
-               AS theory_recall_bp"""
-    s"""$minhashCtes,
-         ${bandCte(16, 2, "b16")}, ${candCte("b16", "c162")},
-         ${bandCte(8, 4, "b8")}, ${candCte("b8", "c84")},
-         ${candCte("bands", "c48")},
-         g AS (SELECT doc_id, unnest(shingles) AS sh FROM s),
-         p0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             COUNT(*) AS inter
-           FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         sz AS (SELECT doc_id, len(shingles) AS n FROM s),
-         truth AS (SELECT id_a, id_b FROM p0
-           JOIN sz x ON p0.id_a = x.doc_id
-           JOIN sz y ON p0.id_b = y.doc_id
-           WHERE CAST(inter AS DOUBLE)
-             / CAST(x.n + y.n - inter AS DOUBLE) >= 0.5)
-         ${leg("b16r2", 16, 2, "c162")}
-         UNION ALL ${leg("b4r8", 4, 8, "c48")}
-         UNION ALL ${leg("b8r4", 8, 4, "c84")}
-         ORDER BY config"""
-  }
-
-  /** q99's oracle: the same signature/band chain, candidates from the
-    * new-batch × history band join, scored by the signature estimator.
-    */
-  private def crossDedupOracle: String =
-    s"""$minhashCtes,
-         cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS hist_id
-           FROM bands a JOIN bands b
-             ON a.b = b.b AND a.bkey = b.bkey
-           WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0),
-         est AS (SELECT new_id, hist_id,
-             CAST(len(list_filter(
-                 list_zip(sa.sg, sb.sg), p -> p[1] = p[2])) AS DOUBLE)
-               / 32.0 AS est_jaccard
-           FROM cand JOIN sig sa ON cand.new_id = sa.doc_id
-                     JOIN sig sb ON cand.hist_id = sb.doc_id)
-         SELECT new_id, hist_id, est_jaccard FROM est
-         WHERE est_jaccard >= 0.5 ORDER BY new_id, hist_id"""
-
-  // ---------------------------------------------------------------------
-  // Text analysis
-  // ---------------------------------------------------------------------
-
-  /** Token counting + quality scoring over documents. */
-  private def qTextStats(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("toks", TextFns.tokens("text"))
-      .select(col("doc_id"),
-        expr("cast(size(toks) as bigint)").as("n_tokens"),
-        expr("cast(length(text) as bigint)").as("n_chars_calc"),
-        expr("""(cast(length(text) as double)
-               | - (cast(size(toks) as double) - 1.0d))
-               | / cast(size(toks) as double)""".stripMargin)
-          .as("avg_token_len"),
-        (TextFns.profileHits("toks", TextFns.profile("en"))
-          .cast("double") / expr("cast(size(toks) as double)"))
-          .as("stop_ratio"),
-        expr("""cast(size(regexp_extract_all(text, '[a-z]{4,}', 0))
-               | as bigint)""".stripMargin).as("n_long_tokens"),
-        TextFns.qualityScore("text", "toks").as("quality"))
-      .orderBy("doc_id")
-
-  /** Heuristic language-ID vs the labeled lang column. */
-  private def qLangId(s: SparkSession, dir: String): DataFrame =
-    TextFns.withLanguageId(
-        t(s, dir, "documents").withColumn("toks", TextFns.tokens("text")),
-        "toks", "predicted")
-      .select("doc_id", "lang", "predicted")
-      .orderBy("doc_id")
-
-  /** Canonical + winnowing fingerprints per document. */
-  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"),
-        TextFns.fingerprint("text").as("fingerprint"),
-        TextFns.minShingleHash("text", 8).as("min_shingle"))
-      .orderBy("doc_id")
-
-  /** Exact dedup: group documents by canonical fingerprint. */
-  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("fingerprint", TextFns.fingerprint("text"))
-      .groupBy("fingerprint")
-      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("rep_doc"))
-      .orderBy("fingerprint")
-
-  // ---------------------------------------------------------------------
-  // Near-duplicate detection
-  // ---------------------------------------------------------------------
-
-  /** MinHash + LSH near-dup pairs, verified with exact n-gram Jaccard:
-    * 32 min-hashes, 4 bands × 8 rows, candidates from band collisions
-    * only (never n² pairs), kept at jaccard ≥ 0.5. The 8-row bands keep
-    * the collision S-curve sharp on this shared-vocabulary corpus
-    * (4-row bands admit ~10% of ALL pairs here — measured 1.3M
-    * candidates on 5k docs vs ~4k with 8-row bands).
-    */
-  private def qMinHashLsh(s: SparkSession, dir: String): DataFrame = {
-    // The shingle table fans out to three consumers (signatures + both
-    // jaccard sides) and the signature table to two (band self-join);
-    // localCheckpoint materializes each once instead of recomputing the
-    // scan→shingle→hash pipeline per consumer (SURVEY §4 "caching at
-    // fan-out points" — the reference's known miss). Both tables are
-    // tiny relative to the input (ids + shingle sets / 32 longs).
-    // repartition first: the corpus arrives as one small parquet file
-    // (one scan partition), and the shingle/hash projection is the
-    // expensive part — spread it across the cluster before computing,
-    // for the cost of shuffling the raw text once
-    val docs = t(s, dir, "documents")
-      .repartition(col("doc_id"))
-      .withColumn("shingles", TextFns.shingles("text", 5))
-      .select("doc_id", "shingles")
-      .transform(snap)
-    val sigs = NearDup.minHashSigs(docs, "doc_id", "shingles", 32, "sig")
-      .transform(snap)
-    // cand fans out to the estimate and exact-verification paths —
-    // materialize once (hundreds of rows) instead of re-running the
-    // band self-join per consumer
-    val cand = NearDup.candidatePairs(
-      NearDup.bandRows(sigs, "doc_id", "sig", 4, 8, 32), "doc_id")
-      .transform(snap)
-    val est = cand
-      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("__sa")), "id_a")
-      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("__sb")), "id_b")
-      .withColumn("est_jaccard",
-        expr(NearDup.estimatedJaccardExpr("__sa", "__sb", 32)))
-      .select("id_a", "id_b", "est_jaccard")
-    NearDup.jaccard(cand, docs, "doc_id", "shingles")
-      .join(est, Seq("id_a", "id_b"))
-      .filter(col("jaccard") >= 0.5)
-      .select("id_a", "id_b", "jaccard", "est_jaccard")
-      .orderBy("id_a", "id_b")
-  }
-
-  /** Per-document 128-bit SimHash signature (codegen'd grouped form —
-    * [[NearDup.simHashSigs]]; bit-identical to the row-local HOF form).
-    */
-  private def qSimHash(s: SparkSession, dir: String): DataFrame =
-    NearDup.simHashSigs(
-        t(s, dir, "documents").withColumn("toks", TextFns.tokens("text")),
-        "doc_id", "toks", "simhash")
-      .orderBy("doc_id")
-
-  /** Near-duplicate NN per document in SimHash Hamming space, exact
-    * within radius 7 (8 pigeonhole blocks — [[NearDup.simhashNnWithinRadius]]):
-    * candidates come from a block self-equi-join, never n² pairs. The
-    * block SELF-join consumes the signature table on both sides and
-    * Spark does not reuse the exchange across them (measured: the
-    * 129-aggregate signature groupBy runs twice without this), so the
-    * signatures — doc_id + 32 hex chars per row — are materialized once.
-    */
-  private def qSimHashKnn(s: SparkSession, dir: String): DataFrame =
-    NearDup.simhashNnWithinRadius(
-      NearDup.simHashSigs(
-        t(s, dir, "documents").withColumn("toks", TextFns.tokens("text")),
-        "doc_id", "toks", "simhash")
-        .transform(snap),
-      "doc_id", "simhash", 8)
-      .orderBy("id_a")
-
-  // ---------------------------------------------------------------------
-  // Similarity search
-  // ---------------------------------------------------------------------
-
-  /** Brute-force cosine top-5 for the first 100 query vectors. */
-  private def qCosineTopK(s: SparkSession, dir: String): DataFrame = {
-    val base = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
-    val queries = base.filter(col("vec_id") < 100)
-    Similarity.bruteForceTopK(base, queries, "vec_id", 5)
-      .orderBy("query_id", "rank")
-  }
-
-  /** LSH-bucketed ANN: top-3 within each vector's hyperplane bucket. */
-  private def qCosineLsh(s: SparkSession, dir: String): DataFrame = {
-    val base = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
-    Similarity.lshTopK(base, "vec_id", 3, 4)
-      .orderBy("query_id", "rank")
-  }
-
-  /** Embedding-cosine near-dup pairs within LSH buckets (sim ≥ 0.3 —
-    * this corpus has no planted embedding duplicates; max pairwise
-    * cosine is ~0.51, so the threshold sits at ~p99.9 of all pairs).
-    */
-  private def qCosineNearDup(s: SparkSession, dir: String): DataFrame = {
-    val base = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
-    Similarity.cosineNearDupPairs(base, "vec_id", 0.3, 4)
-      .orderBy("id_a", "id_b")
-  }
-
-  /** Skew-resistant salted shuffle join: events ⋈ per-user totals on a
-    * salted key, result identical to the plain join.
-    */
-  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    val dim = ev.groupBy("user_id")
-      .agg(sum(col("value").cast("decimal(18,2)")).cast("double")
-        .as("user_total"))
-    Salting.saltedEquiJoin(ev, dim, Seq("user_id"), col("event_id"), 8)
-      .groupBy("user_id")
-      .agg(count(lit(1)).as("n_events"), min("user_total").as("user_total"))
-      .orderBy("user_id")
-  }
-
-  /** Stateful streaming sessionization (flatMapGroupsWithState) — must
-    * agree with the batch window-function form (same oracle as q32).
-    */
-  private def qStreamSessionize(s: SparkSession, dir: String): DataFrame =
-    StatefulSessions.sessionSummaries(s, s"$dir/events.parquet",
-      30L * 60 * 1000)
-
-  /** Per-label cell state via the typed Aggregator ([[QuantizedCentroid]],
-    * SURVEY §7.3): exact integer sums + count per group, emitted one row
-    * per (label, dim) so the compare stays scalar-typed.
-    */
-  private def cellStates(s: SparkSession, dir: String) = {
-    import s.implicits._
-    Similarity.prepare(t(s, dir, "embeddings"), "embedding")
-      .select(col("label").cast("long"), col("qv"))
-      .as[(Long, Seq[Long])]
-      .groupByKey(_._1)
-      .agg(new QuantizedCentroid(64).toColumn.name("c"))
-  }
-
-  /** IVF build step: exact per-label centroids from the Aggregator. */
-  private def qEmbedCentroids(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    cellStates(s, dir)
-      .flatMap { case (label, st) =>
-        st.sums.toSeq.zipWithIndex.map { case (sm, d) =>
-          (label, d.toLong, sm, st.n)
-        }
-      }
-      .toDF("label", "dim", "sum_q", "n")
-      .withColumn("centroid",
-        col("sum_q").cast("double") / (col("n") * lit(10000.0d)))
-      .orderBy("label", "dim")
-  }
-
-  /** IVF-style two-level ANN: assign each query to its nearest cell by
-    * cosine against the cell's integer *sum* vector (same direction as
-    * the centroid, exact arithmetic), then exact top-3 within the cell.
-    * The cell table is tiny and broadcast; the base side joins only on
-    * its own cell — probe cost n/cells instead of n.
-    */
-  private def qIvfTopK(s: SparkSession, dir: String): DataFrame =
-    ivfTopK(s, dir, 1)
-
-  /** IVF probe generalized to `nprobe` coarse cells per query — the IVF
-    * analogue of LSH multi-probe: recall climbs with probed cells at
-    * nprobe× fine-search cost (q59 measures it; q37 is the nprobe=1
-    * form). A base vector lives in exactly one cell, so probing several
-    * cells never duplicates a candidate pair.
-    */
-  private def ivfTopK(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
-    import s.implicits._
-    val base = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
-    val cells = cellStates(s, dir)
-      .map { case (label, st) => (label, st.sums.toSeq) }
-      .toDF("cell_label", "cell_sums")
-      .withColumn("cell_norm",
-        Similarity.dot(col("cell_sums"), col("cell_sums")))
-    // zero-norm vectors have no cosine direction — excluded on both
-    // sides, mirrored by the oracle's HAVING on the norm CTE
-    val queries = base.filter(col("vec_id") < 50 && col("qn") > 0)
-      .select(col("vec_id").as("query_id"), col("qv").as("__qva"),
-        col("qn").as("__qna"))
-    val wCoarse = Window
-      .partitionBy("query_id")
-      .orderBy(col("coarse_sim").desc, col("cell_label").asc)
-    val assigned = queries.crossJoin(broadcast(cells))
-      .withColumn("coarse_sim", Similarity.cosine(col("__qva"),
-        col("cell_sums"), col("__qna"), col("cell_norm")))
-      .withColumn("__rn", row_number().over(wCoarse))
-      .filter(col("__rn") <= nprobe)
-      .select(col("query_id"), col("__qva"), col("__qna"), col("cell_label"))
-    val b = base.filter(col("qn") > 0)
-      .select(col("vec_id").as("neighbor_id"),
-        col("label").cast("long").as("cell_label"), col("qv").as("__qvb"),
-        col("qn").as("__qnb"))
-    val wFine = Window
-      .partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    assigned.join(b, Seq("cell_label"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", Similarity.cosine(col("__qva"), col("__qvb"),
-        col("__qna"), col("__qnb")))
-      .withColumn("rank", row_number().over(wFine).cast("long"))
-      .filter(col("rank") <= 3)
-      .select("query_id", "rank", "neighbor_id", "sim", "cell_label")
-      .orderBy("query_id", "rank")
-  }
-
-  /** ANN recall@3: both approximate paths (hyperplane-LSH q29, IVF q37)
-    * measured against the exact brute-force baseline (q28's method) on
-    * the same query set — an ANN without a recall number is
-    * untrustworthy at any scale. One row per method with hit counts
-    * and recall = hits / |exact|, fully deterministic and
-    * oracle-checkable (the oracle recomputes all three sides).
-    */
-  private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
-    val base = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
-    val queries = base.filter(col("vec_id") < 50)
-    // exact ground truth fans out to both method comparisons —
-    // materialize once (150 id pairs)
-    val exact = Similarity.bruteForceTopK(base, queries, "vec_id", 3)
-      .select("query_id", "neighbor_id")
-      .transform(snap)
-    val lsh = Similarity.lshTopK(base, "vec_id", 3, 4)
-      .filter(col("query_id") < 50)
-      .select("query_id", "neighbor_id")
-    val ivf = qIvfTopK(s, dir).select("query_id", "neighbor_id")
-    def score(method: String, approx: DataFrame): DataFrame =
-      exact
-        .join(approx.withColumn("__hit", lit(1)),
-          Seq("query_id", "neighbor_id"), "left")
-        .agg(
-          countDistinct("query_id").as("n_queries"),
-          count(lit(1)).as("n_exact"),
-          sum(coalesce(col("__hit"), lit(0))).as("n_hits"))
-        .select(lit(method).as("method"), col("n_queries"), col("n_exact"),
-          col("n_hits"),
-          (col("n_hits").cast("double") / col("n_exact").cast("double"))
-            .as("recall"))
-    score("ivf", ivf).union(score("lsh", lsh)).orderBy("method")
-  }
-
-  /** Recall@3 of Hamming-1 multi-probe LSH ([[Similarity.lshTopKMultiProbe]])
-    * vs the exact baseline — the measured answer to "what does
-    * multi-probe buy over q29's single probe" (q51 records single-probe
-    * recall on the same query set).
-    */
-  private def qLshMultiProbeRecall(s: SparkSession, dir: String): DataFrame = {
-    val base = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
-    val queries = base.filter(col("vec_id") < 50)
-    // single consumer — no checkpoint (materialization buys nothing)
-    val exact = Similarity.bruteForceTopK(base, queries, "vec_id", 3)
-      .select("query_id", "neighbor_id")
-    val mp = Similarity.lshTopKMultiProbe(base, "vec_id", 3, 4)
-      .filter(col("query_id") < 50)
-      .select("query_id", "neighbor_id")
-    exact
-      .join(mp.withColumn("__hit", lit(1)),
-        Seq("query_id", "neighbor_id"), "left")
-      .agg(
-        countDistinct("query_id").as("n_queries"),
-        count(lit(1)).as("n_exact"),
-        sum(coalesce(col("__hit"), lit(0))).as("n_hits"))
-      .select(lit("lsh_mp").as("method"), col("n_queries"), col("n_exact"),
-        col("n_hits"),
-        (col("n_hits").cast("double") / col("n_exact").cast("double"))
-          .as("recall"))
-  }
-
-  /** Recall@3 of nprobe=2 IVF vs the exact baseline — with q51's
-    * nprobe=1 row (0.14), the measured cost/recall curve for IVF.
-    */
-  private def qIvfMultiProbeRecall(s: SparkSession, dir: String): DataFrame = {
-    val base = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
-    val queries = base.filter(col("vec_id") < 50)
-    // single consumer — no checkpoint (materialization buys nothing)
-    val exact = Similarity.bruteForceTopK(base, queries, "vec_id", 3)
-      .select("query_id", "neighbor_id")
-    val ivf2 = ivfTopK(s, dir, 2).select("query_id", "neighbor_id")
-    exact
-      .join(ivf2.withColumn("__hit", lit(1)),
-        Seq("query_id", "neighbor_id"), "left")
-      .agg(
-        countDistinct("query_id").as("n_queries"),
-        count(lit(1)).as("n_exact"),
-        sum(coalesce(col("__hit"), lit(0))).as("n_hits"))
-      .select(lit("ivf_np2").as("method"), col("n_queries"),
-        col("n_exact"), col("n_hits"),
-        (col("n_hits").cast("double") / col("n_exact").cast("double"))
-          .as("recall"))
-  }
-
-  /** Rollup with grouping-id: revenue subtotals per (region, nation),
-    * per region, and grand total — the grouping-sets surface, through
-    * the SQL path (GROUP BY ROLLUP over temp views).
-    */
-  private def qRollup(s: SparkSession, dir: String): DataFrame = {
-    Seq("lineitem", "orders", "customer", "nation", "region")
-      .foreach(n => t(s, dir, n).createOrReplaceTempView(s"v38_$n"))
-    s.sql("""
-      SELECT COALESCE(r_name, 'ALL') AS region,
-             COALESCE(n_name, 'ALL') AS nation,
-             CAST(grouping_id(r_name, n_name) AS BIGINT) AS gid,
-             COUNT(*) AS n_items,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-               * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
-               AS revenue
-      FROM v38_lineitem JOIN v38_orders ON l_orderkey = o_orderkey
-      JOIN v38_customer ON o_custkey = c_custkey
-      JOIN v38_nation ON c_nationkey = n_nationkey
-      JOIN v38_region ON n_regionkey = r_regionkey
-      GROUP BY ROLLUP (r_name, n_name)
-      ORDER BY gid, region, nation""")
-  }
-
-  // ---------------------------------------------------------------------
-  // Profiling / curation surface
-  // ---------------------------------------------------------------------
-
-  /** Pivot: per-user event-type counts as columns (explicit value list —
-    * deterministic schema, single-pass conditional aggregation).
-    */
-  private def qPivot(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .groupBy("user_id")
-      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-      .count()
-      .na.fill(0L)
-      .orderBy("user_id")
-
-  /** Exact statistical moments per group: mean/variance/stddev derived
-    * from DECIMAL-exact Σx and Σx² — order-independent (unlike
-    * streaming variance algorithms, which differ per engine), one
-    * map-side-partial aggregation pass.
-    */
-  private def qStatsMoments(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n"),
-        sum(money(col("l_quantity"))).cast("double").as("s1"),
-        sum(money(col("l_quantity")) * money(col("l_quantity")))
-          .cast("double").as("s2"))
-      .select(col("l_returnflag"), col("n"),
-        (col("s1") / col("n")).as("mean"),
-        ((col("n").cast("double") * col("s2") - col("s1") * col("s1"))
-          / (col("n").cast("double") * (col("n").cast("double") - lit(1.0d))))
-          .as("var_samp"),
-        sqrt((col("n").cast("double") * col("s2") - col("s1") * col("s1"))
-          / (col("n").cast("double") * (col("n").cast("double") - lit(1.0d))))
-          .as("stddev_samp"))
-      .orderBy("l_returnflag")
-
-  /** Exact money/quantity cast — shared with [[SparkEntry.money]]. */
-  private def money(c: org.apache.spark.sql.Column) = SparkEntry.money(c)
-
-  /** Fixed-width histogram of a value column — distribution profiling,
-    * scan-local binning + one partial-aggregated count shuffle.
-    */
-  private def qHistogram(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .withColumn("bin",
-        expr("cast(floor(l_extendedprice / 5000.0d) as bigint)"))
-      .groupBy("bin")
-      .agg(count(lit(1)).as("n_rows"))
-      .withColumn("bin_lo", col("bin") * lit(5000.0d))
-      .select("bin", "bin_lo", "n_rows")
-      .orderBy("bin")
-
-  /** The flagship curation composite: quality-filter → language-filter →
-    * exact-dedup → per-source acceptance stats. Every stage is one of
-    * the §2.11 operators; the composition stays a single declarative
-    * plan (filters scan-local, one dedup shuffle, one count shuffle).
-    */
-  private def qCurationPipeline(s: SparkSession, dir: String): DataFrame = {
-    // scored fans out to three aggregations — materialize the narrow
-    // scored projection once instead of re-running the text pipeline
-    // (tokenize + 5 profile filters + md5) per consumer
-    val scored = TextFns.withLanguageId(
-        t(s, dir, "documents")
-          .withColumn("toks", TextFns.tokens("text"))
-          .withColumn("quality", TextFns.qualityScore("text", "toks")),
-        "toks", "predicted")
-      .withColumn("fingerprint", TextFns.fingerprint("text"))
-      .select("doc_id", "source", "quality", "predicted", "fingerprint")
-      .transform(snap)
-    val kept = scored
-      .filter(col("quality") >= 0.6 && col("predicted") === "en")
-    val unique = graft.ops.Dedup.firstBy(kept, Seq("fingerprint"),
-      Seq(col("doc_id").asc))
-    scored.groupBy("source").agg(count(lit(1)).as("n_docs"))
-      .join(kept.groupBy("source").agg(count(lit(1)).as("n_kept")),
-        Seq("source"), "left")
-      .join(unique.groupBy("source").agg(count(lit(1)).as("n_unique")),
-        Seq("source"), "left")
-      .na.fill(0L, Seq("n_kept", "n_unique"))
-      .orderBy("source")
-  }
-
-  /** Deterministic hash-based train/val/test split (80/10/10) keyed on
-    * doc_id — the consistent-split primitive every training pipeline
-    * needs: membership is a pure function of the key, stable across
-    * runs, engines, and data arrivals (no RNG state).
-    */
-  private def qHashSplit(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("bucket", expr(
-        """cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)
-          | as bigint) % 100""".stripMargin))
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val")
-          .otherwise("test"))
-      .groupBy("split")
-      .agg(count(lit(1)).as("n_docs"),
-        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
-      .orderBy("split")
-
-  /** Exact percentiles per group (type-7 linear interpolation — the
-    * same definition in any engine; exact on integer-valued data with
-    * quarter-point fractions). l_returnflag has THREE groups, so this
-    * uses [[Percentiles.exactFewGroups]]: a range partition of the
-    * (group, value) space keeps every core sorting, instead of the
-    * window form whose parallelism equals the group count (3 spill-
-    * sorts at 100 TB) — and never the `percentile()` aggregate, whose
-    * buffer holds every group value and OOMs on a 100 TB group.
-    */
-  private def qPercentiles(s: SparkSession, dir: String): DataFrame =
-    Percentiles.exactFewGroups(t(s, dir, "lineitem"), Seq("l_returnflag"),
-        "l_quantity", Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)))
-      .orderBy("l_returnflag")
-
-  /** PII / identifier scrubbing for training export: names keyed by
-    * md5 (joinable, irreversible-enough for a pipeline surface), digits
-    * masked in place, redaction volume counted. Scan-local projection —
-    * the [[TextFns.redactPii]] email/phone chain is the same mechanism
-    * and is spec-exercised on synthetic PII (the corpus carries none).
-    */
-  private def qPiiScrub(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "customer")
-      .select(col("c_custkey"),
-        md5(col("c_name").cast("binary")).as("name_hash"),
-        TextFns.maskDigits(col("c_name")).as("masked_name"),
-        (length(col("c_name")) -
-          length(regexp_replace(col("c_name"), "[0-9]", "")))
-          .cast("long").as("n_digits"))
-      .orderBy("c_custkey")
-
-  /** Benchmark-contamination check: corpus documents sharing 4-word
-    * grams with the held-out eval slice (doc_id ≡ 0 mod 50) — the eval
-    * gram index is broadcast, the corpus never shuffles its text
-    * ([[Contamination.sharedGramCounts]]).
-    */
-  private def qContamination(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    Contamination.sharedGramCounts(
-        docs.filter(col("doc_id") % 50 =!= 0),
-        docs.filter(col("doc_id") % 50 === 0),
-        "doc_id", "text", 4)
-      .orderBy("corpus_id", "eval_id")
-  }
-
-  /** Deterministic stratified sampling: per-language Bernoulli rates
-    * decided by a salted md5 of doc_id ([[Sampling.stratifiedHashSample]]
-    * — en 50%, zh 25%, rest 10%), reported per stratum against totals.
-    */
-  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val sampled = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
-        Map("en" -> 5000, "zh" -> 2500), 1000, "smp")
-      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
-    docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
-      .join(sampled, Seq("lang"), "left")
-      .select(col("lang"), col("n_total"),
-        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
-      .orderBy("lang")
-  }
-
-  /** Gopher-family repetition filter: repeated-token ratio and
-    * top-bigram share per document, thresholded into a keep flag (the
-    * published pre-training heuristics, word-level since the corpus is
-    * single-line). Entirely scan-local; `__bg` is referenced three
-    * times so the bigram array is computed once per row.
-    */
-  private def qRepetitionFilter(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("__toks", TextFns.tokens("text"))
-      .withColumn("__bg", TextFns.wordBigrams("__toks"))
-      .select(col("doc_id"),
-        size(col("__toks")).cast("long").as("n_tok"),
-        TextFns.dupTokenRatio("__toks").as("dup_ratio"),
-        TextFns.topGramShare("__bg").as("top_bigram_share"))
-      .withColumn("keep",
-        col("dup_ratio") < 0.6 && col("top_bigram_share") < 0.2)
-      .orderBy("doc_id")
-
-  /** Range sharding for training export: per-language quartile
-    * boundaries from the distributed exact percentiles
-    * ([[Percentiles.exact]]), broadcast back onto the corpus to assign
-    * each document a size-balanced shard — the compute-boundaries-then-
-    * bucket pattern a shard writer uses (deterministic, unlike Spark's
-    * sampling range partitioner). Reported as per-(lang, shard) counts
-    * and extents.
-    */
-  private def qRangeShard(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val bounds = Percentiles.exact(docs, Seq("lang"), "n_chars",
-      Seq(("b1", 0.25), ("b2", 0.5), ("b3", 0.75)))
-    val nc = col("n_chars").cast("double")
-    docs.join(broadcast(bounds), "lang")
-      .withColumn("shard",
-        when(nc <= col("b1"), 0)
-          .when(nc <= col("b2"), 1)
-          .when(nc <= col("b3"), 2)
-          .otherwise(3))
-      .groupBy("lang", "shard")
-      .agg(count(lit(1)).as("n_docs"),
-        min("n_chars").cast("long").as("min_chars"),
-        max("n_chars").cast("long").as("max_chars"))
-      .orderBy("lang", "shard")
-  }
-
-  /** Calendar-dimension generator (the ETL staple the reference builds
-    * from data, `etl.py:124–140` — here generated declaratively):
-    * one row per day of 2024 with derived fields.
-    */
-  private def qDateDim(s: SparkSession, dir: String): DataFrame =
-    s.range(1)
-      .select(explode(expr(
-        "sequence(to_date('2024-01-01'), to_date('2024-12-31'), interval 1 day)"))
-        .as("d"))
-      .select(
-        date_format(col("d"), "yyyy-MM-dd").as("date_str"),
-        year(col("d")).cast("long").as("year"),
-        quarter(col("d")).cast("long").as("quarter"),
-        month(col("d")).cast("long").as("month"),
-        dayofmonth(col("d")).cast("long").as("day"),
-        weekofyear(col("d")).cast("long").as("week"),
-        dayofweek(col("d")).cast("long").as("weekday"),
-        when(dayofweek(col("d")).isin(1, 7), 1L).otherwise(0L)
-          .as("is_weekend"))
-      .orderBy("date_str")
-
-  /** As-of join, window form: for every click, the user's most recent
-    * signup at-or-before it. The scalable as-of shape — one shuffle on
-    * the user key + a running `last(..., ignoreNulls)` — instead of a
-    * range-join explosion.
-    */
-  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
-    val w = Window
-      .partitionBy("user_id")
-      .orderBy(col("ms").asc, col("event_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(s, dir, "events")
-      .withColumn("ms", unix_millis(col("ts")))
-      .withColumn("signup_ms",
-        last(when(col("event_type") === "signup", col("ms")), ignoreNulls = true)
-          .over(w))
-      .withColumn("signup_event",
-        last(when(col("event_type") === "signup", col("event_id")),
-          ignoreNulls = true).over(w))
-      .filter(col("event_type") === "click")
-      .select(col("event_id"), col("user_id"), col("ms").as("click_ms"),
-        col("signup_ms"), col("signup_event"))
-      .orderBy("event_id")
-  }
-
-  // ---------------------------------------------------------------------
-  // Multimodal, streaming, sessionization
-  // ---------------------------------------------------------------------
-
-  /** Binary-payload decode plumbing (stubbed codec — see Multimodal). */
-  private def qMultimodal(s: SparkSession, dir: String): DataFrame = {
-    implicit val spark: SparkSession = s
-    Multimodal.decodeFeatures(Multimodal.asMedia(t(s, dir, "documents")))
-      .toDF()
-      .orderBy("doc_id")
-  }
-
-  /** Resize over binary payloads (stub codec: every-4th-byte
-    * nearest-neighbor downsample) — all fields oracle-checked including
-    * the checksum: the corpus text is single-byte characters, so DuckDB
-    * can rebuild the exact strided byte string.
-    */
-  private def qResize(s: SparkSession, dir: String): DataFrame = {
-    implicit val spark: SparkSession = s
-    Multimodal.resizeStub(Multimodal.asMedia(t(s, dir, "documents")), 4)
-      .toDF()
-      .orderBy("doc_id")
-  }
-
-  /** Frame sampling over binary payloads: each document expands to
-    * ceil(n_bytes/64) frame rows with per-frame checksums — the video
-    * decode/frame-extract pipeline shape with a stub codec.
-    */
-  private def qFrameSample(s: SparkSession, dir: String): DataFrame = {
-    implicit val spark: SparkSession = s
-    Multimodal.sampleFrames(Multimodal.asMedia(t(s, dir, "documents")), 64)
-      .toDF()
-      // frame_checksum is md5 of a raw *byte* slice, which DuckDB 1.0
-      // cannot reproduce (no blob slicing) — the oracle checks the
-      // byte-exact fields; the checksum is spec-tested instead
-      .select("doc_id", "frame_idx", "frame_len", "frame_sum")
-      .orderBy("doc_id", "frame_idx")
-  }
-
-  /** JSON sink + declared-schema JSON scan roundtrip — the reference's
-    * native format (SURVEY §2.1 S1/S2) on corpus data. The read-back
-    * uses an explicit schema: inference would be a second full pass
-    * over the input, unacceptable at scale.
-    */
-  private def qJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = Scratch.register(
-      s"${System.getProperty("java.io.tmpdir")}/graft_json_" +
-        s.sparkContext.applicationId)
-    val ev = t(s, dir, "events")
-      .select("event_id", "user_id", "event_type", "value")
-    ev.write.mode("overwrite").json(out)
-    s.read.schema(ev.schema).json(out)
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double")
-          .as("total_value"))
-      .orderBy("event_type")
-  }
-
-  /** Bucketed co-located join: both sides written bucketed on the join
-    * key, so the sort-merge join needs NO exchange — the shape that
-    * amortizes one shuffle across every future join on that key (the
-    * 100 TB answer to repeated fact⋈fact joins). The per-bucket sort is
-    * still planned (Spark ignores bucketed sortBy output ordering by
-    * default since 3.0 — `spark.sql.legacy.bucketedTableScan
-    * .outputOrdering`); only the exchange elimination is claimed, and
-    * PlanSpec asserts it against the executed plan, with an unbucketed
-    * control join shown to shuffle.
-    */
-  private def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    val uid = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
-    val oT = s"graft_bkt_o_$uid"
-    val liT = s"graft_bkt_li_$uid"
-    t(s, dir, "orders").select("o_orderkey", "o_custkey")
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(oT)
-    t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liT)
-    val bo = s.table(oT)
-    val bli = s.table(liT)
-    bli.hint("merge").join(bo, bli("l_orderkey") === bo("o_orderkey"))
-      .groupBy("o_custkey")
-      .agg(count(lit(1)).as("n_items"),
-        sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
-          .as("sum_qty"))
-      .orderBy("o_custkey")
-  }
-
-  /** Structured Streaming: watermarked tumbling-window counts, run to
-    * completion (append mode ⇒ only watermark-closed windows emit).
-    */
-  private def qStreamWindow(s: SparkSession, dir: String): DataFrame =
-    EventStream.windowedCounts(s, s"$dir/events.parquet")
-
-  /** Gap-based sessionization of events (30-minute timeout). Ordering is
-    * on millisecond-truncated time + event_id so any engine computing at
-    * ms precision agrees.
-    */
-  private def qSessionize(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-      .withColumn("ts_ms", timestamp_millis(unix_millis(col("ts"))))
-    Sessionize.sessionSummary(ev, "user_id", "ts_ms", "event_id",
-        30L * 60 * 1000)
-      .orderBy("user_id", "session_idx")
-  }
-
-  /** CSV source/sink roundtrip — the remaining text-format source: write
-    * orders as headered CSV, read back under the DECLARED schema (no
-    * inference at scale — one pass, no sampling job), aggregate. Doubles
-    * survive the trip exactly (Java's shortest-roundtrip toString both
-    * directions), so the oracle can aggregate the parquet directly.
-    */
-  private def qCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = Scratch.register(
-      s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
-        s.sparkContext.applicationId)
-    val o = t(s, dir, "orders")
-      .select("o_orderkey", "o_orderpriority", "o_totalprice")
-    o.write.mode("overwrite").option("header", "true").csv(out)
-    s.read.schema(o.schema).option("header", "true").csv(out)
-      .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
-          .as("total_price"))
-      .orderBy("o_orderpriority")
-  }
-
-  /** ORC source/sink roundtrip — the remaining columnar format (built
-    * into Spark, same pushdown/pruning machinery as parquet): write a
-    * lineitem projection as ORC, read back, aggregate per flag/status.
-    */
-  private def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = Scratch.register(
-      s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
-        s.sparkContext.applicationId)
-    val li = t(s, dir, "lineitem")
-      .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
-    li.write.mode("overwrite").orc(out)
-    s.read.orc(out)
-      .groupBy("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("n_items"),
-        sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
-        sum(money(col("l_extendedprice"))).cast("double").as("sum_price"))
-      .orderBy("l_returnflag", "l_linestatus")
-  }
-
-  /** Avro source/sink roundtrip ([[graft.sources.AvroIo]]) — the
-    * remaining big-data format beside parquet/JSON/CSV/ORC/binary:
-    * write customer (long/string/int/double fields, every Avro branch
-    * the corpus needs) as real Avro object container files, read back
-    * under the declared schema, aggregate. Ints, longs and IEEE
-    * doubles are exact across the binary encoding, so the oracle
-    * aggregates the parquet directly — green proves the container
-    * roundtrip is lossless.
-    */
-  private def qAvroRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = Scratch.register(
-      s"${System.getProperty("java.io.tmpdir")}/graft_avro_" +
-        s.sparkContext.applicationId)
-    val c = t(s, dir, "customer")
-      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
-        "c_mktsegment")
-    graft.sources.AvroIo.write(c, out)
-    graft.sources.AvroIo.read(s, out, c.schema)
-      .groupBy("c_mktsegment")
-      .agg(count(lit(1)).as("n_custs"),
-        countDistinct(col("c_nationkey")).as("n_nations"),
-        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
-          .as("total_acctbal"))
-      .orderBy("c_mktsegment")
-  }
-
-  /** Exact n-gram Jaccard near-dup pairs (the exact member of the dedup
-    * family, alongside MinHash-approximate q25): trigram inverted index
-    * with a df ≤ 100 stop-gram cap, Jaccard ≥ 0.5
-    * ([[NearDup.ngramJaccardPairs]]).
-    */
-  private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    NearDup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, minJaccard = 0.5, maxDf = 100L)
-      .orderBy("id_a", "id_b")
-
-  /** Corpus-wide heavy hitters: top-20 word bigrams by total occurrence
-    * count (the vocabulary/boilerplate profiling primitive). Map-side
-    * partial aggregation absorbs the per-partition repetition before the
-    * single gram shuffle; top-k via TakeOrderedAndProject, never a full
-    * sort. Deterministic total order: count desc, gram asc.
-    */
-  private def qTopBigrams(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("__toks", TextFns.tokens("text"))
-      .select(explode(TextFns.wordBigrams("__toks")).as("gram"))
-      .groupBy("gram")
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("gram").asc)
-      .limit(20)
-
-  /** lag/lead/ntile window surface: per-user inter-event gaps, next
-    * event id, and event-count quartile. Partitioned by user — the
-    * window parallelizes across users; ordering is (ts_ms, event_id) so
-    * ties are deterministic in any engine.
-    */
-  private def qEventLag(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts_ms").asc, col("event_id").asc)
-    t(s, dir, "events")
-      .select(col("user_id"), col("event_id"),
-        unix_millis(col("ts")).as("ts_ms"))
-      .withColumn("prev_gap_ms", col("ts_ms") - lag("ts_ms", 1).over(w))
-      .withColumn("next_event_id", lead("event_id", 1).over(w))
-      .withColumn("qtile", ntile(4).over(w))
-      .select("user_id", "event_id", "prev_gap_ms", "next_event_id", "qtile")
-      .orderBy("user_id", "event_id")
-  }
-
-  /** Incremental dedup: a new document batch against an already-ingested
-    * corpus snapshot — the production shape of exact dedup (every
-    * ingest run dedups against history, not just itself). Anti-join on
-    * the md5 fingerprint (32 bytes shuffle-side, never text), then
-    * first-per-fingerprint (min doc_id) within the batch. At 100 TB the
-    * seen-set side is a hash-partitioned fingerprint table the ingest
-    * job shuffle-anti-joins against; Spark's runtime bloom filter prunes
-    * most probes before the exchange.
-    */
-  private def qIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), md5(col("text")).as("fingerprint"))
-    val seen = docs.filter(col("doc_id") % 10 === 0)
-    val incoming = docs.filter(col("doc_id") % 10 =!= 0)
-    incoming
-      .join(seen.select("fingerprint"), Seq("fingerprint"), "left_anti")
-      .groupBy("fingerprint")
-      .agg(min("doc_id").as("doc_id"))
-      .select("doc_id", "fingerprint")
-      .orderBy("doc_id")
-  }
-
-  /** BPE-style token counting: letter runs, digit runs, punctuation runs
-    * (a lookaround-free pre-tokenization class — the GPT-2 pattern's
-    * portable core), against the whitespace count. The tokenizer-budget
-    * profiling primitive: scan-local regexp, no UDF, no shuffle beyond
-    * the final sort.
-    */
-  private def qBpeTokens(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"),
-        size(expr(
-          "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+', 0)"))
-          .cast("long").as("n_bpe_tokens"),
-        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"))
-      .withColumn("bpe_per_ws",
-        col("n_bpe_tokens").cast("double") / col("n_ws_tokens").cast("double"))
-      .orderBy("doc_id")
-
-  /** Parquet schema evolution: two writer generations with different
-    * columns, read back as ONE table via `mergeSchema` — the source
-    * surface a years-long 100 TB corpus actually has (schemas drift;
-    * re-writing history is not an option). Missing columns null-fill;
-    * the aggregate proves both generations contribute.
-    */
-  private def qSchemaMerge(s: SparkSession, dir: String): DataFrame = {
-    val out = Scratch.register(
-      s"${System.getProperty("java.io.tmpdir")}/graft_merge_" +
-        s.sparkContext.applicationId)
-    val docs = t(s, dir, "documents")
-    docs.select("doc_id", "lang").write.mode("overwrite")
-      .parquet(s"$out/gen1")
-    docs.select("doc_id", "n_chars").write.mode("overwrite")
-      .parquet(s"$out/gen2")
-    s.read.option("mergeSchema", "true").parquet(s"$out/gen1", s"$out/gen2")
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_rows"),
-        count(col("n_chars")).as("n_with_chars"),
-        sum(col("n_chars")).as("sum_chars"))
-      .orderBy(col("lang").asc_nulls_first)
-  }
-
-  /** Batch interval join through the bin-bucketed equi-join
-    * ([[graft.ops.IntervalJoin.within]]) — same click→purchase
-    * attribution semantics as streaming q57, proving the batch and
-    * streaming paths agree (they share the oracle).
-    */
-  private def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-      .withColumn("ms", unix_millis(col("ts")))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("event_id").as("click_id"),
-        col("ms").as("c_ms"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("purchase_id"),
-        col("ms").as("p_ms"))
-    graft.ops.IntervalJoin.within(clicks, purchases, "user_id",
-        "c_ms", "p_ms", 600000L)
-      .select(col("click_id"), col("purchase_id"),
-        (col("p_ms") - col("c_ms")).as("lag_ms"))
-      .orderBy("click_id", "purchase_id")
-  }
-
-  /** Duplicate-cluster resolution: q64's exact-Jaccard pairs →
-    * connected components → (doc, representative, cluster size) — the
-    * step that makes near-dup detection actionable (keep min-id per
-    * component, drop the rest). [[DedupClusters.clusters]].
-    */
-  private def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = NearDup.ngramJaccardPairs(t(s, dir, "documents"),
-        "doc_id", "text", n = 3, minJaccard = 0.5, maxDf = 100L)
-      .select("id_a", "id_b")
-    DedupClusters.clusters(pairs, "id_a", "id_b")
-      .orderBy("doc_id")
-  }
-
-  /** Context-window chunking: overlapping 32-token windows at stride 24
-    * (training-sequence slicing). Entirely scan-local — one explode of
-    * the start positions per document, no shuffle before the final
-    * sort; chunk text travels as an md5 only.
-    */
-  private def qChunking(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("__toks", TextFns.tokens("text"))
-      .select(col("doc_id"),
-        explode(expr("sequence(1, size(__toks), 24)")).as("__start"),
-        col("__toks"))
-      .select(col("doc_id"),
-        ((col("__start") - 1) / 24).cast("long").as("chunk_idx"),
-        expr("array_join(slice(__toks, __start, 32), ' ')").as("__chunk"))
-      .select(col("doc_id"), col("chunk_idx"),
-        size(split(col("__chunk"), " ")).cast("long").as("n_chunk_tokens"),
-        md5(col("__chunk")).as("chunk_hash"))
-      .orderBy("doc_id", "chunk_idx")
-
-  /** Sequence packing: documents assigned (whole, in doc_id order) to
-    * 2048-token training bins by their exact global token offset —
-    * computed with the distributed prefix sum ([[graft.ops.Packing]]),
-    * NOT a single-task `SUM() OVER (ORDER BY …)` window.
-    */
-  private def qSeqPacking(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    graft.ops.Packing.withRunningSum(docs, "__cum", "n_tokens", col("doc_id"))
-      // integer `div`, not a double floor: offsets are non-negative so
-      // div == floor, and it stays exact past 2^53 cumulative tokens
-      .withColumn("bin_id", expr("(__cum - n_tokens) div 2048"))
-      .groupBy("bin_id")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("n_bin_tokens"),
-        min(col("doc_id")).as("first_doc"),
-        max(col("doc_id")).as("last_doc"))
-      .orderBy("bin_id")
-  }
-
-  /** CUBE grouping sets (completes the grouping surface next to q38's
-    * ROLLUP): all four (returnflag × linestatus) subtotal combinations
-    * in one partial-aggregated pass — Spark expands the grouping sets
-    * before the exchange, so it stays a single shuffle.
-    */
-  private def qCube(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(grouping_id().cast("bigint").as("gid"),
-        count(lit(1)).as("n_items"),
-        sum(money(col("l_quantity"))).cast("double").as("sum_qty"))
-      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
-        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
-        col("gid"), col("n_items"), col("sum_qty"))
-      .orderBy("gid", "returnflag", "linestatus")
-
-  /** Distribution window functions (percent_rank / cume_dist /
-    * first_value / last_value) per user over event time — the remaining
-    * §2.5 window members. Per-user partitions parallelize; the
-    * (ts_ms, event_id) total order makes every value deterministic.
-    */
-  private def qWindowDist(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts_ms").asc, col("event_id").asc)
-    val wFull = w.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
-    t(s, dir, "events")
-      .select(col("user_id"), col("event_id"),
-        unix_millis(col("ts")).as("ts_ms"))
-      .withColumn("pr", percent_rank().over(w))
-      .withColumn("cd", cume_dist().over(w))
-      .withColumn("first_event", first("event_id").over(wFull))
-      .withColumn("last_event", last("event_id").over(wFull))
-      .select("user_id", "event_id", "pr", "cd", "first_event", "last_event")
-      .orderBy("user_id", "event_id")
-  }
-
-  /** Int8 embedding quantization with measured reconstruction error
-    * ([[Similarity.int8QuantStats]]): per-vector cosine between the
-    * exact and the int8-reconstructed vector, plus the max absolute
-    * element error — the compression-trust measurement.
-    */
-  private def qInt8Quant(s: SparkSession, dir: String): DataFrame =
-    Similarity.int8QuantStats(t(s, dir, "embeddings"), "vec_id", "embedding")
-      .orderBy("vec_id")
-
-  /** Snapshot upsert (MERGE-by-key in vanilla Spark): a base snapshot
-    * unioned with an update batch carrying a NEW column
-    * (`unionByName(allowMissingColumns)` null-fills history), then
-    * latest-version-per-key ([[Dedup.firstBy]]) — one key shuffle, the
-    * standard no-table-format merge.
-    */
-  private def qUpsert(s: SparkSession, dir: String): DataFrame = {
-    val cust = t(s, dir, "customer")
-    val base = cust.select(col("c_custkey"), col("c_name"),
-      lit(1L).as("version"))
-    val updates = cust.filter(col("c_custkey") % 10 === 0)
-      .select(col("c_custkey"), upper(col("c_name")).as("c_name"),
-        lit(2L).as("version"), lit("reprocessed").as("update_note"))
-    graft.ops.Dedup.firstBy(
-        base.unionByName(updates, allowMissingColumns = true),
-        Seq("c_custkey"), Seq(col("version").desc))
-      .orderBy("c_custkey")
-  }
-
-  /** Data-quality gate with in-flight metrics ([[graft.ops.QualityGate]]):
-    * observe counters ride the single corpus pass, thresholds checked on
-    * the driver, metrics returned as the gate report.
-    */
-  private def qQualityGate(s: SparkSession, dir: String): DataFrame =
-    graft.ops.QualityGate.textCorpusGate(
-      t(s, dir, "documents"), "text", "n_chars")
-
-  /** One-pass multi-column numeric profiler: count/min/max/sum for four
-    * lineitem measures in a SINGLE aggregation (16 partial aggregates,
-    * one scan, one reduce), pivoted to a row per column with `stack`.
-    * The `describe()` equivalent with oracle-exact numbers (DECIMAL
-    * sums, no double accumulation-order dependence).
-    */
-  private def qProfiler(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"__n_$c"),
-        min(col(c)).as(s"__min_$c"),
-        max(col(c)).as(s"__max_$c"),
-        sum(money(col(c))).cast("double").as(s"__sum_$c"))
-    }
-    val stackArgs = cols.map(c =>
-      s"'$c', __n_$c, __min_$c, __max_$c, __sum_$c").mkString(", ")
-    li.agg(aggs.head, aggs.tail: _*)
-      .selectExpr(s"stack(${cols.length}, $stackArgs) AS " +
-        "(column_name, n_nonnull, min_v, max_v, sum_v)")
-      .orderBy("column_name")
-  }
-
-  /** Behavioral transition mining: per-user event-type sequences
-    * (ordered `collect_list` via `sort_array` on a (ms, event_id, type)
-    * struct — deterministic total order), then corpus-wide top-20
-    * transition bigrams. Per-user buffering is bounded by per-user
-    * event count (session-scale, not corpus-scale); the transition
-    * count is partial-aggregated and top-k is TakeOrderedAndProject.
-    */
-  private def qEventTransitions(s: SparkSession, dir: String): DataFrame = {
-    val seqs = t(s, dir, "events")
-      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
-        col("event_id"), col("event_type"))
-      .groupBy("user_id")
-      .agg(sort_array(collect_list(
-        struct(col("ms"), col("event_id"), col("event_type")))).as("__ev"))
-      .select(col("user_id"),
-        expr("transform(__ev, e -> e.event_type)").as("__seq"))
-    seqs.select(explode(TextFns.wordBigrams("__seq")).as("transition"))
-      .groupBy("transition")
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("transition").asc)
-      .limit(20)
-  }
-
-  /** Distinctive-term extraction (tf-idf family): per-document top-3
-    * terms by tf × (N+1)/(df+1). The weight is deliberately
-    * transcendental-free — a log-idf would hinge on libm rounding,
-    * this rational form is IEEE-exact in any engine (one add, one
-    * divide, one multiply, same shapes as the oracle).
-    *
-    * Scale shape: tf is one (doc, term)-key partial-aggregated shuffle;
-    * df is one term-key partial-aggregated shuffle over per-doc
-    * DISTINCT terms (tf rows, not token occurrences); the df join key
-    * is the term; the top-3 window partitions by doc — all parallel,
-    * nothing corpus-quadratic. Terms could travel as hashes at 100 TB;
-    * kept as strings here because the term IS the output.
-    */
-  private def qTfIdf(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val n = docs.count()
-    val tf = docs
-      .select(col("doc_id"), explode(TextFns.tokens("text")).as("term"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("score").desc, col("term").asc)
-    tf.join(df, "term")
-      .withColumn("score",
-        col("tf").cast("double") *
-          ((lit(n).cast("double") + lit(1.0d)) /
-            (col("df").cast("double") + lit(1.0d))))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 3)
-      .select("doc_id", "rk", "term", "tf", "df", "score")
-      .orderBy("doc_id", "rk")
-  }
-
-  /** `binaryFile` source — the multimodal ingestion path (image/audio
-    * blobs arrive as files, not rows): write each document as a blob
-    * file, read the directory back as (path, length, content) rows,
-    * and profile. Aggregate output only — paths and mtimes are
-    * machine-local, content checksums and sizes are not.
-    *
-    * Executor tasks write through the Hadoop `FileSystem` for the
-    * output path's scheme, so on a real cluster the same code works
-    * against any shared store (hdfs:/s3a:); here the path is the local
-    * tmpdir, which local mode's shared driver/executor filesystem makes
-    * visible to the read-back.
-    */
-  private def qBinarySource(s: SparkSession, dir: String): DataFrame = {
-    // keyed by session AND source dir: Bench warms up on sf0.001 then
-    // times sf0.1 in one session — a dir-agnostic key would serve the
-    // warmup's 500 blobs to the 5000-doc trials
-    val srcKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val out = Scratch.register(
-      s"${System.getProperty("java.io.tmpdir")}/graft_blobs_" +
-        s"${s.sparkContext.applicationId}_$srcKey")
-    // The blob directory is the query's INPUT (binaryFile ingestion of
-    // an arrival directory); in production it preexists. Stage it once
-    // per session, idempotently: the driver drops a marker only after
-    // the write job completes, so a crashed partial stage restages.
-    // (Deterministic content — doc_id-named files of the fixture text —
-    // makes the overwrite-on-restage safe.)
-    val base = new org.apache.hadoop.fs.Path(out)
-    val driverFs = base.getFileSystem(s.sessionState.newHadoopConf())
-    val marker = new org.apache.hadoop.fs.Path(base, "_STAGED")
-    if (!driverFs.exists(marker)) {
-      t(s, dir, "documents")
-        .select(col("doc_id").cast("string").as("name"),
-          col("text").cast("binary").as("payload"))
-        .repartition(8)
-        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-          val b = new org.apache.hadoop.fs.Path(out)
-          val conf = new org.apache.hadoop.conf.Configuration()
-          // a PRIVATE FileSystem instance: FileSystem.get/getFileSystem
-          // return the process-cached one, and disabling checksums there
-          // would leak to every other Hadoop-FS user in the JVM. Blobs
-          // carry their own content checksums downstream (md5 over
-          // `content`), so the .crc shadow files are pure write overhead.
-          val fs = org.apache.hadoop.fs.FileSystem
-            .newInstance(b.toUri, conf)
-          try {
-            fs.setWriteChecksum(false)
-            fs.mkdirs(b)
-            it.foreach { r =>
-              val os = fs.create(
-                new org.apache.hadoop.fs.Path(b, r.getString(0) + ".bin"),
-                true)
-              try os.write(r.getAs[Array[Byte]](1)) finally os.close()
-            }
-          } finally fs.close()
-        }
-      driverFs.create(marker, true).close()
-    }
-    s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
-      .load(out)
-      .select(md5(col("content")).as("checksum"), col("length"))
-      .agg(count(lit(1)).as("n_files"),
-        sum(col("length")).as("total_bytes"),
-        count_distinct(col("checksum")).as("n_distinct"))
-  }
-
-  /** Gap sessionization through Spark's BUILT-IN `session_window`
-    * (the native operator form of q32's manual construction): per-user
-    * 30-minute-gap sessions, reported as (user, start, n_events,
-    * last_event_ms). The built-in merges windows at the aggregation —
-    * same single user-key shuffle as the manual window form.
-    */
-  private def qSessionWindowBuiltin(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .withColumn("ts_ms", timestamp_millis(unix_millis(col("ts"))))
-      .groupBy(col("user_id"),
-        session_window(col("ts_ms"), "30 minutes").as("sw"))
-      .agg(count(lit(1)).as("n_events"),
-        max(unix_millis(col("ts_ms"))).as("last_event_ms"))
-      .select(col("user_id"),
-        unix_millis(col("sw.start")).as("session_start_ms"),
-        col("n_events"), col("last_event_ms"))
-      .orderBy("user_id", "session_start_ms")
-
-  /** Z-order layout ([[graft.ops.ZOrder]]): lineitem quantized to
-    * 16-bit (quantity, price/2) coordinates, Morton-interleaved, top-4
-    * z-bits as the shard. The per-shard min/max of BOTH dimensions is
-    * the point: every shard is a tight box in the 2-D space, so file
-    * statistics prune scans on either column's predicate.
-    */
-  private def qZOrder(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-      .select(col("l_quantity").cast("bigint").as("qx"),
-        floor(col("l_extendedprice") / lit(2.0d)).cast("bigint").as("qy"))
-      .withColumn("z", graft.ops.ZOrder.zValue("qx", "qy", 16))
-    li.withColumn("shard", expr("z >> 28L"))
-      .groupBy("shard")
-      .agg(count(lit(1)).as("n_rows"),
-        min("qx").as("min_qty"), max("qx").as("max_qty"),
-        min("qy").as("min_price2"), max("qy").as("max_price2"))
-      .orderBy("shard")
-  }
-
-  /** Source-mix rebalancing ([[graft.ops.Mixing.balanceToMin]]): every
-    * source thinned toward the smallest source's size with data-derived
-    * integer thresholds — the pre-training "no source dominates" step.
-    * Reported per source: population, threshold, kept count.
-    */
-  private def qSourceMix(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    // one stats pass serves both the filter and the report — pinned,
-    // since two plan subtrees referencing it would each recompute the
-    // aggregation (no common-subplan reuse across join sides)
-    val thr = Mixing.thresholds(docs, "source").transform(snap)
-    val kept = Mixing.balanceWith(docs, "doc_id", "source", "mix", thr)
-      .groupBy("source").agg(count(lit(1)).as("n_kept"))
-    thr.join(kept, Seq("source"), "left")
-      .select(col("source"), col("n_total"), col("thr_bp"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
-      .orderBy("source")
-  }
-
-  /** Token-budget selection ([[graft.ops.Selection.underTokenBudget]]):
-    * the top-quality prefix of the corpus holding the first 20k tokens
-    * — quality ordered (desc, doc_id tiebreak), cumulative tokens via
-    * the distributed prefix sum, budget test scan-local. The greedy
-    * fill admits the straddling document, like a final packing bin.
-    */
-  private def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .withColumn("__toks", TextFns.tokens("text"))
-      .select(col("doc_id"), col("lang"),
-        size(col("__toks")).cast("long").as("n_tok"),
-        TextFns.qualityScore("text", "__toks").as("quality"))
-    Selection.underTokenBudget(docs, "n_tok", 20000L,
-        col("quality").desc, col("doc_id").asc)
-      .select(col("doc_id"), col("lang"), col("n_tok"), col("quality"),
-        col("cum_tok"))
-      .orderBy(col("cum_tok"))
-  }
-
-  /** Deterministic k-means ([[graft.ops.KMeans]]): 8 clusters, 2 Lloyd
-    * rounds over the quantized embeddings, reported as per-cluster
-    * population and exact integer inertia. Assignment is scan-local
-    * (centroids are plan literals); each update is one (cluster, dim)
-    * aggregate — the vectors themselves never shuffle.
-    */
-  private def qKMeans(s: SparkSession, dir: String): DataFrame =
-    KMeans.fit(Similarity.prepare(t(s, dir, "embeddings"), "embedding"),
-        "vec_id", 8, 2)
-      .groupBy("cluster")
-      .agg(count(lit(1)).as("n_vecs"), sum("dist").as("inertia"))
-      .orderBy("cluster")
-
-  /** SCD Type 2 dimension build ([[graft.ops.Scd.type2]]): each user's
-    * event_type stream collapsed to attribute runs with half-open
-    * validity intervals — history-preserving, the complement of q77's
-    * latest-only upsert. Windows partition by user: dimension-key
-    * parallelism, no fact-scale state.
-    */
-  private def qScd2(s: SparkSession, dir: String): DataFrame =
-    Scd.type2(
-        t(s, dir, "events").withColumn("ms", unix_millis(col("ts"))),
-        "user_id", "event_type", "ms", "event_id")
-      .select(col("user_id"), col("event_type"),
-        col("valid_from").as("valid_from_ms"),
-        col("valid_to").as("valid_to_ms"), col("is_current"))
-      .orderBy("user_id", "valid_from_ms")
-
-  /** Sliding time-RANGE window aggregate: per event, the count and
-    * DECIMAL-exact value sum of the same user's events in the trailing
-    * hour (frame = all peers with ms in [cur−3600000, cur] — a true
-    * range frame, not N rows). Per-user partitions parallelize; frame
-    * state is the in-window slice, bounded by event rate × 1 h.
-    */
-  private def qRangeWindow(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events")
-      .select(col("event_id"), col("user_id"),
-        unix_millis(col("ts")).as("ms"), col("value"))
-    val w = Window.partitionBy("user_id").orderBy(col("ms"))
-      .rangeBetween(-3600000L, 0L)
-    e.select(col("event_id"), col("user_id"), col("ms"),
-        count(lit(1)).over(w).as("n_1h"),
-        sum(col("value").cast("decimal(18,2)")).over(w)
-          .cast("double").as("sum_1h"))
-      .orderBy("event_id")
-  }
-
-  /** Exact-k deterministic stratified sample
-    * ([[graft.ops.Sampling.exactKPerStratum]]): exactly 10 docs per
-    * language, chosen by full-width hash rank — the exact-count
-    * counterpart of q54's rate-based sampler.
-    */
-  private def qExactKSample(s: SparkSession, dir: String): DataFrame =
-    Sampling.exactKPerStratum(t(s, dir, "documents"), "doc_id", "lang",
-        10, "smp")
-      .select(col("lang"), col("rk"), col("doc_id"))
-      .orderBy("lang", "rk")
-
-  /** Table reconciliation ([[graft.ops.TableDiff.diff]]): documents vs
-    * a deterministically perturbed second snapshot (every 97th doc's
-    * text changed) — the diff localizes exactly the buckets holding
-    * perturbed keys, from two scans and a 64-row compare.
-    */
-  private def qTableDiff(s: SparkSession, dir: String): DataFrame = {
-    // TableDiff's checksum contract: nullable columns must be coalesced
-    // by the caller (concat_ws skips nulls, so a null could alias
-    // against a shifted neighbor and mask a real mutation). chr(1) is
-    // the sentinel on both this side and the q92 oracle, and the guard
-    // is applied AFTER the mutation on both sides — guarding first
-    // would turn a NULL row's mutation into a real diff here while the
-    // oracle's NULL || 'X' stays NULL and reports none.
-    def guarded(df: DataFrame) = Seq("text", "lang", "source")
-      .foldLeft(df)((d, c) => d.withColumn(c,
-        coalesce(col(c), lit("\u0001"))))
-    val docs = t(s, dir, "documents")
-    val snapB = docs.withColumn("text",
-      when(col("doc_id") % 97 === 0, concat(col("text"), lit("X")))
-        .otherwise(col("text")))
-    TableDiff.diff(guarded(docs), guarded(snapB), "doc_id",
-        Seq("text", "lang", "source", "n_chars"), 64)
-      .orderBy("bucket")
-  }
-
-  /** Percentile winsorization: clip l_quantity to each flag's
-    * [p05, p95] (boundaries from the distributed exact percentiles —
-    * q47's machinery) and report clip volumes + the clipped mean. Two
-    * passes: a 3-row boundary table broadcast back onto the scan, the
-    * clip itself scan-local, DECIMAL-exact mean.
-    */
-  private def qWinsorize(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    val bounds = Percentiles.exactFewGroups(li, Seq("l_returnflag"),
-      "l_quantity", Seq(("p05", 0.05), ("p95", 0.95)))
-    li.select(col("l_returnflag"), col("l_quantity"))
-      .join(broadcast(bounds), Seq("l_returnflag"))
-      .withColumn("__w",
-        least(greatest(col("l_quantity"), col("p05")), col("p95")))
-      .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n"),
-        min("p05").as("p05"), min("p95").as("p95"),
-        sum((col("l_quantity") < col("p05")).cast("long")).as("n_clip_lo"),
-        sum((col("l_quantity") > col("p95")).cast("long")).as("n_clip_hi"),
-        (sum(col("__w").cast("decimal(12,2)")).cast("double") /
-          count(lit(1)).cast("double")).as("mean_w"))
-      .orderBy("l_returnflag")
-  }
-
-  /** Per-group z-score standardization: events.value against its
-    * event_type's DECIMAL-exact mean and sample stddev (q43's moment
-    * formulas), the stats broadcast back — normalization is scan-local,
-    * the shape feature scaling takes at any size.
-    */
-  private def qZScore(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events")
-    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
-    val stats = e.groupBy("event_type")
-      .agg(count(lit(1)).as("n"),
-        sum(dec(col("value"))).cast("double").as("s1"),
-        sum(dec(col("value")) * dec(col("value"))).cast("double").as("s2"))
-      .select(col("event_type"), col("n"),
-        (col("s1") / col("n")).as("mean"),
-        sqrt((col("n").cast("double") * col("s2") - col("s1") * col("s1"))
-          / (col("n").cast("double") * (col("n").cast("double") - lit(1.0d))))
-          .as("sd"))
-      // degenerate strata (n=1 -> 0/0; all-equal -> sd=0) have no
-      // z-scale, and 0-division diverges cross-engine (Spark NULL,
-      // DuckDB ±inf) — excluded on BOTH sides
-      .filter(col("n") > 1 && col("sd") > 0)
-      .drop("n")
-    e.join(broadcast(stats), Seq("event_type"))
-      .select(col("event_id"), col("event_type"), col("value"),
-        ((col("value") - col("mean")) / col("sd")).as("z"))
-      .orderBy("event_id")
-  }
-
-  /** Typed-cogroup as-of attribution ([[graft.ops.Cogrouped]]): q49's
-    * semantics through `KeyValueGroupedDataset.cogroup` — the typed
-    * two-input escape hatch, verified against the SAME oracle as the
-    * window form.
-    */
-  private def qCogroupAsof(s: SparkSession, dir: String): DataFrame =
-    Cogrouped.clickSignupAsof(
-        t(s, dir, "events").withColumn("ms", unix_millis(col("ts"))), s)
-      .orderBy("event_id")
-
-  /** Latest-per-key via PURE AGGREGATION: `max(struct(ts, id, attrs))`
-    * partial-aggregates map-side (each task keeps one struct per key —
-    * no per-group sort, no window, no row buffering), the scale idiom
-    * for "latest record" that q03's sort-based dedup form can't match
-    * at skewed key volumes. Lexicographic struct order IS the
-    * deterministic tiebreak ((ms, event_id) is unique).
-    */
-  private def qArgMax(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ms", unix_millis(col("ts")))
-      .groupBy("user_id")
-      .agg(count(lit(1)).as("n_events"),
-        max(struct(col("ms"), col("event_id"), col("event_type")))
-          .as("__m"))
-      .select(col("user_id"), col("n_events"),
-        col("__m.ms").as("last_ms"), col("__m.event_id").as("last_event"),
-        col("__m.event_type").as("last_type"))
-      .orderBy("user_id")
-
-  /** Semantic dedup, SemDeDup-style: k-means clusters as the blocking
-    * key, exact cosine only WITHIN clusters — near-identical embeddings
-    * land in the same cluster, so the candidate set is n²/k instead of
-    * n², and each pair costs one codegen'd integer dot. Pairs at
-    * sim ≥ 0.3 with the cluster that produced them.
-    */
-  private def qSemanticDedup(s: SparkSession, dir: String): DataFrame = {
-    // fan-out: both self-join sides consume the assignment — pin it so
-    // the k codegen'd dots per row run once, not once per side
-    val a = KMeans.fitFull(
-        Similarity.prepare(t(s, dir, "embeddings"), "embedding"),
-        "vec_id", 8, 2)
-      .filter(col("qn") > 0)
-      .transform(snap)
-    val l = a.select(col("vec_id").as("id_a"), col("cluster"),
-      col("qv").as("__qva"), col("qn").as("__qna"))
-    val r = a.select(col("vec_id").as("id_b"), col("cluster"),
-      col("qv").as("__qvb"), col("qn").as("__qnb"))
-    l.join(r, Seq("cluster"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", Similarity.cosine(col("__qva"), col("__qvb"),
-        col("__qna"), col("__qnb")))
-      .filter(col("sim") >= 0.3)
-      .select(col("id_a"), col("id_b"), col("cluster"), col("sim"))
-      .orderBy("id_a", "id_b")
-  }
-
-  /** Cross-corpus semantic dedup — the incremental mirror of q97 (what
-    * q99 is to q25): the incoming batch (vec_id ≡ 0 mod 3) is deduped
-    * AGAINST the existing corpus by assigning it to the corpus's
-    * EXISTING k-means cells (centroids as plan literals — scan-local,
-    * no re-clustering, [[KMeans.assignTo]]) and comparing exact cosine
-    * only batch-vs-history within a cell. Per-batch cost is the batch
-    * assignment plus the in-cell join — independent of history size
-    * beyond the one-off cell model (here rebuilt because the sandbox
-    * stores no state; in production the centroids and history
-    * assignments are the stored artifact).
-    */
-  private def qCrossSemanticDedup(s: SparkSession, dir: String): DataFrame = {
-    val all = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
-    // fitCentroids pins its own projection for the Lloyd rounds; the
-    // history assignment leg re-derives from the scan (one scan-local
-    // projection) rather than holding a second cached copy
-    val hist = all.filter(col("vec_id") % 3 =!= 0)
-    val cs = KMeans.fitCentroids(hist, "vec_id", 8, 2)
-    val h = KMeans.assignTo(hist, "vec_id", cs)
-      .filter(col("qn") > 0)
-      .select(col("vec_id").as("hist_id"), col("cluster"),
-        col("qv").as("__qvb"), col("qn").as("__qnb"))
-    val b = KMeans.assignTo(all.filter(col("vec_id") % 3 === 0), "vec_id", cs)
-      .filter(col("qn") > 0)
-      .select(col("vec_id").as("new_id"), col("cluster"),
-        col("qv").as("__qva"), col("qn").as("__qna"))
-    b.join(h, Seq("cluster"))
-      .withColumn("sim", Similarity.cosine(col("__qva"), col("__qvb"),
-        col("__qna"), col("__qnb")))
-      .filter(col("sim") >= 0.3)
-      .select(col("new_id"), col("hist_id"), col("cluster"), col("sim"))
-      .orderBy("new_id", "hist_id")
-  }
-
-  /** Training-shard export manifest: the corpus in curriculum order
-    * (quality desc — q86's ordering) cut into fixed-size 64-doc shards
-    * via the scalable dense id (E36 — no single-task window), each
-    * shard summarized as the manifest a downstream loader checks:
-    * doc count, token total, content checksum ([[TableDiff]]'s
-    * order-independent sum, folded to 40 bits). Shard boundaries and
-    * checksums are all engine-reproducible — the export can be
-    * re-validated anywhere.
-    */
-  private def qShardManifest(s: SparkSession, dir: String): DataFrame = {
-    val scored = t(s, dir, "documents")
-      .withColumn("__toks", TextFns.tokens("text"))
-      .select(col("doc_id"), col("text"),
-        size(col("__toks")).cast("long").as("n_tok"),
-        TextFns.qualityScore("text", "__toks").as("quality"))
-    DenseId.withDenseId(scored, "rk", col("quality").desc, col("doc_id"))
-      .withColumn("shard", expr("(rk - 1) div 64"))
-      .groupBy("shard")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("n_tok").as("n_tokens"),
-        (sum(TableDiff.rowChecksum("doc_id", Seq("text"))
-            .cast("decimal(38,0)")) % lit(1099511627776L))
-          .cast("bigint").as("checksum"))
-      .orderBy("shard")
-  }
-
-  /** Cross-corpus incremental near-dup
-    * ([[graft.ops.NearDup.crossCandidatePairs]]): the incoming batch
-    * (doc_id ≡ 0 mod 3) deduped AGAINST the existing corpus — band
-    * join instead of band self-join, so per-batch cost is independent
-    * of corpus size; candidates scored by the O(k) signature estimator
-    * (the at-scale verification path).
-    */
-  private def qCrossDedup(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .repartition(col("doc_id"))
-      .withColumn("shingles", TextFns.shingles("text", 5))
-      .select("doc_id", "shingles")
-      .transform(snap)
-    val sigs = NearDup.minHashSigs(docs, "doc_id", "shingles", 32, "sig")
-      .transform(snap)
-    val bands = NearDup.bandRows(sigs, "doc_id", "sig", 4, 8, 32)
-    NearDup.crossCandidatePairs(
-        bands.filter(col("doc_id") % 3 === 0),
-        bands.filter(col("doc_id") % 3 =!= 0), "doc_id")
-      .join(sigs.select(col("doc_id").as("new_id"), col("sig").as("__sa")),
-        "new_id")
-      .join(sigs.select(col("doc_id").as("hist_id"), col("sig").as("__sb")),
-        "hist_id")
-      .withColumn("est_jaccard",
-        expr(NearDup.estimatedJaccardExpr("__sa", "__sb", 32)))
-      .filter(col("est_jaccard") >= 0.5)
-      .select("new_id", "hist_id", "est_jaccard")
-      .orderBy("new_id", "hist_id")
-  }
-
-  /** Paragraph-level exact dedup ([[graft.ops.ParagraphDedup]]):
-    * repeated 20-token boilerplate segments removed
-    * first-occurrence-wins across the corpus — the sub-document
-    * granularity q24/q25/q64/q97 cannot reach. Output per doc:
-    * paragraph counts and the md5 of the document rebuilt from its
-    * surviving paragraphs.
-    */
-  private def qParagraphDedup(s: SparkSession, dir: String): DataFrame =
-    ParagraphDedup.dedupSummary(t(s, dir, "documents"), "doc_id", "text", 20)
-      .orderBy("doc_id")
-
-  /** HLL cardinality profile ([[graft.ops.Cardinality]]): per-column
-    * exact vs sketch distinct counts over the curation-relevant key
-    * columns. The oracle-checked surface carries the exact counts plus
-    * the MEASURED claim that the HLL++ estimate landed within 3×rsd
-    * (the estimate itself is engine-specific, so the gate verifies the
-    * bound rather than the estimate); CardinalitySpec asserts the
-    * tighter measured error.
-    */
-  private def qHllCardinality(s: SparkSession, dir: String): DataFrame =
-    Cardinality.profile(t(s, dir, "documents"),
-        Seq("doc_id", "lang", "source"), 0.05, "documents")
-      .union(Cardinality.profile(t(s, dir, "events"),
-        Seq("user_id", "event_type"), 0.05, "events"))
-      .select(col("column_name"), col("n_rows"), col("exact_distinct"),
-        (col("rel_error") <= 0.15).as("within_15pct"))
-      .orderBy("column_name")
-
-  /** Approx-percentile sketch with a MEASURED rank-error bound — the
-    * quantile sibling of q102's HLL (together they close the sketch
-    * surface): at 100 TB the exact per-group percentile (q47's 3-pass
-    * machinery) is the expensive baseline and the GK sketch
-    * (`percentile_approx`, one pass, bounded state) is the production
-    * path. The gate carries the exact values plus the verified claim
-    * that each sketch value's TRUE rank lands within ε = 1/accuracy of
-    * the target quantile — the two-sided tie-aware form: at least
-    * (p−ε)·n values ≤ v and fewer than (p+ε)·n values < v.
-    */
-  private def qApproxPercentile(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_quantity"))
-    val eps = 0.01 // GK guarantee: rank error <= n / accuracy
-    val approx = li.groupBy("l_returnflag")
-      .agg(percentile_approx(col("l_quantity"),
-        array(lit(0.5), lit(0.95)), lit(100)).as("__ap"))
-      .select(col("l_returnflag"),
-        col("__ap")(0).as("__a50"), col("__ap")(1).as("__a95"))
-    val ranks = li.join(broadcast(approx), Seq("l_returnflag"))
-      .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("__n"),
-        sum((col("l_quantity") <= col("__a50")).cast("long")).as("__le50"),
-        sum((col("l_quantity") < col("__a50")).cast("long")).as("__lt50"),
-        sum((col("l_quantity") <= col("__a95")).cast("long")).as("__le95"),
-        sum((col("l_quantity") < col("__a95")).cast("long")).as("__lt95"))
-    def ok(le: String, lt: String, p: Double) =
-      (col(le).cast("double") >= (lit(p) - lit(eps)) * col("__n")) &&
-        (col(lt).cast("double") <= (lit(p) + lit(eps)) * col("__n"))
-    val exact = Percentiles.exactFewGroups(li, Seq("l_returnflag"),
-      "l_quantity", Seq(("exact_p50", 0.5), ("exact_p95", 0.95)))
-    exact.join(ranks, Seq("l_returnflag"))
-      .select(col("l_returnflag"), col("exact_p50"), col("exact_p95"),
-        (ok("__le50", "__lt50", 0.5) && ok("__le95", "__lt95", 0.95))
-          .as("within_rank_eps"))
-      .orderBy("l_returnflag")
-  }
-
-  /** Vocabulary construction with coverage — the tokenizer-prep report:
-    * top-k corpus tokens by frequency (ties lexicographic) with each
-    * token's share and the cumulative coverage of the vocabulary so
-    * far; 1 − cum_share at rank k IS the OOV rate a k-entry vocab
-    * buys. Counts partial-aggregate map-side; top-k is a
-    * TakeOrderedAndProject; the cumulative window runs over k rows of
-    * metadata, never the corpus (the q47 few-groups discipline).
-    */
-  private def qVocabulary(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir, "documents")
-      .select(explode(split(col("text"), " ")).as("token"))
-      .filter(col("token") =!= "")
-    // both the top-k and the total derive from ONE grouped-count
-    // subtree (total = sum over the vocab-sized count table, not a
-    // second corpus scan — the q79 one-scan discipline; the shared
-    // subtree lets ReuseExchange serve both consumers)
-    val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
-    val top = counts.orderBy(col("cnt").desc, col("token")).limit(30)
-    val total = counts.agg(sum("cnt").as("__total"))
-    val w = Window.orderBy(col("cnt").desc, col("token"))
-    top.crossJoin(broadcast(total))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .withColumn("share",
-        col("cnt").cast("double") / col("__total").cast("double"))
-      .withColumn("cum_share",
-        sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)).cast("double") /
-          col("__total").cast("double"))
-      .select("rank", "token", "cnt", "share", "cum_share")
-      .orderBy("rank")
-  }
-
-  /** Per-source distribution drift: total-variation distance between
-    * each source's n_chars histogram and the corpus-wide one over
-    * shared fixed-width bins — the monitoring question ("which source
-    * changed shape") behind ingest gating. All arithmetic is EXACT
-    * integers until one final double division: the per-bin term is
-    * |c_sb·n_all − c_b·n_s| summed as DECIMAL(38,0) (order-independent,
-    * no float accumulation), so the distance is engine-reproducible.
-    * One scan feeds three partial aggregates; the bin/source grids are
-    * metadata-sized.
-    */
-  private def qSourceDrift(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-      .select(col("source"), expr("n_chars div 50").as("bin"))
-    val sb = d.groupBy("source", "bin").agg(count(lit(1)).as("c_sb"))
-    val b = d.groupBy("bin").agg(count(lit(1)).as("c_b"))
-    val ns = d.groupBy("source").agg(count(lit(1)).as("n_s"))
-    val nAll = d.agg(count(lit(1)).as("n_all"))
-    ns.crossJoin(broadcast(b)) // sources × occupied bins: metadata grid
-      .join(sb, Seq("source", "bin"), "left")
-      .na.fill(0L, Seq("c_sb"))
-      .crossJoin(broadcast(nAll))
-      .withColumn("__num",
-        abs(col("c_sb").cast("decimal(38,0)") * col("n_all")
-          - col("c_b").cast("decimal(38,0)") * col("n_s")))
-      .groupBy("source")
-      .agg(max("n_s").as("n_docs"), max("n_all").as("__n_all"),
-        sum("__num").as("__num_sum"))
-      .select(col("source"), col("n_docs"),
-        (col("__num_sum").cast("double") /
-          (lit(2.0d) * col("n_docs").cast("double")
-            * col("__n_all").cast("double"))).as("tv_dist"))
-      .orderBy("source")
-  }
-
-  /** Quality-aware canonical selection: q71's duplicate clusters
-    * resolved to the HIGHEST-QUALITY member (ties → smallest id)
-    * instead of the min id — what a curation pipeline actually keeps.
-    * The argmax is a map-side-combined `max(struct(quality, −id))` per
-    * cluster — no per-group sort, no window.
-    */
-  private def qClusterRepresentative(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    // the clustering is the query's stored INPUT (shared fixture with
-    // q128/q130 — pair generation + CC memoized per session); the
-    // operator under test is the quality argmax, and the oracle still
-    // recomputes the whole chain from the corpus
-    val cc = DedupClusters.withSizes(fullClusterLabels(s, dir))
-    val q = docs.withColumn("__toks", TextFns.tokens("text"))
-      .select(col("doc_id"),
-        TextFns.qualityScore("text", "__toks").as("quality"))
-    cc.join(q, "doc_id")
-      .groupBy("cluster_rep")
-      .agg(max("n_members").as("n_members"),
-        max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("__m"))
-      .select(col("cluster_rep"), col("n_members"),
-        (-col("__m.nid")).as("best_doc"), col("__m.quality").as("best_quality"))
-      .orderBy("cluster_rep")
-  }
-
-  /** Incremental paragraph dedup
-    * ([[graft.ops.ParagraphDedup.incrementalDecisions]]): the incoming
-    * batch (doc_id ≢ 0 mod 10) deduped at paragraph granularity
-    * against the history corpus — kept = unseen in history AND first in
-    * batch, with the two drop causes reported separately. History is
-    * one distinct hash set; per-batch cost independent of history size.
-    */
-  private def qIncrementalParagraphDedup(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    ParagraphDedup.incrementalDecisions(
-        docs.filter(col("doc_id") % 10 === 0),
-        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 20)
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_paras"),
-        sum((!col("seen_in_history") && col("first_in_batch"))
-          .cast("long")).as("n_kept"),
-        sum(col("seen_in_history").cast("long")).as("n_hist_dups"),
-        sum((!col("seen_in_history") && !col("first_in_batch"))
-          .cast("long")).as("n_batch_dups"))
-      .orderBy("doc_id")
-  }
-
-  /** Heavy hitters via count-min sketch ([[graft.ops.FreqSketch]] —
-    * the frequency sketch closing the profiling trio with q102's HLL
-    * and q104's GK quantiles): top-20 corpus tokens with the sketch's
-    * two guarantees VERIFIED per token — `overestimate_ok` (a CMS
-    * never undercounts) and `within_eps` (overshoot ≤ ⌈ε·N⌉).
-    * `est_cnt` itself stays engine-internal (no portable SQL computes
-    * a seeded CMS); the gate matches the exact counts plus the
-    * measured booleans.
-    */
-  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir, "documents")
-      .select(explode(split(col("text"), " ")).as("token"))
-      .filter(col("token") =!= "")
-    FreqSketch.heavyHitters(toks, "token", 20, 0.001, 0.99, 7)
-      .select(col("rank"), col("item").as("token"), col("exact_cnt"),
-        col("overestimate_ok"), col("within_eps"))
-      .orderBy("rank")
-  }
-
-  /** Bloom-prefiltered contamination screening ([[graft.ops.Blooms]]):
-    * an eval split's paragraph fingerprints become a Bloom filter
-    * (built by a DISTRIBUTED merge aggregate, driver sees one bit
-    * array); the corpus is then screened SCAN-LOCALLY and only the
-    * surviving candidates pay the exact semi-join. At 100 TB only the
-    * build + scan-local probe + candidate-sized verify run; the full
-    * corpus-vs-eval exact join here is the verification baseline that
-    * MEASURES the two claims (q51 discipline): no false negatives
-    * (structural), and a false-positive rate within 5× the configured
-    * fpp (probabilistic).
-    */
-  private def qBloomContamination(s: SparkSession, dir: String): DataFrame = {
-    val fpp = 0.01
-    val paras = ParagraphDedup.paragraphs(
-        t(s, dir, "documents"), "doc_id", "text", 20)
-      .select(col("doc_id"), md5(graft.expressions.UnicodeNormalize.nfc(col("para"))).as("fp"))
-    val eval = paras.filter(col("doc_id") % 17 === 0)
-      .select("fp").distinct().transform(snap)
-    // pinned like eval: the pair stats, the bloom-filtered candidate
-    // join, and the ground-truth anti-join below are three actions —
-    // unpinned, each would re-run the paragraph explode + distinct
-    val corpus = paras.filter(col("doc_id") % 17 =!= 0)
-      .select("doc_id", "fp").distinct().transform(snap)
-    val bloom = Blooms.build(eval, col("fp"),
-      math.max(eval.count(), 1L), fpp)
-
-    // ONE corpus pass measures pair count + bloom pass-rate; the
-    // candidate set (the only thing a 100 TB run materializes) then
-    // feeds the exact verify.
-    val cstats = corpus.agg(count(lit(1)).as("n"),
-      sum(Blooms.mightContain(bloom, col("fp")).cast("long"))
-        .as("cand")).head()
-    val (nPairs, nCand) = (cstats.getLong(0), cstats.getLong(1))
-    val hits = corpus.filter(Blooms.mightContain(bloom, col("fp")))
-      .join(eval, Seq("fp"), "left_semi").transform(snap)
-    val nHit = hits.count()
-    // no-false-negative check: ground-truth hits from the UNFILTERED
-    // corpus must all have survived the bloom pre-filter
-    val missed = corpus.join(eval, Seq("fp"), "left_semi")
-      .join(hits, Seq("doc_id", "fp"), "left_anti").limit(1).count()
-    val fpr = (nCand - nHit).toDouble /
-      math.max(nPairs - nHit, 1L).toDouble
-    hits.groupBy("doc_id").agg(count(lit(1)).as("n_hit_paras"))
-      .withColumn("bloom_no_false_negatives", lit(missed == 0L))
-      .withColumn("fpr_ok", lit(fpr <= 5 * fpp))
-      .orderBy("doc_id")
-  }
-
-  /** Systematic PPS sampling ([[Sampling.systematicPps]]): 10 docs per
-    * source drawn proportional to n_chars — the curation draw whose
-    * sample token-mass mirrors the corpus. The whole draw is exact
-    * integer arithmetic over a distributed prefix sum (no
-    * transcendental sampling keys, no per-source single-task window),
-    * so the oracle reproduces it bit-for-bit.
-    */
-  private def qPpsSample(s: SparkSession, dir: String): DataFrame =
-    Sampling.systematicPps(
-        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
-        "doc_id", "source", "n_chars", 10, "pps1")
-      .select(col("source"), col("doc_id"), col("n_chars"), col("n_picks"))
-      .orderBy("source", "doc_id")
-
-  /** Windowed distinct-users on the STREAM via the HLL++ sketch
-    * ([[EventStream.windowedApproxUsers]]) — exact COUNT(DISTINCT) is
-    * unsupported (and unsupportable: O(keys) state per window) in
-    * streaming aggregation; the sketch is the production answer with
-    * fixed-size per-window state. The batch side recomputes the EXACT
-    * distinct per closed window and the gate carries it plus the
-    * verified claim that the stream's estimate landed within
-    * 3·rsd·exact + 2 — the relative HLL guarantee plus an absolute
-    * slack of 2 for tiny windows, where the sketch's linear-counting
-    * small-range correction rounds (a 2-user window estimated at 3 is
-    * a ±1 count, not a 50% failure; measured here, not assumed).
-    */
-  private def qStreamApproxUsers(s: SparkSession, dir: String): DataFrame = {
-    val rsd = 0.05
-    val approx = EventStream.windowedApproxUsers(
-      s, s"$dir/events.parquet", rsd = rsd)
-    val exact = t(s, dir, "events")
-      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
-      .agg(countDistinct(col("user_id")).as("exact_users"))
-      .select(unix_millis(col("window.start")).as("window_start_ms"),
-        col("event_type"), col("exact_users"))
-    // inner join on the stream's emitted rows = exactly the closed
-    // (watermark-passed) windows, the q31 batch equivalence
-    approx.join(exact, Seq("window_start_ms", "event_type"))
-      .select(col("window_start_ms"), col("event_type"),
-        col("exact_users"),
-        (abs(col("approx_users") - col("exact_users")).cast("double") <=
-          lit(3 * rsd) * col("exact_users").cast("double") + lit(2.0))
-          .as("within_3rsd"))
-      .orderBy("window_start_ms", "event_type")
-  }
-
-  /** Product-quantization ANN ([[graft.ops.ProductQuant]]): 64-dim
-    * vectors compressed to m=4 codebook indices, queries scored by ADC
-    * lookup tables, recall MEASURED against the exact L2 top-3 — and,
-    * uniquely for a PQ implementation, oracle-CHECKED: codebook
-    * training, encoding, and ADC are all deterministic integer
-    * arithmetic, so DuckDB reproduces the recall to the bit.
-    */
-  /** Recall@k of `approx` against the exact top-k frame `ex` (both in
-    * the (query_id, neighbor_id) shape): one row of (n_queries,
-    * recall), shared by q113/q115 so the definition cannot fork.
-    */
-  private def annRecallRow(ex: DataFrame, approx: DataFrame,
-      k: Int): DataFrame =
-    ex.join(approx.select(col("query_id"), col("neighbor_id"))
-        .withColumn("__hit", lit(1L)),
-        Seq("query_id", "neighbor_id"), "left")
-      .agg(countDistinct(col("query_id")).as("n_queries"),
-        (sum(coalesce(col("__hit"), lit(0L))).cast("double") /
-          (lit(k.toDouble) * countDistinct(col("query_id")).cast("double")))
-          .as("recall"))
-
-  private def qPqAnn(s: SparkSession, dir: String): DataFrame = {
-    // pinned like q115: encoding, the query filter, and the exact
-    // baseline all consume it
-    val prep = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
-      .filter(col("qn") > 0).transform(snap)
-    // codebooks come from the STORED model table (trained+saved once
-    // per session by annModelPaths, loaded here — the production
-    // score path; the oracle retrains from the corpus, so the gate
-    // proves stored-model scoring ≡ inline-trained scoring)
-    val cbs = ModelStore.loadCodebooks(s, annModelPaths(s, dir)._2)
-    val coded = ProductQuant.withCodes(prep, cbs)
-    val queries = prep.filter(col("vec_id") < 50)
-    val pq = ProductQuant.adcTopK(coded, queries, "vec_id", cbs, 3)
-    val ex = ProductQuant.exactL2TopK(prep, queries, "vec_id", 3)
-    annRecallRow(ex, pq, 3)
-      .select(lit("pq_adc").as("method"), lit(4L).as("m"),
-        lit(16L).as("ksub"), col("n_queries"), col("recall"))
-  }
-
-  /** IVF+PQ composed ([[ProductQuant.ivfAdcTopK]]) — the canonical
-    * billion-vector ANN layout: the coarse quantizer cuts CANDIDATES
-    * (nprobe of 8 cells probed), PQ cuts BYTES per candidate (4 codes
-    * vs 64 quantized dims); a query touches nprobe inverted lists of
-    * 4-byte codes. Both trained models are metadata literals in the
-    * plan; candidates come from a broadcast cell equi-join; recall vs
-    * the exact L2 top-3 is oracle-reproduced like q113's.
-    */
-  private def qIvfPq(s: SparkSession, dir: String): DataFrame = {
-    // pinned: assignment, queries, and the exact baseline all consume it
-    val prep = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
-      .filter(col("qn") > 0).transform(snap)
-    // both models come from the STORED tables (annModelPaths trains and
-    // saves once per session) — scoring loads k·dims longs and folds
-    // them into the plan as literals, never re-runs Lloyd
-    val (coarsePath, cbPath) = annModelPaths(s, dir)
-    val coarse = ModelStore.loadCentroids(s, coarsePath)
-    val cbs = ModelStore.loadCodebooks(s, cbPath)
-    val coded = ProductQuant.withCodes(
-      KMeans.assignTo(prep, "vec_id", coarse)
-        .withColumnRenamed("cluster", "cell"), cbs)
-    val queries = prep.filter(col("vec_id") < 50)
-    val pq = ProductQuant.ivfAdcTopK(coded, queries, "vec_id", cbs,
-      coarse, 2, 3)
-    val ex = ProductQuant.exactL2TopK(prep, queries, "vec_id", 3)
-    annRecallRow(ex, pq, 3)
-      .select(lit("ivf_pq").as("method"), lit(4L).as("m"),
-        lit(16L).as("ksub"), lit(2L).as("nprobe"),
-        col("n_queries"), col("recall"))
-  }
-
-  /** The stored-model surface itself as a first-class query
-    * ([[graft.ops.ModelStore]]): load the persisted coarse-centroid
-    * and PQ-codebook model TABLES (written once per session by the
-    * train step), verify their shapes, and score a fresh batch —
-    * here the full corpus re-encoded and the q115 query set re-ranked
-    * — against the LOADED artifacts. The oracle re-derives the models
-    * from the corpus in SQL (training is deterministic integer
-    * arithmetic), so a green row proves stored-model scoring is
-    * bit-identical to inline-trained scoring: the parquet roundtrip
-    * loses nothing, and the load path feeds the same literal-folded
-    * scan-local plans. Output adds the loaded model dimensions
-    * (n_cells, n_codewords) read from the ARTIFACTS, not from config
-    * — a registry audit would read the same numbers.
-    */
-  private def qStoredModelAnn(s: SparkSession, dir: String): DataFrame = {
-    val prep = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
-      .filter(col("qn") > 0).transform(snap)
-    val (coarsePath, cbPath) = annModelPaths(s, dir)
-    val coarse = ModelStore.loadCentroids(s, coarsePath)
-    val cbs = ModelStore.loadCodebooks(s, cbPath)
-    val coded = ProductQuant.withCodes(
-      KMeans.assignTo(prep, "vec_id", coarse)
-        .withColumnRenamed("cluster", "cell"), cbs)
-    val queries = prep.filter(col("vec_id") < 50)
-    val pq = ProductQuant.ivfAdcTopK(coded, queries, "vec_id", cbs,
-      coarse, 2, 3)
-    val ex = ProductQuant.exactL2TopK(prep, queries, "vec_id", 3)
-    annRecallRow(ex, pq, 3)
-      .select(lit("stored_ivf_pq").as("method"),
-        lit(coarse.length.toLong).as("n_cells"),
-        lit(cbs.length.toLong * cbs.head.length.toLong).as("n_codewords"),
-        col("n_queries"), col("recall"))
-  }
-
-  /** BM25-style ranked retrieval over the corpus for a fixed query
-    * term set — the RETRIEVAL sibling of q81's per-document tf-idf
-    * profile (that one characterizes documents; this one RANKS them
-    * for a query). Standard Robertson k1=1.2, b=0.75 length
-    * normalization; idf is the rational (N−df+0.5)/(df+0.5) rather
-    * than its logarithm — the repo's transcendental-free determinism
-    * convention (cross-engine ln is not bit-stable; the rational form
-    * preserves per-term monotonicity, which is all ranking needs).
-    * Per-term contributions are summed in a FIXED expression order
-    * (conditional single-term sums, then an explicit 3-term add) —
-    * a plain SUM over the term rows would float-add in partition
-    * order and fork from the oracle by an ulp.
-    *
-    * Scale shape: tf is one (doc, term) shuffle of the term-filtered
-    * explode (the term list prunes at the scan), df and the corpus
-    * stats are metadata-sized broadcasts, scoring is scan-local, and
-    * the top-20 is a TakeOrderedAndProject.
-    */
-  private def qBm25(s: SparkSession, dir: String): DataFrame = {
-    val docs = bm25Docs(t(s, dir, "documents"))
-    val stats = docs.agg(count(lit(1)).as("__n"), sum("dl").as("__sumdl"))
-    val tf = bm25Postings(docs)
-      .filter(col("term").isin(bm25Terms: _*))
-    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    bm25TopK(tf, dfc, stats)
-  }
-
-  private val bm25Terms = Seq("spark", "merge", "window")
-
-  private def bm25Docs(documents: DataFrame): DataFrame =
-    documents
-      .select(col("doc_id"),
-        expr("filter(split(text, ' '), x -> x <> '')").as("__t"))
-      .select(col("doc_id"), col("__t"),
-        size(col("__t")).cast("long").as("dl"))
-
-  /** (doc_id, dl, term, tf) postings — the append-only index half of
-    * the retrieval state (all terms: the production posting list, not
-    * just the fixture's query terms).
-    */
-  private def bm25Postings(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), col("dl"), explode(col("__t")).as("term"))
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-
-  /** The q116 scoring kernel, shared verbatim by the full-corpus form
-    * and q136's merged-stored-stats form so the two produce
-    * bit-identical floats: per-term contributions are summed in the
-    * FIXED left-fold expression order (never a row-order float SUM),
-    * rational idf, Robertson k1/b normalization.
-    */
-  private def bm25TopK(tf: DataFrame, dfc: DataFrame,
-      stats: DataFrame): DataFrame = {
-    val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
-    val norm = col("tf").cast("double") +
-      lit(1.2) * (lit(1.0) - lit(0.75) +
-        lit(0.75) * col("dl").cast("double") / avgdl)
-    val idf = (col("__n").cast("double") - col("df").cast("double") +
-      lit(0.5)) / (col("df").cast("double") + lit(0.5))
-    val contrib = (col("tf").cast("double") * lit(2.2) / norm) * idf
-    def termSum(t: String) =
-      coalesce(sum(when(col("term") === t, col("__c"))), lit(0.0))
-    val scored = tf.join(broadcast(dfc), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("__c", contrib)
-      .groupBy("doc_id")
-      .agg(bm25Terms.map(termSum).reduce(_ + _).as("score"),
-        count(lit(1)).as("n_terms"))
-      .orderBy(col("score").desc, col("doc_id")).limit(20)
-    scored
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
-      .select("rank", "doc_id", "score", "n_terms")
-      .orderBy("rank")
-  }
-
-  /** Complete-mode streaming aggregation
-    * ([[EventStream.windowedCountsComplete]]): the final re-emitted
-    * table must equal the batch group-by over ALL events — open
-    * windows included, the exact surface append mode (q31) filters
-    * away. Together q31/q58/q114 exercise all three output modes.
-    */
-  private def qStreamComplete(s: SparkSession, dir: String): DataFrame =
-    EventStream.windowedCountsComplete(s, s"$dir/events.parquet")
-
-  /** The full curation pipeline as ONE declarative composition — the
-    * capstone: quality gate → exact dedup (canonical fingerprint,
-    * first-id representative) → source-mix rebalance (data-derived
-    * thresholds) → token-budget selection (quality-ordered distributed
-    * prefix sum) → per-language report. Every stage is an operator
-    * verified on its own elsewhere (q21/q24/q85/q86); this proves they
-    * COMPOSE, oracle-checked end to end. Plan shape: two scan-local
-    * filter stages, one fingerprint shuffle, one stratum-count
-    * broadcast, one range exchange — no stage that fails at 100 TB.
-    */
-  private def qFullPipeline(s: SparkSession, dir: String): DataFrame = {
-    val scored = t(s, dir, "documents")
-      .withColumn("__toks", TextFns.tokens("text"))
-      .select(col("doc_id"), col("lang"), col("source"), col("text"),
-        size(col("__toks")).cast("long").as("n_tok"),
-        TextFns.qualityScore("text", "__toks").as("quality"))
-      .filter(col("quality") >= 0.5)
-      .withColumn("f", TextFns.fingerprint("text"))
-    val uniq = Dedup.firstBy(scored, Seq("f"), Seq(col("doc_id").asc))
-    val mixed = Mixing.balanceToMin(uniq, "doc_id", "source", "pipe")
-      .select("doc_id", "lang", "n_tok", "quality")
-    Selection.underTokenBudget(mixed, "n_tok", 15000L,
-        col("quality").desc, col("doc_id").asc)
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
-      .orderBy("lang")
-  }
-
-  /** Corpus-frequency boilerplate removal
-    * ([[ParagraphDedup.boilerplateSummary]]): paragraphs appearing in
-    * ≥ 2 DISTINCT documents — navigation chrome, licence footers — are
-    * removed from EVERY document, first occurrence included. The
-    * CCNet/C4 policy, complementing q101's first-occurrence-wins (which
-    * keeps one copy; this keeps none).
-    */
-  private def qBoilerplate(s: SparkSession, dir: String): DataFrame =
-    ParagraphDedup.boilerplateSummary(t(s, dir, "documents"),
-      "doc_id", "text", 20, 2)
-      .orderBy("doc_id")
-
-  /** PageRank over the customer–supplier purchase graph — the weighted
-    * ITERATIVE graph op complementing q71's connected components (label
-    * propagation has no per-edge weights; PageRank is the
-    * Pregel-pattern fixture every graph engine is judged on). Nodes:
-    * customers (2k) and suppliers (2k+1) that traded; edges: distinct
-    * (cust, supp) pairs from lineitem ⋈ orders, symmetrized so every
-    * node has out-degree ≥ 1 (no dangling mass). Three damped rounds
-    * (d = 85/100) in EXACT integer arithmetic: total mass 10^12,
-    * truncating `div` for both the per-edge contribution r/outdeg and
-    * the damping — transcendental- and float-free, so DuckDB replays
-    * the identical longs (`//` ≡ `div` on non-negatives).
-    *
-    * Scale shape: each round = one edge⋈rank equi-join + one partial-
-    * aggregated dst shuffle — rank state is node-sized, edges never
-    * rescan the fact tables (distinct pairs computed once and
-    * pinned with localCheckpoint); the classic BSP round structure
-    * with no driver-side data movement.
-    */
-  private def qPageRank(s: SparkSession, dir: String): DataFrame = {
-    val half = t(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
-    val edges = half
-      .union(half.select(col("dst").as("src"), col("src").as("dst")))
-    PageRank.ranks(edges, "src", "dst", 3)
-      .orderBy(col("r").desc, col("node")).limit(20)
-      .withColumn("pos", row_number().over(
-        Window.orderBy(col("r").desc, col("node"))).cast("long"))
-      .select(col("pos"),
-        when(col("node") % 2 === 0, lit("customer"))
-          .otherwise(lit("supplier")).as("node_type"),
-        expr("node div 2").as("entity_key"),
-        col("outdeg").as("degree"), col("r").as("rank_scaled"))
-      .orderBy("pos")
-  }
-
-  /** Conversion-funnel analysis: users progressing view → click →
-    * purchase with each later step STRICTLY after the user's earliest
-    * completion of the previous one, plus the 24 h-completion count —
-    * the product-analytics query every event warehouse runs. Each step
-    * is one filtered scan + one user-key partial-aggregated shuffle
-    * (min-reduction, skew-immune); timestamps compare as exact
-    * microseconds (`unix_micros` ≡ `epoch_us`).
-    */
-  private def qFunnel(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events").select("user_id", "event_type", "ts")
-    val a = ev.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min("ts").as("t1"))
-    val b = ev.filter(col("event_type") === "click").join(a, "user_id")
-      .filter(col("ts") > col("t1"))
-      .groupBy("user_id").agg(min("ts").as("t2"), min("t1").as("t1"))
-    val c = ev.filter(col("event_type") === "purchase").join(b, "user_id")
-      .filter(col("ts") > col("t2"))
-      .groupBy("user_id").agg(min("ts").as("t3"), min("t1").as("t1"))
-    a.agg(count(lit(1)).as("n_users"))
-      .select(lit("1_view").as("step"), col("n_users"))
-      .unionByName(b.agg(count(lit(1)).as("n_users"))
-        .select(lit("2_click").as("step"), col("n_users")))
-      .unionByName(c.agg(count(lit(1)).as("n_users"))
-        .select(lit("3_purchase").as("step"), col("n_users")))
-      .unionByName(c
-        .filter(unix_micros(col("t3")) - unix_micros(col("t1")) <=
-          24L * 3600 * 1000 * 1000)
-        .agg(count(lit(1)).as("n_users"))
-        .select(lit("4_within_24h").as("step"), col("n_users")))
-      .orderBy("step")
-  }
-
-  /** Weekly cohort retention triangle: users grouped by first-activity
-    * week, counted in each later week they return — the growth query
-    * behind every retention dashboard. Weeks are integer
-    * days-since-epoch div 7 (engine-portable; no locale-dependent
-    * week-of-year). One (user, week) distinct shuffle + one user-key
-    * min + one metadata-sized cohort aggregation; the rate is a single
-    * double division per output row.
-    */
-  private def qRetention(s: SparkSession, dir: String): DataFrame = {
-    val wk = t(s, dir, "events")
-      .select(col("user_id"),
-        expr("datediff(cast(ts as date), date'1970-01-01') div 7").as("wk"))
-      .distinct()
-    val cohort = wk.groupBy("user_id").agg(min("wk").as("cohort_wk"))
-    val sizes = cohort.groupBy("cohort_wk")
-      .agg(count(lit(1)).as("n_cohort"))
-    wk.join(cohort, "user_id")
-      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
-      .agg(count(lit(1)).as("n_active"))
-      .join(broadcast(sizes), "cohort_wk")
-      .select(col("cohort_wk"), col("week_offset"), col("n_active"),
-        col("n_cohort"),
-        (col("n_active").cast("double") / col("n_cohort").cast("double"))
-          .as("retention"))
-      .orderBy("cohort_wk", "week_offset")
-  }
-
-  /** Incremental aggregate maintenance: the stored per-key partials of
-    * a history corpus merge with a new batch's partials into the
-    * rolled-up state WITHOUT rescanning history — counts add, DECIMAL
-    * sums add (commutative-monoid state, the foundation every
-    * incremental materialized view stands on). The gate carries the
-    * merged values plus the VERIFIED claim that they equal a full
-    * recompute over history ∪ batch (the measured-claim discipline of
-    * q102/q104/q109: don't trust algebra, check it).
-    */
-  private def qIncrementalRollup(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    def partial(df: DataFrame): DataFrame =
-      df.groupBy("event_type").agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).as("v"))
-    val merged = partial(ev.filter(col("event_id") % 10 < 8))
-      .unionByName(partial(ev.filter(col("event_id") % 10 >= 8)))
-      .groupBy("event_type")
-      .agg(sum("n").as("n_events"), sum("v").as("total_value"))
-    val full = partial(ev)
-      .select(col("event_type"), col("n").as("__nf"), col("v").as("__vf"))
-    merged.join(full, "event_type")
-      .select(col("event_type"), col("n_events"),
-        col("total_value").cast("double").as("total_value"),
-        (col("n_events") === col("__nf") &&
-          col("total_value") === col("__vf")).as("matches_recompute"))
-      .orderBy("event_type")
-  }
-
-  /** Star-schema analytic join (the TPC-H Q5 shape): revenue by
-    * customer nation across one region and a 3-year order window —
-    * the multi-dimensional join plan every warehouse lives on.
-    * Plan shape at 100 TB: region/nation are metadata and BROADCAST;
-    * the date filter applies at the orders scan (pushed down); the one
-    * unavoidable fact-fact shuffle is lineitem ⋈ orders on orderkey;
-    * customer broadcasts at bench scale and would flip to a shuffle
-    * join at warehouse scale by stats — exactly the decision AQE/CBO
-    * owns, not the query text. Revenue: per-row double product (IEEE-
-    * exact both engines) cast to DECIMAL(18,6) BEFORE the sum, so the
-    * aggregate is order-independent — the q79/q90 money discipline.
-    */
-  private def qStarJoin(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-    val ord = t(s, dir, "orders")
-      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
-        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-      .select("o_orderkey", "o_custkey")
-    val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
-    val nat = t(s, dir, "nation")
-      .select("n_nationkey", "n_name", "n_regionkey")
-    val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
-      .select("r_regionkey")
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(cust, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
-      .groupBy("n_name")
-      .agg(count(lit(1)).as("n_lineitems"),
-        countDistinct(col("l_suppkey")).as("n_suppliers"),
-        sum((col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
-          .cast("decimal(18,6)")).cast("double").as("revenue"))
-      .orderBy(col("revenue").desc, col("n_name"))
-  }
-
-  /** Deterministic negative-pair sampling for contrastive training:
-    * each vector draws 3 pseudo-random negatives via modular hashing
-    * over the contiguous id space — the pair-construction step
-    * embedding-model pipelines need at corpus scale WITHOUT a
-    * crossJoin (the naive "sample from all pairs" is n²). The draw
-    * `(id·1000003 + j·7919) mod n` (self-hits stepped to the next id)
-    * is scan-local integer math; the corpus count broadcasts; the two
-    * id-key joins fetch both sides' quantized vectors and the
-    * codegen'd integer dot scores each pair — n·k rows ever exist,
-    * nothing quadratic. Exact cosine via the shared q28 arithmetic
-    * keeps the oracle bit-for-bit.
-    */
-  private def qNegativeSampling(s: SparkSession, dir: String): DataFrame = {
-    val all = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
-      .select(col("vec_id"), col("qv"), col("qn"))
-    // the draw runs over the FULL contiguous id space (the oracle's
-    // cnt is COUNT(*)); zero-norm vectors drop at the fetch joins —
-    // mirroring the oracle's inner joins to nrm (no cosine direction)
-    val base = all.filter(col("qn") > 0)
-    val n = all.agg(count(lit(1)).as("__n"))
-    val pairs = all.select(col("vec_id"))
-      .crossJoin(broadcast(n))
-      .select(col("vec_id"), col("__n"),
-        explode(array(lit(0L), lit(1L), lit(2L))).as("j"))
-      .withColumn("__raw",
-        (col("vec_id") * 1000003L + col("j") * 7919L) % col("__n"))
-      .withColumn("neg_id",
-        when(col("__raw") === col("vec_id"),
-          (col("__raw") + 1) % col("__n")).otherwise(col("__raw")))
-      .select("vec_id", "j", "neg_id")
-    pairs
-      .join(base.select(col("vec_id"), col("qv").as("__qa"),
-        col("qn").as("__na")), "vec_id")
-      .join(base.select(col("vec_id").as("neg_id"), col("qv").as("__qb"),
-        col("qn").as("__nb")), "neg_id")
-      .select(col("vec_id"), col("j"), col("neg_id"),
-        Similarity.cosine(col("__qa"), col("__qb"),
-          col("__na"), col("__nb")).as("cos_sim"))
-      .orderBy("vec_id", "j")
-  }
-
-  /** EWMA-smoothed ingest rates in EXACT integer arithmetic — the
-    * time-series member of the monitoring family (q106 drift answers
-    * "which source changed shape", this answers "when did the rate
-    * move"): hourly event counts per type smoothed by
-    * ewma_t = Σ_{0≤k≤24} c_{t−k} / 2^k. With α = 1/2 every weight is a
-    * binary power, so the scaled form Σ c_{t−k} · 2^(24−k) is pure
-    * int64 — no float accumulation, no decimal rounding divergence —
-    * and the one double division by 2^24 happens per OUTPUT row.
-    * The 24-hour horizon keeps the sum inside int64 up to ~2.7·10^11
-    * SUSTAINED events per (type, hour) — the worst case is all 25
-    * window hours at the same rate c, giving c·(2^25 − 1); a single
-    * spike alone tolerates ~5·10^11 — ample at any corpus — while the
-    * truncated tail (α^25 < 6·10^-8 of the signal) is far below the
-    * double mantissa of the reported ewma. Plan shape: the raw stream
-    * reduces to metadata-sized hourly buckets first (one partial-agg
-    * shuffle); the 25-hour contribution explode runs over buckets,
-    * never events — at 100 TB the explode input is still just
-    * hours × types.
-    */
-  private def qEwmaRates(s: SparkSession, dir: String): DataFrame =
-    ewmaFromBuckets(
-      t(s, dir, "events")
-        .select(col("event_type"),
-          expr("unix_micros(ts) div 3600000000").as("hr"))
-        .groupBy("event_type", "hr").agg(count(lit(1)).as("cnt")))
-
-  /** The q126 emission kernel over hourly (event_type, hr, cnt)
-    * buckets, shared verbatim by the batch form and q138's
-    * folded-state form so the two produce bit-identical longs: the
-    * smoothing reads only the bucket table, never the event stream.
-    */
-  private def ewmaFromBuckets(hourly: DataFrame): DataFrame = {
-    val horizon = 24
-    val contrib = hourly
-      .select(col("event_type"), col("cnt"), col("hr"),
-        explode(expr(s"sequence(0, $horizon)")).as("k"))
-      .select(col("event_type"), (col("hr") + col("k")).as("hr"),
-        expr(s"cnt * shiftleft(1L, $horizon - k)").as("__w"))
-    // keep only target hours that actually have a bucket (the EWMA is
-    // reported per observed hour; trailing decay-only hours are not)
-    contrib.groupBy("event_type", "hr").agg(sum("__w").as("ewma_scaled"))
-      .join(hourly, Seq("event_type", "hr"))
-      .select(col("event_type"), col("hr"), col("cnt"),
-        col("ewma_scaled"),
-        (col("ewma_scaled").cast("double") /
-          lit(16777216.0d)).as("ewma"))
-      .orderBy("event_type", "hr")
-  }
-
-  /** Streaming ingest-rate monitoring (q138): events arrive in
-    * micro-batches, [[graft.streaming.RateMonitor]] folds each batch's
-    * hourly partial counts into the versioned bucket store (counts
-    * add; an hour straddling batches MERGES), and the q126 EWMA is
-    * emitted from the FOLDED state — the stored sufficient statistic —
-    * via the shared [[ewmaFromBuckets]] kernel. Sharing q126's oracle
-    * proves fold-then-smooth ≡ smooth-over-everything bit-for-bit:
-    * the monitoring twin of the q130/q131/q137 deployable
-    * compositions.
-    */
-  private def qStreamEwma(s: SparkSession, dir: String): DataFrame =
-    ewmaFromBuckets(
-      RateMonitor.run(s, s"$dir/events.parquet", chunks = 3))
-
-  /** Market-basket association mining: supplier pairs co-purchased by
-    * the same customer, ranked by co-occurrence with exact
-    * support / confidence / lift — the association-rules family
-    * (retail affinity, "users who bought X also bought Y",
-    * co-occurrence statistics for related-item retrieval). All counts
-    * are exact longs from two shuffles; each metric is a single
-    * double expression over them, shape-matched to the oracle.
-    *
-    * Scale shape: baskets first reduce to DISTINCT (customer,
-    * supplier) membership — the self-join fanout is then bounded by
-    * per-customer basket SIZE squared (tens), never order volume; the
-    * per-supplier count table is metadata-sized and broadcasts back
-    * onto the pair stream. The basket self-join is the textbook
-    * candidate-pair generation every frequent-itemset pass runs.
-    */
-  private def qCoPurchase(s: SparkSession, dir: String): DataFrame = {
-    val cs = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-      .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-      .distinct()
-    val tot = cs.agg(countDistinct(col("cust")).as("__n"))
-    val sup = cs.groupBy("supp").agg(count(lit(1)).as("__c"))
-    val pairs = cs
-      .join(cs.select(col("cust"), col("supp").as("supp_b")), "cust")
-      .filter(col("supp") < col("supp_b"))
-      .groupBy(col("supp").as("supp_a"), col("supp_b"))
-      .agg(count(lit(1)).as("cnt_ab"))
-    pairs
-      .join(broadcast(sup.select(col("supp").as("supp_a"),
-        col("__c").as("cnt_a"))), "supp_a")
-      .join(broadcast(sup.select(col("supp").as("supp_b"),
-        col("__c").as("cnt_b"))), "supp_b")
-      .crossJoin(broadcast(tot))
-      .orderBy(col("cnt_ab").desc, col("supp_a"), col("supp_b"))
-      .limit(20)
-      .select(col("supp_a"), col("supp_b"), col("cnt_ab"),
-        col("cnt_a"), col("cnt_b"),
-        (col("cnt_ab").cast("double") / col("__n").cast("double"))
-          .as("support"),
-        (col("cnt_ab").cast("double") / col("cnt_a").cast("double"))
-          .as("confidence"),
-        (col("cnt_ab").cast("double") * col("__n").cast("double") /
-          (col("cnt_a").cast("double") * col("cnt_b").cast("double")))
-          .as("lift"))
-      .orderBy(col("cnt_ab").desc, col("supp_a"), col("supp_b"))
-  }
-
-  /** Incremental duplicate-cluster maintenance
-    * ([[DedupClusters.incrementalComponents]]): the near-dup graph's
-    * history components are the STORED artifact; a batch of new pairs
-    * (every pair touching a doc_id % 5 == 0 document) folds in via CC
-    * over the batch-sized QUOTIENT graph only — per-ingest cost
-    * independent of corpus size, the production shape of keeping
-    * dedup clusters current under a daily crawl. Exactness is the
-    * min-label composition argument (see the op's doc); the oracle is
-    * q71's full-recompute closure over history ∪ batch, so the gate
-    * verifies incremental ≡ recompute bit-for-bit.
-    */
-  private def qIncrementalClusters(s: SparkSession, dir: String): DataFrame = {
-    // the history labeling is the scenario's STORED artifact (what a
-    // production pipeline reads, not recomputes, at each ingest) —
-    // memoized per (session, corpus) like q82's arrival staging, so
-    // repeated trials measure the incremental step, not fixture setup
-    val pairs = dedupPairs(s, dir)
-    val labels = sessionFixture(incrClusterCache, s, dir) {
-      DedupClusters.connectedComponents(
-          pairs.filter(col("id_a") % 5 =!= 0 && col("id_b") % 5 =!= 0),
-          "id_a", "id_b")
-        .localCheckpoint()
-    }
-    val batch = pairs.filter(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
-    DedupClusters.withSizes(
-        DedupClusters.incrementalComponents(labels, batch, "id_a", "id_b"))
-      .orderBy("doc_id")
-  }
-
-  /** The continuous composition of the incremental-maintenance axis
-    * ([[graft.streaming.IncrementalClusters]]): near-dup edges ARRIVE
-    * in micro-batches (multi-batch file staging over the stored edge
-    * fixture), each batch folds into the versioned parquet label store
-    * via the q128 quotient-graph CC inside `foreachBatch` with the
-    * batchId-idempotent write, and the result is the final stored
-    * labeling. q122/q123 prove the delivery modes, q128 proves the
-    * batch algebra; this is the deployable artifact — and its oracle
-    * is q71's full-recompute closure over ALL edges, so the gate
-    * verifies the whole stream-fold chain bit-for-bit.
-    */
-  private def qStreamIncrClusters(s: SparkSession, dir: String): DataFrame =
-    IncrementalClusters.run(s, dedupPairsParquet(s, dir), chunks = 3)
-
-  /** Streaming near-dup detection against a stored LSH index
-    * ([[graft.streaming.NearDupIndex]]): documents arrive in doc_id-
-    * ordered micro-batches straight off the corpus parquet, each batch
-    * is signed/banded once, probed against the PERSISTED band index of
-    * every earlier arrival, judged in signature space (est Jaccard ≥
-    * 0.5 — the q99 discipline), and appended to the index. The oracle
-    * states the same semantics non-incrementally — dup_of(d) = least
-    * e < d sharing a band with est ≥ 0.5 over the WHOLE corpus — so a
-    * green row proves the streamed fold over the stored index is
-    * bit-identical to the all-pairs formula.
-    */
-  private def qStreamNearDupIndex(s: SparkSession, dir: String): DataFrame =
-    NearDupIndex.run(s, s"$dir/documents.parquet", chunks = 3)
-
-  /** Leakage-safe train/val/test split: the q46 hash-bucket assignment
-    * keyed by near-dup CLUSTER (q71's closure — the memoized shared
-    * fixture) instead of by document, so near-duplicate documents can
-    * never straddle a split boundary and leak training text into eval
-    * — THE split discipline for LLM corpora (per-doc splits leak ~every
-    * duplicate cluster). Singleton docs (no near-dup pair) key by their
-    * own id; assignment stays scan-local once the metadata-sized label
-    * table is joined (broadcast at any corpus scale — labels are only
-    * the docs that HAVE a near-dup).
-    */
-  private def qGroupSplit(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .join(fullClusterLabels(s, dir)
-        .select(col("node").as("doc_id"), col("cluster_rep")),
-        Seq("doc_id"), "left")
-      .withColumn("group_key",
-        coalesce(col("cluster_rep"), col("doc_id")))
-      .withColumn("bucket", expr(
-        """cast(conv(substring(md5(cast(group_key as string)), 1, 8),
-          | 16, 10) as bigint) % 100""".stripMargin))
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val")
-          .otherwise("test"))
-      .select("doc_id", "group_key", "split")
-      .orderBy("doc_id")
-
-  /** Triangle counts + clustering coefficients ([[Triangles.perNode]])
-    * over the near-dup pair graph — how clique-like the MinHash
-    * neighborhoods are (a cluster whose members are all pairwise
-    * similar is a safe merge; a chain of barely-connected pairs is
-    * the transitive-closure failure mode every dedup pipeline fears).
-    * Degree-ordered orientation bounds the wedge stream O(m^{3/2})
-    * regardless of hub skew; the oracle replays it as three
-    * self-joins over the a<b edge list.
-    */
-  private def qTriangles(s: SparkSession, dir: String): DataFrame =
-    Triangles.perNode(dedupPairs(s, dir), "id_a", "id_b")
-      .orderBy("node")
-
-  /** EXACT set-similarity self-join with prefix-filter pruning
-    * ([[SetSimJoin.prefixJaccardPairs]]) — the lossless counterpart of
-    * q64's df-capped join: the df cap DROPS high-frequency shingles
-    * (pairs similar only through stop-grams are excluded by policy);
-    * prefix filtering prunes candidates without losing ANY qualifying
-    * pair. The oracle is the uncapped full inverted-index join — a
-    * green row is the zero-false-negative proof for the pruning.
-    */
-  private def qSetSimJoin(s: SparkSession, dir: String): DataFrame =
-    SetSimJoin.prefixJaccardPairs(t(s, dir, "documents"),
-        "doc_id", "text", n = 3, minJaccard = 0.5)
-      .orderBy("id_a", "id_b")
-
-  /** 2-core of the near-dup pair graph ([[graft.ops.KCore]]) — the
-    * density profile of the SAME shared edge fixture q71/q107/q128/
-    * q133 consume: members of the core are the densely interlinked
-    * duplicates safe to transitively merge; everything peeled away is
-    * the pendant/bridge fringe a reviewer should see first. The Spark
-    * side runs peeling to its fixpoint (maxRounds pins the bound); the
-    * oracle unrolls the same simultaneous-removal rounds, which is
-    * sound because the k-core is unique and extra rounds past the
-    * fixpoint are no-ops.
-    */
-  private def qKCore(s: SparkSession, dir: String): DataFrame =
-    KCore.coreNodes(dedupPairs(s, dir), "id_a", "id_b", k = 2,
-      maxRounds = 8).nodes.orderBy("node")
-
-  /** GROUPING SETS with an explicit set list (q140) — the §2.5 member
-    * rollup (q38) and cube (q74) don't cover: the caller names exactly
-    * the aggregation levels ((lang, source), (lang), (source)) and
-    * nothing else — no grand total, unlike both — one shuffle
-    * producing all three (Spark expands sets over one Expand node, so
-    * the fact table is scanned once regardless of how many levels).
-    */
-  private def qGroupingSets(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .groupingSets(
-        Seq(Seq(col("lang"), col("source")), Seq(col("lang")),
-          Seq(col("source"))),
-        col("lang"), col("source"))
-      .agg(grouping_id().cast("bigint").as("gid"),
-        count(lit(1)).as("n_docs"),
-        sum("n_chars").as("sum_chars"))
-      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
-        coalesce(col("source"), lit("ALL")).as("source"),
-        col("gid"), col("n_docs"), col("sum_chars"))
-      .orderBy("gid", "lang", "source")
-
-  /** Robust outlier profiling via median absolute deviation (q141) —
-    * the monitoring family's robust member: q93/q94 winsorize/z-score
-    * stand on mean ± stddev, which outliers themselves drag; the
-    * MAD-based modified z-score (threshold 3·1.4826·MAD ≈ 3σ under
-    * normality) is the textbook robust alternative. Two exact-median
-    * passes over the [[Percentiles.exactFewGroups]] machinery (every
-    * core busy regardless of group count), each result metadata-sized
-    * and broadcast back — the deviation column never shuffles.
-    */
-  private def qMadOutliers(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events").select("event_type", "value")
-    val med = Percentiles.exactFewGroups(ev, Seq("event_type"), "value",
-      Seq(("med", 0.5)))
-    val dev = ev.join(broadcast(med), "event_type")
-      .withColumn("__ad", abs(col("value") - col("med")))
-    val mad = Percentiles.exactFewGroups(
-      dev.select(col("event_type"), col("__ad")), Seq("event_type"),
-      "__ad", Seq(("mad", 0.5)))
-    dev.join(broadcast(mad), "event_type")
-      .groupBy("event_type")
-      .agg(first("med").as("med"), first("mad").as("mad"),
-        count(lit(1)).as("n_events"),
-        sum(when(col("__ad") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
-          .otherwise(0L)).as("n_outliers"))
-      .select(col("event_type"), col("med"), col("mad"),
-        col("n_events"), col("n_outliers"),
-        (col("n_outliers").cast("double") /
-          col("n_events").cast("double")).as("outlier_rate"))
-      .orderBy("event_type")
-  }
-
-  /** Equi-depth discretization (q142) — the feature-engineering
-    * counterpart of q44's equi-WIDTH histogram: bin boundaries are the
-    * exact k/8 quantiles ([[Percentiles.exactFewGroups]], the same
-    * distributed range-exchange sort), collected once (7 doubles —
-    * metadata, the centroids-as-literals discipline) and folded into
-    * the assignment expression as literals, so binning is scan-local
-    * codegen'd comparisons — rows never shuffle to learn their bin;
-    * only the per-bin aggregate does. Near-equal bin counts are the
-    * point; the oracle reproduces boundary ties exactly because both
-    * engines interpolate the same type-7 quantile on the same doubles.
-    */
-  private def qEquidepthBins(s: SparkSession, dir: String): DataFrame = {
-    val nb = 8
-    val li = t(s, dir, "lineitem").select(col("l_extendedprice").as("v"))
-    val bounds = Percentiles.exactFewGroups(li.withColumn("__g", lit(1)),
-      Seq("__g"), "v", (1 until nb).map(i => (s"b$i", i.toDouble / nb)))
-      .head()
-    val bin = (1 until nb)
-      .map(i => when(col("v") >= lit(bounds.getAs[Double](s"b$i")), 1L)
-        .otherwise(0L))
-      .reduce(_ + _)
-    li.withColumn("bin", bin)
-      .groupBy("bin")
-      .agg(count(lit(1)).as("n_rows"), min("v").as("min_v"),
-        max("v").as("max_v"))
-      .orderBy("bin")
-  }
-
-  /** Sequence training-example construction (q149): each user's
-    * event-type stream materialized as autoregressive (context →
-    * next) examples — the dataset-construction step behavioral
-    * sequence models train on (and the shape any next-token objective
-    * takes over event streams). Sliding 3-context via lag windows in
-    * per-user partitions (user-count parallelism, the q66/q75 window
-    * discipline — frames are user-bounded, never corpus-sized);
-    * positions without full context are dropped, so every row is a
-    * complete (ctx1, ctx2, ctx3 → label) example. Emitted as the
-    * top-20 pattern counts — the n-gram-over-behavior profile a
-    * curriculum of sequence data starts from.
-    */
-  private def qSeqExamples(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts_ms").asc, col("event_id").asc)
-    t(s, dir, "events")
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_millis(col("ts")).as("ts_ms"))
-      .withColumn("ctx1", lag("event_type", 3).over(w))
-      .withColumn("ctx2", lag("event_type", 2).over(w))
-      .withColumn("ctx3", lag("event_type", 1).over(w))
-      .filter(col("ctx1").isNotNull)
-      .groupBy(col("ctx1"), col("ctx2"), col("ctx3"),
-        col("event_type").as("label"))
-      .agg(count(lit(1)).as("n_examples"))
-      .orderBy(col("n_examples").desc, col("ctx1"), col("ctx2"),
-        col("ctx3"), col("label"))
-      .limit(20)
-  }
-
-  /** EXACT stratified split (q150) — E30's rate-based hash split made
-    * exact-count: every source stratum lands EXACTLY ⌈n·8/10⌉ /
-    * ⌈n·9/10⌉−⌈n·8/10⌉ / rest rows in train/val/test, with membership
-    * still deterministic in the portable md5 order (shuffle-free
-    * reproducibility: any engine recomputes the same assignment).
-    * The per-stratum rank comes from ONE global prefix sum over
-    * (source, hash) order — [[Packing.withRunningSum]]'s range
-    * exchange — minus the stratum's broadcast offset: no per-source
-    * window, no single-task partition at any stratum size (the E102
-    * argument applied to splitting).
-    */
-  private def qExactSplit(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), col("source"), lit(1L).as("__one"))
-      .withColumn("__h", expr(
-        """cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)
-          | as bigint)""".stripMargin))
-    val ranked = Packing.withRunningSum(docs, "__grk", "__one",
-      col("source").asc, col("__h").asc, col("doc_id").asc)
-    val offs = ranked.groupBy("source")
-      .agg(min("__grk").as("__off"), count(lit(1)).as("__n"))
-    ranked.join(broadcast(offs), "source")
-      .withColumn("__rk", col("__grk") - col("__off"))
-      .withColumn("split",
-        when(col("__rk") * 10 < col("__n") * 8, "train")
-          .when(col("__rk") * 10 < col("__n") * 9, "val")
-          .otherwise("test"))
-      .groupBy("source", "split")
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy("source", "split")
-  }
-
-  /** Source-relative quality deciles (q151): each document's quality
-    * PERCENTILE within its own source — the source-relative form every
-    * multilingual/multi-domain curation pass needs (a global threshold
-    * silently empties low-resource domains whose absolute scores run
-    * lower; rank-within-source makes "top 20% of EACH source"
-    * expressible). Rank = the q150 construction — ONE global prefix sum
-    * over (source, quality, doc_id) order minus the stratum's broadcast
-    * min-offset; NO per-source window, so the biggest domain never
-    * funnels through one task. Emitted as per-(source, decile) counts
-    * with order-independent min/max quality bounds.
-    */
-  private def qSourceQualityDeciles(s: SparkSession, dir: String): DataFrame = {
-    val scored = t(s, dir, "documents")
-      .withColumn("__toks", split(col("text"), " "))
-      .select(col("doc_id"), col("source"),
-        graft.functions.TextFns.qualityScore("text", "__toks")
-          .as("quality"))
-      .withColumn("__one", lit(1L))
-    val ranked = Packing.withRunningSum(scored, "__grk", "__one",
-      col("source").asc, col("quality").asc, col("doc_id").asc)
-    val offs = ranked.groupBy("source")
-      .agg(min("__grk").as("__off"), count(lit(1)).as("__n"))
-    ranked.join(broadcast(offs), "source")
-      .withColumn("decile", expr("((__grk - __off) * 10) div __n"))
-      .groupBy("source", "decile")
-      .agg(count(lit(1)).as("n_docs"),
-        min("quality").as("q_min"), max("quality").as("q_max"))
-      .orderBy("source", "decile")
-  }
-
-  /** Fuzzy name matching (q152): every supplier-name pair within
-    * Levenshtein distance 1, via [[FuzzyJoin]]'s symmetric deletion
-    * neighborhood — candidates from ONE equi-join on exploded delete
-    * variants, never an all-pairs product; one codegen'd `levenshtein`
-    * verify per distinct candidate pair. The oracle is the full
-    * O(n²) levenshtein join, so green IS the proof the deletion
-    * neighborhood loses no true pair.
-    */
-  private def qFuzzyNames(s: SparkSession, dir: String): DataFrame =
-    FuzzyJoin.selfPairs(t(s, dir, "supplier"), "s_name")
-      .withColumn("dist", col("dist").cast("long"))
-      .orderBy("name_a", "name_b")
-
-  /** Fractional-epoch upsampling (q153): the pretraining mix knob E71/
-    * E139 down-select can't express — REPEATING small sources (epochs
-    * > 1) toward the head's token mass. Each source's milli-epoch
-    * factor m = min(n_max·1000 div n_src, 3000) (cap 3 epochs — the
-    * public consensus ceiling before memorization outweighs balance);
-    * every doc gets m div 1000 copies plus one more iff its portable
-    * md5 bucket (mod 1000) < m mod 1000 — so a source hits EXACTLY its
-    * fractional rate in expectation with deterministic membership, all
-    * integer arithmetic. The explode materializes real training rows
-    * scan-locally (copies-per-row is a plan literal decision, no
-    * shuffle to learn it); only the per-(source, n_copies) audit
-    * aggregate shuffles.
-    */
-  private def qEpochUpsample(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
-    val counts = docs.groupBy("source").agg(count(lit(1)).as("__n"))
-    // nmax is ONE row — broadcast-bounded crossJoin, never a window
-    val m = counts
-      .crossJoin(broadcast(counts.agg(max("__n").as("__nmax"))))
-      .withColumn("__m",
-        least(expr("(__nmax * 1000) div __n"), lit(3000L)))
-      .select("source", "__m")
-    val copies = docs.join(broadcast(m), "source")
-      .withColumn("__bkt", expr(
-        """cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)
-          | as bigint) % 1000""".stripMargin))
-      .withColumn("n_copies",
-        expr("__m div 1000") +
-          when(col("__bkt") < col("__m") % 1000L, 1L).otherwise(0L))
-    copies
-      .withColumn("__copy", explode(expr("sequence(1, n_copies)")))
-      .groupBy("source", "n_copies")
-      .agg(count(lit(1)).as("n_rows_out"),
-        count_distinct(col("doc_id")).as("n_docs"))
-      .orderBy("source", "n_copies")
-  }
-
-  /** Join-size preflight (q154): predict |lineitem ⋈ lineitem on
-    * l_partkey| EXACTLY before running it — Σ cnt(k)² over per-key
-    * counts — the decision input for broadcast-vs-shuffle-vs-salt on a
-    * self-join that can explode quadratically on a hot key. The
-    * prediction pass shuffles only (key, cnt) pairs (metadata scale,
-    * partial-agg combined) while the join it predicts shuffles data
-    * scale; the query then RUNS the count-only join and emits both, so
-    * green proves the preflight is exact, not an estimate. Top key by
-    * `max(struct(cnt, key))` — one more map-side aggregate, no sort.
-    */
-  private def qJoinPreflight(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem").select(col("l_partkey"))
-    val perKey = li.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
-    val pred = perKey.agg(
-      count(lit(1)).as("n_keys"),
-      sum(col("cnt") * col("cnt")).as("predicted_rows"),
-      max(struct(col("cnt"), col("l_partkey"))).as("__top"))
-      .select(col("n_keys"), col("predicted_rows"),
-        col("__top.l_partkey").as("top_key"),
-        col("__top.cnt").as("top_key_rows"))
-    val actual = li.as("a").join(li.as("b"), "l_partkey")
-      .agg(count(lit(1)).as("actual_rows"))
-    pred.crossJoin(broadcast(actual)) // both sides are ONE row
-  }
-
-  /** Shuffle-key skew profile (q155): the pre-shuffle diagnostic that
-    * decides whether a key needs salting (E16) before it becomes a
-    * straggler — per candidate key column: row/key counts, the top
-    * key's share in basis points, and max-over-mean occupancy ×100.
-    * Pure integer arithmetic (shares as `div` basis points — no float
-    * Σ), one partial-agg pass per column over (key, cnt) pairs; the
-    * two profiles union into one report. At 100 TB this is the cheap
-    * scan you run BEFORE committing to a join strategy, not after the
-    * straggler appears.
-    */
-  private def qKeySkewProfile(s: SparkSession, dir: String): DataFrame = {
-    def profile(c: String): DataFrame =
-      t(s, dir, "lineitem").select(col(c).as("k"))
-        .groupBy("k").agg(count(lit(1)).as("cnt"))
-        .agg(sum("cnt").as("__n"), count(lit(1)).as("n_keys"),
-          max("cnt").as("__top"))
-        .select(lit(c).as("key_col"), col("__n").as("n_rows"),
-          col("n_keys"),
-          expr("(__top * 10000) div __n").as("top1_share_bp"),
-          expr("(__top * n_keys * 100) div __n").as("max_over_mean_x100"))
-    profile("l_partkey").unionByName(profile("l_suppkey"))
-      .orderBy("key_col")
-  }
-
-  /** One referential-integrity edge for q156: child FK column vs
-    * parent PK — ONE (key, cnt) shuffle per edge via a full-outer join
-    * of per-key child counts against the parent key set, from which
-    * all four audit numbers fall out in a single aggregate (orphan
-    * child rows, unreferenced parents, totals). Never materializes a
-    * row-level join.
-    */
-  private def fkEdge(name: String, child: DataFrame, ck: String,
-      parent: DataFrame, pk: String): DataFrame = {
-    val c = child.groupBy(col(ck).as("__k")).agg(count(lit(1)).as("__c"))
-    val p = parent.select(col(pk).as("__p"))
-    c.join(p, col("__k") === col("__p"), "full_outer")
-      .agg(
-        coalesce(sum("__c"), lit(0L)).as("n_child_rows"),
-        coalesce(sum(when(col("__p").isNull, col("__c"))), lit(0L))
-          .as("n_orphan_rows"),
-        count(col("__p")).as("n_parents"),
-        coalesce(sum(when(col("__c").isNull, 1L).otherwise(0L)), lit(0L))
-          .as("n_unref_parents"))
-      .select(lit(name).as("edge"), col("n_child_rows"),
-        col("n_orphan_rows"), col("n_parents"), col("n_unref_parents"))
-  }
-
-  /** Referential-integrity audit (q156): the data-quality pass a
-    * multi-table corpus runs before every release — per FK edge, how
-    * many child rows dangle and how many parent keys go unreferenced.
-    * Each edge costs one (key, cnt)-sized shuffle (see [[fkEdge]]);
-    * a clean report (zero orphans) is the deliverable, and the
-    * mechanism is what the oracle proves.
-    */
-  private def qFkAudit(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    val o = t(s, dir, "orders")
-    fkEdge("customer.c_nationkey->nation", t(s, dir, "customer"),
-        "c_nationkey", t(s, dir, "nation"), "n_nationkey")
-      .unionByName(fkEdge("lineitem.l_orderkey->orders", li,
-        "l_orderkey", o, "o_orderkey"))
-      .unionByName(fkEdge("lineitem.l_suppkey->supplier", li,
-        "l_suppkey", t(s, dir, "supplier"), "s_suppkey"))
-      .unionByName(fkEdge("orders.o_custkey->customer", o,
-        "o_custkey", t(s, dir, "customer"), "c_custkey"))
-      .orderBy("edge")
-  }
-
-  /** Exact small-domain distinct sets as integer bitmasks (q157): each
-    * user's SET of event types folded to one int64 via
-    * `bit_or(1 << ordinal)` — 8 bytes of aggregate state per user
-    * regardless of activity volume, where `collect_set` state grows
-    * with set size and approx_count_distinct is approximate. The
-    * ordinal dictionary is the sorted distinct domain (metadata-sized,
-    * broadcast); masks then profile into (mask, popcount, n_users) —
-    * the exact behavioral-segment histogram. All integer, fully
-    * partial-aggregated. Scoped per (user, UTC day) so the histogram
-    * profiles daily behavior mixes, not the all-time saturated set.
-    */
-  private def qBitsetDistinct(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-      .select(col("user_id"), col("event_type"),
-        expr("unix_millis(ts) div 86400000").as("day"))
-    val dict = DenseId.withDenseId(
-        ev.select("event_type").distinct(), "__id",
-        col("event_type").asc)
-      .withColumn("__ord", (col("__id") - 1L).cast("int"))
-      .select("event_type", "__ord")
-    ev.join(broadcast(dict), "event_type")
-      .withColumn("__bit", expr("shiftleft(cast(1 as bigint), __ord)"))
-      .groupBy("user_id", "day")
-      .agg(expr("bit_or(__bit)").as("type_mask"))
-      .groupBy("type_mask").agg(count(lit(1)).as("n_user_days"))
-      .withColumn("n_types", expr("cast(bit_count(type_mask) as bigint)"))
-      .select("type_mask", "n_types", "n_user_days")
-      .orderBy("type_mask")
-  }
-
-  /** Run-length event collapse (q158) — the gaps-and-islands member of
-    * the window family: consecutive same-type events per user collapse
-    * into runs via the rn − rn_per_type difference (two per-user
-    * windows, frames bounded by one user's stream), profiled as
-    * (event_type, run_len) → n_runs. The op behind repeated-ping
-    * dedup and burst detection; output stays bounded by the run-length
-    * distribution, not the event volume.
-    */
-  private def qEventRuns(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts_ms").asc, col("event_id").asc)
-    val wt = Window.partitionBy("user_id", "event_type")
-      .orderBy(col("ts_ms").asc, col("event_id").asc)
-    t(s, dir, "events")
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_millis(col("ts")).as("ts_ms"))
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__rnt", row_number().over(wt))
-      .withColumn("__grp", col("__rn") - col("__rnt"))
-      .groupBy("user_id", "event_type", "__grp")
-      .agg(count(lit(1)).as("run_len"))
-      .groupBy("event_type", "run_len")
-      .agg(count(lit(1)).as("n_runs"))
-      .orderBy("event_type", "run_len")
-  }
-
-  /** Time-weighted average (q159): the telemetry aggregate a plain
-    * mean gets wrong — each reading weighted by how long it HELD
-    * (until the user's next event), so sparse-but-stable readings
-    * aren't drowned by bursts. Durations from one per-user lead
-    * window; values milli-quantized via floor(v·1000) (floor-then-cast
-    * is portable — a bare double→int cast truncates in Spark but
-    * rounds in DuckDB), then pure int64 Σ(vq·dur) div Σdur per
-    * event type. Overflow headroom: vq ≤ 5.6·10⁵ here and Σdur ≤
-    * users × span, so the weighted sum stays < 2⁶³ up to ~10⁴ user-
-    * years of held readings per type; at larger scales drop to
-    * centi-quantization or per-partition DECIMAL.
-    */
-  private def qTimeWeightedAvg(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts_ms").asc, col("event_id").asc)
-    t(s, dir, "events")
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        col("value"), unix_millis(col("ts")).as("ts_ms"))
-      .withColumn("__dur", lead("ts_ms", 1).over(w) - col("ts_ms"))
-      .filter(col("__dur").isNotNull)
-      .withColumn("__vq", expr("cast(floor(value * 1000d) as bigint)"))
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_held"),
-        sum("__dur").as("total_held_ms"),
-        sum(col("__vq") * col("__dur")).as("__wsum"))
-      .withColumn("twap_mq", expr("__wsum div total_held_ms"))
-      .select("event_type", "n_held", "total_held_ms", "twap_mq")
-      .orderBy("event_type")
-  }
-
-  /** CDC merge with tombstones (q160): apply a change feed of upserts
-    * AND deletes to a stored snapshot in one pass — the maintenance
-    * primitive behind every incrementally-maintained corpus table
-    * (q77's upsert handles inserts/updates; deletes need the
-    * tombstone leg). One full-outer join on the key decides each row:
-    * feed delete → drop, feed upsert → new image, untouched → keep.
-    * The feed is deterministic synthetic CDC over orders (high keys
-    * re-priced +10%, every third of them tombstoned). Money travels as
-    * floor-quantized int64 cents (floor-then-cast is the portable
-    * quantization; the +10% re-price is exact integer cents × 110
-    * div 100), so the post-merge per-status audit sums are
-    * order-independent and engine-exact.
-    */
-  private def qCdcMerge(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_orderstatus"),
-        expr("cast(floor(o_totalprice * 100d) as bigint)").as("cents"))
-    val snapshot = o.filter(col("o_orderkey") % 10 < 8)
-    val feed = o.filter(col("o_orderkey") % 10 >= 6)
-      .withColumn("__op",
-        when(col("o_orderkey") % 3 === 0, lit("D")).otherwise(lit("U")))
-      .withColumn("cents", expr("(cents * 110) div 100"))
-    val merged = snapshot.as("s")
-      .join(feed.as("f"), Seq("o_orderkey"), "full_outer")
-      .filter(coalesce(col("f.__op"), lit("K")) =!= "D")
-      .select(col("o_orderkey"),
-        coalesce(col("f.o_orderstatus"), col("s.o_orderstatus"))
-          .as("o_orderstatus"),
-        coalesce(col("f.cents"), col("s.cents")).as("cents"))
-    merged.groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n_rows"),
-        sum("cents").as("total_cents"))
-      .orderBy("o_orderstatus")
-  }
-
-  /** Point-in-time dimension join (q161) — the leakage-safe feature
-    * lookup every ML feature store must get right: each purchase event
-    * joined to the user's tier (floor(value/100) of their last
-    * STATE-SETTING event — click/view/signup — STRICTLY before the
-    * purchase; the purchase itself must not update the state it reads,
-    * and same-millisecond states don't apply). Implemented as the
-    * scalable union-carry-forward: state rows and fact rows merge into
-    * one per-user window ordered (ms, fact-before-state-on-ties,
-    * event_id) and `last(tier, ignoreNulls)` carries the state — NO
-    * interval/range join, no per-version fan-out. The oracle computes
-    * the SAME semantics the STRUCTURALLY OPPOSITE way (explicit
-    * validity intervals via lead + a from < ts ≤ to range join), so
-    * green proves carry-forward ≡ interval containment, boundary and
-    * zero-length-version cases included. Purchases before any state
-    * get tier −1.
-    */
-  private def qPitJoin(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        col("value"), unix_millis(col("ts")).as("ms"))
-    val state = ev.filter(col("event_type") =!= "purchase")
-      .select(col("user_id"), col("ms"), col("event_id"),
-        lit(0).as("__is_fact"),
-        expr("cast(floor(value / 100d) as bigint)").as("__tier"),
-        lit(null).cast("long").as("__vq"))
-    val facts = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ms"), col("event_id"),
-        lit(1).as("__is_fact"),
-        lit(null).cast("long").as("__tier"),
-        expr("cast(floor(value * 1000d) as bigint)").as("__vq"))
-    // facts sort BEFORE states at equal ms (desc on __is_fact) so a
-    // same-ms state never reaches the purchase — the strict rule
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ms").asc, col("__is_fact").desc, col("event_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    state.unionByName(facts)
-      .withColumn("tier",
-        coalesce(last("__tier", ignoreNulls = true).over(w), lit(-1L)))
-      .filter(col("__is_fact") === 1)
-      .groupBy("tier")
-      .agg(count(lit(1)).as("n_purchases"), sum("__vq").as("sum_vq"))
-      .orderBy("tier")
-  }
-
-  /** Reciprocal-rank fusion (q162): combine two retrievers' rankings —
-    * the standard score-free ensemble for heterogeneous retrieval
-    * (here: a length prior vs the quality heuristic) — as
-    * Σ 10⁶ div (60 + rank) over each list's top-20, integer-exact
-    * (the float 1/(60+r) sum is order-dependent; the scaled `div`
-    * form is portable). Each top-20 comes from TakeOrderedAndProject
-    * (no global sort); ranking within 20 rows is metadata-sized.
-    */
-  private def qRrfFusion(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .withColumn("__toks", split(col("text"), " "))
-      .select(col("doc_id"), col("n_chars"),
-        graft.functions.TextFns.qualityScore("text", "__toks")
-          .as("__q"))
-    def top20(ord: org.apache.spark.sql.Column*): DataFrame = {
-      val w = Window.orderBy(ord: _*)
-      docs.orderBy(ord: _*).limit(20)
-        .withColumn("rank", row_number().over(w))
-        .withColumn("rrf", expr("1000000 div (60 + rank)"))
-        .select(col("doc_id"), col("rrf"))
-    }
-    val byLen = top20(col("n_chars").desc, col("doc_id").asc)
-    val byQuality = top20(col("__q").desc, col("doc_id").asc)
-    byLen.unionByName(byQuality)
-      .groupBy("doc_id").agg(sum("rrf").as("rrf_score"),
-        count(lit(1)).as("n_lists"))
-      .orderBy(col("rrf_score").desc, col("doc_id").asc)
-      .limit(10)
-  }
-
-  /** Dynamic partition pruning (q163): the mechanism that makes a
-    * day-partitioned 100 TB fact table affordable to query by a
-    * RUNTIME-computed key set — here the 5 busiest purchase days,
-    * unknowable at plan time, computed from the raw feed and
-    * broadcast; Catalyst injects a `dynamicpruningexpression` on the
-    * fact scan so only those 5 of ~30 day-partitions are read at all
-    * (PlanSpec-asserted on the executed plan). Like q41, the "query"
-    * time includes writing the partitioned table every run — that is
-    * the demonstration's setup cost, documented in BASELINE.md.
-    */
-  private def qDynamicPruning(s: SparkSession, dir: String): DataFrame = {
-    val uid = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
-    val tb = s"graft_dpp_ev_$uid"
-    t(s, dir, "events")
-      .select(col("event_id"), col("event_type"),
-        expr("unix_millis(ts) div 86400000").as("day"),
-        expr("cast(floor(value * 1000d) as bigint)").as("vq"))
-      .write.mode("overwrite").format("parquet")
-      .partitionBy("day").saveAsTable(tb)
-    val facts = s.table(tb)
-    val busiest = t(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .groupBy(expr("unix_millis(ts) div 86400000").as("day"))
-      .agg(count(lit(1)).as("__n"))
-      .orderBy(col("__n").desc, col("day").asc)
-      .limit(5)
-      .select("day")
-    facts.join(broadcast(busiest), "day")
-      .groupBy("day")
-      .agg(count(lit(1)).as("n_events"), sum("vq").as("sum_vq"))
-      .orderBy("day")
-  }
-
-  /** Mergeable-sketch rollup (q164): the sketch ALGEBRA that makes
-    * 100 TB observability affordable — per-day HLL sketches built
-    * ONCE (`hll_sketch_agg`, KB-sized state), then weekly distincts
-    * from `hll_union_agg` over the seven daily sketches WITHOUT
-    * rescanning the week. The query proves the algebra in-engine (the
-    * q112 discipline — DuckDB can't replay DataSketches): merged
-    * estimate ≡ direct whole-week estimate (same lgK over the same
-    * stream of distinct items, MEASURED: bit-identical while the
-    * sketches stay in sparse mode — sf0.001/0.01 — and within 0.4%
-    * once dense-mode unions round differently at sf0.1, asserted at
-    * 1%) and the merged estimate within 3·rsd of the exact count;
-    * the oracle replays exact counts and TRUE literals.
-    */
-  private def qSketchRollup(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
-    val daily = ev.groupBy("day")
-      .agg(expr("hll_sketch_agg(user_id, 12)").as("__sk"))
-    val merged = daily
-      .withColumn("week", expr("day div 7"))
-      .groupBy("week")
-      .agg(expr("hll_sketch_estimate(hll_union_agg(__sk, true))")
-        .as("__merged_est"))
-    val direct = ev.withColumn("week", expr("day div 7"))
-      .groupBy("week")
-      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))")
-          .as("__direct_est"),
-        count_distinct(col("user_id")).as("exact_users"))
-    direct.join(merged, "week")
-      // 3·rsd for lgK=12 ≈ 4.9% — the published HLL bound
-      .withColumn("merge_within_1pct",
-        abs(col("__merged_est") - col("__direct_est")) * 100 <=
-          col("__direct_est"))
-      .withColumn("within_3rsd",
-        abs(col("__merged_est") - col("exact_users")) * 1000 <=
-          col("exact_users") * 49)
-      .select("week", "exact_users", "merge_within_1pct", "within_3rsd")
-      .orderBy("week")
-  }
-
-  /** Multiset set-ops (q165): EXCEPT ALL / INTERSECT ALL — the
-    * §2.5 members q15's distinct-set forms don't cover (multiplicity
-    * matters: "remove ONE occurrence per match", the bag semantics
-    * dedup ledgers need). Spark plans both as aggregate+generate over
-    * per-row counts — no join explosion; profiled per event_type to a
-    * bounded report.
-    */
-  private def qSetopsAll(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    val a = ev.filter(col("value") >= 100d).select("user_id", "event_type")
-    val b = ev.filter(col("value") < 400d).select("user_id", "event_type")
-    val ex = a.exceptAll(b).groupBy("event_type")
-      .agg(count(lit(1)).as("n_except_all"))
-    val in = a.intersectAll(b).groupBy("event_type")
-      .agg(count(lit(1)).as("n_intersect_all"))
-    ex.join(in, Seq("event_type"), "full_outer")
-      .select(col("event_type"),
-        coalesce(col("n_except_all"), lit(0L)).as("n_except_all"),
-        coalesce(col("n_intersect_all"), lit(0L)).as("n_intersect_all"))
-      .orderBy("event_type")
-  }
-
-  /** Bucket-pruned point lookup (q166): the read-side payoff of the
-    * q41 bucketed layout — an equality filter on the bucket column
-    * reads ONE of 8 bucket files (`SelectedBucketsCount: 1 out of 8`,
-    * PlanSpec-asserted), the 100 TB difference between a point lookup
-    * scanning 1/8th of the table and scanning all of it. The bucketed
-    * table is built once per session (catalog-memoized), so trials
-    * measure the pruned READ; the lookup key (max l_orderkey) is one
-    * metadata-sized collect.
-    */
-  private def qBucketPruning(s: SparkSession, dir: String): DataFrame = {
-    val uid = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
-    val tb = s"graft_bktp_li_$uid"
-    if (!s.catalog.tableExists(tb)) {
-      t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_quantity"))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "l_orderkey").saveAsTable(tb)
-    }
-    val key = t(s, dir, "lineitem").agg(max("l_orderkey")).head().getLong(0)
-    s.table(tb).filter(col("l_orderkey") === key)
-      .groupBy("l_orderkey")
-      .agg(count(lit(1)).as("n_items"),
-        expr("sum(cast(floor(l_quantity * 100d) as bigint))")
-          .as("qty_centi"))
-  }
-
-  /** Streaming native session windows (q167): see
-    * [[EventStream.sessionWindowCounts]] — the engine-managed
-    * counterpart of q35's custom-state sessionizer.
-    */
-  private def qStreamSessionWindow(s: SparkSession, dir: String): DataFrame =
-    EventStream.sessionWindowCounts(s, s"$dir/events.parquet")
-
-  /** Exchange reuse (q168): one shuffle feeds two consumers — the
-    * per-(source, lang) aggregate is joined against its own re-
-    * aggregation to per-source totals to emit each cell's share in
-    * basis points. Catalyst plans the second consumer as a
-    * `ReusedExchange` over the first's shuffle (PlanSpec-asserted):
-    * at 100 TB the fact scan and its exchange run ONCE, not once per
-    * consumer — the fan-out pattern every report-style query hits.
-    * Shares are integer `div` basis points (no float Σ).
-    */
-  private def qExchangeReuse(s: SparkSession, dir: String): DataFrame = {
-    val cell = t(s, dir, "documents")
-      .groupBy("source", "lang").agg(count(lit(1)).as("n_docs"))
-    val totals = cell.groupBy("source").agg(sum("n_docs").as("__tot"))
-    cell.join(totals, "source")
-      .withColumn("share_bp", expr("(n_docs * 10000) div __tot"))
-      .select("source", "lang", "n_docs", "share_bp")
-      .orderBy("source", "lang")
-  }
-
-  /** Incremental gap-free id assignment (q169): stable dense ids that
-    * CONTINUE across ingests — history docs hold their ids and a new
-    * batch gets max+1… in deterministic (hash, doc_id) order, the
-    * id-authority pattern behind stable example ids across daily
-    * crawls. Both phases are [[DenseId.withDenseId]] (count-then-
-    * offset range exchange, no single-task window); the arrival phase
-    * adds the stored max as a broadcast literal — per-ingest cost is
-    * the batch's own sort, independent of corpus size. The oracle
-    * replays both row_number phases and their concatenation.
-    */
-  private def qIncrementalIds(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"),
-      expr("""cast(conv(substring(md5(cast(doc_id as string)), 1, 8),
-             16, 10) as bigint)""").as("__h"))
-    val hist = docs.filter(col("doc_id") % 10 < 8)
-    val arr = docs.filter(col("doc_id") % 10 >= 8)
-    val histIds = DenseId.withDenseId(hist, "stable_id",
-      col("__h").asc, col("doc_id").asc)
-    val maxId = histIds.agg(max("stable_id")).head().getLong(0)
-    val arrIds = DenseId.withDenseId(arr, "__rk",
-        col("__h").asc, col("doc_id").asc)
-      .withColumn("stable_id", col("__rk") + lit(maxId))
-      .drop("__rk")
-    histIds.withColumn("phase", lit("history"))
-      .unionByName(arrIds.withColumn("phase", lit("arrival")))
-      .groupBy("phase")
-      .agg(count(lit(1)).as("n_docs"),
-        min("stable_id").as("min_id"), max("stable_id").as("max_id"),
-        sum("stable_id").as("id_sum"))
-      .orderBy("phase")
-  }
-
-  /** Commutative set digests (q170): an order-independent corpus
-    * fingerprint — `bit_xor` (and a checked sum) over per-row content
-    * hashes — that updates in O(1) per ingest or delete: digest(full)
-    * = digest(history) ⊕ digest(arrivals), and deleting a batch is
-    * the same XOR applied again. This is the set-reconciliation trick
-    * that lets two 100 TB replicas compare WITHOUT a row-level diff
-    * (E79's TableDiff is the row-level escalation when digests
-    * disagree). The query computes all three digests and asserts the
-    * algebra in-engine; the sum variant's overflow caveat (int64
-    * wraps differ from HUGEINT at extreme scale — prefer XOR there)
-    * is why both are shown. Row hash covers doc_id AND content, so
-    * moves, edits, and deletes all perturb it.
-    */
-  private def qSetDigest(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-      // 32-bit row hashes: the SUM variant stays exact in int64 to
-      // ~2^31 rows (XOR has no such bound — width-extend it at scale)
-      .select(col("doc_id"), expr(
-        """cast(conv(substring(md5(concat(cast(doc_id as string), ':',
-          | md5(text))), 1, 8), 16, 10) as bigint)""".stripMargin)
-        .as("__h"))
-    def digest(df: DataFrame, tag: String): DataFrame =
-      df.agg(count(lit(1)).as(s"n_$tag"),
-        expr("bit_xor(__h)").as(s"xor_$tag"),
-        sum("__h").as(s"sum_$tag"))
-    val full = digest(d, "full")
-    val hist = digest(d.filter(col("doc_id") % 10 < 8), "hist")
-    val arr = digest(d.filter(col("doc_id") % 10 >= 8), "arr")
-    full.crossJoin(broadcast(hist)).crossJoin(broadcast(arr))
-      .select(col("n_full"), col("xor_full"), col("sum_full"),
-        (expr("xor_hist ^ xor_arr") === col("xor_full"))
-          .as("xor_composes"),
-        (col("sum_hist") + col("sum_arr") === col("sum_full"))
-          .as("sum_composes"),
-        (expr("xor_full ^ xor_arr") === col("xor_hist"))
-          .as("xor_deletes"))
-  }
-
-  /** Exact integer Gini coefficient (q171): inequality of user
-    * engagement — the balance metric that tells a curation pass
-    * whether a head of power users dominates the corpus the way E149
-    * tells it a key dominates a shuffle. Fully rational arithmetic on
-    * the sorted per-user counts: Gini = (2·Σ i·xᵢ − (n+1)·Σx) /
-    * (n·Σx), emitted in milli-units via `div`. The rank comes from
-    * the E26 count-then-offset range exchange (no global window) and
-    * Σ i·xᵢ from one partial-agg pass — two linear passes at any
-    * corpus size. Headroom: Σ i·xᵢ ≤ n²·max_count stays under 2⁶³
-    * to ~10⁹ users at 10⁴ events each.
-    */
-  private def qGini(s: SparkSession, dir: String): DataFrame = {
-    val counts = t(s, dir, "events").groupBy("user_id")
-      .agg(count(lit(1)).as("x"))
-    val ranked = DenseId.withDenseId(counts, "i",
-      col("x").asc, col("user_id").asc)
-    ranked.agg(count(lit(1)).as("n_users"), sum("x").as("total_events"),
-        sum(col("i") * col("x")).as("__ix"))
-      .select(col("n_users"), col("total_events"),
-        expr("""((2 * __ix - (n_users + 1) * total_events) * 1000)
-               div (n_users * total_events)""").as("gini_milli"))
-  }
-
-  /** q172's stored deletion-variant index, built once per (session,
-    * corpus) from the history suppliers (s_suppkey % 10 < 8).
-    */
-  private val fuzzyIndexCache = scala.collection.mutable.Map
-    .empty[(String, String), String]
-
-  private def fuzzyIndexArtifact(s: SparkSession, dir: String): String =
-    sessionFixture(fuzzyIndexCache, s, dir) {
-      val tag = (s.sparkContext.applicationId + "_" + dir)
-        .replaceAll("[^a-zA-Z0-9]", "_")
-      val path = graft.Scratch.register(
-        s"${System.getProperty("java.io.tmpdir")}/graft_fuzzy_idx_$tag")
-      graft.streaming.FuzzyNameIndex.writeIndex(
-        t(s, dir, "supplier").filter(col("s_suppkey") % 10 < 8),
-        "s_name", path)
-      path
-    }
-
-  /** Streaming fuzzy-name screen (q172,
-    * [[graft.streaming.FuzzyNameIndex]]): arriving supplier names
-    * (s_suppkey % 10 ≥ 8) probe the STORED deletion-variant index of
-    * history names per micro-batch — candidates only where variant
-    * keys collide, one `levenshtein` verify each, matches appended
-    * replay-safely. The oracle is the full O(|A|·|H|) levenshtein
-    * join, so green proves the streamed index loses no true pair.
-    */
-  private def qStreamFuzzyNames(s: SparkSession, dir: String): DataFrame =
-    graft.streaming.FuzzyNameIndex.run(s, s"$dir/supplier.parquet",
-      "s_name", fuzzyIndexArtifact(s, dir),
-      arrivalFilter = col("s_suppkey") % 10 >= 8, chunks = 3)
-
-  /** Multi-source BFS hop distances (q173, [[graft.ops.Bfs]]): hop
-    * levels from the nation-0 customers over the symmetrized
-    * customer–supplier purchase graph (q118's edge construction) —
-    * the "within k hops of a trusted seed set" curation filter, with
-    * unreached nodes reported as level −1. Per-round cost is
-    * frontier-sized (one equi-join + one distinct shuffle + one
-    * anti-join against node-sized state), exact integers throughout,
-    * and the per-level (count, key-checksum, customer-count) digest
-    * the oracle replays is ordering-free.
-    */
-  private def qBfsLevels(s: SparkSession, dir: String): DataFrame = {
-    val half = t(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .join(t(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
-    val edges = half
-      .union(half.select(col("dst").as("src"), col("src").as("dst")))
-    val nodes = edges.select(col("src").as("node")).distinct()
-    val seeds = nodes.join(
-      t(s, dir, "customer").filter(col("c_nationkey") === 0)
-        .select((col("c_custkey") * 2).as("node")), Seq("node"))
-    val lv = Bfs.levels(edges, "src", "dst", seeds, "node", 3)
-    nodes.join(lv, Seq("node"), "left")
-      .select(col("node"),
-        coalesce(col("level"), lit(-1L)).as("level"))
-      .groupBy("level")
-      .agg(count(lit(1)).as("n_nodes"),
-        sum(expr("node div 2")).as("key_sum"),
-        sum(when(col("node") % 2 === 0, 1L).otherwise(0L))
-          .as("n_customers"))
-      .orderBy("level")
-  }
-
-  /** Pareto-frontier document selection (q174,
-    * [[graft.ops.Skyline]]): the maximal (token count, lexical
-    * diversity) frontier over the corpus — no frontier doc is beaten
-    * on BOTH axes by any other, so it is exactly what a
-    * Pareto-optimal curation pass may keep without committing to a
-    * weighting. Diversity is distinct-token share in integer basis
-    * points (`div`); the two-phase partition-skyline shape cuts the
-    * corpus to frontier-sized candidates scan-locally before the one
-    * metadata-sized merge sweep. The oracle is the O(m²) NOT-EXISTS
-    * dominance definition over distinct metric pairs — green proves
-    * the two-phase sweep IS the frontier.
-    */
-  private def qSkyline(s: SparkSession, dir: String): DataFrame = {
-    val m = t(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("__t"))
-      .select(col("doc_id"), size(col("__t")).cast("long").as("x"),
-        expr("(cast(size(array_distinct(__t)) as bigint) * 10000)"
-          + " div size(__t)").as("y"))
-    Skyline.skyline2d(m, "x", "y")
-      .join(m.groupBy("x", "y").agg(count(lit(1)).as("n_docs")),
-        Seq("x", "y"))
-      .select(col("x").as("n_tok"), col("y").as("uniq_bp"),
-        col("n_docs"))
-      .orderBy(col("n_tok").desc)
-  }
-
-  /** Sorted-neighborhood record-linkage screen (q175,
-    * [[graft.ops.Snm]]): customers sorted by name, each compared to
-    * its 3 successors only — candidate volume EXACTLY n·w − w(w+1)/2
-    * (replayed by the oracle), with one codegen'd `levenshtein`
-    * verify per candidate. The sort-based blocking family beside the
-    * engine's hash families (bands q25, blocks q27, deletion index
-    * q146): rank is the E26 range exchange, the window predicate an
-    * equi-join on exploded successor ranks — no inequality join, no
-    * hot buckets, at any corpus size.
-    */
-  private def qSnmDedup(s: SparkSession, dir: String): DataFrame = {
-    val cand = Snm.candidates(
-      t(s, dir, "customer").select("c_custkey", "c_name"),
-      "c_custkey", "c_name", 3).transform(snap)
-    val m = cand.filter(levenshtein(col("key_a"), col("key_b")) <= 1)
-      .agg(count(lit(1)).as("n_matches"),
-        coalesce(sum("id_a"), lit(0L)).as("sum_a"),
-        coalesce(sum("id_b"), lit(0L)).as("sum_b"))
-    cand.agg(count(lit(1)).as("n_candidates"))
-      .crossJoin(broadcast(m))
-  }
-
-  /** Bounded per-group top-k (q176, [[graft.functions.TopK]]): each
-    * supplier's 3 highest-revenue line items via a typed Aggregator
-    * whose state is capped at k entries — map-side partials cut the
-    * shuffle to k·|groups| rows and a skewed group costs k per
-    * partition, not its row count (the window row_number form the
-    * oracle replays pays the full sort). Revenue in exact integer
-    * cents (DECIMAL before the cast); (score desc, id asc) total
-    * order makes the arrays deterministic.
-    */
-  private def qTopKAgg(s: SparkSession, dir: String): DataFrame = {
-    val tk = TopK.topK(3)
-    t(s, dir, "lineitem")
-      .select(col("l_suppkey"),
-        expr("cast(cast(l_extendedprice as decimal(18,2)) * 100"
-          + " as bigint)").as("cents"),
-        (col("l_orderkey") * 10 + col("l_linenumber")).as("lid"))
-      .groupBy("l_suppkey")
-      .agg(tk(col("cents"), col("lid")).as("top"))
-      .select(col("l_suppkey"), posexplode(col("top")))
-      .select(col("l_suppkey"), (col("pos") + 1).cast("long").as("rank"),
-        col("col.score").as("cents"), col("col.id").as("item_id"))
-      .orderBy("l_suppkey", "rank")
-  }
-
-  /** Skip-gram co-occurrence pair extraction (q177) — the
-    * word-embedding training-data construction step (word2vec-style
-    * context pairs, PMI/collocation numerators): for every token, its
-    * co-occurrences within a ±2 window, counted as unordered
-    * (least, greatest) pairs. Pair generation is SCAN-LOCAL — one
-    * nested `transform` + `flatten` over the token array inside the
-    * projection, so the fanout (n_tokens × window) materializes after
-    * the scan with ZERO joins and nothing but (w1, w2) pairs ever
-    * shuffles (one partial-agg); top-30 is TakeOrderedAndProject
-    * under the full (n desc, w1, w2) tiebreak, never a global sort.
-    * The oracle generates the same pairs the structurally opposite
-    * way — a positional self-join on unnested (doc, ord) tokens — so
-    * green proves the scan-local expression ≡ the join definition.
-    */
-  private def skipgramPairCounts(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(split(col("text"), " ").as("toks"))
-      .select(explode(expr(
-        """flatten(transform(toks, (t, i) ->
-          |  transform(slice(toks, i + 2, 2),
-          |    c -> struct(least(t, c) as w1, greatest(t, c) as w2))))"""
-          .stripMargin)).as("p"))
-      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("n_cooc"))
-
-  private def qSkipgramPairs(s: SparkSession, dir: String): DataFrame =
-    skipgramPairCounts(s, dir)
-      .orderBy(col("n_cooc").desc, col("w1"), col("w2"))
-      .limit(30)
-
-  /** PMI-ordered collocation ranking (q215) — the collocation-strength
-    * step on top of q177's co-occurrence numerators (word2vec/PMI
-    * consumers rank by p(xy)/(p(x)·p(y)), not raw counts, or frequent
-    * words dominate): the ordering is preserved EXACTLY without logs
-    * or doubles by the staged integer form
-    * pmi_q = ((n_cooc·2^20) div c1 · N_tok) div c2 — n_cooc ≤ 4·c1
-    * (each w1 occurrence contributes ≤ 4 window pairs) bounds the
-    * first stage at 4·2^20, so the product stays in int64 up to
-    * ~2·10^12 corpus tokens; a larger corpus rebases the 2^20. Rare
-    * pairs (n_cooc < 5) are floored out first — the standard PMI
-    * noise guard, and it keeps truncation meaningful. Vocabulary-sized
-    * unigram tables BROADCAST onto the pair counts; top-30 is
-    * TakeOrderedAndProject under the full (pmi_q, w1, w2) tiebreak.
-    */
-  private def qPmiCollocations(s: SparkSession, dir: String): DataFrame = {
-    val uni = t(s, dir, "documents")
-      .select(explode(split(col("text"), " ")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cw"))
-    val nTok = t(s, dir, "documents")
-      .select(explode(split(col("text"), " ")).as("w"))
-      .agg(count(lit(1)).as("n_tok"))
-    skipgramPairCounts(s, dir)
-      .filter(col("n_cooc") >= 5)
-      .join(broadcast(uni.select(col("w").as("w1"), col("cw").as("c1"))),
-        Seq("w1"))
-      .join(broadcast(uni.select(col("w").as("w2"), col("cw").as("c2"))),
-        Seq("w2"))
-      .crossJoin(broadcast(nTok))
-      .withColumn("pmi_q",
-        expr("(((n_cooc * 1048576L) div c1) * n_tok) div c2"))
-      .select("w1", "w2", "n_cooc", "c1", "c2", "pmi_q")
-      .orderBy(col("pmi_q").desc, col("w1"), col("w2"))
-      .limit(30)
-  }
-
-  /** Near-dup component-size histogram (q216) — the "how big are my
-    * duplicate clusters" report every dedup run is judged by before
-    * choosing keep-rules: sizes of the stored [[fullClusterLabels]]
-    * components (metadata-sized group-by over node labels) plus the
-    * singleton row (docs in no pair are their own components —
-    * counted from two driver-side metadata counts, never a join).
-    * The oracle recomputes the closure from scratch (RECURSIVE CTE)
-    * and histograms it, so the stored labels are re-proved in the
-    * same query that consumes them.
-    */
-  private def qClusterSizes(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val labels = fullClusterLabels(s, dir)
-    val singletons =
-      t(s, dir, "documents").count() - labels.count()
-    labels
-      .groupBy("cluster_rep").agg(count(lit(1)).as("sz"))
-      .groupBy(col("sz").cast("long").as("component_size"))
-      .agg(count(lit(1)).as("n_components"))
-      .unionByName(Seq((1L, singletons)).toDF(
-        "component_size", "n_components"))
-      .orderBy("component_size")
-  }
-
-  /** Bounded-hop weighted shortest distances (q178,
-    * [[graft.ops.Paths]]): min-plus Bellman–Ford over the symmetrized
-    * customer–supplier purchase graph with exact integer edge weights
-    * (floor(min quantity) per partnership — "cheapest connection"),
-    * from the nation-0 customer seed set, capped at 4 relaxation
-    * rounds — the trust/affinity-distance filter where q173's BFS
-    * counts hops but THIS weighs them (the cheapest 3-edge route can
-    * beat a direct edge). Delta relaxation keeps per-round cost
-    * frontier-sized; the per-distance digest (count, key checksum,
-    * customer count; −1 = unreached) is ordering-free, and the oracle
-    * unrolls the same 4 rounds as union+min CTEs — green proves delta
-    * relaxation ≡ full Bellman–Ford at equal depth.
-    */
-  private def qWeightedPaths(s: SparkSession, dir: String): DataFrame = {
-    val half = t(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
-      .join(t(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .agg(floor(min(col("l_quantity"))).cast("long").as("w"))
-    val edges = half.union(
-      half.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-    val nodes = edges.select(col("src").as("node")).distinct()
-    val seeds = nodes.join(
-      t(s, dir, "customer").filter(col("c_nationkey") === 0)
-        .select((col("c_custkey") * 2).as("node")), Seq("node"))
-    val dist = Paths.boundedDistances(edges, "src", "dst", "w",
-      seeds, "node", 4)
-    nodes.join(dist, Seq("node"), "left")
-      .select(col("node"),
-        coalesce(col("dist"), lit(-1L)).as("dist"))
-      .groupBy("dist")
-      .agg(count(lit(1)).as("n_nodes"),
-        sum(expr("node div 2")).as("key_sum"),
-        sum(when(col("node") % 2 === 0, 1L).otherwise(0L))
-          .as("n_customers"))
-      .orderBy("dist")
-  }
-
-  /** Seasonal-baseline anomaly detection (q179) — the observability
-    * pass q126's EWMA can't express: traffic with a DAILY SHAPE
-    * (quiet 4am, busy 6pm) needs each (type, day, hour) cell judged
-    * against its OWN seasonal slot — the (type, hour-of-day) lower
-    * median over the observed days — not against the trailing rate.
-    * Cells deviating ≥ 25% from their slot baseline are flagged with
-    * the deviation in basis points. All integer: the lower median is
-    * an exact rank pick (rn = (n+1) div 2 over the slot's day-counts,
-    * full (n, day) tiebreak), deviation is abs-then-div so no
-    * engine's negative-integer-division convention is ever in play
-    * (both truncate — q181 measured it — but signed div in a
-    * portability surface is a hazard, not a dependency to take);
-    * the slot windows partition by (type,
-    * hour) — 120 metadata-sized partitions of ≤ n_days cells each,
-    * never an event-scale frame. Observed cells only (an absent
-    * (day, hour) is silence, not a zero sample) — documented.
-    */
-  private def qSeasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
-    val cells = t(s, dir, "events")
-      .groupBy(col("event_type"),
-        datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
-          .cast("long").as("day"),
-        hour(col("ts")).cast("long").as("hr"))
-      .agg(count(lit(1)).as("n_events"))
-    val w = Window.partitionBy("event_type", "hr")
-    val ranked = cells
-      .withColumn("__rn", row_number().over(
-        w.orderBy(col("n_events"), col("day"))))
-      .withColumn("__nc", count(lit(1)).over(w))
-    val med = ranked
-      .filter(col("__rn") === expr("(__nc + 1L) div 2L"))
-      .select(col("event_type"), col("hr"),
-        col("n_events").as("med_baseline"))
-    cells.join(med, Seq("event_type", "hr"))
-      .withColumn("dev_bp",
-        expr("abs(n_events - med_baseline) * 10000L div med_baseline"))
-      .filter(col("dev_bp") >= 2500)
-      .select(col("event_type"), col("day"), col("hr"),
-        col("n_events"), col("med_baseline"), col("dev_bp"),
-        (col("n_events") > col("med_baseline")).as("above"))
-      .orderBy("event_type", "day", "hr")
-  }
-
-  /** Greedy k-center diversity selection (q180,
-    * [[graft.ops.KCenter]]): 5 maximally-spread exemplars over the
-    * quantized embeddings via Gonzalez's farthest-point sweep (a
-    * 2-approximation of the optimal k-center radius), plus the
-    * coverage-reporter row whose d² IS the achieved radius. Each
-    * round is one scan-local running-min update against the newest
-    * center (a plan literal, the q97 discipline) and one max(struct)
-    * partial-agg — k linear scans total, the base never shuffled or
-    * self-joined. The oracle unrolls the same 5 rounds in SQL over
-    * the shared quantized CTE — green proves the running-min sweep ≡
-    * the min-over-selected-set definition, argmax tiebreaks included.
-    */
-  private def qKCenter(s: SparkSession, dir: String): DataFrame =
-    KCenter.select(
-      Similarity.prepare(t(s, dir, "embeddings"), "embedding"),
-      "vec_id", 5)
-
-  /** Embedding-space class-separation audit (q181) — the labeled-data
-    * health check run before training a classifier on an embedding
-    * column: per label, the exact integer centroid (the KMeans update
-    * rule: floor-divided per-dimension sums), the intra-class mean
-    * squared distance, the nearest OTHER centroid, and the
-    * separation ratio in basis points — a label whose nearest foreign
-    * centroid sits closer than its own spread (sep_bp low) is
-    * mislabeled or unlearnable. One (label, dim) partial-agg pass
-    * builds all centroids (metadata-sized: |labels|×64 rows collected
-    * like a range partitioner's boundaries); per-vector distance to
-    * the OWN centroid is scan-local against label-dispatched plan
-    * literals (one codegen'd [[graft.expressions.LongDot]] dot per
-    * row); inter-centroid geometry is pure driver arithmetic over the
-    * |labels|² metadata. Centroid division TRUNCATES toward zero on
-    * both sides (Scala `/`, DuckDB `//` — measured: −4165 // 43 =
-    * −96, not the floor −97), the one place a per-dimension sum goes
-    * negative — so the replay is bit-identical.
-    */
-  private def qClassSeparation(s: SparkSession, dir: String): DataFrame = {
-    val prep = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
-      .select(col("label").cast("long").as("label"), col("qv"),
-        col("qn"))
-    val cent = prep
-      .select(col("label"), posexplode(col("qv")).as(Seq("pos", "x")))
-      .groupBy("label", "pos")
-      .agg(sum("x").as("s"), count(lit(1)).as("n"))
-      .collect()
-      .groupBy(_.getAs[Long]("label"))
-      .map { case (l, rows) =>
-        val dims = rows.map(r => r.getAs[Int]("pos") ->
-          r.getAs[Long]("s") / r.getAs[Long]("n"))
-          .sortBy(_._1).map(_._2)
-        l -> dims
-      }
-    val labels = cent.keys.toSeq.sorted
-    // Per-vector d² to the OWN centroid: label-dispatched literals.
-    val own = labels.foldLeft(lit(null).cast("long")) { (acc, l) =>
-      val c = cent(l)
-      val cn = c.map(x => x * x).sum
-      when(col("label") === l,
-        col("qn") - lit(2L) * LongDot.dot(typedLit(c.toSeq), col("qv"))
-          + lit(cn)).otherwise(acc)
-    }
-    val intra = prep.withColumn("__d2", own)
-      .groupBy("label")
-      .agg(count(lit(1)).as("n_vecs"),
-        expr("sum(__d2) div count(1)").as("intra_msd"))
-    // Nearest foreign centroid: |labels|² pure driver arithmetic.
-    val nn = labels.map { l =>
-      val best = labels.filter(_ != l).map { m =>
-        val d = cent(l).zip(cent(m))
-          .map { case (a, b) => (a - b) * (a - b) }.sum
-        (d, m)
-      }.min
-      (l, best._2, best._1)
-    }
-    val nnDf = s.createDataFrame(nn).toDF("label", "nn_label", "nn_d2")
-    intra.join(nnDf, "label")
-      .withColumn("sep_bp",
-        expr("nn_d2 * 10000L div greatest(intra_msd, 1L)"))
-      .orderBy("label")
-  }
-
-  /** Interval-union coverage (q182) — the gaps-and-islands member
-    * q158 (same-type run collapse) and q83 (gap sessionization) don't
-    * cover: each event projects a 5-minute attention interval and the
-    * question is each user's UNION length — overlapping intervals
-    * must not double-count (a plain SUM of durations overstates
-    * exactly where activity is densest). The classic running-max
-    * sweep: an interval opens a new island iff its start exceeds the
-    * running max end of everything earlier (one per-user lag-frame
-    * window, bounded by the user's stream), islands aggregate to
-    * (min start, max end), coverage = Σ island lengths. All integer
-    * milliseconds under the full (start, event_id) tiebreak, so the
-    * DuckDB window replay is exact.
-    */
-  private def qIntervalCoverage(s: SparkSession, dir: String): DataFrame = {
-    val horizon = 300000L // 5 min
-    val iv = t(s, dir, "events")
-      .select(col("user_id"), col("event_id"),
-        unix_millis(col("ts")).as("s_ms"))
-      .withColumn("e_ms", col("s_ms") + horizon)
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("s_ms"), col("event_id"))
-    val isl = iv
-      .withColumn("__pmax",
-        max("e_ms").over(w.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("__new",
-        when(col("__pmax").isNull || col("s_ms") > col("__pmax"), 1L)
-          .otherwise(0L))
-      .withColumn("island",
-        sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-    isl.groupBy("user_id", "island")
-      .agg(count(lit(1)).as("__n"), min("s_ms").as("__is"),
-        max("e_ms").as("__ie"))
-      .groupBy("user_id")
-      .agg(sum("__n").as("n_events"),
-        count(lit(1)).as("n_islands"),
-        sum(col("__ie") - col("__is")).as("covered_ms"))
-      .orderBy("user_id")
-  }
-
-  /** Cross-source duplication matrix (q183) — the curation instrument
-    * behind "which sources copy which": for every source pair, the
-    * number of duplicate 20-token-paragraph DOC PAIRS and the number
-    * of distinct shared paragraphs (diagonal = intra-source
-    * duplication). The counting is pure ALGEBRA, never a doc-pair
-    * materialization: per (paragraph-hash, source) occurrence counts
-    * c (32-byte keys, one partial-agg), then per-hash source-pair
-    * products c_a·c_b (same source: c(c−1)/2) — per-hash join fanout
-    * is bounded by |sources|², NOT occurrences², so a boilerplate
-    * paragraph in a thousand docs costs |sources|² rows where the
-    * naive pair join pays 10⁶. The oracle IS that naive O(pairs)
-    * doc-pair join — green proves the counting algebra ≡ pair
-    * materialization.
-    */
-  private def qCrossSourceMatrix(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val np = ParagraphDedup.paragraphs(docs, "doc_id", "text", 20)
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      .select(col("doc_id"), col("source"), md5(graft.expressions.UnicodeNormalize.nfc(col("para"))).as("ph"))
-      .distinct()
-    val g = np.groupBy("ph", "source").agg(count(lit(1)).as("c"))
-    val a = g.select(col("ph"), col("source").as("sa"), col("c").as("ca"))
-    val b = g.select(col("ph"), col("source").as("sb"), col("c").as("cb"))
-    a.join(b, Seq("ph"))
-      .filter(col("sa") <= col("sb"))
-      .withColumn("pairs",
-        when(col("sa") === col("sb"),
-          expr("ca * (ca - 1L) div 2L"))
-          .otherwise(col("ca") * col("cb")))
-      .filter(col("pairs") > 0)
-      .groupBy(col("sa").as("source_a"), col("sb").as("source_b"))
-      .agg(sum("pairs").as("n_pairs"), count(lit(1)).as("n_paras"))
-      .orderBy("source_a", "source_b")
-  }
-
-  /** Time-series gap fill (q184, [[graft.ops.GapFill]]): each event
-    * type's hourly milli-quantized `value` volume densified onto the
-    * hour grid — linear interpolation across interior gaps, forward
-    * fill after the type's last observation up to the corpus-wide
-    * last hour (the common grid END that aligns every key into one
-    * feature matrix). Per-key grids and per-key windows only; the
-    * interpolation is ONE fixed-shape double expression over
-    * integer-valued operands (one multiply, one divide, one add), so
-    * the DuckDB window replay is bit-identical, `fill` provenance
-    * column included.
-    */
-  private def qGapFill(s: SparkSession, dir: String): DataFrame = {
-    val obs = t(s, dir, "events")
-      .groupBy(col("event_type"),
-        expr("unix_millis(ts) div 3600000").as("hr"))
-      .agg(sum(expr(
-        "cast(cast(value as decimal(18,2)) * 100 as bigint) * 10L"))
-        .as("v_milli"))
-    GapFill.fill(obs, "event_type", "hr", "v_milli")
-      .orderBy("event_type", "hr")
-  }
-
-  /** Streaming exact top-k leaderboard (q185,
-    * [[graft.streaming.Leaderboard]]): the global 20 highest-value
-    * events maintained across 3 micro-batches — per-row scores make
-    * k stored rows a SUFFICIENT STATISTIC (top-k(A∪B) =
-    * top-k(top-k(A)∪B)), so the fold is exact and per-ingest cost is
-    * independent of history. Oracle = the one-shot batch top-20 over
-    * all events, so green proves streamed fold ≡ batch ranking;
-    * LeaderboardSpec drives restart-resume with displacement and
-    * no-change batches.
-    */
-  private def qStreamTopK(s: SparkSession, dir: String): DataFrame =
-    graft.streaming.Leaderboard.run(s, s"$dir/events.parquet", 20,
-      chunks = 3)
-
-  /** Functional-dependency audit (q186) — the schema-contract gate
-    * beside E150's referential audit: does column A determine column
-    * B? Five candidate FDs (two that HOLD — key → attribute — and
-    * three plausible-but-false ones a pipeline might wrongly assume),
-    * each audited in one (LHS, distinct-RHS) partial-agg pass: LHS
-    * key count, violating-key count (distinct RHS > 1), violation
-    * share in basis points, worst fanout. At 100 TB this is the scan
-    * that decides whether a "join on A, take B from either side"
-    * denormalization is safe — run BEFORE the pipeline bakes the
-    * assumption in.
-    */
-  private def qFdAudit(s: SparkSession, dir: String): DataFrame = {
-    def fd(df: DataFrame, name: String, lhs: String,
-        rhs: String): DataFrame =
-      df.groupBy(col(lhs))
-        .agg(countDistinct(col(rhs)).as("__nr"))
-        .agg(count(lit(1)).as("n_lhs"),
-          sum(when(col("__nr") > 1, 1L).otherwise(0L))
-            .as("n_violating"),
-          max("__nr").as("max_fanout"))
-        .select(lit(name).as("fd"), col("n_lhs"), col("n_violating"),
-          expr("n_violating * 10000L div n_lhs").as("viol_bp"),
-          col("max_fanout"))
-    fd(t(s, dir, "orders"), "orders: o_orderkey -> o_custkey",
-        "o_orderkey", "o_custkey")
-      .unionByName(fd(t(s, dir, "lineitem"),
-        "lineitem: l_orderkey -> l_suppkey", "l_orderkey", "l_suppkey"))
-      .unionByName(fd(t(s, dir, "documents"),
-        "documents: doc_id -> lang", "doc_id", "lang"))
-      .unionByName(fd(t(s, dir, "documents"),
-        "documents: source -> lang", "source", "lang"))
-      .unionByName(fd(t(s, dir, "events"),
-        "events: user_id -> event_type", "user_id", "event_type"))
-      .orderBy("fd")
-  }
-
-  /** Streaming incremental skyline (q187,
-    * [[graft.streaming.SkylineStream]]): q174's Pareto frontier kept
-    * current under document arrivals — dominance is transitive, so
-    * the stored frontier is a SUFFICIENT STATISTIC (skyline(A∪B) =
-    * skyline(skyline(A)∪B)) and per-ingest cost is the batch's own
-    * sweep plus a frontier-sized merge. Oracle = the one-shot
-    * NOT-EXISTS dominance frontier over ALL docs, so green proves
-    * streamed fold ≡ batch skyline; SkylineStreamSpec drives
-    * restart-resume with arrivals that EVICT stored frontier points.
-    */
-  private def qStreamSkyline(s: SparkSession, dir: String): DataFrame =
-    graft.streaming.SkylineStream.run(s, s"$dir/documents.parquet",
-      chunks = 3)
-
-  /** Per-source bottom-k (KMV) sketch (q188) — the deterministic
-    * sample-AND-estimator in one k-row state: the k smallest 52-bit
-    * md5 hashes of each source's distinct 5-gram shingles are (a) a
-    * reproducible uniform sample of the source's content space any
-    * engine recomputes bit-identically, and (b) the classic KMV
-    * distinct-count estimator est = (k−1)·2⁵²/h_k — REPORTED against
-    * the exact count with its error in basis points and the 3·rsd
-    * check (rsd ≈ 1/√(k−2)), measured not asserted. Bottom-k rides
-    * the E170 bounded aggregate (negated score), so state caps at k
-    * per source map-side — no per-group window, no global sort — and
-    * the sketch is MERGEABLE (bottom-k(A∪B) = bottom-k(bk(A)∪bk(B)):
-    * the merge law is asserted in-engine per source over the
-    * doc_id-parity halves (merge_exact, the q164/q170 discipline —
-    * DuckDB replays the estimator numerically and gets a TRUE
-    * literal for the in-engine law).
-    */
-  private def qKmvSketch(s: SparkSession, dir: String): DataFrame = {
-    val k = 64
-    val scale = 4503599627370496L // 16^13 = 2^52
-    val tk = TopK.topK(k)
-    def hashes(docs: DataFrame): DataFrame = docs
-      .select(col("source"),
-        explode(TextFns.shingles("text", 5)).as("g"))
-      .distinct()
-      .select(col("source"),
-        expr("cast(conv(substring(md5(g), 1, 13), 16, 10) as bigint)")
-          .as("h"))
-      .distinct()
-    def bottomK(hs: DataFrame, out: String): DataFrame = hs
-      .groupBy("source")
-      .agg(tk(-col("h"), col("h")).as(out),
-        count(lit(1)).as(out + "_n"))
-    val docs = t(s, dir, "documents")
-    val whole = bottomK(hashes(docs), "bk")
-    // merge law over the doc_id-parity halves: bottom-k of the union
-    // of the two k-row states must equal the whole corpus's bottom-k
-    val h1 = bottomK(hashes(docs.filter(col("doc_id") % 2 === 0)), "b1")
-    val h2 = bottomK(hashes(docs.filter(col("doc_id") % 2 === 1)), "b2")
-    val mergedState = h1
-      .select(col("source"), explode(col("b1")).as("e"))
-      .unionByName(h2.select(col("source"), explode(col("b2")).as("e")))
-      .select(col("source"), col("e.id").as("h"))
-      .distinct()
-    val merged = bottomK(mergedState, "bm")
-    val nGrams = t(s, dir, "documents")
-      .select(col("source"),
-        explode(TextFns.shingles("text", 5)).as("g"))
-      .distinct()
-      .groupBy("source").agg(count(lit(1)).as("n_grams"))
-    whole.join(merged.select("source", "bm"), "source")
-      .join(nGrams, "source")
-      .select(col("source"), col("n_grams"),
-        when(col("bk_n") < k, col("bk_n"))
-          .otherwise(expr(s"(${k - 1}L * ${scale}L) div"
-            + s" greatest(element_at(bk, $k).id, 1L)")).as("kmv_est"),
-        (col("bm") === col("bk")).as("merge_exact"))
-      .withColumn("err_bp",
-        expr("abs(kmv_est - n_grams) * 10000L div n_grams"))
-      .withColumn("within_3rsd", col("err_bp") <= 3810L)
-      .select(col("source"), col("n_grams"), col("kmv_est"),
-        col("err_bp"), col("within_3rsd"), col("merge_exact"))
-      .orderBy("source")
-  }
-
-  /** q189's stored bin boundaries, trained once per (session, corpus)
-    * on the HISTORY orders (o_orderkey % 10 < 8): the 9 exact
-    * lower-decile cents values at ranks ⌈i·n/10⌉ in (cents, orderkey)
-    * order — the rank from [[Packing.withRunningSum]]'s range
-    * exchange (zero Window operators), boundaries written as a
-    * 9-row parquet artifact (bin_idx, bound_cents).
-    */
-  private val binArtifactCache = scala.collection.mutable.Map
-    .empty[(String, String), String]
-
-  private def binArtifact(s: SparkSession, dir: String): String =
-    sessionFixture(binArtifactCache, s, dir) {
-      val tag = (s.sparkContext.applicationId + "_" + dir)
-        .replaceAll("[^a-zA-Z0-9]", "_")
-      val hist = t(s, dir, "orders")
-        .filter(col("o_orderkey") % 10 < 8)
-        .select(expr(
-          "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")
-          .as("cents"), col("o_orderkey"))
-        .withColumn("__one", lit(1L))
-      val n = hist.count()
-      val ranks = (1 to 9).map(i => (i * n + 9) / 10)
-      val byRank = Packing
-        .withRunningSum(hist, "rk", "__one",
-          col("cents").asc, col("o_orderkey").asc)
-        .filter(col("rk").isin(ranks: _*))
-        .select(col("rk"), col("cents"))
-        .collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val path = graft.Scratch.register(
-        s"${System.getProperty("java.io.tmpdir")}/graft_bins_$tag")
-      import s.implicits._
-      ranks.zipWithIndex
-        .map { case (rk, i) => (i.toLong + 1L, byRank(rk)) }
-        .toDF("bin_idx", "bound_cents")
-        .coalesce(1).write.mode("overwrite").parquet(path)
-      path
-    }
-
-  /** Stored equi-depth binning — train once, apply many (q189): the
-    * q129 stored-artifact lifecycle applied to feature PREPROCESSING.
-    * Decile boundaries are trained on the history orders, persisted
-    * as a parquet artifact, and APPLIED to the disjoint arrival batch
-    * (o_orderkey % 10 ≥ 8) as plan literals — binning is scan-local
-    * codegen'd comparisons, rows never shuffle to learn their bin
-    * (the q142 discipline, but with the boundary artifact OUTLIVING
-    * the run: at 100 TB the training scan happens once per model
-    * version, not once per scoring job). Boundaries are exact-rank
-    * integer cents (no interpolated doubles), so the oracle replays
-    * train AND apply numerically end-to-end — green proves the
-    * parquet roundtrip lossless and the stored-model application
-    * identical to an inline recompute.
-    */
-  private def qStoredBins(s: SparkSession, dir: String): DataFrame = {
-    val bounds = s.read.parquet(binArtifact(s, dir))
-      .orderBy("bin_idx").collect().map(_.getAs[Long]("bound_cents"))
-    val batch = t(s, dir, "orders")
-      .filter(col("o_orderkey") % 10 >= 8)
-      .select(expr(
-        "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")
-        .as("cents"))
-    val bin = bounds
-      .map(b => when(col("cents") >= b, 1L).otherwise(0L))
-      .reduce(_ + _)
-    batch.withColumn("bin", bin)
-      .groupBy("bin")
-      .agg(count(lit(1)).as("n_orders"), min("cents").as("min_cents"),
-        max("cents").as("max_cents"))
-      .orderBy("bin")
-  }
-
-  /** Per-group OLS trend fit (q190) — drift detection with an exact
-    * replay: per event type, the least-squares slope of value (cents)
-    * against time (minutes since the corpus start) from INTEGER
-    * sufficient statistics (n, Σx, Σy, Σxy, Σx²) — one partial-agg
-    * pass, rebased x so Σx² stays far under 2⁶³ (x ≤ 43 200 minutes;
-    * a raw epoch-minute x² would overflow by 10×) — with slope_num =
-    * n·Σxy − Σx·Σy and slope_den = n·Σx² − (Σx)² emitted as the
-    * exact integers they are and the slope as ONE double division.
-    * Built-in regr_slope in either engine accumulates doubles in
-    * engine-specific order and is NOT bit-stable across engines; the
-    * sufficient-statistic form is.
-    */
-  private def qGroupTrend(s: SparkSession, dir: String): DataFrame = {
-    val t0 = t(s, dir, "events")
-      .agg(min(expr("unix_millis(ts) div 60000"))).head().getLong(0)
-    t(s, dir, "events")
-      .select(col("event_type"),
-        (expr("unix_millis(ts) div 60000") - t0).as("x"),
-        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
-          .as("y"))
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"))
-      .select(col("event_type"), col("n"),
-        (col("n") * col("sxy") - col("sx") * col("sy"))
-          .as("slope_num"),
-        (col("n") * col("sxx") - col("sx") * col("sx"))
-          .as("slope_den"))
-      .withColumn("slope_cents_per_min",
-        col("slope_num").cast("double") / col("slope_den").cast("double"))
-      .orderBy("event_type")
-  }
-
-  /** LSH operating-curve measurement (q192) — the tuning table that
-    * picks (bands, rows) BEFORE committing a 100 TB dedup run: the
-    * same 32-hash MinHash signatures banded three ways — (16,2),
-    * (8,4), (4,8) — each config's candidate volume, recall and
-    * precision measured against the EXACT J ≥ 0.5 ground truth
-    * (E134's lossless prefix-filtered join on the same 5-gram unit,
-    * so the truth side misses nothing), beside the textbook expected
-    * recall at the threshold, 1−(1−t^r)^b — theory and measurement in
-    * one table. The collision probability is a property of the
-    * signature algebra, so this fixture-scale measurement is the
-    * SAME curve a 100 TB corpus sees; candidate volume is what
-    * scales, and that is exactly the column the table exposes per
-    * config. All three configs run as ONE job — config-tagged band
-    * rows, one keyed self-join, one per-config two-counter
-    * aggregate; the candidate stream is consumed in a single pass
-    * (volume + truth-hit count together), never materialized or
-    * rescanned, and only 3 counter rows reach the driver.
-    *
-    * The exact-truth side AND the shared 32-hash signature table are
-    * [[sessionFixture]]s: both are properties of the corpus, not of
-    * the banding configs under test ("the same signatures banded
-    * three ways" is the query's own contract), so repeated trials
-    * (bench median-of-3) measure the three candidate-generation
-    * configs — banding, collision join, counts — not E134's exact
-    * join or the 2.5M-row md5+min signature build every trial (the
-    * q82/q128 stored-fixture discipline; production stores signature
-    * tables for exactly this reason).
-    */
-  private val lshTruthCache = scala.collection.mutable.Map
-    .empty[(String, String), (DataFrame, Long)]
-
-  /** q192's ground truth: exact Jaccard ≥ 0.5 over the 5-CHAR shingle
-    * sets — the SAME sets [[lshSigs]]' MinHash signatures sketch, via
-    * the lossless prefix-filter join ([[SetSimJoin
-    * .prefixJaccardPairsFromGrams]]). It must be char shingles, not
-    * [[SetSimJoin.prefixJaccardPairs]]' word grams: truth in a
-    * different set space tunes the wrong recall table — word-gram and
-    * char-shingle J ≥ 0.5 pair sets happen to coincide on the sf0.01/
-    * sf0.1 corpora (every gate hash-matched) but split at sf1 (394
-    * word-gram vs ≥ 401 char-shingle true pairs — BASELINE.md r10),
-    * which the 10× scale replay caught. Spec-pinned by the planted
-    * word-rotated pair. Like every exact truth tool in this family,
-    * the prefix join is quadratic-class on vocabulary-dense corpora
-    * (1.78×10¹⁰ join rows at sf1) — calibration use only.
-    */
-  private def lshTruth(s: SparkSession, dir: String): (DataFrame, Long) =
-    sessionFixture(lshTruthCache, s, dir) {
-      val grams = t(s, dir, "documents")
-        .select(col("doc_id").as("__id"),
-          explode(TextFns.shingles("text", 5)).as("__sh"))
-        .select(col("__id"), xxhash64(col("__sh")).as("__gh"))
-        .localCheckpoint()
-      val truth = SetSimJoin.prefixJaccardPairsFromGrams(grams, 0.5)
-        .select("id_a", "id_b").localCheckpoint()
-      (truth, truth.count())
-    }
-
-  private val lshSigCache = scala.collection.mutable.Map
-    .empty[(String, String), DataFrame]
-
-  private def lshSigs(s: SparkSession, dir: String): DataFrame =
-    sessionFixture(lshSigCache, s, dir) {
-      val docs = t(s, dir, "documents")
-        .repartition(col("doc_id"))
-        .withColumn("shingles", TextFns.shingles("text", 5))
-        .select("doc_id", "shingles")
-      NearDup.minHashSigs(docs, "doc_id", "shingles", 32, "sig")
-        .localCheckpoint()
-    }
-
-  private def qLshTuning(s: SparkSession, dir: String): DataFrame = {
-    val sigs = lshSigs(s, dir)
-    val (truth, nTrue) = lshTruth(s, dir)
-    val configs = Seq((16, 2), (8, 4), (4, 8))
-    // ALL THREE configs ride ONE job: band rows are tagged with their
-    // config and unioned, so the collision self-join (config in the
-    // key — configs never cross), the per-config pair distinct, the
-    // broadcast-truth left join and the two counters are a single
-    // pass over the combined candidate stream (4M+ pairs at b16r2 —
-    // the flood is that config's own result) instead of three
-    // sequential jobs over the same checkpointed signatures. The
-    // pair stream is never materialized or rescanned.
-    // The pair-dedup shuffle is the flood's cost center (4.3M+ rows
-    // at b16r2), so each (id_a < id_b) pair travels as ONE long
-    // (id_a<<32 | id_b) and the config as a small int: ~3× fewer
-    // shuffled bytes than (string, long, long) rows for the identical
-    // distinct. The encoding is exact only for ids in [0, 2^32);
-    // pairEnc ENFORCES that per row (two codegen'd comparisons on the
-    // flood — negligible) so a larger corpus fails loudly instead of
-    // silently merging distinct pairs into one counter row.
-    def pairEnc(ia: String, ib: String): Column = expr(
-      s"""case when $ia >= 0 and $ia < 4294967296
-         |      and $ib >= 0 and $ib < 4294967296
-         |then shiftleft($ia, 32) + $ib
-         |else raise_error(concat(
-         |  'qLshTuning: doc id outside [0, 2^32) breaks the packed ',
-         |  'pair encoding: ', cast(greatest($ia, $ib) as string))) end"""
-        .stripMargin)
-    val allBands = configs.zipWithIndex.map { case ((b, r), ci) =>
-      NearDup.bandRows(sigs, "doc_id", "sig", b, r, 32)
-        .withColumn("cfg", lit(ci))
-    }.reduce(_ unionByName _)
-    val a = allBands.select(col("cfg"), col("band"), col("band_key"),
-      col("doc_id").as("id_a"))
-    val bb = allBands.select(col("cfg"), col("band"), col("band_key"),
-      col("doc_id").as("id_b"))
-    val truthEnc = truth.select(
-      pairEnc("id_a", "id_b").as("pc"),
-      lit(1L).as("__t"))
-    val counters = a.join(bb, Seq("cfg", "band", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("cfg"), pairEnc("id_a", "id_b").as("pc"))
-      .distinct()
-      .join(broadcast(truthEnc), Seq("pc"), "left")
-      .groupBy("cfg")
-      .agg(count(lit(1)).as("nc"),
-        sum(coalesce(col("__t"), lit(0L))).as("nf"))
-      .collect()
-      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
-      .toMap
-    val counterByName = configs.zipWithIndex.map { case ((b, r), ci) =>
-      s"b${b}r$r" -> counters.getOrElse(ci, (0L, 0L))
-    }.toMap
-    val rows = configs.map { case (b, r) =>
-      val (nc, nf) = counterByName(s"b${b}r$r")
-      (s"b${b}r$r", b.toLong, r.toLong, nc, nTrue, nf,
-        if (nTrue > 0) nf * 10000L / nTrue else 10000L,
-        if (nc > 0) nf * 10000L / nc else 10000L,
-        theoryRecallBp(b, r))
-    }
-    import s.implicits._
-    rows.toDF("config", "bands", "rows_per_band", "n_candidates",
-        "n_true", "n_found", "recall_bp", "precision_bp",
-        "theory_recall_bp")
-      .orderBy("config")
-  }
-
-  /** ⌊10⁴·(1−(1−0.5^r)^b)⌋ — the S-curve collision probability at the
-    * J = 0.5 threshold. Computed ONCE here and interpolated into the
-    * oracle as the identical literal, so no cross-engine `pow` is
-    * ever compared.
-    */
-  private def theoryRecallBp(b: Int, r: Int): Long =
-    math.floor((1.0 - math.pow(1.0 - math.pow(0.5, r), b)) * 10000).toLong
-
-  /** Media near-duplicate detection (q193,
-    * [[graft.ops.Multimodal.blockHash]]) — the multimodal × dedup
-    * crossover: payloads fingerprint to a LOCALITY-SENSITIVE 60-bit
-    * blockhash (chunk-sum profile, not an avalanche digest), then the
-    * E9 pigeonhole: 4 blocks of 15 bits as equi-join keys (Hamming ≤ 3
-    * ⟹ at least one block matches exactly — zero false negatives at
-    * the threshold, by pigeonhole, never an all-pairs product), one
-    * codegen'd `bit_count(xor)` verify per candidate. Payloads never
-    * shuffle — only (id, fp) longs leave the scan; with a real image
-    * pHash the plumbing is IDENTICAL, only the codec changes (the
-    * multimodal-stub convention, byte-exact-oracled end to end).
-    */
-  private def qMediaNearDup(s: SparkSession, dir: String): DataFrame = {
-    implicit val sp: SparkSession = s
-    val fps = Multimodal
-      .blockHash(Multimodal.asMedia(t(s, dir, "documents")))
-      .toDF().select(col("doc_id"), col("fp"))
-      .transform(snap)
-    val blocks = fps.select(col("doc_id"), explode(expr(
-      """transform(sequence(0, 3), b -> struct(b as blk,
-        | shiftright(fp, b * 15) % 32768 as key))""".stripMargin))
-      .as("p"))
-      .select(col("doc_id"), col("p.blk").as("blk"),
-        col("p.key").as("key"))
-    val pairs = blocks
-      .select(col("doc_id").as("id_a"), col("blk"), col("key"))
-      .join(blocks.select(col("doc_id").as("id_b"), col("blk"),
-        col("key")), Seq("blk", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    pairs
-      .join(fps.select(col("doc_id").as("id_a"), col("fp").as("__fa")),
-        "id_a")
-      .join(fps.select(col("doc_id").as("id_b"), col("fp").as("__fb")),
-        "id_b")
-      .withColumn("hamming",
-        expr("cast(bit_count(__fa ^ __fb) as bigint)"))
-      .filter(col("hamming") <= 3)
-      .select("id_a", "id_b", "hamming")
-      .orderBy("id_a", "id_b")
-  }
-
-  /** Deterministic synthetic data generation (q194) — the datagen
-    * primitive behind every scale test and anonymized-fixture export:
-    * 100 000 rows materialized from NOTHING but `spark.range` and
-    * md5-derived columns — scan-local, ZERO shuffle until the 8-row
-    * shard digest, which is how a 100 TB synthetic corpus generates
-    * (range(10¹²) partitioned across the cluster, no data movement at
-    * all). Cross-engine REPRODUCIBLE by construction: every derived
-    * column is a pure function of the row id through the portable
-    * md5-prefix convention, so the oracle regenerates the identical
-    * table from DuckDB's own `range` — the digest row set is the
-    * proof that "generate the fixture anywhere" holds.
-    */
-  private def qDataGen(s: SparkSession, dir: String): DataFrame =
-    s.range(100000L).toDF("id")
-      .select(col("id"),
-        expr("""cast(conv(substring(md5(cast(id as string)), 1, 8),
-          | 16, 10) as bigint)""".stripMargin).as("h"),
-        expr("""cast(conv(substring(md5(cast(id as string)), 9, 15),
-          | 16, 10) as bigint)""".stripMargin).as("h2"))
-      .select(col("id"), (col("h") % 97).as("key"),
-        (col("h") % 10000).as("amount_cents"), col("h2"))
-      .groupBy((col("id") % 8).as("shard"))
-      .agg(count(lit(1)).as("n_rows"), sum("key").as("key_sum"),
-        sum("amount_cents").as("amount_sum"),
-        expr("bit_xor(h2)").as("content_xor"))
-      .orderBy("shard")
-
-  /** Source-balanced training-order interleave (q195) — the
-    * data-ORDERING construction a training run consumes: documents
-    * laid out round-robin across sources in deterministic per-source
-    * md5 order, so every window of the training stream sees every
-    * source (no source-contiguous runs to bias early optimization —
-    * the complement of E143's curriculum, which orders by QUALITY;
-    * this orders for BALANCE). Both ranks come from the E26
-    * count-then-offset range exchange (per-source rank in md5 order,
-    * then the global position over (rank, source) lexicographic order
-    * — zero Window operators on the ranking path, so no single-task
-    * funnel at any corpus size). The per-source digest (count,
-    * min/max position, position checksum, max gap between consecutive
-    * appearances) proves the interleave even: max_gap = |sources| for
-    * every source is the round-robin signature, and the oracle
-    * replays both ranks as row_numbers plus a lag window.
-    */
-  private def qInterleave(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        md5(concat(lit("il|"), col("doc_id").cast("string")))
-          .as("__hv"))
-      .withColumn("__one", lit(1L))
-    val ranked = Packing
-      .withRunningSum(docs, "__rs", "__one",
-        col("source").asc, col("__hv").asc, col("doc_id").asc)
-    // __rs is a GLOBAL running count in (source, hv) order; the
-    // per-source 0-based rank = __rs − (count of docs in earlier
-    // sources) — a broadcast metadata offset, the E26 discipline.
-    val offsets = docs.groupBy("source")
-      .agg(count(lit(1)).as("__n")).orderBy("source")
-      .collect()
-    val offMap = {
-      var acc = 0L
-      offsets.map { r =>
-        val o = r.getString(0) -> acc; acc += r.getLong(1); o
-      }.toMap
-    }
-    val offCol = offsets.map(_.getString(0)).foldLeft(lit(0L)) {
-      (a, src) => when(col("source") === src, lit(offMap(src)))
-        .otherwise(a)
-    }
-    val withRank = ranked
-      .withColumn("rnk", col("__rs") - lit(1L) - offCol)
-      .withColumn("__one2", lit(1L))
-    val pos = Packing
-      .withRunningSum(withRank, "__ps", "__one2",
-        col("rnk").asc, col("source").asc, col("doc_id").asc)
-      .withColumn("pos", col("__ps") - 1L)
-    val w = Window.partitionBy("source").orderBy("pos")
-    pos
-      .withColumn("__gap", col("pos") - lag("pos", 1).over(w))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), min("pos").as("min_pos"),
-        max("pos").as("max_pos"), sum("pos").as("pos_sum"),
-        max("__gap").as("max_gap"))
-      .orderBy("source")
-  }
-
-  /** Multi-horizon trailing activity features (q196) — the rolling
-    * feature matrix behavioral models consume: per event, the user's
-    * trailing 1 h / 6 h / 24 h counts and the 24 h DECIMAL-quantized
-    * value sum, all four frames riding ONE per-user (ms, event) sort
-    * — a single window shuffle feeds every horizon (PlanSpec asserts
-    * one Window node), which is the difference between one pass and
-    * one pass per horizon at 100 TB. Frames are per-user-bounded
-    * RANGE frames (the q90 discipline), peers-at-same-ms included
-    * identically by both engines.
-    */
-  private def qMultiHorizon(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events")
-      .select(col("event_id"), col("user_id"),
-        unix_millis(col("ts")).as("ms"),
-        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
-          .as("cents"))
-    def frame(h: Long) = Window.partitionBy("user_id").orderBy("ms")
-      .rangeBetween(-h * 3600000L, 0)
-    e.select(col("event_id"), col("user_id"), col("ms"),
-        count(lit(1)).over(frame(1)).as("n_1h"),
-        count(lit(1)).over(frame(6)).as("n_6h"),
-        count(lit(1)).over(frame(24)).as("n_24h"),
-        sum("cents").over(frame(24)).as("cents_24h"))
-      .orderBy("event_id")
-  }
-
-  /** Integer CUSUM change detection (q197) — the sequential
-    * control-chart statistic S_t = max(0, S_{t−1} + x_t − k) that EWMA
-    * (E120) and the seasonal median (E173) don't cover: CUSUM
-    * accumulates SMALL persistent shifts that never individually trip
-    * a threshold. The recurrence looks inherently sequential, but it
-    * has the exact closed form S_t = P_t − min(0, min_{j≤t} P_j)
-    * (P = prefix sum of x−k) — two running window aggregates, fully
-    * parallel over (type, hour) series, no driver loop, exact int64.
-    * Per-type digest: max CUSUM + its hour (argmax, min-hour
-    * tie-break) + buckets over the 3k alarm line — nondegenerate even
-    * when the synthetic corpus never alarms (the max and where it
-    * happened IS the monitoring read-out). Allowance k = mean+1
-    * (integer div), so drift is absorbed and only sustained excess
-    * accumulates. Observed hours only (the q179 convention).
-    */
-  private def qCusum(s: SparkSession, dir: String): DataFrame =
-    cusumOverHourly(t(s, dir, "events")
-      .groupBy(col("event_type"),
-        expr("unix_millis(ts) div 3600000").as("hr"))
-      .agg(count(lit(1)).as("n")))
-
-  /** The CUSUM closed form over an hourly (event_type, hr, n) table —
-    * shared by q197 (batch group-by input) and q200 (the streamed
-    * [[graft.streaming.RateMonitor]] bucket fold), which is why the
-    * two share one oracle: counts are a commutative monoid, so the
-    * folded buckets are bit-identical to the batch group-by, and any
-    * formula over them — this one included — inherits the equality.
-    */
-  private def cusumOverHourly(hourly: DataFrame): DataFrame = {
-    val tot = hourly.groupBy("event_type")
-      .agg(sum("n").as("__tn"), count(lit(1)).as("n_buckets"))
-      .withColumn("k", expr("__tn div n_buckets + 1L"))
-    val w = Window.partitionBy("event_type").orderBy("hr")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    hourly.join(broadcast(tot), "event_type")
-      .withColumn("__p", sum(col("n") - col("k")).over(w))
-      .withColumn("__m", least(lit(0L), min("__p").over(w)))
-      .withColumn("__s", col("__p") - col("__m"))
-      .groupBy("event_type")
-      .agg(first("n_buckets").as("n_buckets"), first("k").as("k"),
-        max(struct(col("__s").as("s"), (-col("hr")).as("nh"))).as("__mx"),
-        sum(when(col("__s") >= lit(3L) * col("k"), 1L).otherwise(0L))
-          .as("n_over_3k"))
-      .select(col("event_type"), col("n_buckets"), col("k"),
-        col("__mx.s").as("max_cusum"), (-col("__mx.nh")).as("argmax_hr"),
-        col("n_over_3k"))
-      .orderBy("event_type")
-  }
-
-  /** Streaming CUSUM monitoring (q200) — the sequential statistic
-    * DEPLOYED: micro-batches fold into [[graft.streaming.RateMonitor]]'s
-    * stored hourly buckets (the sufficient statistic, O(types×hours)
-    * state, hour-straddling batches merge as a monoid) and the CUSUM
-    * read-out is one metadata-sized computation over the folded
-    * state — so re-tuning k or the alarm line after the fact costs
-    * NOTHING, because the statistic, not the alarm curve, is what's
-    * stored. Shares q197's oracle verbatim: green proves streamed
-    * fold + formula ≡ batch group-by + formula (the q126/q138
-    * discipline applied to the sequential-statistic family).
-    */
-  private def qStreamCusum(s: SparkSession, dir: String): DataFrame =
-    cusumOverHourly(graft.streaming.RateMonitor
-      .run(s, s"$dir/events.parquet", chunks = 3)
-      .select(col("event_type"), col("hr"), col("cnt").as("n")))
-
-  /** Bounded-staleness point-in-time join (q198) — q161's leakage-safe
-    * carry-forward plus the feature-store TTL every serving layer
-    * enforces: a state older than 1 h at fact time must NOT apply (a
-    * stale feature is often worse than none). The carry-forward now
-    * carries the state's OWN timestamp beside its value — both ride
-    * the same `last(ignoreNulls)` frame, so they move in lockstep —
-    * and the tier resolves to −1 (never seen) or −2 (seen but stale)
-    * at read time. The oracle computes the SAME semantics the
-    * structurally opposite way (q161's lead-built validity intervals,
-    * now intersected with the staleness cap), so green proves
-    * carry-forward + TTL ≡ interval containment + TTL.
-    */
-  private def qStalePitJoin(s: SparkSession, dir: String): DataFrame = {
-    val ttl = 3600000L
-    val ev = t(s, dir, "events")
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        col("value"), unix_millis(col("ts")).as("ms"))
-    val state = ev.filter(col("event_type") =!= "purchase")
-      .select(col("user_id"), col("ms"), col("event_id"),
-        lit(0).as("__is_fact"),
-        expr("cast(floor(value / 100d) as bigint)").as("__tier"),
-        col("ms").as("__sms"),
-        lit(null).cast("long").as("__vq"))
-    val facts = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ms"), col("event_id"),
-        lit(1).as("__is_fact"),
-        lit(null).cast("long").as("__tier"),
-        lit(null).cast("long").as("__sms"),
-        expr("cast(floor(value * 1000d) as bigint)").as("__vq"))
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ms").asc, col("__is_fact").desc, col("event_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    state.unionByName(facts)
-      .withColumn("__ct", last("__tier", ignoreNulls = true).over(w))
-      .withColumn("__cs", last("__sms", ignoreNulls = true).over(w))
-      .filter(col("__is_fact") === 1)
-      .withColumn("tier",
-        when(col("__ct").isNull, lit(-1L))
-          .when(col("ms") - col("__cs") > ttl, lit(-2L))
-          .otherwise(col("__ct")))
-      .groupBy("tier")
-      .agg(count(lit(1)).as("n_purchases"), sum("__vq").as("sum_vq"))
-      .orderBy("tier")
-  }
-
-  /** Distributed exact weighted median (q199) — the robust weighted
-    * aggregate a plain weighted MEAN gets wrong under heavy tails:
-    * per return flag, the unit price (cents) at which cumulative
-    * QUANTITY crosses half the total — the "half the goods moved at
-    * or below this price" statistic. One global range-exchange prefix
-    * sum of integer weights over (flag, price, rowid) order
-    * ([[Packing.withRunningSum]] — zero Window operators,
-    * PlanSpec-asserted) minus broadcast per-flag offsets; the
-    * crossing row (2·cumw ≥ W and 2·(cumw − w) < W) is unique
-    * because weights are positive, so the pick is deterministic and
-    * the oracle replays it as a per-flag window cumsum with the
-    * identical predicate.
-    */
-  private def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-      .select(col("l_returnflag").as("flag"),
-        expr("cast(cast(l_extendedprice as decimal(18,2)) * 100"
-          + " as bigint)").as("v"),
-        expr("cast(floor(l_quantity) as bigint)").as("wt"),
-        (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"))
-    val cum = Packing.withRunningSum(li, "__cum", "wt",
-      col("flag").asc, col("v").asc, col("rid").asc)
-    val offs = li.groupBy("flag").agg(sum("wt").as("__w"))
-      .orderBy("flag").collect()
-    val offMap = {
-      var acc = 0L
-      offs.map { r =>
-        val o = r.getString(0) -> acc; acc += r.getLong(1); o
-      }.toMap
-    }
-    val wMap = offs.map(r => r.getString(0) -> r.getLong(1)).toMap
-    val offCol = offs.map(_.getString(0)).foldLeft(lit(0L)) { (a, f) =>
-      when(col("flag") === f, lit(offMap(f))).otherwise(a)
-    }
-    val wCol = offs.map(_.getString(0)).foldLeft(lit(0L)) { (a, f) =>
-      when(col("flag") === f, lit(wMap(f))).otherwise(a)
-    }
-    cum.withColumn("__cw", col("__cum") - offCol)
-      .withColumn("__W", wCol)
-      .filter(lit(2L) * col("__cw") >= col("__W") &&
-        lit(2L) * (col("__cw") - col("wt")) < col("__W"))
-      .select(col("flag"), col("__W").as("w_total"),
-        col("v").as("wmedian_cents"))
-      .orderBy("flag")
-  }
-
-  /** Corpus-refresh capstone v2 (q201) — the DAILY-REFRESH
-    * composition wired from this round's machinery the way q100 wired
-    * the round-3 surface: exact-dedup keep-first (32-byte fingerprint
-    * keys, min-id representative) → quality gate (≥ 0.6, the E1
-    * score) → source-balanced round-robin interleave (E189's two
-    * range-exchange ranks — the TRAINING ORDER, not just the set) →
-    * 20k-token budget admission in that order (the E72 straddle rule
-    * over one more range-exchange prefix sum) → per-source manifest
-    * digest. Every stage is individually proven elsewhere
-    * (q24/q21/q195/q86); the capstone proves the COMPOSITION — four
-    * chained shuffles of ids/keys, never text after the scan, no
-    * stage that fails at 100 TB — and the oracle replays the full
-    * chain end-to-end.
-    */
-  private def qRefreshPipeline(s: SparkSession, dir: String): DataFrame = {
-    val budget = 20000L
-    val docs = t(s, dir, "documents")
-      .withColumn("__toks", TextFns.tokens("text"))
-      .select(col("doc_id"), col("source"),
-        TextFns.fingerprint("text").as("__f"),
-        size(col("__toks")).cast("long").as("n_tok"),
-        TextFns.qualityScore("text", "__toks").as("__q"))
-    val keepIds = docs.groupBy("__f").agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
-    val kept = docs.join(keepIds, "doc_id")
-      .filter(col("__q") >= 0.6)
-      .withColumn("__hv",
-        md5(concat(lit("il|"), col("doc_id").cast("string"))))
-      .withColumn("__one", lit(1L))
-    val ranked = Packing.withRunningSum(kept, "__rs", "__one",
-      col("source").asc, col("__hv").asc, col("doc_id").asc)
-    val offs = kept.groupBy("source").agg(count(lit(1)).as("__n"))
-      .orderBy("source").collect()
-    val offMap = {
-      var acc = 0L
-      offs.map { r =>
-        val o = r.getString(0) -> acc; acc += r.getLong(1); o
-      }.toMap
-    }
-    val offCol = offs.map(_.getString(0)).foldLeft(lit(0L)) { (a, f) =>
-      when(col("source") === f, lit(offMap(f))).otherwise(a)
-    }
-    val withRank = ranked
-      .withColumn("rnk", col("__rs") - lit(1L) - offCol)
-      .withColumn("__one2", lit(1L))
-    val pos = Packing.withRunningSum(withRank, "__ps", "__one2",
-        col("rnk").asc, col("source").asc, col("doc_id").asc)
-      .withColumn("pos", col("__ps") - 1L)
-    Packing.withRunningSum(pos, "cum_tok", "n_tok", col("pos").asc)
-      .filter(col("cum_tok") - col("n_tok") < budget)
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_admitted"),
-        sum("n_tok").as("tok_admitted"),
-        min("pos").as("min_pos"), max("pos").as("max_pos"))
-      .orderBy("source")
-  }
-
-  /** Digest-driven partition repair (q191) — anti-entropy between two
-    * replicas of a day-partitioned table, composing E164's O(1)
-    * digests with E79's row diff at the granularity that matters:
-    * per-DAY (count, bit_xor-of-row-hash) digests locate divergence
-    * for the cost of one aggregate per replica (metadata out), and
-    * only the diverged days — here a deterministic corruption: drops
-    * on day%7=3 (event_id%97=0), +1-cent flips on day%7=5
-    * (event_id%89=0) — pay the row-level join. At 100 TB the digest
-    * pass reads both replicas once; the repair join reads 2/7ths of
-    * the days instead of all of them (the diverged-day list is a
-    * collected metadata literal → partition pruning). Everything
-    * md5-hash deterministic, so the oracle replays digest AND diff.
-    */
-  private def qPartitionRepair(s: SparkSession, dir: String): DataFrame = {
-    def hashed(df: DataFrame): DataFrame = df.withColumn("__rh", expr(
-      """cast(conv(substring(md5(concat(cast(event_id as string), ':',
-        | cast(cents as string))), 1, 8), 16, 10) as bigint)"""
-        .stripMargin))
-    val a = hashed(t(s, dir, "events")
-      .select(col("event_id"),
-        datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
-          .cast("long").as("day"),
-        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
-          .as("cents")))
-    val b = hashed(a.select(col("event_id"), col("day"),
-        (col("cents") + when(col("day") % 7 === 5 &&
-          col("event_id") % 89 === 0, 1L).otherwise(0L)).as("cents"))
-      .filter(!(col("day") % 7 === 3 && col("event_id") % 97 === 0)))
-    def digest(df: DataFrame, tag: String): DataFrame =
-      df.groupBy("day").agg(count(lit(1)).as(s"n_$tag"),
-        expr("bit_xor(__rh)").as(s"x_$tag"))
-    val dg = digest(a, "a").join(digest(b, "b"), Seq("day"), "left")
-      .select(col("day"), col("n_a"),
-        coalesce(col("n_b"), lit(0L)).as("n_b"),
-        (coalesce(col("n_b"), lit(-1L)) =!= col("n_a") ||
-          coalesce(col("x_b"), lit(0L)) =!= col("x_a"))
-          .as("diverged"))
-    val badDays = dg.filter(col("diverged")).select("day")
-      .collect().map(_.getLong(0)).toIndexedSeq
-    val af = a.filter(col("day").isin(badDays: _*))
-    val bf = b.filter(col("day").isin(badDays: _*))
-    val miss = af.join(bf.select(col("event_id").as("__eb")),
-        col("event_id") === col("__eb"), "left_anti")
-      .groupBy("day").agg(count(lit(1)).as("n_missing_b"))
-    val changed = af.select(col("day"), col("event_id"),
-        col("cents").as("__ca"))
-      .join(bf.select(col("event_id"), col("cents").as("__cb")),
-        "event_id")
-      .filter(col("__ca") =!= col("__cb"))
-      .groupBy("day").agg(count(lit(1)).as("n_value_diff"))
-    dg.join(miss, Seq("day"), "left").join(changed, Seq("day"), "left")
-      .select(col("day"), col("n_a"), col("n_b"), col("diverged"),
-        coalesce(col("n_missing_b"), lit(0L)).as("n_missing_b"),
-        coalesce(col("n_value_diff"), lit(0L)).as("n_value_diff"))
-      .orderBy("day")
-  }
-
-  /** q148's stored reference artifacts, built once per (session,
-    * corpus): the eval set's distinct paragraph fingerprints as a
-    * parquet table (the exact-confirm side) and their Bloom filter
-    * (the scan-local pre-filter) — the q110 eval convention
-    * (doc_id % 17 == 0, 20-token paragraphs, md5 fps).
-    */
-  private val contamScreenCache = scala.collection.mutable.Map
-    .empty[(String, String), (String, Array[Byte])]
-
-  private def contamArtifacts(s: SparkSession,
-      dir: String): (String, Array[Byte]) =
-    sessionFixture(contamScreenCache, s, dir) {
-      val tag = (s.sparkContext.applicationId + "_" + dir)
-        .replaceAll("[^a-zA-Z0-9]", "_")
-      val fps = ParagraphDedup.paragraphs(
-          t(s, dir, "documents").filter(col("doc_id") % 17 === 0),
-          "doc_id", "text", 20)
-        .select(md5(graft.expressions.UnicodeNormalize.nfc(col("para"))).as("fp")).distinct().localCheckpoint()
-      val path = graft.Scratch.register(
-        s"${System.getProperty("java.io.tmpdir")}/graft_contam_ev_$tag")
-      fps.write.mode("overwrite").parquet(path)
-      (path, Blooms.build(fps, col("fp"), math.max(fps.count(), 1L),
-        0.01))
-    }
-
-  /** Streaming contamination screen (q148,
-    * [[graft.streaming.ContaminationScreen]]): documents arrive in
-    * micro-batches and are screened against the STORED eval artifacts
-    * — Bloom pre-filter scan-local (the clean common case never leaves
-    * the scan), exact confirm against the fingerprint table (no false
-    * positives survive, none missed: Blooms have no false negatives) —
-    * with per-doc verdicts appended replay-safely per batch. The
-    * oracle replays the whole-corpus screen, so green proves streamed
-    * screening ≡ batch screening: q110's operator made deployable.
-    */
-  private def qStreamContamination(s: SparkSession,
-      dir: String): DataFrame = {
-    val (evalPath, bloom) = contamArtifacts(s, dir)
-    graft.streaming.ContaminationScreen.run(s,
-      s"$dir/documents.parquet", evalPath, bloom,
-      docFilter = col("doc_id") % 17 =!= 0, parLen = 20, chunks = 3)
-  }
-
-  /** Wide→long UNPIVOT (q146) — the inverse of q42's pivot and the
-    * remaining §2.5 reshape member: three per-flag money measures
-    * melted to (flag, measure, value) rows via Spark's typed
-    * `unpivot` (one Expand over the aggregated table — metadata-sized
-    * input, the reshape never touches the fact scan). Measure sums use
-    * the q74 DECIMAL-before-sum money discipline so the doubles are
-    * order-independent.
-    */
-  private def qUnpivot(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
-        sum(money(col("l_extendedprice"))).cast("double").as("sum_price"),
-        sum(money(col("l_discount"))).cast("double").as("sum_disc"))
-      .unpivot(Array(col("l_returnflag")),
-        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
-        "measure", "value")
-      .orderBy("l_returnflag", "measure")
-
-  /** EXACT cross-corpus contamination screen (q147,
-    * [[SetSimJoin.crossJaccardPairs]]): every (arriving, history) pair
-    * with true 3-gram Jaccard ≥ 0.5, via side-agnostic prefix
-    * filtering over a SHARED df ordering — the lossless counterpart of
-    * q99's banded screen (bands can miss true pairs by signature
-    * chance; the prefix theorem cannot). The oracle is the full
-    * uncapped inverted-index R⋈S join, so a green row is the
-    * zero-false-negative proof for the cross-corpus case.
-    */
-  private def qCrossSetSim(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    SetSimJoin.crossJaccardPairs(
-        docs.filter(col("doc_id") % 5 === 0),
-        docs.filter(col("doc_id") % 5 =!= 0),
-        "doc_id", "text", n = 3, minJaccard = 0.5)
-      .orderBy("id_r", "id_s")
-  }
-
-  /** Curriculum construction (q144): the whole corpus ordered by
-    * quality (desc, doc_id tiebreak) and cut into 4 stages of EQUAL
-    * TOKEN MASS — the quality-curriculum recipe (train on the cleanest
-    * quartile first, anneal toward the tail). Stage assignment uses a
-    * document's START offset in the cumulative token order (the
-    * q86/q137 straddle rule) over [[Packing.withRunningSum]]'s
-    * distributed range-exchange prefix sum — no single-task window —
-    * and `(start · 4) div total` is pure int64 (start < total, so the
-    * stage index needs no clamp). Per-stage quality bounds are
-    * min/max — order-independent doubles, never a float SUM.
-    */
-  private def qCurriculum(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .withColumn("__toks", TextFns.tokens("text"))
-      .select(col("doc_id"),
-        size(col("__toks")).cast("long").as("n_tok"),
-        TextFns.qualityScore("text", "__toks").as("quality"))
-    val cum = Packing.withRunningSum(docs, "cum_tok", "n_tok",
-      col("quality").desc, col("doc_id").asc)
-    cum.crossJoin(broadcast(cum.agg(sum("n_tok").as("__tt"))))
-      .withColumn("stage", expr("((cum_tok - n_tok) * 4L) div __tt"))
-      .groupBy("stage")
-      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("stage_tokens"),
-        min("quality").as("min_quality"),
-        max("quality").as("max_quality"))
-      .orderBy("stage")
-  }
-
-  /** Temperature-flattened source mixing (q145) — the standard
-    * pretraining mix recipe (weight ∝ count^α, α = ½), where q85
-    * balances to the hard cap: small sources are UP-weighted relative
-    * to their share so the head domain can't drown them. Everything
-    * replayable: weights are floor(sqrt(n)) — IEEE sqrt is correctly
-    * rounded and both engines floor the same double, so the weights
-    * are identical longs — the weight total and quotas are pure
-    * integer arithmetic (no float Σ anywhere), and selection is
-    * RATE-based on the portable md5 bucket (keep iff
-    * bucket·n_total < quota·10⁴), scan-local with the metadata-sized
-    * quota table broadcast — no per-source window, no single-task
-    * partition, at any corpus size.
-    */
-  private def qTemperatureMix(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select("doc_id", "source")
-    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
-      .withColumn("weight",
-        expr("cast(floor(sqrt(cast(n_total as double))) as bigint)"))
-    val quotas = counts
-      .crossJoin(broadcast(counts.agg(sum("weight").as("__w"))))
-      .withColumn("quota", expr("(2000L * weight) div __w"))
-    val kept = docs
-      .withColumn("__b", expr(
-        """cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)
-          | as bigint) % 10000""".stripMargin))
-      .join(broadcast(quotas.select("source", "n_total", "quota")),
-        "source")
-      .filter(col("__b") * col("n_total") < col("quota") * lit(10000L))
-      .groupBy("source").agg(count(lit(1)).as("n_kept"))
-    quotas.join(kept, Seq("source"), "left")
-      .select(col("source"), col("n_total"), col("weight"), col("quota"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
-      .orderBy("source")
-  }
-
-  /** Seed-personalized trust propagation (q143,
-    * [[PageRank.seededRanks]]): total mass starts on (and re-seeds
-    * only at) the trusted customer whitelist (custkey % 10 = 0 →
-    * node % 20 = 0 in q118's bipartite encoding), so after 3 damped
-    * rounds every node's score measures proximity to the trusted set —
-    * the TrustRank pass a curation pipeline runs from hand-vetted
-    * seeds to score unvetted sources. Same exact integer arithmetic
-    * and per-round plan shape as q118 (one equi-join + one partial-agg
-    * shuffle, node-sized state).
-    */
-  private def qTrustRank(s: SparkSession, dir: String): DataFrame = {
-    val half = t(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
-    val edges = half
-      .union(half.select(col("dst").as("src"), col("src").as("dst")))
-    val seeds = edges.select(col("src").as("node")).distinct()
-      .filter(col("node") % 20 === 0)
-    PageRank.seededRanks(edges, "src", "dst", seeds, "node", 3)
-      .orderBy(col("r").desc, col("node")).limit(20)
-      .withColumn("pos", row_number().over(
-        Window.orderBy(col("r").desc, col("node"))).cast("long"))
-      .select(col("pos"),
-        when(col("node") % 2 === 0, lit("customer"))
-          .otherwise(lit("supplier")).as("node_type"),
-        expr("node div 2").as("entity_key"),
-        col("outdeg").as("degree"), col("is_seed"),
-        col("r").as("trust_scaled"))
-      .orderBy("pos")
-  }
-
-  /** Time travel over q130's versioned label store
-    * ([[VersionedStore.readAt]]): the state AS OF micro-batch 1 —
-    * clusters after the first two of three ingests — read straight
-    * from the stored version, no replay. The oracle recomputes the
-    * closure over exactly the first two ntile-chunks of the edge
-    * stream, so a green row proves every intermediate version is the
-    * true prefix state (the audit/backfill read production runs
-    * against yesterday's labels).
-    */
-  private def qStateTimeTravel(s: SparkSession, dir: String): DataFrame =
-    DedupClusters.withSizes(
-        VersionedStore.readAt(s, labHistory(s, dir), 1L).getOrElse(
-          sys.error("label version 1 missing")))
-      .orderBy("doc_id")
-
-  /** The label store's version history, built by ONE streaming run per
-    * (session, corpus) — q135's stored-artifact fixture (the q128/q129
-    * discipline): the versions are immutable once the stream commits,
-    * so trials measure the time-travel READ, not a pipeline re-run
-    * (q130 already measures the pipeline).
-    */
-  private val labHistoryCache = scala.collection.mutable.Map
-    .empty[(String, String), String]
-
-  private def labHistory(s: SparkSession, dir: String): String =
-    sessionFixture(labHistoryCache, s, dir) {
-      IncrementalClusters.runWithHistory(
-        s, dedupPairsParquet(s, dir), chunks = 3)._2
-    }
-
-  /** Incremental BM25 retrieval-statistics maintenance (q136): the
-    * retrieval-index member of the incremental axis. The index state
-    * of a search deployment is (a) per-doc postings — APPEND-ONLY, a
-    * batch only adds its own rows — and (b) the tiny global stats the
-    * scoring function reads (N, Σdl, per-term df), every one a
-    * commutative monoid (counts add). So a daily crawl folds into the
-    * stored stats WITHOUT rescanning history text — the q121 partial-
-    * merge argument applied to retrieval — and scoring with merged
-    * stats must be bit-identical to scoring a full recompute, which is
-    * exactly what sharing q116's oracle proves (same discipline as
-    * q128/q130 sharing q71's). History artifacts (postings + df +
-    * stats, the stored index tables) are built once per (session,
-    * corpus): the doc_id % 5 != 0 docs, the q67/q128 history/arrival
-    * convention.
-    */
-  private val bm25StatsCache = scala.collection.mutable.Map
-    .empty[(String, String), (String, String, String)]
-
-  private def bm25HistArtifacts(s: SparkSession,
-      dir: String): (String, String, String) =
-    sessionFixture(bm25StatsCache, s, dir) {
-      val tag = (s.sparkContext.applicationId + "_" + dir)
-        .replaceAll("[^a-zA-Z0-9]", "_")
-      val tmp = System.getProperty("java.io.tmpdir")
-      val hist = bm25Docs(t(s, dir, "documents")
-        .filter(col("doc_id") % 5 =!= 0))
-      val postings = bm25Postings(hist).localCheckpoint()
-      val pPath = graft.Scratch.register(s"$tmp/graft_bm25_post_$tag")
-      val dPath = graft.Scratch.register(s"$tmp/graft_bm25_df_$tag")
-      val sPath = graft.Scratch.register(s"$tmp/graft_bm25_stats_$tag")
-      postings.write.mode("overwrite").parquet(pPath)
-      postings.groupBy("term").agg(count(lit(1)).as("df"))
-        .write.mode("overwrite").parquet(dPath)
-      hist.agg(count(lit(1)).as("__n"), sum("dl").as("__sumdl"))
-        .write.mode("overwrite").parquet(sPath)
-      (pPath, dPath, sPath)
-    }
-
-  private def qIncrBm25(s: SparkSession, dir: String): DataFrame = {
-    val (pPath, dPath, sPath) = bm25HistArtifacts(s, dir)
-    // the arriving batch: only ITS text is scanned
-    val batch = bm25Docs(t(s, dir, "documents")
-      .filter(col("doc_id") % 5 === 0))
-    val bPostings = bm25Postings(batch).transform(snap)
-    // stats fold: every piece a monoid — df outer-merges (a term may
-    // be new, historical, or both), N and Σdl add
-    val mergedDf = s.read.parquet(dPath)
-      .select(col("term"), col("df").as("__dh"))
-      .join(bPostings.groupBy("term").agg(count(lit(1)).as("__db")),
-        Seq("term"), "full_outer")
-      .select(col("term"),
-        (coalesce(col("__dh"), lit(0L)) + coalesce(col("__db"), lit(0L)))
-          .as("df"))
-    val mergedStats = s.read.parquet(sPath)
-      .unionByName(batch.agg(count(lit(1)).as("__n"),
-        sum("dl").as("__sumdl")))
-      .agg(sum("__n").as("__n"), sum("__sumdl").as("__sumdl"))
-    // postings union: history rows come from the STORED table (no
-    // history text in the plan), filtered to the query terms before
-    // the union so only metadata-sized rows move
-    val tf = s.read.parquet(pPath)
-      .filter(col("term").isin(bm25Terms: _*))
-      .unionByName(bPostings.filter(col("term").isin(bm25Terms: _*)))
-    bm25TopK(tf,
-      mergedDf.filter(col("term").isin(bm25Terms: _*)), mergedStats)
-  }
-
-  /** Nested build → explode → aggregate (q202, [[graft.ops.Nested]]):
-    * the `array<struct>` annotation column is constructed by ONE
-    * scan-local O(n) pass of the native
-    * [[graft.expressions.TokenSpans]] expression (offsets are an
-    * in-expression prefix sum — no window, no join), then exploded
-    * and rolled up per label. Only (doc_id, label, span ints) ever
-    * shuffle — the text never leaves the scan stage. The oracle
-    * rebuilds the identical spans the structurally opposite way
-    * (unnest + a windowed prefix sum over token lengths), so green
-    * proves the native pass ≡ window.
-    */
-  private def qNestedExplode(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
-      .withColumn("anns", Nested.tokenAnnotations("toks"))
-      .select(col("doc_id"), explode(col("anns")).as("a"))
-      .groupBy(col("a.label").as("label"))
-      .agg(count(lit(1)).as("n_spans"),
-        countDistinct(col("doc_id")).as("n_docs"),
-        sum((col("a.span_end") - col("a.span_start")).cast("long"))
-          .as("sum_len"),
-        max(col("a.span_end").cast("long")).as("max_end"))
-      .orderBy("label")
-
-  /** The annotated corpus STORED as nested parquet — the fixture for
-    * q203's schema-pruned read (and the realistic at-rest shape: a
-    * 100 TB annotated corpus is one nested table, not a doc table plus
-    * an exploded span table). Built once per (session, corpus); the
-    * cache holds only the path — the artifact of record is the parquet.
-    */
-  private val nestedFileCache = scala.collection.mutable.Map
-    .empty[(String, String), String]
-
-  private def annotatedDocsParquet(s: SparkSession, dir: String): String =
-    sessionFixture(nestedFileCache, s, dir) {
-      val tag = (s.sparkContext.applicationId + "_" + dir)
-        .replaceAll("[^a-zA-Z0-9]", "_")
-      val path = graft.Scratch.register(
-        s"${System.getProperty("java.io.tmpdir")}/graft_nested_docs_$tag")
-      t(s, dir, "documents")
-        .withColumn("toks",
-          expr("filter(split(text, ' '), t -> t <> '')"))
-        .withColumn("annotations", Nested.tokenAnnotations("toks"))
-        .select("doc_id", "source", "lang", "n_chars", "text",
-          "annotations")
-        .write.mode("overwrite").parquet(path)
-      path
-    }
-
-  /** Nested-field projection over the stored annotated corpus (q203):
-    * reads ONLY `source` and `annotations.label` — nested schema
-    * pruning pushes the sub-field selection into the parquet scan, so
-    * neither the span ints nor the (dominant) `text` column is ever
-    * decoded (PlanSpec-asserted on the executed ReadSchema). The
-    * at-scale point: label statistics over an annotated 100 TB corpus
-    * cost a metadata-sized read, not a corpus read. Oracle derives the
-    * same counts from the flat table (labels are a deterministic
-    * function of the tokens), proving store → prune → explode lost
-    * nothing.
-    */
-  private def qNestedPrune(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(annotatedDocsParquet(s, dir))
-      .select(col("source"), explode(col("annotations.label")).as("label"))
-      .groupBy("source", "label")
-      .agg(count(lit(1)).as("n_spans"))
-      .orderBy("source", "label")
-
-  /** Scan-local nested aggregation (q209): per-document span
-    * statistics computed INSIDE the annotation array with
-    * size/filter/transform/array_max — no explode, no Generate in the
-    * plan (PlanSpec-asserted) — so the shuffle carries three scalars
-    * per document instead of one row per span. At 100 TB this is the
-    * difference between aggregating a span-count column and first
-    * materializing a corpus × avg-spans row explosion; reads the
-    * stored nested fixture with the same pruned scan as q203.
-    */
-  private def qNestedScanAgg(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(annotatedDocsParquet(s, dir))
-      .select(col("source"),
-        size(col("annotations")).cast("long").as("ns"),
-        expr("cast(size(filter(annotations, a -> a.label = 'long')) " +
-          "as bigint)").as("nl"),
-        expr("cast(coalesce(array_max(transform(annotations, " +
-          "a -> a.span_end - a.span_start)), 0) as bigint)").as("ml"))
-      .groupBy("source")
-      .agg(sum("ns").as("n_spans"), sum("nl").as("n_long_spans"),
-        max("ml").as("max_span_len"))
-      .orderBy("source")
-
-  /** Span-level flatten feeding the exact-dedup family (q204): explode
-    * the nested annotations, slice each span's text back out of the
-    * joined token text by its [span_start, span_end) offsets, md5 it
-    * (the [[TextFns]] fingerprint convention), and count total vs
-    * distinct spans per source. Only (source, fp) pairs shuffle —
-    * span text is hashed inside the scan stage. The oracle fingerprints
-    * the TOKENS directly (never touching offsets), so a green hash is
-    * an end-to-end proof that every stored offset slices back exactly
-    * its own token.
-    */
-  private def qSpanDedup(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
-      .withColumn("joined", concat_ws(" ", col("toks")))
-      .withColumn("anns", Nested.tokenAnnotations("toks"))
-      .select(col("source"), col("joined"), explode(col("anns")).as("a"))
-      .select(col("source"), md5(expr(
-        "substring(joined, a.span_start + 1, a.span_end - a.span_start)"))
-        .as("fp"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_spans"),
-        countDistinct(col("fp")).as("n_distinct_spans"))
-      .orderBy("source")
-
-  /** Merge-count for the q206/q207 BPE fixture: small enough that the
-    * oracle's round-per-CTE replay stays readable, large enough that
-    * later merges build on earlier ones (multi-char symbols appear).
-    */
-  private val bpeRounds = 6
-
-  /** The corpus word-count table BPE trains on (one shuffle). */
-  private def bpeWords(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(explode(expr("filter(split(text, ' '), t -> t <> '')"))
-        .as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-
-  /** BPE merge training + model store roundtrip (q206,
-    * [[graft.ops.Bpe]]): train [[bpeRounds]] merges inline (the
-    * q71/q118 BSP measurement — like q71, this query IS the
-    * full-pipeline demonstration and retrains every trial), persist
-    * the chain via [[ModelStore.saveMerges]], read it back, and emit
-    * it. The oracle replays the ENTIRE training loop — pair counting,
-    * the (count DESC, s1, s2) argmax, and the leftmost-nonoverlapping
-    * contraction — round by round in SQL, so green proves the whole
-    * iterative computation, not just a summary statistic.
-    */
-  private def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
-    val merges = Bpe.train(bpeWords(s, dir), "w", "cnt", bpeRounds)
-    val tag = (s.sparkContext.applicationId + "_" + dir)
-      .replaceAll("[^a-zA-Z0-9]", "_")
-    val path = Scratch.register(
-      s"${System.getProperty("java.io.tmpdir")}/graft_bpe_merges_$tag")
-    ModelStore.saveMerges(s, path, merges)
-    import s.implicits._
-    ModelStore.loadMerges(s, path)
-      .map(m => (m.rank.toLong, m.s1, m.s2))
-      .toDF("rank", "s1", "s2")
-      .orderBy("rank")
-  }
-
-  /** Stored merge chain, trained once per (session, corpus) — q207's
-    * input artifact (q206 keeps retraining inline as the measured
-    * demonstration; this is the deployed-tokenizer read path).
-    */
-  private val bpeMergeCache = scala.collection.mutable.Map
-    .empty[(String, String), Seq[Bpe.Merge]]
-
-  private def bpeMerges(s: SparkSession, dir: String): Seq[Bpe.Merge] =
-    sessionFixture(bpeMergeCache, s, dir) {
-      val merges = Bpe.train(bpeWords(s, dir), "w", "cnt", bpeRounds)
-      val tag = (s.sparkContext.applicationId + "_" + dir)
-        .replaceAll("[^a-zA-Z0-9]", "_")
-      val path = Scratch.register(
-        s"${System.getProperty("java.io.tmpdir")}/graft_bpe_model_$tag")
-      ModelStore.saveMerges(s, path, merges)
-      ModelStore.loadMerges(s, path)
-    }
-
-  /** Scan-local BPE application under the stored merge chain (q207):
-    * the whole document becomes ONE wrapped symbol string (word
-    * boundaries un-fusable by construction) and the chain applies as
-    * [[bpeRounds]] composed `replace` calls with the merges as plan
-    * literals — fully inside whole-stage codegen, no join, no
-    * shuffle; token counts fall out as delimiter arithmetic. This is
-    * the deployed-tokenizer cost shape at 100 TB: corpus-sized scan,
-    * metadata-sized model.
-    */
-  private def qBpeApply(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("toks", expr("filter(split(text, ' '), t -> t <> '')"))
-      .withColumn("seq", Bpe.docSeq("toks"))
-      .withColumn("seq2", Bpe.applyMerges("seq", bpeMerges(s, dir)))
-      .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_ws_tokens"),
-        Bpe.symbolCount("seq2").as("n_bpe_tokens"))
-      .orderBy("doc_id")
-
-  /** The q206/q207 oracle's training replay: round r's CTEs compute
-    * pair counts over state s(r−1) (p{r}), the deterministic argmax
-    * (b{r}), and the contracted state (s{r}) — the same leftmost-
-    * nonoverlapping `replace` the engine uses.
-    */
-  private def bpeChainCtes(k: Int): String = {
-    val sb = new StringBuilder
-    sb.append(
-      """wd AS (SELECT w, COUNT(*) AS cnt FROM (
-        |    SELECT unnest(list_filter(string_split(text, ' '),
-        |        x -> x <> '')) AS w
-        |    FROM documents) GROUP BY 1),
-        |  s0 AS (SELECT chr(31) || array_to_string(
-        |      list_transform(range(1, length(w) + 1),
-        |        i -> substr(w, i, 1)), chr(31) || chr(31)) || chr(31)
-        |      AS seq,
-        |      CAST(cnt AS BIGINT) AS cnt FROM wd)""".stripMargin)
-    for (r <- 1 to k) {
-      sb.append(s""",
-        p$r AS (SELECT list_extract(syms, i) AS s1,
-            list_extract(syms, i + 1) AS s2, cnt
-          FROM (SELECT syms, cnt,
-              unnest(range(1, len(syms))) AS i
-            FROM (SELECT string_split(substr(seq, 2, length(seq) - 2),
-                chr(31) || chr(31)) AS syms, cnt FROM s${r - 1}))),
-        b$r AS (SELECT s1, s2 FROM p$r GROUP BY s1, s2
-          ORDER BY SUM(cnt) DESC, s1, s2 LIMIT 1),
-        s$r AS (SELECT replace(seq,
-            chr(31) || b.s1 || chr(31) || chr(31) || b.s2 || chr(31),
-            chr(31) || b.s1 || b.s2 || chr(31)) AS seq, cnt
-          FROM s${r - 1}, b$r b)""")
-    }
-    sb.toString
-  }
-
-  /** Real-codec media decode (q208, [[Multimodal.decodePpm]]): every
-    * document becomes a genuine binary PPM (P6) file — deterministic
-    * dims 4+id%5 × 3+id%4 so header PARSING is actually exercised, a
-    * (id·31+j) mod 256 raster — and the real decoder (magic check,
-    * whitespace/comment-tolerant header ints, raster walk) extracts
-    * dims, per-channel sums, and the whole-file checksum. Same
-    * mapPartitions seam as the stub codecs (q30/q61/q193); swapping
-    * PPM for JPEG changes only the parser. The oracle recomputes every
-    * decoded number from the generation rule (ASCII header sum +
-    * closed-form raster sums), so green means the decode is RIGHT, not
-    * merely deterministic.
-    */
-  private def qPpmDecode(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    implicit val sp: SparkSession = s
-    val media = t(s, dir, "documents")
-      .select(col("doc_id").cast("long"))
-      .as[Long]
-      .map { id =>
-        Multimodal.MediaRecord(id,
-          Multimodal.encodePpm(id, (4 + id % 5).toInt, (3 + id % 4).toInt),
-          "ppm")
-      }
-    Multimodal.decodePpmFeatures(media).toDF().orderBy("doc_id")
-  }
-
-  /** Real raster resize through the codec (q210,
-    * [[Multimodal.resizePpmHalf]]): encode → decode → nearest-neighbor
-    * half-resize ON THE 2-D GRID (out(x,y) = in(2x,2y) — the actual
-    * image op the byte-stride stub q61 stands in for) → re-encode a
-    * valid P6 → decode THAT for the features, so the whole
-    * encode/decode/resize/encode/decode chain is exercised. Oracle
-    * recomputes the sampled grid in closed form from the generation
-    * rule. Scan shape identical to q208: mapPartitions codec, payloads
-    * never shuffle.
-    */
-  private def qPpmResize(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    implicit val sp: SparkSession = s
-    val media = t(s, dir, "documents")
-      .select(col("doc_id").cast("long"))
-      .as[Long]
-      .map { id =>
-        val full = Multimodal.encodePpm(id,
-          (4 + id % 5).toInt, (3 + id % 4).toInt)
-        Multimodal.MediaRecord(id,
-          Multimodal.resizePpmHalf(id, full), "ppm")
-      }
-    Multimodal.decodePpmFeatures(media).toDF().orderBy("doc_id")
-  }
-
-  /** Char-bigram LM training + model store roundtrip (q211,
-    * [[graft.ops.CharLm]]): ONE scan-local bigram expansion into one
-    * (c1, c2) partial-agg shuffle, stored as a parquet model table
-    * (alphabet² rows — metadata), read back and emitted. Like q206,
-    * this query IS the training demonstration and retrains per trial.
-    */
-  private def qCharLmTrain(s: SparkSession, dir: String): DataFrame = {
-    val model = CharLm.trainBigrams(t(s, dir, "documents"), "text")
-    val tag = (s.sparkContext.applicationId + "_" + dir)
-      .replaceAll("[^a-zA-Z0-9]", "_")
-    val path = Scratch.register(
-      s"${System.getProperty("java.io.tmpdir")}/graft_charlm_$tag")
-    model.coalesce(1).write.mode("overwrite").parquet(path)
-    s.read.parquet(path).orderBy("c1", "c2")
-  }
-
-  /** Stored char-LM model path, trained once per (session, corpus) —
-    * q212's input artifact (the deployed-filter read path).
-    */
-  private val charLmCache = scala.collection.mutable.Map
-    .empty[(String, String), String]
-
-  private def charLmModelPath(s: SparkSession, dir: String): String =
-    sessionFixture(charLmCache, s, dir) {
-      val tag = (s.sparkContext.applicationId + "_" + dir)
-        .replaceAll("[^a-zA-Z0-9]", "_")
-      val path = Scratch.register(
-        s"${System.getProperty("java.io.tmpdir")}/graft_charlm_m_$tag")
-      CharLm.trainBigrams(t(s, dir, "documents"), "text")
-        .coalesce(1).write.mode("overwrite").parquet(path)
-      path
-    }
-
-  /** Statistical quality scoring under the stored char-LM (q212) —
-    * the KenLM-filter shape in its exact-integer core: the
-    * metadata-sized model BROADCASTS onto the scan-local bigram
-    * stream, contributions are (cnt·2^20) div tot truncating longs,
-    * and only (doc_id, counters) shuffle. Scoring cost at 100 TB is
-    * one corpus scan + one doc-keyed reduce; the model is a stored,
-    * versionable table. Oracle re-derives the model AND the scores in
-    * SQL, so the whole train → store → score chain is gate-checked.
-    */
-  private def qCharLmScore(s: SparkSession, dir: String): DataFrame =
-    CharLm.score(t(s, dir, "documents"), "doc_id", "text",
-        s.read.parquet(charLmModelPath(s, dir)))
-      .orderBy("doc_id")
-
-  /** Streaming LM quality screen (q213,
-    * [[graft.streaming.LmScreen]]): documents arrive in 3
-    * micro-batches and are gated scan-locally against the STORED
-    * char-bigram model (the [[qCharLmScore]] artifact) — the deployed
-    * KenLM-filter: training offline, admission a per-batch scan whose
-    * cost is independent of corpus history. Verdicts append
-    * per batch (docs arrive once → the union is the corpus answer)
-    * and the oracle replays model + scores + threshold for every doc.
-    */
-  private def qStreamLmScreen(s: SparkSession, dir: String): DataFrame =
-    graft.streaming.LmScreen.run(s, s"$dir/documents.parquet",
-      s.read.parquet(charLmModelPath(s, dir)), minAvgQ = 270000L)
-
-  /** Winnowing memorization audit (q214, [[graft.ops.Winnowing]]):
-    * the top repeated 30-char sequences across the corpus by document
-    * count — Schleimer et al.'s guarantee means every shared run of
-    * ≥ 37 chars (L + w − 1) surfaces, with NO pairwise comparison:
-    * scan-local gram expansion, the per-window-min selection (min of
-    * SOME covering w-window — the context-free rule that makes the
-    * guarantee hold at the exact boundary), keeping ~2/(w+1) of the
-    * stream, then one distinct + one partial-agg shuffle of selected
-    * grams only. The boilerplate/license/template detector a 100 TB
-    * pretraining corpus is audited with before dedup parameters are
-    * chosen. Oracle replays the identical window + selection + count.
-    */
-  private def qMemorizationAudit(s: SparkSession, dir: String): DataFrame =
-    Winnowing.repeatedGrams(t(s, dir, "documents"), "doc_id", "text",
-      l = 30, w = 8, topK = 20)
-
-  /** Directed near-containment pairs (q217,
-    * [[NearDup.ngramContainmentPairs]]): the asymmetric dedup
-    * predicate at the q64 parameters (3-gram, df ≤ 100) with an 80 %
-    * containment floor — catching the excerpt/quote-expansion
-    * redundancy symmetric Jaccard dilutes away. Exact-integer
-    * predicate and basis-point score; the oracle replays the same
-    * inverted index with both directions unioned.
-    */
-  private def qContainmentPairs(s: SparkSession, dir: String): DataFrame =
-    NearDup.ngramContainmentPairs(t(s, dir, "documents"), "doc_id",
-        "text", n = 3, minPct = 80, maxDf = 100L)
-      .orderBy("contained", "container")
-
-  /** Per-source diversity profile (q218) — the repetitiveness report
-    * beside E-Gopher's per-DOC filters (q55 flags one document's
-    * repetition; this profiles a SOURCE'S aggregate diversity, the
-    * number a mixing policy weighs): type-token ratio and distinct
-    * 3-gram share in exact basis points (truncating div — no
-    * doubles), token/type/gram counts. One scan-local token + gram
-    * expansion (the q177 discipline), three partial-agg shuffles of
-    * (source, token/gram) keyed counts — text never shuffles. A
-    * low-diversity source at 100 TB is boilerplate; this is the table
-    * that catches it before the mixer trusts its token count.
-    */
-  private def qDiversityProfile(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir, "documents")
-      .select(col("source"),
-        expr("filter(split(text, ' '), t -> t <> '')").as("toks"))
-      .transform(snap)
-    val tokenStats = toks
-      .select(col("source"), explode(col("toks")).as("w"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_tokens"),
-        countDistinct(col("w")).as("n_types"))
-    val gramStats = toks
-      .select(col("source"), explode(expr(
-        """case when size(toks) < 3
-          |  then cast(array() as array<string>)
-          |  else transform(sequence(1, size(toks) - 2),
-          |    i -> concat_ws(' ', element_at(toks, i),
-          |      element_at(toks, i + 1), element_at(toks, i + 2))) end"""
-          .stripMargin)).as("g"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_grams"),
-        countDistinct(col("g")).as("n_distinct_grams"))
-    tokenStats.join(gramStats, Seq("source"))
-      .withColumn("ttr_bp", expr("(n_types * 10000L) div n_tokens"))
-      .withColumn("gram_diversity_bp",
-        expr("(n_distinct_grams * 10000L) div n_grams"))
-      .orderBy("source")
-  }
-
-  /** Purged temporal split with an embargo gap (q219) — the
-    * leakage-guard member for TIME: q132 guards identity leakage
-    * (cluster-keyed), q161/q198 guard feature-time leakage
-    * (point-in-time reads); this guards the SPLIT BOUNDARY itself —
-    * an event just before the cutoff leaks into training through any
-    * trailing-window feature (q196's 1 h horizons) that straddles it,
-    * so the hour before the cutoff is embargoed out of training
-    * entirely (the purged-split discipline from financial ML, applied
-    * to behavioral pretraining data). Cutoff = lo + (hi − lo)·8 div 10
-    * epoch-ms — two driver-side metadata aggregates, then ONE
-    * scan-local split assignment and one partial-agg rollup; exact
-    * integers throughout.
-    */
-  private def qEmbargoSplit(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-      .select(col("event_id"), col("user_id"),
-        expr("unix_millis(ts)").as("ms"),
-        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)")
-          .as("cents"))
-    val mm = ev.agg(min("ms").as("lo"), max("ms").as("hi")).head()
-    val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 8L / 10L
-    val emb = cut - 3600000L
-    ev
-      .withColumn("split",
-        when(col("ms") < emb, "train")
-          .when(col("ms") < cut, "embargo")
-          .otherwise("test"))
-      .groupBy("split")
-      .agg(count(lit(1)).as("n_events"),
-        countDistinct(col("user_id")).as("n_users"),
-        sum("cents").as("sum_cents"),
-        min("ms").as("min_ms"), max("ms").as("max_ms"))
-      .orderBy("split")
-  }
-
-  /** Incremental gram-novelty audit (q220) — "how much NEW text does
-    * this crawl actually add": the arriving split's (doc, 3-gram)
-    * pairs anti-joined against the STORED corpus gram-hash set (the
-    * q67/q128 arrival convention: doc_id % 5 == 0 arrives, the rest
-    * is history), per-source novelty in exact basis points. A source
-    * whose arrivals are ~0 bp novel is re-crawled duplication — drop
-    * it before dedup even runs; this is the cheap pre-dedup triage
-    * (one hash anti-join) that saves the expensive pairwise machinery
-    * for corpora that need it. Only 32-byte hashes shuffle; the
-    * history set is a stored artifact (session fixture), so repeated
-    * trials measure the audit, not history construction — and it is
-    * stored as a catalog table BUCKETED AND SORTED on `gh` (8
-    * buckets), so every probe (this audit and q223's per-micro-batch
-    * screen) shuffles only the ARRIVING grams into the history's
-    * bucketing: no history re-shuffle, ever (PlanSpec asserts no
-    * Exchange above the bucketed scan). At 100 TB the history gram
-    * set is trillions of rows — re-shuffling it per probe is the
-    * difference between a monitor and a nightly job.
-    */
-  private val novHistCache = scala.collection.mutable.Map
-    .empty[(String, String), String]
-
-  private def novHistoryTable(s: SparkSession, dir: String): String =
-    sessionFixture(novHistCache, s, dir) {
-      val tag = (s.sparkContext.applicationId + "_" + dir)
-        .replaceAll("[^a-zA-Z0-9]", "_")
-      val tbl = s"graft_novhist_$tag"
-      t(s, dir, "documents")
-        .filter(col("doc_id") % 5 =!= 0)
-        .select(col("doc_id"), split(col("text"), " ").as("__toks"))
-        .select(explode(Contamination.wordGrams("__toks", 3)).as("__g"))
-        .select(md5(col("__g")).as("gh"))
-        .distinct()
-        // coarse gh-prefix PARTITION column on top of the bucketing:
-        // a probe filters the scan to the prefixes its own grams touch
-        // (static partition pruning — see NoveltyMonitor.noveltyCounts),
-        // so a small batch against a trillion-gram history reads only
-        // its prefixes' buckets instead of the whole table
-        .withColumn("ghp", substring(col("gh"), 1, 1))
-        .write.mode("overwrite").format("parquet")
-        .partitionBy("ghp")
-        .bucketBy(8, "gh").sortBy("gh").saveAsTable(tbl)
-      tbl
-    }
-
-  private def qGramNovelty(s: SparkSession, dir: String): DataFrame = {
-    val arriving = graft.streaming.NoveltyMonitor.gramHashes(
-      t(s, dir, "documents").filter(col("doc_id") % 5 === 0))
-    graft.streaming.NoveltyMonitor
-      .noveltyCounts(s, arriving, novHistoryTable(s, dir))
-      .orderBy("source")
-  }
-
-  /** Quality-signal agreement audit (q221) — before swapping the
-    * heuristic filter for the learned one, production asks "do the two
-    * signals even agree": the Pearson correlation between the stored
-    * char-LM score (E206's avg_q) and each document's surface
-    * type-token ratio, computed from exact int64 sufficient statistics
-    * (the q190 discipline: both signals REBASED by their minima so
-    * n·Σx² stays far under 2⁶³ — x spreads ~10⁴ after rebase, good to
-    * ~3·10⁵ docs at these magnitudes; beyond that the quantization
-    * must be rebased, and the bound is now ENFORCED by a raise_error
-    * guard on every cross product, checked in decimal(38,0))
-    * with ONE double expression at the end — identical IEEE ops on
-    * identical longs, so the double is bit-stable across engines.
-    * One scan + one metadata min-pair + one single-row aggregate.
-    */
-  /** The exact-integer Pearson numerator/denominator over sufficient
-    * statistics (n, sum_x, sum_y, sxy, sxx, syy), with the 2⁶²
-    * headroom of every cross product ENFORCED by a raise_error (the
-    * PosBits/pairEnc house pattern): the bigint subtractions n·Σxy −
-    * Σx·Σy etc. wrap silently in non-ANSI Spark once any product
-    * crosses 2⁶³, so each is bound-checked in decimal(38,0) — which
-    * cannot itself overflow — before the double arithmetic runs. The
-    * guard lives inside the corr expression so column pruning cannot
-    * drop it. Package-visible so the spec can drive the raise with
-    * synthetic statistics (the corpus fixture never trips it).
-    */
-  private[graft] val guardedCorrExpr: String =
-    """case when cast(n as decimal(38,0)) * sxx
-      |         < 4611686018427387904
-      |       and cast(n as decimal(38,0)) * syy
-      |         < 4611686018427387904
-      |       and abs(cast(sum_x as decimal(38,0)) * sum_x)
-      |         < 4611686018427387904
-      |       and abs(cast(sum_y as decimal(38,0)) * sum_y)
-      |         < 4611686018427387904
-      |       and abs(cast(n as decimal(38,0)) * sxy)
-      |         < 4611686018427387904
-      |       and abs(cast(sum_x as decimal(38,0)) * sum_y)
-      |         < 4611686018427387904
-      |  then cast(n * sxy - sum_x * sum_y as double) /
-      |    sqrt(cast(n * sxx - sum_x * sum_x as double) *
-      |      cast(n * syy - sum_y * sum_y as double))
-      |  else raise_error(concat(
-      |    'qSignalCorrelation: sufficient-statistic product ',
-      |    'exceeds the 2^62 bigint headroom at n = ',
-      |    cast(n as string),
-      |    ' - rebase the signal quantization before correlating'))
-      |  end""".stripMargin
-
-  private def qSignalCorrelation(s: SparkSession, dir: String): DataFrame = {
-    val lm = CharLm.score(t(s, dir, "documents"), "doc_id", "text",
-        s.read.parquet(charLmModelPath(s, dir)))
-      .select(col("doc_id"), col("avg_q").as("x"))
-    val ttr = t(s, dir, "documents")
-      .select(col("doc_id"),
-        expr("filter(split(text, ' '), t -> t <> '')").as("tk"))
-      .filter(size(col("tk")) > 0)
-      .select(col("doc_id"),
-        expr("cast(size(array_distinct(tk)) * 10000L div size(tk) " +
-          "as bigint)").as("y"))
-    val joined = lm.join(ttr, "doc_id").transform(snap)
-    val mn = joined.agg(min("x"), min("y")).head()
-    joined
-      .select((col("x") - mn.getLong(0)).as("x"),
-        (col("y") - mn.getLong(1)).as("y"))
-      .agg(count(lit(1)).as("n"), sum("x").as("sum_x"),
-        sum("y").as("sum_y"), sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
-      // the documented Σx² headroom, ENFORCED (the PosBits/pairEnc
-      // house pattern) — see [[guardedCorrExpr]]
-      .withColumn("corr", expr(guardedCorrExpr))
-  }
-
-  /** Winnowing-based PARTIAL contamination detection (q222) — the
-    * E208 machinery pointed at the benchmark-leak family: q53/q110
-    * match whole word-grams/paragraphs, so an eval item paraphrased
-    * around a verbatim 40-char span slips through; winnowing
-    * fingerprints guarantee every shared character run ≥ L+w−1 (37
-    * chars at L=30, w=8) yields a common selected gram, so PARTIAL
-    * verbatim overlap is caught with no pairwise comparison. Same
-    * doc_id % 50 eval split as q53; the eval fingerprint set is
-    * metadata-sized and the join is one semi-ish equi-join of
-    * selected grams — corpus text never shuffles.
-    */
-  private def qWinnowContamination(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val evalFps = Winnowing.selectedGrams(
-        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text",
-        l = 30, w = 8)
-      .select(col("gram")).distinct()
-    val corpusFps = Winnowing.selectedGrams(
-        docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
-        l = 30, w = 8)
-    corpusFps
-      .join(broadcast(evalFps), Seq("gram"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared_fps"))
-      .orderBy("doc_id")
-  }
-
-  /** Streaming novelty monitor (q223,
-    * [[graft.streaming.NoveltyMonitor]]): q220's audit run LIVE — each
-    * arriving micro-batch's per-doc-distinct 3-grams anti-joined
-    * against the STORED corpus gram set, per-(batch, source) novelty
-    * appended as it lands, so a crawler re-fetching old content is
-    * caught batch-by-batch. No history re-shuffle per batch: the
-    * stored gram set is the q220 fixture's BUCKETED-on-`gh` catalog
-    * table, and the merge-hinted anti-join shuffles only the batch's
-    * grams into its bucketing (the history is still scanned per
-    * batch — see [[graft.streaming.NoveltyMonitor]] for the precise
-    * claim). The oracle replays batch membership via the staging
-    * NTILE and the identical anti-join per batch.
-    */
-  private def qStreamNovelty(s: SparkSession, dir: String): DataFrame =
-    graft.streaming.NoveltyMonitor.run(s, s"$dir/documents.parquet",
-      novHistoryTable(s, dir), docFilter = col("doc_id") % 5 === 0)
-
-  /** Row-level snapshot diff classification (q224) — the migration
-    * sign-off table: q92 LOCALIZES divergence (bucket checksums say
-    * where to look), q160 APPLIES changes (CDC merge); this COUNTS
-    * them by kind — added / removed / changed / unchanged — which is
-    * the number a cutover is approved on. One full-outer equi-join on
-    * the key carrying only 32-byte row hashes (values never shuffle);
-    * the same chr(1) null-sentinel discipline as q92 (guard AFTER the
-    * mutation on both sides), a deterministic synthetic v2 (mutate
-    * %97, drop %89, clone %83 at +10⁶ ids). Exact counts, fully
-    * replayable.
-    */
-  private def qRowDiff(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    def hashed(df: DataFrame) = df.select(col("doc_id"),
-      md5(concat_ws("\u0001",
-        coalesce(col("text"), lit("\u0001")),
-        coalesce(col("lang"), lit("\u0001")),
-        coalesce(col("source"), lit("\u0001")),
-        col("n_chars").cast("string"))).as("h"))
-    val v2base = docs
-      .filter(col("doc_id") % 89 =!= 0)
-      .withColumn("text",
-        when(col("doc_id") % 97 === 0, concat(col("text"), lit("X")))
-          .otherwise(col("text")))
-    val additions = docs.filter(col("doc_id") % 83 === 0)
-      .withColumn("doc_id", col("doc_id") + 1000000L)
-    hashed(docs).select(col("doc_id"), col("h").as("h1"))
-      .join(hashed(v2base.unionByName(additions))
-          .select(col("doc_id"), col("h").as("h2")),
-        Seq("doc_id"), "full_outer")
-      .select(when(col("h1").isNull, "added")
-        .when(col("h2").isNull, "removed")
-        .when(col("h1") =!= col("h2"), "changed")
-        .otherwise("unchanged").as("change_type"))
-      .groupBy("change_type").agg(count(lit(1)).as("n_rows"))
-      .orderBy("change_type")
-  }
-
-  /** Join-size estimation report (q225, [[graft.ops.JoinEstimate]]):
-    * the CMS-inner-product estimate of an equi-join's output
-    * cardinality next to the exact recount — once for the reference
-    * engine's own star join key (orders ⋈ lineitem on orderkey, the
-    * 1:N shape) and once for the skew-sensitive many-many case a
-    * planner most needs it (lineitem self-join on partkey, size
-    * Σ f(p)²). The sketch is built with the portable md5 bucket
-    * hash, so the oracle replays the ESTIMATOR itself — counter
-    * matrices, per-depth inner products, min — not just the exact
-    * verification columns. d=4 depth rows, w=2²⁴ buckets — the
-    * matrix is SPARSE (zero buckets never materialize in a groupBy),
-    * so the shuffled counter rows are ≤ d·|distinct keys| regardless
-    * of w, while the collision error shrinks as n_A·n_B/w; sizing w
-    * ≫ that ratio is what makes the estimate TIGHT (measured err_bp
-    * ships in the row), not merely bounded.
-    */
-  private def qJoinSizeEstimate(s: SparkSession, dir: String): DataFrame = {
-    val orders = t(s, dir, "orders")
-    val lineitem = t(s, dir, "lineitem")
-    val starCase = JoinEstimate.joinSize(
-        orders, col("o_orderkey"), lineitem, col("l_orderkey"), 4, 1 << 24)
-      .select(lit("orders_x_lineitem_orderkey").as("join_case"),
-        col("est_pairs"), col("exact_pairs"),
-        col("overestimate_ok"), col("err_bp"))
-    val selfCase = JoinEstimate.joinSize(
-        lineitem, col("l_partkey"), lineitem, col("l_partkey"), 4, 1 << 24)
-      .select(lit("lineitem_self_partkey").as("join_case"),
-        col("est_pairs"), col("exact_pairs"),
-        col("overestimate_ok"), col("err_bp"))
-    starCase.unionByName(selfCase).orderBy("join_case")
-  }
-
-  /** Rendezvous-sharding rebalance report (q226,
-    * [[graft.ops.Sharding]]): every document routed under 8 and
-    * under 9 shards by BOTH routers — HRW and naive mod — and the
-    * per-(new-)shard movement counted. The table shows the resize
-    * economics a 100 TB store plans around: HRW moves ~1/9 of docs
-    * (only keys whose new shard's weight wins), mod remaps ~8/9 (a
-    * full corpus rewrite). Each router's movement is grouped by ITS
-    * OWN new-shard assignment — two scan-local partial-agg rollups
-    * joined on the metadata-sized shard spine; text never shuffles.
-    */
-  private def qHrwSharding(s: SparkSession, dir: String): DataFrame = {
-    val routed = t(s, dir, "documents").select(
-      Sharding.hrwShard("doc_id", 8).as("h8"),
-      Sharding.hrwShard("doc_id", 9).as("h9"),
-      (col("doc_id") % 8).as("m8"),
-      (col("doc_id") % 9).as("m9"))
-    val hrw = routed.groupBy(col("h9").as("shard"))
-      .agg(count(lit(1)).as("n_docs_hrw"),
-        sum(when(col("h8") =!= col("h9"), 1L).otherwise(0L))
-          .as("n_moved_hrw"))
-    val mod = routed.groupBy(col("m9").as("shard"))
-      .agg(count(lit(1)).as("n_docs_mod"),
-        sum(when(col("m8") =!= col("m9"), 1L).otherwise(0L))
-          .as("n_moved_mod"))
-    hrw.join(mod, Seq("shard")).orderBy("shard")
-  }
-
-  /** k-anonymity audit with a generalization walk (q227): the
-    * governance check beside E38's PII detection — BEFORE releasing a
-    * training corpus with quasi-identifier columns, count how many
-    * rows sit in QI groups smaller than k (re-identifiable by
-    * joining public attributes). Three rungs of the generalization
-    * lattice are audited together: L0 (nation, segment) → L1
-    * (region, segment) → L2 (region) — the standard Samarati walk:
-    * coarsen until every group reaches k. Per level: group count,
-    * at-risk group count, rows at risk, and the achieved k (min
-    * group size). Each level is one partial-agg rollup over the
-    * broadcast nation dim; only (QI, count) pairs shuffle.
-    */
-  private def qKAnonymity(s: SparkSession, dir: String): DataFrame = {
-    val k = 10L
-    val joined = t(s, dir, "customer")
-      .join(broadcast(t(s, dir, "nation")),
-        col("c_nationkey") === col("n_nationkey"))
-    def level(lvl: Long, qi: String, keys: Seq[Column]): DataFrame =
-      joined.groupBy(keys: _*).agg(count(lit(1)).as("g"))
-        .agg(count(lit(1)).as("n_groups"),
-          sum(when(col("g") < k, 1L).otherwise(0L)).as("n_at_risk_groups"),
-          sum(when(col("g") < k, col("g")).otherwise(0L))
-            .as("n_rows_at_risk"),
-          min(col("g")).as("k_achieved"))
-        .select(lit(lvl).as("level"), lit(qi).as("qi"),
-          col("n_groups"), col("n_at_risk_groups"),
-          col("n_rows_at_risk"), col("k_achieved"))
-    level(0L, "nation,segment",
-        Seq(col("c_nationkey"), col("c_mktsegment")))
-      .unionByName(level(1L, "region,segment",
-        Seq(col("n_regionkey"), col("c_mktsegment"))))
-      .unionByName(level(2L, "region", Seq(col("n_regionkey"))))
-      .orderBy("level")
-  }
-
-  /** Incrementally-maintained join-size estimate (q228,
-    * [[graft.ops.JoinEstimate]]): the q225 sketch under batch
-    * arrival, the q67/q121/q136 incremental discipline applied to
-    * shuffle planning. CMS counters are LINEAR — counters(history ∪
-    * delta) = elementwise sum — so when a new lineitem batch lands,
-    * the stored matrix absorbs the delta's d·w counters and the
-    * estimate refreshes WITHOUT rescanning history. The gate proves
-    * the algebra: the merged-counter estimate must EQUAL the
-    * recomputed-from-scratch estimate (`linear_ok` — exact equality,
-    * not a tolerance), alongside the measured error vs the exact
-    * join size. History/delta split: l_orderkey % 10 (the repo's
-    * deterministic batch-arrival convention).
-    */
-  private def qIncrJoinEstimate(s: SparkSession, dir: String): DataFrame = {
-    val (d, w) = (4, 1 << 24)
-    val orders = t(s, dir, "orders")
-    val lineitem = t(s, dir, "lineitem")
-    val history = lineitem.filter(col("l_orderkey") % 10 =!= 0)
-    val delta = lineitem.filter(col("l_orderkey") % 10 === 0)
-    val co = JoinEstimate.cmsCounters(orders, col("o_orderkey"), d, w)
-    val merged = JoinEstimate.mergeCounters(
-      JoinEstimate.cmsCounters(history, col("l_orderkey"), d, w),
-      JoinEstimate.cmsCounters(delta, col("l_orderkey"), d, w))
-    val scratch = JoinEstimate.cmsCounters(lineitem, col("l_orderkey"), d, w)
-    val estIncr = JoinEstimate.estimateFromCounters(co, merged, d)
-      .select(col("est_pairs").as("est_incr"))
-    val estScratch = JoinEstimate.estimateFromCounters(co, scratch, d)
-      .select(col("est_pairs").as("est_scratch"))
-    val exact = orders.groupBy(col("o_orderkey").as("__k"))
-      .agg(count(lit(1)).as("fa"))
-      .join(lineitem.groupBy(col("l_orderkey").as("__k"))
-        .agg(count(lit(1)).as("fb")), "__k")
-      .agg(coalesce(sum(col("fa") * col("fb")), lit(0L)).as("exact_pairs"))
-    estIncr.crossJoin(estScratch).crossJoin(exact).select(
-      col("est_incr"), col("est_scratch"),
-      (col("est_incr") === col("est_scratch")).as("linear_ok"),
-      col("exact_pairs"),
-      (col("est_incr") >= col("exact_pairs")).as("overestimate_ok"),
-      when(col("exact_pairs") === 0L, 0L)
-        .otherwise(expr(
-          "(est_incr - exact_pairs) * 10000L div exact_pairs"))
-        .as("err_bp"))
-  }
-
-  /** Exact-substring span excision (q229, [[graft.ops.SpanDedup]]):
-    * repeated ≥8-token runs removed from every occurrence but the
-    * corpus-first one, per-document removal accounting plus the
-    * cleaned text. The published "exact substring dedup" operation
-    * (suffix-array pipelines mark the same positions — a maximal
-    * repeat of length L ≥ n is the union of its overlapping repeated
-    * n-grams), and the surgical complement of q24 (whole-doc) and
-    * q101 (whole-paragraph): the near-identical documents the
-    * generator plants lose their shared body here but KEEP their
-    * novel prefix/suffix tokens — visible in the output as short
-    * `text_clean` remnants. Only gram hashes shuffle; the oracle
-    * replays occurrences, canonical picks, the covered-token set,
-    * island counting, and reconstruction in full.
-    */
-  private def qSpanExcision(s: SparkSession, dir: String): DataFrame =
-    SpanDedup.excise(t(s, dir, "documents"), "doc_id", "text", n = 8)
-      .orderBy("doc_id")
-
-  /** DSIR importance-resampling selection (q230, [[graft.ops.Dsir]]):
-    * the raw corpus re-tilted toward the English subset as target —
-    * hashed-unigram count tables for target and raw, the scaled
-    * smoothed odds model, per-doc truncating-mean scores, and the
-    * best-first fill under a 20,000-token budget (q86's
-    * [[Selection.underTokenBudget]] prefix-sum machinery — no
-    * single-task window). The lang column rides along so the output
-    * IS the measurement: the generator's per-language unigram
-    * marginals differ, so the en share among selected docs visibly
-    * exceeds its corpus share. 2^16 buckets — the model is
-    * parameter-bounded and broadcast, never vocabulary-sized.
-    */
-  private def qDsirSelection(s: SparkSession, dir: String): DataFrame = {
-    val buckets = 1 << 16
-    val docs = t(s, dir, "documents")
-    val target = Dsir.hashedCounts(
-      docs.filter(col("lang") === "en"), "text", buckets)
-    val raw = Dsir.hashedCounts(docs, "text", buckets)
-    val scored = Dsir.score(docs, "doc_id", "text", target, raw, buckets)
-    val withLang = docs.select(col("doc_id"), col("lang")).join(scored, "doc_id")
-    Selection.underTokenBudget(withLang, "n_tokens", 20000L,
-        col("score_q").desc, col("doc_id").asc)
-      .select(col("doc_id"), col("lang"), col("n_tokens"),
-        col("score_q"), col("cum_tok"))
-      .orderBy("cum_tok")
-  }
-
-  /** Hierarchical two-level HRW sharding (q231,
-    * [[graft.ops.Sharding.hrwShardWithin]]): the large-n form the
-    * flat router's scaladoc prescribes — route over 8 super-shards,
-    * then over an inner fan-out WITHIN the winner with a
-    * super-shard-salted weight family (16 hashes/row for 64 shards
-    * instead of 64). The report routes every document under inner
-    * fan-outs 8 AND 9 and proves the per-level minimal-movement
-    * property AS DATA: per super-shard, `n_moved_inner_resize` is the
-    * ~1/9 HRW expectation and `n_moved_not_to_new` (keys that
-    * changed inner shard but NOT onto the newly added one) is
-    * structurally zero; movement cannot cross super-shards at all
-    * because the super route does not read the inner fan-out. One
-    * scan, one partial-agg rollup — shard arithmetic never shuffles
-    * rows.
-    */
-  private def qHrwTwoLevel(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), Sharding.hrwShard("doc_id", 8).as("sup"))
-      .select(col("doc_id"), col("sup"),
-        Sharding.hrwShardWithin("doc_id", "sup", 8).as("i8"),
-        Sharding.hrwShardWithin("doc_id", "sup", 9).as("i9"))
-      .groupBy(col("sup").as("super_shard"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("i9") =!= col("i8"), 1L).otherwise(0L))
-          .as("n_moved_inner_resize"),
-        sum(when(col("i9") =!= col("i8") && col("i9") =!= 8L, 1L)
-          .otherwise(0L)).as("n_moved_not_to_new"))
-      .orderBy("super_shard")
-
-  /** Hashed-vocabulary drift audit (q232, [[graft.ops.Drift]]): the
-    * refresh-monitoring question — which parts of the token
-    * distribution differ between the English and Chinese slices of
-    * the corpus — as a ≤ buckets-row exact-integer report: every
-    * hashed bucket whose slice frequency differs at ppm resolution,
-    * with the drifted amount. 256 buckets; TV distance =
-    * Σ d_ppm / 2·10⁶ is derivable from the rows (spec-pinned).
-    */
-  private def qVocabDrift(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    Drift.vocabDrift(docs.filter(col("lang") === "en"),
-      docs.filter(col("lang") === "zh"), "text", 256)
-  }
-
-  /** Deterministic pseudonymization with referential integrity
-    * (q233): the release-governance step after E221's k-anonymity
-    * audit — user identifiers replaced by a salted-hash pseudonym
-    * (md5, 16 hex chars) CONSISTENTLY across tables, so released
-    * tables still join on the pseudonym without exposing the raw
-    * key. The query proves referential integrity as data: events
-    * aggregate under the pseudonym, customers pseudonymize
-    * INDEPENDENTLY, and the output joins the two releases ON THE
-    * PSEUDONYM — the market segment arrives through that join, and
-    * no raw identifier appears in any output column. Injectivity at
-    * corpus scale is spec-asserted (distinct pseudonyms = distinct
-    * users). Scan-local hashing; one partial-agg + one broadcastable
-    * dim join.
-    */
-  private def qPseudonymize(s: SparkSession, dir: String): DataFrame = {
-    def pseudo(c: Column): Column =
-      substring(md5(concat(lit("u#"), c.cast("string"))), 1, 16)
-    val perUser = t(s, dir, "events")
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_events"),
-        countDistinct(col("event_type")).as("n_event_types"))
-      .select(pseudo(col("user_id")).as("pseudo_id"),
-        col("n_events"), col("n_event_types"))
-    val custRelease = t(s, dir, "customer")
-      .select(pseudo(col("c_custkey")).as("pseudo_id"),
-        col("c_mktsegment").as("segment"))
-    perUser.join(custRelease, "pseudo_id")
-      .orderBy("pseudo_id")
-  }
-
-  /** Dictionary-based document tagging (q234): the lexicon screen a
-    * curation pipeline runs for topic routing, blocklists, and
-    * compliance terms — match every document against a term
-    * dictionary and emit its tags. The dictionary is a BROADCAST
-    * literal (parameter-bounded); matching is one scan-local
-    * `array_intersect` on the token array — no explode, no join, no
-    * shuffle of text; only tagged doc ids and their tag strings
-    * leave the scan. At 100 TB this is a map-only pass.
-    */
-  private def qDictTags(s: SparkSession, dir: String): DataFrame = {
-    val terms = Seq("spark", "join", "window", "filter", "scan")
-    val termsArr = array(terms.map(lit): _*)
-    t(s, dir, "documents")
-      .select(col("doc_id"),
-        array_sort(array_intersect(
-          expr("filter(split(text, ' '), t -> t <> '')"), termsArr))
-          .as("__tags"))
-      .filter(size(col("__tags")) > 0)
-      .select(col("doc_id"), size(col("__tags")).cast("long").as("n_tags"),
-        array_join(col("__tags"), " ").as("tags"))
-      .orderBy("doc_id")
-  }
-
-  /** Epoch-seeded deterministic corpus shuffle (q235): the training-
-    * order primitive — each epoch's visit order is the ascending
-    * md5(epoch # doc_id) hash, so the order is reproducible from the
-    * seed alone, decorrelates across epochs, and needs NO stored
-    * permutation table. The query emits the first 16 positions of
-    * epochs 0–2 (a distributed TakeOrdered per epoch — top-k, never
-    * a global sort); the production form for a full-corpus order is
-    * a range-partitioned sort by the same hash, noted here rather
-    * than run because the ORDER is the operator, not the 100 TB
-    * rewrite. The position window runs on 48 surviving rows —
-    * k-bounded, not corpus-bounded.
-    */
-  private def qEpochOrder(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    (0 to 2).map { e =>
-      docs.select(lit(e.toLong).as("epoch"), col("doc_id"),
-        md5(concat(lit(s"e$e#"), col("doc_id").cast("string")))
-          .as("__h"))
-        .orderBy(col("__h").asc, col("doc_id").asc)
-        .limit(16)
-    }.reduce(_ unionByName _)
-      .withColumn("pos", row_number().over(
-        Window.partitionBy("epoch").orderBy(col("__h").asc,
-          col("doc_id").asc)).cast("long"))
-      .select("epoch", "pos", "doc_id")
-      .orderBy("epoch", "pos")
-  }
-
-  /** Source-concentration audit (q236): the mixing-governance
-    * counterpart of E71's rebalancing — per-source token counts,
-    * integer-ppm corpus shares, and the Herfindahl–Hirschman index
-    * (Σ share², the standard concentration measure) over the whole
-    * corpus, exact-integer at ppm scale. A training corpus whose
-    * HHI approaches 10⁶ ppm is one source wearing a corpus costume;
-    * the per-source rows name the offenders. One token-count scan,
-    * one ≤ sources-group rollup, two broadcast scalars.
-    */
-  private def qSourceHhi(s: SparkSession, dir: String): DataFrame = {
-    val perSrc = t(s, dir, "documents")
-      .select(col("source"),
-        expr("cast(size(filter(split(text, ' '), t -> t <> '')) as long)")
-          .as("__ntok"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum(col("__ntok")).as("n_tokens"))
-    val shares = perSrc
-      .crossJoin(broadcast(perSrc.agg(sum(col("n_tokens")).as("__tot"))))
-      .withColumn("share_ppm", expr("n_tokens * 1000000 div __tot"))
-    shares
-      .crossJoin(broadcast(shares
-        .agg(expr("sum(share_ppm * share_ppm) div 1000000").as("hhi_ppm"))))
-      .select(col("source"), col("n_docs"), col("n_tokens"),
-        col("share_ppm"), col("hhi_ppm"))
-      .orderBy("source")
-  }
-
-  /** Cross-split near-duplicate leakage audit (q237): the check that
-    * makes a train/val/test split TRUSTWORTHY — a validation document
-    * whose near-duplicate sits in training is memorization leakage
-    * regardless of how clean the split arithmetic is (q132 guards
-    * cluster-identity leakage, q219 the time boundary; this guards
-    * CONTENT). Composition of the q25 banded MinHash screen (exact
-    * Jaccard ≥ 0.5 verified on band candidates only — never n² pairs)
-    * with q46's md5-bucket split assignment: every verified near-dup
-    * pair whose members land in DIFFERENT splits, with both splits
-    * named. Split hashing is scan-local on the pair rows (two md5s per
-    * surviving pair — pair-bounded, not corpus-bounded). At 100 TB the
-    * cost is exactly q25's screen; the audit itself is free.
-    */
-  private def qSplitLeakage(s: SparkSession, dir: String): DataFrame = {
-    def splitOf(c: String): Column = {
-      val bucket = expr(
-        s"""cast(conv(substring(md5(cast($c as string)), 1, 8), 16, 10)
-           | as bigint) % 100""".stripMargin)
-      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    }
-    val docs = t(s, dir, "documents")
-      .repartition(col("doc_id"))
-      .withColumn("shingles", TextFns.shingles("text", 5))
-      .select("doc_id", "shingles")
-      .transform(snap)
-    val sigs = NearDup.minHashSigs(docs, "doc_id", "shingles", 32, "sig")
-    val cand = NearDup.candidatePairs(
-      NearDup.bandRows(sigs, "doc_id", "sig", 4, 8, 32), "doc_id")
-    NearDup.jaccard(cand, docs, "doc_id", "shingles")
-      .filter(col("jaccard") >= 0.5)
-      .withColumn("split_a", splitOf("id_a"))
-      .withColumn("split_b", splitOf("id_b"))
-      .filter(col("split_a") =!= col("split_b"))
-      .select("id_a", "id_b", "jaccard", "split_a", "split_b")
-      .orderBy("id_a", "id_b")
-  }
-
-  /** Length-bucket padding-waste audit (q238): the batch-assembly
-    * economics question — pad-to-power-of-2 length bucketing (the
-    * standard kernel-friendly batching scheme) costs `bucket_len −
-    * n_tok` padding tokens per document; this reports, per bucket,
-    * document count, real tokens, padding tokens, and the padding
-    * share of bucket capacity in integer basis points. The bucket
-    * boundary is an exact-integer `array_min(filter(...))` over the
-    * 9 power-of-2 literals (no cross-engine float log2), documents
-    * beyond the 4096 cap truncate to it. One scan-local projection,
-    * one ≤ 9-group partial-agg rollup — map-only at 100 TB.
-    */
-  private def qLengthBuckets(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(expr(
-        "cast(size(filter(split(text, ' '), t -> t <> '')) as long)")
-        .as("__ntok"))
-      .withColumn("__eff", expr("least(__ntok, 4096L)"))
-      .withColumn("bucket_len", expr(
-        """array_min(filter(
-          |  array(16L,32L,64L,128L,256L,512L,1024L,2048L,4096L),
-          |  p -> p >= __eff))""".stripMargin))
-      .groupBy("bucket_len")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("__eff")).as("n_tokens"),
-        sum(expr("bucket_len - __eff")).as("n_padding"))
-      .withColumn("waste_bp",
-        expr("n_padding * 10000 div (bucket_len * n_docs)"))
-      .orderBy("bucket_len")
-
-  /** Data-constrained epoch schedule (q239): the repeat-factor
-    * arithmetic a token-budgeted pretraining run does when sources
-    * are finite — target budget 2× the corpus, uniform per-source
-    * target shares, repeats capped at 4 epochs (the published
-    * diminishing-returns knee for repeated data). Per source: the
-    * available tokens, the ideal allocation, the granted repeat
-    * factor in exact ppm (`least(ideal·10⁶ div avail, 4·10⁶)`), the
-    * achieved tokens under it, and the deficit a re-mixing pass
-    * would have to cover from elsewhere. Truncating-integer ppm
-    * throughout (deficit ≥ 0 by construction). One token-count
-    * rollup + one broadcast scalar pair — the schedule itself is
-    * ≤ sources rows of arithmetic.
-    */
-  private def qEpochSchedule(s: SparkSession, dir: String): DataFrame = {
-    val perSrc = t(s, dir, "documents")
-      .select(col("source"),
-        expr("cast(size(filter(split(text, ' '), t -> t <> '')) as long)")
-          .as("__ntok"))
-      .groupBy("source")
-      .agg(sum(col("__ntok")).as("avail_tokens"))
-    perSrc
-      .crossJoin(broadcast(perSrc.agg(
-        sum(col("avail_tokens")).as("__tot"),
-        count(lit(1)).as("__nsrc"))))
-      .withColumn("ideal_tokens", expr("__tot * 2 div __nsrc"))
-      // the ×10⁶ ppm scaling runs in decimal(38,0): bigint wraps
-      // silently past ~9.2e12 tokens (non-ANSI Spark) — real 100 TB
-      // corpora are ~10¹³ tokens, inside the wrap zone. IntegralDivide
-      // still returns bigint, so the output schema is unchanged.
-      .withColumn("repeats_ppm", expr(
-        "least(cast(ideal_tokens as decimal(38,0)) * 1000000" +
-          " div avail_tokens, 4000000L)"))
-      .withColumn("achieved_tokens",
-        expr("avail_tokens * repeats_ppm div 1000000"))
-      .withColumn("deficit_tokens",
-        expr("ideal_tokens - achieved_tokens"))
-      .select(col("source"), col("avail_tokens"), col("ideal_tokens"),
-        col("repeats_ppm"), col("achieved_tokens"), col("deficit_tokens"))
-      .orderBy("source")
-  }
-
-  /** l-diversity audit (q240): the release-governance check k-anonymity
-    * (q227) cannot make — a quasi-identifier group can be large (k-safe)
-    * yet carry ONE sensitive value, so membership alone discloses it
-    * (the homogeneity attack l-diversity exists to name). Per
-    * (nation, segment) QI group: row count, the number of DISTINCT
-    * sensitive account-band values present, and whether the group
-    * meets l = 3. The sensitive banding is exact-integer decimal-cents
-    * comparison (no float thresholds). One broadcast nation-dim join +
-    * one partial-agg rollup; only (QI, count, distinct-count) rows
-    * shuffle — the audit is group-bounded at any corpus size.
-    */
-  private def qLDiversity(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "customer")
-      .join(broadcast(t(s, dir, "nation")),
-        col("c_nationkey") === col("n_nationkey"))
-      .select(col("n_name").as("nation"),
-        col("c_mktsegment").as("segment"),
-        expr("""case
-          | when cast(c_acctbal as decimal(18,2)) < 0 then 'debt'
-          | when cast(c_acctbal as decimal(18,2)) < 5000 then 'mid'
-          | else 'high' end""".stripMargin).as("__sens"))
-      .groupBy("nation", "segment")
-      .agg(count(lit(1)).as("n_rows"),
-        countDistinct(col("__sens")).as("l_distinct"))
-      .withColumn("l_ok", col("l_distinct") >= 3)
-      .orderBy("nation", "segment")
-
-  /** Session-path assembly (q241): the SFT-example primitive — each
-    * behavioral session becomes one ordered event-type sequence (the
-    * 30-minute-gap sessionization of q32), truncated to its first 8
-    * turns, and the corpus's dominant interaction paths are reported
-    * with session/user/event counts. Assembly is a deterministic
-    * in-group sort (`sort_array(collect_list(struct(ts, id, type)))`
-    * — per-session bounded, never a global sort); the path rollup is
-    * a partial agg over path strings and the result is the top-20
-    * under a total order. At 100 TB: one sessionize shuffle by user,
-    * one path-key shuffle of (path, counts) rows, TakeOrdered for
-    * the report — no window over the corpus, no driver loop.
-    */
-  private def qSessionPaths(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts_ms").asc, col("event_id").asc)
-    val sess = t(s, dir, "events")
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_millis(col("ts")).as("ts_ms"))
-      .withColumn("__prev", lag("ts_ms", 1).over(w))
-      .withColumn("__new", when(col("__prev").isNull ||
-        col("ts_ms") - col("__prev") > 30L * 60 * 1000, 1L).otherwise(0L))
-      .withColumn("__sess", sum("__new").over(w))
-    sess.groupBy("user_id", "__sess")
-      .agg(sort_array(collect_list(struct(
-        col("ts_ms"), col("event_id"), col("event_type")))).as("__evs"))
-      .select(col("user_id"),
-        expr("array_join(transform(slice(__evs, 1, 8)," +
-          " e -> e.event_type), '>')").as("path"),
-        expr("cast(size(__evs) as long)").as("__ne"))
-      .groupBy("path")
-      .agg(count(lit(1)).as("n_sessions"),
-        countDistinct(col("user_id")).as("n_users"),
-        sum(col("__ne")).as("n_events"))
-      .orderBy(col("n_sessions").desc, col("path"))
-      .limit(20)
-  }
-
-  /** Normalization-aware decontamination (q242): real benchmark text
-    * never arrives formatted like the training corpus — casing,
-    * punctuation, and spacing differ — so a RAW n-gram screen (q53)
-    * silently misses contaminated pairs. Here the eval set is the
-    * q53 holdout re-formatted adversarially IN-QUERY (uppercased,
-    * comma-joined, period-terminated: zero raw 4-gram overlap with
-    * the corpus — spec-asserted), and both sides pass through the
-    * normalizer (lowercase → non-alphanumerics to spaces → collapse →
-    * trim) before the [[Contamination.sharedGramCounts]] screen. The
-    * normalized screen recovers exactly the q53 pair set — the
-    * measured value of normalizing before matching. Normalization is
-    * scan-local string work; the join ships only md5 gram hashes.
-    */
-  private def qNormDecontam(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val evalRaw = docs.filter(col("doc_id") % 50 === 0)
-      .select(col("doc_id"),
-        expr("concat(upper(array_join(split(text, ' '), ', ')), '.')")
-          .as("text"))
-    def normalize(df: DataFrame): DataFrame = df
-      .withColumn("text", expr(
-        """trim(regexp_replace(regexp_replace(lower(text),
-          | '[^a-z0-9 ]', ' '), ' +', ' '))""".stripMargin))
-    Contamination.sharedGramCounts(
-        normalize(docs.filter(col("doc_id") % 50 =!= 0)),
-        normalize(evalRaw), "doc_id", "text", 4)
-      .orderBy("corpus_id", "eval_id")
-  }
-
-  /** Dedup-weighted sampling (q243): sample uniformly over CONTENT,
-    * not over copies — a document in a near-dup cluster of size k
-    * keeps with probability r/k (exact-integer hash rule:
-    * md5 % (10⁴·k) < 2·10³), so every content cluster's total
-    * inclusion mass equals a singleton's and duplicated content stops
-    * being over-represented in the sample (the soft-dedup discipline
-    * of published corpus pipelines, where hard dedup is too blunt).
-    * Cluster sizes come from the stored [[fullClusterLabels]] (the
-    * q71/q216 component machinery over the exact-Jaccard pair class);
-    * unclustered docs are size-1. The report groups by component
-    * size: clusters, docs, kept docs, and clusters with ≥ 1 survivor
-    * — the flat-across-sizes column that PROVES the content-uniform
-    * property as data. Labels/sizes are pair-bounded small join
-    * sides (broadcast under AQE); the keep rule is one scan-local
-    * md5 per doc.
-    */
-  private def qDedupWeightedSample(s: SparkSession, dir: String): DataFrame = {
-    val labels = fullClusterLabels(s, dir)
-    val sizes = labels.groupBy("cluster_rep").agg(count(lit(1)).as("__sz"))
-    t(s, dir, "documents").select(col("doc_id"))
-      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"),
-        "left")
-      .join(sizes, Seq("cluster_rep"), "left")
-      .withColumn("__csz", coalesce(col("__sz"), lit(1L)))
-      .withColumn("__rep", coalesce(col("cluster_rep"), col("doc_id")))
-      .withColumn("__kept", expr(
-        """cast(conv(substring(md5(concat('dws|',
-          |  cast(doc_id as string))), 1, 12), 16, 10) as bigint)
-          |  % (10000L * __csz) < 2000L""".stripMargin))
-      .groupBy(col("__csz"), col("__rep"))
-      .agg(count(lit(1)).as("__nd"),
-        sum(when(col("__kept"), 1L).otherwise(0L)).as("__nk"))
-      .groupBy(col("__csz").as("component_size"))
-      .agg(count(lit(1)).as("n_clusters"), sum(col("__nd")).as("n_docs"),
-        sum(col("__nk")).as("n_kept"),
-        sum(when(col("__nk") > 0, 1L).otherwise(0L))
-          .as("n_clusters_hit"))
-      .orderBy("component_size")
-  }
-
-  /** Tokenizer fertility audit (q244): the tokenizer-economics
-    * question a multilingual corpus forces — how many characters one
-    * BPE token buys per language (fertility), and how much the
-    * trained merges compress over whitespace tokens. Composition of
-    * the stored q206 merge chain applied scan-locally (q207's
-    * [[graft.ops.Bpe.applyMerges]]) with a per-language rollup:
-    * docs, word chars, whitespace tokens, BPE symbols, then
-    * chars-per-BPE-token and BPE-per-whitespace-token in exact
-    * truncating bp. A language whose fertility is half the others'
-    * pays double the sequence length for the same text — this table
-    * is the evidence a tokenizer retrain starts from. One scan
-    * (merges broadcast as literals), one ≤ langs-group rollup.
-    */
-  private def qTokenizerFertility(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("__toks", expr("filter(split(text, ' '), t -> t <> '')"))
-      .withColumn("__seq", Bpe.docSeq("__toks"))
-      .withColumn("__seq2", Bpe.applyMerges("__seq", bpeMerges(s, dir)))
-      .select(col("lang"),
-        expr("aggregate(__toks, 0L, (a, x) -> a + length(x))")
-          .as("__chars"),
-        size(col("__toks")).cast("long").as("__nws"),
-        Bpe.symbolCount("__seq2").as("__nbpe"))
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"), sum(col("__chars")).as("n_chars"),
-        sum(col("__nws")).as("n_ws_tokens"),
-        sum(col("__nbpe")).as("n_bpe_tokens"))
-      .withColumn("chars_per_bpe_bp",
-        expr("n_chars * 10000 div n_bpe_tokens"))
-      .withColumn("bpe_per_ws_bp",
-        expr("n_bpe_tokens * 10000 div n_ws_tokens"))
-      .orderBy("lang")
-
-  /** Checksum-validated identifier screen (q245): the verification
-    * layer behind E38's PII detection — a 16-digit run is only a
-    * card-number FINDING if it passes the Luhn mod-10 check
-    * ([[TextFns.luhnValid]]); random digit runs pass at 1/10, so the
-    * checksum cuts false escalations 10× before anything is redacted
-    * or reported. The corpus carries no real identifiers (the q52
-    * discipline), so each document's candidate is a deterministic
-    * 16-digit stand-in derived from its id — the per-source rates
-    * then measure exactly the 1/10 background a screen must expect
-    * from random digits. Scan-local integer fold per candidate, one
-    * ≤ sources-group rollup; real Luhn vectors are spec-pinned.
-    */
-  private def qLuhnScreen(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("__cand", expr(
-        """lpad(cast((doc_id % 1000000007L) * 76695841L
-          |  % 10000000000000000L as string), 16, '0')""".stripMargin))
-      .withColumn("__ok", TextFns.luhnValid("__cand"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_candidates"),
-        sum(when(col("__ok"), 1L).otherwise(0L)).as("n_luhn_valid"))
-      .withColumn("valid_bp",
-        expr("n_luhn_valid * 10000 div n_candidates"))
-      .orderBy("source")
-
-  /** Blocklist phrase excision (q246, [[graft.ops.PhraseExcise]]):
-    * policy scrubbing at span granularity — every occurrence of a
-    * blocked multi-word phrase is cut out of the text, surrounding
-    * tokens kept, overlapping matches merged into one island (the
-    * q229 island discipline driven by a PATTERN list instead of
-    * corpus repeats). The phrase list folds into the plan as
-    * literals, so the whole operator is a map-only pass: no corpus
-    * statistics, no joins, no shuffle of text — the excision costs
-    * the scan the corpus already pays at 100 TB.
-    */
-  private def qPhraseExcise(s: SparkSession, dir: String): DataFrame =
-    PhraseExcise.excise(t(s, dir, "documents"), "doc_id", "text",
-        Seq("table scan", "fast sort key", "sort key agg"))
-      .orderBy("doc_id")
-
-  /** Mixed-language document audit (q247): monolingual training slices
-    * rot when documents code-switch internally — a doc whose PARTS
-    * identify as different languages pollutes whichever slice its
-    * doc-level tag routes it to. Each document splits into 20-token
-    * parts, every part runs the E2 stopword-profile language-ID
-    * ([[TextFns.withLanguageId]] — scores materialized once per part),
-    * and the per-source rollup reports how many documents are
-    * part-consistent vs mixed (any disagreement, 'und' included: an
-    * unidentifiable part is exactly the signal an audit must not
-    * average away). Chunking and scoring are scan-local; one (doc)
-    * partial agg + one (source) rollup shuffle counter rows only.
-    */
-  private def qMixedLangAudit(s: SparkSession, dir: String): DataFrame = {
-    val parts = t(s, dir, "documents")
-      .withColumn("__toks", expr("filter(split(text, ' '), t -> t <> '')"))
-      .select(col("doc_id"), col("source"),
-        // empty/whitespace-only text yields zero tokens; sequence(1,0)
-        // throws in Spark while the oracle's range(1,1,20) is empty, so
-        // the chunker guards explicitly (the doc then has no parts and,
-        // matching the oracle, no row at all)
-        explode(expr(
-          "if(size(__toks) > 0," +
-            " transform(sequence(1, size(__toks), 20)," +
-            " i -> slice(__toks, i, 20))," +
-            " cast(array() as array<array<string>>))")).as("__part"))
-    TextFns.withLanguageId(parts, "__part", "__plang")
-      .groupBy("doc_id", "source")
-      .agg(countDistinct(col("__plang")).as("__nl"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("__nl") === 1, 1L).otherwise(0L)).as("n_consistent"),
-        sum(when(col("__nl") > 1, 1L).otherwise(0L)).as("n_mixed"))
-      .withColumn("mixed_bp", expr("n_mixed * 10000 div n_docs"))
-      .orderBy("source")
-  }
-
-  /** Deletion-compliance re-ingestion screen (q248): honoring a
-    * deletion request means more than dropping the row — re-crawls
-    * and mirrors re-ingest the SAME CONTENT under new ids, so the
-    * compliance screen must match tombstones by content, not by key.
-    * The corpus carries no exact duplicates (q24: all fingerprints
-    * unique), so the screen is the q25 banded MinHash pipeline with
-    * the tombstone set (doc_id % 10 = 0 — the "deleted" docs) on one
-    * side: every SURVIVING document that is a verified near-dup
-    * (J ≥ 0.5) of a deleted one, with the tombstone named. Cost is
-    * the near-dup screen the pipeline already runs; the tombstone
-    * predicate is two scan-local mod tests per verified pair.
-    */
-  private def qTombstoneScreen(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .repartition(col("doc_id"))
-      .withColumn("shingles", TextFns.shingles("text", 5))
-      .select("doc_id", "shingles")
-      .transform(snap)
-    val sigs = NearDup.minHashSigs(docs, "doc_id", "shingles", 32, "sig")
-    val cand = NearDup.candidatePairs(
-      NearDup.bandRows(sigs, "doc_id", "sig", 4, 8, 32), "doc_id")
-    NearDup.jaccard(cand, docs, "doc_id", "shingles")
-      .filter(col("jaccard") >= 0.5)
-      .filter((col("id_a") % 10 === 0) =!= (col("id_b") % 10 === 0))
-      .select(
-        when(col("id_a") % 10 === 0, col("id_b")).otherwise(col("id_a"))
-          .as("surviving_doc"),
-        when(col("id_a") % 10 === 0, col("id_a")).otherwise(col("id_b"))
-          .as("tombstone_doc"),
-        col("jaccard"))
-      .orderBy("surviving_doc", "tombstone_doc")
-  }
-
-  /** Deficit-redistributing budget remix (q249): the water-filling
-    * round q239's deficit column invites — after the uniform-share
-    * pass caps scarce sources at 4 epochs, the UNMET budget
-    * redistributes to sources with repeat headroom, proportional to
-    * that headroom in exact truncating integers (extra =
-    * min(headroom, total_deficit · headroom div total_headroom)).
-    * Per source: the round-1 grant, the headroom, the redistributed
-    * extra, the final tokens, and the final repeat factor in ppm —
-    * one more broadcast scalar pair over q239's rollup; the remix is
-    * still ≤ sources rows of arithmetic at any corpus size.
-    */
-  private def qBudgetRemix(s: SparkSession, dir: String): DataFrame = {
-    val perSrc = t(s, dir, "documents")
-      .select(col("source"),
-        expr("cast(size(filter(split(text, ' '), t -> t <> '')) as long)")
-          .as("__ntok"))
-      .groupBy("source")
-      .agg(sum(col("__ntok")).as("avail_tokens"))
-    val r1 = perSrc
-      .crossJoin(broadcast(perSrc.agg(
-        sum(col("avail_tokens")).as("__tot"),
-        count(lit(1)).as("__nsrc"))))
-      .withColumn("ideal_tokens", expr("__tot * 2 div __nsrc"))
-      // every ×ppm / cross-scalar product runs in decimal(38,0): at
-      // 100 TB token counts (~10¹³) the bigint forms wrap silently in
-      // non-ANSI Spark (the q239 fix, applied to all four sites here);
-      // IntegralDivide returns bigint, so output schemas are unchanged
-      .withColumn("__rp1", expr(
-        "least(cast(ideal_tokens as decimal(38,0)) * 1000000" +
-          " div avail_tokens, 4000000L)"))
-      .withColumn("r1_tokens", expr(
-        "cast(avail_tokens as decimal(38,0)) * __rp1 div 1000000"))
-      .withColumn("__deficit", expr("ideal_tokens - r1_tokens"))
-      .withColumn("headroom_tokens",
-        expr("avail_tokens * 4 - r1_tokens"))
-    r1.crossJoin(broadcast(r1.agg(
-        sum(col("__deficit")).as("__td"),
-        sum(col("headroom_tokens")).as("__th"))))
-      .withColumn("extra_tokens", expr(
-        """least(headroom_tokens,
-          |  if(__th > 0,
-          |    cast(__td as decimal(38,0)) * headroom_tokens div __th,
-          |    0L))"""
-          .stripMargin))
-      .withColumn("final_tokens", expr("r1_tokens + extra_tokens"))
-      .withColumn("final_repeats_ppm",
-        expr("cast(final_tokens as decimal(38,0)) * 1000000" +
-          " div avail_tokens"))
-      .select(col("source"), col("avail_tokens"), col("r1_tokens"),
-        col("headroom_tokens"), col("extra_tokens"), col("final_tokens"),
-        col("final_repeats_ppm"))
-      .orderBy("source")
-  }
-
-  /** Corpus-driven stopword discovery (q250): hardcoded stopword
-    * lists (E2's profiles) age badly — the corpus's OWN high-df
-    * tokens are the boilerplate/function-word vocabulary its filters
-    * should use. Per language: every token appearing in ≥ 30% of the
-    * language's documents, with document frequency and share in
-    * exact bp. The df rollup shuffles (lang, token, count) rows
-    * after a scan-local per-doc distinct; the ≥ 30% screen keeps the
-    * report vocabulary-bounded (high-df tokens are few by Zipf — at
-    * 100 TB the output is still a stopword list, not a corpus).
-    */
-  private def qStopwordDiscovery(s: SparkSession, dir: String): DataFrame = {
-    val docTokens = t(s, dir, "documents")
-      .select(col("lang"), col("doc_id"),
-        explode(expr(
-          "array_distinct(filter(split(text, ' '), t -> t <> ''))"))
-          .as("token"))
-    val perLang = t(s, dir, "documents")
-      .groupBy("lang").agg(count(lit(1)).as("__nd"))
-    docTokens.groupBy("lang", "token")
-      .agg(count(lit(1)).as("df"))
-      .join(broadcast(perLang), "lang")
-      .withColumn("share_bp", expr("df * 10000 div __nd"))
-      .filter(col("share_bp") >= 3000)
-      .select("lang", "token", "df", "share_bp")
-      .orderBy(col("lang"), col("share_bp").desc, col("token"))
-  }
-
-  /** Real PNG decode (q251, [[Multimodal.decodePng]]): every document
-    * becomes a genuine PNG — encoded through `javax.imageio`
-    * (JDK-bundled, zero new dependencies), deterministic dims
-    * 4+id%5 × 3+id%4, pixel rule (id·31 + 3·(y·w+x) + c) mod 256, the
-    * SAME raster arithmetic as q208's PPM — and decoded back through
-    * the real ImageIO PNG reader for dims and per-channel sums. The
-    * bytes on the wire are DEFLATE-compressed and encoder-private, so
-    * unlike q208 there is no whole-file checksum: the DECODED raster
-    * is the cross-engine contract (PNG is lossless), and the oracle
-    * recomputes every decoded number in closed form from the
-    * generation rule — green means a real inflate + unfilter + pixel
-    * walk produced exactly the committed pixels. Same mapPartitions
-    * codec seam as q208; payloads never shuffle.
-    */
-  private def qPngDecode(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    implicit val sp: SparkSession = s
-    val media = t(s, dir, "documents")
-      .select(col("doc_id").cast("long"))
-      .as[Long]
-      .map { id =>
-        Multimodal.MediaRecord(id,
-          Multimodal.encodePng(id, (4 + id % 5).toInt, (3 + id % 4).toInt),
-          "png")
-      }
-    Multimodal.decodePngFeatures(media).toDF().orderBy("doc_id")
-  }
-
-  /** Perceptual fingerprint on REAL pixel rasters (q252,
-    * [[Multimodal.toRaster]] + [[Multimodal.blockHash]]): the E187
-    * claim — "a real image pHash swaps in, only the codec changes" —
-    * made runnable: PNGs decode through `javax.imageio`, the payload
-    * swaps for the w·h·3 row-major RGB raster, and the SAME 60-bit
-    * blockhash that fingerprints q193's stub bytes fingerprints the
-    * decoded pixels. Fingerprinting the raster (never the container)
-    * is the load-bearing property: two encoders of one image differ
-    * in every container byte and zero raster bytes, so only the
-    * raster-side fingerprint deduplicates re-encoded media. The
-    * oracle replays chunk sums and threshold bits closed-form from
-    * the pixel rule. Scan-local end to end; only (id, fp, n) rows
-    * leave the scan.
-    */
-  private def qPngBlockhash(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    implicit val sp: SparkSession = s
-    val media = t(s, dir, "documents")
-      .select(col("doc_id").cast("long"))
-      .as[Long]
-      .map { id =>
-        Multimodal.MediaRecord(id,
-          Multimodal.encodePng(id, (4 + id % 5).toInt, (3 + id % 4).toInt),
-          "png")
-      }
-    Multimodal.blockHash(Multimodal.toRaster(media))
-      .toDF().orderBy("doc_id")
-  }
-
-  /** Shard-stitch audit (q253): chunked crawls and sharded exports cut
-    * documents at arbitrary boundaries with a safety overlap; before
-    * training, the pipeline must REJOIN them (or at minimum know the
-    * overlap volume, which double-counts tokens and leaks duplicated
-    * spans). Detection is exact and join-shaped: every shard keys its
-    * first-20-token window and last-20-token window (md5 of the joined
-    * window — 32 bytes, the fingerprint discipline), and a stitch is
-    * suffix-key(a) = prefix-key(b) — one hash equi-join, no pairwise
-    * text comparison, scan-local key extraction. The shard fixture is
-    * derived deterministically in-query (docs %7 with ≥ 50 tokens split
-    * into two shards sharing EXACTLY 20 tokens), so the oracle replays
-    * generation + detection end to end. At 100 TB: keys are 2×32 bytes
-    * per shard, the join is hash-partitioned on the key — map-only
-    * until a tiny equi-join.
-    */
-  private def qShardStitch(s: SparkSession, dir: String): DataFrame = {
-    val sp = t(s, dir, "documents")
-      .select(col("doc_id"),
-        expr("filter(split(text, ' '), t -> t <> '')").as("__t"))
-      .filter(col("doc_id") % 7 === 0 && size(col("__t")) >= 50)
-      .withColumn("__m", expr("cast(ceil(size(__t) / 2.0d) as int)"))
-    val shards = sp
-      .select((col("doc_id") * 2).as("shard_id"), col("doc_id"),
-        expr("slice(__t, 1, __m + 10)").as("__st"))
-      .unionByName(sp
-        .select((col("doc_id") * 2 + 1).as("shard_id"), col("doc_id"),
-          expr("slice(__t, __m - 9, size(__t) - __m + 10)").as("__st")))
-    val keyed = shards.select(col("shard_id"), col("doc_id"),
-      md5(expr("array_join(slice(__st, 1, 20), ' ')")).as("__pk"),
-      md5(expr("array_join(slice(__st, -20, 20), ' ')")).as("__sk"))
-    keyed
-      .select(col("shard_id").as("shard_a"), col("doc_id").as("doc_a"),
-        col("__sk").as("__k"))
-      .join(keyed.select(col("shard_id").as("shard_b"),
-        col("doc_id").as("doc_b"), col("__pk").as("__k")), "__k")
-      .filter(col("shard_a") =!= col("shard_b"))
-      .select("shard_a", "shard_b", "doc_a", "doc_b")
-      .orderBy("shard_a", "shard_b")
-  }
-
-  /** Embedding-store hygiene audit (q254): before any ANN index builds
-    * (E10–E21), the feature store itself needs screening — zero
-    * vectors (failed encoder calls) poison every cosine (0/0), exact
-    * duplicate vectors waste index space and bias k-NN votes, and a
-    * collapsed norm distribution signals an encoder regression. Per
-    * label: vector count, zero-vector count, duplicate-vector count
-    * (identical at the engine's own 10⁴ quantization — the E10
-    * convention, so "duplicate" here means "indistinguishable to every
-    * downstream similarity op"), quantized-norm min/max, and exact
-    * LOWER-RANK p10/p50/p90 ([[Percentiles.exactFewGroupsLowerRank]] —
-    * two passes, no per-group collect, and interpolation-free: the
-    * statistic is an element of the data, so it stays an exact bigint
-    * and no type-7 blend arithmetic crosses the oracle boundary).
-    * Norms via the codegen'd [[LongDot]]; only (label, hash, norm)
-    * rows shuffle — payload vectors never do.
-    */
-  private def qEmbeddingHygiene(s: SparkSession, dir: String): DataFrame = {
-    val q = t(s, dir, "embeddings")
-      .select(col("label").cast("long").as("label"),
-        Similarity.quantized("embedding").as("__qv"))
-      .withColumn("__qn", Similarity.dot(col("__qv"), col("__qv")))
-      .withColumn("__h",
-        md5(expr("array_join(transform(__qv, x -> cast(x as string)), ',')")))
-    val dups = q.groupBy("label", "__h").agg(count(lit(1)).as("__c"))
-      .filter(col("__c") > 1)
-      .groupBy("label").agg(sum("__c").as("n_dup_vecs"))
-    val stats = q.groupBy("label").agg(
-      count(lit(1)).as("n_vecs"),
-      sum(when(expr("forall(__qv, x -> x = 0L)"), 1L).otherwise(0L))
-        .as("n_zero_vecs"),
-      min("__qn").as("min_qnorm"), max("__qn").as("max_qnorm"))
-    val pct = Percentiles.exactFewGroupsLowerRank(q, Seq("label"), "__qn",
-        Seq(("p10_qnorm", 0.1), ("p50_qnorm", 0.5), ("p90_qnorm", 0.9)))
-      .select(col("label"), col("p10_qnorm").cast("long").as("p10_qnorm"),
-        col("p50_qnorm").cast("long").as("p50_qnorm"),
-        col("p90_qnorm").cast("long").as("p90_qnorm"))
-    stats
-      .join(dups, Seq("label"), "left")
-      .withColumn("n_dup_vecs", coalesce(col("n_dup_vecs"), lit(0L)))
-      .join(pct, "label")
-      .select("label", "n_vecs", "n_zero_vecs", "n_dup_vecs",
-        "min_qnorm", "max_qnorm", "p10_qnorm", "p50_qnorm", "p90_qnorm")
-      .orderBy("label")
-  }
-
-  /** Streaming tombstone enforcement (q255,
-    * [[graft.streaming.TombstoneScreen]]): q248's deletion-compliance
-    * screen moved from audit to GATE — deletion requests (the %97
-    * fixture convention) hold canonical-form fingerprints
-    * ([[TextFns.fingerprint]]), and every arriving micro-batch is
-    * probed at ingestion, so deleted content re-entering via re-crawl
-    * is counted (and in production dropped) the moment it lands, not
-    * at the next audit. The tombstone store is deletion-request-sized
-    * — KB, not corpus — so the probe legitimately BROADCASTS (the
-    * ContaminationScreen shape; contrast q223, whose corpus-sized
-    * history had to be bucketed instead). The oracle replays batch
-    * membership via the staging NTILE and the identical
-    * fingerprint join.
-    */
-  private def qStreamTombstone(s: SparkSession, dir: String): DataFrame = {
-    val tombstones = t(s, dir, "documents")
-      .filter(col("doc_id") % 97 === 0)
-      .select(TextFns.fingerprint("text").as("fp"))
-    graft.streaming.TombstoneScreen.run(s, s"$dir/documents.parquet",
-      tombstones)
-  }
-
-  /** Incremental gram-history maintenance (q256): the WRITE side of
-    * the q220/q223 bucketed novelty screens — after a crawl is
-    * admitted, its novel grams must enter the stored history WITHOUT
-    * rewriting it (at 100 TB the history is trillions of rows; a
-    * rewrite-per-ingest is a nightly job, an append is a minute). The
-    * arriving split's novel grams (the same merge anti-join the
-    * probes use) APPEND into the bucketed table as new per-bucket
-    * files — the bucket layout is preserved (Spark's bucketed writer
-    * routes appended rows to their gh bucket), so every later probe
-    * still reads the history exchange-free. Output: before/added/
-    * after gram counts plus the re-probe ("recheck_novel", provably 0
-    * — the maintained history now contains the arrivals). The query
-    * clones the shared fixture into its own table first (order
-    * independence: q220/q223 must keep reading the un-maintained
-    * history) — like q206, it IS the maintenance demonstration and
-    * rebuilds per trial.
-    */
-  private def qIncrGramHistory(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val tag = (s.sparkContext.applicationId + "_" + dir)
-      .replaceAll("[^a-zA-Z0-9]", "_")
-    val tbl = s"graft_novhist_incr_$tag"
-    s.table(novHistoryTable(s, dir))
-      .write.mode("overwrite").format("parquet")
-      .partitionBy("ghp")
-      .bucketBy(8, "gh").sortBy("gh").saveAsTable(tbl)
-    val before = s.table(tbl).count()
-    val arriving = graft.streaming.NoveltyMonitor.gramHashes(
-        t(s, dir, "documents").filter(col("doc_id") % 5 === 0))
-      .select("gh").distinct()
-      .transform(snap)
-    // materialize the novel-gram diff BEFORE appending: the anti-join
-    // reads the same catalog table the append writes into, and relying
-    // on Spark's planning-time file-list snapshot is fragile under task
-    // retries / AQE re-listing (a re-list mid-write could double-read
-    // or see its own half-committed output)
-    val novel = arriving
-      .join(s.table(tbl).hint("merge"), Seq("gh"), "left_anti")
-      .transform(snap)
-    // append preserves BOTH layout axes: rows route to their ghp
-    // partition AND their gh bucket as new per-bucket files
-    novel.withColumn("ghp", substring(col("gh"), 1, 1))
-      .write.mode("append").format("parquet")
-      .partitionBy("ghp")
-      .bucketBy(8, "gh").sortBy("gh").saveAsTable(tbl)
-    val after = s.table(tbl).count()
-    val recheck = arriving
-      .join(s.table(tbl).hint("merge"), Seq("gh"), "left_anti").count()
-    Seq(("added", after - before), ("after", after), ("before", before),
-      ("recheck_novel", recheck))
-      .toDF("phase", "n_grams")
-      .orderBy("phase")
-  }
-
-  /** Per-source curation scorecard (q257) — the capstone table a
-    * corpus owner actually reads before a training run: one row per
-    * source with volume (docs, tokens), mean heuristic quality in
-    * exact bp (the E3 formula, quantized floor(q·10⁴+0.5) so the mean
-    * is integer arithmetic), arrival novelty in bp (the q220 bucketed
-    * probe, reused verbatim), and within-source verified near-dup
-    * pairs (the q25 banded MinHash chain at J ≥ 0.5, both endpoints
-    * in the source). Every signal reuses the machinery its dedicated
-    * query gates — the scorecard adds two broadcast-joined rollups,
-    * nothing new moves at scale.
-    */
-  private def qSourceScorecard(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val base = docs
-      .withColumn("__toks", expr("filter(split(text, ' '), t -> t <> '')"))
-      .withColumn("__q", TextFns.qualityScore("text", "__toks"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(size(col("__toks")).cast("long")).as("n_tokens"),
-        sum(expr("cast(floor(__q * 10000.0d + 0.5d) as bigint)"))
-          .as("__qsum"))
-      .withColumn("mean_quality_bp", expr("__qsum div n_docs"))
-    val nov = graft.streaming.NoveltyMonitor.noveltyCounts(s,
-        graft.streaming.NoveltyMonitor.gramHashes(
-          docs.filter(col("doc_id") % 5 === 0)),
-        novHistoryTable(s, dir))
-      .select(col("source"), col("novelty_bp"))
-    val shingled = docs.withColumn("shingles", TextFns.shingles("text", 5))
-      .select("doc_id", "shingles")
-    val sigs = NearDup.minHashSigs(shingled, "doc_id", "shingles", 32, "sig")
-    val cand = NearDup.candidatePairs(
-      NearDup.bandRows(sigs, "doc_id", "sig", 4, 8, 32), "doc_id")
-    val verified = NearDup.jaccard(cand, shingled, "doc_id", "shingles")
-      .filter(col("jaccard") >= 0.5)
-    val dsrc = docs.select(col("doc_id"), col("source"))
-    val dp = verified
-      .join(dsrc.select(col("doc_id").as("id_a"),
-        col("source").as("__sa")), "id_a")
-      .join(dsrc.select(col("doc_id").as("id_b"),
-        col("source").as("__sb")), "id_b")
-      .filter(col("__sa") === col("__sb"))
-      .groupBy(col("__sa").as("source"))
-      .agg(count(lit(1)).as("n_dup_pairs"))
-    base
-      .join(nov, Seq("source"), "left")
-      .join(dp, Seq("source"), "left")
-      .select(col("source"), col("n_docs"), col("n_tokens"),
-        col("mean_quality_bp"),
-        coalesce(col("novelty_bp"), lit(0L)).as("novelty_bp"),
-        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"))
-      .orderBy("source")
-  }
-
-  /** Bot-rate screen over behavioral logs (q258): human users do not
-    * emit 50 events in a minute — training on bot sessions teaches a
-    * model bot behavior, so behavioral corpora screen on the maximum
-    * short-window event rate per user BEFORE sessionization. The rate
-    * is a RANGE-frame window (count over [ms−60000, ms] per user —
-    * event-time, not row-count, so burst density is measured even
-    * through sparse stretches), then one per-user max and the top-20
-    * worst offenders with a fixed superhuman flag (> 30/min). Window
-    * partitions by user (bounded per-user history), top-k is
-    * TakeOrderedAndProject — no global sort at any size.
-    */
-  private def qBotRateScreen(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy("ms").rangeBetween(-60000L, 0L)
-    t(s, dir, "events")
-      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
-      .withColumn("__r", count(lit(1)).over(w))
-      .groupBy("user_id")
-      .agg(count(lit(1)).as("n_events"),
-        max(col("__r")).as("max_rate_60s"))
-      .withColumn("superhuman", col("max_rate_60s") > 30L)
-      .orderBy(col("max_rate_60s").desc, col("user_id"))
-      .limit(20)
-  }
-
-  /** b-bit MinHash estimation audit (q259, the published Li–König
-    * one-bit compression): a 32-hash signature stores 256 bytes per
-    * document; at 100 TB signature storage IS the dedup index's cost,
-    * and b-bit MinHash keeps only the LOW b BITS of each hash — 32×
-    * smaller at b = 1 — at the price of random collisions (half of
-    * all non-matching hashes agree by chance). The estimator corrects
-    * exactly: E[bit match] = (1+J)/2, so Ĵ = 2·(m₁/k) − 1. This audit
-    * computes, per banded candidate pair, the full-signature estimate
-    * and the 1-bit estimate in exact truncating bp (integers — no
-    * cross-engine float risk on either estimator) beside the exact
-    * Jaccard, so the precision cost of 32× compression is MEASURED
-    * (q51-style: the claim ships with its error, never alone). Same
-    * banded chain as q25; only signatures and pair ids shuffle.
-    */
-  private def qBbitMinhash(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .repartition(col("doc_id"))
-      .withColumn("shingles", TextFns.shingles("text", 5))
-      .select("doc_id", "shingles")
-      .transform(snap)
-    val sigs = NearDup.minHashSigs(docs, "doc_id", "shingles", 32, "sig")
-      .transform(snap)
-    val cand = NearDup.candidatePairs(
-      NearDup.bandRows(sigs, "doc_id", "sig", 4, 8, 32), "doc_id")
-    val ests = cand
-      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("__sa")),
-        "id_a")
-      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("__sb")),
-        "id_b")
-      .withColumn("__m32", expr(
-        "size(filter(zip_with(__sa, __sb, (x, y) -> x = y), b -> b))"))
-      .withColumn("__m1", expr(
-        "size(filter(zip_with(__sa, __sb, (x, y) -> x % 2 = y % 2)," +
-          " b -> b))"))
-      .select(col("id_a"), col("id_b"),
-        expr("cast(__m32 * 10000L div 32 as bigint)").as("est32_bp"),
-        expr("cast(2L * __m1 * 10000L div 32 - 10000L as bigint)")
-          .as("est1_bp"))
-    NearDup.jaccard(cand, docs, "doc_id", "shingles")
-      .join(ests, Seq("id_a", "id_b"))
-      .select("id_a", "id_b", "jaccard", "est32_bp", "est1_bp")
-      .orderBy("id_a", "id_b")
-  }
-
-  /** Canonicalization-policy audit (q260): when a near-dup pair
-    * collapses to one representative, WHICH copy survives is a
-    * curation policy — min-id (stable, arbitrary) vs quality-max
-    * (keeps the better copy, the CCNet choice). This audit measures
-    * how often the two policies disagree on the corpus's own verified
-    * pairs (q25's banded chain at J ≥ 0.5): per pair, both endpoint
-    * qualities in exact bp (the E3 formula, quantized), the
-    * quality-max representative (ties break to min id, so the policy
-    * is total), and whether it differs from min-id. Disagreement ≈
-    * half on a quality-uncorrelated corpus; strongly-skewed
-    * disagreement flags quality-correlated duplication (e.g. the
-    * re-crawl is always the truncated copy). Same chain as q25 plus
-    * one broadcast-sized quality lookup join.
-    */
-  private def qCanonPolicy(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val qual = docs
-      .withColumn("__toks", expr("filter(split(text, ' '), t -> t <> '')"))
-      .withColumn("__q", TextFns.qualityScore("text", "__toks"))
-      .select(col("doc_id"),
-        expr("cast(floor(__q * 10000.0d + 0.5d) as bigint)").as("q_bp"))
-    val shingled = docs.repartition(col("doc_id"))
-      .withColumn("shingles", TextFns.shingles("text", 5))
-      .select("doc_id", "shingles")
-      .transform(snap)
-    val sigs = NearDup.minHashSigs(shingled, "doc_id", "shingles", 32, "sig")
-    val cand = NearDup.candidatePairs(
-      NearDup.bandRows(sigs, "doc_id", "sig", 4, 8, 32), "doc_id")
-    NearDup.jaccard(cand, shingled, "doc_id", "shingles")
-      .filter(col("jaccard") >= 0.5)
-      .join(qual.select(col("doc_id").as("id_a"), col("q_bp").as("q_a_bp")),
-        "id_a")
-      .join(qual.select(col("doc_id").as("id_b"), col("q_bp").as("q_b_bp")),
-        "id_b")
-      .withColumn("rep_quality", expr(
-        """case when q_a_bp > q_b_bp then id_a
-          |     when q_b_bp > q_a_bp then id_b
-          |     else least(id_a, id_b) end""".stripMargin))
-      .withColumn("policy_differs",
-        col("rep_quality") =!= least(col("id_a"), col("id_b")))
-      .select("id_a", "id_b", "q_a_bp", "q_b_bp", "rep_quality",
-        "policy_differs")
-      .orderBy("id_a", "id_b")
-  }
-
-  /** IDF-weighted Jaccard rescoring (q261): plain Jaccard counts a
-    * boilerplate shingle ("click here to subscribe") the same as a
-    * rare one, so template-heavy corpora over-merge distinct documents
-    * that share chrome. The weighted form down-weights each shingle by
-    * its corpus document frequency — w(g) = 10⁶ div df(g), exact
-    * integers — and rescores every banded candidate pair: wJ =
-    * Σ_{g∈A∩B} w / Σ_{g∈A∪B} w in truncating bp beside the unweighted
-    * exact J, so pairs held together only by common chrome become
-    * visible (wJ ≪ J). Candidates stay banded-bounded (the q25 chain);
-    * per-pair scoring is ONE merge walk over the two docs' sorted
-    * (gram, weight) arrays
-    * ([[graft.expressions.SortedWeightedIntersectSum]] — the q134
-    * verification discipline): Σ_{A∩B} w comes out of the walk, and
-    * Σ_{A∪B} w = Σ_A w + Σ_B w − Σ_{A∩B} w folds out of per-doc
-    * totals, so NO per-pair gram rows ever shuffle — the df table
-    * joins per-doc ONCE (corpus-gram-sized, not pair-bounded), and the
-    * pair legs carry only the prepacked arrays.
-    */
-  private def qWeightedJaccard(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .repartition(col("doc_id"))
-      .withColumn("shingles", TextFns.shingles("text", 5))
-      .select("doc_id", "shingles")
-      .transform(snap)
-    val grams = docs.select(col("doc_id"), explode(col("shingles")).as("g"))
-    val w = grams.groupBy("g").agg(count(lit(1)).as("__df"))
-      .withColumn("__w", expr("1000000L div __df"))
-    val sigs = NearDup.minHashSigs(docs, "doc_id", "shingles", 32, "sig")
-    val cand = NearDup.candidatePairs(
-        NearDup.bandRows(sigs, "doc_id", "sig", 4, 8, 32), "doc_id")
-      .transform(snap)
-    // per-doc sorted gram array, aligned weights, and total weight —
-    // packed ONLY for candidate members (broadcast semi-join: the
-    // candidate doc set is band-bounded, tiny beside the corpus; a
-    // corpus-wide packing measured 1.6× SLOWER than the per-pair
-    // shuffle it replaced). sort_array on struct orders by the gram,
-    // Spark's binary string order — the walk's contract.
-    val candIds = cand
-      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
-      .distinct()
-    val docW = grams
-      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
-      .join(w.select(col("g"), col("__w")), "g")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("g"), col("__w"))))
-          .as("__gw"),
-        sum("__w").as("__wsum"))
-      .select(col("doc_id"),
-        expr("transform(__gw, x -> x.g)").as("__gs"),
-        expr("transform(__gw, x -> x.__w)").as("__ws"),
-        col("__wsum"))
-      .transform(snap)
-    val weighted = cand
-      .join(docW.select(col("doc_id").as("id_a"), col("__gs").as("__gsa"),
-        col("__ws").as("__wsa"), col("__wsum").as("__suma")), "id_a")
-      .join(docW.select(col("doc_id").as("id_b"), col("__gs").as("__gsb"),
-        col("__wsum").as("__sumb")), "id_b")
-      .withColumn("__num", graft.expressions.SortedWeightedIntersectSum
-        .sum(col("__gsa"), col("__wsa"), col("__gsb")))
-      .withColumn("wjaccard_bp",
-        expr("__num * 10000L div (__suma + __sumb - __num)"))
-      .select("id_a", "id_b", "wjaccard_bp")
-    NearDup.jaccard(cand, docs, "doc_id", "shingles")
-      .join(weighted, Seq("id_a", "id_b"))
-      .select("id_a", "id_b", "jaccard", "wjaccard_bp")
-      .orderBy("id_a", "id_b")
-  }
-
-  /** Byte-budget shard planning (q262): training jobs read
-    * fixed-budget shards, so the export layout question is "which
-    * docs land in which shard when each shard holds ≤ B payload
-    * bytes, in corpus order". Assignment is start-offset sharding:
-    * shard(d) = floor(start_offset(d) / B) with start offsets from
-    * the EXACT distributed running sum ([[Packing.withRunningSum]] —
-    * the range-exchange prefix sum, never a single-task window), the
-    * same discipline the token-budget selection (E145) and packing
-    * (E202) ops use. One prefix sum + one shard rollup; the plan
-    * table is shards-sized metadata at any corpus size.
-    */
-  private def qByteShardPlan(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
-    val cum = graft.ops.Packing.withRunningSum(docs, "__cum", "n_chars",
-      col("doc_id"))
-    cum.withColumn("shard", expr("(__cum - n_chars) div 16384L"))
-      .groupBy("shard")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("n_chars").as("shard_bytes"),
-        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
-      .orderBy("shard")
-  }
-
-  /** Unicode-canonicalization dedup audit (q263,
-    * [[graft.expressions.UnicodeNormalize]]): real crawls carry the
-    * same text precomposed and decomposed (é as U+00E9 or
-    * e + U+0301) — byte-identical to a READER, distinct to a byte-level
-    * fingerprint, so NFD twins evade exact dedup, tombstones, and
-    * boilerplate removal unless the canonical form normalizes first.
-    * This audit PROVES the collapse on planted twins: for every %7 doc,
-    * a precomposed variant (a → U+00E0) and its decomposed equivalent
-    * (a → a + U+0300) enter as separate documents; grouping by the NFC
-    * fingerprint collapses each twin pair into one group whose members
-    * still disagree on the PRE-normalization fingerprint (n_raw_fps =
-    * 2 — the measured evasion the old chain allowed). Scan-local
-    * normalization (JDK UAX #15, already-NFC fast path), one 32-byte-
-    * key group-by — the q24 shape; the oracle replays byte-for-byte
-    * via DuckDB's `nfc_normalize`.
-    */
-  private def qNfcDedup(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
-      .select(col("doc_id"), col("text"))
-    val pre = docs.select((col("doc_id") + 1000000L).as("doc_id"),
-      regexp_replace(col("text"), "a", "\u00e0").as("text"))
-    val dec = docs.select((col("doc_id") + 2000000L).as("doc_id"),
-      regexp_replace(col("text"), "a", "a\u0300").as("text"))
-    docs.unionByName(pre).unionByName(dec)
-      .select(col("doc_id"), TextFns.fingerprint("text").as("fp"),
-        // the pre-normalization (byte-level) fingerprint — kept beside
-        // the canonical one to MEASURE what NFC closed
-        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")
-          .cast("binary")).as("raw_fp"))
-      .groupBy("fp")
-      .agg(count(lit(1)).as("n_docs"),
-        countDistinct("raw_fp").as("n_raw_fps"),
-        min("doc_id").as("first_doc"))
-      .filter(col("n_docs") > 1)
-      .orderBy("first_doc")
-  }
-
-  /** Real JPEG decode audit (q264, [[Multimodal.decodeJpeg]]): the
-    * LOSSY flavor of the q251 javax.imageio seam — JPEG is the format
-    * crawls actually carry, and a lossy codec has no cross-engine bit
-    * contract (DCT quantization is encoder-private, IDCT rounding
-    * decoder-private). So the row ships what IS portable: exact dims
-    * (closed-form) and the per-channel tolerance claim
-    * |decoded − source| ≤ 24 everywhere (measured max 14, min 7 on
-    * this JDK across the full dim/level parameter space — chroma-
-    * subsampling-dominated, the real 4:2:0 cost; the contract adds
-    * ~10 levels of headroom because IDCT rounding is JDK-vendor-
-    * private, so a different vendor could land a few levels higher —
-    * 24 stays far below the vacuous 255 bound) against the
-    * closed-form gradient raster (the q104 within-eps discipline for
-    * approximate ops; the measured error magnitude lives in
-    * `JpegSpec`, which also proves the decode is real — lossy,
-    * nonzero error — not an input echo). Scan-local encode+decode per
-    * task; payloads never shuffle.
-    */
-  private def qJpegDecode(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    implicit val sp: SparkSession = s
-    val media = t(s, dir, "documents")
-      .filter(col("doc_id") % 3 === 0)
-      .select(col("doc_id").cast("long"))
-      .as[Long]
-      .map { id =>
-        Multimodal.MediaRecord(id,
-          Multimodal.encodeJpeg(id, (16 + ((id / 3) % 3) * 8).toInt,
-            (16 + (id % 2) * 8).toInt),
-          "jpg")
-      }
-    Multimodal.decodeJpegFeatures(media, tol = 24).toDF()
-      .orderBy("doc_id")
-  }
-
-  /** Re-encoded-media dedup proof (q265): the end-to-end property
-    * q252 set up — the SAME image re-encoded through a DIFFERENT
-    * codec must deduplicate. Per doc, one closed-form gradient raster
-    * is encoded losslessly (PNG) and lossily (JPEG), both decoded
-    * through the real codecs, both blockhashed on DECODED pixels:
-    * the PNG-leg fingerprint is bit-exact against the closed form
-    * (lossless decode — the oracle replays it in SQL, the q252
-    * discipline), and the JPEG-leg fingerprint lands within 8/60 bits
-    * of it (`reencode_dedups` — the pigeonhole-band match the E187
-    * near-dup screen keys on; measured distances live in `JpegSpec`).
-    * Container bytes differ in EVERY byte across the two legs; the
-    * rasters agree within JPEG tolerance — fingerprinting decoded
-    * pixels is exactly what makes that visible.
-    */
-  private def qReencodeDedup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    implicit val sp: SparkSession = s
-    val ids = t(s, dir, "documents")
-      .filter(col("doc_id") % 3 === 0)
-      .select(col("doc_id").cast("long"))
-      .as[Long]
-    def dims(id: Long) =
-      ((16 + ((id / 3) % 3) * 8).toInt, (16 + (id % 2) * 8).toInt)
-    val png = ids.map { id =>
-      val (w, h) = dims(id)
-      Multimodal.MediaRecord(id, Multimodal.encodeGradientPng(id, w, h), "png")
-    }
-    val jpg = ids.map { id =>
-      val (w, h) = dims(id)
-      Multimodal.MediaRecord(id, Multimodal.encodeJpeg(id, w, h), "jpg")
-    }
-    val hp = Multimodal.blockHash(Multimodal.toRaster(png)).toDF()
-      .select(col("doc_id"), col("fp").as("fp_png"),
-        col("n_bytes").as("n_raster_bytes"))
-    val hj = Multimodal.blockHash(Multimodal.toRaster(jpg)).toDF()
-      .select(col("doc_id"), col("fp").as("__fp_jpg"))
-    hp.join(hj, "doc_id")
-      .select(col("doc_id"), col("n_raster_bytes"), col("fp_png"),
-        (expr("bit_count(fp_png ^ __fp_jpg)") <= 8).as("reencode_dedups"))
-      .orderBy("doc_id")
-  }
-
-  /** Canonicalization-aware near-dup (q266): the E258 canonical form
-    * carried into the MINHASH chain — raw character shingles treat a
-    * case-flipped, Unicode-recomposed re-crawl as a DIFFERENT document
-    * (every shingle containing the perturbed bytes changes, J ≈ 0),
-    * so the q25 screen structurally misses re-crawls that differ only
-    * in formatting. Shingling the canonical text (NFC + lower + ws
-    * collapse) closes it. Proven on planted twins: per %13 doc, two
-    * variants of the same content — one with precomposed é (U+00E9),
-    * one UPPER-cased with decomposed E+U+0301 — whose canonical forms
-    * are IDENTICAL while their raw forms share almost nothing. The
-    * canon-shingle chain verifies each twin pair at J = 1; the exact
-    * raw-shingle Jaccard ships beside it in exact bp, measuring what
-    * the raw chain would have seen (≈ 0). Same banded cost class as
-    * q25 over 1.15× the docs; the raw-J rescoring is pair-bounded.
-    */
-  private def qCanonNearDup(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val planted = docs.filter(col("doc_id") % 13 === 0)
-    // twin A: lower-cased, e → precomposed é; twin B: the SAME
-    // abstract text UPPER-cased with the DECOMPOSED e + U+0301 —
-    // canonical forms identical, raw bytes disjoint wherever an e/E
-    // or any letter sits (explicit escapes: literals recompose)
-    val a = planted.select((col("doc_id") + 1000000L).as("doc_id"),
-      regexp_replace(lower(col("text")), "e", "\u00e9").as("text"))
-    val b = planted.select((col("doc_id") + 2000000L).as("doc_id"),
-      upper(regexp_replace(lower(col("text")), "e", "e\u0301")).as("text"))
-    val texts = docs.unionByName(a).unionByName(b)
-    val corpus = texts
-      .repartition(col("doc_id"))
-      .withColumn("__canon", regexp_replace(lower(trim(
-        graft.expressions.UnicodeNormalize.nfc(col("text")))),
-        "\\s+", " "))
-      .select(col("doc_id"), TextFns.shingles("__canon", 5)
-        .as("canon_shingles"))
-      .transform(snap)
-    val sigs = NearDup.minHashSigs(corpus, "doc_id", "canon_shingles",
-      32, "sig")
-    val cand = NearDup.candidatePairs(
-      NearDup.bandRows(sigs, "doc_id", "sig", 4, 8, 32), "doc_id")
-    val canonJ = NearDup.jaccard(cand,
-        corpus.select(col("doc_id"), col("canon_shingles").as("shingles")),
-        "doc_id", "shingles")
-      .filter(col("jaccard") >= 0.5)
-      .withColumnRenamed("jaccard", "jaccard_canon")
-      .transform(snap)
-    // raw shingles ONLY for verified-pair members (broadcast semi-join
-    // — the q261 lesson: corpus-wide array packing loses when the
-    // pair set is small, and at any scale the rescore needs exactly
-    // the members)
-    val members = canonJ
-      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
-      .distinct()
-    val raw = texts
-      .join(broadcast(members), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), TextFns.shingles("text", 5)
-        .as("raw_shingles"))
-    canonJ
-      .join(raw.select(col("doc_id").as("id_a"),
-        col("raw_shingles").as("__ra")), "id_a")
-      .join(raw.select(col("doc_id").as("id_b"),
-        col("raw_shingles").as("__rb")), "id_b")
-      .withColumn("jaccard_raw_bp", expr(
-        """size(array_intersect(__ra, __rb)) * 10000L
-          | div (size(__ra) + size(__rb)
-          |      - size(array_intersect(__ra, __rb)))""".stripMargin))
-      .select("id_a", "id_b", "jaccard_canon", "jaccard_raw_bp")
-      .orderBy("id_a", "id_b")
-  }
-
-  /** The q267 media fixture: every %3 doc's gradient raster as a real
-    * PNG payload, staged once per (session, dir) — the stored media
-    * table a streaming ingest reads.
-    */
-  private val mediaFileCache = scala.collection.mutable.Map
-    .empty[(String, String), String]
-
-  private def mediaParquetPath(s: SparkSession, dir: String): String =
-    sessionFixture(mediaFileCache, s, dir) {
-      import s.implicits._
-      val tag = (s.sparkContext.applicationId + "_" + dir)
-        .replaceAll("[^a-zA-Z0-9]", "_")
-      val path = graft.Scratch.register(
-        s"${System.getProperty("java.io.tmpdir")}/graft_media_$tag")
-      t(s, dir, "documents")
-        .filter(col("doc_id") % 3 === 0)
-        .select(col("doc_id").cast("long")).as[Long]
-        .map { id =>
-          (id, Multimodal.encodeGradientPng(id,
-            (16 + ((id / 3) % 3) * 8).toInt, (16 + (id % 2) * 8).toInt))
-        }
-        .toDF("doc_id", "payload")
-        .write.mode("overwrite").parquet(path)
-      path
-    }
-
-  /** Streaming media ingestion gate (q267,
-    * [[graft.streaming.MediaScreen]]): the q255 tombstone discipline
-    * pointed at BINARY payloads — every arriving micro-batch's media
-    * is decoded through the real codec and blockhashed on DECODED
-    * pixels, then probed against a known-bad perceptual blocklist
-    * (removal-request media, broadcast-sized) at ingestion — a
-    * pigeonhole NEAR-match (band join + hamming ≤ 8 verify; exact-fp
-    * equality would miss ~38% of re-encodes, see [[MediaScreen]]).
-    * Because the fingerprint is computed on rasters, a blocklisted
-    * image RE-ENCODED through a different codec still matches (the
-    * q265 property, enforced live — spec-proved with an actual JPEG
-    * re-encode of blocklisted media). The oracle replays the
-    * closed-form gradient blockhash, the staging NTILE, and the
-    * identical band + hamming probe.
-    */
-  private def qStreamMediaScreen(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    implicit val sp: SparkSession = s
-    // blocklist: removal requests for the %41 media docs — fingerprints
-    // computed through the SAME real decode path (request media is
-    // media); broadcast-sized by nature
-    val blocked = t(s, dir, "documents")
-      .filter(col("doc_id") % 3 === 0 && col("doc_id") % 41 === 0)
-      .select(col("doc_id").cast("long")).as[Long]
-      .map { id =>
-        Multimodal.MediaRecord(id, Multimodal.encodeGradientPng(id,
-          (16 + ((id / 3) % 3) * 8).toInt, (16 + (id % 2) * 8).toInt),
-          "png")
-      }
-    val blockedFps = Multimodal.blockHash(Multimodal.toRaster(blocked))
-      .toDF().select(col("fp")).transform(snap)
-    graft.streaming.MediaScreen.run(s, mediaParquetPath(s, dir),
-      blockedFps)
-  }
-
-  /** Winnowing pairwise similarity (q268) — the MOSS use of the E208
-    * machinery: q214 counts how many documents repeat a fingerprint;
-    * this asks WHICH PAIRS share many — the plagiarism/near-copy
-    * ranking, with the guarantee that any shared character run ≥
-    * L+w−1 (37 chars) contributes to the pair's score. Pairs come
-    * from a self-join WITHIN fingerprint groups, df-capped to
-    * [2, 50] (the q64 discipline: singleton fingerprints pair with
-    * nothing; >50-doc fingerprints are boilerplate mass that belongs
-    * to q214's audit, and the cap bounds candidate volume by
-    * Σ df² ≤ 50·Σ df — linear in selected fingerprints). Selection is
-    * the native scan-local [[graft.expressions.WinnowSelect]] pass;
-    * only (gram, id) rows shuffle.
-    */
-  private def qWinnowPairs(s: SparkSession, dir: String): DataFrame = {
-    val sel = Winnowing.selectedGrams(t(s, dir, "documents"),
-      "doc_id", "text", l = 30, w = 8)
-    val df = sel.groupBy("gram").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= 2 && col("__df") <= 50)
-    val rare = sel.join(df.select("gram"), "gram").transform(snap)
-    rare.select(col("gram"), col("doc_id").as("id_a"))
-      .join(rare.select(col("gram"), col("doc_id").as("id_b")), "gram")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("n_shared_fps"))
-      .orderBy(col("n_shared_fps").desc, col("id_a"), col("id_b"))
-      .limit(20)
-  }
-
-  /** Repetition-loop screen (q269): machine-generated and
-    * scrape-corrupted text loops — the same token run repeating with
-    * a short period — and training on it teaches the loop. The signal
-    * is the lag-L token self-match rate: for L in 1..10, the fraction
-    * of positions i with t(i) = t(i+L), maxed over lags (ties →
-    * smallest lag) in exact bp. A looping document scores near 10⁴ at
-    * its period; natural prose sits low (function-word recurrence).
-    * Entirely scan-local — one O(tokens · 10) pass per document over
-    * a Generate-materialized token array (the CollapseProject-
-    * inlining trap: an ALIAS referenced in a HOF lambda re-splits the
-    * document per lambda call — `explode(array(...))` pins it once,
-    * the q246 lesson). Top-20 worst + the screen flag.
-    */
-  private def qRepetitionLoop(s: SparkSession, dir: String): DataFrame = {
-    t(s, dir, "documents")
-      .select(col("doc_id"), explode(expr(
-        "array(filter(split(text, ' '), t -> t <> ''))")).as("tk"))
-      .filter(size(col("tk")) > 10)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, 10), L -> named_struct(
-          |  'lag', cast(L as bigint),
-          |  'bp', aggregate(sequence(1, size(tk) - L), 0L,
-          |          (a, i) -> a + if(element_at(tk, i) =
-          |                           element_at(tk, i + L), 1L, 0L))
-          |        * 10000L div cast(size(tk) - L as bigint)))"""
-          .stripMargin)).as("r"))
-      .groupBy("doc_id")
-      .agg(min(struct((-col("r.bp")).as("nbp"), col("r.lag").as("lag")))
-        .as("__m"))
-      .select(col("doc_id"), (-col("__m.nbp")).as("max_lag_bp"),
-        col("__m.lag").as("best_lag"))
-      .withColumn("looped", col("max_lag_bp") >= 3000L)
-      .orderBy(col("max_lag_bp").desc, col("doc_id"))
-      .limit(20)
-  }
-
-  /** Vocabulary-growth curve (q270) — the Heaps-law crawl-health
-    * audit: a healthy crawl keeps discovering new grams at a
-    * power-law rate; a curve that flattens early says the crawler is
-    * re-fetching (the batch-level signal q220/q223 monitor, read as a
-    * corpus-order CURVE). Per corpus-order decile — the CLOSED-FORM
-    * id-range rule decile = id·10 div n + 1 off one metadata count,
-    * never an NTILE (a global-order window is one task at any scale) —
-    * count the grams whose FIRST occurrence falls in that decile.
-    * First-occurrence is one partial-agg min(doc_id) per gram (32-byte
-    * hashes only) with the decile derived SCAN-LOCALLY from it; the
-    * running cumulative runs on the 10-row curve, metadata-sized by
-    * construction. Nothing here outgrows the q220 gram-rollup shape
-    * at 100 TB.
-    */
-  private def qVocabGrowth(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val n = docs.count()
-    // integer division on purpose (Column./ is double division)
-    val decileExpr = expr(s"doc_id * 10 div ${n}L + 1")
-    val firstSeen = docs
-      .select(col("doc_id"), split(col("text"), " ").as("__toks"))
-      .select(col("doc_id"),
-        explode(Contamination.wordGrams("__toks", 3)).as("__g"))
-      .select(col("doc_id"), md5(col("__g")).as("gh"))
-      .groupBy("gh").agg(min("doc_id").as("doc_id"))
-    val perDecile = firstSeen
-      .select(decileExpr.as("decile"))
-      .groupBy("decile")
-      .agg(count(lit(1)).as("n_new_grams"))
-      .join(docs.select(decileExpr.as("decile"))
-          .groupBy("decile").agg(count(lit(1)).as("n_docs")),
-        Seq("decile"), "right")
-      .select(col("decile"), col("n_docs"),
-        coalesce(col("n_new_grams"), lit(0L)).as("n_new_grams"))
-    // 10-row curve: the running-sum window is metadata-sized
-    perDecile
-      .withColumn("cum_grams", sum("n_new_grams").over(
-        org.apache.spark.sql.expressions.Window.orderBy("decile")
-          .rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding, 0)))
-      .orderBy("decile")
-  }
-
-  /** Dedup impact report (q271) — the prioritization table a corpus
-    * owner reads before choosing which screens to run: per screen, its
-    * INDEPENDENT impact on the raw corpus (docs affected, tokens
-    * removed, removal share in exact bp of total tokens). Independent
-    * on purpose — "what would this screen alone remove" is the number
-    * screens are prioritized on; pipeline-order composition is a
-    * different question with order-dependent answers. Three screens,
-    * each reusing its dedicated query's machinery verbatim:
-    * `exact` = non-representatives of NFC-fingerprint groups (q24's
-    * key, min-id representative — whole docs); `near_dup` = the larger
-    * id of every q25-verified pair at J ≥ 0.5 (the drop-the-re-crawl
-    * greedy — whole docs); `paragraph` = dropped duplicate paragraphs
-    * inside kept docs (q101's decisions — PARTIAL removal, tokens of
-    * the dropped paragraphs only). One corpus scan per leg plus the
-    * q25 chain; three 1-row aggregates union into the 3-row report.
-    */
-  private def qDedupImpact(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val toks = docs.select(col("doc_id"), col("text"),
-        expr("cast(size(filter(split(text, ' '), t -> t <> '')) " +
-          "as bigint)").as("n_toks"))
-      .transform(snap)
-    val total = toks.agg(sum("n_toks")).head().getLong(0)
-    def row(screen: String, affected: DataFrame) = affected
-      .agg(count(lit(1)).as("n_docs_affected"),
-        coalesce(sum("__removed"), lit(0L)).as("n_tokens_removed"))
-      .select(lit(screen).as("screen"), col("n_docs_affected"),
-        col("n_tokens_removed"),
-        expr(s"n_tokens_removed * 10000L div ${total}L")
-          .as("removed_bp"))
-    val fps = toks.select(col("doc_id"), col("n_toks").as("__removed"),
-      TextFns.fingerprint("text").as("fp"))
-    val exact = fps
-      .join(fps.groupBy("fp").agg(min("doc_id").as("__rep")), "fp")
-      .filter(col("doc_id") =!= col("__rep"))
-    val shingled = docs.repartition(col("doc_id"))
-      .withColumn("shingles", TextFns.shingles("text", 5))
-      .select("doc_id", "shingles")
-      .transform(snap)
-    val sigs = NearDup.minHashSigs(shingled, "doc_id", "shingles", 32,
-      "sig")
-    val cand = NearDup.candidatePairs(
-      NearDup.bandRows(sigs, "doc_id", "sig", 4, 8, 32), "doc_id")
-    val ndRemoved = NearDup.jaccard(cand, shingled, "doc_id", "shingles")
-      .filter(col("jaccard") >= 0.5)
-      .select(col("id_b").as("doc_id")).distinct()
-      .join(toks.select(col("doc_id"),
-        col("n_toks").as("__removed")), "doc_id")
-    val paras = ParagraphDedup.paragraphs(docs, "doc_id", "text", 20)
-      .withColumn("__pt", expr(
-        "cast(size(filter(split(para, ' '), t -> t <> '')) as bigint)"))
-    val dropped = ParagraphDedup.decisions(docs, "doc_id", "text", 20)
-      .filter(!col("keep"))
-      .join(paras, Seq("doc_id", "par_idx"))
-      .groupBy("doc_id").agg(sum("__pt").as("__removed"))
-    row("exact", exact)
-      .unionByName(row("near_dup", ndRemoved))
-      .unionByName(row("paragraph", dropped))
-      .orderBy("screen")
-  }
-
-  /** Decontamination certificate (q272) — the per-eval-document
-    * verdict an eval set ships with: each of the three independent
-    * contamination screens' signal in ONE row, so "this benchmark is
-    * clean against this corpus" is a table, not a claim. Legs, each
-    * its dedicated query's machinery verbatim: `n_shared_grams` =
-    * the eval doc's distinct word-3-grams present anywhere in the
-    * corpus (q53/q220's gram idiom — catches verbatim spans),
-    * `n_shared_fps` = its winnowing fingerprints selected anywhere in
-    * the corpus (q222 — catches PARTIAL verbatim runs ≥ 37 chars
-    * inside paraphrase), `exact_canon_hit` = its NFC canonical
-    * fingerprint present verbatim (q242/q263 — catches reformatting
-    * and Unicode tricks). `contaminated` ORs the three at the
-    * documented thresholds (≥ 5 shared grams, ≥ 1 shared fingerprint,
-    * any exact hit). Eval side is benchmark-sized; every leg is a
-    * semi-join of hashes/grams against corpus-side distinct sets —
-    * the corpus is scanned, never pairwise-compared.
-    */
-  private def qDecontamCertificate(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val evalDocs = docs.filter(col("doc_id") % 50 === 0)
-    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
-    def grams(df: DataFrame) = df
-      .select(col("doc_id"), split(col("text"), " ").as("__toks"))
-      .select(col("doc_id"),
-        explode(Contamination.wordGrams("__toks", 3)).as("g"))
-    val legA = grams(evalDocs)
-      .join(grams(corpus).select("g").distinct(), Seq("g"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
-    val legB = Winnowing.selectedGrams(evalDocs, "doc_id", "text", 30, 8)
-      .join(Winnowing.selectedGrams(corpus, "doc_id", "text", 30, 8)
-        .select("gram").distinct(), Seq("gram"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_fps"))
-    val legC = evalDocs
-      .select(col("doc_id"), TextFns.fingerprint("text").as("fp"))
-      .join(corpus.select(TextFns.fingerprint("text").as("fp"))
-        .distinct().withColumn("__h", lit(true)), Seq("fp"), "left")
-      .select(col("doc_id"),
-        coalesce(col("__h"), lit(false)).as("exact_canon_hit"))
-    evalDocs.select("doc_id")
-      .join(legA, Seq("doc_id"), "left")
-      .join(legB, Seq("doc_id"), "left")
-      .join(legC, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
-        coalesce(col("n_shared_fps"), lit(0L)).as("n_shared_fps"),
-        col("exact_canon_hit"))
-      .withColumn("contaminated",
-        col("n_shared_grams") >= 5L || col("n_shared_fps") >= 1L ||
-          col("exact_canon_hit"))
-      .orderBy("doc_id")
-  }
-
-  /** Semantic contamination screen (q273): the axis the lexical
-    * certificate (q272) cannot see — a translated or fully-paraphrased
-    * eval item shares no grams, no winnowing fingerprints, and no
-    * canonical fingerprint with its source, but its EMBEDDING sits
-    * next to it. Per eval vector (%50 split), the exact top-1 cosine
-    * against the corpus side (the q28 integer-quantized brute-force —
-    * the EXACT baseline, the q51 discipline: approximate indexes are
-    * judged against this; at corpus scale the probe side swaps to the
-    * IVF/stored-model path, q37/q129) with the flag at ≥ 0.3 (~p99.9
-    * of this corpus's pairwise cosine — the qCosineNearDup threshold
-    * note). Eval side is benchmark-sized and broadcasts; the corpus
-    * is scanned once.
-    */
-  private def qSemanticContam(s: SparkSession, dir: String): DataFrame = {
-    val base = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
-    Similarity.bruteForceTopK(
-        base.filter(col("vec_id") % 50 =!= 0),
-        base.filter(col("vec_id") % 50 === 0), "vec_id", 1)
-      .select(col("query_id"), col("neighbor_id"), col("sim"))
-      .withColumn("flagged", col("sim") >= 0.3)
-      .orderBy("query_id")
-  }
-
-  /** Canonical cluster resolution, quality-max policy APPLIED (q274):
-    * q260 AUDITS the policy pairwise; this applies it through the
-    * actual dedup clusters — per connected component (the q71/q216 CC
-    * over 3-gram-Jaccard pairs, the stored [[fullClusterLabels]]
-    * fixture), the member that SURVIVES under quality-max (exact bp,
-    * ties to min id — the policy is total) beside the min-id label,
-    * with the disagreement flag. This is the table the rewrite job
-    * reads: one row per cluster, the kept doc named. One broadcast-
-    * scale quality join onto the label table + one argmax aggregate
-    * (max over struct(q_bp, −id) — no window); labels are
-    * cluster-member-sized, never corpus-sized.
-    */
-  private def qCanonResolution(s: SparkSession, dir: String): DataFrame = {
-    val qual = t(s, dir, "documents")
-      .withColumn("__toks", expr("filter(split(text, ' '), t -> t <> '')"))
-      .withColumn("__q", TextFns.qualityScore("text", "__toks"))
-      .select(col("doc_id").as("node"),
-        expr("cast(floor(__q * 10000.0d + 0.5d) as bigint)").as("q_bp"))
-    fullClusterLabels(s, dir)
-      .join(qual, "node")
-      .groupBy("cluster_rep")
-      .agg(count(lit(1)).as("n_members"),
-        max(struct(col("q_bp"), (-col("node")).as("negid"))).as("__m"))
-      .select(col("cluster_rep"), col("n_members"),
-        (-col("__m.negid")).as("rep_quality_max"),
-        col("__m.q_bp").as("rep_q_bp"))
-      .withColumn("policy_differs",
-        col("rep_quality_max") =!= col("cluster_rep"))
-      .orderBy("cluster_rep")
-  }
-
-  private val semDedupCache = scala.collection.mutable.Map
-    .empty[(String, String), (String, String)]
-
-  /** Stored semantic-dedup artifacts for the STREAMING screen (q276):
-    * the cell centroids (via [[ModelStore]]) and the history side's
-    * cell ASSIGNMENTS (parquet), trained/written once per (session,
-    * corpus) from the q103 history split (vec_id % 3 ≠ 0, the exact
-    * q103 training set — zero-norm rows included in training, excluded
-    * from the stored probe side, mirroring q103's calls). This is the
-    * "in production the centroids and history assignments are the
-    * stored artifact" shape q103's scaladoc names, made real: the
-    * stream's per-batch work LOADS both and re-trains nothing.
-    */
-  private def semDedupPaths(s: SparkSession, dir: String): (String, String) =
-    sessionFixture(semDedupCache, s, dir) {
-      val hist = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
-        .filter(col("vec_id") % 3 =!= 0)
-      val cs = KMeans.fitCentroids(hist, "vec_id", 8, 2)
-      val tag = (s.sparkContext.applicationId + "_" + dir)
-        .replaceAll("[^a-zA-Z0-9]", "_")
-      val tmp = System.getProperty("java.io.tmpdir")
-      val cPath = graft.Scratch.register(s"$tmp/graft_semdedup_coarse_$tag")
-      val hPath = graft.Scratch.register(s"$tmp/graft_semdedup_hist_$tag")
-      ModelStore.saveCentroids(s, cPath, cs)
-      KMeans.assignTo(hist, "vec_id", cs)
-        .filter(col("qn") > 0)
-        .select(col("vec_id").as("hist_id"), col("cluster"), col("qv"),
-          col("qn"))
-        .write.mode("overwrite").parquet(hPath)
-      (cPath, hPath)
-    }
-
-  /** Streaming semantic-dedup screen (q276,
-    * [[graft.streaming.SemanticDedupScreen]]): q103's incremental
-    * semantic dedup as the LIVE ingestion gate — arriving embedding
-    * micro-batches (vec_id ≡ 0 mod 3, staged in 3 chunks) assigned to
-    * the STORED cell model scan-locally, probed against the STORED
-    * in-cell history assignments with the codegen'd integer dot,
-    * verdicts appended under the versioned-store replay rule.
-    * Batches are disjoint and probe only the static history, so the
-    * streamed fold is row-identical to q103 — the oracle is SHARED
-    * verbatim (the q57/q70 stream≡batch discipline), and
-    * `SemanticDedupScreenSpec` drives the stop → arrivals → restart
-    * resume plus replay idempotence.
-    */
-  private def qStreamSemanticDedup(s: SparkSession, dir: String): DataFrame = {
-    val (cPath, hPath) = semDedupPaths(s, dir)
-    SemanticDedupScreen.run(s, s"$dir/embeddings.parquet",
-      ModelStore.loadCentroids(s, cPath), s.read.parquet(hPath),
-      batchFilter = col("vec_id") % 3 === 0)
-  }
-
-  /** Self-extending streaming semantic dedup (q281,
-    * [[SemanticDedupScreen.runGrowing]]): q276 probes a STATIC stored
-    * history — the audit shape; a continuously-ingesting pipeline
-    * needs the state to GROW, or a near-dup between two arrivals an
-    * hour apart slips through because neither is "history" yet (the
-    * q128/q130 incremental-fold discipline on the semantic axis).
-    * Each micro-batch probes the stored history PLUS every earlier
-    * batch's arrivals (read-below-own-id: versions < batchId) PLUS
-    * its own batch's other members (lower id as the other side —
-    * co-arriving near-dups are the likeliest re-fetch form and no
-    * earlier state could surface them), then appends its own cell
-    * assignments as version batchId — a replayed batch sees the
-    * identical predecessor state and rewrites exactly its own two
-    * versions. Batch broadcast, probe side read in place; per-batch
-    * cost grows only with arrival volume, exactly as the production
-    * store does. The oracle replays the ENTIRE fold closed-form: the
-    * staging NTILE defines batch membership, hist rows rank strictly
-    * earlier than every arrival, and a pair (a, other) emits iff
-    * other's batch < a's, or batches are equal and other's id is
-    * lower — so the streamed verdict set equals one SQL join over
-    * the ordered inventory.
-    */
-  private def qStreamSemanticDedupGrow(s: SparkSession,
-      dir: String): DataFrame = {
-    val (cPath, hPath) = semDedupPaths(s, dir)
-    SemanticDedupScreen.runGrowing(s, s"$dir/embeddings.parquet",
-      ModelStore.loadCentroids(s, cPath), s.read.parquet(hPath),
-      batchFilter = col("vec_id") % 3 === 0)
-  }
-
-  private val driftGateCache = scala.collection.mutable.Map
-    .empty[(String, String), (String, String)]
-
-  /** Stored artifacts for the streaming drift gate (q282): the
-    * BASELINE hashed-bucket distribution (trained from the accepted
-    * corpus slice doc_id % 5 ≠ 0 on RAW text, persisted as a
-    * ≤ 256-row parquet — the model-store shape) and the staged SOURCE
-    * with the planted bad crawl: every document in the LAST staging
-    * batch (doc_id ≥ ⌈2n/3⌉ — exactly NTILE(3)'s third group over the
-    * contiguous 0-based ids, so the plant lands in one whole batch)
-    * has its vowels deterministically corrupted — the
-    * encoding-rot/spam-flood class a live gate exists to catch, with
-    * the token stream pushed onto disjoint hash buckets.
-    */
-  private def driftGatePaths(s: SparkSession, dir: String): (String, String) =
-    sessionFixture(driftGateCache, s, dir) {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val n = docs.count()
-      val boundary = (2L * n + 2L) / 3L
-      val tag = (s.sparkContext.applicationId + "_" + dir)
-        .replaceAll("[^a-zA-Z0-9]", "_")
-      val tmp = System.getProperty("java.io.tmpdir")
-      val srcPath = graft.Scratch.register(s"$tmp/graft_driftsrc_$tag")
-      val basePath = graft.Scratch.register(s"$tmp/graft_driftbase_$tag")
-      docs.select(col("doc_id"),
-          when(col("doc_id") >= boundary,
-            regexp_replace(col("text"), "[aeiou]", "0"))
-            .otherwise(col("text")).as("text"))
-        .coalesce(1).write.mode("overwrite").parquet(srcPath)
-      val counts = docs.filter(col("doc_id") % 5 =!= 0)
-        .select(explode(expr(
-          "filter(split(text, ' '), t -> t <> '')")).as("__w"))
-        .select(expr("cast(conv(substring(md5(__w), 1, 8), 16, 10) " +
-          "as bigint) % 256").as("bucket"))
-        .groupBy("bucket").agg(count(lit(1)).as("__c"))
-      counts
-        .crossJoin(broadcast(counts.agg(sum("__c").as("__n"))))
-        .select(col("bucket"), expr("__c * 1000000 div __n").as("ppm"))
-        .coalesce(1).write.mode("overwrite").parquet(basePath)
-      (srcPath, basePath)
-    }
-
-  /** Streaming distribution-drift gate (q282,
-    * [[graft.streaming.DriftGate]]): the q232 vocabulary-drift audit
-    * deployed LIVE against a STORED baseline — the last monitoring
-    * primitive without a live form (novelty/rate/CUSUM/LM/media/
-    * tombstones all gate arrivals already). Arrivals (doc_id % 5 = 0,
-    * staged in 3 batches) project onto 256 hashed vocabulary buckets
-    * scan-locally; per batch, the exact-integer TV drift in ppm
-    * against the stored baseline plus the alert verdict at 150,000
-    * ppm. The fixture plants a bad crawl in exactly the LAST batch
-    * (vowel corruption — disjoint hash buckets): batches 1–2 sit at
-    * the sampling-noise floor (~45–70k ppm, alert false) and batch 3
-    * alerts — the gate genuinely separates noise from rot. The
-    * oracle replays batch membership via the staging NTILE, the
-    * corruption boundary closed-form (⌈2n/3⌉ over contiguous ids),
-    * and the whole ppm arithmetic in integers.
-    */
-  private def qStreamDriftGate(s: SparkSession, dir: String): DataFrame = {
-    val (srcPath, basePath) = driftGatePaths(s, dir)
-    graft.streaming.DriftGate.run(s, srcPath,
-      s.read.parquet(basePath), buckets = 256, alertPpm = 150000L,
-      docFilter = col("doc_id") % 5 === 0)
-  }
-
-  /** Semantic contamination at corpus scale (q275): q273's screen
-    * re-expressed over the STORED IVF coarse model (q129's artifact —
-    * [[annModelPaths]] trains k=8/iters=2 once per session and
-    * persists; scoring LOADS the centroids and folds them in as plan
-    * literals), with the approximation MEASURED against q273's exact
-    * flag set — the q51/q59/q113 discipline: no approximate path
-    * ships without its recall number. Corpus vectors assign to their
-    * one cell SCAN-LOCALLY ([[KMeans.assignTo]] — centroids are plan
-    * literals, no join); each eval vector probes its `nprobe` = 2
-    * nearest cells (exact integer L2 against the 8 broadcast cell
-    * rows); the fine search is the exact integer cosine top-1 within
-    * probed cells only. Probe cost per eval item: nprobe/k of the
-    * corpus (~n/4 here) instead of n — at 100 TB the inverted lists
-    * are the only thing read. One summary row: eval/flag counts for
-    * both paths, `flag_recall` (of the exact screen's flagged items,
-    * the share the probed screen also flags — the number that says
-    * whether the cheap screen is safe to deploy) and `top1_recall`.
-    * The probed top-1 sim is ≤ the exact top-1 sim by construction
-    * (subset max), so the probed flag set can only under-flag — recall
-    * is the one-sided risk, and both gates recompute it from scratch
-    * (the oracle retrains the coarse model in SQL, so stored-model
-    * scoring ≡ inline-trained scoring stays proven, the q129 chain).
-    * The stored model is the session's corpus-wide artifact
-    * ([[annModelPaths]] — deliberately SHARED with q113/q115/q129, the
-    * one-registry discipline); eval vectors being in the coarse
-    * TRAINING set moves centroids slightly but leaks nothing a screen
-    * could exploit — cells carry no labels, and both the corpus
-    * assignment and the probe read only geometry. The oracle trains
-    * on the identical set, so the comparison is apples-to-apples.
-    */
-  private def qSemanticContamIvf(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val nprobe = 2
-    val prep = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
-      .filter(col("qn") > 0).transform(snap)
-    val coarse = ModelStore.loadCentroids(s, annModelPaths(s, dir)._1)
-    val corpus = KMeans
-      .assignTo(prep.filter(col("vec_id") % 50 =!= 0), "vec_id", coarse)
-      .select(col("vec_id").as("neighbor_id"), col("cluster").as("cell"),
-        col("qv").as("__qvb"), col("qn").as("__qnb"))
-    val evalQ = prep.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("query_id"), col("qv").as("__qva"),
-        col("qn").as("__qna"))
-    // the 8 cell rows (64 longs each) — metadata-sized, broadcast
-    val cells = coarse.zipWithIndex.toSeq
-      .map { case (c, j) => (j.toLong, c.toSeq, c.map(x => x * x).sum) }
-      .toDF("cell", "__c", "__cn")
-    val wCoarse = Window.partitionBy("query_id")
-      .orderBy(col("__d").asc, col("cell").asc)
-    val probed = evalQ.crossJoin(broadcast(cells))
-      .withColumn("__d", col("__qna")
-        - lit(2L) * Similarity.dot(col("__c"), col("__qva")) + col("__cn"))
-      .withColumn("__rn", row_number().over(wCoarse))
-      .filter(col("__rn") <= nprobe)
-      .select("query_id", "__qva", "__qna", "cell")
-    val wFine = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    val ivfTop1 = probed.join(corpus, Seq("cell"))
-      .withColumn("sim", Similarity.cosine(col("__qva"), col("__qvb"),
-        col("__qna"), col("__qnb")))
-      .withColumn("__rn", row_number().over(wFine))
-      .filter(col("__rn") === 1)
-      .select(col("query_id"), col("neighbor_id").as("ivf_neighbor"),
-        col("sim").as("ivf_sim"))
-    val exact = Similarity.bruteForceTopK(
-        prep.filter(col("vec_id") % 50 =!= 0),
-        prep.filter(col("vec_id") % 50 === 0), "vec_id", 1)
-      .select(col("query_id"), col("neighbor_id"), col("sim"))
-    exact.join(ivfTop1, Seq("query_id"), "left")
-      .agg(count(lit(1)).as("n_eval"),
-        sum(when(col("sim") >= 0.3, 1L).otherwise(0L))
-          .as("n_flagged_exact"),
-        sum(when(col("ivf_sim") >= 0.3, 1L).otherwise(0L))
-          .as("n_flagged_ivf"),
-        sum(when(col("sim") >= 0.3 && col("ivf_sim") >= 0.3, 1L)
-          .otherwise(0L)).as("n_flag_hits"),
-        sum(when(col("neighbor_id") === col("ivf_neighbor"), 1L)
-          .otherwise(0L)).as("n_top1_hits"))
-      .select(lit("ivf_semantic").as("method"),
-        lit(nprobe.toLong).as("nprobe"), col("n_eval"),
-        col("n_flagged_exact"), col("n_flagged_ivf"), col("n_flag_hits"),
-        when(col("n_flagged_exact") === 0L, lit(1.0))
-          .otherwise(col("n_flag_hits").cast("double")
-            / col("n_flagged_exact").cast("double")).as("flag_recall"),
-        (col("n_top1_hits").cast("double") / col("n_eval").cast("double"))
-          .as("top1_recall"))
-  }
-
-  /** Image–caption PAIR curation (q277): the LAION-class multimodal
-    * step — (media, caption) is the curation UNIT, and the interesting
-    * dup is "same image, different caption": per media doc (%3 split,
-    * the q264/q265 corpus), a twin unit carries the SAME raster
-    * re-encoded through a DIFFERENT codec (PNG vs JPEG — every
-    * container byte differs) and a deterministically REWORDED caption.
-    * The pair dedups on the RASTER axis — blockhash of DECODED pixels
-    * (q252/q265: the container is encoder-private, the raster is the
-    * image), candidates from the q267 band-equality probe (4×15-bit
-    * bands; hamming ≤ 8 verify) — while the CAPTION axis disagrees
-    * (NFC-canonical fingerprints differ, q263), so a keep decision is
-    * forced: the q274 quality-max policy at pair granularity (exact
-    * quality bp over the caption, ties to min id). One row per planted
-    * pair: the replayable PNG-leg fingerprint (q252 discipline), the
-    * band+hamming raster verdict (TRUE is the measured q265 claim —
-    * the JPEG leg has no cross-engine bit contract), the canonical
-    * caption disagreement, and the kept/dropped resolution — exactly
-    * the table a pair-rewrite job reads. Payloads never shuffle: both
-    * codecs and the blockhash are scan-local mapPartitions; only
-    * (id, fp) rows reach the band join (PlanSpec asserts no Exchange
-    * carries a payload column).
-    */
-  private def qPairCuration(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    implicit val sp: SparkSession = s
-    val docs = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
-      .select(col("doc_id").cast("long"), col("text"))
-    def dims(id: Long) =
-      ((16 + ((id / 3) % 3) * 8).toInt, (16 + (id % 2) * 8).toInt)
-    val ids = docs.select("doc_id").as[Long]
-    val media = ids.map { id =>
-      val (w, h) = dims(id)
-      Multimodal.MediaRecord(id, Multimodal.encodeGradientPng(id, w, h),
-        "png")
-    }.unionByName(ids.map { id =>
-      val (w, h) = dims(id)
-      // twin unit id; the raster seed stays the BASE id — same image
-      Multimodal.MediaRecord(id + 1000000L,
-        Multimodal.encodeJpeg(id, w, h), "jpg")
-    })
-    // both band-join branches consume the fingerprints — pin them so
-    // the real codecs (PNG encode+decode, JPEG encode+decode) run once
-    // per unit, not once per branch
-    val fps = Multimodal.blockHash(Multimodal.toRaster(media)).toDF()
-      .select(col("doc_id").as("unit_id"), col("fp"))
-      .transform(snap)
-    // q267's band probe: 15-bit slice value * 4 + band index
-    val bandsOf = "transform(sequence(0, 3), " +
-      "b -> (shiftright(%s, b * 15) & 32767) * 4 + b)"
-    val baseF = fps.filter(col("unit_id") < 1000000L)
-      .select(col("unit_id").as("base_id"), col("fp").as("fp_base"),
-        explode(expr(bandsOf.format("fp"))).as("bk"))
-    val twinF = fps.filter(col("unit_id") >= 1000000L)
-      .select((col("unit_id") - 1000000L).as("base_id"),
-        col("fp").as("__fpb"), explode(expr(bandsOf.format("fp"))).as("bk"))
-    val rasterHits = baseF.join(twinF, Seq("base_id", "bk"))
-      .filter(expr("bit_count(fp_base ^ __fpb) <= 8"))
-      .select("base_id").dropDuplicates("base_id")
-      .withColumn("__hit", lit(true))
-    // the replayable PNG-leg fingerprint rides EVERY row (sourced from
-    // the fp table, not the hit join — a band+hamming MISS must still
-    // carry the fingerprint needed to debug it)
-    val baseFp = fps.filter(col("unit_id") < 1000000L)
-      .select(col("unit_id").as("base_id"), col("fp").as("fp_base"))
-    // reworded twin captions, both policy directions planted: even
-    // media get an APPENDED variant (quality rises — twin kept), odd
-    // media a TRUNCATED one (quality falls — base kept)
-    val caps = docs
-      .select(col("doc_id").as("base_id"), col("text").as("cap_a"),
-        when(expr("(doc_id div 3) % 2 = 0"),
-            concat(col("text"), lit(" alternate caption variant")))
-          .otherwise(expr(
-            "substring(text, 1, greatest(length(text) div 2, 1))"))
-          .as("cap_b"))
-      .withColumn("__ta", expr("filter(split(cap_a, ' '), t -> t <> '')"))
-      .withColumn("__tb", expr("filter(split(cap_b, ' '), t -> t <> '')"))
-      .withColumn("__qa", TextFns.qualityScore("cap_a", "__ta"))
-      .withColumn("__qb", TextFns.qualityScore("cap_b", "__tb"))
-      .select(col("base_id"),
-        TextFns.fingerprint("cap_a").as("__cfa"),
-        TextFns.fingerprint("cap_b").as("__cfb"),
-        expr("cast(floor(__qa * 10000.0d + 0.5d) as bigint)").as("q_a"),
-        expr("cast(floor(__qb * 10000.0d + 0.5d) as bigint)").as("q_b"))
-    caps.join(baseFp, Seq("base_id"))
-      .join(rasterHits, Seq("base_id"), "left")
-      .select(col("base_id"), (col("base_id") + 1000000L).as("twin_id"),
-        col("fp_base"), coalesce(col("__hit"), lit(false))
-          .as("raster_match"),
-        (col("__cfa") =!= col("__cfb")).as("caption_differs"),
-        when(col("q_b") > col("q_a"), col("base_id") + 1000000L)
-          .otherwise(col("base_id")).as("kept_id"),
-        when(col("q_b") > col("q_a"), col("q_b")).otherwise(col("q_a"))
-          .as("kept_q_bp"),
-        when(col("q_b") > col("q_a"), col("base_id"))
-          .otherwise(col("base_id") + 1000000L).as("dropped_id"))
-      .orderBy("base_id")
-  }
-
-  /** The planted lang-marker corpus for q278 (the q263 planted-twin
-    * discipline on the language axis): the raw corpus's `lang` column
-    * is INDEPENDENT of its text — every language draws the same shared
-    * tech vocabulary, so no token statistic can recover the label
-    * (measured: the ≥ 30 %-df vocabulary of every language is
-    * identical, all 50 held-out predictions collapse to the tie-break
-    * language). The fixture therefore plants a STATISTICAL signal the
-    * discovery must genuinely separate: each doc carries 3–4 of its
-    * language's 5 marker tokens (marker i present iff
-    * (doc_id + i) % 3 ≠ 0 → ~67 % df, ABOVE the q250 threshold) plus
-    * occasional markers of the NEXT language as cross-lingual noise
-    * (iff (doc_id + 2i) % 7 = 0 → ~14 % df, BELOW it). Training must
-    * keep the real markers, reject the noise, and survive the ~30
-    * shared high-df tokens that land in every profile (they add the
-    * same hit count to every language's score, so the planted markers
-    * decide the argmax). Closed-form, replayed verbatim by the oracle.
-    */
-  private def langMarkedDocs(s: SparkSession, dir: String): DataFrame = {
-    val profiles = TextFns.stopwordProfiles
-    def arm(ws: Seq[String]) =
-      ws.map(TextFns.sqlLit).mkString("array(", ", ", ")")
-    val mk = profiles
-      .map { case (l, ws) => s"WHEN '$l' THEN ${arm(ws)}" }
-      .mkString("CASE lang ", " ", " END")
-    val mk2 = profiles.indices
-      .map(i => (profiles(i)._1, profiles((i + 1) % profiles.size)._2))
-      .map { case (l, ws) => s"WHEN '$l' THEN ${arm(ws)}" }
-      .mkString("CASE lang ", " ", " END")
-    t(s, dir, "documents")
-      .withColumn("__mk", expr(mk))
-      .withColumn("__mk2", expr(mk2))
-      .withColumn("text2", expr(
-        """concat_ws(' ',
-          |  array_join(filter(transform(sequence(0, 4),
-          |    i -> CASE WHEN (doc_id + i) % 3 <> 0
-          |         THEN element_at(__mk, cast(i + 1 as int)) END),
-          |    x -> x is not null), ' '),
-          |  array_join(filter(transform(sequence(0, 4),
-          |    i -> CASE WHEN (doc_id + i * 2) % 7 = 0
-          |         THEN element_at(__mk2, cast(i + 1 as int)) END),
-          |    x -> x is not null), ' '),
-          |  text)""".stripMargin))
-      .select(col("doc_id"), col("lang"), col("text2"))
-  }
-
-  private val langModelCache = scala.collection.mutable.Map
-    .empty[(String, String), String]
-
-  /** Stored lang-ID model (q278): per-language token profiles TRAINED
-    * from the corpus — the q250 high-df discovery (every token in
-    * ≥ 30 % of a language's training documents) run over the marked
-    * corpus's training split (doc_id % 10 ≠ 0) — persisted once per
-    * (session, corpus) via [[ModelStore.saveTokenProfiles]].
-    * Metadata-sized artifact (a stopword list per language; ~35/lang
-    * at sf0.01: the 5 planted markers + the shared high-df
-    * vocabulary; the 14 %-df noise markers correctly rejected).
-    */
-  private def langModelPath(s: SparkSession, dir: String): String =
-    sessionFixture(langModelCache, s, dir) {
-      val tr = langMarkedDocs(s, dir).filter(col("doc_id") % 10 =!= 0)
-      val docTokens = tr.select(col("lang"),
-        explode(expr(
-          "array_distinct(filter(split(text2, ' '), t -> t <> ''))"))
-          .as("token"))
-      val perLang = tr.groupBy("lang").agg(count(lit(1)).as("__nd"))
-      val prof = docTokens.groupBy("lang", "token")
-        .agg(count(lit(1)).as("df"))
-        .join(broadcast(perLang), "lang")
-        .filter(expr("df * 10000 div __nd >= 3000"))
-        .select(col("lang"), col("token"))
-        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-      val tag = (s.sparkContext.applicationId + "_" + dir)
-        .replaceAll("[^a-zA-Z0-9]", "_")
-      val path = graft.Scratch.register(
-        s"${System.getProperty("java.io.tmpdir")}/graft_langprof_$tag")
-      ModelStore.saveTokenProfiles(s, path, prof)
-      path
-    }
-
-  /** Stored-model language-ID (q278): the one remaining
-    * hardcoded-knowledge operator closed — where q22 scores against
-    * the BUILT-IN bootstrap profiles ([[TextFns.stopwordProfiles]]),
-    * this runs the full train → store → score chain (the q211/q212
-    * discipline) over the planted-marker corpus ([[langMarkedDocs]]):
-    * per-language token profiles are TRAINED from the corpus's own
-    * high-df vocabulary (q250's discovery, training split
-    * doc_id % 10 ≠ 0), PERSISTED as a parquet model table, then
-    * LOADED (metadata-sized) and folded into the scoring plan as
-    * literals — held-out documents (doc_id % 10 = 0) score
-    * scan-locally, O(tokens × languages) per row, no shuffle, no
-    * state. The noisy statistics are genuinely separated: 50/50
-    * held-out documents correct at sf0.01 despite the ~14 %-df
-    * cross-lingual noise markers and the all-language shared
-    * vocabulary. Argmax ties break by language order; a document
-    * hitting no profile falls back to 'und' (`StoredLangIdSpec`
-    * plants an unseen language). The oracle re-derives the profiles
-    * from the training split in SQL and re-scores the held-out split,
-    * so a green row proves stored-model scoring ≡ inline-trained
-    * scoring through the parquet roundtrip — the q129 chain on the
-    * text axis.
-    */
-  private def qStoredLangId(s: SparkSession, dir: String): DataFrame = {
-    val profiles = ModelStore.loadTokenProfiles(s, langModelPath(s, dir))
-    val test = langMarkedDocs(s, dir).filter(col("doc_id") % 10 === 0)
-      .withColumn("__toks", expr("filter(split(text2, ' '), t -> t <> '')"))
-    TextFns.withLanguageIdFrom(test, profiles, "__toks", "pred_lang")
-      .select(col("doc_id"), col("lang"), col("pred_lang"),
-        (col("lang") === col("pred_lang")).as("correct"))
-      .orderBy("doc_id")
-  }
-
-  /** t-closeness audit with the generalization walk (q279,
-    * [[graft.ops.TCloseness]]): completes the release-governance trio
-    * — k-anonymity (q227) bounds group SIZE, l-diversity (q240)
-    * bounds sensitive VARIETY, and neither catches a group that is
-    * large and diverse but SKEWED (90 % of one group in the top
-    * account band vs 30 % corpus-wide shifts an attacker's belief by
-    * membership alone — the homogeneity-blind class; at sf0.01, 28 of
-    * the 125 L0 groups pass l = 3 yet fail t = 0.1, reported in the
-    * `n_ldiv_ok_t_fail` column). Distance is the exact-integer
-    * ordered-band EMD (prefix |Δ| sums in pure int64 — no floats, no
-    * engine divergence) between each QI group's sensitive-band
-    * distribution and the corpus-wide one, over the q240 bands
-    * (debt < mid < high). The q227 Samarati walk applies: per rung
-    * L0 (nation, segment) → L1 (region, segment) → L2 (region), the
-    * group count, t-failures at t = 0.1 (1000 bp), the l-diverse-but-
-    * t-far count, and the worst distance — coarsening pulls every
-    * group toward the corpus distribution, and the walk shows where
-    * the release becomes t-safe. One broadcast dim join + one
-    * partial-agg rollup per rung; only (QI, band-count) rows shuffle.
-    */
-  private def qTCloseness(s: SparkSession, dir: String): DataFrame = {
-    val tBp = 1000L
-    val joined = t(s, dir, "customer")
-      .join(broadcast(t(s, dir, "nation")),
-        col("c_nationkey") === col("n_nationkey"))
-    val band = expr("""case
-      | when cast(c_acctbal as decimal(18,2)) < 0 then 0
-      | when cast(c_acctbal as decimal(18,2)) < 5000 then 1
-      | else 2 end""".stripMargin)
-    def level(lvl: Long, qi: String,
-        keys: Seq[(String, Column)]): DataFrame =
-      TCloseness.audit(joined, keys, band, 3, tBp)
-        .agg(count(lit(1)).as("n_groups"),
-          sum(when(!col("t_ok"), 1L).otherwise(0L)).as("n_t_fail"),
-          sum(when(col("l_distinct") >= 3 && !col("t_ok"), 1L)
-            .otherwise(0L)).as("n_ldiv_ok_t_fail"),
-          max("emd_bp").as("max_emd_bp"))
-        .select(lit(lvl).as("level"), lit(qi).as("qi"), col("n_groups"),
-          col("n_t_fail"), col("n_ldiv_ok_t_fail"), col("max_emd_bp"))
-    level(0L, "nation,segment",
-        Seq("nationkey" -> col("c_nationkey"),
-          "segment" -> col("c_mktsegment")))
-      .unionByName(level(1L, "region,segment",
-        Seq("regionkey" -> col("n_regionkey"),
-          "segment" -> col("c_mktsegment"))))
-      .unionByName(level(2L, "region",
-        Seq("regionkey" -> col("n_regionkey"))))
-      .orderBy("level")
-  }
-
-  /** Corpus-wide raster dedup clusters with the quality-max keep
-    * (q280): the PRODUCTION form of q277's per-pair decision — q277
-    * proves the re-encode/reword mechanics on aligned planted twins;
-    * this clusters the WHOLE media corpus on the raster axis and
-    * applies the keep policy through the clusters (q274's shape at
-    * media granularity). The scale discipline is exact-before-near:
-    * identical decoded-raster fingerprints collapse FIRST (one
-    * 8-byte-key distinct — the step that removes the bulk: 16,667
-    * docs → 22 distinct fps at sf1), and the band+hamming near-dup
-    * machinery (q267's probe) then runs over the DISTINCT fingerprints
-    * only — a metadata-sized set, so the band self-join and the CC
-    * that follows cost nothing at any corpus size (contrast the naive
-    * doc-level band self-join, whose identical-fp cliques alone would
-    * be ~n²/22 pairs). Components label the fp graph
-    * ([[DedupClusters.connectedComponents]], min-fp representative;
-    * singleton fps keep themselves), docs map to their fp's cluster,
-    * and per cluster the quality-max caption survives (exact bp, ties
-    * to min doc_id — the q274 total policy). One row per cluster:
-    * rep, doc/fp counts, kept doc. Fingerprints come from the REAL
-    * PNG decode (lossless — the oracle replays them closed-form, the
-    * q252 discipline); payloads never shuffle.
-    */
-  private def qRasterClusters(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    implicit val sp: SparkSession = s
-    val docs = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
-      .select(col("doc_id").cast("long"), col("text"))
-    def dims(id: Long) =
-      ((16 + ((id / 3) % 3) * 8).toInt, (16 + (id % 2) * 8).toInt)
-    val media = docs.select("doc_id").as[Long].map { id =>
-      val (w, h) = dims(id)
-      Multimodal.MediaRecord(id, Multimodal.encodeGradientPng(id, w, h),
-        "png")
-    }
-    // fan-out: the doc→fp map feeds both the distinct-fp graph and the
-    // final cluster mapping — decode once
-    val fps = Multimodal.blockHash(Multimodal.toRaster(media)).toDF()
-      .select(col("doc_id"), col("fp")).transform(snap)
-    val dfps = fps.select("fp").distinct()
-    val bandsOf = "transform(sequence(0, 3), " +
-      "b -> (shiftright(%s, b * 15) & 32767) * 4 + b)"
-    val a = dfps.select(col("fp").as("fa"),
-      explode(expr(bandsOf.format("fp"))).as("bk"))
-    val b = dfps.select(col("fp").as("fb"),
-      explode(expr(bandsOf.format("fp"))).as("bk"))
-    val edges = a.join(b, Seq("bk"))
-      .filter(col("fa") < col("fb"))
-      .filter(expr("bit_count(fa ^ fb) <= 8"))
-      .select("fa", "fb").distinct()
-    val labels = DedupClusters.connectedComponents(edges, "fa", "fb")
-      .withColumnRenamed("node", "fp")
-    val qual = docs
-      .withColumn("__toks", expr("filter(split(text, ' '), t -> t <> '')"))
-      .withColumn("__q", TextFns.qualityScore("text", "__toks"))
-      .select(col("doc_id"),
-        expr("cast(floor(__q * 10000.0d + 0.5d) as bigint)").as("q_bp"))
-    fps.join(qual, "doc_id")
-      .join(labels, Seq("fp"), "left")
-      .withColumn("cluster_rep", coalesce(col("cluster_rep"), col("fp")))
-      .groupBy("cluster_rep")
-      .agg(count(lit(1)).as("n_docs"),
-        countDistinct("fp").as("n_fps"),
-        max(struct(col("q_bp"), (-col("doc_id")).as("negid"))).as("__m"))
-      .select(col("cluster_rep"), col("n_docs"), col("n_fps"),
-        (-col("__m.negid")).as("kept_doc"), col("__m.q_bp").as("kept_q_bp"))
-      .orderBy("cluster_rep")
-  }
-
-  /** Real audio decode + frame features (q283, [[graft.ops.Audio]]):
-    * every document becomes a genuine RIFF/WAVE PCM16 file — varied
-    * sample counts 400 + (id%7)·100 + (id%53) so partial final frames
-    * are exercised, varied sample rates so the fmt chunk is actually
-    * READ, a LIST metadata chunk on every 5th doc so the chunk walk is
-    * exercised — and the real decoder extracts amplitude mass, peak,
-    * zero-crossings, and the per-frame energy argmax (100-sample
-    * frames — the audio form of frame-sampling: a clip of any length
-    * reduces to ONE typed row inside the scan, payloads never shuffle).
-    * The oracle recomputes every decoded number from the closed-form
-    * sawtooth, so green means the PCM/chunk decode is RIGHT — the
-    * PPM/PNG lossless-codec discipline (E200/E246) on the audio axis.
-    */
-  private def qWavDecode(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    implicit val sp: SparkSession = s
-    val media = t(s, dir, "documents")
-      .select(col("doc_id").cast("long"))
-      .as[Long]
-      .map { id =>
-        val n = (400 + (id % 7) * 100 + (id % 53)).toInt
-        val rate = (8000 + (id % 3) * 4000).toInt
-        Multimodal.MediaRecord(id,
-          Audio.encodeWav(id, n, rate, junkChunk = id % 5 == 0), "wav")
-      }
-    Audio.decodeWavFeatures(media, frame = 100).toDF().orderBy("doc_id")
-  }
-
-  /** Real video decode + scene-change detection (q284,
-    * [[graft.ops.Video]]): every document becomes a genuine YUV4MPEG2
-    * clip — varied dims/frame counts, a planted scene cut at frame
-    * ⌊n/2⌋ on 3 of 4 docs (every 4th is single-scene, so the no-cut
-    * path is exercised too) — and the real decoder (ASCII tagged
-    * header, C444 plane layout, per-frame FRAME markers) reduces the
-    * per-frame luma series, the brightest-frame argmax, and the
-    * division-free mean-luma cut rule |ΔYsum| > 48·w·h in ONE
-    * scan-local pass: any clip length emits one typed row, payloads
-    * never shuffle. Y4M is uncompressed, so decoded planes are the
-    * cross-engine contract — the oracle recomputes every byte from the
-    * closed-form plane rule and replays the cut rule with LAG.
-    */
-  private def qY4mScenes(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    implicit val sp: SparkSession = s
-    val media = t(s, dir, "documents")
-      .select(col("doc_id").cast("long"))
-      .as[Long]
-      .map { id =>
-        val (w, h) = ((4 + id % 3).toInt, (3 + id % 2).toInt)
-        val nf = (6 + id % 5).toInt
-        val cut = if (id % 4 == 0) -1 else nf / 2
-        Multimodal.MediaRecord(id, Video.encodeY4m(id, w, h, nf, cut),
-          "y4m")
-      }
-    Video.decodeY4mFeatures(media, cutMeanDelta = 48).toDF()
-      .orderBy("doc_id")
-  }
-
-  /** Markup extraction — the crawl→text step (q285,
-    * [[TextFns.stripMarkup]]): every document renders as a
-    * deterministic HTML page (DOCTYPE + comment + head with title and
-    * style + body script + the text with every len%3==0 word
-    * bold-wrapped and every len%4==0 word followed by an `&#32;`
-    * entity), and the extraction chain — comments, head, script/style
-    * WITH content, tags, entity decode, whitespace collapse — must
-    * recover the original text EXACTLY. Every 10th doc plants leaked
-    * boilerplate (a footer inside body), which tag-stripping correctly
-    * KEEPS as text — those docs report clean = false, proving the
-    * equality check is live. Both the page construction and the
-    * extraction are pure codegen column expressions (transform +
-    * ordered regexp_replace chain, no UDF); the oracle replays both
-    * verbatim.
-    */
-  private def qHtmlExtract(s: SparkSession, dir: String): DataFrame = {
-    val rendered = expr(
-      """array_join(transform(split(text, ' '), w -> concat(
-        |  CASE WHEN length(w) % 3 = 0 THEN concat('<b>', w, '</b>')
-        |    ELSE w END,
-        |  CASE WHEN length(w) % 4 = 0 THEN '&#32;' ELSE ' ' END)), '')"""
-        .stripMargin)
-    val html = concat(
-      lit("<!DOCTYPE html><html><!-- graft crawler snapshot -->" +
-        "<head><title>doc "),
-      col("doc_id").cast("string"),
-      lit("</title><style>p { color: #222; }</style></head>" +
-        "<body><script>var doc = "),
-      col("doc_id").cast("string"),
-      lit(";</script><p>"), rendered, lit("</p>"),
-      when(col("doc_id") % 10 === 0,
-        lit("<footer>copyright 2026 example corp</footer>"))
-        .otherwise(lit("")),
-      lit("</body></html>"))
-    t(s, dir, "documents")
-      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      .withColumn("html", html)
-      .withColumn("extracted", TextFns.stripMarkup(col("html")))
-      .select(col("doc_id"),
-        length(col("html")).cast("long").as("html_len"),
-        length(col("extracted")).cast("long").as("extracted_len"),
-        expr("cast((length(html) - length(replace(html, '<b>', ''))) " +
-          "div 3 as bigint)").as("n_bold"),
-        expr("cast(cast(length(html) - length(extracted) as bigint) " +
-          "* 10000 div length(html) as bigint)").as("markup_bp"),
-        (col("extracted") === col("text")).as("clean"))
-      .orderBy("doc_id")
-  }
-
-  /** The planted quality-labeled corpus for q286 (the q278 planted-
-    * marker discipline on the quality axis): label = good iff
-    * doc_id % 3 ≠ 0 (a realistic 2:1 imbalance — the smoothed-ratio
-    * normalization is exercised, a raw-count vote would skew good);
-    * each doc carries 3–4 of its class's 5 marker tokens (present iff
-    * (doc_id + i) % 3 ≠ 0) plus occasional markers of the OTHER class
-    * as noise (iff (doc_id + 2i) % 7 = 0, ~14 %) under the shared
-    * corpus vocabulary that lands in BOTH classes at near-equal rates
-    * (and so must earn no vote). Closed-form, replayed verbatim by the
-    * oracle.
-    */
-  private def qualityMarkedDocs(s: SparkSession, dir: String): DataFrame = {
-    val good = Seq("citation", "reference", "paragraph", "summary",
-      "bibliography")
-    val bad = Seq("cheap", "click", "winner", "casino", "pills")
-    def arm(ws: Seq[String]) =
-      ws.map(TextFns.sqlLit).mkString("array(", ", ", ")")
-    val own = s"CASE WHEN doc_id % 3 <> 0 THEN ${arm(good)} " +
-      s"ELSE ${arm(bad)} END"
-    val other = s"CASE WHEN doc_id % 3 <> 0 THEN ${arm(bad)} " +
-      s"ELSE ${arm(good)} END"
-    t(s, dir, "documents")
-      .withColumn("label_good", col("doc_id") % 3 =!= 0)
-      .withColumn("__toks", expr(
-        s"""filter(concat(
-           |  filter(transform(sequence(0, 4),
-           |    i -> CASE WHEN (doc_id + i) % 3 <> 0
-           |         THEN element_at($own, cast(i + 1 as int)) END),
-           |    x -> x is not null),
-           |  filter(transform(sequence(0, 4),
-           |    i -> CASE WHEN (doc_id + i * 2) % 7 = 0
-           |         THEN element_at($other, cast(i + 1 as int)) END),
-           |    x -> x is not null),
-           |  split(text, ' ')), t -> t <> '')""".stripMargin))
-      .select(col("doc_id").cast("long").as("doc_id"), col("label_good"),
-        col("__toks"))
-  }
-
-  private val qualityModelCache = scala.collection.mutable.Map
-    .empty[(String, String), String]
-
-  /** Stored quality-classifier model (q286): token votes TRAINED on
-    * the labeled split (doc_id % 10 ≠ 0) via
-    * [[Classifier.trainTokenVotes]] and persisted once per (session,
-    * corpus) — the artifact a 100 TB scoring pass broadcasts.
-    */
-  private def qualityModelPath(s: SparkSession, dir: String): String =
-    sessionFixture(qualityModelCache, s, dir) {
-      val tr = qualityMarkedDocs(s, dir).filter(col("doc_id") % 10 =!= 0)
-      val votes = Classifier.trainTokenVotes(tr, "__toks", "label_good")
-      val tag = (s.sparkContext.applicationId + "_" + dir)
-        .replaceAll("[^a-zA-Z0-9]", "_")
-      val path = graft.Scratch.register(
-        s"${System.getProperty("java.io.tmpdir")}/graft_qclf_$tag")
-      votes.coalesce(1).write.mode("overwrite").parquet(path)
-      path
-    }
-
-  /** Trained quality classifier (q286, [[graft.ops.Classifier]]): the
-    * CCNet/fastText-class seed-labeled quality filter as a full
-    * train → store → score chain — exact-integer Naive-Bayes token
-    * votes (Laplace-smoothed class-conditional rates compared
-    * cross-multiplied, ±1 only at ≥ 2× imbalance, the shared
-    * vocabulary earning NO vote and leaving the model — what keeps the
-    * stored artifact metadata-sized), persisted as a parquet model
-    * table, then BROADCAST onto the held-out scan (doc_id % 10 = 0):
-    * explode + broadcast lookup + one doc-keyed partial agg. Verdict =
-    * vote sum > 0, ties reject. 50/50 held-out docs correct at sf0.01
-    * despite the 2:1 class imbalance and the ~14 % cross-class noise
-    * markers. The oracle retrains in SQL from the same closed-form
-    * plants, so green proves stored ≡ inline through the parquet
-    * roundtrip (the q278 discipline on the quality axis).
-    */
-  private def qQualityClassifier(s: SparkSession, dir: String): DataFrame = {
-    val votes = s.read.parquet(qualityModelPath(s, dir))
-    val test = qualityMarkedDocs(s, dir).filter(col("doc_id") % 10 === 0)
-    Classifier.scoreTokenVotes(test, votes, "doc_id", "__toks")
-      .join(test.select("doc_id", "label_good"), "doc_id")
-      .select(col("doc_id"), col("label_good"), col("score"),
-        col("pred_pos").as("pred_good"),
-        (col("pred_pos") === col("label_good")).as("correct"))
-      .orderBy("doc_id")
-  }
-
-  private val qualityCountsCache = scala.collection.mutable.Map
-    .empty[(String, String), String]
-
-  /** Stored classifier SUFFICIENT STATISTICS for q288: the per-token
-    * class-conditional counts table trained on the BASE split
-    * (doc_id % 10 ∉ {0, 1}) and persisted once per (session, corpus) —
-    * the artifact an incremental refresh merges into, never re-scanning
-    * the base corpus.
-    */
-  private def qualityCountsPath(s: SparkSession, dir: String): String =
-    sessionFixture(qualityCountsCache, s, dir) {
-      val base = qualityMarkedDocs(s, dir)
-        .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 1)
-      val counts = Classifier.tokenCounts(base, "__toks", "label_good")
-      val tag = (s.sparkContext.applicationId + "_" + dir)
-        .replaceAll("[^a-zA-Z0-9]", "_")
-      val path = graft.Scratch.register(
-        s"${System.getProperty("java.io.tmpdir")}/graft_qcnt_$tag")
-      counts.coalesce(1).write.mode("overwrite").parquet(path)
-      path
-    }
-
-  /** Incremental classifier refresh (q288, [[Classifier.mergeCounts]]):
-    * the E53/E115 incremental-maintenance axis applied to the q286
-    * quality model — the model's sufficient statistics (per-token
-    * class counts) are ADDITIVE, so an arriving labeled batch
-    * (doc_id % 10 = 1) refreshes the STORED base counts (trained on
-    * doc_id % 10 ∉ {0, 1}, parquet) with one batch-sized count pass +
-    * one token-keyed merge, and the re-derived votes are IDENTICAL to
-    * a from-scratch retrain over the union — q288 therefore SHARES
-    * q286's oracle verbatim (the q103/q276 stream≡batch shared-oracle
-    * discipline): same held-out verdicts, provably, without re-scanning
-    * the base corpus. This is how a production quality gate absorbs
-    * weekly labeling batches at 100 TB — refresh cost scales with the
-    * batch, not the corpus.
-    */
-  private def qIncrClassifier(s: SparkSession, dir: String): DataFrame = {
-    val stored = s.read.parquet(qualityCountsPath(s, dir))
-    val arriving = qualityMarkedDocs(s, dir)
-      .filter(col("doc_id") % 10 === 1)
-    val merged = Classifier.mergeCounts(stored,
-      Classifier.tokenCounts(arriving, "__toks", "label_good"))
-    val votes = Classifier.votesFromCounts(merged)
-    val test = qualityMarkedDocs(s, dir).filter(col("doc_id") % 10 === 0)
-    Classifier.scoreTokenVotes(test, votes, "doc_id", "__toks")
-      .join(test.select("doc_id", "label_good"), "doc_id")
-      .select(col("doc_id"), col("label_good"), col("score"),
-        col("pred_pos").as("pred_good"),
-        (col("pred_pos") === col("label_good")).as("correct"))
-      .orderBy("doc_id")
-  }
-
-  /** Mixed-media router (q292, [[Multimodal.sniffFormat]]): real
-    * crawls arrive format-MIXED with lying Content-Type headers — the
-    * step before any codec is magic-byte sniffing and routing to the
-    * right decoder. The fixture interleaves all five real containers
-    * this engine decodes (P6 ⁄ PNG ⁄ JPEG ⁄ WAV ⁄ Y4M by doc_id % 5);
-    * each payload is sniffed, routed to ITS codec, and reduced to one
-    * typed row: detected format + content units (pixels for rasters,
-    * samples for audio, luma-pixels for video) — all from the REAL
-    * decoders' parsed structure, closed-form replayable (JPEG dims are
-    * exact container structure even though pixels are lossy — the
-    * q264 rule). One mapPartitions pass, every codec instantiated per
-    * partition, payloads never shuffle. A payload failing its sniff
-    * would route to "unknown" and a loud decode failure — sniff-then-
-    * decode never guesses.
-    */
-  private def qMediaRouter(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val media = t(s, dir, "documents")
-      .select(col("doc_id").cast("long"))
-      .as[Long]
-      .map { id =>
-        val payload = (id % 5) match {
-          case 0 => Multimodal.encodePpm(id, (4 + id % 5).toInt,
-            (3 + id % 4).toInt)
-          case 1 => Multimodal.encodeGradientPng(id, (8 + id % 5).toInt,
-            (6 + id % 3).toInt)
-          case 2 => Multimodal.encodeJpeg(id, (8 + id % 5).toInt,
-            (6 + id % 3).toInt)
-          case 3 => Audio.encodeWav(id, (400 + id % 53).toInt, 8000)
-          case _ => Video.encodeY4m(id, (4 + id % 3).toInt,
-            (3 + id % 2).toInt, (6 + id % 5).toInt, -1)
-        }
-        Multimodal.MediaRecord(id, payload, "mixed")
-      }
-    media.mapPartitions { it =>
-      it.map { r =>
-        val p = if (r.payload == null) Array.emptyByteArray else r.payload
-        val fmt = Multimodal.sniffFormat(p)
-        val units: Long = fmt match {
-          case "ppm" =>
-            val f = Multimodal.decodePpm(r.doc_id, p); f.width * f.height
-          case "png" =>
-            val f = Multimodal.decodePng(r.doc_id, p); f.width * f.height
-          case "jpeg" =>
-            val (w, h, _) = Multimodal.imageRaster(r.doc_id, p)
-            w.toLong * h
-          case "wav" =>
-            Audio.decodeWav(r.doc_id, p, frame = 100).n_samples
-          case "y4m" =>
-            val f = Video.decodeY4m(r.doc_id, p, cutMeanDelta = 48)
-            f.n_frames * f.width * f.height
-          case other => sys.error(s"doc ${r.doc_id}: unroutable $other")
-        }
-        (r.doc_id, fmt, units)
-      }
-    }.toDF("doc_id", "format", "content_units").orderBy("doc_id")
-  }
-
-  /** Corpus-wide audio dedup clusters (q294): q290 PROVES the pairwise
-    * resample property; this runs the production screen — the q280
-    * exact-before-near discipline on the audio axis, closing E287's
-    * "slots into the band+hamming machinery" claim with code. The
-    * fixture plants real duplicate groups: docs sharing doc_id/5 carry
-    * the SAME recording ([[Audio.modulatedSample]], seed = id/5),
-    * half of them naively 2×-downsampled (id % 2), so each group holds
-    * at most two distinct envelope fingerprints 0–1 bits apart, while
-    * distinct recordings never come near the gate (measured over ALL
-    * 10,000 sf1 seeds: zero cross-seed fp pairs within hamming 8, the
-    * closest at 9 — the r13 generator's 56-periodic gain arithmetic
-    * that collapsed seed-congruent recordings into giant clusters is
-    * gone, see [[Audio.modulatedSample]]). Identical fps collapse
-    * FIRST (one
-    * 8-byte-key distinct), the band self-join runs over DISTINCT fps
-    * only — 5×12-bit bands (≤ 4 flips over 5 bands pigeonholes ≥ 1
-    * intact band, so every true resample pair IS a candidate; the
-    * 4×15 layout q267 uses guarantees only ≤ 3) — hamming ≤ 8 verify,
-    * q71's CC over the fp graph, and the q274 quality-max keep applies
-    * through the clusters at doc granularity. Oracle replays fps
-    * closed-form + the recursive closure.
-    */
-  private def qAudioClusters(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    implicit val sp: SparkSession = s
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-    val fps = docs.select("doc_id").as[Long].map { id =>
-      val seed = id / 5
-      val n = (2000 + (seed % 7) * 500 + (seed % 53)).toInt
-      val step = (1 + id % 2).toInt
-      val samples = Array.tabulate(if (step == 1) n else n / 2)(k =>
-        Audio.modulatedSample(seed, step.toLong * k, n.toLong))
-      (id, Audio.envelopeHash(id,
-        Audio.encodeWavSamples(samples, 16000 / step)))
-    }.toDF("doc_id", "fp").transform(snap)
-    val dfps = fps.select("fp").distinct()
-    val bandsOf = "transform(sequence(0, 4), " +
-      "b -> (shiftright(%s, b * 12) & 4095) * 5 + b)"
-    val a = dfps.select(col("fp").as("fa"),
-      explode(expr(bandsOf.format("fp"))).as("bk"))
-    val b = dfps.select(col("fp").as("fb"),
-      explode(expr(bandsOf.format("fp"))).as("bk"))
-    val edges = a.join(b, Seq("bk"))
-      .filter(col("fa") < col("fb"))
-      .filter(expr("bit_count(fa ^ fb) <= 8"))
-      .select("fa", "fb").distinct()
-    val labels = DedupClusters.connectedComponents(edges, "fa", "fb")
-      .withColumnRenamed("node", "fp")
-    val qual = docs
-      .withColumn("__toks", expr("filter(split(text, ' '), t -> t <> '')"))
-      .withColumn("__q", TextFns.qualityScore("text", "__toks"))
-      .select(col("doc_id"),
-        expr("cast(floor(__q * 10000.0d + 0.5d) as bigint)").as("q_bp"))
-    fps.join(qual, "doc_id")
-      .join(labels, Seq("fp"), "left")
-      .withColumn("cluster_rep", coalesce(col("cluster_rep"), col("fp")))
-      .groupBy("cluster_rep")
-      .agg(count(lit(1)).as("n_docs"),
-        countDistinct("fp").as("n_fps"),
-        max(struct(col("q_bp"), (-col("doc_id")).as("negid"))).as("__m"))
-      .select(col("cluster_rep"), col("n_docs"), col("n_fps"),
-        (-col("__m.negid")).as("kept_doc"), col("__m.q_bp").as("kept_q_bp"))
-      .orderBy("cluster_rep")
-  }
-
-  /** Scene-segmented keyframe extraction (q295, [[Video.frameLumas]]):
-    * the thumbnail/representative-frame job every video corpus runs —
-    * per clip the decoded per-frame luma series (the 1→N frame-sample
-    * expansion, scan-local) segments into SCENES at the q284 cut rule
-    * (|ΔYsum| > 48·w·h via LAG + running cut count) and each scene
-    * elects its keyframe: the brightest frame (argmax Y-sum, ties →
-    * earliest — a real pipeline swaps in sharpness or a learned
-    * score; the election machinery is identical). One row per scene:
-    * bounds, size, keyframe, its luma. Windows partition by doc —
-    * per-clip state only, never corpus-wide. Oracle replays the luma
-    * series closed-form and the same two windows.
-    */
-  private def qVideoKeyframes(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    implicit val sp: SparkSession = s
-    val media = t(s, dir, "documents")
-      .select(col("doc_id").cast("long"))
-      .as[Long]
-      .map { id =>
-        val (w, h) = ((4 + id % 3).toInt, (3 + id % 2).toInt)
-        val nf = (6 + id % 5).toInt
-        val cut = if (id % 4 == 0) -1 else nf / 2
-        Multimodal.MediaRecord(id, Video.encodeY4m(id, w, h, nf, cut),
-          "y4m")
-      }
-    val perFrame = Video.frameLumas(media).toDF()
-    val byFrame = Window.partitionBy("doc_id").orderBy("frame")
-    val scenes = perFrame
-      .withColumn("__prev", lag("y_sum", 1).over(byFrame))
-      .withColumn("__cut",
-        when(col("__prev").isNotNull &&
-          abs(col("y_sum") - col("__prev")) >
-            lit(48L) * col("width") * col("height"), 1L).otherwise(0L))
-      .withColumn("scene", sum("__cut").over(
-        byFrame.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    scenes.groupBy("doc_id", "scene")
-      .agg(min("frame").as("start_frame"), max("frame").as("end_frame"),
-        count(lit(1)).as("n_frames"),
-        max(struct(col("y_sum"), (-col("frame")).as("negf"))).as("__m"))
-      .select(col("doc_id"), col("scene"), col("start_frame"),
-        col("end_frame"), col("n_frames"),
-        (-col("__m.negf")).as("keyframe"),
-        col("__m.y_sum").as("key_y_sum"))
-      .orderBy("doc_id", "scene")
-  }
-
-  /** Grand decontamination certificate (q296): the q272 lexical
-    * certificate EXTENDED with the semantic axis it admits it cannot
-    * see — per eval document ALL FOUR screens in one row: shared
-    * word-3-grams (verbatim spans), shared winnowing fingerprints
-    * (partial verbatim ≥ 37 chars inside paraphrase), the NFC
-    * canonical hit (reformatting/Unicode tricks), and q273's exact
-    * embedding-top-1 flag (full paraphrase/translation — the axis no
-    * lexical screen reaches), plus the OR verdict. The semantic leg is
-    * honest about coverage: eval docs without an embedding row carry
-    * `semantic_screened = false` (at sf0.1 the embeddings table covers
-    * 2 of 5 k docs — a real corpus has exactly this partial-coverage
-    * shape, and a certificate that silently skipped the unscreened
-    * docs would overclaim). Every leg reuses its proven machinery
-    * verbatim; one benchmark-sized left join stitches them.
-    */
-  private def qFullCertificate(s: SparkSession, dir: String): DataFrame = {
-    val lex = qDecontamCertificate(s, dir)
-      .withColumnRenamed("contaminated", "lexical_contaminated")
-    val sem = qSemanticContam(s, dir)
-      .select(col("query_id").as("doc_id"),
-        col("sim").as("semantic_sim"), col("flagged").as("__sh"))
-    lex.join(sem, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shared_grams"), col("n_shared_fps"),
-        col("exact_canon_hit"), col("lexical_contaminated"),
-        col("semantic_sim"),
-        coalesce(col("__sh"), lit(false)).as("semantic_hit"),
-        col("semantic_sim").isNotNull.as("semantic_screened"),
-        (col("lexical_contaminated") || coalesce(col("__sh"), lit(false)))
-          .as("contaminated"))
-      .orderBy("doc_id")
-  }
-
-  /** Stereo WAV decode + channel-balance audit (q298,
-    * [[Audio.decodeWavStereo]]): real crawls carry STEREO audio, and
-    * interleaved L/R frames with blockAlign 4 are exactly the layout a
-    * mono-only reader mis-parses silently — so the stereo path earns
-    * its own gate through the SHARED chunk walk (channel policy is the
-    * caller's; mono readers reject stereo loudly and vice versa,
-    * `WavCodecSpec`). Left = the sawtooth, right = half-period
-    * phase-shifted; the decoder de-interleaves in one pass and reports
-    * per-channel amplitude mass/peaks plus the exact truncated-bp
-    * left-share balance (the broken-capture imbalance signal). Oracle
-    * replays both channels closed-form.
-    */
-  private def qWavStereo(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    implicit val sp: SparkSession = s
-    val media = t(s, dir, "documents")
-      .select(col("doc_id").cast("long"))
-      .as[Long]
-      .map { id =>
-        val n = (300 + id % 47).toInt
-        Multimodal.MediaRecord(id,
-          Audio.encodeWavStereo(id, n, (22050 + (id % 2) * 22050).toInt),
-          "wav")
-      }
-    media.mapPartitions(_.map(r => Audio.decodeWavStereo(r.doc_id,
-        r.payload)))
-      .toDF().orderBy("doc_id")
-  }
-
-  /** Stereo-downmix dedup (q299, [[Audio.downmixToMono]]): the
-    * distribution case q290's resample leg doesn't cover — the SAME
-    * mono master shipped as a STEREO render (here the common
-    * fake-stereo form: right = attenuated left, L/2 truncating) must
-    * deduplicate against the master, and the route back into the
-    * mono-only envelope chain is the downmix the [[Audio.envelopeHash]]
-    * contract points at: (L + R)/2 truncating per frame through the
-    * real stereo parse, re-encoded as a valid mono wav, fingerprinted.
-    * Measured: downmix lands 0 envelope bits from the master
-    * (attenuation cancels in the scale-invariant bit rule; the gapped
-    * gain alphabet keeps every bin ≥ 20 % from the threshold, so the
-    * truncation noise never flips one) while different recordings sit
-    * ≥ 14 — the same 8-bit gate separates. Every sample closed-form both legs
-    * (truncating integer divisions mirror in DuckDB `//`), so the
-    * oracle replays BOTH fingerprints bit-exactly; payloads never
-    * shuffle.
-    */
-  private def qStereoDownmixDedup(s: SparkSession,
-      dir: String): DataFrame = {
-    import s.implicits._
-    val fps = t(s, dir, "documents")
-      .select(col("doc_id").cast("long"))
-      .as[Long]
-      .map { id =>
-        val n = (2000 + (id % 7) * 500 + (id % 53)).toInt
-        val master = Array.tabulate(n)(j =>
-          Audio.modulatedSample(id, j.toLong, n.toLong))
-        val stereo = Audio.encodeWavStereoSamples(master,
-          master.map(_ / 2), 16000)
-        (id,
-          Audio.envelopeHash(id, Audio.encodeWavSamples(master, 16000)),
-          Audio.envelopeHash(id, Audio.downmixToMono(id, stereo)))
-      }
-      .toDF("doc_id", "fp_master", "fp_downmix")
-    val ctrl = fps.select((col("doc_id") - 1).as("doc_id"),
-      col("fp_master").as("fp_ctrl"))
-    fps.join(ctrl, "doc_id")
-      .withColumn("hamming",
-        expr("cast(bit_count(fp_master ^ fp_downmix) as bigint)"))
-      .withColumn("control_hamming",
-        expr("cast(bit_count(fp_downmix ^ fp_ctrl) as bigint)"))
-      .select(col("doc_id"), col("fp_master"), col("fp_downmix"),
-        col("hamming"), (col("hamming") <= 8).as("is_dup"),
-        col("control_hamming"),
-        (col("control_hamming") > 8).as("separated"))
-      .orderBy("doc_id")
-  }
-
-  /** Cross-video near-dup clusters (q300,
-    * [[Video.sceneKeyframeHashes]]): the missing modality member —
-    * rasters cluster through q280 and audio through q294, and the most
-    * common video dup in a crawl is a re-encoded or trimmed copy of
-    * the same clip. The clip fingerprint composes the two proven
-    * pieces in ONE decode pass: q295's scene segmentation + keyframe
-    * election and q252's raster blockhash applied to the elected
-    * keyframe (8×8 block-vs-frame-mean over the DECODED Y plane,
-    * division-free) — so a clip reduces to a handful of 64-bit
-    * keyframe hashes and payloads never shuffle. The fixture plants
-    * both production dup forms per doc_id/4 group: a 2× PIXEL-
-    * DUPLICATION upscale (the exact closed-form re-encode — every
-    * container byte, plane length and y_sum differs, but blocks scale
-    * uniformly so every keyframe hash is IDENTICAL) and a first-scene
-    * TRIM (every surviving scene's keyframe hash survives), plus an
-    * unrelated control clip. Content bits are xor-shift-hashed per
-    * (clip, scene, block) ([[Video.sceneBlockBit]] — the
-    * [[Audio.modulatedSample]] entropy discipline), so each keyframe
-    * hash carries 64 iid bits and distinct clips never collide by
-    * birthday at corpus scale. Candidates come from one EXACT
-    * hash-equality self-join (no banding needed — the dup forms
-    * preserve hashes bit-for-bit), verified at ≥ 2 matching keyframes
-    * (a trimmed copy keeps ≥ 2 of its 3–5 scenes; one shared hash is
-    * the chance-collision guard), then q71's CC over doc pairs and the
-    * q274 quality-max keep. The candidate join runs under
-    * [[graft.ops.VideoNearDup]]'s full scale discipline — identical
-    * hash multisets collapse to one representative BEFORE pairing (the
-    * q294 exact-before-near rule: a million re-uploads cost one
-    * representative, not a quadratic join) and hashes above the df cap
-    * are excluded from pairing (the E50/maxDf boilerplate rule — a
-    * black-frame keyframe cannot explode the join); both are
-    * semantics-preserving here (equivalence argument at
-    * [[graft.ops.VideoNearDup]]; the fixture's iid hashes keep in-data
-    * df ≤ 2), so the oracle replays the UNCOLLAPSED ≥ 2 pair rule
-    * verbatim and `VideoScaleSpec` measures the group-linear candidate
-    * volume on planted giant-group/degenerate-hash corpora.
-    */
-  private def qVideoClusters(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    implicit val sp: SparkSession = s
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-    val media = docs.select("doc_id").as[Long].map { id =>
-      val seed = id / 4
-      val r = id % 4
-      val seedKey = if (r == 3) 2 * seed + 1 else 2 * seed
-      val nScenes = (3 + seed % 3).toInt
-      val (w, h) = if (r == 1) (32, 16) else (16, 8)
-      val (ns, off) = if (r == 2) (nScenes - 1, 1L) else (nScenes, 0L)
-      Multimodal.MediaRecord(id,
-        Video.encodeY4mBlockScenes(seedKey, w, h, ns, 4, off), "y4m")
-    }
-    val kfs = Video.keyframeHashes(media, 48).toDF().transform(snap)
-    val qual = docs
-      .withColumn("__toks", expr("filter(split(text, ' '), t -> t <> '')"))
-      .withColumn("__q", TextFns.qualityScore("text", "__toks"))
-      .select(col("doc_id"),
-        expr("cast(floor(__q * 10000.0d + 0.5d) as bigint)").as("q_bp"))
-    val docLab = graft.ops.VideoNearDup.clusterLabels(
-      kfs.select("doc_id", "kf_hash"), maxDf = storedMaxDf(s, dir))
-    val nkf = kfs.join(docLab, "doc_id")
-      .groupBy("cluster_rep")
-      .agg(countDistinct("kf_hash").as("n_kf_hashes"))
-    docLab.join(qual, "doc_id")
-      .groupBy("cluster_rep")
-      .agg(count(lit(1)).as("n_docs"),
-        max(struct(col("q_bp"), (-col("doc_id")).as("negid"))).as("__m"))
-      .join(nkf, "cluster_rep")
-      .select(col("cluster_rep"), col("n_docs"), col("n_kf_hashes"),
-        (-col("__m.negid")).as("kept_doc"), col("__m.q_bp").as("kept_q_bp"))
-      .orderBy("cluster_rep")
-  }
-
-  /** Shift-robust audio landmark fingerprint, pairwise margins (q301,
-    * [[Audio.landmarkHashes]]): the envelope fingerprint (q290) is
-    * position-RELATIVE — robust to resampling, provably blind to time
-    * SHIFTS (a leading-silence pad moves every bin;
-    * `AudioLandmarkSpec` carries the measured envelope-miss proof).
-    * The public Shazam-style fix is landmark-PAIR hashing, here in
-    * exact integers with zero quantization jitter: onset edges in the
-    * DECODED samples anchor the hash (|s| crossing the threshold
-    * upward — no frames, no windows, so a pad/trim shifts every onset
-    * by exactly the pad length), and each hash packs two consecutive
-    * inter-onset deltas plus two truncated amplitude ratios. Per doc
-    * the click-train master ([[Audio.clickTrain]], the transient-rich
-    * signal landmark systems are built for) meets its three twins
-    * through the REAL codec: a (n/3)-sample leading-silence pad
-    * (every hash survives bit-for-bit), a content trim at
-    * first-onset+5 — an ARBITRARY unaligned offset, derived from the
-    * decoded data, killing the first landmark (every interior hash
-    * survives), and an unrelated control (hashes carry ~21 bits of
-    * hashed delta + ratio entropy ×2 each — measured zero shared).
-    * The shared-hash vote is the dup rule the cluster chain (q302)
-    * runs on — since r15 at the STORED q314-tuned operating point
-    * (the flags here report margins at the legacy 3-vote floor, the
-    * weakest gate any tuned point strengthens). Every click is closed-form, so the oracle
-    * replays the landmark sets WITHOUT per-sample expansion — oracle
-    * cost scales with clicks (~20/doc), not samples.
-    */
-  private def qAudioLandmarks(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
-      .map { id =>
-        val n = (4000 + (id % 7) * 500 + id % 53).toInt
-        def hashSet(samples: Array[Int]): Set[Long] =
-          Audio.landmarkHashes(id,
-            Audio.encodeWavSamples(samples, 16000)).toSet
-        val master = Audio.clickTrain(2 * id, n)
-        val mw = Audio.encodeWavSamples(master, 16000)
-        val on = Audio.onsets(id, mw, 256)
-        val mh = Audio.landmarkHashes(id, mw).toSet
-        val ph = hashSet(Array.fill(n / 3)(0) ++ master)
-        val th = hashSet(master.drop(on.head.pos.toInt + 5))
-        val ch = hashSet(Audio.clickTrain(2 * id + 1, n))
-        (id, on.length.toLong, mh.size.toLong,
-          (mh & ph).size.toLong, (mh & th).size.toLong,
-          (mh & ch).size.toLong)
-      }
-      .toDF("doc_id", "n_onsets", "n_hashes", "pad_shared",
-        "trim_shared", "ctrl_shared")
-      .withColumn("pad_dup", col("pad_shared") >= 3)
-      .withColumn("trim_dup", col("trim_shared") >= 3)
-      .withColumn("ctrl_separated", col("ctrl_shared") < 3)
-      .orderBy("doc_id")
-  }
-
-  private val lmSharedCache = scala.collection.mutable.Map
-    .empty[(String, String), (DataFrame, DataFrame)]
-
-  /** The labeled landmark calibration sweep, checkpointed ONCE per
-    * session: both the stored operating point ([[landmarkOpPath]])
-    * and the published tuning table (q314) read it, so the
-    * deliberately-flooded q=6 candidate join is materialized a single
-    * time however many consumers run.
-    */
-  private def lmLabeledShared(s: SparkSession,
-      dir: String): (DataFrame, DataFrame) =
-    sessionFixture(lmSharedCache, s, dir) {
-      // fixture discipline: RAW eager localCheckpoint, never
-      // Snap.tracked — the sweep's own tracked checkpoint is drained
-      // after the first consuming query's action, and these frames
-      // must survive it for the session's later consumers
-      val (pos, neg) = graft.ops.LandmarkTuning.labeledShared(s)
-      (pos.localCheckpoint(), neg.localCheckpoint())
-    }
-
-  private val landmarkOpCache = scala.collection.mutable.Map
-    .empty[(String, String), String]
-
-  /** The STORED landmark operating point (q314,
-    * [[graft.ops.LandmarkTuning]]): the tuning table is built over the
-    * fixed 256-group labeled calibration sample, the
-    * (delta-quantization, vote-threshold) choice applied by rule
-    * (smallest viable quantization, equal-margin threshold), and the
-    * result persisted via [[graft.ops.ModelStore.saveLandmarkPoint]] —
-    * the artifact q302 and q306's landmark leg admit at.
-    */
-  private def landmarkOpPath(s: SparkSession, dir: String): String =
-    sessionFixture(landmarkOpCache, s, dir) {
-      val tag = (s.sparkContext.applicationId + "_" + dir)
-        .replaceAll("[^a-zA-Z0-9]", "_")
-      val path = graft.Scratch.register(
-        s"${System.getProperty("java.io.tmpdir")}/graft_lmop_$tag")
-      val (pos, neg) = lmLabeledShared(s, dir)
-      val st = graft.ops.LandmarkTuning.stats(pos, neg)
-        .collect()
-        .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2)))
-        .toSeq
-      val (qStar, tStar) = graft.ops.LandmarkTuning.choose(st)
-      val capStar = lmCapTable(s, dir)
-        .filter(col("chosen")).head().getLong(0)
-      // at the chosen cell recall and precision are full BY the
-      // viability construction (t* <= minPos, t* > maxNeg)
-      graft.ops.ModelStore.saveLandmarkPoint(s, path, tStar, qStar,
-        capStar, 10000L, 10000L)
-      path
-    }
-
-  private val lmCapTableCache = scala.collection.mutable.Map
-    .empty[(String, String), DataFrame]
-
-  /** The measured df-cap sweep (q321,
-    * [[graft.ops.LandmarkTuning.capTable]]) at the chosen (q*, t*),
-    * checkpointed once per session: both the stored operating point
-    * ([[landmarkOpPath]] persists the chosen cap as `max_df`) and the
-    * published table (q321) read it.
-    */
-  private def lmCapTable(s: SparkSession, dir: String): DataFrame =
-    sessionFixture(lmCapTableCache, s, dir) {
-      val (pos, neg) = lmLabeledShared(s, dir)
-      val st = graft.ops.LandmarkTuning.stats(pos, neg)
-        .collect()
-        .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2)))
-        .toSeq
-      val (qStar, tStar) = graft.ops.LandmarkTuning.choose(st)
-      // fixture discipline: raw eager localCheckpoint (see
-      // lmLabeledShared)
-      graft.ops.LandmarkTuning.capTable(s, qStar, tStar)
-        .localCheckpoint()
-    }
-
-  /** Boilerplate df-cap tuning table (q321,
-    * [[graft.ops.LandmarkTuning.capTable]]): the q314 discipline on
-    * the LAST unmeasured knob — the pairing-join df cap. One row per
-    * swept power-of-two cap with the hashes it would exclude, the
-    * positive/negative pairs the stored t* vote still admits after
-    * exclusion, exact truncated-bp recall, the sample's measured max
-    * df, and the chosen flag ([[graft.ops.LandmarkTuning.chooseCap]]:
-    * smallest grid cap at ≥ 16× the sample's max df, required to sit
-    * at or above the measured full-recall floor). The chosen cap is
-    * persisted as `max_df` beside (q*, t*) in the landmark operating
-    * point and EVERY pairing-join cap consumer reads it — q300's
-    * video chain, q302/q306's landmark and envelope legs, the
-    * keyframe/landmark gate and blocklist builds — never a bare
-    * constant. The oracle replays the sample, the per-hash df, the
-    * capped vote sweep, and the choice rule.
-    */
-  private def qDfCapTuning(s: SparkSession, dir: String): DataFrame =
-    lmCapTable(s, dir)
-
-  /** The stored q321-measured pairing df cap — the single value every
-    * boilerplate-cap consumer (video keyframe chain and gate builds,
-    * audio landmark/envelope legs, takedown blocklist builds) reads
-    * from the landmark operating-point artifact.
-    */
-  private def storedMaxDf(s: SparkSession, dir: String): Int =
-    graft.ops.ModelStore
-      .loadLandmarkPoint(s, landmarkOpPath(s, dir))._3.toInt
-
-  /** Landmark operating-point tuning table (q314,
-    * [[graft.ops.LandmarkTuning]]): the measured
-    * (delta-quantization, vote-threshold) → {admitted twins, admitted
-    * chance pairs, recall, precision} sweep over the fixed 256-group
-    * calibration sample — the q192 (b,r)-table discipline on the
-    * landmark axis, closing the r14 gap where q302 admitted at a
-    * hardcoded ≥ 3 while its sf1 run measured a real chance tail. The
-    * sample is generated from the group INDEX (not the corpus), so
-    * the table and the stored choice are identical at every scale;
-    * the coarsest quantization level deliberately floods the
-    * candidate join (deltas quantize to a handful of values) so the
-    * precision cliff is MEASURED, not asserted. The oracle replays
-    * the sample's clicks closed-form, all four quantization levels,
-    * the candidate join, and both admitted counts.
-    */
-  private def qLandmarkTuning(s: SparkSession, dir: String): DataFrame = {
-    val (pos, neg) = lmLabeledShared(s, dir)
-    graft.ops.LandmarkTuning.tableFrom(s, pos, neg)
-  }
-
-  /** Shift-robust audio dedup clusters (q302): q301's landmark
-    * fingerprint routed through the production cluster chain — the
-    * q294/q300 shape with landmark-vote edges: per doc_id/4 group the
-    * master, its silence-padded copy and its trimmed copy (both
-    * invisible to the envelope path by construction) plus an
-    * unrelated control; per-doc DISTINCT hash rows leave the scan
-    * (payloads never shuffle), one hash-equality self-join votes
-    * pairs, edges at ≥ 3 shared hashes, q71's CC, q274 quality-max
-    * keep. Landmark edges UNION q294's envelope band edges in one
-    * line when both fingerprint families run on the same corpus —
-    * the screens compose because both reduce to doc-pair edge sets.
-    */
-  private def qLandmarkClusters(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    implicit val sp: SparkSession = s
-    // the vote threshold, delta quantization, and pairing df cap are
-    // the STORED q314/q321-tuned operating point (the q303 discipline
-    // on every knob: serving reads the calibration artifact, never a
-    // hardcoded 3 or a bare 64)
-    val (voteT, deltaQ, maxDf, _, _) = graft.ops.ModelStore
-      .loadLandmarkPoint(s, landmarkOpPath(s, dir))
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-    val hashes = docs.select("doc_id").as[Long].flatMap { id =>
-      val g = id / 4
-      val r = id % 4
-      val n = (4000 + (g % 7) * 500 + g % 53).toInt
-      val sk = if (r == 3) 2 * g + 1 else 2 * g
-      // the shared rendition generator — the SAME forms the stored
-      // operating point was tuned on (Audio.clickRendition)
-      val samples = Audio.clickRendition(sk, n,
-        if (r == 3) 0L else r)
-      Audio.landmarkHashes(id, Audio.encodeWavSamples(samples, 16000),
-          256, deltaQ.toInt)
-        .distinct.map(h => (id, h))
-    }.toDF("doc_id", "lm_hash").transform(snap)
-    // pairing goes through the STORED df cap (AudioNearDup: one
-    // window filter on the self-join's own shuffle); in-data df stays
-    // provably under the cap at every gated scale (measured max 18 at
-    // sf1), so the oracle replays the uncapped vote rule verbatim —
-    // reporting below (doc membership, per-cluster hash counts) stays
-    // on the uncapped frame
-    val edges = graft.ops.AudioNearDup.voteEdges(
-      hashes.select(col("doc_id"), col("lm_hash").as("h")),
-      voteT, maxDf.toInt)
-    val labels = DedupClusters.connectedComponents(edges, "id_a", "id_b")
-      .withColumnRenamed("node", "doc_id")
-    val qual = docs
-      .withColumn("__toks", expr("filter(split(text, ' '), t -> t <> '')"))
-      .withColumn("__q", TextFns.qualityScore("text", "__toks"))
-      .select(col("doc_id"),
-        expr("cast(floor(__q * 10000.0d + 0.5d) as bigint)").as("q_bp"))
-    val docLab = hashes.select("doc_id").distinct()
-      .join(labels, Seq("doc_id"), "left")
-      .withColumn("cluster_rep", coalesce(col("cluster_rep"),
-        col("doc_id")))
-    val nlm = hashes.join(docLab, "doc_id")
-      .groupBy("cluster_rep")
-      .agg(countDistinct("lm_hash").as("n_lm_hashes"))
-    docLab.join(qual, "doc_id")
-      .groupBy("cluster_rep")
-      .agg(count(lit(1)).as("n_docs"),
-        max(struct(col("q_bp"), (-col("doc_id")).as("negid"))).as("__m"))
-      .join(nlm, "cluster_rep")
-      .select(col("cluster_rep"), col("n_docs"), col("n_lm_hashes"),
-        (-col("__m.negid")).as("kept_doc"), col("__m.q_bp").as("kept_q_bp"))
-      .orderBy("cluster_rep")
-  }
-
-  /** Union dedup clusters — envelope ∪ landmark (q306): the two audio
-    * fingerprint families COMPOSED, proving E299's one-line-union
-    * claim as code. The fixture plants, per doc_id/4 group, the two
-    * production dup forms that each family catches and the OTHER
-    * provably misses: a 2× RESAMPLE (envelope drift ≤ 1 bit — the
-    * hybrid recording, [[Audio.hybridTrain]] — while landmark deltas
-    * halve: zero shared hashes) and a content TRIM at first-onset+3,
-    * an arbitrary unaligned offset derived from decoded data (every
-    * interior landmark hash survives, ≥ 9 shared, while the envelope
-    * support shifts ≥ 11 bits), plus an unrelated control. One decode
-    * pass emits BOTH fingerprints (payloads never shuffle); envelope
-    * edges come from the 5×12 band probe verified at hamming ≤ 4 (the
-    * gate follows the MEASURED drift: ≤ 1 here, and ≤ 4 pigeonholes
-    * ≥ 1 intact band — at this gate the 12,500-group sf1 space has
-    * ZERO cross-group candidates, where the q294 ≤ 8 gate would admit
-    * 3), landmark edges from the q302 vote rule at the STORED q314
-    * operating point, and their UNION
-    * feeds one CC — the trio clusters, and `UnionClustersSpec` proves
-    * each single-family edge set leaves its blind twin out. Oracle
-    * replays the envelope bins WITHOUT a sample×click join (background
-    * mass per bin + one correction row per click — exact), the
-    * landmark sets from click rows, both edge rules, and the closure.
-    */
-  private def qUnionClusters(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    implicit val sp: SparkSession = s
-    // the landmark leg admits at the STORED q314 operating point,
-    // exactly like q302 (the envelope leg's <= 4 gate follows its own
-    // measured drift and is not landmark-tunable); BOTH legs' pairing
-    // joins ride the stored q321 df cap
-    val (voteT, deltaQ, maxDf, _, _) = graft.ops.ModelStore
-      .loadLandmarkPoint(s, landmarkOpPath(s, dir))
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-    val feats = docs.select("doc_id").as[Long].map { id =>
-      val g = id / 4
-      val r = id % 4
-      val n = (4000 + (g % 7) * 500 + g % 53).toInt
-      val master = Audio.hybridTrain(if (r == 3) 2 * g + 1 else 2 * g, n)
-      val samples = r match {
-        case 1L => Array.tabulate(n / 2)(k => master(2 * k))
-        case 2L =>
-          val mw = Audio.encodeWavSamples(master, 16000)
-          master.drop(Audio.onsets(id, mw, 256).head.pos.toInt + 3)
-        case _ => master
-      }
-      val wav = Audio.encodeWavSamples(samples,
-        if (r == 1L) 8000 else 16000)
-      (id, Audio.envelopeHash(id, wav),
-        Audio.landmarkHashes(id, wav, 256, deltaQ.toInt).distinct)
-    }.toDF("doc_id", "fp", "lm_hashes").transform(snap)
-    val bandsOf = "transform(sequence(0, 4), " +
-      "b -> (shiftright(%s, b * 12) & 4095) * 5 + b)"
-    // both candidate joins ride the stored df cap (a degenerate band
-    // value — silent audio quantizing every bin below the mean — is
-    // the envelope leg's magnet exactly as a shared beat pattern is
-    // the landmark leg's); in-data dfs stay provably under the cap at
-    // every gated scale (measured max: bands 33, hashes 8 at sf1), so
-    // the oracle replays both uncapped rules verbatim
-    val envEdges = graft.ops.AudioNearDup.bandCandidates(
-        feats.select(col("doc_id"), col("fp"),
-          explode(expr(bandsOf.format("fp"))).as("bk")),
-        maxDf.toInt)
-      .filter(expr("bit_count(fa ^ fb) <= 4"))
-      .select("id_a", "id_b").distinct()
-    val lmEdges = graft.ops.AudioNearDup.voteEdges(
-      feats.select(col("doc_id"), explode(col("lm_hashes")).as("h")),
-      voteT, maxDf.toInt)
-    val edges = envEdges.union(lmEdges).distinct()
-    val labels = DedupClusters.connectedComponents(edges, "id_a", "id_b")
-      .withColumnRenamed("node", "doc_id")
-    val qual = docs
-      .withColumn("__toks", expr("filter(split(text, ' '), t -> t <> '')"))
-      .withColumn("__q", TextFns.qualityScore("text", "__toks"))
-      .select(col("doc_id"),
-        expr("cast(floor(__q * 10000.0d + 0.5d) as bigint)").as("q_bp"))
-    feats.select("doc_id")
-      .join(labels, Seq("doc_id"), "left")
-      .withColumn("cluster_rep", coalesce(col("cluster_rep"),
-        col("doc_id")))
-      .join(qual, "doc_id")
-      .groupBy("cluster_rep")
-      .agg(count(lit(1)).as("n_docs"),
-        max(struct(col("q_bp"), (-col("doc_id")).as("negid"))).as("__m"))
-      .select(col("cluster_rep"), col("n_docs"),
-        (-col("__m.negid")).as("kept_doc"), col("__m.q_bp").as("kept_q_bp"))
-      .orderBy("cluster_rep")
-  }
-
-  private val videoGateCache = scala.collection.mutable.Map
-    .empty[(String, String), (String, String)]
-
-  /** Staged arrivals + stored keyframe-hash index for the streaming
-    * video-dedup gate (q307). Groups of doc_id/3: members ≡ 1, 2 mod 3
-    * are HISTORY — the master clip and its 2× pixel-duplication
-    * upscale (identical keyframe hashes: identical-entry handling
-    * exercised) — and members ≡ 0 arrive as the first-scene TRIM of
-    * the group clip, except every fifth group's arrival is a NOVEL
-    * clip that must match nothing.
-    */
-  private def videoGatePaths(s: SparkSession,
-      dir: String): (String, String) =
-    sessionFixture(videoGateCache, s, dir) {
-      import s.implicits._
-      implicit val sp: SparkSession = s
-      val tag = (s.sparkContext.applicationId + "_" + dir)
-        .replaceAll("[^a-zA-Z0-9]", "_")
-      val tmp = System.getProperty("java.io.tmpdir")
-      val srcPath = graft.Scratch.register(s"$tmp/graft_vgate_src_$tag")
-      val idxPath = graft.Scratch.register(s"$tmp/graft_vgate_idx_$tag")
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-      docs.filter((id: Long) => id % 3 == 0)
-        .map { id =>
-          val g = id / 3
-          val sk = if (g % 5 == 0) 2 * g + 1 else 2 * g
-          val ns = (3 + g % 3).toInt
-          val (nsr, off) =
-            if (g % 5 == 0) (ns, 0L) else (ns - 1, 1L) // novel vs trim
-          (id, Video.encodeY4mBlockScenes(sk, 16, 8, nsr, 4, off))
-        }
-        .toDF("doc_id", "payload")
-        .coalesce(1).write.mode("overwrite").parquet(srcPath)
-      val histMedia = docs.filter((id: Long) => id % 3 != 0)
-        .map { id =>
-          val g = id / 3
-          val (w, h) = if (id % 3 == 1) (16, 8) else (32, 16)
-          Multimodal.MediaRecord(id,
-            Video.encodeY4mBlockScenes(2 * g, w, h, (3 + g % 3).toInt,
-              4, 0L), "y4m")
-        }
-      graft.streaming.VideoDedupGate.buildIndex(
-          Video.keyframeHashes(histMedia, 48).toDF()
-            .select(col("doc_id").as("hist_id"), col("kf_hash")),
-          maxDf = storedMaxDf(s, dir))
-        .write.mode("overwrite").parquet(idxPath)
-      (srcPath, idxPath)
-    }
-
-  /** Streaming video-dedup gate (q307,
-    * [[graft.streaming.VideoDedupGate]]): the live-ingestion trio
-    * completed — rasters (q267), audio (q304), and now VIDEO: arriving
-    * clips decode, segment, elect and blockhash keyframes in one
-    * scan-local pass, then probe the STORED keyframe-hash index by
-    * exact equality with the q300 ≥ 2-vote verify; matched
-    * (arrival, history, n_shared) verdicts append under the replay
-    * rule. Fixture: each id/3 group's arrival is the first-scene TRIM
-    * of the group clip held twice in history (master + its 2×
-    * upscale — identical hash entries exercised); every fifth group's
-    * arrival is novel. Oracle replays hashes closed-form + the same
-    * vote; `VideoDedupGateSpec` drives restart-resume.
-    */
-  private def qStreamVideoDedup(s: SparkSession, dir: String): DataFrame = {
-    val (src, idx) = videoGatePaths(s, dir)
-    graft.streaming.VideoDedupGate.run(s, src, s.read.parquet(idx))
-  }
-
-  /** The q308/q309 per-doc recording: silence-only every 7th doc, a
-    * wall-of-sound every 11th (not 7th), hashed speech bursts
-    * otherwise ([[Audio.burstTrain]]).
-    */
-  private def speechSamples(id: Long, n: Int): Array[Int] =
-    if (id % 7 == 0)
-      Array.tabulate(n)(j => (((id * 31 + 997 * j) % 81) - 40).toInt)
-    else if (id % 11 == 0)
-      Array.tabulate(n)(j => if (j % 2 == 0) 1000 else -1000)
-    else Audio.burstTrain(id, n)
-
-  /** Utterance segmentation / VAD stats (q308, [[Audio.utterances]]):
-    * speech corpora are curated at the UTTERANCE level, and the first
-    * pass over every recording is the energy-gate VAD — maximal runs
-    * of |s| ≥ threshold in the DECODED samples, one scan-local pass
-    * (payloads never shuffle; a 10-minute recording emits one row).
-    * Per doc: utterance count, speech mass, the exact truncated-bp
-    * speech ratio, and the longest utterance with its position (ties →
-    * earliest — the clip a transcription job reads first). The fixture
-    * plants the two degenerate classes every real crawl contains —
-    * silence-only (no utterances) and wall-of-sound (one utterance
-    * spanning the recording) — beside hashed burst trains; all
-    * closed-form, so the oracle replays from ~12 burst rows per doc,
-    * never samples.
-    */
-  private def qUtteranceStats(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
-      .map { id =>
-        val n = (4000 + (id % 7) * 500 + id % 53).toInt
-        val us = Audio.utterances(id,
-          Audio.encodeWavSamples(speechSamples(id, n), 16000), 256)
-        val longest = if (us.isEmpty) null
-          else us.maxBy(u => (u.len, -u.start))
-        (id, us.length.toLong, us.map(_.len).sum,
-          us.map(_.len).sum * 10000 / n,
-          if (longest == null) 0L else longest.len,
-          if (longest == null) -1L else longest.start)
-      }
-      .toDF("doc_id", "n_utterances", "speech_samples", "speech_bp",
-        "longest_len", "longest_start")
-      .orderBy("doc_id")
-  }
-
-  /** Speech-quality admission screen (q309): the Gopher-style quality
-    * gate on the AUDIO axis — q308's VAD stats thresholded into a
-    * keep/drop verdict with named reasons: enough utterances
-    * (≥ 3 — single-blob audio is usually not speech), a speech ratio
-    * inside the usable band (2,000–9,000 bp — silence-padded and
-    * wall-of-sound recordings both fail), and no utterance longer
-    * than 1,200 samples (the no-segmentation-possible guard). The
-    * planted degenerate classes drop for exactly their reason;
-    * hashed burst docs all keep (ratio ~52 %, utterances 6–12,
-    * longest ≤ 499 — measured by construction). Reasons are columns,
-    * not a boolean — the table a curation dashboard reads.
-    */
-  private def qSpeechQualityScreen(s: SparkSession,
-      dir: String): DataFrame =
-    qUtteranceStats(s, dir)
-      .withColumn("enough_utterances", col("n_utterances") >= 3)
-      .withColumn("ratio_in_band",
-        col("speech_bp") >= 2000 && col("speech_bp") <= 9000)
-      .withColumn("segmentable", col("longest_len") <= 1200)
-      .withColumn("kept", col("enough_utterances") &&
-        col("ratio_in_band") && col("segmentable"))
-      .select(col("doc_id"), col("n_utterances"), col("speech_bp"),
-        col("longest_len"), col("enough_utterances"),
-        col("ratio_in_band"), col("segmentable"), col("kept"))
-      .orderBy("doc_id")
-
-  /** Pad-robust envelope dedup via silence-trim normalization (q310,
-    * [[Audio.envelopeHashTrimmed]]): the PRODUCTION answer to padded
-    * copies inside the envelope family itself — the fingerprint is
-    * computed over the signal SUPPORT (first..last sample at
-    * |s| ≥ 16), so leading/trailing silence moves nothing. Per doc the
-    * hybrid master meets a twin padded with n/3 leading + n/5 trailing
-    * zeros and an unrelated control; the trimmed fingerprints land 0
-    * bits apart (is_dup at the 8-bit gate) while the RAW envelope
-    * carries its own miss in-data (raw_hamming ≥ 15 — the documented
-    * q290 shift-blindness, here as a column), and controls stay ≥ 18.
-    * Together with q301/q306 the pad story is closed twice over:
-    * silence pads fall to trim normalization OR landmark voting;
-    * content trims to landmark voting alone. Oracle recomputes the
-    * support bounds and both binnings from the background-plus-click
-    * closed form (the padded leg's sample rows are the master's
-    * shifted — zeros contribute nothing — so one per-sample table
-    * serves all four fingerprints).
-    */
-  private def qPadRobustDedup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
-      .map { id =>
-        val n = (4000 + (id % 7) * 500 + id % 53).toInt
-        val master = Audio.hybridTrain(2 * id, n)
-        val padded =
-          Array.fill(n / 3)(0) ++ master ++ Array.fill(n / 5)(0)
-        val ctrl = Audio.hybridTrain(2 * id + 1, n)
-        val (mw, pw, cw) = (Audio.encodeWavSamples(master, 16000),
-          Audio.encodeWavSamples(padded, 16000),
-          Audio.encodeWavSamples(ctrl, 16000))
-        (id, Audio.envelopeHashTrimmed(id, mw),
-          Audio.envelopeHashTrimmed(id, pw),
-          java.lang.Long.bitCount(
-            Audio.envelopeHash(id, mw) ^ Audio.envelopeHash(id, pw))
-            .toLong,
-          Audio.envelopeHashTrimmed(id, cw))
-      }
-      .toDF("doc_id", "fp_trim_master", "fp_trim_padded",
-        "raw_hamming", "__fp_ctrl")
-      .withColumn("trim_hamming",
-        expr("cast(bit_count(fp_trim_master ^ fp_trim_padded) as bigint)"))
-      .withColumn("is_dup", col("trim_hamming") <= 8)
-      .withColumn("raw_missed", col("raw_hamming") > 8)
-      .withColumn("control_hamming",
-        expr("cast(bit_count(fp_trim_master ^ __fp_ctrl) as bigint)"))
-      .withColumn("separated", col("control_hamming") > 8)
-      .select("doc_id", "fp_trim_master", "fp_trim_padded",
-        "trim_hamming", "is_dup", "raw_hamming", "raw_missed",
-        "control_hamming", "separated")
-      .orderBy("doc_id")
-  }
-
-  /** Incremental keyframe-index maintenance (q311): the WRITE side of
-    * the q307 video gate — the q256 bucketed-history discipline on the
-    * video axis. The stored keyframe-hash index lives as a
-    * hash-BUCKETED catalog table (probes join exchange-free —
-    * `VideoIndexSpec` asserts no Exchange on the index side); after a
-    * batch of clips is admitted, their (clip, keyframe-hash) entries
-    * APPEND as new per-bucket files (the bucket layout is preserved,
-    * never rewritten — at 100 TB the index is billions of rows and a
-    * rewrite-per-ingest is a nightly job). Output: entry counts
-    * before/added/after, `novel_hashes` (hash VALUES the index had
-    * never seen — the trimmed re-fetches contribute zero, only the
-    * genuinely novel clips add vocabulary), and the maintenance
-    * guarantee `recheck_unmatched` = 0: re-probing the admitted batch
-    * through the q307 ≥ 2-vote gate now matches every clip (each at
-    * least self-matches on all its scenes), which is exactly the
-    * re-fetch suppression the index exists for. Like q256 the query
-    * IS the maintenance demonstration and rebuilds its table per run.
-    */
-  private def qIncrKeyframeIndex(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    implicit val sp: SparkSession = s
-    val tag = (s.sparkContext.applicationId + "_" + dir)
-      .replaceAll("[^a-zA-Z0-9]", "_")
-    val tbl = s"graft_kfidx_incr_$tag"
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id").cast("long")).as[Long]
-    val histMedia = docs.filter((id: Long) => id % 3 != 0)
-      .map { id =>
-        val g = id / 3
-        val (w, h) = if (id % 3 == 1) (16, 8) else (32, 16)
-        Multimodal.MediaRecord(id,
-          Video.encodeY4mBlockScenes(2 * g, w, h, (3 + g % 3).toInt,
-            4, 0L), "y4m")
-      }
-    Video.keyframeHashes(histMedia, 48).toDF()
-      .select(col("doc_id").as("hist_id"), col("kf_hash")).distinct()
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(8, "kf_hash").sortBy("kf_hash").saveAsTable(tbl)
-    val before = s.table(tbl).count()
-    val oldHashes = s.table(tbl).select("kf_hash").distinct()
-      .transform(snap)
-    val arrMedia = docs.filter((id: Long) => id % 3 == 0)
-      .map { id =>
-        val g = id / 3
-        val sk = if (g % 5 == 0) 2 * g + 1 else 2 * g
-        val ns = (3 + g % 3).toInt
-        val (nsr, off) = if (g % 5 == 0) (ns, 0L) else (ns - 1, 1L)
-        Multimodal.MediaRecord(id,
-          Video.encodeY4mBlockScenes(sk, 16, 8, nsr, 4, off), "y4m")
-      }
-    val arriving = Video.keyframeHashes(arrMedia, 48).toDF()
-      .select(col("doc_id").as("hist_id"), col("kf_hash")).distinct()
-      .transform(snap)
-    val novelHashes = arriving.select("kf_hash").distinct()
-      .join(oldHashes, Seq("kf_hash"), "left_anti").count()
-    // append routes each entry to its kf_hash bucket as new
-    // per-bucket files — layout preserved, probes stay exchange-free
-    arriving.write.mode("append").format("parquet")
-      .bucketBy(8, "kf_hash").sortBy("kf_hash").saveAsTable(tbl)
-    // before/after are metadata-only parquet counts (footer row
-    // counts) — the post-append read IS the maintenance guarantee
-    val after = s.table(tbl).count()
-    // appends can push a hash past the build-time df cap, so the
-    // maintenance job refreshes the stop-hash artifact HERE (one
-    // exchange-free agg on the bucket layout) and every probe
-    // anti-joins against it instead of ever scanning the index
-    val stop = graft.streaming.VideoDedupGate
-      .stopHashes(s.table(tbl), maxDf = storedMaxDf(s, dir))
-      .transform(snap)
-    val nStop = stop.count()
-    val matched = graft.streaming.VideoDedupGate.batchMatches(s,
-        arrMedia.map(r => (r.doc_id, r.payload))
-          .toDF("doc_id", "payload"),
-        s.table(tbl), stop = Some(stop))
-      .select("doc_id").distinct()
-    val recheck = arriving.select(col("hist_id").as("doc_id")).distinct()
-      .join(matched, Seq("doc_id"), "left_anti").count()
-    Seq(("added_entries", after - before), ("after_entries", after),
-      ("before_entries", before), ("novel_hashes", novelHashes),
-      ("recheck_unmatched", recheck), ("stop_hashes", nStop))
-      .toDF("phase", "n")
-      .orderBy("phase")
-  }
-
-  /** Channel-turn diarization (q312, [[Audio.channelTurns]]): the
-    * interview/call-center convention made an operator — each speaker
-    * sits on one STEREO channel, so speaker turns are CHANNEL turns,
-    * and the diarization a transcript-alignment job needs is one
-    * decode pass: utterances at max(|L|, |R|) ≥ 256 (the q308 VAD rule
-    * lifted to stereo through the real interleaved-frame parse, q298),
-    * each attributed to the channel with the larger amplitude mass.
-    * Per doc: utterance count, per-channel counts, speaker TURNS
-    * (adjacent attribution changes — the conversational-structure
-    * signal a dialogue-data curator filters on), and the two-speaker
-    * flag. Fixture: hashed stereo burst trains
-    * ([[Audio.stereoBurstTrain]] — each burst on a hashed channel, the
-    * silent channel keeping its noise floor); every 13th doc is a
-    * MONOLOGUE (all bursts forced left — a one-speaker recording that
-    * must report zero turns). Closed-form per burst, so the oracle
-    * replays ~12 rows per doc, never samples.
-    */
-  private def qChannelDiarization(s: SparkSession,
-      dir: String): DataFrame = {
-    import s.implicits._
-    t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
-      .map { id =>
-        val n = (4000 + (id % 7) * 500 + id % 53).toInt
-        val (l, r) = Audio.stereoBurstTrain(id, n)
-        val lr = if (id % 13 == 0) { // monologue: everything left
-          val lm = l.clone()
-          var j = 0
-          while (j < n) {
-            if (math.abs(r(j)) > math.abs(lm(j))) lm(j) = r(j)
-            j += 1
-          }
-          (lm, Array.tabulate(n)(j =>
-            (((id * 31 + 997 * j + 40) % 81) - 40).toInt))
-        } else (l, r)
-        val us = Audio.channelTurns(id,
-          Audio.encodeWavStereoSamples(lr._1, lr._2, 16000), 256)
-        val turns = us.sliding(2).count {
-          case Seq(a, b) => a.channel != b.channel
-          case _ => false
-        }
-        (id, us.length.toLong, turns.toLong,
-          us.count(_.channel == 0).toLong,
-          us.count(_.channel == 1).toLong)
-      }
-      .toDF("doc_id", "n_utterances", "n_turns", "left_utts",
-        "right_utts")
-      .withColumn("two_speakers",
-        col("left_utts") >= 1 && col("right_utts") >= 1)
-      .orderBy("doc_id")
-  }
-
-  /** Media dedup impact report (q313): the q271 corpus-owner table on
-    * the MODALITY axes — per media family (raster q280, audio q294,
-    * video q300) one row: items, clusters, duplicate items removed
-    * under min-cluster keep, the exact truncated-bp dup rate, and the
-    * largest cluster (the skew signal a rewrite planner reads). Each
-    * leg reads the STORED verdict table the q322 maintenance job
-    * derives from its gated cluster query — report cost is the scan
-    * of three latest-version partitions plus metadata-sized
-    * aggregates — and the oracle composes the three cluster oracles
-    * as subqueries, so green means stored chains and roll-up agree
-    * cross-engine.
-    */
-  private def clusterImpactLeg(name: String, df: DataFrame) = df
-    .agg(sum("n_docs").as("n_items"),
-      count(lit(1)).as("n_clusters"),
-      (sum("n_docs") - count(lit(1))).as("n_dup_items"),
-      expr("(sum(n_docs) - count(1)) * 10000 div sum(n_docs)")
-        .as("dup_rate_bp"),
-      max("n_docs").as("max_cluster"))
-    .withColumn("modality", lit(name))
-    .select("modality", "n_items", "n_clusters", "n_dup_items",
-      "dup_rate_bp", "max_cluster")
-
-  private val verdictStoreCache = scala.collection.mutable.Map
-    .empty[(String, String), String]
-
-  /** The screen/cluster verdict tables the verdict store persists
-    * (q322) and the gated chains that derive them — the legs the
-    * report family (q313/q318/q320) READS instead of re-deriving.
-    * At 100 TB a compliance/dedup report is a dashboard over STORED
-    * verdict tables maintained by scheduled jobs, never a re-run of
-    * three full screens per page load.
-    */
-  private def verdictLegs(s: SparkSession,
-      dir: String): Seq[(String, () => DataFrame)] = Seq(
-    "audio_clusters" -> (() => qAudioClusters(s, dir)),
-    "audio_takedown" -> (() => qAudioTakedown(s, dir)),
-    "landmark_takedown" -> (() => qLandmarkTakedown(s, dir)),
-    "raster_clusters" -> (() => qRasterClusters(s, dir)),
-    "text_clusters" -> (() => textClusterSizes(s, dir)),
-    "video_clusters" -> (() => qVideoClusters(s, dir)),
-    "video_takedown" -> (() => qVideoTakedown(s, dir)))
-
-  /** One verdict-store maintenance pass (the q311 artifact
-    * discipline): every leg re-derives and APPENDS under the next
-    * version — each version its own partition directory, so readers
-    * partition-prune to the latest files and history stays auditable
-    * (a compliance store never rewrites old verdicts). Returns the
-    * per-table row-count summary.
-    */
-  private def refreshVerdicts(s: SparkSession, dir: String,
-      root: String): DataFrame = {
-    import s.implicits._
-    verdictLegs(s, dir).map { case (name, build) =>
-      val path = s"$root/$name"
-      val next =
-        if (!new java.io.File(path).exists()) 0L
-        else s.read.parquet(path)
-          .agg(max(col("version").cast("long"))).head().getLong(0) + 1
-      build().withColumn("version", lit(next))
-        .write.mode("append").partitionBy("version").parquet(path)
-      // metadata-only count of the freshly written partition
-      val n = s.read.parquet(path)
-        .filter(col("version").cast("long") === next).count()
-      (name, n)
-    }.toDF("table_name", "n_rows").orderBy("table_name")
-  }
-
-  /** The stored verdict root, built once per session (version 0). */
-  private def verdictStoreRoot(s: SparkSession, dir: String): String =
-    sessionFixture(verdictStoreCache, s, dir) {
-      val tag = (s.sparkContext.applicationId + "_" + dir)
-        .replaceAll("[^a-zA-Z0-9]", "_")
-      val root = graft.Scratch.register(
-        s"${System.getProperty("java.io.tmpdir")}/graft_verdicts_$tag")
-      refreshVerdicts(s, dir, root).collect()
-      root
-    }
-
-  /** Latest-version read of a stored verdict table — the max-version
-    * filter prunes the scan to the newest partition's files.
-    */
-  private def readVerdict(s: SparkSession, root: String,
-      name: String): DataFrame = {
-    val path = s"$root/$name"
-    val v = s.read.parquet(path)
-      .agg(max(col("version").cast("long"))).head().getLong(0)
-    s.read.parquet(path)
-      .filter(col("version").cast("long") === v).drop("version")
-  }
-
-  /** Verdict-store refresh (q322): the maintenance job that re-derives
-    * every screen/cluster verdict table and appends the next version
-    * (each version a partition — auditable history, partition-pruned
-    * latest reads). The report family (q313/q318/q320) reads the
-    * stored tables this job maintains, so report cost is scan cost.
-    * The oracle composes the seven leg oracles as COUNT subqueries —
-    * green means every stored table carries exactly the rows its live
-    * chain derives.
-    */
-  private def qVerdictRefresh(s: SparkSession, dir: String): DataFrame =
-    refreshVerdicts(s, dir, verdictStoreRoot(s, dir))
-
-  private def qMediaDedupReport(s: SparkSession, dir: String): DataFrame = {
-    val root = verdictStoreRoot(s, dir)
-    clusterImpactLeg("audio", readVerdict(s, root, "audio_clusters"))
-      .unionAll(clusterImpactLeg("raster",
-        readVerdict(s, root, "raster_clusters")))
-      .unionAll(clusterImpactLeg("video",
-        readVerdict(s, root, "video_clusters")))
-      .orderBy("modality")
-  }
-
-  /** The TEXT axis cluster table for the corpus roll-up (q318): q71's
-    * near-dup closure (the shared dedupPairs edges — 3-gram Jaccard
-    * ≥ 0.5, df-capped) totalized over EVERY document (singletons count
-    * as their own cluster, exactly like the media cluster chains), one
-    * row per cluster.
-    */
-  private def textClusterSizes(s: SparkSession, dir: String): DataFrame = {
-    val labels = DedupClusters
-      .connectedComponents(dedupPairs(s, dir), "id_a", "id_b")
-      .withColumnRenamed("node", "doc_id")
-    t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
-      .withColumn("cluster_rep", coalesce(col("cluster_rep"),
-        col("doc_id")))
-      .groupBy("cluster_rep")
-      .agg(count(lit(1)).as("n_docs"))
-  }
-
-  /** Corpus dedup impact report, all four modalities (q318): the
-    * q313 roll-up completed with the TEXT axis — one corpus-owner
-    * table, per modality: items, clusters, removable duplicates under
-    * min-cluster keep, exact truncated-bp dup rate, and the largest
-    * cluster (the skew signal a rewrite planner reads). Each leg
-    * reads the STORED verdict table the q322 job maintains from its
-    * gated chain (q294/q280/q300 clusters, q71's closure totalized
-    * over every document for text); the report itself adds four
-    * metadata-sized aggregates over latest-version partition scans —
-    * nothing re-derives at read time.
-    * The oracle composes the three modality cluster oracles AND
-    * the q71 closure as subqueries, so green means all four chains and
-    * the aggregation agree cross-engine.
-    */
-  private def qCorpusDedupReport(s: SparkSession, dir: String): DataFrame = {
-    val root = verdictStoreRoot(s, dir)
-    clusterImpactLeg("audio", readVerdict(s, root, "audio_clusters"))
-      .unionAll(clusterImpactLeg("raster",
-        readVerdict(s, root, "raster_clusters")))
-      .unionAll(clusterImpactLeg("text",
-        readVerdict(s, root, "text_clusters")))
-      .unionAll(clusterImpactLeg("video",
-        readVerdict(s, root, "video_clusters")))
-      .orderBy("modality")
-  }
-
-  private val clfGateCache = scala.collection.mutable.Map
-    .empty[(String, String), String]
-
-  /** Staged arrivals for the streaming classifier gate (q297): the
-    * held-out marked docs (doc_id % 10 = 0) with their planted-token
-    * text joined back to a string — the ingest stream ships text, the
-    * gate tokenizes scan-locally.
-    */
-  private def clfGateSrcPath(s: SparkSession, dir: String): String =
-    sessionFixture(clfGateCache, s, dir) {
-      val tag = (s.sparkContext.applicationId + "_" + dir)
-        .replaceAll("[^a-zA-Z0-9]", "_")
-      val path = graft.Scratch.register(
-        s"${System.getProperty("java.io.tmpdir")}/graft_clfgatesrc_$tag")
-      qualityMarkedDocs(s, dir).filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id"),
-          expr("array_join(__toks, ' ')").as("text"))
-        .coalesce(1).write.mode("overwrite").parquet(path)
-      path
-    }
-
-  /** Streaming quality admission (q297,
-    * [[graft.streaming.ClassifierGate]]): the trained classifier
-    * family's live member — q286 trains and stores, q288 refreshes
-    * incrementally, q291 calibrates the operating point, and THIS is
-    * what production actually runs: arriving documents (the held-out
-    * split, staged in 3 batches) score per batch against the stored
-    * broadcast vote model and admit on the calibrated score > 0
-    * verdict, appending under the versioned-store replay rule. Docs
-    * arrive once and the model is static, so the streamed union is
-    * row-identical to batch scoring — the oracle is q286's retrain
-    * projected to (doc_id, score, admitted), the q103/q276
-    * stream≡batch shared-oracle discipline.
-    */
-  private def qStreamClassifierGate(s: SparkSession,
-      dir: String): DataFrame =
-    graft.streaming.ClassifierGate.run(s, clfGateSrcPath(s, dir),
-      s.read.parquet(qualityModelPath(s, dir)))
-
-  private val opPointCache = scala.collection.mutable.Map
-    .empty[(String, String), String]
-
-  /** Stored operating point for q303: q291's calibration sweep run
-    * once per (session, corpus), the q291-discipline choice applied —
-    * max F1 among thresholds at precision ≥ 9,500 bp, ties to the
-    * smallest threshold — and persisted through [[ModelStore]] like
-    * any other model artifact.
-    */
-  private def calibratedOpPath(s: SparkSession, dir: String): String =
-    sessionFixture(opPointCache, s, dir) {
-      val (thr, p, r) = Classifier.chooseOperatingPoint(
-        qClassifierCalibration(s, dir), minPrecisionBp = 9500L)
-      val tag = (s.sparkContext.applicationId + "_" + dir)
-        .replaceAll("[^a-zA-Z0-9]", "_")
-      val path = graft.Scratch.register(
-        s"${System.getProperty("java.io.tmpdir")}/graft_qop_$tag")
-      ModelStore.saveOperatingPoint(s, path, thr, p, r)
-      path
-    }
-
-  /** Calibrated streaming admission (q303): q297 closes the loop the
-    * r13 verdict called out as dangling — q291 computes the full
-    * threshold → precision/recall table, but the deployed gate
-    * admitted at the hardcoded score > 0 default. Here the OPERATING
-    * POINT is a first-class stored artifact: the calibration sweep
-    * runs once, [[Classifier.chooseOperatingPoint]] picks max-F1
-    * subject to precision ≥ 9,500 bp (ties → smallest threshold, the
-    * recall-friendly side), [[ModelStore.saveOperatingPoint]] persists
-    * (threshold, precision_bp, recall_bp), and the LIVE gate reads the
-    * threshold back and admits at score > threshold — the ModelStore
-    * discipline applied to the cutoff exactly as q129 applies it to
-    * centroids. Output carries the applied threshold beside every
-    * verdict (the audit row a compliance review reads). The oracle
-    * re-derives scores from the shared retrain CTEs, REPLAYS the
-    * sweep + the choice rule in SQL, and gates at its own chosen
-    * threshold — green proves the stored roundtrip AND the choice
-    * agree across engines. `CalibratedGateSpec` proves a DIFFERENT
-    * stored threshold changes admissions.
-    */
-  private def qCalibratedGate(s: SparkSession, dir: String): DataFrame = {
-    val (thr, _, _) =
-      ModelStore.loadOperatingPoint(s, calibratedOpPath(s, dir))
-    graft.streaming.ClassifierGate.run(s, clfGateSrcPath(s, dir),
-        s.read.parquet(qualityModelPath(s, dir)), threshold = thr)
-      .withColumn("threshold", lit(thr))
-      .select(col("doc_id"), col("score"), col("threshold"),
-        col("admitted"))
-  }
-
-  /** Video-caption pair alignment (q305): q287's CLIP-score keep/drop
-    * screen lifted to the VIDEO level — the (video, caption) pair gets
-    * the curation-unit treatment (image, caption) pairs already have
-    * (q277/q287), with the video represented by its DECODED keyframes:
-    * clips decode through the real Y4M path, scenes segment and elect
-    * keyframes in one pass ([[Video.sceneKeyframeHashes]] — payloads
-    * never shuffle), each keyframe links to its embedding row
-    * (vec 7u+scene — the per-frame CLIP-embedding table a production
-    * pipeline materializes), and the video-level alignment is the MAX
-    * over keyframes of the keyframe↔caption cosine — the standard
-    * best-frame CLIP scoring rule: a caption is kept if SOME scene
-    * shows what it describes. Aligned fixtures carry the caption of
-    * one of their own scenes (alignment 1.0); every 13th video's
-    * caption is swapped with the next video's (the q287 plant) and
-    * drops at the 0.9 gate since no scene reaches it (cross-vector
-    * cosine ≤ ~0.65 measured family-wide). Output carries the elected
-    * best scene + keyframe beside the verdict — the row a pair-rewrite
-    * job reads. One metadata-sized max(vec_id) anchors the video count
-    * (the q129 model-load class); the oracle replays the election
-    * closed-form and the same max-cosine rule via native list dots.
-    */
-  private def qVideoCaptionAlign(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    implicit val sp: SparkSession = s
-    val emb = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
-      .filter(col("qn") > 0)
-      .select(col("vec_id").cast("long").as("vec_id"), col("qv"),
-        col("qn"))
-      .transform(snap)
-    val maxv = t(s, dir, "embeddings")
-      .agg(max(col("vec_id").cast("long"))).head().getLong(0)
-    val nVids = (maxv - 6) / 7 + 1
-    val media = s.range(nVids).as[Long].map { u =>
-      Multimodal.MediaRecord(u,
-        Video.encodeY4mBlockScenes(u, 16, 8, (3 + u % 3).toInt, 4, 0L),
-        "y4m")
-    }
-    val kfs = Video.keyframeHashes(media, 48).toDF()
-      .select(col("doc_id").as("video_id"), col("scene"),
-        col("keyframe"))
-    val kemb = emb.select(col("vec_id").as("__kv"),
-      col("qv").as("__qvk"), col("qn").as("__qnk"))
-    val cemb = emb.select(col("vec_id").as("cap_src"),
-      col("qv").as("__qvc"), col("qn").as("__qnc"))
-    val caps = s.range(nVids).toDF("video_id")
-      .withColumn("__u2", (col("video_id") + 1) % nVids)
-      .withColumn("cap_src",
-        when(col("video_id") % 13 === 0,
-          col("__u2") * 7 + col("__u2") % (lit(3) + col("__u2") % 3))
-          .otherwise(col("video_id") * 7
-            + col("video_id") % (lit(3) + col("video_id") % 3)))
-      .select("video_id", "cap_src")
-    kfs.join(caps, "video_id")
-      .withColumn("__kv", col("video_id") * 7 + col("scene"))
-      .join(kemb, "__kv")
-      .join(cemb, "cap_src")
-      .withColumn("__sim", Similarity.cosine(col("__qvk"), col("__qvc"),
-        col("__qnk"), col("__qnc")))
-      .groupBy("video_id", "cap_src")
-      .agg(count(lit(1)).as("n_scenes"),
-        max(struct(col("__sim").as("sim"), (-col("scene")).as("negs"),
-          (-col("keyframe")).as("negk"))).as("__m"))
-      .select(col("video_id"), col("n_scenes"), col("cap_src"),
-        (col("video_id") % 13 === 0).as("swapped"),
-        (-col("__m.negs")).as("best_scene"),
-        (-col("__m.negk")).as("best_keyframe"),
-        col("__m.sim").as("alignment"),
-        (col("__m.sim") >= 0.9).as("kept"))
-      .orderBy("video_id")
-  }
-
-  private val audioGateCache = scala.collection.mutable.Map
-    .empty[(String, String), (String, String)]
-
-  /** Staged arrivals + stored fingerprint index for the streaming
-    * audio-dedup gate (q304). Groups of doc_id/3: members ≡ 1, 2 mod 3
-    * are HISTORY (full-rate renders of the group recording,
-    * fingerprinted once and stored as the band index — the ingested
-    * corpus); members ≡ 0 arrive as the 2×-downsampled rendition of
-    * the SAME recording (the classic re-fetch form), except every
-    * fifth group's arrival is a NOVEL recording (the odd seed-key
-    * namespace) that must match nothing.
-    */
-  private def audioGatePaths(s: SparkSession,
-      dir: String): (String, String) =
-    sessionFixture(audioGateCache, s, dir) {
-      import s.implicits._
-      val tag = (s.sparkContext.applicationId + "_" + dir)
-        .replaceAll("[^a-zA-Z0-9]", "_")
-      val tmp = System.getProperty("java.io.tmpdir")
-      val srcPath = graft.Scratch.register(s"$tmp/graft_audiogate_src_$tag")
-      val idxPath = graft.Scratch.register(s"$tmp/graft_audiogate_idx_$tag")
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-      docs.filter((id: Long) => id % 3 == 0)
-        .map { id =>
-          val g = id / 3
-          val sk = if (g % 5 == 0) 2 * g + 1 else 2 * g
-          val n = (2000 + (g % 7) * 500 + g % 53).toInt
-          (id, Audio.encodeWavSamples(Array.tabulate(n / 2)(k =>
-            Audio.modulatedSample(sk, 2L * k, n.toLong)), 8000))
-        }
-        .toDF("doc_id", "payload")
-        .coalesce(1).write.mode("overwrite").parquet(srcPath)
-      val hist = docs.filter((id: Long) => id % 3 != 0)
-        .map { id =>
-          val g = id / 3
-          val n = (2000 + (g % 7) * 500 + g % 53).toInt
-          (id, Audio.envelopeHash(id, Audio.encodeWavSamples(
-            Array.tabulate(n)(j =>
-              Audio.modulatedSample(2 * g, j.toLong, n.toLong)), 16000)))
-        }
-        .toDF("hist_id", "fp")
-      graft.streaming.AudioDedupGate.buildIndex(hist)
-        .write.mode("overwrite").parquet(idxPath)
-      (srcPath, idxPath)
-    }
-
-  /** Streaming audio-dedup gate (q304,
-    * [[graft.streaming.AudioDedupGate]]): the deployable member the
-    * modality family still lacked — rasters have the q267 blocklist
-    * screen and text the q131 LSH index; here arriving AUDIO
-    * micro-batches decode through the real chunk walk, fingerprint on
-    * the amplitude envelope scan-locally (payloads never shuffle), and
-    * probe the STORED band index of the already-ingested corpus (5×12
-    * bands, hamming ≤ 8 verify — the q294 layout, safe at the measured
-    * 0–1-bit resample drift), matched (arrival, history) pairs
-    * appending under the versioned-store replay rule. Fixture: each
-    * doc_id/3 group's arrival is the 2×-downsampled re-fetch of the
-    * group recording held twice in history (identical-fp handling
-    * exercised), except every fifth group's arrival is NOVEL and must
-    * match nothing (cross-seed fps sit ≥ 9 bits — measured). The
-    * oracle replays both legs' fingerprints per-sample closed-form and
-    * the SAME band+verify rule; `AudioDedupGateSpec` drives the
-    * restart-resume contract.
-    */
-  private def qStreamAudioDedup(s: SparkSession, dir: String): DataFrame = {
-    val (src, idx) = audioGatePaths(s, dir)
-    graft.streaming.AudioDedupGate.run(s, src, s.read.parquet(idx))
-  }
-
-  private val audioTakedownCache = scala.collection.mutable.Map
-    .empty[(String, String), (String, String)]
-
-  /** Staged arrivals + stored TAKEDOWN band index for the audio
-    * deletion-compliance screen (q315). The blocklist carries the
-    * rightsholder's reference fingerprints — every ninth recording
-    * group (doc_id/3) is protected, fingerprinted once from the
-    * full-rate reference copy. Arrivals are renditions of their
-    * group's recording: full-rate or naively 2×-downsampled
-    * (odd doc_ids — the re-encode a takedown screen must still catch).
-    */
-  private def audioTakedownPaths(s: SparkSession,
-      dir: String): (String, String) =
-    sessionFixture(audioTakedownCache, s, dir) {
-      import s.implicits._
-      val tag = (s.sparkContext.applicationId + "_" + dir)
-        .replaceAll("[^a-zA-Z0-9]", "_")
-      val tmp = System.getProperty("java.io.tmpdir")
-      val srcPath = graft.Scratch.register(s"$tmp/graft_atd_src_$tag")
-      val idxPath = graft.Scratch.register(s"$tmp/graft_atd_idx_$tag")
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-      docs.map { id =>
-          val g = id / 3
-          val n = (2000 + (g % 7) * 500 + g % 53).toInt
-          val step = (1 + id % 2).toInt
-          (id, Audio.encodeWavSamples(Array.tabulate(n / step)(k =>
-            Audio.modulatedSample(2 * g, step.toLong * k, n.toLong)),
-            16000 / step))
-        }
-        .toDF("doc_id", "payload")
-        .coalesce(1).write.mode("overwrite").parquet(srcPath)
-      val blocklist = docs.map(_ / 3).distinct()
-        .filter((g: Long) => g % 9 == 0)
-        .map { g =>
-          val n = (2000 + (g % 7) * 500 + g % 53).toInt
-          (g, Audio.envelopeHash(g, Audio.encodeWavSamples(
-            Array.tabulate(n)(j =>
-              Audio.modulatedSample(2 * g, j.toLong, n.toLong)), 16000)))
-        }
-        .toDF("hist_id", "fp")
-      graft.streaming.AudioDedupGate.buildIndex(blocklist)
-        .write.mode("overwrite").parquet(idxPath)
-      (srcPath, idxPath)
-    }
-
-  /** Streaming audio takedown screen (q315,
-    * [[graft.streaming.AudioDedupGate]] pointed at a BLOCKLIST): the
-    * deletion-compliance member the media axes lacked — text has
-    * tombstones batch + live (q248/q255) and rasters the q267
-    * blocklist, but real takedown traffic is mostly MEDIA (copyright),
-    * and a deletion request arrives as the rightsholder's reference
-    * FINGERPRINT, not a document id. Arriving audio decodes and
-    * fingerprints scan-locally, probes the stored takedown band index,
-    * and blocked (arrival, takedown_id, hamming) verdicts append per
-    * batch — the audit trail a compliance job replays. The verify gate
-    * is hamming ≤ 4, NOT the dedup default 8: that is the bound the
-    * 5×12 band layout pigeonhole-guarantees, and a compliance screen
-    * must not depend on band luck (the q306 discipline; resample
-    * drift is measured 0–1 bits, so protected renditions sit well
-    * inside). Fixture: every ninth recording group is protected; its
-    * full-rate and 2×-downsampled arrivals must both block, everything
-    * else must pass (cross-seed fingerprints sit ≥ 9 bits — measured).
-    * Oracle replays arrival AND reference fingerprints closed-form
-    * plus the exact band + ≤ 4 rule; `MediaTakedownSpec` drives
-    * restart-resume and the ≤ 4-vs-≤ 8 gate difference.
-    */
-  private def qAudioTakedown(s: SparkSession, dir: String): DataFrame = {
-    val (src, idx) = audioTakedownPaths(s, dir)
-    graft.streaming.AudioDedupGate.run(s, src, s.read.parquet(idx),
-      maxHamming = 4)
-  }
-
-  private val videoTakedownCache = scala.collection.mutable.Map
-    .empty[(String, String), (String, String)]
-
-  /** Staged arrivals + stored TAKEDOWN keyframe index for the video
-    * deletion-compliance screen (q316): every ninth clip group
-    * (doc_id/3) is protected — its reference clip's keyframe hashes
-    * are the blocklist entries. Arrivals are renditions of the group
-    * clip: the 2× pixel-duplication upscale (identical hashes), a
-    * first-scene trim, or the reference resolution itself.
-    */
-  private def videoTakedownPaths(s: SparkSession,
-      dir: String): (String, String) =
-    sessionFixture(videoTakedownCache, s, dir) {
-      import s.implicits._
-      implicit val sp: SparkSession = s
-      val tag = (s.sparkContext.applicationId + "_" + dir)
-        .replaceAll("[^a-zA-Z0-9]", "_")
-      val tmp = System.getProperty("java.io.tmpdir")
-      val srcPath = graft.Scratch.register(s"$tmp/graft_vtd_src_$tag")
-      val idxPath = graft.Scratch.register(s"$tmp/graft_vtd_idx_$tag")
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-      docs.map { id =>
-          val g = id / 3
-          val ns = (3 + g % 3).toInt
-          val payload = (id % 3) match {
-            case 0L => Video.encodeY4mBlockScenes(2 * g, 32, 16, ns, 4, 0L)
-            case 1L => Video.encodeY4mBlockScenes(2 * g, 16, 8, ns - 1,
-              4, 1L)
-            case _ => Video.encodeY4mBlockScenes(2 * g, 16, 8, ns, 4, 0L)
-          }
-          (id, payload)
-        }
-        .toDF("doc_id", "payload")
-        .coalesce(1).write.mode("overwrite").parquet(srcPath)
-      val refMedia = docs.map(_ / 3).distinct()
-        .filter((g: Long) => g % 9 == 0)
-        .map(g => Multimodal.MediaRecord(g,
-          Video.encodeY4mBlockScenes(2 * g, 16, 8, (3 + g % 3).toInt,
-            4, 0L), "y4m"))
-      graft.streaming.VideoDedupGate.buildIndex(
-          Video.keyframeHashes(refMedia, 48).toDF()
-            .select(col("doc_id").as("hist_id"), col("kf_hash")),
-          maxDf = storedMaxDf(s, dir))
-        .write.mode("overwrite").parquet(idxPath)
-      (srcPath, idxPath)
-    }
-
-  /** Streaming video takedown screen (q316,
-    * [[graft.streaming.VideoDedupGate]] pointed at a BLOCKLIST): the
-    * q315 compliance pattern on the video axis — deletion requests
-    * carry the reference clip's keyframe-hash set, arrivals probe it
-    * by exact hash equality with the ≥ 2-matching-keyframes vote
-    * (re-encodes preserve hashes bit-for-bit, trims preserve every
-    * surviving scene's, one shared hash is the chance guard), and
-    * blocked (arrival, takedown_id, n_shared) verdicts append per
-    * batch. The stored index went through the build-time df cap, so a
-    * degenerate keyframe in a reference clip cannot explode the probe.
-    * Fixture: every ninth clip group is protected; its upscale, trim,
-    * and same-resolution arrivals must all block, everything else
-    * passes. Oracle replays hashes closed-form + the vote;
-    * `MediaTakedownSpec` drives restart-resume.
-    */
-  private def qVideoTakedown(s: SparkSession, dir: String): DataFrame = {
-    val (src, idx) = videoTakedownPaths(s, dir)
-    graft.streaming.VideoDedupGate.run(s, src, s.read.parquet(idx))
-  }
-
-  private val lmTakedownCache = scala.collection.mutable.Map
-    .empty[(String, String), (String, String)]
-
-  /** Staged arrivals + stored LANDMARK blocklist for the shift-robust
-    * audio takedown screen (q319). Every ninth click-train group
-    * (doc_id/3) is protected — its reference landmark hash set (at
-    * the STORED delta quantization) is the blocklist. Arrivals are
-    * the three rendition forms per group: the master itself, a
-    * leading-silence pad, and a content trim at first-onset+5 — the
-    * two evasions the envelope takedown (q315) is provably blind to.
-    */
-  private def lmTakedownPaths(s: SparkSession,
-      dir: String): (String, String) =
-    sessionFixture(lmTakedownCache, s, dir) {
-      import s.implicits._
-      val (_, deltaQ, maxDf, _, _) = graft.ops.ModelStore
-        .loadLandmarkPoint(s, landmarkOpPath(s, dir))
-      val tag = (s.sparkContext.applicationId + "_" + dir)
-        .replaceAll("[^a-zA-Z0-9]", "_")
-      val tmp = System.getProperty("java.io.tmpdir")
-      val srcPath = graft.Scratch.register(s"$tmp/graft_lmtd_src_$tag")
-      val idxPath = graft.Scratch.register(s"$tmp/graft_lmtd_idx_$tag")
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
-      docs.map { id =>
-          val g = id / 3
-          val n = (4000 + (g % 7) * 500 + g % 53).toInt
-          (id, Audio.encodeWavSamples(
-            Audio.clickRendition(2 * g, n, id % 3), 16000))
-        }
-        .toDF("doc_id", "payload")
-        .coalesce(1).write.mode("overwrite").parquet(srcPath)
-      val refs = docs.map(_ / 3).distinct()
-        .filter((g: Long) => g % 9 == 0)
-        .flatMap { g =>
-          val n = (4000 + (g % 7) * 500 + g % 53).toInt
-          Audio.landmarkHashes(g,
-              Audio.encodeWavSamples(Audio.clickTrain(2 * g, n), 16000),
-              256, deltaQ.toInt)
-            .distinct.map(h => (g, h))
-        }
-        .toDF("takedown_id", "h")
-      graft.streaming.LandmarkTakedownGate.buildIndex(refs,
-          maxDf.toInt)
-        .write.mode("overwrite").parquet(idxPath)
-      (srcPath, idxPath)
-    }
-
-  /** Streaming landmark takedown screen (q319,
-    * [[graft.streaming.LandmarkTakedownGate]]): the SHIFT-ROBUST half
-    * of audio deletion compliance, closing the evasion q315 is
-    * provably blind to — the envelope fingerprint is
-    * position-relative, so a leading-silence pad or a content trim
-    * moves every bin (q301 carries the ≥ 14-bit measured miss) while
-    * every interior landmark hash survives bit-for-bit. Deletion
-    * requests carry the reference recording's landmark hash set;
-    * arrivals decode and hash scan-locally and block at ≥ t* shared
-    * hashes, where BOTH knobs (vote threshold, delta quantization)
-    * come from the stored q314 operating point — the takedown gate
-    * serves the same calibration artifact as the dedup chain, so one
-    * measured tuning governs every landmark consumer. Fixture: every
-    * ninth group protected; its master, padded, and trimmed arrivals
-    * all block (trim keeps ≥ 8 interior hashes ≥ t* = 6 — measured
-    * corpus-wide at both scales), everything else passes (cross-seed
-    * overlap ≤ 1). Oracle replays clicks per GROUP closed-form, the
-    * per-rendition hash windows, the lmop choice, and the vote;
-    * `LandmarkTakedownSpec` proves the trimmed re-upload blocks here
-    * and provably does NOT block through the envelope screen, plus
-    * restart-resume.
-    */
-  private def qLandmarkTakedown(s: SparkSession, dir: String): DataFrame = {
-    val (voteT, deltaQ, _, _, _) = graft.ops.ModelStore
-      .loadLandmarkPoint(s, landmarkOpPath(s, dir))
-    val (src, idx) = lmTakedownPaths(s, dir)
-    graft.streaming.LandmarkTakedownGate.run(s, src,
-      s.read.parquet(idx), voteT, deltaQ.toInt)
-  }
-
-  /** Takedown compliance report (q320): the corpus-owner dashboard
-    * over the three media takedown screens — per axis
-    * (audio envelope q315, audio landmark q319, video keyframes q316)
-    * one row: requests on the blocklist, arrivals screened, arrivals
-    * BLOCKED (distinct), requests that hit at least once, and the
-    * exact truncated-bp block rate. Each leg reads the STORED verdict
-    * table the q322 maintenance job derives from its gated screen
-    * (the q313/q318 stored-leg discipline — the report is three
-    * latest-version partition scans plus metadata-sized aggregates;
-    * the corpus scalars fold in as one broadcast single-row
-    * aggregate), and the oracle composes the three takedown oracles
-    * as derived-table subqueries plus two closed-form corpus counts —
-    * zero report-specific replay logic.
-    */
-  private def qTakedownReport(s: SparkSession, dir: String): DataFrame = {
-    val root = verdictStoreRoot(s, dir)
-    // the two corpus scalars fold into the frame as ONE broadcast
-    // single-row aggregate — no driver-side count() actions
-    val corpus = broadcast(t(s, dir, "documents")
-      .select(col("doc_id").cast("long").as("doc_id"))
-      .agg(count(lit(1)).as("n_arrivals"),
-        countDistinct(when(expr("doc_id div 3 % 9") === 0,
-          expr("doc_id div 3"))).as("n_requests")))
-    def leg(axis: String, name: String, reqCol: String) =
-      readVerdict(s, root, name)
-        .agg(countDistinct("doc_id").as("n_blocked"),
-          countDistinct(reqCol).as("n_hit_requests"))
-        .crossJoin(corpus)
-        .select(lit(axis).as("axis"), col("n_requests"),
-          col("n_arrivals"), col("n_blocked"), col("n_hit_requests"),
-          expr("n_blocked * 10000L div n_arrivals")
-            .as("block_rate_bp"))
-    leg("audio_envelope", "audio_takedown", "hist_id")
-      .unionAll(leg("audio_landmark", "landmark_takedown",
-        "takedown_id"))
-      .unionAll(leg("video_keyframes", "video_takedown", "hist_id"))
-      .orderBy("axis")
-  }
-
-  /** The q317 transcript a correct ASR pass would produce for the
-    * burst recording of `seed`: one line per utterance, duration/25
-    * + 1 tokens per line — token counts carry the utterance DURATIONS
-    * so alignment can verify structure, not just counts.
-    */
-  private def transcriptText(seed: Long, n: Int): String =
-    Audio.utterances(seed,
-        Audio.encodeWavSamples(Audio.burstTrain(seed, n), 16000), 256)
-      .map(u => Seq.fill((u.len / 25 + 1).toInt)("tok").mkString(" "))
-      .mkString("\n")
-
-  /** Audio↔transcript pair alignment (q317): the keep/drop pair
-    * screen that exists on the image (q277/q287) and video (q305)
-    * axes, built for SPEECH corpora — the (audio, transcript) pair is
-    * the curation unit of every ASR training set, and the standard
-    * cheap alignment check is STRUCTURAL: the transcript's utterance
-    * segmentation must agree with the audio's measured VAD stats
-    * (q308's operator). Per pair the audio decodes through the real
-    * codec and segments utterances (scan-local — payloads never
-    * shuffle, only the stat row leaves the scan), the transcript
-    * genuinely parses (line split + token count per line), and the
-    * pair keeps iff utterance count matches line count AND every
-    * utterance's duration-implied token count matches its line
-    * (token_gap = Σ |tokens_i − (dur_i/25 + 1)| over the zip = 0).
-    * Every 13th pair carries the NEXT recording's transcript (the
-    * q305 plant — the classic off-by-one pairing bug in a crawl
-    * manifest) and must drop. Both sides are closed-form, so the
-    * oracle replays ~15 burst rows per doc for BOTH the audio and the
-    * transcript source, never samples or strings.
-    */
-  private def qAudioTranscriptAlign(s: SparkSession,
-      dir: String): DataFrame = {
-    import s.implicits._
-    t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
-      .map { id =>
-        val n = (4000 + (id % 7) * 500 + id % 53).toInt
-        val us = Audio.utterances(id,
-          Audio.encodeWavSamples(Audio.burstTrain(id, n), 16000), 256)
-        val src = if (id % 13 == 0) id + 1 else id
-        val nSrc = (4000 + (src % 7) * 500 + src % 53).toInt
-        val lines = transcriptText(src, nSrc).split("\n")
-          .filter(_.nonEmpty)
-        val lineToks = lines.map(_.split(" ").count(_.nonEmpty).toLong)
-        val expToks = us.map(_.len / 25 + 1)
-        val gap = lineToks.zip(expToks)
-          .map { case (a, b) => math.abs(a - b) }.sum
-        (id, us.length.toLong, lines.length.toLong, lineToks.sum,
-          id % 13 == 0, gap)
-      }
-      .toDF("doc_id", "n_utterances", "n_lines", "n_tokens",
-        "swapped", "token_gap")
-      .withColumn("count_match", col("n_lines") === col("n_utterances"))
-      .withColumn("aligned",
-        col("count_match") && col("token_gap") === 0)
-      .withColumn("kept", col("aligned"))
-      .orderBy("doc_id")
-  }
-
-  private val mediaRouterCache = scala.collection.mutable.Map
-    .empty[(String, String), String]
-
-  /** Staged mixed-media source for the streaming router gate (q293):
-    * the q292 five-format interleave carried as REAL binary payloads
-    * in the staged parquet (the ingest stream ships payloads), with
-    * the planted corruption in exactly the LAST staging batch — every
-    * 7th doc past ⌈2n/3⌉ gets its first magic byte bit-flipped, the
-    * container-rot class a live router gate exists to catch (every
-    * flip lands outside all five magics, spec-checked per format).
-    */
-  private def mediaRouterSrcPath(s: SparkSession, dir: String): String =
-    sessionFixture(mediaRouterCache, s, dir) {
-      import s.implicits._
-      val n = t(s, dir, "documents").count()
-      val boundary = (2L * n + 2L) / 3L
-      val tag = (s.sparkContext.applicationId + "_" + dir)
-        .replaceAll("[^a-zA-Z0-9]", "_")
-      val path = graft.Scratch.register(
-        s"${System.getProperty("java.io.tmpdir")}/graft_mroutersrc_$tag")
-      t(s, dir, "documents")
-        .select(col("doc_id").cast("long"))
-        .as[Long]
-        .map { id =>
-          val payload = (id % 5) match {
-            case 0 => Multimodal.encodePpm(id, (4 + id % 5).toInt,
-              (3 + id % 4).toInt)
-            case 1 => Multimodal.encodeGradientPng(id,
-              (8 + id % 5).toInt, (6 + id % 3).toInt)
-            case 2 => Multimodal.encodeJpeg(id, (8 + id % 5).toInt,
-              (6 + id % 3).toInt)
-            case 3 => Audio.encodeWav(id, (400 + id % 53).toInt, 8000)
-            case _ => Video.encodeY4m(id, (4 + id % 3).toInt,
-              (3 + id % 2).toInt, (6 + id % 5).toInt, -1)
-          }
-          if (id >= boundary && id % 7 == 0)
-            payload(0) = (payload(0) ^ 0x01).toByte
-          (id, payload)
-        }
-        .toDF("doc_id", "payload")
-        .coalesce(1).write.mode("overwrite").parquet(path)
-      path
-    }
-
-  /** Streaming mixed-media router gate (q293,
-    * [[graft.streaming.MediaRouterGate]]): the q292 router deployed
-    * LIVE — arriving binary payloads (all five real containers
-    * interleaved, staged in 3 batches) sniff, route to their real
-    * decoder, and reduce scan-locally; per batch the per-format
-    * inventory (docs + content units) appends as a version, with the
-    * batch's unroutable share in bp and the alert at > 100 bp. The
-    * fixture plants container rot (first-magic-byte bit flips) in
-    * exactly the last batch: batches 1–2 route everything (unknown_bp
-    * 0, no alert) and batch 3 alerts at ~1400 bp with the corrupted
-    * docs attributed to 'unknown' rows — never decoded, never fatal.
-    * Oracle replays batch membership via the staging NTILE, the
-    * corruption boundary closed-form, and every routed unit from the
-    * per-format fixture dims.
-    */
-  private def qStreamMediaRouter(s: SparkSession, dir: String): DataFrame =
-    graft.streaming.MediaRouterGate.run(s, mediaRouterSrcPath(s, dir),
-      alertUnknownBp = 100L)
-
-  /** Classifier calibration sweep (q291): no gate ships with a
-    * hardcoded operating point — the threshold is CHOSEN from this
-    * table (the q192 (b,r)-tuning discipline on the classifier axis):
-    * per integer threshold t ∈ [−2, 2] the held-out confusion counts
-    * for verdict = score > t, with precision/recall in exact truncated
-    * bp. Scoring happens ONCE (the stored q286 model, broadcast); the
-    * 5-row threshold table joins onto the scored docs and one partial
-    * agg produces the sweep — sweeping costs one extra metadata-sized
-    * join, never a rescore. The oracle re-derives the scores from the
-    * shared retrain CTEs and replays the same sweep.
-    */
-  private def qClassifierCalibration(s: SparkSession,
-      dir: String): DataFrame = {
-    val votes = s.read.parquet(qualityModelPath(s, dir))
-    val test = qualityMarkedDocs(s, dir).filter(col("doc_id") % 10 === 0)
-    val scored = Classifier.scoreTokenVotes(test, votes, "doc_id",
-        "__toks")
-      .join(test.select("doc_id", "label_good"), "doc_id")
-    val th = s.range(-2, 3).select(col("id").as("threshold"))
-    scored.crossJoin(broadcast(th)) // 5 literal rows — a sweep, not a blowup
-      .withColumn("__pred", col("score") > col("threshold"))
-      .groupBy("threshold")
-      .agg(
-        sum(when(col("__pred") && col("label_good"), 1L).otherwise(0L))
-          .as("n_tp"),
-        sum(when(col("__pred") && !col("label_good"), 1L).otherwise(0L))
-          .as("n_fp"),
-        sum(when(!col("__pred") && col("label_good"), 1L).otherwise(0L))
-          .as("n_fn"),
-        sum(when(!col("__pred") && !col("label_good"), 1L).otherwise(0L))
-          .as("n_tn"))
-      .select(col("threshold"), col("n_tp"), col("n_fp"), col("n_fn"),
-        col("n_tn"),
-        expr("case when n_tp + n_fp = 0 then null " +
-          "else n_tp * 10000 div (n_tp + n_fp) end").as("precision_bp"),
-        expr("case when n_tp + n_fn = 0 then null " +
-          "else n_tp * 10000 div (n_tp + n_fn) end").as("recall_bp"))
-      .orderBy("threshold")
-  }
-
-  /** Embedding dimension-truncation recall (q289, the matryoshka
-    * budget table): serving infrastructure routinely truncates stored
-    * embeddings to a prefix of their dimensions (matryoshka
-    * representation learning made it standard practice) — this is the
-    * MEASURED-claim table for that approximation (the q51/q59/q275
-    * discipline on the dimension axis): per budget d ∈ {16, 32, 64},
-    * exact integer-cosine top-3 over the FIRST d dims (scan-local
-    * `slice`, the q273 eval/corpus split) against the full-width
-    * top-3 as truth, recall = shared/(3·n_q). Truncation is free at
-    * scan time (column pruning of a fixed-width slice); the candidate
-    * work drops linearly with d — the table tells a corpus owner what
-    * that buys and costs. Zero-norm truncated vectors are excluded per
-    * budget (the q28 rule — n_q is a per-budget column for exactly
-    * this reason). One union-tagged plan, no driver-side loops; the
-    * oracle replays all three budgets from the shared quantization CTE
-    * restricted to i ≤ d.
-    */
-  private def qDimTruncation(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
-    def top3(dims: Int): DataFrame = {
-      val p = Similarity.prepare(
-          emb.withColumn("__e", expr(s"slice(embedding, 1, $dims)")),
-          "__e")
-        .select(col("vec_id"), col("qv"), col("qn"))
-      Similarity.bruteForceTopK(
-          p.filter(col("vec_id") % 50 =!= 0),
-          p.filter(col("vec_id") % 50 === 0), "vec_id", 3)
-        .select(lit(dims.toLong).as("dims"), col("query_id"),
-          col("neighbor_id"))
-    }
-    val tagged = top3(16).union(top3(32)).union(top3(64))
-    val exact = top3(64).select("query_id", "neighbor_id")
-    val nq = tagged.groupBy("dims")
-      .agg(countDistinct("query_id").as("n_q"))
-    val hits = tagged
-      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
-      .groupBy("dims").agg(count(lit(1)).as("n_hits"))
-    nq.join(hits, Seq("dims"), "left")
-      .select(col("dims"), col("n_q"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        (coalesce(col("n_hits"), lit(0L)).cast("double") /
-          (lit(3.0) * col("n_q").cast("double"))).as("recall"))
-      .orderBy("dims")
-  }
-
-  /** Resample-robust audio near-dup (q290, [[Audio.envelopeHash]]):
-    * the q265 re-encoded-media proof on the TIME axis — the same
-    * recording distributed at two sample rates must deduplicate, and
-    * sample-level or byte-level fingerprints cannot see it (every
-    * sample value and every container byte differs; the envelope is
-    * the audio). Per doc the amplitude-modulated closed-form recording
-    * ([[Audio.modulatedSample]], 2,000–5,000 samples) encodes at full
-    * rate AND naively 2×-downsampled (every 2nd sample, half the
-    * rate); both decode through the real chunk walk and fingerprint on
-    * the position-relative 60-bin amplitude envelope. Measured over
-    * ALL 50,000 sf1 seeds: the two legs land 0 bits apart (the gapped
-    * gain alphabet — [[Audio.modulatedSample]]) while adjacent-seed
-    * controls sit ≥ 14 apart and the closest pair ANYWHERE in the
-    * 2×10⁸ cross-seed space sits at 9 (the next-doc control column
-    * carries the proof in-data) — the 8-bit gate separates on BOTH
-    * sides at full corpus scale, so this fingerprint slots straight
-    * into the q193/q267 band+hamming machinery. PCM is lossless and the
-    * recording closed-form, so the oracle replays BOTH fingerprints
-    * bit-exactly. Payloads never shuffle; only (id, fp) rows leave the
-    * scan.
-    */
-  private def qAudioNearDup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val fps = t(s, dir, "documents")
-      .select(col("doc_id").cast("long"))
-      .as[Long]
-      .map { id =>
-        val n = (2000 + (id % 7) * 500 + (id % 53)).toInt
-        val full = Array.tabulate(n)(j =>
-          Audio.modulatedSample(id, j.toLong, n.toLong))
-        val half = Array.tabulate(n / 2)(k =>
-          Audio.modulatedSample(id, 2L * k, n.toLong))
-        (id,
-          Audio.envelopeHash(id, Audio.encodeWavSamples(full, 16000)),
-          Audio.envelopeHash(id, Audio.encodeWavSamples(half, 8000)))
-      }
-      .toDF("doc_id", "fp_full", "fp_half")
-    val ctrl = fps.select((col("doc_id") - 1).as("doc_id"),
-      col("fp_full").as("fp_ctrl"))
-    fps.join(ctrl, "doc_id") // inner: the max id has no next-doc control
-      .withColumn("hamming",
-        expr("cast(bit_count(fp_full ^ fp_half) as bigint)"))
-      .withColumn("control_hamming",
-        expr("cast(bit_count(fp_full ^ fp_ctrl) as bigint)"))
-      .select(col("doc_id"), col("fp_full"), col("fp_half"),
-        col("hamming"), (col("hamming") <= 8).as("is_dup"),
-        col("control_hamming"),
-        (col("control_hamming") > 8).as("separated"))
-      .orderBy("doc_id")
-  }
-
-  /** Cross-modal pair alignment — the CLIP-score filter (q287): the
-    * LAION-class step AFTER pair dedup (q277 dedups the pairs, this
-    * screens whether image and caption BELONG together): per (image,
-    * caption) pair the integer-quantized cosine between the two
-    * modality embeddings, keep at ≥ 0.9 — a mislabeled pair (crawler
-    * attached the wrong alt-text) scores at the corpus's random-pair
-    * cosine level (~p99.9 ≈ 0.3, the q273 threshold note) and drops.
-    * The fixture plants the mislabeling: every 13th pair's caption
-    * embedding comes from the NEXT document (closed-form, inner-join
-    * dropping the edge), aligned pairs carry their own. One 1:1 hash
-    * join materializes the fixture's caption side (a production pairs
-    * table carries both embedding columns already — zero joins there);
-    * the cosine is the codegen'd [[graft.expressions.LongDot]] per
-    * pair, zero-norm vectors excluded on both sides (no cosine
-    * direction — the q28 rule). Oracle replays the exact quantized
-    * arithmetic.
-    */
-  private def qPairAlignment(s: SparkSession, dir: String): DataFrame = {
-    val base = Similarity.prepare(t(s, dir, "embeddings"), "embedding")
-      .filter(col("qn") > 0)
-      .select(col("vec_id").cast("long").as("vec_id"), col("qv"),
-        col("qn"))
-    val img = base
-      .select(col("vec_id").as("pair_id"), col("qv").as("__qvi"),
-        col("qn").as("__qni"))
-      .withColumn("cap_src",
-        when(col("pair_id") % 13 === 0, col("pair_id") + 1)
-          .otherwise(col("pair_id")))
-    val cap = base.select(col("vec_id").as("cap_src"),
-      col("qv").as("__qvc"), col("qn").as("__qnc"))
-    img.join(cap, "cap_src")
-      .withColumn("alignment", Similarity.cosine(col("__qvi"),
-        col("__qvc"), col("__qni"), col("__qnc")))
-      .select(col("pair_id"), col("cap_src"),
-        (col("cap_src") =!= col("pair_id")).as("swapped"),
-        col("alignment"), (col("alignment") >= 0.9).as("kept"))
-      .orderBy("pair_id")
-  }
+  import TrainQueriesCore._
+  import TrainQueriesCuration._
+  import TrainQueriesMedia._
 
   // ---------------------------------------------------------------------
   // Contract maps
@@ -11341,13 +338,15 @@ object TrainQueries {
     "q319_landmark_takedown" -> (qLandmarkTakedown _),
     "q320_takedown_report" -> (qTakedownReport _),
     "q321_df_cap_tuning" -> (qDfCapTuning _),
-    "q322_verdict_refresh" -> (qVerdictRefresh _))
+    "q322_verdict_refresh" -> (qVerdictRefresh _),
+    "q323_incr_band_index" -> (qIncrBandIndex _),
+    "q324_incr_landmark_index" -> (qIncrLandmarkIndex _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
     * windows — CUSUM's "sequential" recurrence with no recurrence.
     */
-  private val cusumOracle =
+  private[graft] val cusumOracle =
     """WITH hourly AS (SELECT event_type,
              epoch_us(CAST(ts AS TIMESTAMP)) // 1000 // 3600000 AS hr,
              COUNT(*) AS n
@@ -11383,7 +382,7 @@ object TrainQueries {
     * smoothing over the folded sufficient statistic must equal the
     * smoothing over everything — mirrors [[ewmaFromBuckets]].
     */
-  private val ewmaOracle =
+  private[graft] val ewmaOracle =
     """WITH hourly AS (SELECT event_type,
            epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
            COUNT(*) AS cnt
@@ -11405,7 +404,7 @@ object TrainQueries {
     * recompute. Mirrors [[bm25TopK]] — fixed per-term sum order,
     * rational idf, Robertson k1=1.2 / b=0.75.
     */
-  private val bm25Oracle =
+  private[graft] val bm25Oracle =
     """WITH d AS (SELECT doc_id,
            list_filter(string_split(text, ' '), x -> x <> '') AS t
          FROM documents),
@@ -11440,7 +439,7 @@ object TrainQueries {
     * engines implement the SAME interval-join semantics and must agree
     * with the same replay.
     */
-  private val intervalJoinOracle =
+  private[graft] val intervalJoinOracle =
     """WITH e AS (SELECT user_id, event_id, event_type,
            epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events)
        SELECT c.event_id AS click_id, v.event_id AS purchase_id,
@@ -11454,7 +453,7 @@ object TrainQueries {
     * df-capped trigram inverted index — mirrors
     * [[NearDup.ngramJaccardPairs]] (n=3, maxDf=100).
     */
-  private val ngramIdxCte =
+  private[graft] val ngramIdxCte =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t
                      FROM documents),
        g AS (SELECT doc_id, unnest(list_distinct(list_transform(
@@ -11477,7 +476,7 @@ object TrainQueries {
     * insufficient unroll fails loudly there, never as a silent hash
     * mismatch.
     */
-  private def kcoreOracle(k: Int, rounds: Int): String = {
+  private[graft] def kcoreOracle(k: Int, rounds: Int): String = {
     // every peel CTE is MATERIALIZED: each e_i is referenced three
     // times by round i+1, so inlining would expand the base scan
     // 3^rounds times (DuckDB ran out of file handles at 8 rounds)
@@ -11508,7 +507,7 @@ object TrainQueries {
   /** Shared by the q71 and q107 oracles: q64's df-capped pair CTEs →
     * recursive closure → (node, cluster_rep) labels + component sizes.
     */
-  private val dedupClusterCtes =
+  private[graft] val dedupClusterCtes =
     s"""$ngramIdxCte,
          pairs AS (SELECT id_a, id_b
                FROM p JOIN na x ON p.id_a = x.doc_id
@@ -11538,7 +537,7 @@ object TrainQueries {
     * replay logic of its own, so green means the three chains and the
     * aggregation all agree.
     */
-  private def mediaDedupReportOracle: String = {
+  private[graft] def mediaDedupReportOracle: String = {
     def leg(name: String, key: String) =
       s"""SELECT '$name' AS modality,
            CAST(SUM(n_docs) AS BIGINT) AS n_items,
@@ -11559,7 +558,7 @@ object TrainQueries {
     * closed-form corpus counts — the q313 composition discipline on
     * the compliance axis.
     */
-  private def takedownReportOracle: String = {
+  private[graft] def takedownReportOracle: String = {
     def leg(axis: String, key: String, reqCol: String) =
       s"""SELECT '$axis' AS axis,
            (SELECT CAST(COUNT(DISTINCT doc_id // 3) AS BIGINT)
@@ -11587,7 +586,7 @@ object TrainQueries {
   /** The q318 text leg's oracle — q71's recursive closure totalized
     * over every document — shared by the q322 verdict-store count.
     */
-  private def textInner: String =
+  private[graft] def textInner: String =
     s"""WITH RECURSIVE $dedupClusterCtes,
          grp AS (SELECT d.doc_id,
              COALESCE(lab.cluster_rep, d.doc_id) AS cluster_rep
@@ -11599,7 +598,7 @@ object TrainQueries {
     * COUNT of its leg's own oracle as a derived-table subquery — the
     * q313/q320 composition discipline on the maintenance job.
     */
-  private def verdictRefreshOracle: String = {
+  private[graft] def verdictRefreshOracle: String = {
     def leg(name: String, inner: String) =
       s"""SELECT '$name' AS table_name,
            CAST(COUNT(*) AS BIGINT) AS n_rows
@@ -11614,7 +613,7 @@ object TrainQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
   }
 
-  private def corpusDedupReportOracle: String = {
+  private[graft] def corpusDedupReportOracle: String = {
     def leg(name: String, inner: String) =
       s"""SELECT '$name' AS modality,
            CAST(SUM(n_docs) AS BIGINT) AS n_items,
@@ -11631,6 +630,28 @@ object TrainQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY modality")
   }
 
+  /** Shared oracle CTEs deriving the stored df cap (the q321 choice):
+    * per-hash df over the replayed calibration sample at q*, the
+    * sample's max df, and the headroom-rule capstar. Requires
+    * [[landmarkOpCtes]] spliced first (uses `lmhs`, `lmop`). The
+    * engine fails loudly when the headroom rule runs off the grid
+    * (`LandmarkTuning.chooseCap`'s require); so does the oracle,
+    * instead of degrading the choice into NULLs.
+    */
+  private[graft] val dfCapCtes: String =
+    """capg AS (SELECT CAST(cap AS BIGINT) AS cap
+           FROM unnest([1, 2, 4, 8, 16, 32, 64, 128, 256]) tc(cap)),
+         chq AS (SELECT did, h FROM lmhs
+           WHERE q = (SELECT qstar FROM lmop)),
+         cdf AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS dfh
+           FROM chq GROUP BY 1),
+         cmax AS (SELECT MAX(dfh) AS m FROM cdf),
+         ccap AS (SELECT CASE WHEN mn IS NULL
+               THEN error('df-cap headroom runs off the swept grid')
+               ELSE mn END AS capstar
+           FROM (SELECT MIN(cap) AS mn FROM capg
+                 WHERE cap >= 16 * (SELECT m FROM cmax)) tmn)"""
+
   /** Shared oracle CTEs replaying the q314 landmark calibration
     * sample (256 groups x 4 legs, generated from the group index —
     * scale-independent), the per-quantization-level sweep stats, and
@@ -11640,7 +661,7 @@ object TrainQueries {
     * oracle and the q302/q306 cluster gates so both engines DERIVE
     * the same stored point rather than trusting it.
     */
-  private val landmarkOpCtes: String =
+  private[graft] val landmarkOpCtes: String =
     """lmg AS (SELECT g FROM unnest(range(0, 256)) tg(g)),
          lmdoc AS (SELECT 4 * g + r AS did, g, r,
              CASE WHEN r = 3 THEN 2 * g + 1 ELSE 2 * g END AS sk,
@@ -11715,6660 +736,10 @@ object TrainQueries {
                ELSE o.tstar END AS tstar
            FROM (SELECT 1 AS one) lmone LEFT JOIN lmop0 o ON TRUE)"""
 
-  private lazy val oracleSqlBase: Map[String, String] = Map(
-    "q21_text_stats" ->
-      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks
-                    FROM documents)
-         SELECT doc_id,
-           CAST(len(toks) AS BIGINT) AS n_tokens,
-           CAST(length(text) AS BIGINT) AS n_chars_calc,
-           (CAST(length(text) AS DOUBLE)
-              - (CAST(len(toks) AS DOUBLE) - 1.0))
-             / CAST(len(toks) AS DOUBLE) AS avg_token_len,
-           CAST(len(list_filter(toks,
-                 w -> w IN ('the','a','of','and','is'))) AS DOUBLE)
-             / CAST(len(toks) AS DOUBLE) AS stop_ratio,
-           CAST(len(regexp_extract_all(text, '[a-z]{4,}')) AS BIGINT)
-             AS n_long_tokens,
-           0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
-             + 0.3 * (1.0 - CAST(len(list_filter(toks,
-                   w -> w IN ('the','a','of','and','is'))) AS DOUBLE)
-                 / CAST(len(toks) AS DOUBLE))
-             + 0.2 * least(((CAST(length(text) AS DOUBLE)
-                   - (CAST(len(toks) AS DOUBLE) - 1.0))
-                 / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0) AS quality
-         FROM d ORDER BY doc_id""",
-    "q22_lang_id" ->
-      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
-                    FROM documents),
-         sc AS (SELECT doc_id, lang,
-             len(list_filter(toks, w -> w IN ('der','die','das','und','ist'))) AS s_de,
-             len(list_filter(toks, w -> w IN ('the','a','of','and','is'))) AS s_en,
-             len(list_filter(toks, w -> w IN ('el','los','las','y','es'))) AS s_es,
-             len(list_filter(toks, w -> w IN ('le','la','les','et','est'))) AS s_fr,
-             len(list_filter(toks, w -> w IN ('的','是','了','在','和'))) AS s_zh
-           FROM d)
-         SELECT doc_id, lang,
-           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
-                WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
-                WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
-                WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
-                WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
-                WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
-                ELSE 'und' END AS predicted
-         FROM sc ORDER BY doc_id""",
-    "q23_fingerprint" ->
-      """SELECT doc_id,
-           md5(regexp_replace(lower(trim(nfc_normalize(text))), '\s+', ' ', 'g'))
-             AS fingerprint,
-           list_min(list_transform(
-             list_distinct(list_transform(
-               range(1, greatest(length(text) - 7, 1) + 1),
-               i -> substr(text, i, 8))),
-             sh -> md5(sh))) AS min_shingle
-         FROM documents ORDER BY doc_id""",
-    "q24_dedup_exact" ->
-      """SELECT md5(regexp_replace(lower(trim(nfc_normalize(text))), '\s+', ' ', 'g'))
-                  AS fingerprint,
-                COUNT(*) AS n_docs, MIN(doc_id) AS rep_doc
-         FROM documents GROUP BY 1 ORDER BY fingerprint""",
-    "q25_minhash_lsh" -> minhashLshOracle,
-    "q26_simhash" ->
-      s"""WITH $simhashCte
-         SELECT doc_id, simhash FROM sig ORDER BY doc_id""",
-    "q27_simhash_knn" ->
-      s"""WITH $simhashCte,
-         ch AS (SELECT doc_id, list_transform(range(0, 4),
-             b -> CAST('0x' || substr(simhash, b * 8 + 1, 8) AS BIGINT))
-               AS chunks
-           FROM sig),
-         blk AS (SELECT doc_id, b AS block_idx, substr(simhash, b * 4 + 1, 4)
-               AS block
-           FROM sig, (SELECT unnest(range(0, 8)) AS b)),
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM blk a JOIN blk b
-             ON a.block_idx = b.block_idx AND a.block = b.block
-            AND a.doc_id <> b.doc_id),
-         ham AS (SELECT id_a, id_b,
-             CAST(bit_count(xor(x.chunks[1], y.chunks[1]))
-                + bit_count(xor(x.chunks[2], y.chunks[2]))
-                + bit_count(xor(x.chunks[3], y.chunks[3]))
-                + bit_count(xor(x.chunks[4], y.chunks[4])) AS BIGINT)
-               AS hamming
-           FROM cand JOIN ch x ON cand.id_a = x.doc_id
-                     JOIN ch y ON cand.id_b = y.doc_id),
-         rk AS (SELECT id_a, id_b, hamming, row_number() OVER
-             (PARTITION BY id_a ORDER BY hamming ASC, id_b ASC) AS rn
-           FROM ham WHERE hamming <= 7)
-         SELECT id_a, id_b, hamming FROM rk WHERE rn = 1 ORDER BY id_a""",
-    "q28_cosine_topk" ->
-      s"""WITH $quantCte,
-         d AS (SELECT a.vec_id AS query_id, b.vec_id AS id_b,
-             SUM(a.x * b.x) AS dot
-           FROM q a JOIN q b ON a.i = b.i
-           WHERE a.vec_id < 100 AND a.vec_id <> b.vec_id
-           GROUP BY 1, 2),
-         sm AS (SELECT query_id, id_b,
-             CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
-               * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
-           FROM d JOIN nrm na ON d.query_id = na.vec_id
-                  JOIN nrm nb ON d.id_b = nb.vec_id),
-         rk AS (SELECT query_id, id_b, sim, row_number() OVER
-             (PARTITION BY query_id ORDER BY sim DESC, id_b ASC) AS rank
-           FROM sm)
-         SELECT query_id, CAST(rank AS BIGINT) AS rank,
-                id_b AS neighbor_id, sim
-         FROM rk WHERE rank <= 5 ORDER BY query_id, rank""",
-    "q29_cosine_lsh" ->
-      s"""WITH $quantCte,
-         w AS (SELECT h, i, CAST(strpos('0123456789abcdef',
-               substr(md5(CAST(h AS VARCHAR) || ',' ||
-                 CAST(i - 1 AS VARCHAR)), 1, 1)) - 1 AS DOUBLE) - 7.5 AS w
-           FROM (SELECT unnest(range(1, 5)) AS h),
-                (SELECT unnest(range(1, 65)) AS i)),
-         proj AS (SELECT q.vec_id, w.h, SUM(w.w * CAST(q.x AS DOUBLE)) AS p
-           FROM q JOIN w ON q.i = w.i GROUP BY 1, 2),
-         bkt AS (SELECT vec_id, CAST(SUM(CASE WHEN p > 0
-               THEN 1 << (4 - h) ELSE 0 END) AS BIGINT) AS bucket
-           FROM proj GROUP BY 1),
-         d AS (SELECT a.vec_id AS query_id, b.vec_id AS id_b,
-             ba.bucket AS bucket, SUM(a.x * b.x) AS dot
-           FROM q a JOIN bkt ba ON a.vec_id = ba.vec_id
-                JOIN bkt bb ON ba.bucket = bb.bucket
-                JOIN q b ON b.vec_id = bb.vec_id AND a.i = b.i
-           WHERE a.vec_id <> b.vec_id
-           GROUP BY 1, 2, 3),
-         sm AS (SELECT query_id, id_b, bucket,
-             CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
-               * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
-           FROM d JOIN nrm na ON d.query_id = na.vec_id
-                  JOIN nrm nb ON d.id_b = nb.vec_id),
-         rk AS (SELECT query_id, id_b, bucket, sim, row_number() OVER
-             (PARTITION BY query_id ORDER BY sim DESC, id_b ASC) AS rank
-           FROM sm)
-         SELECT query_id, CAST(rank AS BIGINT) AS rank,
-                id_b AS neighbor_id, sim, bucket
-         FROM rk WHERE rank <= 3 ORDER BY query_id, rank""",
-    "q30_multimodal" ->
-      """WITH h AS (SELECT doc_id, COALESCE(text, '') AS text,
-             hex(encode(COALESCE(text, ''))) AS hx
-           FROM documents),
-         hs AS (SELECT doc_id, CAST(COALESCE(SUM(
-               CAST('0x' || substr(hx, CAST(b * 2 + 1 AS BIGINT), 2)
-                 AS BIGINT)), 0) AS BIGINT) AS head_sum
-           FROM h, (SELECT unnest(range(0, 16)) AS b)
-           WHERE b * 2 + 1 <= length(hx) GROUP BY h.doc_id)
-         SELECT h.doc_id,
-                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                COALESCE(hs.head_sum, 0) AS head_sum, md5(text) AS checksum
-         FROM h LEFT JOIN hs ON h.doc_id = hs.doc_id ORDER BY h.doc_id""",
-    "q31_stream_window" -> streamWindowOracle,
-    "q58_stream_sink" -> streamWindowOracle,
-    "q32_sessionize" ->
-      """WITH e AS (SELECT user_id, event_id,
-             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events),
-         g AS (SELECT user_id, event_id, ms,
-             CASE WHEN lag(ms) OVER w IS NULL
-                    OR ms - lag(ms) OVER w > 1800000
-                  THEN 1 ELSE 0 END AS ns
-           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
-         s AS (SELECT user_id, ms, CAST(SUM(ns) OVER
-             (PARTITION BY user_id ORDER BY ms, event_id
-              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-           FROM g)
-         SELECT user_id, session_idx, COUNT(*) AS n_events,
-                MIN(ms) AS session_start_ms, MAX(ms) AS session_end_ms
-         FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""",
-    "q36_embed_centroids" ->
-      """WITH q AS (SELECT e.vec_id, e.label, i,
-             CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0 + 0.5)
-                  AS BIGINT) AS x
-           FROM embeddings e, (SELECT unnest(range(1, 65)) AS i))
-         SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
-                CAST(SUM(x) AS BIGINT) AS sum_q, COUNT(*) AS n,
-                CAST(SUM(x) AS DOUBLE) / (COUNT(*) * 10000.0) AS centroid
-         FROM q GROUP BY 1, 2 ORDER BY label, dim""",
-    "q37_ivf_topk" ->
-      """WITH q AS (SELECT e.vec_id, e.label, i,
-             CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0 + 0.5)
-                  AS BIGINT) AS x
-           FROM embeddings e, (SELECT unnest(range(1, 65)) AS i)),
-         nrm AS (SELECT vec_id, SUM(x * x) AS nn FROM q GROUP BY 1
-                 HAVING SUM(x * x) > 0),
-         cells AS (SELECT CAST(label AS BIGINT) AS cell_label, i,
-             CAST(SUM(x) AS BIGINT) AS s
-           FROM q GROUP BY 1, 2),
-         cellnorm AS (SELECT cell_label, SUM(s * s) AS cn
-           FROM cells GROUP BY 1),
-         coarse AS (SELECT a.vec_id AS query_id, c.cell_label,
-             SUM(a.x * c.s) AS dot
-           FROM q a JOIN cells c ON a.i = c.i
-           WHERE a.vec_id < 50 GROUP BY 1, 2),
-         csim AS (SELECT query_id, coarse.cell_label,
-             CAST(dot AS DOUBLE) / (sqrt(CAST(n1.nn AS DOUBLE))
-               * sqrt(CAST(cn.cn AS DOUBLE))) AS coarse_sim
-           FROM coarse JOIN nrm n1 ON coarse.query_id = n1.vec_id
-                JOIN cellnorm cn ON coarse.cell_label = cn.cell_label),
-         best AS (SELECT query_id, cell_label FROM
-             (SELECT query_id, cell_label, row_number() OVER
-               (PARTITION BY query_id
-                ORDER BY coarse_sim DESC, cell_label ASC) AS rn
-              FROM csim) WHERE rn = 1),
-         fine AS (SELECT b.query_id, e.vec_id AS neighbor_id,
-             b.cell_label, SUM(a.x * bb.x) AS dot
-           FROM best b JOIN embeddings e
-             ON CAST(e.label AS BIGINT) = b.cell_label
-           JOIN q a ON a.vec_id = b.query_id
-           JOIN q bb ON bb.vec_id = e.vec_id AND bb.i = a.i
-           WHERE e.vec_id <> b.query_id GROUP BY 1, 2, 3),
-         fsim AS (SELECT query_id, neighbor_id, cell_label,
-             CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
-               * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
-           FROM fine JOIN nrm na ON fine.query_id = na.vec_id
-                JOIN nrm nb ON fine.neighbor_id = nb.vec_id),
-         rk AS (SELECT query_id, neighbor_id, cell_label, sim,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY sim DESC, neighbor_id ASC) AS rank
-           FROM fsim)
-         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim,
-                cell_label
-         FROM rk WHERE rank <= 3 ORDER BY query_id, rank""",
-    "q38_rollup" ->
-      """SELECT COALESCE(r_name, 'ALL') AS region,
-                COALESCE(n_name, 'ALL') AS nation,
-                CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
-                COUNT(*) AS n_items,
-                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                  * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
-                  AS revenue
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         JOIN customer ON o_custkey = c_custkey
-         JOIN nation ON c_nationkey = n_nationkey
-         JOIN region ON n_regionkey = r_regionkey
-         GROUP BY ROLLUP (r_name, n_name)
-         ORDER BY gid, region, nation""",
-    "q39_frame_sample" ->
-      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
-             octet_length(encode(text)) AS nb
-           FROM documents),
-         f AS (SELECT doc_id, hx, nb,
-             unnest(range(0, CAST(ceil(nb / 64.0) AS BIGINT))) AS frame_idx
-           FROM h),
-         b AS (SELECT doc_id, frame_idx,
-             CAST('0x' || substr(hx,
-               CAST((frame_idx * 64 + j) * 2 + 1 AS BIGINT), 2) AS BIGINT)
-               AS byte_val
-           FROM f, (SELECT unnest(range(0, 64)) AS j)
-           WHERE frame_idx * 64 + j < nb)
-         SELECT doc_id, frame_idx, COUNT(*) AS frame_len,
-                CAST(SUM(byte_val) AS BIGINT) AS frame_sum
-         FROM b GROUP BY 1, 2 ORDER BY doc_id, frame_idx""",
-    "q40_json_roundtrip" ->
-      """SELECT event_type, COUNT(*) AS n_events,
-                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-                  AS total_value
-         FROM events GROUP BY event_type ORDER BY event_type""",
-    "q41_bucketed_join" ->
-      """SELECT o_custkey, COUNT(*) AS n_items,
-                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-                  AS sum_qty
-         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY o_custkey ORDER BY o_custkey""",
-    "q42_pivot" ->
-      """SELECT user_id,
-                COUNT(*) FILTER (WHERE event_type = 'click') AS click,
-                COUNT(*) FILTER (WHERE event_type = 'error') AS error,
-                COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
-                COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
-                COUNT(*) FILTER (WHERE event_type = 'view') AS view
-         FROM events GROUP BY user_id ORDER BY user_id""",
-    "q43_stats_moments" ->
-      """WITH a AS (SELECT l_returnflag, COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
-               * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s2
-           FROM lineitem GROUP BY 1)
-         SELECT l_returnflag, n, s1 / n AS mean,
-                (CAST(n AS DOUBLE) * s2 - s1 * s1)
-                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
-                  AS var_samp,
-                sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1)
-                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
-                  AS stddev_samp
-         FROM a ORDER BY l_returnflag""",
-    "q44_histogram" ->
-      """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin,
-                CAST(floor(l_extendedprice / 5000.0) AS BIGINT) * 5000.0
-                  AS bin_lo,
-                COUNT(*) AS n_rows
-         FROM lineitem GROUP BY 1, 2 ORDER BY bin""",
-    "q45_curation_pipeline" ->
-      """WITH d AS (SELECT doc_id, source, text,
-             string_split(text, ' ') AS toks FROM documents),
-         scored AS (SELECT doc_id, source,
-             0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
-               + 0.3 * (1.0 - CAST(len(list_filter(toks,
-                     w -> w IN ('the','a','of','and','is'))) AS DOUBLE)
-                   / CAST(len(toks) AS DOUBLE))
-               + 0.2 * least(((CAST(length(text) AS DOUBLE)
-                     - (CAST(len(toks) AS DOUBLE) - 1.0))
-                   / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0) AS quality,
-             CASE WHEN greatest(
-                 len(list_filter(toks, w -> w IN ('der','die','das','und','ist'))),
-                 len(list_filter(toks, w -> w IN ('the','a','of','and','is'))),
-                 len(list_filter(toks, w -> w IN ('el','los','las','y','es'))),
-                 len(list_filter(toks, w -> w IN ('le','la','les','et','est'))),
-                 len(list_filter(toks, w -> w IN ('的','是','了','在','和')))) <= 0
-               THEN 'und'
-               WHEN len(list_filter(toks, w -> w IN ('der','die','das','und','ist'))) = greatest(
-                 len(list_filter(toks, w -> w IN ('der','die','das','und','ist'))),
-                 len(list_filter(toks, w -> w IN ('the','a','of','and','is'))),
-                 len(list_filter(toks, w -> w IN ('el','los','las','y','es'))),
-                 len(list_filter(toks, w -> w IN ('le','la','les','et','est'))),
-                 len(list_filter(toks, w -> w IN ('的','是','了','在','和')))) THEN 'de'
-               WHEN len(list_filter(toks, w -> w IN ('the','a','of','and','is'))) = greatest(
-                 len(list_filter(toks, w -> w IN ('der','die','das','und','ist'))),
-                 len(list_filter(toks, w -> w IN ('the','a','of','and','is'))),
-                 len(list_filter(toks, w -> w IN ('el','los','las','y','es'))),
-                 len(list_filter(toks, w -> w IN ('le','la','les','et','est'))),
-                 len(list_filter(toks, w -> w IN ('的','是','了','在','和')))) THEN 'en'
-               ELSE 'other' END AS predicted,
-             md5(regexp_replace(lower(trim(nfc_normalize(text))), '\s+', ' ', 'g'))
-               AS fingerprint
-           FROM d),
-         kept AS (SELECT * FROM scored
-           WHERE quality >= 0.6 AND predicted = 'en'),
-         uniq AS (SELECT * FROM (SELECT *, row_number() OVER
-               (PARTITION BY fingerprint ORDER BY doc_id ASC) AS rn
-             FROM kept) WHERE rn = 1)
-         SELECT s.source, COUNT(*) AS n_docs,
-                COALESCE(k.n_kept, 0) AS n_kept,
-                COALESCE(u.n_unique, 0) AS n_unique
-         FROM scored s
-         LEFT JOIN (SELECT source, COUNT(*) AS n_kept FROM kept
-                    GROUP BY 1) k ON s.source = k.source
-         LEFT JOIN (SELECT source, COUNT(*) AS n_unique FROM uniq
-                    GROUP BY 1) u ON s.source = u.source
-         GROUP BY s.source, k.n_kept, u.n_unique ORDER BY s.source""",
-    "q46_hash_split" ->
-      """WITH b AS (SELECT doc_id,
-             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-               AS BIGINT) % 100 AS bucket
-           FROM documents)
-         SELECT CASE WHEN bucket < 80 THEN 'train'
-                     WHEN bucket < 90 THEN 'val'
-                     ELSE 'test' END AS split,
-                COUNT(*) AS n_docs, MIN(doc_id) AS min_doc,
-                MAX(doc_id) AS max_doc
-         FROM b GROUP BY 1 ORDER BY split""",
-    "q47_percentiles" ->
-      """SELECT l_returnflag,
-                quantile_cont(l_quantity, 0.25) AS p25,
-                quantile_cont(l_quantity, 0.5) AS p50,
-                quantile_cont(l_quantity, 0.75) AS p75
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-    "q48_date_dim" ->
-      """SELECT strftime(d, '%Y-%m-%d') AS date_str,
-                CAST(year(d) AS BIGINT) AS year,
-                CAST(quarter(d) AS BIGINT) AS quarter,
-                CAST(month(d) AS BIGINT) AS month,
-                CAST(day(d) AS BIGINT) AS day,
-                CAST(weekofyear(d) AS BIGINT) AS week,
-                CAST(dayofweek(d) + 1 AS BIGINT) AS weekday,
-                CAST(CASE WHEN dayofweek(d) IN (0, 6) THEN 1 ELSE 0 END
-                  AS BIGINT) AS is_weekend
-         FROM generate_series(DATE '2024-01-01', DATE '2024-12-31',
-                              INTERVAL 1 DAY) t(d)
-         ORDER BY date_str""",
-    "q49_asof_join" -> asofOracle,
-    "q95_cogroup_asof" -> asofOracle,
-    "q50_stream_dedup" ->
-      """SELECT DISTINCT user_id, event_type FROM events
-         ORDER BY user_id, event_type""",
-    "q33_cosine_neardup" ->
-      s"""WITH $quantCte,
-         w AS (SELECT h, i, CAST(strpos('0123456789abcdef',
-               substr(md5(CAST(h AS VARCHAR) || ',' ||
-                 CAST(i - 1 AS VARCHAR)), 1, 1)) - 1 AS DOUBLE) - 7.5 AS w
-           FROM (SELECT unnest(range(1, 5)) AS h),
-                (SELECT unnest(range(1, 65)) AS i)),
-         proj AS (SELECT q.vec_id, w.h, SUM(w.w * CAST(q.x AS DOUBLE)) AS p
-           FROM q JOIN w ON q.i = w.i GROUP BY 1, 2),
-         bkt AS (SELECT vec_id, CAST(SUM(CASE WHEN p > 0
-               THEN 1 << (4 - h) ELSE 0 END) AS BIGINT) AS bucket
-           FROM proj GROUP BY 1),
-         d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             ba.bucket AS bucket, SUM(a.x * b.x) AS dot
-           FROM q a JOIN bkt ba ON a.vec_id = ba.vec_id
-                JOIN bkt bb ON ba.bucket = bb.bucket
-                JOIN q b ON b.vec_id = bb.vec_id AND a.i = b.i
-           WHERE a.vec_id < b.vec_id
-           GROUP BY 1, 2, 3),
-         sm AS (SELECT id_a, id_b, bucket,
-             CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
-               * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
-           FROM d JOIN nrm na ON d.id_a = na.vec_id
-                  JOIN nrm nb ON d.id_b = nb.vec_id)
-         SELECT id_a, id_b, sim, bucket FROM sm
-         WHERE sim >= 0.3 ORDER BY id_a, id_b""",
-    "q51_ann_recall" -> annRecallOracle,
-    "q56_lsh_multiprobe_recall" -> lshMultiProbeOracle,
-    "q59_ivf_multiprobe_recall" -> ivfMultiProbeOracle,
-    "q61_resize" ->
-      """WITH r AS (SELECT doc_id, COALESCE(text, '') AS text,
-             array_to_string(list_transform(range(1, length(text) + 1, 4),
-               i -> substring(text, i, 1)), '') AS red
-           FROM documents)
-         SELECT doc_id, CAST(length(text) AS BIGINT) AS orig_bytes,
-             CAST(length(red) AS BIGINT) AS resized_bytes,
-             CAST(COALESCE(list_sum(list_transform(range(1, length(red) + 1),
-               i -> ascii(substring(red, i, 1)))), 0) AS BIGINT)
-               AS resized_sum,
-             md5(red) AS resized_checksum
-         FROM r ORDER BY doc_id""",
-    "q60_range_shard" ->
-      """WITH b AS (SELECT lang,
-             quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS b1,
-             quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS b2,
-             quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS b3
-           FROM documents GROUP BY lang),
-         a AS (SELECT d.lang,
-             CASE WHEN CAST(n_chars AS DOUBLE) <= b1 THEN 0
-                  WHEN CAST(n_chars AS DOUBLE) <= b2 THEN 1
-                  WHEN CAST(n_chars AS DOUBLE) <= b3 THEN 2
-                  ELSE 3 END AS shard,
-             n_chars
-           FROM documents d JOIN b ON d.lang = b.lang)
-         SELECT lang, CAST(shard AS INT) AS shard,
-             COUNT(*) AS n_docs,
-             CAST(MIN(n_chars) AS BIGINT) AS min_chars,
-             CAST(MAX(n_chars) AS BIGINT) AS max_chars
-         FROM a GROUP BY 1, 2 ORDER BY lang, shard""",
-    "q57_stream_stream_join" -> intervalJoinOracle,
-    "q70_interval_join" -> intervalJoinOracle,
-    "q52_pii_scrub" ->
-      """SELECT c_custkey, md5(c_name) AS name_hash,
-             regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
-             CAST(length(c_name) - length(regexp_replace(c_name, '[0-9]',
-               '', 'g')) AS BIGINT) AS n_digits
-         FROM customer ORDER BY c_custkey""",
-    "q53_contamination" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-                       FROM documents),
-         g AS (SELECT doc_id, list_distinct(list_transform(
-                 range(1, greatest(len(t) - 3, 1) + 1),
-                 i -> array_to_string(t[i:i+3], ' '))) AS grams
-               FROM toks),
-         x AS (SELECT doc_id, unnest(grams) AS gram FROM g)
-         SELECT a.doc_id AS corpus_id, b.doc_id AS eval_id,
-                CAST(count(*) AS BIGINT) AS n_shared
-         FROM x a JOIN x b ON a.gram = b.gram
-         WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
-         GROUP BY 1, 2 ORDER BY corpus_id, eval_id""",
-    "q54_stratified_sample" ->
-      """WITH smp AS (SELECT lang FROM documents
-             WHERE CAST('0x' || substr(md5('smp|' ||
-                 CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000
-               < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2500
-                 ELSE 1000 END),
-         tot AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY 1),
-         ns AS (SELECT lang, count(*) AS n_sampled FROM smp GROUP BY 1)
-         SELECT tot.lang, n_total, COALESCE(n_sampled, 0) AS n_sampled
-         FROM tot LEFT JOIN ns ON tot.lang = ns.lang ORDER BY tot.lang""",
-    "q55_repetition_filter" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
-                    FROM documents),
-         s AS (SELECT doc_id, t,
-             list_transform(range(1, len(t)),
-               i -> t[i] || ' ' || t[i + 1]) AS bg
-           FROM d)
-         SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
-             1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
-                 / CAST(len(t) AS DOUBLE) AS dup_ratio,
-             CAST(list_max(list_transform(list_distinct(bg),
-                 x -> len(list_filter(bg, b -> b = x)))) AS DOUBLE)
-               / CAST(len(bg) AS DOUBLE) AS top_bigram_share,
-             (1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
-                  / CAST(len(t) AS DOUBLE)) < 0.6
-               AND (CAST(list_max(list_transform(list_distinct(bg),
-                     x -> len(list_filter(bg, b -> b = x)))) AS DOUBLE)
-                   / CAST(len(bg) AS DOUBLE)) < 0.2 AS keep
-         FROM s ORDER BY doc_id""",
-    "q34_salted_join" ->
-      """WITH d AS (SELECT user_id,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS user_total
-           FROM events GROUP BY 1)
-         SELECT e.user_id, COUNT(*) AS n_events, MIN(d.user_total) AS user_total
-         FROM events e JOIN d USING (user_id)
-         GROUP BY 1 ORDER BY e.user_id""",
-    "q35_stream_sessionize" ->
-      """WITH e AS (SELECT user_id, event_id,
-             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events),
-         g AS (SELECT user_id, event_id, ms,
-             CASE WHEN lag(ms) OVER w IS NULL
-                    OR ms - lag(ms) OVER w > 1800000
-                  THEN 1 ELSE 0 END AS ns
-           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
-         s AS (SELECT user_id, ms, CAST(SUM(ns) OVER
-             (PARTITION BY user_id ORDER BY ms, event_id
-              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-           FROM g)
-         SELECT user_id, session_idx, COUNT(*) AS n_events,
-                MIN(ms) AS session_start_ms, MAX(ms) AS session_end_ms
-         FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""",
-    "q62_csv_roundtrip" ->
-      """SELECT o_orderpriority, COUNT(*) AS n_orders,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-               AS total_price
-         FROM orders GROUP BY 1 ORDER BY 1""",
-    "q63_orc_roundtrip" ->
-      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-               AS sum_qty,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-               AS sum_price
-         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
-    "q64_ngram_jaccard" ->
-      s"""WITH $ngramIdxCte
-         SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
-             CAST(n_shared AS DOUBLE)
-               / CAST(x.n + y.n - n_shared AS DOUBLE) AS jaccard
-         FROM p JOIN na x ON p.id_a = x.doc_id
-                JOIN na y ON p.id_b = y.doc_id
-         WHERE CAST(n_shared AS DOUBLE)
-               / CAST(x.n + y.n - n_shared AS DOUBLE) >= 0.5
-         ORDER BY id_a, id_b""",
-    "q71_dedup_clusters" ->
-      s"""WITH RECURSIVE $dedupClusterCtes
-         SELECT lab.node AS doc_id, lab.cluster_rep, sz.n_members
-         FROM lab JOIN sz USING (cluster_rep) ORDER BY doc_id""",
-    // q128 shares q71's full-recompute oracle: the incremental path
-    // must be bit-identical to CC over history ∪ batch (the q57/q70
-    // shared-oracle pattern applied to the component family)
-    "q128_incr_clusters" ->
-      s"""WITH RECURSIVE $dedupClusterCtes
-         SELECT lab.node AS doc_id, lab.cluster_rep, sz.n_members
-         FROM lab JOIN sz USING (cluster_rep) ORDER BY doc_id""",
-    // q130 shares the same full-recompute closure: the STREAMING fold
-    // (micro-batched arrivals through the versioned label store) must
-    // land bit-identical to one CC over all edges
-    "q130_stream_incr_clusters" ->
-      s"""WITH RECURSIVE $dedupClusterCtes
-         SELECT lab.node AS doc_id, lab.cluster_rep, sz.n_members
-         FROM lab JOIN sz USING (cluster_rep) ORDER BY doc_id""",
-    // q131: the all-pairs statement of the streamed-index semantics —
-    // dup_of(d) = least earlier doc sharing a band with signature-
-    // estimated Jaccard ≥ 0.5 (same minhash CTE chain as q25/q99)
-    "q131_stream_neardup_index" ->
-      s"""$minhashCtes,
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM bands a JOIN bands b
-             ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         est AS (SELECT id_a, id_b,
-             CAST(len(list_filter(
-                 list_zip(sa.sg, sb.sg), p -> p[1] = p[2])) AS DOUBLE)
-               / 32.0 AS est_jaccard
-           FROM cand JOIN sig sa ON cand.id_a = sa.doc_id
-                     JOIN sig sb ON cand.id_b = sb.doc_id)
-         SELECT id_b AS doc_id, CAST(MIN(id_a) AS BIGINT) AS dup_of
-         FROM est WHERE est_jaccard >= 0.5
-         GROUP BY id_b ORDER BY doc_id""",
-    // q132: the q46 bucket formula keyed by the recursive near-dup
-    // closure's cluster rep (singletons key by their own id)
-    "q132_group_split" ->
-      s"""WITH RECURSIVE $dedupClusterCtes,
-         grp AS (SELECT d.doc_id,
-             COALESCE(lab.cluster_rep, d.doc_id) AS group_key
-           FROM documents d LEFT JOIN lab ON d.doc_id = lab.node),
-         bk AS (SELECT doc_id, group_key,
-             CAST('0x' || substr(md5(CAST(group_key AS VARCHAR)), 1, 8)
-               AS BIGINT) % 100 AS bucket
-           FROM grp)
-         SELECT doc_id, group_key,
-           CASE WHEN bucket < 80 THEN 'train'
-                WHEN bucket < 90 THEN 'val'
-                ELSE 'test' END AS split
-         FROM bk ORDER BY doc_id""",
-    // q133: exact triangle enumeration as three self-joins over the
-    // a<b near-dup edge list — each triangle (a<b<c) found once as
-    // e(a,b), e(b,c), e(a,c); every corner credited
-    "q133_triangles" ->
-      s"""WITH $ngramIdxCte,
-         pairs AS (SELECT id_a, id_b
-               FROM p JOIN na x ON p.id_a = x.doc_id
-                      JOIN na y ON p.id_b = y.doc_id
-               WHERE CAST(n_shared AS DOUBLE)
-                     / CAST(x.n + y.n - n_shared AS DOUBLE) >= 0.5),
-         deg AS (SELECT node, COUNT(*) AS degree FROM
-               (SELECT id_a AS node FROM pairs
-                UNION ALL SELECT id_b FROM pairs) u
-             GROUP BY node),
-         tri AS (SELECT e1.id_a AS u, e1.id_b AS v, e2.id_b AS w
-             FROM pairs e1 JOIN pairs e2 ON e2.id_a = e1.id_b
-                  JOIN pairs e3 ON e3.id_a = e1.id_a
-                               AND e3.id_b = e2.id_b),
-         tc AS (SELECT node, COUNT(*) AS triangles FROM
-               (SELECT u AS node FROM tri
-                UNION ALL SELECT v FROM tri
-                UNION ALL SELECT w FROM tri) x
-             GROUP BY node)
-         SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
-           CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
-           CASE WHEN d.degree >= 2
-                THEN 2.0 * COALESCE(t.triangles, 0)
-                     / (d.degree * (d.degree - 1.0))
-                ELSE 0.0 END AS clustering_coeff
-         FROM deg d LEFT JOIN tc t ON d.node = t.node
-         ORDER BY d.node""",
-    // q134: the UNCAPPED full inverted-index join — the exact
-    // semantics the prefix-filtered Spark plan must reproduce with
-    // zero false negatives (q64's CTE minus the df cap)
-    "q134_setsim_join" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-                     FROM documents),
-         g AS (SELECT doc_id, unnest(list_distinct(list_transform(
-                 range(1, greatest(len(t) - 2, 1) + 1),
-                 i -> array_to_string(t[i:i+2], ' ')))) AS gram
-               FROM toks),
-         na AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
-         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 count(*) AS n_shared
-               FROM g a JOIN g b
-                 ON a.gram = b.gram AND a.doc_id < b.doc_id
-               GROUP BY 1, 2)
-         SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
-             CAST(n_shared AS DOUBLE)
-               / CAST(x.n + y.n - n_shared AS DOUBLE) AS jaccard
-         FROM p JOIN na x ON p.id_a = x.doc_id
-                JOIN na y ON p.id_b = y.doc_id
-         WHERE CAST(n_shared AS DOUBLE)
-               / CAST(x.n + y.n - n_shared AS DOUBLE) >= 0.5
-         ORDER BY id_a, id_b""",
-    // q135: the closure over exactly the first two ntile(3) chunks of
-    // the (id_a, id_b)-ordered edge stream — what label version 1
-    // must equal if every stored version is the true prefix state
-    "q135_state_time_travel" ->
-      s"""WITH RECURSIVE $ngramIdxCte,
-         allp AS (SELECT id_a, id_b
-               FROM p JOIN na x ON p.id_a = x.doc_id
-                      JOIN na y ON p.id_b = y.doc_id
-               WHERE CAST(n_shared AS DOUBLE)
-                     / CAST(x.n + y.n - n_shared AS DOUBLE) >= 0.5),
-         tiled AS (SELECT id_a, id_b,
-               ntile(3) OVER (ORDER BY id_a, id_b) AS tile FROM allp),
-         pairs AS (SELECT id_a, id_b FROM tiled WHERE tile <= 2),
-         sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                 UNION
-                 SELECT id_b, id_a FROM pairs),
-         r AS (SELECT src AS node, dst AS peer FROM sym
-               UNION
-               SELECT r.node, s.dst FROM r JOIN sym s ON r.peer = s.src),
-         lab AS (SELECT node, LEAST(node, MIN(peer)) AS cluster_rep
-                 FROM r GROUP BY node),
-         sz AS (SELECT cluster_rep, COUNT(*) AS n_members
-                FROM lab GROUP BY 1)
-         SELECT lab.node AS doc_id, lab.cluster_rep, sz.n_members
-         FROM lab JOIN sz USING (cluster_rep) ORDER BY doc_id""",
-    "q65_top_bigrams" ->
-      """WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
-         g AS (SELECT unnest(CASE WHEN len(t) >= 2
-                 THEN list_transform(range(1, len(t)),
-                   i -> t[i] || ' ' || t[i + 1])
-                 ELSE [] END) AS gram
-               FROM d)
-         SELECT gram, COUNT(*) AS n FROM g
-         GROUP BY 1 ORDER BY n DESC, gram ASC LIMIT 20""",
-    "q66_event_lag" ->
-      """WITH e AS (SELECT user_id, event_id,
-             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ts_ms FROM events)
-         SELECT user_id, event_id,
-             ts_ms - lag(ts_ms) OVER w AS prev_gap_ms,
-             lead(event_id) OVER w AS next_event_id,
-             CAST(ntile(4) OVER w AS INT) AS qtile
-         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
-         ORDER BY user_id, event_id""",
-    "q67_incremental_dedup" ->
-      """WITH f AS (SELECT doc_id, md5(text) AS fingerprint FROM documents),
-         seen AS (SELECT DISTINCT fingerprint FROM f WHERE doc_id % 10 = 0),
-         inc AS (SELECT * FROM f WHERE doc_id % 10 <> 0)
-         SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, fingerprint
-         FROM inc
-         WHERE NOT EXISTS (SELECT 1 FROM seen
-                           WHERE seen.fingerprint = inc.fingerprint)
-         GROUP BY fingerprint ORDER BY doc_id""",
-    "q68_bpe_tokens" ->
-      """SELECT doc_id,
-             CAST(len(regexp_extract_all(text,
-               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')) AS BIGINT)
-               AS n_bpe_tokens,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
-             CAST(len(regexp_extract_all(text,
-               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')) AS DOUBLE)
-               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS bpe_per_ws
-         FROM documents ORDER BY doc_id""",
-    "q69_schema_merge" ->
-      """WITH m AS (SELECT lang, CAST(NULL AS BIGINT) AS n_chars
-                    FROM documents
-                    UNION ALL
-                    SELECT CAST(NULL AS VARCHAR), n_chars FROM documents)
-         SELECT lang, COUNT(*) AS n_rows,
-             COUNT(n_chars) AS n_with_chars,
-             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-         FROM m GROUP BY lang ORDER BY lang NULLS FIRST""",
-    "q72_chunking" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
-                    FROM documents),
-         st AS (SELECT doc_id, t, unnest(range(1, len(t) + 1, 24)) AS s
-                FROM d),
-         c AS (SELECT doc_id, CAST((s - 1) // 24 AS BIGINT) AS chunk_idx,
-                 array_to_string(t[s:s+31], ' ') AS chunk
-               FROM st)
-         SELECT doc_id, chunk_idx,
-             CAST(len(string_split(chunk, ' ')) AS BIGINT)
-               AS n_chunk_tokens,
-             md5(chunk) AS chunk_hash
-         FROM c ORDER BY doc_id, chunk_idx""",
-    "q73_seq_packing" ->
-      """WITH d AS (SELECT doc_id,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-           FROM documents),
-         c AS (SELECT doc_id, n_tokens,
-             SUM(n_tokens) OVER (ORDER BY doc_id
-               ROWS UNBOUNDED PRECEDING) AS cum
-           FROM d),
-         b AS (SELECT doc_id, n_tokens,
-             CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin_id
-           FROM c)
-         SELECT bin_id, COUNT(*) AS n_docs,
-             CAST(SUM(n_tokens) AS BIGINT) AS n_bin_tokens,
-             MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-         FROM b GROUP BY 1 ORDER BY 1""",
-    "q74_cube" ->
-      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
-             COALESCE(l_linestatus, 'ALL') AS linestatus,
-             CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-             COUNT(*) AS n_items,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-               AS sum_qty
-         FROM lineitem
-         GROUP BY CUBE (l_returnflag, l_linestatus)
-         ORDER BY gid, returnflag, linestatus""",
-    "q75_window_dist" ->
-      """WITH e AS (SELECT user_id, event_id,
-             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ts_ms FROM events)
-         SELECT user_id, event_id,
-             percent_rank() OVER w AS pr,
-             cume_dist() OVER w AS cd,
-             first_value(event_id) OVER (w ROWS BETWEEN UNBOUNDED
-               PRECEDING AND UNBOUNDED FOLLOWING) AS first_event,
-             last_value(event_id) OVER (w ROWS BETWEEN UNBOUNDED
-               PRECEDING AND UNBOUNDED FOLLOWING) AS last_event
-         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
-         ORDER BY user_id, event_id""",
-    "q76_int8_quant" ->
-      s"""WITH $quantCte,
-         am AS (SELECT vec_id, MAX(ABS(x)) AS amax FROM q GROUP BY 1),
-         q8 AS (SELECT q.vec_id, q.i, q.x, am.amax,
-             CAST(FLOOR(CAST(q.x AS DOUBLE) * 127.0
-               / CAST(am.amax AS DOUBLE) + 0.5) AS BIGINT) AS v8
-           FROM q JOIN am ON q.vec_id = am.vec_id),
-         agg AS (SELECT vec_id, SUM(x * v8) AS dxq, SUM(v8 * v8) AS nq,
-             MAX(ABS(CAST(x AS DOUBLE) - CAST(v8 AS DOUBLE)
-               * CAST(amax AS DOUBLE) / 127.0)) AS max_err
-           FROM q8 GROUP BY 1)
-         SELECT agg.vec_id, am.amax AS amax_q,
-             CAST(dxq AS DOUBLE) / (sqrt(CAST(nn AS DOUBLE))
-               * sqrt(CAST(nq AS DOUBLE))) AS cos_sim,
-             max_err
-         FROM agg JOIN nrm ON agg.vec_id = nrm.vec_id
-              JOIN am ON agg.vec_id = am.vec_id
-         ORDER BY agg.vec_id""",
-    "q77_upsert" ->
-      """SELECT c_custkey,
-             CASE WHEN c_custkey % 10 = 0 THEN upper(c_name)
-                  ELSE c_name END AS c_name,
-             CAST(CASE WHEN c_custkey % 10 = 0 THEN 2 ELSE 1 END
-               AS BIGINT) AS version,
-             CASE WHEN c_custkey % 10 = 0 THEN 'reprocessed'
-                  ELSE NULL END AS update_note
-         FROM customer ORDER BY c_custkey""",
-    "q78_quality_gate" ->
-      """SELECT COUNT(*) AS n_rows,
-             CAST(COUNT(*) FILTER (text IS NULL) AS BIGINT) AS n_null_text,
-             CAST(COUNT(*) FILTER (n_chars < 10) AS BIGINT) AS n_short,
-             CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars
-         FROM documents""",
-    "q79_profiler" ->
-      """WITH p AS (
-           SELECT 'l_quantity' AS column_name,
-               CAST(COUNT(l_quantity) AS BIGINT) AS n_nonnull,
-               MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-                 AS sum_v
-           FROM lineitem
-           UNION ALL
-           SELECT 'l_extendedprice',
-               CAST(COUNT(l_extendedprice) AS BIGINT),
-               MIN(l_extendedprice), MAX(l_extendedprice),
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-           FROM lineitem
-           UNION ALL
-           SELECT 'l_discount', CAST(COUNT(l_discount) AS BIGINT),
-               MIN(l_discount), MAX(l_discount),
-               CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
-           FROM lineitem
-           UNION ALL
-           SELECT 'l_tax', CAST(COUNT(l_tax) AS BIGINT),
-               MIN(l_tax), MAX(l_tax),
-               CAST(SUM(CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE)
-           FROM lineitem)
-         SELECT * FROM p ORDER BY column_name""",
-    "q80_event_transitions" ->
-      """WITH e AS (SELECT user_id, event_type, event_id,
-             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events),
-         s AS (SELECT user_id,
-             list(event_type ORDER BY ms, event_id) AS seq
-           FROM e GROUP BY 1),
-         b AS (SELECT unnest(CASE WHEN len(seq) >= 2
-                 THEN list_transform(range(1, len(seq)),
-                   i -> seq[i] || ' ' || seq[i + 1])
-                 ELSE [] END) AS transition
-               FROM s)
-         SELECT transition, COUNT(*) AS n FROM b
-         GROUP BY 1 ORDER BY n DESC, transition ASC LIMIT 20""",
-    "q81_tfidf" ->
-      """WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-                     FROM documents),
-         t AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
-         d AS (SELECT term, COUNT(*) AS df FROM t GROUP BY 1),
-         sc AS (SELECT t.doc_id, t.term, t.tf, d.df,
-             CAST(t.tf AS DOUBLE)
-               * (((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) + 1.0)
-                  / (CAST(d.df AS DOUBLE) + 1.0)) AS score
-           FROM t JOIN d ON t.term = d.term),
-         rk AS (SELECT doc_id, term, tf, df, score,
-             CAST(row_number() OVER (PARTITION BY doc_id
-               ORDER BY score DESC, term ASC) AS BIGINT) AS rk
-           FROM sc)
-         SELECT doc_id, rk, term, CAST(tf AS BIGINT) AS tf,
-             CAST(df AS BIGINT) AS df, score
-         FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""",
-    "q82_binary_source" ->
-      """SELECT COUNT(*) AS n_files,
-             CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-             CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct
-         FROM documents""",
-    "q83_session_window" ->
-      """WITH e AS (SELECT user_id, event_id,
-             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events),
-         g AS (SELECT user_id, ms, event_id,
-             CASE WHEN lag(ms) OVER w IS NULL
-                    OR ms - lag(ms) OVER w >= 1800000
-                  THEN 1 ELSE 0 END AS ns
-           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
-         s AS (SELECT user_id, ms, SUM(ns) OVER
-             (PARTITION BY user_id ORDER BY ms, event_id
-              ROWS UNBOUNDED PRECEDING) AS session_idx
-           FROM g)
-         SELECT user_id, MIN(ms) AS session_start_ms,
-             COUNT(*) AS n_events, MAX(ms) AS last_event_ms
-         FROM s GROUP BY user_id, session_idx
-         ORDER BY user_id, session_start_ms""",
-    "q84_zorder" -> zorderOracle,
-    "q85_source_mix" ->
-      """WITH c AS (SELECT source, COUNT(*) AS n_total FROM documents
-             WHERE source IS NOT NULL GROUP BY 1),
-         m AS (SELECT MIN(n_total) AS mn FROM c),
-         t AS (SELECT c.source, c.n_total,
-             (m.mn * 10000) // c.n_total AS thr_bp FROM c, m),
-         k AS (SELECT d.source, COUNT(*) AS n_kept
-           FROM documents d JOIN t ON d.source = t.source
-           WHERE CAST('0x' || substr(md5('mix|' ||
-                 CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
-               % 10000 < t.thr_bp
-           GROUP BY 1)
-         SELECT t.source, t.n_total, t.thr_bp,
-             COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_kept
-         FROM t LEFT JOIN k ON t.source = k.source
-         ORDER BY t.source""",
-    "q86_token_budget" ->
-      s"""$qualityScoredCtes,
-         cum AS (SELECT doc_id, lang, n_tok, quality,
-             CAST(SUM(n_tok) OVER (ORDER BY quality DESC, doc_id ASC
-               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
-           FROM sc)
-         SELECT doc_id, lang, n_tok, quality, cum_tok
-         FROM cum WHERE cum_tok - n_tok < 20000
-         ORDER BY cum_tok""",
-    "q87_kmeans" -> kmeansOracle(8, 2),
-    "q88_stream_static_join" ->
-      """WITH mx AS (SELECT epoch_us(MAX(CAST(ts AS TIMESTAMP))) // 1000
-               AS max_ms FROM events),
-         b AS (SELECT epoch_ms(time_bucket(INTERVAL 10 MINUTE,
-                 CAST(e.ts AS TIMESTAMP), TIMESTAMP '1970-01-01'))
-                 AS window_start_ms,
-               c.c_mktsegment AS segment, COUNT(*) AS n_events
-           FROM events e JOIN customer c ON e.user_id = c.c_custkey
-           GROUP BY 1, 2)
-         SELECT window_start_ms, segment, n_events FROM b, mx
-         WHERE window_start_ms + 600000 <= max_ms - 3600000
-         ORDER BY window_start_ms, segment""",
-    "q89_scd2" ->
-      """WITH e AS (SELECT user_id, event_id, event_type,
-             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events),
-         ch AS (SELECT user_id, event_type, ms, event_id,
-             lag(event_type) OVER w AS prev,
-             lag(ms) OVER w IS NULL AS first
-           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
-         runs AS (SELECT user_id, event_type, ms, event_id FROM ch
-           WHERE first OR prev IS DISTINCT FROM event_type),
-         iv AS (SELECT user_id, event_type, ms AS valid_from_ms,
-             lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id)
-               AS valid_to_ms
-           FROM runs)
-         SELECT user_id, event_type, valid_from_ms, valid_to_ms,
-             valid_to_ms IS NULL AS is_current
-         FROM iv ORDER BY user_id, valid_from_ms""",
-    "q90_range_window" ->
-      """WITH e AS (SELECT event_id, user_id,
-             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms, value
-           FROM events)
-         SELECT event_id, user_id, ms,
-             COUNT(*) OVER w AS n_1h,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
-               AS sum_1h
-         FROM e
-         WINDOW w AS (PARTITION BY user_id ORDER BY ms
-           RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
-         ORDER BY event_id""",
-    "q91_exact_k_sample" ->
-      """WITH h AS (SELECT lang, doc_id,
-             CAST('0x' || substr(md5('smp|' || CAST(doc_id AS VARCHAR)),
-               1, 15) AS BIGINT) AS hv
-           FROM documents),
-         r AS (SELECT lang, doc_id, CAST(row_number() OVER
-             (PARTITION BY lang ORDER BY hv, doc_id) AS BIGINT) AS rk
-           FROM h)
-         SELECT lang, rk, doc_id FROM r WHERE rk <= 10
-         ORDER BY lang, rk""",
-    "q92_table_diff" ->
-      """WITH b AS (SELECT doc_id,
-             CASE WHEN doc_id % 97 = 0 THEN text || 'X' ELSE text END
-               AS text, lang, source, n_chars FROM documents),
-         sa AS (SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
-                 1, 15) AS BIGINT) % 64 AS bucket,
-               COUNT(*) AS n,
-               SUM(CAST('0x' || substr(md5(concat_ws('|',
-                   CAST(doc_id AS VARCHAR), COALESCE(text, chr(1)),
-                   COALESCE(lang, chr(1)), COALESCE(source, chr(1)),
-                   CAST(n_chars AS VARCHAR))), 1, 15) AS BIGINT)) AS ck
-           FROM documents GROUP BY 1),
-         sb AS (SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
-                 1, 15) AS BIGINT) % 64 AS bucket,
-               COUNT(*) AS n,
-               SUM(CAST('0x' || substr(md5(concat_ws('|',
-                   CAST(doc_id AS VARCHAR), COALESCE(text, chr(1)),
-                   COALESCE(lang, chr(1)), COALESCE(source, chr(1)),
-                   CAST(n_chars AS VARCHAR))), 1, 15) AS BIGINT)) AS ck
-           FROM b GROUP BY 1)
-         SELECT COALESCE(sa.bucket, sb.bucket) AS bucket,
-             COALESCE(sa.n, 0) AS n_a, COALESCE(sb.n, 0) AS n_b
-         FROM sa FULL OUTER JOIN sb ON sa.bucket = sb.bucket
-         WHERE sa.n IS DISTINCT FROM sb.n
-            OR sa.ck IS DISTINCT FROM sb.ck
-         ORDER BY bucket""",
-    "q93_winsorize" ->
-      """WITH b AS (SELECT l_returnflag,
-             quantile_cont(l_quantity, 0.05) AS p05,
-             quantile_cont(l_quantity, 0.95) AS p95
-           FROM lineitem GROUP BY 1),
-         w AS (SELECT l.l_returnflag, l.l_quantity, b.p05, b.p95,
-             least(greatest(l.l_quantity, b.p05), b.p95) AS wv
-           FROM lineitem l JOIN b USING (l_returnflag))
-         SELECT l_returnflag, COUNT(*) AS n,
-             MIN(p05) AS p05, MIN(p95) AS p95,
-             CAST(SUM(CASE WHEN l_quantity < p05 THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_clip_lo,
-             CAST(SUM(CASE WHEN l_quantity > p95 THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_clip_hi,
-             CAST(SUM(CAST(wv AS DECIMAL(12,2))) AS DOUBLE)
-               / CAST(COUNT(*) AS DOUBLE) AS mean_w
-         FROM w GROUP BY 1 ORDER BY l_returnflag""",
-    "q94_zscore" ->
-      """WITH st AS (SELECT event_type, COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))
-               * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
-           FROM events GROUP BY 1),
-         m AS (SELECT event_type, s1 / n AS mean,
-             sqrt((CAST(n AS DOUBLE) * s2 - s1 * s1)
-               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sd
-           FROM st WHERE n > 1)
-         SELECT e.event_id, e.event_type, e.value,
-             (e.value - m.mean) / m.sd AS z
-         FROM events e JOIN m USING (event_type)
-         WHERE m.sd > 0
-         ORDER BY e.event_id""",
-    "q96_argmax_agg" ->
-      """WITH e AS (SELECT user_id, event_id, event_type,
-             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events)
-         SELECT user_id, COUNT(*) AS n_events,
-             MAX({'ms': ms, 'event_id': event_id,
-                  'event_type': event_type}).ms AS last_ms,
-             MAX({'ms': ms, 'event_id': event_id,
-                  'event_type': event_type}).event_id AS last_event,
-             MAX({'ms': ms, 'event_id': event_id,
-                  'event_type': event_type}).event_type AS last_type
-         FROM e GROUP BY 1 ORDER BY user_id""",
-    "q97_semantic_dedup" -> semanticDedupOracle(8, 2),
-    "q98_shard_manifest" ->
-      s"""$qualityScoredCtes,
-         rk AS (SELECT doc_id, text, n_tok,
-             CAST(row_number() OVER (ORDER BY quality DESC, doc_id)
-               AS BIGINT) AS rk
-           FROM sc)
-         SELECT (rk - 1) // 64 AS shard, COUNT(*) AS n_docs,
-             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
-             CAST(SUM(CAST('0x' || substr(md5(concat_ws('|',
-                 CAST(doc_id AS VARCHAR), text)), 1, 15) AS BIGINT))
-               % 1099511627776 AS BIGINT) AS checksum
-         FROM rk GROUP BY 1 ORDER BY shard""",
-    "q99_cross_dedup" -> crossDedupOracle,
-    "q100_full_pipeline" ->
-      s"""$qualityScoredCtes,
-         kept AS (SELECT * FROM sc WHERE quality >= 0.5),
-         fp AS (SELECT *, md5(regexp_replace(lower(trim(nfc_normalize(text))),
-             '\\s+', ' ', 'g')) AS f FROM kept),
-         uq AS (SELECT * FROM (SELECT *, row_number() OVER
-             (PARTITION BY f ORDER BY doc_id) AS rn FROM fp)
-           WHERE rn = 1),
-         cnt AS (SELECT source, COUNT(*) AS n FROM uq GROUP BY 1),
-         mn AS (SELECT MIN(n) AS mn FROM cnt),
-         thr AS (SELECT cnt.source, (mn.mn * 10000) // cnt.n AS thr
-           FROM cnt, mn),
-         mixed AS (SELECT uq.doc_id, uq.lang, uq.n_tok, uq.quality
-           FROM uq JOIN thr ON uq.source = thr.source
-           WHERE CAST('0x' || substr(md5('pipe|' ||
-                 CAST(uq.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
-               % 10000 < thr.thr),
-         cum AS (SELECT doc_id, lang, n_tok, quality,
-             CAST(SUM(n_tok) OVER (ORDER BY quality DESC, doc_id ASC
-               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ct
-           FROM mixed),
-         sel AS (SELECT * FROM cum WHERE ct - n_tok < 15000)
-         SELECT lang, COUNT(*) AS n_docs,
-             CAST(SUM(n_tok) AS BIGINT) AS n_tokens
-         FROM sel GROUP BY 1 ORDER BY lang""",
-    "q101_paragraph_dedup" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-                       FROM documents),
-         p AS (SELECT doc_id, i - 1 AS par_idx,
-             trim(array_to_string(t[((i-1)*20+1):((i-1)*20+20)], ' '))
-               AS para
-           FROM toks, unnest(range(1,
-             greatest(CAST(ceil(len(t) / 20.0) AS BIGINT), 1) + 1)) u(i)),
-         np AS (SELECT * FROM p WHERE para <> ''),
-         k AS (SELECT doc_id, par_idx, para,
-             (row_number() OVER (PARTITION BY md5(nfc_normalize(para))
-                ORDER BY doc_id, par_idx) = 1) AS keep
-           FROM np)
-         SELECT doc_id, COUNT(*) AS n_paras,
-             CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_kept,
-             md5(COALESCE(string_agg(para, ' ' ORDER BY par_idx)
-               FILTER (WHERE keep), '')) AS kept_md5
-         FROM k GROUP BY doc_id ORDER BY doc_id""",
-    "q102_hll_cardinality" ->
-      """SELECT 'documents.doc_id' AS column_name, COUNT(*) AS n_rows,
-             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS exact_distinct,
-             TRUE AS within_15pct FROM documents
-         UNION ALL
-         SELECT 'documents.lang', COUNT(*),
-             CAST(COUNT(DISTINCT lang) AS BIGINT), TRUE FROM documents
-         UNION ALL
-         SELECT 'documents.source', COUNT(*),
-             CAST(COUNT(DISTINCT source) AS BIGINT), TRUE FROM documents
-         UNION ALL
-         SELECT 'events.user_id', COUNT(*),
-             CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE FROM events
-         UNION ALL
-         SELECT 'events.event_type', COUNT(*),
-             CAST(COUNT(DISTINCT event_type) AS BIGINT), TRUE FROM events
-         ORDER BY column_name""",
-    "q103_cross_semantic_dedup" -> crossSemanticDedupOracle(8, 2),
-    // q276 SHARES q103's oracle verbatim: disjoint micro-batches, each
-    // probing only the static stored history, fold to exactly the
-    // batch incremental answer (the q57/q70 stream≡batch discipline).
-    "q276_stream_semantic_dedup" -> crossSemanticDedupOracle(8, 2),
-    // q281: the self-extending fold — hist + earlier-batch arrivals
-    // per batch, replayed closed-form from the staging NTILE.
-    "q281_stream_semantic_grow" -> growingSemanticDedupOracle(8, 2, 3),
-    // q282: per-batch TV drift vs the stored baseline — batch
-    // membership via the staging NTILE, the planted corruption
-    // boundary closed-form (⌈2n/3⌉ over contiguous ids), all ppm
-    // arithmetic in truncating integers.
-    "q282_stream_drift_gate" ->
-      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
-         src AS (SELECT doc_id,
-             CASE WHEN doc_id >= (2 * nn.n + 2) // 3
-               THEN regexp_replace(text, '[aeiou]', '0', 'g')
-               ELSE text END AS text,
-             CAST(NTILE(3) OVER (ORDER BY doc_id) AS BIGINT) AS b
-           FROM documents, nn),
-         btok AS (SELECT CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
-               % 256 AS bucket
-           FROM (SELECT unnest(list_filter(string_split(text, ' '),
-                 t -> t <> '')) AS tok
-               FROM documents WHERE doc_id % 5 <> 0)),
-         bppm AS (SELECT bucket,
-             COUNT(*) * 1000000 // (SELECT COUNT(*) FROM btok) AS ppm
-           FROM btok GROUP BY 1),
-         stok AS (SELECT b, CAST('0x' || substr(md5(tok), 1, 8)
-               AS BIGINT) % 256 AS bucket
-           FROM (SELECT b, unnest(list_filter(string_split(text, ' '),
-                 t -> t <> '')) AS tok
-               FROM src WHERE doc_id % 5 = 0)),
-         stot AS (SELECT b, COUNT(*) AS n FROM stok GROUP BY 1),
-         sppm AS (SELECT s.b, s.bucket,
-             COUNT(*) * 1000000 // any_value(t.n) AS ppm
-           FROM stok s JOIN stot t USING (b) GROUP BY s.b, s.bucket),
-         allb AS (SELECT DISTINCT bucket FROM
-           (SELECT bucket FROM bppm UNION ALL SELECT bucket FROM sppm)),
-         grid AS (SELECT ob.b, ab.bucket
-           FROM (SELECT DISTINCT b FROM sppm) ob CROSS JOIN allb ab),
-         j AS (SELECT g.b,
-             abs(COALESCE(s.ppm, 0) - COALESCE(bp.ppm, 0)) AS d
-           FROM grid g
-           LEFT JOIN sppm s ON s.b = g.b AND s.bucket = g.bucket
-           LEFT JOIN bppm bp ON bp.bucket = g.bucket)
-         SELECT CAST(j.b - 1 AS BIGINT) AS batch_id,
-             CAST(st.n AS BIGINT) AS n_tokens,
-             CAST(SUM(CASE WHEN j.d > 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS drifted_buckets,
-             CAST(SUM(j.d) // 2 AS BIGINT) AS drift_ppm,
-             (SUM(j.d) // 2 > 150000) AS drift_alert
-         FROM j JOIN stot st ON st.b = j.b
-         GROUP BY j.b, st.n ORDER BY batch_id""",
-    "q104_approx_percentile" ->
-      """SELECT l_returnflag,
-             quantile_cont(l_quantity, 0.5) AS exact_p50,
-             quantile_cont(l_quantity, 0.95) AS exact_p95,
-             TRUE AS within_rank_eps
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-    "q105_vocabulary" ->
-      """WITH nt AS (SELECT unnest(string_split(text, ' ')) AS token
-                     FROM documents),
-         tk AS (SELECT token FROM nt WHERE token <> ''),
-         c AS (SELECT token, COUNT(*) AS cnt FROM tk GROUP BY 1),
-         tot AS (SELECT COUNT(*) AS total FROM tk),
-         r AS (SELECT token, cnt,
-             row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM c),
-         top AS (SELECT * FROM r WHERE rank <= 30)
-         SELECT CAST(rank AS BIGINT) AS rank, token,
-             CAST(cnt AS BIGINT) AS cnt,
-             CAST(cnt AS DOUBLE) / CAST(tot.total AS DOUBLE) AS share,
-             CAST(SUM(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
-               AS DOUBLE) / CAST(tot.total AS DOUBLE) AS cum_share
-         FROM top, tot ORDER BY rank""",
-    "q106_source_drift" ->
-      """WITH d AS (SELECT source, n_chars // 50 AS bin FROM documents),
-         sb AS (SELECT source, bin, COUNT(*) AS c_sb FROM d GROUP BY 1, 2),
-         b AS (SELECT bin, COUNT(*) AS c_b FROM d GROUP BY 1),
-         ns AS (SELECT source, COUNT(*) AS n_s FROM d GROUP BY 1),
-         nt AS (SELECT COUNT(*) AS n_all FROM d),
-         grid AS (SELECT ns.source, b.bin, ns.n_s, b.c_b,
-             COALESCE(sb.c_sb, 0) AS c_sb
-           FROM ns CROSS JOIN b
-           LEFT JOIN sb ON sb.source = ns.source AND sb.bin = b.bin),
-         agg AS (SELECT source, n_s, MAX(n_all) AS n_all,
-             SUM(ABS(CAST(c_sb AS HUGEINT) * n_all
-               - CAST(c_b AS HUGEINT) * n_s)) AS num_sum
-           FROM grid, nt GROUP BY 1, 2)
-         SELECT source, CAST(n_s AS BIGINT) AS n_docs,
-             CAST(num_sum AS DOUBLE) / (2.0 * CAST(n_s AS DOUBLE)
-               * CAST(n_all AS DOUBLE)) AS tv_dist
-         FROM agg ORDER BY source""",
-    "q107_cluster_representative" ->
-      s"""WITH RECURSIVE $dedupClusterCtes,
-         qd AS (SELECT doc_id, text, string_split(text, ' ') AS qtoks
-                FROM documents),
-         qs AS (SELECT doc_id,
-             0.5 * least(CAST(len(qtoks) AS DOUBLE) / 100.0, 1.0)
-               + 0.3 * (1.0 - CAST(len(list_filter(qtoks,
-                     w -> w IN ('the','a','of','and','is'))) AS DOUBLE)
-                   / CAST(len(qtoks) AS DOUBLE))
-               + 0.2 * least(((CAST(length(text) AS DOUBLE)
-                     - (CAST(len(qtoks) AS DOUBLE) - 1.0))
-                   / CAST(len(qtoks) AS DOUBLE)) / 8.0, 1.0) AS quality
-           FROM qd),
-         j AS (SELECT lab.node AS doc_id, lab.cluster_rep, sz.n_members,
-             qs.quality
-           FROM lab JOIN sz USING (cluster_rep)
-                    JOIN qs ON qs.doc_id = lab.node),
-         best AS (SELECT *, row_number() OVER (PARTITION BY cluster_rep
-             ORDER BY quality DESC, doc_id ASC) AS rn FROM j)
-         SELECT cluster_rep, n_members, doc_id AS best_doc,
-             quality AS best_quality
-         FROM best WHERE rn = 1 ORDER BY cluster_rep""",
-    "q108_incr_paragraph_dedup" ->
-      """WITH bt AS (SELECT doc_id, string_split(text, ' ') AS t
-                     FROM documents WHERE doc_id % 10 <> 0),
-         bp AS (SELECT doc_id, i - 1 AS par_idx,
-             trim(array_to_string(t[((i-1)*20+1):((i-1)*20+20)], ' '))
-               AS para
-           FROM bt, unnest(range(1,
-             greatest(CAST(ceil(len(t) / 20.0) AS BIGINT), 1) + 1)) u(i)),
-         bnp AS (SELECT * FROM bp WHERE para <> ''),
-         ht AS (SELECT doc_id, string_split(text, ' ') AS t
-                FROM documents WHERE doc_id % 10 = 0),
-         hp AS (SELECT doc_id, i - 1 AS par_idx,
-             trim(array_to_string(t[((i-1)*20+1):((i-1)*20+20)], ' '))
-               AS para
-           FROM ht, unnest(range(1,
-             greatest(CAST(ceil(len(t) / 20.0) AS BIGINT), 1) + 1)) u(i)),
-         hh AS (SELECT DISTINCT md5(nfc_normalize(para)) AS ph FROM hp WHERE para <> ''),
-         k AS (SELECT doc_id, par_idx, md5(nfc_normalize(para)) AS ph,
-             row_number() OVER (PARTITION BY md5(nfc_normalize(para))
-                ORDER BY doc_id, par_idx) AS rn
-           FROM bnp),
-         m AS (SELECT k.doc_id, k.rn, (hh.ph IS NOT NULL) AS seen
-           FROM k LEFT JOIN hh USING (ph))
-         SELECT doc_id, COUNT(*) AS n_paras,
-             CAST(SUM(CASE WHEN NOT seen AND rn = 1 THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_kept,
-             CAST(SUM(CASE WHEN seen THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_hist_dups,
-             CAST(SUM(CASE WHEN NOT seen AND rn > 1 THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_batch_dups
-         FROM m GROUP BY doc_id ORDER BY doc_id""",
-    "q109_heavy_hitters" ->
-      """WITH nt AS (SELECT unnest(string_split(text, ' ')) AS token
-                     FROM documents),
-         tk AS (SELECT token FROM nt WHERE token <> ''),
-         c AS (SELECT token, COUNT(*) AS cnt FROM tk GROUP BY 1),
-         r AS (SELECT token, cnt,
-             row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM c)
-         SELECT CAST(rank AS BIGINT) AS rank, token,
-             CAST(cnt AS BIGINT) AS exact_cnt,
-             TRUE AS overestimate_ok, TRUE AS within_eps
-         FROM r WHERE rank <= 20 ORDER BY rank""",
-    "q110_bloom_contamination" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-                       FROM documents),
-         p AS (SELECT doc_id,
-             trim(array_to_string(t[((i-1)*20+1):((i-1)*20+20)], ' '))
-               AS para
-           FROM toks, unnest(range(1,
-             greatest(CAST(ceil(len(t) / 20.0) AS BIGINT), 1) + 1)) u(i)),
-         np AS (SELECT doc_id, md5(nfc_normalize(para)) AS fp FROM p WHERE para <> ''),
-         ev AS (SELECT DISTINCT fp FROM np WHERE doc_id % 17 = 0),
-         co AS (SELECT DISTINCT doc_id, fp FROM np WHERE doc_id % 17 <> 0),
-         h AS (SELECT doc_id, COUNT(*) AS n_hit_paras FROM co
-               WHERE fp IN (SELECT fp FROM ev) GROUP BY 1)
-         SELECT doc_id, CAST(n_hit_paras AS BIGINT) AS n_hit_paras,
-             TRUE AS bloom_no_false_negatives, TRUE AS fpr_ok
-         FROM h ORDER BY doc_id""",
-    "q111_pps_sample" ->
-      """WITH w AS (SELECT source, doc_id, n_chars,
-             CAST('0x' || substr(md5('pps1|' || CAST(doc_id AS VARCHAR)),
-               1, 15) AS BIGINT) AS h
-           FROM documents
-           WHERE doc_id IS NOT NULL AND source IS NOT NULL
-             AND n_chars IS NOT NULL AND n_chars > 0),
-         c AS (SELECT source, doc_id, n_chars,
-             SUM(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
-               ROWS UNBOUNDED PRECEDING) AS cum,
-             SUM(n_chars) OVER (PARTITION BY source) AS tot FROM w),
-         sel AS (SELECT source, doc_id, n_chars,
-             ((cum * 10 + tot - 1) // tot)
-               - (((cum - n_chars) * 10 + tot - 1) // tot) AS n_picks
-           FROM c)
-         SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-             CAST(n_picks AS BIGINT) AS n_picks
-         FROM sel WHERE n_picks > 0 ORDER BY source, doc_id""",
-    "q112_stream_approx_users" ->
-      """WITH mx AS (SELECT epoch_us(MAX(CAST(ts AS TIMESTAMP))) // 1000
-                       AS max_ms FROM events),
-         b AS (SELECT epoch_ms(time_bucket(INTERVAL 10 MINUTE,
-                 CAST(ts AS TIMESTAMP), TIMESTAMP '1970-01-01'))
-                 AS window_start_ms,
-               event_type, COUNT(DISTINCT user_id) AS exact_users
-           FROM events GROUP BY 1, 2)
-         SELECT window_start_ms, event_type, exact_users,
-             TRUE AS within_3rsd FROM b, mx
-         WHERE window_start_ms + 600000 <= max_ms - 3600000
-         ORDER BY window_start_ms, event_type""",
-    "q113_pq_ann" -> pqAnnOracle(4, 16, 2),
-    "q114_stream_complete" ->
-      """SELECT epoch_ms(time_bucket(INTERVAL 10 MINUTE,
-               CAST(ts AS TIMESTAMP), TIMESTAMP '1970-01-01'))
-               AS window_start_ms,
-             event_type, COUNT(*) AS n_events
-         FROM events GROUP BY 1, 2
-         ORDER BY window_start_ms, event_type""",
-    "q115_ivf_pq" -> pqAnnOracle(4, 16, 2, ivfCells = 8, ivfIters = 2,
-      nprobe = 2),
-    // q129 shares q115's full retrain-in-SQL pipeline; only the final
-    // select differs (stored-model audit columns) — a green row proves
-    // the parquet model roundtrip is lossless end-to-end
-    "q129_stored_model_ann" -> pqAnnOracle(4, 16, 2, ivfCells = 8,
-      ivfIters = 2, nprobe = 2, storedShape = true),
-    "q116_bm25" -> bm25Oracle,
-    // q136 shares q116's full-recompute oracle: scoring against the
-    // MERGED stored stats (history fold + batch) must be bit-identical
-    // to scoring a full recompute — the q71/q128/q130 shared-oracle
-    // discipline applied to the retrieval index
-    "q136_incr_bm25" -> bm25Oracle,
-    // q137: one prefix sum over the whole corpus in arrival (doc_id)
-    // order with the q86 boundary rule — what the streamed quota fold
-    // must reproduce across micro-batch boundaries
-    "q137_stream_budget" ->
-      """WITH d AS (SELECT doc_id,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
-           FROM documents),
-         cum AS (SELECT doc_id, n_tok,
-             CAST(SUM(n_tok) OVER (ORDER BY doc_id
-               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
-           FROM d)
-         SELECT doc_id, n_tok, cum_tok
-         FROM cum WHERE cum_tok - n_tok < 20000
-         ORDER BY doc_id""",
-    "q117_boilerplate" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-                       FROM documents),
-         p AS (SELECT doc_id, i - 1 AS par_idx,
-             trim(array_to_string(t[((i-1)*20+1):((i-1)*20+20)], ' '))
-               AS para
-           FROM toks, unnest(range(1,
-             greatest(CAST(ceil(len(t) / 20.0) AS BIGINT), 1) + 1)) u(i)),
-         np AS (SELECT doc_id, par_idx, para, md5(nfc_normalize(para)) AS ph
-           FROM p WHERE para <> ''),
-         bo AS (SELECT ph FROM (SELECT DISTINCT ph, doc_id FROM np) u
-           GROUP BY ph HAVING COUNT(*) >= 2),
-         k AS (SELECT np.doc_id, np.par_idx, np.para,
-             (bo.ph IS NULL) AS keep
-           FROM np LEFT JOIN bo ON np.ph = bo.ph)
-         SELECT doc_id, COUNT(*) AS n_paras,
-             CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
-               AS n_boiler,
-             md5(COALESCE(string_agg(para, ' ' ORDER BY par_idx)
-               FILTER (WHERE keep), '')) AS kept_md5
-         FROM k GROUP BY doc_id ORDER BY doc_id""",
-    "q118_pagerank" ->
-      """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
-             l_suppkey * 2 + 1 AS dst
-           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         e AS (SELECT src, dst FROM e0
-               UNION ALL SELECT dst, src FROM e0),
-         d AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY 1),
-         n AS (SELECT COUNT(*) AS nn FROM d),
-         r0 AS (SELECT node, outdeg, 1000000000000 // nn AS r FROM d, n),
-         s1 AS (SELECT e.dst AS node, SUM(r0.r // r0.outdeg) AS s
-           FROM e JOIN r0 ON e.src = r0.node GROUP BY 1),
-         r1 AS (SELECT r0.node, r0.outdeg,
-             (15 * (1000000000000 // nn)) // 100
-               + (85 * COALESCE(s1.s, 0)) // 100 AS r
-           FROM r0 LEFT JOIN s1 USING (node), n),
-         s2 AS (SELECT e.dst AS node, SUM(r1.r // r1.outdeg) AS s
-           FROM e JOIN r1 ON e.src = r1.node GROUP BY 1),
-         r2 AS (SELECT r1.node, r1.outdeg,
-             (15 * (1000000000000 // nn)) // 100
-               + (85 * COALESCE(s2.s, 0)) // 100 AS r
-           FROM r1 LEFT JOIN s2 USING (node), n),
-         s3 AS (SELECT e.dst AS node, SUM(r2.r // r2.outdeg) AS s
-           FROM e JOIN r2 ON e.src = r2.node GROUP BY 1),
-         r3 AS (SELECT r2.node, r2.outdeg,
-             (15 * (1000000000000 // nn)) // 100
-               + (85 * COALESCE(s3.s, 0)) // 100 AS r
-           FROM r2 LEFT JOIN s3 USING (node), n),
-         top AS (SELECT node, outdeg, r,
-             row_number() OVER (ORDER BY r DESC, node) AS pos
-           FROM r3)
-         SELECT CAST(pos AS BIGINT) AS pos,
-             CASE WHEN node % 2 = 0 THEN 'customer'
-                  ELSE 'supplier' END AS node_type,
-             node // 2 AS entity_key, outdeg AS degree,
-             CAST(r AS BIGINT) AS rank_scaled
-         FROM top WHERE pos <= 20 ORDER BY pos""",
-    "q119_funnel" ->
-      """WITH a AS (SELECT user_id, MIN(ts) AS t1 FROM events
-           WHERE event_type = 'view' GROUP BY 1),
-         b AS (SELECT e.user_id, MIN(e.ts) AS t2, MIN(a.t1) AS t1
-           FROM events e JOIN a USING (user_id)
-           WHERE e.event_type = 'click' AND e.ts > a.t1 GROUP BY 1),
-         c AS (SELECT e.user_id, MIN(e.ts) AS t3, MIN(b.t1) AS t1
-           FROM events e JOIN b USING (user_id)
-           WHERE e.event_type = 'purchase' AND e.ts > b.t2 GROUP BY 1)
-         SELECT '1_view' AS step, COUNT(*) AS n_users FROM a
-         UNION ALL SELECT '2_click', COUNT(*) FROM b
-         UNION ALL SELECT '3_purchase', COUNT(*) FROM c
-         UNION ALL SELECT '4_within_24h', COUNT(*) FROM c
-           WHERE epoch_us(t3) - epoch_us(t1) <= 86400000000
-         ORDER BY step""",
-    "q120_retention" ->
-      """WITH wk AS (SELECT DISTINCT user_id,
-             (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS wk
-           FROM events),
-         cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM wk
-           GROUP BY 1),
-         sizes AS (SELECT cohort_wk, COUNT(*) AS n_cohort FROM cohort
-           GROUP BY 1),
-         act AS (SELECT c.cohort_wk, w.wk - c.cohort_wk AS week_offset,
-             COUNT(*) AS n_active
-           FROM wk w JOIN cohort c USING (user_id) GROUP BY 1, 2)
-         SELECT a.cohort_wk, a.week_offset, a.n_active, s.n_cohort,
-             CAST(a.n_active AS DOUBLE) / CAST(s.n_cohort AS DOUBLE)
-               AS retention
-         FROM act a JOIN sizes s USING (cohort_wk)
-         ORDER BY cohort_wk, week_offset""",
-    "q121_incr_rollup" ->
-      """WITH h AS (SELECT event_type, COUNT(*) AS n,
-             SUM(CAST(value AS DECIMAL(18,2))) AS v
-           FROM events WHERE event_id % 10 < 8 GROUP BY 1),
-         b AS (SELECT event_type, COUNT(*) AS n,
-             SUM(CAST(value AS DECIMAL(18,2))) AS v
-           FROM events WHERE event_id % 10 >= 8 GROUP BY 1),
-         m AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_events,
-             SUM(v) AS tv
-           FROM (SELECT * FROM h UNION ALL SELECT * FROM b)
-           GROUP BY 1),
-         f AS (SELECT event_type, COUNT(*) AS nf,
-             SUM(CAST(value AS DECIMAL(18,2))) AS vf
-           FROM events GROUP BY 1)
-         SELECT m.event_type, m.n_events,
-             CAST(m.tv AS DOUBLE) AS total_value,
-             (m.n_events = f.nf AND m.tv = f.vf) AS matches_recompute
-         FROM m JOIN f USING (event_type) ORDER BY event_type""",
-    // q122: update-mode + upsert sink ≡ batch group-by over ALL events
-    // (open windows included) — the same equivalence complete mode
-    // (q114) satisfies, reached by shipping per-batch DELTAS instead of
-    // re-shipping the world; the shared oracle is the q57/q70 pattern.
-    "q122_stream_update" ->
-      """SELECT epoch_ms(time_bucket(INTERVAL 10 MINUTE,
-               CAST(ts AS TIMESTAMP), TIMESTAMP '1970-01-01'))
-               AS window_start_ms,
-             event_type, COUNT(*) AS n_events
-         FROM events GROUP BY 1, 2
-         ORDER BY window_start_ms, event_type""",
-    // q123: left-outer stream-stream interval join — inner matches (the
-    // q57 replay) plus a NULL row per unmatched click whose join
-    // horizon (c_ts + lag) closed before the final watermark
-    // min(max click ts, max purchase ts) − delay; unmatched clicks
-    // still inside the horizon at end-of-input stay unemitted (they
-    // remain joinable by a resumed run).
-    "q123_stream_outer_join" ->
-      """WITH e AS (SELECT user_id, event_id, event_type,
-             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events),
-         m AS (SELECT c.event_id AS click_id, v.event_id AS purchase_id,
-             CAST(v.ms - c.ms AS BIGINT) AS lag_ms
-           FROM e c JOIN e v ON c.user_id = v.user_id
-           WHERE c.event_type = 'click' AND v.event_type = 'purchase'
-             AND v.ms >= c.ms AND v.ms <= c.ms + 600000),
-         wm AS (SELECT least(
-             (SELECT MAX(ms) FROM e WHERE event_type = 'click'),
-             (SELECT MAX(ms) FROM e WHERE event_type = 'purchase'))
-             - 1800000 AS w),
-         um AS (SELECT c.event_id AS click_id,
-             CAST(NULL AS BIGINT) AS purchase_id,
-             CAST(NULL AS BIGINT) AS lag_ms
-           FROM e c, wm
-           WHERE c.event_type = 'click'
-             AND c.event_id NOT IN (SELECT click_id FROM m)
-             AND c.ms + 600000 < wm.w)
-         SELECT * FROM m UNION ALL SELECT * FROM um
-         ORDER BY click_id, purchase_id""",
-    "q124_star_join" ->
-      """SELECT n_name, COUNT(*) AS n_lineitems,
-             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
-             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-               AS DECIMAL(18,6))) AS DOUBLE) AS revenue
-         FROM lineitem
-         JOIN orders ON l_orderkey = o_orderkey
-         JOIN customer ON o_custkey = c_custkey
-         JOIN nation ON c_nationkey = n_nationkey
-         JOIN region ON n_regionkey = r_regionkey
-         WHERE r_name = 'ASIA'
-           AND o_orderdate >= TIMESTAMP '1995-01-01'
-           AND o_orderdate < TIMESTAMP '1998-01-01'
-         GROUP BY 1 ORDER BY revenue DESC, n_name""",
-    "q125_negative_sampling" ->
-      s"""WITH $quantCte,
-         cnt AS (SELECT COUNT(*) AS c FROM embeddings),
-         p0 AS (SELECT e.vec_id, u.j,
-             (e.vec_id * 1000003 + u.j * 7919) % cnt.c AS raw
-           FROM embeddings e, cnt, (SELECT unnest(range(0, 3)) AS j) u),
-         p AS (SELECT p0.vec_id, p0.j,
-             CASE WHEN p0.raw = p0.vec_id THEN (p0.raw + 1) % cnt.c
-                  ELSE p0.raw END AS neg_id
-           FROM p0, cnt),
-         d AS (SELECT p.vec_id, p.j, p.neg_id, SUM(a.x * b.x) AS dot
-           FROM p JOIN q a ON a.vec_id = p.vec_id
-                JOIN q b ON b.vec_id = p.neg_id AND a.i = b.i
-           GROUP BY 1, 2, 3)
-         SELECT d.vec_id, CAST(d.j AS BIGINT) AS j, d.neg_id,
-             CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
-               * sqrt(CAST(nb.nn AS DOUBLE))) AS cos_sim
-         FROM d JOIN nrm na ON d.vec_id = na.vec_id
-              JOIN nrm nb ON d.neg_id = nb.vec_id
-         ORDER BY d.vec_id, d.j""",
-    "q126_ewma_rates" -> ewmaOracle,
-    // q138 shares q126's batch oracle: the EWMA emitted from the
-    // FOLDED bucket state must be bit-identical to smoothing the whole
-    // stream at once — the q71/q116 shared-oracle discipline applied
-    // to the monitoring statistic
-    "q138_stream_ewma" -> ewmaOracle,
-    // q139: same pair CTEs as q133, then the unrolled peel — the
-    // Spark side's maxRounds = 8 pins the oracle's unroll depth
-    "q139_kcore" -> kcoreOracle(k = 2, rounds = 8),
-    "q140_grouping_sets" ->
-      """SELECT COALESCE(lang, 'ALL') AS lang,
-             COALESCE(source, 'ALL') AS source,
-             CAST(GROUPING(lang, source) AS BIGINT) AS gid,
-             COUNT(*) AS n_docs,
-             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-         FROM documents
-         GROUP BY GROUPING SETS ((lang, source), (lang), (source))
-         ORDER BY gid, lang, source""",
-    "q141_mad_outliers" ->
-      """WITH med AS (SELECT event_type,
-             quantile_cont(value, 0.5) AS med
-           FROM events GROUP BY 1),
-         dev AS (SELECT e.event_type, ABS(e.value - m.med) AS ad
-           FROM events e JOIN med m USING (event_type)),
-         mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
-           FROM dev GROUP BY 1),
-         fl AS (SELECT d.event_type, COUNT(*) AS n_events,
-             CAST(SUM(CASE WHEN d.ad > 3.0 * 1.4826 * m.mad
-                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-           FROM dev d JOIN mad m USING (event_type) GROUP BY 1)
-         SELECT f.event_type, me.med, ma.mad, f.n_events, f.n_outliers,
-             CAST(f.n_outliers AS DOUBLE) / CAST(f.n_events AS DOUBLE)
-               AS outlier_rate
-         FROM fl f JOIN med me USING (event_type)
-              JOIN mad ma USING (event_type)
-         ORDER BY f.event_type""",
-    "q142_equidepth_bins" ->
-      """WITH b AS (SELECT
-             quantile_cont(l_extendedprice, 0.125) AS b1,
-             quantile_cont(l_extendedprice, 0.25) AS b2,
-             quantile_cont(l_extendedprice, 0.375) AS b3,
-             quantile_cont(l_extendedprice, 0.5) AS b4,
-             quantile_cont(l_extendedprice, 0.625) AS b5,
-             quantile_cont(l_extendedprice, 0.75) AS b6,
-             quantile_cont(l_extendedprice, 0.875) AS b7
-           FROM lineitem),
-         a AS (SELECT l_extendedprice AS v,
-             (CASE WHEN l_extendedprice >= b.b1 THEN 1 ELSE 0 END)
-             + (CASE WHEN l_extendedprice >= b.b2 THEN 1 ELSE 0 END)
-             + (CASE WHEN l_extendedprice >= b.b3 THEN 1 ELSE 0 END)
-             + (CASE WHEN l_extendedprice >= b.b4 THEN 1 ELSE 0 END)
-             + (CASE WHEN l_extendedprice >= b.b5 THEN 1 ELSE 0 END)
-             + (CASE WHEN l_extendedprice >= b.b6 THEN 1 ELSE 0 END)
-             + (CASE WHEN l_extendedprice >= b.b7 THEN 1 ELSE 0 END)
-               AS bin
-           FROM lineitem, b)
-         SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_rows,
-             MIN(v) AS min_v, MAX(v) AS max_v
-         FROM a GROUP BY bin ORDER BY bin""",
-    // q143: q118's CTE chain with the seed-restricted teleport — only
-    // whitelist nodes (node % 20 = 0) hold initial mass and re-seed
-    "q143_trustrank" ->
-      """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
-             l_suppkey * 2 + 1 AS dst
-           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         e AS (SELECT src, dst FROM e0
-               UNION ALL SELECT dst, src FROM e0),
-         d AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY 1),
-         sd AS (SELECT node FROM d WHERE node % 20 = 0),
-         ns AS (SELECT COUNT(*) AS ns FROM sd),
-         r0 AS (SELECT d.node, d.outdeg,
-             CASE WHEN sd.node IS NOT NULL THEN 1 ELSE 0 END AS seed,
-             CASE WHEN sd.node IS NOT NULL
-                  THEN 1000000000000 // ns ELSE 0 END AS r
-           FROM d LEFT JOIN sd USING (node), ns),
-         s1 AS (SELECT e.dst AS node, SUM(r0.r // r0.outdeg) AS s
-           FROM e JOIN r0 ON e.src = r0.node GROUP BY 1),
-         r1 AS (SELECT r0.node, r0.outdeg, r0.seed,
-             r0.seed * ((15 * (1000000000000 // ns)) // 100)
-               + (85 * COALESCE(s1.s, 0)) // 100 AS r
-           FROM r0 LEFT JOIN s1 USING (node), ns),
-         s2 AS (SELECT e.dst AS node, SUM(r1.r // r1.outdeg) AS s
-           FROM e JOIN r1 ON e.src = r1.node GROUP BY 1),
-         r2 AS (SELECT r1.node, r1.outdeg, r1.seed,
-             r1.seed * ((15 * (1000000000000 // ns)) // 100)
-               + (85 * COALESCE(s2.s, 0)) // 100 AS r
-           FROM r1 LEFT JOIN s2 USING (node), ns),
-         s3 AS (SELECT e.dst AS node, SUM(r2.r // r2.outdeg) AS s
-           FROM e JOIN r2 ON e.src = r2.node GROUP BY 1),
-         r3 AS (SELECT r2.node, r2.outdeg, r2.seed,
-             r2.seed * ((15 * (1000000000000 // ns)) // 100)
-               + (85 * COALESCE(s3.s, 0)) // 100 AS r
-           FROM r2 LEFT JOIN s3 USING (node), ns),
-         top AS (SELECT node, outdeg, seed, r,
-             row_number() OVER (ORDER BY r DESC, node) AS pos
-           FROM r3)
-         SELECT CAST(pos AS BIGINT) AS pos,
-             CASE WHEN node % 2 = 0 THEN 'customer'
-                  ELSE 'supplier' END AS node_type,
-             node // 2 AS entity_key, outdeg AS degree,
-             CAST(seed AS BIGINT) AS is_seed,
-             CAST(r AS BIGINT) AS trust_scaled
-         FROM top WHERE pos <= 20 ORDER BY pos""",
-    // q144: the q86 quality/token CTEs, the same prefix sum, then the
-    // integer stage cut on each document's START offset
-    "q144_curriculum" ->
-      s"""$qualityScoredCtes,
-         cum AS (SELECT doc_id, n_tok, quality,
-             CAST(SUM(n_tok) OVER (ORDER BY quality DESC, doc_id ASC
-               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
-           FROM sc),
-         tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS tt FROM sc),
-         st AS (SELECT doc_id, n_tok, quality,
-             ((cum_tok - n_tok) * 4) // tt AS stage
-           FROM cum, tot)
-         SELECT CAST(stage AS BIGINT) AS stage, COUNT(*) AS n_docs,
-             CAST(SUM(n_tok) AS BIGINT) AS stage_tokens,
-             MIN(quality) AS min_quality, MAX(quality) AS max_quality
-         FROM st GROUP BY stage ORDER BY stage""",
-    // q145: floor(sqrt) weights are identical longs on both engines
-    // (IEEE sqrt is correctly rounded), quotas are pure integer
-    // arithmetic, selection replays the portable md5 bucket
-    "q145_temperature_mix" ->
-      """WITH c AS (SELECT source, COUNT(*) AS n_total,
-             CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)
-               AS weight
-           FROM documents GROUP BY 1),
-         w AS (SELECT CAST(SUM(weight) AS BIGINT) AS tw FROM c),
-         q AS (SELECT source, n_total, weight,
-             (2000 * weight) // tw AS quota FROM c, w),
-         b AS (SELECT d.source,
-             CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
-               AS BIGINT) % 10000 AS bkt,
-             q.n_total, q.quota
-           FROM documents d JOIN q USING (source)),
-         k AS (SELECT source, COUNT(*) AS n_kept FROM b
-           WHERE bkt * n_total < quota * 10000 GROUP BY 1)
-         SELECT q.source, q.n_total, q.weight,
-             CAST(q.quota AS BIGINT) AS quota,
-             COALESCE(k.n_kept, 0) AS n_kept
-         FROM q LEFT JOIN k USING (source)
-         ORDER BY q.source""",
-    // q146: the melt replayed as three UNION ALL legs (engine-portable
-    // UNPIVOT), same DECIMAL-before-sum money discipline as q74
-    "q146_unpivot" ->
-      """WITH w AS (SELECT l_returnflag,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-               AS sum_qty,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-               AS sum_price,
-             CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
-               AS sum_disc
-           FROM lineitem GROUP BY 1)
-         SELECT l_returnflag, measure, value FROM (
-           SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value
-             FROM w
-           UNION ALL
-           SELECT l_returnflag, 'sum_price', sum_price FROM w
-           UNION ALL
-           SELECT l_returnflag, 'sum_disc', sum_disc FROM w) u
-         ORDER BY l_returnflag, measure""",
-    // q147: the UNCAPPED full inverted-index R⋈S join (q134's oracle
-    // split across the arrival/history halves) — green IS the
-    // zero-false-negative proof for the cross-corpus prefix filter
-    "q147_cross_setsim" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-                     FROM documents),
-         g AS (SELECT doc_id, unnest(list_distinct(list_transform(
-                 range(1, greatest(len(t) - 2, 1) + 1),
-                 i -> array_to_string(t[i:i+2], ' ')))) AS gram
-               FROM toks),
-         gr AS (SELECT doc_id, gram FROM g WHERE doc_id % 5 = 0),
-         gs AS (SELECT doc_id, gram FROM g WHERE doc_id % 5 <> 0),
-         nr AS (SELECT doc_id, COUNT(*) AS n FROM gr GROUP BY 1),
-         ns AS (SELECT doc_id, COUNT(*) AS n FROM gs GROUP BY 1),
-         p AS (SELECT r.doc_id AS id_r, s.doc_id AS id_s,
-                 COUNT(*) AS n_shared
-               FROM gr r JOIN gs s ON r.gram = s.gram GROUP BY 1, 2)
-         SELECT id_r, id_s, CAST(n_shared AS BIGINT) AS n_shared,
-             CAST(n_shared AS DOUBLE)
-               / CAST(x.n + y.n - n_shared AS DOUBLE) AS jaccard
-         FROM p JOIN nr x ON p.id_r = x.doc_id
-              JOIN ns y ON p.id_s = y.doc_id
-         WHERE CAST(n_shared AS DOUBLE)
-               / CAST(x.n + y.n - n_shared AS DOUBLE) >= 0.5
-         ORDER BY id_r, id_s""",
-    // q148: q110's whole-corpus screen (paragraph md5 ∩ eval fps) —
-    // what the streamed per-batch screening must reproduce exactly
-    "q148_stream_contamination" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-                       FROM documents),
-         p AS (SELECT doc_id,
-             trim(array_to_string(t[((i-1)*20+1):((i-1)*20+20)], ' '))
-               AS para
-           FROM toks, unnest(range(1,
-             greatest(CAST(ceil(len(t) / 20.0) AS BIGINT), 1) + 1)) u(i)),
-         np AS (SELECT doc_id, md5(nfc_normalize(para)) AS fp FROM p WHERE para <> ''),
-         ev AS (SELECT DISTINCT fp FROM np WHERE doc_id % 17 = 0),
-         co AS (SELECT DISTINCT doc_id, fp FROM np WHERE doc_id % 17 <> 0),
-         h AS (SELECT doc_id, COUNT(*) AS n_hit_paras FROM co
-               WHERE fp IN (SELECT fp FROM ev) GROUP BY 1)
-         SELECT doc_id, CAST(n_hit_paras AS BIGINT) AS n_hit_paras
-         FROM h ORDER BY doc_id""",
-    // q149: per-user lag windows — DuckDB's window semantics match
-    // Spark's exactly here (full tiebreak on (ts_ms, event_id))
-    "q149_seq_examples" ->
-      """WITH e AS (SELECT user_id, event_id, event_type,
-             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ts_ms FROM events),
-         l AS (SELECT event_type,
-             lag(event_type, 3) OVER w AS ctx1,
-             lag(event_type, 2) OVER w AS ctx2,
-             lag(event_type, 1) OVER w AS ctx3
-           FROM e WINDOW w AS (PARTITION BY user_id
-                               ORDER BY ts_ms, event_id))
-         SELECT ctx1, ctx2, ctx3, event_type AS label,
-             CAST(COUNT(*) AS BIGINT) AS n_examples
-         FROM l WHERE ctx1 IS NOT NULL GROUP BY 1, 2, 3, 4
-         ORDER BY n_examples DESC, ctx1, ctx2, ctx3, label LIMIT 20""",
-    // q150: the oracle mirrors the rank as a per-stratum row_number over
-    // the same (md5, doc_id) order — proving the prefix-sum-minus-offset
-    // rank ≡ the windowed rank it replaces at scale
-    "q150_exact_split" ->
-      """WITH h AS (SELECT doc_id, source,
-             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-               AS BIGINT) AS hv
-           FROM documents),
-         r AS (SELECT source,
-             row_number() OVER (PARTITION BY source ORDER BY hv, doc_id)
-               - 1 AS rk,
-             COUNT(*) OVER (PARTITION BY source) AS n
-           FROM h)
-         SELECT source,
-             CASE WHEN rk * 10 < n * 8 THEN 'train'
-                  WHEN rk * 10 < n * 9 THEN 'val'
-                  ELSE 'test' END AS split,
-             CAST(COUNT(*) AS BIGINT) AS n_docs
-         FROM r GROUP BY 1, 2 ORDER BY source, split""",
-    // q151: rank replayed as a per-stratum row_number over the same
-    // (quality, doc_id) order — prefix-sum-minus-offset ≡ windowed rank
-    "q151_quality_deciles" ->
-      s"""$qualityScoredCtes,
-         r AS (SELECT source, quality,
-             row_number() OVER (PARTITION BY source
-                                ORDER BY quality, doc_id) - 1 AS rk,
-             COUNT(*) OVER (PARTITION BY source) AS n
-           FROM sc)
-         SELECT source, CAST(rk * 10 // n AS BIGINT) AS decile,
-             CAST(COUNT(*) AS BIGINT) AS n_docs,
-             MIN(quality) AS q_min, MAX(quality) AS q_max
-         FROM r GROUP BY 1, 2 ORDER BY source, decile""",
-    // q152: the oracle is the FULL O(n²) levenshtein join — green is
-    // the zero-false-negative proof for the deletion neighborhood
-    "q152_fuzzy_names" ->
-      """SELECT a.s_name AS name_a, b.s_name AS name_b,
-             CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
-         FROM supplier a JOIN supplier b ON a.s_name < b.s_name
-         WHERE levenshtein(a.s_name, b.s_name) <= 1
-         ORDER BY name_a, name_b""",
-    "q153_epoch_upsample" ->
-      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents
-                    GROUP BY 1),
-         mx AS (SELECT MAX(n) AS nmax FROM c),
-         f AS (SELECT source, least(nmax * 1000 // n, 1000 * 3) AS m
-               FROM c, mx),
-         k AS (SELECT d.doc_id, d.source,
-             CAST(f.m // 1000
-               + CASE WHEN CAST('0x' || substr(md5(CAST(d.doc_id
-                     AS VARCHAR)), 1, 8) AS BIGINT) % 1000 < f.m % 1000
-                 THEN 1 ELSE 0 END AS BIGINT) AS n_copies
-           FROM documents d JOIN f ON d.source = f.source),
-         e AS (SELECT k.source, k.n_copies, k.doc_id
-               FROM k, unnest(range(1, k.n_copies + 1)) u(i))
-         SELECT source, n_copies,
-             CAST(COUNT(*) AS BIGINT) AS n_rows_out,
-             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
-         FROM e GROUP BY 1, 2 ORDER BY source, n_copies""",
-    // q154: predicted (Σ cnt²) AND actual join count both replayed —
-    // green proves the preflight is exact
-    "q154_join_preflight" ->
-      """WITH pk AS (SELECT l_partkey, COUNT(*) AS cnt FROM lineitem
-                     GROUP BY 1),
-         p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
-             CAST(SUM(cnt * cnt) AS BIGINT) AS predicted_rows
-           FROM pk),
-         tk AS (SELECT l_partkey AS top_key,
-             CAST(cnt AS BIGINT) AS top_key_rows
-           FROM pk ORDER BY cnt DESC, l_partkey DESC LIMIT 1),
-         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
-           FROM lineitem x JOIN lineitem y
-             ON x.l_partkey = y.l_partkey)
-         SELECT n_keys, predicted_rows, top_key, top_key_rows,
-             actual_rows
-         FROM p, tk, a""",
-    "q155_key_skew" ->
-      """WITH pp AS (SELECT l_partkey AS k, COUNT(*) AS cnt
-                     FROM lineitem GROUP BY 1),
-         sp AS (SELECT l_suppkey AS k, COUNT(*) AS cnt
-                FROM lineitem GROUP BY 1),
-         a AS (SELECT 'l_partkey' AS key_col,
-             CAST(SUM(cnt) AS BIGINT) AS n_rows,
-             CAST(COUNT(*) AS BIGINT) AS n_keys,
-             CAST(MAX(cnt) * 10000 // SUM(cnt) AS BIGINT)
-               AS top1_share_bp,
-             CAST(MAX(cnt) * COUNT(*) * 100 // SUM(cnt) AS BIGINT)
-               AS max_over_mean_x100
-           FROM pp),
-         b AS (SELECT 'l_suppkey' AS key_col,
-             CAST(SUM(cnt) AS BIGINT) AS n_rows,
-             CAST(COUNT(*) AS BIGINT) AS n_keys,
-             CAST(MAX(cnt) * 10000 // SUM(cnt) AS BIGINT)
-               AS top1_share_bp,
-             CAST(MAX(cnt) * COUNT(*) * 100 // SUM(cnt) AS BIGINT)
-               AS max_over_mean_x100
-           FROM sp)
-         SELECT * FROM a UNION ALL SELECT * FROM b
-         ORDER BY key_col""",
-    "q156_fk_audit" ->
-      """WITH e AS (
-           SELECT 'customer.c_nationkey->nation' AS edge,
-             (SELECT COUNT(*) FROM customer) AS n_child_rows,
-             (SELECT COUNT(*) FROM customer WHERE c_nationkey NOT IN
-               (SELECT n_nationkey FROM nation)) AS n_orphan_rows,
-             (SELECT COUNT(*) FROM nation) AS n_parents,
-             (SELECT COUNT(*) FROM nation WHERE n_nationkey NOT IN
-               (SELECT c_nationkey FROM customer)) AS n_unref_parents
-           UNION ALL
-           SELECT 'lineitem.l_orderkey->orders',
-             (SELECT COUNT(*) FROM lineitem),
-             (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
-               (SELECT o_orderkey FROM orders)),
-             (SELECT COUNT(*) FROM orders),
-             (SELECT COUNT(*) FROM orders WHERE o_orderkey NOT IN
-               (SELECT l_orderkey FROM lineitem))
-           UNION ALL
-           SELECT 'lineitem.l_suppkey->supplier',
-             (SELECT COUNT(*) FROM lineitem),
-             (SELECT COUNT(*) FROM lineitem WHERE l_suppkey NOT IN
-               (SELECT s_suppkey FROM supplier)),
-             (SELECT COUNT(*) FROM supplier),
-             (SELECT COUNT(*) FROM supplier WHERE s_suppkey NOT IN
-               (SELECT l_suppkey FROM lineitem))
-           UNION ALL
-           SELECT 'orders.o_custkey->customer',
-             (SELECT COUNT(*) FROM orders),
-             (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
-               (SELECT c_custkey FROM customer)),
-             (SELECT COUNT(*) FROM customer),
-             (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
-               (SELECT o_custkey FROM orders)))
-         SELECT edge, CAST(n_child_rows AS BIGINT) AS n_child_rows,
-             CAST(n_orphan_rows AS BIGINT) AS n_orphan_rows,
-             CAST(n_parents AS BIGINT) AS n_parents,
-             CAST(n_unref_parents AS BIGINT) AS n_unref_parents
-         FROM e ORDER BY edge""",
-    "q157_bitset_distinct" ->
-      """WITH d AS (SELECT event_type,
-             row_number() OVER (ORDER BY event_type) - 1 AS ord
-           FROM (SELECT DISTINCT event_type FROM events)),
-         m AS (SELECT e.user_id,
-             epoch_us(CAST(e.ts AS TIMESTAMP)) // 1000 // 86400000
-               AS day,
-             bit_or(CAST(1 AS BIGINT) << d.ord) AS type_mask
-           FROM events e JOIN d USING (event_type) GROUP BY 1, 2)
-         SELECT type_mask,
-             CAST(bit_count(type_mask) AS BIGINT) AS n_types,
-             CAST(COUNT(*) AS BIGINT) AS n_user_days
-         FROM m GROUP BY 1 ORDER BY type_mask""",
-    "q158_event_runs" ->
-      """WITH e AS (SELECT user_id, event_id, event_type,
-             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ts_ms
-           FROM events),
-         r AS (SELECT user_id, event_type,
-             row_number() OVER (PARTITION BY user_id
-                                ORDER BY ts_ms, event_id)
-               - row_number() OVER (PARTITION BY user_id, event_type
-                                    ORDER BY ts_ms, event_id) AS grp
-           FROM e),
-         runs AS (SELECT user_id, event_type, grp,
-             CAST(COUNT(*) AS BIGINT) AS run_len
-           FROM r GROUP BY 1, 2, 3)
-         SELECT event_type, run_len,
-             CAST(COUNT(*) AS BIGINT) AS n_runs
-         FROM runs GROUP BY 1, 2 ORDER BY event_type, run_len""",
-    "q159_time_weighted_avg" ->
-      """WITH e AS (SELECT user_id, event_id, event_type, value,
-             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ts_ms
-           FROM events),
-         g AS (SELECT event_type,
-             CAST(floor(value * 1000) AS BIGINT) AS vq,
-             lead(ts_ms) OVER (PARTITION BY user_id
-                               ORDER BY ts_ms, event_id) - ts_ms AS dur
-           FROM e)
-         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_held,
-             CAST(SUM(dur) AS BIGINT) AS total_held_ms,
-             CAST(SUM(vq * dur) // SUM(dur) AS BIGINT) AS twap_mq
-         FROM g WHERE dur IS NOT NULL
-         GROUP BY 1 ORDER BY event_type""",
-    "q160_cdc_merge" ->
-      """WITH o AS (SELECT o_orderkey, o_orderstatus,
-             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
-           FROM orders),
-         snap AS (SELECT * FROM o WHERE o_orderkey % 10 < 8),
-         feed AS (SELECT o_orderkey, o_orderstatus,
-             (cents * 110) // 100 AS cents,
-             CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS op
-           FROM o WHERE o_orderkey % 10 >= 6),
-         m AS (SELECT COALESCE(f.o_orderkey, s.o_orderkey) AS k,
-             COALESCE(f.o_orderstatus, s.o_orderstatus) AS o_orderstatus,
-             COALESCE(f.cents, s.cents) AS cents,
-             COALESCE(f.op, 'K') AS op
-           FROM snap s FULL OUTER JOIN feed f
-             ON s.o_orderkey = f.o_orderkey)
-         SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
-             CAST(SUM(cents) AS BIGINT) AS total_cents
-         FROM m WHERE op <> 'D'
-         GROUP BY 1 ORDER BY o_orderstatus""",
-    // q161: the STRUCTURALLY OPPOSITE implementation — explicit
-    // validity intervals + a range join — proving the Spark side's
-    // union-carry-forward computes interval containment exactly
-    "q161_pit_join" ->
-      """WITH e AS (SELECT user_id, event_id, event_type, value,
-             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
-           FROM events),
-         st AS (SELECT user_id, ms, event_id,
-             CAST(floor(value / 100) AS BIGINT) AS tier,
-             lead(ms) OVER (PARTITION BY user_id
-                            ORDER BY ms, event_id) AS to_ms
-           FROM e WHERE event_type <> 'purchase'),
-         f AS (SELECT user_id, ms,
-             CAST(floor(value * 1000) AS BIGINT) AS vq
-           FROM e WHERE event_type = 'purchase'),
-         j AS (SELECT COALESCE(s.tier, -1) AS tier, f.vq
-           FROM f LEFT JOIN st s
-             ON f.user_id = s.user_id AND s.ms < f.ms
-                AND (s.to_ms IS NULL OR f.ms <= s.to_ms))
-         SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_purchases,
-             CAST(SUM(vq) AS BIGINT) AS sum_vq
-         FROM j GROUP BY 1 ORDER BY tier""",
-    "q162_rrf_fusion" ->
-      s"""$qualityScoredCtes,
-         bl AS (SELECT doc_id, row_number() OVER
-               (ORDER BY n_chars DESC, doc_id) AS rank
-             FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20),
-         bq AS (SELECT doc_id, row_number() OVER
-               (ORDER BY quality DESC, doc_id) AS rank
-             FROM sc ORDER BY quality DESC, doc_id LIMIT 20),
-         u AS (SELECT doc_id, 1000000 // (60 + rank) AS rrf FROM bl
-               UNION ALL
-               SELECT doc_id, 1000000 // (60 + rank) AS rrf FROM bq)
-         SELECT doc_id, CAST(SUM(rrf) AS BIGINT) AS rrf_score,
-             CAST(COUNT(*) AS BIGINT) AS n_lists
-         FROM u GROUP BY 1
-         ORDER BY rrf_score DESC, doc_id LIMIT 10""",
-    "q163_dynamic_pruning" ->
-      """WITH e AS (SELECT event_id, event_type,
-             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 // 86400000 AS day,
-             CAST(floor(value * 1000) AS BIGINT) AS vq
-           FROM events),
-         busiest AS (SELECT day FROM e WHERE event_type = 'purchase'
-           GROUP BY day ORDER BY COUNT(*) DESC, day ASC LIMIT 5)
-         SELECT e.day, CAST(COUNT(*) AS BIGINT) AS n_events,
-             CAST(SUM(e.vq) AS BIGINT) AS sum_vq
-         FROM e JOIN busiest b ON e.day = b.day
-         GROUP BY 1 ORDER BY e.day""",
-    // q164: the q112 sketch discipline — exact counts replayed, the
-    // in-engine sketch-algebra assertions ride as TRUE literals
-    "q164_sketch_rollup" ->
-      """SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000 // 86400000 // 7
-             AS week,
-           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-           TRUE AS merge_within_1pct, TRUE AS within_3rsd
-         FROM events GROUP BY 1 ORDER BY week""",
-    "q165_setops_all" ->
-      """WITH a AS (SELECT user_id, event_type FROM events
-                    WHERE value >= 100),
-         b AS (SELECT user_id, event_type FROM events
-               WHERE value < 400),
-         ex AS (SELECT event_type, COUNT(*) AS n_except_all
-           FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
-           GROUP BY 1),
-         ia AS (SELECT event_type, COUNT(*) AS n_intersect_all
-           FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
-           GROUP BY 1),
-         ks AS (SELECT event_type FROM ex
-                UNION SELECT event_type FROM ia)
-         SELECT ks.event_type,
-             CAST(COALESCE(ex.n_except_all, 0) AS BIGINT)
-               AS n_except_all,
-             CAST(COALESCE(ia.n_intersect_all, 0) AS BIGINT)
-               AS n_intersect_all
-         FROM ks LEFT JOIN ex ON ks.event_type = ex.event_type
-              LEFT JOIN ia ON ks.event_type = ia.event_type
-         ORDER BY ks.event_type""",
-    "q166_bucket_pruning" ->
-      """WITH k AS (SELECT MAX(l_orderkey) AS key FROM lineitem)
-         SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
-             CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT))
-               AS BIGINT) AS qty_centi
-         FROM lineitem, k WHERE l_orderkey = k.key GROUP BY 1""",
-    // q167: q83's batch sessionization (same ≥-gap break rule)
-    // restricted to sessions CLOSED before the final watermark —
-    // last event + 30 min gap behind max(ts) − 1 h delay
-    "q167_stream_session_window" ->
-      """WITH e AS (SELECT user_id, event_id,
-             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events),
-         mx AS (SELECT MAX(ms) AS max_ms FROM e),
-         g AS (SELECT user_id, ms, event_id,
-             CASE WHEN lag(ms) OVER w IS NULL
-                    OR ms - lag(ms) OVER w >= 1800000
-                  THEN 1 ELSE 0 END AS ns
-           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
-         s AS (SELECT user_id, ms, SUM(ns) OVER
-             (PARTITION BY user_id ORDER BY ms, event_id
-              ROWS UNBOUNDED PRECEDING) AS session_idx
-           FROM g),
-         ses AS (SELECT user_id, MIN(ms) AS session_start_ms,
-             CAST(COUNT(*) AS BIGINT) AS n_events,
-             MAX(ms) AS last_ms
-           FROM s GROUP BY user_id, session_idx)
-         SELECT session_start_ms, user_id, n_events
-         FROM ses, mx
-         WHERE last_ms + 1800000 <= max_ms - 3600000
-         ORDER BY session_start_ms, user_id""",
-    "q168_exchange_reuse" ->
-      """WITH cell AS (SELECT source, lang, COUNT(*) AS n_docs
-                       FROM documents GROUP BY 1, 2),
-         tot AS (SELECT source, SUM(n_docs) AS tot FROM cell
-                 GROUP BY 1)
-         SELECT cell.source, lang, CAST(n_docs AS BIGINT) AS n_docs,
-             CAST(n_docs * 10000 // tot AS BIGINT) AS share_bp
-         FROM cell JOIN tot ON cell.source = tot.source
-         ORDER BY cell.source, lang""",
-    // q169: min=1 / max=n / sum=n(n+1)/2 per phase IS the gap-free +
-    // continuation proof
-    "q169_incremental_ids" ->
-      """WITH d AS (SELECT doc_id,
-             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-               AS BIGINT) AS h
-           FROM documents),
-         hist AS (SELECT doc_id,
-             row_number() OVER (ORDER BY h, doc_id) AS sid
-           FROM d WHERE doc_id % 10 < 8),
-         mx AS (SELECT MAX(sid) AS m FROM hist),
-         arr AS (SELECT doc_id,
-             row_number() OVER (ORDER BY h, doc_id) + m AS sid
-           FROM d, mx WHERE doc_id % 10 >= 8),
-         u AS (SELECT 'history' AS phase, sid FROM hist
-               UNION ALL SELECT 'arrival', sid FROM arr)
-         SELECT phase, CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(MIN(sid) AS BIGINT) AS min_id,
-             CAST(MAX(sid) AS BIGINT) AS max_id,
-             CAST(SUM(sid) AS BIGINT) AS id_sum
-         FROM u GROUP BY 1 ORDER BY phase""",
-    "q170_set_digest" ->
-      """WITH d AS (SELECT doc_id,
-             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
-               || md5(text)), 1, 8) AS BIGINT) AS h
-           FROM documents)
-         SELECT CAST(COUNT(*) AS BIGINT) AS n_full,
-             CAST(bit_xor(h) AS BIGINT) AS xor_full,
-             CAST(SUM(h) AS BIGINT) AS sum_full,
-             TRUE AS xor_composes, TRUE AS sum_composes,
-             TRUE AS xor_deletes
-         FROM d""",
-    "q171_gini" ->
-      """WITH c AS (SELECT user_id, COUNT(*) AS x FROM events
-                    GROUP BY 1),
-         r AS (SELECT x,
-             row_number() OVER (ORDER BY x, user_id) AS i FROM c),
-         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
-             CAST(SUM(x) AS BIGINT) AS total_events,
-             CAST(SUM(i * x) AS BIGINT) AS ix
-           FROM r)
-         SELECT n_users, total_events,
-             CAST(((2 * ix - (n_users + 1) * total_events) * 1000)
-               // (n_users * total_events) AS BIGINT) AS gini_milli
-         FROM a""",
-    // q172: full O(|A|·|H|) levenshtein join — green is the
-    // zero-false-negative proof for the streamed deletion index
-    "q172_stream_fuzzy_names" ->
-      """SELECT a.s_name AS arr_name, h.s_name AS hist_name,
-             CAST(levenshtein(a.s_name, h.s_name) AS BIGINT) AS dist
-         FROM supplier a JOIN supplier h
-           ON a.s_suppkey % 10 >= 8 AND h.s_suppkey % 10 < 8
-              AND levenshtein(a.s_name, h.s_name) <= 1
-         ORDER BY arr_name, hist_name""",
-    // q173: BFS levels unrolled as CTE rounds — NOT IN the union of
-    // prior levels IS the first-visit rule
-    "q173_bfs_levels" ->
-      """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
-             l_suppkey * 2 + 1 AS dst
-           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         e AS (SELECT src, dst FROM e0
-               UNION ALL SELECT dst, src FROM e0),
-         nodes AS (SELECT DISTINCT src AS node FROM e),
-         l0 AS (SELECT n.node FROM nodes n
-           JOIN customer c ON n.node = c.c_custkey * 2
-           WHERE c.c_nationkey = 0),
-         l1 AS (SELECT DISTINCT e.dst AS node
-           FROM e JOIN l0 ON e.src = l0.node
-           WHERE e.dst NOT IN (SELECT node FROM l0)),
-         l2 AS (SELECT DISTINCT e.dst AS node
-           FROM e JOIN l1 ON e.src = l1.node
-           WHERE e.dst NOT IN (SELECT node FROM l0
-             UNION ALL SELECT node FROM l1)),
-         l3 AS (SELECT DISTINCT e.dst AS node
-           FROM e JOIN l2 ON e.src = l2.node
-           WHERE e.dst NOT IN (SELECT node FROM l0
-             UNION ALL SELECT node FROM l1
-             UNION ALL SELECT node FROM l2)),
-         lv AS (SELECT 0 AS level, node FROM l0
-           UNION ALL SELECT 1, node FROM l1
-           UNION ALL SELECT 2, node FROM l2
-           UNION ALL SELECT 3, node FROM l3),
-         allv AS (SELECT * FROM lv
-           UNION ALL SELECT -1 AS level, node FROM nodes
-             WHERE node NOT IN (SELECT node FROM lv))
-         SELECT CAST(level AS BIGINT) AS level,
-             CAST(COUNT(*) AS BIGINT) AS n_nodes,
-             CAST(SUM(node // 2) AS BIGINT) AS key_sum,
-             CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_customers
-         FROM allv GROUP BY 1 ORDER BY level""",
-    // q174: the O(m^2) NOT-EXISTS dominance definition — green proves
-    // the two-phase partition-skyline sweep is exactly the frontier
-    "q174_skyline" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
-           FROM documents),
-         m AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS x,
-             CAST(len(list_distinct(t)) * 10000 // len(t) AS BIGINT)
-               AS y
-           FROM d),
-         p AS (SELECT x, y, COUNT(*) AS n_docs FROM m GROUP BY 1, 2),
-         sk AS (SELECT * FROM p pp WHERE NOT EXISTS (SELECT 1 FROM p q
-           WHERE q.x >= pp.x AND q.y >= pp.y
-             AND (q.x > pp.x OR q.y > pp.y)))
-         SELECT x AS n_tok, y AS uniq_bp,
-             CAST(n_docs AS BIGINT) AS n_docs
-         FROM sk ORDER BY n_tok DESC""",
-    // q175: rank window replayed as row_number; candidate count must
-    // equal n*w - w(w+1)/2 exactly
-    "q175_snm_dedup" ->
-      """WITH r AS (SELECT c_custkey AS id, c_name AS k,
-             row_number() OVER (ORDER BY c_name, c_custkey) AS rk
-           FROM customer),
-         cand AS (SELECT a.id AS id_a, a.k AS ka, b.id AS id_b,
-             b.k AS kb
-           FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 3),
-         m AS (SELECT * FROM cand WHERE levenshtein(ka, kb) <= 1)
-         SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand)
-               AS n_candidates,
-             CAST(COUNT(*) AS BIGINT) AS n_matches,
-             CAST(COALESCE(SUM(id_a), 0) AS BIGINT) AS sum_a,
-             CAST(COALESCE(SUM(id_b), 0) AS BIGINT) AS sum_b
-         FROM m""",
-    // q176: the window row_number form the bounded aggregator replaces
-    "q176_topk_agg" ->
-      """WITH li AS (SELECT l_suppkey,
-             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
-               AS BIGINT) AS cents,
-             l_orderkey * 10 + l_linenumber AS lid
-           FROM lineitem),
-         rk AS (SELECT l_suppkey, cents, lid,
-             row_number() OVER (PARTITION BY l_suppkey
-               ORDER BY cents DESC, lid) AS rank
-           FROM li)
-         SELECT l_suppkey, CAST(rank AS BIGINT) AS rank, cents,
-             CAST(lid AS BIGINT) AS item_id
-         FROM rk WHERE rank <= 3 ORDER BY l_suppkey, rank""",
-    // q177: the oracle generates the window pairs the structurally
-    // opposite way — a positional self-join over unnested tokens —
-    // so green proves the scan-local nested-transform expression
-    // equals the join definition of "within ±2 positions".
-    "q177_skipgram_pairs" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-                       FROM documents),
-         tok AS (SELECT doc_id, i, t[i] AS tk
-           FROM toks, unnest(range(1, len(t) + 1)) u(i)),
-         p AS (SELECT least(a.tk, b.tk) AS w1,
-             greatest(a.tk, b.tk) AS w2
-           FROM tok a JOIN tok b ON a.doc_id = b.doc_id
-             AND b.i >= a.i + 1 AND b.i <= a.i + 2)
-         SELECT w1, w2, COUNT(*) AS n_cooc FROM p GROUP BY 1, 2
-         ORDER BY n_cooc DESC, w1, w2 LIMIT 30""",
-    // q178: full Bellman–Ford unrolled to 4 union+min rounds — what
-    // the delta relaxation must equal at the same depth; -1 sentinels
-    // (unreached bucket, its min/max) keep every column int64 with no
-    // NULL-driven float64 widening (the q92 coalesce discipline).
-    "q178_weighted_paths" ->
-      """WITH e0 AS (SELECT o_custkey * 2 AS src,
-             l_suppkey * 2 + 1 AS dst,
-             CAST(floor(MIN(l_quantity)) AS BIGINT) AS w
-           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-           GROUP BY 1, 2),
-         e AS (SELECT src, dst, w FROM e0
-               UNION ALL SELECT dst, src, w FROM e0),
-         nodes AS (SELECT DISTINCT src AS node FROM e),
-         seeds AS (SELECT n.node FROM nodes n
-           JOIN customer c ON n.node = c.c_custkey * 2
-           WHERE c.c_nationkey = 0),
-         d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds),
-         d1 AS (SELECT node, MIN(c) AS dist FROM (
-             SELECT node, dist AS c FROM d0
-             UNION ALL SELECT e.dst, d0.dist + e.w
-               FROM e JOIN d0 ON e.src = d0.node) GROUP BY 1),
-         d2 AS (SELECT node, MIN(c) AS dist FROM (
-             SELECT node, dist AS c FROM d1
-             UNION ALL SELECT e.dst, d1.dist + e.w
-               FROM e JOIN d1 ON e.src = d1.node) GROUP BY 1),
-         d3 AS (SELECT node, MIN(c) AS dist FROM (
-             SELECT node, dist AS c FROM d2
-             UNION ALL SELECT e.dst, d2.dist + e.w
-               FROM e JOIN d2 ON e.src = d2.node) GROUP BY 1),
-         d4 AS (SELECT node, MIN(c) AS dist FROM (
-             SELECT node, dist AS c FROM d3
-             UNION ALL SELECT e.dst, d3.dist + e.w
-               FROM e JOIN d3 ON e.src = d3.node) GROUP BY 1),
-         j AS (SELECT n.node,
-             COALESCE(d4.dist, CAST(-1 AS BIGINT)) AS dist
-           FROM nodes n LEFT JOIN d4 ON n.node = d4.node)
-         SELECT dist, COUNT(*) AS n_nodes,
-           CAST(SUM(node // 2) AS BIGINT) AS key_sum,
-           CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_customers
-         FROM j GROUP BY 1 ORDER BY dist""",
-    // q179: abs-then-div keeps the basis-point deviation away from
-    // signed integer division entirely (both engines truncate — q181
-    // measured it — but portability surfaces shouldn't depend on
-    // that); the lower median is the exact rank pick rn=(n+1)//2
-    // under the full (n_events, day) tiebreak.
-    "q179_seasonal_anomaly" ->
-      """WITH cells AS (SELECT event_type,
-             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
-               AS day,
-             CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
-             COUNT(*) AS n_events
-           FROM events GROUP BY 1, 2, 3),
-         rk AS (SELECT event_type, hr, day, n_events,
-             row_number() OVER (PARTITION BY event_type, hr
-               ORDER BY n_events, day) AS rn,
-             COUNT(*) OVER (PARTITION BY event_type, hr) AS nc
-           FROM cells),
-         med AS (SELECT event_type, hr, n_events AS med_baseline
-           FROM rk WHERE rn = (nc + 1) // 2)
-         SELECT c.event_type, c.day, c.hr, c.n_events, m.med_baseline,
-             abs(c.n_events - m.med_baseline) * 10000 // m.med_baseline
-               AS dev_bp,
-             c.n_events > m.med_baseline AS above
-         FROM cells c JOIN med m
-           ON c.event_type = m.event_type AND c.hr = m.hr
-         WHERE abs(c.n_events - m.med_baseline) * 10000
-           // m.med_baseline >= 2500
-         ORDER BY c.event_type, c.day, c.hr""",
-    // q180: the same 5 greedy rounds unrolled — each e_r folds the
-    // distance to round r−1's pick into the running min, each c_r is
-    // the (dmin desc, vec_id) argmax — over the shared quantization;
-    // every d2 leg CAST to BIGINT (SUM would widen to HUGEINT, the
-    // q118 dtype lesson).
-    "q180_kcenter" ->
-      """WITH q AS (SELECT vec_id, i,
-             CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0 + 0.5)
-                  AS BIGINT) AS x
-           FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
-         nn AS (SELECT vec_id, CAST(SUM(x * x) AS BIGINT) AS nn
-           FROM q GROUP BY 1),
-         c0 AS (SELECT vec_id FROM nn ORDER BY nn DESC, vec_id LIMIT 1),
-         e1 AS (SELECT a.vec_id,
-             CAST(SUM((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS dmin
-           FROM q a JOIN q b ON a.i = b.i
-           WHERE b.vec_id = (SELECT vec_id FROM c0) GROUP BY 1),
-         c1 AS (SELECT vec_id, dmin FROM e1
-           ORDER BY dmin DESC, vec_id LIMIT 1),
-         e2 AS (SELECT e1.vec_id, LEAST(e1.dmin, d.d2) AS dmin
-           FROM e1 JOIN (SELECT a.vec_id,
-               CAST(SUM((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2
-             FROM q a JOIN q b ON a.i = b.i
-             WHERE b.vec_id = (SELECT vec_id FROM c1) GROUP BY 1) d
-           USING (vec_id)),
-         c2 AS (SELECT vec_id, dmin FROM e2
-           ORDER BY dmin DESC, vec_id LIMIT 1),
-         e3 AS (SELECT e2.vec_id, LEAST(e2.dmin, d.d2) AS dmin
-           FROM e2 JOIN (SELECT a.vec_id,
-               CAST(SUM((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2
-             FROM q a JOIN q b ON a.i = b.i
-             WHERE b.vec_id = (SELECT vec_id FROM c2) GROUP BY 1) d
-           USING (vec_id)),
-         c3 AS (SELECT vec_id, dmin FROM e3
-           ORDER BY dmin DESC, vec_id LIMIT 1),
-         e4 AS (SELECT e3.vec_id, LEAST(e3.dmin, d.d2) AS dmin
-           FROM e3 JOIN (SELECT a.vec_id,
-               CAST(SUM((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2
-             FROM q a JOIN q b ON a.i = b.i
-             WHERE b.vec_id = (SELECT vec_id FROM c3) GROUP BY 1) d
-           USING (vec_id)),
-         c4 AS (SELECT vec_id, dmin FROM e4
-           ORDER BY dmin DESC, vec_id LIMIT 1),
-         e5 AS (SELECT e4.vec_id, LEAST(e4.dmin, d.d2) AS dmin
-           FROM e4 JOIN (SELECT a.vec_id,
-               CAST(SUM((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2
-             FROM q a JOIN q b ON a.i = b.i
-             WHERE b.vec_id = (SELECT vec_id FROM c4) GROUP BY 1) d
-           USING (vec_id)),
-         c5 AS (SELECT vec_id, dmin FROM e5
-           ORDER BY dmin DESC, vec_id LIMIT 1)
-         SELECT CAST(0 AS BIGINT) AS sel_round, vec_id,
-             CAST(0 AS BIGINT) AS d2 FROM c0
-         UNION ALL SELECT CAST(1 AS BIGINT), vec_id,
-             CAST(dmin AS BIGINT) FROM c1
-         UNION ALL SELECT CAST(2 AS BIGINT), vec_id,
-             CAST(dmin AS BIGINT) FROM c2
-         UNION ALL SELECT CAST(3 AS BIGINT), vec_id,
-             CAST(dmin AS BIGINT) FROM c3
-         UNION ALL SELECT CAST(4 AS BIGINT), vec_id,
-             CAST(dmin AS BIGINT) FROM c4
-         UNION ALL SELECT CAST(5 AS BIGINT), vec_id,
-             CAST(dmin AS BIGINT) FROM c5
-         ORDER BY sel_round""",
-    // q181: DuckDB's // TRUNCATES toward zero on negatives (measured:
-    // -4165 // 43 = -96), matching Scala's Long division — the one
-    // place a per-dimension centroid sum goes negative.
-    "q181_class_separation" ->
-      """WITH q AS (SELECT CAST(label AS BIGINT) AS label, vec_id, i,
-             CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0 + 0.5)
-                  AS BIGINT) AS x
-           FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
-         c AS (SELECT label, i,
-             CAST(SUM(x) AS BIGINT) // COUNT(*) AS cv
-           FROM q GROUP BY 1, 2),
-         d2 AS (SELECT q.vec_id, q.label,
-             CAST(SUM((q.x - c.cv) * (q.x - c.cv)) AS BIGINT) AS d2
-           FROM q JOIN c ON q.label = c.label AND q.i = c.i
-           GROUP BY 1, 2),
-         intra AS (SELECT label, COUNT(*) AS n_vecs,
-             CAST(SUM(d2) AS BIGINT) // COUNT(*) AS intra_msd
-           FROM d2 GROUP BY 1),
-         cd AS (SELECT a.label AS la, b.label AS lb,
-             CAST(SUM((a.cv - b.cv) * (a.cv - b.cv)) AS BIGINT) AS dd
-           FROM c a JOIN c b ON a.i = b.i AND a.label <> b.label
-           GROUP BY 1, 2),
-         nn AS (SELECT la AS label, lb AS nn_label, dd AS nn_d2
-           FROM (SELECT la, lb, dd, row_number() OVER
-               (PARTITION BY la ORDER BY dd, lb) AS rn FROM cd)
-           WHERE rn = 1)
-         SELECT i.label, i.n_vecs, i.intra_msd, n.nn_label, n.nn_d2,
-             n.nn_d2 * 10000 // greatest(i.intra_msd, 1) AS sep_bp
-         FROM intra i JOIN nn n ON i.label = n.label
-         ORDER BY i.label""",
-    // q182: the same running-max island sweep as DuckDB windows under
-    // the full (s_ms, event_id) tiebreak — covered_ms must not
-    // double-count overlap, which a plain SUM of durations would.
-    "q182_interval_coverage" ->
-      """WITH iv AS (SELECT user_id, event_id,
-             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS s_ms,
-             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 + 300000 AS e_ms
-           FROM events),
-         sw AS (SELECT user_id, event_id, s_ms, e_ms,
-             MAX(e_ms) OVER (PARTITION BY user_id
-               ORDER BY s_ms, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-               AS pmax
-           FROM iv),
-         fl AS (SELECT user_id, s_ms, e_ms,
-             CASE WHEN pmax IS NULL OR s_ms > pmax THEN 1 ELSE 0 END
-               AS nw, event_id
-           FROM sw),
-         isl AS (SELECT user_id, s_ms, e_ms,
-             SUM(nw) OVER (PARTITION BY user_id
-               ORDER BY s_ms, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS island
-           FROM fl),
-         gi AS (SELECT user_id, island, COUNT(*) AS n,
-             MIN(s_ms) AS ist, MAX(e_ms) AS ien
-           FROM isl GROUP BY 1, 2)
-         SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
-             COUNT(*) AS n_islands,
-             CAST(SUM(ien - ist) AS BIGINT) AS covered_ms
-         FROM gi GROUP BY 1 ORDER BY user_id""",
-    // q183: the NAIVE O(pairs) doc-pair join — what the engine's
-    // per-hash counting algebra must equal without ever
-    // materializing a pair; the paragraph construction is the q110/
-    // q117 20-token convention.
-    "q183_cross_source_matrix" ->
-      """WITH toks AS (SELECT doc_id, source,
-             string_split(text, ' ') AS t FROM documents),
-         p AS (SELECT doc_id, source,
-             trim(array_to_string(t[((i-1)*20+1):((i-1)*20+20)], ' '))
-               AS para
-           FROM toks, unnest(range(1,
-             greatest(CAST(ceil(len(t) / 20.0) AS BIGINT), 1) + 1))
-             u(i)),
-         np AS (SELECT DISTINCT doc_id, source, md5(nfc_normalize(para)) AS ph
-           FROM p WHERE para <> ''),
-         pr AS (SELECT least(a.source, b.source) AS source_a,
-             greatest(a.source, b.source) AS source_b, a.ph
-           FROM np a JOIN np b
-             ON a.ph = b.ph AND a.doc_id < b.doc_id)
-         SELECT source_a, source_b, COUNT(*) AS n_pairs,
-             COUNT(DISTINCT ph) AS n_paras
-         FROM pr GROUP BY 1, 2 ORDER BY source_a, source_b""",
-    // q184: the same running last/first IGNORE NULLS windows and the
-    // same fixed-shape interpolation expression — integer products
-    // divided once in doubles, one add — so every interpolated double
-    // is bit-identical; grid ends at the corpus-wide max hour so the
-    // ffill branch is exercised, not dead.
-    "q184_gap_fill" ->
-      """WITH obs AS (SELECT event_type,
-             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 // 3600000 AS hr,
-             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
-               AS BIGINT) * 10) AS BIGINT) AS v
-           FROM events GROUP BY 1, 2),
-         span AS (SELECT event_type, MIN(hr) AS h0 FROM obs
-           GROUP BY 1),
-         gmax AS (SELECT MAX(hr) AS g1 FROM obs),
-         grid AS (SELECT event_type, unnest(range(h0, g1 + 1)) AS hr
-           FROM span, gmax),
-         j AS (SELECT g.event_type, g.hr, o.v FROM grid g
-           LEFT JOIN obs o
-             ON g.event_type = o.event_type AND g.hr = o.hr),
-         w AS (SELECT event_type, hr, v,
-             last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
-               ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING
-               AND CURRENT ROW) AS pv,
-             last_value(CASE WHEN v IS NOT NULL THEN hr END
-               IGNORE NULLS) OVER (PARTITION BY event_type
-               ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING
-               AND CURRENT ROW) AS ph,
-             first_value(v IGNORE NULLS) OVER (PARTITION BY event_type
-               ORDER BY hr ROWS BETWEEN CURRENT ROW
-               AND UNBOUNDED FOLLOWING) AS nv,
-             first_value(CASE WHEN v IS NOT NULL THEN hr END
-               IGNORE NULLS) OVER (PARTITION BY event_type
-               ORDER BY hr ROWS BETWEEN CURRENT ROW
-               AND UNBOUNDED FOLLOWING) AS nh
-           FROM j)
-         SELECT event_type, hr,
-             CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
-                  WHEN nh IS NULL THEN CAST(pv AS DOUBLE)
-                  ELSE pv + (nv - pv) * (hr - ph) / (nh - ph) END
-               AS value_milli,
-             CASE WHEN v IS NOT NULL THEN 'observed'
-                  WHEN nh IS NULL THEN 'ffill'
-                  ELSE 'interp' END AS fill
-         FROM w ORDER BY event_type, hr""",
-    // q185: the one-shot batch ranking the streamed k-row fold must
-    // equal — per-row scores make the stored top-k a sufficient
-    // statistic, which is exactly what this green row proves.
-    "q185_stream_topk" ->
-      """WITH e AS (SELECT event_id, user_id,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-               AS cents
-           FROM events)
-         SELECT CAST(row_number() OVER (ORDER BY cents DESC, event_id)
-               AS BIGINT) AS rank,
-             event_id, user_id, cents
-         FROM e ORDER BY cents DESC, event_id LIMIT 20""",
-    // q186: each FD leg is one (LHS, distinct-RHS) aggregation; the
-    // names carry the audited contract.
-    "q186_fd_audit" ->
-      """WITH f1 AS (SELECT COUNT(*) AS n_lhs,
-             CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_violating,
-             MAX(nr) AS max_fanout
-           FROM (SELECT o_orderkey, COUNT(DISTINCT o_custkey) AS nr
-                 FROM orders GROUP BY 1)),
-         f2 AS (SELECT COUNT(*) AS n_lhs,
-             CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_violating,
-             MAX(nr) AS max_fanout
-           FROM (SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS nr
-                 FROM lineitem GROUP BY 1)),
-         f3 AS (SELECT COUNT(*) AS n_lhs,
-             CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_violating,
-             MAX(nr) AS max_fanout
-           FROM (SELECT doc_id, COUNT(DISTINCT lang) AS nr
-                 FROM documents GROUP BY 1)),
-         f4 AS (SELECT COUNT(*) AS n_lhs,
-             CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_violating,
-             MAX(nr) AS max_fanout
-           FROM (SELECT source, COUNT(DISTINCT lang) AS nr
-                 FROM documents GROUP BY 1)),
-         f5 AS (SELECT COUNT(*) AS n_lhs,
-             CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_violating,
-             MAX(nr) AS max_fanout
-           FROM (SELECT user_id, COUNT(DISTINCT event_type) AS nr
-                 FROM events GROUP BY 1))
-         SELECT 'orders: o_orderkey -> o_custkey' AS fd, n_lhs,
-             n_violating, n_violating * 10000 // n_lhs AS viol_bp,
-             max_fanout FROM f1
-         UNION ALL SELECT 'lineitem: l_orderkey -> l_suppkey', n_lhs,
-             n_violating, n_violating * 10000 // n_lhs, max_fanout
-           FROM f2
-         UNION ALL SELECT 'documents: doc_id -> lang', n_lhs,
-             n_violating, n_violating * 10000 // n_lhs, max_fanout
-           FROM f3
-         UNION ALL SELECT 'documents: source -> lang', n_lhs,
-             n_violating, n_violating * 10000 // n_lhs, max_fanout
-           FROM f4
-         UNION ALL SELECT 'events: user_id -> event_type', n_lhs,
-             n_violating, n_violating * 10000 // n_lhs, max_fanout
-           FROM f5
-         ORDER BY fd""",
-    // q187: q174's one-shot NOT-EXISTS dominance frontier over ALL
-    // docs — what the streamed frontier fold must equal (the
-    // sufficient-statistic law, proven by this shared-shape oracle).
-    "q187_stream_skyline" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
-           FROM documents),
-         m AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS x,
-             CAST(len(list_distinct(t)) * 10000 // len(t) AS BIGINT)
-               AS y
-           FROM d),
-         p AS (SELECT DISTINCT x, y FROM m),
-         sk AS (SELECT * FROM p pp WHERE NOT EXISTS (SELECT 1 FROM p q
-           WHERE q.x >= pp.x AND q.y >= pp.y
-             AND (q.x > pp.x OR q.y > pp.y)))
-         SELECT x AS n_tok, y AS uniq_bp
-         FROM sk ORDER BY n_tok DESC""",
-    // q188: the estimator is fully deterministic (52-bit md5-prefix
-    // hashes, integer div), so DuckDB replays est/err numerically;
-    // only the in-engine merge law is a TRUE literal (the q164/q170
-    // convention for laws DuckDB cannot restate).
-    "q188_kmv_sketch" ->
-      """WITH sh AS (SELECT DISTINCT source, substr(text, i, 5) AS g
-           FROM documents, unnest(range(1,
-             greatest(len(text) - 4, 1) + 1)) u(i)),
-         hh AS (SELECT DISTINCT source,
-             CAST('0x' || substr(md5(g), 1, 13) AS BIGINT) AS h
-           FROM sh),
-         cnt AS (SELECT source, COUNT(*) AS n_h FROM hh GROUP BY 1),
-         ng AS (SELECT source, COUNT(*) AS n_grams FROM sh GROUP BY 1),
-         hk AS (SELECT source, h AS hkv FROM (
-             SELECT source, h, row_number() OVER
-               (PARTITION BY source ORDER BY h) AS rn FROM hh)
-           WHERE rn = 64),
-         est AS (SELECT c.source,
-             CASE WHEN c.n_h < 64 THEN c.n_h
-                  ELSE (63 * 4503599627370496) //
-                       greatest(k.hkv, 1) END AS kmv_est
-           FROM cnt c LEFT JOIN hk k ON c.source = k.source)
-         SELECT g.source, g.n_grams, e.kmv_est,
-             abs(e.kmv_est - g.n_grams) * 10000 // g.n_grams AS err_bp,
-             abs(e.kmv_est - g.n_grams) * 10000 // g.n_grams <= 3810
-               AS within_3rsd,
-             TRUE AS merge_exact
-         FROM ng g JOIN est e ON g.source = e.source
-         ORDER BY g.source""",
-    // q189: the oracle replays TRAIN (exact-rank decile boundaries
-    // over history in (cents, orderkey) order) and APPLY (count of
-    // boundaries <= cents) end-to-end — green proves the stored
-    // artifact's roundtrip lossless and stored-model application ≡
-    // inline recompute. Integer cents boundaries: no interpolated
-    // doubles anywhere.
-    "q189_stored_bins" ->
-      """WITH h AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2))
-               * 100 AS BIGINT) AS cents, o_orderkey
-           FROM orders WHERE o_orderkey % 10 < 8),
-         n AS (SELECT COUNT(*) AS n FROM h),
-         r AS (SELECT cents,
-             row_number() OVER (ORDER BY cents, o_orderkey) AS rk
-           FROM h),
-         b AS (SELECT u.i, r.cents AS bound
-           FROM (SELECT unnest(range(1, 10)) AS i) u, n
-           JOIN r ON r.rk = (u.i * n.n + 9) // 10),
-         ba AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2))
-               * 100 AS BIGINT) AS cents
-           FROM orders WHERE o_orderkey % 10 >= 8),
-         bi AS (SELECT cents, (SELECT COUNT(*) FROM b
-             WHERE b.bound <= ba.cents) AS bin FROM ba)
-         SELECT bin, COUNT(*) AS n_orders, MIN(cents) AS min_cents,
-             MAX(cents) AS max_cents
-         FROM bi GROUP BY 1 ORDER BY bin""",
-    // q190: integer sufficient statistics, then ONE double division —
-    // regr_slope in either engine is double-accumulation-order-
-    // dependent; this replay is exact.
-    "q190_group_trend" ->
-      """WITH t0 AS (SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP))
-             // 1000 // 60000) AS t0 FROM events),
-         e AS (SELECT event_type,
-             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 // 60000 - t0.t0
-               AS x,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
-           FROM events, t0),
-         g AS (SELECT event_type, COUNT(*) AS n,
-             CAST(SUM(x) AS BIGINT) AS sx,
-             CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x * y) AS BIGINT) AS sxy,
-             CAST(SUM(x * x) AS BIGINT) AS sxx
-           FROM e GROUP BY 1)
-         SELECT event_type, n, n * sxy - sx * sy AS slope_num,
-             n * sxx - sx * sx AS slope_den,
-             CAST(n * sxy - sx * sy AS DOUBLE)
-               / CAST(n * sxx - sx * sx AS DOUBLE)
-               AS slope_cents_per_min
-         FROM g ORDER BY event_type""",
-    // q191: digest pass and row diff both replayed — the corruption
-    // is a pure function of (day, event_id), so both replicas are
-    // reconstructible in SQL.
-    "q191_partition_repair" ->
-      """WITH a AS (SELECT event_id,
-             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
-               AS day,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-               AS cents
-           FROM events),
-         ah AS (SELECT *, CAST('0x' || substr(md5(
-             CAST(event_id AS VARCHAR) || ':' ||
-             CAST(cents AS VARCHAR)), 1, 8) AS BIGINT) AS rh FROM a),
-         b0 AS (SELECT event_id, day,
-             cents + CASE WHEN day % 7 = 5 AND event_id % 89 = 0
-               THEN 1 ELSE 0 END AS cents
-           FROM a WHERE NOT (day % 7 = 3 AND event_id % 97 = 0)),
-         bh AS (SELECT *, CAST('0x' || substr(md5(
-             CAST(event_id AS VARCHAR) || ':' ||
-             CAST(cents AS VARCHAR)), 1, 8) AS BIGINT) AS rh FROM b0),
-         da AS (SELECT day, COUNT(*) AS n_a, bit_xor(rh) AS x_a
-           FROM ah GROUP BY 1),
-         db AS (SELECT day, COUNT(*) AS n_b, bit_xor(rh) AS x_b
-           FROM bh GROUP BY 1),
-         dg AS (SELECT da.day, da.n_a,
-             COALESCE(db.n_b, 0) AS n_b,
-             (COALESCE(db.n_b, -1) <> da.n_a
-               OR COALESCE(db.x_b, 0) <> da.x_a) AS diverged
-           FROM da LEFT JOIN db ON da.day = db.day),
-         bad AS (SELECT day FROM dg WHERE diverged),
-         miss AS (SELECT ah.day, COUNT(*) AS n_missing_b
-           FROM ah JOIN bad USING (day)
-           WHERE NOT EXISTS (SELECT 1 FROM bh
-             WHERE bh.event_id = ah.event_id)
-           GROUP BY 1),
-         chg AS (SELECT ah.day, COUNT(*) AS n_value_diff
-           FROM ah JOIN bad USING (day)
-           JOIN bh ON bh.event_id = ah.event_id
-           WHERE bh.cents <> ah.cents GROUP BY 1)
-         SELECT dg.day, dg.n_a, dg.n_b, dg.diverged,
-             COALESCE(m.n_missing_b, 0) AS n_missing_b,
-             COALESCE(c.n_value_diff, 0) AS n_value_diff
-         FROM dg LEFT JOIN miss m ON dg.day = m.day
-              LEFT JOIN chg c ON dg.day = c.day
-         ORDER BY dg.day""",
-    "q192_lsh_tuning" -> lshTuningOracle,
-    // q194: the oracle REGENERATES the synthetic table from DuckDB's
-    // own range() through the identical md5-prefix derivations —
-    // green is the "generate the fixture anywhere" proof.
-    "q194_datagen" ->
-      """WITH g AS (SELECT i AS id,
-             CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 8)
-               AS BIGINT) AS h,
-             CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 9, 15)
-               AS BIGINT) AS h2
-           FROM range(0, 100000) t(i))
-         SELECT id % 8 AS shard, COUNT(*) AS n_rows,
-             CAST(SUM(h % 97) AS BIGINT) AS key_sum,
-             CAST(SUM(h % 10000) AS BIGINT) AS amount_sum,
-             bit_xor(h2) AS content_xor
-         FROM g GROUP BY 1 ORDER BY shard""",
-    // q195: both range-exchange ranks replayed as row_numbers, the
-    // gap as a per-source lag — max_gap = |sources| everywhere IS the
-    // round-robin signature.
-    "q195_interleave" ->
-      """WITH d AS (SELECT doc_id, source,
-             md5('il|' || CAST(doc_id AS VARCHAR)) AS hv
-           FROM documents),
-         r AS (SELECT doc_id, source,
-             CAST(row_number() OVER (PARTITION BY source
-               ORDER BY hv, doc_id) - 1 AS BIGINT) AS rnk
-           FROM d),
-         p AS (SELECT doc_id, source, rnk,
-             CAST(row_number() OVER (ORDER BY rnk, source, doc_id) - 1
-               AS BIGINT) AS pos
-           FROM r),
-         gp AS (SELECT source, pos,
-             pos - lag(pos) OVER (PARTITION BY source ORDER BY pos)
-               AS gap
-           FROM p)
-         SELECT source, COUNT(*) AS n_docs, MIN(pos) AS min_pos,
-             MAX(pos) AS max_pos, CAST(SUM(pos) AS BIGINT) AS pos_sum,
-             MAX(gap) AS max_gap
-         FROM gp GROUP BY 1 ORDER BY source""",
-    // q196: q90's RANGE-frame discipline at three horizons sharing
-    // one (user, ms) ordering; peers-at-same-ms included identically
-    // by both engines.
-    "q196_multi_horizon" ->
-      """WITH e AS (SELECT event_id, user_id,
-             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
-               AS cents
-           FROM events)
-         SELECT event_id, user_id, ms,
-             COUNT(*) OVER w1 AS n_1h,
-             COUNT(*) OVER w6 AS n_6h,
-             COUNT(*) OVER w24 AS n_24h,
-             CAST(SUM(cents) OVER w24 AS BIGINT) AS cents_24h
-         FROM e
-         WINDOW w1 AS (PARTITION BY user_id ORDER BY ms
-             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW),
-           w6 AS (PARTITION BY user_id ORDER BY ms
-             RANGE BETWEEN 21600000 PRECEDING AND CURRENT ROW),
-           w24 AS (PARTITION BY user_id ORDER BY ms
-             RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW)
-         ORDER BY event_id""",
-    // q197 / q200 share one oracle: the streamed bucket fold is
-    // bit-identical to the batch group-by (counts are a monoid), so
-    // the CUSUM formula over either input must agree with this replay.
-    "q197_cusum" -> cusumOracle,
-    "q200_stream_cusum" -> cusumOracle,
-    // q201: the full refresh chain replayed end-to-end — dedup
-    // keep-first, quality gate, both interleave ranks, the budget
-    // prefix sum with the straddle rule, per-source manifest.
-    "q201_refresh_pipeline" ->
-      s"""$qualityScoredCtes,
-         fp AS (SELECT doc_id, source, n_tok, quality,
-             md5(regexp_replace(lower(trim(nfc_normalize(text))), '\\s+', ' ', 'g'))
-               AS f
-           FROM sc),
-         kp AS (SELECT * FROM (SELECT fp.*, row_number() OVER
-             (PARTITION BY f ORDER BY doc_id) AS __rn FROM fp)
-           WHERE __rn = 1),
-         q AS (SELECT doc_id, source, n_tok FROM kp
-           WHERE quality >= 0.6),
-         r AS (SELECT doc_id, source, n_tok,
-             CAST(row_number() OVER (PARTITION BY source
-               ORDER BY md5('il|' || CAST(doc_id AS VARCHAR)), doc_id)
-               - 1 AS BIGINT) AS rnk
-           FROM q),
-         p AS (SELECT doc_id, source, n_tok, rnk,
-             CAST(row_number() OVER (ORDER BY rnk, source, doc_id) - 1
-               AS BIGINT) AS pos
-           FROM r),
-         c AS (SELECT doc_id, source, n_tok, pos,
-             CAST(SUM(n_tok) OVER (ORDER BY pos
-               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-           FROM p),
-         a AS (SELECT * FROM c WHERE cum - n_tok < 20000)
-         SELECT source, COUNT(*) AS n_admitted,
-             CAST(SUM(n_tok) AS BIGINT) AS tok_admitted,
-             MIN(pos) AS min_pos, MAX(pos) AS max_pos
-         FROM a GROUP BY 1 ORDER BY source""",
-    // q198: q161's lead-built validity intervals intersected with the
-    // 1 h staleness cap — the structurally opposite computation of
-    // the carry-forward + TTL read.
-    "q198_stale_pit" ->
-      """WITH e AS (SELECT user_id, event_id, event_type, value,
-             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
-           FROM events),
-         st AS (SELECT user_id, ms, event_id,
-             CAST(floor(value / 100) AS BIGINT) AS tier,
-             lead(ms) OVER (PARTITION BY user_id
-                            ORDER BY ms, event_id) AS to_ms
-           FROM e WHERE event_type <> 'purchase'),
-         f AS (SELECT user_id, ms,
-             CAST(floor(value * 1000) AS BIGINT) AS vq
-           FROM e WHERE event_type = 'purchase'),
-         j AS (SELECT CASE WHEN s.tier IS NULL THEN -1
-               WHEN f.ms - s.ms > 3600000 THEN -2
-               ELSE s.tier END AS tier, f.vq
-           FROM f LEFT JOIN st s
-             ON f.user_id = s.user_id AND s.ms < f.ms
-                AND (s.to_ms IS NULL OR f.ms <= s.to_ms))
-         SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_purchases,
-             CAST(SUM(vq) AS BIGINT) AS sum_vq
-         FROM j GROUP BY 1 ORDER BY tier""",
-    // q199: per-flag window cumsum with the identical unique-crossing
-    // predicate (weights positive ⟹ cumw strictly increasing).
-    "q199_weighted_median" ->
-      """WITH li AS (SELECT l_returnflag AS flag,
-             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
-               AS BIGINT) AS v,
-             CAST(floor(l_quantity) AS BIGINT) AS wt,
-             l_orderkey * 10 + l_linenumber AS rid
-           FROM lineitem),
-         c AS (SELECT flag, v, wt,
-             CAST(SUM(wt) OVER (PARTITION BY flag ORDER BY v, rid
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS cw,
-             CAST(SUM(wt) OVER (PARTITION BY flag) AS BIGINT) AS W
-           FROM li)
-         SELECT flag, W AS w_total, v AS wmedian_cents
-         FROM c WHERE 2 * cw >= W AND 2 * (cw - wt) < W
-         ORDER BY flag""",
-    // q202: the annotation spans rebuilt the structurally opposite
-    // way — unnest + a windowed prefix sum over token lengths vs the
-    // engine's scan-local native TokenSpans pass; green proves pass ≡ window.
-    "q202_nested_explode" ->
-      """WITH d AS (SELECT doc_id,
-             list_filter(string_split(text, ' '), x -> x <> '') AS t
-           FROM documents),
-         tok AS (SELECT doc_id, unnest(t) AS w,
-             generate_subscripts(t, 1) AS p
-           FROM d),
-         off AS (SELECT doc_id, w,
-             CAST(COALESCE(SUM(length(w) + 1) OVER (PARTITION BY doc_id
-               ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
-               AND 1 PRECEDING), 0) AS BIGINT) AS span_start
-           FROM tok),
-         ann AS (SELECT doc_id, span_start,
-             span_start + length(w) AS span_end,
-             CASE WHEN length(w) < 4 THEN 'short'
-                  WHEN length(w) < 8 THEN 'mid'
-                  ELSE 'long' END AS label
-           FROM off)
-         SELECT label, CAST(COUNT(*) AS BIGINT) AS n_spans,
-             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
-             CAST(SUM(span_end - span_start) AS BIGINT) AS sum_len,
-             CAST(MAX(span_end) AS BIGINT) AS max_end
-         FROM ann GROUP BY 1 ORDER BY label""",
-    // q203: label counts derived from the flat table (the label is a
-    // deterministic function of the token), proving the stored nested
-    // parquet → pruned sub-field read → explode chain lost nothing.
-    "q203_nested_prune" ->
-      """WITH d AS (SELECT source,
-             list_filter(string_split(text, ' '), x -> x <> '') AS t
-           FROM documents),
-         tok AS (SELECT source, unnest(t) AS w FROM d)
-         SELECT source,
-             CASE WHEN length(w) < 4 THEN 'short'
-                  WHEN length(w) < 8 THEN 'mid'
-                  ELSE 'long' END AS label,
-             CAST(COUNT(*) AS BIGINT) AS n_spans
-         FROM tok GROUP BY 1, 2 ORDER BY source, label""",
-    // q204: fingerprints over the TOKENS directly — the engine slices
-    // each span back out of the text by its stored offsets, so a green
-    // hash proves every offset pair addresses exactly its own token.
-    "q204_span_dedup" ->
-      """WITH d AS (SELECT source,
-             list_filter(string_split(text, ' '), x -> x <> '') AS t
-           FROM documents),
-         tok AS (SELECT source, unnest(t) AS w FROM d)
-         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_spans,
-             CAST(COUNT(DISTINCT md5(w)) AS BIGINT) AS n_distinct_spans
-         FROM tok GROUP BY 1 ORDER BY source""",
-    // q205: ints/longs/IEEE doubles are exact across the Avro binary
-    // encoding, so the parquet aggregates directly (q62's discipline).
-    "q205_avro_roundtrip" ->
-      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_custs,
-             CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
-             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-               AS total_acctbal
-         FROM customer GROUP BY 1 ORDER BY 1""",
-    // q206: the ENTIRE merge-training loop replayed round by round —
-    // pair counts, (count DESC, s1, s2) argmax, leftmost contraction.
-    "q206_bpe_train" -> {
-      val ranks = (1 to bpeRounds)
-        .map(r => s"SELECT CAST($r AS BIGINT) AS rank, s1, s2 FROM b$r")
-        .mkString(" UNION ALL ")
-      s"""WITH ${bpeChainCtes(bpeRounds)}
-         SELECT rank, s1, s2 FROM ($ranks) ORDER BY rank"""
-    },
-    // q207: the replayed chain applied to every document by the same
-    // wrapped-string replace cascade; token counts are delimiter
-    // arithmetic on the final string.
-    "q207_bpe_apply" -> {
-      val applies = (1 to bpeRounds).map { r =>
-        s"""d$r AS (SELECT doc_id, n_ws_tokens, replace(seq,
-            chr(31) || b.s1 || chr(31) || chr(31) || b.s2 || chr(31),
-            chr(31) || b.s1 || b.s2 || chr(31)) AS seq
-          FROM d${r - 1}, b$r b)"""
-      }.mkString(",\n        ")
-      s"""WITH ${bpeChainCtes(bpeRounds)},
-        d0 AS (SELECT doc_id,
-            CAST(len(list_filter(string_split(text, ' '),
-              x -> x <> '')) AS BIGINT) AS n_ws_tokens,
-            array_to_string(list_transform(
-              list_filter(string_split(text, ' '), x -> x <> ''),
-              w -> chr(31) || array_to_string(
-                list_transform(range(1, length(w) + 1),
-                  i -> substr(w, i, 1)), chr(31) || chr(31))
-                || chr(31)), ' ') AS seq
-          FROM documents),
-        $applies
-        SELECT doc_id, n_ws_tokens,
-            CAST((length(seq) - length(replace(seq, chr(31), ''))) // 2
-              AS BIGINT) AS n_bpe_tokens
-        FROM d$bpeRounds ORDER BY doc_id"""
-    },
-    // q209: the per-document span stats derived from the flat token
-    // lists (label/length are deterministic functions of the token),
-    // proving the in-array compute over the stored nested column.
-    "q209_nested_scan_agg" ->
-      """WITH d AS (SELECT source,
-             list_filter(string_split(text, ' '), x -> x <> '') AS t
-           FROM documents),
-         per AS (SELECT source, len(t) AS ns,
-             len(list_filter(t, x -> length(x) >= 8)) AS nl,
-             COALESCE(list_max(list_transform(t, x -> length(x))), 0)
-               AS ml
-           FROM d)
-         SELECT source, CAST(SUM(ns) AS BIGINT) AS n_spans,
-             CAST(SUM(nl) AS BIGINT) AS n_long_spans,
-             CAST(MAX(ml) AS BIGINT) AS max_span_len
-         FROM per GROUP BY 1 ORDER BY source""",
-    // q211/q212: the bigram model and the scores re-derived entirely
-    // in SQL — same lateral char expansion, same truncating
-    // (cnt·2^20)//tot contributions, same truncating mean. The LEFT
-    // JOIN + COALESCE(…, 0) replays the engine's OOV rule (unseen
-    // bigram → contribution 0, still counted in the mean divisor) so
-    // the forms stay equivalent even scoring a foreign corpus; on
-    // the self-scoring path there are no OOV bigrams and it reduces
-    // to the inner join.
-    "q211_charlm_train" ->
-      """WITH bg AS (SELECT substr(text, j, 2) AS b FROM documents,
-             unnest(range(1, length(text))) u(j))
-         SELECT substr(b, 1, 1) AS c1, substr(b, 2, 1) AS c2,
-             CAST(COUNT(*) AS BIGINT) AS cnt
-         FROM bg GROUP BY 1, 2 ORDER BY c1, c2""",
-    "q212_charlm_score" ->
-      """WITH bg AS (SELECT doc_id, substr(text, j, 1) AS c1,
-             substr(text, j + 1, 1) AS c2
-           FROM documents, unnest(range(1, length(text))) u(j)),
-         m AS (SELECT c1, c2, CAST(COUNT(*) AS BIGINT) AS cnt
-           FROM bg GROUP BY 1, 2),
-         t AS (SELECT c1, CAST(SUM(cnt) AS BIGINT) AS tot
-           FROM m GROUP BY 1),
-         q AS (SELECT bg.doc_id,
-             COALESCE((m.cnt * 1048576) // t.tot, 0) AS q
-           FROM bg LEFT JOIN m ON bg.c1 = m.c1 AND bg.c2 = m.c2
-                  LEFT JOIN t ON bg.c1 = t.c1)
-         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-             CAST(SUM(q) AS BIGINT) AS sum_q,
-             CAST(SUM(q) // COUNT(*) AS BIGINT) AS avg_q
-         FROM q GROUP BY 1 ORDER BY doc_id""",
-    // q213: the stream's model, scores and threshold replayed for
-    // every document — the streamed per-batch union must equal the
-    // whole-corpus screen (docs arrive exactly once).
-    "q213_stream_lm_screen" ->
-      """WITH bg AS (SELECT doc_id, substr(text, j, 1) AS c1,
-             substr(text, j + 1, 1) AS c2
-           FROM documents, unnest(range(1, length(text))) u(j)),
-         m AS (SELECT c1, c2, CAST(COUNT(*) AS BIGINT) AS cnt
-           FROM bg GROUP BY 1, 2),
-         t AS (SELECT c1, CAST(SUM(cnt) AS BIGINT) AS tot
-           FROM m GROUP BY 1),
-         q AS (SELECT bg.doc_id,
-             COALESCE((m.cnt * 1048576) // t.tot, 0) AS q
-           FROM bg LEFT JOIN m ON bg.c1 = m.c1 AND bg.c2 = m.c2
-                  LEFT JOIN t ON bg.c1 = t.c1),
-         sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-             CAST(SUM(q) // COUNT(*) AS BIGINT) AS avg_q
-           FROM q GROUP BY 1)
-         SELECT sc.doc_id, d.source, sc.n_bigrams, sc.avg_q,
-             CAST(CASE WHEN sc.avg_q >= 270000 THEN 1 ELSE 0 END
-               AS BIGINT) AS admitted
-         FROM sc JOIN documents d ON sc.doc_id = d.doc_id
-         ORDER BY sc.doc_id""",
-    // q224: the same synthetic v2 (mutate %97, drop %89, clone %83),
-    // the same chr(1)-sentineled row hash, the same full-outer
-    // classification.
-    "q224_row_diff" ->
-      """WITH v1 AS (SELECT doc_id,
-             md5(coalesce(text, chr(1)) || chr(1)
-               || coalesce(lang, chr(1)) || chr(1)
-               || coalesce(source, chr(1)) || chr(1)
-               || CAST(n_chars AS VARCHAR)) AS h
-           FROM documents),
-         v2b AS (SELECT doc_id,
-             CASE WHEN doc_id % 97 = 0 THEN text || 'X' ELSE text END
-               AS text, lang, source, n_chars
-           FROM documents WHERE doc_id % 89 <> 0),
-         adds AS (SELECT doc_id + 1000000 AS doc_id, text, lang,
-             source, n_chars
-           FROM documents WHERE doc_id % 83 = 0),
-         v2 AS (SELECT doc_id,
-             md5(coalesce(text, chr(1)) || chr(1)
-               || coalesce(lang, chr(1)) || chr(1)
-               || coalesce(source, chr(1)) || chr(1)
-               || CAST(n_chars AS VARCHAR)) AS h
-           FROM (SELECT * FROM v2b UNION ALL SELECT * FROM adds)),
-         j AS (SELECT v1.h AS h1, v2.h AS h2
-           FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
-         SELECT CASE WHEN h1 IS NULL THEN 'added'
-               WHEN h2 IS NULL THEN 'removed'
-               WHEN h1 <> h2 THEN 'changed'
-               ELSE 'unchanged' END AS change_type,
-             CAST(COUNT(*) AS BIGINT) AS n_rows
-         FROM j GROUP BY 1 ORDER BY change_type""",
-    // q225: the FULL estimator replays — portable md5 bucket hash
-    // (the q46 '0x'||substr(md5(..)) idiom), d=4 depth rows × w=2²⁴
-    // buckets, per-depth bucket-wise inner products, MIN over a depth
-    // spine (a depth with no shared bucket is inner product 0, not a
-    // dropped row), next to the exact Σ f_A·f_B recount.
-    "q225_join_size_estimate" ->
-      """WITH depths AS (SELECT UNNEST([0, 1, 2, 3]) AS r),
-         co AS (SELECT d.r,
-             CAST('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':'
-               || CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT)
-               % 16777216 AS bucket,
-             CAST(COUNT(*) AS BIGINT) AS cnt
-           FROM orders CROSS JOIN depths d
-           WHERE o_orderkey IS NOT NULL GROUP BY 1, 2),
-         clo AS (SELECT d.r,
-             CAST('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':'
-               || CAST(l_orderkey AS VARCHAR)), 1, 8) AS BIGINT)
-               % 16777216 AS bucket,
-             CAST(COUNT(*) AS BIGINT) AS cnt
-           FROM lineitem CROSS JOIN depths d
-           WHERE l_orderkey IS NOT NULL GROUP BY 1, 2),
-         clp AS (SELECT d.r,
-             CAST('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':'
-               || CAST(l_partkey AS VARCHAR)), 1, 8) AS BIGINT)
-               % 16777216 AS bucket,
-             CAST(COUNT(*) AS BIGINT) AS cnt
-           FROM lineitem CROSS JOIN depths d
-           WHERE l_partkey IS NOT NULL GROUP BY 1, 2),
-         est1 AS (SELECT MIN(coalesce(ip, 0)) AS est_pairs
-           FROM depths d LEFT JOIN (
-             SELECT co.r, SUM(co.cnt * clo.cnt) AS ip
-             FROM co JOIN clo ON co.r = clo.r AND co.bucket = clo.bucket
-             GROUP BY 1) p ON d.r = p.r),
-         est2 AS (SELECT MIN(coalesce(ip, 0)) AS est_pairs
-           FROM depths d LEFT JOIN (
-             SELECT a.r, SUM(a.cnt * b.cnt) AS ip
-             FROM clp a JOIN clp b ON a.r = b.r AND a.bucket = b.bucket
-             GROUP BY 1) p ON d.r = p.r),
-         ex1 AS (SELECT coalesce(SUM(fa.c * fb.c), 0) AS exact_pairs
-           FROM (SELECT o_orderkey k, COUNT(*) c FROM orders
-                 WHERE o_orderkey IS NOT NULL GROUP BY 1) fa
-           JOIN (SELECT l_orderkey k, COUNT(*) c FROM lineitem
-                 WHERE l_orderkey IS NOT NULL GROUP BY 1) fb
-             ON fa.k = fb.k),
-         ex2 AS (SELECT coalesce(SUM(f.c * f.c), 0) AS exact_pairs
-           FROM (SELECT l_partkey k, COUNT(*) c FROM lineitem
-                 WHERE l_partkey IS NOT NULL GROUP BY 1) f),
-         rpt AS (
-           SELECT 'orders_x_lineitem_orderkey' AS join_case,
-               est1.est_pairs, ex1.exact_pairs FROM est1, ex1
-           UNION ALL
-           SELECT 'lineitem_self_partkey' AS join_case,
-               est2.est_pairs, ex2.exact_pairs FROM est2, ex2)
-         SELECT join_case, CAST(est_pairs AS BIGINT) AS est_pairs,
-             CAST(exact_pairs AS BIGINT) AS exact_pairs,
-             est_pairs >= exact_pairs AS overestimate_ok,
-             CAST(CASE WHEN exact_pairs = 0 THEN 0
-                  ELSE (est_pairs - exact_pairs) * 10000
-                    // exact_pairs END AS BIGINT) AS err_bp
-         FROM rpt ORDER BY join_case""",
-    // q226: the HRW argmax replays as MAX(weight·9 + s) % 9 over the
-    // shard series (the engine's collision-free long encoding), with
-    // the same '#'-separated md5 weight; mod routing is plain %.
-    "q226_hrw_sharding" ->
-      """WITH s8 AS (SELECT UNNEST([0,1,2,3,4,5,6,7]) AS s),
-         s9 AS (SELECT UNNEST([0,1,2,3,4,5,6,7,8]) AS s),
-         w AS (SELECT doc_id,
-             (SELECT MAX(CAST('0x' || substr(md5(CAST(s.s AS VARCHAR)
-                 || '#' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
-                 * 8 + s.s) FROM s8 s) % 8 AS h8,
-             (SELECT MAX(CAST('0x' || substr(md5(CAST(s.s AS VARCHAR)
-                 || '#' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
-                 * 9 + s.s) FROM s9 s) % 9 AS h9,
-             doc_id % 8 AS m8, doc_id % 9 AS m9
-           FROM documents d),
-         hrw AS (SELECT h9 AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs_hrw,
-             CAST(SUM(CASE WHEN h8 <> h9 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_moved_hrw
-           FROM w GROUP BY 1),
-         md AS (SELECT m9 AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs_mod,
-             CAST(SUM(CASE WHEN m8 <> m9 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_moved_mod
-           FROM w GROUP BY 1)
-         SELECT hrw.shard, n_docs_hrw, n_moved_hrw, n_docs_mod, n_moved_mod
-         FROM hrw JOIN md ON hrw.shard = md.shard ORDER BY 1""",
-    // q227: three grouped rollups over customer ⋈ nation, k = 10.
-    "q227_k_anonymity" ->
-      """WITH j AS (SELECT c.c_mktsegment, c.c_nationkey, n.n_regionkey
-           FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
-         l0 AS (SELECT COUNT(*) AS g FROM j GROUP BY c_nationkey,
-           c_mktsegment),
-         l1 AS (SELECT COUNT(*) AS g FROM j GROUP BY n_regionkey,
-           c_mktsegment),
-         l2 AS (SELECT COUNT(*) AS g FROM j GROUP BY n_regionkey),
-         rpt AS (
-           SELECT 0 AS level, 'nation,segment' AS qi,
-               COUNT(*) AS n_groups,
-               SUM(CASE WHEN g < 10 THEN 1 ELSE 0 END) AS n_at_risk_groups,
-               SUM(CASE WHEN g < 10 THEN g ELSE 0 END) AS n_rows_at_risk,
-               MIN(g) AS k_achieved
-           FROM l0
-           UNION ALL
-           SELECT 1, 'region,segment', COUNT(*),
-               SUM(CASE WHEN g < 10 THEN 1 ELSE 0 END),
-               SUM(CASE WHEN g < 10 THEN g ELSE 0 END), MIN(g)
-           FROM l1
-           UNION ALL
-           SELECT 2, 'region', COUNT(*),
-               SUM(CASE WHEN g < 10 THEN 1 ELSE 0 END),
-               SUM(CASE WHEN g < 10 THEN g ELSE 0 END), MIN(g)
-           FROM l2)
-         SELECT CAST(level AS BIGINT) AS level, qi,
-             CAST(n_groups AS BIGINT) AS n_groups,
-             CAST(n_at_risk_groups AS BIGINT) AS n_at_risk_groups,
-             CAST(n_rows_at_risk AS BIGINT) AS n_rows_at_risk,
-             CAST(k_achieved AS BIGINT) AS k_achieved
-         FROM rpt ORDER BY level""",
-    // q228: the merged-counter path replays literally — history and
-    // delta counters built separately, summed per (r, bucket), then
-    // the q225 estimation pipeline; linear_ok restates CMS linearity
-    // as data.
-    "q228_incr_join_estimate" ->
-      """WITH depths AS (SELECT UNNEST([0, 1, 2, 3]) AS r),
-         co AS (SELECT d.r,
-             CAST('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':'
-               || CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT)
-               % 16777216 AS bucket,
-             CAST(COUNT(*) AS BIGINT) AS cnt
-           FROM orders CROSS JOIN depths d
-           WHERE o_orderkey IS NOT NULL GROUP BY 1, 2),
-         ch AS (SELECT d.r,
-             CAST('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':'
-               || CAST(l_orderkey AS VARCHAR)), 1, 8) AS BIGINT)
-               % 16777216 AS bucket,
-             CAST(COUNT(*) AS BIGINT) AS cnt
-           FROM lineitem CROSS JOIN depths d
-           WHERE l_orderkey IS NOT NULL AND l_orderkey % 10 <> 0
-           GROUP BY 1, 2),
-         cd AS (SELECT d.r,
-             CAST('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':'
-               || CAST(l_orderkey AS VARCHAR)), 1, 8) AS BIGINT)
-               % 16777216 AS bucket,
-             CAST(COUNT(*) AS BIGINT) AS cnt
-           FROM lineitem CROSS JOIN depths d
-           WHERE l_orderkey IS NOT NULL AND l_orderkey % 10 = 0
-           GROUP BY 1, 2),
-         merged AS (SELECT r, bucket, SUM(cnt) AS cnt FROM
-           (SELECT * FROM ch UNION ALL SELECT * FROM cd)
-           GROUP BY 1, 2),
-         cs AS (SELECT d.r,
-             CAST('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':'
-               || CAST(l_orderkey AS VARCHAR)), 1, 8) AS BIGINT)
-               % 16777216 AS bucket,
-             CAST(COUNT(*) AS BIGINT) AS cnt
-           FROM lineitem CROSS JOIN depths d
-           WHERE l_orderkey IS NOT NULL GROUP BY 1, 2),
-         ei AS (SELECT MIN(coalesce(ip, 0)) AS est_incr
-           FROM depths d LEFT JOIN (
-             SELECT co.r, SUM(co.cnt * m.cnt) AS ip
-             FROM co JOIN merged m ON co.r = m.r AND co.bucket = m.bucket
-             GROUP BY 1) p ON d.r = p.r),
-         es AS (SELECT MIN(coalesce(ip, 0)) AS est_scratch
-           FROM depths d LEFT JOIN (
-             SELECT co.r, SUM(co.cnt * cs.cnt) AS ip
-             FROM co JOIN cs ON co.r = cs.r AND co.bucket = cs.bucket
-             GROUP BY 1) p ON d.r = p.r),
-         ex AS (SELECT coalesce(SUM(fa.c * fb.c), 0) AS exact_pairs
-           FROM (SELECT o_orderkey k, COUNT(*) c FROM orders
-                 WHERE o_orderkey IS NOT NULL GROUP BY 1) fa
-           JOIN (SELECT l_orderkey k, COUNT(*) c FROM lineitem
-                 WHERE l_orderkey IS NOT NULL GROUP BY 1) fb
-             ON fa.k = fb.k)
-         SELECT CAST(est_incr AS BIGINT) AS est_incr,
-             CAST(est_scratch AS BIGINT) AS est_scratch,
-             est_incr = est_scratch AS linear_ok,
-             CAST(exact_pairs AS BIGINT) AS exact_pairs,
-             est_incr >= exact_pairs AS overestimate_ok,
-             CAST(CASE WHEN exact_pairs = 0 THEN 0
-                  ELSE (est_incr - exact_pairs) * 10000
-                    // exact_pairs END AS BIGINT) AS err_bp
-         FROM ei, es, ex""",
-    // q229: the full excision replays — positioned 8-gram occurrences
-    // (doc·2^20+pos encoding), cnt>=2 grams with the MIN-enc canonical
-    // survivor, the DISTINCT covered-token set (overlap merge for
-    // free), island starts via the self-LEFT-JOIN on (doc, i-1), and
-    // ordered string_agg reconstruction of the uncovered tokens.
-    "q229_span_excision" ->
-      """WITH tk AS (SELECT doc_id,
-             list_filter(string_split(text, ' '), t -> t <> '') AS toks
-           FROM documents),
-         occ AS (SELECT doc_id, CAST(u.p AS BIGINT) AS p,
-             md5(array_to_string(toks[u.p + 1:u.p + 8], ' ')) AS gh,
-             doc_id * 1048576 + u.p AS enc
-           FROM tk, UNNEST(range(len(toks) - 7)) AS u(p)
-           WHERE len(toks) >= 8),
-         g AS (SELECT gh, COUNT(*) AS cnt, MIN(enc) AS canon
-           FROM occ GROUP BY 1),
-         mk AS (SELECT o.doc_id, o.p FROM occ o JOIN g ON o.gh = g.gh
-           WHERE g.cnt >= 2 AND o.enc <> g.canon),
-         cov AS (SELECT DISTINCT doc_id, p + d.d AS i
-           FROM mk, UNNEST(range(8)) AS d(d)),
-         rpt AS (SELECT c.doc_id,
-             CAST(COUNT(*) AS BIGINT) AS n_tokens_removed,
-             CAST(SUM(CASE WHEN prev.i IS NULL THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_spans_removed
-           FROM cov c LEFT JOIN cov prev
-             ON c.doc_id = prev.doc_id AND c.i = prev.i + 1
-           GROUP BY 1),
-         keep AS (SELECT t.doc_id, r.i AS idx,
-             t.toks[CAST(r.i AS INT) + 1] AS tok
-           FROM tk t, UNNEST(range(len(t.toks))) AS r(i)
-           WHERE EXISTS (SELECT 1 FROM rpt WHERE rpt.doc_id = t.doc_id)
-             AND NOT EXISTS (SELECT 1 FROM cov
-               WHERE cov.doc_id = t.doc_id AND cov.i = r.i)),
-         txt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx)
-             AS text_clean
-           FROM keep GROUP BY 1)
-         SELECT r.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
-             r.n_tokens_removed, r.n_spans_removed,
-             COALESCE(x.text_clean, '') AS text_clean
-         FROM rpt r JOIN tk t ON r.doc_id = t.doc_id
-         LEFT JOIN txt x ON r.doc_id = x.doc_id
-         ORDER BY r.doc_id""",
-    // q230: the full DSIR replays — hashed-unigram count tables for
-    // the en target and the raw corpus (the q46 '0x'||md5 bucket
-    // idiom, 2^16 buckets), the Laplace-smoothed scaled odds with
-    // truncating //, per-doc truncating-mean scores, and the q86
-    // running-sum budget fill. Every scored token's bucket is in the
-    // raw table by construction (raw = the scored corpus), so the
-    // raw-side LEFT JOIN is exact.
-    "q230_dsir_selection" ->
-      """WITH tok AS (SELECT doc_id, lang,
-             unnest(list_filter(string_split(text, ' '), t -> t <> ''))
-               AS w
-           FROM documents),
-         bt AS (SELECT CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)
-               % 65536 AS bucket, COUNT(*) AS cnt_t
-           FROM tok WHERE lang = 'en' GROUP BY 1),
-         br AS (SELECT CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)
-               % 65536 AS bucket, COUNT(*) AS cnt_r
-           FROM tok GROUP BY 1),
-         q AS (SELECT br.bucket,
-             (COALESCE(bt.cnt_t, 0) + 1) * 1048576 // (br.cnt_r + 1) AS q
-           FROM br LEFT JOIN bt ON br.bucket = bt.bucket),
-         ds AS (SELECT t.doc_id,
-             CAST(COUNT(*) AS BIGINT) AS n_tokens,
-             SUM(q.q) AS sum_q
-           FROM tok t JOIN q
-             ON CAST('0x' || substr(md5(t.w), 1, 8) AS BIGINT)
-               % 65536 = q.bucket
-           GROUP BY 1),
-         sc AS (SELECT d.doc_id, k.lang, d.n_tokens,
-             CAST(d.sum_q // d.n_tokens AS BIGINT) AS score_q
-           FROM ds d JOIN documents k ON d.doc_id = k.doc_id),
-         cum AS (SELECT doc_id, lang, n_tokens, score_q,
-             CAST(SUM(n_tokens) OVER (ORDER BY score_q DESC, doc_id ASC
-               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
-           FROM sc)
-         SELECT doc_id, lang, n_tokens, score_q, cum_tok
-         FROM cum WHERE cum_tok - n_tokens < 20000
-         ORDER BY cum_tok""",
-    // q231: two-level HRW — the q226 argmax with the inner weight
-    // salted by the super-shard, inner fan-outs 8 and 9.
-    "q231_hrw_two_level" ->
-      """WITH s8 AS (SELECT UNNEST([0,1,2,3,4,5,6,7]) AS s),
-         s9 AS (SELECT UNNEST([0,1,2,3,4,5,6,7,8]) AS s),
-         w AS (SELECT doc_id,
-             (SELECT MAX(CAST('0x' || substr(md5(CAST(s.s AS VARCHAR)
-                 || '#' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
-                 * 8 + s.s) FROM s8 s) % 8 AS sup
-           FROM documents d),
-         w2 AS (SELECT doc_id, sup,
-             (SELECT MAX(CAST('0x' || substr(md5(CAST(s.s AS VARCHAR)
-                 || '#' || CAST(w.sup AS VARCHAR) || '|'
-                 || CAST(w.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
-                 * 8 + s.s) FROM s8 s) % 8 AS i8,
-             (SELECT MAX(CAST('0x' || substr(md5(CAST(s.s AS VARCHAR)
-                 || '#' || CAST(w.sup AS VARCHAR) || '|'
-                 || CAST(w.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
-                 * 9 + s.s) FROM s9 s) % 9 AS i9
-           FROM w)
-         SELECT sup AS super_shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(CASE WHEN i9 <> i8 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_moved_inner_resize,
-             CAST(SUM(CASE WHEN i9 <> i8 AND i9 <> 8 THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_moved_not_to_new
-         FROM w2 GROUP BY 1 ORDER BY 1""",
-    // q232: hashed-vocabulary ppm drift, en vs zh, 256 buckets.
-    "q232_vocab_drift" ->
-      """WITH tk AS (SELECT CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS g,
-             unnest(list_filter(string_split(text, ' '), t -> t <> ''))
-               AS w
-           FROM documents WHERE lang IN ('en', 'zh')),
-         c AS (SELECT CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)
-               % 256 AS bucket,
-             SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS ca,
-             SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS cb
-           FROM tk GROUP BY 1),
-         t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM c),
-         p AS (SELECT bucket,
-             CAST(ca * 1000000 // t.na AS BIGINT) AS ppm_a,
-             CAST(cb * 1000000 // t.nb AS BIGINT) AS ppm_b
-           FROM c, t)
-         SELECT bucket, ppm_a, ppm_b,
-             CAST(abs(ppm_a - ppm_b) AS BIGINT) AS d_ppm
-         FROM p WHERE ppm_a <> ppm_b
-         ORDER BY d_ppm DESC, bucket""",
-    // q233: salted-md5 pseudonyms; the releases join ON the pseudonym.
-    "q233_pseudonymize" ->
-      """WITH pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types
-           FROM events GROUP BY 1),
-         pr AS (SELECT substr(md5('u#' || CAST(user_id AS VARCHAR)),
-               1, 16) AS pseudo_id, n_events, n_event_types
-           FROM pu),
-         cr AS (SELECT substr(md5('u#' || CAST(c_custkey AS VARCHAR)),
-               1, 16) AS pseudo_id, c_mktsegment AS segment
-           FROM customer)
-         SELECT pr.pseudo_id, n_events, n_event_types, segment
-         FROM pr JOIN cr USING (pseudo_id) ORDER BY pseudo_id""",
-    // q234: broadcast-lexicon tagging via list_intersect.
-    "q234_dict_tags" ->
-      """WITH m AS (SELECT doc_id, list_sort(list_intersect(
-             list_distinct(list_filter(string_split(text, ' '),
-               t -> t <> '')),
-             ['spark', 'join', 'window', 'filter', 'scan'])) AS tl
-           FROM documents)
-         SELECT doc_id, CAST(len(tl) AS BIGINT) AS n_tags,
-             array_to_string(tl, ' ') AS tags
-         FROM m WHERE len(tl) > 0 ORDER BY doc_id""",
-    // q235: per-epoch ascending-md5 visit order, first 16 positions.
-    "q235_epoch_order" ->
-      """WITH e AS (SELECT UNNEST([0, 1, 2]) AS epoch),
-         h AS (SELECT e.epoch, d.doc_id,
-             md5('e' || CAST(e.epoch AS VARCHAR) || '#'
-               || CAST(d.doc_id AS VARCHAR)) AS hh
-           FROM e, documents d),
-         r AS (SELECT epoch, doc_id, CAST(row_number() OVER
-             (PARTITION BY epoch ORDER BY hh, doc_id) AS BIGINT) AS pos
-           FROM h)
-         SELECT CAST(epoch AS BIGINT) AS epoch, pos, doc_id
-         FROM r WHERE pos <= 16 ORDER BY epoch, pos""",
-    // q236: per-source token shares in ppm + corpus HHI.
-    "q236_source_hhi" ->
-      """WITH d AS (SELECT source, CAST(len(list_filter(
-             string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ntok
-           FROM documents),
-         s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(ntok) AS BIGINT) AS n_tokens
-           FROM d GROUP BY 1),
-         t AS (SELECT SUM(n_tokens) AS tot FROM s),
-         sh AS (SELECT source, n_docs, n_tokens,
-             CAST(n_tokens * 1000000 // t.tot AS BIGINT) AS share_ppm
-           FROM s, t),
-         h AS (SELECT CAST(SUM(share_ppm * share_ppm) // 1000000
-             AS BIGINT) AS hhi_ppm FROM sh)
-         SELECT source, n_docs, n_tokens, share_ppm, h.hhi_ppm
-         FROM sh, h ORDER BY source""",
-    // q223: batch membership replayed via the staging NTILE over
-    // doc_id (chunk c arrives as batch c−1 — the staging contract),
-    // then q220's anti-join per (batch, source).
-    "q223_stream_novelty" ->
-      """WITH ad AS (SELECT doc_id, source, text,
-             CAST(NTILE(3) OVER (ORDER BY doc_id) - 1 AS BIGINT)
-               AS batch_id
-           FROM documents),
-         toks AS (SELECT batch_id, doc_id, source,
-             string_split(text, ' ') AS t
-           FROM ad),
-         g AS (SELECT batch_id, doc_id, source,
-             unnest(list_distinct(list_transform(
-               range(1, greatest(len(t) - 2, 1) + 1),
-               i -> array_to_string(t[i:i+2], ' ')))) AS gram
-           FROM toks),
-         hist AS (SELECT DISTINCT gram FROM g WHERE doc_id % 5 <> 0),
-         arr AS (SELECT batch_id, source, gram FROM g
-           WHERE doc_id % 5 = 0),
-         nov AS (SELECT a.batch_id, a.source,
-             CAST(COUNT(*) AS BIGINT) AS n_novel
-           FROM arr a LEFT JOIN hist h ON a.gram = h.gram
-           WHERE h.gram IS NULL GROUP BY 1, 2),
-         tot AS (SELECT batch_id, source,
-             CAST(COUNT(*) AS BIGINT) AS n_grams
-           FROM arr GROUP BY 1, 2)
-         SELECT t.batch_id, t.source, t.n_grams,
-             CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
-             CAST((COALESCE(n.n_novel, 0) * 10000) // t.n_grams
-               AS BIGINT) AS novelty_bp
-         FROM tot t LEFT JOIN nov n
-           ON t.batch_id = n.batch_id AND t.source = n.source
-         ORDER BY t.batch_id, t.source""",
-    // q222: the q214 winnowing replay split into eval/corpus sides,
-    // joined on the selected gram — same per-window-min selection:
-    // h selected iff it is the min of SOME full covering 8-window
-    // (one windowed MIN per offset d of j inside the window), with
-    // the global-min fallback for docs shorter than 8 grams.
-    "q222_winnow_contamination" ->
-      """WITH g AS (SELECT doc_id, j, substr(text, j, 30) AS gram,
-             CAST('0x' || substr(md5(substr(text, j, 30)), 1, 15)
-               AS BIGINT) AS h
-           FROM documents, unnest(range(1, length(text) - 28)) u(j)),
-         w AS (SELECT doc_id, j, gram, h,
-             COUNT(*) OVER (PARTITION BY doc_id) AS n,
-             MIN(h) OVER (PARTITION BY doc_id) AS gm,
-             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
-               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m0,
-             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
-               ROWS BETWEEN 1 PRECEDING AND 6 FOLLOWING) AS m1,
-             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
-               ROWS BETWEEN 2 PRECEDING AND 5 FOLLOWING) AS m2,
-             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
-               ROWS BETWEEN 3 PRECEDING AND 4 FOLLOWING) AS m3,
-             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
-               ROWS BETWEEN 4 PRECEDING AND 3 FOLLOWING) AS m4,
-             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
-               ROWS BETWEEN 5 PRECEDING AND 2 FOLLOWING) AS m5,
-             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
-               ROWS BETWEEN 6 PRECEDING AND 1 FOLLOWING) AS m6,
-             MIN(h) OVER (PARTITION BY doc_id ORDER BY j
-               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS m7
-           FROM g),
-         sel AS (SELECT DISTINCT doc_id, gram FROM w
-           WHERE (n < 8 AND h = gm)
-              OR (j + 7 <= n AND h = m0)
-              OR (j >= 2 AND j + 6 <= n AND h = m1)
-              OR (j >= 3 AND j + 5 <= n AND h = m2)
-              OR (j >= 4 AND j + 4 <= n AND h = m3)
-              OR (j >= 5 AND j + 3 <= n AND h = m4)
-              OR (j >= 6 AND j + 2 <= n AND h = m5)
-              OR (j >= 7 AND j + 1 <= n AND h = m6)
-              OR (j >= 8 AND h = m7)),
-         ev AS (SELECT DISTINCT gram FROM sel WHERE doc_id % 50 = 0),
-         co AS (SELECT doc_id, gram FROM sel WHERE doc_id % 50 <> 0)
-         SELECT co.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_fps
-         FROM co JOIN ev ON co.gram = ev.gram
-         GROUP BY 1 ORDER BY co.doc_id""",
-    // q221: the q212 LM-score CTEs + the TTR signal + the same
-    // min-rebase and integer sufficient statistics; corr is one
-    // identical IEEE expression over identical longs.
-    "q221_signal_correlation" ->
-      """WITH bg AS (SELECT doc_id, substr(text, j, 1) AS c1,
-             substr(text, j + 1, 1) AS c2
-           FROM documents, unnest(range(1, length(text))) u(j)),
-         m AS (SELECT c1, c2, CAST(COUNT(*) AS BIGINT) AS cnt
-           FROM bg GROUP BY 1, 2),
-         t AS (SELECT c1, CAST(SUM(cnt) AS BIGINT) AS tot
-           FROM m GROUP BY 1),
-         q AS (SELECT bg.doc_id,
-             COALESCE((m.cnt * 1048576) // t.tot, 0) AS q
-           FROM bg LEFT JOIN m ON bg.c1 = m.c1 AND bg.c2 = m.c2
-                  LEFT JOIN t ON bg.c1 = t.c1),
-         sc AS (SELECT doc_id,
-             CAST(SUM(q) // COUNT(*) AS BIGINT) AS x
-           FROM q GROUP BY 1),
-         tk AS (SELECT doc_id,
-             list_filter(string_split(text, ' '), w -> w <> '') AS tk
-           FROM documents),
-         ttr AS (SELECT doc_id,
-             CAST(len(list_distinct(tk)) * 10000 // len(tk) AS BIGINT)
-               AS y
-           FROM tk WHERE len(tk) > 0),
-         j AS (SELECT sc.doc_id, sc.x, ttr.y
-           FROM sc JOIN ttr ON sc.doc_id = ttr.doc_id),
-         mn AS (SELECT MIN(x) AS x0, MIN(y) AS y0 FROM j),
-         r AS (SELECT x - x0 AS x, y - y0 AS y FROM j, mn),
-         st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(x) AS BIGINT) AS sum_x,
-             CAST(SUM(y) AS BIGINT) AS sum_y,
-             CAST(SUM(x * y) AS BIGINT) AS sxy,
-             CAST(SUM(x * x) AS BIGINT) AS sxx,
-             CAST(SUM(y * y) AS BIGINT) AS syy
-           FROM r)
-         SELECT n, sum_x, sum_y, sxy, sxx, syy,
-             CAST(n * sxy - sum_x * sum_y AS DOUBLE)
-               / sqrt(CAST(n * sxx - sum_x * sum_x AS DOUBLE)
-                 * CAST(n * syy - sum_y * sum_y AS DOUBLE)) AS corr
-         FROM st""",
-    // q220: the same per-doc-distinct gram expansion (the q64 CTE's
-    // list_distinct form), history/arrival split, anti-join novelty.
-    "q220_gram_novelty" ->
-      """WITH toks AS (SELECT doc_id, source,
-             string_split(text, ' ') AS t
-           FROM documents),
-         g AS (SELECT doc_id, source,
-             unnest(list_distinct(list_transform(
-               range(1, greatest(len(t) - 2, 1) + 1),
-               i -> array_to_string(t[i:i+2], ' ')))) AS gram
-           FROM toks),
-         hist AS (SELECT DISTINCT gram FROM g WHERE doc_id % 5 <> 0),
-         arr AS (SELECT source, gram FROM g WHERE doc_id % 5 = 0),
-         nov AS (SELECT a.source, CAST(COUNT(*) AS BIGINT) AS n_novel
-           FROM arr a LEFT JOIN hist h ON a.gram = h.gram
-           WHERE h.gram IS NULL GROUP BY 1),
-         tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
-           FROM arr GROUP BY 1)
-         SELECT t.source, t.n_grams,
-             CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
-             CAST((COALESCE(n.n_novel, 0) * 10000) // t.n_grams
-               AS BIGINT) AS novelty_bp
-         FROM tot t LEFT JOIN nov n ON t.source = n.source
-         ORDER BY t.source""",
-    // q219: the same arithmetic cutoff, embargo window, and split
-    // predicate replayed over the raw events.
-    "q219_embargo_split" ->
-      """WITH e AS (SELECT event_id, user_id,
-             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-           FROM events),
-         mm AS (SELECT MIN(ms) AS lo, MAX(ms) AS hi FROM e),
-         c AS (SELECT lo + (hi - lo) * 8 // 10 AS cut FROM mm),
-         sp AS (SELECT e.*, CASE
-               WHEN ms < c.cut - 3600000 THEN 'train'
-               WHEN ms < c.cut THEN 'embargo'
-               ELSE 'test' END AS split
-           FROM e, c)
-         SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
-             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-             CAST(SUM(cents) AS BIGINT) AS sum_cents,
-             CAST(MIN(ms) AS BIGINT) AS min_ms,
-             CAST(MAX(ms) AS BIGINT) AS max_ms
-         FROM sp GROUP BY 1 ORDER BY split""",
-    // q218: tokens and positional 3-grams rebuilt by unnest (the
-    // structurally opposite expansion), identical truncating ratios.
-    "q218_diversity_profile" ->
-      """WITH d AS (SELECT source,
-             list_filter(string_split(text, ' '), x -> x <> '') AS t
-           FROM documents),
-         tok AS (SELECT source, unnest(t) AS w FROM d),
-         ts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-             CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types
-           FROM tok GROUP BY 1),
-         g AS (SELECT source,
-             array_to_string(t[i:i+2], ' ') AS gram
-           FROM d, unnest(range(1, len(t) - 1)) u(i)
-           WHERE len(t) >= 3),
-         gs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams,
-             CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct_grams
-           FROM g GROUP BY 1)
-         SELECT ts.source, ts.n_tokens, ts.n_types, gs.n_grams,
-             gs.n_distinct_grams,
-             CAST((ts.n_types * 10000) // ts.n_tokens AS BIGINT)
-               AS ttr_bp,
-             CAST((gs.n_distinct_grams * 10000) // gs.n_grams AS BIGINT)
-               AS gram_diversity_bp
-         FROM ts JOIN gs ON ts.source = gs.source
-         ORDER BY ts.source""",
-    // q217: the q64 inverted index replayed with the containment
-    // predicate tested in both directions — same exact-integer floor,
-    // same truncated basis points.
-    "q217_containment_pairs" -> {
-      s"""WITH $ngramIdxCte
-         SELECT * FROM (
-           SELECT p.id_a AS contained, p.id_b AS container,
-               CAST(p.n_shared AS BIGINT) AS n_shared,
-               CAST(x.n AS BIGINT) AS n_contained,
-               CAST(p.n_shared * 10000 // x.n AS BIGINT) AS cont_bp
-           FROM p JOIN na x ON p.id_a = x.doc_id
-           WHERE p.n_shared * 100 >= 80 * x.n
-           UNION ALL
-           SELECT p.id_b, p.id_a, CAST(p.n_shared AS BIGINT),
-               CAST(y.n AS BIGINT),
-               CAST(p.n_shared * 10000 // y.n AS BIGINT)
-           FROM p JOIN na y ON p.id_b = y.doc_id
-           WHERE p.n_shared * 100 >= 80 * y.n)
-         ORDER BY contained, container"""
-    },
-    // q215: the same positional-self-join pair definition as q177's
-    // oracle, the same staged integer PMI — ((n·2^20)//c1·N)//c2 —
-    // and the same rare-pair floor; green proves the scan-local
-    // expression AND the truncation order.
-    "q215_pmi_collocations" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-                       FROM documents),
-         tok AS (SELECT doc_id, i, t[i] AS tk
-           FROM toks, unnest(range(1, len(t) + 1)) u(i)),
-         p AS (SELECT least(a.tk, b.tk) AS w1,
-             greatest(a.tk, b.tk) AS w2
-           FROM tok a JOIN tok b ON a.doc_id = b.doc_id
-             AND b.i >= a.i + 1 AND b.i <= a.i + 2),
-         pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_cooc
-           FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 5),
-         uni AS (SELECT tk AS w, CAST(COUNT(*) AS BIGINT) AS cw
-           FROM tok GROUP BY 1),
-         nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok)
-         SELECT w1, w2, n_cooc, u1.cw AS c1, u2.cw AS c2,
-             CAST((((n_cooc * 1048576) // u1.cw) * nt.n_tok)
-               // u2.cw AS BIGINT) AS pmi_q
-         FROM pc JOIN uni u1 ON pc.w1 = u1.w
-              JOIN uni u2 ON pc.w2 = u2.w, nt
-         ORDER BY pmi_q DESC, w1, w2 LIMIT 30""",
-    // q216: the closure recomputed from scratch (RECURSIVE CTE),
-    // histogrammed, with the singleton row derived by difference.
-    "q216_cluster_sizes" -> {
-      s"""WITH RECURSIVE $dedupClusterCtes,
-         hist AS (SELECT CAST(n_members AS BIGINT) AS component_size,
-             CAST(COUNT(*) AS BIGINT) AS n_components
-           FROM sz GROUP BY 1),
-         sing AS (SELECT CAST(1 AS BIGINT) AS component_size,
-             CAST((SELECT COUNT(*) FROM documents)
-               - (SELECT COUNT(*) FROM lab) AS BIGINT) AS n_components)
-         SELECT component_size, n_components FROM
-           (SELECT * FROM hist UNION ALL SELECT * FROM sing)
-         ORDER BY component_size"""
-    },
-    // q214: the identical winnowing replay — same 60-bit gram hash,
-    // same per-window-min selection (min of SOME full covering
-    // 8-window, one windowed MIN per in-window offset, global-min
-    // fallback for sub-8-gram docs), same distinct + count +
-    // (n_docs DESC, gram) top-20.
-    "q214_memorization_audit" ->
-      s"""$winnowSelCtes,
-         cnt AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs
-           FROM sel GROUP BY 1)
-         SELECT gram, n_docs FROM cnt
-         ORDER BY n_docs DESC, gram LIMIT 20""",
-    // q210: the sampled grid recomputed in closed form — resized pixel
-    // (x, y) channel c has source byte index 3·(2y·w + 2x) + c in the
-    // generation rule; checksum covers the RE-ENCODED header + raster.
-    "q210_ppm_resize" ->
-      """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w,
-             3 + doc_id % 4 AS h FROM documents),
-         rd AS (SELECT doc_id, w, h, w // 2 AS w2, h // 2 AS h2
-           FROM dims),
-         hdr AS (SELECT doc_id,
-             'P6' || chr(10) || CAST(w2 AS VARCHAR) || ' '
-               || CAST(h2 AS VARCHAR) || chr(10) || '255' || chr(10)
-               AS hs
-           FROM rd),
-         hsum AS (SELECT doc_id,
-             CAST(list_sum(list_transform(range(1, length(hs) + 1),
-               i -> ascii(substr(hs, i, 1)))) AS BIGINT) AS hb
-           FROM hdr),
-         px AS (SELECT doc_id, w, w2, h2,
-             unnest(range(0, w2 * h2)) AS p
-           FROM rd),
-         v AS (SELECT doc_id, p % w2 AS x, p // w2 AS y, w, c,
-             (doc_id * 31 + 3 * (2 * (p // w2) * w + 2 * (p % w2)) + c)
-               % 256 AS val
-           FROM px, (SELECT unnest(range(0, 3)) AS c)),
-         agg AS (SELECT doc_id,
-             CAST(SUM(CASE WHEN c = 0 THEN val ELSE 0 END) AS BIGINT)
-               AS r_sum,
-             CAST(SUM(CASE WHEN c = 1 THEN val ELSE 0 END) AS BIGINT)
-               AS g_sum,
-             CAST(SUM(CASE WHEN c = 2 THEN val ELSE 0 END) AS BIGINT)
-               AS b_sum,
-             CAST(SUM(val) AS BIGINT) AS raster_sum
-           FROM v GROUP BY 1)
-         SELECT r.doc_id, CAST(r.w2 AS BIGINT) AS width,
-             CAST(r.h2 AS BIGINT) AS height, CAST(255 AS BIGINT) AS maxval,
-             a.r_sum, a.g_sum, a.b_sum,
-             hsum.hb + a.raster_sum AS checksum
-         FROM rd r JOIN agg a ON r.doc_id = a.doc_id
-              JOIN hsum ON r.doc_id = hsum.doc_id
-         ORDER BY r.doc_id""",
-    // q208: every decoded number recomputed from the generation rule —
-    // header = ASCII sum of the exact P6 header string, raster = the
-    // closed-form (id·31+j) mod 256 channel sums over range(w·h·3).
-    "q208_ppm_decode" ->
-      """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w,
-             3 + doc_id % 4 AS h FROM documents),
-         hdr AS (SELECT doc_id, w, h,
-             'P6' || chr(10) || CAST(w AS VARCHAR) || ' '
-               || CAST(h AS VARCHAR) || chr(10) || '255' || chr(10)
-               AS hs
-           FROM dims),
-         hsum AS (SELECT doc_id,
-             CAST(list_sum(list_transform(range(1, length(hs) + 1),
-               i -> ascii(substr(hs, i, 1)))) AS BIGINT) AS hb
-           FROM hdr),
-         px AS (SELECT doc_id, unnest(range(0, w * h * 3)) AS j
-           FROM dims),
-         v AS (SELECT doc_id, j, (doc_id * 31 + j) % 256 AS val
-           FROM px),
-         agg AS (SELECT doc_id,
-             CAST(SUM(CASE WHEN j % 3 = 0 THEN val ELSE 0 END)
-               AS BIGINT) AS r_sum,
-             CAST(SUM(CASE WHEN j % 3 = 1 THEN val ELSE 0 END)
-               AS BIGINT) AS g_sum,
-             CAST(SUM(CASE WHEN j % 3 = 2 THEN val ELSE 0 END)
-               AS BIGINT) AS b_sum,
-             CAST(SUM(val) AS BIGINT) AS raster_sum
-           FROM v GROUP BY 1)
-         SELECT d.doc_id, CAST(d.w AS BIGINT) AS width,
-             CAST(d.h AS BIGINT) AS height, CAST(255 AS BIGINT) AS maxval,
-             a.r_sum, a.g_sum, a.b_sum,
-             hsum.hb + a.raster_sum AS checksum
-         FROM dims d JOIN agg a ON d.doc_id = a.doc_id
-              JOIN hsum ON d.doc_id = hsum.doc_id
-         ORDER BY d.doc_id""",
-    // q193: the fingerprint recomputed from the text bytes char by
-    // char (ascii corpus: octet == char), chunk membership the same
-    // ⌊i·60/n⌋, the bit rule the same division-free sum·60 > total,
-    // then the identical pigeonhole blocks + Hamming verify.
-    "q193_media_neardup" ->
-      """WITH ch AS (SELECT doc_id,
-             (j - 1) * 60 // strlen(text) AS c,
-             ascii(substr(text, j, 1)) AS v
-           FROM documents,
-             unnest(range(1, strlen(text) + 1)) u(j)),
-         cs AS (SELECT doc_id, c, CAST(SUM(v) AS BIGINT) AS s
-           FROM ch GROUP BY 1, 2),
-         tt AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS total
-           FROM ch GROUP BY 1),
-         fp0 AS (SELECT cs.doc_id,
-             CAST(SUM(CASE WHEN cs.s * 60 > tt.total
-               THEN (CAST(1 AS BIGINT) << cs.c) ELSE 0 END)
-               AS BIGINT) AS fp
-           FROM cs JOIN tt ON cs.doc_id = tt.doc_id GROUP BY 1),
-         fp AS (SELECT d.doc_id, COALESCE(fp0.fp, 0) AS fp
-           FROM documents d LEFT JOIN fp0 ON d.doc_id = fp0.doc_id),
-         bl AS (SELECT doc_id, b, (fp >> (b * 15)) % 32768 AS key
-           FROM fp, (SELECT unnest(range(0, 4)) AS b)),
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-           FROM bl a JOIN bl c
-             ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id)
-         SELECT cand.id_a, cand.id_b,
-             CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
-         FROM cand JOIN fp fa ON cand.id_a = fa.doc_id
-              JOIN fp fb ON cand.id_b = fb.doc_id
-         WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
-         ORDER BY cand.id_a, cand.id_b""",
-    "q237_split_leakage" -> splitLeakageOracle,
-    // q238: pow-2 bucket boundary as an exact-integer list_min over
-    // the same 9 literals the engine folds in.
-    "q238_length_buckets" ->
-      """WITH d AS (SELECT least(CAST(len(list_filter(
-             string_split(text, ' '), t -> t <> '')) AS BIGINT),
-             4096) AS eff
-           FROM documents),
-         b AS (SELECT eff, list_min(list_filter(
-             [16, 32, 64, 128, 256, 512, 1024, 2048, 4096],
-             p -> p >= eff)) AS bucket_len
-           FROM d)
-         SELECT CAST(bucket_len AS BIGINT) AS bucket_len,
-             CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(eff) AS BIGINT) AS n_tokens,
-             CAST(SUM(bucket_len - eff) AS BIGINT) AS n_padding,
-             CAST(SUM(bucket_len - eff) * 10000
-               // (bucket_len * COUNT(*)) AS BIGINT) AS waste_bp
-         FROM b GROUP BY bucket_len ORDER BY 1""",
-    // q239: truncating-integer ppm repeat schedule, 2x budget,
-    // uniform target shares, 4-epoch cap.
-    "q239_epoch_schedule" ->
-      """WITH d AS (SELECT source, CAST(len(list_filter(
-             string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ntok
-           FROM documents),
-         s AS (SELECT source, SUM(ntok) AS avail FROM d GROUP BY 1),
-         t AS (SELECT SUM(avail) AS tot, COUNT(*) AS nsrc FROM s),
-         x AS (SELECT source, avail, tot * 2 // nsrc AS ideal,
-             least(((tot * 2 // nsrc) * 1000000) // avail, 4000000)
-               AS rp
-           FROM s, t)
-         SELECT source, CAST(avail AS BIGINT) AS avail_tokens,
-             CAST(ideal AS BIGINT) AS ideal_tokens,
-             CAST(rp AS BIGINT) AS repeats_ppm,
-             CAST(avail * rp // 1000000 AS BIGINT) AS achieved_tokens,
-             CAST(ideal - avail * rp // 1000000 AS BIGINT)
-               AS deficit_tokens
-         FROM x ORDER BY source""",
-    // q240: l-diversity over (nation, segment) QI groups, sensitive =
-    // exact-decimal account band, l = 3.
-    "q240_l_diversity" ->
-      """WITH c AS (SELECT n.n_name AS nation,
-             c_mktsegment AS segment,
-             CASE WHEN CAST(c_acctbal AS DECIMAL(18,2)) < 0 THEN 'debt'
-               WHEN CAST(c_acctbal AS DECIMAL(18,2)) < 5000 THEN 'mid'
-               ELSE 'high' END AS sens
-           FROM customer JOIN nation n ON c_nationkey = n.n_nationkey)
-         SELECT nation, segment, CAST(COUNT(*) AS BIGINT) AS n_rows,
-             CAST(COUNT(DISTINCT sens) AS BIGINT) AS l_distinct,
-             COUNT(DISTINCT sens) >= 3 AS l_ok
-         FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
-    // q241: 30-min-gap sessionize replay, ordered-list path assembly
-    // truncated to 8 turns, top-20 paths under a total order.
-    "q241_session_paths" ->
-      """WITH e AS (SELECT user_id, event_id, event_type,
-             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events),
-         l AS (SELECT *, lag(ms) OVER
-             (PARTITION BY user_id ORDER BY ms, event_id) AS prev
-           FROM e),
-         sgrp AS (SELECT *, SUM(CASE WHEN prev IS NULL
-               OR ms - prev > 1800000 THEN 1 ELSE 0 END)
-             OVER (PARTITION BY user_id ORDER BY ms, event_id
-               ROWS UNBOUNDED PRECEDING) AS sess
-           FROM l),
-         p AS (SELECT user_id, sess, array_to_string(
-             list(event_type ORDER BY ms, event_id)[1:8], '>') AS path,
-             CAST(COUNT(*) AS BIGINT) AS ne
-           FROM sgrp GROUP BY 1, 2)
-         SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
-             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-             CAST(SUM(ne) AS BIGINT) AS n_events
-         FROM p GROUP BY 1
-         ORDER BY n_sessions DESC, path LIMIT 20""",
-    // q242: eval side adversarially re-formatted, both sides through
-    // the normalizer, then the q53 distinct-4-gram screen.
-    "q242_norm_decontam" ->
-      """WITH ev0 AS (SELECT doc_id, upper(array_to_string(
-             string_split(text, ' '), ', ')) || '.' AS text
-           FROM documents WHERE doc_id % 50 = 0),
-         co0 AS (SELECT doc_id, text FROM documents
-           WHERE doc_id % 50 <> 0),
-         nv AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
-             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))
-             AS text
-           FROM ev0),
-         nc AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
-             lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))
-             AS text
-           FROM co0),
-         tc AS (SELECT doc_id, string_split(text, ' ') AS t FROM nc),
-         te AS (SELECT doc_id, string_split(text, ' ') AS t FROM nv),
-         gc AS (SELECT doc_id, unnest(list_distinct(list_transform(
-             range(1, greatest(len(t) - 3, 1) + 1),
-             i -> array_to_string(t[i:i+3], ' ')))) AS gram
-           FROM tc),
-         ge AS (SELECT doc_id, unnest(list_distinct(list_transform(
-             range(1, greatest(len(t) - 3, 1) + 1),
-             i -> array_to_string(t[i:i+3], ' ')))) AS gram
-           FROM te)
-         SELECT c.doc_id AS corpus_id, e.doc_id AS eval_id,
-             CAST(COUNT(*) AS BIGINT) AS n_shared
-         FROM gc c JOIN ge e ON c.gram = e.gram
-         GROUP BY 1, 2 ORDER BY corpus_id, eval_id""",
-    // q243: the q216 component machinery + the r/k keep rule, rolled
-    // up per component size with the clusters-hit column.
-    "q243_dedup_weighted_sample" ->
-      s"""WITH RECURSIVE $dedupClusterCtes,
-         lab2 AS (SELECT d.doc_id,
-             COALESCE(l.cluster_rep, d.doc_id) AS rep,
-             COALESCE(s.n_members, 1) AS csz
-           FROM documents d
-           LEFT JOIN lab l ON d.doc_id = l.node
-           LEFT JOIN sz s ON l.cluster_rep = s.cluster_rep),
-         k AS (SELECT doc_id, rep, csz,
-             CAST('0x' || substr(md5('dws|' || CAST(doc_id AS VARCHAR)),
-               1, 12) AS BIGINT) % (10000 * csz) < 2000 AS kept
-           FROM lab2),
-         pc AS (SELECT csz, rep, COUNT(*) AS nd,
-             SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS nk
-           FROM k GROUP BY 1, 2)
-         SELECT CAST(csz AS BIGINT) AS component_size,
-             CAST(COUNT(*) AS BIGINT) AS n_clusters,
-             CAST(SUM(nd) AS BIGINT) AS n_docs,
-             CAST(SUM(nk) AS BIGINT) AS n_kept,
-             CAST(SUM(CASE WHEN nk > 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_clusters_hit
-         FROM pc GROUP BY 1 ORDER BY 1""",
-    // q244: the q207 merge-chain replay carrying (lang, chars, nws),
-    // rolled up per language with truncating-bp ratios.
-    "q244_tokenizer_fertility" -> {
-      val applies = (1 to bpeRounds).map { r =>
-        s"""d$r AS (SELECT lang, chars, nws, replace(seq,
-            chr(31) || b.s1 || chr(31) || chr(31) || b.s2 || chr(31),
-            chr(31) || b.s1 || b.s2 || chr(31)) AS seq
-          FROM d${r - 1}, b$r b)"""
-      }.mkString(",\n        ")
-      s"""WITH ${bpeChainCtes(bpeRounds)},
-        d0 AS (SELECT lang,
-            CAST(coalesce(list_sum(list_transform(list_filter(
-              string_split(text, ' '), x -> x <> ''),
-              w -> length(w))), 0) AS BIGINT) AS chars,
-            CAST(len(list_filter(string_split(text, ' '),
-              x -> x <> '')) AS BIGINT) AS nws,
-            array_to_string(list_transform(
-              list_filter(string_split(text, ' '), x -> x <> ''),
-              w -> chr(31) || array_to_string(
-                list_transform(range(1, length(w) + 1),
-                  i -> substr(w, i, 1)), chr(31) || chr(31))
-                || chr(31)), ' ') AS seq
-          FROM documents),
-        $applies,
-        per AS (SELECT lang, chars, nws,
-            (length(seq) - length(replace(seq, chr(31), ''))) // 2
-              AS nbpe
-          FROM d$bpeRounds)
-        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
-            CAST(SUM(chars) AS BIGINT) AS n_chars,
-            CAST(SUM(nws) AS BIGINT) AS n_ws_tokens,
-            CAST(SUM(nbpe) AS BIGINT) AS n_bpe_tokens,
-            CAST(SUM(chars) * 10000 // SUM(nbpe) AS BIGINT)
-              AS chars_per_bpe_bp,
-            CAST(SUM(nbpe) * 10000 // SUM(nws) AS BIGINT)
-              AS bpe_per_ws_bp
-        FROM per GROUP BY 1 ORDER BY lang"""
-    },
-    // q245: the Luhn fold replayed digit-for-digit on the same
-    // deterministic 16-digit candidates.
-    "q245_luhn_screen" ->
-      """WITH c AS (SELECT source, lpad(CAST((doc_id % 1000000007)
-             * 76695841 % 10000000000000000 AS VARCHAR), 16, '0')
-             AS cand
-           FROM documents),
-         v AS (SELECT source, list_sum(list_transform(range(1, 17),
-             i -> CASE WHEN i % 2 = 1
-               THEN CAST(substr(reverse(cand), CAST(i AS INT), 1)
-                 AS BIGINT)
-               ELSE CASE WHEN CAST(substr(reverse(cand),
-                   CAST(i AS INT), 1) AS BIGINT) * 2 > 9
-                 THEN CAST(substr(reverse(cand), CAST(i AS INT), 1)
-                   AS BIGINT) * 2 - 9
-                 ELSE CAST(substr(reverse(cand), CAST(i AS INT), 1)
-                   AS BIGINT) * 2 END END)) % 10 = 0 AS ok
-           FROM c)
-         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_candidates,
-             CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_luhn_valid,
-             CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) * 10000
-               // COUNT(*) AS BIGINT) AS valid_bp
-         FROM v GROUP BY 1 ORDER BY 1""",
-    // q246: per-phrase slice-equality matches, covered-position set,
-    // island count by consecutive difference, complement reassembly.
-    "q246_phrase_excise" ->
-      """WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '),
-             x -> x <> '') AS t
-           FROM documents),
-         m AS (SELECT doc_id, t, flatten([
-             list_transform(list_filter(range(0, len(t) - 1),
-               i -> t[CAST(i + 1 AS INT):CAST(i + 2 AS INT)]
-                 = ['table', 'scan']),
-               i -> {'s': i, 'e': i + 1}),
-             list_transform(list_filter(range(0, len(t) - 2),
-               i -> t[CAST(i + 1 AS INT):CAST(i + 3 AS INT)]
-                 = ['fast', 'sort', 'key']),
-               i -> {'s': i, 'e': i + 2}),
-             list_transform(list_filter(range(0, len(t) - 2),
-               i -> t[CAST(i + 1 AS INT):CAST(i + 3 AS INT)]
-                 = ['sort', 'key', 'agg']),
-               i -> {'s': i, 'e': i + 2})
-           ]) AS ms FROM d),
-         f AS (SELECT doc_id, t, ms, list_sort(list_distinct(flatten(
-             list_transform(ms, x -> range(x.s, x.e + 1))))) AS cov
-           FROM m WHERE len(ms) > 0),
-         i AS (SELECT doc_id, t, ms, cov,
-             len(list_filter(range(1, len(cov) + 1),
-               j -> j = 1 OR cov[CAST(j AS INT)]
-                 - cov[CAST(j - 1 AS INT)] > 1)) AS nisl
-           FROM f)
-         SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
-             CAST(len(ms) AS BIGINT) AS n_matches,
-             CAST(len(cov) AS BIGINT) AS n_tokens_removed,
-             CAST(nisl AS BIGINT) AS n_spans_removed,
-             array_to_string(list_transform(list_filter(
-               range(0, len(t)), p -> NOT list_contains(cov, p)),
-               p -> t[CAST(p + 1 AS INT)]), ' ') AS text_clean
-         FROM i ORDER BY doc_id""",
-    // q247: 20-token chunks through the q22 profile argmax (same
-    // profile order and 'und' fallback), per-doc distinct labels,
-    // per-source consistency rollup.
-    "q247_mixed_lang_audit" ->
-      """WITH d AS (SELECT doc_id, source, list_filter(
-             string_split(text, ' '), x -> x <> '') AS t
-           FROM documents),
-         p AS (SELECT doc_id, source, unnest(list_transform(
-             range(1, len(t) + 1, 20),
-             i -> t[CAST(i AS INT):CAST(i + 19 AS INT)])) AS part
-           FROM d),
-         sc AS (SELECT doc_id, source,
-             len(list_filter(part, w -> w IN
-               ('der','die','das','und','ist'))) AS s_de,
-             len(list_filter(part, w -> w IN
-               ('the','a','of','and','is'))) AS s_en,
-             len(list_filter(part, w -> w IN
-               ('el','los','las','y','es'))) AS s_es,
-             len(list_filter(part, w -> w IN
-               ('le','la','les','et','est'))) AS s_fr,
-             len(list_filter(part, w -> w IN
-               ('的','是','了','在','和'))) AS s_zh
-           FROM p),
-         lg AS (SELECT doc_id, source,
-             CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0
-                 THEN 'und'
-               WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh)
-                 THEN 'de'
-               WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh)
-                 THEN 'en'
-               WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh)
-                 THEN 'es'
-               WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh)
-                 THEN 'fr'
-               ELSE 'zh' END AS plang
-           FROM sc),
-         per AS (SELECT doc_id, source,
-             COUNT(DISTINCT plang) AS nl
-           FROM lg GROUP BY 1, 2)
-         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(CASE WHEN nl = 1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_consistent,
-             CAST(SUM(CASE WHEN nl > 1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_mixed,
-             CAST(SUM(CASE WHEN nl > 1 THEN 1 ELSE 0 END) * 10000
-               // COUNT(*) AS BIGINT) AS mixed_bp
-         FROM per GROUP BY 1 ORDER BY 1""",
-    // q248: the q25 chain kept at J >= 0.5 where exactly one member
-    // is tombstoned (doc_id % 10 = 0); survivor named first.
-    "q248_tombstone_screen" ->
-      s"""$minhashCtes,
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM bands a JOIN bands b
-             ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         jac AS (SELECT id_a, id_b,
-             CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-               / CAST(len(x.shingles) + len(y.shingles)
-                   - len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-               AS jaccard
-           FROM cand JOIN s x ON cand.id_a = x.doc_id
-                     JOIN s y ON cand.id_b = y.doc_id)
-         SELECT CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END
-               AS surviving_doc,
-             CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END
-               AS tombstone_doc,
-             jaccard
-         FROM jac
-         WHERE jaccard >= 0.5 AND (id_a % 10 = 0) <> (id_b % 10 = 0)
-         ORDER BY surviving_doc, tombstone_doc""",
-    // q249: q239's round-1 grant plus one proportional-to-headroom
-    // redistribution of the total deficit, exact truncating integers.
-    "q249_budget_remix" ->
-      """WITH d AS (SELECT source, CAST(len(list_filter(
-             string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ntok
-           FROM documents),
-         s AS (SELECT source, SUM(ntok) AS avail FROM d GROUP BY 1),
-         t AS (SELECT SUM(avail) AS tot, COUNT(*) AS nsrc FROM s),
-         r1 AS (SELECT source, avail, tot * 2 // nsrc AS ideal,
-             least(((tot * 2 // nsrc) * 1000000) // avail, 4000000)
-               AS rp
-           FROM s, t),
-         r2 AS (SELECT source, avail, ideal,
-             avail * rp // 1000000 AS r1t,
-             ideal - avail * rp // 1000000 AS def,
-             avail * 4 - avail * rp // 1000000 AS hr
-           FROM r1),
-         g AS (SELECT SUM(def) AS td, SUM(hr) AS th FROM r2),
-         f AS (SELECT source, avail, r1t, hr,
-             least(hr, CASE WHEN th > 0 THEN td * hr // th
-               ELSE 0 END) AS extra
-           FROM r2, g)
-         SELECT source, CAST(avail AS BIGINT) AS avail_tokens,
-             CAST(r1t AS BIGINT) AS r1_tokens,
-             CAST(hr AS BIGINT) AS headroom_tokens,
-             CAST(extra AS BIGINT) AS extra_tokens,
-             CAST(r1t + extra AS BIGINT) AS final_tokens,
-             CAST((r1t + extra) * 1000000 // avail AS BIGINT)
-               AS final_repeats_ppm
-         FROM f ORDER BY source""",
-    // q250: per-language document frequencies over per-doc distinct
-    // tokens, kept at share >= 30%.
-    "q250_stopword_discovery" ->
-      """WITH dt AS (SELECT lang, doc_id, unnest(list_distinct(
-             list_filter(string_split(text, ' '), x -> x <> '')))
-             AS token
-           FROM documents),
-         nd AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
-         df AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS df
-           FROM dt GROUP BY 1, 2)
-         SELECT df.lang, token, df,
-             CAST(df * 10000 // nd.n AS BIGINT) AS share_bp
-         FROM df JOIN nd ON df.lang = nd.lang
-         WHERE df * 10000 // nd.n >= 3000
-         ORDER BY df.lang, share_bp DESC, token""",
-    // q251: the decoded-pixel contract recomputed in closed form from
-    // the generation rule — raster byte 3*(y*w+x)+c of doc id is
-    // (id*31 + 3*(y*w+x) + c) % 256; PNG is lossless, so the real
-    // ImageIO inflate+unfilter must reproduce exactly these sums.
-    "q251_png_decode" ->
-      """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w,
-             3 + doc_id % 4 AS h FROM documents),
-         px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS p
-           FROM dims),
-         v AS (SELECT doc_id, w, h, c,
-             (doc_id * 31 + 3 * p + c) % 256 AS val
-           FROM px, (SELECT unnest(range(0, 3)) AS c))
-         SELECT doc_id, CAST(w AS BIGINT) AS width,
-             CAST(h AS BIGINT) AS height,
-             CAST(SUM(CASE WHEN c = 0 THEN val ELSE 0 END) AS BIGINT)
-               AS r_sum,
-             CAST(SUM(CASE WHEN c = 1 THEN val ELSE 0 END) AS BIGINT)
-               AS g_sum,
-             CAST(SUM(CASE WHEN c = 2 THEN val ELSE 0 END) AS BIGINT)
-               AS b_sum
-         FROM v GROUP BY doc_id, w, h ORDER BY doc_id""",
-    // q252: the q193 blockhash replay pointed at the DECODED raster —
-    // byte i of doc id's w*h*3 raster is (id*31 + i) % 256.
-    "q252_png_blockhash" ->
-      """WITH dims AS (SELECT doc_id,
-             (4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS n
-           FROM documents),
-         ch AS (SELECT doc_id, n, (i * 60) // n AS c,
-             (doc_id * 31 + i) % 256 AS v
-           FROM dims, unnest(range(0, n)) u(i)),
-         cs AS (SELECT doc_id, c, CAST(SUM(v) AS BIGINT) AS s
-           FROM ch GROUP BY 1, 2),
-         tt AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS total
-           FROM ch GROUP BY 1),
-         fp AS (SELECT cs.doc_id,
-             CAST(SUM(CASE WHEN cs.s * 60 > tt.total
-               THEN (CAST(1 AS BIGINT) << cs.c) ELSE 0 END)
-               AS BIGINT) AS fp
-           FROM cs JOIN tt ON cs.doc_id = tt.doc_id GROUP BY 1)
-         SELECT d.doc_id, fp.fp, CAST(d.n AS BIGINT) AS n_bytes
-         FROM dims d JOIN fp ON d.doc_id = fp.doc_id
-         ORDER BY d.doc_id""",
-    // q253: shard generation (docs %7, >=50 tokens, 20-token overlap)
-    // + suffix-key = prefix-key stitch join, replayed end to end.
-    "q253_shard_stitch" ->
-      """WITH tk AS (SELECT doc_id,
-             list_filter(string_split(text, ' '), t -> t <> '') AS t
-           FROM documents),
-         sp AS (SELECT doc_id, t,
-             CAST(ceil(len(t) / 2.0) AS INT) AS m
-           FROM tk WHERE doc_id % 7 = 0 AND len(t) >= 50),
-         sh AS (SELECT doc_id * 2 AS shard_id, doc_id,
-             t[1 : m + 10] AS st FROM sp
-           UNION ALL
-           SELECT doc_id * 2 + 1, doc_id, t[m - 9 : len(t)] FROM sp),
-         k AS (SELECT shard_id, doc_id,
-             md5(array_to_string(st[1 : 20], ' ')) AS pk,
-             md5(array_to_string(st[len(st) - 19 : len(st)], ' '))
-               AS sk
-           FROM sh)
-         SELECT a.shard_id AS shard_a, b.shard_id AS shard_b,
-             a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM k a JOIN k b
-           ON a.sk = b.pk AND a.shard_id <> b.shard_id
-         ORDER BY shard_a, shard_b""",
-    // q254: hygiene stats over the engine's own 10^4 quantization;
-    // exact percentiles via quantile_cont (the q47 convention).
-    "q254_embedding_hygiene" ->
-      """WITH q AS (SELECT CAST(label AS BIGINT) AS label,
-             list_transform(embedding, x ->
-               CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5)
-                 AS BIGINT)) AS qv
-           FROM embeddings),
-         n AS (SELECT label, qv,
-             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)
-               AS qn,
-             md5(array_to_string(list_transform(qv,
-               x -> CAST(x AS VARCHAR)), ',')) AS h
-           FROM q),
-         d AS (SELECT label, CAST(SUM(c) AS BIGINT) AS n_dup_vecs
-           FROM (SELECT label, h, COUNT(*) AS c FROM n GROUP BY 1, 2)
-           WHERE c > 1 GROUP BY 1),
-         r AS (SELECT label, qn,
-             CAST(ROW_NUMBER() OVER (PARTITION BY label ORDER BY qn)
-               AS BIGINT) AS rn,
-             CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS nn
-           FROM n),
-         p AS (SELECT label,
-             MAX(CASE WHEN rn = CAST(floor((nn - 1) * 0.1) AS BIGINT)
-               + 1 THEN qn END) AS p10_qnorm,
-             MAX(CASE WHEN rn = CAST(floor((nn - 1) * 0.5) AS BIGINT)
-               + 1 THEN qn END) AS p50_qnorm,
-             MAX(CASE WHEN rn = CAST(floor((nn - 1) * 0.9) AS BIGINT)
-               + 1 THEN qn END) AS p90_qnorm
-           FROM r GROUP BY 1)
-         SELECT n.label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-             CAST(SUM(CASE WHEN len(list_filter(qv, x -> x <> 0)) = 0
-               THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vecs,
-             CAST(COALESCE(MAX(d.n_dup_vecs), 0) AS BIGINT)
-               AS n_dup_vecs,
-             MIN(qn) AS min_qnorm, MAX(qn) AS max_qnorm,
-             CAST(MAX(p.p10_qnorm) AS BIGINT) AS p10_qnorm,
-             CAST(MAX(p.p50_qnorm) AS BIGINT) AS p50_qnorm,
-             CAST(MAX(p.p90_qnorm) AS BIGINT) AS p90_qnorm
-         FROM n LEFT JOIN d ON n.label = d.label
-              JOIN p ON n.label = p.label
-         GROUP BY n.label ORDER BY n.label""",
-    // q255: staging NTILE batch membership + the identical canonical
-    // fingerprint join against the %97 tombstone fixture.
-    "q255_stream_tombstone" ->
-      """WITH ad AS (SELECT doc_id, text,
-             CAST(NTILE(3) OVER (ORDER BY doc_id) - 1 AS BIGINT)
-               AS batch_id
-           FROM documents),
-         fp AS (SELECT batch_id,
-             md5(regexp_replace(lower(trim(nfc_normalize(text))), '\s+', ' ', 'g'))
-               AS fp
-           FROM ad),
-         tomb AS (SELECT DISTINCT
-             md5(regexp_replace(lower(trim(nfc_normalize(text))), '\s+', ' ', 'g'))
-               AS fp
-           FROM documents WHERE doc_id % 97 = 0)
-         SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(CASE WHEN t.fp IS NULL THEN 0 ELSE 1 END)
-               AS BIGINT) AS n_blocked,
-             CAST((SUM(CASE WHEN t.fp IS NULL THEN 0 ELSE 1 END)
-               * 10000) // COUNT(*) AS BIGINT) AS blocked_bp
-         FROM fp LEFT JOIN tomb t ON fp.fp = t.fp
-         GROUP BY batch_id ORDER BY batch_id""",
-    // q256: before/added/after/recheck over distinct 3-gram hashes of
-    // the history (%5<>0) vs arriving (%5=0) splits.
-    "q256_incr_gram_history" ->
-      """WITH toks AS (SELECT doc_id,
-             string_split(text, ' ') AS t FROM documents),
-         g AS (SELECT doc_id,
-             unnest(list_distinct(list_transform(
-               range(1, greatest(len(t) - 2, 1) + 1),
-               i -> array_to_string(t[i:i+2], ' ')))) AS gram
-           FROM toks),
-         hist AS (SELECT DISTINCT gram FROM g WHERE doc_id % 5 <> 0),
-         arr AS (SELECT DISTINCT gram FROM g WHERE doc_id % 5 = 0),
-         novel AS (SELECT a.gram FROM arr a
-           LEFT JOIN hist h ON a.gram = h.gram WHERE h.gram IS NULL)
-         SELECT 'added' AS phase,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM novel) AS n_grams
-         UNION ALL
-         SELECT 'after',
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM hist)
-               + (SELECT COUNT(*) FROM novel)
-         UNION ALL
-         SELECT 'before',
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM hist)
-         UNION ALL
-         SELECT 'recheck_novel', CAST(0 AS BIGINT)
-         ORDER BY phase""",
-    // q257: volume + quantized mean quality + the q220 novelty legs +
-    // the q25 banded-minhash verified pairs rolled up within-source.
-    "q257_source_scorecard" -> sourceScorecardOracle,
-    // q258: event-time RANGE frame (60s trailing), per-user max, top-20.
-    "q258_bot_rate_screen" ->
-      """WITH e AS (SELECT user_id,
-             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms FROM events),
-         r AS (SELECT user_id, CAST(COUNT(*) OVER (
-               PARTITION BY user_id ORDER BY ms
-               RANGE BETWEEN 60000 PRECEDING AND CURRENT ROW)
-             AS BIGINT) AS rate
-           FROM e),
-         u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-             MAX(rate) AS max_rate_60s
-           FROM r GROUP BY 1)
-         SELECT user_id, n_events, max_rate_60s,
-             max_rate_60s > 30 AS superhuman
-         FROM u ORDER BY max_rate_60s DESC, user_id LIMIT 20""",
-    // q259: the q25 chain + exact-integer full-signature and 1-bit
-    // estimators beside exact Jaccard.
-    "q259_bbit_minhash" -> bbitMinhashOracle,
-    // q260: the q25 verified pairs + quantized endpoint qualities +
-    // the quality-max-ties-to-min-id representative policy.
-    "q260_canon_policy" -> canonPolicyOracle,
-    // q261: df-weighted Jaccard in exact truncating bp over the q25
-    // candidates, beside unweighted exact J.
-    "q261_weighted_jaccard" -> weightedJaccardOracle,
-    // q262: start-offset sharding over the exact running sum, 16 KiB
-    // payload budget.
-    "q262_byte_shard_plan" ->
-      """WITH c AS (SELECT doc_id, n_chars,
-             SUM(n_chars) OVER (ORDER BY doc_id
-               ROWS UNBOUNDED PRECEDING) AS cum
-           FROM documents)
-         SELECT CAST((cum - n_chars) // 16384 AS BIGINT) AS shard,
-             CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(n_chars) AS BIGINT) AS shard_bytes,
-             MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-         FROM c GROUP BY 1 ORDER BY 1""",
-    // q263: planted precomposed/decomposed twins collapse under the
-    // NFC fingerprint while their byte-level fingerprints still
-    // disagree (chr(224) = U+00E0, chr(768) = U+0300).
-    "q263_nfc_dedup" ->
-      """WITH base AS (SELECT doc_id, text FROM documents
-           WHERE doc_id % 7 = 0),
-         au AS (SELECT doc_id, text FROM base
-           UNION ALL
-           SELECT doc_id + 1000000, replace(text, 'a', chr(224))
-           FROM base
-           UNION ALL
-           SELECT doc_id + 2000000, replace(text, 'a', 'a' || chr(768))
-           FROM base),
-         f AS (SELECT doc_id,
-             md5(regexp_replace(lower(trim(nfc_normalize(text))),
-               '\s+', ' ', 'g')) AS fp,
-             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
-               AS raw_fp
-           FROM au)
-         SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(COUNT(DISTINCT raw_fp) AS BIGINT) AS n_raw_fps,
-             MIN(doc_id) AS first_doc
-         FROM f GROUP BY fp HAVING COUNT(*) > 1 ORDER BY first_doc""",
-    // q264: lossy decode — the portable columns are exact dims
-    // (closed-form) and the tolerance BOOLEAN (the q104 within-eps
-    // discipline); the error magnitude is spec-measured, not oracle'd
-    // (no cross-engine bit contract exists for a lossy codec).
-    "q264_jpeg_decode" ->
-      """SELECT doc_id,
-             CAST(16 + ((doc_id // 3) % 3) * 8 AS BIGINT) AS width,
-             CAST(16 + (doc_id % 2) * 8 AS BIGINT) AS height,
-             CAST((16 + ((doc_id // 3) % 3) * 8) * (16 + (doc_id % 2) * 8)
-               AS BIGINT) AS n_pixels,
-             TRUE AS within_tol
-         FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""",
-    // q265: the PNG-leg blockhash replays bit-exactly in SQL from the
-    // closed-form gradient raster (lossless decode — the q252
-    // discipline: channel 0 ramps on x, 1 on y, 2 flat per doc); the
-    // JPEG-leg proximity is the TRUE claim (spec-measured distances).
-    "q265_reencode_dedup" ->
-      """WITH dims AS (SELECT doc_id,
-             CAST(16 + ((doc_id // 3) % 3) * 8 AS BIGINT) AS w,
-             CAST(16 + (doc_id % 2) * 8 AS BIGINT) AS h
-           FROM documents WHERE doc_id % 3 = 0),
-         px AS (SELECT doc_id, w, h, i, (i // 3) % w AS x,
-             (i // 3) // w AS y, i % 3 AS c
-           FROM dims, unnest(range(0, w * h * 3)) u(i)),
-         ch AS (SELECT doc_id, w, h, (i * 60) // (w * h * 3) AS blk,
-             CASE c WHEN 0 THEN (x * 255) // (w - 1)
-                    WHEN 1 THEN (y * 255) // (h - 1)
-                    ELSE (doc_id * 37) % 256 END AS v
-           FROM px),
-         cs AS (SELECT doc_id, blk, CAST(SUM(v) AS BIGINT) AS s
-           FROM ch GROUP BY 1, 2),
-         tt AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS total
-           FROM ch GROUP BY 1),
-         fp AS (SELECT cs.doc_id,
-             CAST(SUM(CASE WHEN cs.s * 60 > tt.total
-               THEN 1::BIGINT << cs.blk ELSE 0 END) AS BIGINT) AS fp_png
-           FROM cs JOIN tt ON cs.doc_id = tt.doc_id GROUP BY cs.doc_id)
-         SELECT d.doc_id, d.w * d.h * 3 AS n_raster_bytes, fp.fp_png,
-             TRUE AS reencode_dedups
-         FROM dims d JOIN fp ON d.doc_id = fp.doc_id
-         ORDER BY d.doc_id""",
-    // q266: the q25 chain shingled on the canonical form, over the
-    // planted-twin corpus; exact raw-shingle J in bp beside it.
-    "q266_canon_neardup" -> canonNearDupOracle,
-    // q268: the q214 winnowing selection, df-capped [2,50], self-join
-    // within fingerprint groups, top-20 pairs.
-    "q268_winnow_pairs" ->
-      s"""$winnowSelCtes,
-         dfc AS (SELECT gram FROM sel GROUP BY gram
-           HAVING COUNT(*) BETWEEN 2 AND 50),
-         rare AS (SELECT s.doc_id, s.gram FROM sel s
-           JOIN dfc ON s.gram = dfc.gram),
-         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             CAST(COUNT(*) AS BIGINT) AS n_shared_fps
-           FROM rare a JOIN rare b
-             ON a.gram = b.gram AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-         SELECT id_a, id_b, n_shared_fps FROM p
-         ORDER BY n_shared_fps DESC, id_a, id_b LIMIT 20""",
-    // q269: lag-1..10 token self-match rates in exact bp, argmax with
-    // smallest-lag ties, top-20 worst.
-    "q269_repetition_loop" ->
-      """WITH tk AS (SELECT doc_id,
-             list_filter(string_split(text, ' '), t -> t <> '') AS tk
-           FROM documents),
-         f AS (SELECT doc_id, tk FROM tk WHERE len(tk) > 10),
-         l AS (SELECT doc_id, CAST(u.L AS BIGINT) AS lag,
-             CAST(len(list_filter(range(1, len(tk) - u.L + 1),
-                 i -> tk[i] = tk[i + u.L])) * 10000
-               // (len(tk) - u.L) AS BIGINT) AS bp
-           FROM f, unnest(range(1, 11)) u(L)),
-         a AS (SELECT doc_id, bp AS max_lag_bp, lag AS best_lag,
-             row_number() OVER (PARTITION BY doc_id
-               ORDER BY bp DESC, lag) AS rn
-           FROM l)
-         SELECT doc_id, max_lag_bp, best_lag,
-             max_lag_bp >= 3000 AS looped
-         FROM a WHERE rn = 1
-         ORDER BY max_lag_bp DESC, doc_id LIMIT 20""",
-    // q270: first-occurrence decile per distinct 3-gram hash (the E39
-    // gram convention), closed-form id-range deciles, running total.
-    "q270_vocab_growth" ->
-      """WITH n AS (SELECT COUNT(*) AS n FROM documents),
-         toks AS (SELECT doc_id, string_split(text, ' ') AS t
-           FROM documents),
-         g AS (SELECT doc_id,
-             unnest(list_distinct(list_transform(
-               range(1, greatest(len(t) - 2, 1) + 1),
-               i -> array_to_string(t[i:i+2], ' ')))) AS gram
-           FROM toks),
-         fs AS (SELECT md5(gram) AS gh, MIN(doc_id) AS doc_id
-           FROM g GROUP BY 1),
-         nd AS (SELECT CAST(doc_id * 10 // n.n + 1 AS BIGINT) AS decile,
-             CAST(COUNT(*) AS BIGINT) AS n_new_grams
-           FROM fs, n GROUP BY 1),
-         dd AS (SELECT CAST(doc_id * 10 // n.n + 1 AS BIGINT) AS decile,
-             CAST(COUNT(*) AS BIGINT) AS n_docs
-           FROM documents, n GROUP BY 1)
-         SELECT dd.decile, dd.n_docs,
-             COALESCE(nd.n_new_grams, 0) AS n_new_grams,
-             CAST(SUM(COALESCE(nd.n_new_grams, 0)) OVER (
-               ORDER BY dd.decile ROWS UNBOUNDED PRECEDING) AS BIGINT)
-               AS cum_grams
-         FROM dd LEFT JOIN nd ON dd.decile = nd.decile
-         ORDER BY dd.decile""",
-    // q271: three independent screen-impact legs — NFC-fp exact dedup,
-    // the q25 chain's larger-id drops, q101's dropped paragraphs —
-    // each replayed from its dedicated query's oracle idioms.
-    "q271_dedup_impact" ->
-      s"""$minhashCtes,
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM bands a JOIN bands b
-             ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         jac AS (SELECT id_a, id_b,
-             CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-               / CAST(len(x.shingles) + len(y.shingles)
-                   - len(list_intersect(x.shingles, y.shingles))
-                 AS DOUBLE) AS jaccard
-           FROM cand JOIN s x ON cand.id_a = x.doc_id
-                     JOIN s y ON cand.id_b = y.doc_id),
-         tok AS (SELECT doc_id, text,
-             CAST(len(list_filter(string_split(text, ' '),
-               t -> t <> '')) AS BIGINT) AS n_toks
-           FROM documents),
-         tot AS (SELECT SUM(n_toks) AS total FROM tok),
-         fpt AS (SELECT doc_id, n_toks,
-             md5(regexp_replace(lower(trim(nfc_normalize(text))),
-               '\\s+', ' ', 'g')) AS fp
-           FROM tok),
-         ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(COALESCE(SUM(f.n_toks), 0) AS BIGINT) AS t
-           FROM fpt f JOIN (SELECT fp, MIN(doc_id) AS rep
-             FROM fpt GROUP BY 1) r ON f.fp = r.fp
-           WHERE f.doc_id <> r.rep),
-         ndd AS (SELECT DISTINCT id_b FROM jac WHERE jaccard >= 0.5),
-         nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(COALESCE(SUM(tok.n_toks), 0) AS BIGINT) AS t
-           FROM ndd JOIN tok ON ndd.id_b = tok.doc_id),
-         ptoks AS (SELECT doc_id, string_split(text, ' ') AS t
-           FROM documents),
-         pp AS (SELECT doc_id, i - 1 AS par_idx,
-             trim(array_to_string(t[((i-1)*20+1):((i-1)*20+20)], ' '))
-               AS para
-           FROM ptoks, unnest(range(1,
-             greatest(CAST(ceil(len(t) / 20.0) AS BIGINT), 1) + 1)) u(i)),
-         np AS (SELECT * FROM pp WHERE para <> ''),
-         k AS (SELECT doc_id, para,
-             (row_number() OVER (PARTITION BY md5(nfc_normalize(para))
-                ORDER BY doc_id, par_idx) = 1) AS keep
-           FROM np),
-         pd AS (SELECT doc_id,
-             SUM(CAST(len(list_filter(string_split(para, ' '),
-               t -> t <> '')) AS BIGINT)) AS t
-           FROM k WHERE NOT keep GROUP BY doc_id),
-         pg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(COALESCE(SUM(t), 0) AS BIGINT) AS t FROM pd)
-         SELECT 'exact' AS screen, ex.n AS n_docs_affected,
-             ex.t AS n_tokens_removed,
-             CAST(ex.t * 10000 // tot.total AS BIGINT) AS removed_bp
-         FROM ex, tot
-         UNION ALL
-         SELECT 'near_dup', nd.n, nd.t,
-             CAST(nd.t * 10000 // tot.total AS BIGINT) FROM nd, tot
-         UNION ALL
-         SELECT 'paragraph', pg.n, pg.t,
-             CAST(pg.t * 10000 // tot.total AS BIGINT) FROM pg, tot
-         ORDER BY screen""",
-    // q272: the three screens' idioms (q220 grams, q214/q222 winnowing
-    // selection via the shared CTEs, q242/q263 canonical fp) composed
-    // into one per-eval-doc certificate row.
-    "q272_decontam_certificate" ->
-      s"""$winnowSelCtes,
-         toks AS (SELECT doc_id, string_split(text, ' ') AS t
-           FROM documents),
-         gr AS (SELECT doc_id,
-             unnest(list_distinct(list_transform(
-               range(1, greatest(len(t) - 2, 1) + 1),
-               i -> array_to_string(t[i:i+2], ' ')))) AS gram3
-           FROM toks),
-         cg AS (SELECT DISTINCT gram3 FROM gr WHERE doc_id % 50 <> 0),
-         la AS (SELECT e.doc_id,
-             CAST(COUNT(*) AS BIGINT) AS n_shared_grams
-           FROM gr e JOIN cg ON e.gram3 = cg.gram3
-           WHERE e.doc_id % 50 = 0 GROUP BY 1),
-         cf AS (SELECT DISTINCT gram FROM sel WHERE doc_id % 50 <> 0),
-         lb AS (SELECT e.doc_id,
-             CAST(COUNT(*) AS BIGINT) AS n_shared_fps
-           FROM sel e JOIN cf ON e.gram = cf.gram
-           WHERE e.doc_id % 50 = 0 GROUP BY 1),
-         cn AS (SELECT doc_id,
-             md5(regexp_replace(lower(trim(nfc_normalize(text))),
-               '\\s+', ' ', 'g')) AS fp
-           FROM documents),
-         ch AS (SELECT DISTINCT fp FROM cn WHERE doc_id % 50 <> 0),
-         lc AS (SELECT e.doc_id, (ch.fp IS NOT NULL) AS exact_canon_hit
-           FROM cn e LEFT JOIN ch ON e.fp = ch.fp
-           WHERE e.doc_id % 50 = 0)
-         SELECT lc.doc_id,
-             COALESCE(la.n_shared_grams, 0) AS n_shared_grams,
-             COALESCE(lb.n_shared_fps, 0) AS n_shared_fps,
-             lc.exact_canon_hit,
-             (COALESCE(la.n_shared_grams, 0) >= 5
-              OR COALESCE(lb.n_shared_fps, 0) >= 1
-              OR lc.exact_canon_hit) AS contaminated
-         FROM lc LEFT JOIN la ON lc.doc_id = la.doc_id
-                 LEFT JOIN lb ON lc.doc_id = lb.doc_id
-         ORDER BY lc.doc_id""",
-    // q273: exact top-1 integer-quantized cosine of each %50 eval
-    // vector against the corpus side (the q28 idiom), flag at 0.3.
-    "q273_semantic_contam" ->
-      s"""WITH $quantCte,
-         $qlistCte,
-         d AS (SELECT a.vec_id AS query_id, b.vec_id AS id_b,
-             CAST(list_inner_product(a.xs, b.xs) AS BIGINT) AS dot
-           FROM qv a, qv b
-           WHERE a.vec_id % 50 = 0 AND b.vec_id % 50 <> 0),
-         sm AS (SELECT query_id, id_b,
-             CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
-               * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
-           FROM d JOIN nrm na ON d.query_id = na.vec_id
-                  JOIN nrm nb ON d.id_b = nb.vec_id),
-         rk AS (SELECT query_id, id_b, sim, row_number() OVER
-             (PARTITION BY query_id ORDER BY sim DESC, id_b ASC) AS rank
-           FROM sm)
-         SELECT query_id, id_b AS neighbor_id, sim,
-             (sim >= 0.3) AS flagged
-         FROM rk WHERE rank = 1 ORDER BY query_id""",
-    // q274: the q216 recursive-CTE closure + the q260 quality-bp
-    // formula, argmax per component via row_number (q_bp desc, node).
-    "q274_canon_resolution" ->
-      s"""WITH RECURSIVE $dedupClusterCtes,
-         tk AS (SELECT doc_id, text,
-             list_filter(string_split(text, ' '), t -> t <> '') AS toks
-           FROM documents),
-         qq AS (SELECT doc_id, CAST(floor((
-               0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
-               + 0.3 * (1.0 - CAST(len(list_filter(toks,
-                     w -> w IN ('the','a','of','and','is')))
-                   AS DOUBLE) / CAST(len(toks) AS DOUBLE))
-               + 0.2 * least(((CAST(length(text) AS DOUBLE)
-                     - (CAST(len(toks) AS DOUBLE) - 1.0))
-                   / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0)
-             ) * 10000.0 + 0.5) AS BIGINT) AS q_bp
-           FROM tk),
-         lq AS (SELECT lab.cluster_rep, lab.node, qq.q_bp,
-             row_number() OVER (PARTITION BY lab.cluster_rep
-               ORDER BY qq.q_bp DESC, lab.node ASC) AS rn
-           FROM lab JOIN qq ON lab.node = qq.doc_id),
-         nm AS (SELECT cluster_rep, CAST(COUNT(*) AS BIGINT)
-             AS n_members FROM lq GROUP BY 1)
-         SELECT lq.cluster_rep, nm.n_members,
-             lq.node AS rep_quality_max, lq.q_bp AS rep_q_bp,
-             (lq.node <> lq.cluster_rep) AS policy_differs
-         FROM lq JOIN nm ON lq.cluster_rep = nm.cluster_rep
-         WHERE lq.rn = 1 ORDER BY lq.cluster_rep""",
-    // q275: the stored-IVF semantic screen's recall vs the exact flag
-    // set — the oracle RETRAINS the k=8/iters=2 coarse model in SQL
-    // (the q115/q129 cl_* chain: lowest-id seeding, (d, j) tie-break,
-    // truncating-division updates over ALL nonzero vectors), probes
-    // each %50 eval vector's 2 nearest cells, runs the in-cell exact
-    // cosine top-1, and compares against the q273 exact top-1 flags.
-    "q275_semantic_contam_ivf" ->
-      s"""WITH $quantCte,
-         $qlistCte,
-         qf AS (SELECT q.vec_id, q.i, q.x FROM q JOIN nrm USING (vec_id)),
-         ids_cl AS (SELECT vec_id,
-             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j
-           FROM nrm ORDER BY vec_id LIMIT 8),
-         cl_c0 AS (SELECT ids_cl.j, t.i, t.x FROM qf t
-           JOIN ids_cl USING (vec_id)),
-         cl_d1 AS (SELECT t.vec_id, c.j,
-             SUM((t.x - c.x) * (t.x - c.x)) AS d
-           FROM qf t JOIN cl_c0 c ON t.i = c.i GROUP BY 1, 2),
-         cl_a1 AS (SELECT vec_id, j AS cluster FROM (
-             SELECT vec_id, j, row_number() OVER
-               (PARTITION BY vec_id ORDER BY d, j) AS rn FROM cl_d1)
-           WHERE rn = 1),
-         cl_s1 AS (SELECT a.cluster, t.i, SUM(t.x) AS sx, COUNT(*) AS n
-           FROM qf t JOIN cl_a1 a USING (vec_id) GROUP BY 1, 2),
-         cl_c1 AS (SELECT c.j, c.i,
-             CAST(COALESCE(s.sx // s.n, c.x) AS BIGINT) AS x
-           FROM cl_c0 c LEFT JOIN cl_s1 s ON c.j = s.cluster AND c.i = s.i),
-         cl_d2 AS (SELECT t.vec_id, c.j,
-             SUM((t.x - c.x) * (t.x - c.x)) AS d
-           FROM qf t JOIN cl_c1 c ON t.i = c.i GROUP BY 1, 2),
-         cl_a2 AS (SELECT vec_id, j AS cluster FROM (
-             SELECT vec_id, j, row_number() OVER
-               (PARTITION BY vec_id ORDER BY d, j) AS rn FROM cl_d2)
-           WHERE rn = 1),
-         cl_s2 AS (SELECT a.cluster, t.i, SUM(t.x) AS sx, COUNT(*) AS n
-           FROM qf t JOIN cl_a2 a USING (vec_id) GROUP BY 1, 2),
-         cl_c2 AS (SELECT c.j, c.i,
-             CAST(COALESCE(s.sx // s.n, c.x) AS BIGINT) AS x
-           FROM cl_c1 c LEFT JOIN cl_s2 s ON c.j = s.cluster AND c.i = s.i),
-         cl_dfin AS (SELECT t.vec_id, c.j,
-             SUM((t.x - c.x) * (t.x - c.x)) AS d
-           FROM qf t JOIN cl_c2 c ON t.i = c.i GROUP BY 1, 2),
-         cl_afin AS (SELECT vec_id, j AS cluster FROM (
-             SELECT vec_id, j, row_number() OVER
-               (PARTITION BY vec_id ORDER BY d, j) AS rn FROM cl_dfin)
-           WHERE rn = 1),
-         probed AS (SELECT vec_id AS query_id, j AS cell FROM (
-             SELECT vec_id, j, row_number() OVER
-               (PARTITION BY vec_id ORDER BY d, j) AS rn FROM cl_dfin
-             WHERE vec_id % 50 = 0)
-           WHERE rn <= 2),
-         fined AS (SELECT p.query_id, ca.vec_id AS id_b,
-             CAST(list_inner_product(a.xs, b.xs) AS BIGINT) AS dot
-           FROM probed p
-           JOIN cl_afin ca ON ca.cluster = p.cell AND ca.vec_id % 50 <> 0
-           JOIN qv a ON a.vec_id = p.query_id
-           JOIN qv b ON b.vec_id = ca.vec_id),
-         fs AS (SELECT query_id, id_b, CAST(dot AS DOUBLE) /
-             (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)))
-               AS sim
-           FROM fined JOIN nrm na ON fined.query_id = na.vec_id
-                      JOIN nrm nb ON fined.id_b = nb.vec_id),
-         ivf1 AS (SELECT query_id, id_b, sim FROM (
-             SELECT query_id, id_b, sim, row_number() OVER
-               (PARTITION BY query_id ORDER BY sim DESC, id_b ASC) AS rn
-             FROM fs)
-           WHERE rn = 1),
-         exd AS (SELECT a.vec_id AS query_id, b.vec_id AS id_b,
-             CAST(list_inner_product(a.xs, b.xs) AS BIGINT) AS dot
-           FROM qv a, qv b
-           WHERE a.vec_id % 50 = 0 AND b.vec_id % 50 <> 0),
-         exs AS (SELECT query_id, id_b, CAST(dot AS DOUBLE) /
-             (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)))
-               AS sim
-           FROM exd JOIN nrm na ON exd.query_id = na.vec_id
-                    JOIN nrm nb ON exd.id_b = nb.vec_id),
-         ex1 AS (SELECT query_id, id_b, sim FROM (
-             SELECT query_id, id_b, sim, row_number() OVER
-               (PARTITION BY query_id ORDER BY sim DESC, id_b ASC) AS rn
-             FROM exs)
-           WHERE rn = 1),
-         agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
-             CAST(SUM(CASE WHEN e.sim >= 0.3 THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_flagged_exact,
-             CAST(SUM(CASE WHEN v.sim >= 0.3 THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_flagged_ivf,
-             CAST(SUM(CASE WHEN e.sim >= 0.3 AND v.sim >= 0.3
-               THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_hits,
-             CAST(SUM(CASE WHEN e.id_b = v.id_b THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_top1_hits
-           FROM ex1 e LEFT JOIN ivf1 v USING (query_id))
-         SELECT 'ivf_semantic' AS method, CAST(2 AS BIGINT) AS nprobe,
-             n_eval, n_flagged_exact, n_flagged_ivf, n_flag_hits,
-             CASE WHEN n_flagged_exact = 0 THEN 1.0
-               ELSE CAST(n_flag_hits AS DOUBLE)
-                 / CAST(n_flagged_exact AS DOUBLE) END AS flag_recall,
-             CAST(n_top1_hits AS DOUBLE) / CAST(n_eval AS DOUBLE)
-               AS top1_recall
-         FROM agg""",
-    // q280: the PNG fps replay closed-form (q277's px chain), the
-    // distinct-fp band graph + recursive-CTE closure is metadata-sized
-    // by construction (22 fps at sf1), and the keep policy is the
-    // q274 argmax.
-    "q280_raster_clusters" ->
-      """WITH RECURSIVE m AS (SELECT doc_id,
-             CAST(16 + ((doc_id // 3) % 3) * 8 AS BIGINT) AS w,
-             CAST(16 + (doc_id % 2) * 8 AS BIGINT) AS h,
-             text
-           FROM documents WHERE doc_id % 3 = 0),
-         px AS (SELECT doc_id, w, h, (i * 60) // (w * h * 3) AS blk,
-             CASE i % 3 WHEN 0 THEN (((i // 3) % w) * 255) // (w - 1)
-                        WHEN 1 THEN (((i // 3) // w) * 255) // (h - 1)
-                        ELSE (doc_id * 37) % 256 END AS v
-           FROM m, unnest(range(0, w * h * 3)) u(i)),
-         cs AS (SELECT doc_id, blk, CAST(SUM(v) AS BIGINT) AS s
-           FROM px GROUP BY 1, 2),
-         tt AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS total
-           FROM px GROUP BY 1),
-         fpt AS (SELECT cs.doc_id,
-             CAST(SUM(CASE WHEN cs.s * 60 > tt.total
-               THEN 1::BIGINT << cs.blk ELSE 0 END) AS BIGINT) AS fp
-           FROM cs JOIN tt ON cs.doc_id = tt.doc_id GROUP BY cs.doc_id),
-         dfp AS (SELECT DISTINCT fp FROM fpt),
-         bnd AS (SELECT fp, ((fp >> (b.b * 15)) & 32767) * 4 + b.b AS bk
-           FROM dfp, unnest(range(0, 4)) b(b)),
-         e AS (SELECT DISTINCT a.fp AS fa, c.fp AS fb
-           FROM bnd a JOIN bnd c ON a.bk = c.bk AND a.fp < c.fp
-           WHERE bit_count(xor(a.fp, c.fp)) <= 8),
-         sym AS (SELECT fa AS src, fb AS dst FROM e
-                 UNION SELECT fb, fa FROM e),
-         r AS (SELECT src AS node, dst AS peer FROM sym
-               UNION
-               SELECT r.node, s.dst FROM r JOIN sym s ON r.peer = s.src),
-         lab AS (SELECT node, LEAST(node, MIN(peer)) AS cluster_rep
-           FROM r GROUP BY node),
-         tk AS (SELECT doc_id, text,
-             list_filter(string_split(text, ' '), t -> t <> '') AS toks
-           FROM m),
-         qq AS (SELECT doc_id, CAST(floor((
-               0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
-               + 0.3 * (1.0 - CAST(len(list_filter(toks,
-                     w -> w IN ('the','a','of','and','is')))
-                   AS DOUBLE) / CAST(len(toks) AS DOUBLE))
-               + 0.2 * least(((CAST(length(text) AS DOUBLE)
-                     - (CAST(len(toks) AS DOUBLE) - 1.0))
-                   / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0)
-             ) * 10000.0 + 0.5) AS BIGINT) AS q_bp
-           FROM tk),
-         dl AS (SELECT f.doc_id, f.fp,
-             COALESCE(l.cluster_rep, f.fp) AS cluster_rep, q.q_bp
-           FROM fpt f LEFT JOIN lab l ON f.fp = l.node
-           JOIN qq q ON f.doc_id = q.doc_id),
-         win AS (SELECT cluster_rep, doc_id, q_bp, row_number() OVER
-             (PARTITION BY cluster_rep ORDER BY q_bp DESC, doc_id ASC)
-             AS rn
-           FROM dl),
-         agg AS (SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fps
-           FROM dl GROUP BY 1)
-         SELECT a.cluster_rep, a.n_docs, a.n_fps,
-             w.doc_id AS kept_doc, w.q_bp AS kept_q_bp
-         FROM agg a JOIN win w
-           ON a.cluster_rep = w.cluster_rep AND w.rn = 1
-         ORDER BY a.cluster_rep""",
-    // q279: exact-integer ordered-band EMD per QI group vs the corpus
-    // (prefix |Δ| cross-multiplied sums — pure int64, `//` mirrors
-    // Spark's div), three generalization rungs, t = 1000 bp.
-    "q279_t_closeness" ->
-      """WITH b AS (SELECT c_nationkey, c_mktsegment, n_regionkey,
-             CASE WHEN CAST(c_acctbal AS DECIMAL(18,2)) < 0 THEN 0
-                  WHEN CAST(c_acctbal AS DECIMAL(18,2)) < 5000 THEN 1
-                  ELSE 2 END AS band
-           FROM customer JOIN nation ON c_nationkey = n_nationkey),
-         corpus AS (SELECT
-             SUM(CASE WHEN band = 0 THEN 1 ELSE 0 END) AS c0,
-             SUM(CASE WHEN band = 1 THEN 1 ELSE 0 END) AS c1,
-             COUNT(*) AS c FROM b),
-         g0 AS (SELECT c_nationkey, c_mktsegment,
-             SUM(CASE WHEN band = 0 THEN 1 ELSE 0 END) AS g0,
-             SUM(CASE WHEN band = 1 THEN 1 ELSE 0 END) AS g1,
-             SUM(CASE WHEN band = 2 THEN 1 ELSE 0 END) AS g2,
-             COUNT(*) AS gg
-           FROM b GROUP BY 1, 2),
-         g1 AS (SELECT n_regionkey, c_mktsegment,
-             SUM(CASE WHEN band = 0 THEN 1 ELSE 0 END) AS g0,
-             SUM(CASE WHEN band = 1 THEN 1 ELSE 0 END) AS g1,
-             SUM(CASE WHEN band = 2 THEN 1 ELSE 0 END) AS g2,
-             COUNT(*) AS gg
-           FROM b GROUP BY 1, 2),
-         g2 AS (SELECT n_regionkey,
-             SUM(CASE WHEN band = 0 THEN 1 ELSE 0 END) AS g0,
-             SUM(CASE WHEN band = 1 THEN 1 ELSE 0 END) AS g1,
-             SUM(CASE WHEN band = 2 THEN 1 ELSE 0 END) AS g2,
-             COUNT(*) AS gg
-           FROM b GROUP BY 1),
-         e0 AS (SELECT gg,
-             (CASE WHEN g0 > 0 THEN 1 ELSE 0 END
-              + CASE WHEN g1 > 0 THEN 1 ELSE 0 END
-              + CASE WHEN g2 > 0 THEN 1 ELSE 0 END) AS l_distinct,
-             (abs(g0 * c - c0 * gg) + abs((g0 + g1) * c - (c0 + c1) * gg))
-               * 10000 // (2 * gg * c) AS emd_bp
-           FROM g0, corpus),
-         e1 AS (SELECT gg,
-             (CASE WHEN g0 > 0 THEN 1 ELSE 0 END
-              + CASE WHEN g1 > 0 THEN 1 ELSE 0 END
-              + CASE WHEN g2 > 0 THEN 1 ELSE 0 END) AS l_distinct,
-             (abs(g0 * c - c0 * gg) + abs((g0 + g1) * c - (c0 + c1) * gg))
-               * 10000 // (2 * gg * c) AS emd_bp
-           FROM g1, corpus),
-         e2 AS (SELECT gg,
-             (CASE WHEN g0 > 0 THEN 1 ELSE 0 END
-              + CASE WHEN g1 > 0 THEN 1 ELSE 0 END
-              + CASE WHEN g2 > 0 THEN 1 ELSE 0 END) AS l_distinct,
-             (abs(g0 * c - c0 * gg) + abs((g0 + g1) * c - (c0 + c1) * gg))
-               * 10000 // (2 * gg * c) AS emd_bp
-           FROM g2, corpus)
-         SELECT CAST(0 AS BIGINT) AS level, 'nation,segment' AS qi,
-             CAST(COUNT(*) AS BIGINT) AS n_groups,
-             CAST(SUM(CASE WHEN emd_bp > 1000 THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_t_fail,
-             CAST(SUM(CASE WHEN l_distinct >= 3 AND emd_bp > 1000
-               THEN 1 ELSE 0 END) AS BIGINT) AS n_ldiv_ok_t_fail,
-             CAST(MAX(emd_bp) AS BIGINT) AS max_emd_bp
-         FROM e0
-         UNION ALL
-         SELECT CAST(1 AS BIGINT), 'region,segment',
-             CAST(COUNT(*) AS BIGINT),
-             CAST(SUM(CASE WHEN emd_bp > 1000 THEN 1 ELSE 0 END)
-               AS BIGINT),
-             CAST(SUM(CASE WHEN l_distinct >= 3 AND emd_bp > 1000
-               THEN 1 ELSE 0 END) AS BIGINT),
-             CAST(MAX(emd_bp) AS BIGINT)
-         FROM e1
-         UNION ALL
-         SELECT CAST(2 AS BIGINT), 'region',
-             CAST(COUNT(*) AS BIGINT),
-             CAST(SUM(CASE WHEN emd_bp > 1000 THEN 1 ELSE 0 END)
-               AS BIGINT),
-             CAST(SUM(CASE WHEN l_distinct >= 3 AND emd_bp > 1000
-               THEN 1 ELSE 0 END) AS BIGINT),
-             CAST(MAX(emd_bp) AS BIGINT)
-         FROM e2
-         ORDER BY level""",
-    // q278: the oracle re-plants the marker corpus (marker lists from
-    // the same stopwordProfiles constant — one source of truth),
-    // re-derives the per-language profiles from the training split
-    // (the q250 discovery SQL) and re-scores the held-out split —
-    // token-occurrence counts per (doc, lang), argmax ties to lang
-    // ASC, no-hit docs fall back to 'und' — so a green row proves
-    // stored-model scoring ≡ inline-trained scoring.
-    "q278_stored_lang_id" -> storedLangIdOracle,
-    // q277: the PNG-leg blockhash replays bit-exactly from the
-    // closed-form gradient (q252/q265/q267's px CTE); the JPEG-leg
-    // raster proximity is the TRUE claim (spec-measured, no
-    // cross-engine bit contract for a lossy codec); caption canonical
-    // fps (q263's form) and the q274 quality formula replay exactly.
-    "q277_pair_curation" ->
-      """WITH m AS (SELECT doc_id,
-             CAST(16 + ((doc_id // 3) % 3) * 8 AS BIGINT) AS w,
-             CAST(16 + (doc_id % 2) * 8 AS BIGINT) AS h,
-             text
-           FROM documents WHERE doc_id % 3 = 0),
-         px AS (SELECT doc_id, w, h, (i * 60) // (w * h * 3) AS blk,
-             CASE i % 3 WHEN 0 THEN (((i // 3) % w) * 255) // (w - 1)
-                        WHEN 1 THEN (((i // 3) // w) * 255) // (h - 1)
-                        ELSE (doc_id * 37) % 256 END AS v
-           FROM m, unnest(range(0, w * h * 3)) u(i)),
-         cs AS (SELECT doc_id, blk, CAST(SUM(v) AS BIGINT) AS s
-           FROM px GROUP BY 1, 2),
-         tt AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS total
-           FROM px GROUP BY 1),
-         fp AS (SELECT cs.doc_id,
-             CAST(SUM(CASE WHEN cs.s * 60 > tt.total
-               THEN 1::BIGINT << cs.blk ELSE 0 END) AS BIGINT) AS fp
-           FROM cs JOIN tt ON cs.doc_id = tt.doc_id GROUP BY cs.doc_id),
-         cap AS (SELECT doc_id, text AS cap_a,
-             CASE WHEN (doc_id // 3) % 2 = 0
-               THEN text || ' alternate caption variant'
-               ELSE substr(text, 1, greatest(length(text) // 2, 1))
-             END AS cap_b FROM m),
-         cq AS (SELECT doc_id,
-             md5(regexp_replace(lower(trim(nfc_normalize(cap_a))),
-               '\s+', ' ', 'g')) AS cfa,
-             md5(regexp_replace(lower(trim(nfc_normalize(cap_b))),
-               '\s+', ' ', 'g')) AS cfb,
-             list_filter(string_split(cap_a, ' '), t -> t <> '') AS ta,
-             list_filter(string_split(cap_b, ' '), t -> t <> '') AS tb,
-             cap_a, cap_b
-           FROM cap),
-         qq AS (SELECT doc_id, cfa, cfb,
-             CAST(floor((
-               0.5 * least(CAST(len(ta) AS DOUBLE) / 100.0, 1.0)
-               + 0.3 * (1.0 - CAST(len(list_filter(ta,
-                     w -> w IN ('the','a','of','and','is')))
-                   AS DOUBLE) / CAST(len(ta) AS DOUBLE))
-               + 0.2 * least(((CAST(length(cap_a) AS DOUBLE)
-                     - (CAST(len(ta) AS DOUBLE) - 1.0))
-                   / CAST(len(ta) AS DOUBLE)) / 8.0, 1.0)
-             ) * 10000.0 + 0.5) AS BIGINT) AS q_a,
-             CAST(floor((
-               0.5 * least(CAST(len(tb) AS DOUBLE) / 100.0, 1.0)
-               + 0.3 * (1.0 - CAST(len(list_filter(tb,
-                     w -> w IN ('the','a','of','and','is')))
-                   AS DOUBLE) / CAST(len(tb) AS DOUBLE))
-               + 0.2 * least(((CAST(length(cap_b) AS DOUBLE)
-                     - (CAST(len(tb) AS DOUBLE) - 1.0))
-                   / CAST(len(tb) AS DOUBLE)) / 8.0, 1.0)
-             ) * 10000.0 + 0.5) AS BIGINT) AS q_b
-           FROM cq)
-         SELECT q.doc_id AS base_id, q.doc_id + 1000000 AS twin_id,
-             f.fp AS fp_base, TRUE AS raster_match,
-             (q.cfa <> q.cfb) AS caption_differs,
-             CASE WHEN q.q_b > q.q_a THEN q.doc_id + 1000000
-               ELSE q.doc_id END AS kept_id,
-             CASE WHEN q.q_b > q.q_a THEN q.q_b ELSE q.q_a END
-               AS kept_q_bp,
-             CASE WHEN q.q_b > q.q_a THEN q.doc_id
-               ELSE q.doc_id + 1000000 END AS dropped_id
-         FROM qq q JOIN fp f ON q.doc_id = f.doc_id
-         ORDER BY base_id""",
-    // q267: closed-form gradient blockhash per media doc (the q265
-    // fp replay), staging NTILE batches, broadcast blocklist join.
-    "q267_stream_media_screen" ->
-      """WITH m AS (SELECT doc_id,
-             CAST(16 + ((doc_id // 3) % 3) * 8 AS BIGINT) AS w,
-             CAST(16 + (doc_id % 2) * 8 AS BIGINT) AS h,
-             CAST(NTILE(3) OVER (ORDER BY doc_id) - 1 AS BIGINT)
-               AS batch_id
-           FROM documents WHERE doc_id % 3 = 0),
-         px AS (SELECT doc_id, w, h, (i * 60) // (w * h * 3) AS blk,
-             CASE i % 3 WHEN 0 THEN (((i // 3) % w) * 255) // (w - 1)
-                        WHEN 1 THEN (((i // 3) // w) * 255) // (h - 1)
-                        ELSE (doc_id * 37) % 256 END AS v
-           FROM m, unnest(range(0, w * h * 3)) u(i)),
-         cs AS (SELECT doc_id, blk, CAST(SUM(v) AS BIGINT) AS s
-           FROM px GROUP BY 1, 2),
-         tt AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS total
-           FROM px GROUP BY 1),
-         fp AS (SELECT cs.doc_id,
-             CAST(SUM(CASE WHEN cs.s * 60 > tt.total
-               THEN 1::BIGINT << cs.blk ELSE 0 END) AS BIGINT) AS fp
-           FROM cs JOIN tt ON cs.doc_id = tt.doc_id GROUP BY cs.doc_id),
-         bl AS (SELECT DISTINCT fp AS bfp FROM fp WHERE doc_id % 41 = 0),
-         bb AS (SELECT bfp, ((bfp >> (b.b * 15)) & 32767) * 4 + b.b AS bk
-           FROM bl, unnest(range(0, 4)) b(b)),
-         ab AS (SELECT fp.doc_id, fp.fp,
-             ((fp.fp >> (b.b * 15)) & 32767) * 4 + b.b AS bk
-           FROM fp, unnest(range(0, 4)) b(b)),
-         hits AS (SELECT DISTINCT ab.doc_id
-           FROM ab JOIN bb ON ab.bk = bb.bk
-           WHERE bit_count(xor(ab.fp, bb.bfp)) <= 8)
-         SELECT m.batch_id, CAST(COUNT(*) AS BIGINT) AS n_media,
-             CAST(SUM(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END)
-               AS BIGINT) AS n_blocked,
-             CAST((SUM(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END)
-               * 10000) // COUNT(*) AS BIGINT) AS blocked_bp
-         FROM m LEFT JOIN hits h ON m.doc_id = h.doc_id
-         GROUP BY m.batch_id ORDER BY m.batch_id""",
-    "q127_copurchase" ->
-      """WITH cs AS (SELECT DISTINCT o_custkey AS cust,
-             l_suppkey AS supp
-           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         tot AS (SELECT COUNT(DISTINCT cust) AS n FROM cs),
-         sup AS (SELECT supp, COUNT(*) AS c FROM cs GROUP BY 1),
-         p AS (SELECT a.supp AS supp_a, b.supp AS supp_b,
-             COUNT(*) AS cnt_ab
-           FROM cs a JOIN cs b ON a.cust = b.cust AND a.supp < b.supp
-           GROUP BY 1, 2),
-         top AS (SELECT p.supp_a, p.supp_b, p.cnt_ab,
-             sa.c AS cnt_a, sb.c AS cnt_b
-           FROM p JOIN sup sa ON p.supp_a = sa.supp
-                JOIN sup sb ON p.supp_b = sb.supp
-           ORDER BY p.cnt_ab DESC, p.supp_a, p.supp_b LIMIT 20)
-         SELECT supp_a, supp_b, cnt_ab, cnt_a, cnt_b,
-             CAST(cnt_ab AS DOUBLE) / CAST(n AS DOUBLE) AS support,
-             CAST(cnt_ab AS DOUBLE) / CAST(cnt_a AS DOUBLE)
-               AS confidence,
-             CAST(cnt_ab AS DOUBLE) * CAST(n AS DOUBLE)
-               / (CAST(cnt_a AS DOUBLE) * CAST(cnt_b AS DOUBLE)) AS lift
-         FROM top, tot
-         ORDER BY cnt_ab DESC, supp_a, supp_b""",
-    // q283: every decoded number recomputed from the generation rule —
-    // the closed-form sawtooth (id·31 + 7j) mod 4096 − 2048 per sample,
-    // zero-crossings via the (j, j−1) pair BOTH computed closed-form
-    // (no window), frame energies grouped on j // 100, peak frame via
-    // ROW_NUMBER(energy DESC, f) — the decoder's strict-> tie rule.
-    "q283_wav_decode" ->
-      """WITH dims AS (SELECT doc_id,
-             400 + (doc_id % 7) * 100 + (doc_id % 53) AS n,
-             8000 + (doc_id % 3) * 4000 AS rate FROM documents),
-         sm AS (SELECT doc_id, n, rate, unnest(range(0, n)) AS j
-           FROM dims),
-         v AS (SELECT doc_id, n, rate, j,
-             (doc_id * 31 + 7 * j) % 4096 - 2048 AS s,
-             CASE WHEN j > 0
-               THEN (doc_id * 31 + 7 * (j - 1)) % 4096 - 2048 END AS p
-           FROM sm),
-         fe AS (SELECT doc_id, j // 100 AS f,
-             CAST(SUM(s * s) AS BIGINT) AS energy
-           FROM v GROUP BY 1, 2),
-         pk AS (SELECT doc_id, f, energy, ROW_NUMBER() OVER (
-               PARTITION BY doc_id ORDER BY energy DESC, f) AS rn
-           FROM fe),
-         agg AS (SELECT doc_id, MAX(n) AS n, MAX(rate) AS rate,
-             CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
-             CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
-             CAST(SUM(CASE WHEN j > 0 AND ((s >= 0) <> (p >= 0))
-               THEN 1 ELSE 0 END) AS BIGINT) AS zc
-           FROM v GROUP BY 1)
-         SELECT a.doc_id, CAST(a.rate AS BIGINT) AS sample_rate,
-             CAST(a.n AS BIGINT) AS n_samples, a.sum_abs, a.peak_abs,
-             a.zc AS zero_crossings,
-             CAST((a.n + 99) // 100 AS BIGINT) AS n_frames,
-             CAST(p.f AS BIGINT) AS peak_frame_idx,
-             p.energy AS peak_frame_energy
-         FROM agg a JOIN pk p ON a.doc_id = p.doc_id AND p.rn = 1
-         ORDER BY a.doc_id""",
-    // q284: every decoded plane byte recomputed from the generation
-    // rule (id·31 + 5f + k) mod 96 (+160 from the cut frame on), the
-    // Y-plane restricted to k < w·h, the cut rule replayed with LAG,
-    // brightest frame via ROW_NUMBER(ysum DESC, f) — the decoder's
-    // strict-> tie rule.
-    "q284_y4m_scenes" ->
-      """WITH dims AS (SELECT doc_id, 4 + doc_id % 3 AS w,
-             3 + doc_id % 2 AS h, 6 + doc_id % 5 AS nf,
-             CASE WHEN doc_id % 4 = 0 THEN -1
-               ELSE (6 + doc_id % 5) // 2 END AS cut
-           FROM documents),
-         fr AS (SELECT doc_id, w, h, nf, cut, unnest(range(0, nf)) AS f
-           FROM dims),
-         px AS (SELECT doc_id, w, h, nf, cut, f,
-             unnest(range(0, 3 * w * h)) AS k
-           FROM fr),
-         v AS (SELECT doc_id, w, h, nf, cut, f, k,
-             (doc_id * 31 + 5 * f + k) % 96
-               + CASE WHEN cut >= 0 AND f >= cut THEN 160 ELSE 0 END
-               AS val
-           FROM px),
-         ys AS (SELECT doc_id, w, h, nf, f,
-             CAST(SUM(CASE WHEN k < w * h THEN val ELSE 0 END) AS BIGINT)
-               AS ysum,
-             CAST(SUM(val) AS BIGINT) AS allsum
-           FROM v GROUP BY 1, 2, 3, 4, 5),
-         lagd AS (SELECT doc_id, w, h, nf, f, ysum, allsum,
-             LAG(ysum) OVER (PARTITION BY doc_id ORDER BY f) AS prev
-           FROM ys),
-         mx AS (SELECT doc_id, f, ROW_NUMBER() OVER (PARTITION BY doc_id
-               ORDER BY ysum DESC, f) AS rn
-           FROM ys),
-         agg AS (SELECT doc_id, MAX(w) AS w, MAX(h) AS h, MAX(nf) AS nf,
-             SUM(allsum) AS y_total,
-             CAST(SUM(CASE WHEN prev IS NOT NULL
-                 AND ABS(ysum - prev) > 48 * w * h
-               THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
-             COALESCE(MIN(CASE WHEN prev IS NOT NULL
-                 AND ABS(ysum - prev) > 48 * w * h
-               THEN f END), -1) AS cut_frame
-           FROM lagd GROUP BY 1)
-         SELECT a.doc_id, CAST(a.w AS BIGINT) AS width,
-             CAST(a.h AS BIGINT) AS height, CAST(a.nf AS BIGINT) AS n_frames,
-             CAST(a.y_total AS BIGINT) AS y_total,
-             CAST(m.f AS BIGINT) AS max_y_frame, a.n_cuts,
-             CAST(a.cut_frame AS BIGINT) AS cut_frame
-         FROM agg a JOIN mx m ON a.doc_id = m.doc_id AND m.rn = 1
-         ORDER BY a.doc_id""",
-    // q285: the page construction AND the extraction chain replayed
-    // verbatim — same element-wise render rules, same ordered
-    // regexp_replace chain (inline (?s) dotall, 'g' global), same
-    // truncating integer division for the markup share.
-    "q285_html_extract" ->
-      """WITH src AS (SELECT doc_id, text,
-             array_to_string(list_transform(string_split(text, ' '),
-               w -> (CASE WHEN length(w) % 3 = 0
-                   THEN '<b>' || w || '</b>' ELSE w END) ||
-                 (CASE WHEN length(w) % 4 = 0 THEN '&#32;'
-                   ELSE ' ' END)), '') AS rendered
-           FROM documents),
-         page AS (SELECT doc_id, text,
-             '<!DOCTYPE html><html><!-- graft crawler snapshot -->'
-               || '<head><title>doc ' || doc_id
-               || '</title><style>p { color: #222; }</style></head>'
-               || '<body><script>var doc = ' || doc_id
-               || ';</script><p>' || rendered || '</p>'
-               || CASE WHEN doc_id % 10 = 0
-                 THEN '<footer>copyright 2026 example corp</footer>'
-                 ELSE '' END
-               || '</body></html>' AS html
-           FROM src),
-         ext AS (SELECT doc_id, text, html,
-             trim(regexp_replace(regexp_replace(regexp_replace(
-               regexp_replace(regexp_replace(regexp_replace(
-               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-                 html,
-                 '(?s)<!--.*?-->', '', 'g'),
-                 '(?s)<head>.*?</head>', '', 'g'),
-                 '(?s)<script[^>]*>.*?</script>', '', 'g'),
-                 '(?s)<style[^>]*>.*?</style>', '', 'g'),
-                 '<[^>]*>', ' ', 'g'),
-                 '&#32;', ' ', 'g'),
-                 '&lt;', '<', 'g'),
-                 '&gt;', '>', 'g'),
-                 '&amp;', '&', 'g'),
-               '\s+', ' ', 'g')) AS extracted
-           FROM page)
-         SELECT doc_id, CAST(length(html) AS BIGINT) AS html_len,
-             CAST(length(extracted) AS BIGINT) AS extracted_len,
-             CAST((length(html) - length(replace(html, '<b>', ''))) // 3
-               AS BIGINT) AS n_bold,
-             CAST(CAST(length(html) - length(extracted) AS BIGINT)
-               * 10000 // CAST(length(html) AS BIGINT) AS BIGINT)
-               AS markup_bp,
-             extracted = text AS clean
-         FROM ext ORDER BY doc_id""",
-    // q286: the oracle RETRAINS the token-vote model in SQL from the
-    // same closed-form plants — identical smoothed cross-multiplied
-    // vote rule, identical occurrence scoring — so stored-model
-    // scoring ≡ inline-trained scoring through the parquet roundtrip.
-    "q286_quality_classifier" -> qualityClassifierOracle,
-    // q288 SHARES q286's oracle verbatim: counts are additive, so the
-    // stored-base + arriving-batch merge trains the SAME model as the
-    // from-scratch retrain over doc_id % 10 <> 0 — the q103/q276
-    // incremental≡batch shared-oracle discipline on the model axis.
-    "q288_incr_classifier" -> qualityClassifierOracle,
-    // q287: the quantized-cosine arithmetic replayed exactly (shared
-    // quantCte), the swap plant closed-form, zero-norm exclusion via
-    // the nrm joins on BOTH pair sides.
-    "q287_pair_alignment" ->
-      s"""WITH $quantCte,
-         pr AS (SELECT n.vec_id AS pair_id,
-             CASE WHEN n.vec_id % 13 = 0 THEN n.vec_id + 1
-               ELSE n.vec_id END AS cap_src
-           FROM nrm n),
-         d AS (SELECT p.pair_id, p.cap_src, SUM(a.x * b.x) AS dot
-           FROM pr p JOIN q a ON a.vec_id = p.pair_id
-             JOIN q b ON b.vec_id = p.cap_src AND a.i = b.i
-           GROUP BY 1, 2),
-         sm AS (SELECT d.pair_id, d.cap_src,
-             CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
-               * sqrt(CAST(nb.nn AS DOUBLE))) AS alignment
-           FROM d JOIN nrm na ON d.pair_id = na.vec_id
-                  JOIN nrm nb ON d.cap_src = nb.vec_id)
-         SELECT pair_id, cap_src, cap_src <> pair_id AS swapped,
-             alignment, alignment >= 0.9 AS kept
-         FROM sm ORDER BY pair_id""",
-    // q289: all three budgets replayed from the quantization CTE
-    // restricted to i <= d — same slice-prefix arithmetic, same
-    // zero-norm exclusion per budget, same (sim DESC, id) top-3 rule,
-    // same double division for recall.
-    "q289_dim_truncation" ->
-      """WITH qq AS (SELECT vec_id, i,
-             CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0 + 0.5)
-               AS BIGINT) AS x
-           FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
-         dd(d) AS (VALUES (16), (32), (64)),
-         qd AS (SELECT d, vec_id, i, x FROM qq, dd WHERE i <= d),
-         nrm AS (SELECT d, vec_id, SUM(x * x) AS nn FROM qd
-           GROUP BY 1, 2 HAVING SUM(x * x) > 0),
-         dt AS (SELECT a.d, a.vec_id AS query_id, b.vec_id AS id_b,
-             SUM(a.x * b.x) AS dot
-           FROM qd a JOIN qd b ON a.i = b.i AND a.d = b.d
-           WHERE a.vec_id % 50 = 0 AND b.vec_id % 50 <> 0
-             AND a.vec_id IN (SELECT vec_id FROM nrm n2
-               WHERE n2.d = a.d)
-             AND b.vec_id IN (SELECT vec_id FROM nrm n3
-               WHERE n3.d = b.d)
-           GROUP BY 1, 2, 3),
-         sm AS (SELECT dt.d, dt.query_id, dt.id_b,
-             CAST(dt.dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
-               * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
-           FROM dt JOIN nrm na
-               ON dt.d = na.d AND dt.query_id = na.vec_id
-             JOIN nrm nb ON dt.d = nb.d AND dt.id_b = nb.vec_id),
-         rk AS (SELECT d, query_id, id_b, row_number() OVER (
-               PARTITION BY d, query_id
-               ORDER BY sim DESC, id_b ASC) AS rn
-           FROM sm),
-         t3 AS (SELECT d, query_id, id_b FROM rk WHERE rn <= 3),
-         ex AS (SELECT query_id, id_b FROM t3 WHERE d = 64),
-         nq AS (SELECT d, COUNT(DISTINCT query_id) AS n_q FROM t3
-           GROUP BY 1),
-         hits AS (SELECT t3.d, COUNT(*) AS n_hits FROM t3
-           JOIN ex USING (query_id, id_b) GROUP BY 1)
-         SELECT CAST(nq.d AS BIGINT) AS dims,
-             CAST(nq.n_q AS BIGINT) AS n_q,
-             CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
-             CAST(COALESCE(hits.n_hits, 0) AS DOUBLE)
-               / (3.0 * CAST(nq.n_q AS DOUBLE)) AS recall
-         FROM nq LEFT JOIN hits ON nq.d = hits.d ORDER BY dims""",
-    // q290: BOTH envelope fingerprints replayed bit-exactly from the
-    // closed-form modulated recording (half leg: sample 2k of the full
-    // rule, bins over m = n // 2), the q193 fp-bit idiom, truncating
-    // // for the gain scale (DuckDB // truncates like Java — the q87
-    // measurement).
-    "q290_audio_neardup" ->
-      """WITH dims AS (SELECT doc_id,
-             2000 + (doc_id % 7) * 500 + (doc_id % 53) AS n
-           FROM documents),
-         fj AS (SELECT doc_id, n, unnest(range(0, n)) AS j FROM dims),
-         fv AS (SELECT doc_id, (j * 60) // n AS b,
-             (doc_id * 60 + (j * 60) // n + 1) * 2654435761
-               % 4294967296 AS h0,
-             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
-             xor(h1, h1 >> 13) % 6 AS m,
-             ABS(((doc_id * 31 + 997 * j) % 4096 - 2048)
-               * (1 + m + CASE WHEN m >= 3 THEN 5 ELSE 0 END) // 8) AS a
-           FROM fj),
-         fbin AS (SELECT doc_id, b, CAST(SUM(a) AS BIGINT) AS s
-           FROM fv GROUP BY 1, 2),
-         ftot AS (SELECT doc_id, CAST(SUM(a) AS BIGINT) AS total
-           FROM fv GROUP BY 1),
-         ffp AS (SELECT fbin.doc_id,
-             CAST(SUM(CASE WHEN fbin.s * 60 > ftot.total
-               THEN (CAST(1 AS BIGINT) << fbin.b) ELSE 0 END)
-               AS BIGINT) AS fp_full
-           FROM fbin JOIN ftot ON fbin.doc_id = ftot.doc_id GROUP BY 1),
-         hj AS (SELECT doc_id, n, n // 2 AS m,
-             unnest(range(0, n // 2)) AS k
-           FROM dims),
-         hv AS (SELECT doc_id, (k * 60) // m AS b,
-             (doc_id * 60 + ((2 * k) * 60) // n + 1) * 2654435761
-               % 4294967296 AS h0,
-             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
-             xor(h1, h1 >> 13) % 6 AS m2,
-             ABS(((doc_id * 31 + 997 * (2 * k)) % 4096 - 2048)
-               * (1 + m2 + CASE WHEN m2 >= 3 THEN 5 ELSE 0 END) // 8) AS a
-           FROM hj),
-         hbin AS (SELECT doc_id, b, CAST(SUM(a) AS BIGINT) AS s
-           FROM hv GROUP BY 1, 2),
-         htot AS (SELECT doc_id, CAST(SUM(a) AS BIGINT) AS total
-           FROM hv GROUP BY 1),
-         hfp AS (SELECT hbin.doc_id,
-             CAST(SUM(CASE WHEN hbin.s * 60 > htot.total
-               THEN (CAST(1 AS BIGINT) << hbin.b) ELSE 0 END)
-               AS BIGINT) AS fp_half
-           FROM hbin JOIN htot ON hbin.doc_id = htot.doc_id GROUP BY 1)
-         SELECT f.doc_id, f.fp_full, h.fp_half,
-             CAST(bit_count(xor(f.fp_full, h.fp_half)) AS BIGINT)
-               AS hamming,
-             bit_count(xor(f.fp_full, h.fp_half)) <= 8 AS is_dup,
-             CAST(bit_count(xor(f.fp_full, c.fp_full)) AS BIGINT)
-               AS control_hamming,
-             bit_count(xor(f.fp_full, c.fp_full)) > 8 AS separated
-         FROM ffp f JOIN hfp h ON f.doc_id = h.doc_id
-              JOIN ffp c ON c.doc_id = f.doc_id + 1
-         ORDER BY f.doc_id""",
-    // q291: scores re-derived from the shared retrain CTEs, the same
-    // 5-threshold sweep, truncating bp division, NULL on an empty
-    // precision/recall denominator in both engines.
-    "q291_classifier_calibration" ->
-      s"""WITH $qualityClassifierCtes,
-         th(t) AS (VALUES (-2), (-1), (0), (1), (2)),
-         j AS (SELECT th.t, s.score, l.pos
-           FROM sc s JOIN lab l USING (doc_id), th),
-         cm AS (SELECT t AS threshold,
-             CAST(SUM(CASE WHEN score > t AND pos THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_tp,
-             CAST(SUM(CASE WHEN score > t AND NOT pos THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_fp,
-             CAST(SUM(CASE WHEN score <= t AND pos THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_fn,
-             CAST(SUM(CASE WHEN score <= t AND NOT pos THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_tn
-           FROM j GROUP BY 1)
-         SELECT CAST(threshold AS BIGINT) AS threshold, n_tp, n_fp,
-             n_fn, n_tn,
-             CASE WHEN n_tp + n_fp = 0 THEN NULL
-               ELSE n_tp * 10000 // (n_tp + n_fp) END AS precision_bp,
-             CASE WHEN n_tp + n_fn = 0 THEN NULL
-               ELSE n_tp * 10000 // (n_tp + n_fn) END AS recall_bp
-         FROM cm ORDER BY threshold""",
-    // q292: the routed formats and content units replayed closed-form
-    // from the per-format fixture dims (JPEG dims are exact container
-    // structure — the q264 rule; everything else is lossless).
-    "q292_media_router" ->
-      """SELECT doc_id,
-             CASE doc_id % 5 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
-               WHEN 2 THEN 'jpeg' WHEN 3 THEN 'wav'
-               ELSE 'y4m' END AS format,
-             CAST(CASE doc_id % 5
-               WHEN 0 THEN (4 + doc_id % 5) * (3 + doc_id % 4)
-               WHEN 1 THEN (8 + doc_id % 5) * (6 + doc_id % 3)
-               WHEN 2 THEN (8 + doc_id % 5) * (6 + doc_id % 3)
-               WHEN 3 THEN 400 + doc_id % 53
-               ELSE (6 + doc_id % 5) * (4 + doc_id % 3)
-                 * (3 + doc_id % 2) END AS BIGINT) AS content_units
-         FROM documents ORDER BY doc_id""",
-    // q293: batch membership via the staging NTILE, the corruption
-    // boundary closed-form, formats + units from the per-format
-    // fixture dims (unknown → units 0), truncated-bp unroutable share
-    // batch-scoped.
-    "q293_stream_media_router" ->
-      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
-         src AS (SELECT doc_id,
-             CAST(NTILE(3) OVER (ORDER BY doc_id) AS BIGINT) - 1 AS b,
-             CASE WHEN doc_id >= (2 * nn.n + 2) // 3 AND doc_id % 7 = 0
-               THEN 'unknown'
-               ELSE CASE doc_id % 5 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
-                 WHEN 2 THEN 'jpeg' WHEN 3 THEN 'wav'
-                 ELSE 'y4m' END END AS format
-           FROM documents, nn),
-         u AS (SELECT doc_id, b, format,
-             CASE WHEN format = 'unknown' THEN 0
-               ELSE CASE doc_id % 5
-                 WHEN 0 THEN (4 + doc_id % 5) * (3 + doc_id % 4)
-                 WHEN 1 THEN (8 + doc_id % 5) * (6 + doc_id % 3)
-                 WHEN 2 THEN (8 + doc_id % 5) * (6 + doc_id % 3)
-                 WHEN 3 THEN 400 + doc_id % 53
-                 ELSE (6 + doc_id % 5) * (4 + doc_id % 3)
-                   * (3 + doc_id % 2) END END AS units
-           FROM src),
-         bt AS (SELECT b, COUNT(*) AS n,
-             SUM(CASE WHEN format = 'unknown' THEN 1 ELSE 0 END) AS nu
-           FROM u GROUP BY 1)
-         SELECT u.b AS batch_id, u.format,
-             CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(u.units) AS BIGINT) AS sum_units,
-             CAST(bt.nu * 10000 // bt.n AS BIGINT) AS unknown_bp,
-             (bt.nu * 10000 // bt.n > 100) AS unknown_alert
-         FROM u JOIN bt ON u.b = bt.b
-         GROUP BY u.b, u.format, bt.nu, bt.n
-         ORDER BY batch_id, u.format""",
-    // q294: the q280 recursive-closure idiom over audio envelope fps —
-    // every fingerprint replayed closed-form (seed = id // 5, the
-    // step-2 leg sampling 2k of the full rule), 5x12-bit bands,
-    // hamming <= 8 verify, quality-max keep per cluster.
-    "q294_audio_clusters" ->
-      """WITH RECURSIVE base AS (SELECT doc_id, doc_id // 5 AS seed,
-             2000 + ((doc_id // 5) % 7) * 500 + ((doc_id // 5) % 53)
-               AS n,
-             1 + doc_id % 2 AS step, text
-           FROM documents),
-         b2 AS (SELECT doc_id, seed, n, step,
-             CASE WHEN step = 1 THEN n ELSE n // 2 END AS m
-           FROM base),
-         kv AS (SELECT doc_id, m, (k * 60) // m AS b,
-             (seed * 60 + ((k * step) * 60) // n + 1) * 2654435761
-               % 4294967296 AS h0,
-             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
-             xor(h1, h1 >> 13) % 6 AS mm,
-             ABS(((seed * 31 + 997 * (k * step)) % 4096 - 2048)
-               * (1 + mm + CASE WHEN mm >= 3 THEN 5 ELSE 0 END) // 8) AS a
-           FROM b2, unnest(range(0, m)) u(k)),
-         bins AS (SELECT doc_id, b, CAST(SUM(a) AS BIGINT) AS s
-           FROM kv GROUP BY 1, 2),
-         tt AS (SELECT doc_id, CAST(SUM(a) AS BIGINT) AS total
-           FROM kv GROUP BY 1),
-         fpt AS (SELECT bins.doc_id,
-             CAST(SUM(CASE WHEN bins.s * 60 > tt.total
-               THEN 1::BIGINT << bins.b ELSE 0 END) AS BIGINT) AS fp
-           FROM bins JOIN tt ON bins.doc_id = tt.doc_id
-           GROUP BY bins.doc_id),
-         dfp AS (SELECT DISTINCT fp FROM fpt),
-         bnd AS (SELECT fp, ((fp >> (b.b * 12)) & 4095) * 5 + b.b AS bk
-           FROM dfp, unnest(range(0, 5)) b(b)),
-         e AS (SELECT DISTINCT a.fp AS fa, c.fp AS fb
-           FROM bnd a JOIN bnd c ON a.bk = c.bk AND a.fp < c.fp
-           WHERE bit_count(xor(a.fp, c.fp)) <= 8),
-         sym AS (SELECT fa AS src, fb AS dst FROM e
-                 UNION SELECT fb, fa FROM e),
-         r AS (SELECT src AS node, dst AS peer FROM sym
-               UNION
-               SELECT r.node, s.dst FROM r JOIN sym s ON r.peer = s.src),
-         lab AS (SELECT node, LEAST(node, MIN(peer)) AS cluster_rep
-           FROM r GROUP BY node),
-         tk AS (SELECT doc_id, text,
-             list_filter(string_split(text, ' '), t -> t <> '') AS toks
-           FROM documents),
-         qq AS (SELECT doc_id, CAST(floor((
-               0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
-               + 0.3 * (1.0 - CAST(len(list_filter(toks,
-                     w -> w IN ('the','a','of','and','is')))
-                   AS DOUBLE) / CAST(len(toks) AS DOUBLE))
-               + 0.2 * least(((CAST(length(text) AS DOUBLE)
-                     - (CAST(len(toks) AS DOUBLE) - 1.0))
-                   / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0)
-             ) * 10000.0 + 0.5) AS BIGINT) AS q_bp
-           FROM tk),
-         dl AS (SELECT f.doc_id, f.fp,
-             COALESCE(l.cluster_rep, f.fp) AS cluster_rep, q.q_bp
-           FROM fpt f LEFT JOIN lab l ON f.fp = l.node
-           JOIN qq q ON f.doc_id = q.doc_id),
-         win AS (SELECT cluster_rep, doc_id, q_bp, row_number() OVER
-             (PARTITION BY cluster_rep ORDER BY q_bp DESC, doc_id ASC)
-             AS rn
-           FROM dl),
-         agg AS (SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fps
-           FROM dl GROUP BY 1)
-         SELECT a.cluster_rep, a.n_docs, a.n_fps,
-             w.doc_id AS kept_doc, w.q_bp AS kept_q_bp
-         FROM agg a JOIN win w
-           ON a.cluster_rep = w.cluster_rep AND w.rn = 1
-         ORDER BY a.cluster_rep""",
-    // q295: the per-frame luma series replayed closed-form (Y plane
-    // only), the same LAG cut rule, running cut-count scene ids, and
-    // the (ysum DESC, f) keyframe election.
-    "q295_video_keyframes" ->
-      """WITH dims AS (SELECT doc_id, 4 + doc_id % 3 AS w,
-             3 + doc_id % 2 AS h, 6 + doc_id % 5 AS nf,
-             CASE WHEN doc_id % 4 = 0 THEN -1
-               ELSE (6 + doc_id % 5) // 2 END AS cut
-           FROM documents),
-         fr AS (SELECT doc_id, w, h, nf, cut, unnest(range(0, nf)) AS f
-           FROM dims),
-         px AS (SELECT doc_id, w, h, cut, f,
-             unnest(range(0, w * h)) AS k
-           FROM fr),
-         ys AS (SELECT doc_id, w, h, f,
-             CAST(SUM((doc_id * 31 + 5 * f + k) % 96
-               + CASE WHEN cut >= 0 AND f >= cut THEN 160 ELSE 0 END)
-               AS BIGINT) AS ysum
-           FROM px GROUP BY 1, 2, 3, 4),
-         lg AS (SELECT doc_id, w, h, f, ysum,
-             LAG(ysum) OVER (PARTITION BY doc_id ORDER BY f) AS prev
-           FROM ys),
-         ct AS (SELECT doc_id, f, ysum,
-             CASE WHEN prev IS NOT NULL
-                 AND ABS(ysum - prev) > 48 * w * h
-               THEN 1 ELSE 0 END AS cut1
-           FROM lg),
-         sc AS (SELECT doc_id, f, ysum,
-             CAST(SUM(cut1) OVER (PARTITION BY doc_id ORDER BY f
-               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene
-           FROM ct),
-         rk AS (SELECT doc_id, scene, f, ysum, ROW_NUMBER() OVER (
-               PARTITION BY doc_id, scene
-               ORDER BY ysum DESC, f) AS rn
-           FROM sc),
-         agg AS (SELECT doc_id, scene,
-             CAST(MIN(f) AS BIGINT) AS start_frame,
-             CAST(MAX(f) AS BIGINT) AS end_frame,
-             CAST(COUNT(*) AS BIGINT) AS n_frames
-           FROM sc GROUP BY 1, 2)
-         SELECT a.doc_id, a.scene, a.start_frame, a.end_frame,
-             a.n_frames, CAST(r.f AS BIGINT) AS keyframe,
-             r.ysum AS key_y_sum
-         FROM agg a JOIN rk r ON a.doc_id = r.doc_id
-           AND a.scene = r.scene AND r.rn = 1
-         ORDER BY a.doc_id, a.scene""",
-    // q296: the q272 lexical CTEs + the q273 semantic CTEs composed —
-    // all four screens' replay idioms verbatim, one left join, the
-    // partial-coverage semantic leg honest (screened flag).
-    "q296_full_certificate" ->
-      s"""$winnowSelCtes,
-         toks AS (SELECT doc_id, string_split(text, ' ') AS t
-           FROM documents),
-         gr AS (SELECT doc_id,
-             unnest(list_distinct(list_transform(
-               range(1, greatest(len(t) - 2, 1) + 1),
-               i -> array_to_string(t[i:i+2], ' ')))) AS gram3
-           FROM toks),
-         cg AS (SELECT DISTINCT gram3 FROM gr WHERE doc_id % 50 <> 0),
-         la AS (SELECT e.doc_id,
-             CAST(COUNT(*) AS BIGINT) AS n_shared_grams
-           FROM gr e JOIN cg ON e.gram3 = cg.gram3
-           WHERE e.doc_id % 50 = 0 GROUP BY 1),
-         cf AS (SELECT DISTINCT gram FROM sel WHERE doc_id % 50 <> 0),
-         lb AS (SELECT e.doc_id,
-             CAST(COUNT(*) AS BIGINT) AS n_shared_fps
-           FROM sel e JOIN cf ON e.gram = cf.gram
-           WHERE e.doc_id % 50 = 0 GROUP BY 1),
-         cn AS (SELECT doc_id,
-             md5(regexp_replace(lower(trim(nfc_normalize(text))),
-               '\\s+', ' ', 'g')) AS fp
-           FROM documents),
-         ch AS (SELECT DISTINCT fp FROM cn WHERE doc_id % 50 <> 0),
-         lc AS (SELECT e.doc_id, (ch.fp IS NOT NULL) AS exact_canon_hit
-           FROM cn e LEFT JOIN ch ON e.fp = ch.fp
-           WHERE e.doc_id % 50 = 0),
-         $quantCte,
-         $qlistCte,
-         d AS (SELECT a.vec_id AS query_id, b.vec_id AS id_b,
-             CAST(list_inner_product(a.xs, b.xs) AS BIGINT) AS dot
-           FROM qv a, qv b
-           WHERE a.vec_id % 50 = 0 AND b.vec_id % 50 <> 0),
-         sm AS (SELECT query_id, id_b,
-             CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
-               * sqrt(CAST(nb.nn AS DOUBLE))) AS sim
-           FROM d JOIN nrm na ON d.query_id = na.vec_id
-                  JOIN nrm nb ON d.id_b = nb.vec_id),
-         rk AS (SELECT query_id, sim, row_number() OVER
-             (PARTITION BY query_id ORDER BY sim DESC, id_b ASC) AS rank
-           FROM sm),
-         se AS (SELECT query_id AS doc_id, sim FROM rk WHERE rank = 1)
-         SELECT lc.doc_id,
-             COALESCE(la.n_shared_grams, 0) AS n_shared_grams,
-             COALESCE(lb.n_shared_fps, 0) AS n_shared_fps,
-             lc.exact_canon_hit,
-             (COALESCE(la.n_shared_grams, 0) >= 5
-              OR COALESCE(lb.n_shared_fps, 0) >= 1
-              OR lc.exact_canon_hit) AS lexical_contaminated,
-             se.sim AS semantic_sim,
-             COALESCE(se.sim >= 0.3, FALSE) AS semantic_hit,
-             se.sim IS NOT NULL AS semantic_screened,
-             (COALESCE(la.n_shared_grams, 0) >= 5
-              OR COALESCE(lb.n_shared_fps, 0) >= 1
-              OR lc.exact_canon_hit
-              OR COALESCE(se.sim >= 0.3, FALSE)) AS contaminated
-         FROM lc LEFT JOIN la ON lc.doc_id = la.doc_id
-                 LEFT JOIN lb ON lc.doc_id = lb.doc_id
-                 LEFT JOIN se ON lc.doc_id = se.doc_id
-         ORDER BY lc.doc_id""",
-    // q297: docs arrive once and the model is static, so the streamed
-    // union is row-identical to batch scoring — q286's retrain
-    // projected to the gate's verdict columns (the stream≡batch
-    // shared-oracle discipline).
-    "q297_stream_classifier_gate" ->
-      s"""WITH $qualityClassifierCtes
-         SELECT s.doc_id, s.score, s.score > 0 AS admitted
-         FROM sc s ORDER BY s.doc_id""",
-    // q303: the q291 sweep REPLAYED, the choice rule applied in SQL
-    // (max F1 at precision >= 9500 bp, ties to the smallest
-    // threshold — F1 compared as a double, exact for these small
-    // integer counts), verdicts gated at the chosen threshold. Green
-    // proves the stored-artifact roundtrip AND the choice agree.
-    "q303_calibrated_gate" ->
-      s"""WITH $qualityClassifierCtes,
-         th(t) AS (VALUES (-2), (-1), (0), (1), (2)),
-         j AS (SELECT th.t, s.score, l.pos
-           FROM sc s JOIN lab l USING (doc_id), th),
-         cm AS (SELECT t AS threshold,
-             CAST(SUM(CASE WHEN score > t AND pos THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_tp,
-             CAST(SUM(CASE WHEN score > t AND NOT pos THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_fp,
-             CAST(SUM(CASE WHEN score <= t AND pos THEN 1 ELSE 0 END)
-               AS BIGINT) AS n_fn
-           FROM j GROUP BY 1),
-         el AS (SELECT CAST(threshold AS BIGINT) AS threshold,
-             n_tp, n_fp, n_fn,
-             CASE WHEN n_tp + n_fp = 0 THEN NULL
-               ELSE n_tp * 10000 // (n_tp + n_fp) END AS precision_bp
-           FROM cm),
-         ch AS (SELECT threshold FROM el
-           WHERE precision_bp IS NOT NULL AND precision_bp >= 9500
-           ORDER BY CASE WHEN 2 * n_tp + n_fp + n_fn = 0 THEN 0.0
-             ELSE 2.0 * n_tp / (2 * n_tp + n_fp + n_fn) END DESC,
-             threshold ASC
-           LIMIT 1)
-         SELECT s.doc_id, s.score, ch.threshold,
-             s.score > ch.threshold AS admitted
-         FROM sc s, ch ORDER BY s.doc_id""",
-    // q304: both legs' envelope fingerprints replayed per-sample
-    // closed-form (the q290/q294 pattern with the per-group seed key),
-    // then the engine's EXACT candidate rule: >= 1 shared 12-bit band
-    // AND hamming <= 8 (a naive all-pairs <= 8 oracle would claim
-    // pairs the band layout cannot surface).
-    "q304_stream_audio_dedup" ->
-      """WITH base AS (SELECT doc_id, doc_id // 3 AS grp,
-             doc_id % 3 AS r FROM documents),
-         b2 AS (SELECT doc_id, r,
-             CASE WHEN r = 0 AND grp % 5 = 0 THEN 2 * grp + 1
-               ELSE 2 * grp END AS sk,
-             2000 + (grp % 7) * 500 + grp % 53 AS n,
-             CASE WHEN r = 0 THEN 2 ELSE 1 END AS step
-           FROM base),
-         b3 AS (SELECT doc_id, r, sk, n, step,
-             CASE WHEN step = 1 THEN n ELSE n // 2 END AS m FROM b2),
-         kv AS (SELECT doc_id, m, (k * 60) // m AS b,
-             (sk * 60 + ((k * step) * 60) // n + 1) * 2654435761
-               % 4294967296 AS h0,
-             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
-             xor(h1, h1 >> 13) % 6 AS mm,
-             ABS(((sk * 31 + 997 * (k * step)) % 4096 - 2048)
-               * (1 + mm + CASE WHEN mm >= 3 THEN 5 ELSE 0 END) // 8)
-               AS a
-           FROM b3, unnest(range(0, m)) u(k)),
-         bins AS (SELECT doc_id, b, CAST(SUM(a) AS BIGINT) AS s
-           FROM kv GROUP BY 1, 2),
-         tt AS (SELECT doc_id, CAST(SUM(a) AS BIGINT) AS total
-           FROM kv GROUP BY 1),
-         fpt AS (SELECT bins.doc_id,
-             CAST(SUM(CASE WHEN bins.s * 60 > tt.total
-               THEN 1::BIGINT << bins.b ELSE 0 END) AS BIGINT) AS fp
-           FROM bins JOIN tt ON bins.doc_id = tt.doc_id
-           GROUP BY bins.doc_id),
-         ab AS (SELECT f.doc_id, f.fp,
-             ((f.fp >> (b.b * 12)) & 4095) * 5 + b.b AS bk
-           FROM fpt f JOIN base USING (doc_id),
-             unnest(range(0, 5)) b(b)
-           WHERE base.r = 0),
-         hb AS (SELECT f.doc_id AS hist_id, f.fp AS hfp,
-             ((f.fp >> (b.b * 12)) & 4095) * 5 + b.b AS bk
-           FROM fpt f JOIN base USING (doc_id),
-             unnest(range(0, 5)) b(b)
-           WHERE base.r <> 0)
-         SELECT DISTINCT ab.doc_id, hb.hist_id,
-             CAST(bit_count(xor(ab.fp, hb.hfp)) AS BIGINT) AS hamming
-         FROM ab JOIN hb ON ab.bk = hb.bk
-         WHERE bit_count(xor(ab.fp, hb.hfp)) <= 8
-         ORDER BY ab.doc_id, hb.hist_id""",
-    // q305: the keyframe election replayed closed-form (scenes
-    // 3 + u%3, keyframe = last frame of each scene), the caption link
-    // rule, and the same best-frame max-cosine via native list dots.
-    "q305_video_caption_align" ->
-      s"""WITH $quantCte,
-         $qlistCte,
-         uu AS (SELECT (MAX(vec_id) - 6) // 7 + 1 AS uc
-           FROM embeddings),
-         vids AS (SELECT unnest(range(0, (SELECT uc FROM uu))) AS u),
-         vb AS (SELECT u, 3 + u % 3 AS nsc,
-             (u + 1) % (SELECT uc FROM uu) AS u2
-           FROM vids),
-         caps AS (SELECT u, nsc,
-             CASE WHEN u % 13 = 0 THEN 7 * u2 + u2 % (3 + u2 % 3)
-               ELSE 7 * u + u % nsc END AS cap_src
-           FROM vb),
-         kf AS (SELECT vb.u, s AS scene, 7 * vb.u + s AS kvec,
-             4 * s + 3 AS keyframe
-           FROM vb, unnest(range(0, vb.nsc)) t(s)),
-         sm AS (SELECT kf.u, kf.scene, kf.keyframe, c.cap_src,
-             CAST(list_inner_product(a.xs, d.xs) AS DOUBLE)
-               / (sqrt(CAST(na.nn AS DOUBLE))
-                 * sqrt(CAST(nc.nn AS DOUBLE))) AS sim
-           FROM kf JOIN caps c ON kf.u = c.u
-           JOIN qv a ON a.vec_id = kf.kvec
-           JOIN qv d ON d.vec_id = c.cap_src
-           JOIN nrm na ON na.vec_id = kf.kvec
-           JOIN nrm nc ON nc.vec_id = c.cap_src),
-         rk AS (SELECT u, scene, keyframe, cap_src, sim,
-             row_number() OVER (PARTITION BY u
-               ORDER BY sim DESC, scene ASC) AS rn
-           FROM sm),
-         ag AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n_scenes
-           FROM sm GROUP BY 1)
-         SELECT r.u AS video_id, ag.n_scenes, r.cap_src,
-             (r.u % 13 = 0) AS swapped, r.scene AS best_scene,
-             CAST(r.keyframe AS BIGINT) AS best_keyframe,
-             r.sim AS alignment, r.sim >= 0.9 AS kept
-         FROM rk r JOIN ag ON r.u = ag.u
-         WHERE r.rn = 1 ORDER BY r.u""",
-    // q306: clicks replayed once; each leg's envelope bins come from
-    // the background mass per bin PLUS one correction row per click
-    // (amp minus the background it overwrote) — exact, and never a
-    // sample-by-click join; landmark sets transform onset positions
-    // per leg (resample pos//2 for even positions, trim pos−T); both
-    // edge rules, one union, the recursive closure, quality-max keep.
-    "q306_union_clusters" ->
-      s"""WITH RECURSIVE $landmarkOpCtes,
-         base AS (SELECT doc_id, doc_id // 4 AS g,
-             doc_id % 4 AS r FROM documents),
-         b2 AS (SELECT doc_id, g, r,
-             CASE WHEN r = 3 THEN 2 * g + 1 ELSE 2 * g END AS sk,
-             4000 + (g % 7) * 500 + g % 53 AS n
-           FROM base),
-         gi AS (SELECT doc_id, n, sk, i,
-             (sk * 1024 + 2 * i + 1) * 2654435761 % 4294967296 AS g0,
-             xor(g0, g0 >> 16) * 40503 % 4294967296 AS g1,
-             150 + xor(g1, g1 >> 13) % 250 AS gap,
-             (sk * 1024 + 2 * i + 2) * 2654435761 % 4294967296 AS a0,
-             xor(a0, a0 >> 16) * 40503 % 4294967296 AS a1,
-             256 + xor(a1, a1 >> 13) % 8 * 32 AS amp
-           FROM b2, unnest(range(0, 45)) u(i)),
-         -- 45 >= 1 + (7052-100-w-200)//(w+150) for click widths
-         -- w in {1,3}: the densest legal train fits the budget
-         -- exactly (OracleClickBudgetSpec guards n growth)
-         ps AS (SELECT doc_id, sk,
-             (sk * 1024 + 1000) * 2654435761 % 4294967296 AS h0,
-             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
-             200 + xor(h1, h1 >> 13) % 200 AS p
-           FROM b2),
-         ck AS (SELECT gi.doc_id, gi.i, gi.amp, gi.n,
-             ps.p + COALESCE(SUM(1 + gi.gap) OVER (
-               PARTITION BY gi.doc_id ORDER BY gi.i
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS pos
-           FROM gi JOIN ps ON gi.doc_id = ps.doc_id),
-         cf AS (SELECT * FROM ck WHERE pos + 1 <= n - 100),
-         b3 AS (SELECT b2.doc_id, b2.r, b2.sk, b2.n,
-             CASE WHEN b2.r = 2 THEN ps.p + 3 ELSE 0 END AS tr,
-             CASE WHEN b2.r = 1 THEN b2.n // 2
-               WHEN b2.r = 2 THEN b2.n - (ps.p + 3)
-               ELSE b2.n END AS len
-           FROM b2 JOIN ps ON b2.doc_id = ps.doc_id),
-         bgv AS (SELECT q.doc_id, (q.jj * 60) // q.len AS b,
-             ABS(((q.sk * 31 + 997 * q.oj) % 4096 - 2048)
-               * (1 + q.mm + CASE WHEN q.mm >= 3 THEN 5 ELSE 0 END))
-               // 8 // 16 AS v
-           FROM (SELECT b3x.doc_id, b3x.sk, b3x.len, jj,
-               CASE WHEN b3x.r = 1 THEN 2 * jj
-                 ELSE jj + b3x.tr END AS oj,
-               (b3x.sk * 60 + ((CASE WHEN b3x.r = 1 THEN 2 * jj
-                   ELSE jj + b3x.tr END) * 60) // b3x.n + 1)
-                 * 2654435761 % 4294967296 AS mh0,
-               xor(mh0, mh0 >> 16) * 40503 % 4294967296 AS mh1,
-               xor(mh1, mh1 >> 13) % 6 AS mm
-             FROM b3 b3x, unnest(range(0, b3x.len)) u(jj)) q),
-         crx AS (SELECT cf.doc_id, b3.r, b3.tr, b3.len, b3.n, b3.sk,
-             cf.pos, cf.amp,
-             CASE WHEN b3.r = 1 THEN cf.pos // 2
-               ELSE cf.pos - b3.tr END AS k
-           FROM cf JOIN b3 USING (doc_id)
-           WHERE (b3.r <> 1 OR cf.pos % 2 = 0)
-             AND (b3.r <> 2 OR cf.pos >= b3.tr)),
-         cr AS (SELECT q.doc_id, (q.k * 60) // q.len AS b,
-             q.amp - ABS(((q.sk * 31 + 997 * q.pos) % 4096 - 2048)
-               * (1 + q.mm + CASE WHEN q.mm >= 3 THEN 5 ELSE 0 END))
-               // 8 // 16 AS v
-           FROM (SELECT crx.doc_id, crx.sk, crx.len, crx.k, crx.pos,
-               crx.amp,
-               (crx.sk * 60 + (crx.pos * 60) // crx.n + 1)
-                 * 2654435761 % 4294967296 AS mh0,
-               xor(mh0, mh0 >> 16) * 40503 % 4294967296 AS mh1,
-               xor(mh1, mh1 >> 13) % 6 AS mm
-             FROM crx) q),
-         allv AS (SELECT doc_id, b, CAST(v AS BIGINT) AS v FROM bgv
-                  UNION ALL
-                  SELECT doc_id, b, CAST(v AS BIGINT) FROM cr),
-         bins AS (SELECT doc_id, b, CAST(SUM(v) AS BIGINT) AS s
-           FROM allv GROUP BY 1, 2),
-         tt AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS total
-           FROM allv GROUP BY 1),
-         fpt AS (SELECT bins.doc_id,
-             CAST(SUM(CASE WHEN bins.s * 60 > tt.total
-               THEN 1::BIGINT << bins.b ELSE 0 END) AS BIGINT) AS fp
-           FROM bins JOIN tt ON bins.doc_id = tt.doc_id
-           GROUP BY bins.doc_id),
-         eb1 AS (SELECT doc_id, fp,
-             ((fp >> (b.b * 12)) & 4095) * 5 + b.b AS bk
-           FROM fpt, unnest(range(0, 5)) b(b)),
-         ee AS (SELECT DISTINCT a.doc_id AS na, c.doc_id AS nb
-           FROM eb1 a JOIN eb1 c ON a.bk = c.bk AND a.doc_id < c.doc_id
-           WHERE bit_count(xor(a.fp, c.fp)) <= 4),
-         lmq AS (SELECT crx.doc_id, crx.k AS q, crx.amp,
-             row_number() OVER (PARTITION BY crx.doc_id
-               ORDER BY crx.pos) AS rk
-           FROM crx),
-         tr2 AS (SELECT a.doc_id,
-             ((((b.q - a.q) >> (SELECT qstar FROM lmop)) * 1048576
-                 + ((c.q - b.q) >> (SELECT qstar FROM lmop))) * 256
-               + LEAST(b.amp * 8 // a.amp, 15) * 16
-               + LEAST(c.amp * 8 // b.amp, 15)) AS h
-           FROM lmq a
-           JOIN lmq b ON a.doc_id = b.doc_id AND b.rk = a.rk + 1
-           JOIN lmq c ON a.doc_id = c.doc_id AND c.rk = a.rk + 2),
-         hs AS (SELECT DISTINCT doc_id, h FROM tr2),
-         le AS (SELECT a.doc_id AS na, c.doc_id AS nb
-           FROM hs a JOIN hs c ON a.h = c.h AND a.doc_id < c.doc_id
-           GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT tstar FROM lmop)),
-         e AS (SELECT na, nb FROM ee UNION SELECT na, nb FROM le),
-         sym AS (SELECT na AS src, nb AS dst FROM e
-                 UNION SELECT nb, na FROM e),
-         rr AS (SELECT src AS node, dst AS peer FROM sym
-               UNION
-               SELECT rr.node, s.dst FROM rr JOIN sym s
-                 ON rr.peer = s.src),
-         lab AS (SELECT node, LEAST(node, MIN(peer)) AS cluster_rep
-           FROM rr GROUP BY node),
-         tk AS (SELECT doc_id, text,
-             list_filter(string_split(text, ' '), t -> t <> '') AS toks
-           FROM documents),
-         qq AS (SELECT doc_id, CAST(floor((
-               0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
-               + 0.3 * (1.0 - CAST(len(list_filter(toks,
-                     w -> w IN ('the','a','of','and','is')))
-                   AS DOUBLE) / CAST(len(toks) AS DOUBLE))
-               + 0.2 * least(((CAST(length(text) AS DOUBLE)
-                     - (CAST(len(toks) AS DOUBLE) - 1.0))
-                   / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0)
-             ) * 10000.0 + 0.5) AS BIGINT) AS q_bp
-           FROM tk),
-         dl AS (SELECT d.doc_id,
-             COALESCE(l.cluster_rep, d.doc_id) AS cluster_rep, q.q_bp
-           FROM base d LEFT JOIN lab l ON d.doc_id = l.node
-           JOIN qq q ON d.doc_id = q.doc_id),
-         win AS (SELECT cluster_rep, doc_id, q_bp, row_number() OVER
-             (PARTITION BY cluster_rep ORDER BY q_bp DESC, doc_id ASC)
-             AS rn
-           FROM dl),
-         agg AS (SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_docs
-           FROM dl GROUP BY 1)
-         SELECT a.cluster_rep, a.n_docs,
-             w.doc_id AS kept_doc, w.q_bp AS kept_q_bp
-         FROM agg a JOIN win w
-           ON a.cluster_rep = w.cluster_rep AND w.rn = 1
-         ORDER BY a.cluster_rep""",
-    // q307: the q300 hash-bit replay with per-role scene windows
-    // (history full at offset 0, arrivals trimmed at offset 1, novel
-    // arrivals full in the odd namespace), then the exact-equality
-    // >= 2-keyframe vote.
-    "q307_stream_video_dedup" ->
-      """WITH base AS (SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS r
-           FROM documents),
-         b2 AS (SELECT doc_id, g, r,
-             CASE WHEN r = 0 AND g % 5 = 0 THEN 2 * g + 1
-               ELSE 2 * g END AS sk,
-             3 + g % 3 AS ns
-           FROM base),
-         sc AS (SELECT doc_id, r, sk,
-             CASE WHEN r = 0 AND g % 5 <> 0 THEN s + 1 ELSE s END
-               AS scene
-           FROM b2, unnest(range(0,
-             CASE WHEN r = 0 AND g % 5 <> 0 THEN ns - 1 ELSE ns END))
-             u(s)),
-         bits AS (SELECT doc_id, r, scene, b,
-             (sk * 512 + scene * 64 + b + 1) * 2654435761
-               % 4294967296 AS h0,
-             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
-             xor(h1, h1 >> 13) % 2 AS bit
-           FROM sc, unnest(range(0, 64)) v(b)),
-         kf AS (SELECT doc_id, r, scene,
-             CASE WHEN SUM(bit) = 64 THEN 0
-               ELSE CAST(SUM(CASE WHEN bit = 0 THEN 0
-                 WHEN b = 63 THEN -9223372036854775808
-                 ELSE 1::BIGINT << b END) AS BIGINT) END AS kf_hash
-           FROM bits GROUP BY 1, 2, 3),
-         ar AS (SELECT DISTINCT doc_id, kf_hash FROM kf WHERE r = 0),
-         hi AS (SELECT DISTINCT doc_id AS hist_id, kf_hash FROM kf
-           WHERE r <> 0)
-         SELECT ar.doc_id, hi.hist_id,
-             CAST(COUNT(*) AS BIGINT) AS n_shared
-         FROM ar JOIN hi ON ar.kf_hash = hi.kf_hash
-         GROUP BY 1, 2 HAVING COUNT(*) >= 2
-         ORDER BY ar.doc_id, hi.hist_id""",
-    // q308: bursts replayed from ~12 closed-form rows per doc
-    // (cumulative positions via one window; the first overflow is
-    // final because p_i + d_i is strictly increasing), the two planted
-    // degenerate classes as CASE rows.
-    "q308_utterance_stats" ->
-      """WITH dims AS (SELECT doc_id,
-             4000 + (doc_id % 7) * 500 + doc_id % 53 AS n
-           FROM documents),
-         cls AS (SELECT doc_id, n,
-             CASE WHEN doc_id % 7 = 0 THEN 's'
-               WHEN doc_id % 11 = 0 THEN 'l' ELSE 'b' END AS cl
-           FROM dims),
-         gi AS (SELECT doc_id, n, i,
-             (doc_id * 2048 + 3 * i + 1) * 2654435761
-               % 4294967296 AS d0,
-             xor(d0, d0 >> 16) * 40503 % 4294967296 AS d1,
-             100 + xor(d1, d1 >> 13) % 400 AS dur,
-             (doc_id * 2048 + 3 * i + 3) * 2654435761
-               % 4294967296 AS g0,
-             xor(g0, g0 >> 16) * 40503 % 4294967296 AS g1,
-             120 + xor(g1, g1 >> 13) % 300 AS gap
-           FROM cls, unnest(range(0, 40)) u(i)
-           WHERE cl = 'b'),
-         ps AS (SELECT doc_id,
-             (doc_id * 2048 + 3000) * 2654435761 % 4294967296 AS h0,
-             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
-             150 + xor(h1, h1 >> 13) % 150 AS p
-           FROM cls WHERE cl = 'b'),
-         bu AS (SELECT gi.doc_id, gi.i, gi.dur, gi.n,
-             ps.p + COALESCE(SUM(gi.dur + gi.gap) OVER (
-               PARTITION BY gi.doc_id ORDER BY gi.i
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS pos
-           FROM gi JOIN ps ON gi.doc_id = ps.doc_id),
-         bv AS (SELECT * FROM bu WHERE pos + dur <= n - 100),
-         bs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_utt,
-             CAST(SUM(dur) AS BIGINT) AS speech
-           FROM bv GROUP BY 1),
-         bl AS (SELECT doc_id, dur, pos, row_number() OVER
-             (PARTITION BY doc_id ORDER BY dur DESC, i ASC) AS rn
-           FROM bv)
-         SELECT c.doc_id,
-             CASE c.cl WHEN 's' THEN 0 WHEN 'l' THEN 1
-               ELSE COALESCE(bs.n_utt, 0) END AS n_utterances,
-             CASE c.cl WHEN 's' THEN 0 WHEN 'l' THEN c.n
-               ELSE COALESCE(bs.speech, 0) END AS speech_samples,
-             CASE c.cl WHEN 's' THEN 0 WHEN 'l' THEN 10000
-               ELSE COALESCE(bs.speech, 0) * 10000 // c.n END
-               AS speech_bp,
-             CASE c.cl WHEN 's' THEN 0 WHEN 'l' THEN c.n
-               ELSE COALESCE(bl.dur, 0) END AS longest_len,
-             CAST(CASE c.cl WHEN 's' THEN -1 WHEN 'l' THEN 0
-               ELSE COALESCE(bl.pos, -1) END AS BIGINT) AS longest_start
-         FROM cls c
-         LEFT JOIN bs ON c.doc_id = bs.doc_id
-         LEFT JOIN bl ON c.doc_id = bl.doc_id AND bl.rn = 1
-         ORDER BY c.doc_id""",
-    // q309: the q308 replay thresholded — reasons as columns.
-    "q309_speech_quality" ->
-      """WITH dims AS (SELECT doc_id,
-             4000 + (doc_id % 7) * 500 + doc_id % 53 AS n
-           FROM documents),
-         cls AS (SELECT doc_id, n,
-             CASE WHEN doc_id % 7 = 0 THEN 's'
-               WHEN doc_id % 11 = 0 THEN 'l' ELSE 'b' END AS cl
-           FROM dims),
-         gi AS (SELECT doc_id, n, i,
-             (doc_id * 2048 + 3 * i + 1) * 2654435761
-               % 4294967296 AS d0,
-             xor(d0, d0 >> 16) * 40503 % 4294967296 AS d1,
-             100 + xor(d1, d1 >> 13) % 400 AS dur,
-             (doc_id * 2048 + 3 * i + 3) * 2654435761
-               % 4294967296 AS g0,
-             xor(g0, g0 >> 16) * 40503 % 4294967296 AS g1,
-             120 + xor(g1, g1 >> 13) % 300 AS gap
-           FROM cls, unnest(range(0, 40)) u(i)
-           WHERE cl = 'b'),
-         ps AS (SELECT doc_id,
-             (doc_id * 2048 + 3000) * 2654435761 % 4294967296 AS h0,
-             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
-             150 + xor(h1, h1 >> 13) % 150 AS p
-           FROM cls WHERE cl = 'b'),
-         bu AS (SELECT gi.doc_id, gi.i, gi.dur, gi.n,
-             ps.p + COALESCE(SUM(gi.dur + gi.gap) OVER (
-               PARTITION BY gi.doc_id ORDER BY gi.i
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS pos
-           FROM gi JOIN ps ON gi.doc_id = ps.doc_id),
-         bv AS (SELECT * FROM bu WHERE pos + dur <= n - 100),
-         bs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_utt,
-             CAST(SUM(dur) AS BIGINT) AS speech,
-             CAST(MAX(dur) AS BIGINT) AS longest
-           FROM bv GROUP BY 1),
-         st AS (SELECT c.doc_id,
-             CASE c.cl WHEN 's' THEN 0 WHEN 'l' THEN 1
-               ELSE COALESCE(bs.n_utt, 0) END AS n_utterances,
-             CASE c.cl WHEN 's' THEN 0 WHEN 'l' THEN 10000
-               ELSE COALESCE(bs.speech, 0) * 10000 // c.n END
-               AS speech_bp,
-             CASE c.cl WHEN 's' THEN 0 WHEN 'l' THEN c.n
-               ELSE COALESCE(bs.longest, 0) END AS longest_len
-           FROM cls c LEFT JOIN bs ON c.doc_id = bs.doc_id)
-         SELECT doc_id, n_utterances, speech_bp, longest_len,
-             n_utterances >= 3 AS enough_utterances,
-             (speech_bp >= 2000 AND speech_bp <= 9000) AS ratio_in_band,
-             longest_len <= 1200 AS segmentable,
-             (n_utterances >= 3 AND speech_bp >= 2000
-              AND speech_bp <= 9000 AND longest_len <= 1200) AS kept
-         FROM st ORDER BY doc_id""",
-    // q310: support bounds recomputed exactly (a sample qualifies at
-    // |bg| >= 16 or by holding a click), trimmed and raw binnings from
-    // the one background-plus-corrections table; the padded leg's
-    // trimmed fingerprint equals the master's BY CONSTRUCTION (zeros
-    // never qualify and the support maps 1:1 under the shift), which
-    // is exactly what green verifies about the engine's trim.
-    "q310_pad_robust_dedup" ->
-      """WITH base AS (SELECT doc_id,
-             4000 + (doc_id % 7) * 500 + doc_id % 53 AS n
-           FROM documents),
-         legs AS (SELECT doc_id, n, 2 * doc_id AS sk, TRUE AS is_m
-             FROM base
-           UNION ALL
-           SELECT doc_id, n, 2 * doc_id + 1, FALSE FROM base),
-         gi AS (SELECT doc_id, n, sk, i,
-             (sk * 1024 + 2 * i + 1) * 2654435761 % 4294967296 AS g0,
-             xor(g0, g0 >> 16) * 40503 % 4294967296 AS g1,
-             150 + xor(g1, g1 >> 13) % 250 AS gap,
-             (sk * 1024 + 2 * i + 2) * 2654435761 % 4294967296 AS a0,
-             xor(a0, a0 >> 16) * 40503 % 4294967296 AS a1,
-             256 + xor(a1, a1 >> 13) % 8 * 32 AS amp
-           FROM legs, unnest(range(0, 45)) u(i)),
-         -- 45 >= 1 + (7052-100-w-200)//(w+150) for click widths
-         -- w in {1,3}: the densest legal train fits the budget
-         -- exactly (OracleClickBudgetSpec guards n growth)
-         ps AS (SELECT doc_id, sk,
-             (sk * 1024 + 1000) * 2654435761 % 4294967296 AS h0,
-             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
-             200 + xor(h1, h1 >> 13) % 200 AS p
-           FROM legs),
-         ck AS (SELECT gi.doc_id, gi.sk, gi.i, gi.amp, gi.n,
-             ps.p + COALESCE(SUM(1 + gi.gap) OVER (
-               PARTITION BY gi.doc_id, gi.sk ORDER BY gi.i
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS pos
-           FROM gi JOIN ps ON gi.doc_id = ps.doc_id AND gi.sk = ps.sk),
-         cf AS (SELECT * FROM ck WHERE pos + 1 <= n - 100),
-         mv AS (SELECT q.doc_id, q.sk, q.is_m, q.n, q.j,
-             ABS(((q.sk * 31 + 997 * q.j) % 4096 - 2048)
-               * (1 + q.mm + CASE WHEN q.mm >= 3 THEN 5 ELSE 0 END))
-               // 8 // 16 AS v
-           FROM (SELECT l.doc_id, l.sk, l.is_m, l.n, jj AS j,
-               (l.sk * 60 + (jj * 60) // l.n + 1)
-                 * 2654435761 % 4294967296 AS mh0,
-               xor(mh0, mh0 >> 16) * 40503 % 4294967296 AS mh1,
-               xor(mh1, mh1 >> 13) % 6 AS mm
-             FROM legs l, unnest(range(0, l.n)) u(jj)) q),
-         cv AS (SELECT q.doc_id, q.sk, q.pos,
-             q.amp - ABS(((q.sk * 31 + 997 * q.pos) % 4096 - 2048)
-               * (1 + q.mm + CASE WHEN q.mm >= 3 THEN 5 ELSE 0 END))
-               // 8 // 16 AS d
-           FROM (SELECT cf.doc_id, cf.sk, cf.pos, cf.amp,
-               (cf.sk * 60 + (cf.pos * 60) // cf.n + 1)
-                 * 2654435761 % 4294967296 AS mh0,
-               xor(mh0, mh0 >> 16) * 40503 % 4294967296 AS mh1,
-               xor(mh1, mh1 >> 13) % 6 AS mm
-             FROM cf) q),
-         q1 AS (SELECT doc_id, sk, MIN(j) AS lo, MAX(j) AS hi FROM
-             (SELECT doc_id, sk, j FROM mv WHERE v >= 16
-              UNION ALL SELECT doc_id, sk, pos FROM cf)
-           GROUP BY 1, 2),
-         tv AS (SELECT mv.doc_id, mv.sk,
-             ((mv.j - q1.lo) * 60) // (q1.hi - q1.lo + 1) AS b,
-             CAST(mv.v AS BIGINT) AS v
-           FROM mv JOIN q1 ON mv.doc_id = q1.doc_id AND mv.sk = q1.sk
-           WHERE mv.j BETWEEN q1.lo AND q1.hi
-           UNION ALL
-           SELECT cv.doc_id, cv.sk,
-             ((cv.pos - q1.lo) * 60) // (q1.hi - q1.lo + 1),
-             CAST(cv.d AS BIGINT)
-           FROM cv JOIN q1 ON cv.doc_id = q1.doc_id AND cv.sk = q1.sk),
-         tb AS (SELECT doc_id, sk, b, CAST(SUM(v) AS BIGINT) AS s
-           FROM tv GROUP BY 1, 2, 3),
-         ttt AS (SELECT doc_id, sk, CAST(SUM(v) AS BIGINT) AS total
-           FROM tv GROUP BY 1, 2),
-         tfp AS (SELECT tb.doc_id, tb.sk,
-             CAST(SUM(CASE WHEN tb.s * 60 > ttt.total
-               THEN 1::BIGINT << tb.b ELSE 0 END) AS BIGINT) AS fp
-           FROM tb JOIN ttt ON tb.doc_id = ttt.doc_id
-             AND tb.sk = ttt.sk
-           GROUP BY 1, 2),
-         rv AS (SELECT doc_id, (j * 60) // n AS br,
-             ((j + n // 3) * 60) // (n + n // 3 + n // 5) AS bp,
-             CAST(v AS BIGINT) AS v
-           FROM mv WHERE is_m
-           UNION ALL
-           SELECT cv.doc_id, (cv.pos * 60) // cf.n,
-             ((cv.pos + cf.n // 3) * 60)
-               // (cf.n + cf.n // 3 + cf.n // 5),
-             CAST(cv.d AS BIGINT)
-           FROM cv JOIN cf ON cv.doc_id = cf.doc_id
-             AND cv.sk = cf.sk AND cv.pos = cf.pos
-           WHERE cf.sk % 2 = 0),
-         rfm AS (SELECT r2.doc_id,
-             CAST(SUM(CASE WHEN r2.s * 60 > r2.total
-               THEN 1::BIGINT << r2.br ELSE 0 END) AS BIGINT) AS fp
-           FROM (SELECT doc_id, br, CAST(SUM(v) AS BIGINT) AS s,
-               SUM(CAST(SUM(v) AS BIGINT)) OVER (PARTITION BY doc_id)
-                 AS total
-             FROM rv GROUP BY doc_id, br) r2
-           GROUP BY 1),
-         rfp AS (SELECT r2.doc_id,
-             CAST(SUM(CASE WHEN r2.s * 60 > r2.total
-               THEN 1::BIGINT << r2.bp ELSE 0 END) AS BIGINT) AS fp
-           FROM (SELECT doc_id, bp, CAST(SUM(v) AS BIGINT) AS s,
-               SUM(CAST(SUM(v) AS BIGINT)) OVER (PARTITION BY doc_id)
-                 AS total
-             FROM rv GROUP BY doc_id, bp) r2
-           GROUP BY 1)
-         SELECT b.doc_id, tm.fp AS fp_trim_master,
-             tm.fp AS fp_trim_padded,
-             CAST(0 AS BIGINT) AS trim_hamming, TRUE AS is_dup,
-             CAST(bit_count(xor(rfm.fp, rfp.fp)) AS BIGINT)
-               AS raw_hamming,
-             bit_count(xor(rfm.fp, rfp.fp)) > 8 AS raw_missed,
-             CAST(bit_count(xor(tm.fp, tc.fp)) AS BIGINT)
-               AS control_hamming,
-             bit_count(xor(tm.fp, tc.fp)) > 8 AS separated
-         FROM base b
-         JOIN tfp tm ON b.doc_id = tm.doc_id AND tm.sk = 2 * b.doc_id
-         JOIN tfp tc ON b.doc_id = tc.doc_id
-           AND tc.sk = 2 * b.doc_id + 1
-         JOIN rfm ON b.doc_id = rfm.doc_id
-         JOIN rfp ON b.doc_id = rfp.doc_id
-         ORDER BY b.doc_id""",
-    // q311: the q307 hash replay aggregated into maintenance counts —
-    // entries per role, hash vocabulary novelty (only novel clips add
-    // any), and the self-match guarantee (every arrival has >= 2
-    // scenes, so recheck_unmatched is identically 0).
-    "q311_incr_keyframe_index" ->
-      """WITH base AS (SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS r
-           FROM documents),
-         b2 AS (SELECT doc_id, g, r,
-             CASE WHEN r = 0 AND g % 5 = 0 THEN 2 * g + 1
-               ELSE 2 * g END AS sk,
-             3 + g % 3 AS ns
-           FROM base),
-         sc AS (SELECT doc_id, r, sk,
-             CASE WHEN r = 0 AND g % 5 <> 0 THEN s + 1 ELSE s END
-               AS scene
-           FROM b2, unnest(range(0,
-             CASE WHEN r = 0 AND g % 5 <> 0 THEN ns - 1 ELSE ns END))
-             u(s)),
-         bits AS (SELECT doc_id, r, scene, b,
-             (sk * 512 + scene * 64 + b + 1) * 2654435761
-               % 4294967296 AS h0,
-             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
-             xor(h1, h1 >> 13) % 2 AS bit
-           FROM sc, unnest(range(0, 64)) v(b)),
-         kf AS (SELECT doc_id, r, scene,
-             CASE WHEN SUM(bit) = 64 THEN 0
-               ELSE CAST(SUM(CASE WHEN bit = 0 THEN 0
-                 WHEN b = 63 THEN -9223372036854775808
-                 ELSE 1::BIGINT << b END) AS BIGINT) END AS kf_hash
-           FROM bits GROUP BY 1, 2, 3),
-         hist AS (SELECT DISTINCT doc_id, kf_hash FROM kf WHERE r <> 0),
-         arr AS (SELECT DISTINCT doc_id, kf_hash FROM kf WHERE r = 0),
-         cnts AS (SELECT
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM hist) AS nb,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM arr) AS na,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM
-               (SELECT DISTINCT kf_hash FROM arr) x
-               WHERE kf_hash NOT IN (SELECT kf_hash FROM hist))
-               AS nv),
-         stopn AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM (
-             SELECT kf_hash FROM (SELECT * FROM hist
-               UNION ALL SELECT * FROM arr) u2
-             GROUP BY kf_hash HAVING COUNT(*) > 64) hot)
-         SELECT phase, n FROM (
-           SELECT 'added_entries' AS phase, na AS n FROM cnts
-           UNION ALL SELECT 'after_entries', nb + na FROM cnts
-           UNION ALL SELECT 'before_entries', nb FROM cnts
-           UNION ALL SELECT 'novel_hashes', nv FROM cnts
-           UNION ALL SELECT 'recheck_unmatched', 0 FROM cnts
-           UNION ALL SELECT 'stop_hashes', ns FROM stopn)
-         ORDER BY phase""",
-    // q312: bursts replayed closed-form (position cumsum, hashed
-    // channel bits — forced left on monologue docs), turns = adjacent
-    // channel changes via LAG.
-    "q312_channel_diarization" ->
-      """WITH dims AS (SELECT doc_id,
-             4000 + (doc_id % 7) * 500 + doc_id % 53 AS n
-           FROM documents),
-         gi AS (SELECT doc_id, n, i,
-             (doc_id * 4096 + 4 * i + 1) * 2654435761
-               % 4294967296 AS d0,
-             xor(d0, d0 >> 16) * 40503 % 4294967296 AS d1,
-             100 + xor(d1, d1 >> 13) % 300 AS dur,
-             (doc_id * 4096 + 4 * i + 3) * 2654435761
-               % 4294967296 AS g0,
-             xor(g0, g0 >> 16) * 40503 % 4294967296 AS g1,
-             120 + xor(g1, g1 >> 13) % 300 AS gap,
-             (doc_id * 4096 + 4 * i) * 2654435761 % 4294967296 AS c0,
-             xor(c0, c0 >> 16) * 40503 % 4294967296 AS c1,
-             CASE WHEN doc_id % 13 = 0 THEN 0
-               ELSE xor(c1, c1 >> 13) % 2 END AS ch
-           FROM dims, unnest(range(0, 45)) u(i)),
-         -- 45 >= 1 + (7052-100-w-200)//(w+150) for click widths
-         -- w in {1,3}: the densest legal train fits the budget
-         -- exactly (OracleClickBudgetSpec guards n growth)
-         ps AS (SELECT doc_id,
-             (doc_id * 4096 + 4000) * 2654435761 % 4294967296 AS h0,
-             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
-             150 + xor(h1, h1 >> 13) % 150 AS p
-           FROM dims),
-         bu AS (SELECT gi.doc_id, gi.i, gi.dur, gi.ch, gi.n,
-             ps.p + COALESCE(SUM(gi.dur + gi.gap) OVER (
-               PARTITION BY gi.doc_id ORDER BY gi.i
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS pos
-           FROM gi JOIN ps ON gi.doc_id = ps.doc_id),
-         bv AS (SELECT * FROM bu WHERE pos + dur <= n - 100),
-         tv AS (SELECT doc_id, i, ch,
-             LAG(ch) OVER (PARTITION BY doc_id ORDER BY i) AS pch
-           FROM bv),
-         ag AS (SELECT doc_id,
-             CAST(COUNT(*) AS BIGINT) AS n_utterances,
-             CAST(SUM(CASE WHEN pch IS NOT NULL AND ch <> pch
-               THEN 1 ELSE 0 END) AS BIGINT) AS n_turns,
-             CAST(SUM(CASE WHEN ch = 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS left_utts,
-             CAST(SUM(CASE WHEN ch = 1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS right_utts
-           FROM tv GROUP BY 1)
-         SELECT d.doc_id, COALESCE(a.n_utterances, 0) AS n_utterances,
-             COALESCE(a.n_turns, 0) AS n_turns,
-             COALESCE(a.left_utts, 0) AS left_utts,
-             COALESCE(a.right_utts, 0) AS right_utts,
-             (COALESCE(a.left_utts, 0) >= 1
-              AND COALESCE(a.right_utts, 0) >= 1) AS two_speakers
-         FROM dims d LEFT JOIN ag a ON d.doc_id = a.doc_id
-         ORDER BY d.doc_id""",
-    // q298: both channels recomputed closed-form (right = half-period
-    // phase shift), truncated-bp balance, zero-sum guard mirrored.
-    "q298_wav_stereo" ->
-      """WITH dims AS (SELECT doc_id, 300 + doc_id % 47 AS n,
-             22050 + (doc_id % 2) * 22050 AS rate FROM documents),
-         sm AS (SELECT doc_id, n, rate, unnest(range(0, n)) AS j
-           FROM dims),
-         v AS (SELECT doc_id, n, rate,
-             ABS((doc_id * 31 + 7 * j) % 4096 - 2048) AS al,
-             ABS((doc_id * 31 + 7 * j + 2048) % 4096 - 2048) AS ar
-           FROM sm),
-         agg AS (SELECT doc_id, MAX(n) AS n, MAX(rate) AS rate,
-             CAST(SUM(al) AS BIGINT) AS sl,
-             CAST(SUM(ar) AS BIGINT) AS sr,
-             CAST(MAX(al) AS BIGINT) AS pl,
-             CAST(MAX(ar) AS BIGINT) AS pr
-           FROM v GROUP BY 1)
-         SELECT doc_id, CAST(rate AS BIGINT) AS sample_rate,
-             CAST(n AS BIGINT) AS n_samples, sl AS sum_abs_l,
-             sr AS sum_abs_r, pl AS peak_abs_l, pr AS peak_abs_r,
-             CASE WHEN sl + sr = 0 THEN 5000
-               ELSE sl * 10000 // (sl + sr) END AS balance_bp
-         FROM agg ORDER BY doc_id""",
-    // q299: both fingerprints replayed bit-exactly — the master leg is
-    // q290's full rule; the downmix leg is d = (L + L//2) // 2 with L
-    // the signed modulated sample (all truncating divisions mirror
-    // Scala's, the measured q87/q290 property).
-    "q299_stereo_downmix" ->
-      """WITH dims AS (SELECT doc_id,
-             2000 + (doc_id % 7) * 500 + (doc_id % 53) AS n
-           FROM documents),
-         fj AS (SELECT doc_id, n, unnest(range(0, n)) AS j FROM dims),
-         lv AS (SELECT doc_id, n, j, (j * 60) // n AS b,
-             (doc_id * 60 + (j * 60) // n + 1) * 2654435761
-               % 4294967296 AS h0,
-             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
-             xor(h1, h1 >> 13) % 6 AS m,
-             ((doc_id * 31 + 997 * j) % 4096 - 2048)
-               * (1 + m + CASE WHEN m >= 3 THEN 5 ELSE 0 END) // 8 AS l
-           FROM fj),
-         mv AS (SELECT doc_id, b, ABS(l) AS am,
-             ABS((l + l // 2) // 2) AS ad
-           FROM lv),
-         mbin AS (SELECT doc_id, b, CAST(SUM(am) AS BIGINT) AS sm,
-             CAST(SUM(ad) AS BIGINT) AS sd
-           FROM mv GROUP BY 1, 2),
-         mtot AS (SELECT doc_id, CAST(SUM(am) AS BIGINT) AS tm,
-             CAST(SUM(ad) AS BIGINT) AS td
-           FROM mv GROUP BY 1),
-         fps AS (SELECT mbin.doc_id,
-             CAST(SUM(CASE WHEN mbin.sm * 60 > mtot.tm
-               THEN 1::BIGINT << mbin.b ELSE 0 END) AS BIGINT)
-               AS fp_master,
-             CAST(SUM(CASE WHEN mbin.sd * 60 > mtot.td
-               THEN 1::BIGINT << mbin.b ELSE 0 END) AS BIGINT)
-               AS fp_downmix
-           FROM mbin JOIN mtot ON mbin.doc_id = mtot.doc_id
-           GROUP BY mbin.doc_id)
-         SELECT f.doc_id, f.fp_master, f.fp_downmix,
-             CAST(bit_count(xor(f.fp_master, f.fp_downmix)) AS BIGINT)
-               AS hamming,
-             bit_count(xor(f.fp_master, f.fp_downmix)) <= 8 AS is_dup,
-             CAST(bit_count(xor(f.fp_downmix, c.fp_master)) AS BIGINT)
-               AS control_hamming,
-             bit_count(xor(f.fp_downmix, c.fp_master)) > 8 AS separated
-         FROM fps f JOIN fps c ON c.doc_id = f.doc_id + 1
-         ORDER BY f.doc_id""",
-    // q300: keyframe blockhashes replayed closed-form (the planted
-    // per-(clip, scene, block) xor-shift bits ARE the decoded
-    // block-vs-frame-mean bits, all-ones degenerating to 0 under the
-    // strict > rule), the same exact-equality >= 2 pair rule, the
-    // recursive closure, and the q274 quality-max keep.
-    "q300_video_clusters" ->
-      """WITH RECURSIVE base AS (SELECT doc_id, doc_id // 4 AS seed,
-             doc_id % 4 AS r FROM documents),
-         b2 AS (SELECT doc_id,
-             CASE WHEN r = 3 THEN 2 * seed + 1 ELSE 2 * seed END AS sk,
-             3 + seed % 3 AS ns, r
-           FROM base),
-         sc AS (SELECT doc_id, sk,
-             CASE WHEN r = 2 THEN s + 1 ELSE s END AS scene
-           FROM b2, unnest(range(0,
-             CASE WHEN r = 2 THEN ns - 1 ELSE ns END)) u(s)),
-         bits AS (SELECT doc_id, scene, b,
-             (sk * 512 + scene * 64 + b + 1) * 2654435761
-               % 4294967296 AS h0,
-             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
-             xor(h1, h1 >> 13) % 2 AS bit
-           FROM sc, unnest(range(0, 64)) v(b)),
-         kf AS (SELECT doc_id, scene,
-             CASE WHEN SUM(bit) = 64 THEN 0
-               ELSE CAST(SUM(CASE WHEN bit = 0 THEN 0
-                 WHEN b = 63 THEN -9223372036854775808
-                 ELSE 1::BIGINT << b END) AS BIGINT) END AS kf_hash
-           FROM bits GROUP BY 1, 2),
-         e AS (SELECT a.doc_id AS na, c.doc_id AS nb
-           FROM kf a JOIN kf c ON a.kf_hash = c.kf_hash
-             AND a.doc_id < c.doc_id
-           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-         sym AS (SELECT na AS src, nb AS dst FROM e
-                 UNION SELECT nb, na FROM e),
-         r AS (SELECT src AS node, dst AS peer FROM sym
-               UNION
-               SELECT r.node, s.dst FROM r JOIN sym s ON r.peer = s.src),
-         lab AS (SELECT node, LEAST(node, MIN(peer)) AS cluster_rep
-           FROM r GROUP BY node),
-         tk AS (SELECT doc_id, text,
-             list_filter(string_split(text, ' '), t -> t <> '') AS toks
-           FROM documents),
-         qq AS (SELECT doc_id, CAST(floor((
-               0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
-               + 0.3 * (1.0 - CAST(len(list_filter(toks,
-                     w -> w IN ('the','a','of','and','is')))
-                   AS DOUBLE) / CAST(len(toks) AS DOUBLE))
-               + 0.2 * least(((CAST(length(text) AS DOUBLE)
-                     - (CAST(len(toks) AS DOUBLE) - 1.0))
-                   / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0)
-             ) * 10000.0 + 0.5) AS BIGINT) AS q_bp
-           FROM tk),
-         dl AS (SELECT d.doc_id,
-             COALESCE(l.cluster_rep, d.doc_id) AS cluster_rep, q.q_bp
-           FROM base d LEFT JOIN lab l ON d.doc_id = l.node
-           JOIN qq q ON d.doc_id = q.doc_id),
-         win AS (SELECT cluster_rep, doc_id, q_bp, row_number() OVER
-             (PARTITION BY cluster_rep ORDER BY q_bp DESC, doc_id ASC)
-             AS rn
-           FROM dl),
-         nk AS (SELECT dl.cluster_rep,
-             CAST(COUNT(DISTINCT kf.kf_hash) AS BIGINT) AS n_kf_hashes
-           FROM dl JOIN kf ON dl.doc_id = kf.doc_id GROUP BY 1),
-         agg AS (SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_docs
-           FROM dl GROUP BY 1)
-         SELECT a.cluster_rep, a.n_docs, k.n_kf_hashes,
-             w.doc_id AS kept_doc, w.q_bp AS kept_q_bp
-         FROM agg a JOIN nk k ON a.cluster_rep = k.cluster_rep
-           JOIN win w ON a.cluster_rep = w.cluster_rep AND w.rn = 1
-         ORDER BY a.cluster_rep""",
-    // q301: clicks replayed closed-form (xor-shift gaps/amps,
-    // cumulative positions), triplet hashes in the arithmetic packing,
-    // DISTINCT sets per leg. The pad leg shifts every onset equally so
-    // its hash set IS the master's (a theorem of the construction);
-    // the trim leg keeps exactly the i >= 1 triplets (a subset, so the
-    // intersection is its own size). Oracle cost scales with clicks
-    // (~20/doc), never samples.
-    "q301_audio_landmarks" ->
-      """WITH dims AS (SELECT doc_id,
-             4000 + (doc_id % 7) * 500 + doc_id % 53 AS n
-           FROM documents),
-         legs AS (SELECT doc_id, n, 2 * doc_id AS sk, TRUE AS is_m
-             FROM dims
-           UNION ALL
-           SELECT doc_id, n, 2 * doc_id + 1, FALSE FROM dims),
-         gi AS (SELECT doc_id, n, sk, is_m, i,
-             (sk * 1024 + 2 * i + 1) * 2654435761 % 4294967296 AS g0,
-             xor(g0, g0 >> 16) * 40503 % 4294967296 AS g1,
-             150 + xor(g1, g1 >> 13) % 250 AS gap,
-             (sk * 1024 + 2 * i + 2) * 2654435761 % 4294967296 AS a0,
-             xor(a0, a0 >> 16) * 40503 % 4294967296 AS a1,
-             1500 + xor(a1, a1 >> 13) % 8 * 64 AS amp
-           FROM legs, unnest(range(0, 45)) u(i)),
-         -- 45 >= 1 + (7052-100-w-200)//(w+150) for click widths
-         -- w in {1,3}: the densest legal train fits the budget
-         -- exactly (OracleClickBudgetSpec guards n growth)
-         ps AS (SELECT doc_id, sk,
-             (sk * 1024 + 1000) * 2654435761 % 4294967296 AS h0,
-             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
-             200 + xor(h1, h1 >> 13) % 200 AS p
-           FROM legs),
-         ck AS (SELECT gi.doc_id, gi.sk, gi.is_m, gi.i, gi.amp, gi.n,
-             ps.p + COALESCE(SUM(3 + gi.gap) OVER (
-               PARTITION BY gi.doc_id, gi.sk ORDER BY gi.i
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS pos
-           FROM gi JOIN ps ON gi.doc_id = ps.doc_id AND gi.sk = ps.sk),
-         cf AS (SELECT * FROM ck WHERE pos + 3 <= n - 100),
-         tr AS (SELECT a.doc_id, a.sk, a.is_m, a.i,
-             (((b.pos - a.pos) * 1048576 + (c.pos - b.pos)) * 256
-               + LEAST(b.amp * 8 // a.amp, 15) * 16
-               + LEAST(c.amp * 8 // b.amp, 15)) AS h
-           FROM cf a
-           JOIN cf b ON a.doc_id = b.doc_id AND a.sk = b.sk
-             AND b.i = a.i + 1
-           JOIN cf c ON a.doc_id = c.doc_id AND a.sk = c.sk
-             AND c.i = a.i + 2),
-         mh AS (SELECT DISTINCT doc_id, h FROM tr WHERE is_m),
-         th AS (SELECT DISTINCT doc_id, h FROM tr WHERE is_m
-           AND i >= 1),
-         ch AS (SELECT DISTINCT doc_id, h FROM tr WHERE NOT is_m),
-         non AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_onsets
-           FROM cf WHERE is_m GROUP BY 1),
-         nh AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hashes
-           FROM mh GROUP BY 1),
-         ts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS trim_shared
-           FROM th GROUP BY 1),
-         cs AS (SELECT m.doc_id, CAST(COUNT(*) AS BIGINT) AS ctrl_shared
-           FROM mh m JOIN ch c ON m.doc_id = c.doc_id AND m.h = c.h
-           GROUP BY 1)
-         SELECT nh.doc_id, non.n_onsets, nh.n_hashes,
-             nh.n_hashes AS pad_shared, ts.trim_shared,
-             COALESCE(cs.ctrl_shared, 0) AS ctrl_shared,
-             nh.n_hashes >= 3 AS pad_dup,
-             ts.trim_shared >= 3 AS trim_dup,
-             COALESCE(cs.ctrl_shared, 0) < 3 AS ctrl_separated
-         FROM nh JOIN non ON nh.doc_id = non.doc_id
-              JOIN ts ON nh.doc_id = ts.doc_id
-              LEFT JOIN cs ON nh.doc_id = cs.doc_id
-         ORDER BY nh.doc_id""",
-    // q302: the q301 click replay per id/4 group (trimmed member
-    // keeps i >= 1 triplets), vote edges at the lmop-derived stored
-    // operating point, recursive closure,
-    // quality-max keep — the q300 oracle shape on the audio axis.
-    "q302_landmark_clusters" ->
-      s"""WITH RECURSIVE $landmarkOpCtes,
-         base AS (SELECT doc_id, doc_id // 4 AS g,
-             doc_id % 4 AS r FROM documents),
-         b2 AS (SELECT doc_id, g, r,
-             CASE WHEN r = 3 THEN 2 * g + 1 ELSE 2 * g END AS sk,
-             4000 + (g % 7) * 500 + g % 53 AS n
-           FROM base),
-         gi AS (SELECT doc_id, n, sk, r, i,
-             (sk * 1024 + 2 * i + 1) * 2654435761 % 4294967296 AS g0,
-             xor(g0, g0 >> 16) * 40503 % 4294967296 AS g1,
-             150 + xor(g1, g1 >> 13) % 250 AS gap,
-             (sk * 1024 + 2 * i + 2) * 2654435761 % 4294967296 AS a0,
-             xor(a0, a0 >> 16) * 40503 % 4294967296 AS a1,
-             1500 + xor(a1, a1 >> 13) % 8 * 64 AS amp
-           FROM b2, unnest(range(0, 45)) u(i)),
-         -- 45 >= 1 + (7052-100-w-200)//(w+150) for click widths
-         -- w in {1,3}: the densest legal train fits the budget
-         -- exactly (OracleClickBudgetSpec guards n growth)
-         ps AS (SELECT doc_id, sk,
-             (sk * 1024 + 1000) * 2654435761 % 4294967296 AS h0,
-             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
-             200 + xor(h1, h1 >> 13) % 200 AS p
-           FROM b2),
-         ck AS (SELECT gi.doc_id, gi.r, gi.i, gi.amp, gi.n,
-             ps.p + COALESCE(SUM(3 + gi.gap) OVER (
-               PARTITION BY gi.doc_id ORDER BY gi.i
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS pos
-           FROM gi JOIN ps ON gi.doc_id = ps.doc_id),
-         cf AS (SELECT * FROM ck WHERE pos + 3 <= n - 100),
-         tr AS (SELECT a.doc_id, a.r, a.i,
-             ((((b.pos - a.pos) >> (SELECT qstar FROM lmop)) * 1048576
-                 + ((c.pos - b.pos) >> (SELECT qstar FROM lmop))) * 256
-               + LEAST(b.amp * 8 // a.amp, 15) * 16
-               + LEAST(c.amp * 8 // b.amp, 15)) AS h
-           FROM cf a
-           JOIN cf b ON a.doc_id = b.doc_id AND b.i = a.i + 1
-           JOIN cf c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
-         hs AS (SELECT DISTINCT doc_id, h FROM tr
-           WHERE r <> 2 OR i >= 1),
-         e AS (SELECT a.doc_id AS na, c.doc_id AS nb
-           FROM hs a JOIN hs c ON a.h = c.h AND a.doc_id < c.doc_id
-           GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT tstar FROM lmop)),
-         sym AS (SELECT na AS src, nb AS dst FROM e
-                 UNION SELECT nb, na FROM e),
-         rr AS (SELECT src AS node, dst AS peer FROM sym
-               UNION
-               SELECT rr.node, s.dst FROM rr JOIN sym s
-                 ON rr.peer = s.src),
-         lab AS (SELECT node, LEAST(node, MIN(peer)) AS cluster_rep
-           FROM rr GROUP BY node),
-         tk AS (SELECT doc_id, text,
-             list_filter(string_split(text, ' '), t -> t <> '') AS toks
-           FROM documents),
-         qq AS (SELECT doc_id, CAST(floor((
-               0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
-               + 0.3 * (1.0 - CAST(len(list_filter(toks,
-                     w -> w IN ('the','a','of','and','is')))
-                   AS DOUBLE) / CAST(len(toks) AS DOUBLE))
-               + 0.2 * least(((CAST(length(text) AS DOUBLE)
-                     - (CAST(len(toks) AS DOUBLE) - 1.0))
-                   / CAST(len(toks) AS DOUBLE)) / 8.0, 1.0)
-             ) * 10000.0 + 0.5) AS BIGINT) AS q_bp
-           FROM tk),
-         dl AS (SELECT d.doc_id,
-             COALESCE(l.cluster_rep, d.doc_id) AS cluster_rep, q.q_bp
-           FROM base d LEFT JOIN lab l ON d.doc_id = l.node
-           JOIN qq q ON d.doc_id = q.doc_id),
-         win AS (SELECT cluster_rep, doc_id, q_bp, row_number() OVER
-             (PARTITION BY cluster_rep ORDER BY q_bp DESC, doc_id ASC)
-             AS rn
-           FROM dl),
-         nk AS (SELECT dl.cluster_rep,
-             CAST(COUNT(DISTINCT hs.h) AS BIGINT) AS n_lm_hashes
-           FROM dl JOIN hs ON dl.doc_id = hs.doc_id GROUP BY 1),
-         agg AS (SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_docs
-           FROM dl GROUP BY 1)
-         SELECT a.cluster_rep, a.n_docs, k.n_lm_hashes,
-             w.doc_id AS kept_doc, w.q_bp AS kept_q_bp
-         FROM agg a JOIN nk k ON a.cluster_rep = k.cluster_rep
-           JOIN win w ON a.cluster_rep = w.cluster_rep AND w.rn = 1
-         ORDER BY a.cluster_rep""",
-    // q314: the calibration sample, all four quantization levels, and
-    // the admitted-count sweep replayed verbatim from landmarkOpCtes;
-    // 768 = the fixed positive-pair count (3 per sample group).
-    "q314_landmark_tuning" ->
-      s"""WITH $landmarkOpCtes,
-         lmts AS (SELECT t FROM unnest(range(1, 17)) tt(t)),
-         cellp AS (SELECT p.q, t.t,
-             CAST(SUM(CASE WHEN p.shared >= t.t THEN 1 ELSE 0 END)
-               AS BIGINT) AS pos_admitted
-           FROM lmposj p, lmts t GROUP BY 1, 2),
-         celln AS (SELECT n2.q, t.t,
-             CAST(SUM(CASE WHEN n2.shared >= t.t THEN 1 ELSE 0 END)
-               AS BIGINT) AS neg_admitted
-           FROM lmneg n2, lmts t GROUP BY 1, 2)
-         SELECT CAST(cp.q AS BIGINT) AS delta_qbits,
-             CAST(cp.t AS BIGINT) AS vote_t,
-             cp.pos_admitted,
-             COALESCE(cn.neg_admitted, 0) AS neg_admitted,
-             cp.pos_admitted * 10000 // 768 AS recall_bp,
-             CASE WHEN cp.pos_admitted + COALESCE(cn.neg_admitted, 0)
-                 = 0 THEN 10000
-               ELSE cp.pos_admitted * 10000
-                 // (cp.pos_admitted + COALESCE(cn.neg_admitted, 0))
-               END AS precision_bp
-         FROM cellp cp LEFT JOIN celln cn
-           ON cp.q = cn.q AND cp.t = cn.t
-         ORDER BY 1, 2""",
-    // q321: the df-cap sweep at the chosen (q*, t*) — per-hash df over
-    // the replayed calibration sample, the capped vote re-run per grid
-    // cap, and the headroom choice rule; 768 = the fixed positive-pair
-    // count, 16 = the documented headroom multiplier.
-    "q321_df_cap_tuning" ->
-      s"""WITH $landmarkOpCtes,
-         capg AS (SELECT CAST(cap AS BIGINT) AS cap
-           FROM unnest([1, 2, 4, 8, 16, 32, 64, 128, 256]) tc(cap)),
-         chq AS (SELECT did, h FROM lmhs
-           WHERE q = (SELECT qstar FROM lmop)),
-         cdf AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS dfh
-           FROM chq GROUP BY 1),
-         cmax AS (SELECT MAX(dfh) AS m FROM cdf),
-         cocc AS (SELECT a.did AS da, b.did AS db, d.dfh
-           FROM chq a JOIN chq b ON a.h = b.h AND a.did < b.did
-           JOIN cdf d ON d.h = a.h),
-         csh AS (SELECT g.cap, o.da, o.db,
-             CAST(COUNT(*) AS BIGINT) AS shared
-           FROM capg g JOIN cocc o ON o.dfh <= g.cap
-           GROUP BY 1, 2, 3),
-         cposk AS (SELECT g.cap, 4 * lmg.g + pp.ra AS da,
-             4 * lmg.g + pp.rb AS db
-           FROM capg g, lmg, (VALUES (0, 1), (0, 2), (1, 2)) pp(ra, rb)),
-         cpos AS (SELECT k.cap,
-             CAST(SUM(CASE WHEN COALESCE(s.shared, 0) >=
-               (SELECT tstar FROM lmop) THEN 1 ELSE 0 END) AS BIGINT)
-               AS pos_admitted
-           FROM cposk k LEFT JOIN csh s
-             ON k.cap = s.cap AND k.da = s.da AND k.db = s.db
-           GROUP BY 1),
-         cneg AS (SELECT s.cap,
-             CAST(SUM(CASE WHEN s.shared >= (SELECT tstar FROM lmop)
-               THEN 1 ELSE 0 END) AS BIGINT) AS neg_admitted
-           FROM csh s
-           WHERE NOT (s.da // 4 = s.db // 4
-             AND s.da % 4 < 3 AND s.db % 4 < 3)
-           GROUP BY 1),
-         chot AS (SELECT g.cap, CAST(COUNT(*) AS BIGINT) AS n_hot_hashes
-           FROM capg g JOIN cdf d ON d.dfh > g.cap GROUP BY 1),
-         -- the engine fails loudly when the headroom rule runs off
-         -- the grid (LandmarkTuning.chooseCap's require); so must the
-         -- oracle, instead of degrading chosen into NULLs
-         ccap AS (SELECT CASE WHEN mn IS NULL
-               THEN error('df-cap headroom runs off the swept grid')
-               ELSE mn END AS capstar
-           FROM (SELECT MIN(cap) AS mn FROM capg
-                 WHERE cap >= 16 * (SELECT m FROM cmax)) tmn)
-         SELECT g.cap,
-           COALESCE(ch.n_hot_hashes, 0) AS n_hot_hashes,
-           COALESCE(cp.pos_admitted, 0) AS pos_admitted,
-           COALESCE(cn.neg_admitted, 0) AS neg_admitted,
-           COALESCE(cp.pos_admitted, 0) * 10000 // 768 AS recall_bp,
-           (SELECT m FROM cmax) AS sample_max_df,
-           g.cap = (SELECT capstar FROM ccap) AS chosen
-         FROM capg g
-         LEFT JOIN chot ch ON g.cap = ch.cap
-         LEFT JOIN cpos cp ON g.cap = cp.cap
-         LEFT JOIN cneg cn ON g.cap = cn.cap
-         ORDER BY g.cap""",
-    // q315: arrival and takedown-reference envelope fingerprints
-    // replayed per-sample closed-form (the q304 kv chain over a
-    // tagged unit union), the exact band rule, and the <= 4
-    // compliance gate (the guaranteed pigeonhole bound, not the
-    // band-lucky dedup 8).
-    "q315_audio_takedown" ->
-      """WITH units AS (SELECT doc_id AS uid,
-             2 * (doc_id // 3) AS sk,
-             2000 + ((doc_id // 3) % 7) * 500 + (doc_id // 3) % 53
-               AS n,
-             1 + doc_id % 2 AS step, FALSE AS is_td,
-             doc_id AS out_id
-           FROM documents
-           UNION ALL
-           SELECT -g - 1, 2 * g, 2000 + (g % 7) * 500 + g % 53, 1,
-             TRUE, g
-           FROM (SELECT DISTINCT doc_id // 3 AS g FROM documents
-                 WHERE (doc_id // 3) % 9 = 0) tds),
-         b3 AS (SELECT uid, sk, n, step, is_td, out_id,
-             n // step AS m
-           FROM units),
-         kv AS (SELECT uid, m, (k * 60) // m AS b,
-             (sk * 60 + ((k * step) * 60) // n + 1) * 2654435761
-               % 4294967296 AS h0,
-             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
-             xor(h1, h1 >> 13) % 6 AS mm,
-             ABS(((sk * 31 + 997 * (k * step)) % 4096 - 2048)
-               * (1 + mm + CASE WHEN mm >= 3 THEN 5 ELSE 0 END) // 8)
-               AS a
-           FROM b3, unnest(range(0, m)) u(k)),
-         bins AS (SELECT uid, b, CAST(SUM(a) AS BIGINT) AS sm
-           FROM kv GROUP BY 1, 2),
-         tt AS (SELECT uid, CAST(SUM(a) AS BIGINT) AS total
-           FROM kv GROUP BY 1),
-         fpt AS (SELECT bins.uid,
-             CAST(SUM(CASE WHEN bins.sm * 60 > tt.total
-               THEN 1::BIGINT << bins.b ELSE 0 END) AS BIGINT) AS fp
-           FROM bins JOIN tt ON bins.uid = tt.uid
-           GROUP BY bins.uid),
-         ab AS (SELECT u.out_id AS doc_id, f.fp,
-             ((f.fp >> (b.b * 12)) & 4095) * 5 + b.b AS bk
-           FROM fpt f JOIN b3 u ON f.uid = u.uid,
-             unnest(range(0, 5)) b(b)
-           WHERE NOT u.is_td),
-         hb AS (SELECT u.out_id AS hist_id, f.fp AS hfp,
-             ((f.fp >> (b.b * 12)) & 4095) * 5 + b.b AS bk
-           FROM fpt f JOIN b3 u ON f.uid = u.uid,
-             unnest(range(0, 5)) b(b)
-           WHERE u.is_td)
-         SELECT DISTINCT ab.doc_id, hb.hist_id,
-             CAST(bit_count(xor(ab.fp, hb.hfp)) AS BIGINT) AS hamming
-         FROM ab JOIN hb ON ab.bk = hb.bk
-         WHERE bit_count(xor(ab.fp, hb.hfp)) <= 4
-         ORDER BY ab.doc_id, hb.hist_id""",
-    // q316: the q300/q307 keyframe-hash bit replay over a tagged unit
-    // union (arrival renditions + takedown references), exact
-    // equality probe, >= 2-keyframe vote.
-    "q316_video_takedown" ->
-      """WITH units AS (SELECT doc_id AS uid,
-             2 * (doc_id // 3) AS sk,
-             3 + (doc_id // 3) % 3 AS ns, doc_id % 3 AS r,
-             FALSE AS is_td, doc_id AS out_id
-           FROM documents
-           UNION ALL
-           SELECT -g - 1, 2 * g, 3 + g % 3, 0, TRUE, g
-           FROM (SELECT DISTINCT doc_id // 3 AS g FROM documents
-                 WHERE (doc_id // 3) % 9 = 0) tds),
-         sc AS (SELECT uid, sk, is_td, out_id,
-             CASE WHEN NOT is_td AND r = 1 THEN sx + 1 ELSE sx END
-               AS scene
-           FROM units, unnest(range(0,
-             CASE WHEN NOT is_td AND r = 1 THEN ns - 1 ELSE ns END))
-             u(sx)),
-         bits AS (SELECT uid, is_td, out_id, scene, b,
-             (sk * 512 + scene * 64 + b + 1) * 2654435761
-               % 4294967296 AS h0,
-             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
-             xor(h1, h1 >> 13) % 2 AS bit
-           FROM sc, unnest(range(0, 64)) v(b)),
-         kf AS (SELECT uid, is_td, out_id, scene,
-             CASE WHEN SUM(bit) = 64 THEN 0
-               ELSE CAST(SUM(CASE WHEN bit = 0 THEN 0
-                 WHEN b = 63 THEN -9223372036854775808
-                 ELSE 1::BIGINT << b END) AS BIGINT) END AS kf_hash
-           FROM bits GROUP BY 1, 2, 3, 4),
-         akf AS (SELECT DISTINCT out_id AS doc_id, kf_hash FROM kf
-           WHERE NOT is_td),
-         tkf AS (SELECT DISTINCT out_id AS hist_id, kf_hash FROM kf
-           WHERE is_td)
-         SELECT a.doc_id, t2.hist_id,
-             CAST(COUNT(*) AS BIGINT) AS n_shared
-         FROM akf a JOIN tkf t2 ON a.kf_hash = t2.kf_hash
-         GROUP BY 1, 2 HAVING COUNT(*) >= 2
-         ORDER BY a.doc_id, t2.hist_id""",
-    // q317: bursts replayed closed-form for BOTH pair sides (the
-    // audio recording and the transcript's SOURCE recording — id+1 on
-    // every 13th doc), zip-joined on burst index; token counts are
-    // dur//25 + 1 on each side. 45 rows over-cover the densest legal
-    // burst train (min advance 220).
-    "q317_audio_transcript_align" ->
-      """WITH dims AS (SELECT doc_id,
-             4000 + (doc_id % 7) * 500 + doc_id % 53 AS n,
-             CASE WHEN doc_id % 13 = 0 THEN doc_id + 1
-               ELSE doc_id END AS src
-           FROM documents),
-         units AS (SELECT doc_id, doc_id AS seed, n, FALSE AS is_tr
-           FROM dims
-           UNION ALL
-           SELECT doc_id, src,
-             4000 + (src % 7) * 500 + src % 53, TRUE
-           FROM dims),
-         gi AS (SELECT doc_id, is_tr, seed, n, i,
-             (seed * 2048 + 3 * i + 1) * 2654435761
-               % 4294967296 AS d0,
-             xor(d0, d0 >> 16) * 40503 % 4294967296 AS d1,
-             100 + xor(d1, d1 >> 13) % 400 AS dur,
-             (seed * 2048 + 3 * i + 3) * 2654435761
-               % 4294967296 AS g0,
-             xor(g0, g0 >> 16) * 40503 % 4294967296 AS g1,
-             120 + xor(g1, g1 >> 13) % 300 AS gap
-           FROM units, unnest(range(0, 45)) u(i)),
-         ps AS (SELECT doc_id, is_tr,
-             (seed * 2048 + 3000) * 2654435761 % 4294967296 AS h0,
-             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
-             150 + xor(h1, h1 >> 13) % 150 AS p
-           FROM units),
-         bu AS (SELECT gi.doc_id, gi.is_tr, gi.i, gi.dur, gi.n,
-             ps.p + COALESCE(SUM(gi.dur + gi.gap) OVER (
-               PARTITION BY gi.doc_id, gi.is_tr ORDER BY gi.i
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS pos
-           FROM gi JOIN ps
-             ON gi.doc_id = ps.doc_id AND gi.is_tr = ps.is_tr),
-         bv AS (SELECT * FROM bu WHERE pos + dur <= n - 100),
-         au AS (SELECT doc_id, i, dur // 25 + 1 AS toks FROM bv
-           WHERE NOT is_tr),
-         tr AS (SELECT doc_id, i, dur // 25 + 1 AS toks FROM bv
-           WHERE is_tr),
-         ac AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_utts
-           FROM au GROUP BY 1),
-         tc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
-             CAST(SUM(toks) AS BIGINT) AS n_tokens
-           FROM tr GROUP BY 1),
-         zp AS (SELECT a.doc_id,
-             CAST(COALESCE(SUM(ABS(t2.toks - a.toks)), 0) AS BIGINT)
-               AS gap
-           FROM au a JOIN tr t2
-             ON a.doc_id = t2.doc_id AND a.i = t2.i
-           GROUP BY 1)
-         SELECT d.doc_id, ac.n_utts AS n_utterances, tc.n_lines,
-             tc.n_tokens, (d.doc_id % 13 = 0) AS swapped,
-             COALESCE(zp.gap, 0) AS token_gap,
-             tc.n_lines = ac.n_utts AS count_match,
-             tc.n_lines = ac.n_utts AND COALESCE(zp.gap, 0) = 0
-               AS aligned,
-             tc.n_lines = ac.n_utts AND COALESCE(zp.gap, 0) = 0
-               AS kept
-         FROM dims d JOIN ac ON d.doc_id = ac.doc_id
-           JOIN tc ON d.doc_id = tc.doc_id
-           LEFT JOIN zp ON d.doc_id = zp.doc_id
-         ORDER BY d.doc_id""",
-    // q319: clicks replayed once per GROUP (all three renditions of a
-    // group derive from the same master train; the pad keeps every
-    // triplet, the trim keeps i >= 1), hashes at the lmop-derived
-    // stored quantization, the protected groups' sets as the
-    // blocklist, and the >= tstar vote.
-    "q319_landmark_takedown" ->
-      s"""WITH $landmarkOpCtes,
-         tdbase AS (SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS r
-           FROM documents),
-         tdg AS (SELECT DISTINCT g, 2 * g AS sk,
-             4000 + (g % 7) * 500 + g % 53 AS n
-           FROM tdbase),
-         tdgi AS (SELECT g, n, sk, i,
-             (sk * 1024 + 2 * i + 1) * 2654435761 % 4294967296 AS g0,
-             xor(g0, g0 >> 16) * 40503 % 4294967296 AS g1,
-             150 + xor(g1, g1 >> 13) % 250 AS gap,
-             (sk * 1024 + 2 * i + 2) * 2654435761 % 4294967296 AS a0,
-             xor(a0, a0 >> 16) * 40503 % 4294967296 AS a1,
-             1500 + xor(a1, a1 >> 13) % 8 * 64 AS amp
-           FROM tdg, unnest(range(0, 45)) u(i)),
-         tdps AS (SELECT g,
-             (sk * 1024 + 1000) * 2654435761 % 4294967296 AS h0,
-             xor(h0, h0 >> 16) * 40503 % 4294967296 AS h1,
-             200 + xor(h1, h1 >> 13) % 200 AS p
-           FROM tdg),
-         tdck AS (SELECT tdgi.g, tdgi.i, tdgi.amp, tdgi.n,
-             tdps.p + COALESCE(SUM(3 + tdgi.gap) OVER (
-               PARTITION BY tdgi.g ORDER BY tdgi.i
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS pos
-           FROM tdgi JOIN tdps ON tdgi.g = tdps.g),
-         tdcf AS (SELECT * FROM tdck WHERE pos + 3 <= n - 100),
-         tdtr AS (SELECT a.g, a.i,
-             ((((b.pos - a.pos) >> (SELECT qstar FROM lmop)) * 1048576
-                 + ((c.pos - b.pos) >> (SELECT qstar FROM lmop))) * 256
-               + LEAST(b.amp * 8 // a.amp, 15) * 16
-               + LEAST(c.amp * 8 // b.amp, 15)) AS h
-           FROM tdcf a
-           JOIN tdcf b ON a.g = b.g AND b.i = a.i + 1
-           JOIN tdcf c ON a.g = c.g AND c.i = a.i + 2),
-         tdarr AS (SELECT DISTINCT d.doc_id, t2.h
-           FROM tdbase d JOIN tdtr t2 ON d.g = t2.g
-           WHERE d.r <> 2 OR t2.i >= 1),
-         tdref AS (SELECT DISTINCT g AS takedown_id, h FROM tdtr
-           WHERE g % 9 = 0)
-         SELECT a.doc_id, rf.takedown_id,
-             CAST(COUNT(*) AS BIGINT) AS n_shared
-         FROM tdarr a JOIN tdref rf ON a.h = rf.h
-         GROUP BY 1, 2
-         HAVING COUNT(*) >= (SELECT tstar FROM lmop)
-         ORDER BY a.doc_id, rf.takedown_id""")
+  private[graft] lazy val oracleSqlBase: Map[String, String] =
+    TrainOracles1.entries ++ TrainOracles2.entries ++
+      TrainOracles3.entries
+
 
   /** q87's oracle — Lloyd rounds unrolled into CTE chains with the SAME
     * integer arithmetic as [[graft.ops.KMeans]]: exact quantized
@@ -18377,7 +748,7 @@ object TrainQueries {
     * assumed), emptied clusters keeping their previous centroid via the
     * LEFT JOIN + COALESCE.
     */
-  private def kmeansOracle(k: Int, iters: Int): String =
+  private[graft] def kmeansOracle(k: Int, iters: Int): String =
     s"""${kmeansCtes(k, iters)}
          SELECT cluster, COUNT(*) AS n_vecs,
              CAST(SUM(dist) AS BIGINT) AS inertia
@@ -18387,7 +758,7 @@ object TrainQueries {
     * restricted to same-cluster pairs (the SemDeDup blocking), zero
     * norms excluded exactly as the Spark side's `qn > 0`.
     */
-  private def semanticDedupOracle(k: Int, iters: Int): String =
+  private[graft] def semanticDedupOracle(k: Int, iters: Int): String =
     s"""${kmeansCtes(k, iters)},
          $qlistCte,
          nrm AS (SELECT vec_id, SUM(x * x) AS nn FROM q GROUP BY 1
@@ -18417,7 +788,7 @@ object TrainQueries {
     * [[semanticDedupOracle]] with the self-join replaced by the
     * incremental two-sided form.
     */
-  private def crossSemanticDedupOracle(k: Int, iters: Int): String =
+  private[graft] def crossSemanticDedupOracle(k: Int, iters: Int): String =
     s"""${kmeansCtes(k, iters, "WHERE vec_id % 3 <> 0")},
          $qlistCte,
          qb AS (SELECT e.vec_id, i,
@@ -18463,7 +834,7 @@ object TrainQueries {
     * smaller id (the intra-batch members, emitted once, direction
     * deterministic).
     */
-  private def growingSemanticDedupOracle(k: Int, iters: Int,
+  private[graft] def growingSemanticDedupOracle(k: Int, iters: Int,
       chunks: Int): String =
     s"""${kmeansCtes(k, iters, "WHERE vec_id % 3 <> 0")},
          $qlistCte,
@@ -18527,7 +898,7 @@ object TrainQueries {
     * query probing its `nprobe` nearest cells, ADC restricted to
     * candidates in probed cells.
     */
-  private def pqAnnOracle(m: Int, ksub: Int, iters: Int,
+  private[graft] def pqAnnOracle(m: Int, ksub: Int, iters: Int,
       ivfCells: Int = 0, ivfIters: Int = 0, nprobe: Int = 0,
       storedShape: Boolean = false): String = {
     val subDim = 64 / m
@@ -18680,7 +1051,7 @@ object TrainQueries {
     sb.toString
   }
 
-  private def kmeansCtes(k: Int, iters: Int, where: String = ""): String = {
+  private[graft] def kmeansCtes(k: Int, iters: Int, where: String = ""): String = {
     val sb = new StringBuilder
     sb ++=
       s"""WITH q AS (SELECT e.vec_id, i,
@@ -18725,7 +1096,7 @@ object TrainQueries {
     * engines compute bit-identical z-values (pure integer arithmetic,
     * no float divergence possible).
     */
-  private def zorderOracle: String = {
+  private[graft] def zorderOracle: String = {
     val z = (0 until 16).flatMap { i =>
       Seq(s"(((qx >> $i) & 1) << ${2 * i})",
         s"(((qy >> $i) & 1) << ${2 * i + 1})")
@@ -18740,3 +1111,4 @@ object TrainQueries {
          FROM z GROUP BY 1 ORDER BY shard"""
   }
 }
+

@@ -56,20 +56,30 @@ object AudioDedupGate {
     histFps.select(col("hist_id"), col("fp").as("hfp"),
       explode(expr(bandsOf.format("fp"))).as("bk"))
 
+  /** Band keys carried by more than `maxDf` index rows — a degenerate
+    * band value (silent audio quantizes every bin below the mean) is
+    * the probe join's skew magnet. Tiny by construction; the
+    * maintenance-time artifact an append job refreshes (q323) so
+    * probes stay candidate-proportional on a grown index.
+    */
+  def stopBands(index: DataFrame, maxDf: Int): DataFrame =
+    graft.ops.Dedup.hotKeys(index, "bk", maxDf)
+
   /** Stream the staged `mediaParquet` (columns `doc_id`, `payload` —
     * mono WAV bytes) in `chunks` micro-batches against the stored
     * band `index` ([[buildIndex]] layout); returns the matched
     * (doc_id, hist_id, hamming) pairs, ordered.
     */
   def run(spark: SparkSession, mediaParquet: String, index: DataFrame,
-      chunks: Int = 3, maxHamming: Int = 8): DataFrame =
+      chunks: Int = 3, maxHamming: Int = 8,
+      stop: Option[DataFrame] = None): DataFrame =
       Staging.withStreamShufflePartitions(spark, n = "4") {
     val (media, tag) = Staging.stageSplitAndRead(spark, mediaParquet,
       "graft_audiogate_in", chunks, orderCols = Seq("doc_id"))
     val tmp = System.getProperty("java.io.tmpdir")
     val root = graft.Scratch.register(s"$tmp/graft_audiogate_state_$tag")
     val ck = graft.Scratch.register(s"$tmp/graft_audiogate_ck_$tag")
-    runInto(spark, media, index, root, ck, maxHamming)
+    runInto(spark, media, index, root, ck, maxHamming, stop)
     VersionedStore.readAllBelow(spark, s"$root/matches", Long.MaxValue)
       .getOrElse(emptyMatches(spark))
       .orderBy("doc_id", "hist_id")
@@ -81,13 +91,13 @@ object AudioDedupGate {
     */
   def runInto(spark: SparkSession, media: DataFrame, index: DataFrame,
       stateRoot: String, checkpoint: String,
-      maxHamming: Int = 8): Unit = {
+      maxHamming: Int = 8, stop: Option[DataFrame] = None): Unit = {
     val query = media.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           VersionedStore.write(
-            batchMatches(spark, batch, index, maxHamming),
+            batchMatches(spark, batch, index, maxHamming, stop),
             s"$stateRoot/matches", batchId)
       }
       .option("checkpointLocation", checkpoint)
@@ -101,7 +111,8 @@ object AudioDedupGate {
     * batch probing directly.
     */
   def batchMatches(spark: SparkSession, batch: DataFrame,
-      index: DataFrame, maxHamming: Int = 8): DataFrame = {
+      index: DataFrame, maxHamming: Int = 8,
+      stop: Option[DataFrame] = None): DataFrame = {
     // maxHamming: the verify gate. 8 is the dedup default (band-lucky
     // admits past the pigeonhole bound are a recall bonus there); a
     // TAKEDOWN screen passes 4 — the bound the 5-band layout actually
@@ -115,8 +126,14 @@ object AudioDedupGate {
       .map { case (id, p) => (id, Audio.envelopeHash(id,
         if (p == null) Array.emptyByteArray else p)) }
       .toDF("doc_id", "fp")
-    fps.select(col("doc_id"), col("fp"),
-        explode(expr(bandsOf.format("fp"))).as("bk"))
+    val bandRows = fps.select(col("doc_id"), col("fp"),
+      explode(expr(bandsOf.format("fp"))).as("bk"))
+    // `stop` is the maintenance-time stopBands artifact for indexes
+    // grown past the build-time cap through appends — probe rows in a
+    // hot band drop BEFORE the index join (batch-side broadcast
+    // anti-join; the index-side plan is untouched)
+    stop.fold(bandRows)(st =>
+        bandRows.join(broadcast(st), Seq("bk"), "left_anti"))
       .join(index, Seq("bk"))
       .filter(expr(s"bit_count(fp ^ hfp) <= $maxHamming"))
       .select(col("doc_id"), col("hist_id"),

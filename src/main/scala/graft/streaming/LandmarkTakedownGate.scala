@@ -58,14 +58,15 @@ object LandmarkTakedownGate {
     * `deltaQ` are the stored q314 operating point.
     */
   def run(spark: SparkSession, mediaParquet: String, index: DataFrame,
-      voteT: Long, deltaQ: Int, chunks: Int = 3): DataFrame =
+      voteT: Long, deltaQ: Int, chunks: Int = 3,
+      stop: Option[DataFrame] = None): DataFrame =
       Staging.withStreamShufflePartitions(spark, n = "4") {
     val (media, tag) = Staging.stageSplitAndRead(spark, mediaParquet,
       "graft_lmtakedown_in", chunks, orderCols = Seq("doc_id"))
     val tmp = System.getProperty("java.io.tmpdir")
     val root = graft.Scratch.register(s"$tmp/graft_lmtd_state_$tag")
     val ck = graft.Scratch.register(s"$tmp/graft_lmtd_ck_$tag")
-    runInto(spark, media, index, root, ck, voteT, deltaQ)
+    runInto(spark, media, index, root, ck, voteT, deltaQ, stop)
     VersionedStore.readAllBelow(spark, s"$root/matches", Long.MaxValue)
       .getOrElse(emptyMatches(spark))
       .orderBy("doc_id", "takedown_id")
@@ -77,13 +78,13 @@ object LandmarkTakedownGate {
     */
   def runInto(spark: SparkSession, media: DataFrame, index: DataFrame,
       stateRoot: String, checkpoint: String, voteT: Long,
-      deltaQ: Int): Unit = {
+      deltaQ: Int, stop: Option[DataFrame] = None): Unit = {
     val query = media.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           VersionedStore.write(
-            batchMatches(spark, batch, index, voteT, deltaQ),
+            batchMatches(spark, batch, index, voteT, deltaQ, stop),
             s"$stateRoot/matches", batchId)
       }
       .option("checkpointLocation", checkpoint)
@@ -92,12 +93,21 @@ object LandmarkTakedownGate {
     query.awaitTermination()
   }
 
+  /** Hashes carried by more than `maxDf` index rows — the
+    * maintenance-time artifact an append job refreshes (q324):
+    * appends can push a hash past the build-time cap, and probes
+    * anti-join this tiny frame instead of ever re-scanning the index.
+    */
+  def stopHashes(index: DataFrame, maxDf: Int): DataFrame =
+    graft.ops.Dedup.hotKeys(index, "h", maxDf)
+
   /** One batch's blocks: decode + landmark-hash scan-locally at the
     * stored delta quantization, exact hash probe, ≥ voteT vote.
     * Public so specs can assert streamed ≡ batch probing directly.
     */
   def batchMatches(spark: SparkSession, batch: DataFrame,
-      index: DataFrame, voteT: Long, deltaQ: Int): DataFrame = {
+      index: DataFrame, voteT: Long, deltaQ: Int,
+      stop: Option[DataFrame] = None): DataFrame = {
     require(voteT >= 1, s"voteT must be >= 1: $voteT")
     import spark.implicits._
     val hashes = batch
@@ -109,7 +119,11 @@ object LandmarkTakedownGate {
           .distinct.map(h => (id, h))
       }
       .toDF("doc_id", "h")
-    hashes.join(index, Seq("h"))
+    // stop hashes drop on the batch side BEFORE the index join (the
+    // VideoDedupGate form); the index-side plan is untouched
+    stop.fold(hashes)(st =>
+        hashes.join(broadcast(st), Seq("h"), "left_anti"))
+      .join(index, Seq("h"))
       .groupBy("doc_id", "takedown_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= voteT)

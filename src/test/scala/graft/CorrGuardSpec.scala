@@ -17,7 +17,7 @@ class CorrGuardSpec extends AnyFunSuite {
     import spark.implicits._
     Seq((n, sumX, sumY, sxy, sxx, syy))
       .toDF("n", "sum_x", "sum_y", "sxy", "sxx", "syy")
-      .withColumn("corr", expr(TrainQueries.guardedCorrExpr))
+      .withColumn("corr", expr(TrainQueriesCuration.guardedCorrExpr))
       .collect().head.getAs[Double]("corr")
   }
 
