@@ -199,8 +199,12 @@ object LandmarkTuning {
   def capTable(spark: SparkSession, qStar: Long,
       tStar: Long): DataFrame = {
     import spark.implicits._
+    // pinned once: the sample frame feeds four jobs below (df table,
+    // both join sides, the max-df scalar) and would otherwise re-run
+    // the WAV codec per job
     val hs = sampleHashes(spark).filter(col("q") === qStar.toInt)
       .select(col("doc_id"), col("h"))
+      .localCheckpoint()
     val dfh = hs.groupBy("h").agg(count(lit(1)).as("dfh"))
     val grid = capGrid.map(_.toLong).toDF("cap")
     val occ = hs.join(dfh, "h")
