@@ -2011,6 +2011,16 @@ private[graft] object TrainOracles3 {
          stopb AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns
            FROM (SELECT bk FROM hb GROUP BY bk
                  HAVING COUNT(*) > (SELECT capstar FROM ccap)) sx),
+         -- a reference is unindexed iff EVERY band was hot within its
+         -- own wave's build (the engine caps per build pass)
+         hbw AS (SELECT gres, bk, COUNT(*) AS dfw FROM hb
+           GROUP BY 1, 2),
+         uix AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM (
+             SELECT h2.hist_id FROM hb h2
+             JOIN hbw ON hbw.gres = h2.gres AND hbw.bk = h2.bk
+             GROUP BY h2.hist_id
+             HAVING SUM(CASE WHEN hbw.dfw <=
+               (SELECT capstar FROM ccap) THEN 1 ELSE 0 END) = 0) ux),
          blockedd AS (SELECT DISTINCT ab.doc_id FROM ab JOIN hb
              ON ab.bk = hb.bk
            WHERE bit_count(xor(ab.fp, hb.hfp)) <= 4),
@@ -2025,6 +2035,7 @@ private[graft] object TrainOracles3 {
          UNION ALL SELECT 'novel_bands', nv FROM novel
          UNION ALL SELECT 'recheck_unmatched', nr FROM rc
          UNION ALL SELECT 'stop_bands', ns FROM stopb
+         UNION ALL SELECT 'unindexed_refs', nu FROM uix
          ORDER BY phase""",
     // q324: both reference waves' click trains replayed closed-form
     // (the q319 window chain with refs at g % 9 IN (0, 3)), the vote

@@ -2647,13 +2647,13 @@ private[graft] object TrainQueriesMedia {
             Audio.modulatedSample(2 * g, j.toLong, n.toLong)), 16000)))
       }
       .toDF("hist_id", "fp")
-    graft.streaming.AudioDedupGate.buildIndex(refs(0))
+    graft.streaming.AudioDedupGate.buildIndex(refs(0), maxDf)
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "bk").sortBy("bk").saveAsTable(tbl)
     val before = s.table(tbl).count()
     val oldBands = s.table(tbl).select("bk").distinct().transform(snap)
-    val arriving = graft.streaming.AudioDedupGate.buildIndex(refs(3))
-      .transform(snap)
+    val arriving = graft.streaming.AudioDedupGate
+      .buildIndex(refs(3), maxDf).transform(snap)
     val novel = arriving.select("bk").distinct()
       .join(oldBands, Seq("bk"), "left_anti").count()
     arriving.write.mode("append").format("parquet")
@@ -2662,6 +2662,13 @@ private[graft] object TrainQueriesMedia {
     val stop = graft.streaming.AudioDedupGate
       .stopBands(s.table(tbl), maxDf).transform(snap)
     val nStop = stop.count()
+    // fail-loudly visibility: a reference whose every band was capped
+    // out at build is unfindable on this axis — counted, never
+    // silently dropped (in-data provably 0 at every gated scale)
+    val nRefs = docs.map(_ / 3).distinct()
+      .filter((g: Long) => g % 9 == 0 || g % 9 == 3).count()
+    val unindexed =
+      nRefs - s.table(tbl).select("hist_id").distinct().count()
     val (srcPath, _) = audioTakedownPaths(s, dir)
     val matched = graft.streaming.AudioDedupGate.batchMatches(s,
         s.read.parquet(srcPath), s.table(tbl), maxHamming = 4,
@@ -2674,7 +2681,7 @@ private[graft] object TrainQueriesMedia {
     Seq(("added_entries", after - before), ("after_entries", after),
       ("before_entries", before), ("blocked_arrivals", blocked),
       ("novel_bands", novel), ("recheck_unmatched", recheck),
-      ("stop_bands", nStop))
+      ("stop_bands", nStop), ("unindexed_refs", unindexed))
       .toDF("phase", "n")
       .orderBy("phase")
   }
@@ -3156,7 +3163,8 @@ private[graft] object TrainQueriesMedia {
               Audio.modulatedSample(2 * g, j.toLong, n.toLong)), 16000)))
         }
         .toDF("hist_id", "fp")
-      graft.streaming.AudioDedupGate.buildIndex(hist)
+      graft.streaming.AudioDedupGate.buildIndex(hist,
+          maxDf = storedMaxDf(s, dir))
         .write.mode("overwrite").parquet(idxPath)
       (srcPath, idxPath)
     }
@@ -3225,7 +3233,8 @@ private[graft] object TrainQueriesMedia {
               Audio.modulatedSample(2 * g, j.toLong, n.toLong)), 16000)))
         }
         .toDF("hist_id", "fp")
-      graft.streaming.AudioDedupGate.buildIndex(blocklist)
+      graft.streaming.AudioDedupGate.buildIndex(blocklist,
+          maxDf = storedMaxDf(s, dir))
         .write.mode("overwrite").parquet(idxPath)
       (srcPath, idxPath)
     }

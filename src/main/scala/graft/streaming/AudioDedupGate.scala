@@ -50,11 +50,45 @@ object AudioDedupGate {
 
   /** Build the stored band index from history fingerprints
     * (columns `hist_id`, `fp`): one row per (band key, fp, hist_id),
-    * the fingerprint carried as `hfp` so probes join cleanly.
+    * the fingerprint carried as `hfp` so probes join cleanly, with
+    * the df cap applied at BUILD time (the [[VideoDedupGate]] /
+    * LandmarkTakedownGate discipline on the envelope axis): a band
+    * value carried by more than `maxDf` history rows is degenerate —
+    * silent stretches quantize every bin below the mean into ONE
+    * value — and is the probe join's skew magnet, so it never enters
+    * the index. Appends can still push a band past the cap later —
+    * the maintenance job (q323) refreshes [[stopBands]] and probes
+    * anti-join it.
+    *
+    * RECALL UNDER THE CAP (documented erosion, not a bug): the ≤ 4
+    * pigeonhole guarantee holds unconditionally only for references
+    * whose five bands ALL survive — once a reference's band is
+    * capped out, a rendition whose flips land in the surviving bands
+    * can slip a candidate. This is the right trade: a band shared by
+    * more than `maxDf` references cannot say WHICH reference matched
+    * (pairing through it is the quadratic magnet AND a false-match
+    * factory — any silent clip "matches" every silent reference), so
+    * content identifiable ONLY by degenerate bands is not
+    * identifiable on the envelope axis at all; the landmark screen
+    * (q319) is the compliance backstop for it. References losing ALL
+    * five bands are COUNTED, never silently dropped — q323 reports
+    * `unindexed_refs` (fail-loudly discipline: an unfindable
+    * takedown reference is an operator alert, in-data provably 0).
+    * Note the envelope keyspace is 2¹² per band, so band df grows
+    * ~history/4096: at production density the cap is re-measured
+    * against the corpus (the q321 sweep), not scaled blindly.
     */
-  def buildIndex(histFps: DataFrame): DataFrame =
-    histFps.select(col("hist_id"), col("fp").as("hfp"),
-      explode(expr(bandsOf.format("fp"))).as("bk"))
+  def buildIndex(histFps: DataFrame, maxDf: Int = 64): DataFrame = {
+    // pinned once: the entries frame feeds both the hot-key
+    // aggregation and the anti-join probe side — every gated caller
+    // maps a full WAV decode into this, which must not run twice
+    val entries = histFps.select(col("hist_id"), col("fp").as("hfp"),
+        explode(expr(bandsOf.format("fp"))).as("bk"))
+      .localCheckpoint()
+    entries.join(broadcast(graft.ops.Dedup.hotKeys(entries, "bk",
+        maxDf)), Seq("bk"), "left_anti")
+      .select("hist_id", "hfp", "bk")
+  }
 
   /** Band keys carried by more than `maxDf` index rows — a degenerate
     * band value (silent audio quantizes every bin below the mean) is

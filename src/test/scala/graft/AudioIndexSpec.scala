@@ -99,6 +99,29 @@ class AudioIndexSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
+  test("a degenerate band value is excluded from the envelope index " +
+      "at BUILD time; each reference keeps its distinctive bands") {
+    import spark.implicits._
+    // 300 references share the same value in four of five bands
+    // (zeros — the silent-stretch degenerate) and differ only in
+    // band 1: the four hot band keys (df 300 each) never enter the
+    // index, the distinctive band does. 70 further references are
+    // FULLY silent (fp = 0): their fifth band is the shared zero
+    // value too (df 70 > cap), so they lose every entry — the
+    // unfindable-reference count q323 surfaces as `unindexed_refs`.
+    val fps = ((0L until 300L).map(g => (g, (g + 1) << 12)) ++
+      (1000L until 1070L).map(g => (g, 0L)))
+      .toDF("hist_id", "fp")
+    val idx = AudioDedupGate.buildIndex(fps, 64)
+    assert(idx.count() === 300L,
+      "only the distinctive band per reference may enter")
+    assert(idx.filter(col("bk") % 5 =!= 1).count() === 0L,
+      "every surviving entry is a band-1 key")
+    assert(idx.select("bk").distinct().count() === 300L)
+    assert(fps.count() - idx.select("hist_id").distinct().count()
+      === 70L, "exactly the fully-degenerate references are unindexed")
+  }
+
   test("a hash pushed past the cap by APPENDS is refreshed into the " +
       "stop artifact and suppressed; genuine votes still block; " +
       "restart-resume holds with the stop threaded") {
@@ -190,6 +213,8 @@ class AudioIndexSpec extends AnyFunSuite {
         else "stop_hashes") === 0L, q)
       assert(rows("added_entries") > 0L, q)
       assert(rows("blocked_arrivals") > 0L, q)
+      if (q.contains("band"))
+        assert(rows("unindexed_refs") === 0L, q)
     }
   }
 }

@@ -43,6 +43,39 @@ class VerdictStoreSpec extends AnyFunSuite {
       spark, dir).collect()).nonEmpty)
   }
 
+  test("latest-version reads PRUNE to one version partition on the " +
+      "executed scan") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.functions.col
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case r: ReusedExchangeExec => flatten(r.child)
+      case _ => p.children.flatMap(flatten)
+    })
+    SparkEntry.queries("q320_takedown_report")(spark, dir).count()
+    SparkEntry.queries("q322_verdict_refresh")(spark, dir).count()
+    val tag = (spark.sparkContext.applicationId + "_" + dir)
+      .replaceAll("[^a-zA-Z0-9]", "_")
+    val root =
+      s"${System.getProperty("java.io.tmpdir")}/graft_verdicts_$tag"
+    val td = spark.read.parquet(s"$root/audio_takedown")
+    val versions = td.select("version").distinct().count()
+    assert(versions >= 2)
+    val latest = td.agg(org.apache.spark.sql.functions
+      .max(col("version").cast("long"))).head().getLong(0)
+    val pruned = td.filter(col("version").cast("long") === latest)
+    pruned.count()
+    val scans = flatten(pruned.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    assert(scans.map(_.selectedPartitions.partitionCount).max === 1,
+      s"a latest-version read over $versions stored versions must " +
+        "scan exactly ONE partition's files")
+  }
+
   test("stored cluster legs carry exactly the live chains' rows") {
     SparkEntry.queries("q318_corpus_dedup_report")(spark, dir).count()
     val tag = (spark.sparkContext.applicationId + "_" + dir)
