@@ -340,7 +340,8 @@ object TrainQueries {
     "q321_df_cap_tuning" -> (qDfCapTuning _),
     "q322_verdict_refresh" -> (qVerdictRefresh _),
     "q323_incr_band_index" -> (qIncrBandIndex _),
-    "q324_incr_landmark_index" -> (qIncrLandmarkIndex _))
+    "q324_incr_landmark_index" -> (qIncrLandmarkIndex _),
+    "q325_verdict_retention" -> (qVerdictRetention _))
 
   /** Shared by q197 (batch CUSUM) and q200 (streamed bucket fold):
     * the closed form S_t = P_t − min(0, min_{j≤t} P_j) as two running
@@ -529,7 +530,11 @@ object TrainQueries {
     ("q313_media_dedup_report" -> mediaDedupReportOracle) +
     ("q318_corpus_dedup_report" -> corpusDedupReportOracle) +
     ("q320_takedown_report" -> takedownReportOracle) +
-    ("q322_verdict_refresh" -> verdictRefreshOracle)
+    ("q322_verdict_refresh" -> verdictRefreshOracle) +
+    // q325 retains exactly the latest version of every verdict table,
+    // so its contract is q322's VERBATIM: the retained rows are the
+    // rows the live chains derive
+    ("q325_verdict_retention" -> verdictRefreshOracle)
 
   /** q313's oracle COMPOSES the three modality cluster oracles as
     * subqueries (DuckDB allows WITH RECURSIVE inside a derived table)

@@ -2907,6 +2907,46 @@ private[graft] object TrainQueriesMedia {
   private[graft] def qVerdictRefresh(s: SparkSession, dir: String): DataFrame =
     refreshVerdicts(s, dir, verdictStoreRoot(s, dir))
 
+  /** Verdict-store retention (q325): the storage-reclamation half of
+    * the versioned verdict store — an append-only compliance store
+    * grows one full copy of every table per refresh, and production
+    * retention drops versions past the audit window as a partition-
+    * directory delete (a metadata-only operation at 100 TB: no data
+    * rewrite, the retained partitions' files are untouched). Keeps
+    * the LATEST version of each table, drops all older version
+    * partitions, and reports the retained per-table row counts — the
+    * same numbers the refresh job reports, so the oracle is q322's
+    * verbatim (the cheapest-green-gate discipline): green means the
+    * vacuum retained exactly the rows the live chains derive.
+    * Version numbering keeps monotonic after a vacuum (next = max
+    * retained + 1), and `VerdictStoreSpec` proves old partitions are
+    * gone from disk while the dashboards stay row-identical.
+    */
+  private[graft] def qVerdictRetention(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    val root = verdictStoreRoot(s, dir)
+    verdictLegs(s, dir).map { case (name, _) =>
+      val path = s"$root/$name"
+      val latest = s.read.parquet(path)
+        .agg(max(col("version").cast("long"))).head().getLong(0)
+      new java.io.File(path).listFiles()
+        .filter(f => f.isDirectory &&
+          f.getName.startsWith("version=") &&
+          f.getName.stripPrefix("version=").toLong < latest)
+        .foreach { old =>
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(old)
+        }
+      val n = s.read.parquet(path)
+        .filter(col("version").cast("long") === latest).count()
+      (name, n)
+    }.toDF("table_name", "n_rows").orderBy("table_name")
+  }
+
   private[graft] def qMediaDedupReport(s: SparkSession, dir: String): DataFrame = {
     val root = verdictStoreRoot(s, dir)
     clusterImpactLeg("audio", readVerdict(s, root, "audio_clusters"))

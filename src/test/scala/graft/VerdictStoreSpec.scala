@@ -76,6 +76,41 @@ class VerdictStoreSpec extends AnyFunSuite {
         "scan exactly ONE partition's files")
   }
 
+  test("retention vacuums to the latest version: old partition dirs " +
+      "are gone from disk, dashboards stay row-identical, and a " +
+      "subsequent refresh keeps version numbering monotonic") {
+    import org.apache.spark.sql.functions.col
+    val report0 = sorted(SparkEntry.queries("q320_takedown_report")(
+      spark, dir).collect())
+    SparkEntry.queries("q322_verdict_refresh")(spark, dir).collect()
+    val tag = (spark.sparkContext.applicationId + "_" + dir)
+      .replaceAll("[^a-zA-Z0-9]", "_")
+    val root =
+      s"${System.getProperty("java.io.tmpdir")}/graft_verdicts_$tag"
+    def versionDirs(name: String): Seq[String] =
+      new java.io.File(s"$root/$name").listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("version="))
+        .map(_.getName).sorted
+    assert(versionDirs("audio_takedown").length >= 2)
+    val retained = SparkEntry.queries("q325_verdict_retention")(
+      spark, dir).collect()
+    assert(retained.length === 7)
+    val dirs = versionDirs("audio_takedown")
+    assert(dirs.length === 1,
+      s"only the latest version partition may survive, got $dirs")
+    // dashboards unchanged by the vacuum
+    assert(sorted(SparkEntry.queries("q320_takedown_report")(
+      spark, dir).collect()) === report0)
+    // and the next refresh appends max+1, never reusing a dropped
+    // version number
+    val keptV = dirs.head.stripPrefix("version=").toLong
+    SparkEntry.queries("q322_verdict_refresh")(spark, dir).collect()
+    val vs = spark.read.parquet(s"$root/audio_takedown")
+      .select(col("version").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(vs.toSeq === Seq(keptV, keptV + 1))
+  }
+
   test("stored cluster legs carry exactly the live chains' rows") {
     SparkEntry.queries("q318_corpus_dedup_report")(spark, dir).count()
     val tag = (spark.sparkContext.applicationId + "_" + dir)
