@@ -2350,6 +2350,7 @@ private[graft] object TrainQueriesCuration {
     implicit val sp: SparkSession = s
     val media = t(s, dir, "documents")
       .select(col("doc_id").cast("long"))
+      .repartition(col("doc_id"))
       .as[Long]
       .map { id =>
         Multimodal.MediaRecord(id,
@@ -2374,6 +2375,7 @@ private[graft] object TrainQueriesCuration {
     implicit val sp: SparkSession = s
     val media = t(s, dir, "documents")
       .select(col("doc_id").cast("long"))
+      .repartition(col("doc_id"))
       .as[Long]
       .map { id =>
         val full = Multimodal.encodePpm(id,
@@ -3571,6 +3573,7 @@ private[graft] object TrainQueriesCuration {
     implicit val sp: SparkSession = s
     val media = t(s, dir, "documents")
       .select(col("doc_id").cast("long"))
+      .repartition(col("doc_id"))
       .as[Long]
       .map { id =>
         Multimodal.MediaRecord(id,
@@ -3599,6 +3602,7 @@ private[graft] object TrainQueriesCuration {
     implicit val sp: SparkSession = s
     val media = t(s, dir, "documents")
       .select(col("doc_id").cast("long"))
+      .repartition(col("doc_id"))
       .as[Long]
       .map { id =>
         Multimodal.MediaRecord(id,

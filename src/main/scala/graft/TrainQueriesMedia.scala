@@ -391,6 +391,7 @@ private[graft] object TrainQueriesMedia {
     val media = t(s, dir, "documents")
       .filter(col("doc_id") % 3 === 0)
       .select(col("doc_id").cast("long"))
+      .repartition(col("doc_id"))
       .as[Long]
       .map { id =>
         Multimodal.MediaRecord(id,
@@ -422,6 +423,7 @@ private[graft] object TrainQueriesMedia {
     val ids = t(s, dir, "documents")
       .filter(col("doc_id") % 3 === 0)
       .select(col("doc_id").cast("long"))
+      .repartition(col("doc_id"))
       .as[Long]
     def dims(id: Long) =
       ((16 + ((id / 3) % 3) * 8).toInt, (16 + (id % 2) * 8).toInt)
@@ -529,7 +531,8 @@ private[graft] object TrainQueriesMedia {
         s"${System.getProperty("java.io.tmpdir")}/graft_media_$tag")
       t(s, dir, "documents")
         .filter(col("doc_id") % 3 === 0)
-        .select(col("doc_id").cast("long")).as[Long]
+        .select(col("doc_id").cast("long"))
+        .repartition(col("doc_id")).as[Long]
         .map { id =>
           (id, Multimodal.encodeGradientPng(id,
             (16 + ((id / 3) % 3) * 8).toInt, (16 + (id % 2) * 8).toInt))
@@ -562,7 +565,8 @@ private[graft] object TrainQueriesMedia {
     // media); broadcast-sized by nature
     val blocked = t(s, dir, "documents")
       .filter(col("doc_id") % 3 === 0 && col("doc_id") % 41 === 0)
-      .select(col("doc_id").cast("long")).as[Long]
+      .select(col("doc_id").cast("long"))
+      .repartition(col("doc_id")).as[Long]
       .map { id =>
         Multimodal.MediaRecord(id, Multimodal.encodeGradientPng(id,
           (16 + ((id / 3) % 3) * 8).toInt, (16 + (id % 2) * 8).toInt),
@@ -1112,7 +1116,7 @@ private[graft] object TrainQueriesMedia {
       .select(col("doc_id").cast("long"), col("text"))
     def dims(id: Long) =
       ((16 + ((id / 3) % 3) * 8).toInt, (16 + (id % 2) * 8).toInt)
-    val ids = docs.select("doc_id").as[Long]
+    val ids = docs.select("doc_id").repartition(col("doc_id")).as[Long]
     val media = ids.map { id =>
       val (w, h) = dims(id)
       Multimodal.MediaRecord(id, Multimodal.encodeGradientPng(id, w, h),
@@ -1371,7 +1375,7 @@ private[graft] object TrainQueriesMedia {
       .select(col("doc_id").cast("long"), col("text"))
     def dims(id: Long) =
       ((16 + ((id / 3) % 3) * 8).toInt, (16 + (id % 2) * 8).toInt)
-    val media = docs.select("doc_id").as[Long].map { id =>
+    val media = docs.select("doc_id").repartition(col("doc_id")).as[Long].map { id =>
       val (w, h) = dims(id)
       Multimodal.MediaRecord(id, Multimodal.encodeGradientPng(id, w, h),
         "png")
@@ -1428,6 +1432,7 @@ private[graft] object TrainQueriesMedia {
     implicit val sp: SparkSession = s
     val media = t(s, dir, "documents")
       .select(col("doc_id").cast("long"))
+      .repartition(col("doc_id"))
       .as[Long]
       .map { id =>
         val n = (400 + (id % 7) * 100 + (id % 53)).toInt
@@ -1456,6 +1461,7 @@ private[graft] object TrainQueriesMedia {
     implicit val sp: SparkSession = s
     val media = t(s, dir, "documents")
       .select(col("doc_id").cast("long"))
+      .repartition(col("doc_id"))
       .as[Long]
       .map { id =>
         val (w, h) = ((4 + id % 3).toInt, (3 + id % 2).toInt)
@@ -1672,6 +1678,7 @@ private[graft] object TrainQueriesMedia {
     import s.implicits._
     val media = t(s, dir, "documents")
       .select(col("doc_id").cast("long"))
+      .repartition(col("doc_id"))
       .as[Long]
       .map { id =>
         val payload = (id % 5) match {
@@ -1738,7 +1745,7 @@ private[graft] object TrainQueriesMedia {
     implicit val sp: SparkSession = s
     val docs = t(s, dir, "documents")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-    val fps = docs.select("doc_id").as[Long].map { id =>
+    val fps = docs.select("doc_id").repartition(col("doc_id")).as[Long].map { id =>
       val seed = id / 5
       val n = (2000 + (seed % 7) * 500 + (seed % 53)).toInt
       val step = (1 + id % 2).toInt
@@ -1794,6 +1801,7 @@ private[graft] object TrainQueriesMedia {
     implicit val sp: SparkSession = s
     val media = t(s, dir, "documents")
       .select(col("doc_id").cast("long"))
+      .repartition(col("doc_id"))
       .as[Long]
       .map { id =>
         val (w, h) = ((4 + id % 3).toInt, (3 + id % 2).toInt)
@@ -1872,6 +1880,7 @@ private[graft] object TrainQueriesMedia {
     implicit val sp: SparkSession = s
     val media = t(s, dir, "documents")
       .select(col("doc_id").cast("long"))
+      .repartition(col("doc_id"))
       .as[Long]
       .map { id =>
         val n = (300 + id % 47).toInt
@@ -1906,6 +1915,7 @@ private[graft] object TrainQueriesMedia {
     import s.implicits._
     val fps = t(s, dir, "documents")
       .select(col("doc_id").cast("long"))
+      .repartition(col("doc_id"))
       .as[Long]
       .map { id =>
         val n = (2000 + (id % 7) * 500 + (id % 53)).toInt
@@ -1974,7 +1984,7 @@ private[graft] object TrainQueriesMedia {
     implicit val sp: SparkSession = s
     val docs = t(s, dir, "documents")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-    val media = docs.select("doc_id").as[Long].map { id =>
+    val media = docs.select("doc_id").repartition(col("doc_id")).as[Long].map { id =>
       val seed = id / 4
       val r = id % 4
       val seedKey = if (r == 3) 2 * seed + 1 else 2 * seed
@@ -2033,7 +2043,8 @@ private[graft] object TrainQueriesMedia {
     */
   private[graft] def qAudioLandmarks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    t(s, dir, "documents").select(col("doc_id").cast("long"))
+      .repartition(col("doc_id")).as[Long]
       .map { id =>
         val n = (4000 + (id % 7) * 500 + id % 53).toInt
         def hashSet(samples: Array[Int]): Set[Long] =
@@ -2204,7 +2215,7 @@ private[graft] object TrainQueriesMedia {
       .loadLandmarkPoint(s, landmarkOpPath(s, dir))
     val docs = t(s, dir, "documents")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-    val hashes = docs.select("doc_id").as[Long].flatMap { id =>
+    val hashes = docs.select("doc_id").repartition(col("doc_id")).as[Long].flatMap { id =>
       val g = id / 4
       val r = id % 4
       val n = (4000 + (g % 7) * 500 + g % 53).toInt
@@ -2284,7 +2295,7 @@ private[graft] object TrainQueriesMedia {
       .loadLandmarkPoint(s, landmarkOpPath(s, dir))
     val docs = t(s, dir, "documents")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-    val feats = docs.select("doc_id").as[Long].map { id =>
+    val feats = docs.select("doc_id").repartition(col("doc_id")).as[Long].map { id =>
       val g = id / 4
       val r = id % 4
       val n = (4000 + (g % 7) * 500 + g % 53).toInt
@@ -2361,7 +2372,8 @@ private[graft] object TrainQueriesMedia {
       val srcPath = graft.Scratch.register(s"$tmp/graft_vgate_src_$tag")
       val idxPath = graft.Scratch.register(s"$tmp/graft_vgate_idx_$tag")
       val docs = t(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+        .select(col("doc_id").cast("long"))
+        .repartition(col("doc_id")).as[Long]
       docs.filter((id: Long) => id % 3 == 0)
         .map { id =>
           val g = id / 3
@@ -2434,7 +2446,8 @@ private[graft] object TrainQueriesMedia {
     */
   private[graft] def qUtteranceStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    t(s, dir, "documents").select(col("doc_id").cast("long"))
+      .repartition(col("doc_id")).as[Long]
       .map { id =>
         val n = (4000 + (id % 7) * 500 + id % 53).toInt
         val us = Audio.utterances(id,
@@ -2497,7 +2510,8 @@ private[graft] object TrainQueriesMedia {
     */
   private[graft] def qPadRobustDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    t(s, dir, "documents").select(col("doc_id").cast("long"))
+      .repartition(col("doc_id")).as[Long]
       .map { id =>
         val n = (4000 + (id % 7) * 500 + id % 53).toInt
         val master = Audio.hybridTrain(2 * id, n)
@@ -2554,7 +2568,8 @@ private[graft] object TrainQueriesMedia {
       .replaceAll("[^a-zA-Z0-9]", "_")
     val tbl = s"graft_kfidx_incr_$tag"
     val docs = t(s, dir, "documents")
-      .select(col("doc_id").cast("long")).as[Long]
+      .select(col("doc_id").cast("long"))
+      .repartition(col("doc_id")).as[Long]
     val histMedia = docs.filter((id: Long) => id % 3 != 0)
       .map { id =>
         val g = id / 3
@@ -2637,7 +2652,8 @@ private[graft] object TrainQueriesMedia {
       .replaceAll("[^a-zA-Z0-9]", "_")
     val tbl = s"graft_bandidx_incr_$tag"
     val docs = t(s, dir, "documents")
-      .select(col("doc_id").cast("long")).as[Long]
+      .select(col("doc_id").cast("long"))
+      .repartition(col("doc_id")).as[Long]
     def refs(res: Long) = docs.map(_ / 3).distinct()
       .filter((g: Long) => g % 9 == res)
       .map { g =>
@@ -2710,7 +2726,8 @@ private[graft] object TrainQueriesMedia {
       .replaceAll("[^a-zA-Z0-9]", "_")
     val tbl = s"graft_lmidx_incr_$tag"
     val docs = t(s, dir, "documents")
-      .select(col("doc_id").cast("long")).as[Long]
+      .select(col("doc_id").cast("long"))
+      .repartition(col("doc_id")).as[Long]
     def refs(res: Long) = docs.map(_ / 3).distinct()
       .filter((g: Long) => g % 9 == res)
       .flatMap { g =>
@@ -2773,7 +2790,8 @@ private[graft] object TrainQueriesMedia {
   private[graft] def qChannelDiarization(s: SparkSession,
       dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    t(s, dir, "documents").select(col("doc_id").cast("long"))
+      .repartition(col("doc_id")).as[Long]
       .map { id =>
         val n = (4000 + (id % 7) * 500 + id % 53).toInt
         val (l, r) = Audio.stereoBurstTrain(id, n)
@@ -2853,35 +2871,77 @@ private[graft] object TrainQueriesMedia {
     * partition-prune to the latest files and history stays auditable
     * (a compliance store never rewrites old verdicts). Returns the
     * per-table row-count summary.
+    *
+    * The seven legs are INDEPENDENT jobs (disjoint state paths,
+    * disjoint chains), so they run from a small driver pool (guide
+    * §2.6 — overlap independent jobs): each leg's stage tail
+    * back-fills cores the others free, instead of 7 × (stage tail +
+    * commit) strictly in sequence. 4 in flight is the measured knee —
+    * enough to hide every tail at local[32], few enough that legs are
+    * not starving each other's scans; the width is a property of the
+    * leg count, not the cluster, so it holds on a real cluster too
+    * (FIFO scheduling back-fills exactly as the guide describes).
+    * Determinism is untouched: per-table version numbering and row
+    * content never depend on cross-leg ordering, and the summary is
+    * sorted. Job descriptions are thread-local, so the UI labels each
+    * leg correctly.
     */
   private[graft] def refreshVerdicts(s: SparkSession, dir: String,
       root: String): DataFrame = {
     import s.implicits._
-    verdictLegs(s, dir).map { case (name, build) =>
-      val path = s"$root/$name"
-      val next =
-        if (!new java.io.File(path).exists()) 0L
-        else s.read.parquet(path)
-          .agg(max(col("version").cast("long"))).head().getLong(0) + 1
-      build().withColumn("version", lit(next))
-        .write.mode("append").partitionBy("version").parquet(path)
-      // metadata-only count of the freshly written partition
-      val n = s.read.parquet(path)
-        .filter(col("version").cast("long") === next).count()
-      (name, n)
-    }.toDF("table_name", "n_rows").orderBy("table_name")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val legs = verdictLegs(s, dir).map { case (name, build) =>
+        scala.concurrent.Future {
+          s.sparkContext.setJobDescription(s"verdict refresh: $name")
+          val path = s"$root/$name"
+          val next =
+            if (!new java.io.File(path).exists()) 0L
+            else s.read.parquet(path)
+              .agg(max(col("version").cast("long"))).head().getLong(0) + 1
+          build().withColumn("version", lit(next))
+            .write.mode("append").partitionBy("version").parquet(path)
+          // metadata-only count of the freshly written partition
+          val n = s.read.parquet(path)
+            .filter(col("version").cast("long") === next).count()
+          (name, n)
+        }
+      }
+      scala.concurrent.Await
+        .result(scala.concurrent.Future.sequence(legs),
+          scala.concurrent.duration.Duration.Inf)
+        .toDF("table_name", "n_rows").orderBy("table_name")
+    } finally pool.shutdown()
   }
 
-  /** The stored verdict root, built once per session (version 0). */
-  private[graft] def verdictStoreRoot(s: SparkSession, dir: String): String =
-    sessionFixture(verdictStoreCache, s, dir) {
-      val tag = (s.sparkContext.applicationId + "_" + dir)
-        .replaceAll("[^a-zA-Z0-9]", "_")
+  /** The stored verdict root, built once per session (version 0).
+    * The initial refresh runs OUTSIDE the fixture lock: its legs
+    * resolve their own session fixtures from pool threads, which
+    * would deadlock against a build-holding-the-lock caller (the
+    * lock-holder would be waiting on threads that are waiting on the
+    * lock). Queries invoke this from the single harness thread, so
+    * the unlocked window cannot double-build in any shipped path;
+    * if two threads ever did race it, getOrElseUpdate keeps the
+    * first root and the loser's scratch dir is reclaimed at exit.
+    */
+  private[graft] def verdictStoreRoot(s: SparkSession, dir: String): String = {
+    val key = (s.sparkContext.applicationId, dir)
+    val cached = fixtureLock.synchronized {
+      verdictStoreCache.filterInPlace((k, _) => k._1 == key._1)
+      verdictStoreCache.get(key)
+    }
+    cached.getOrElse {
+      val tag = (key._1 + "_" + dir).replaceAll("[^a-zA-Z0-9]", "_")
       val root = graft.Scratch.register(
         s"${System.getProperty("java.io.tmpdir")}/graft_verdicts_$tag")
       refreshVerdicts(s, dir, root).collect()
-      root
+      fixtureLock.synchronized {
+        verdictStoreCache.getOrElseUpdate(key, root)
+      }
     }
+  }
 
   /** Latest-version read of a stored verdict table — the max-version
     * filter prunes the scan to the newest partition's files.
@@ -3183,7 +3243,8 @@ private[graft] object TrainQueriesMedia {
       val srcPath = graft.Scratch.register(s"$tmp/graft_audiogate_src_$tag")
       val idxPath = graft.Scratch.register(s"$tmp/graft_audiogate_idx_$tag")
       val docs = t(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+        .select(col("doc_id").cast("long"))
+        .repartition(col("doc_id")).as[Long]
       docs.filter((id: Long) => id % 3 == 0)
         .map { id =>
           val g = id / 3
@@ -3253,7 +3314,8 @@ private[graft] object TrainQueriesMedia {
       val srcPath = graft.Scratch.register(s"$tmp/graft_atd_src_$tag")
       val idxPath = graft.Scratch.register(s"$tmp/graft_atd_idx_$tag")
       val docs = t(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+        .select(col("doc_id").cast("long"))
+        .repartition(col("doc_id")).as[Long]
       docs.map { id =>
           val g = id / 3
           val n = (2000 + (g % 7) * 500 + g % 53).toInt
@@ -3327,7 +3389,8 @@ private[graft] object TrainQueriesMedia {
       val srcPath = graft.Scratch.register(s"$tmp/graft_vtd_src_$tag")
       val idxPath = graft.Scratch.register(s"$tmp/graft_vtd_idx_$tag")
       val docs = t(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+        .select(col("doc_id").cast("long"))
+        .repartition(col("doc_id")).as[Long]
       docs.map { id =>
           val g = id / 3
           val ns = (3 + g % 3).toInt
@@ -3397,7 +3460,8 @@ private[graft] object TrainQueriesMedia {
       val srcPath = graft.Scratch.register(s"$tmp/graft_lmtd_src_$tag")
       val idxPath = graft.Scratch.register(s"$tmp/graft_lmtd_idx_$tag")
       val docs = t(s, dir, "documents")
-        .select(col("doc_id").cast("long")).as[Long]
+        .select(col("doc_id").cast("long"))
+        .repartition(col("doc_id")).as[Long]
       docs.map { id =>
           val g = id / 3
           val n = (4000 + (g % 7) * 500 + g % 53).toInt
@@ -3524,7 +3588,8 @@ private[graft] object TrainQueriesMedia {
   private[graft] def qAudioTranscriptAlign(s: SparkSession,
       dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    t(s, dir, "documents").select(col("doc_id").cast("long"))
+      .repartition(col("doc_id")).as[Long]
       .map { id =>
         val n = (4000 + (id % 7) * 500 + id % 53).toInt
         val us = Audio.utterances(id,
@@ -3571,6 +3636,7 @@ private[graft] object TrainQueriesMedia {
         s"${System.getProperty("java.io.tmpdir")}/graft_mroutersrc_$tag")
       t(s, dir, "documents")
         .select(col("doc_id").cast("long"))
+        .repartition(col("doc_id"))
         .as[Long]
         .map { id =>
           val payload = (id % 5) match {
@@ -3723,6 +3789,7 @@ private[graft] object TrainQueriesMedia {
     import s.implicits._
     val fps = t(s, dir, "documents")
       .select(col("doc_id").cast("long"))
+      .repartition(col("doc_id"))
       .as[Long]
       .map { id =>
         val n = (2000 + (id % 7) * 500 + (id % 53)).toInt

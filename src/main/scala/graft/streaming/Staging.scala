@@ -50,18 +50,51 @@ object Staging {
     */
   def withStreamShufflePartitions[T](spark: SparkSession, n: String = "8",
       rocksDb: Boolean = false)(f: => T): T = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevProvider = spark.conf.getOption(ProviderKey)
+    enterScopedConf(spark, n, rocksDb)
+    try f finally exitScopedConf(spark)
+  }
+
+  /** Per-session refcount for the scoped conf window above. The r16
+    * verdict-refresh legs run three streaming gates CONCURRENTLY on
+    * one session (guide §2.6); with the naive save/set/restore each
+    * gate races the others — interleaved restores can re-save a peer's
+    * scoped value as "previous" and leave the session pinned at the
+    * streaming partition count for every later batch query. The fix is
+    * the classic nested-window rule: only the FIRST entrant saves the
+    * session's real values, only the LAST exit restores them;
+    * overlapping windows just (re)apply their scoped setting, which is
+    * sound because every overlapping user wants the same scaled-down
+    * state-store sizing and results never depend on the partition
+    * count (the oracle gate proves that across cpu counts).
+    */
+  private final case class ScopedConf(var depth: Int, saved: String,
+    savedProvider: Option[String])
+  private val scopedConf =
+    scala.collection.mutable.Map.empty[SparkSession, ScopedConf]
+
+  private def enterScopedConf(spark: SparkSession, n: String,
+      rocksDb: Boolean): Unit = scopedConf.synchronized {
+    val st = scopedConf.getOrElseUpdate(spark, ScopedConf(0,
+      spark.conf.get("spark.sql.shuffle.partitions"),
+      spark.conf.getOption(ProviderKey)))
+    st.depth += 1
     spark.conf.set("spark.sql.shuffle.partitions", n)
     if (rocksDb) spark.conf.set(ProviderKey, RocksDbProvider)
-    try f finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
-      if (rocksDb) prevProvider match {
-        case Some(v) => spark.conf.set(ProviderKey, v)
-        case None => spark.conf.unset(ProviderKey)
+  }
+
+  private def exitScopedConf(spark: SparkSession): Unit =
+    scopedConf.synchronized {
+      val st = scopedConf(spark)
+      st.depth -= 1
+      if (st.depth == 0) {
+        scopedConf.remove(spark)
+        spark.conf.set("spark.sql.shuffle.partitions", st.saved)
+        st.savedProvider match {
+          case Some(v) => spark.conf.set(ProviderKey, v)
+          case None => spark.conf.unset(ProviderKey)
+        }
       }
     }
-  }
 
   /** Multi-batch staging: split the source parquet into `chunks`
     * time-ordered files (ascending modification times, so the file
